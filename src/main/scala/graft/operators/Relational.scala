@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational analytics (SURVEY §2.A).
+  *
+  * Design notes for 100 TB scale:
+  *  - dims (region/nation/supplier/part) are broadcast — no shuffle of
+  *    the fact side for star joins;
+  *  - fact→fact joins pre-aggregate before joining where possible so
+  *    the shuffle moves aggregated rows, not raw lineitems;
+  *  - all money aggregates are rounded to 2 decimals (oracle-parity
+  *    policy, SURVEY §5) and every computed column is aliased.
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary — groupBy + sum/avg/count with
+    * map-side partial aggregation; the whole plan is one scan + one
+    * shuffle of ~|groups| rows. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** q02: revenue per order, top 10 — aggregate lineitem FIRST, then
+    * join the (small) aggregate to orders; deterministic tiebreak. */
+  def topRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    rev.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q03: TPC-H Q3-style shipping-priority revenue for one segment. */
+  def segmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q04: star-schema revenue per region/nation — region+nation are
+    * broadcast; only customer⋈orders⋈lineitem shuffle on their keys. */
+  def regionSales(s: SparkSession, dir: String): DataFrame = {
+    val geo = broadcast(
+      Tables.nation(s, dir).join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey")))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(geo, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q05: TPC-H Q4-style order-priority count via EXISTS (left-semi). */
+  def orderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** q06: TPC-H Q6-style selective scan + agg — the filters reach the
+    * parquet scan as PushedFilters; single-row result. */
+  def selectiveSum(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  /** q07: top-3 orders per customer — window row_number; at scale this
+    * is a single shuffle on o_custkey (no join needed). */
+  def custTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** q08: distinct counts per group (partial-agg friendly). */
+  def segmentDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+  }
+
+  /** q09: anti join — customers with no high-value order. */
+  def idleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    Tables.customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** q10: ROLLUP grouping sets over returnflag × linestatus. */
+  def rollupSales(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q11: top-2 parts per type by retail price (rank-per-group). */
+  def partTypeTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("p_type"), col("p_partkey"), col("p_brand"), col("p_retailprice"), col("rn"))
+  }
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Dev-only parity harness (mimics the driver's DuckDB oracle compare).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <outDir>/oracle_sql.json, runs each oracle in DuckDB with the
+parquet tables registered as views, reads the Spark result parquet,
+sorts columns by name + rows by all columns, and diffs values exactly.
+NOT part of the shipped library — driver-side python only.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = df.values.tolist()
+    def key(r):
+        return [(x is None, str(type(x)), str(x)) for x in r]
+    rows.sort(key=key)
+    return cols, rows
+
+def eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            odf = con.sql(sql).df()
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            sdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            ocols, orows = canon(odf)
+            scols, srows = canon(sdf)
+            if ocols != scols:
+                print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+                n_fail += 1
+                continue
+            if len(orows) != len(srows):
+                print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
+                n_fail += 1
+                continue
+            bad = None
+            for i, (orow, srow) in enumerate(zip(orows, srows)):
+                for c, (a, b) in enumerate(zip(orow, srow)):
+                    pa = None if (isinstance(a, float) and math.isnan(a)) else a
+                    pb = None if (isinstance(b, float) and math.isnan(b)) else b
+                    if not eq(pa, pb):
+                        bad = (i, ocols[c], a, b)
+                        break
+                if bad:
+                    break
+            if bad:
+                print(f"FAIL {name}: row {bad[0]} col {bad[1]}: oracle={bad[2]!r} spark={bad[3]!r}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(orows)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
