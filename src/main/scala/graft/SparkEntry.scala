@@ -23,6 +23,14 @@ object SparkEntry {
     "q09_idle_customers"  -> (Relational.idleCustomers _),
     "q10_rollup_sales"    -> (Relational.rollupSales _),
     "q11_part_type_topk"  -> (Relational.partTypeTopK _),
+    "q12_latest_state"    -> (Events.latestState _),
+    "q13_tumbling_counts" -> (Events.tumblingCounts _),
+    "q14_sessionize"      -> (Events.sessionize _),
+    "q15_payload_extract" -> (Events.payloadExtract _),
+    "q16_event_funnel"    -> (Events.eventFunnel _),
+    "q17_asof_join"       -> (Events.asofJoin _),
+    "q18_upsert_merge"    -> (Events.upsertMerge _),
+    "q19_delete_tombstones" -> (Events.deleteTombstones _),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables).
@@ -110,5 +118,65 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p_type
         |    ORDER BY p_retailprice DESC, p_partkey) AS rn
         | FROM part) t WHERE rn <= 2""".stripMargin,
+    "q12_latest_state" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts FROM (
+        | SELECT user_id, event_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+    "q13_tumbling_counts" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q14_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q15_payload_extract" ->
+      """SELECT event_type,
+        | sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        | max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q16_event_funnel" ->
+      """WITH w AS (
+        | SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS first_view
+        | FROM events)
+        |SELECT user_id, epoch_us(first_view) AS first_view,
+        | count(CASE WHEN event_type = 'purchase' AND ts > first_view
+        |   THEN 1 END) AS purchases_after_view
+        |FROM w WHERE first_view IS NOT NULL
+        |GROUP BY user_id, first_view""".stripMargin,
+    "q17_asof_join" ->
+      """SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_ts,
+        | last_click_id, epoch_us(last_click_ts) AS last_click_ts FROM (
+        | SELECT user_id, event_id, ts, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER w AS last_click_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN ts END
+        |    IGNORE NULLS) OVER w AS last_click_ts
+        | FROM events WHERE event_type IN ('click', 'purchase')
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q18_upsert_merge" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts FROM (
+        | SELECT user_id, event_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+    "q19_delete_tombstones" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts FROM (
+        | SELECT user_id, event_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
   )
 }

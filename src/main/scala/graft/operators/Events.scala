@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream / CDC operators (SURVEY §2.B) — the batch form of the
+  * reference SEP semantics: changelog compaction (latest-cell-wins),
+  * tombstones, payload extraction, windows, sessions, as-of lookups.
+  *
+  * Scale notes: compaction uses `max_by` under hash aggregation
+  * (map-side partial agg, one shuffle of one row per key) rather than
+  * a window sort — on 100 TB of events the window formulation would
+  * full-sort every partition; max_by moves |keys| rows.
+  */
+object Events {
+
+  /** Changelog compaction: latest row per key by (ordCols) — the
+    * HBase latest-cell-wins row view of an event stream. */
+  def latestByKey(df: DataFrame, key: String, ordCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame =
+    df.groupBy(col(key))
+      .agg(max_by(struct(payloadCols.map(col): _*),
+        struct(ordCols.map(col): _*)).as("__latest"))
+      .select(col(key) +: payloadCols.map(c => col(s"__latest.$c")): _*)
+
+  /** q12: latest event per user (compaction of the event changelog). */
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("e"))
+      .select(col("user_id"), col("e.event_id"), col("e.event_type"),
+        col("e.value"), col("e.ts"))
+  }
+
+  /** q13: tumbling 1-hour event-time windows per event type. */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy((col("ts") - col("ts") % 3600000000L).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** q14: session windows — 30-min inactivity gap, exact integer
+    * microsecond arithmetic for oracle parity. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** q15: SEP PayloadExtractor equivalent — pull the numeric payload
+    * out of the props blob and aggregate it. */
+  def payloadExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q16: ordered funnel — purchases after each user's first view. */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .filter(col("first_view").isNotNull)
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(count(when(col("event_type") === "purchase" &&
+        col("ts") > col("first_view"), lit(1))).as("purchases_after_view"))
+  }
+
+  /** q17: as-of join — for each purchase, the latest click at or
+    * before it by the same user. Implemented as a single ordered
+    * window pass (no join, no range scan): on a cluster this is one
+    * shuffle on user_id; a join formulation would be O(clicks ×
+    * purchases) per key. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("last_click_id"), col("last_click_ts"))
+  }
+
+  /** q18: upsert/merge — a delta batch of events merged over a base
+    * snapshot (delta wins). Full-outer + coalesce is the merge plan;
+    * at scale both sides are pre-compacted so the join moves one row
+    * per key per side. */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(1705708800000000L) // 2024-01-20T00:00:00Z in epoch-micros
+    val ev = Tables.events(s, dir)
+    def compact(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("e"))
+    val base = compact(ev.filter(col("ts") < cutoff))
+      .select(col("user_id").as("b_user"), col("e").as("b"))
+    val delta = compact(ev.filter(col("ts") >= cutoff))
+      .select(col("user_id").as("d_user"), col("e").as("d"))
+    base.join(delta, col("b_user") === col("d_user"), "full_outer")
+      .select(
+        coalesce(col("d_user"), col("b_user")).as("user_id"),
+        coalesce(col("d.event_id"), col("b.event_id")).as("event_id"),
+        coalesce(col("d.event_type"), col("b.event_type")).as("event_type"),
+        coalesce(col("d.value"), col("b.value")).as("value"),
+        coalesce(col("d.ts"), col("b.ts")).as("ts"))
+  }
+
+  /** q19: tombstone handling — compact, then drop keys whose latest
+    * event is a delete marker ('error' stands in for Delete cells). */
+  def deleteTombstones(s: SparkSession, dir: String): DataFrame =
+    latestState(s, dir).filter(col("event_type") =!= "error")
+}
