@@ -31,7 +31,43 @@ object SparkEntry {
     "q17_asof_join"       -> (Events.asofJoin _),
     "q18_upsert_merge"    -> (Events.upsertMerge _),
     "q19_delete_tombstones" -> (Events.deleteTombstones _),
+    "q20_dedup_exact"       -> (Dedup.exact _),
+    "q21_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q22_dedup_minhash"     -> (Dedup.minhashLsh _),
+    "q23_dedup_simhash"     -> (Dedup.simhash _),
+    "q24_embed_near_dup"    -> (Similarity.embedNearDup _),
+    "q25_ann_bruteforce"    -> (Similarity.annBruteForce _),
+    "q26_ann_lsh"           -> (Similarity.annLshBuckets _),
+    "q27_token_stats"       -> (TextAnalysis.tokenStats _),
+    "q28_doc_quality"       -> (TextAnalysis.docQuality _),
+    "q29_lang_id"           -> (TextAnalysis.langId _),
+    "q30_fingerprint"       -> (TextAnalysis.fingerprint _),
   )
+
+  /** Shared oracle-SQL fragments (DuckDB dialect). */
+  private val shinglesCte =
+    """t AS (SELECT doc_id, list_distinct(list_transform(
+      |   range(1, len(string_split(text,' '))-1),
+      |   i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      | FROM documents)""".stripMargin
+  private val quantCte =
+    """n AS (SELECT vec_id, list_transform(embedding,
+      |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |   CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM n)""".stripMargin
+  private val cosExpr =
+    """CAST(CAST(list_sum(list_transform(range(len(a.v)),
+      |   i -> a.v[i+1]*b.v[i+1])) AS BIGINT) AS DOUBLE)
+      | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
+  private val minhashSigCte =
+    "sig AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS h$i")
+        .mkString(", ") + " FROM t),\n" +
+    "bands AS (" +
+      (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS band_key FROM sig")
+        .mkString(" UNION ALL ") + ")"
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables).
     * Column aliases MUST match the Spark side exactly (SURVEY §5). */
@@ -166,6 +202,82 @@ object SparkEntry {
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q21_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t)
+        |SELECT d1, d2, CAST(common AS DOUBLE)/(za.n + zb.n - common) AS jaccard
+        |FROM c JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        |WHERE CAST(common AS DOUBLE)/(za.n + zb.n - common) >= 0.5""".stripMargin,
+    "q22_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band
+        | AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+    "q24_embed_near_dup" ->
+      s"""WITH $quantCte
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, $cosExpr AS cosine
+        |FROM m a JOIN m b ON a.vec_id < b.vec_id
+        |WHERE $cosExpr >= 0.4""".stripMargin,
+    "q25_ann_bruteforce" ->
+      s"""WITH $quantCte,
+        |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc) t WHERE rank <= 5""".stripMargin,
+    "q27_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+        | CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) AS mean_tok_len
+        |FROM documents""".stripMargin,
+    "q28_doc_quality" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS BIGINT) AS n_stop
+        | FROM b)
+        |SELECT doc_id, n_tokens, n_unique, n_stop,
+        | CAST(n_unique AS DOUBLE)/n_tokens AS ttr,
+        | CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+        | (CAST(n_unique AS DOUBLE)/n_tokens)*0.5
+        |   + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.5 AS quality
+        |FROM c""".stripMargin,
+    "q29_lang_id" ->
+      """WITH b AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS BIGINT) AS s_es
+        | FROM b)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+        | CAST((CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = lang AS INTEGER) AS is_correct
+        |FROM sc""".stripMargin,
+    "q30_fingerprint" ->
+      s"""WITH $shinglesCte
+        |SELECT doc_id, md5(text) AS content_hash,
+        | list_min(list_transform(sh, x -> md5(x))) AS min_shingle_hash
+        |FROM (SELECT d.doc_id, d.text, t.sh FROM documents d
+        |  JOIN t ON d.doc_id = t.doc_id) u""".stripMargin,
     "q18_upsert_merge" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts FROM (
         | SELECT user_id, event_id, event_type, value, ts,

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/column helpers — all built from codegen'd native
+  * functions (no UDFs). Hash families used by oracle-checked queries
+  * are md5-based because md5 is identical across engines; xxhash64
+  * variants are the fast in-engine path (rows-only queries).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct 3-gram word shingles of a text column (1-based slice,
+    * i = 1..n-2) — matches the DuckDB oracle formulation exactly. */
+  def shingles3(text: Column): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => array_join(slice(toks, i, lit(3)), " ")))
+  }
+
+  /** MinHash value for hash-family member `i` over a shingle array:
+    * min over shingles of md5(i + "|" + shingle). */
+  def minhash(sh: Column, i: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$i|"), x).cast("binary"))))
+
+  /** Count of tokens that are members of `set`. */
+  def tokenHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, x => x.isin(set.map(v => v: Any): _*)))
+}

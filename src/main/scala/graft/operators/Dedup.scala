@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators (SURVEY §2.C) over the documents table.
+  *
+  * Scale design: nothing here is O(n²) over the corpus.
+  *  - exact dedup: hash groupBy (one shuffle of |docs| hashes);
+  *  - jaccard near-dup: shingle inverted index — only pairs sharing
+  *    ≥1 shingle are scored, bounded by shingle-posting-list joins;
+  *  - MinHash+LSH: banding shrinks candidates further — at 100 TB the
+  *    band join touches only colliding buckets.
+  */
+object Dedup {
+
+  /** q20: exact dedup via content hash — representative = min doc_id. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+
+  /** q21: exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
+    * shingle inverted index — candidate pairs come from a posting-list
+    * self-join, never a cross join. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val t = docShingles(s, dir)
+    val e = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = e.as("a")
+      .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = t.select(col("doc_id"), size(col("sh")).as("n"))
+    common
+      .join(sizes.as("za"), col("d1") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("za.n") + col("zb.n") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Per-doc LSH band keys: 8 md5-family minhashes, 4 bands × 2 rows. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val withSig = (0 until 8).foldLeft(docShingles(s, dir)) {
+      case (df, i) => df.withColumn(s"h$i", minhash(col("sh"), i))
+    }
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("band_key"))
+    }: _*)
+    withSig
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+  }
+
+  /** q22: MinHash+LSH candidate pairs — docs sharing ≥1 band bucket. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** q23 (rows-only): 64-bit SimHash per doc via xxhash64 bit votes.
+    * Fully distributed: explode (doc × bit) → sum votes → reassemble. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote",
+        when(expr("shiftright(h, bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L))).as("simhash"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table (SURVEY §2.D).
+  *
+  * Oracle-parity trick: embeddings are quantized to integer
+  * micro-units (round(x⋅10⁶) as BIGINT) so dot products and norms are
+  * EXACT integer arithmetic — bit-identical across engines and across
+  * any summation order. Cosine = intDot / (√n2a·√n2b) is then a fixed
+  * IEEE double expression. Quantization error on cosine is < 1e-5 —
+  * and int8/int16-quantized vector search is the standard production
+  * technique at 100 TB anyway (4-8× less memory bandwidth).
+  */
+object Similarity {
+
+  /** vec_id, v: quantized int vector, n2: exact squared norm. */
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+      .withColumn("n2",
+        aggregate(transform(col("v"), x => x * x), lit(0L), (acc, x) => acc + x))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def cosineQ(va: Column, vb: Column, n2a: Column, n2b: Column): Column =
+    dotQ(va, vb).cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** q24: embedding-cosine near-duplicate pairs (threshold 0.4). */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    val a = q.toDF("id1", "v1", "n21")
+    val b = q.toDF("id2", "v2", "n22")
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosineQ(col("v1"), col("v2"), col("n21"), col("n22")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** q25: brute-force cosine top-5 neighbors for query vectors
+    * (vec_id < 5) against the rest of the corpus. The query set is
+    * broadcast; every corpus partition scores locally, then a window
+    * keeps the top-k per query (k·|queries| rows shuffle). */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    val queries = broadcast(q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2"))
+    val corpus = q.filter(col("vec_id") >= 5).toDF("neighbor_id", "cv", "cn2")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(queries, lit(true))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** q26 (rows-only): random-hyperplane LSH buckets — the ANN scale
+    * path. Hyperplane p component i is a deterministic ±1 from
+    * xxhash64(p,i); bucket = 8 sign bits. At 100 TB each probe visits
+    * ~1/256 of the corpus instead of all of it. */
+  def annLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    val planeBits = (0 until 8).map { p =>
+      val signedSum = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => when(xxhash64(lit(p), i) % 2 === 0, x).otherwise(-x)),
+        lit(0L), (acc, x) => acc + x)
+      when(signedSum > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    val bucket = planeBits.reduce(_ + _)
+    val withBucket = q.select(col("vec_id"), bucket.as("bucket"))
+    val sizes = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+    withBucket.join(sizes, "bucket")
+      .select(col("vec_id"), col("bucket"), col("bucket_size"))
+  }
+}
