@@ -42,6 +42,7 @@ object SparkEntry {
     "q28_doc_quality"       -> (TextAnalysis.docQuality _),
     "q29_lang_id"           -> (TextAnalysis.langId _),
     "q30_fingerprint"       -> (TextAnalysis.fingerprint _),
+    "q31_binary_meta"       -> (Multimodal.binaryMeta _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */

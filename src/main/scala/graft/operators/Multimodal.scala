@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY §2.F).
+  *
+  * Images/audio/video are opaque `binary` columns with typed metadata.
+  * The container has no decode libs, so the decode itself is a
+  * clearly-marked deterministic fake — but the Spark plumbing (binary
+  * columns, schema, partition-iterator batch shape, typed Encoders)
+  * is real and is exactly what a production decoder plugs into.
+  */
+object Multimodal {
+
+  case class BlobRow(doc_id: Long, blob: Array[Byte])
+  case class DecodedMeta(
+      doc_id: Long, byte_len: Long, content_sha: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** q31 (rows-only): declarative metadata over binary columns —
+    * stays in codegen, no decode needed. */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).cast("long").as("byte_len"),
+        sha2(col("blob"), 256).as("content_sha"),
+        // STUB dimensions: deterministic fake derived from the bytes —
+        // a real decoder would parse the container header here.
+        (length(col("blob")) % 1920).cast("int").as("width"),
+        (length(col("blob")) % 1080).cast("int").as("height"),
+        (crc32(col("blob")) % 120).cast("int").as("n_frames"))
+
+  /** Partition-iterator decode path — the batch shape a native decoder
+    * (libjpeg/ffmpeg via JNI, or an Arrow-batched python worker) needs:
+    * one initialization per partition, streaming over rows. */
+  def decodePartitions(s: SparkSession, dir: String): Dataset[DecodedMeta] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        // per-partition init happens HERE (decoder handle, model, ...)
+        val decoder = new StubDecoder
+        rows.map(r => decoder.decode(r))
+      }
+  }
+
+  /** STUB: deterministic fake decoder — replace with a real codec. */
+  final class StubDecoder extends Serializable {
+    private val digest = java.security.MessageDigest.getInstance("SHA-256")
+    def decode(r: BlobRow): DecodedMeta = {
+      digest.reset()
+      val sha = digest.digest(r.blob).map("%02x".format(_)).mkString
+      val crc = new java.util.zip.CRC32()
+      crc.update(r.blob)
+      DecodedMeta(r.doc_id, r.blob.length.toLong, sha,
+        r.blob.length % 1920, r.blob.length % 1080, (crc.getValue % 120).toInt)
+    }
+  }
+}

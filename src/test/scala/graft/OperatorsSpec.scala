@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Sanity specs for operators whose full results are oracle-checked by
+  * the driver (tools/check.py); rows-only operators get real
+  * assertions here. */
+class OperatorsSpec extends SparkSpec {
+
+  test("latestByKey generic compaction matches window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val got = Events.latestByKey(ev, "user_id",
+      Seq("ts", "event_id"), Seq("event_id", "ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val want = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    import spark.implicits._
+    val sh = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact near-dup pair from jaccard query at this sf (if any): use
+    // the top jaccard pairs to sanity-check hamming locality
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+    if (pairs.nonEmpty) {
+      val close = pairs.map { r =>
+        val (d1, d2) = (r.getLong(0), r.getLong(1))
+        java.lang.Long.bitCount(sh(d1) ^ sh(d2))
+      }
+      assert(close.min <= 12, s"near-dup pairs should have small hamming: ${close.min}")
+    }
+    // determinism
+    val sh2 = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh == sh2)
+  }
+
+  test("ann lsh buckets: deterministic and similar vectors co-bucket above chance") {
+    val b1 = Similarity.annLshBuckets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Similarity.annLshBuckets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    // high-cosine pairs should share buckets more often than random
+    val nd = Similarity.embedNearDup(spark, sfDir).collect()
+    if (nd.length >= 5) {
+      val share = nd.count(r => b1(r.getLong(0)) == b1(r.getLong(1))).toDouble / nd.length
+      assert(share > 1.0 / 256, s"near-dup co-bucket rate $share")
+    }
+  }
+
+  test("multimodal decode stub: map-partitions path matches declarative path") {
+    val a = Multimodal.binaryMeta(spark, sfDir).select("doc_id", "byte_len", "content_sha")
+    val b = Multimodal.decodePartitions(spark, sfDir).toDF()
+      .select("doc_id", "byte_len", "content_sha")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}
