@@ -13,14 +13,11 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct 3-gram word shingles of a text column (1-based slice,
-    * i = 1..n-2) — matches the DuckDB oracle formulation exactly. */
-  def shingles3(text: Column): Column = {
-    val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - 2),
-      i => array_join(slice(toks, i, lit(3)), " ")))
-  }
+  /** Distinct 3-gram word shingles of a text column — native codegen
+    * expression; same set as the DuckDB oracle formulation
+    * (list_distinct of 1-based 3-slices). */
+  def shingles3(text: Column): Column =
+    org.apache.spark.sql.graft.WordShingles3.column(text)
 
   /** MinHash value for hash-family member `i` over a shingle array:
     * min over shingles of md5(i + "|" + shingle). */

@@ -27,16 +27,26 @@ object Dedup {
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
 
   /** q21: exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
-    * shingle inverted index — candidate pairs come from a posting-list
-    * self-join, never a cross join. */
+    * shingle inverted index — candidate pairs are emitted from each
+    * shingle's posting list (one shuffle on shingle + one on pair),
+    * never a cross join and never a posting self-join. Skewed posting
+    * lists (stop-shingles) are the scale risk; at 100 TB you'd cap or
+    * drop lists above a frequency bound (they can't contribute to
+    * high-jaccard pairs anyway) or pre-band with MinHash (q22). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val t = docShingles(s, dir)
-    val e = t.select(col("doc_id"), explode(col("sh")).as("s"))
-    val common = e.as("a")
-      .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
     val sizes = t.select(col("doc_id"), size(col("sh")).as("n"))
+    // posting list per shingle → ordered pairs via two codegen'd
+    // explodes (generate stays in whole-stage codegen; no interpreted
+    // lambda machinery on the 1M+-pair path)
+    val pairs = t
+      .select(explode(col("sh")).as("s"), col("doc_id"))
+      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("d1"), col("ds"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
+      .filter(col("d1") < col("d2"))
+    val common = pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
     common
       .join(sizes.as("za"), col("d1") === col("za.doc_id"))
       .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
@@ -46,14 +56,14 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** Per-doc LSH band keys: 8 md5-family minhashes, 4 bands × 2 rows. */
+  /** Per-doc LSH band keys: 8 md5-family minhashes (one native pass —
+    * [[org.apache.spark.sql.graft.MinHashMd5]]), 4 bands × 2 rows. */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val withSig = (0 until 8).foldLeft(docShingles(s, dir)) {
-      case (df, i) => df.withColumn(s"h$i", minhash(col("sh"), i))
-    }
+    val withSig = docShingles(s, dir)
+      .withColumn("hs", org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("band_key"))
+        md5(concat(col("hs")(2 * b), col("hs")(2 * b + 1)).cast("binary")).as("band_key"))
     }: _*)
     withSig
       .select(col("doc_id"), explode(bandStructs).as("bk"))
