@@ -43,6 +43,11 @@ object SparkEntry {
     "q29_lang_id"           -> (TextAnalysis.langId _),
     "q30_fingerprint"       -> (TextAnalysis.fingerprint _),
     "q31_binary_meta"       -> (Multimodal.binaryMeta _),
+    "q32_word_freq"         -> (TextAnalysis.wordFreq _),
+    "q33_cube_orders"       -> (Relational.cubeOrders _),
+    "q34_value_stats"       -> (Events.valueStats _),
+    "q35_supplier_balance"  -> (Relational.supplierBalance _),
+    "q36_row_materialize"   -> (Events.rowMaterialize _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -273,6 +278,26 @@ object SparkEntry {
         |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
         |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = lang AS INTEGER) AS is_correct
         |FROM sc""".stripMargin,
+    "q32_word_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q33_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q34_value_stats" ->
+      """WITH a AS (SELECT event_type, count(*) AS n, sum(value) AS s,
+        |  sum(value*value) AS ss FROM events GROUP BY event_type)
+        |SELECT event_type, n, round(s/n, 4) AS mean_value,
+        | round((ss - s*s/n)/(n - 1), 4) AS var_value
+        |FROM a""".stripMargin,
+    "q35_supplier_balance" ->
+      """WITH j AS (SELECT s_suppkey, s_name, n_name, s_acctbal,
+        |  round(avg(s_acctbal) OVER (PARTITION BY n_name), 4) AS nation_avg
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT s_suppkey, s_name, n_name, s_acctbal, nation_avg
+        |FROM j WHERE s_acctbal > nation_avg""".stripMargin,
     "q30_fingerprint" ->
       s"""WITH $shinglesCte
         |SELECT doc_id, md5(text) AS content_hash,

@@ -125,6 +125,37 @@ object Events {
         coalesce(col("d.ts"), col("b.ts")).as("ts"))
   }
 
+  /** q34: moment statistics per event type — mean/variance assembled
+    * from distributive sums (one partial-agg pass; the textbook
+    * two-pass formula would need two shuffles). */
+  def valueStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("s"),
+        sum(col("value") * col("value")).as("ss"))
+      .select(col("event_type"), col("n"),
+        round(col("s") / col("n"), 4).as("mean_value"),
+        round((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1), 4)
+          .as("var_value"))
+  }
+
+  /** q36 (rows-only): end-to-end CDC row materialization — events
+    * wrapped as WAL mutations, compacted to latest-cell-wins row
+    * states by the batch materializer (semantics == streaming path,
+    * proven equal in RowMaterializerSpec). */
+  def rowMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wal = graft.sources.WalSource.eventsAsWal(s, dir)
+    val muts = wal.as[graft.model.Mutation]
+    graft.streaming.RowMaterializer.materializeBatch(s, muts)
+      .toDF()
+      .select(col("table"), col("rowkey"), col("version"), col("deleted"),
+        map_keys(col("cells")).as("qualifiers"))
+      .select(col("table"), col("rowkey"), col("version"), col("deleted"),
+        array_sort(col("qualifiers")).as("qualifiers"))
+  }
+
   /** q19: tombstone handling — compact, then drop keys whose latest
     * event is a delete marker ('error' stands in for Delete cells). */
   def deleteTombstones(s: SparkSession, dir: String): DataFrame =

@@ -141,6 +141,24 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** q33: CUBE grouping sets over order status × priority. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** q35: suppliers vs their nation's average balance — window agg
+    * over a broadcast-joined dim. */
+  def supplierBalance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("nation_avg", round(avg(col("s_acctbal")).over(w), 4))
+      .filter(col("s_acctbal") > col("nation_avg"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("s_acctbal"), col("nation_avg"))
+  }
+
   /** q11: top-2 parts per type by retail price (rank-per-group). */
   def partTypeTopK(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_type"))

@@ -61,6 +61,15 @@ object TextAnalysis {
       .withColumn("is_correct", (col("pred_lang") === col("lang")).cast("int"))
   }
 
+  /** q32: corpus word frequency — explode + count + deterministic
+    * top-k; the shuffle moves (token, partial count) pairs only. */
+  def wordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
   /** q30: fingerprinting — full-content md5 + min-shingle fingerprint
     * (the rolling-hash-family document signature). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
