@@ -61,6 +61,18 @@ object WalSource {
     mutations.repartitionByRange(batches, col("seq"))
       .write.mode("overwrite").parquet(walDir)
 
+  /** Write a mutation DataFrame as JSONL WAL segments for the custom
+    * DSv2 source ([[WalDataSource]], format "graft-wal"). */
+  def writeWalJson(mutations: DataFrame, walDir: String, batches: Int = 8): Unit =
+    mutations.repartitionByRange(batches, col("seq"))
+      .toJSON.write.mode("overwrite").text(walDir)
+
+  /** Open a JSONL WAL directory via the custom DSv2 streaming source. */
+  def streamV2(s: SparkSession, walDir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    s.readStream.format("graft-wal")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(walDir)
+
   /** Open a WAL directory as a streaming DataFrame of mutations. */
   def stream(s: SparkSession, walDir: String, maxFilesPerTrigger: Int = 1): DataFrame =
     s.readStream
