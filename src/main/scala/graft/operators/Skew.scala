@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling helpers (SURVEY §6).
+  *
+  * AQE's skew-join handles most cases at runtime; these are for the
+  * aggregation-skew patterns AQE does not rewrite: a groupBy where a
+  * handful of hot keys dominate (the "null key" / "power user"
+  * problem at 100 TB).
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy (key, salt) with partial
+    * aggregation, then re-aggregate by key. `merge` must be the
+    * algebraic combiner of `agg` (sum→sum, count→sum, max→max …).
+    *
+    * {{{
+    * Skew.saltedAgg(events, col("user_id"), 16,
+    *   Seq(count(lit(1)).as("n"), sum(col("value")).as("s")),
+    *   Seq(sum(col("n")).as("n"), sum(col("s")).as("s")))
+    * }}}
+    */
+  def saltedAgg(df: DataFrame, key: Column, salts: Int,
+      agg: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(agg.head, agg.tail: _*)
+      .groupBy(col("__key"))
+      .agg(merge.head, merge.tail: _*)
+      .withColumnRenamed("__key", key.toString)
+  }
+
+  /** Salt one side of a join against a skewed key: replicate the
+    * small side `salts`× and spread the big side's hot keys across
+    * (key, salt) partitions. */
+  def saltedJoinKeys(big: DataFrame, small: DataFrame, salts: Int)
+      : (DataFrame, DataFrame) = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(pmod(hash(monotonically_increasing_id()), lit(salts)) + lit(salts), lit(salts)))
+    val smallReplicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    (bigSalted, smallReplicated)
+  }
+}
