@@ -48,6 +48,7 @@ object SparkEntry {
     "q34_value_stats"       -> (Events.valueStats _),
     "q35_supplier_balance"  -> (Relational.supplierBalance _),
     "q36_row_materialize"   -> (Events.rowMaterialize _),
+    "q37_label_centroids"   -> (Similarity.labelCentroids _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -298,6 +299,14 @@ object SparkEntry {
         | FROM supplier JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, s_name, n_name, s_acctbal, nation_avg
         |FROM j WHERE s_acctbal > nation_avg""".stripMargin,
+    "q37_label_centroids" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |u AS (SELECT label, unnest(v) AS x,
+        |   CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos FROM q)
+        |SELECT label, pos, sum(x) AS sx, count(*) AS n_vecs
+        |FROM u GROUP BY label, pos""".stripMargin,
     "q30_fingerprint" ->
       s"""WITH $shinglesCte
         |SELECT doc_id, md5(text) AS content_hash,

@@ -61,6 +61,19 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** q37: per-label centroid sums — exact integer element-wise sums
+    * of quantized vectors, emitted as (label, pos, sx) rows. The
+    * posexplode→groupBy shape is the scalable centroid pattern: the
+    * shuffle carries (label, pos) partial sums, never whole vectors;
+    * this is the k-means/IVF training step at 100 TB. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_vecs"))
+
   /** q26 (rows-only): random-hyperplane LSH buckets — the ANN scale
     * path. Hyperplane p component i is a deterministic ±1 from
     * xxhash64(p,i); bucket = 8 sign bits. At 100 TB each probe visits
