@@ -49,6 +49,7 @@ object SparkEntry {
     "q35_supplier_balance"  -> (Relational.supplierBalance _),
     "q36_row_materialize"   -> (Events.rowMaterialize _),
     "q37_label_centroids"   -> (Similarity.labelCentroids _),
+    "q38_ann_ivf"           -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */

@@ -74,6 +74,53 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_vecs"))
 
+  /** q38 (rows-only): IVF-style ANN — per-label centroids act as the
+    * coarse quantizer (inverted file): every corpus vector is assigned
+    * to its nearest centroid; a query probes only the `nprobe` nearest
+    * centroid lists. At 100 TB the corpus is partitioned by centroid
+    * id, so a probe touches nprobe/k of the data. Returns top-3
+    * neighbors per query from the probed lists. */
+  def ivfTopK(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val q = quantized(s, dir)
+    // coarse quantizer: exact integer centroid sums per label (q37),
+    // scaled to a mean vector in micro-units
+    val cent = Tables.embeddings(s, dir)
+      .select(col("label"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("nv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), (col("sx") / col("nv")).cast("long").as("cx")))),
+        e => e.getField("cx")).as("cv"))
+    val centN = broadcast(cent
+      .withColumn("cn2", org.apache.spark.sql.graft.LongArrayDot.column(col("cv"), col("cv"))))
+    // assign every vector to its nearest centroid (rank 1 by cosine)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val assigned = q.join(centN, lit(true))
+      .withColumn("ccos", cosineQ(col("v"), col("cv"), col("n2"), col("cn2")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("label").as("cell"))
+    // queries probe their nprobe nearest cells
+    val probes = q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2")
+      .join(centN, lit(true))
+      .withColumn("ccos", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn2"), col("label").as("cell"))
+    // search only the probed cells
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned.filter(col("vec_id") >= 5), "cell")
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** q26 (rows-only): random-hyperplane LSH buckets — the ANN scale
     * path. Hyperplane p component i is a deterministic ±1 from
     * xxhash64(p,i); bucket = 8 sign bits. At 100 TB each probe visits

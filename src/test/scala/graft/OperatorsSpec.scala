@@ -52,6 +52,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivf ann: probed search returns valid, deterministic top-k") {
+    // NOTE: the synthetic embeddings are isotropic noise (intra-label
+    // cosine == inter-label cosine ~= 0), so no coarse quantizer can
+    // beat random probing here; recall ~= nprobe/k by construction.
+    // Assert the IVF mechanics, not cluster luck.
+    val ivf = Similarity.ivfTopK(spark, sfDir).collect()
+    val byQuery = ivf.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)))
+      // ranks ordered by cosine desc
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // IVF cosine can never exceed the brute-force best
+    val bfBest = Similarity.annBruteForce(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ivf.foreach(r => assert(r.getDouble(3) <= bfBest(r.getLong(0)) + 1e-12))
+    val again = Similarity.ivfTopK(spark, sfDir).collect()
+    assert(ivf.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("multimodal decode stub: map-partitions path matches declarative path") {
     val a = Multimodal.binaryMeta(spark, sfDir).select("doc_id", "byte_len", "content_sha")
     val b = Multimodal.decodePartitions(spark, sfDir).toDF()
