@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.WalSource
+import graft.streaming.{ExactlyOnce, Subscription}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.nio.file.Files
+
+class ExactlyOnceSpec extends SparkSpec {
+
+  test("replayed WAL mutations are deduplicated by seq within watermark") {
+    val walDir = Files.createTempDirectory("graft_dup").toString
+    val wal = WalSource.eventsAsWal(spark, sfDir)
+    // simulate at-least-once delivery: every mutation shipped twice
+    WalSource.writeWalJson(wal.union(wal), walDir, batches = 4)
+    val expected = wal.count()
+
+    val deduped = ExactlyOnce.dedupe(
+      WalSource.streamV2(spark, walDir, maxFilesPerTrigger = 4))
+    val query = deduped
+      .groupBy(col("table")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup_counts")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val n = spark.table("dedup_counts").collect().head.getAs[Long]("n")
+    assert(n == expected, s"expected $expected deduped mutations, got $n")
+  }
+
+  test("fan-out: two subscriptions consume the same WAL concurrently") {
+    val walDir = Files.createTempDirectory("graft_fan").toString
+    val wal = WalSource.eventsAsWal(spark, sfDir)
+    WalSource.writeWalJson(wal, walDir, batches = 3)
+    val expected = wal.count()
+
+    def attach(name: String, sub: Subscription) = {
+      val stream = sub(WalSource.streamV2(spark, walDir, maxFilesPerTrigger = 2))
+      stream.groupBy(col("table")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    // each query tracks its own offsets — SEP's per-subscription progress
+    val q1 = attach("fan_all", Subscription("all"))
+    val q2 = attach("fan_props", Subscription("props", family = Some("e"),
+      qualifier = Some("props")))
+    q1.awaitTermination(120000)
+    q2.awaitTermination(120000)
+    assert(spark.table("fan_all").collect().head.getAs[Long]("n") == expected)
+    assert(spark.table("fan_props").collect().head.getAs[Long]("n") == expected)
+  }
+}
