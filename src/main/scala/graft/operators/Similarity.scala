@@ -46,19 +46,22 @@ object Similarity {
 
   /** q25: brute-force cosine top-5 neighbors for query vectors
     * (vec_id < 5) against the rest of the corpus. The query set is
-    * broadcast; every corpus partition scores locally, then a window
-    * keeps the top-k per query (k·|queries| rows shuffle). */
+    * broadcast; every corpus partition scores locally and keeps a
+    * bounded top-k buffer ([[graft.functions.TopKAgg]]) — the shuffle
+    * moves ≤ k rows per (partition × query), never the scored corpus
+    * (a window-rank formulation would shuffle every scored row). */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
     val q = quantized(s, dir)
     val queries = broadcast(q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2"))
     val corpus = q.filter(col("vec_id") >= 5).toDF("neighbor_id", "cv", "cn2")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     corpus.join(queries, lit(true))
       .withColumn("cosine", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(5)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
   /** q37: per-label centroid sums — exact integer element-wise sums
