@@ -50,6 +50,9 @@ object SparkEntry {
     "q36_row_materialize"   -> (Events.rowMaterialize _),
     "q37_label_centroids"   -> (Similarity.labelCentroids _),
     "q38_ann_ivf"           -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q39_order_histogram"   -> (Relational.orderHistogram _),
+    "q40_median_order"      -> (Relational.medianOrder _),
+    "q41_set_ops"           -> (Relational.setOps _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -308,6 +311,30 @@ object SparkEntry {
         |   CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos FROM q)
         |SELECT label, pos, sum(x) AS sx, count(*) AS n_vecs
         |FROM u GROUP BY label, pos""".stripMargin,
+    "q39_order_histogram" ->
+      """SELECT CAST(floor(o_totalprice/50000.0)*50000.0 AS BIGINT) AS bin,
+        | count(*) AS n, round(avg(o_totalprice),4) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q40_median_order" ->
+      """WITH j AS (
+        | SELECT c_mktsegment, o_totalprice, o_orderkey,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, round(avg(o_totalprice),4) AS median_price
+        |FROM j WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q41_set_ops" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |y97 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) a
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97) b""".stripMargin,
     "q30_fingerprint" ->
       s"""WITH $shinglesCte
         |SELECT doc_id, md5(text) AS content_hash,

@@ -159,6 +159,40 @@ object Relational {
         col("s_acctbal"), col("nation_avg"))
   }
 
+  /** q39: value histogram — integer binning of order totals. */
+  def orderHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy((floor(col("o_totalprice") / 50000.0) * 50000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+
+  /** q40: exact median order value per segment — deterministic manual
+    * formulation (row_number + partition count, average the middle
+    * one/two values) so both engines compute the identical result. */
+  def medianOrder(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val ordered = w.orderBy(col("o_totalprice"), col("o_orderkey"))
+    joined
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(avg(col("o_totalprice")), 4).as("median_price"))
+  }
+
+  /** q41: set operators — customers ordering in both 1996 and 1997
+    * (INTERSECT) vs only in 1996 (EXCEPT). */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    def custs(year: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val both = custs(1996).intersect(custs(1997)).withColumn("tag", lit("both"))
+    val only96 = custs(1996).except(custs(1997)).withColumn("tag", lit("only_1996"))
+    both.unionAll(only96)
+  }
+
   /** q11: top-2 parts per type by retail price (rank-per-group). */
   def partTypeTopK(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_type"))
