@@ -53,6 +53,9 @@ object SparkEntry {
     "q39_order_histogram"   -> (Relational.orderHistogram _),
     "q40_median_order"      -> (Relational.medianOrder _),
     "q41_set_ops"           -> (Relational.setOps _),
+    "q42_sliding_counts"    -> (Events.slidingCounts _),
+    "q43_pivot_counts"      -> (Events.pivotCounts _),
+    "q44_first_last"        -> (Events.firstLast _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -335,6 +338,29 @@ object SparkEntry {
         |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) a
         |UNION ALL
         |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97) b""".stripMargin,
+    "q42_sliding_counts" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 900000000 - j*900000000 AS window_start,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events, (SELECT unnest(range(4)) AS j) jj
+        |GROUP BY 1""".stripMargin,
+    "q43_pivot_counts" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q44_first_last" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT user_id,
+        | min(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+        | min(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+        | count(*) AS n
+        |FROM o GROUP BY user_id""".stripMargin,
     "q30_fingerprint" ->
       s"""WITH $shinglesCte
         |SELECT doc_id, md5(text) AS content_hash,

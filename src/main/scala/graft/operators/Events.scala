@@ -156,6 +156,36 @@ object Events {
         array_sort(col("qualifiers")).as("qualifiers"))
   }
 
+  /** q42: sliding event-time windows (1 h width, 15 min slide) —
+    * each event expands to its 4 containing windows (explode is
+    * codegen'd; the shuffle carries (window, partial agg) rows). */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    val slide = 900000000L // 15 min in micros
+    Tables.events(s, dir)
+      .select(col("ts"), col("value"), explode(sequence(lit(0L), lit(3L))).as("j"))
+      .groupBy((col("ts") - col("ts") % slide - col("j") * slide).as("window_start"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** q43: pivot — per-user event-type count matrix (explicit pivot
+    * values keep the schema static and the plan a single pass). */
+  def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** q44: first/last event per user via min_by/max_by under hash agg
+    * (ties broken by event_id — same total order as the oracle). */
+  def firstLast(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+        count(lit(1)).as("n"))
+
   /** q19: tombstone handling — compact, then drop keys whose latest
     * event is a delete marker ('error' stands in for Delete cells). */
   def deleteTombstones(s: SparkSession, dir: String): DataFrame =

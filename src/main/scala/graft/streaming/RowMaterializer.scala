@@ -66,6 +66,37 @@ object RowMaterializer {
         })
   }
 
+  /** Streaming materialization with bounded state: rows idle past
+    * `ttl` (event time, enforced via the input watermark) are evicted
+    * and emitted once as deleted tombstone states. At 100 TB the
+    * state store holds only rows touched within the watermark+ttl
+    * horizon instead of every key ever seen.
+    *
+    * Input must carry a watermark on `eventTimeCol` (a TIMESTAMP
+    * column derived from the mutation ts). */
+  def materializeWithTTL(s: SparkSession, mutations: Dataset[Mutation],
+      ttlMillis: Long): Dataset[RowState] = {
+    import s.implicits._
+    mutations
+      .groupByKey(m => (m.table, m.rowkey))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, String), muts: Iterator[Mutation], state: GroupState[RowCells]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single(RowState(key._1, key._2, Map.empty, 0L, deleted = true))
+          } else {
+            val st0 = state.getOption.getOrElse(RowCells(Map.empty, 0L, deleted = false))
+            val st = muts.toSeq.sortBy(m => (m.ts, m.seq)).foldLeft(st0)(applyMutation)
+            state.update(st)
+            // version is epoch micros; timeout at version/1000 + ttl
+            state.setTimeoutTimestamp(st.version / 1000L + ttlMillis)
+            Iterator.single(RowState(key._1, key._2,
+              st.cells.map { case (k, v) => k -> v.value },
+              st.version, st.deleted))
+          }
+        })
+  }
+
   /** Batch variant over a static mutation Dataset (same semantics;
     * used for reprocessing/backfill). */
   def materializeBatch(s: SparkSession, mutations: Dataset[Mutation]): Dataset[RowState] = {
