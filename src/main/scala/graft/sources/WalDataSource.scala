@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * line, `WalSource.walSchema` fields). Offsets are segment counts
   * over the lexicographically-sorted file list — monotone, replayable
   * from any checkpoint (the at-least-once + idempotent-reprocessing
-  * contract). `maxFilesPerTrigger` bounds each micro-batch; each
+  * contract). Contract: writers must APPEND segments with
+  * lexicographically increasing names (like WAL sequence files /
+  * Kafka segment ids) so committed offsets keep addressing the same
+  * prefix. `maxFilesPerTrigger` bounds each micro-batch; each
   * segment is one InputPartition so consumption parallelizes across
   * executors exactly like SEP shards events across consumers.
   *

@@ -29,6 +29,41 @@ class WalDataSourceSpec extends SparkSpec {
     assert(query.recentProgress.count(_.numInputRows > 0) >= 3)
   }
 
+  test("DSv2 source resumes from checkpoint: new segments only, no duplicates") {
+    val walDir = Files.createTempDirectory("graft_ckpt_wal").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString
+    val ev = WalSource.eventsAsWal(spark, sfDir)
+    val firstHalf = ev.filter(col("seq") % 2 === 0)
+    val secondHalf = ev.filter(col("seq") % 2 === 1)
+
+    def runOnce(): Unit = {
+      val q = WalSource.streamV2(spark, walDir, maxFilesPerTrigger = 2)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    WalSource.writeWalJson(firstHalf, walDir, batches = 3)
+    runOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == firstHalf.count())
+
+    // append later segments with lexicographically larger names
+    val tmp = Files.createTempDirectory("graft_ckpt_tmp").toString
+    WalSource.writeWalJson(secondHalf, tmp, batches = 2)
+    new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-"))
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(walDir, "z_" + f.getName))
+      }
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == ev.count(), "second run must add only the new segments")
+    assert(out.select(col("seq")).distinct().count() == ev.count(), "no duplicate seqs")
+  }
+
   test("DSv2 source feeds the stateful row materializer end-to-end") {
     import spark.implicits._
     val walDir = Files.createTempDirectory("graft_dsv2b").toString
