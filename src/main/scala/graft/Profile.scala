@@ -1,17 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Dev tool: plan inspection for the scale review (SURVEY §6). */
+/** Dev tool: warm per-query timing + plan inspection (SURVEY §6). */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val interesting = Seq("q06_selective_sum", "q04_region_sales", "q01_pricing_summary", "q21_dedup_ngram_jaccard")
-    interesting.foreach { n =>
-      println(s"===== $n =====")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString.take(4000))
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n => SparkEntry.queries(n)(spark, dir).count() } // warm
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir).count()
+      println(f"$n: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
   }

@@ -37,7 +37,7 @@ object SparkEntry {
     "q23_dedup_simhash"     -> (Dedup.simhash _),
     "q24_embed_near_dup"    -> (Similarity.embedNearDup _),
     "q25_ann_bruteforce"    -> (Similarity.annBruteForce _),
-    "q26_ann_lsh"           -> (Similarity.annLshBuckets _),
+    "q26_ann_lsh"           -> ((s, d) => Similarity.annLshBuckets(s, d)),
     "q27_token_stats"       -> (TextAnalysis.tokenStats _),
     "q28_doc_quality"       -> (TextAnalysis.docQuality _),
     "q29_lang_id"           -> (TextAnalysis.langId _),

@@ -128,13 +128,15 @@ object Similarity {
     * path. Hyperplane p component i is a deterministic ±1 from
     * xxhash64(p,i); bucket = 8 sign bits. At 100 TB each probe visits
     * ~1/256 of the corpus instead of all of it. */
-  def annLshBuckets(s: SparkSession, dir: String): DataFrame = {
+  def annLshBuckets(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     val q = quantized(s, dir)
     val planeBits = (0 until 8).map { p =>
-      val signedSum = aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => when(xxhash64(lit(p), i) % 2 === 0, x).otherwise(-x)),
-        lit(0L), (acc, x) => acc + x)
+      // deterministic ±1 hyperplane as a literal vector — the dot
+      // against it runs through the codegen LongArrayDot
+      val plane = (0 until dim).map(i =>
+        if (scala.util.hashing.MurmurHash3.productHash((p, i)) % 2 == 0) 1L else -1L)
+      val signedSum = org.apache.spark.sql.graft.LongArrayDot.column(
+        col("v"), lit(plane.toArray))
       when(signedSum > 0, lit(1L << p)).otherwise(lit(0L))
     }
     val bucket = planeBits.reduce(_ + _)
