@@ -56,6 +56,9 @@ object SparkEntry {
     "q42_sliding_counts"    -> (Events.slidingCounts _),
     "q43_pivot_counts"      -> (Events.pivotCounts _),
     "q44_first_last"        -> (Events.firstLast _),
+    "q45_scalar_subquery"   -> (Relational.maxOrderVsBalance _),
+    "q47_name_match"        -> (Dedup.nameMatch _),
+    "q49_norm_dedup"        -> (Dedup.normalizedDedup _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -361,6 +364,25 @@ object SparkEntry {
         | min(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
         | count(*) AS n
         |FROM o GROUP BY user_id""".stripMargin,
+    "q45_scalar_subquery" ->
+      """WITH m AS (SELECT o_custkey, max(o_totalprice) AS max_order
+        | FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_acctbal, max_order
+        |FROM customer JOIN m ON c_custkey = o_custkey
+        |WHERE max_order > c_acctbal * 20.0""".stripMargin,
+    "q47_name_match" ->
+      """WITH c AS (SELECT c_custkey, c_name, substring(c_name, 1, 15) AS blk
+        | FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        | a.c_name AS name1, b.c_name AS name2,
+        | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "q49_norm_dedup" ->
+      """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |  '  +', ' ', 'g')) AS norm_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
     "q30_fingerprint" ->
       s"""WITH $shinglesCte
         |SELECT doc_id, md5(text) AS content_hash,

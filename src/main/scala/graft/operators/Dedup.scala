@@ -81,6 +81,34 @@ object Dedup {
       .distinct()
   }
 
+  /** q47: entity resolution by edit distance with prefix blocking —
+    * candidate pairs come from a 15-char-prefix block join (each block
+    * is tiny), then exact levenshtein <= 1 filters. The blocked join
+    * is the scale story: never all-pairs edit distance. */
+  def nameMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 15).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+      .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+      .filter(col("dist") <= 1)
+      .select(col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
+        col("a.c_name").as("name1"), col("b.c_name").as("name2"), col("dist"))
+  }
+
+  /** q49: normalization dedup — lowercase, strip non-alphanumerics,
+    * collapse whitespace, then hash-group (the canonical LLM-corpus
+    * normalization pass before exact dedup). */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      "  +", " ")
+    Tables.documents(s, dir)
+      .groupBy(md5(norm.cast("binary")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** q23 (rows-only): 64-bit SimHash per doc via xxhash64 bit votes.
     * Fully distributed: explode (doc × bit) → sum votes → reassemble. */
   def simhash(s: SparkSession, dir: String): DataFrame = {

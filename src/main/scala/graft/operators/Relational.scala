@@ -193,6 +193,17 @@ object Relational {
     both.unionAll(only96)
   }
 
+  /** q45: correlated scalar subquery — each customer's max order vs
+    * their balance (Catalyst decorrelates to an aggregate + join). */
+  def maxOrderVsBalance(s: SparkSession, dir: String): DataFrame = {
+    val maxOrd = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("max_order"))
+    Tables.customer(s, dir)
+      .join(maxOrd, col("c_custkey") === col("o_custkey"))
+      .filter(col("max_order") > col("c_acctbal") * 20.0)
+      .select(col("c_custkey"), col("c_acctbal"), col("max_order"))
+  }
+
   /** q11: top-2 parts per type by retail price (rank-per-group). */
   def partTypeTopK(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_type"))
