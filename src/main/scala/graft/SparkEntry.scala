@@ -371,12 +371,10 @@ object SparkEntry {
         |FROM customer JOIN m ON c_custkey = o_custkey
         |WHERE max_order > c_acctbal * 20.0""".stripMargin,
     "q47_name_match" ->
-      """WITH c AS (SELECT c_custkey, c_name, substring(c_name, 1, 15) AS blk
-        | FROM customer)
-        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         | a.c_name AS name1, b.c_name AS name2,
         | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q49_norm_dedup" ->
       """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

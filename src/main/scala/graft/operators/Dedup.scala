@@ -81,20 +81,33 @@ object Dedup {
       .distinct()
   }
 
-  /** q47: entity resolution by edit distance with prefix blocking —
-    * candidate pairs come from a 15-char-prefix block join (each block
-    * is tiny), then exact levenshtein <= 1 filters. The blocked join
-    * is the scale story: never all-pairs edit distance. */
+  /** q47: entity resolution by edit distance via wildcard-neighborhood
+    * blocking: every name emits |name| single-position-wildcard
+    * variants; any same-length pair at substitution distance ≤ 1
+    * shares a variant (pigeonhole), so candidates come from a groupBy
+    * on variants — block sizes stay tiny even on degenerate key
+    * distributions (a plain prefix block would put all zero-padded ids
+    * in one giant block). Exact levenshtein then confirms. */
   def nameMatch(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_name"),
-        substring(col("c_name"), 1, 15).as("blk"))
-    c.as("a").join(c.as("b"),
-        col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
-      .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val variants = c.select(col("c_custkey"),
+      explode(expr(
+        "transform(sequence(1, length(c_name)), i -> " +
+          "concat(substr(c_name, 1, i-1), '', substr(c_name, i+1)))"))
+        .as("variant"))
+    val pairs = variants
+      .groupBy(col("variant")).agg(collect_list(col("c_custkey")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .distinct()
+    pairs
+      .join(c.select(col("c_custkey").as("id1"), col("c_name").as("name1")), "id1")
+      .join(c.select(col("c_custkey").as("id2"), col("c_name").as("name2")), "id2")
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= 1)
-      .select(col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
-        col("a.c_name").as("name1"), col("b.c_name").as("name2"), col("dist"))
+      .select(col("id1"), col("id2"), col("name1"), col("name2"), col("dist"))
   }
 
   /** q49: normalization dedup — lowercase, strip non-alphanumerics,
