@@ -59,6 +59,7 @@ object SparkEntry {
     "q45_scalar_subquery"   -> (Relational.maxOrderVsBalance _),
     "q47_name_match"        -> (Dedup.nameMatch _),
     "q49_norm_dedup"        -> (Dedup.normalizedDedup _),
+    "q50_lm_score"          -> (TextAnalysis.lmScore _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -381,6 +382,13 @@ object SparkEntry {
         |  '  +', ' ', 'g')) AS norm_hash,
         | min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "q50_lm_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+        |SELECT doc_id, round(avg(log10(cnt)), 4) AS lm_score,
+        | count(*) AS n_tokens
+        |FROM tk JOIN f USING (tok) GROUP BY doc_id""".stripMargin,
     "q30_fingerprint" ->
       s"""WITH $shinglesCte
         |SELECT doc_id, md5(text) AS content_hash,

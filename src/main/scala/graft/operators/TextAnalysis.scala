@@ -70,6 +70,20 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** q50: unigram LM score — per-doc mean log10 corpus frequency of
+    * its tokens (the standard cheap quality/perplexity proxy for
+    * corpus filtering). Two shuffles: token-frequency agg + doc agg;
+    * at 100 TB the frequency table is broadcast after aggregation. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    tok.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log10(col("cnt"))), 4).as("lm_score"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** q30: fingerprinting — full-content md5 + min-shingle fingerprint
     * (the rolling-hash-family document signature). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
