@@ -60,6 +60,7 @@ object SparkEntry {
     "q47_name_match"        -> (Dedup.nameMatch _),
     "q49_norm_dedup"        -> (Dedup.normalizedDedup _),
     "q50_lm_score"          -> (TextAnalysis.lmScore _),
+    "q51_cohort_retention"  -> (Events.cohortRetention _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -389,6 +390,14 @@ object SparkEntry {
         |SELECT doc_id, round(avg(log10(cnt)), 4) AS lm_score,
         | count(*) AS n_tokens
         |FROM tk JOIN f USING (tok) GROUP BY doc_id""".stripMargin,
+    "q51_cohort_retention" ->
+      """WITH fw AS (SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week
+        | FROM events GROUP BY user_id),
+        |aw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        | FROM events)
+        |SELECT cohort_week, week, count(DISTINCT user_id) AS n_users
+        |FROM aw JOIN fw USING (user_id)
+        |GROUP BY cohort_week, week""".stripMargin,
     "q30_fingerprint" ->
       s"""WITH $shinglesCte
         |SELECT doc_id, md5(text) AS content_hash,

@@ -186,6 +186,22 @@ object Events {
         max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
         count(lit(1)).as("n"))
 
+  /** q51: weekly cohort retention — users bucketed by first-seen
+    * week, counted per active week (exact integer week arithmetic).
+    * Two aggs + one join; the cohort table is tiny and broadcast. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L // 7d in micros
+    val ev = Tables.events(s, dir)
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(expr(s"min(ts) div $week").as("cohort_week"))
+    val activeWeeks = ev
+      .select(col("user_id"), expr(s"ts div $week").as("week"))
+      .distinct()
+    activeWeeks.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** q19: tombstone handling — compact, then drop keys whose latest
     * event is a delete marker ('error' stands in for Delete cells). */
   def deleteTombstones(s: SparkSession, dir: String): DataFrame =
