@@ -24,7 +24,15 @@ object RowMaterializer {
   private def newer(ts: Long, seq: Long, c: CellV): Boolean =
     ts > c.ts || (ts == c.ts && seq > c.seq)
 
-  /** Apply one mutation to the row state (pure — unit-testable). */
+  /** Apply one mutation to the row state (pure — unit-testable).
+    *
+    * Simplification vs full HBase semantics: a qualifier delete
+    * removes the applied cell but leaves no masking tombstone, so a
+    * LATER-arriving put with an OLDER (ts, seq) than the delete can
+    * resurrect the cell. Within-batch mutations are sorted by
+    * (ts, seq) first, so this only matters for cross-batch
+    * out-of-order deletes — acceptable for WAL replay, where
+    * per-key order is preserved by the source. */
   def applyMutation(st: RowCells, m: Mutation): RowCells = {
     var cells = st.cells
     var deleted = st.deleted
