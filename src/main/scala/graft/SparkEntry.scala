@@ -61,6 +61,7 @@ object SparkEntry {
     "q49_norm_dedup"        -> (Dedup.normalizedDedup _),
     "q50_lm_score"          -> (TextAnalysis.lmScore _),
     "q51_cohort_retention"  -> (Events.cohortRetention _),
+    "q52_frame_sample"      -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */

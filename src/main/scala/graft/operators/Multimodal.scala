@@ -34,6 +34,23 @@ object Multimodal {
         (length(col("blob")) % 1080).cast("int").as("height"),
         (crc32(col("blob")) % 120).cast("int").as("n_frames"))
 
+  /** q52 (rows-only): frame sampling — fixed-stride slices of the
+    * binary column, one row per sampled frame with its digest (the
+    * video-keyframe / audio-chunk extraction shape; substr on binary
+    * is codegen'd, the explode parallelizes frames across the
+    * cluster). A real decoder replaces the digest with pixels. */
+  def frameSample(s: SparkSession, dir: String, frameBytes: Int = 64,
+      maxFrames: Int = 8): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .withColumn("n_frames",
+        least(ceil(length(col("blob")) / frameBytes.toDouble).cast("int"), lit(maxFrames)))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(expr(
+          s"transform(sequence(0, n_frames - 1), i -> " +
+            s"sha2(substr(blob, i * $frameBytes + 1, $frameBytes), 256))"))
+          .as(Seq("frame_idx", "frame_sha")))
+
   /** Partition-iterator decode path — the batch shape a native decoder
     * (libjpeg/ffmpeg via JNI, or an Arrow-batched python worker) needs:
     * one initialization per partition, streaming over rows. */

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates (sketch family): engine-native HLL,
+  * quantile, and count-min sketches validated against exact answers
+  * within their error bounds. These are rows-only capabilities (no
+  * cross-engine oracle — sketch internals differ per engine). */
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = docs.distinct().count().toDouble
+    val approx = docs.agg(approx_count_distinct(col("tok"), 0.02)).collect()
+      .head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("approx_percentile brackets the exact median") {
+    val o = Tables.orders(spark, sfDir)
+    val approxMed = o.agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))).collect()
+      .head.getDouble(0)
+    val sorted = o.select(col("o_totalprice")).orderBy(col("o_totalprice"))
+      .collect().map(_.getDouble(0))
+    val lo = sorted((sorted.length * 0.45).toInt)
+    val hi = sorted((sorted.length * 0.55).toInt)
+    assert(approxMed >= lo && approxMed <= hi, s"median approx $approxMed outside [$lo,$hi]")
+  }
+
+  test("count_min_sketch overestimates within bound") {
+    val ev = Tables.events(spark, sfDir)
+    val sketchBytes = ev.agg(
+      count_min_sketch(col("event_type"), lit(0.01), lit(0.99), lit(42)))
+      .collect().head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val exact = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS never underestimates: $k est=$est exact=$n")
+      assert(est <= n + (0.01 * ev.count()).toLong + 1, s"$k est=$est exact=$n over bound")
+    }
+  }
+}
