@@ -64,6 +64,34 @@ class WalDataSourceSpec extends SparkSpec {
     assert(out.select(col("seq")).distinct().count() == ev.count(), "no duplicate seqs")
   }
 
+  test("DSv2 source tails the WAL: segments written while running are consumed") {
+    val walDir = Files.createTempDirectory("graft_tail").toString
+    val ev = WalSource.eventsAsWal(spark, sfDir)
+    val first = ev.filter(col("seq") % 2 === 0)
+    val second = ev.filter(col("seq") % 2 === 1)
+    WalSource.writeWalJson(first, walDir, batches = 2)
+
+    val query = WalSource.streamV2(spark, walDir, maxFilesPerTrigger = 2)
+      .groupBy(col("table")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("tail_counts")
+      .outputMode(OutputMode.Complete)
+      .start() // default ProcessingTime trigger — continuous tailing
+    try {
+      query.processAllAvailable()
+      assert(spark.table("tail_counts").collect().head.getAs[Long]("n") == first.count())
+      // ship more WAL segments while the query is live
+      val tmp = Files.createTempDirectory("graft_tail_tmp").toString
+      WalSource.writeWalJson(second, tmp, batches = 2)
+      new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-"))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(walDir, "z_" + f.getName))
+        }
+      query.processAllAvailable()
+      assert(spark.table("tail_counts").collect().head.getAs[Long]("n") == ev.count())
+    } finally query.stop()
+  }
+
   test("DSv2 source feeds the stateful row materializer end-to-end") {
     import spark.implicits._
     val walDir = Files.createTempDirectory("graft_dsv2b").toString
