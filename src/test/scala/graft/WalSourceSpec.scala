@@ -47,6 +47,31 @@ class WalSourceSpec extends SparkSpec {
     assert(maxCells == 1)
   }
 
+  test("streaming session windows (native session_window) over the WAL") {
+    val walDir = Files.createTempDirectory("graft_sess").toString
+    val wal = WalSource.eventsAsWal(spark, sfDir)
+    WalSource.writeWal(wal, walDir, batches = 2)
+    val sessions = WalSource.stream(spark, walDir, maxFilesPerTrigger = 1)
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("rowkey"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val query = sessions.writeStream.format("memory").queryName("walsess")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(180000)
+    val emitted = spark.table("walsess")
+    // sanity vs the batch sessionizer: emitted (closed) sessions are a
+    // subset of all sessions, and per-user counts never exceed batch
+    val batchSessions = graft.operators.Events.sessionize(spark, sfDir)
+      .select(col("user_id").cast("string").as("rowkey"), col("n_sessions"))
+    val perUser = emitted.groupBy(col("rowkey")).agg(count(lit(1)).as("streamed"))
+      .join(batchSessions, "rowkey")
+    assert(emitted.count() > 0)
+    assert(perUser.filter(col("streamed") > col("n_sessions")).count() == 0)
+  }
+
   test("streaming tumbling window with watermark over the WAL") {
     val walDir = Files.createTempDirectory("graft_wal2").toString
     val wal = WalSource.eventsAsWal(spark, sfDir)
