@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+/** Persistent subscription registry — the SepModel equivalent
+  * (register/unregister/list replication subscriptions; the reference
+  * keeps these in ZooKeeper, here a JSON file works for single-driver
+  * deployments and swaps for any shared KV store in production).
+  *
+  * Each registered subscription can be attached to the WAL stream as
+  * its own filtered view; Spark checkpoints track each attached
+  * query's offsets independently — the per-subscription progress
+  * tracking of the reference.
+  */
+final class SubscriptionRegistry(path: String) {
+
+  private val mapper = new ObjectMapper()
+
+  private def write(subs: Seq[Subscription]): Unit = {
+    val lines = subs.map { s =>
+      val n = mapper.createObjectNode()
+      n.put("name", s.name)
+      s.table.foreach(n.put("table", _))
+      s.family.foreach(n.put("family", _))
+      s.qualifier.foreach(n.put("qualifier", _))
+      mapper.writeValueAsString(n)
+    }
+    Files.write(Paths.get(path), lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Registered subscriptions (empty when the registry is new). */
+  def list(): Seq[Subscription] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val n = mapper.readTree(line)
+      def opt(f: String) = if (n.hasNonNull(f)) Some(n.get(f).asText()) else None
+      Subscription(n.get("name").asText(), opt("table"), opt("family"), opt("qualifier"))
+    }
+  }
+
+  /** Register (upsert by name) — SepModel.addSubscription. */
+  def add(sub: Subscription): Unit =
+    write(list().filterNot(_.name == sub.name) :+ sub)
+
+  /** Unregister — SepModel.removeSubscription. */
+  def remove(name: String): Unit =
+    write(list().filterNot(_.name == name))
+
+  def hasSubscription(name: String): Boolean = list().exists(_.name == name)
+
+  /** Attach every registered subscription to a WAL stream. */
+  def attachAll(wal: DataFrame): Map[String, DataFrame] =
+    Subscriptions.fanOut(wal, list())
+}

@@ -51,4 +51,24 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(spark.table("fan_all").collect().head.getAs[Long]("n") == expected)
     assert(spark.table("fan_props").collect().head.getAs[Long]("n") == expected)
   }
+
+  test("subscription registry: register/unregister persists across instances") {
+    import graft.streaming.SubscriptionRegistry
+    val path = Files.createTempDirectory("graft_reg").resolve("subs.jsonl").toString
+    val reg = new SubscriptionRegistry(path)
+    assert(reg.list().isEmpty)
+    reg.add(Subscription("all"))
+    reg.add(Subscription("props", family = Some("e"), qualifier = Some("props")))
+    reg.add(Subscription("all", table = Some("events"))) // upsert by name
+    val reloaded = new SubscriptionRegistry(path)
+    assert(reloaded.list().map(_.name).sorted == Seq("all", "props"))
+    assert(reloaded.list().find(_.name == "all").get.table.contains("events"))
+    reloaded.remove("props")
+    assert(!new SubscriptionRegistry(path).hasSubscription("props"))
+
+    val wal = WalSource.eventsAsWal(spark, sfDir)
+    val attached = reloaded.attachAll(wal)
+    assert(attached.keySet == Set("all"))
+    assert(attached("all").count() == wal.count())
+  }
 }
