@@ -191,11 +191,11 @@ object SparkEntry {
         |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |   THEN 1 ELSE 0 END AS new_s
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
     "q15_payload_extract" ->
       """SELECT event_type,
-        | sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
         | max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
@@ -318,7 +318,7 @@ object SparkEntry {
         | FROM embeddings),
         |u AS (SELECT label, unnest(v) AS x,
         |   CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos FROM q)
-        |SELECT label, pos, sum(x) AS sx, count(*) AS n_vecs
+        |SELECT label, pos, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n_vecs
         |FROM u GROUP BY label, pos""".stripMargin,
     "q39_order_histogram" ->
       """SELECT CAST(floor(o_totalprice/50000.0)*50000.0 AS BIGINT) AS bin,
@@ -417,5 +417,32 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // q36: declarative replay of the materializer fold. Within one
+    // batch mutations are applied in (ts, event_id) order, so: a row
+    // is deleted iff its last event is a tombstone ('error'); live
+    // qualifiers are the event types seen after the last tombstone,
+    // plus 'e:props'; version = max ts over all mutations.
+    "q36_row_materialize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type
+        |  FROM events),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn FROM e),
+        |w AS (SELECT *,
+        |  max(CASE WHEN event_type = 'error' THEN rn END)
+        |    OVER (PARTITION BY user_id) AS err_rn,
+        |  max(rn) OVER (PARTITION BY user_id) AS last_rn,
+        |  max(ts) OVER (PARTITION BY user_id) AS version FROM o),
+        |live AS (SELECT user_id, version, last_rn, err_rn,
+        |  list_sort(list_distinct(list('e:' || event_type)
+        |    FILTER (WHERE rn > coalesce(err_rn, 0)))) AS types,
+        |  count(*) FILTER (WHERE rn > coalesce(err_rn, 0)) AS n_live
+        | FROM w GROUP BY user_id, version, last_rn, err_rn)
+        |SELECT 'events' AS "table", CAST(user_id AS VARCHAR) AS rowkey,
+        | version,
+        | (err_rn IS NOT NULL AND err_rn = last_rn) AS deleted,
+        | CASE WHEN n_live > 0
+        |   THEN array_to_string(list_sort(list_append(types, 'e:props')), ',')
+        |   ELSE '' END AS qualifiers
+        |FROM live""".stripMargin,
   )
 }

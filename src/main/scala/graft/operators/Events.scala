@@ -140,10 +140,12 @@ object Events {
           .as("var_value"))
   }
 
-  /** q36 (rows-only): end-to-end CDC row materialization — events
-    * wrapped as WAL mutations, compacted to latest-cell-wins row
-    * states by the batch materializer (semantics == streaming path,
-    * proven equal in RowMaterializerSpec). */
+  /** q36: end-to-end CDC row materialization — events wrapped as WAL
+    * mutations, compacted to latest-cell-wins row states by the batch
+    * materializer (semantics == streaming path, proven equal in
+    * RowMaterializerSpec). Output is all-scalar columns (qualifiers
+    * joined to one string) so the driver's canonicalizer can sort it;
+    * the oracle replays the same fold declaratively in SQL. */
   def rowMaterialize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wal = graft.sources.WalSource.eventsAsWal(s, dir)
@@ -151,9 +153,7 @@ object Events {
     graft.streaming.RowMaterializer.materializeBatch(s, muts)
       .toDF()
       .select(col("table"), col("rowkey"), col("version"), col("deleted"),
-        map_keys(col("cells")).as("qualifiers"))
-      .select(col("table"), col("rowkey"), col("version"), col("deleted"),
-        array_sort(col("qualifiers")).as("qualifiers"))
+        array_join(array_sort(map_keys(col("cells"))), ",").as("qualifiers"))
   }
 
   /** q42: sliding event-time windows (1 h width, 15 min slide) —

@@ -110,7 +110,8 @@ object Relational {
     Tables.orders(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long").as("rn"))
   }
 
   /** q08: distinct counts per group (partial-agg friendly). */
@@ -211,6 +212,7 @@ object Relational {
     Tables.part(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
-      .select(col("p_type"), col("p_partkey"), col("p_brand"), col("p_retailprice"), col("rn"))
+      .select(col("p_type"), col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("rn").cast("long").as("rn"))
   }
 }

@@ -60,7 +60,7 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(TopK.topk(5)(col("neighbor_id"), col("cosine")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 

@@ -17,11 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
+    dtypes = [str(t) for t in df.dtypes]
     rows = df.values.tolist()
     def key(r):
         return [(x is None, str(type(x)), str(x)) for x in r]
     rows.sort(key=key)
-    return cols, rows
+    return cols, dtypes, rows
 
 def eq(a, b):
     if a is None and b is None:
@@ -43,10 +44,17 @@ def main(sf_dir, out_dir):
             odf = con.sql(sql).df()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             sdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
-            ocols, orows = canon(odf)
-            scols, srows = canon(sdf)
+            ocols, odts, orows = canon(odf)
+            scols, sdts, srows = canon(sdf)
             if ocols != scols:
                 print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+                n_fail += 1
+                continue
+            # the driver's hash is dtype-representation-sensitive
+            # (DuckDB HUGEINT sums land as float64) — mimic that here
+            if odts != sdts:
+                print(f"FAIL {name}: dtypes oracle={list(zip(ocols, odts))} "
+                      f"spark={list(zip(scols, sdts))}")
                 n_fail += 1
                 continue
             if len(orows) != len(srows):
