@@ -35,7 +35,7 @@ object SparkEntry {
     "q21_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q22_dedup_minhash"     -> (Dedup.minhashLsh _),
     "q23_dedup_simhash"     -> (Dedup.simhash _),
-    "q24_embed_near_dup"    -> (Similarity.embedNearDup _),
+    "q24_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q25_ann_bruteforce"    -> (Similarity.annBruteForce _),
     "q26_ann_lsh"           -> ((s, d) => Similarity.annLshBuckets(s, d)),
     "q27_token_stats"       -> (TextAnalysis.tokenStats _),
@@ -80,6 +80,15 @@ object SparkEntry {
     """CAST(CAST(list_sum(list_transform(range(len(a.v)),
       |   i -> a.v[i+1]*b.v[i+1])) AS BIGINT) AS DOUBLE)
       | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
+  /** ±1 hyperplane component from md5 parity — mirrors
+    * Similarity.planeSign exactly (first hex nibble of md5("p|i")). */
+  private def planeSignSql(p: String, i: String): String =
+    s"(CASE WHEN (strpos('0123456789abcdef', substr(md5(concat($p, '|', $i)), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END)"
+  /** Sign bit of quantized vector m.v against plane pp.p (dim 64). */
+  private val planeBitSql =
+    s"""CASE WHEN CAST(list_sum(list_transform(range(64), i ->
+       |   m.v[i+1] * ${planeSignSql("pp.p", "i")})) AS BIGINT) > 0
+       | THEN 1 ELSE 0 END""".stripMargin
   private val minhashSigCte =
     "sig AS (SELECT doc_id, " +
       (0 until 8).map(i => s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS h$i")
@@ -242,10 +251,97 @@ object SparkEntry {
         |FROM bands a JOIN bands b ON a.band = b.band
         | AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
     "q24_embed_near_dup" ->
-      s"""WITH $quantCte
-        |SELECT a.vec_id AS id1, b.vec_id AS id2, $cosExpr AS cosine
-        |FROM m a JOIN m b ON a.vec_id < b.vec_id
+      s"""WITH $quantCte,
+        |pb AS (SELECT m.vec_id, pp.p, $planeBitSql AS bit
+        | FROM m, (SELECT unnest(range(16)) AS p) pp),
+        |bd AS (SELECT vec_id, p // 2 AS band,
+        |  sum(bit * (CASE WHEN p % 2 = 0 THEN 2 ELSE 1 END)) AS band_key
+        | FROM pb GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        | FROM bd x JOIN bd y ON x.band = y.band AND x.band_key = y.band_key
+        |  AND x.vec_id < y.vec_id)
+        |SELECT id1, id2, $cosExpr AS cosine
+        |FROM c JOIN m a ON id1 = a.vec_id JOIN m b ON id2 = b.vec_id
         |WHERE $cosExpr >= 0.4""".stripMargin,
+    "q26_ann_lsh" ->
+      s"""WITH $quantCte,
+        |pb AS (SELECT m.vec_id, pp.p, $planeBitSql AS bit
+        | FROM m, (SELECT unnest(range(8)) AS p) pp),
+        |bk AS (SELECT vec_id,
+        |  CAST(sum(bit * (1::BIGINT << CAST(p AS INTEGER))) AS BIGINT) AS bucket
+        | FROM pb GROUP BY vec_id)
+        |SELECT vec_id, bucket,
+        | count(*) OVER (PARTITION BY bucket) AS bucket_size
+        |FROM bk""".stripMargin,
+    "q23_dedup_simhash" ->
+      """WITH t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, md5(tok) AS h FROM t1),
+        |b AS (SELECT doc_id, h, unnest(range(64)) AS bit FROM tk),
+        |v AS (SELECT doc_id, bit, sum(CASE WHEN
+        |   (((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INTEGER) + 1, 1)) - 1)
+        |     >> CAST(bit % 4 AS INTEGER)) & 1) = 1
+        |  THEN 1 ELSE -1 END) AS v FROM b GROUP BY 1, 2),
+        |n AS (SELECT doc_id, bit // 4 AS j,
+        |  sum(CASE WHEN v > 0 THEN (1 << CAST(bit % 4 AS INTEGER)) ELSE 0 END) AS nv
+        | FROM v GROUP BY 1, 2)
+        |SELECT doc_id, array_to_string(
+        |  list(substr('0123456789abcdef', CAST(nv AS INTEGER) + 1, 1) ORDER BY j),
+        |  '') AS simhash
+        |FROM n GROUP BY doc_id""".stripMargin,
+    "q31_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS byte_len,
+        | sha256(text) AS content_sha,
+        | CAST(length(text) % 1920 AS BIGINT) AS width,
+        | CAST(length(text) % 1080 AS BIGINT) AS height,
+        | CAST(list_sum(list_transform(range(8), i ->
+        |   CAST(strpos('0123456789abcdef',
+        |     substr(sha256(text), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |   * (1::BIGINT << CAST((7 - i) * 4 AS INTEGER)))) % 120 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "q52_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  LEAST(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) AS n_frames
+        | FROM documents),
+        |x AS (SELECT doc_id, text, n_frames,
+        |  unnest(range(n_frames)) AS frame_idx FROM f)
+        |SELECT doc_id, n_frames, frame_idx,
+        | sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_sha
+        |FROM x""".stripMargin,
+    "q38_ann_ivf" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM cl),
+        |ac AS (SELECT m.vec_id, m.v, m.n2, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS ccos
+        | FROM m, cn),
+        |asg AS (SELECT vec_id, v, n2, cell FROM (SELECT vec_id, v, n2,
+        |   label AS cell, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY ccos DESC, label) AS rk FROM ac) t WHERE rk = 1),
+        |pr AS (SELECT query_id, qv, qn2, cell FROM (SELECT vec_id AS query_id,
+        |   v AS qv, n2 AS qn2, label AS cell, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY ccos DESC, label) AS rk FROM ac WHERE vec_id < 5) t WHERE rk <= 2),
+        |sc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> pr.qv[i+1] * a.v[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(pr.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
+        | FROM pr JOIN asg a ON pr.cell = a.cell AND a.vec_id >= 5)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc) t WHERE rank <= 3""".stripMargin,
     "q25_ann_bruteforce" ->
       s"""WITH $quantCte,
         |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

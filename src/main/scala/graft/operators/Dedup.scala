@@ -122,20 +122,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
-  /** q23 (rows-only): 64-bit SimHash per doc via xxhash64 bit votes.
-    * Fully distributed: explode (doc × bit) → sum votes → reassemble. */
+  /** q23: 64-bit SimHash per doc via md5-nibble bit votes, fully
+    * distributed: explode (doc × bit) → sum votes → reassemble.
+    * Bit b of a token = bit (b%4) of hex nibble (b/4) of md5(token) —
+    * the same bits DuckDB derives from its md5 hex, so the oracle
+    * replays exactly. Output is the 16-hex-char signature (a BIGINT
+    * would need 1<<63, which overflows the oracle engine). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    tok
+      .withColumn("h", md5(col("tok").cast("binary")))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
       .withColumn("vote",
-        when(expr("shiftright(h, bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        when(expr("shiftright(CAST(conv(substr(h, bit div 4 + 1, 1), 16, 10) AS INT), bit % 4) & 1") === 1,
+          lit(1L)).otherwise(lit(-1L)))
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum(col("vote")).as("v"))
+      // reassemble per-nibble (j = bit/4), then concat the 16 hex chars
+      .groupBy(col("doc_id"), (col("bit") / 4).cast("int").as("j"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1, bit % 4)")).otherwise(lit(0))).as("nv"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L))).as("simhash"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("j"), col("nv")))),
+          e => lower(conv(e.getField("nv"), 10, 16)))).as("simhash"))
   }
 }

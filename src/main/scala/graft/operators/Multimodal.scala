@@ -19,8 +19,11 @@ object Multimodal {
       doc_id: Long, byte_len: Long, content_sha: String,
       width: Int, height: Int, n_frames: Int)
 
-  /** q31 (rows-only): declarative metadata over binary columns —
-    * stays in codegen, no decode needed. */
+  /** q31: declarative metadata over binary columns — stays in
+    * codegen, no decode needed. STUB dimensions: deterministic fakes
+    * derived from the bytes (length mod, first 8 sha nibbles as an
+    * int) — a real decoder would parse the container header here.
+    * Every field is md5/sha/length math replayable by the oracle. */
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
@@ -28,28 +31,30 @@ object Multimodal {
         col("doc_id"),
         length(col("blob")).cast("long").as("byte_len"),
         sha2(col("blob"), 256).as("content_sha"),
-        // STUB dimensions: deterministic fake derived from the bytes —
-        // a real decoder would parse the container header here.
-        (length(col("blob")) % 1920).cast("int").as("width"),
-        (length(col("blob")) % 1080).cast("int").as("height"),
-        (crc32(col("blob")) % 120).cast("int").as("n_frames"))
+        (length(col("blob")) % 1920).cast("long").as("width"),
+        (length(col("blob")) % 1080).cast("long").as("height"),
+        (conv(substring(sha2(col("blob"), 256), 1, 8), 16, 10).cast("long") % 120)
+          .as("n_frames"))
 
-  /** q52 (rows-only): frame sampling — fixed-stride slices of the
-    * binary column, one row per sampled frame with its digest (the
-    * video-keyframe / audio-chunk extraction shape; substr on binary
-    * is codegen'd, the explode parallelizes frames across the
-    * cluster). A real decoder replaces the digest with pixels. */
+  /** q52: frame sampling — fixed-stride slices of the binary column,
+    * one row per sampled frame with its digest (the video-keyframe /
+    * audio-chunk extraction shape; substr on binary is codegen'd, the
+    * explode parallelizes frames across the cluster). A real decoder
+    * replaces the digest with pixels. Oracle-replayable because the
+    * docs are ASCII (byte slices == char slices in DuckDB). */
   def frameSample(s: SparkSession, dir: String, frameBytes: Int = 64,
       maxFrames: Int = 8): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .withColumn("n_frames",
-        least(ceil(length(col("blob")) / frameBytes.toDouble).cast("int"), lit(maxFrames)))
+        least(ceil(length(col("blob")) / frameBytes.toDouble), lit(maxFrames.toLong)))
       .select(col("doc_id"), col("n_frames"),
         posexplode(expr(
-          s"transform(sequence(0, n_frames - 1), i -> " +
+          s"transform(sequence(0, CAST(n_frames AS INT) - 1), i -> " +
             s"sha2(substr(blob, i * $frameBytes + 1, $frameBytes), 256))"))
           .as(Seq("frame_idx", "frame_sha")))
+      .select(col("doc_id"), col("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"), col("frame_sha"))
 
   /** Partition-iterator decode path — the batch shape a native decoder
     * (libjpeg/ffmpeg via JNI, or an Arrow-batched python worker) needs:

@@ -33,12 +33,54 @@ object Similarity {
   def cosineQ(va: Column, vb: Column, n2a: Column, n2b: Column): Column =
     dotQ(va, vb).cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
-  /** q24: embedding-cosine near-duplicate pairs (threshold 0.4). */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic ±1 hyperplane component: parity of the first hex
+    * nibble of md5("p|i") — the same value DuckDB computes from
+    * `md5(p || '|' || i)`, so every LSH bucketing built on these
+    * planes is oracle-replayable. */
+  private[graft] def planeSign(p: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$i".getBytes("UTF-8"))
+    // first hex nibble = high nibble of byte 0
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
+  private[graft] def plane(p: Int, dim: Int): Array[Long] =
+    (0 until dim).map(i => planeSign(p, i)).toArray
+
+  /** Sign bit (0/1) of the dot of `v` against md5-parity plane `p`. */
+  private def planeBit(v: Column, p: Int, dim: Int): Column =
+    when(org.apache.spark.sql.graft.LongArrayDot.column(v, lit(plane(p, dim))) > 0,
+      lit(1L)).otherwise(lit(0L))
+
+  /** q24: embedding-cosine near-duplicate pairs (threshold 0.4) via
+    * hyperplane-LSH banding: 16 md5-parity planes → 8 bands × 2 bits;
+    * candidates are pairs colliding in ≥1 band (equi-join on
+    * (band, band_key) — never a cross join), then exact cosine
+    * verification on candidates only. Band rows carry only
+    * (vec_id, band, key); vectors are re-joined per candidate, so the
+    * wide shuffle moves ids, not embeddings. Recall for cos ≥ 0.4 at
+    * 8×2 banding is ≈ 1-(1-p²)⁸ ≈ 0.98 (p = 1-θ/π ≈ 0.63) — the
+    * tunable LSH trade; at 100 TB add bands to push recall up, the
+    * plan shape is unchanged. The oracle replays the identical md5
+    * banding, so parity is exact by construction. */
+  def embedNearDup(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     val q = quantized(s, dir)
-    val a = q.toDF("id1", "v1", "n21")
-    val b = q.toDF("id2", "v2", "n22")
-    a.join(b, col("id1") < col("id2"))
+    val bandStructs = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        (planeBit(col("v"), 2 * b, dim) * 2 + planeBit(col("v"), 2 * b + 1, dim))
+          .as("band_key"))
+    }: _*)
+    val bands = q.select(col("vec_id"), explode(bandStructs).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.band_key"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    cands
+      .join(q.toDF("id1", "v1", "n21"), "id1")
+      .join(q.toDF("id2", "v2", "n22"), "id2")
       .withColumn("cosine", cosineQ(col("v1"), col("v2"), col("n21"), col("n22")))
       .filter(col("cosine") >= 0.4)
       .select(col("id1"), col("id2"), col("cosine"))
@@ -98,48 +140,48 @@ object Similarity {
         e => e.getField("cx")).as("cv"))
     val centN = broadcast(cent
       .withColumn("cn2", org.apache.spark.sql.graft.LongArrayDot.column(col("cv"), col("cv"))))
-    // assign every vector to its nearest centroid (rank 1 by cosine)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label"))
+    // assign every vector to its nearest centroid — max_by under hash
+    // aggregation (one shuffle of one row per vector), not a window
+    // rank (which would sort |corpus|×|centroids| scored rows); ties
+    // broken by smallest label via the negated tiebreak column
     val assigned = q.join(centN, lit(true))
       .withColumn("ccos", cosineQ(col("v"), col("cv"), col("n2"), col("cn2")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("label").as("cell"))
-    // queries probe their nprobe nearest cells
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("v"), col("n2")),
+        struct(col("ccos"), negate(col("label")))).as("c"))
+      .select(col("vec_id"), col("c.v").as("v"), col("c.n2").as("n2"),
+        col("c.label").as("cell"))
+    // queries probe their nprobe nearest cells — bounded TopKAgg keeps
+    // the k-buffer map-side (same rationale as q25)
+    import graft.functions.TopK
     val probes = q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2")
       .join(centN, lit(true))
       .withColumn("ccos", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("label"))))
-      .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn2"), col("label").as("cell"))
-    // search only the probed cells
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qv")).as("qv"), first(col("qn2")).as("qn2"),
+        TopK.topk(nprobe)(col("label").cast("long"), col("ccos")).as("top"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("qv"), col("qn2"), col("t.id").cast("int").as("cell"))
+    // search only the probed cells; final top-3 again via bounded agg
     probes.join(assigned.filter(col("vec_id") >= 5), "cell")
       .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(3)(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
-  /** q26 (rows-only): random-hyperplane LSH buckets — the ANN scale
-    * path. Hyperplane p component i is a deterministic ±1 from
-    * xxhash64(p,i); bucket = 8 sign bits. At 100 TB each probe visits
-    * ~1/256 of the corpus instead of all of it. */
+  /** q26: random-hyperplane LSH buckets — the ANN scale path.
+    * Hyperplane p component i is a deterministic ±1 from the md5
+    * parity family ([[planeSign]]); bucket = 8 sign bits, so at
+    * 100 TB each probe visits ~1/256 of the corpus instead of all of
+    * it. The dot against the literal plane runs through the codegen
+    * LongArrayDot; the oracle replays the identical md5 parity math. */
   def annLshBuckets(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     val q = quantized(s, dir)
-    val planeBits = (0 until 8).map { p =>
-      // deterministic ±1 hyperplane as a literal vector — the dot
-      // against it runs through the codegen LongArrayDot
-      val plane = (0 until dim).map(i =>
-        if (scala.util.hashing.MurmurHash3.productHash((p, i)) % 2 == 0) 1L else -1L)
-      val signedSum = org.apache.spark.sql.graft.LongArrayDot.column(
-        col("v"), lit(plane.toArray))
-      when(signedSum > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    val bucket = planeBits.reduce(_ + _)
+    val bucket = (0 until 8).map(p => planeBit(col("v"), p, dim) * (1L << p)).reduce(_ + _)
     val withBucket = q.select(col("vec_id"), bucket.as("bucket"))
     val sizes = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     withBucket.join(sizes, "bucket")

@@ -21,8 +21,13 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("simhash: near-identical docs land within small hamming distance") {
-    import spark.implicits._
-    val sh = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def collectSig() = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(r.getString(1), 16)).toMap
+    val sh = collectSig()
+    // 16 lowercase hex chars per signature
+    Dedup.simhash(spark, sfDir).collect().foreach { r =>
+      assert(r.getString(1).matches("[0-9a-f]{16}"), s"bad signature ${r.getString(1)}")
+    }
     // exact near-dup pair from jaccard query at this sf (if any): use
     // the top jaccard pairs to sanity-check hamming locality
     val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
@@ -34,8 +39,7 @@ class OperatorsSpec extends SparkSpec {
       assert(close.min <= 12, s"near-dup pairs should have small hamming: ${close.min}")
     }
     // determinism
-    val sh2 = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sh == sh2)
+    assert(sh == collectSig())
   }
 
   test("ann lsh buckets: deterministic and similar vectors co-bucket above chance") {
@@ -44,11 +48,29 @@ class OperatorsSpec extends SparkSpec {
     val b2 = Similarity.annLshBuckets(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b1 == b2)
-    // high-cosine pairs should share buckets more often than random
+    // 8 sign bits → buckets in [0, 256); sizes consistent with counts
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+    val rows = Similarity.annLshBuckets(spark, sfDir).collect()
+    val counts = rows.groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(r.getLong(2) == counts(r.getLong(1))))
+    // q24's banded near-dup pairs collide in >=1 two-bit band by
+    // construction — verify against an independent recomputation of
+    // the plane bits (the md5 parity family)
     val nd = Similarity.embedNearDup(spark, sfDir).collect()
-    if (nd.length >= 5) {
-      val share = nd.count(r => b1(r.getLong(0)) == b1(r.getLong(1))).toDouble / nd.length
-      assert(share > 1.0 / 256, s"near-dup co-bucket rate $share")
+    if (nd.nonEmpty) {
+      val vecs = Similarity.quantized(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      def bits(v: Array[Long], p: Int): Long = {
+        val pl = Similarity.plane(p, v.length)
+        if (v.indices.map(i => v(i) * pl(i)).sum > 0) 1L else 0L
+      }
+      nd.foreach { r =>
+        val (v1, v2) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+        val shares = (0 until 8).exists { b =>
+          bits(v1, 2 * b) == bits(v2, 2 * b) && bits(v1, 2 * b + 1) == bits(v2, 2 * b + 1)
+        }
+        assert(shares, s"pair ${r.getLong(0)}-${r.getLong(1)} shares no band")
+      }
     }
   }
 
@@ -61,9 +83,9 @@ class OperatorsSpec extends SparkSpec {
     val byQuery = ivf.groupBy(_.getLong(0))
     assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
     byQuery.values.foreach { rows =>
-      assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)))
+      assert(rows.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)))
       // ranks ordered by cosine desc
-      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
     // IVF cosine can never exceed the brute-force best
