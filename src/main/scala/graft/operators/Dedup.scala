@@ -129,21 +129,26 @@ object Dedup {
     * replays exactly. Output is the 16-hex-char signature (a BIGINT
     * would need 1<<63, which overflows the oracle engine). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+    // one row per token; the 16 md5 hex nibbles decoded once per token
+    val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(expr("shiftright(CAST(conv(substr(h, bit div 4 + 1, 1), 16, 10) AS INT), bit % 4) & 1") === 1,
-          lit(1L)).otherwise(lit(-1L)))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      // reassemble per-nibble (j = bit/4), then concat the 16 hex chars
-      .groupBy(col("doc_id"), (col("bit") / 4).cast("int").as("j"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1, bit % 4)")).otherwise(lit(0))).as("nv"))
-      .groupBy(col("doc_id"))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("j"), col("nv")))),
-          e => lower(conv(e.getField("nv"), 10, 16)))).as("simhash"))
+      .withColumn("nibs", expr(
+        "transform(sequence(0, 15), j -> " +
+          "CAST(conv(substr(md5(CAST(tok AS BINARY)), j + 1, 1), 16, 10) AS INT))"))
+    // 64 set-bit counters as partial-sum aggregates — no per-bit row
+    // explosion (a (doc × token × bit) explode would shuffle 64× the
+    // token count); the shuffle carries one 65-long row per doc
+    val bitSums = (0 until 64).map(b =>
+      sum(expr(s"(nibs[${b / 4}] >> ${b % 4}) & 1")).as(s"b$b"))
+    val agged = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n"): _*)
+    // majority vote per bit (2·set > n ⟺ Σ±1 > 0), nibble → hex char
+    val nibbleChars = (0 until 16).map { j =>
+      val nv = (0 until 4)
+        .map(bb => when(col(s"b${4 * j + bb}") * 2 > col("n"), 1 << bb).otherwise(0))
+        .reduce(_ + _)
+      lower(conv(nv, 10, 16))
+    }
+    agged.select(col("doc_id"), concat_ws("", nibbleChars: _*).as("simhash"))
   }
 }
