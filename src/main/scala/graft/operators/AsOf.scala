@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  private val P = "__graft_asof_" // temp-column prefix, collision-checked
+
   /** For each left row, attach the latest right row with
     * rightTime <= leftTime within the same key. Right payload columns
     * come back as `asof_<name>` (null when no prior right row).
@@ -25,36 +27,45 @@ object AsOf {
     * @param leftTime  event-time column on left (any orderable type)
     * @param rightTime event-time column on right (same type)
     * @param rightPayload right columns to carry over
+    * @param rightTiebreak right column that totally orders right rows
+    *        within (key, rightTime) — e.g. a WAL sequence number.
+    *        Without one, which payload wins among exact time ties is
+    *        nondeterministic (last-write-wins needs a write order).
     */
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String],
+      rightTiebreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns
+    require(!(leftCols ++ right.columns).exists(_.startsWith(P)),
+      s"column prefix '$P' is reserved by AsOf.join")
     // side 1 sorts after side 0 at equal time: right rows at time t
     // are visible to left rows at the same t (inclusive as-of)
     val l = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-      .withColumns(rightPayload.map(c => s"__p_$c" -> lit(null)).toMap)
+      .withColumn(s"${P}t", col(leftTime))
+      .withColumn(s"${P}side", lit(1))
+      .withColumn(s"${P}tie", lit(null))
+      .withColumns(rightPayload.map(c => s"${P}p_$c" -> lit(null)).toMap)
     val r = right
-      .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
+      .withColumn(s"${P}t", col(rightTime))
+      .withColumn(s"${P}side", lit(0))
+      .withColumn(s"${P}tie", rightTiebreak.map(col).getOrElse(lit(null)))
       .withColumns(
         leftCols.filterNot(c => c == key).map(c => c -> lit(null)).toMap)
-      .withColumns(rightPayload.map(c => s"__p_$c" -> col(c)).toMap)
-    val unioned = l.select(
-      (leftCols.map(col) :+ col("__t") :+ col("__side")) ++
-        rightPayload.map(c => col(s"__p_$c")): _*)
-      .unionByName(r.select(
-        (leftCols.map(col) :+ col("__t") :+ col("__side")) ++
-          rightPayload.map(c => col(s"__p_$c")): _*))
+      .withColumns(rightPayload.map(c => s"${P}p_$c" -> col(c)).toMap)
+    val projected = Seq(s"${P}t", s"${P}side", s"${P}tie") ++
+      rightPayload.map(c => s"${P}p_$c")
+    val unioned = l.select((leftCols ++ projected).map(col): _*)
+      .unionByName(r.select((leftCols ++ projected).map(col): _*))
+    // ties at (__t, __side=0) resolved by the caller's tiebreak column
+    // so "latest right row" is well-defined under concurrent writes
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col(s"${P}t"), col(s"${P}side"), col(s"${P}tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"asof_$c", last(col(s"${P}p_$c"), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1)
+    filled.filter(col(s"${P}side") === 1)
       .select(leftCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
 }

@@ -81,19 +81,22 @@ object Dedup {
       .distinct()
   }
 
-  /** q47: entity resolution by edit distance via wildcard-neighborhood
-    * blocking: every name emits |name| single-position-wildcard
-    * variants; any same-length pair at substitution distance ≤ 1
-    * shares a variant (pigeonhole), so candidates come from a groupBy
-    * on variants — block sizes stay tiny even on degenerate key
+  /** q47: entity resolution by edit distance via deletion-neighborhood
+    * (FastSS) blocking: every name emits its |name| single-deletion
+    * variants PLUS itself (the delete-0 member). Same-length pairs at
+    * substitution distance 1 share a deletion variant (pigeonhole);
+    * insertion/deletion pairs (lengths n, n+1) share a block because
+    * the longer name's deletion equals the shorter name itself —
+    * which is why the unmodified name must be in the neighborhood.
+    * Candidates come from a groupBy on variants — block sizes stay tiny even on degenerate key
     * distributions (a plain prefix block would put all zero-padded ids
     * in one giant block). Exact levenshtein then confirms. */
   def nameMatch(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
     val variants = c.select(col("c_custkey"),
       explode(expr(
-        "transform(sequence(1, length(c_name)), i -> " +
-          "concat(substr(c_name, 1, i-1), '', substr(c_name, i+1)))"))
+        "concat(transform(sequence(1, length(c_name)), i -> " +
+          "concat(substr(c_name, 1, i-1), substr(c_name, i+1))), array(c_name))"))
         .as("variant"))
     val pairs = variants
       .groupBy(col("variant")).agg(collect_list(col("c_custkey")).as("ids"))

@@ -67,7 +67,17 @@ private[sources] class WalMicroBatchStream(dir: String, maxFilesPerTrigger: Int)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def segments(): Array[String] = {
-    val d = new java.io.File(dir)
+    // This source reads through java.io/java.nio, which silently
+    // resolves non-local URIs against the local filesystem — fail
+    // loudly instead of reporting an empty (= "no data") stream for
+    // an hdfs:///s3a:// WAL or a missing directory.
+    val scheme = Option(java.net.URI.create(dir).getScheme)
+    require(scheme.forall(_ == "file"),
+      s"graft-wal reads local segment files; got scheme '${scheme.get}' for $dir — " +
+        "plug a Hadoop FileSystem-backed reader for remote WALs")
+    val d = new java.io.File(
+      if (scheme.isDefined) java.nio.file.Paths.get(java.net.URI.create(dir)).toString else dir)
+    require(d.isDirectory, s"graft-wal directory does not exist: $dir")
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .map(_.getAbsolutePath).sorted
@@ -92,12 +102,17 @@ private[sources] class WalMicroBatchStream(dir: String, maxFilesPerTrigger: Int)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val total = availableAtStart.getOrElse(segments().length)
     val s = start.asInstanceOf[WalOffset].segments
-    val capped = limit match {
+    // flatten composite limits (e.g. maxFiles composed with
+    // minRows by the engine) and honor the tightest file bound;
+    // any other limit kind falls back to the configured trigger cap
+    def resolve(l: ReadLimit): Int = l match {
       case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
       case _: ReadAllAvailable => total
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(resolve).min
       case _ => math.min(total, s + math.max(1, maxFilesPerTrigger))
     }
-    WalOffset(math.max(s, capped))
+    WalOffset(math.max(s, resolve(limit)))
   }
 
   override def reportLatestOffset(): Offset = WalOffset(segments().length)

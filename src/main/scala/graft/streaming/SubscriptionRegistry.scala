@@ -18,6 +18,9 @@ import scala.jdk.CollectionConverters._
 final class SubscriptionRegistry(path: String) {
 
   private val mapper = new ObjectMapper()
+  // in-process mutation lock; cross-process safety comes from the
+  // atomic rename below (readers always see a complete file)
+  private val lock = new Object
 
   private def write(subs: Seq[Subscription]): Unit = {
     val lines = subs.map { s =>
@@ -28,8 +31,14 @@ final class SubscriptionRegistry(path: String) {
       s.qualifier.foreach(n.put("qualifier", _))
       mapper.writeValueAsString(n)
     }
-    Files.write(Paths.get(path), lines.asJava,
+    val target = Paths.get(path).toAbsolutePath
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // write-temp-then-rename: a crash mid-write can never leave a
+    // truncated or corrupt registry behind
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Registered subscriptions (empty when the registry is new). */
@@ -44,12 +53,14 @@ final class SubscriptionRegistry(path: String) {
   }
 
   /** Register (upsert by name) — SepModel.addSubscription. */
-  def add(sub: Subscription): Unit =
+  def add(sub: Subscription): Unit = lock.synchronized {
     write(list().filterNot(_.name == sub.name) :+ sub)
+  }
 
   /** Unregister — SepModel.removeSubscription. */
-  def remove(name: String): Unit =
+  def remove(name: String): Unit = lock.synchronized {
     write(list().filterNot(_.name == name))
+  }
 
   def hasSubscription(name: String): Boolean = list().exists(_.name == name)
 

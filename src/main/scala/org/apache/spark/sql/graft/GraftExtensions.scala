@@ -41,7 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 /** aggregate(zip_with(a, b, (x,y) → x*y), 0L, (acc,v) → acc+v[, id]) ⇒
-  * long_array_dot(a, b). */
+  * long_array_dot(a, b).
+  *
+  * Safe on every input because [[LongArrayDot]] reproduces the
+  * declarative chain's null semantics at runtime: unequal lengths →
+  * null (zip_with null-pads) and null elements → null — so no static
+  * containsNull guard is needed and nullable arrays still get the
+  * codegen path. */
 object RewriteIntegerDot extends Rule[LogicalPlan] {
   private def isMultiplyLambda(f: Expression): Boolean = f match {
     case LambdaFunction(Multiply(l, r, _), args, _) =>

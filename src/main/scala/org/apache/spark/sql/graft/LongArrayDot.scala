@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * `aggregate(zip_with(a, b, _*_), 0L, _+_)` chain on the similarity
   * hot path: same exact semantics, none of the per-element overhead.
   * See SURVEY §4 (custom-operator preference order (b)).
+  *
+  * Observationally equivalent to the declarative idiom on EVERY input:
+  * unequal lengths → null (zip_with null-pads the shorter side, the
+  * null product nulls the sum), and a null element in either array →
+  * null. This equivalence is what makes [[RewriteIntegerDot]] safe to
+  * inject globally.
   */
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -23,16 +29,21 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "long_array_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    var n = x.numElements()
-    if (y.numElements() < n) n = y.numElements()
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -43,12 +54,16 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       s"""
          |int $n = $a.numElements();
-         |if ($b.numElements() < $n) $n = $b.numElements();
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
