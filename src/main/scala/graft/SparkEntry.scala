@@ -62,6 +62,7 @@ object SparkEntry {
     "q50_lm_score"          -> (TextAnalysis.lmScore _),
     "q51_cohort_retention"  -> (Events.cohortRetention _),
     "q52_frame_sample"      -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q53_wal_stream_materialize" -> (StreamingOps.walStreamMaterialize _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -540,5 +541,17 @@ object SparkEntry {
         |   THEN array_to_string(list_sort(list_append(types, 'e:props')), ',')
         |   ELSE '' END AS qualifiers
         |FROM live""".stripMargin,
+    // q53: put-only stream → final state is the per-key latest-put
+    // view, independent of micro-batch arrival order.
+    "q53_wal_stream_materialize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events WHERE event_type <> 'error'),
+        |a AS (SELECT user_id, max(ts) AS version,
+        |  list_sort(list_distinct(list('e:' || event_type))) AS types
+        | FROM e GROUP BY user_id)
+        |SELECT 'events' AS "table", CAST(user_id AS VARCHAR) AS rowkey,
+        | version, false AS deleted,
+        | array_to_string(list_sort(list_append(types, 'e:props')), ',') AS qualifiers
+        |FROM a""".stripMargin,
   )
 }

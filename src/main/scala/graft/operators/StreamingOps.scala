@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.{Mutation, RowState}
+import graft.sources.WalSource
+import graft.streaming.RowMaterializer
+
+/** Batch-replayable wrappers that put the STREAMING SEP core — DSv2
+  * WAL source → stateful row materializer — under the driver's DuckDB
+  * oracle gate (SURVEY §2.G was previously ScalaTest-only).
+  */
+object StreamingOps {
+
+  /** q53: end-to-end streaming CDC materialization. Stages the events
+    * table as JSONL WAL segments, consumes them through the custom
+    * "graft-wal" MicroBatchStream with Trigger.AvailableNow (4
+    * micro-batches of 2 segments — checkpointed, stateful,
+    * admission-controlled), folds them in
+    * [[RowMaterializer.materialize]], and emits each key's final row
+    * state as scalar columns.
+    *
+    * Only put mutations are streamed: a row tombstone applies
+    * unconditionally on arrival, so cross-micro-batch arrival order
+    * would change its outcome — tombstone semantics are covered by
+    * the q36 batch oracle and RowMaterializerSpec. For a put-only
+    * stream the final state is arrival-order independent (puts are
+    * guarded by the (ts, seq) high-water mark), which is what makes
+    * this streaming query exactly SQL-replayable.
+    */
+  def walStreamMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-q53").toString
+    val walDir = s"$stage/wal"
+    val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    val puts = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("kind") === "put")
+    WalSource.writeWalJson(puts, walDir, batches = 8)
+    val muts = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2).as[Mutation]
+    val states = RowMaterializer.materialize(s, muts)
+    val query = states.writeStream
+      .foreachBatch { (df: Dataset[RowState], id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // Update mode emits a state row per touched key per micro-batch;
+    // the final state is the row from the last batch touching the key
+    s.read.parquet(out)
+      .groupBy(col("table"), col("rowkey"))
+      .agg(max_by(struct(col("version"), col("deleted"), col("cells")),
+        col("batch")).as("st"))
+      .select(col("table"), col("rowkey"), col("st.version").as("version"),
+        col("st.deleted").as("deleted"),
+        array_join(array_sort(map_keys(col("st.cells"))), ",").as("qualifiers"))
+  }
+}
