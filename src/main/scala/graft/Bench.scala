@@ -24,6 +24,20 @@ object Bench {
       val t0 = System.nanoTime()
       try { run(fn) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
+    } ++ {
+      // skew stress: every doc shares a hot boilerplate header, the
+      // classic posting-list skew that kills a naive inverted index;
+      // q21's prefix filter must stay near its unskewed time
+      import org.apache.spark.sql.functions._
+      val boiler = "breaking news update for subscribers of the premium daily channel " +
+        "feed please share and subscribe for more updates from the editorial team"
+      val skewed = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), concat(lit(boiler + " "), col("text")).as("text"))
+      val t0 = System.nanoTime()
+      try graft.operators.Dedup.ngramJaccardOf(skewed, 0.5)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      Map("x_skew_boilerplate_jaccard" -> (System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

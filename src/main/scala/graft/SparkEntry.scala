@@ -32,7 +32,7 @@ object SparkEntry {
     "q18_upsert_merge"    -> (Events.upsertMerge _),
     "q19_delete_tombstones" -> (Events.deleteTombstones _),
     "q20_dedup_exact"       -> (Dedup.exact _),
-    "q21_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q21_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q22_dedup_minhash"     -> (Dedup.minhashLsh _),
     "q23_dedup_simhash"     -> (Dedup.simhash _),
     "q24_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),

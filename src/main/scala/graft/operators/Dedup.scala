@@ -26,33 +26,76 @@ object Dedup {
     Tables.documents(s, dir)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
 
-  /** q21: exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
-    * shingle inverted index — candidate pairs are emitted from each
-    * shingle's posting list (one shuffle on shingle + one on pair),
-    * never a cross join and never a posting self-join. Skewed posting
-    * lists (stop-shingles) are the scale risk; at 100 TB you'd cap or
-    * drop lists above a frequency bound (they can't contribute to
-    * high-jaccard pairs anyway) or pre-band with MinHash (q22). */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val t = docShingles(s, dir)
-    val sizes = t.select(col("doc_id"), size(col("sh")).as("n"))
-    // posting list per shingle → ordered pairs via two codegen'd
-    // explodes (generate stays in whole-stage codegen; no interpreted
-    // lambda machinery on the 1M+-pair path)
-    val pairs = t
-      .select(explode(col("sh")).as("s"), col("doc_id"))
-      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+  /** q21: exact n-gram Jaccard near-dup pairs (threshold 0.5) via a
+    * PREFIX-FILTERED shingle inverted index (Bayardo/Chaudhuri
+    * AllPairs): shingles are globally ordered by (doc-frequency,
+    * shingle); each doc indexes only its |sh| − ⌈t·|sh|⌉ + 1 rarest
+    * shingles. Two sets with Jaccard ≥ t must collide inside those
+    * prefixes (symmetric-prefix theorem), so recall is exactly 100%
+    * while stop-shingles — the posting-list skew risk at 100 TB —
+    * almost never enter an index: a hot shingle is indexed only when
+    * a doc has nothing rarer, and the `postingCap` guard bounds even
+    * that degenerate case (exact dedup q20/q49 upstream removes the
+    * identical-text corpora where every prefix is hot). Candidates
+    * are then verified with an exact array_intersect on the full
+    * shingle sets — never a cross join, never an unbounded posting
+    * self-join. */
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
+      postingCap: Int = Int.MaxValue): DataFrame =
+    ngramJaccardOf(Tables.documents(s, dir), threshold, postingCap)
+
+  /** Same operator over any (doc_id, text) DataFrame. */
+  def ngramJaccardOf(docs: DataFrame, threshold: Double = 0.5,
+      postingCap: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+    // Candidate generation runs on xxhash64(shingle) longs, not the
+    // 3-word strings — the two window sorts and the posting groupBy
+    // shuffle 8-byte keys instead of ~30-byte strings. Sound: the
+    // prefix theorem needs any consistent global element order, and a
+    // hash collision only MERGES posting lists (extra candidates that
+    // exact verification discards), never loses one.
+    val ex = t.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // doc-frequency as a count-over-window: one shuffle on shingle
+    // hash, no separate aggregate + re-join of the exploded table
+    val wd = Window.partitionBy(col("doc_id"))
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .withColumn("rk", row_number().over(wd.orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(wd))
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+    val pairs = prefix
+      .groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, postingCap))
       .select(explode(col("ds")).as("d1"), col("ds"))
       .select(col("d1"), explode(col("ds")).as("d2"))
       .filter(col("d1") < col("d2"))
-    val common = pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("za"), col("d1") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
+      .distinct()
+    // Two-stage verification. Stage 1 prunes with broadcast hashed
+    // arrays: |hashset(A)∩hashset(B)| ≥ |A∩B|, so jaccard on hashes
+    // upper-bounds true jaccard — a sound prefilter that ships 8-byte
+    // elements to hundreds of thousands of candidates. Stage 2 runs
+    // the exact string intersect on the few survivors. (At 100 TB the
+    // broadcast lookups become bucketed joins co-partitioned on
+    // doc_id; the shape is otherwise unchanged.)
+    val t2 = broadcast(t.select(col("doc_id"),
+      transform(col("sh"), x => xxhash64(x)).as("hs"), size(col("sh")).as("n")))
+    val survivors = pairs
+      .join(t2.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1")), "d1")
+      .join(t2.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2")), "d2")
+      // length filter: jaccard ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)
+      .filter(least(col("n1"), col("n2")) >= ceil(greatest(col("n1"), col("n2")) * threshold))
+      .withColumn("ch", size(array_intersect(col("hs1"), col("hs2"))))
+      .filter(col("ch").cast("double") / (col("n1") + col("n2") - col("ch")) >= threshold)
+      .select(col("d1"), col("d2"))
+    survivors
+      .join(broadcast(t.select(col("doc_id").as("d1"), col("sh").as("sh1"))), "d1")
+      .join(broadcast(t.select(col("doc_id").as("d2"), col("sh").as("sh2"))), "d2")
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("za.n") + col("zb.n") - col("common")))
-      .filter(col("jaccard") >= 0.5)
+        col("common").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("common")))
+      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 

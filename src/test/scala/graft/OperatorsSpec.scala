@@ -97,6 +97,35 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("jaccard prefix index: posting cap is a no-op on real data at t=0.5") {
+    def pairs(cap: Int) = Dedup.ngramJaccard(spark, sfDir, postingCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Int.MaxValue) == pairs(64))
+  }
+
+  test("jaccard prefix index: boilerplate skew stays bounded and lossless") {
+    // every doc shares a hot 12-token boilerplate header (posting
+    // lists of size N for its shingles under a naive inverted index);
+    // prefix filtering must still find exactly the true near-dup pair
+    // without indexing the hot shingles
+    import spark.implicits._
+    val boiler = "breaking news update for subscribers of the daily channel feed"
+    val uniq = (0 until 40).map(i =>
+      (i.toLong, s"$boiler unique body $i with words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    // docs 100/101: near-identical bodies (one token differs)
+    val nearDup = Seq(
+      (100L, s"$boiler shared body alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, s"$boiler shared body alpha beta gamma delta epsilon zeta eta theta iota kappb"))
+    val docs = (uniq ++ nearDup).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardOf(docs, 0.5, postingCap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)), s"got $got")
+    // and the capped run equals the uncapped run on the skewed corpus
+    val uncapped = Dedup.ngramJaccardOf(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == got)
+  }
+
   test("multimodal decode stub: map-partitions path matches declarative path") {
     val a = Multimodal.binaryMeta(spark, sfDir).select("doc_id", "byte_len", "content_sha")
     val b = Multimodal.decodePartitions(spark, sfDir).toDF()
