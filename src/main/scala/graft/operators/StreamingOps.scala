@@ -38,7 +38,19 @@ object StreamingOps {
     val puts = WalSource.eventsAsWal(s, dir)
       .filter(col("cells")(0)("kind") === "put")
     WalSource.writeWalJson(puts, walDir, batches = 8)
-    val muts = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2).as[Mutation]
+    finalStates(s, graft.sources.GraftWalStream(walDir, maxFilesPerTrigger = 2),
+      out, ckpt)
+  }
+
+  /** Run any [[graft.sources.WalStream]] transport to exhaustion
+    * (Trigger.AvailableNow) through the stateful materializer and
+    * return each key's FINAL row state as scalar columns. Update mode
+    * emits a state row per touched key per micro-batch; the final
+    * state is the row from the last batch touching the key. */
+  def finalStates(s: SparkSession, wal: graft.sources.WalStream,
+      out: String, ckpt: String): DataFrame = {
+    import s.implicits._
+    val muts = wal.open(s).as[Mutation]
     val states = RowMaterializer.materialize(s, muts)
     val query = states.writeStream
       .foreachBatch { (df: Dataset[RowState], id: Long) =>
@@ -49,8 +61,6 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    // Update mode emits a state row per touched key per micro-batch;
-    // the final state is the row from the last batch touching the key
     s.read.parquet(out)
       .groupBy(col("table"), col("rowkey"))
       .agg(max_by(struct(col("version"), col("deleted"), col("cells")),
