@@ -63,6 +63,13 @@ object SparkEntry {
     "q51_cohort_retention"  -> (Events.cohortRetention _),
     "q52_frame_sample"      -> ((s, d) => Multimodal.frameSample(s, d)),
     "q53_wal_stream_materialize" -> (StreamingOps.walStreamMaterialize _),
+    "q54_hash_sample"       -> ((s, d) => Sampling.hashSample(s, d)),
+    "q55_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q56_bigram_lm"         -> (TextAnalysis.bigramLmScore _),
+    "q57_decontaminate"     -> (TextAnalysis.decontaminate _),
+    "q58_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    "q59_dedup_components"  -> (Dedup.dedupComponents _),
+    "q60_count_min_audit"   -> ((s, d) => Sketch.countMinAudit(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -81,6 +88,14 @@ object SparkEntry {
     """CAST(CAST(list_sum(list_transform(range(len(a.v)),
       |   i -> a.v[i+1]*b.v[i+1])) AS BIGINT) AS DOUBLE)
       | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
+  /** First 8 md5 hex nibbles of `e` as a BIGINT in [0, 2^32) —
+    * mirrors Sampling.hashBucket exactly. */
+  private def hex8Sql(e: String): String =
+    s"""CAST(list_sum(list_transform(range(8), i ->
+       |   CAST(strpos('0123456789abcdef',
+       |     substr(md5($e), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+       |   * (1::BIGINT << CAST((7 - i) * 4 AS INTEGER)))) AS BIGINT)""".stripMargin
+
   /** ±1 hyperplane component from md5 parity — mirrors
     * Similarity.planeSign exactly (first hex nibble of md5("p|i")). */
   private def planeSignSql(p: String, i: String): String =
@@ -553,5 +568,75 @@ object SparkEntry {
         | version, false AS deleted,
         | array_to_string(list_sort(list_append(types, 'e:props')), ',') AS qualifiers
         |FROM a""".stripMargin,
+    "q54_hash_sample" ->
+      s"""SELECT doc_id, bucket FROM (
+        | SELECT doc_id, ${hex8Sql("concat('sample|', doc_id)")} AS bucket
+        | FROM documents) t
+        |WHERE bucket < 429496729""".stripMargin,
+    "q55_stratified_sample" ->
+      s"""WITH k AS (SELECT lang,
+        |  (${hex8Sql("concat('strata|', doc_id)")} < 858993459) AS kept
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 4) AS rate
+        |FROM k GROUP BY lang""".stripMargin,
+    "q56_bigram_lm" ->
+      """WITH b AS (SELECT doc_id, unnest(list_transform(
+        |   range(len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+        | FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |f AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg)
+        |SELECT doc_id, round(avg(log10(cnt)), 4) AS lm2_score,
+        | count(*) AS n_bigrams
+        |FROM b JOIN f USING (bg) GROUP BY doc_id""".stripMargin,
+    "q57_decontaminate" ->
+      s"""WITH $shinglesCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |p AS (SELECT DISTINCT s FROM e WHERE doc_id < 5)
+        |SELECT e.doc_id, count(DISTINCT e.s) AS n_hits
+        |FROM e JOIN p ON e.s = p.s WHERE e.doc_id >= 5
+        |GROUP BY e.doc_id""".stripMargin,
+    "q58_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok,
+        |  tf * log10(CAST(n_docs AS DOUBLE) / df) AS score
+        | FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, rank, tok, round(score, 4) AS score FROM (
+        | SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, tok) AS rank FROM sc) t
+        |WHERE rank <= 3""".stripMargin,
+    // q59: transitive closure of the LSH pair graph via recursive CTE;
+    // component = min reachable doc_id (matches min-label propagation).
+    "q59_dedup_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v)
+        |SELECT v AS doc_id, least(v, min(u)) AS component
+        |FROM r GROUP BY v""".stripMargin,
+    "q60_count_min_audit" ->
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |rr AS (SELECT unnest(range(4)) AS r),
+        |bu AS (SELECT tok, r,
+        |  ${hex8Sql("concat('cm', r, '|', tok)")} % 256 AS b FROM tk, rr),
+        |sk AS (SELECT r, b, count(*) AS cnt FROM bu GROUP BY 1, 2),
+        |top AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT 20),
+        |tb AS (SELECT tok, n, r,
+        |  ${hex8Sql("concat('cm', r, '|', tok)")} % 256 AS b FROM top, rr)
+        |SELECT tb.tok AS token, tb.n, CAST(min(sk.cnt) AS BIGINT) AS est
+        |FROM tb JOIN sk ON tb.r = sk.r AND tb.b = sk.b
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -124,6 +124,36 @@ object Dedup {
       .distinct()
   }
 
+  /** q59: dedup cluster assignment — connected components over the
+    * MinHash-LSH candidate pair graph (q22's edges), by iterative
+    * min-label propagation: every vertex repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint.
+    * This is the step that turns pairwise near-dup hits into "keep
+    * one doc per cluster" decisions. Each iteration is one join + one
+    * groupBy (all distributed; the driver sees only a change count),
+    * converging in ≤ component-diameter rounds; lineage is truncated
+    * per round with localCheckpoint so plans stay constant-size. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashLsh(s, dir)
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+      .localCheckpoint()
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = adj.join(labels.withColumnRenamed("v", "u"), "u")
+        .groupBy(col("v")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(neigh, Seq("v"), "left")
+        .select(col("v"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("v"), col("next").as("label"))
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("component"))
+  }
+
   /** q47: entity resolution by edit distance via deletion-neighborhood
     * (FastSS) blocking: every name emits its |name| single-deletion
     * variants PLUS itself (the delete-0 member). Same-length pairs at

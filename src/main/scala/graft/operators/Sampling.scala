@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic corpus sampling (LLM-pipeline operators).
+  *
+  * Sampling at 100 TB must be reproducible across reruns, engines and
+  * partitionings — `rand()` is none of those. These operators derive
+  * the keep decision from md5 of a salted key: the same rows are
+  * sampled on every engine (the oracle replays the hash math), the
+  * operator is a narrow codegen'd filter with full pushdown below it,
+  * and changing the salt re-rolls the sample.
+  */
+object Sampling {
+
+  /** First 8 md5 hex nibbles of `e` as an integer in [0, 2^32). */
+  def hashBucket(e: Column): Column =
+    conv(substring(md5(e.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** q54: Bernoulli sample at rate p keyed on doc_id — keep iff
+    * bucket < p·2^32. */
+  def hashSample(s: SparkSession, dir: String, p: Double = 0.1,
+      salt: String = "sample"): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        hashBucket(concat(lit(s"$salt|"), col("doc_id").cast("string"))).as("bucket"))
+      .filter(col("bucket") < math.floor(p * 4294967296.0).toLong)
+
+  /** q55: stratified sampling audit — per-language keep counts at a
+    * 20% rate, verifying the sampler is unbiased per stratum. The
+    * aggregate output is what a pipeline health check consumes. */
+  def stratifiedSample(s: SparkSession, dir: String, p: Double = 0.2,
+      salt: String = "strata"): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        (hashBucket(concat(lit(s"$salt|"), col("doc_id").cast("string")))
+          < math.floor(p * 4294967296.0).toLong).as("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("lang"), col("n_docs"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_docs"), 4).as("rate"))
+}

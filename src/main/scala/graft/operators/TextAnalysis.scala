@@ -92,4 +92,60 @@ object TextAnalysis {
       md5(col("text").cast("binary")).as("content_hash"),
       array_min(transform(shingles3(col("text")),
         x => md5(x.cast("binary")))).as("min_shingle_hash"))
+
+  /** q56: bigram LM score — per-doc mean log10 corpus frequency of its
+    * word bigrams (the order-sensitive upgrade of q50's unigram proxy;
+    * low scores flag shuffled/garbled text that unigram stats miss). */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
+    val bg = Tables.documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 2) // sequence(0,-1) guard
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+    val freq = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bg.join(freq, "bg")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log10(col("cnt"))), 4).as("lm2_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** q57: benchmark decontamination — flag corpus docs sharing 3-gram
+    * shingles with a held-out probe set (docs 0-4 stand in for the
+    * benchmark test set). The probe shingle set is tiny and broadcast;
+    * the corpus side is one explode + semi-shaped join + per-doc agg —
+    * the standard n-gram-overlap contamination check run before every
+    * training run. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+    val probe = broadcast(
+      sh.filter(col("doc_id") < 5).select(col("sh")).distinct())
+    sh.filter(col("doc_id") >= 5)
+      .join(probe, "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_hits"))
+  }
+
+  /** q58: per-doc top-3 TF-IDF terms — the classic keyword extraction
+    * / relevance-weighting pass. tf from the doc, df from one corpus
+    * agg, score = tf·log10(N/df) with deterministic (score, token)
+    * tie-breaking. */
+  def tfidfTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df_, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log10(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"),
+        round(col("score"), 4).as("score"))
+  }
 }
