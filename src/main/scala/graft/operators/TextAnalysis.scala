@@ -103,8 +103,11 @@ object TextAnalysis {
     val bg = Tables.documents(s, dir)
       .filter(size(tokens(col("text"))) >= 2) // sequence(0,-1) guard
       .select(col("doc_id"), explode(bigrams).as("bg"))
-    val freq = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-    bg.join(freq, "bg")
+    // corpus frequency as count-over-window: bigrams are mostly
+    // unique, so a groupBy+re-join would shuffle the exploded table
+    // twice and hash-join ~|corpus| rows; the window does one shuffle
+    bg.withColumn("cnt",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))))
       .groupBy(col("doc_id"))
       .agg(round(avg(log10(col("cnt"))), 4).as("lm2_score"),
         count(lit(1)).as("n_bigrams"))
