@@ -70,6 +70,7 @@ object SparkEntry {
     "q58_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q59_dedup_components"  -> (Dedup.dedupComponents _),
     "q60_count_min_audit"   -> ((s, d) => Sketch.countMinAudit(s, d)),
+    "q61_pii_mask"          -> (Privacy.piiMask _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -638,5 +639,11 @@ object SparkEntry {
         |SELECT tb.tok AS token, tb.n, CAST(min(sk.cnt) AS BIGINT) AS est
         |FROM tb JOIN sk ON tb.r = sk.r AND tb.b = sk.b
         |GROUP BY 1, 2""".stripMargin,
+    "q61_pii_mask" ->
+      """SELECT c_custkey, md5(c_name) AS name_hash,
+        | regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_redacted,
+        | CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_redacted,
+        | concat('***', right(CAST(c_custkey AS VARCHAR), 2)) AS key_last2
+        |FROM customer""".stripMargin,
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan regression tests: the scale properties SURVEY §6
+  * claims must hold in the executed plan, not just in prose. A change
+  * that reintroduces a cross product, a window sort, or loses a
+  * pushed filter fails here before it ships.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dedup/similarity candidate generation never cross-joins the corpus") {
+    for ((name, df) <- Seq(
+        "q21" -> Dedup.ngramJaccard(spark, sfDir),
+        "q22" -> Dedup.minhashLsh(spark, sfDir),
+        "q24" -> Similarity.embedNearDup(spark, sfDir),
+        "q47" -> Dedup.nameMatch(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+  }
+
+  test("compaction and ranking run as aggregates, not window sorts") {
+    for ((name, df) <- Seq(
+        "q12" -> Events.latestState(spark, sfDir),
+        "q44" -> Events.firstLast(spark, sfDir),
+        "q38" -> Similarity.ivfTopK(spark, sfDir),
+        "q25" -> Similarity.annBruteForce(spark, sfDir))) {
+      assert(!plan(df).contains("Window"), s"$name uses a window sort")
+    }
+  }
+
+  test("selective scans push filters into the parquet reader") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = Relational.selectiveSum(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // both shipdate bounds must reach the scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"), s"shipdate bounds not pushed:\n$p")
+  }
+
+  test("star-schema joins broadcast the dimension side") {
+    val p = plan(Relational.regionSales(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "q04 lost its broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "q04 shuffles a dimension join")
+  }
+
+  test("queries stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // the per-row hot paths of scan-shaped queries must be codegen'd
+    for ((name, df) <- Seq(
+        "q27" -> TextAnalysis.tokenStats(spark, sfDir),
+        "q31" -> Multimodal.binaryMeta(spark, sfDir),
+        "q61" -> Privacy.piiMask(spark, sfDir))) {
+      val spans = df.queryExecution.executedPlan.collectWithSubqueries {
+        case w: WholeStageCodegenExec => w
+      }
+      assert(spans.nonEmpty, s"$name fell out of codegen")
+    }
+  }
+}
