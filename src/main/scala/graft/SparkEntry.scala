@@ -71,6 +71,7 @@ object SparkEntry {
     "q59_dedup_components"  -> (Dedup.dedupComponents _),
     "q60_count_min_audit"   -> ((s, d) => Sketch.countMinAudit(s, d)),
     "q61_pii_mask"          -> (Privacy.piiMask _),
+    "q62_asof_api"          -> (Events.asofApi _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -645,5 +646,23 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_redacted,
         | concat('***', right(CAST(c_custkey AS VARCHAR), 2)) AS key_last2
         |FROM customer""".stripMargin,
+    // AsOf.join semantics: clicks at EXACTLY the purchase ts are
+    // visible (side ordering), ties among clicks resolved by the
+    // event_id tiebreak — hence the join-then-rank oracle, not q17's
+    // mixed (ts, event_id) window.
+    "q62_asof_api" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT user_id, purchase_id, purchase_ts, last_click_id,
+        | last_click_ts FROM (
+        | SELECT p.user_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) AS purchase_ts,
+        |  c.event_id AS last_click_id, epoch_us(c.ts) AS last_click_ts,
+        |  row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |    ORDER BY c.ts DESC, c.event_id DESC) AS rk
+        | FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts) t
+        |WHERE rk = 1""".stripMargin,
   )
 }

@@ -50,9 +50,13 @@ object AsOf {
       .withColumn(s"${P}t", col(rightTime))
       .withColumn(s"${P}side", lit(0))
       .withColumn(s"${P}tie", rightTiebreak.map(col).getOrElse(lit(null)))
+      // capture the payload BEFORE nulling out left-named columns — a
+      // right payload column may share a name with a left column
+      // (e.g. both sides carry `ts`), and the null overwrite below
+      // would otherwise erase it
+      .withColumns(rightPayload.map(c => s"${P}p_$c" -> col(c)).toMap)
       .withColumns(
         leftCols.filterNot(c => c == key).map(c => c -> lit(null)).toMap)
-      .withColumns(rightPayload.map(c => s"${P}p_$c" -> col(c)).toMap)
     val projected = Seq(s"${P}t", s"${P}side", s"${P}tie") ++
       rightPayload.map(c => s"${P}p_$c")
     val unioned = l.select((leftCols ++ projected).map(col): _*)

@@ -205,17 +205,25 @@ object Dedup {
     * replays exactly. Output is the 16-hex-char signature (a BIGINT
     * would need 1<<63, which overflows the oracle engine). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    // one row per token; the 16 md5 hex nibbles decoded once per token
+    // one row per token; the 128-bit md5 decoded with TWO conv calls
+    // (nibbles 0-14 as a 60-bit long, nibble 15 separately) so the 64
+    // bit extracts below are pure integer shifts
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("nibs", expr(
-        "transform(sequence(0, 15), j -> " +
-          "CAST(conv(substr(md5(CAST(tok AS BINARY)), j + 1, 1), 16, 10) AS INT))"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .withColumn("hi", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("h"), 16, 1), 16, 10).cast("int"))
     // 64 set-bit counters as partial-sum aggregates — no per-bit row
     // explosion (a (doc × token × bit) explode would shuffle 64× the
-    // token count); the shuffle carries one 65-long row per doc
-    val bitSums = (0 until 64).map(b =>
-      sum(expr(s"(nibs[${b / 4}] >> ${b % 4}) & 1")).as(s"b$b"))
+    // token count); the shuffle carries one 65-long row per doc.
+    // bit b = bit (b%4) of hex nibble (b/4); nibble j sits at bit
+    // (14-j)*4 of `hi` for j <= 14, else in `lo`
+    val bitSums = (0 until 64).map { b =>
+      val (j, k) = (b / 4, b % 4)
+      val bit = if (j <= 14) expr(s"(hi >> ${(14 - j) * 4 + k}) & 1")
+                else expr(s"(lo >> $k) & 1")
+      sum(bit).as(s"b$b")
+    }
     val agged = tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n"): _*)
     // majority vote per bit (2·set > n ⟺ Σ±1 > 0), nibble → hex char

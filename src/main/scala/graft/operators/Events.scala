@@ -206,4 +206,22 @@ object Events {
     * event is a delete marker ('error' stands in for Delete cells). */
   def deleteTombstones(s: SparkSession, dir: String): DataFrame =
     latestState(s, dir).filter(col("event_type") =!= "error")
+
+  /** q62: the generic [[AsOf.join]] API under the oracle gate — same
+    * semantics as q17 but via the two-table API (purchases probe side,
+    * clicks build side, event_id as the write-order tiebreak), proving
+    * the union+window formulation end-to-end against SQL. */
+  def asofApi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("event_id", "ts"), rightTiebreak = Some("event_id"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("asof_event_id").as("last_click_id"),
+        col("asof_ts").as("last_click_ts"))
+  }
 }
