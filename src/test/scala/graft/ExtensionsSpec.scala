@@ -38,6 +38,21 @@ class ExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(mh.head.getInt(0) == 8)
   }
 
+  test("long_array_dot matches the declarative idiom's null semantics") {
+    // unequal lengths → null (zip_with null-pads → null product → null sum)
+    val r1 = spark.sql(
+      "SELECT long_array_dot(array(1L,2L), array(1L,2L,3L)) AS d").collect()
+    assert(r1.head.isNullAt(0), "length mismatch must yield null")
+    // null element → null
+    val r2 = spark.sql(
+      "SELECT long_array_dot(array(1L, CAST(NULL AS BIGINT)), array(1L,2L)) AS d").collect()
+    assert(r2.head.isNullAt(0), "null element must yield null")
+    // and the declarative idiom agrees on both shapes
+    val r3 = spark.sql(
+      "SELECT aggregate(zip_with(array(1L,2L), array(1L,2L,3L), (x,y) -> x*y), 0L, (a,u) -> a+u) AS d").collect()
+    assert(r3.head.isNullAt(0))
+  }
+
   test("optimizer rule rewrites aggregate(zip_with) idiom to long_array_dot") {
     // must be file-backed: a local relation would be constant-folded
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
