@@ -72,6 +72,7 @@ object SparkEntry {
     "q60_count_min_audit"   -> ((s, d) => Sketch.countMinAudit(s, d)),
     "q61_pii_mask"          -> (Privacy.piiMask _),
     "q62_asof_api"          -> (Events.asofApi _),
+    "q63_session_assign"    -> (Events.sessionAssign _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -664,5 +665,16 @@ object SparkEntry {
         |    ORDER BY c.ts DESC, c.event_id DESC) AS rk
         | FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts) t
         |WHERE rk = 1""".stripMargin,
+    "q63_session_assign" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts,
+        | CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_id
+        |FROM (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t""".stripMargin,
   )
 }

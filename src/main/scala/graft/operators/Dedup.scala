@@ -172,6 +172,10 @@ object Dedup {
           "concat(substr(c_name, 1, i-1), substr(c_name, i+1))), array(c_name))"))
         .as("variant"))
     val pairs = variants
+      // block on the variant's hash: the groupBy shuffles 8-byte keys
+      // instead of strings; a collision only merges two blocks (extra
+      // candidates that the exact levenshtein confirm discards)
+      .select(col("c_custkey"), xxhash64(col("variant")).as("variant"))
       .groupBy(col("variant")).agg(collect_list(col("c_custkey")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id1"), col("ids"))

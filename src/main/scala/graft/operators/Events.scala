@@ -207,6 +207,22 @@ object Events {
   def deleteTombstones(s: SparkSession, dir: String): DataFrame =
     latestState(s, dir).filter(col("event_type") =!= "error")
 
+  /** q63: session ASSIGNMENT — q14 counts sessions; this labels every
+    * event with its session ordinal (the sessionized event table a
+    * downstream feature pipeline actually consumes). One shuffle on
+    * user_id; the lag + running sum share the same window sort. */
+  def sessionAssign(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
+  }
+
   /** q62: the generic [[AsOf.join]] API under the oracle gate — same
     * semantics as q17 but via the two-table API (purchases probe side,
     * clicks build side, event_id as the write-order tiebreak), proving
