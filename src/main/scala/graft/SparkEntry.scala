@@ -73,6 +73,7 @@ object SparkEntry {
     "q61_pii_mask"          -> (Privacy.piiMask _),
     "q62_asof_api"          -> (Events.asofApi _),
     "q63_session_assign"    -> (Events.sessionAssign _),
+    "q64_value_bands"       -> (Events.valueBands _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -676,5 +677,12 @@ object SparkEntry {
         |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |   THEN 1 ELSE 0 END AS new_s
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t""".stripMargin,
+    "q64_value_bands" ->
+      """WITH bands AS (SELECT b AS band, b*5000 AS lo, b*5000+4999 AS hi
+        |  FROM (SELECT unnest(range(10)) AS b) t),
+        |p AS (SELECT CAST(floor(value*100) AS BIGINT) AS vc, value FROM events)
+        |SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM p JOIN bands ON vc >= lo AND vc <= hi
+        |GROUP BY band""".stripMargin,
   )
 }

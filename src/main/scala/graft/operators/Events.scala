@@ -223,6 +223,22 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
   }
 
+  /** q64: the bucketized range join under the oracle gate — events
+    * classified into value bands via [[RangeJoin.pointInInterval]].
+    * Spark would plan the raw BETWEEN join as a nested loop; the
+    * bucketization turns it into a broadcast equi-join on bucket id
+    * (PlanSpec asserts no cartesian/NLJ survives). */
+  def valueBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val points = Tables.events(s, dir)
+      .withColumn("vc", floor(col("value") * 100).cast("long"))
+    val bands = (0L until 10L).map(b => (b, b * 5000L, b * 5000L + 4999L))
+      .toDF("band", "lo", "hi")
+    RangeJoin.pointInInterval(points, bands, "vc", "lo", "hi", bucketWidth = 2500L)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+  }
+
   /** q62: the generic [[AsOf.join]] API under the oracle gate — same
     * semantics as q17 but via the two-table API (purchases probe side,
     * clicks build side, event_id as the write-order tiebreak), proving

@@ -17,7 +17,8 @@ class PlanSpec extends SparkSpec {
         "q21" -> Dedup.ngramJaccard(spark, sfDir),
         "q22" -> Dedup.minhashLsh(spark, sfDir),
         "q24" -> Similarity.embedNearDup(spark, sfDir),
-        "q47" -> Dedup.nameMatch(spark, sfDir))) {
+        "q47" -> Dedup.nameMatch(spark, sfDir),
+        "q64" -> Events.valueBands(spark, sfDir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
