@@ -74,6 +74,7 @@ object SparkEntry {
     "q62_asof_api"          -> (Events.asofApi _),
     "q63_session_assign"    -> (Events.sessionAssign _),
     "q64_value_bands"       -> (Events.valueBands _),
+    "q65_curate"            -> (Pipeline.curate _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -684,5 +685,37 @@ object SparkEntry {
         |SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM p JOIN bands ON vc >= lo AND vc <= hi
         |GROUP BY band""".stripMargin,
+    // q65: the full curation pipeline — each stage replays the SQL of
+    // the operator it composes (q49, q28, q29, q57, q54).
+    "q65_curate" ->
+      s"""WITH $shinglesCte,
+        |nrm AS (SELECT doc_id, text,
+        |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    '  +', ' ', 'g')) AS nh FROM documents),
+        |ddp AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY nh) AS rep
+        |  FROM nrm) x WHERE doc_id = rep),
+        |qf AS (SELECT doc_id, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) * 0.5
+        |  + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5 AS quality,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y'))) AS BIGINT) AS s_es
+        | FROM ddp),
+        |e AS (SELECT doc_id, unnest(sh) AS s2 FROM t),
+        |probe AS (SELECT DISTINCT s2 FROM e WHERE doc_id < 5),
+        |bad AS (SELECT DISTINCT e.doc_id FROM e JOIN probe USING (s2)),
+        |fin AS (SELECT doc_id, n_tokens, quality FROM qf
+        | WHERE quality >= 0.5
+        |  AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+        |  AND doc_id >= 5
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |  AND ${hex8Sql("concat('curate|', doc_id)")} < 2147483648)
+        |SELECT doc_id, n_tokens, round(quality, 4) AS quality FROM fin""".stripMargin,
   )
 }

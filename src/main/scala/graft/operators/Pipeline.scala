@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** End-to-end corpus curation — the composition the individual
+  * operators exist for, as one call. Order matters at 100 TB:
+  * cheap narrow filters cannot go first here because dedup must see
+  * the whole corpus, so the pipeline runs normalize+exact-dedup
+  * (hash shuffle), then narrow quality/language filters (no
+  * shuffle), then the decontamination semi-join (broadcast probe
+  * set), then the deterministic sample (narrow filter). Everything
+  * is engine-reproducible: md5 dedup keys, md5 sample buckets,
+  * exact token arithmetic.
+  */
+object Pipeline {
+
+  /** q65: curate the documents table into a training corpus:
+    *  1. normalization + exact dedup (min doc_id per normalized hash)
+    *  2. quality floor (q28's composite ≥ 0.5)
+    *  3. language selection (q29's classifier says 'en')
+    *  4. decontamination (no 3-gram overlap with probe docs 0-4)
+    *  5. 50% deterministic hash sample
+    * Output: the curated doc ids with their audit columns. */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // 1. normalize + exact dedup
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " ")
+    val deduped = docs
+      .withColumn("nh", md5(norm.cast("binary")))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("nh"))))
+      .filter(col("doc_id") === col("rep"))
+      .drop("nh", "rep")
+    // 2. quality floor (q28 composite)
+    val toks = tokens(col("text"))
+    val quality = (size(array_distinct(toks)).cast("double") / size(toks)) * 0.5 +
+      (lit(1.0) - tokenHits(toks, Seq("the", "a")).cast("double") / size(toks)) * 0.5
+    // 3. language selection (q29 argmax says 'en')
+    val sEn = tokenHits(toks, Seq("the", "a", "of", "and"))
+    val sDe = tokenHits(toks, Seq("der", "die", "das", "und"))
+    val sFr = tokenHits(toks, Seq("le", "la", "les", "et"))
+    val sEs = tokenHits(toks, Seq("el", "los", "las", "y"))
+    val isEn = sEn >= sDe && sEn >= sFr && sEn >= sEs
+    val filtered = deduped
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("quality", quality)
+      .filter(col("quality") >= 0.5 && isEn && col("doc_id") >= 5)
+    // 4. decontamination: drop docs sharing any 3-gram with the probe
+    val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+    val probe = broadcast(sh.filter(col("doc_id") < 5).select(col("sh")).distinct())
+    val contaminated = sh.join(probe, "sh").select(col("doc_id")).distinct()
+    val clean = filtered.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. deterministic 50% sample
+    clean
+      .filter(Sampling.hashBucket(
+        concat(lit("curate|"), col("doc_id").cast("string"))) < 2147483648L)
+      .select(col("doc_id"), col("n_tokens"), round(col("quality"), 4).as("quality"))
+  }
+}
