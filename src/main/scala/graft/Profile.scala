@@ -9,10 +9,12 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n => SparkEntry.queries(n)(spark, dir).count() } // warm
+    def run(n: String): Unit = SparkEntry.queries(n)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    names.foreach(run) // warm
     names.foreach { n =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).count()
+      run(n)
       println(f"$n: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()

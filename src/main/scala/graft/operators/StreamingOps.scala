@@ -46,10 +46,19 @@ object StreamingOps {
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode
     * emits a state row per touched key per micro-batch; the final
-    * state is the row from the last batch touching the key. */
+    * state is the row from the last batch touching the key.
+    *
+    * `rocksDB = true` runs the query on the RocksDB state-store
+    * provider — the 100 TB production choice (state off-heap,
+    * incremental checkpoints); results are provider-independent
+    * (proven in WalStreamSpec). */
   def finalStates(s: SparkSession, wal: graft.sources.WalStream,
-      out: String, ckpt: String): DataFrame = {
+      out: String, ckpt: String, rocksDB: Boolean = false): DataFrame = {
     import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    if (rocksDB) s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val muts = wal.open(s).as[Mutation]
     val states = RowMaterializer.materialize(s, muts)
     val query = states.writeStream
@@ -60,7 +69,11 @@ object StreamingOps {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally if (rocksDB) prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
     s.read.parquet(out)
       .groupBy(col("table"), col("rowkey"))
       .agg(max_by(struct(col("version"), col("deleted"), col("cells")),

@@ -26,6 +26,14 @@ class WalStreamSpec extends SparkSpec {
 
     assert(viaFile.nonEmpty)
     assert(viaFile.sameElements(viaDsv2))
+
+    // and the state-store provider does not change results: the
+    // RocksDB provider (production choice) must agree byte-for-byte
+    val viaRocks = StreamingOps.finalStates(spark,
+      GraftWalStream(s"$stage/js", maxFilesPerTrigger = 2),
+      s"$stage/out_r", s"$stage/ckpt_r", rocksDB = true)
+      .collect().map(_.toString).sorted
+    assert(viaFile.sameElements(viaRocks))
   }
 
   test("kafka transport constructs with the same downstream schema contract") {
