@@ -75,6 +75,7 @@ object SparkEntry {
     "q63_session_assign"    -> (Events.sessionAssign _),
     "q64_value_bands"       -> (Events.valueBands _),
     "q65_curate"            -> (Pipeline.curate _),
+    "q66_token_pack"        -> ((s, d) => Pipeline.tokenPack(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -717,5 +718,14 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |  AND ${hex8Sql("concat('curate|', doc_id)")} < 2147483648)
         |SELECT doc_id, n_tokens, round(quality, 4) AS quality FROM fin""".stripMargin,
+    "q66_token_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+        |  AS BIGINT) AS chunk_id
+        |FROM d""".stripMargin,
   )
 }

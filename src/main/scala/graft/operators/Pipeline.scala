@@ -60,4 +60,22 @@ object Pipeline {
         concat(lit("curate|"), col("doc_id").cast("string"))) < 2147483648L)
       .select(col("doc_id"), col("n_tokens"), round(col("quality"), 4).as("quality"))
   }
+
+  /** q66: token-budget packing — assign each document to a training
+    * chunk of ≤ `budget` tokens by a running token sum, sharded by
+    * language (at 100 TB the shard key is hash(doc) % K so every
+    * shard's window sort stays small; the greedy running-sum pack is
+    * the standard pre-tokenization batching step). chunk boundaries
+    * are deterministic: docs ordered by doc_id within shard. */
+  def tokenPack(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("chunk_id"))
+  }
 }
