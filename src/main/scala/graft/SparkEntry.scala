@@ -76,6 +76,9 @@ object SparkEntry {
     "q64_value_bands"       -> (Events.valueBands _),
     "q65_curate"            -> (Pipeline.curate _),
     "q66_token_pack"        -> ((s, d) => Pipeline.tokenPack(s, d)),
+    "q67_group_quartiles"   -> (Relational.groupQuartiles _),
+    "q68_user_anomaly"      -> (Events.userAnomaly _),
+    "q69_subscription_audit" -> (StreamingOps.subscriptionAudit _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -727,5 +730,38 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
         |  AS BIGINT) AS chunk_id
         |FROM d""".stripMargin,
+    "q67_group_quartiles" ->
+      """WITH j AS (SELECT c_mktsegment, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment,
+        | min(CASE WHEN rn = CAST(ceil(cnt*0.25) AS BIGINT) THEN o_totalprice END) AS p25,
+        | min(CASE WHEN rn = CAST(ceil(cnt*0.50) AS BIGINT) THEN o_totalprice END) AS p50,
+        | min(CASE WHEN rn = CAST(ceil(cnt*0.75) AS BIGINT) THEN o_totalprice END) AS p75
+        |FROM j GROUP BY c_mktsegment""".stripMargin,
+    "q68_user_anomaly" ->
+      """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |st AS (SELECT count(*) AS c, CAST(sum(n) AS BIGINT) AS s,
+        |  CAST(sum(n*n) AS BIGINT) AS ss FROM u)
+        |SELECT user_id, n,
+        | round((n - CAST(s AS DOUBLE)/c) / sqrt((ss - s*s/c) / (c-1)), 4) AS z,
+        | (abs((n - CAST(s AS DOUBLE)/c) / sqrt((ss - s*s/c) / (c-1))) >= 2.0) AS is_anomaly
+        |FROM u, st""".stripMargin,
+    "q69_subscription_audit" ->
+      """WITH e AS (SELECT user_id, event_type FROM events)
+        |SELECT 'all' AS subscription, count(*) AS n_mutations,
+        | count(DISTINCT user_id) AS n_keys, CAST(2*count(*) AS BIGINT) AS n_cells
+        |FROM e
+        |UNION ALL
+        |SELECT 'clicks', count(*), count(DISTINCT user_id), CAST(count(*) AS BIGINT)
+        |FROM e WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'payloads', count(*), count(DISTINCT user_id), CAST(count(*) AS BIGINT)
+        |FROM e
+        |UNION ALL
+        |SELECT 'purchases', count(*), count(DISTINCT user_id), CAST(count(*) AS BIGINT)
+        |FROM e WHERE event_type = 'purchase'""".stripMargin,
   )
 }

@@ -223,6 +223,24 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
   }
 
+  /** q68: per-user activity anomaly — z-score of each user's event
+    * count against the population, assembled from distributive sums
+    * (one pass over users, stats broadcast back; the streaming-ops
+    * monitoring primitive). */
+  def userAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val stats = u.agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("ss"))
+    u.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s").cast("double") / col("c"))
+      .withColumn("sd",
+        sqrt((col("ss") - col("s") * col("s") / col("c")) / (col("c") - 1)))
+      .withColumn("zr", (col("n") - col("mean")) / col("sd"))
+      .select(col("user_id"), col("n"), round(col("zr"), 4).as("z"),
+        (abs(col("zr")) >= 2.0).as("is_anomaly"))
+  }
+
   /** q64: the bucketized range join under the oracle gate — events
     * classified into value bands via [[RangeJoin.pointInInterval]].
     * Spark would plan the raw BETWEEN join as a nested loop; the

@@ -182,6 +182,24 @@ object Relational {
       .agg(round(avg(col("o_totalprice")), 4).as("median_price"))
   }
 
+  /** q67: exact per-group quartiles (generalizes q40's median) —
+    * rank-selection formulation: the value at rank ⌈q·cnt⌉ per
+    * quantile, deterministic in both engines. One window sort per
+    * segment partition, conditional-min assembly, no approx sketch. */
+  def groupQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+    joined
+      .withColumn("rn", row_number().over(w.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        min(when(col("rn") === ceil(col("cnt") * 0.25), col("o_totalprice"))).as("p25"),
+        min(when(col("rn") === ceil(col("cnt") * 0.50), col("o_totalprice"))).as("p50"),
+        min(when(col("rn") === ceil(col("cnt") * 0.75), col("o_totalprice"))).as("p75"))
+  }
+
   /** q41: set operators — customers ordering in both 1996 and 1997
     * (INTERSECT) vs only in 1996 (EXCEPT). */
   def setOps(s: SparkSession, dir: String): DataFrame = {

@@ -42,6 +42,29 @@ object StreamingOps {
       out, ckpt)
   }
 
+  /** q69: the SepModel subscription surface under the oracle gate —
+    * four registered subscriptions fan out over the same WAL, each
+    * seeing its filtered, cell-narrowed view; the audit row per
+    * subscription (mutations, keys, surviving cells) is what a
+    * SEP operator dashboard shows. */
+  def subscriptionAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{Subscription, Subscriptions}
+    val wal = WalSource.eventsAsWal(s, dir)
+    val subs = Seq(
+      Subscription("all"),
+      Subscription("clicks", family = Some("e"), qualifier = Some("click")),
+      Subscription("purchases", family = Some("e"), qualifier = Some("purchase")),
+      Subscription("payloads", family = Some("e"), qualifier = Some("props")))
+    Subscriptions.fanOut(wal, subs).toSeq.sortBy(_._1)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_mutations"),
+          countDistinct(col("rowkey")).as("n_keys"),
+          sum(size(col("cells")).cast("long")).as("n_cells"))
+          .select(lit(name).as("subscription"), col("n_mutations"),
+            col("n_keys"), col("n_cells"))
+      }.reduce(_ unionByName _)
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode
