@@ -21,6 +21,7 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      System.gc() // drain cross-query garbage so timings don't bleed
       val t0 = System.nanoTime()
       try { run(fn) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Events, Pipeline, Sketch}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style equivalence tests for the round-2 operators,
+  * checked against naive reference computations on seeded random
+  * corpora (deterministic seeds — no flaky generators). */
+class PipelinePropertySpec extends SparkSpec {
+
+  /** Seeded random corpus with a tiny vocabulary, so shingle
+    * collisions and high-jaccard pairs actually occur. */
+  private def corpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = (0 until 12).map(i => s"w$i")
+    (0 until nDocs).map { i =>
+      val words = (0 until 12 + rnd.nextInt(8))
+        .map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+  }
+
+  test("prefix-filtered jaccard equals the naive all-pairs reference") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = corpus(seed, 60)
+      val got = Dedup.ngramJaccardOf(docs.toDF("doc_id", "text"), 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // naive reference: exact all-pairs over distinct 3-gram sets
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+      }
+      val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (sets(a) intersect sets(b)).size
+        if inter > 0
+        j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if j >= 0.5
+      } yield (a, b) -> j).toMap
+      assert(got == want, s"seed $seed: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("count-min estimate upper-bounds the true count, always") {
+    val rows = Sketch.countMinAudit(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS under-estimated ${r.getString(0)}: est=${r.getLong(2)} n=${r.getLong(1)}"))
+  }
+
+  test("session assignment is consistent with the session counter (q14)") {
+    // the highest session ordinal equals the session count, per user
+    val bad = Events.sessionAssign(spark, sfDir)
+      .groupBy(col("user_id")).agg(max(col("session_id")).as("max_sid"))
+      .join(Events.sessionize(spark, sfDir), "user_id")
+      .filter(col("max_sid") =!= col("n_sessions"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("token packing: chunks respect the budget and are contiguous") {
+    val budget = 512L
+    val packed = Pipeline.tokenPack(spark, sfDir, budget).collect()
+    packed.groupBy(r => (r.getString(1), r.getLong(3))).foreach {
+      case ((_, chunk), rows) =>
+        val total = rows.map(_.getLong(2)).sum
+        // greedy running-sum packing: a chunk only exceeds the budget
+        // by (at most) its final straddling document
+        assert(total - rows.map(_.getLong(2)).max <= budget,
+          s"chunk $chunk over budget: $total")
+    }
+    // contiguity: within a lang, doc_ids in chunk k all precede chunk k+1
+    packed.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val byDoc = rows.sortBy(_.getLong(0))
+      val chunkSeq = byDoc.map(_.getLong(3))
+      assert(chunkSeq.zip(chunkSeq.tail).forall { case (a, b) => a <= b })
+    }
+  }
+}
