@@ -79,6 +79,8 @@ object SparkEntry {
     "q67_group_quartiles"   -> (Relational.groupQuartiles _),
     "q68_user_anomaly"      -> (Events.userAnomaly _),
     "q69_subscription_audit" -> (StreamingOps.subscriptionAudit _),
+    "q70_scd2"              -> (Events.scd2 _),
+    "q71_time_travel"       -> ((s, d) => Events.timeTravel(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -763,5 +765,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'purchases', count(*), count(DISTINCT user_id), CAST(count(*) AS BIGINT)
         |FROM e WHERE event_type = 'purchase'""".stripMargin,
+    "q70_scd2" ->
+      """SELECT user_id, event_id, event_type, value,
+        | epoch_us(ts) AS valid_from,
+        | lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS valid_to
+        |FROM events""".stripMargin,
+    "q71_time_travel" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts FROM (
+        | SELECT user_id, event_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE epoch_us(ts) <= 1705276800000000) t
+        |WHERE rn = 1""".stripMargin,
   )
 }

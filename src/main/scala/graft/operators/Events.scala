@@ -223,6 +223,36 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
   }
 
+  /** q70: SCD2 / temporal-table view of the changelog — each event
+    * becomes a validity interval [valid_from, valid_to) closed by the
+    * key's next event (null = current). This is the full-history
+    * complement of q12's latest-state compaction: the dimension table
+    * a warehouse keeps for point-in-time joins. One shuffle per key,
+    * lead() on the same window sort. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts").as("valid_from"), col("valid_to"))
+  }
+
+  /** q71: time-travel snapshot — the latest-cell-wins row states as
+    * of a fixed point in time (the filter prunes at the scan, then
+    * q12's compaction runs on the survivors; this is the CDC
+    * "snapshot read at T" every consumer replays). */
+  def timeTravel(s: SparkSession, dir: String,
+      asOfMicros: Long = 1705276800000000L): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("ts") <= asOfMicros)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("e"))
+      .select(col("user_id"), col("e.event_id"), col("e.event_type"),
+        col("e.value"), col("e.ts"))
+  }
+
   /** q68: per-user activity anomaly — z-score of each user's event
     * count against the population, assembled from distributive sums
     * (one pass over users, stats broadcast back; the streaming-ops
