@@ -81,6 +81,10 @@ object SparkEntry {
     "q69_subscription_audit" -> (StreamingOps.subscriptionAudit _),
     "q70_scd2"              -> (Events.scd2 _),
     "q71_time_travel"       -> ((s, d) => Events.timeTravel(s, d)),
+    "q72_bigram_topk"       -> (TextAnalysis.bigramTopK _),
+    "q74_dedup_cluster_sizes" -> (Dedup.clusterSizes _),
+    "q75_embedding_norms"   -> (Similarity.normStats _),
+    "q76_effectively_once"  -> (StreamingOps.effectivelyOnce _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -778,5 +782,42 @@ object SparkEntry {
         |    ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events WHERE epoch_us(ts) <= 1705276800000000) t
         |WHERE rn = 1""".stripMargin,
+    "q72_bigram_topk" ->
+      """WITH b AS (SELECT unnest(list_transform(
+        |   range(len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+        | FROM documents WHERE len(string_split(text, ' ')) >= 2)
+        |SELECT bg, count(*) AS n FROM b
+        |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+    "q74_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters
+        |FROM sz GROUP BY sz""".stripMargin,
+    "q75_embedding_norms" ->
+      """WITH q AS (SELECT label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT label,
+        |  sqrt(CAST(CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS DOUBLE))
+        |   / 1000000.0 AS nrm FROM q)
+        |SELECT label, count(*) AS n_vecs,
+        | round(avg(nrm), 4) AS avg_norm,
+        | round(min(nrm), 4) AS min_norm,
+        | round(max(nrm), 4) AS max_norm
+        |FROM m GROUP BY label""".stripMargin,
+    "q76_effectively_once" ->
+      """SELECT 'events' AS "table", count(*) AS n_mutations,
+        | count(DISTINCT user_id) AS n_keys
+        |FROM events""".stripMargin,
   )
 }

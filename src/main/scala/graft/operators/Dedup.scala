@@ -154,6 +154,16 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("component"))
   }
 
+  /** q74: dedup impact report — cluster-size histogram over the
+    * connected components (how much of the corpus collapses, and into
+    * how many clusters of what size — the number a curation run
+    * reports before dropping duplicates). */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    dedupComponents(s, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** q47: entity resolution by edit distance via deletion-neighborhood
     * (FastSS) blocking: every name emits its |name| single-deletion
     * variants PLUS itself (the delete-0 member). Same-length pairs at

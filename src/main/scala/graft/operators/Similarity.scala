@@ -106,6 +106,21 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
+  /** q75: embedding norm audit per label — the health check run
+    * before any similarity work (collapsed/exploded norms flag a bad
+    * encoder batch). Norms from the exact integer n2. */
+  def normStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+      .withColumn("n2", org.apache.spark.sql.graft.LongArrayDot.column(col("v"), col("v")))
+      .withColumn("nrm", sqrt(col("n2").cast("double")) / 1e6)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+
   /** q37: per-label centroid sums — exact integer element-wise sums
     * of quantized vectors, emitted as (label, pos, sx) rows. The
     * posexplode→groupBy shape is the scalable centroid pattern: the

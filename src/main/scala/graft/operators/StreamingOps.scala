@@ -65,6 +65,19 @@ object StreamingOps {
       }.reduce(_ unionByName _)
   }
 
+  /** q76: effectively-once replay audit — the WAL delivered twice
+    * (at-least-once), deduplicated on the sequence number, must equal
+    * single delivery. The batch form of streaming.ExactlyOnce's
+    * contract, under the oracle gate. */
+  def effectivelyOnce(s: SparkSession, dir: String): DataFrame = {
+    val wal = WalSource.eventsAsWal(s, dir)
+    wal.union(wal) // duplicate delivery
+      .dropDuplicates("seq")
+      .groupBy(col("table"))
+      .agg(count(lit(1)).as("n_mutations"),
+        countDistinct(col("rowkey")).as("n_keys"))
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode

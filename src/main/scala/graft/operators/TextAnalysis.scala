@@ -113,6 +113,20 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** q72: corpus bigram top-k — the n-gram count table an LM data
+    * pipeline exports (q32's unigram counts, order-sensitive). */
+  def bigramTopK(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
+    Tables.documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(explode(bigrams).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(20)
+  }
+
   /** q57: benchmark decontamination — flag corpus docs sharing 3-gram
     * shingles with a held-out probe set (docs 0-4 stand in for the
     * benchmark test set). The probe shingle set is tiny and broadcast;
