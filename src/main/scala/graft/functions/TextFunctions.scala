@@ -27,4 +27,30 @@ object TextFunctions {
   /** Count of tokens that are members of `set`. */
   def tokenHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, x => x.isin(set.map(v => v: Any): _*)))
+
+  /** Word bigrams of a text column ("a b", "b c", …). Callers must
+    * guard size ≥ 2 (Spark's sequence(0, -1) is [0, -1], not []). */
+  def bigrams2(text: Column): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+  }
+
+  /** The canonical composite quality score (q28's definition; shared
+    * with the curation pipeline so the weights live in one place). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    (size(array_distinct(toks)).cast("double") / size(toks)) * 0.5 +
+      (lit(1.0) - tokenHits(toks, Seq("the", "a")).cast("double") / size(toks)) * 0.5
+  }
+
+  /** q29's argmax-says-English predicate (shared with curation). */
+  def isEnglish(text: Column): Column = {
+    val toks = tokens(text)
+    val sEn = tokenHits(toks, Seq("the", "a", "of", "and"))
+    val sDe = tokenHits(toks, Seq("der", "die", "das", "und"))
+    val sFr = tokenHits(toks, Seq("le", "la", "les", "et"))
+    val sEs = tokenHits(toks, Seq("el", "los", "las", "y"))
+    sEn >= sDe && sEn >= sFr && sEn >= sEs
+  }
 }

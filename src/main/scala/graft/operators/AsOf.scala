@@ -39,6 +39,9 @@ object AsOf {
     val leftCols = left.columns
     require(!(leftCols ++ right.columns).exists(_.startsWith(P)),
       s"column prefix '$P' is reserved by AsOf.join")
+    val outClash = rightPayload.map(c => s"asof_$c").toSet intersect leftCols.toSet
+    require(outClash.isEmpty,
+      s"left columns ${outClash.mkString(", ")} collide with AsOf.join output names")
     // side 1 sorts after side 0 at equal time: right rows at time t
     // are visible to left rows at the same t (inclusive as-of)
     val l = left

@@ -46,6 +46,9 @@ object Multimodal {
       maxFrames: Int = 8): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      // guard: Spark's sequence(0, -1) yields [0, -1], not [] — an
+      // empty blob would emit phantom frames the oracle doesn't
+      .filter(length(col("blob")) > 0)
       .withColumn("n_frames",
         least(ceil(length(col("blob")) / frameBytes.toDouble), lit(maxFrames.toLong)))
       .select(col("doc_id"), col("n_frames"),

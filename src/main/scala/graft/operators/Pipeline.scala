@@ -35,20 +35,12 @@ object Pipeline {
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("nh"))))
       .filter(col("doc_id") === col("rep"))
       .drop("nh", "rep")
-    // 2. quality floor (q28 composite)
-    val toks = tokens(col("text"))
-    val quality = (size(array_distinct(toks)).cast("double") / size(toks)) * 0.5 +
-      (lit(1.0) - tokenHits(toks, Seq("the", "a")).cast("double") / size(toks)) * 0.5
-    // 3. language selection (q29 argmax says 'en')
-    val sEn = tokenHits(toks, Seq("the", "a", "of", "and"))
-    val sDe = tokenHits(toks, Seq("der", "die", "das", "und"))
-    val sFr = tokenHits(toks, Seq("le", "la", "les", "et"))
-    val sEs = tokenHits(toks, Seq("el", "los", "las", "y"))
-    val isEn = sEn >= sDe && sEn >= sFr && sEn >= sEs
+    // 2. quality floor (q28's composite) + 3. language selection
+    //    (q29's argmax) — both from the shared canonical definitions
     val filtered = deduped
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("quality", quality)
-      .filter(col("quality") >= 0.5 && isEn && col("doc_id") >= 5)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= 0.5 && isEnglish(col("text")) && col("doc_id") >= 5)
     // 4. decontamination: drop docs sharing any 3-gram with the probe
     val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
     val probe = broadcast(sh.filter(col("doc_id") < 5).select(col("sh")).distinct())

@@ -31,7 +31,17 @@ object StreamingOps {
     */
   def walStreamMaterialize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stage = java.nio.file.Files.createTempDirectory("graft-q53").toString
+    // bounded staging: one fixed root per input dir, wiped at entry —
+    // repeated bench warm-up/timed/verify runs reuse the same space
+    // instead of accumulating a WAL copy per invocation
+    val stagePath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-q53-" + Integer.toHexString(dir.hashCode))
+    if (java.nio.file.Files.exists(stagePath)) {
+      java.nio.file.Files.walk(stagePath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val stage = stagePath.toString
     val walDir = s"$stage/wal"
     val ckpt = s"$stage/ckpt"
     val out = s"$stage/out"

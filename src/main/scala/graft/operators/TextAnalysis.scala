@@ -97,12 +97,9 @@ object TextAnalysis {
     * word bigrams (the order-sensitive upgrade of q50's unigram proxy;
     * low scores flag shuffled/garbled text that unigram stats miss). */
   def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
-    val bigrams = expr(
-      "transform(sequence(0, size(split(text, ' ')) - 2), " +
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
     val bg = Tables.documents(s, dir)
       .filter(size(tokens(col("text"))) >= 2) // sequence(0,-1) guard
-      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), explode(bigrams2(col("text"))).as("bg"))
     // corpus frequency as count-over-window: bigrams are mostly
     // unique, so a groupBy+re-join would shuffle the exploded table
     // twice and hash-join ~|corpus| rows; the window does one shuffle
@@ -116,12 +113,9 @@ object TextAnalysis {
   /** q72: corpus bigram top-k — the n-gram count table an LM data
     * pipeline exports (q32's unigram counts, order-sensitive). */
   def bigramTopK(s: SparkSession, dir: String): DataFrame = {
-    val bigrams = expr(
-      "transform(sequence(0, size(split(text, ' ')) - 2), " +
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
     Tables.documents(s, dir)
       .filter(size(tokens(col("text"))) >= 2)
-      .select(explode(bigrams).as("bg"))
+      .select(explode(bigrams2(col("text"))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bg"))
       .limit(20)

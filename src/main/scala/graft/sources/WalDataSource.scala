@@ -71,7 +71,11 @@ private[sources] class WalMicroBatchStream(dir: String, maxFilesPerTrigger: Int)
     // resolves non-local URIs against the local filesystem — fail
     // loudly instead of reporting an empty (= "no data") stream for
     // an hdfs:///s3a:// WAL or a missing directory.
-    val scheme = Option(java.net.URI.create(dir).getScheme)
+    // a plain local path may contain URI-illegal characters (spaces);
+    // only treat the string as a URI when it parses as one
+    val scheme =
+      try Option(java.net.URI.create(dir).getScheme)
+      catch { case _: IllegalArgumentException => None }
     require(scheme.forall(_ == "file"),
       s"graft-wal reads local segment files; got scheme '${scheme.get}' for $dir — " +
         "plug a Hadoop FileSystem-backed reader for remote WALs")

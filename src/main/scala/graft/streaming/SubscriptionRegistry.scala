@@ -18,9 +18,12 @@ import scala.jdk.CollectionConverters._
 final class SubscriptionRegistry(path: String) {
 
   private val mapper = new ObjectMapper()
-  // in-process mutation lock; cross-process safety comes from the
-  // atomic rename below (readers always see a complete file)
-  private val lock = new Object
+  // in-process mutation lock keyed by the registry PATH (two
+  // instances over the same file must serialize); cross-process
+  // safety comes from the atomic rename below (readers always see a
+  // complete file — multi-writer across processes needs a real
+  // coordination service, as the reference's ZK registry provides)
+  private val lock = SubscriptionRegistry.lockFor(path)
 
   private def write(subs: Seq[Subscription]): Unit = {
     val lines = subs.map { s =>
@@ -32,7 +35,8 @@ final class SubscriptionRegistry(path: String) {
       mapper.writeValueAsString(n)
     }
     val target = Paths.get(path).toAbsolutePath
-    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${Thread.currentThread().getId}.tmp")
     Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     // write-temp-then-rename: a crash mid-write can never leave a
@@ -67,4 +71,11 @@ final class SubscriptionRegistry(path: String) {
   /** Attach every registered subscription to a WAL stream. */
   def attachAll(wal: DataFrame): Map[String, DataFrame] =
     Subscriptions.fanOut(wal, list())
+}
+
+object SubscriptionRegistry {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(
+      Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
 }
