@@ -18,7 +18,9 @@ class PlanSpec extends SparkSpec {
         "q22" -> Dedup.minhashLsh(spark, sfDir),
         "q24" -> Similarity.embedNearDup(spark, sfDir),
         "q47" -> Dedup.nameMatch(spark, sfDir),
-        "q64" -> Events.valueBands(spark, sfDir))) {
+        "q64" -> Events.valueBands(spark, sfDir),
+        "q57" -> TextAnalysis.decontaminate(spark, sfDir),
+        "q65" -> Pipeline.curate(spark, sfDir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
