@@ -85,6 +85,8 @@ object SparkEntry {
     "q74_dedup_cluster_sizes" -> (Dedup.clusterSizes _),
     "q75_embedding_norms"   -> (Similarity.normStats _),
     "q76_effectively_once"  -> (StreamingOps.effectivelyOnce _),
+    "q77_repetition"        -> (TextAnalysis.repetition _),
+    "q79_event_gaps"        -> (Events.eventGaps _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -819,5 +821,26 @@ object SparkEntry {
       """SELECT 'events' AS "table", count(*) AS n_mutations,
         | count(DISTINCT user_id) AS n_keys
         |FROM events""".stripMargin,
+    "q77_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN len(ts) >= 2 THEN len(list_filter(range(len(ts) - 1),
+        |    i -> ts[CAST(i + 1 AS INTEGER)] = ts[CAST(i + 2 AS INTEGER)]))
+        |   ELSE 0 END AS BIGINT) AS n_rep FROM d)
+        |SELECT doc_id, n_tokens, n_rep,
+        | CASE WHEN n_tokens >= 2
+        |  THEN round(CAST(n_rep AS DOUBLE) / (n_tokens - 1), 4)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM c""".stripMargin,
+    "q79_event_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gap
+        | FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        | CAST(min(gap) AS BIGINT) AS min_gap,
+        | CAST(max(gap) AS BIGINT) AS max_gap,
+        | round(avg(gap), 4) AS avg_gap
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
   )
 }

@@ -223,6 +223,22 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
   }
 
+  /** q79: inter-event gap statistics per user — the arrival-cadence
+    * profile (mean/min/max gap) an ops dashboard and the sessionizer
+    * threshold tuning both consume. Gaps from lag() on the per-key
+    * window sort; exact integer microsecond math. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"),
+        round(avg(col("gap")), 4).as("avg_gap"))
+  }
+
   /** q70: SCD2 / temporal-table view of the changelog — each event
     * becomes a validity interval [valid_from, valid_to) closed by the
     * key's next event (null = current). This is the full-history

@@ -84,6 +84,26 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** q77: repetition filter — adjacent-duplicate token rate per doc
+    * (the standard "repetition penalty" quality signal: generated or
+    * corrupted text repeats; high rep_ratio docs get dropped before
+    * training). Pure narrow list arithmetic, no shuffle. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nRep = when(size(toks) >= 2,
+      size(filter(sequence(lit(0), size(toks) - 2),
+        i => element_at(toks, i + 1) === element_at(toks, i + 2))))
+      .otherwise(0)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      nRep.cast("long").as("n_rep"))
+      .withColumn("rep_ratio",
+        when(col("n_tokens") >= 2,
+          round(col("n_rep").cast("double") / (col("n_tokens") - 1), 4))
+          .otherwise(lit(0.0)))
+  }
+
   /** q30: fingerprinting — full-content md5 + min-shingle fingerprint
     * (the rolling-hash-family document signature). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
