@@ -840,7 +840,7 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_gaps,
         | CAST(min(gap) AS BIGINT) AS min_gap,
         | CAST(max(gap) AS BIGINT) AS max_gap,
-        | round(avg(gap), 4) AS avg_gap
+        | CAST(sum(gap) AS DOUBLE) / count(*) AS avg_gap
         |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
   )
 }

@@ -236,7 +236,11 @@ object Events {
       .agg(count(lit(1)).as("n_gaps"),
         min(col("gap")).as("min_gap"),
         max(col("gap")).as("max_gap"),
-        round(avg(col("gap")), 4).as("avg_gap"))
+        // exact integer sum then ONE division, UNROUNDED — the
+        // quotient is bit-identical across engines, while round(x,4)
+        // at 1e10 magnitude sits past double precision and the two
+        // engines' rounding implementations disagree on ties
+        (sum(col("gap")).cast("double") / count(lit(1))).as("avg_gap"))
   }
 
   /** q70: SCD2 / temporal-table view of the changelog — each event
