@@ -20,11 +20,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // a failed query records -1.0 (sentinel) — its time-to-failure
+    // must not read as a fast success in the BENCH json
     val results = SparkEntry.queries.map { case (name, fn) =>
       System.gc() // drain cross-query garbage so timings don't bleed
       val t0 = System.nanoTime()
-      try { run(fn) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     } ++ {
       // skew stress: every doc shares a hot boilerplate header, the
       // classic posting-list skew that kills a naive inverted index;
@@ -35,10 +37,12 @@ object Bench {
       val skewed = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), concat(lit(boiler + " "), col("text")).as("text"))
       val t0 = System.nanoTime()
-      try graft.operators.Dedup.ngramJaccardOf(skewed, 0.5)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      Map("x_skew_boilerplate_jaccard" -> (System.nanoTime() - t0) / 1e9)
+      val ok = try {
+        graft.operators.Dedup.ngramJaccardOf(skewed, 0.5)
+          .write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
+      Map("x_skew_boilerplate_jaccard" ->
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -730,11 +730,12 @@ object SparkEntry {
         |  AND ${hex8Sql("concat('curate|', doc_id)")} < 2147483648)
         |SELECT doc_id, n_tokens, round(quality, 4) AS quality FROM fin""".stripMargin,
     "q66_token_pack" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      s"""WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ${hex8Sql("concat('pack|', doc_id)")} % 8 AS shard
         | FROM documents)
-        |SELECT doc_id, lang, n_tokens,
-        | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |SELECT doc_id, lang, shard, n_tokens,
+        | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
         |  AS BIGINT) AS chunk_id
         |FROM d""".stripMargin,

@@ -72,15 +72,20 @@ object Dedup {
       .select(col("d1"), explode(col("ds")).as("d2"))
       .filter(col("d1") < col("d2"))
       .distinct()
-    // Two-stage verification. Stage 1 prunes with broadcast hashed
-    // arrays: |hashset(A)∩hashset(B)| ≥ |A∩B|, so jaccard on hashes
-    // upper-bounds true jaccard — a sound prefilter that ships 8-byte
-    // elements to hundreds of thousands of candidates. Stage 2 runs
-    // the exact string intersect on the few survivors. (At 100 TB the
-    // broadcast lookups become bucketed joins co-partitioned on
-    // doc_id; the shape is otherwise unchanged.)
-    val t2 = broadcast(t.select(col("doc_id"),
-      transform(col("sh"), x => xxhash64(x)).as("hs"), size(col("sh")).as("n")))
+    // Two-stage verification. Stage 1 prunes with hashed arrays:
+    // |hashset(A)∩hashset(B)| ≥ |A∩B| — up to the ~2^-64 chance that
+    // two distinct common shingles collide under xxhash64
+    // (array_intersect counts distinct hashes), so jaccard on hashes
+    // upper-bounds true jaccard modulo that negligible caveat; 8-byte
+    // elements reach hundreds of thousands of candidates cheaply.
+    // Stage 2 runs the exact string intersect on the few survivors.
+    // The lookup tables are plain equi-joins on doc_id: AQE broadcasts
+    // them while they fit and falls back to shuffled joins when they
+    // don't — a hard-coded broadcast() hint would be honored
+    // regardless of size and ship the corpus-sized shingle table to
+    // the driver and every executor at 100 TB.
+    val t2 = t.select(col("doc_id"),
+      transform(col("sh"), x => xxhash64(x)).as("hs"), size(col("sh")).as("n"))
     val survivors = pairs
       .join(t2.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1")), "d1")
       .join(t2.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2")), "d2")
@@ -90,8 +95,8 @@ object Dedup {
       .filter(col("ch").cast("double") / (col("n1") + col("n2") - col("ch")) >= threshold)
       .select(col("d1"), col("d2"))
     survivors
-      .join(broadcast(t.select(col("doc_id").as("d1"), col("sh").as("sh1"))), "d1")
-      .join(broadcast(t.select(col("doc_id").as("d2"), col("sh").as("sh2"))), "d2")
+      .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
         col("common").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("common")))

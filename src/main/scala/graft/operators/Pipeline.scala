@@ -54,20 +54,29 @@ object Pipeline {
   }
 
   /** q66: token-budget packing — assign each document to a training
-    * chunk of ≤ `budget` tokens by a running token sum, sharded by
-    * language (at 100 TB the shard key is hash(doc) % K so every
-    * shard's window sort stays small; the greedy running-sum pack is
-    * the standard pre-tokenization batching step). chunk boundaries
-    * are deterministic: docs ordered by doc_id within shard. */
-  def tokenPack(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    * chunk of ≤ `budget` tokens by a running token sum. The window
+    * is keyed by (lang, shard) where shard = md5-bucket(doc_id) %
+    * `shards` — the md5 family ([[Sampling.hashBucket]]) so the
+    * oracle replays the same sharding. Sharding by language alone
+    * (~4 values) would sort ~¼ of a 100 TB corpus in ONE task; the
+    * hash shard bounds every window sort to corpus/(langs·shards),
+    * with `shards` sized so a shard fits one task (~10⁶ docs). The
+    * greedy running-sum pack is the standard pre-tokenization
+    * batching step; chunk boundaries are deterministic: docs ordered
+    * by doc_id within (lang, shard). */
+  def tokenPack(s: SparkSession, dir: String, budget: Long = 4096L,
+      shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(
+        Sampling.hashBucket(concat(lit("pack|"), col("doc_id").cast("string"))),
+        lit(shards.toLong)))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         expr(s"cum_before div $budget").as("chunk_id"))
   }
 }

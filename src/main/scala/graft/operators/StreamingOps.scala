@@ -33,9 +33,16 @@ object StreamingOps {
     import s.implicits._
     // bounded staging: one fixed root per input dir, wiped at entry —
     // repeated bench warm-up/timed/verify runs reuse the same space
-    // instead of accumulating a WAL copy per invocation
+    // instead of accumulating a WAL copy per invocation. Keyed on an
+    // md5 digest of the absolute path (String.hashCode collides too
+    // easily to key a wipe-then-write space); assumes a single runner
+    // per input dir per host — concurrent JVMs verifying the same dir
+    // would need per-run unique dirs.
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val stagePath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-q53-" + Integer.toHexString(dir.hashCode))
+      sys.props("java.io.tmpdir"), "graft-q53-" + dirKey)
     if (java.nio.file.Files.exists(stagePath)) {
       java.nio.file.Files.walk(stagePath)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -53,26 +60,46 @@ object StreamingOps {
   }
 
   /** q69: the SepModel subscription surface under the oracle gate —
-    * four registered subscriptions fan out over the same WAL, each
-    * seeing its filtered, cell-narrowed view; the audit row per
-    * subscription (mutations, keys, surviving cells) is what a
-    * SEP operator dashboard shows. */
+    * four registered subscriptions audited over the same WAL, each
+    * counting its filtered, cell-narrowed view (mutations, keys,
+    * surviving cells — what a SEP operator dashboard shows).
+    *
+    * ONE pass: each mutation emits one (subscription, n_cells) entry
+    * per matching subscription via a literal-driven explode, then a
+    * single aggregation — 1 scan instead of |subscriptions| scans of
+    * a 100 TB WAL. Semantics per entry are exactly
+    * [[graft.streaming.Subscription]]'s filter + cell narrowing
+    * (equivalence with the fanOut path is pinned in ExactlyOnceSpec). */
   def subscriptionAudit(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.{Subscription, Subscriptions}
+    import graft.streaming.Subscription
     val wal = WalSource.eventsAsWal(s, dir)
-    val subs = Seq(
+    val entries = array(auditSubscriptions.map { sub =>
+      val narrowed = (sub.family, sub.qualifier) match {
+        case (None, None) => col("cells")
+        case _ => filter(col("cells"), c =>
+          sub.family.map(c.getField("family") === _).getOrElse(lit(true)) &&
+            sub.qualifier.map(c.getField("qualifier") === _).getOrElse(lit(true)))
+      }
+      // null n_cells = mutation invisible to this subscription
+      struct(lit(sub.name).as("subscription"),
+        when(sub.predicate, size(narrowed).cast("long")).as("n_cells"))
+    }: _*)
+    wal.select(col("rowkey"), explode(entries).as("e"))
+      .filter(col("e.n_cells").isNotNull)
+      .groupBy(col("e.subscription").as("subscription"))
+      .agg(count(lit(1)).as("n_mutations"),
+        countDistinct(col("rowkey")).as("n_keys"),
+        sum(col("e.n_cells")).as("n_cells"))
+  }
+
+  /** The q69 subscription set (shared with the fanOut-equivalence spec). */
+  def auditSubscriptions: Seq[graft.streaming.Subscription] = {
+    import graft.streaming.Subscription
+    Seq(
       Subscription("all"),
       Subscription("clicks", family = Some("e"), qualifier = Some("click")),
       Subscription("purchases", family = Some("e"), qualifier = Some("purchase")),
       Subscription("payloads", family = Some("e"), qualifier = Some("props")))
-    Subscriptions.fanOut(wal, subs).toSeq.sortBy(_._1)
-      .map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_mutations"),
-          countDistinct(col("rowkey")).as("n_keys"),
-          sum(size(col("cells")).cast("long")).as("n_cells"))
-          .select(lit(name).as("subscription"), col("n_mutations"),
-            col("n_keys"), col("n_cells"))
-      }.reduce(_ unionByName _)
   }
 
   /** q76: effectively-once replay audit — the WAL delivered twice

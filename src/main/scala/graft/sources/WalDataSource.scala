@@ -71,11 +71,15 @@ private[sources] class WalMicroBatchStream(dir: String, maxFilesPerTrigger: Int)
     // resolves non-local URIs against the local filesystem — fail
     // loudly instead of reporting an empty (= "no data") stream for
     // an hdfs:///s3a:// WAL or a missing directory.
-    // a plain local path may contain URI-illegal characters (spaces);
-    // only treat the string as a URI when it parses as one
+    // only treat the string as a URI when it carries an explicit
+    // "scheme://" prefix — a plain local path may contain URI-illegal
+    // characters (spaces), and a relative path whose first segment
+    // contains a colon ('wal:v2/segments') is a java.io.File path,
+    // not a remote scheme
     val scheme =
-      try Option(java.net.URI.create(dir).getScheme)
-      catch { case _: IllegalArgumentException => None }
+      if (dir.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*"))
+        Some(dir.substring(0, dir.indexOf(':')))
+      else None
     require(scheme.forall(_ == "file"),
       s"graft-wal reads local segment files; got scheme '${scheme.get}' for $dir — " +
         "plug a Hadoop FileSystem-backed reader for remote WALs")

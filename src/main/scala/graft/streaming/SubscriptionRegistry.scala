@@ -35,8 +35,13 @@ final class SubscriptionRegistry(path: String) {
       mapper.writeValueAsString(n)
     }
     val target = Paths.get(path).toAbsolutePath
+    // pid + thread + random suffix: two processes can share a thread
+    // id, and one process's ATOMIC_MOVE must never publish another's
+    // half-written tmp file
     val tmp = target.resolveSibling(
-      s".${target.getFileName}.${Thread.currentThread().getId}.tmp")
+      s".${target.getFileName}.${ProcessHandle.current().pid()}." +
+        s"${Thread.currentThread().getId}." +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     // write-temp-then-rename: a crash mid-write can never leave a

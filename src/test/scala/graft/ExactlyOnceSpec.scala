@@ -52,6 +52,28 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(spark.table("fan_props").collect().head.getAs[Long]("n") == expected)
   }
 
+  test("one-pass q69 audit equals the per-subscription fanOut scans") {
+    import graft.streaming.Subscriptions
+    val wal = WalSource.eventsAsWal(spark, sfDir)
+    // the audited counts must be exactly what each subscription's own
+    // filtered, narrowed view reports (the pre-r3 four-scan form)
+    val want = Subscriptions.fanOut(wal, operators.StreamingOps.auditSubscriptions)
+      .map { case (name, df) =>
+        val r = df.agg(count(lit(1)), countDistinct(col("rowkey")),
+          sum(size(col("cells")).cast("long"))).collect().head
+        name -> ((r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    val got = operators.StreamingOps.subscriptionAudit(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // and the audit plan reads the WAL exactly once
+    val scans = operators.StreamingOps.subscriptionAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"q69 audit scans the WAL $scans times")
+  }
+
   test("subscription registry: register/unregister persists across instances") {
     import graft.streaming.SubscriptionRegistry
     val path = Files.createTempDirectory("graft_reg").resolve("subs.jsonl").toString

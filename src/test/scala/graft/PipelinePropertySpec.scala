@@ -61,22 +61,29 @@ class PipelinePropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("token packing: chunks respect the budget and are contiguous") {
+  test("token packing: chunks respect the budget and are contiguous per shard") {
     val budget = 512L
-    val packed = Pipeline.tokenPack(spark, sfDir, budget).collect()
-    packed.groupBy(r => (r.getString(1), r.getLong(3))).foreach {
-      case ((_, chunk), rows) =>
-        val total = rows.map(_.getLong(2)).sum
-        // greedy running-sum packing: a chunk only exceeds the budget
-        // by (at most) its final straddling document
-        assert(total - rows.map(_.getLong(2)).max <= budget,
-          s"chunk $chunk over budget: $total")
-    }
-    // contiguity: within a lang, doc_ids in chunk k all precede chunk k+1
-    packed.groupBy(_.getString(1)).foreach { case (_, rows) =>
-      val byDoc = rows.sortBy(_.getLong(0))
-      val chunkSeq = byDoc.map(_.getLong(3))
-      assert(chunkSeq.zip(chunkSeq.tail).forall { case (a, b) => a <= b })
+    for (shards <- Seq(1, 8)) {
+      val packed = Pipeline.tokenPack(spark, sfDir, budget, shards).collect()
+      def lang(r: org.apache.spark.sql.Row) = r.getAs[String]("lang")
+      def shard(r: org.apache.spark.sql.Row) = r.getAs[Long]("shard")
+      def chunk(r: org.apache.spark.sql.Row) = r.getAs[Long]("chunk_id")
+      def nTok(r: org.apache.spark.sql.Row) = r.getAs[Long]("n_tokens")
+      def doc(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id")
+      assert(packed.map(shard).toSet.subsetOf((0L until shards).toSet))
+      packed.groupBy(r => (lang(r), shard(r), chunk(r))).foreach {
+        case ((_, _, c), rows) =>
+          val total = rows.map(nTok).sum
+          // greedy running-sum packing: a chunk only exceeds the
+          // budget by (at most) its final straddling document
+          assert(total - rows.map(nTok).max <= budget,
+            s"shards=$shards chunk $c over budget: $total")
+      }
+      // contiguity: within (lang, shard), chunk ids are monotone in doc_id
+      packed.groupBy(r => (lang(r), shard(r))).foreach { case (_, rows) =>
+        val chunkSeq = rows.sortBy(doc).map(chunk)
+        assert(chunkSeq.zip(chunkSeq.tail).forall { case (a, b) => a <= b })
+      }
     }
   }
 }

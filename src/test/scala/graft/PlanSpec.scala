@@ -27,6 +27,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21 holds no broadcast hint on corpus-derived tables") {
+    // with the engine's size-based broadcasts disabled, a surviving
+    // BroadcastHashJoin can only come from a hard-coded broadcast()
+    // hint — the hint would ship the corpus-sized shingle table to
+    // every executor at 100 TB (VERDICT r2 "What's wrong" #1)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Dedup.ngramJaccard(spark, sfDir))
+      assert(!p.contains("BroadcastHashJoin"),
+        "q21 verify stage still hints a broadcast join")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("compaction and ranking run as aggregates, not window sorts") {
     for ((name, df) <- Seq(
         "q12" -> Events.latestState(spark, sfDir),
