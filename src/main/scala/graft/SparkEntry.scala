@@ -82,11 +82,14 @@ object SparkEntry {
     "q70_scd2"              -> (Events.scd2 _),
     "q71_time_travel"       -> ((s, d) => Events.timeTravel(s, d)),
     "q72_bigram_topk"       -> (TextAnalysis.bigramTopK _),
+    "q73_window_stream"     -> (StreamingOps.windowStream _),
     "q74_dedup_cluster_sizes" -> (Dedup.clusterSizes _),
     "q75_embedding_norms"   -> (Similarity.normStats _),
     "q76_effectively_once"  -> (StreamingOps.effectivelyOnce _),
     "q77_repetition"        -> (TextAnalysis.repetition _),
+    "q78_session_stream"    -> (StreamingOps.sessionStream _),
     "q79_event_gaps"        -> (Events.eventGaps _),
+    "q80_interval_join_stream" -> (StreamingOps.intervalJoinStream _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -792,6 +795,40 @@ object SparkEntry {
         | FROM documents WHERE len(string_split(text, ' ')) >= 2)
         |SELECT bg, count(*) AS n FROM b
         |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+    // q73: streaming tumbling counts — same aggregate as q13 (window
+    // counting is arrival-order independent, so the final Complete-
+    // mode state replays as the batch SQL).
+    "q73_window_stream" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q78: streaming session windows; session_window starts a NEW
+    // session when the gap is >= the 30-min duration (touching
+    // [t, t+30) windows do not overlap) — hence >= where q14 uses >.
+    // Put-only stream: tombstone ('error') events excluded.
+    "q78_session_stream" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WHERE event_type <> 'error'
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    // q80: stream-stream interval join — every (purchase, click) pair
+    // within [purchase - 1h, purchase] per user, aggregated per user.
+    "q80_interval_join_stream" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, count(*) AS n_pairs,
+        | count(DISTINCT p.event_id) AS n_purchases,
+        | count(DISTINCT c.event_id) AS n_clicks
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - 3600000000 AND c.ts <= p.ts
+        |GROUP BY p.user_id""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

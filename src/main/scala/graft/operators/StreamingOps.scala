@@ -31,24 +31,7 @@ object StreamingOps {
     */
   def walStreamMaterialize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // bounded staging: one fixed root per input dir, wiped at entry —
-    // repeated bench warm-up/timed/verify runs reuse the same space
-    // instead of accumulating a WAL copy per invocation. Keyed on an
-    // md5 digest of the absolute path (String.hashCode collides too
-    // easily to key a wipe-then-write space); assumes a single runner
-    // per input dir per host — concurrent JVMs verifying the same dir
-    // would need per-run unique dirs.
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val stagePath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-q53-" + dirKey)
-    if (java.nio.file.Files.exists(stagePath)) {
-      java.nio.file.Files.walk(stagePath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
-    val stage = stagePath.toString
+    val stage = stagingRoot("q53", dir)
     val walDir = s"$stage/wal"
     val ckpt = s"$stage/ckpt"
     val out = s"$stage/out"
@@ -57,6 +40,146 @@ object StreamingOps {
     WalSource.writeWalJson(puts, walDir, batches = 8)
     finalStates(s, graft.sources.GraftWalStream(walDir, maxFilesPerTrigger = 2),
       out, ckpt)
+  }
+
+  /** Bounded staging root for the streaming gate queries: one fixed
+    * dir per (query tag, input dir), wiped at entry — repeated bench
+    * warm-up/timed/verify runs reuse the same space instead of
+    * accumulating a WAL copy per invocation. Keyed on an md5 digest
+    * of the absolute input path (String.hashCode collides too easily
+    * to key a wipe-then-write space); assumes a single runner per
+    * input dir per host — concurrent JVMs verifying the same dir
+    * would need per-run unique dirs. */
+  private def stagingRoot(tag: String, dir: String): String = {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val stagePath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-$tag-$dirKey")
+    if (java.nio.file.Files.exists(stagePath)) {
+      java.nio.file.Files.walk(stagePath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    stagePath.toString
+  }
+
+  /** q73: STREAMING tumbling-window aggregation under the oracle gate
+    * — the full WAL through the DSv2 source, counted per (1-hour
+    * event-time window, qualifier) with incremental aggregation state
+    * in Complete output mode; every micro-batch rewrites the full
+    * aggregate and the final one must equal q13's batch window
+    * counts. Window counting is a commutative/associative merge, so
+    * the final state is arrival-order independent — what makes this
+    * streaming query exactly SQL-replayable (same argument as q53). */
+  def windowStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q73", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val counts = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withColumn("event_type", col("cells")(0)("qualifier"))
+      .withColumn("value", col("cells")(0)("value").cast("double"))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val query = counts.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  /** q78: STREAMING session windows under the oracle gate — the
+    * put-only WAL through the DSv2 source into a native
+    * `session_window(30 min)` aggregation with merging session state
+    * (Complete mode), then per-user session/event counts off the
+    * final batch. Session merging is commutative and associative, so
+    * the final merged state is arrival-order independent —
+    * SQL-replayable like q53 (tombstones excluded for the same
+    * reason as there). Boundary semantics: session_window windows
+    * are [t, t+30 min) and merge only when they OVERLAP, so a gap of
+    * exactly 30 min starts a new session — hence the `>=` in the
+    * oracle where q14's gap logic uses strict `>`. */
+  def sessionStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q78", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val puts = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("kind") === "put")
+    WalSource.writeWalJson(puts, walDir, batches = 8)
+    val sessions = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .groupBy(col("rowkey"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val query = sessions.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select(col("rowkey"), col("n")).write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("rowkey").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+  }
+
+  /** q80: STREAM-STREAM interval join under the oracle gate — clicks
+    * and purchases consumed as two independent streaming views of
+    * the same WAL (each source tracks its own offsets inside the one
+    * checkpoint), inner-joined per user on click_time ∈ [purchase −
+    * 1 h, purchase]. Inner-join matches emit exactly once as the
+    * later side arrives — no watermark finalization involved — so
+    * the match set is arrival-order independent. The 60-day
+    * watermark (past the data span) demonstrates the state-eviction
+    * API without ever evicting; production tightens it to the real
+    * out-of-orderness bound so join state stays finite. */
+  def intervalJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q80", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val subset = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("qualifier").isin("click", "purchase"))
+    WalSource.writeWalJson(subset, walDir, batches = 6)
+    def side(q: String): DataFrame =
+      WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+        .filter(col("cells")(0)("qualifier") === q)
+        .withColumn("event_time", timestamp_micros(col("ts")))
+    val clicks = side("click")
+      .select(col("rowkey").as("c_rowkey"), col("seq").as("click_seq"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "60 days")
+    val purchases = side("purchase")
+      .select(col("rowkey"), col("seq").as("purchase_seq"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "60 days")
+    val joined = purchases.join(clicks,
+      col("rowkey") === col("c_rowkey") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR") &&
+        col("click_time") <= col("purchase_time"))
+      .select(col("rowkey"), col("purchase_seq"), col("click_seq"))
+    val query = joined.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      // idempotence under any foreachBatch retry/replay
+      .dropDuplicates("purchase_seq", "click_seq")
+      .groupBy(col("rowkey").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_seq")).as("n_purchases"),
+        countDistinct(col("click_seq")).as("n_clicks"))
   }
 
   /** q69: the SepModel subscription surface under the oracle gate —
