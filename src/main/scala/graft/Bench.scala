@@ -43,6 +43,34 @@ object Bench {
       } catch { case _: Throwable => false }
       Map("x_skew_boilerplate_jaccard" ->
         (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+    } ++ {
+      // aggregation-skew pair: 10x-expanded events with half the rows
+      // on one hot key; plain groupBy vs the salted two-phase plan on
+      // the IDENTICAL input. Keeps the saltedAgg trade measured, not
+      // assumed (Spark's map-side partial agg already absorbs
+      // distributive-agg skew — see Skew.saltedHotKeyAgg notes).
+      import org.apache.spark.sql.functions._
+      val skewed = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          explode(sequence(lit(0), lit(9))).as("r"))
+        .withColumn("skew_key",
+          when(col("event_id") % 2 === 0, lit(-1L)).otherwise(col("user_id")))
+      def time(df: => org.apache.spark.sql.DataFrame): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        try { df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }
+      val plain = time(skewed.groupBy(col("skew_key"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          max(col("value")).as("mv")))
+      val salted = time(graft.operators.Skew.saltedAgg(skewed, col("skew_key"), 16,
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          max(col("value")).as("mv")),
+        Seq(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+          max(col("mv")).as("mv"))))
+      Map("x_skew_agg_plain" -> plain, "x_skew_agg_salted" -> salted)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

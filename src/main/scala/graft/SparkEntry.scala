@@ -90,6 +90,7 @@ object SparkEntry {
     "q78_session_stream"    -> (StreamingOps.sessionStream _),
     "q79_event_gaps"        -> (Events.eventGaps _),
     "q80_interval_join_stream" -> (StreamingOps.intervalJoinStream _),
+    "q81_salted_hot_key"    -> ((s, d) => Skew.saltedHotKeyAgg(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -829,6 +830,15 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         | AND c.ts >= p.ts - 3600000000 AND c.ts <= p.ts
         |GROUP BY p.user_id""".stripMargin,
+    // q81: the salted two-phase aggregation must equal the plain
+    // GROUP BY over the same deliberately skewed key.
+    "q81_salted_hot_key" ->
+      """WITH e AS (SELECT CASE WHEN event_id % 2 = 0 THEN -1
+        |   ELSE user_id END AS skew_key, value FROM events)
+        |SELECT skew_key, count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | round(max(value), 2) AS max_value
+        |FROM e GROUP BY skew_key""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

@@ -138,8 +138,27 @@ object Dedup {
     * groupBy (all distributed; the driver sees only a change count),
     * converging in ≤ component-diameter rounds; lineage is truncated
     * per round with localCheckpoint so plans stay constant-size. */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = minhashLsh(s, dir)
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    components(minhashLsh(s, dir))
+
+  /** Connected components over an undirected (d1, d2) edge list.
+    *
+    * Default: iterative min-label propagation — every vertex adopts
+    * the smallest label among itself and its neighbors; ≤ diameter
+    * rounds, each one join + one agg, all distributed (the driver
+    * sees only change counts; localCheckpoint truncates lineage so
+    * plans stay constant-size). LSH dedup graphs are near-cliques
+    * (tiny diameter), so this is the right default.
+    *
+    * `pointerDoubling = true` interleaves a label-shortcutting step —
+    * l(v) ← l(l(v)), valid because labels are always vertex ids of
+    * the same component — which halves remaining path lengths per
+    * round (the pointer-doubling idea behind large-star/small-star
+    * MapReduce CC): O(log diameter) rounds at one extra self-join
+    * each. The upgrade path if dedup graphs ever chain instead of
+    * clustering; property-tested equal to plain propagation on
+    * chain-heavy random graphs (PipelinePropertySpec). */
+  def components(edges: DataFrame, pointerDoubling: Boolean = false): DataFrame = {
     val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
       .union(edges.select(col("d2").as("v"), col("d1").as("u")))
       .localCheckpoint()
@@ -149,10 +168,20 @@ object Dedup {
     while (changed > 0) {
       val neigh = adj.join(labels.withColumnRenamed("v", "u"), "u")
         .groupBy(col("v")).agg(min(col("label")).as("nl"))
-      val updated = labels.join(neigh, Seq("v"), "left")
+      val relaxed = labels.join(neigh, Seq("v"), "left")
         .select(col("v"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .localCheckpoint()
+      val stepped =
+        if (!pointerDoubling) relaxed
+        else {
+          // shortcut: next(v) ← next(next(v)); a label is itself a
+          // vertex with a label, so one self-join follows the pointer
+          val byV = relaxed.select(col("v").as("lv"), col("next").as("ll"))
+          relaxed.join(byV, relaxed("next") === byV("lv"), "left")
+            .select(relaxed("v"), relaxed("label"),
+              least(relaxed("next"), coalesce(col("ll"), relaxed("next"))).as("next"))
+        }
+      val updated = stepped.localCheckpoint()
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("v"), col("next").as("label"))
     }

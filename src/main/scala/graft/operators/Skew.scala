@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew-handling helpers (SURVEY §6).
   *
@@ -32,6 +33,30 @@ object Skew {
       .groupBy(col("__key"))
       .agg(merge.head, merge.tail: _*)
       .withColumnRenamed("__key", key.toString)
+  }
+
+  /** q81: aggregation over a deliberately skewed synthetic key — half
+    * the corpus collapses onto one hot key (-1), the worst groupBy
+    * skew shape — routed through [[saltedAgg]]'s two-phase plan and
+    * oracle-checked against the plain GROUP BY SQL. The salted plan
+    * shuffles (key, salt) so no reduce task owns the whole hot key;
+    * the algebraic merge (sum→sum, count→sum, max→max) re-assembles
+    * exact results. (Note Spark's map-side partial aggregation
+    * already spreads distributive aggs like these; saltedAgg is the
+    * belt-and-suspenders path for aggregation states too big to
+    * pre-combine — the bench carries a plain-vs-salted pair on the
+    * same hot-key input to keep that trade measured, not assumed.) */
+  def saltedHotKeyAgg(s: SparkSession, dir: String, salts: Int = 16): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("skew_key",
+        when(col("event_id") % 2 === 0, lit(-1L)).otherwise(col("user_id")))
+    saltedAgg(ev, col("skew_key"), salts,
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        max(col("value")).as("mv")),
+      Seq(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        max(col("mv")).as("mv")))
+      .select(col("skew_key"), col("n"),
+        round(col("sv"), 2).as("sum_value"), round(col("mv"), 2).as("max_value"))
   }
 
   /** Salt one side of a join against a skewed key: replicate the

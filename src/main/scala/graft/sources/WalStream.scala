@@ -36,16 +36,44 @@ final case class GraftWalStream(dir: String, maxFilesPerTrigger: Int = 1)
 /** Kafka transport: a topic of JSON-encoded mutations, decoded into
   * the same schema — the deploy-time swap. Requires the
   * spark-sql-kafka connector on the classpath (not shipped in this
-  * container, so spec coverage exercises the file transports and
-  * stops at construction for this one). */
+  * container; the [[KafkaWalStream.decode]] path — everything after
+  * the broker read — is proven end-to-end in WalStreamSpec by
+  * feeding it kafka-shaped binary rows from a file source). */
 final case class KafkaWalStream(bootstrapServers: String, topic: String,
     startingOffsets: String = "earliest") extends WalStream {
   override def open(s: SparkSession): DataFrame =
-    s.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
+    KafkaWalStream.decode(
+      s.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+}
+
+object KafkaWalStream {
+  /** Decode a kafka-shaped stream — any DataFrame carrying a binary
+    * `value` column of JSON-encoded mutations (the Kafka source's
+    * value column) — into [[WalSource.walSchema]]. Shared by the
+    * production transport above and the broker-less seam spec, so
+    * what the spec proves is the exact path deployed rows take. */
+  def decode(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped
       .select(from_json(col("value").cast("string"), WalSource.walSchema).as("m"))
       .select("m.*")
+}
+
+/** Broker-less kafka seam: serves a directory of JSONL segments
+  * (each line exactly the message value a WAL producer publishes) as
+  * a stream of kafka-shaped binary `value` records, then decodes them
+  * through [[KafkaWalStream.decode]] — proving every mutation decoded
+  * from kafka-shaped bytes reaches consumers identically to the file
+  * transports. */
+final case class KafkaShapedWalStream(dir: String, maxFilesPerTrigger: Int = 1)
+    extends WalStream {
+  override def open(s: SparkSession): DataFrame =
+    KafkaWalStream.decode(
+      s.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(dir)
+        .select(col("value").cast("binary").as("value")))
 }

@@ -55,6 +55,26 @@ class HardeningSpec extends SparkSpec {
     assert(reg.list().size == 40, s"lost updates: ${reg.list().size}/40")
   }
 
+  test("graft-wal accepts local paths whose segments contain a colon") {
+    import org.apache.spark.sql.streaming.Trigger
+    // 'wal:v2' is a java.io.File path, not a remote scheme — the
+    // scheme guard must only fire on explicit scheme:// URIs
+    val dir = Files.createDirectories(
+      Files.createTempDirectory("graft_colon").resolve("wal:v2"))
+    // hand-written segment (Hadoop writers reject colons in paths;
+    // the DSv2 reader goes through java.io and must not)
+    val lines = WalSource.eventsAsWal(spark, sfDir).limit(25)
+      .toJSON.collect().toSeq
+    Files.write(dir.resolve("seg-000.jsonl"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+    val q = WalSource.streamV2(spark, dir.toString, maxFilesPerTrigger = 4)
+      .groupBy(col("table")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("colonwal")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("colonwal").collect().head.getAs[Long]("n") == 25)
+  }
+
   test("graft-wal source fails loudly on remote schemes and missing dirs") {
     import org.apache.spark.sql.streaming.Trigger
     def run(dir: String): Unit = {

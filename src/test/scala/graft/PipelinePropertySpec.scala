@@ -61,6 +61,24 @@ class PipelinePropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("pointer-doubling components equal min-label propagation") {
+    import spark.implicits._
+    for (seed <- Seq(7, 8)) {
+      val rnd = new Random(seed)
+      // a long path graph (the pointer-doubling target: diameter 40,
+      // where plain propagation needs 40 rounds) plus random edges
+      val chain = (0L until 40L).map(i => (i * 3, i * 3 + 3))
+      val rand = Seq.fill(60)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter(p => p._1 != p._2)
+      val edges = (chain ++ rand).toDF("d1", "d2")
+      val plain = Dedup.components(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val doubled = Dedup.components(edges, pointerDoubling = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(plain == doubled, s"seed $seed: pointer doubling diverged")
+    }
+  }
+
   test("token packing: chunks respect the budget and are contiguous per shard") {
     val budget = 512L
     for (shards <- Seq(1, 8)) {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.StreamingOps
-import graft.sources.{FileWalStream, GraftWalStream, KafkaWalStream, WalSource}
+import graft.sources.{FileWalStream, GraftWalStream, KafkaShapedWalStream, KafkaWalStream, WalSource}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -36,10 +36,32 @@ class WalStreamSpec extends SparkSpec {
     assert(viaFile.sameElements(viaRocks))
   }
 
+  test("kafka-shaped binary rows decode to the same final states as the file WAL") {
+    // no broker in this container, but the decode path after the
+    // broker read is shared code (KafkaWalStream.decode): feed it the
+    // exact JSON message values a WAL producer publishes, as binary
+    // `value` records like the Kafka source emits, and the downstream
+    // materializer must agree byte-for-byte with the file transport
+    val stage = Files.createTempDirectory("graft_kafkaseam").toString
+    val puts = WalSource.eventsAsWal(spark, sfDir)
+      .filter(col("cells")(0)("kind") === "put")
+    WalSource.writeWal(puts, s"$stage/pq", batches = 4)
+    WalSource.writeWalJson(puts, s"$stage/js", batches = 4)
+
+    val viaFile = StreamingOps.finalStates(spark,
+      FileWalStream(s"$stage/pq", maxFilesPerTrigger = 2),
+      s"$stage/out_f", s"$stage/ckpt_f").collect().map(_.toString).sorted
+    val viaKafkaShape = StreamingOps.finalStates(spark,
+      KafkaShapedWalStream(s"$stage/js", maxFilesPerTrigger = 2),
+      s"$stage/out_k", s"$stage/ckpt_k").collect().map(_.toString).sorted
+    assert(viaFile.nonEmpty)
+    assert(viaFile.sameElements(viaKafkaShape))
+  }
+
   test("kafka transport constructs with the same downstream schema contract") {
-    // the connector jar is not in this container, so coverage stops at
-    // the seam: the adapter exists, is a WalStream, and carries the
-    // options a deploy needs
+    // the broker read itself needs the spark-sql-kafka jar (absent in
+    // this container); construction + options are all that's left
+    // unproven once the decode seam test above passes
     val k = KafkaWalStream("broker:9092", "graft-wal-topic")
     assert(k.isInstanceOf[graft.sources.WalStream])
     assert(k.startingOffsets == "earliest")
