@@ -57,7 +57,9 @@ object SparkEntry {
     "q43_pivot_counts"      -> (Events.pivotCounts _),
     "q44_first_last"        -> (Events.firstLast _),
     "q45_scalar_subquery"   -> (Relational.maxOrderVsBalance _),
+    "q46_source_mix"        -> ((s, d) => Pipeline.sourceMix(s, d)),
     "q47_name_match"        -> (Dedup.nameMatch _),
+    "q48_canonical_docs"    -> (Dedup.canonicalDocs _),
     "q49_norm_dedup"        -> (Dedup.normalizedDedup _),
     "q50_lm_score"          -> (TextAnalysis.lmScore _),
     "q51_cohort_retention"  -> (Events.cohortRetention _),
@@ -512,6 +514,29 @@ object SparkEntry {
         | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // q46: identical-expression doubles (the rate quotient) are
+    // bit-identical across engines — no rounding needed; the budget
+    // is exact integer arithmetic (truncating cast + integer div).
+    "q46_source_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_sources FROM per)
+        |SELECT source, n_docs, n_tokens,
+        | least(1.0, CAST(CAST(trunc(total_tokens * 0.5) AS BIGINT) // n_sources
+        |   AS DOUBLE) / n_tokens) AS rate
+        |FROM per, tot""".stripMargin,
+    "q48_canonical_docs" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS content_hash
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+        |    ORDER BY source, doc_id) AS rn FROM h),
+        |a AS (SELECT content_hash, count(DISTINCT source) AS n_sources,
+        |  count(*) AS n_copies FROM h GROUP BY content_hash)
+        |SELECT a.content_hash, r.source AS keep_source, r.doc_id AS keep_id,
+        | a.n_sources, a.n_copies
+        |FROM a JOIN r ON a.content_hash = r.content_hash AND r.rn = 1""".stripMargin,
     "q49_norm_dedup" ->
       """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |  '  +', ' ', 'g')) AS norm_hash,

@@ -234,6 +234,22 @@ object Dedup {
       .select(col("id1"), col("id2"), col("name1"), col("name2"), col("dist"))
   }
 
+  /** q48: cross-source canonical document selection — exact-duplicate
+    * groups where the SAME content arrives from multiple sources keep
+    * one canonical copy by source priority (lexicographic source,
+    * then min doc_id — swap in any priority ranking), and the audit
+    * reports how many sources/copies each surviving document
+    * represents. min(struct) under hash aggregation: one shuffle of
+    * one 16-byte hash + small struct per doc, no window sort. */
+  def canonicalDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(struct(col("source"), col("doc_id"))).as("keep"),
+        countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), col("keep.source").as("keep_source"),
+        col("keep.doc_id").as("keep_id"), col("n_sources"), col("n_copies"))
+
   /** q49: normalization dedup — lowercase, strip non-alphanumerics,
     * collapse whitespace, then hash-group (the canonical LLM-corpus
     * normalization pass before exact dedup). */

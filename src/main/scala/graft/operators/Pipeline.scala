@@ -53,6 +53,28 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"), round(col("quality"), 4).as("quality"))
   }
 
+  /** q46: domain-mixture reweighting — the per-source sampling rates
+    * a training-data pipeline computes before drawing a mixed corpus:
+    * given a global token budget (`targetFraction` of the corpus)
+    * split evenly across sources, each source's rate is
+    * min(1, budget/source_tokens) — undersized domains keep
+    * everything, oversized ones downsample to their share. One
+    * aggregation plus a broadcast of the single global row; exact
+    * integer token arithmetic so the oracle replays it. */
+  def sourceMix(s: SparkSession, dir: String, targetFraction: Double = 0.5): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"CAST(total_tokens * $targetFraction AS BIGINT) div n_sources"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        least(lit(1.0), col("budget").cast("double") / col("n_tokens")).as("rate"))
+  }
+
   /** q66: token-budget packing — assign each document to a training
     * chunk of ≤ `budget` tokens by a running token sum. The window
     * is keyed by (lang, shard) where shard = md5-bucket(doc_id) %

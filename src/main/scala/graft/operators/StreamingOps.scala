@@ -147,8 +147,12 @@ object StreamingOps {
     val subset = WalSource.eventsAsWal(s, dir)
       .filter(col("cells")(0)("qualifier").isin("click", "purchase"))
     WalSource.writeWalJson(subset, walDir, batches = 6)
+    // 2 micro-batches (6 segments / 3 per trigger): enough to prove
+    // cross-batch join state, half the per-batch state-store snapshot
+    // cost of finer batching (each batch snapshots 4 join state
+    // stores x shuffle partitions)
     def side(q: String): DataFrame =
-      WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      WalSource.streamV2(s, walDir, maxFilesPerTrigger = 3)
         .filter(col("cells")(0)("qualifier") === q)
         .withColumn("event_time", timestamp_micros(col("ts")))
     val clicks = side("click")
