@@ -93,6 +93,8 @@ object SparkEntry {
     "q79_event_gaps"        -> (Events.eventGaps _),
     "q80_interval_join_stream" -> (StreamingOps.intervalJoinStream _),
     "q81_salted_hot_key"    -> ((s, d) => Skew.saltedHotKeyAgg(s, d)),
+    "q82_bucketed_join"     -> (Bucketing.bucketedJoin _),
+    "q83_ttl_materialize"   -> ((s, d) => StreamingOps.ttlMaterialize(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -864,6 +866,32 @@ object SparkEntry {
         | round(sum(value), 2) AS sum_value,
         | round(max(value), 2) AS max_value
         |FROM e GROUP BY skew_key""".stripMargin,
+    // q82: table layout (bucketing) must never change results — the
+    // oracle is the plain join on the raw parquet.
+    "q82_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    // q83: bounded-state materialization — a key is evicted (version
+    // 0, deleted, no cells) iff version_ms + ttl < global max event
+    // time in ms (the final watermark, delay 0); exact integer floors
+    // on both sides. Put-only stream, same replay argument as q53.
+    "q83_ttl_materialize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events WHERE event_type <> 'error'),
+        |a AS (SELECT user_id, max(ts) AS version,
+        |  list_sort(list_distinct(list('e:' || event_type))) AS types
+        | FROM e GROUP BY user_id),
+        |g AS (SELECT max(version) AS gmax FROM a)
+        |SELECT 'events' AS "table", CAST(user_id AS VARCHAR) AS rowkey,
+        | CASE WHEN version // 1000 + 28800000 < gmax // 1000
+        |   THEN CAST(0 AS BIGINT) ELSE version END AS version,
+        | (version // 1000 + 28800000 < gmax // 1000) AS deleted,
+        | CASE WHEN version // 1000 + 28800000 < gmax // 1000 THEN ''
+        |  ELSE array_to_string(list_sort(list_append(types, 'e:props')), ',')
+        |  END AS qualifiers
+        |FROM a, g""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

@@ -50,7 +50,7 @@ object StreamingOps {
     * to key a wipe-then-write space); assumes a single runner per
     * input dir per host — concurrent JVMs verifying the same dir
     * would need per-run unique dirs. */
-  private def stagingRoot(tag: String, dir: String): String = {
+  private[operators] def stagingRoot(tag: String, dir: String): String = {
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -242,6 +242,30 @@ object StreamingOps {
         countDistinct(col("rowkey")).as("n_keys"))
   }
 
+  /** q83: bounded-state streaming materialization under the oracle
+    * gate — q53's pipeline with [[RowMaterializer.materializeWithTTL]]
+    * (EventTimeTimeout): rows idle past the 8-hour TTL against the
+    * event-time watermark are evicted from the state store and
+    * emitted once as tombstones. Deterministically SQL-replayable
+    * because (a) the staged WAL is event-time ordered, so the
+    * watermark (delay 0) only ever trails the batch being processed,
+    * and (b) the final watermark is the global max event time, so a
+    * key is evicted iff version_ms + ttl < global_max_ms — exact
+    * integer arithmetic both engines replay. This is the 100 TB
+    * state-size story (state holds only the watermark+ttl horizon),
+    * previously ScalaTest-only. */
+  def ttlMaterialize(s: SparkSession, dir: String,
+      ttlMillis: Long = 28800000L): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q83", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val puts = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("kind") === "put")
+    WalSource.writeWalJson(puts, walDir, batches = 8)
+    finalStates(s, graft.sources.GraftWalStream(walDir, maxFilesPerTrigger = 2),
+      out, ckpt, ttlMillis = Some(ttlMillis))
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode
@@ -251,16 +275,27 @@ object StreamingOps {
     * `rocksDB = true` runs the query on the RocksDB state-store
     * provider — the 100 TB production choice (state off-heap,
     * incremental checkpoints); results are provider-independent
-    * (proven in WalStreamSpec). */
+    * (proven in WalStreamSpec). `ttlMillis` switches to the
+    * bounded-state materializer (idle rows evicted as tombstones;
+    * see [[ttlMaterialize]]). */
   def finalStates(s: SparkSession, wal: graft.sources.WalStream,
-      out: String, ckpt: String, rocksDB: Boolean = false): DataFrame = {
+      out: String, ckpt: String, rocksDB: Boolean = false,
+      ttlMillis: Option[Long] = None): DataFrame = {
     import s.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = s.conf.getOption(providerKey)
     if (rocksDB) s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val muts = wal.open(s).as[Mutation]
-    val states = RowMaterializer.materialize(s, muts)
+    val states = ttlMillis match {
+      case Some(ttl) =>
+        val withTime = wal.open(s)
+          .withColumn("event_time", timestamp_micros(col("ts")))
+          .withWatermark("event_time", "0 seconds")
+          .as[Mutation]
+        RowMaterializer.materializeWithTTL(s, withTime, ttl)
+      case None =>
+        RowMaterializer.materialize(s, wal.open(s).as[Mutation])
+    }
     val query = states.writeStream
       .foreachBatch { (df: Dataset[RowState], id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)

@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "q04 shuffles a dimension join")
   }
 
+  test("q82 bucketed fact-fact join has no Exchange below the join") {
+    // with size-based broadcasts off, the co-located bucket layout is
+    // the only thing standing between the join and a double shuffle
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Bucketing.bucketedJoin(spark, sfDir))
+      val joinPart = p.split("HashAggregate").last
+      assert(joinPart.contains("SortMergeJoin") || joinPart.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$p")
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join should read co-partitioned buckets in place:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("queries stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the per-row hot paths of scan-shaped queries must be codegen'd
