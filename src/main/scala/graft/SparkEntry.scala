@@ -95,6 +95,8 @@ object SparkEntry {
     "q81_salted_hot_key"    -> ((s, d) => Skew.saltedHotKeyAgg(s, d)),
     "q82_bucketed_join"     -> (Bucketing.bucketedJoin _),
     "q83_ttl_materialize"   -> ((s, d) => StreamingOps.ttlMaterialize(s, d)),
+    "q84_stream_enrich"     -> (StreamingOps.streamEnrich _),
+    "q85_mixture_sample"    -> ((s, d) => Pipeline.mixtureSample(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -892,6 +894,34 @@ object SparkEntry {
         |  ELSE array_to_string(list_sort(list_append(types, 'e:props')), ',')
         |  END AS qualifiers
         |FROM a, g""".stripMargin,
+    // q84: stream-static enrichment — final Complete-mode counts
+    // replay as the batch join of events to the customer dim.
+    "q84_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_mutations,
+        | CAST(2*count(*) AS BIGINT) AS n_cells
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // q85: the q46 rates applied as a deterministic md5-bucket draw;
+    // identical rate expression and integer thresholds both engines.
+    "q85_mixture_sample" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_sources FROM per),
+        |r AS (SELECT source,
+        |  least(1.0, CAST(CAST(trunc(total_tokens * 0.5) AS BIGINT) // n_sources
+        |    AS DOUBLE) / n_tokens) AS rate
+        | FROM per, tot),
+        |d AS (SELECT doc_id, d.source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS t, rate
+        | FROM documents d JOIN r ON d.source = r.source)
+        |SELECT source, count(*) AS n_kept,
+        | CAST(sum(t) AS BIGINT) AS kept_tokens
+        |FROM d
+        |WHERE ${hex8Sql("concat('mix|', doc_id)")}
+        |  < CAST(floor(rate * 4294967296.0) AS BIGINT)
+        |GROUP BY source""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

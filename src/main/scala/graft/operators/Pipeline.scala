@@ -75,6 +75,28 @@ object Pipeline {
         least(lit(1.0), col("budget").cast("double") / col("n_tokens")).as("rate"))
   }
 
+  /** q85: APPLY the q46 mixture — deterministic per-source sampling
+    * at the computed rates (md5-bucket keep decision, so the draw is
+    * reproducible across engines, reruns and partitionings), audited
+    * as the realized per-source doc/token counts. Composes
+    * [[sourceMix]] → broadcast of 20 rate rows → narrow filter: the
+    * whole "rebalance the corpus" step is one scan over documents
+    * plus two tiny aggregations. */
+  def mixtureSample(s: SparkSession, dir: String,
+      targetFraction: Double = 0.5, salt: String = "mix"): DataFrame = {
+    val rates = sourceMix(s, dir, targetFraction)
+      .select(col("source"), col("rate"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("t"))
+      .join(broadcast(rates), "source")
+      .filter(Sampling.hashBucket(
+        concat(lit(s"$salt|"), col("doc_id").cast("string")))
+        < expr("CAST(floor(rate * 4294967296.0) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("t")).as("kept_tokens"))
+  }
+
   /** q66: token-budget packing — assign each document to a training
     * chunk of ≤ `budget` tokens by a running token sum. The window
     * is keyed by (lang, shard) where shard = md5-bucket(doc_id) %

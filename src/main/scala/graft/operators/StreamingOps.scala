@@ -186,6 +186,37 @@ object StreamingOps {
         countDistinct(col("click_seq")).as("n_clicks"))
   }
 
+  /** q84: STREAM-STATIC enrichment join under the oracle gate — the
+    * WAL stream joined per micro-batch to a static dimension table
+    * (customer segments keyed by rowkey; Spark broadcasts the dim
+    * into every batch), then counted per segment with Complete-mode
+    * incremental state. This is the SEP listener-enrichment pattern:
+    * consumers rarely want raw mutations, they want them joined to
+    * reference data. Counting is commutative, so the final state
+    * replays as the batch join SQL. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q84", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey").cast("string").as("rowkey"), col("c_mktsegment"))
+    val counts = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .join(broadcast(dim), "rowkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_mutations"),
+        sum(size(col("cells")).cast("long")).as("n_cells"))
+    val query = counts.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+  }
+
   /** q69: the SepModel subscription surface under the oracle gate —
     * four registered subscriptions audited over the same WAL, each
     * counting its filtered, cell-narrowed view (mutations, keys,
