@@ -47,6 +47,7 @@ class PlanSpec extends SparkSpec {
         "q12" -> Events.latestState(spark, sfDir),
         "q44" -> Events.firstLast(spark, sfDir),
         "q38" -> Similarity.ivfTopK(spark, sfDir),
+        "q48" -> Dedup.canonicalDocs(spark, sfDir),
         "q25" -> Similarity.annBruteForce(spark, sfDir))) {
       assert(!plan(df).contains("Window"), s"$name uses a window sort")
     }
