@@ -97,6 +97,8 @@ object SparkEntry {
     "q83_ttl_materialize"   -> ((s, d) => StreamingOps.ttlMaterialize(s, d)),
     "q84_stream_enrich"     -> (StreamingOps.streamEnrich _),
     "q85_mixture_sample"    -> ((s, d) => Pipeline.mixtureSample(s, d)),
+    "q86_stream_dedupe"     -> (StreamingOps.streamDedupe _),
+    "q87_replay_out_of_order" -> (StreamingOps.replayOutOfOrder _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -922,6 +924,24 @@ object SparkEntry {
         |WHERE ${hex8Sql("concat('mix|', doc_id)")}
         |  < CAST(floor(rate * 4294967296.0) AS BIGINT)
         |GROUP BY source""".stripMargin,
+    // q86: double delivery deduplicated inside the stream == single
+    // delivery (the q76 contract, proven on the streaming operator).
+    "q86_stream_dedupe" ->
+      """SELECT 'events' AS "table", count(*) AS n_mutations,
+        | count(DISTINCT user_id) AS n_keys
+        |FROM events""".stripMargin,
+    // q87: reversed-order replay must produce the q53 final states —
+    // the (ts, seq) high-water fold is commutative.
+    "q87_replay_out_of_order" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events WHERE event_type <> 'error'),
+        |a AS (SELECT user_id, max(ts) AS version,
+        |  list_sort(list_distinct(list('e:' || event_type))) AS types
+        | FROM e GROUP BY user_id)
+        |SELECT 'events' AS "table", CAST(user_id AS VARCHAR) AS rowkey,
+        | version, false AS deleted,
+        | array_to_string(list_sort(list_append(types, 'e:props')), ',') AS qualifiers
+        |FROM a""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

@@ -217,6 +217,59 @@ object StreamingOps {
     s.read.parquet(out)
   }
 
+  /** q86: STREAMING effectively-once under the oracle gate — the WAL
+    * delivered twice (at-least-once), deduplicated on the sequence
+    * number by [[graft.streaming.ExactlyOnce.dedupe]]
+    * (dropDuplicatesWithinWatermark, bounded state) INSIDE the
+    * streaming query, then counted per key with Complete-mode state.
+    * Final counts must equal single delivery — q76 proves the batch
+    * contract, this proves the streaming operator itself. */
+  def streamDedupe(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q86", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val wal = WalSource.eventsAsWal(s, dir)
+    // at-least-once delivery: every mutation shipped twice
+    WalSource.writeWalJson(wal.union(wal), walDir, batches = 8)
+    val perKey = graft.streaming.ExactlyOnce.dedupe(
+        WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2))
+      .groupBy(col("table"), col("rowkey"))
+      .agg(count(lit(1)).as("n"))
+    val query = perKey.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("table"))
+      .agg(sum(col("n")).as("n_mutations"), count(lit(1)).as("n_keys"))
+  }
+
+  /** q87: OUT-OF-ORDER replay invariance under the oracle gate — the
+    * put-only WAL staged with segment order REVERSED (latest events
+    * ship first; rows unsorted within segments), streamed through the
+    * same checkpointed materializer as q53. The (ts, seq) high-water
+    * mark per cell makes the fold commutative, so the final states
+    * must be byte-identical to in-order replay — the reference's
+    * idempotent-reprocessing contract, proven against SQL instead of
+    * asserted in prose. */
+  def replayOutOfOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val stage = stagingRoot("q87", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val puts = WalSource.eventsAsWal(s, dir)
+      .filter(c("cells")(0)("kind") === "put")
+    // reverse event-time order across segments: range-partition on -seq
+    puts.withColumn("negseq", -c("seq"))
+      .repartitionByRange(8, c("negseq")).drop("negseq")
+      .toJSON.write.mode("overwrite").text(walDir)
+    finalStates(s, graft.sources.GraftWalStream(walDir, maxFilesPerTrigger = 2),
+      out, ckpt)
+  }
+
   /** q69: the SepModel subscription surface under the oracle gate —
     * four registered subscriptions audited over the same WAL, each
     * counting its filtered, cell-narrowed view (mutations, keys,
