@@ -99,6 +99,7 @@ object SparkEntry {
     "q85_mixture_sample"    -> ((s, d) => Pipeline.mixtureSample(s, d)),
     "q86_stream_dedupe"     -> (StreamingOps.streamDedupe _),
     "q87_replay_out_of_order" -> (StreamingOps.replayOutOfOrder _),
+    "q88_bloom_decontaminate" -> ((s, d) => TextAnalysis.bloomDecontaminate(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -942,6 +943,28 @@ object SparkEntry {
         | version, false AS deleted,
         | array_to_string(list_sort(list_append(types, 'e:props')), ',') AS qualifiers
         |FROM a""".stripMargin,
+    // q88: the bloom is md5-deterministic, so even its false
+    // positives replay — the oracle folds the same 3 bits per
+    // shingle and applies the same all-bits-set membership test.
+    "q88_bloom_decontaminate" ->
+      s"""WITH $shinglesCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |b AS (SELECT doc_id, s,
+        |  ${hex8Sql("concat('bl0|', s)")} % 65536 AS b0,
+        |  ${hex8Sql("concat('bl1|', s)")} % 65536 AS b1,
+        |  ${hex8Sql("concat('bl2|', s)")} % 65536 AS b2
+        | FROM e),
+        |pb AS (SELECT DISTINCT bit FROM (
+        |  SELECT b0 AS bit FROM b WHERE doc_id < 5
+        |  UNION SELECT b1 FROM b WHERE doc_id < 5
+        |  UNION SELECT b2 FROM b WHERE doc_id < 5) u)
+        |SELECT doc_id, count(DISTINCT s) AS n_bloom_hits
+        |FROM b
+        |WHERE doc_id >= 5
+        | AND b0 IN (SELECT bit FROM pb)
+        | AND b1 IN (SELECT bit FROM pb)
+        | AND b2 IN (SELECT bit FROM pb)
+        |GROUP BY doc_id""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

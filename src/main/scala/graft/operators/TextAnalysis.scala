@@ -158,6 +158,37 @@ object TextAnalysis {
       .agg(countDistinct(col("sh")).as("n_hits"))
   }
 
+  /** q88: BLOOM-FILTER decontamination — the scale path for q57 when
+    * the probe set is too big to broadcast exactly: the probe
+    * shingles are folded into a 65536-bit bloom filter (3 md5-family
+    * hashes — deterministic, so even the false positives replay in
+    * the oracle), and a corpus shingle is flagged when all 3 of its
+    * bits are set. The filter travels as a bounded set of bit ids joined
+    * broadcast-semi three ways; at 100 TB the probe side shrinks
+    * from |probe shingles| strings to a constant-size bitmap while
+    * the corpus side stays one explode + narrow hashing. Flagged
+    * docs are a superset of q57's exact hits (bloom false-positive
+    * rate is the documented trade). */
+  def bloomDecontaminate(s: SparkSession, dir: String, bits: Int = 65536): DataFrame = {
+    def bit(i: Int, c: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(concat(lit(s"bl$i|"), c)) % bits
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+    val probeBits = sh.filter(col("doc_id") < 5)
+      .select(explode(array((0 until 3).map(i => bit(i, col("sh"))): _*)).as("bit"))
+      .distinct()
+    val cand = sh.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), col("sh"),
+        bit(0, col("sh")).as("b0"), bit(1, col("sh")).as("b1"),
+        bit(2, col("sh")).as("b2"))
+    cand
+      .join(broadcast(probeBits.withColumnRenamed("bit", "b0")), Seq("b0"), "left_semi")
+      .join(broadcast(probeBits.withColumnRenamed("bit", "b1")), Seq("b1"), "left_semi")
+      .join(broadcast(probeBits.withColumnRenamed("bit", "b2")), Seq("b2"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_bloom_hits"))
+  }
+
   /** q58: per-doc top-3 TF-IDF terms — the classic keyword extraction
     * / relevance-weighting pass. tf from the doc, df from one corpus
     * agg, score = tf·log10(N/df) with deterministic (score, token)
