@@ -19,7 +19,11 @@ class PlanSpec extends SparkSpec {
         "q24" -> Similarity.embedNearDup(spark, sfDir),
         "q47" -> Dedup.nameMatch(spark, sfDir),
         "q64" -> Events.valueBands(spark, sfDir),
+        // (q46/q58/q68/q85 are excluded: their one-row scalar
+        // aggregate broadcast is the documented cross-join-of-one
+        // pattern, not a corpus cross product)
         "q57" -> TextAnalysis.decontaminate(spark, sfDir),
+        "q88" -> TextAnalysis.bloomDecontaminate(spark, sfDir),
         "q65" -> Pipeline.curate(spark, sfDir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
