@@ -100,6 +100,7 @@ object SparkEntry {
     "q86_stream_dedupe"     -> (StreamingOps.streamDedupe _),
     "q87_replay_out_of_order" -> (StreamingOps.replayOutOfOrder _),
     "q88_bloom_decontaminate" -> ((s, d) => TextAnalysis.bloomDecontaminate(s, d)),
+    "q89_zipf_audit"        -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -965,6 +966,21 @@ object SparkEntry {
         | AND b1 IN (SELECT bit FROM pb)
         | AND b2 IN (SELECT bit FROM pb)
         |GROUP BY doc_id""".stripMargin,
+    // q89: closed-form least squares from distributive sums; slope
+    // and intercept rounded to 4 (sum order differs per engine).
+    "q89_zipf_audit" ->
+      """WITH f AS (SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        | GROUP BY tok ORDER BY n DESC, tok LIMIT 100),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM f),
+        |xy AS (SELECT log10(CAST(rank AS DOUBLE)) AS x,
+        |  log10(CAST(n AS DOUBLE)) AS y FROM r),
+        |sm AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*x) AS sxx, sum(x*y) AS sxy FROM xy)
+        |SELECT k AS n_ranks,
+        | round((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) AS zipf_slope,
+        | round((sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k, 4) AS intercept
+        |FROM sm""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

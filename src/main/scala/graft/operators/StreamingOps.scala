@@ -228,8 +228,11 @@ object StreamingOps {
     val stage = stagingRoot("q86", dir)
     val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
     val wal = WalSource.eventsAsWal(s, dir)
-    // at-least-once delivery: every mutation shipped twice
-    WalSource.writeWalJson(wal.union(wal), walDir, batches = 8)
+    // at-least-once delivery: every mutation shipped twice; 3
+    // micro-batches keep the cross-batch dedup state exercised
+    // without paying a per-batch state-store snapshot 8 times over
+    // the double-sized WAL
+    WalSource.writeWalJson(wal.union(wal), walDir, batches = 6)
     val perKey = graft.streaming.ExactlyOnce.dedupe(
         WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2))
       .groupBy(col("table"), col("rowkey"))
@@ -345,7 +348,11 @@ object StreamingOps {
     val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
     val puts = WalSource.eventsAsWal(s, dir)
       .filter(col("cells")(0)("kind") === "put")
-    WalSource.writeWalJson(puts, walDir, batches = 8)
+    // 3 data micro-batches + the final timeout batch: the watermark
+    // must advance across batches for mid-stream evictions to stay
+    // exercised, but each batch snapshots the state store — 6/2 is
+    // the cost-coverage balance
+    WalSource.writeWalJson(puts, walDir, batches = 6)
     finalStates(s, graft.sources.GraftWalStream(walDir, maxFilesPerTrigger = 2),
       out, ckpt, ttlMillis = Some(ttlMillis))
   }

@@ -189,6 +189,35 @@ object TextAnalysis {
       .agg(countDistinct(col("sh")).as("n_bloom_hits"))
   }
 
+  /** q89: Zipf-law corpus audit — least-squares slope of
+    * log10(freq) vs log10(rank) over the top-N token frequencies.
+    * Natural-language corpora sit near slope −1; a corpus whose
+    * slope drifts (boilerplate floods, template spam, tokenizer
+    * breakage) fails the health check before training. One
+    * frequency aggregation, a bounded top-N (the only window runs
+    * over N=100 rows post-limit), and closed-form regression from
+    * distributive sums. */
+  def zipfAudit(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topN)
+    val xy = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .select(log10(col("rank").cast("double")).as("x"),
+        log10(col("n").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("k").as("n_ranks"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("k"), 4)
+          .as("intercept"))
+  }
+
   /** q58: per-doc top-3 TF-IDF terms — the classic keyword extraction
     * / relevance-weighting pass. tf from the doc, df from one corpus
     * agg, score = tf·log10(N/df) with deterministic (score, token)
