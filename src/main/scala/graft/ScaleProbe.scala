@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe (dev main — not part of the driver contract): times
+  * the dedup candidate-generation family on 1×/2×/4×/8× expansions
+  * of the documents corpus to check the near-linear scaling SURVEY
+  * §6 claims, on one machine. Each replica's tokens are prefixed
+  * with a replica tag so vocabularies are disjoint: expansion adds
+  * work linearly without adding cross-replica near-duplicates (which
+  * would grow the OUTPUT quadratically and confound the timing).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    def expand(k: Int): DataFrame =
+      base.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(k - 1))).as("r"))
+        .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+          expr("array_join(transform(split(text, ' '), x -> concat('g', r, '_', x)), ' ')")
+            .as("text"))
+
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    for (k <- Seq(1, 2, 4, 8)) {
+      val docs = expand(k).cache()
+      val n = docs.count()
+      // warm once at k=1 so codegen/JIT don't bill the first point
+      if (k == 1) time(graft.operators.Dedup.ngramJaccardOf(docs, 0.5))
+      val tJac = time(graft.operators.Dedup.ngramJaccardOf(docs, 0.5))
+      val pairs = graft.operators.Dedup.ngramJaccardOf(docs, 0.5).count()
+      println(f"""{"k":$k,"docs":$n,"jaccard_sec":$tJac%.2f,"pairs":$pairs}""")
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

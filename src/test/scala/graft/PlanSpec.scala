@@ -43,6 +43,11 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastHashJoin"),
         "q21 verify stage still hints a broadcast join")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+      // and the verify joins must be shuffle-HASH, not sort-merge: an
+      // SMJ sorts the multi-million-row candidate stream per join
+      // (measured 3-6x at an 8x corpus — ScaleProbe)
+      assert(p.contains("ShuffledHashJoin"),
+        s"q21 verify joins lost their shuffle-hash shape:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
