@@ -231,9 +231,14 @@ object Dedup {
       .select(col("id1"), explode(col("ids")).as("id2"))
       .filter(col("id1") < col("id2"))
       .distinct()
+    // name lookups shuffle-hash for the same reason as q21's verify
+    // stage: never sort the candidate stream, never broadcast a
+    // corpus-sized table
     pairs
-      .join(c.select(col("c_custkey").as("id1"), col("c_name").as("name1")), "id1")
-      .join(c.select(col("c_custkey").as("id2"), col("c_name").as("name2")), "id2")
+      .join(c.hint("shuffle_hash")
+        .select(col("c_custkey").as("id1"), col("c_name").as("name1")), "id1")
+      .join(c.hint("shuffle_hash")
+        .select(col("c_custkey").as("id2"), col("c_name").as("name2")), "id2")
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= 1)
       .select(col("id1"), col("id2"), col("name1"), col("name2"), col("dist"))

@@ -78,9 +78,13 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .distinct()
+    // vector lookups as SHUFFLE_HASH joins: broadcast would be
+    // honored regardless of corpus size, and the sort-merge fallback
+    // sorts the candidate stream per join (the q21 ScaleProbe cliff);
+    // shuffle-hash builds per-partition maps over |corpus|/P vectors
     cands
-      .join(q.toDF("id1", "v1", "n21"), "id1")
-      .join(q.toDF("id2", "v2", "n22"), "id2")
+      .join(q.toDF("id1", "v1", "n21").hint("shuffle_hash"), "id1")
+      .join(q.toDF("id2", "v2", "n22").hint("shuffle_hash"), "id2")
       .withColumn("cosine", cosineQ(col("v1"), col("v2"), col("n21"), col("n22")))
       .filter(col("cosine") >= 0.4)
       .select(col("id1"), col("id2"), col("cosine"))
