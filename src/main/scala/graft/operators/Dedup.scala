@@ -171,7 +171,10 @@ object Dedup {
       .withColumn("label", col("v")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val neigh = adj.join(labels.withColumnRenamed("v", "u"), "u")
+      // labels side shuffle-hash: SMJ would re-sort the (bigger)
+      // adjacency list on every iteration
+      val neigh = adj.join(
+          labels.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
         .groupBy(col("v")).agg(min(col("label")).as("nl"))
       val relaxed = labels.join(neigh, Seq("v"), "left")
         .select(col("v"), col("label"),
