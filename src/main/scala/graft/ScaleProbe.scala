@@ -32,19 +32,46 @@ object ScaleProbe {
             .as("text"))
 
     def time(df: => DataFrame): Double = {
+      System.gc() // drain cross-measurement garbage (same as Bench)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // minhash-LSH banding over any (doc_id, text) frame — q22's plan
+    def minhashOf(docs: DataFrame): DataFrame = {
+      import graft.functions.TextFunctions.shingles3
+      val withSig = docs
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
+        .withColumn("hs", org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat(col("hs")(2 * b), col("hs")(2 * b + 1)).cast("binary"))
+            .as("band_key"))
+      }: _*)
+      val bands = withSig
+        .select(col("doc_id"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
     }
 
     for (k <- Seq(1, 2, 4, 8)) {
       val docs = expand(k).cache()
       val n = docs.count()
       // warm once at k=1 so codegen/JIT don't bill the first point
-      if (k == 1) time(graft.operators.Dedup.ngramJaccardOf(docs, 0.5))
+      if (k == 1) {
+        time(graft.operators.Dedup.ngramJaccardOf(docs, 0.5))
+        time(minhashOf(docs))
+      }
       val tJac = time(graft.operators.Dedup.ngramJaccardOf(docs, 0.5))
       val pairs = graft.operators.Dedup.ngramJaccardOf(docs, 0.5).count()
-      println(f"""{"k":$k,"docs":$n,"jaccard_sec":$tJac%.2f,"pairs":$pairs}""")
+      val tMh = time(minhashOf(docs))
+      println(f"""{"k":$k,"docs":$n,"jaccard_sec":$tJac%.2f,"pairs":$pairs,"minhash_sec":$tMh%.2f}""")
       docs.unpersist()
     }
     spark.stop()
