@@ -101,6 +101,8 @@ object SparkEntry {
     "q87_replay_out_of_order" -> (StreamingOps.replayOutOfOrder _),
     "q88_bloom_decontaminate" -> ((s, d) => TextAnalysis.bloomDecontaminate(s, d)),
     "q89_zipf_audit"        -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
+    "q90_bloom_fp_audit"    -> (TextAnalysis.bloomFpAudit _),
+    "q91_user_entropy"      -> (Events.userEntropy _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -981,6 +983,46 @@ object SparkEntry {
         | round((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) AS zipf_slope,
         | round((sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k, 4) AS intercept
         |FROM sm""".stripMargin,
+    // q90: bloom flags (q88's logic) left-joined to exact hits
+    // (q57's logic) — FP counts from the same deterministic bloom.
+    "q90_bloom_fp_audit" ->
+      s"""WITH $shinglesCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |b AS (SELECT doc_id, s,
+        |  ${hex8Sql("concat('bl0|', s)")} % 65536 AS b0,
+        |  ${hex8Sql("concat('bl1|', s)")} % 65536 AS b1,
+        |  ${hex8Sql("concat('bl2|', s)")} % 65536 AS b2
+        | FROM e),
+        |pb AS (SELECT DISTINCT bit FROM (
+        |  SELECT b0 AS bit FROM b WHERE doc_id < 5
+        |  UNION SELECT b1 FROM b WHERE doc_id < 5
+        |  UNION SELECT b2 FROM b WHERE doc_id < 5) u),
+        |bloom AS (SELECT DISTINCT doc_id FROM b
+        | WHERE doc_id >= 5
+        |  AND b0 IN (SELECT bit FROM pb)
+        |  AND b1 IN (SELECT bit FROM pb)
+        |  AND b2 IN (SELECT bit FROM pb)),
+        |p AS (SELECT DISTINCT s FROM e WHERE doc_id < 5),
+        |exact AS (SELECT DISTINCT e.doc_id FROM e JOIN p ON e.s = p.s
+        | WHERE e.doc_id >= 5),
+        |j AS (SELECT bloom.doc_id,
+        |  CASE WHEN exact.doc_id IS NULL THEN 0 ELSE 1 END AS real
+        | FROM bloom LEFT JOIN exact ON bloom.doc_id = exact.doc_id)
+        |SELECT count(*) AS n_flagged,
+        | CAST(sum(real) AS BIGINT) AS n_real,
+        | CAST(count(*) - sum(real) AS BIGINT) AS n_false_pos,
+        | round(CAST(count(*) - sum(real) AS DOUBLE) / count(*), 4) AS fp_rate
+        |FROM j""".stripMargin,
+    // q91: H = log2(n) - sum(c*log2(c))/n — identical formula both
+    // engines, double sums rounded to 4.
+    "q91_user_entropy" ->
+      """WITH ct AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  sum(c * log2(c)) AS slc FROM ct GROUP BY user_id)
+        |SELECT user_id, n_events,
+        | round(log2(n_events) - slc / n_events, 4) AS entropy
+        |FROM a""".stripMargin,
     "q74_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,

@@ -291,6 +291,23 @@ object Events {
         (abs(col("zr")) >= 2.0).as("is_anomaly"))
   }
 
+  /** q91: per-user event-type entropy — Shannon entropy (log2) of
+    * each user's event-type distribution, the standard behavioral-
+    * diversity feature (a bot hammering one endpoint scores ~0, an
+    * organic user near log2(5)). Two hash aggregations, one shuffle
+    * each, no window: H = log2(n) − Σ c·log2(c) / n folds the
+    * per-type counts distributively. */
+  def userEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("c") * log2(col("c"))).as("slc"))
+      .select(col("user_id"), col("n_events"),
+        round(log2(col("n_events")) - col("slc") / col("n_events"), 4)
+          .as("entropy"))
+
   /** q64: the bucketized range join under the oracle gate — events
     * classified into value bands via [[RangeJoin.pointInInterval]].
     * Spark would plan the raw BETWEEN join as a nested loop; the

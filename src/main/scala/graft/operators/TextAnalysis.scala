@@ -189,6 +189,26 @@ object TextAnalysis {
       .agg(countDistinct(col("sh")).as("n_bloom_hits"))
   }
 
+  /** q90: bloom false-positive audit — q88's bloom flags joined
+    * against q57's exact overlap set, reporting how many flagged
+    * docs are real hits vs bloom false positives (and the FP rate).
+    * The number an operator checks before trusting the
+    * constant-size filter at full scale; one row, assembled from
+    * the two decontamination passes. */
+  def bloomFpAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = decontaminate(s, dir).select(col("doc_id"))
+    val bloom = bloomDecontaminate(s, dir).select(col("doc_id"))
+    bloom
+      .join(exact.withColumn("real", lit(1L)), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_flagged"),
+        sum(coalesce(col("real"), lit(0L))).as("n_real"))
+      .select(col("n_flagged"), col("n_real"),
+        (col("n_flagged") - col("n_real")).as("n_false_pos"),
+        round((col("n_flagged") - col("n_real")).cast("double") /
+          col("n_flagged"), 4).as("fp_rate"))
+  }
+
   /** q89: Zipf-law corpus audit — least-squares slope of
     * log10(freq) vs log10(rank) over the top-N token frequencies.
     * Natural-language corpora sit near slope −1; a corpus whose
