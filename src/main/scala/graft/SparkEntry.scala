@@ -103,6 +103,8 @@ object SparkEntry {
     "q89_zipf_audit"        -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q90_bloom_fp_audit"    -> (TextAnalysis.bloomFpAudit _),
     "q91_user_entropy"      -> (Events.userEntropy _),
+    "q92_hll_audit"         -> ((s, d) => Sketch.hllAudit(s, d)),
+    "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -128,6 +130,15 @@ object SparkEntry {
        |   CAST(strpos('0123456789abcdef',
        |     substr(md5($e), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
        |   * (1::BIGINT << CAST((7 - i) * 4 AS INTEGER)))) AS BIGINT)""".stripMargin
+
+  /** BIGINT from `n` hex nibbles of an existing hex string `h`
+    * starting at 1-based position `start` — the DuckDB mirror of
+    * Spark's conv(substring(h, start, n), 16, 10). */
+  private def hexNibblesSql(h: String, start: Int, n: Int): String =
+    s"""CAST(list_sum(list_transform(range($n), i ->
+       |   CAST(strpos('0123456789abcdef',
+       |     substr($h, CAST(i + $start AS INTEGER), 1)) - 1 AS BIGINT)
+       |   * (1::BIGINT << CAST((${n - 1} - i) * 4 AS INTEGER)))) AS BIGINT)""".stripMargin
 
   /** ±1 hyperplane component from md5 parity — mirrors
     * Similarity.planeSign exactly (first hex nibble of md5("p|i")). */
@@ -1074,5 +1085,66 @@ object SparkEntry {
         | CAST(max(gap) AS BIGINT) AS max_gap,
         | CAST(sum(gap) AS DOUBLE) / count(*) AS avg_gap
         |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
+    // q92: HLL registers replayed from the same md5 nibble split
+    // (1-2 → register, 3-10 → rank window); harmonic sum is the exact
+    // integer Σ 2^(41-Mj), one double division at the end.
+    "q92_hll_audit" ->
+      s"""WITH k AS (SELECT event_type,
+        |  concat(CAST(user_id AS VARCHAR), '|',
+        |   CAST(epoch_us(ts) // 86400000000 AS VARCHAR)) AS k
+        | FROM events),
+        |h AS (SELECT event_type, md5(k) AS h FROM k),
+        |rv AS (SELECT event_type,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS reg,
+        |  ${hexNibblesSql("h", 3, 8)} AS v
+        | FROM h),
+        |rk AS (SELECT event_type, reg,
+        |  CASE WHEN v = 0 THEN 32 ELSE 33 - length(bin(v)) END AS rnk FROM rv),
+        |regs AS (SELECT event_type, reg, max(rnk) AS mreg
+        | FROM rk GROUP BY 1, 2),
+        |sums AS (SELECT event_type,
+        |  count(*) AS n_occupied,
+        |  CAST(sum(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS s_occ
+        | FROM regs GROUP BY event_type),
+        |est AS (SELECT event_type, n_occupied,
+        |  256 - n_occupied AS zeros,
+        |  (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |   / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) AS raw_est
+        | FROM sums),
+        |e2 AS (SELECT event_type, n_occupied,
+        |  CASE WHEN zeros > 0 AND raw_est <= 2.5 * 256
+        |   THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw_est END AS est_u
+        | FROM est),
+        |ex AS (SELECT event_type, count(DISTINCT k) AS n_exact
+        | FROM k GROUP BY event_type)
+        |SELECT e2.event_type, ex.n_exact, e2.n_occupied,
+        | round(est_u, 4) AS est,
+        | round(abs(est_u - n_exact) / n_exact, 4) AS rel_err
+        |FROM e2 JOIN ex USING (event_type)""".stripMargin,
+    // q97: the quantile literal is CAST to DOUBLE so ceil(q*n) is the
+    // same IEEE multiply on both engines (DuckDB VALUES would
+    // otherwise keep it DECIMAL and ceil exactly).
+    "q97_hist_quantiles" ->
+      """WITH b2 AS (SELECT vc, vc // 10000 AS bin FROM (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS vc
+        |  FROM lineitem) t),
+        |hist AS (SELECT bin, count(*) AS cnt FROM b2 GROUP BY bin),
+        |cumh AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum
+        | FROM hist),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        |qs AS (SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9),
+        |  ('p99', 0.99)) AS t(q_label, q)),
+        |tg AS (SELECT q_label, n,
+        |  CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT) AS rnk FROM qs, tot),
+        |picked AS (SELECT q_label, n, rnk, bin, rnk - (cum - cnt) AS off,
+        |  bin * 10000 + 9999 AS est_cents
+        | FROM tg JOIN cumh ON cum >= rnk AND cum - cnt < rnk),
+        |rs AS (SELECT p.q_label, p.n, p.rnk, p.est_cents, b2.vc, p.off,
+        |  row_number() OVER (PARTITION BY p.q_label ORDER BY b2.vc) AS rn
+        | FROM b2 JOIN picked p ON b2.bin = p.bin)
+        |SELECT q_label, n, rnk, est_cents, vc AS exact_cents,
+        | est_cents - vc AS err_cents
+        |FROM rs WHERE rn = off""".stripMargin,
   )
 }

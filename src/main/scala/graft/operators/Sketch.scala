@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -42,5 +43,105 @@ object Sketch {
       .groupBy(col("tok"), col("n"))
       .agg(min(col("cnt")).as("est"))
       .select(col("tok").as("token"), col("n"), col("est"))
+  }
+
+  /** q92: HyperLogLog distinct sketch + audit — estimate per-type
+    * daily-active-user cardinality (distinct (user, day) pairs) from
+    * m=256 max-rank registers instead of a distinct-key shuffle, then
+    * audit vs the exact count.
+    *
+    * Why it scales: exact count-distinct shuffles every key; the HLL
+    * build is one map-side-combinable `max` agg over (group, register)
+    * — 256 longs per group regardless of corpus size, and registers
+    * merge across partitions/days with plain `max` (the mergeability
+    * that makes HLL the standard 100 TB cardinality tool). The md5
+    * register/rank split (nibbles 1-2 → register, 3-10 → 32-bit rank
+    * window) is engine-reproducible, so the oracle replays the sketch
+    * bit-for-bit, including its error. Determinism note: the harmonic
+    * sum Z = Σ 2^-Mj is computed as the INTEGER Σ 2^(41-Mj) (ranks are
+    * ≤ 32, so every term is an exact long and the sum is
+    * order-independent), divided out as one IEEE double division at
+    * the end; the small-range linear-counting correction uses the
+    * same CASE on both engines.
+    */
+  def hllAudit(s: SparkSession, dir: String, m: Int = 256): DataFrame = {
+    require(m == 256, "register split below is hardwired to 2 hex nibbles")
+    val alpha = 0.7213 / (1 + 1.079 / m) // same IEEE literals as the oracle
+    val key = concat(col("user_id").cast("string"), lit("|"),
+      expr("ts div 86400000000").cast("string"))
+    val ev = Tables.events(s, dir).select(col("event_type"), key.as("k"))
+    val h = ev.select(col("event_type"), md5(col("k").cast("binary")).as("h"))
+      .select(col("event_type"),
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("v"))
+    val ranked = h.withColumn("rank",
+      when(col("v") === 0, lit(32L))
+        .otherwise(lit(33L) - length(conv(col("v"), 10, 2)).cast("long")))
+    val regs = ranked.groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rank")).as("mreg"))
+    val sums = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_occupied"),
+        sum(expr("shiftleft(1L, cast(41 - mreg as int))")).as("s_occ"))
+      .withColumn("zeros", lit(m.toLong) - col("n_occupied"))
+      .withColumn("s_all", col("s_occ") + col("zeros") * lit(2199023255552L))
+      .withColumn("raw_est",
+        lit(alpha * m * m * 2199023255552.0) / col("s_all").cast("double"))
+      .withColumn("est_unrounded",
+        when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw_est")))
+    val exact = Tables.events(s, dir)
+      .select(col("event_type"), key.as("k"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    sums.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_occupied"),
+        round(col("est_unrounded"), 4).as("est"),
+        round(abs(col("est_unrounded") - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"))
+  }
+
+  /** q97: histogram quantile sketch + exact refine — p50/p90/p99 of
+    * lineitem prices from a fixed-width bin histogram, then the exact
+    * value by rank-selecting WITHIN the one bin that holds each rank.
+    *
+    * Why it scales: the classic exact-quantile plan sorts the whole
+    * column (q67's window). Here pass 1 is a map-side-combinable
+    * count per bin — constant-size state (~10³ bins) like any sketch,
+    * and mergeable across partitions; the cumulative walk runs on the
+    * bounded histogram only. Pass 2 sorts just the rows of the ≤3
+    * bins that contain the requested ranks (~n/bins rows), so no task
+    * ever sees an unbounded sort. All arithmetic is integer cents;
+    * the only double op is ceil(q·n), identical IEEE on both engines.
+    */
+  def histQuantiles(s: SparkSession, dir: String,
+      binCents: Long = 10000L): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("vc"))
+      .withColumn("bin", expr(s"vc div $binCents"))
+    val hist = base.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // Bounded single-partition window: ~10^3 bin rows regardless of SF.
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    val qdf = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+      .toDF("q_label", "q")
+    val targets = qdf.crossJoin(total)
+      .withColumn("rnk", ceil(col("q") * col("n")))
+    val picked = targets.join(cum,
+        col("cum") >= col("rnk") && (col("cum") - col("cnt")) < col("rnk"))
+      .select(col("q_label"), col("n"), col("rnk"), col("bin"),
+        (col("rnk") - (col("cum") - col("cnt"))).as("offset"),
+        (col("bin") * binCents + (binCents - 1)).as("est_cents"))
+    val wbin = Window.partitionBy(col("q_label"))
+      .orderBy(col("vc"))
+    base.join(broadcast(picked), "bin")
+      .withColumn("rn", row_number().over(wbin))
+      .filter(col("rn") === col("offset"))
+      .select(col("q_label"), col("n"), col("rnk"), col("est_cents"),
+        col("vc").as("exact_cents"),
+        (col("est_cents") - col("vc")).as("err_cents"))
   }
 }
