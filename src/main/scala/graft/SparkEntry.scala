@@ -104,6 +104,7 @@ object SparkEntry {
     "q90_bloom_fp_audit"    -> (TextAnalysis.bloomFpAudit _),
     "q91_user_entropy"      -> (Events.userEntropy _),
     "q92_hll_audit"         -> ((s, d) => Sketch.hllAudit(s, d)),
+    "q93_dup_span_fraction" -> (Dedup.dupSpanFraction _),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
   )
 
@@ -1122,6 +1123,29 @@ object SparkEntry {
         | round(est_u, 4) AS est,
         | round(abs(est_u - n_exact) / n_exact, 4) AS rel_err
         |FROM e2 JOIN ex USING (event_type)""".stripMargin,
+    // q93: positional trigrams with multiplicity (sp) vs the distinct
+    // document-frequency set (dsh) — lists built in their own CTEs,
+    // unnested in the next (expressions around unnest are unreliable).
+    "q93_dup_span_fraction" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |spl AS (SELECT doc_id, list_transform(range(1, len(ts) - 1),
+        |   i -> array_to_string(ts[i:i+2], ' ')) AS shl FROM d),
+        |sp AS (SELECT doc_id, unnest(shl) AS sh FROM spl),
+        |dshl AS (SELECT doc_id, list_distinct(shl) AS shl FROM spl),
+        |dsh AS (SELECT doc_id, unnest(shl) AS sh FROM dshl),
+        |freq AS (SELECT sh, count(*) AS docs_with FROM dsh GROUP BY sh),
+        |pd AS (SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_spans
+        | FROM sp JOIN freq USING (sh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(pd.n_spans, 0) AS n_spans,
+        | coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+        | CASE WHEN coalesce(pd.n_spans, 0) > 0
+        |  THEN round(CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans, 4)
+        |  ELSE 0.0 END AS dup_frac
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // q97: the quantile literal is CAST to DOUBLE so ceil(q*n) is the
     // same IEEE multiply on both engines (DuckDB VALUES would
     // otherwise keep it DECIMAL and ceil exactly).

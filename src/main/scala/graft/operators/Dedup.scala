@@ -312,4 +312,47 @@ object Dedup {
     }
     agged.select(col("doc_id"), concat_ws("", nibbleChars: _*).as("simhash"))
   }
+
+  /** q93: duplicated-span fraction — for each doc, the fraction of
+    * its 3-gram POSITIONS whose shingle also appears in ≥1 other doc
+    * (the RefinedWeb/CCNet "duplicated content" quality signal; docs
+    * above a threshold are mostly boilerplate and get dropped or
+    * span-trimmed before training).
+    *
+    * Two shuffles at corpus scale: a distinct-shingle document-
+    * frequency agg (map-side combinable) and the span→frequency
+    * equi-join + per-doc agg. Shuffle payload is the ~20-byte shingle
+    * string (kept raw, not hashed, so the flag is EXACT and the
+    * oracle replays it verbatim — the hashed-key variant of q21 is
+    * the option once collisions are acceptable). No window, no
+    * cartesian; per-doc span explode is bounded by doc length.
+    */
+  def dupSpanFraction(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // positional trigrams (with multiplicity) — size guard first:
+    // sequence(0, -1) would yield [0, -1] (negative-step trap)
+    val spans = docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3)))).as("sh"))
+    // document frequency over DISTINCT per-doc shingles
+    val freq = Tables.documents(s, dir)
+      .select(explode(shingles3(col("text"))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("docs_with"))
+    val perDoc = spans.join(freq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+          .otherwise(lit(0.0)))
+  }
 }
