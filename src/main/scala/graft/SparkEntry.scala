@@ -105,6 +105,7 @@ object SparkEntry {
     "q91_user_entropy"      -> (Events.userEntropy _),
     "q92_hll_audit"         -> ((s, d) => Sketch.hllAudit(s, d)),
     "q93_dup_span_fraction" -> (Dedup.dupSpanFraction _),
+    "q96_weighted_sample"   -> ((s, d) => Sampling.weightedSample(s, d)),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
   )
 
@@ -1146,6 +1147,17 @@ object SparkEntry {
         |  THEN round(CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans, 4)
         |  ELSE 0.0 END AS dup_frac
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // q96: same md5-uniform draw and ln(u)/w key on both engines;
+    // key_ppm rounded to 4 absorbs the ≤1-ulp libm ln() divergence.
+    "q96_weighted_sample" ->
+      s"""WITH u AS (SELECT doc_id, n_chars,
+        |  (CAST(${hex8Sql("concat('wsample|', CAST(doc_id AS VARCHAR))")}
+        |    AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        | FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars AS weight,
+        |  ln(u) / CAST(n_chars AS DOUBLE) AS es_key FROM u)
+        |SELECT doc_id, weight, round(es_key * 1e6, 4) AS key_ppm
+        |FROM k ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
     // q97: the quantile literal is CAST to DOUBLE so ceil(q*n) is the
     // same IEEE multiply on both engines (DuckDB VALUES would
     // otherwise keep it DECIMAL and ceil exactly).

@@ -42,4 +42,32 @@ object Sampling {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
       .select(col("lang"), col("n_docs"), col("n_sampled"),
         round(col("n_sampled").cast("double") / col("n_docs"), 4).as("rate"))
+
+  /** q96: deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws u from the md5 bucket
+    * family, its key is ln(u)/w (maximizing u^(1/w)), and the k
+    * largest keys win. Token-weighted corpus subsampling needs
+    * exactly this: sampling probability ∝ n_chars, reproducible
+    * across engines, partitionings and reruns — no rand(), no
+    * reservoir state.
+    *
+    * Scale shape: a narrow codegen'd key expression + a bounded
+    * top-k (at 100 TB: per-partition top-k partial agg then one
+    * k-row reduce — Spark's TakeOrderedAndProject, no full sort of
+    * the corpus; only k rows ever cross the shuffle). Keys are
+    * continuous doubles so cross-engine ULP ties are impossible at
+    * any realistic k; doc_id breaks exact ties deterministically.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 50,
+      salt: String = "wsample"): DataFrame = {
+    val u = (hashBucket(concat(lit(s"$salt|"), col("doc_id").cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        (log(u) / col("n_chars").cast("double")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"), round(col("es_key") * 1e6, 4).as("key_ppm"))
+  }
 }
