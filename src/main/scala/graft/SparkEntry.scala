@@ -105,6 +105,7 @@ object SparkEntry {
     "q91_user_entropy"      -> (Events.userEntropy _),
     "q92_hll_audit"         -> ((s, d) => Sketch.hllAudit(s, d)),
     "q93_dup_span_fraction" -> (Dedup.dupSpanFraction _),
+    "q94_dedup_pagerank"    -> ((s, d) => Dedup.pageRank(s, d)),
     "q96_weighted_sample"   -> ((s, d) => Sampling.weightedSample(s, d)),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
   )
@@ -1147,6 +1148,26 @@ object SparkEntry {
         |  THEN round(CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans, 4)
         |  ELSE 0.0 END AS dup_frac
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // q94: the 5 integer-arithmetic rank rounds unrolled as CTEs over
+    // the same band-join edges as q59; DuckDB's HUGEINT sum is cast
+    // back per round so every intermediate matches Spark's longs.
+    "q94_dedup_pagerank" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        |s0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS s FROM deg),
+        |${(1 to 5).map { i =>
+          val prev = if (i == 1) "s0" else s"it${i - 1}"
+          s"""it$i AS (SELECT a.v AS v,
+             |  CAST(150000 + (850 * sum(p.s // d.deg)) // 1000 AS BIGINT) AS s
+             | FROM adj a JOIN $prev p ON a.u = p.v JOIN deg d ON a.u = d.u
+             | GROUP BY a.v)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT v AS doc_id, s AS score_scaled FROM it5""".stripMargin,
     // q96: same md5-uniform draw and ln(u)/w key on both engines;
     // key_ppm rounded to 4 absorbs the ≤1-ulp libm ln() divergence.
     "q96_weighted_sample" ->

@@ -313,6 +313,45 @@ object Dedup {
     agged.select(col("doc_id"), concat_ws("", nibbleChars: _*).as("simhash"))
   }
 
+  /** q94: PageRank-style centrality over the MinHash-LSH near-dup
+    * graph (q22's edges) — the "most-linked" doc per dup cluster is
+    * the natural canonical-copy pick, and rank mass concentrating on
+    * template hubs is a boilerplate signal q74's size histogram
+    * can't see.
+    *
+    * Iterative distributed compute, same shape as q59: each of the
+    * fixed `iters` rounds is one equi-join (scores+degrees onto the
+    * adjacency list, shuffle-hash so the bigger adjacency side is
+    * never re-sorted) and one map-side-combinable sum; the driver
+    * never sees data, and localCheckpoint keeps plans constant-size.
+    * ALL arithmetic is integer: scores are ppm-scaled longs, each
+    * contribution is s div deg and damping is (850·Σ) div 1000 — so
+    * the result is bit-identical on any engine and any partitioning
+    * (float PageRank would be order-dependent), and the oracle
+    * replays the 5 rounds as unrolled CTEs. Σ-bound: 850·Σshares ≤
+    * 850·10⁶·n fits a long up to n ≈ 10¹⁰ docs.
+    */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val edges = minhashLsh(s, dir)
+    // both directions; the two selects are disjoint (d1 < d2), so
+    // this matches the oracle's UNION without a distinct
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    var scores = deg.select(col("u").as("v"), lit(1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
+        .join(deg.hint("shuffle_hash"), "u")
+        .select(col("v"), expr("s div deg").as("share"))
+      scores = contrib.groupBy(col("v"))
+        .agg(expr("cast(150000 + (850 * sum(share)) div 1000 as bigint)").as("s"))
+        .localCheckpoint()
+    }
+    scores.select(col("v").as("doc_id"), col("s").as("score_scaled"))
+  }
+
   /** q93: duplicated-span fraction — for each doc, the fraction of
     * its 3-gram POSITIONS whose shingle also appears in ≥1 other doc
     * (the RefinedWeb/CCNet "duplicated content" quality signal; docs
