@@ -107,6 +107,7 @@ object SparkEntry {
     "q93_dup_span_fraction" -> (Dedup.dupSpanFraction _),
     "q94_dedup_pagerank"    -> ((s, d) => Dedup.pageRank(s, d)),
     "q96_weighted_sample"   -> ((s, d) => Sampling.weightedSample(s, d)),
+    "q98_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
   )
 
@@ -1203,5 +1204,23 @@ object SparkEntry {
         |SELECT q_label, n, rnk, est_cents, vc AS exact_cents,
         | est_cents - vc AS err_cents
         |FROM rs WHERE rn = off""".stripMargin,
+    // q98: exact distinct-shingle intersect on the band candidates;
+    // containment rounded before the floor so both engines compare
+    // the same 4-decimal value.
+    "q98_containment_pairs" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT c.d1, c.d2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+        |  CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2
+        | FROM c JOIN t a ON c.d1 = a.doc_id JOIN t b ON c.d2 = b.doc_id)
+        |SELECT d1, d2, n1, n2, common AS n_common,
+        | round(CAST(common AS DOUBLE) / least(n1, n2), 4) AS containment,
+        | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
+        |FROM j
+        |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
   )
 }

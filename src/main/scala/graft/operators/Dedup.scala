@@ -313,6 +313,38 @@ object Dedup {
     agged.select(col("doc_id"), concat_ws("", nibbleChars: _*).as("simhash"))
   }
 
+  /** q98: containment near-dup pairs — for each MinHash-LSH candidate
+    * pair, the asymmetric containment C = |A∩B| / min(|A|,|B|)
+    * alongside Jaccard. Containment catches the doc-embedded-in-doc
+    * dups (a short doc fully quoted inside a long one) that Jaccard
+    * scores low because the union is large; pairs passing the
+    * containment floor but failing q21's Jaccard floor are exactly
+    * the pairs a Jaccard-only pipeline ships as "unique".
+    * Candidates come from the q22 bands (LSH recalls by Jaccard, so
+    * extreme short-in-long pairs can evade banding — the documented
+    * trade; the prefix-probe-vs-full-index variant is the exhaustive
+    * upgrade). Verify joins are shuffle-hash like q21's: the id-only
+    * candidate stream is never sorted, the shingle lookup builds
+    * per-partition maps. */
+  def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val t = docShingles(s, dir).hint("shuffle_hash")
+    minhashLsh(s, dir)
+      .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("n1", size(col("sh1")))
+      .withColumn("n2", size(col("sh2")))
+      .withColumn("containment",
+        round(col("common").cast("double") / least(col("n1"), col("n2")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("common").cast("long").as("n_common"), col("containment"),
+        round(col("common").cast("double")
+          / (col("n1") + col("n2") - col("common")), 4).as("jaccard"))
+  }
+
   /** q94: PageRank-style centrality over the MinHash-LSH near-dup
     * graph (q22's edges) — the "most-linked" doc per dup cluster is
     * the natural canonical-copy pick, and rank mass concentrating on
