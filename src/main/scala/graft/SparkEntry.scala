@@ -106,6 +106,7 @@ object SparkEntry {
     "q92_hll_audit"         -> ((s, d) => Sketch.hllAudit(s, d)),
     "q93_dup_span_fraction" -> (Dedup.dupSpanFraction _),
     "q94_dedup_pagerank"    -> ((s, d) => Dedup.pageRank(s, d)),
+    "q95_stream_funnel"     -> (StreamingOps.streamFunnel _),
     "q96_weighted_sample"   -> ((s, d) => Sampling.weightedSample(s, d)),
     "q98_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
@@ -1169,6 +1170,20 @@ object SparkEntry {
              | GROUP BY a.v)""".stripMargin
         }.mkString(",\n")}
         |SELECT v AS doc_id, s AS score_scaled FROM it5""".stripMargin,
+    // q95: the funnel state replays as two batch aggregates — first
+    // view per user, then the minimum purchase at-or-after it; users
+    // with purchases but no views never emit.
+    "q95_stream_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS conv_ts
+        | FROM events e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'purchase'
+        |  AND epoch_us(e.ts) >= v.first_view
+        | GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, p.conv_ts,
+        | CASE WHEN p.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     // q96: same md5-uniform draw and ln(u)/w key on both engines;
     // key_ppm rounded to 4 absorbs the ≤1-ulp libm ln() divergence.
     "q96_weighted_sample" ->

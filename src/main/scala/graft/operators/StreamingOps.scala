@@ -357,6 +357,45 @@ object StreamingOps {
       out, ckpt, ttlMillis = Some(ttlMillis))
   }
 
+  /** q95: STREAMING funnel under the oracle gate — view/purchase puts
+    * through the DSv2 source into [[graft.streaming.Funnel]]'s
+    * order-invariant per-user state (first view, first qualifying
+    * purchase). The state is a min-lattice plus a retained
+    * below-first-view purchase set, so the final rows are arrival-
+    * order independent (see Funnel's scaladoc for the argument) and
+    * replay as two batch aggregates. Update mode emits per touched
+    * user per batch; the last emission wins via the batch tag. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q95", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val subset = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("kind") === "put" &&
+        col("cells")(0)("qualifier").isin("view", "purchase"))
+    WalSource.writeWalJson(subset, walDir, batches = 6)
+    val evs = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").as("_1"),
+        col("cells")(0)("qualifier").as("_2"), col("ts").as("_3"))
+      .as[(String, String, Long)]
+    val query = graft.streaming.Funnel.track(s, evs).writeStream
+      .foreachBatch {
+        (df: Dataset[graft.streaming.Funnel.FunnelOut], id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("first_view"), col("conv_ts")), col("batch")).as("st"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("st.first_view").as("first_view"),
+        when(col("st.conv_ts") >= 0, col("st.conv_ts")).as("conv_ts"),
+        when(col("st.conv_ts") >= 0, 1).otherwise(0).as("converted"))
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode
