@@ -109,6 +109,7 @@ object SparkEntry {
     "q95_stream_funnel"     -> (StreamingOps.streamFunnel _),
     "q96_weighted_sample"   -> ((s, d) => Sampling.weightedSample(s, d)),
     "q98_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q99_ivf_self_join"     -> ((s, d) => Similarity.ivfSelfJoin(s, d)),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
   )
 
@@ -1237,5 +1238,35 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q99: q38's centroid-assignment CTEs, then the within-cell
+    // self-join with the exact integer cosine.
+    "q99_ivf_self_join" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM cl),
+        |ac AS (SELECT m.vec_id, m.v, m.n2, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS ccos
+        | FROM m, cn),
+        |asg AS (SELECT vec_id, v, n2, cell FROM (SELECT vec_id, v, n2,
+        |   label AS cell, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY ccos DESC, label) AS rk FROM ac) t WHERE rk = 1)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | CAST(a.cell AS BIGINT) AS cell,
+        | CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
   )
 }

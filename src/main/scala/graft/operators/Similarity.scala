@@ -138,16 +138,15 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_vecs"))
 
-  /** q38 (rows-only): IVF-style ANN — per-label centroids act as the
-    * coarse quantizer (inverted file): every corpus vector is assigned
-    * to its nearest centroid; a query probes only the `nprobe` nearest
-    * centroid lists. At 100 TB the corpus is partitioned by centroid
-    * id, so a probe touches nprobe/k of the data. Returns top-3
-    * neighbors per query from the probed lists. */
-  def ivfTopK(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+  /** IVF building block shared by q38/q99: the broadcastable coarse
+    * quantizer (per-label integer centroids, q37's sums scaled to a
+    * mean vector) and every corpus vector's nearest-centroid cell.
+    * Assignment is max_by under hash aggregation — one shuffle of one
+    * row per vector, never a window over |corpus|×|centroids| scored
+    * rows; ties break to the smallest label via the negated tiebreak
+    * column. */
+  private[operators] def ivfAssigned(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val q = quantized(s, dir)
-    // coarse quantizer: exact integer centroid sums per label (q37),
-    // scaled to a mean vector in micro-units
     val cent = Tables.embeddings(s, dir)
       .select(col("label"),
         transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
@@ -159,10 +158,6 @@ object Similarity {
         e => e.getField("cx")).as("cv"))
     val centN = broadcast(cent
       .withColumn("cn2", org.apache.spark.sql.graft.LongArrayDot.column(col("cv"), col("cv"))))
-    // assign every vector to its nearest centroid — max_by under hash
-    // aggregation (one shuffle of one row per vector), not a window
-    // rank (which would sort |corpus|×|centroids| scored rows); ties
-    // broken by smallest label via the negated tiebreak column
     val assigned = q.join(centN, lit(true))
       .withColumn("ccos", cosineQ(col("v"), col("cv"), col("n2"), col("cn2")))
       .groupBy(col("vec_id"))
@@ -170,6 +165,39 @@ object Similarity {
         struct(col("ccos"), negate(col("label")))).as("c"))
       .select(col("vec_id"), col("c.v").as("v"), col("c.n2").as("n2"),
         col("c.label").as("cell"))
+    (centN, assigned)
+  }
+
+  /** q99: embedding near-dup SELF-JOIN blocked by IVF cell — the
+    * coarse-quantizer alternative to q24's hyperplane banding: a
+    * candidate pair is two vectors assigned to the SAME nearest
+    * centroid, verified with the exact integer cosine. The within-
+    * cell equi-join is the classic IVF blocking trade: k cells bound
+    * each block to ~n/k vectors (size the quantizer so a cell's
+    * pairs fit a task); recall misses pairs straddling a centroid
+    * boundary, which banding (q24) catches — production runs both
+    * and unions, each one equi-join, never a cross join. */
+  def ivfSelfJoin(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val (_, assigned) = ivfAssigned(s, dir)
+    val a = assigned.toDF("id1", "v1", "n21", "cell")
+    val b = assigned.toDF("id2", "v2", "n22", "cell")
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosineQ(col("v1"), col("v2"), col("n21"), col("n22")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cell").cast("long").as("cell"),
+        col("cosine"))
+  }
+
+  /** q38: IVF-style ANN — per-label centroids act as the
+    * coarse quantizer (inverted file): every corpus vector is assigned
+    * to its nearest centroid; a query probes only the `nprobe` nearest
+    * centroid lists. At 100 TB the corpus is partitioned by centroid
+    * id, so a probe touches nprobe/k of the data. Returns top-3
+    * neighbors per query from the probed lists. */
+  def ivfTopK(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val q = quantized(s, dir)
+    val (centN, assigned) = ivfAssigned(s, dir)
     // queries probe their nprobe nearest cells — bounded TopKAgg keeps
     // the k-buffer map-side (same rationale as q25)
     import graft.functions.TopK
