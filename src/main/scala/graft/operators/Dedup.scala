@@ -363,13 +363,16 @@ object Dedup {
     * replays the 5 rounds as unrolled CTEs. Σ-bound: 850·Σshares ≤
     * 850·10⁶·n fits a long up to n ≈ 10¹⁰ docs.
     */
-  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5,
+      checkpoint: Boolean = true): DataFrame = {
     val edges = minhashLsh(s, dir)
     // both directions; the two selects are disjoint (d1 < d2), so
     // this matches the oracle's UNION without a distinct
-    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+    val adj0 = edges.select(col("d1").as("v"), col("d2").as("u"))
       .union(edges.select(col("d2").as("v"), col("d1").as("u")))
-      .localCheckpoint()
+    // checkpoint=false keeps the composed plan visible (PlanSpec
+    // pins the iteration's join shape through it)
+    val adj = if (checkpoint) adj0.localCheckpoint() else adj0
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     var scores = deg.select(col("u").as("v"), lit(1000000L).as("s"))
     for (_ <- 1 to iters) {
@@ -377,9 +380,9 @@ object Dedup {
         .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
         .join(deg.hint("shuffle_hash"), "u")
         .select(col("v"), expr("s div deg").as("share"))
-      scores = contrib.groupBy(col("v"))
+      val next = contrib.groupBy(col("v"))
         .agg(expr("cast(150000 + (850 * sum(share)) div 1000 as bigint)").as("s"))
-        .localCheckpoint()
+      scores = if (checkpoint) next.localCheckpoint() else next
     }
     scores.select(col("v").as("doc_id"), col("s").as("score_scaled"))
   }

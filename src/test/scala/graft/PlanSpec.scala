@@ -92,6 +92,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("round-4 candidate paths never cross-join and keep their shapes") {
+    // q93: span→frequency joins are equi-joins on the shingle string
+    val p93 = plan(Dedup.dupSpanFraction(spark, sfDir))
+    assert(!p93.contains("CartesianProduct") &&
+      !p93.contains("BroadcastNestedLoopJoin"), "q93 lost its equi-join shape")
+    // q98: verify joins on the band candidates stay equi + shuffle-hash
+    val p98 = plan(Dedup.containmentPairs(spark, sfDir))
+    assert(!p98.contains("CartesianProduct") &&
+      !p98.contains("BroadcastNestedLoopJoin"), "q98 cross-joins the corpus")
+    // q99: the ONLY nested-loop allowed is corpus × broadcast
+    // centroids (the bounded coarse quantizer); the within-cell pair
+    // join must be an equi-join
+    val p99 = plan(Similarity.ivfSelfJoin(spark, sfDir))
+    assert(!p99.contains("CartesianProduct"), "q99 has a cartesian product")
+    // q96: global top-k must be TakeOrderedAndProject (per-partition
+    // k-buffers + one k-row reduce), never a full corpus sort
+    val p96 = plan(Sampling.weightedSample(spark, sfDir))
+    assert(p96.contains("TakeOrderedAndProject"),
+      s"q96 sorts the corpus for a top-k:\n$p96")
+  }
+
+  test("q94 rank iterations keep the shuffle-hash join shape") {
+    // same rationale as q59: an SMJ would re-sort the adjacency list
+    // every iteration; the hint must survive planning
+    val p = plan(Dedup.pageRank(spark, sfDir, iters = 1, checkpoint = false))
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q94 iteration join lost its hash-join shape:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("queries stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the per-row hot paths of scan-shaped queries must be codegen'd
