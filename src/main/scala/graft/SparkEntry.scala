@@ -111,6 +111,7 @@ object SparkEntry {
     "q98_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q99_ivf_self_join"     -> ((s, d) => Similarity.ivfSelfJoin(s, d)),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
+    "q100_rocksdb_materialize" -> (StreamingOps.rocksDbMaterialize _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -632,6 +633,18 @@ object SparkEntry {
     // q53: put-only stream → final state is the per-key latest-put
     // view, independent of micro-batch arrival order.
     "q53_wal_stream_materialize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events WHERE event_type <> 'error'),
+        |a AS (SELECT user_id, max(ts) AS version,
+        |  list_sort(list_distinct(list('e:' || event_type))) AS types
+        | FROM e GROUP BY user_id)
+        |SELECT 'events' AS "table", CAST(user_id AS VARCHAR) AS rowkey,
+        | version, false AS deleted,
+        | array_to_string(list_sort(list_append(types, 'e:props')), ',') AS qualifiers
+        |FROM a""".stripMargin,
+    // q100: the RocksDB provider must produce q53's exact states —
+    // same oracle by design.
+    "q100_rocksdb_materialize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
         |  FROM events WHERE event_type <> 'error'),
         |a AS (SELECT user_id, max(ts) AS version,

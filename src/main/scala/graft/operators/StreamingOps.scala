@@ -357,6 +357,23 @@ object StreamingOps {
       out, ckpt, ttlMillis = Some(ttlMillis))
   }
 
+  /** q100: q53's streaming materialization on the ROCKSDB state-store
+    * provider — the 100 TB production configuration (state off-heap,
+    * incremental checkpoints; the HDFS-backed default keeps every
+    * key's state on the JVM heap and dies first at scale). Output
+    * contract is provider-independent (WalStreamSpec proves byte
+    * equality); this puts that claim under the DuckDB gate instead
+    * of spec-only, so a provider regression fails the round. */
+  def rocksDbMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q100", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val puts = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("kind") === "put")
+    WalSource.writeWalJson(puts, walDir, batches = 8)
+    finalStates(s, graft.sources.GraftWalStream(walDir, maxFilesPerTrigger = 2),
+      out, ckpt, rocksDB = true)
+  }
+
   /** q95: STREAMING funnel under the oracle gate — view/purchase puts
     * through the DSv2 source into [[graft.streaming.Funnel]]'s
     * order-invariant per-user state (first view, first qualifying
