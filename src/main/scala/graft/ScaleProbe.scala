@@ -60,6 +60,26 @@ object ScaleProbe {
         .distinct()
     }
 
+    // q93's plan over any (doc_id, text) frame: positional trigrams
+    // joined to the distinct-shingle document-frequency table.
+    // Replica-disjoint expansion keeps per-shingle df constant, so
+    // the output (and the honest cost) grows linearly.
+    def dupSpanOf(docs: DataFrame): DataFrame = {
+      import graft.functions.TextFunctions.{shingles3, tokens}
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val spans = toks.filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3)))).as("sh"))
+      val freq = docs.select(explode(shingles3(col("text"))).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("docs_with"))
+      spans.join(freq, "sh").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    }
+
     for (k <- Seq(1, 2, 4, 8)) {
       val docs = expand(k).cache()
       val n = docs.count()
@@ -67,11 +87,13 @@ object ScaleProbe {
       if (k == 1) {
         time(graft.operators.Dedup.ngramJaccardOf(docs, 0.5))
         time(minhashOf(docs))
+        time(dupSpanOf(docs))
       }
       val tJac = time(graft.operators.Dedup.ngramJaccardOf(docs, 0.5))
       val pairs = graft.operators.Dedup.ngramJaccardOf(docs, 0.5).count()
       val tMh = time(minhashOf(docs))
-      println(f"""{"k":$k,"docs":$n,"jaccard_sec":$tJac%.2f,"pairs":$pairs,"minhash_sec":$tMh%.2f}""")
+      val tDs = time(dupSpanOf(docs))
+      println(f"""{"k":$k,"docs":$n,"jaccard_sec":$tJac%.2f,"pairs":$pairs,"minhash_sec":$tMh%.2f,"dupspan_sec":$tDs%.2f}""")
       docs.unpersist()
     }
     spark.stop()
