@@ -112,6 +112,7 @@ object SparkEntry {
     "q99_ivf_self_join"     -> ((s, d) => Similarity.ivfSelfJoin(s, d)),
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
     "q100_rocksdb_materialize" -> (StreamingOps.rocksDbMaterialize _),
+    "q101_winnow_pairs"     -> ((s, d) => Dedup.winnowPairs(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1251,6 +1252,31 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q101: trigram hashes per position (unnest+generate_subscripts,
+    // the proven q38 pattern — nested lambdas around unnest are
+    // unreliable), rebuilt ordered, window-min winnowed, then the
+    // capped posting join.
+    "q101_winnow_pairs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |tr AS (SELECT doc_id, list_transform(range(1, len(ts) - 1),
+        |   i -> array_to_string(ts[i:i+2], ' ')) AS tri FROM d),
+        |tr2 AS (SELECT doc_id, unnest(tri) AS t,
+        |  generate_subscripts(tri, 1) AS pos FROM tr),
+        |th AS (SELECT doc_id, pos,
+        |  ${hex8Sql("concat('wn|', t)")} AS h FROM tr2),
+        |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th
+        | GROUP BY doc_id),
+        |fp0 AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))) AS fps
+        | FROM hl WHERE len(hs) >= 4),
+        |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fp0),
+        |po AS (SELECT fp, count(*) AS df FROM fpe GROUP BY fp),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        | FROM fpe a JOIN fpe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | JOIN po ON a.fp = po.fp WHERE po.df BETWEEN 2 AND 50)
+        |SELECT d1, d2, count(*) AS n_shared
+        |FROM cand GROUP BY d1, d2 HAVING count(*) >= 2""".stripMargin,
     // q99: q38's centroid-assignment CTEs, then the within-cell
     // self-join with the exact integer cosine.
     "q99_ivf_self_join" ->

@@ -345,6 +345,51 @@ object Dedup {
           / (col("n1") + col("n2") - col("common")), 4).as("jaccard"))
   }
 
+  /** q101: winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken —
+    * the MOSS algorithm): each doc keeps the MIN trigram hash of
+    * every w=4 consecutive-trigram window, giving position-robust
+    * fingerprints with a guarantee the random min-shingle (q30) and
+    * MinHash (q22) families lack: any shared run of ≥ w+2 tokens
+    * yields a shared fingerprint. Pairs sharing ≥ `minShared`
+    * fingerprints are overlap candidates — the partial-plagiarism /
+    * shared-passage detector that complements whole-doc Jaccard.
+    *
+    * Shapes: fingerprint extraction is one narrow pass (nested
+    * transform/slice/array_min — all codegen, no shuffle); pair
+    * generation is the q22 posting-join with a `postingCap` guard so
+    * boilerplate fingerprints (hot postings, the 100 TB skew risk)
+    * are dropped exactly like q21's stop-shingles; the md5 hash
+    * family makes every fingerprint — and thus every candidate —
+    * oracle-replayable. */
+  def winnowPairs(s: SparkSession, dir: String, w: Int = 4,
+      minShared: Int = 2, postingCap: Int = 50): DataFrame = {
+    val toks = tokens(col("text"))
+    val tri = transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3)))
+    val hashes = transform(tri, t =>
+      conv(substring(md5(concat(lit("wn|"), t).cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    val fps = array_distinct(transform(
+      sequence(lit(0), size(col("hs")) - w),
+      j => array_min(slice(col("hs"), j + 1, lit(w)))))
+    val fpe = Tables.documents(s, dir)
+      // need ≥ w trigram windows ⇒ ≥ w+2 tokens (sequence guard too)
+      .filter(size(toks) >= w + 2)
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), explode(fps).as("fp"))
+    val posts = fpe.groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, postingCap))
+    posts
+      .select(explode(col("ds")).as("d1"), col("ds"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** q94: PageRank-style centrality over the MinHash-LSH near-dup
     * graph (q22's edges) — the "most-linked" doc per dup cluster is
     * the natural canonical-copy pick, and rank mass concentrating on
