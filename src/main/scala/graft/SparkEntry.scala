@@ -113,6 +113,7 @@ object SparkEntry {
     "q97_hist_quantiles"    -> ((s, d) => Sketch.histQuantiles(s, d)),
     "q100_rocksdb_materialize" -> (StreamingOps.rocksDbMaterialize _),
     "q101_winnow_pairs"     -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "q102_quota_sample"     -> ((s, d) => Sampling.quotaSample(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1252,6 +1253,17 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q102: the k smallest md5 buckets per language; rank cast to
+    // BIGINT (DuckDB row_number is BIGINT, Spark pos is int32).
+    "q102_quota_sample" ->
+      s"""WITH k AS (SELECT lang, doc_id,
+        |  ${hex8Sql("concat('quota|', CAST(doc_id AS VARCHAR))")} AS bucket
+        | FROM documents),
+        |r AS (SELECT lang, doc_id, bucket,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY bucket, doc_id) AS rank FROM k)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, bucket
+        |FROM r WHERE rank <= 20""".stripMargin,
     // q101: trigram hashes per position (unnest+generate_subscripts,
     // the proven q38 pattern — nested lambdas around unnest are
     // unreliable), rebuilt ordered, window-min winnowed, then the

@@ -58,6 +58,34 @@ object Sampling {
     * continuous doubles so cross-engine ULP ties are impossible at
     * any realistic k; doc_id breaks exact ties deterministically.
     */
+  /** q102: exact-quota stratified sampling — EXACTLY k docs per
+    * language (the fixed-budget complement of q55's rate-based
+    * sampler: "give me 20 eval docs per language", reproducibly).
+    * Selection = the k smallest md5 buckets per stratum, which is a
+    * uniform k-subset and deterministic across engines/partitionings.
+    *
+    * Scale shape: [[graft.functions.TopKAgg]] per stratum — a
+    * bounded k-buffer on the map side, ≤ k rows per (partition ×
+    * stratum) across the shuffle; the window-rank formulation would
+    * sort every doc of a language in one task (the q66 skew killer,
+    * avoided outright here). Ties (bucket collisions) break by
+    * doc_id inside the aggregator, mirroring the oracle's ORDER BY
+    * (bucket, doc_id). */
+  def quotaSample(s: SparkSession, dir: String, k: Int = 20,
+      salt: String = "quota"): DataFrame = {
+    import graft.functions.TopK
+    val b = hashBucket(concat(lit(s"$salt|"), col("doc_id").cast("string")))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), b.as("bucket"))
+      .groupBy(col("lang"))
+      // score = -bucket: TopK keeps (score desc, id asc) = smallest
+      // buckets first; buckets < 2^32 are exact in double
+      .agg(TopK.topk(k)(col("doc_id"), negate(col("bucket").cast("double"))).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), negate(col("t.score")).cast("long").as("bucket"))
+  }
+
   def weightedSample(s: SparkSession, dir: String, k: Int = 50,
       salt: String = "wsample"): DataFrame = {
     val u = (hashBucket(concat(lit(s"$salt|"), col("doc_id").cast("string")))
