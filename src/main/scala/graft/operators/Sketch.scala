@@ -45,6 +45,30 @@ object Sketch {
       .select(col("tok").as("token"), col("n"), col("est"))
   }
 
+  /** HLL max-rank registers over a (event_type, k) keyed frame —
+    * (event_type, reg, mreg). Registers are a max-lattice: sketches
+    * built on ANY split of the data merge losslessly with a plain
+    * `max` per register (proven in ApproxSpec), which is what lets
+    * 1000 executors sketch independently and combine 256 longs each. */
+  private[graft] def hllRegisters(keyed: DataFrame): DataFrame = {
+    val h = keyed.select(col("event_type"), md5(col("k").cast("binary")).as("h"))
+      .select(col("event_type"),
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("v"))
+    h.withColumn("rank",
+        when(col("v") === 0, lit(32L))
+          .otherwise(lit(33L) - length(conv(col("v"), 10, 2)).cast("long")))
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rank")).as("mreg"))
+  }
+
+  /** (event_type, k=user|day) keyed view of the events table. */
+  private[graft] def dauKeyed(s: SparkSession, dir: String): DataFrame = {
+    val key = concat(col("user_id").cast("string"), lit("|"),
+      expr("ts div 86400000000").cast("string"))
+    Tables.events(s, dir).select(col("event_type"), key.as("k"))
+  }
+
   /** q92: HyperLogLog distinct sketch + audit — estimate per-type
     * daily-active-user cardinality (distinct (user, day) pairs) from
     * m=256 max-rank registers instead of a distinct-key shuffle, then
@@ -67,18 +91,8 @@ object Sketch {
   def hllAudit(s: SparkSession, dir: String, m: Int = 256): DataFrame = {
     require(m == 256, "register split below is hardwired to 2 hex nibbles")
     val alpha = 0.7213 / (1 + 1.079 / m) // same IEEE literals as the oracle
-    val key = concat(col("user_id").cast("string"), lit("|"),
-      expr("ts div 86400000000").cast("string"))
-    val ev = Tables.events(s, dir).select(col("event_type"), key.as("k"))
-    val h = ev.select(col("event_type"), md5(col("k").cast("binary")).as("h"))
-      .select(col("event_type"),
-        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
-        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("v"))
-    val ranked = h.withColumn("rank",
-      when(col("v") === 0, lit(32L))
-        .otherwise(lit(33L) - length(conv(col("v"), 10, 2)).cast("long")))
-    val regs = ranked.groupBy(col("event_type"), col("reg"))
-      .agg(max(col("rank")).as("mreg"))
+    val ev = dauKeyed(s, dir)
+    val regs = hllRegisters(ev)
     val sums = regs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_occupied"),
         sum(expr("shiftleft(1L, cast(41 - mreg as int))")).as("s_occ"))
@@ -90,8 +104,7 @@ object Sketch {
         when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * m),
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
           .otherwise(col("raw_est")))
-    val exact = Tables.events(s, dir)
-      .select(col("event_type"), key.as("k"))
+    val exact = ev
       .groupBy(col("event_type"))
       .agg(countDistinct(col("k")).as("n_exact"))
     sums.join(exact, "event_type")

@@ -44,4 +44,24 @@ class ApproxSpec extends SparkSpec {
       assert(est <= n + (0.01 * ev.count()).toLong + 1, s"$k est=$est exact=$n over bound")
     }
   }
+
+  test("q92 HLL registers merge losslessly across corpus splits") {
+    // registers are a max-lattice: sketches built on disjoint halves
+    // and merged with max-per-register must equal the whole-corpus
+    // sketch — the property that lets 1000 executors sketch
+    // independently and combine 256 longs each (SURVEY §6)
+    import graft.operators.Sketch
+    import org.apache.spark.sql.functions.max
+    val keyed = Sketch.dauKeyed(spark, sfDir)
+    val whole = Sketch.hllRegisters(keyed)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val half1 = Sketch.hllRegisters(keyed.filter(xxhash64(col("k")) % 2 === 0))
+    val half2 = Sketch.hllRegisters(keyed.filter(xxhash64(col("k")) % 2 =!= 0))
+    val merged = half1.union(half2)
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("mreg")).as("mreg"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole,
+      s"merged registers diverge: ${merged.size} vs ${whole.size}")
+  }
 }
