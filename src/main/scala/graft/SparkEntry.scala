@@ -114,6 +114,7 @@ object SparkEntry {
     "q100_rocksdb_materialize" -> (StreamingOps.rocksDbMaterialize _),
     "q101_winnow_pairs"     -> ((s, d) => Dedup.winnowPairs(s, d)),
     "q102_quota_sample"     -> ((s, d) => Sampling.quotaSample(s, d)),
+    "q103_asof_forward"     -> (Events.asofForward _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1253,6 +1254,22 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q103: forward mirror of q62 — earliest purchase ≥ view time,
+    // ties to the smallest event_id (AsOf forward tiebreak = min).
+    "q103_asof_forward" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT user_id, view_id, view_ts, next_purchase_id,
+        | next_purchase_ts FROM (
+        | SELECT v.user_id, v.event_id AS view_id,
+        |  epoch_us(v.ts) AS view_ts,
+        |  p.event_id AS next_purchase_id, epoch_us(p.ts) AS next_purchase_ts,
+        |  row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |    ORDER BY p.ts, p.event_id) AS rk
+        | FROM v LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts) t
+        |WHERE rk = 1""".stripMargin,
     // q102: the k smallest md5 buckets per language; rank cast to
     // BIGINT (DuckDB row_number is BIGINT, Spark pos is int32).
     "q102_quota_sample" ->

@@ -18,8 +18,11 @@ object AsOf {
   private val P = "__graft_asof_" // temp-column prefix, collision-checked
 
   /** For each left row, attach the latest right row with
-    * rightTime <= leftTime within the same key. Right payload columns
-    * come back as `asof_<name>` (null when no prior right row).
+    * rightTime <= leftTime within the same key (or, with
+    * `forward = true`, the EARLIEST right row with rightTime >=
+    * leftTime — "next event after" lookups: time-to-convert,
+    * next-error-after-deploy). Right payload columns come back as
+    * `asof_<name>` (null when no prior/next right row).
     *
     * @param left      probe side (each row gets a match)
     * @param right     build side (`asof` lookup source)
@@ -31,27 +34,33 @@ object AsOf {
     *        within (key, rightTime) — e.g. a WAL sequence number.
     *        Without one, which payload wins among exact time ties is
     *        nondeterministic (last-write-wins needs a write order).
+    * @param forward   false: latest right ≤ leftTime (default);
+    *        true: earliest right ≥ leftTime. Both inclusive; both a
+    *        single shuffle + one ordered window pass.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String],
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns
     require(!(leftCols ++ right.columns).exists(_.startsWith(P)),
       s"column prefix '$P' is reserved by AsOf.join")
     val outClash = rightPayload.map(c => s"asof_$c").toSet intersect leftCols.toSet
     require(outClash.isEmpty,
       s"left columns ${outClash.mkString(", ")} collide with AsOf.join output names")
-    // side 1 sorts after side 0 at equal time: right rows at time t
-    // are visible to left rows at the same t (inclusive as-of)
+    // Side ordering makes equal-time right rows visible (inclusive):
+    // backward scans left-to-right, so right (0) sorts BEFORE left
+    // (1); forward scans the frame ahead, so right sorts AFTER left.
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     val l = left
       .withColumn(s"${P}t", col(leftTime))
-      .withColumn(s"${P}side", lit(1))
+      .withColumn(s"${P}side", lit(leftSide))
       .withColumn(s"${P}tie", lit(null))
       .withColumns(rightPayload.map(c => s"${P}p_$c" -> lit(null)).toMap)
     val r = right
       .withColumn(s"${P}t", col(rightTime))
-      .withColumn(s"${P}side", lit(0))
+      .withColumn(s"${P}side", lit(rightSide))
       .withColumn(s"${P}tie", rightTiebreak.map(col).getOrElse(lit(null)))
       // capture the payload BEFORE nulling out left-named columns — a
       // right payload column may share a name with a left column
@@ -64,15 +73,22 @@ object AsOf {
       rightPayload.map(c => s"${P}p_$c")
     val unioned = l.select((leftCols ++ projected).map(col): _*)
       .unionByName(r.select((leftCols ++ projected).map(col): _*))
-    // ties at (__t, __side=0) resolved by the caller's tiebreak column
-    // so "latest right row" is well-defined under concurrent writes
-    val w = Window.partitionBy(col(key))
+    // ties at (__t, __side=right) resolved by the caller's tiebreak
+    // column so "latest/next right row" is well-defined under
+    // concurrent writes (backward takes the max tie via last();
+    // forward takes the min tie via first())
+    val ordered = Window.partitionBy(col(key))
       .orderBy(col(s"${P}t"), col(s"${P}side"), col(s"${P}tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (forward) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"${P}p_$c"), ignoreNulls = true).over(w))
+      val picked =
+        if (forward) first(col(s"${P}p_$c"), ignoreNulls = true).over(w)
+        else last(col(s"${P}p_$c"), ignoreNulls = true).over(w)
+      df.withColumn(s"asof_$c", picked)
     }
-    filled.filter(col(s"${P}side") === 1)
+    filled.filter(col(s"${P}side") === leftSide)
       .select(leftCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
 }

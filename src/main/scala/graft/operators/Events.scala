@@ -341,4 +341,24 @@ object Events {
         col("asof_event_id").as("last_click_id"),
         col("asof_ts").as("last_click_ts"))
   }
+
+  /** q103: FORWARD as-of — for every view, the next purchase at or
+    * after it per user (per-impression time-to-convert, the mirror of
+    * q62's backward lookup). Same single-shuffle union+window plan as
+    * AsOf.join backward — a join-then-filter formulation would build
+    * a per-key cartesian before ranking; this sorts once. */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOf.join(views, purchases, "user_id", "ts", "ts",
+        rightPayload = Seq("event_id", "ts"),
+        rightTiebreak = Some("event_id"), forward = true)
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("asof_event_id").as("next_purchase_id"),
+        col("asof_ts").as("next_purchase_ts"))
+  }
 }
