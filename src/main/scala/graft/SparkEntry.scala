@@ -115,6 +115,7 @@ object SparkEntry {
     "q101_winnow_pairs"     -> ((s, d) => Dedup.winnowPairs(s, d)),
     "q102_quota_sample"     -> ((s, d) => Sampling.quotaSample(s, d)),
     "q103_asof_forward"     -> (Events.asofForward _),
+    "q104_markov_transitions" -> (Events.markovTransitions _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1254,6 +1255,18 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q104: same lead() sequencing and row normalization; p rounded
+    // to 4 (identical-expression division, rounding for safety only).
+    "q104_markov_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c""".stripMargin,
     // q103: forward mirror of q62 — earliest purchase ≥ view time,
     // ties to the smallest event_id (AsOf forward tiebreak = min).
     "q103_asof_forward" ->

@@ -342,6 +342,32 @@ object Events {
         col("asof_ts").as("last_click_ts"))
   }
 
+  /** q104: behavioral Markov transition matrix — corpus-wide
+    * (from_type → to_type) counts and row-normalized probabilities
+    * over each user's time-ordered event sequence (the first-order
+    * sequence model behind next-action prediction and bot detection:
+    * bots have degenerate rows, organic users don't).
+    *
+    * The per-user lead() window sorts only one user's events per
+    * partition (bounded, like q63/q79 — user sequences are the
+    * natural partition); the transition aggregation collapses to a
+    * |types|² matrix, and the row normalization runs on that
+    * constant-size result. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    // bounded |types|² window for the row sums
+    val wrow = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(wrow), 4))
+  }
+
   /** q103: FORWARD as-of — for every view, the next purchase at or
     * after it per user (per-impression time-to-convert, the mirror of
     * q62's backward lookup). Same single-shuffle union+window plan as
