@@ -116,6 +116,8 @@ object SparkEntry {
     "q102_quota_sample"     -> ((s, d) => Sampling.quotaSample(s, d)),
     "q103_asof_forward"     -> (Events.asofForward _),
     "q104_markov_transitions" -> (Events.markovTransitions _),
+    "q105_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "q106_cluster_canonical" -> (Dedup.clusterCanonical _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1255,6 +1257,55 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q105: delta (odd ids) probed against base (even ids) — exact
+    // md5 membership + band collision, folded to a verdict.
+    "q105_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |dd AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |ex AS (SELECT dd.doc_id,
+        |  CASE WHEN bh.h IS NULL THEN 0 ELSE 1 END AS exact_dup
+        | FROM dd LEFT JOIN bh ON dd.h = bh.h),
+        |nb AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key
+        |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+        |SELECT ex.doc_id, ex.exact_dup,
+        | CASE WHEN nb.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup,
+        | CASE WHEN ex.exact_dup = 1 THEN 'drop_exact'
+        |  WHEN nb.doc_id IS NOT NULL THEN 'drop_near'
+        |  ELSE 'keep' END AS verdict
+        |FROM ex LEFT JOIN nb ON ex.doc_id = nb.doc_id""".stripMargin,
+    // q106: q59's recursive closure + q28's quality formula + argmax
+    // per component (quality desc, doc_id asc).
+    "q106_cluster_canonical" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |ql AS (SELECT doc_id,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5
+        |  + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5 AS qual
+        | FROM documents),
+        |j AS (SELECT comp.component, comp.doc_id, ql.qual,
+        |  row_number() OVER (PARTITION BY comp.component
+        |    ORDER BY ql.qual DESC, comp.doc_id) AS rk
+        | FROM comp JOIN ql ON comp.doc_id = ql.doc_id)
+        |SELECT component, count(*) AS n_docs,
+        | CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+        | round(max(qual), 4) AS keep_quality
+        |FROM j GROUP BY component""".stripMargin,
     // q104: same lead() sequencing and row normalization; p rounded
     // to 4 (identical-expression division, rounding for safety only).
     "q104_markov_transitions" ->

@@ -345,6 +345,64 @@ object Dedup {
           / (col("n1") + col("n2") - col("common")), 4).as("jaccard"))
   }
 
+  /** q105: INCREMENTAL dedup — a delta batch probed against an
+    * existing base corpus (the production shape at 100 TB: the daily
+    * increment dedups against the persisted index, never corpus ×
+    * corpus). Split here is doc_id parity (a stable stand-in for
+    * base/delta snapshots); each delta doc gets an exact-hash flag
+    * (content md5 ∈ base hashes) and a near-dup flag (shares ≥1
+    * minhash band bucket with a base doc), folded to a verdict.
+    *
+    * Join shapes: delta-hash → base-hash-set and delta-bands →
+    * base-bands are both equi-joins keyed by hash/bucket; at scale
+    * the base side is the bucketed persisted index and the delta is
+    * orders of magnitude smaller — exactly the asymmetric probe this
+    * plan expresses. Nothing scans base × delta. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isBase = col("doc_id") % 2 === 0
+    val baseHashes = docs.filter(isBase)
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+      .withColumn("in_base", lit(1))
+    val delta = docs.filter(!isBase)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exact = delta.join(baseHashes.hint("shuffle_hash"), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_base").isNotNull, 1).otherwise(0).as("exact_dup"))
+    val bands = minhashBands(s, dir)
+    val near = bands.filter(col("doc_id") % 2 =!= 0).as("d")
+      .join(bands.filter(col("doc_id") % 2 === 0).as("b"),
+        col("d.band") === col("b.band") && col("d.band_key") === col("b.band_key"))
+      .select(col("d.doc_id").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(1))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        when(col("near_hit").isNotNull, 1).otherwise(0).as("near_dup"))
+      .withColumn("verdict",
+        when(col("exact_dup") === 1, "drop_exact")
+          .when(col("near_dup") === 1, "drop_near")
+          .otherwise("keep"))
+  }
+
+  /** q106: cluster-canonical selection — the decision q59's
+    * components exist to feed: per near-dup cluster, KEEP the
+    * highest-quality member (q28's composite score; ties to the
+    * smallest doc_id) and report what gets dropped. One max_by under
+    * hash aggregation over (component) — no window, no sort; the
+    * same argmax shape as q38's centroid assignment. */
+  def clusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val comps = dedupComponents(s, dir)
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("qual"))
+    comps.join(quality.hint("shuffle_hash"), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"),
+          struct(col("qual"), negate(col("doc_id").cast("double")))).as("keep_id"),
+        round(max(col("qual")), 4).as("keep_quality"))
+  }
+
   /** q101: winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken —
     * the MOSS algorithm): each doc keeps the MIN trigram hash of
     * every w=4 consecutive-trigram window, giving position-robust
