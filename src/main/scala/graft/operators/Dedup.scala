@@ -420,6 +420,13 @@ object Dedup {
     * family makes every fingerprint — and thus every candidate —
     * oracle-replayable. */
   def winnowPairs(s: SparkSession, dir: String, w: Int = 4,
+      minShared: Int = 2, postingCap: Int = 50): DataFrame =
+    winnowPairsOf(Tables.documents(s, dir), w, minShared, postingCap)
+
+  /** Same operator over any (doc_id, text) DataFrame. The w+2-token
+    * guarantee (any shared run of ≥ w+2 tokens ⇒ ≥1 shared
+    * fingerprint) is property-tested in PipelinePropertySpec. */
+  def winnowPairsOf(docs: DataFrame, w: Int = 4,
       minShared: Int = 2, postingCap: Int = 50): DataFrame = {
     val toks = tokens(col("text"))
     val tri = transform(sequence(lit(0), size(toks) - 3),
@@ -431,7 +438,7 @@ object Dedup {
     val fps = array_distinct(transform(
       sequence(lit(0), size(col("hs")) - w),
       j => array_min(slice(col("hs"), j + 1, lit(w)))))
-    val fpe = Tables.documents(s, dir)
+    val fpe = docs
       // need ≥ w trigram windows ⇒ ≥ w+2 tokens (sequence guard too)
       .filter(size(toks) >= w + 2)
       .select(col("doc_id"), hashes.as("hs"))

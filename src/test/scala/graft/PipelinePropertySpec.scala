@@ -104,4 +104,34 @@ class PipelinePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("winnowing guarantee: any shared run of ≥ w+2 tokens is detected") {
+    // the MOSS property q101 relies on: a shared contiguous run of
+    // w+2 tokens contains a full w-window of shared trigrams in BOTH
+    // docs, whose min hash is selected as a fingerprint by both —
+    // so the pair MUST surface (with the cap and minShared relaxed)
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vocab = (0 until 40).map(i => s"v$i")
+    def words(n: Int): Seq[String] =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val run = Seq("r0", "r1", "r2", "r3", "r4", "r5") // 6 = w+2 tokens
+    val docs = (0 until 20).map { i =>
+      val filler = words(15 + rnd.nextInt(10))
+      // even docs embed the run at a random offset; odd docs don't
+      val text =
+        if (i % 2 == 0) {
+          val at = rnd.nextInt(filler.size)
+          (filler.take(at) ++ run ++ filler.drop(at)).mkString(" ")
+        } else filler.mkString(" ")
+      (i.toLong, text)
+    }
+    val found = Dedup.winnowPairsOf(docs.toDF("doc_id", "text"),
+        w = 4, minShared = 1, postingCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embedders = docs.map(_._1).filter(_ % 2 == 0)
+    for (a <- embedders; b <- embedders if a < b)
+      assert(found.contains((a, b)),
+        s"pair ($a,$b) shares a ${run.size}-token run but was not detected")
+  }
 }
