@@ -118,6 +118,7 @@ object SparkEntry {
     "q104_markov_transitions" -> (Events.markovTransitions _),
     "q105_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q106_cluster_canonical" -> (Dedup.clusterCanonical _),
+    "q107_selfjoin_size_sketch" -> ((s, d) => Sketch.selfJoinSizeSketch(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1257,6 +1258,25 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q107: CMS self-inner-product F2 estimate, min over rows, vs
+    // the exact Σ c(k)² — all BIGINT (DuckDB sums cast back).
+    "q107_selfjoin_size_sketch" ->
+      s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |rr AS (SELECT unnest(range(4)) AS r),
+        |bu AS (SELECT k.k, rr.r,
+        |  ${hex8Sql("concat('js', rr.r, '|', k.k)")} % 256 AS b
+        | FROM k, rr),
+        |cms AS (SELECT r, b, count(*) AS cnt FROM bu GROUP BY 1, 2),
+        |f2 AS (SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS f2_r
+        | FROM cms GROUP BY r),
+        |est AS (SELECT CAST(min(f2_r) AS BIGINT) AS est_f2,
+        |  count(*) AS n_sketch_rows FROM f2),
+        |ky AS (SELECT k, count(*) AS c FROM k GROUP BY k),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2,
+        |  CAST(sum(c) AS BIGINT) AS n_rows FROM ky)
+        |SELECT ex.n_rows, ex.exact_f2, est.est_f2,
+        | est.est_f2 - ex.exact_f2 AS overestimate
+        |FROM est, ex""".stripMargin,
     // q105: delta (odd ids) probed against base (even ids) — exact
     // md5 membership + band collision, folded to a verdict.
     "q105_incremental_dedup" ->

@@ -114,6 +114,36 @@ object Sketch {
           .as("rel_err"))
   }
 
+  /** q107: self-join-size (F2) estimation from the count-min sketch —
+    * the AMS/CMS inner-product estimator a 100 TB planner consults
+    * BEFORE running a join: |R ⋈_k R| = Σ_k c(k)² is what explodes on
+    * skewed keys, and est = min_r Σ_b cms[r][b]² upper-bounds it from
+    * d·w counters instead of a full per-key aggregate. Run on the
+    * events user_id key and audited against the exact Σ c(u)² — the
+    * overestimate (collision mass) is part of the output because the
+    * md5 sketch is deterministic, so even its error is
+    * oracle-replayable. All-integer arithmetic end to end. */
+  def selfJoinSizeSketch(s: SparkSession, dir: String, rows: Int = 4,
+      buckets: Int = 256): DataFrame = {
+    val keys = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("k"))
+    def bucket(r: Int) =
+      Sampling.hashBucket(concat(lit(s"js$r|"), col("k"))) % buckets
+    val cms = keys.select(col("k"),
+        explode(array((0 until rows).map(r =>
+          struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val est = cms.groupBy(col("r"))
+      .agg(sum(col("cnt") * col("cnt")).as("f2_r"))
+      .agg(min(col("f2_r")).as("est_f2"), count(lit(1)).as("n_sketch_rows"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"), sum(col("c")).as("n_rows"))
+    est.crossJoin(exact)
+      .select(col("n_rows"), col("exact_f2"), col("est_f2"),
+        (col("est_f2") - col("exact_f2")).as("overestimate"))
+  }
+
   /** q97: histogram quantile sketch + exact refine — p50/p90/p99 of
     * lineitem prices from a fixed-width bin histogram, then the exact
     * value by rank-selecting WITHIN the one bin that holds each rank.
