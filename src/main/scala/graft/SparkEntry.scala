@@ -119,6 +119,7 @@ object SparkEntry {
     "q105_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q106_cluster_canonical" -> (Dedup.clusterCanonical _),
     "q107_selfjoin_size_sketch" -> ((s, d) => Sketch.selfJoinSizeSketch(s, d)),
+    "q108_corr_profile"     -> (Relational.corrProfile _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1258,6 +1259,32 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q108: exact integer moment sums (HUGEINT ≙ Spark decimal(38)),
+    // cast to double only for the final identical IEEE r formula.
+    "q108_corr_profile" -> {
+      def rSql(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+        s"""round((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+           |   - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+           | / (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+           |     - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+           |   * sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+           |     - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 4)""".stripMargin
+      s"""WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS a,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS bb,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS cc FROM lineitem),
+        |g AS (SELECT count(*) AS n,
+        |  sum(a) AS sa, sum(bb) AS sb, sum(cc) AS sc,
+        |  sum(a*a) AS saa, sum(bb*bb) AS sbb, sum(cc*cc) AS scc,
+        |  sum(a*bb) AS sab, sum(a*cc) AS sac, sum(bb*cc) AS sbc FROM b)
+        |SELECT 'quantity' AS x_col, 'price' AS y_col, n,
+        |  ${rSql("sa", "sb", "saa", "sbb", "sab")} AS r FROM g
+        |UNION ALL
+        |SELECT 'quantity', 'discount', n,
+        |  ${rSql("sa", "sc", "saa", "scc", "sac")} FROM g
+        |UNION ALL
+        |SELECT 'price', 'discount', n,
+        |  ${rSql("sb", "sc", "sbb", "scc", "sbc")} FROM g""".stripMargin
+    },
     // q107: CMS self-inner-product F2 estimate, min over rows, vs
     // the exact Σ c(k)² — all BIGINT (DuckDB sums cast back).
     "q107_selfjoin_size_sketch" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -232,5 +232,47 @@ object Relational {
       .filter(col("rn") <= 2)
       .select(col("p_type"), col("p_partkey"), col("p_brand"), col("p_retailprice"),
         col("rn").cast("long").as("rn"))
+  }
+
+  /** q108: one-pass Pearson correlation profile over the lineitem
+    * numeric columns — the column-profiling step a data-quality
+    * dashboard runs before training (a discount column suddenly
+    * correlating with quantity flags an upstream join bug).
+    *
+    * Scale shape: ONE aggregation pass computes every Σx, Σx², Σxy
+    * as exact integers (columns quantized to cents — the q64/quantCte
+    * round()*100 pattern, summed as decimal so 10¹⁰-row corpora
+    * can't overflow); r is then pure scalar arithmetic on the one
+    * result row. Never a per-pair pass, never a sort — adding a
+    * column adds map-side sums, not jobs. Parity: integer sums are
+    * partitioning-independent, and both engines cast the same exact
+    * integers to double before the same IEEE formula. */
+  def corrProfile(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: Column) = round(c * 100).cast("decimal(38,0)")
+    val base = Tables.lineitem(s, dir).select(
+      floor(col("l_quantity")).cast("decimal(38,0)").as("a"), // integral qty
+      cents(col("l_extendedprice")).as("b"),
+      cents(col("l_discount")).as("c"))
+    val g = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"), sum(col("c")).as("sc"),
+      sum(col("a") * col("a")).as("saa"), sum(col("b") * col("b")).as("sbb"),
+      sum(col("c") * col("c")).as("scc"),
+      sum(col("a") * col("b")).as("sab"), sum(col("a") * col("c")).as("sac"),
+      sum(col("b") * col("c")).as("sbc"))
+    def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      round((n * d(sxy) - d(sx) * d(sy))
+        / (sqrt(n * d(sxx) - d(sx) * d(sx)) * sqrt(n * d(syy) - d(sy) * d(sy))), 4)
+    }
+    g.select(col("n"), explode(array(
+        struct(lit("quantity").as("x_col"), lit("price").as("y_col"),
+          r("sa", "sb", "saa", "sbb", "sab").as("r")),
+        struct(lit("quantity").as("x_col"), lit("discount").as("y_col"),
+          r("sa", "sc", "saa", "scc", "sac").as("r")),
+        struct(lit("price").as("x_col"), lit("discount").as("y_col"),
+          r("sb", "sc", "sbb", "scc", "sbc").as("r")))).as("p"))
+      .select(col("p.x_col"), col("p.y_col"), col("n"), col("p.r").as("r"))
   }
 }
