@@ -75,6 +75,7 @@ object ScaleProbe {
             element_at(col("toks"), i + 3)))).as("sh"))
       val freq = docs.select(explode(shingles3(col("text"))).as("sh"))
         .groupBy(col("sh")).agg(count(lit(1)).as("docs_with"))
+        .hint("shuffle_hash")
       spans.join(freq, "sh").groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))

@@ -522,10 +522,14 @@ object Dedup {
         i => concat_ws(" ", element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2),
           element_at(col("toks"), i + 3)))).as("sh"))
-    // document frequency over DISTINCT per-doc shingles
+    // document frequency over DISTINCT per-doc shingles; shuffle-hash
+    // so the (bigger) positional span stream is never sort-merged —
+    // the same candidate-stream-vs-lookup cliff ScaleProbe measured
+    // on q21's verify joins
     val freq = Tables.documents(s, dir)
       .select(explode(shingles3(col("text"))).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("docs_with"))
+      .hint("shuffle_hash")
     val perDoc = spans.join(freq, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),

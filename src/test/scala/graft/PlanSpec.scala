@@ -93,10 +93,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round-4 candidate paths never cross-join and keep their shapes") {
-    // q93: span→frequency joins are equi-joins on the shingle string
+    // q93: span→frequency joins are equi-joins on the shingle string,
+    // and the frequency lookup keeps its shuffle-hash shape (an SMJ
+    // would sort the positional span stream — the q21 cliff)
     val p93 = plan(Dedup.dupSpanFraction(spark, sfDir))
     assert(!p93.contains("CartesianProduct") &&
       !p93.contains("BroadcastNestedLoopJoin"), "q93 lost its equi-join shape")
+    assert(p93.contains("ShuffledHashJoin") || p93.contains("BroadcastHashJoin"),
+      s"q93 frequency join lost its hash-join shape:\n$p93")
     // q98: verify joins on the band candidates stay equi + shuffle-hash
     val p98 = plan(Dedup.containmentPairs(spark, sfDir))
     assert(!p98.contains("CartesianProduct") &&
