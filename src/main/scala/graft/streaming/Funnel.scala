@@ -33,6 +33,11 @@ object Funnel {
   /** conv_ts = -1 when the user has viewed but not converted. */
   case class FunnelOut(user_id: String, first_view: Long, conv_ts: Long)
 
+  /** Named event row for the TTL variant — a case-class encoder maps
+    * by name and tolerates the extra watermark column that
+    * EventTimeTimeout requires in the plan (tuple encoders don't). */
+  case class FunnelEvent(user: String, etype: String, ts: Long)
+
   private val None_ = Long.MaxValue
 
   /** Pure merge of a batch of (etype, ts) events into the state —
@@ -65,6 +70,44 @@ object Funnel {
           if (st1.minView == None_) Iterator.empty
           else Iterator.single(FunnelOut(user, st1.minView,
             if (st1.convTs == None_) -1L else st1.convTs))
+        })
+  }
+
+  /** Bounded-state tracker: users idle past `ttlMillis` of EVENT time
+    * (enforced via the input's watermark, like
+    * RowMaterializer.materializeWithTTL) are flushed — their final
+    * funnel row is emitted once and the state evicted, so total
+    * state is O(users active within the watermark+TTL horizon)
+    * instead of every user ever seen. A user resuming after eviction
+    * restarts cold (the documented bounded-memory trade; eviction
+    * behavior is pinned in StreamFunnelSpec). Input must carry a
+    * watermark on a timestamp column derived from `_3` (micros). */
+  def trackWithTTL(s: SparkSession, events: Dataset[FunnelEvent],
+      ttlMillis: Long): Dataset[FunnelOut] = {
+    import s.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (user: String, evs: Iterator[FunnelEvent],
+         state: GroupState[FunnelSt]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.minView == None_) Iterator.empty
+            else Iterator.single(FunnelOut(user, st.minView,
+              if (st.convTs == None_) -1L else st.convTs))
+          } else {
+            val batch = evs.map(e => (e.etype, e.ts)).toSeq
+            val st1 = merge(state.getOption.getOrElse(FunnelSt(None_, Nil, None_)),
+              batch)
+            state.update(st1)
+            // timeout strictly after the watermark (which may already
+            // be past this key's own max event time)
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs(),
+              batch.map(_._2).max / 1000L) + ttlMillis)
+            if (st1.minView == None_) Iterator.empty
+            else Iterator.single(FunnelOut(user, st1.minView,
+              if (st1.convTs == None_) -1L else st1.convTs))
+          }
         })
   }
 }

@@ -60,6 +60,56 @@ class StreamFunnelSpec extends SparkSpec {
     assert(st2.minView == 3L && st2.convTs == 5L && st2.pending.isEmpty)
   }
 
+  test("trackWithTTL evicts idle users; track keeps them") {
+    // user A views at t=1s, then goes idle; user B's t=10s event
+    // pushes the watermark past A's 1s TTL → A is flushed and
+    // evicted; A's purchase at t=11s then lands on COLD state and
+    // never converts. The unbounded tracker, fed the same stream,
+    // converts A — proving the eviction actually fired (the
+    // bounded-memory trade documented on trackWithTTL).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    def run(ttl: Option[Long], name: String): Map[String, Seq[Long]] = {
+      val input = MemoryStream[(String, String, Long)]
+      val withTime = input.toDF().toDF("user", "etype", "ts")
+        .withColumn("event_time", timestamp_micros(col("ts")))
+        .withWatermark("event_time", "0 seconds")
+      val out = ttl match {
+        case Some(t) =>
+          Funnel.trackWithTTL(spark, withTime.as[Funnel.FunnelEvent], t)
+        case None =>
+          Funnel.track(spark, withTime
+            .select(col("user"), col("etype"), col("ts"))
+            .as[(String, String, Long)])
+      }
+      val query = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(("A", "view", 1000000L), ("B", "view", 1000000L))
+        query.processAllAvailable()
+        input.addData(("B", "click", 10000000L)) // watermark → 10s
+        query.processAllAvailable()
+        input.addData(("C", "view", 10500000L))  // A times out here
+        query.processAllAvailable()
+        input.addData(("A", "purchase", 11000000L))
+        query.processAllAvailable()
+        spark.table(name).as[Funnel.FunnelOut].collect().toSeq
+          .groupBy(_.user_id).map { case (k, v) => k -> v.map(_.conv_ts) }
+      } finally query.stop()
+    }
+    val ttl = run(Some(1000L), "funnel_ttl")
+    val plain = run(None, "funnel_plain")
+    // unbounded: A converts at 11s (purchase ≥ first view)
+    assert(plain("A").contains(11000000L), s"plain: ${plain("A")}")
+    // bounded: A was evicted at the 1s TTL — its purchase lands on
+    // cold state (no view) and never emits a conversion
+    assert(!ttl("A").exists(_ >= 0), s"ttl: ${ttl("A")}")
+    // B is live in both
+    assert(ttl.contains("B") && plain.contains("B"))
+  }
+
   test("pending drains and non-minimal qualifying purchases are dropped") {
     val st = foldBatches(Seq(
       Seq(("purchase", 10L), ("purchase", 2L)),
