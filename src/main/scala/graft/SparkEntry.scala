@@ -120,6 +120,7 @@ object SparkEntry {
     "q106_cluster_canonical" -> (Dedup.clusterCanonical _),
     "q107_selfjoin_size_sketch" -> ((s, d) => Sketch.selfJoinSizeSketch(s, d)),
     "q108_corr_profile"     -> (Relational.corrProfile _),
+    "q109_embed_clusters"   -> (Similarity.embedClusters _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1259,6 +1260,34 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(common AS DOUBLE) / least(n1, n2), 4) >= 0.5""".stripMargin,
+    // q109: q24's verified pairs → recursive closure → max-norm
+    // keeper per component (norm ties to the smallest vec_id).
+    "q109_embed_clusters" ->
+      s"""WITH RECURSIVE $quantCte,
+        |pb AS (SELECT m.vec_id, pp.p, $planeBitSql AS bit
+        | FROM m, (SELECT unnest(range(16)) AS p) pp),
+        |bd AS (SELECT vec_id, p // 2 AS band,
+        |  sum(bit * (CASE WHEN p % 2 = 0 THEN 2 ELSE 1 END)) AS band_key
+        | FROM pb GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        | FROM bd x JOIN bd y ON x.band = y.band AND x.band_key = y.band_key
+        |  AND x.vec_id < y.vec_id),
+        |e AS (SELECT id1, id2
+        | FROM c JOIN m a ON id1 = a.vec_id JOIN m b ON id2 = b.vec_id
+        | WHERE $cosExpr >= 0.4),
+        |adj AS (SELECT id1 AS v, id2 AS u FROM e UNION SELECT id2, id1 FROM e),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |j AS (SELECT comp.component, comp.doc_id, m.n2,
+        |  row_number() OVER (PARTITION BY comp.component
+        |    ORDER BY m.n2 DESC, comp.doc_id) AS rk
+        | FROM comp JOIN m ON comp.doc_id = m.vec_id)
+        |SELECT component, count(*) AS n_vecs,
+        | CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+        | CAST(max(n2) AS BIGINT) AS keep_n2
+        |FROM j GROUP BY component""".stripMargin,
     // q108: exact integer moment sums (HUGEINT ≙ Spark decimal(38)),
     // cast to double only for the final identical IEEE r formula.
     "q108_corr_profile" -> {

@@ -189,6 +189,29 @@ object Similarity {
         col("cosine"))
   }
 
+  /** q109: embedding dedup END-TO-END — q24's banded near-dup pairs
+    * folded to connected components (the generic
+    * [[Dedup.components]] min-label propagation), keeping the
+    * max-norm member per cluster (norm from the exact integer n2 —
+    * among near-identical copies the strongest norm is the
+    * least-degraded encoder output; ties to the smallest vec_id).
+    * Completes the embedding modality's pipeline to parity with
+    * text's q22→q59→q106: pairs → clusters → keep-one decision,
+    * every stage distributed and oracle-replayable. */
+  def embedClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = embedNearDup(s, dir)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val norms = quantized(s, dir)
+      .select(col("vec_id").as("doc_id"), col("n2")).hint("shuffle_hash")
+    Dedup.components(edges)
+      .join(norms, "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max_by(col("doc_id"),
+          struct(col("n2"), negate(col("doc_id").cast("double")))).as("keep_id"),
+        max(col("n2")).as("keep_n2"))
+  }
+
   /** q38: IVF-style ANN — per-label centroids act as the
     * coarse quantizer (inverted file): every corpus vector is assigned
     * to its nearest centroid; a query probes only the `nprobe` nearest
