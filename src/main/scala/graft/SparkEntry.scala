@@ -121,6 +121,7 @@ object SparkEntry {
     "q107_selfjoin_size_sketch" -> ((s, d) => Sketch.selfJoinSizeSketch(s, d)),
     "q108_corr_profile"     -> (Relational.corrProfile _),
     "q109_embed_clusters"   -> (Similarity.embedClusters _),
+    "q110_boilerplate_report" -> ((s, d) => Dedup.winnowBoilerplate(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1446,6 +1447,25 @@ object SparkEntry {
         | JOIN po ON a.fp = po.fp WHERE po.df BETWEEN 2 AND 50)
         |SELECT d1, d2, count(*) AS n_shared
         |FROM cand GROUP BY d1, d2 HAVING count(*) >= 2""".stripMargin,
+    // q110: q101's fingerprint CTEs, then the hot-posting report
+    // (df > 5) instead of the capped pairing.
+    "q110_boilerplate_report" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |tr AS (SELECT doc_id, list_transform(range(1, len(ts) - 1),
+        |   i -> array_to_string(ts[i:i+2], ' ')) AS tri FROM d),
+        |tr2 AS (SELECT doc_id, unnest(tri) AS t,
+        |  generate_subscripts(tri, 1) AS pos FROM tr),
+        |th AS (SELECT doc_id, pos,
+        |  ${hex8Sql("concat('wn|', t)")} AS h FROM tr2),
+        |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th
+        | GROUP BY doc_id),
+        |fp0 AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))) AS fps
+        | FROM hl WHERE len(hs) >= 4),
+        |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fp0)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS sample_doc_id
+        |FROM fpe GROUP BY fp HAVING count(*) > 5""".stripMargin,
     // q99: q38's centroid-assignment CTEs, then the within-cell
     // self-join with the exact integer cosine.
     "q99_ivf_self_join" ->

@@ -423,11 +423,10 @@ object Dedup {
       minShared: Int = 2, postingCap: Int = 50): DataFrame =
     winnowPairsOf(Tables.documents(s, dir), w, minShared, postingCap)
 
-  /** Same operator over any (doc_id, text) DataFrame. The w+2-token
-    * guarantee (any shared run of ≥ w+2 tokens ⇒ ≥1 shared
-    * fingerprint) is property-tested in PipelinePropertySpec. */
-  def winnowPairsOf(docs: DataFrame, w: Int = 4,
-      minShared: Int = 2, postingCap: Int = 50): DataFrame = {
+  /** Distinct winnowing fingerprints per doc — the shared extraction
+    * behind q101 (pairs) and q110 (boilerplate report): one narrow
+    * codegen pass, no shuffle, emits (doc_id, fp) rows. */
+  private[graft] def winnowFingerprints(docs: DataFrame, w: Int): DataFrame = {
     val toks = tokens(col("text"))
     val tri = transform(sequence(lit(0), size(toks) - 3),
       i => concat_ws(" ", element_at(toks, i + 1),
@@ -438,11 +437,19 @@ object Dedup {
     val fps = array_distinct(transform(
       sequence(lit(0), size(col("hs")) - w),
       j => array_min(slice(col("hs"), j + 1, lit(w)))))
-    val fpe = docs
+    docs
       // need ≥ w trigram windows ⇒ ≥ w+2 tokens (sequence guard too)
       .filter(size(toks) >= w + 2)
       .select(col("doc_id"), hashes.as("hs"))
       .select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  /** Same operator over any (doc_id, text) DataFrame. The w+2-token
+    * guarantee (any shared run of ≥ w+2 tokens ⇒ ≥1 shared
+    * fingerprint) is property-tested in PipelinePropertySpec. */
+  def winnowPairsOf(docs: DataFrame, w: Int = 4,
+      minShared: Int = 2, postingCap: Int = 50): DataFrame = {
+    val fpe = winnowFingerprints(docs, w)
     val posts = fpe.groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, postingCap))
@@ -454,6 +461,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** q110: boilerplate-passage report — the other half of q101's
+    * `postingCap`. Capped pairing DROPS fingerprints hotter than the
+    * cap (a passage shared by > cap docs stops pairing the docs that
+    * carry it); production must not lose that signal silently, so
+    * this report surfaces exactly those hot fingerprints: each is a
+    * passage (≥ w+2-token run) present in > cap distinct docs — the
+    * site template / license header / navigation chrome a training
+    * pipeline strips corpus-wide rather than pairwise.
+    *
+    * One extraction pass (shared with q101, no shuffle) + one
+    * map-side-combinable agg keyed by fingerprint — strictly cheaper
+    * than the pairing it complements; never a posting explode, so
+    * the hotter the passage the CHEAPER this path (vs the O(df²)
+    * pair blow-up the cap exists to prevent). Gated at cap=5 so
+    * every SF exercises the path; production runs it with the same
+    * cap as winnowPairs, making drop-vs-report exhaustive. */
+  def winnowBoilerplate(s: SparkSession, dir: String, w: Int = 4,
+      postingCap: Int = 5): DataFrame =
+    winnowBoilerplateOf(Tables.documents(s, dir), w, postingCap)
+
+  def winnowBoilerplateOf(docs: DataFrame, w: Int = 4,
+      postingCap: Int = 5): DataFrame =
+    winnowFingerprints(docs, w)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc_id"))
+      .filter(col("n_docs") > postingCap)
 
   /** q94: PageRank-style centrality over the MinHash-LSH near-dup
     * graph (q22's edges) — the "most-linked" doc per dup cluster is

@@ -134,4 +134,37 @@ class PipelinePropertySpec extends SparkSpec {
       assert(found.contains((a, b)),
         s"pair ($a,$b) shares a ${run.size}-token run but was not detected")
   }
+
+  test("boilerplate report: capped-out fingerprints are reported, not lost") {
+    // drop-vs-report exhaustiveness (q101 + q110 at the same cap):
+    // every fingerprint is either eligible for pairing (df ≤ cap)
+    // or in the report (df > cap) — a passage hot enough to be
+    // dropped from pairing MUST surface in the report
+    import spark.implicits._
+    val rnd = new Random(23)
+    val vocab = (0 until 40).map(i => s"v$i")
+    def words(n: Int): Seq[String] =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val header = Seq("h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+    val docs = (0 until 30).map { i =>
+      ((i.toLong, (header ++ words(15 + rnd.nextInt(10))).mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val cap = 10
+    val report = Dedup.winnowBoilerplateOf(df, w = 4, postingCap = cap)
+      .collect()
+    // the shared 8-token header guarantees ≥1 fingerprint in all 30
+    // docs — far above the cap, so the report cannot be empty
+    assert(report.nonEmpty, "30-doc shared header missing from report")
+    assert(report.forall(_.getLong(1) > cap))
+    val reported = report.map(_.getLong(0)).toSet
+    // exhaustiveness: reported ∪ pairing-eligible = all fingerprints
+    val byFp = Dedup.winnowFingerprints(df, 4)
+      .groupBy("fp").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byFp.foreach { case (fp, dfreq) =>
+      assert(reported.contains(fp) == (dfreq > cap),
+        s"fp $fp df=$dfreq split disagrees with report membership")
+    }
+  }
 }
