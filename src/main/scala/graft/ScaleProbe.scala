@@ -60,26 +60,12 @@ object ScaleProbe {
         .distinct()
     }
 
-    // q93's plan over any (doc_id, text) frame: positional trigrams
-    // joined to the distinct-shingle document-frequency table.
-    // Replica-disjoint expansion keeps per-shingle df constant, so
-    // the output (and the honest cost) grows linearly.
-    def dupSpanOf(docs: DataFrame): DataFrame = {
-      import graft.functions.TextFunctions.{shingles3, tokens}
-      val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      val spans = toks.filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3)))).as("sh"))
-      val freq = docs.select(explode(shingles3(col("text"))).as("sh"))
-        .groupBy(col("sh")).agg(count(lit(1)).as("docs_with"))
-        .hint("shuffle_hash")
-      spans.join(freq, "sh").groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
-    }
+    // q93's plan over any (doc_id, text) frame — the SHARED
+    // Dedup.dupSpanOf core, so the probe measures exactly the gated
+    // plan. Replica-disjoint expansion keeps per-shingle df constant,
+    // so the output (and the honest cost) grows linearly.
+    def dupSpanOf(docs: DataFrame): DataFrame =
+      graft.operators.Dedup.dupSpanOf(docs)
 
     for (k <- Seq(1, 2, 4, 8)) {
       val docs = expand(k).cache()

@@ -1129,7 +1129,7 @@ object SparkEntry {
         |  ${hexNibblesSql("h", 3, 8)} AS v
         | FROM h),
         |rk AS (SELECT event_type, reg,
-        |  CASE WHEN v = 0 THEN 32 ELSE 33 - length(bin(v)) END AS rnk FROM rv),
+        |  CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rnk FROM rv),
         |regs AS (SELECT event_type, reg, max(rnk) AS mreg
         | FROM rk GROUP BY 1, 2),
         |sums AS (SELECT event_type,
@@ -1209,16 +1209,18 @@ object SparkEntry {
         | CASE WHEN p.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS converted
         |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     // q96: same md5-uniform draw and ln(u)/w key on both engines;
-    // key_ppm rounded to 4 absorbs the ≤1-ulp libm ln() divergence.
+    // SELECTION orders by the ppm-rounded key + doc_id (not the raw
+    // double) so a libm ln() ulp divergence at the k-th boundary
+    // cannot pick different docs cross-engine.
     "q96_weighted_sample" ->
       s"""WITH u AS (SELECT doc_id, n_chars,
         |  (CAST(${hex8Sql("concat('wsample|', CAST(doc_id AS VARCHAR))")}
         |    AS DOUBLE) + 0.5) / 4294967296.0 AS u
         | FROM documents WHERE n_chars > 0),
         |k AS (SELECT doc_id, n_chars AS weight,
-        |  ln(u) / CAST(n_chars AS DOUBLE) AS es_key FROM u)
-        |SELECT doc_id, weight, round(es_key * 1e6, 4) AS key_ppm
-        |FROM k ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+        |  round(ln(u) / CAST(n_chars AS DOUBLE) * 1e6, 4) AS key_ppm FROM u)
+        |SELECT doc_id, weight, key_ppm
+        |FROM k ORDER BY key_ppm DESC, doc_id LIMIT 50""".stripMargin,
     // q97: the quantile literal is CAST to DOUBLE so ceil(q*n) is the
     // same IEEE multiply on both engines (DuckDB VALUES would
     // otherwise keep it DECIMAL and ceil exactly).

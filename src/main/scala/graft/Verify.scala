@@ -39,8 +39,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // When the dev-only subset filter is active, mark the artifacts
+    // loudly (a sentinel file + a marker key): a filtered run must
+    // never be mistakable for a full-inventory pass downstream.
+    val marker = only.map(r =>
+      s""",${q("__subset__")}: ${q(r.regex)}""").getOrElse("")
+    if (only.isDefined)
+      Files.writeString(Paths.get(s"$outDir/SUBSET_RUN"),
+        s"partial verify: SPARK_GRAFT_ONLY=${only.get.regex}\n")
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", marker + "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -398,8 +398,11 @@ object Dedup {
     comps.join(quality.hint("shuffle_hash"), "doc_id")
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"),
+        // tiebreak on the NEGATED LONG (not a double cast): doc_ids
+        // above 2^53 would lose precision in double and make the
+        // smallest-id pick nondeterministic vs the oracle's ORDER BY
         max_by(col("doc_id"),
-          struct(col("qual"), negate(col("doc_id").cast("double")))).as("keep_id"),
+          struct(col("qual"), negate(col("doc_id")))).as("keep_id"),
         round(max(col("qual")), 4).as("keep_quality"))
   }
 
@@ -546,11 +549,27 @@ object Dedup {
     * cartesian; per-doc span explode is bounded by doc length.
     */
   def dupSpanFraction(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id")).join(dupSpanOf(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+          .otherwise(lit(0.0)))
+  }
+
+  /** The core of q93 over any (doc_id, text) frame: per-doc span and
+    * dup-span counts (docs with < 3 tokens are absent — q93 left-joins
+    * them back as zeros). Shared by [[dupSpanFraction]] and
+    * [[graft.ScaleProbe]] so the probe measures EXACTLY the gated
+    * plan (two inline copies could silently drift apart). */
+  def dupSpanOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     // positional trigrams (with multiplicity) — size guard first:
     // sequence(0, -1) would yield [0, -1] (negative-step trap)
-    val spans = docs.filter(size(col("toks")) >= 3)
+    val spans = toks.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("toks")) - 3),
         i => concat_ws(" ", element_at(col("toks"), i + 1),
@@ -560,21 +579,13 @@ object Dedup {
     // so the (bigger) positional span stream is never sort-merged —
     // the same candidate-stream-vs-lookup cliff ScaleProbe measured
     // on q21's verify joins
-    val freq = Tables.documents(s, dir)
+    val freq = docs
       .select(explode(shingles3(col("text"))).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("docs_with"))
       .hint("shuffle_hash")
-    val perDoc = spans.join(freq, "sh")
+    spans.join(freq, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
-      .withColumn("dup_frac",
-        when(col("n_spans") > 0,
-          round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
-          .otherwise(lit(0.0)))
   }
 }

@@ -54,9 +54,12 @@ object Sampling {
     * Scale shape: a narrow codegen'd key expression + a bounded
     * top-k (at 100 TB: per-partition top-k partial agg then one
     * k-row reduce — Spark's TakeOrderedAndProject, no full sort of
-    * the corpus; only k rows ever cross the shuffle). Keys are
-    * continuous doubles so cross-engine ULP ties are impossible at
-    * any realistic k; doc_id breaks exact ties deterministically.
+    * the corpus; only k rows ever cross the shuffle). SELECTION
+    * orders by the ppm-rounded key (key_ppm), not the raw double:
+    * a cross-engine libm ln() ulp difference near the k-th boundary
+    * could otherwise pick different docs; rounding quantizes the
+    * boundary and doc_id breaks the (now possible) ties
+    * deterministically on both engines.
     */
   /** q102: exact-quota stratified sampling — EXACTLY k docs per
     * language (the fixed-budget complement of q55's rate-based
@@ -93,9 +96,9 @@ object Sampling {
     Tables.documents(s, dir)
       .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars").as("weight"),
-        (log(u) / col("n_chars").cast("double")).as("es_key"))
-      .orderBy(col("es_key").desc, col("doc_id"))
+        round((log(u) / col("n_chars").cast("double")) * 1e6, 4).as("key_ppm"))
+      .orderBy(col("key_ppm").desc, col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), col("weight"), round(col("es_key") * 1e6, 4).as("key_ppm"))
+      .select(col("doc_id"), col("weight"), col("key_ppm"))
   }
 }

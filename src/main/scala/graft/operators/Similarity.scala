@@ -207,8 +207,10 @@ object Similarity {
       .join(norms, "doc_id")
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_vecs"),
+        // negated-long tiebreak (not a double cast): ids above 2^53
+        // would lose precision and break min-id determinism
         max_by(col("doc_id"),
-          struct(col("n2"), negate(col("doc_id").cast("double")))).as("keep_id"),
+          struct(col("n2"), negate(col("doc_id")))).as("keep_id"),
         max(col("n2")).as("keep_n2"))
   }
 

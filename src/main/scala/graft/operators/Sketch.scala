@@ -56,7 +56,10 @@ object Sketch {
         conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
         conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("v"))
     h.withColumn("rank",
-        when(col("v") === 0, lit(32L))
+        // v = 0 (all 32 window bits zero) has rank 33 per the HLL spec
+        // (leading zeros + 1); probability ~2^-32, but the estimator
+        // should not deviate from the spec even there
+        when(col("v") === 0, lit(33L))
           .otherwise(lit(33L) - length(conv(col("v"), 10, 2)).cast("long")))
       .groupBy(col("event_type"), col("reg"))
       .agg(max(col("rank")).as("mreg"))

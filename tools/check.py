@@ -39,6 +39,9 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    if "__subset__" in oracles:
+        print(f"NOTE: subset run (SPARK_GRAFT_ONLY={oracles.pop('__subset__')!r}) "
+              "— not a full-inventory pass")
     for name, sql in sorted(oracles.items()):
         try:
             odf = con.sql(sql).df()
