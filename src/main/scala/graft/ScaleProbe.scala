@@ -67,7 +67,9 @@ object ScaleProbe {
     def dupSpanOf(docs: DataFrame): DataFrame =
       graft.operators.Dedup.dupSpanOf(docs)
 
-    for (k <- Seq(1, 2, 4, 8)) {
+    // SPARK_GRAFT_PROBE selects sections: "docs", "emb" (default both)
+    val probeSel = sys.env.getOrElse("SPARK_GRAFT_PROBE", "docs,emb")
+    if (probeSel.contains("docs")) for (k <- Seq(1, 2, 4, 8)) {
       val docs = expand(k).cache()
       val n = docs.count()
       // warm once at k=1 so codegen/JIT don't bill the first point
@@ -82,6 +84,48 @@ object ScaleProbe {
       val tDs = time(dupSpanOf(docs))
       println(f"""{"k":$k,"docs":$n,"jaccard_sec":$tJac%.2f,"pairs":$pairs,"minhash_sec":$tMh%.2f,"dupspan_sec":$tDs%.2f}""")
       docs.unpersist()
+    }
+
+    // ---- embedding candidate generators (q24 banding / q99 IVF) ----
+    // Replica r keeps vec norms but flips component signs by a
+    // deterministic per-(r, i) pattern: within-replica dot products
+    // are EXACTLY preserved (s_i² = 1), cross-replica cosines are
+    // sign-scrambled to ~0 — replica-disjoint expansion that adds
+    // corpus linearly without adding cross-replica near-dups. The
+    // probe contrasts FIXED knobs (the round-4 weakness: candidate
+    // volume goes quadratic) with LOG-SCALED knobs (bandBits/subBits
+    // += log2 k: volume stays near-linear) — both running the exact
+    // gated cores (embedNearDupOf / ivfSelfJoinOf).
+    import graft.operators.Similarity
+    val baseEmb = Similarity.quantizedL(spark, sfDir)
+    def expandEmb(k: Int): DataFrame =
+      baseEmb.select(col("vec_id"), col("label"), col("v"),
+          explode(sequence(lit(0), lit(k - 1))).as("r"))
+        .select((col("vec_id") + col("r") * 10000000L).as("vec_id"), col("label"),
+          expr("transform(v, (x, i) -> IF(pmod(hash(r, i), 2) = 0, x, -x))").as("v"))
+        .withColumn("n2", org.apache.spark.sql.graft.LongArrayDot.column(col("v"), col("v")))
+
+    if (probeSel.contains("emb")) for (k <- Seq(1, 2, 4, 8)) {
+      val emb = expandEmb(k).cache()
+      val nv = emb.count()
+      val log2k = 31 - Integer.numberOfLeadingZeros(k)
+      val q = emb.select(col("vec_id"), col("v"), col("n2"))
+      if (k == 1) { // warm codegen
+        Similarity.embedCandidatesOf(q, 64, 8, 2).count()
+        time(Similarity.embedNearDupOf(q, 64, 8, 2, 0.4))
+      }
+      val candFixed = Similarity.embedCandidatesOf(q, 64, 8, 2).count()
+      val candScaled = Similarity.embedCandidatesOf(q, 64, 8, 2 + log2k).count()
+      val tBandScaled = time(Similarity.embedNearDupOf(q, 64, 8, 2 + log2k, 0.4))
+      val volFixed = Similarity.ivfAssignedOf(emb, 0, 64)._2
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n"))).head().getLong(0)
+      val volScaled = Similarity.ivfAssignedOf(emb, 2 + log2k, 64)._2
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n"))).head().getLong(0)
+      val tIvfScaled = time(Similarity.ivfSelfJoinOf(emb, 0.4, 2 + log2k, 64))
+      println(f"""{"k":$k,"vecs":$nv,"band_cand_fixed":$candFixed,"band_cand_scaled":$candScaled,"band_scaled_sec":$tBandScaled%.2f,"ivf_vol_fixed":$volFixed,"ivf_vol_scaled":$volScaled,"ivf_scaled_sec":$tIvfScaled%.2f}""")
+      emb.unpersist()
     }
     spark.stop()
   }

@@ -120,7 +120,7 @@ object SparkEntry {
     "q106_cluster_canonical" -> (Dedup.clusterCanonical _),
     "q107_selfjoin_size_sketch" -> ((s, d) => Sketch.selfJoinSizeSketch(s, d)),
     "q108_corr_profile"     -> (Relational.corrProfile _),
-    "q109_embed_clusters"   -> (Similarity.embedClusters _),
+    "q109_embed_clusters"   -> ((s, d) => Similarity.embedClusters(s, d)),
     "q110_boilerplate_report" -> ((s, d) => Dedup.winnowBoilerplate(s, d)),
   )
 
@@ -166,6 +166,19 @@ object SparkEntry {
     s"""CASE WHEN CAST(list_sum(list_transform(range(64), i ->
        |   m.v[i+1] * ${planeSignSql("pp.p", "i")})) AS BIGINT) > 0
        | THEN 1 ELSE 0 END""".stripMargin
+  /** q24/q109 banding CTEs generated from the SAME constants the
+    * Spark side uses (Similarity.DefaultNBands/DefaultBandBits), so
+    * the gated banding and its oracle replay cannot drift. Band =
+    * p // bandBits; key = big-endian sign bits. */
+  private val embedBandCtes: String = {
+    val nb = operators.Similarity.DefaultNBands
+    val bb = operators.Similarity.DefaultBandBits
+    s"""pb AS (SELECT m.vec_id, pp.p, $planeBitSql AS bit
+       | FROM m, (SELECT unnest(range(${nb * bb})) AS p) pp),
+       |bd AS (SELECT vec_id, p // $bb AS band,
+       |  sum(bit * (1::BIGINT << CAST($bb - 1 - p % $bb AS INTEGER))) AS band_key
+       | FROM pb GROUP BY 1, 2)""".stripMargin
+  }
   private val minhashSigCte =
     "sig AS (SELECT doc_id, " +
       (0 until 8).map(i => s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS h$i")
@@ -329,11 +342,7 @@ object SparkEntry {
         | AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
     "q24_embed_near_dup" ->
       s"""WITH $quantCte,
-        |pb AS (SELECT m.vec_id, pp.p, $planeBitSql AS bit
-        | FROM m, (SELECT unnest(range(16)) AS p) pp),
-        |bd AS (SELECT vec_id, p // 2 AS band,
-        |  sum(bit * (CASE WHEN p % 2 = 0 THEN 2 ELSE 1 END)) AS band_key
-        | FROM pb GROUP BY 1, 2),
+        |$embedBandCtes,
         |c AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
         | FROM bd x JOIN bd y ON x.band = y.band AND x.band_key = y.band_key
         |  AND x.vec_id < y.vec_id)
@@ -1267,11 +1276,7 @@ object SparkEntry {
     // keeper per component (norm ties to the smallest vec_id).
     "q109_embed_clusters" ->
       s"""WITH RECURSIVE $quantCte,
-        |pb AS (SELECT m.vec_id, pp.p, $planeBitSql AS bit
-        | FROM m, (SELECT unnest(range(16)) AS p) pp),
-        |bd AS (SELECT vec_id, p // 2 AS band,
-        |  sum(bit * (CASE WHEN p % 2 = 0 THEN 2 ELSE 1 END)) AS band_key
-        | FROM pb GROUP BY 1, 2),
+        |$embedBandCtes,
         |c AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
         | FROM bd x JOIN bd y ON x.band = y.band AND x.band_key = y.band_key
         |  AND x.vec_id < y.vec_id),

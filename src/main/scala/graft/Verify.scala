@@ -42,13 +42,13 @@ object Verify {
     // When the dev-only subset filter is active, mark the artifacts
     // loudly (a sentinel file + a marker key): a filtered run must
     // never be mistakable for a full-inventory pass downstream.
-    val marker = only.map(r =>
-      s""",${q("__subset__")}: ${q(r.regex)}""").getOrElse("")
+    val marker = only.map(r => s"${q("__subset__")}: ${q(r.regex)}")
     if (only.isDefined)
       Files.writeString(Paths.get(s"$outDir/SUBSET_RUN"),
         s"partial verify: SPARK_GRAFT_ONLY=${only.get.regex}\n")
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", marker + "}")
+    val json = (SparkEntry.oracleSql.filter(kv => selected(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" } ++ marker)
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

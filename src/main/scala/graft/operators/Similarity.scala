@@ -52,32 +52,47 @@ object Similarity {
     when(org.apache.spark.sql.graft.LongArrayDot.column(v, lit(plane(p, dim))) > 0,
       lit(1L)).otherwise(lit(0L))
 
-  /** q24: embedding-cosine near-duplicate pairs (threshold 0.4) via
-    * hyperplane-LSH banding: 16 md5-parity planes → 8 bands × 2 bits;
-    * candidates are pairs colliding in ≥1 band (equi-join on
-    * (band, band_key) — never a cross join), then exact cosine
-    * verification on candidates only. Band rows carry only
-    * (vec_id, band, key); vectors are re-joined per candidate, so the
-    * wide shuffle moves ids, not embeddings. Recall for cos ≥ 0.4 at
-    * 8×2 banding is ≈ 1-(1-p²)⁸ ≈ 0.98 (p = 1-θ/π ≈ 0.63) — the
-    * tunable LSH trade; at 100 TB add bands to push recall up, the
-    * plan shape is unchanged. The oracle replays the identical md5
-    * banding, so parity is exact by construction. */
-  def embedNearDup(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
-    val q = quantized(s, dir)
-    val bandStructs = array((0 until 8).map { b =>
+  /** Gated q24 banding parameters. 2^bandBits is the bucket count
+    * per band — the knob that keeps bucket SIZE bounded as the
+    * corpus grows (bits ∝ log n); nBands is the recall knob
+    * (collision in ≥1 band). Both flow into the oracle SQL from
+    * these same constants, so gate and oracle cannot drift. */
+  val DefaultNBands  = 8
+  val DefaultBandBits = 2
+
+  /** (vec_id, band, band_key) banding rows for a quantized frame:
+    * band b reads planes b·bandBits … b·bandBits+bandBits−1, key =
+    * big-endian sign bits. Keyspace per band = 2^bandBits. */
+  private[graft] def embedBandsOf(q: DataFrame, dim: Int,
+      nBands: Int, bandBits: Int): DataFrame = {
+    val bandStructs = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        (planeBit(col("v"), 2 * b, dim) * 2 + planeBit(col("v"), 2 * b + 1, dim))
-          .as("band_key"))
+        (0 until bandBits).map(j =>
+            planeBit(col("v"), b * bandBits + j, dim) * (1L << (bandBits - 1 - j)))
+          .reduce(_ + _).as("band_key"))
     }: _*)
-    val bands = q.select(col("vec_id"), explode(bandStructs).as("bk"))
+    q.select(col("vec_id"), explode(bandStructs).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.band_key"))
-    val cands = bands.as("a")
+  }
+
+  /** Distinct candidate pairs colliding in ≥1 band — the volume the
+    * bandBits knob bounds (ScaleProbe measures this count). */
+  private[graft] def embedCandidatesOf(q: DataFrame, dim: Int,
+      nBands: Int, bandBits: Int): DataFrame = {
+    val bands = embedBandsOf(q, dim, nBands, bandBits)
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .distinct()
+  }
+
+  /** q24 core over an arbitrary quantized (vec_id, v, n2) frame —
+    * shared by the gated query and ScaleProbe. */
+  private[graft] def embedNearDupOf(q: DataFrame, dim: Int,
+      nBands: Int, bandBits: Int, threshold: Double): DataFrame = {
+    val cands = embedCandidatesOf(q, dim, nBands, bandBits)
     // vector lookups as SHUFFLE_HASH joins: broadcast would be
     // honored regardless of corpus size, and the sort-merge fallback
     // sorts the candidate stream per join (the q21 ScaleProbe cliff);
@@ -86,9 +101,33 @@ object Similarity {
       .join(q.toDF("id1", "v1", "n21").hint("shuffle_hash"), "id1")
       .join(q.toDF("id2", "v2", "n22").hint("shuffle_hash"), "id2")
       .withColumn("cosine", cosineQ(col("v1"), col("v2"), col("n21"), col("n22")))
-      .filter(col("cosine") >= 0.4)
+      .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** q24: embedding-cosine near-duplicate pairs (threshold 0.4) via
+    * hyperplane-LSH banding: nBands·bandBits md5-parity planes →
+    * nBands bands × bandBits-bit keys; candidates are pairs colliding
+    * in ≥1 band (equi-join on (band, band_key) — never a cross join),
+    * then exact cosine verification on candidates only. Band rows
+    * carry only (vec_id, band, key); vectors are re-joined per
+    * candidate, so the wide shuffle moves ids, not embeddings.
+    *
+    * The two knobs separate the two LSH trades: bandBits bounds
+    * bucket size (2^bandBits buckets per band — raise it ∝ log n so
+    * candidate volume stays near-linear as the corpus grows; at 100×
+    * the sf0.1 corpus, bandBits 8–10 keeps expected bucket size
+    * flat), nBands buys recall (1-(1-p^bandBits)^nBands; at the 8×2
+    * default and cos ≥ 0.4, p = 1-θ/π ≈ 0.63 ⇒ recall ≈ 0.98).
+    * Growing bandBits with the same planes strictly SHRINKS each
+    * bucket (a (4·j)-bit key refines the (2·j)-bit key), so the
+    * candidate set is monotone in the knob — property-tested. The
+    * oracle replays the identical md5 banding from the same
+    * constants, so parity is exact by construction. */
+  def embedNearDup(s: SparkSession, dir: String, dim: Int = 64,
+      nBands: Int = DefaultNBands, bandBits: Int = DefaultBandBits,
+      threshold: Double = 0.4): DataFrame =
+    embedNearDupOf(quantized(s, dir), dim, nBands, bandBits, threshold)
 
   /** q25: brute-force cosine top-5 neighbors for query vectors
     * (vec_id < 5) against the rest of the corpus. The query set is
@@ -138,18 +177,48 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_vecs"))
 
+  /** Plane index offset for the IVF sub-cell key family — disjoint
+    * from q24's banding planes (which use indices 0..nBands·bandBits)
+    * so the two blockers are independent hash families. */
+  private val IvfPlaneBase = 1000
+
   /** IVF building block shared by q38/q99: the broadcastable coarse
     * quantizer (per-label integer centroids, q37's sums scaled to a
     * mean vector) and every corpus vector's nearest-centroid cell.
     * Assignment is max_by under hash aggregation — one shuffle of one
     * row per vector, never a window over |corpus|×|centroids| scored
     * rows; ties break to the smallest label via the negated tiebreak
-    * column. */
-  private[operators] def ivfAssigned(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val q = quantized(s, dir)
-    val cent = Tables.embeddings(s, dir)
-      .select(col("label"),
+    * column.
+    *
+    * `subBits` is the quantizer-size knob the 100 TB run needs: the
+    * label cell count is fixed by the data (10 here), so each cell
+    * grows linearly with the corpus and a within-cell self-join goes
+    * quadratic. subBits > 0 splits every label cell by `subBits`
+    * md5-parity hyperplane sign bits (an independent plane family,
+    * [[IvfPlaneBase]]) ⇒ cell = label·2^subBits + subKey, keyspace =
+    * nLabels·2^subBits — raise subBits ∝ log n to keep cell size
+    * flat. Hyperplane splits are geometry-aware: near-identical
+    * vectors land on the same side of every plane except the
+    * measure-zero boundary band, so within-cell candidates keep the
+    * near-dup mass. subBits = 0 is the plain label quantizer. */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String,
+      subBits: Int = 0, dim: Int = 64): (DataFrame, DataFrame) =
+    ivfAssignedOf(quantizedL(s, dir), subBits, dim)
+
+  /** Labelled quantized frame (vec_id, label, v, n2). */
+  private[graft] def quantizedL(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+      .withColumn("n2", org.apache.spark.sql.graft.LongArrayDot.column(col("v"), col("v")))
+
+  /** [[ivfAssigned]] over an arbitrary labelled quantized frame
+    * (vec_id, label, v, n2) — shared with ScaleProbe so the probe
+    * measures exactly the gated quantizer plan on expanded corpora. */
+  private[graft] def ivfAssignedOf(embQ: DataFrame,
+      subBits: Int, dim: Int): (DataFrame, DataFrame) = {
+    val q = embQ.select(col("vec_id"), col("v"), col("n2"))
+    val cent = embQ
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("nv"))
@@ -158,13 +227,22 @@ object Similarity {
         e => e.getField("cx")).as("cv"))
     val centN = broadcast(cent
       .withColumn("cn2", org.apache.spark.sql.graft.LongArrayDot.column(col("cv"), col("cv"))))
-    val assigned = q.join(centN, lit(true))
+    val labelled = q.join(centN, lit(true))
       .withColumn("ccos", cosineQ(col("v"), col("cv"), col("n2"), col("cn2")))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("label"), col("v"), col("n2")),
         struct(col("ccos"), negate(col("label")))).as("c"))
       .select(col("vec_id"), col("c.v").as("v"), col("c.n2").as("n2"),
         col("c.label").as("cell"))
+    val assigned =
+      if (subBits == 0) labelled
+      else {
+        val subKey = (0 until subBits).map(j =>
+            planeBit(col("v"), IvfPlaneBase + j, dim) * (1L << (subBits - 1 - j)))
+          .reduce(_ + _)
+        labelled.withColumn("cell",
+          col("cell").cast("long") * (1L << subBits) + subKey)
+      }
     (centN, assigned)
   }
 
@@ -173,12 +251,22 @@ object Similarity {
     * candidate pair is two vectors assigned to the SAME nearest
     * centroid, verified with the exact integer cosine. The within-
     * cell equi-join is the classic IVF blocking trade: k cells bound
-    * each block to ~n/k vectors (size the quantizer so a cell's
+    * each block to ~n/k vectors (`subBits` sizes the quantizer —
+    * keyspace nLabels·2^subBits, splitting a cell only REMOVES
+    * candidates so the subBits > 0 result is a strict subset of
+    * subBits = 0, property-tested — so a cell's
     * pairs fit a task); recall misses pairs straddling a centroid
     * boundary, which banding (q24) catches — production runs both
     * and unions, each one equi-join, never a cross join. */
-  def ivfSelfJoin(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val (_, assigned) = ivfAssigned(s, dir)
+  def ivfSelfJoin(s: SparkSession, dir: String, threshold: Double = 0.4,
+      subBits: Int = 0): DataFrame =
+    ivfSelfJoinOf(quantizedL(s, dir), threshold, subBits, 64)
+
+  /** q99 core over an arbitrary labelled quantized frame — shared
+    * with ScaleProbe (measures the gated plan on expanded corpora). */
+  private[graft] def ivfSelfJoinOf(embQ: DataFrame, threshold: Double,
+      subBits: Int, dim: Int): DataFrame = {
+    val (_, assigned) = ivfAssignedOf(embQ, subBits, dim)
     val a = assigned.toDF("id1", "v1", "n21", "cell")
     val b = assigned.toDF("id2", "v2", "n22", "cell")
     a.join(b, Seq("cell"))
@@ -198,8 +286,9 @@ object Similarity {
     * Completes the embedding modality's pipeline to parity with
     * text's q22→q59→q106: pairs → clusters → keep-one decision,
     * every stage distributed and oracle-replayable. */
-  def embedClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = embedNearDup(s, dir)
+  def embedClusters(s: SparkSession, dir: String,
+      nBands: Int = DefaultNBands, bandBits: Int = DefaultBandBits): DataFrame = {
+    val edges = embedNearDup(s, dir, 64, nBands, bandBits)
       .select(col("id1").as("d1"), col("id2").as("d2"))
     val norms = quantized(s, dir)
       .select(col("vec_id").as("doc_id"), col("n2")).hint("shuffle_hash")
@@ -251,9 +340,10 @@ object Similarity {
     * 100 TB each probe visits ~1/256 of the corpus instead of all of
     * it. The dot against the literal plane runs through the codegen
     * LongArrayDot; the oracle replays the identical md5 parity math. */
-  def annLshBuckets(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+  def annLshBuckets(s: SparkSession, dir: String, dim: Int = 64,
+      nPlanes: Int = 8): DataFrame = {
     val q = quantized(s, dir)
-    val bucket = (0 until 8).map(p => planeBit(col("v"), p, dim) * (1L << p)).reduce(_ + _)
+    val bucket = (0 until nPlanes).map(p => planeBit(col("v"), p, dim) * (1L << p)).reduce(_ + _)
     val withBucket = q.select(col("vec_id"), bucket.as("bucket"))
     val sizes = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     withBucket.join(sizes, "bucket")
