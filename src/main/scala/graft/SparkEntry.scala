@@ -122,6 +122,7 @@ object SparkEntry {
     "q108_corr_profile"     -> (Relational.corrProfile _),
     "q109_embed_clusters"   -> ((s, d) => Similarity.embedClusters(s, d)),
     "q110_boilerplate_report" -> ((s, d) => Dedup.winnowBoilerplate(s, d)),
+    "q111_persisted_incremental" -> (Dedup.persistedIncrementalDedup _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -187,6 +188,30 @@ object SparkEntry {
       (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS band_key FROM sig")
         .mkString(" UNION ALL ") + ")"
+
+  /** q105/q111 shared oracle: delta (odd ids) probed against base
+    * (even ids) — exact md5 membership + band collision, folded to a
+    * verdict. One SQL for both keys: q111 must compute exactly the
+    * inline q105 verdicts from the persisted index. */
+  private lazy val incrementalDedupOracle: String =
+    s"""WITH $shinglesCte,
+      |$minhashSigCte,
+      |bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |dd AS (SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |ex AS (SELECT dd.doc_id,
+      |  CASE WHEN bh.h IS NULL THEN 0 ELSE 1 END AS exact_dup
+      | FROM dd LEFT JOIN bh ON dd.h = bh.h),
+      |nb AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.band_key = b.band_key
+      |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+      |SELECT ex.doc_id, ex.exact_dup,
+      | CASE WHEN nb.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup,
+      | CASE WHEN ex.exact_dup = 1 THEN 'drop_exact'
+      |  WHEN nb.doc_id IS NOT NULL THEN 'drop_near'
+      |  ELSE 'keep' END AS verdict
+      |FROM ex LEFT JOIN nb ON ex.doc_id = nb.doc_id""".stripMargin
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables).
     * Column aliases MUST match the Spark side exactly (SURVEY §5). */
@@ -1343,25 +1368,11 @@ object SparkEntry {
         |FROM est, ex""".stripMargin,
     // q105: delta (odd ids) probed against base (even ids) — exact
     // md5 membership + band collision, folded to a verdict.
-    "q105_incremental_dedup" ->
-      s"""WITH $shinglesCte,
-        |$minhashSigCte,
-        |bh AS (SELECT DISTINCT md5(text) AS h FROM documents
-        |  WHERE doc_id % 2 = 0),
-        |dd AS (SELECT doc_id, md5(text) AS h FROM documents
-        |  WHERE doc_id % 2 = 1),
-        |ex AS (SELECT dd.doc_id,
-        |  CASE WHEN bh.h IS NULL THEN 0 ELSE 1 END AS exact_dup
-        | FROM dd LEFT JOIN bh ON dd.h = bh.h),
-        |nb AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_key = b.band_key
-        |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
-        |SELECT ex.doc_id, ex.exact_dup,
-        | CASE WHEN nb.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup,
-        | CASE WHEN ex.exact_dup = 1 THEN 'drop_exact'
-        |  WHEN nb.doc_id IS NOT NULL THEN 'drop_near'
-        |  ELSE 'keep' END AS verdict
-        |FROM ex LEFT JOIN nb ON ex.doc_id = nb.doc_id""".stripMargin,
+    "q105_incremental_dedup" -> incrementalDedupOracle,
+    // q111: the SAME oracle as q105 on purpose — the persisted-index
+    // path (writeBaseIndex parquet once, probeBaseIndex from the
+    // index + delta only) must compute exactly the inline verdicts.
+    "q111_persisted_incremental" -> incrementalDedupOracle,
     // q106: q59's recursive closure + q28's quality formula + argmax
     // per component (quality desc, doc_id asc).
     "q106_cluster_canonical" ->

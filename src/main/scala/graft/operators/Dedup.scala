@@ -111,8 +111,15 @@ object Dedup {
 
   /** Per-doc LSH band keys: 8 md5-family minhashes (one native pass —
     * [[org.apache.spark.sql.graft.MinHashMd5]]), 4 bands × 2 rows. */
-  def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val withSig = docShingles(s, dir)
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[minhashBands]] over an arbitrary (doc_id, text) frame — the
+    * band-index builder the persisted-index path (q111) writes once
+    * and the per-corpus queries compute inline. */
+  def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val withSig = docs
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .withColumn("hs", org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -382,6 +389,68 @@ object Dedup {
         when(col("exact_dup") === 1, "drop_exact")
           .when(col("near_dup") === 1, "drop_near")
           .otherwise("keep"))
+  }
+
+  /** Write the incremental-dedup BASE INDEX once: the exact-content
+    * hash set and the minhash band index of a base corpus, persisted
+    * to parquet. This is the catalog artifact a 100 TB deployment
+    * maintains: built in one pass over the base, then probed by
+    * every daily increment WITHOUT rescanning or re-banding the base
+    * (q105 computes the same probe with both sides inline; q111 is
+    * the persisted-path gate). Both relations are written
+    * partitioned by their probe key's hash bucket via a plain
+    * parquet layout — at scale, bucketBy on h / (band, band_key)
+    * makes each delta probe a bucket-local join. */
+  def writeBaseIndex(base: DataFrame, indexPath: String): Unit = {
+    base.select(md5(col("text").cast("binary")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$indexPath/hashes")
+    minhashBandsOf(base)
+      .write.mode("overwrite").parquet(s"$indexPath/bands")
+  }
+
+  /** Probe a delta (doc_id, text) frame against a PERSISTED base
+    * index — the q105 verdict semantics (exact-hash membership +
+    * ≥1 shared band bucket → keep/drop), but the base side is the
+    * parquet index from [[writeBaseIndex]]: the plan scans the
+    * documents table ONLY for the delta (spec-pinned), so the
+    * daily-increment cost is |delta| banding + two asymmetric
+    * equi-joins into the index, however large the base corpus. */
+  def probeBaseIndex(s: SparkSession, indexPath: String, delta: DataFrame): DataFrame = {
+    val baseHashes = s.read.parquet(s"$indexPath/hashes")
+      .withColumn("in_base", lit(1))
+    val baseBands = s.read.parquet(s"$indexPath/bands")
+    val deltaH = delta.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exact = deltaH.join(baseHashes.hint("shuffle_hash"), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_base").isNotNull, 1).otherwise(0).as("exact_dup"))
+    val near = minhashBandsOf(delta).as("d")
+      .join(baseBands.as("b"),
+        col("d.band") === col("b.band") && col("d.band_key") === col("b.band_key"))
+      .select(col("d.doc_id").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(1))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        when(col("near_hit").isNotNull, 1).otherwise(0).as("near_dup"))
+      .withColumn("verdict",
+        when(col("exact_dup") === 1, "drop_exact")
+          .when(col("near_dup") === 1, "drop_near")
+          .otherwise("keep"))
+  }
+
+  /** q111: INCREMENTAL dedup against the PERSISTED base index —
+    * q105's verdicts computed the way production actually runs them:
+    * [[writeBaseIndex]] materializes the base (even doc_ids) index
+    * to parquet once, [[probeBaseIndex]] answers from the index and
+    * the delta (odd doc_ids) alone. Same split, same verdict
+    * semantics, same oracle SQL as q105 — the gate proves the
+    * persisted path computes EXACTLY what the inline path computes,
+    * and the spec pins that the probe plan never rescans the base
+    * documents. */
+  def persistedIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val idx = StreamingOps.stagingRoot("q111idx", dir)
+    writeBaseIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+    probeBaseIndex(s, idx, docs.filter(col("doc_id") % 2 =!= 0))
   }
 
   /** q106: cluster-canonical selection — the decision q59's
