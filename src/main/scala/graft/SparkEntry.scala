@@ -123,6 +123,7 @@ object SparkEntry {
     "q109_embed_clusters"   -> ((s, d) => Similarity.embedClusters(s, d)),
     "q110_boilerplate_report" -> ((s, d) => Dedup.winnowBoilerplate(s, d)),
     "q111_persisted_incremental" -> (Dedup.persistedIncrementalDedup _),
+    "q112_dedup_report"     -> (Dedup.dedupReport _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1373,6 +1374,38 @@ object SparkEntry {
     // path (writeBaseIndex parquet once, probeBaseIndex from the
     // index + delta only) must compute exactly the inline verdicts.
     "q111_persisted_incremental" -> incrementalDedupOracle,
+    // q112: q106's closure + canonical argmax extended with the
+    // token-savings accounting (keeper toks picked by the same rk=1).
+    "q112_dedup_report" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |ql AS (SELECT doc_id,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5
+        |  + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5 AS qual,
+        |  len(string_split(text, ' ')) AS toks
+        | FROM documents),
+        |j AS (SELECT comp.component, comp.doc_id, ql.qual, ql.toks,
+        |  row_number() OVER (PARTITION BY comp.component
+        |    ORDER BY ql.qual DESC, comp.doc_id) AS rk
+        | FROM comp JOIN ql ON comp.doc_id = ql.doc_id)
+        |SELECT component, count(*) AS n_docs,
+        | CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+        | round(max(qual), 4) AS keep_quality,
+        | CAST(sum(toks) AS BIGINT) AS n_tokens,
+        | CAST(sum(toks) - min(CASE WHEN rk = 1 THEN toks END) AS BIGINT)
+        |   AS tokens_dropped
+        |FROM j GROUP BY component""".stripMargin,
     // q106: q59's recursive closure + q28's quality formula + argmax
     // per component (quality desc, doc_id asc).
     "q106_cluster_canonical" ->

@@ -169,7 +169,14 @@ object Dedup {
     * MapReduce CC): O(log diameter) rounds at one extra self-join
     * each. The upgrade path if dedup graphs ever chain instead of
     * clustering; property-tested equal to plain propagation on
-    * chain-heavy random graphs (PipelinePropertySpec). */
+    * chain-heavy random graphs (PipelinePropertySpec).
+    *
+    * This frame-taking entry point is the pair-graph REUSE SEAM for
+    * a 100 TB run: band once, persist the edge relation (parquet /
+    * the caller's catalog), and feed the SAME edges to components →
+    * histogram → canonical → rank instead of re-banding per query —
+    * q112 gates exactly that composition (one banding pass, every
+    * downstream decision from it). */
   def components(edges: DataFrame, pointerDoubling: Boolean = false): DataFrame = {
     val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
       .union(edges.select(col("d2").as("v"), col("d1").as("u")))
@@ -473,6 +480,36 @@ object Dedup {
         max_by(col("doc_id"),
           struct(col("qual"), negate(col("doc_id")))).as("keep_id"),
         round(max(col("qual")), 4).as("keep_quality"))
+  }
+
+  /** q112: single-pass dedup decision REPORT — the [[components]]
+    * reuse seam under the gate: ONE banding pass (q22's edges), one
+    * component propagation, then every downstream decision — cluster
+    * size (q74's grain), canonical keeper (q106's argmax), and the
+    * token-savings accounting a curation run reports — from that one
+    * shared result in a single hash aggregation. Contrast: calling
+    * q74 + q106 separately re-bands and re-propagates the corpus per
+    * query; at 100 TB the edge relation is banded once, persisted,
+    * and every report reads it (writeBaseIndex is the same idea for
+    * the incremental probe). tokens_dropped = cluster tokens minus
+    * the keeper's tokens, keyed by the SAME (quality, −doc_id)
+    * argmax as keep_id so the two columns can never disagree. */
+  def dedupReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokens}
+    val edges = minhashLsh(s, dir)
+    val comps = components(edges)
+    val info = Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("qual"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+    comps.join(info.hint("shuffle_hash"), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), struct(col("qual"), negate(col("doc_id")))).as("keep_id"),
+        round(max(col("qual")), 4).as("keep_quality"),
+        sum(col("toks")).as("n_tokens"),
+        (sum(col("toks"))
+          - max_by(col("toks"), struct(col("qual"), negate(col("doc_id")))))
+          .as("tokens_dropped"))
   }
 
   /** q101: winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken —
