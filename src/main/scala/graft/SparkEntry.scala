@@ -124,6 +124,8 @@ object SparkEntry {
     "q110_boilerplate_report" -> ((s, d) => Dedup.winnowBoilerplate(s, d)),
     "q111_persisted_incremental" -> (Dedup.persistedIncrementalDedup _),
     "q112_dedup_report"     -> (Dedup.dedupReport _),
+    "q113_phash_neardup"    -> ((s, d) => Multimodal.phashNearDup(s, d)),
+    "q114_binary_entropy"   -> (Multimodal.binaryEntropy _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -412,6 +414,43 @@ object SparkEntry {
         |     substr(sha256(text), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
         |   * (1::BIGINT << CAST((7 - i) * 4 AS INTEGER)))) % 120 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // q113: dHash bits → hex nibbles → 8×1-byte banding → hamming
+    // verify — byte arithmetic identical on both engines.
+    "q113_phash_neardup" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_transform(range(1, 65), i ->
+        |   CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1))
+        |     < ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) THEN 1 ELSE 0 END) AS bits
+        | FROM documents WHERE len(text) >= 65),
+        |h AS (SELECT doc_id, array_to_string(list_transform(range(0, 16), j ->
+        |   substr('0123456789abcdef',
+        |     bits[CAST(j*4+1 AS INTEGER)]*8 + bits[CAST(j*4+2 AS INTEGER)]*4
+        |     + bits[CAST(j*4+3 AS INTEGER)]*2 + bits[CAST(j*4+4 AS INTEGER)] + 1, 1)), '') AS dhash
+        | FROM b),
+        |bd AS (SELECT doc_id, unnest(range(8)) AS band,
+        |  substr(dhash, CAST(unnest(range(8))*2 + 1 AS INTEGER), 2) AS band_key FROM h),
+        |c AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        | FROM bd x JOIN bd y ON x.band = y.band AND x.band_key = y.band_key
+        |  AND x.doc_id < y.doc_id),
+        |v AS (SELECT id1, id2,
+        |  CAST(list_sum(list_transform(range(16), j ->
+        |    bit_count(xor(
+        |     CAST(strpos('0123456789abcdef', substr(a.dhash, CAST(j+1 AS INTEGER), 1)) - 1 AS BIGINT),
+        |     CAST(strpos('0123456789abcdef', substr(bb.dhash, CAST(j+1 AS INTEGER), 1)) - 1 AS BIGINT))))) AS BIGINT) AS hamming
+        | FROM c JOIN h a ON id1 = a.doc_id JOIN h bb ON id2 = bb.doc_id)
+        |SELECT id1, id2, hamming FROM v WHERE hamming <= 8""".stripMargin,
+    // q114: byte histogram + q91's integer-sum entropy form.
+    "q114_binary_entropy" ->
+      """WITH by AS (SELECT doc_id,
+        |  substr(text, CAST(unnest(range(1, len(text) + 1)) AS INTEGER), 1) AS ch
+        | FROM documents WHERE len(text) > 0),
+        |ct AS (SELECT doc_id, ch, count(*) AS c FROM by GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+        |  sum(c * log2(c)) AS slc FROM ct GROUP BY doc_id)
+        |SELECT doc_id, n_bytes, n_distinct_bytes,
+        | round(log2(n_bytes) - slc / n_bytes, 4) AS entropy
+        |FROM a""".stripMargin,
     "q52_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
         |  LEAST(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) AS n_frames

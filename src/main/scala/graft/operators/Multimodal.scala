@@ -59,6 +59,70 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         col("frame_idx").cast("long").as("frame_idx"), col("frame_sha"))
 
+  /** q113: perceptual-hash near-duplicate pairs over the binary
+    * column — the image/video dedup shape, end-to-end: (1) a 64-bit
+    * dHash-style difference hash per binary (bit i = byte i < byte
+    * i+1 over the first 65 bytes — on decoded media these are the
+    * downscaled-lightness gradient signs dHash uses; on the raw
+    * bytes it is the same signal-gradient construction, honestly
+    * decoder-free), packed to 16 hex nibbles in one narrow codegen
+    * pass, no shuffle; (2) LSH banding ON THE HASH — 8 bands × 1
+    * hex-byte key, band collision ⇒ candidate (equi-join, never a
+    * cross join; pigeonhole: ≤ 7 of 64 bits wrong leaves ≥ 1 of the
+    * 8 bands exactly matching — 100% recall below the gate's ≤ 8
+    * threshold except the single corner of exactly 8 errors spread
+    * one per band); (3) hamming-distance verify on
+    * candidates only, hashes re-joined by id (shuffle-hash, the q24
+    * pattern — the wide shuffle moves ids + 16-char hashes, never
+    * binaries). Every stage is byte arithmetic the oracle replays
+    * exactly. */
+  def phashNearDup(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 65)
+      .withColumn("bits", expr(
+        "transform(sequence(1, 64), i -> IF(ascii(substring(text, i, 1)) < ascii(substring(text, i + 1, 1)), 1, 0))"))
+      .select(col("doc_id"), expr(
+        "concat_ws('', transform(sequence(0, 15), j -> substring('0123456789abcdef', " +
+          "element_at(bits, j*4+1)*8 + element_at(bits, j*4+2)*4 + " +
+          "element_at(bits, j*4+3)*2 + element_at(bits, j*4+4) + 1, 1)))").as("dhash"))
+    val bands = h.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> substring(dhash, b*2 + 1, 2))"))
+      .as(Seq("band", "band_key")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+    cands.join(h.toDF("id1", "h1").hint("shuffle_hash"), "id1")
+      .join(h.toDF("id2", "h2").hint("shuffle_hash"), "id2")
+      .withColumn("hamming", expr(
+        "aggregate(transform(sequence(0, 15), j -> " +
+          "bit_count(CAST(instr('0123456789abcdef', substring(h1, j+1, 1)) - 1 AS INT) ^ " +
+          "CAST(instr('0123456789abcdef', substring(h2, j+1, 1)) - 1 AS INT))), 0, (acc, x) -> acc + x)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** q114: per-binary byte-entropy / size audit — the corrupt-media
+    * detector run before any decode at scale (all-zero padding,
+    * truncated containers, and double-compressed blobs separate
+    * cleanly on Shannon byte entropy). Distributed histogram shape:
+    * explode to (doc_id, byte) with map-side partial aggregation
+    * (≤ |alphabet| rows per doc per partition cross the wire), then
+    * q91's integer-sum entropy formulation — H = log2 n − Σc·log2 c
+    * / n — rounded to 4 decimals for cross-engine parity. */
+  def binaryEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bytes"),
+        count(lit(1)).as("n_distinct_bytes"),
+        sum(col("c") * log2(col("c"))).as("slc"))
+      .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
+        round(log2(col("n_bytes")) - col("slc") / col("n_bytes"), 4)
+          .as("entropy"))
+
   /** Partition-iterator decode path — the batch shape a native decoder
     * (libjpeg/ffmpeg via JNI, or an Arrow-batched python worker) needs:
     * one initialization per partition, streaming over rows. */
