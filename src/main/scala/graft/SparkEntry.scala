@@ -126,6 +126,7 @@ object SparkEntry {
     "q112_dedup_report"     -> (Dedup.dedupReport _),
     "q113_phash_neardup"    -> ((s, d) => Multimodal.phashNearDup(s, d)),
     "q114_binary_entropy"   -> (Multimodal.binaryEntropy _),
+    "q115_funnel_ttl_stream" -> ((s, d) => StreamingOps.funnelTtlStream(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1271,6 +1272,26 @@ object SparkEntry {
     // q95: the funnel state replays as two batch aggregates — first
     // view per user, then the minimum purchase at-or-after it; users
     // with purchases but no views never emit.
+    // q115: q95's funnel aggregates + the exact eviction arithmetic —
+    // a user flushes iff umax_ms + ttl < gmax_ms (single data batch:
+    // the watermark advances once, from -inf to the stream max, so
+    // the timeout fires exactly on that integer comparison).
+    "q115_funnel_ttl_stream" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |um AS (SELECT user_id, max(ts) AS umax FROM e GROUP BY user_id),
+        |g AS (SELECT max(umax) AS gmax FROM um),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS conv_ts
+        | FROM e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        | GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, p.conv_ts,
+        | CASE WHEN um.umax // 1000 + 60000000 < g.gmax // 1000
+        |  THEN 1 ELSE 0 END AS evicted
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
+        | JOIN um ON v.user_id = um.user_id, g""".stripMargin,
     "q95_stream_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view
         |  FROM events WHERE event_type = 'view' GROUP BY user_id),

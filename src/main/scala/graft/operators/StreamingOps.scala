@@ -413,6 +413,66 @@ object StreamingOps {
         when(col("st.conv_ts") >= 0, 1).otherwise(0).as("converted"))
   }
 
+  /** q115: the BOUNDED-STATE funnel under the oracle gate —
+    * [[graft.streaming.Funnel.trackWithTTL]] with EventTimeTimeout:
+    * users idle past the TTL against the event-time watermark are
+    * flushed (final funnel row emitted once) and their state
+    * evicted. The TTL (~16.7 h) sits at the median idle tail of the
+    * view/purchase stream, so roughly HALF the users evict at every
+    * SF — both populations appear in the output, `evicted`
+    * distinguishing them.
+    *
+    * Why the WAL is staged as ONE data micro-batch (+ the timeout
+    * batch): eviction replays as exact integer arithmetic only if
+    * the watermark cannot race a user's remaining events. With a
+    * single data batch the watermark advances once — from −∞ to the
+    * stream's global max — so a user is flushed iff
+    * umax_ms + ttl < gmax_ms, exactly what the oracle computes
+    * (q83's argument). Multi-batch watermark progressions would
+    * evict mid-stream users whose later events then rebuild COLD
+    * state (losing the pre-eviction first view) at batch boundaries
+    * the oracle cannot see (repartitionByRange samples its range
+    * bounds). Multi-batch arrival-order invariance is q95's gate;
+    * the cold-restart trade is pinned in StreamFunnelSpec. The
+    * eviction decision, flush emission, and state removal all run
+    * for real here. */
+  def funnelTtlStream(s: SparkSession, dir: String,
+      ttlMillis: Long = 60000000L): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q115", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val subset = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("kind") === "put" &&
+        col("cells")(0)("qualifier").isin("view", "purchase"))
+    WalSource.writeWalJson(subset, walDir, batches = 2)
+    val evs = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").as("user"),
+        col("cells")(0)("qualifier").as("etype"), col("ts"))
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+      .as[graft.streaming.Funnel.FunnelEvent]
+    val query = graft.streaming.Funnel.trackWithTTL(s, evs, ttlMillis).writeStream
+      .foreachBatch {
+        (df: Dataset[graft.streaming.Funnel.FunnelOut], id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // all data lands in batch 0, so any later emission is a flush:
+    // evicted = touched by a timeout batch
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("first_view"), col("conv_ts")), col("batch")).as("st"),
+        max(col("batch")).as("mb"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("st.first_view").as("first_view"),
+        when(col("st.conv_ts") >= 0, col("st.conv_ts")).as("conv_ts"),
+        when(col("mb") >= 1, 1).otherwise(0).as("evicted"))
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode
