@@ -127,6 +127,7 @@ object SparkEntry {
     "q113_phash_neardup"    -> ((s, d) => Multimodal.phashNearDup(s, d)),
     "q114_binary_entropy"   -> (Multimodal.binaryEntropy _),
     "q115_funnel_ttl_stream" -> ((s, d) => StreamingOps.funnelTtlStream(s, d)),
+    "q116_stream_topk"      -> ((s, d) => StreamingOps.streamTopK(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1292,6 +1293,16 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS evicted
         |FROM v LEFT JOIN p ON v.user_id = p.user_id
         | JOIN um ON v.user_id = um.user_id, g""".stripMargin,
+    // q116: per-day top-3 events by (value desc, event_id asc) —
+    // the deterministic total order TopKAgg enforces.
+    "q116_stream_topk" ->
+      """WITH w AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000
+        |   AS window_start, event_id, value FROM events),
+        |r AS (SELECT window_start, event_id, value,
+        |  row_number() OVER (PARTITION BY window_start
+        |    ORDER BY value DESC, event_id) AS rank FROM w)
+        |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_id, value
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q95_stream_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view
         |  FROM events WHERE event_type = 'view' GROUP BY user_id),

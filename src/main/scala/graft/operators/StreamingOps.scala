@@ -413,6 +413,44 @@ object StreamingOps {
         when(col("st.conv_ts") >= 0, 1).otherwise(0).as("converted"))
   }
 
+  /** q116: STREAMING per-window top-k under the oracle gate — the
+    * custom bounded [[graft.functions.TopKAgg]] run INSIDE a
+    * streaming aggregation (Complete mode): per 1-day event-time
+    * window, the top-3 events by value. The aggregator's k-buffer is
+    * the streaming state — k rows per window instead of every scored
+    * row (the q25/q96 map-side-bounded argument applied to streaming
+    * state), merged incrementally across micro-batches. The merge is
+    * commutative/associative with a deterministic total order
+    * (value desc, event_id asc), so the final Complete-mode emission
+    * is arrival-order independent — what makes it SQL-replayable
+    * (the q73 argument, with a custom Aggregator instead of a
+    * built-in). */
+  def streamTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.functions.TopK
+    val stage = stagingRoot("q116", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val tops = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withColumn("value", col("cells")(0)("value").cast("double"))
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(TopK.topk(k)(col("seq"), col("value")).as("top"))
+    val query = tops.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .select(unix_micros(col("window.start")).as("window_start"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("event_id"), col("t.score").as("value"))
+  }
+
   /** q115: the BOUNDED-STATE funnel under the oracle gate —
     * [[graft.streaming.Funnel.trackWithTTL]] with EventTimeTimeout:
     * users idle past the TTL against the event-time watermark are
