@@ -128,6 +128,8 @@ object SparkEntry {
     "q114_binary_entropy"   -> (Multimodal.binaryEntropy _),
     "q115_funnel_ttl_stream" -> ((s, d) => StreamingOps.funnelTtlStream(s, d)),
     "q116_stream_topk"      -> ((s, d) => StreamingOps.streamTopK(s, d)),
+    "q117_quality_cut"      -> (Pipeline.qualityCut _),
+    "q118_embed_union"      -> ((s, d) => Similarity.embedNearDupUnion(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1293,6 +1295,74 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS evicted
         |FROM v LEFT JOIN p ON v.user_id = p.user_id
         | JOIN um ON v.user_id = um.user_id, g""".stripMargin,
+    // q117: oracle ranks each language fully (DuckDB need not scale);
+    // Spark's sketch-refine threshold must land on the identical
+    // rank-r cut — (n+4)//5 integer quota, (qual, doc_id) total order.
+    "q117_quality_cut" ->
+      """WITH ql AS (SELECT doc_id, lang,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5
+        |  + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5 AS qual,
+        |  len(string_split(text, ' ')) AS toks FROM documents),
+        |n AS (SELECT lang, count(*) AS n, (count(*) + 4) // 5 AS r
+        | FROM ql GROUP BY lang),
+        |rk AS (SELECT lang, doc_id, qual, toks,
+        |  row_number() OVER (PARTITION BY lang ORDER BY qual, doc_id) AS rk
+        | FROM ql)
+        |SELECT rk.lang, CAST(n.n AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN rk.rk <= n.r THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dropped,
+        | round(max(CASE WHEN rk.rk = n.r THEN qual END), 4)
+        |   AS threshold_quality,
+        | CAST(sum(CASE WHEN rk.rk > n.r THEN toks ELSE 0 END) AS BIGINT)
+        |   AS n_tokens_kept
+        |FROM rk JOIN n USING (lang) GROUP BY rk.lang, n.n""".stripMargin,
+    // q118: q24's banding chain ∪ q99's IVF chain (CTEs renamed to
+    // coexist), merged full-outer on the pair key with provenance.
+    "q118_embed_union" ->
+      s"""WITH $quantCte,
+        |$embedBandCtes,
+        |cb AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        | FROM bd x JOIN bd y ON x.band = y.band AND x.band_key = y.band_key
+        |  AND x.vec_id < y.vec_id),
+        |eb AS (SELECT id1, id2, $cosExpr AS cosine
+        | FROM cb JOIN m a ON id1 = a.vec_id JOIN m b ON id2 = b.vec_id
+        | WHERE $cosExpr >= 0.4),
+        |mm AS (SELECT e.vec_id, e.label, list_transform(e.embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings e),
+        |mn AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM mm),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM mm),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM cl),
+        |ac AS (SELECT mn.vec_id, mn.v, mn.n2, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> mn.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(mn.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS ccos
+        | FROM mn, cn),
+        |asg AS (SELECT vec_id, v, n2, cell FROM (SELECT vec_id, v, n2,
+        |   label AS cell, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY ccos DESC, label) AS rk FROM ac) t WHERE rk = 1),
+        |ei AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        | FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4)
+        |SELECT coalesce(eb.id1, ei.id1) AS id1,
+        | coalesce(eb.id2, ei.id2) AS id2,
+        | coalesce(eb.cosine, ei.cosine) AS cosine,
+        | CASE WHEN eb.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_band,
+        | CASE WHEN ei.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_ivf
+        |FROM eb FULL OUTER JOIN ei
+        | ON eb.id1 = ei.id1 AND eb.id2 = ei.id2""".stripMargin,
     // q116: per-day top-3 events by (value desc, event_id asc) —
     // the deterministic total order TopKAgg enforces.
     "q116_stream_topk" ->

@@ -76,7 +76,17 @@ object Multimodal {
     * pattern — the wide shuffle moves ids + 16-char hashes, never
     * binaries). Every stage is byte arithmetic the oracle replays
     * exactly. */
-  def phashNearDup(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+  def phashNearDup(s: SparkSession, dir: String, maxHamming: Int = 8,
+      bandChars: Int = 2): DataFrame = {
+    // bandChars is the q24-style bucket-size knob: nBands = 16 /
+    // bandChars bands of 16^bandChars buckets each. More chars per
+    // band ⇒ exponentially more buckets (bounded bucket size as the
+    // corpus grows) at the pigeonhole-recall trade (≤ nBands − 1 bit
+    // errors guaranteed caught); coarser keys are refined by finer
+    // ones, so raising the knob only shrinks the candidate set
+    // (same subset property as q24's bandBits, spec-pinned).
+    require(16 % bandChars == 0, "bandChars must divide 16")
+    val nBands = 16 / bandChars
     val h = Tables.documents(s, dir)
       .filter(length(col("text")) >= 65)
       .withColumn("bits", expr(
@@ -86,7 +96,7 @@ object Multimodal {
           "element_at(bits, j*4+1)*8 + element_at(bits, j*4+2)*4 + " +
           "element_at(bits, j*4+3)*2 + element_at(bits, j*4+4) + 1, 1)))").as("dhash"))
     val bands = h.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> substring(dhash, b*2 + 1, 2))"))
+        s"transform(sequence(0, ${nBands - 1}), b -> substring(dhash, b*$bandChars + 1, $bandChars))"))
       .as(Seq("band", "band_key")))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

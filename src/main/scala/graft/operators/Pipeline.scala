@@ -123,4 +123,61 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         expr(s"cum_before div $budget").as("chunk_id"))
   }
+
+  /** q117: per-language QUANTILE quality cut — drop the bottom 20%
+    * of each language by q28's quality score, with the exact
+    * threshold found WITHOUT a per-language corpus sort (the
+    * curation step where a naive window rank sorts every language in
+    * one task — the q66/q102 scale trap, solved q97-style):
+    *  1. bin quality into 101 constant-width bins; per-(lang, bin)
+    *     counts (one map-side-combinable agg);
+    *  2. cumulative counts over the ≤101-row per-language bin table
+    *     (constant-size window) locate the single BOUNDARY BIN
+    *     where the quota rank r = ⌈n/5⌉ falls;
+    *  3. rank-select inside that one bin only (window over the
+    *     bin's population, corpus/101-ish rows, never the language)
+    *     → the exact threshold doc (qual, doc_id);
+    *  4. the cut is then a narrow broadcast-threshold comparison —
+    *     kept ⟺ (qual, doc_id) > (thr_qual, thr_id), a total order
+    *     so exactly r docs drop, ties impossible.
+    * Output per language: doc/drop counts, the threshold, and the
+    * surviving token budget. Quota arithmetic is integer
+    * ((n+4) div 5), so both engines agree without float ceil. */
+  def qualityCut(s: SparkSession, dir: String): DataFrame = {
+    val ql = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("qual"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+    val binned = ql.withColumn("bin",
+      least(floor(col("qual") * 100).cast("int"), lit(100)))
+    val binCounts = binned.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = binCounts.withColumn("cum", sum(col("c")).over(wcum))
+    val quota = ql.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", expr("div(n + 4, 5)"))
+    // the ONE bin per language where rank r lands
+    val boundary = withCum.join(quota, "lang")
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("lang"))
+      .agg(min_by(struct(col("bin"), (col("cum") - col("c")).as("cum_before")),
+        col("bin")).as("b"), first(col("r")).as("r"))
+      .select(col("lang"), col("b.bin").as("bin"),
+        col("b.cum_before").as("cum_before"), col("r"))
+    // in-bin rank selection: the window sorts ONLY the boundary bin
+    val wbin = Window.partitionBy(col("lang")).orderBy(col("qual"), col("doc_id"))
+    val thr = binned.join(broadcast(boundary), Seq("lang", "bin"))
+      .withColumn("rk", row_number().over(wbin))
+      .filter(col("rk") === col("r") - col("cum_before"))
+      .select(col("lang"), col("qual").as("thr_qual"), col("doc_id").as("thr_id"))
+    ql.join(broadcast(thr), "lang")
+      .withColumn("kept", col("qual") > col("thr_qual") ||
+        (col("qual") === col("thr_qual") && col("doc_id") > col("thr_id")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        round(first(col("thr_qual")), 4).as("threshold_quality"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).as("n_tokens_kept"))
+  }
 }

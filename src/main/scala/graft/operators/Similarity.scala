@@ -303,6 +303,30 @@ object Similarity {
         max(col("n2")).as("keep_n2"))
   }
 
+  /** q118: the PRODUCTION embedding near-dup run — q24's hyperplane
+    * banding and q99's IVF-cell blocking UNIONED, which is what the
+    * per-operator scaladocs promise a real deployment does: banding
+    * misses nothing a band catches but loses cell-straddling pairs'
+    * complement, IVF catches centroid-local pairs banding's random
+    * planes split; the union's recall dominates either alone. Each
+    * side is its gated plan unchanged (equi-join blocking + exact
+    * integer cosine verify); the merge is a full-outer equi-join on
+    * the pair key carrying provenance flags, so the output also
+    * AUDITS the generators against each other (a pair found by only
+    * one blocker is the recall gap of the other, quantified). */
+  def embedNearDupUnion(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val band = embedNearDup(s, dir, threshold = threshold)
+      .select(col("id1"), col("id2"), col("cosine").as("cos_b"))
+    val ivf = ivfSelfJoin(s, dir, threshold)
+      .select(col("id1"), col("id2"), col("cosine").as("cos_i"))
+    band.join(ivf, Seq("id1", "id2"), "full_outer")
+      .select(col("id1"), col("id2"),
+        coalesce(col("cos_b"), col("cos_i")).as("cosine"),
+        when(col("cos_b").isNotNull, 1).otherwise(0).as("in_band"),
+        when(col("cos_i").isNotNull, 1).otherwise(0).as("in_ivf"))
+  }
+
   /** q38: IVF-style ANN — per-label centroids act as the
     * coarse quantizer (inverted file): every corpus vector is assigned
     * to its nearest centroid; a query probes only the `nprobe` nearest

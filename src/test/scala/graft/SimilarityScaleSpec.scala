@@ -79,4 +79,13 @@ class SimilarityScaleSpec extends SparkSpec {
     val v2 = volume(2)
     assert(v2 < v0, s"subBits=2 did not reduce candidate volume ($v2 >= $v0)")
   }
+
+  test("q113 banding: bandChars refines — 4-char-band pairs are a subset of the 2-char default") {
+    import graft.operators.Multimodal
+    val p2 = Multimodal.phashNearDup(spark, sfDir).select("id1", "id2")
+    val p4 = Multimodal.phashNearDup(spark, sfDir, 8, 4).select("id1", "id2")
+    assert(p4.except(p2).count() == 0,
+      "bandChars=4 emitted a pair the 2-char banding does not contain")
+    assert(p4.count() > 0, "bandChars=4 found no pairs at sf0.001")
+  }
 }
