@@ -130,6 +130,8 @@ object SparkEntry {
     "q116_stream_topk"      -> ((s, d) => StreamingOps.streamTopK(s, d)),
     "q117_quality_cut"      -> (Pipeline.qualityCut _),
     "q118_embed_union"      -> ((s, d) => Similarity.embedNearDupUnion(s, d)),
+    "q119_segment_clean"    -> ((s, d) => Dedup.segmentClean(s, d)),
+    "q120_source_overlap"   -> (Dedup.sourceOverlap _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1319,6 +1321,44 @@ object SparkEntry {
         | CAST(sum(CASE WHEN rk.rk > n.r THEN toks ELSE 0 END) AS BIGINT)
         |   AS n_tokens_kept
         |FROM rk JOIN n USING (lang) GROUP BY rk.lang, n.n""".stripMargin,
+    // q119: non-overlapping 8-token segment hashes → corpus df →
+    // per-doc removal accounting.
+    "q119_segment_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+        | WHERE len(toks) >= 8),
+        |sg AS (SELECT doc_id, n_tokens, toks,
+        |  unnest(range(n_tokens // 8)) AS j FROM tf),
+        |sh AS (SELECT doc_id, n_tokens,
+        |  md5(array_to_string(
+        |    toks[CAST(j*8+1 AS INTEGER):CAST(j*8+8 AS INTEGER)], ' ')) AS h
+        | FROM sg),
+        |fd AS (SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY h),
+        |a AS (SELECT sh.doc_id, max(sh.n_tokens) AS n_tokens,
+        |  count(*) AS n_segments,
+        |  sum(CASE WHEN fd.df > 1 THEN 1 ELSE 0 END) AS n_dup
+        | FROM sh JOIN fd USING (h) GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_segments AS BIGINT) AS n_segments,
+        | CAST(n_dup AS BIGINT) AS n_dup_segments,
+        | CAST(n_tokens - n_dup * 8 AS BIGINT) AS n_tokens_clean,
+        | round(CAST(n_dup * 8 AS DOUBLE) / n_tokens, 4) AS dup_token_frac
+        |FROM a""".stripMargin,
+    // q120: q22's band candidates restricted to cross-source pairs,
+    // folded to the unordered source-pair matrix.
+    "q120_source_overlap" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT da.source AS s1, db.source AS s2 FROM c
+        | JOIN documents da ON c.d1 = da.doc_id
+        | JOIN documents db ON c.d2 = db.doc_id)
+        |SELECT least(s1, s2) AS source_a, greatest(s1, s2) AS source_b,
+        | count(*) AS n_pairs
+        |FROM j WHERE s1 <> s2 GROUP BY 1, 2""".stripMargin,
     // q118: q24's banding chain ∪ q99's IVF chain (CTEs renamed to
     // coexist), merged full-outer on the pair key with provenance.
     "q118_embed_union" ->

@@ -460,6 +460,61 @@ object Dedup {
     probeBaseIndex(s, idx, docs.filter(col("doc_id") % 2 =!= 0))
   }
 
+  /** q119: SEGMENT-level dedup cleaning (the CCNet/RefinedWeb
+    * duplicated-line removal stage, at 8-token segment grain since
+    * the corpus has no line breaks): each doc's non-overlapping
+    * 8-token segments are hashed (one narrow pass); a corpus-wide
+    * document-frequency agg (map-side combinable) marks segments
+    * appearing in > 1 document; the per-doc report accounts exactly
+    * what cleaning would strip. Complements q93 (overlapping-trigram
+    * SPAN flags — detection) with the non-overlapping REMOVAL grain
+    * (what you actually cut, and how many tokens survive). Shapes:
+    * two segment-hash-keyed shuffles (df agg + shuffle-hash
+    * lookback join), never doc × doc. */
+  def segmentClean(s: SparkSession, dir: String, segTokens: Int = 8): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // sequence(0, -1) would yield [0, -1] (the q52 phantom-frame
+      // guard): docs shorter than one segment are excluded
+      .filter(size(col("toks")) >= segTokens)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(size(toks) / $segTokens AS INT) - 1), " +
+            s"j -> md5(cast(array_join(slice(toks, j * $segTokens + 1, $segTokens), ' ') as binary)))"))
+          .as(Seq("seg_idx", "h")))
+    val df = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(df.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+      .select(col("doc_id"), col("n_tokens"), col("n_segments"),
+        col("n_dup_segments"),
+        (col("n_tokens") - col("n_dup_segments") * segTokens).as("n_tokens_clean"),
+        round(col("n_dup_segments") * segTokens / col("n_tokens").cast("double"), 4)
+          .as("dup_token_frac"))
+  }
+
+  /** q120: cross-source duplication matrix — which sources copy
+    * from which (the licensing/contamination audit a corpus run
+    * publishes): q22's near-dup band candidates whose two docs come
+    * from DIFFERENT sources, aggregated to an unordered source-pair
+    * matrix (exact-dup hashes never cross sources in this corpus —
+    * near-dup banding is where cross-source copying shows). Shapes:
+    * the banding candidate join (q22's bounded buckets) + two
+    * shuffle-hash source lookups by doc id + a |sources|²-bounded
+    * matrix agg — never doc × doc, output constant-size. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashLsh(s, dir)
+      .join(src.toDF("d1", "s1").hint("shuffle_hash"), "d1")
+      .join(src.toDF("d2", "s2").hint("shuffle_hash"), "d2")
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** q106: cluster-canonical selection — the decision q59's
     * components exist to feed: per near-dup cluster, KEEP the
     * highest-quality member (q28's composite score; ties to the
