@@ -132,6 +132,7 @@ object SparkEntry {
     "q118_embed_union"      -> ((s, d) => Similarity.embedNearDupUnion(s, d)),
     "q119_segment_clean"    -> ((s, d) => Dedup.segmentClean(s, d)),
     "q120_source_overlap"   -> (Dedup.sourceOverlap _),
+    "q121_left_outer_stream" -> (StreamingOps.leftOuterJoinStream _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -974,6 +975,27 @@ object SparkEntry {
         |FROM g GROUP BY user_id""".stripMargin,
     // q80: stream-stream interval join — every (purchase, click) pair
     // within [purchase - 1h, purchase] per user, aggregated per user.
+    // q121: the batch LEFT JOIN the streaming outer join must equal —
+    // matched purchases contribute their pair rows, unmatched ones a
+    // single null-click row.
+    "q121_left_outer_stream" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM c),
+        |  (SELECT max(ts) FROM p)) AS joint),
+        |j AS (SELECT p.user_id, p.event_id AS purchase_seq,
+        |  c.event_id AS click_seq, p.ts
+        | FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - 3600000000 AND c.ts <= p.ts)
+        |SELECT user_id, count(DISTINCT purchase_seq) AS n_purchases,
+        | CAST(sum(CASE WHEN click_seq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_pairs,
+        | count(DISTINCT CASE WHEN click_seq IS NULL THEN purchase_seq END)
+        |   AS n_unmatched_purchases
+        |FROM j, wm WHERE click_seq IS NOT NULL OR j.ts < wm.joint
+        |GROUP BY user_id""".stripMargin,
     "q80_interval_join_stream" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
         |  WHERE event_type = 'click'),

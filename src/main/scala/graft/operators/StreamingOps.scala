@@ -413,6 +413,68 @@ object StreamingOps {
         when(col("st.conv_ts") >= 0, 1).otherwise(0).as("converted"))
   }
 
+  /** q121: STREAM-STREAM LEFT OUTER interval join under the oracle
+    * gate — q80's click⋈purchase pairing with the missing-side
+    * semantics production attribution needs: every purchase emits
+    * its matching clicks as they arrive (inner path, arrival-order
+    * independent) OR one null-click row once the watermark proves no
+    * match can arrive (outer path — this is the part q80's inner
+    * join cannot express, and it REQUIRES a real watermark: state
+    * for an unmatched purchase finalizes only when both streams'
+    * watermarks pass its window). The staged WAL is event-time
+    * ordered with delay-0 watermarks, so a purchase's matching
+    * clicks (ts ≤ purchase ts) always arrive no later than the
+    * purchase itself — late matches are impossible and the final
+    * row set replays as the batch LEFT JOIN with one honest
+    * append-mode edge: an UNMATCHED purchase at or past the final
+    * joint watermark (min of the two streams' max event times —
+    * Spark's default min multipleWatermarkPolicy) stays pending
+    * forever, because no later watermark ever proves it
+    * unmatchable. The oracle replays exactly that rule
+    * (emit iff matched OR p_ts < joint), measured empirically and
+    * pinned by the gate at every SF. */
+  def leftOuterJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q121", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val subset = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("qualifier").isin("click", "purchase"))
+    WalSource.writeWalJson(subset, walDir, batches = 6)
+    def side(q: String): DataFrame =
+      WalSource.streamV2(s, walDir, maxFilesPerTrigger = 3)
+        .filter(col("cells")(0)("qualifier") === q)
+        .withColumn("event_time", timestamp_micros(col("ts")))
+    val clicks = side("click")
+      .select(col("rowkey").as("c_rowkey"), col("seq").as("click_seq"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "0 seconds")
+    val purchases = side("purchase")
+      .select(col("rowkey"), col("seq").as("purchase_seq"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "0 seconds")
+    val joined = purchases.join(clicks,
+        col("rowkey") === col("c_rowkey") &&
+          col("click_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR") &&
+          col("click_time") <= col("purchase_time"),
+        "leftOuter")
+      .select(col("rowkey"), col("purchase_seq"), col("click_seq"))
+    val query = joined.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .dropDuplicates("purchase_seq", "click_seq")
+      .groupBy(col("rowkey").cast("long").as("user_id"))
+      .agg(countDistinct(col("purchase_seq")).as("n_purchases"),
+        sum(when(col("click_seq").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(when(col("click_seq").isNull, col("purchase_seq")))
+          .as("n_unmatched_purchases"))
+  }
+
   /** q116: STREAMING per-window top-k under the oracle gate — the
     * custom bounded [[graft.functions.TopKAgg]] run INSIDE a
     * streaming aggregation (Complete mode): per 1-day event-time
