@@ -133,6 +133,7 @@ object SparkEntry {
     "q119_segment_clean"    -> ((s, d) => Dedup.segmentClean(s, d)),
     "q120_source_overlap"   -> (Dedup.sourceOverlap _),
     "q121_left_outer_stream" -> (StreamingOps.leftOuterJoinStream _),
+    "q122_last_click_attribution" -> (Events.lastClickAttribution _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -975,6 +976,25 @@ object SparkEntry {
         |FROM g GROUP BY user_id""".stripMargin,
     // q80: stream-stream interval join — every (purchase, click) pair
     // within [purchase - 1h, purchase] per user, aggregated per user.
+    // q122: q62's backward as-of (latest click ≤ purchase, event_id
+    // tiebreak) → revenue per click day; -1 = unattributed.
+    "q122_last_click_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, value, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |a AS (SELECT user_id, purchase_id, value, last_click_ts FROM (
+        | SELECT p.user_id, p.event_id AS purchase_id, p.value,
+        |  epoch_us(c.ts) AS last_click_ts,
+        |  row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |    ORDER BY c.ts DESC, c.event_id DESC) AS rk
+        | FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts) t
+        | WHERE rk = 1)
+        |SELECT CASE WHEN last_click_ts IS NULL THEN -1
+        |  ELSE last_click_ts - last_click_ts % 86400000000 END AS click_day,
+        | count(*) AS n_purchases,
+        | round(sum(value), 2) AS attributed_value
+        |FROM a GROUP BY 1""".stripMargin,
     // q121: the batch LEFT JOIN the streaming outer join must equal —
     // matched purchases contribute their pair rows, unmatched ones a
     // single null-click row.

@@ -342,6 +342,31 @@ object Events {
         col("asof_ts").as("last_click_ts"))
   }
 
+  /** q122: LAST-CLICK revenue attribution — the ad-tech standard
+    * composed from the public [[AsOf.join]] API: every purchase is
+    * attributed to its latest preceding click (q62's backward as-of,
+    * one shuffle + one ordered window pass, never a per-key
+    * join-then-filter explosion), then revenue rolls up per CLICK
+    * day — the report a marketing pipeline publishes. Purchases with
+    * no prior click land in the `-1` unattributed bucket (they are
+    * real revenue the report must not drop). */
+  def lastClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("value"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("ts"), rightTiebreak = Some("event_id"))
+      .withColumn("click_day", when(col("asof_ts").isNotNull,
+        col("asof_ts") - pmod(col("asof_ts"), lit(86400000000L)))
+        .otherwise(lit(-1L)))
+      .groupBy(col("click_day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("attributed_value"))
+  }
+
   /** q104: behavioral Markov transition matrix — corpus-wide
     * (from_type → to_type) counts and row-normalized probabilities
     * over each user's time-ordered event sequence (the first-order

