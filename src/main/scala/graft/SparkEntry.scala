@@ -134,6 +134,12 @@ object SparkEntry {
     "q120_source_overlap"   -> (Dedup.sourceOverlap _),
     "q121_left_outer_stream" -> (StreamingOps.leftOuterJoinStream _),
     "q122_last_click_attribution" -> (Events.lastClickAttribution _),
+    "q123_stream_pivot"     -> (StreamingOps.streamPivot _),
+    "q124_sq8_rerank"       -> ((s, d) => Similarity.sq8Rerank(s, d)),
+    "q125_hll_overlap"      -> (Sketch.hllOverlap _),
+    "q126_incremental_agg"  -> ((s, d) => Incremental.incrementalAgg(s, d)),
+    "q127_chunk_dedup"      -> ((s, d) => Multimodal.chunkDedup(s, d)),
+    "q128_group_regression" -> (Relational.groupRegression _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1770,5 +1776,157 @@ object SparkEntry {
         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
+    // q123: the streaming Complete-mode pivot's final state must equal
+    // the batch pivot — same oracle as q43 by construction.
+    "q123_stream_pivot" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    // q124: int8 codes → approximate top-m → exact re-rank; both
+    // stages on the (score desc, id asc) total order.
+    "q124_sq8_rerank" ->
+      s"""WITH $quantCte,
+        |c8 AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*127) AS BIGINT)) AS v
+        | FROM embeddings),
+        |c8n AS (SELECT vec_id, v,
+        |   CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM c8),
+        |ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  $cosExpr AS approx
+        | FROM c8n a JOIN c8n b ON a.vec_id < 5 AND b.vec_id >= 5),
+        |tm AS (SELECT query_id, neighbor_id, approx FROM (
+        |  SELECT query_id, neighbor_id, approx,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY approx DESC, neighbor_id) AS rm FROM ap) t
+        | WHERE rm <= 10),
+        |ex AS (SELECT tm.query_id, tm.neighbor_id, tm.approx,
+        |  $cosExpr AS cosine
+        | FROM tm JOIN m a ON a.vec_id = tm.query_id
+        |  JOIN m b ON b.vec_id = tm.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cosine,
+        | approx AS approx_cosine FROM (
+        | SELECT query_id, neighbor_id, cosine, approx,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM ex) t WHERE rank <= 3""".stripMargin,
+    // q125: q92's register/rank/estimate formulas per source, pairwise
+    // union via register max, intersection by inclusion-exclusion.
+    "q125_hll_overlap" ->
+      s"""WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS k
+        |  FROM documents),
+        |h AS (SELECT source, md5(k) AS h FROM st),
+        |rv AS (SELECT source,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS reg,
+        |  ${hexNibblesSql("h", 3, 8)} AS v
+        | FROM h),
+        |rk AS (SELECT source, reg,
+        |  CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rnk FROM rv),
+        |regs AS (SELECT source, reg, max(rnk) AS mreg
+        | FROM rk GROUP BY 1, 2),
+        |s1 AS (SELECT source, count(*) AS n_occupied,
+        |  CAST(sum(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS s_occ
+        | FROM regs GROUP BY source),
+        |e1 AS (SELECT source,
+        |  CASE WHEN (256 - n_occupied) > 0 AND
+        |    (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |     / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) <= 2.5 * 256
+        |   THEN 256.0 * ln(256.0 / CAST(256 - n_occupied AS DOUBLE))
+        |   ELSE (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |     / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) END AS est
+        | FROM s1),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  a.est AS est_a, b.est AS est_b
+        | FROM e1 a JOIN e1 b ON a.source < b.source),
+        |uregs AS (SELECT p.source_a, p.source_b, r.reg, max(r.mreg) AS mreg
+        | FROM pairs p JOIN regs r
+        |  ON r.source = p.source_a OR r.source = p.source_b
+        | GROUP BY 1, 2, 3),
+        |su AS (SELECT source_a, source_b, count(*) AS n_occupied,
+        |  CAST(sum(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS s_occ
+        | FROM uregs GROUP BY 1, 2),
+        |eu AS (SELECT source_a, source_b,
+        |  CASE WHEN (256 - n_occupied) > 0 AND
+        |    (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |     / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) <= 2.5 * 256
+        |   THEN 256.0 * ln(256.0 / CAST(256 - n_occupied AS DOUBLE))
+        |   ELSE (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |     / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) END AS est_u
+        | FROM su),
+        |dt AS (SELECT DISTINCT source, k FROM st),
+        |exact AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_exact
+        | FROM dt a JOIN dt b ON a.k = b.k AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, n_exact,
+        | round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+        | round(est_u, 4) AS est_union,
+        | round(est_a + est_b - est_u, 4) AS est_intersect
+        |FROM pairs p
+        | JOIN eu ON p.source_a = eu.source_a AND p.source_b = eu.source_b
+        | JOIN exact ON p.source_a = exact.source_a
+        |  AND p.source_b = exact.source_b""".stripMargin,
+    // q126: the oracle recomputes the aggregate FROM SCRATCH over all
+    // events — the gate proves snapshot+delta merge ≡ full recompute.
+    "q126_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q127: 64-byte chunk hashes (docs are ASCII — byte slices == char
+    // slices, the q52 argument), CAS accounting per distinct chunk.
+    "q127_chunk_dedup" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS nc
+        | FROM documents WHERE length(text) > 0),
+        |x AS (SELECT doc_id, text, unnest(range(nc)) AS i FROM f),
+        |c2 AS (SELECT
+        |  sha256(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS sha,
+        |  CAST(length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS BIGINT) AS len
+        | FROM x),
+        |g AS (SELECT sha, count(*) AS refs, min(len) AS clen
+        | FROM c2 GROUP BY sha)
+        |SELECT CAST(sum(refs) AS BIGINT) AS n_chunks,
+        | count(*) AS n_distinct_chunks,
+        | CAST(sum(refs * clen) AS BIGINT) AS logical_bytes,
+        | CAST(sum(clen) AS BIGINT) AS stored_bytes,
+        | round(1.0 - CAST(sum(clen) AS DOUBLE)
+        |   / CAST(CAST(sum(refs * clen) AS BIGINT) AS DOUBLE), 4) AS dedup_ratio
+        |FROM g""".stripMargin,
+    // q128: q108's exact integer moments per segment; slope/intercept/
+    // r² as the same IEEE expression tree on both engines.
+    "q128_group_regression" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |  CAST(floor(l_quantity) AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_mktsegment, count(*) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |  sum(y*y) AS syy, sum(x*y) AS sxy FROM b GROUP BY 1)
+        |SELECT c_mktsegment, n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope_cents_per_unit,
+        | round((CAST(sy AS DOUBLE)
+        |   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept_cents,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+        |FROM g""".stripMargin,
   )
 }

@@ -34,6 +34,27 @@ object Tables {
     val raw = load(s, d, "events")
     raw.withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
   }
+  /** [[events]] with event-time bounds (inclusive, in epoch MICROS)
+    * applied to the STORED nanos column BEFORE the µs truncation —
+    * a predicate on the derived `ts div 1000` defeats parquet
+    * pushdown entirely (the scan would read every row group), while
+    * the equivalent bound on raw nanos reaches the row-group
+    * statistics: for the non-negative ts domain,
+    * `ts_us >= m ⟺ ts_ns >= m·1000` and
+    * `ts_us <= m ⟺ ts_ns <= m·1000 + 999`. At 100 TB this is the
+    * difference between a time-travel/incremental read scanning one
+    * day and scanning the corpus (PlanSpec-pinned). */
+  def eventsTsBounded(s: SparkSession, d: String,
+      minMicros: Option[Long] = None,
+      maxMicros: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var raw = load(s, d, "events")
+    minMicros.foreach(m => raw = raw.filter(col("ts") >= m * 1000L))
+    maxMicros.foreach(m => raw = raw.filter(col("ts") <= m * 1000L + 999L))
+    raw.withColumn("ts", expr("ts div 1000"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -258,13 +258,15 @@ object Events {
   }
 
   /** q71: time-travel snapshot — the latest-cell-wins row states as
-    * of a fixed point in time (the filter prunes at the scan, then
-    * q12's compaction runs on the survivors; this is the CDC
-    * "snapshot read at T" every consumer replays). */
+    * of a fixed point in time (the as-of bound is applied to the
+    * STORED nanos via [[Tables.eventsTsBounded]] so it reaches the
+    * parquet row-group statistics — a predicate on the derived µs
+    * column would scan the whole corpus; PlanSpec pins the pushed
+    * filter), then q12's compaction runs on the survivors; this is
+    * the CDC "snapshot read at T" every consumer replays. */
   def timeTravel(s: SparkSession, dir: String,
       asOfMicros: Long = 1705276800000000L): DataFrame = {
-    Tables.events(s, dir)
-      .filter(col("ts") <= asOfMicros)
+    Tables.eventsTsBounded(s, dir, maxMicros = Some(asOfMicros))
       .groupBy(col("user_id"))
       .agg(max_by(
         struct(col("event_id"), col("event_type"), col("value"), col("ts")),

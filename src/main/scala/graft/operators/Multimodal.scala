@@ -133,6 +133,41 @@ object Multimodal {
         round(log2(col("n_bytes")) - col("slc") / col("n_bytes"), 4)
           .as("entropy"))
 
+  /** q127: content-addressed chunk dedup over the binary column — the
+    * CAS/storage-dedup estimate a 100 TB media lake runs before
+    * ingest: every blob split into fixed 64-byte chunks, each chunk
+    * content-hashed (one narrow codegen pass — the q52 slice shape
+    * without the frame cap), and the global report says how many
+    * physical bytes a dedupe store would hold vs the logical bytes.
+    * Shapes: explode to (chunk_sha, chunk_len) then ONE
+    * map-side-combinable agg keyed by chunk hash (16-byte keys cross
+    * the wire, never chunk bytes), folded to a constant-size report —
+    * distinct-chunk accounting via min(chunk_len) per hash (identical
+    * content ⇒ identical length; a sha collision would break dedup
+    * itself, not just the report). Fixed-size chunking is the honest
+    * codec-free cut; content-defined (rolling-hash) boundaries would
+    * raise the dedup ratio on shifted content at the same plan shape. */
+  def chunkDedup(s: SparkSession, dir: String, chunkBytes: Int = 64): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .filter(length(col("blob")) > 0) // q52's phantom-frame guard
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(ceil(length(blob) / $chunkBytes.0D) AS INT) - 1), " +
+          s"i -> struct(sha2(substr(blob, i * $chunkBytes + 1, $chunkBytes), 256) AS sha, " +
+          s"length(substr(blob, i * $chunkBytes + 1, $chunkBytes)) AS len))")).as("c"))
+      .select(col("doc_id"), col("c.sha").as("sha"), col("c.len").cast("long").as("len"))
+    chunks.groupBy(col("sha"))
+      .agg(count(lit(1)).as("refs"), min(col("len")).as("clen"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum(col("refs")).as("n_chunks"),
+        sum(col("refs") * col("clen")).as("logical_bytes"),
+        sum(col("clen")).as("stored_bytes"))
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        col("logical_bytes"), col("stored_bytes"),
+        round(lit(1.0) - col("stored_bytes") / col("logical_bytes").cast("double"), 4)
+          .as("dedup_ratio"))
+  }
+
   /** Partition-iterator decode path — the batch shape a native decoder
     * (libjpeg/ffmpeg via JNI, or an Arrow-batched python worker) needs:
     * one initialization per partition, streaming over rows. */

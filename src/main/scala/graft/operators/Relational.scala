@@ -275,4 +275,40 @@ object Relational {
           r("sb", "sc", "sbb", "scc", "sbc").as("r")))).as("p"))
       .select(col("p.x_col"), col("p.y_col"), col("n"), col("p.r").as("r"))
   }
+
+  /** q128: GROUP-WISE least-squares fit — price-on-quantity OLS per
+    * customer market segment (does the price curve differ by
+    * segment?). The q108 exact-integer-moment pattern made
+    * per-group: one aggregation computes n, Σx, Σy, Σx², Σy², Σxy
+    * per segment as exact decimal-38 integer sums (the star join to
+    * reach the segment is q03's broadcast-dim shape), then slope /
+    * intercept / r² are scalar IEEE arithmetic on the 5 result rows.
+    * A regression per group costs map-side sums, not a per-group
+    * pass — the profiling shape that survives 10¹⁰ rows. */
+  def groupRegression(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("l_quantity")).cast("decimal(38,0)").as("x"),
+        round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("y"))
+    val g = base.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covn = n * d("sxy") - d("sx") * d("sy") // n²·cov
+    val varxn = n * d("sxx") - d("sx") * d("sx") // n²·var(x)
+    val varyn = n * d("syy") - d("sy") * d("sy")
+    val slope = covn / varxn
+    g.select(col("c_mktsegment"), col("n"),
+      round(slope, 4).as("slope_cents_per_unit"),
+      round((d("sy") - slope * d("sx")) / n, 4).as("intercept_cents"),
+      round(covn * covn / (varxn * varyn), 4).as("r2"))
+  }
 }

@@ -358,6 +358,55 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
+  /** q124: SQ8 compress-then-rerank ANN — the memory-bandwidth scale
+    * path production vector search actually runs: (1) every vector is
+    * scalar-quantized to int8 codes (`round(x·127)` — exact for these
+    * unit-ish embeddings, |x| < 1; a per-dim scale would make it a
+    * calibrated SQ8, same plan) so the APPROXIMATE scoring pass
+    * touches 8-bit codes, ~8× less memory traffic than the exact
+    * int64 micro-unit vectors; (2) the bounded [[graft.functions.TopKAgg]]
+    * keeps the top-`m` approximate candidates per query (k-buffer
+    * map-side, ≤ m rows per partition×query shuffled — q25's
+    * argument); (3) ONLY those m candidates re-join their exact
+    * vectors (shuffle-hash by id) for the exact integer-cosine
+    * re-rank to top-`k`. At 100 TB the exact vectors live in a
+    * separate store touched m/|corpus| of the time — the plan here
+    * has exactly that asymmetry. Output keeps both scores, so the
+    * gate also audits the quantization gap (approx vs exact cosine)
+    * per surviving neighbor. Both stages use the (score desc, id asc)
+    * total order; all dots are exact integer sums — both engines
+    * replay bit-for-bit. */
+  def sq8Rerank(s: SparkSession, dir: String, m: Int = 10, k: Int = 3): DataFrame = {
+    import graft.functions.TopK
+    val codes = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 127).cast("long")).as("c"))
+      .withColumn("cn2", org.apache.spark.sql.graft.LongArrayDot.column(col("c"), col("c")))
+    val codeQueries = broadcast(codes.filter(col("vec_id") < 5).toDF("query_id", "qc", "qcn2"))
+    val cands = codes.filter(col("vec_id") >= 5).toDF("neighbor_id", "cc", "ccn2")
+      .join(codeQueries, lit(true))
+      .withColumn("approx", cosineQ(col("qc"), col("cc"), col("qcn2"), col("ccn2")))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(m)(col("neighbor_id"), col("approx")).as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("approx_cosine"))
+    val exact = quantized(s, dir)
+    val exactQueries = broadcast(exact.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2"))
+    cands
+      .join(exact.toDF("neighbor_id", "v", "n2").hint("shuffle_hash"), "neighbor_id")
+      .join(exactQueries, "query_id")
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
+      .join(cands, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("approx_cosine"))
+  }
+
   /** q26: random-hyperplane LSH buckets — the ANN scale path.
     * Hyperplane p component i is a deterministic ±1 from the md5
     * parity family ([[planeSign]]); bucket = 8 sign bits, so at

@@ -45,24 +45,49 @@ object Sketch {
       .select(col("tok").as("token"), col("n"), col("est"))
   }
 
-  /** HLL max-rank registers over a (event_type, k) keyed frame —
-    * (event_type, reg, mreg). Registers are a max-lattice: sketches
+  /** HLL max-rank registers over a (group, k) keyed frame →
+    * (group..., reg, mreg). Registers are a max-lattice: sketches
     * built on ANY split of the data merge losslessly with a plain
     * `max` per register (proven in ApproxSpec), which is what lets
     * 1000 executors sketch independently and combine 256 longs each. */
-  private[graft] def hllRegisters(keyed: DataFrame): DataFrame = {
-    val h = keyed.select(col("event_type"), md5(col("k").cast("binary")).as("h"))
-      .select(col("event_type"),
+  private[graft] def hllRegistersBy(keyed: DataFrame, groups: String*): DataFrame = {
+    val gs = groups.map(col)
+    val h = keyed.select(gs :+ md5(col("k").cast("binary")).as("h"): _*)
+      .select(gs ++ Seq(
         conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
-        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("v"))
+        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("v")): _*)
     h.withColumn("rank",
         // v = 0 (all 32 window bits zero) has rank 33 per the HLL spec
         // (leading zeros + 1); probability ~2^-32, but the estimator
         // should not deviate from the spec even there
         when(col("v") === 0, lit(33L))
           .otherwise(lit(33L) - length(conv(col("v"), 10, 2)).cast("long")))
-      .groupBy(col("event_type"), col("reg"))
+      .groupBy(gs :+ col("reg"): _*)
       .agg(max(col("rank")).as("mreg"))
+  }
+
+  private[graft] def hllRegisters(keyed: DataFrame): DataFrame =
+    hllRegistersBy(keyed, "event_type")
+
+  /** The q92 estimator over a (group..., reg, mreg) register frame:
+    * integer harmonic sum Σ 2^(41−M) (every term an exact long —
+    * order-independent), one IEEE division, linear-counting fallback
+    * for the small range. `est_unrounded` is the estimate; the same
+    * literals appear in the oracle SQL. */
+  private def hllEstimate(regs: DataFrame, groups: String*): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m) // same IEEE literals as the oracle
+    regs.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_occupied"),
+        sum(expr("shiftleft(1L, cast(41 - mreg as int))")).as("s_occ"))
+      .withColumn("zeros", lit(m.toLong) - col("n_occupied"))
+      .withColumn("s_all", col("s_occ") + col("zeros") * lit(2199023255552L))
+      .withColumn("raw_est",
+        lit(alpha * m * m * 2199023255552.0) / col("s_all").cast("double"))
+      .withColumn("est_unrounded",
+        when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw_est")))
   }
 
   /** (event_type, k=user|day) keyed view of the events table. */
@@ -93,20 +118,8 @@ object Sketch {
     */
   def hllAudit(s: SparkSession, dir: String, m: Int = 256): DataFrame = {
     require(m == 256, "register split below is hardwired to 2 hex nibbles")
-    val alpha = 0.7213 / (1 + 1.079 / m) // same IEEE literals as the oracle
     val ev = dauKeyed(s, dir)
-    val regs = hllRegisters(ev)
-    val sums = regs.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_occupied"),
-        sum(expr("shiftleft(1L, cast(41 - mreg as int))")).as("s_occ"))
-      .withColumn("zeros", lit(m.toLong) - col("n_occupied"))
-      .withColumn("s_all", col("s_occ") + col("zeros") * lit(2199023255552L))
-      .withColumn("raw_est",
-        lit(alpha * m * m * 2199023255552.0) / col("s_all").cast("double"))
-      .withColumn("est_unrounded",
-        when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * m),
-          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
-          .otherwise(col("raw_est")))
+    val sums = hllEstimate(hllRegisters(ev), "event_type")
     val exact = ev
       .groupBy(col("event_type"))
       .agg(countDistinct(col("k")).as("n_exact"))
@@ -115,6 +128,60 @@ object Sketch {
         round(col("est_unrounded"), 4).as("est"),
         round(abs(col("est_unrounded") - col("n_exact")) / col("n_exact"), 4)
           .as("rel_err"))
+  }
+
+  /** q125: cross-source vocabulary overlap via HLL SET ALGEBRA — the
+    * pairwise |A∩B| audit a 100 TB corpus run wants for every source
+    * pair without ever joining token sets: per-source HLL registers
+    * (256 longs each, one map-side-combinable `max` agg over the
+    * token stream), pairwise UNION by register-wise max (exact under
+    * max-merge — the lattice property ApproxSpec proves), and
+    * intersection by inclusion–exclusion est(A)+est(B)−est(A∪B).
+    * Sketch state is |sources|·256 longs; the pair matrix costs
+    * |pairs|·256 rows of register arithmetic — independent of corpus
+    * size, vs the token-keyed self-join the exact audit side runs
+    * (bounded fanout: a token expands to its ≤|sources|² pairs, never
+    * doc × doc). I–E is the known high-variance intersection
+    * estimator — the audit column IS the point: the md5 sketch is
+    * deterministic, so the oracle replays the estimate and its error
+    * bit-for-bit.
+    *
+    * The pair enumeration joins the tiny distinct-source frame to the
+    * register frame twice on source equality (broadcast equi-joins) —
+    * never an OR-condition join (which would plan as a nested loop).
+    */
+  def hllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("k"))
+    val regs = hllRegistersBy(st, "source")
+    val single = hllEstimate(regs, "source")
+      .select(col("source"), col("est_unrounded"))
+    val pairs = single.toDF("source_a", "est_a").as("a")
+      .join(single.toDF("source_b", "est_b").as("b"),
+        col("source_a") < col("source_b"))
+    val regsA = broadcast(pairs.select(col("source_a"), col("source_b")))
+      .join(regs, col("source_a") === col("source"))
+    val regsB = broadcast(pairs.select(col("source_a"), col("source_b")))
+      .join(regs, col("source_b") === col("source"))
+    val unionRegs = regsA.unionByName(regsB)
+      .groupBy(col("source_a"), col("source_b"), col("reg"))
+      .agg(max(col("mreg")).as("mreg"))
+    val estU = hllEstimate(unionRegs, "source_a", "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("est_unrounded").as("est_u"))
+    val distinctTok = st.distinct()
+    val exact = distinctTok.toDF("source_a", "k")
+      .join(distinctTok.toDF("source_b", "k"), "k")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    pairs.join(estU, Seq("source_a", "source_b"))
+      .join(exact, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("n_exact"),
+        round(col("est_a"), 4).as("est_a"),
+        round(col("est_b"), 4).as("est_b"),
+        round(col("est_u"), 4).as("est_union"),
+        round(col("est_a") + col("est_b") - col("est_u"), 4).as("est_intersect"))
   }
 
   /** q107: self-join-size (F2) estimation from the count-min sketch —

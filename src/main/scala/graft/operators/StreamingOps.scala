@@ -573,6 +573,42 @@ object StreamingOps {
         when(col("mb") >= 1, 1).otherwise(0).as("evicted"))
   }
 
+  /** q123: STREAMING pivot under the oracle gate — the per-user
+    * event-type matrix (q43's batch pivot) maintained as Complete-mode
+    * streaming state. Structured Streaming does not support the
+    * two-pass `pivot()` API (the column-discovery pass would need the
+    * whole stream), so the pivot is the LITERAL-DRIVEN conditional
+    * aggregation — `sum(when(qualifier = X, 1))` per pinned column —
+    * which is exactly how a 100 TB deployment pivots anyway (the
+    * column set is a contract, not a data discovery). Counting is
+    * commutative/associative, so the final Complete-mode state is
+    * arrival-order independent and replays as q43's batch SQL
+    * (the q73 argument). State: one row of |types| counters per user,
+    * merged incrementally across micro-batches. */
+  def streamPivot(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q123", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val q = col("cells")(0)("qualifier")
+    val typeCounts = types.map(t => sum(when(q === t, 1L).otherwise(0L)).as(t))
+    val counts = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .groupBy(col("rowkey"))
+      .agg(typeCounts.head, typeCounts.tail: _*)
+    val query = counts.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .select(col("rowkey").cast("long").as("user_id") +:
+        types.map(t => col(t)): _*)
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode

@@ -64,4 +64,26 @@ class ApproxSpec extends SparkSpec {
     assert(merged == whole,
       s"merged registers diverge: ${merged.size} vs ${whole.size}")
   }
+
+  test("q125 HLL pair unions dominate their sides and the I-E intersection tracks exact") {
+    import graft.operators.Sketch
+    val rows = Sketch.hllOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (estA, estB, estU) =
+        (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+          r.getAs[Double]("est_union"))
+      // register-wise max only raises registers, and the estimator is
+      // monotone in them ⇒ union ≥ each side; subadditivity of the
+      // max-merge ⇒ union ≤ sum (both would break if the pair union
+      // ever merged the wrong registers)
+      assert(estU >= math.max(estA, estB) - 1e-9 && estU <= estA + estB + 1e-9,
+        s"${r.getAs[String]("source_a")}/${r.getAs[String]("source_b")}: " +
+          s"union $estU outside [max($estA,$estB), $estA+$estB]")
+      val rel = math.abs(r.getAs[Double]("est_intersect") -
+        r.getAs[Long]("n_exact")) / r.getAs[Long]("n_exact").toDouble
+      // observed ≤ 0.07 at m=256; 0.25 is the loose I-E variance bound
+      assert(rel < 0.25, s"I-E intersection off by ${rel * 100}%")
+    }
+  }
 }

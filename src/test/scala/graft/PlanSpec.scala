@@ -57,7 +57,11 @@ class PlanSpec extends SparkSpec {
         "q44" -> Events.firstLast(spark, sfDir),
         "q38" -> Similarity.ivfTopK(spark, sfDir),
         "q48" -> Dedup.canonicalDocs(spark, sfDir),
-        "q25" -> Similarity.annBruteForce(spark, sfDir))) {
+        "q25" -> Similarity.annBruteForce(spark, sfDir),
+        // both q124 top-k stages are the bounded TopKAgg, and the
+        // exact re-rank fetches vectors via shuffle-hash by id —
+        // a window formulation would sort every scored row
+        "q124" -> Similarity.sq8Rerank(spark, sfDir))) {
       assert(!plan(df).contains("Window"), s"$name uses a window sort")
     }
   }

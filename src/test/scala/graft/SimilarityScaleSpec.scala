@@ -88,4 +88,26 @@ class SimilarityScaleSpec extends SparkSpec {
       "bandChars=4 emitted a pair the 2-char banding does not contain")
     assert(p4.count() > 0, "bandChars=4 found no pairs at sf0.001")
   }
+
+  test("q124 SQ8: deeper re-rank lists are monotone — top-1 exact cosine never drops as m grows") {
+    def top1(m: Int): Map[Long, Double] =
+      Similarity.sq8Rerank(spark, sfDir, m = m).filter(col("rank") === 1)
+        .select("query_id", "cosine").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shallow = top1(3)
+    val deep = top1(50)
+    assert(shallow.keySet == deep.keySet)
+    for ((q, c) <- shallow)
+      assert(deep(q) >= c,
+        s"query $q: m=50 top-1 cosine ${deep(q)} < m=3 top-1 $c — deeper candidates lost a neighbor")
+  }
+
+  test("q124 SQ8: int8 quantization gap on surviving neighbors stays small") {
+    val maxGap = Similarity.sq8Rerank(spark, sfDir)
+      .agg(max(abs(col("cosine") - col("approx_cosine")))).head.getDouble(0)
+    // observed ≤ 0.007 on the 64-dim unit-ish corpus; 0.02 leaves
+    // slack without letting a broken code path (e.g. truncation
+    // instead of rounding) slip through
+    assert(maxGap < 0.02, s"SQ8 approx diverges from exact cosine by $maxGap")
+  }
 }
