@@ -140,6 +140,9 @@ object SparkEntry {
     "q126_incremental_agg"  -> ((s, d) => Incremental.incrementalAgg(s, d)),
     "q127_chunk_dedup"      -> ((s, d) => Multimodal.chunkDedup(s, d)),
     "q128_group_regression" -> (Relational.groupRegression _),
+    "q129_triangle_count"   -> (Dedup.triangleCount _),
+    "q130_k_anonymity"      -> ((s, d) => Privacy.kAnonymity(s, d)),
+    "q131_stream_hll"       -> (StreamingOps.streamHll _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1776,6 +1779,87 @@ object SparkEntry {
         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
+    // q129: degree-ordered triangle enumeration over q22's edges —
+    // each triangle counted once at its lowest-(deg,id) corner;
+    // wedge total from the degree frame alone.
+    "q129_triangle_count" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |e0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT d1 AS node FROM e0 UNION ALL SELECT d2 AS node FROM e0) u
+        | GROUP BY node),
+        |ow AS (SELECT
+        |  CASE WHEN (g1.deg, e0.d1) < (g2.deg, e0.d2)
+        |   THEN e0.d1 ELSE e0.d2 END AS s,
+        |  CASE WHEN (g1.deg, e0.d1) < (g2.deg, e0.d2)
+        |   THEN e0.d2 ELSE e0.d1 END AS t,
+        |  CASE WHEN (g1.deg, e0.d1) < (g2.deg, e0.d2)
+        |   THEN g2.deg ELSE g1.deg END AS td
+        | FROM e0 JOIN deg g1 ON e0.d1 = g1.node
+        |  JOIN deg g2 ON e0.d2 = g2.node),
+        |wg AS (SELECT e1.t AS v, e2.t AS w2 FROM ow e1 JOIN ow e2
+        | ON e1.s = e2.s AND (e1.td, e1.t) < (e2.td, e2.t)),
+        |tri AS (SELECT count(*) AS n_triangles FROM wg
+        | WHERE EXISTS (SELECT 1 FROM ow o WHERE o.s = wg.v AND o.t = wg.w2)),
+        |sz AS (SELECT count(*) AS n_nodes,
+        |  CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ec AS (SELECT count(*) AS n_edges FROM e0)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        | CASE WHEN n_wedges > 0
+        |  THEN round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 4)
+        |  END AS clustering
+        |FROM sz, ec, tri""".stripMargin,
+    // q130: equivalence classes on the (segment, nation) QIs, then a
+    // per-segment roll-up of classes/rows below the k=5 floor.
+    "q130_k_anonymity" ->
+      """WITH cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        | FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(*) AS n_classes,
+        | CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risk_classes,
+        | CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risk_rows,
+        | min(n) AS min_class_size,
+        | round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |   / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE), 4) AS risk_row_frac
+        |FROM cls GROUP BY c_mktsegment""".stripMargin,
+    // q131: q92's register pipeline keyed on the per-type distinct
+    // USER stream (k = user_id) — the streaming state is the
+    // registers; estimator + exact audit replayed batch-side.
+    "q131_stream_hll" ->
+      s"""WITH k AS (SELECT event_type, CAST(user_id AS VARCHAR) AS k
+        | FROM events),
+        |h AS (SELECT event_type, md5(k) AS h FROM k),
+        |rv AS (SELECT event_type,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS reg,
+        |  ${hexNibblesSql("h", 3, 8)} AS v
+        | FROM h),
+        |rk AS (SELECT event_type, reg,
+        |  CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rnk FROM rv),
+        |regs AS (SELECT event_type, reg, max(rnk) AS mreg
+        | FROM rk GROUP BY 1, 2),
+        |sums AS (SELECT event_type,
+        |  count(*) AS n_occupied,
+        |  CAST(sum(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS s_occ
+        | FROM regs GROUP BY event_type),
+        |est AS (SELECT event_type, n_occupied,
+        |  256 - n_occupied AS zeros,
+        |  (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |   / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) AS raw_est
+        | FROM sums),
+        |e2 AS (SELECT event_type, n_occupied,
+        |  CASE WHEN zeros > 0 AND raw_est <= 2.5 * 256
+        |   THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw_est END AS est_u
+        | FROM est),
+        |ex AS (SELECT event_type, count(DISTINCT k) AS n_exact
+        | FROM k GROUP BY event_type)
+        |SELECT e2.event_type, ex.n_exact, e2.n_occupied,
+        | round(est_u, 4) AS est,
+        | round(abs(est_u - n_exact) / n_exact, 4) AS rel_err
+        |FROM e2 JOIN ex USING (event_type)""".stripMargin,
     // q123: the streaming Complete-mode pivot's final state must equal
     // the batch pivot — same oracle as q43 by construction.
     "q123_stream_pivot" ->

@@ -141,6 +141,53 @@ object Dedup {
       .distinct()
   }
 
+  /** q129: triangle count + global clustering coefficient over the
+    * near-dup pair graph (q22's edges) — the cohesion audit that
+    * separates tight duplicate cliques (high clustering: every pair
+    * verified against every other) from chain-like banding artifacts
+    * (low clustering: A~B~C hits without A~C — transitive-merge risk
+    * for q59's components). Distributed shape is the classic
+    * degree-ordered enumeration: orient every edge toward its higher
+    * (deg, id) endpoint — out-degree is then O(√m) — so the wedge
+    * self-join on the source vertex is Σ d_out², and each triangle is
+    * counted exactly once, centered at its lowest-ordered corner.
+    * Every step an equi-join or agg (degree lookups shuffle-hash by
+    * id); never node × node. n_wedges is Σ C(deg,2) from the degree
+    * frame alone; clustering = 3·triangles / wedges. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleCountOf(minhashLsh(s, dir))
+
+  private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("d1").as("node"))
+      .union(edges.select(col("d2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.toDF("d1", "deg1").hint("shuffle_hash"), "d1")
+      .join(deg.toDF("d2", "deg2").hint("shuffle_hash"), "d2")
+    val lower = struct(col("deg1"), col("d1")) < struct(col("deg2"), col("d2"))
+    val oriented = withDeg.select(
+      when(lower, col("d1")).otherwise(col("d2")).as("s"),
+      when(lower, col("d2")).otherwise(col("d1")).as("t"),
+      when(lower, col("deg2")).otherwise(col("deg1")).as("td"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
+      .select(col("e1.t").as("v"), col("e2.t").as("w"))
+    val closed = wedges.join(
+        oriented.select(col("s").as("v"), col("t").as("w")).hint("shuffle_hash"),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val ecount = edges.agg(count(lit(1)).as("n_edges"))
+    // three single-row frames — the scalar cross-join-of-one pattern
+    sizes.crossJoin(ecount).crossJoin(closed)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges").cast("double"), 4))
+          .as("clustering"))
+  }
+
   /** q59: dedup cluster assignment — connected components over the
     * MinHash-LSH candidate pair graph (q22's edges), by iterative
     * min-label propagation: every vertex repeatedly adopts the

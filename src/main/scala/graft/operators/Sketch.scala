@@ -74,7 +74,7 @@ object Sketch {
     * order-independent), one IEEE division, linear-counting fallback
     * for the small range. `est_unrounded` is the estimate; the same
     * literals appear in the oracle SQL. */
-  private def hllEstimate(regs: DataFrame, groups: String*): DataFrame = {
+  private[graft] def hllEstimate(regs: DataFrame, groups: String*): DataFrame = {
     val m = 256
     val alpha = 0.7213 / (1 + 1.079 / m) // same IEEE literals as the oracle
     regs.groupBy(groups.map(col): _*)

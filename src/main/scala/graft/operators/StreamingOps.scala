@@ -609,6 +609,46 @@ object StreamingOps {
         types.map(t => col(t)): _*)
   }
 
+  /** q131: STREAMING distinct-count via HLL registers as the
+    * streaming state — per event type, the distinct-user cardinality
+    * maintained as 256 max-rank registers (q92's sketch) inside a
+    * Complete-mode streaming aggregation. THE bounded-state streaming
+    * cardinality story: exact streaming distinct would hold every
+    * seen key in the state store (unbounded at 100 TB); the register
+    * state is |types| × 256 longs forever, and register max is a
+    * commutative/associative lattice merge (ApproxSpec), so the
+    * final registers are arrival-order independent — SQL-replayable
+    * including the estimator's error (the q73 argument applied to a
+    * sketch). The estimate + exact audit run batch-side on the final
+    * 256-row-per-type register table. */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q131", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val keyed = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("cells")(0)("qualifier").as("event_type"),
+        col("rowkey").as("k"))
+    val regs = Sketch.hllRegistersBy(keyed, "event_type")
+    val query = regs.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val est = Sketch.hllEstimate(s.read.parquet(out), "event_type")
+    val exact = graft.Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_occupied"),
+        round(col("est_unrounded"), 4).as("est"),
+        round(abs(col("est_unrounded") - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"))
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode
