@@ -127,6 +127,42 @@ object ScaleProbe {
       println(f"""{"k":$k,"vecs":$nv,"band_cand_fixed":$candFixed,"band_cand_scaled":$candScaled,"band_scaled_sec":$tBandScaled%.2f,"ivf_vol_fixed":$volFixed,"ivf_vol_scaled":$volScaled,"ivf_scaled_sec":$tIvfScaled%.2f}""")
       emb.unpersist()
     }
+    // ---- incremental view maintenance (q126) ----
+    // Base grows k× (replica-disjoint users: user_id + r·10⁷ keeps
+    // the per-user grain intact); the DELTA stays FIXED (replica 0's
+    // post-cutoff tail). The full recompute must re-scan the whole
+    // k×-base every increment; the merge reads the persisted
+    // partial-agg snapshot + the fixed delta — the measured gap IS
+    // the IVM argument (at 100 TB "recompute" is the unaffordable
+    // axis; merge cost is pinned to |snapshot| + |delta|).
+    if (probeSel.contains("ivm")) {
+      import graft.operators.Incremental
+      val cutoff = Incremental.DefaultCutoffMicros
+      val baseEv = Tables.events(spark, sfDir)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      def expandEv(k: Int): DataFrame =
+        baseEv.select(col("ts"), col("user_id"), col("event_type"), col("value"),
+            explode(sequence(lit(0), lit(k - 1))).as("r"))
+          .select(col("ts"), (col("user_id") + col("r") * 10000000L).as("user_id"),
+            col("event_type"), col("value"), col("r"))
+      for (k <- Seq(1, 2, 4, 8)) {
+        val ev = expandEv(k).cache()
+        val n = ev.count()
+        val baseSide = ev.filter(col("r") > 0 || col("ts") < cutoff)
+        val delta = ev.filter(col("r") === 0 && col("ts") >= cutoff)
+        val snap = s"${sys.props("java.io.tmpdir")}/graft-probe-ivm-$k"
+        Incremental.partialAgg(baseSide).write.mode("overwrite").parquet(snap)
+        if (k == 1) { // warm codegen
+          time(Incremental.partialAgg(ev))
+          time(Incremental.mergeDelta(spark, snap, delta))
+        }
+        val tRecompute = time(Incremental.partialAgg(ev))
+        val tMerge = time(Incremental.mergeDelta(spark, snap, delta))
+        val nDelta = delta.count()
+        println(f"""{"k":$k,"events":$n,"delta":$nDelta,"recompute_sec":$tRecompute%.2f,"merge_sec":$tMerge%.2f}""")
+        ev.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -143,6 +143,8 @@ object SparkEntry {
     "q129_triangle_count"   -> (Dedup.triangleCount _),
     "q130_k_anonymity"      -> ((s, d) => Privacy.kAnonymity(s, d)),
     "q131_stream_hll"       -> (StreamingOps.streamHll _),
+    "q132_coherent_sample"  -> ((s, d) => Sampling.coherentSample(s, d)),
+    "q133_multi_signal_dedup" -> (Dedup.multiSignalDedup _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1779,6 +1781,89 @@ object SparkEntry {
         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
+    // q132: both sides filtered by the SAME md5 bucket of the join
+    // key — join of samples == sample of the join; integer-cent
+    // revenue so estimate AND sampling error replay exactly.
+    "q132_coherent_sample" ->
+      s"""WITH ko AS (SELECT o_orderkey FROM orders
+        | WHERE ${hex8Sql("concat('cs|', CAST(o_orderkey AS VARCHAR))")} % 16 = 0),
+        |kl AS (SELECT l_orderkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem
+        | WHERE ${hex8Sql("concat('cs|', CAST(l_orderkey AS VARCHAR))")} % 16 = 0),
+        |smp AS (SELECT count(DISTINCT o_orderkey) AS n_orders_sample,
+        |  count(*) AS n_items_sample,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_sample_cents
+        | FROM ko JOIN kl ON o_orderkey = l_orderkey),
+        |ex AS (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS revenue_exact_cents
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT n_orders_sample, n_items_sample, revenue_sample_cents,
+        | revenue_sample_cents * 16 AS revenue_est_cents,
+        | revenue_exact_cents,
+        | round(abs(revenue_sample_cents * 16 - revenue_exact_cents)
+        |   / CAST(revenue_exact_cents AS DOUBLE), 4) AS rel_err
+        |FROM smp, ex""".stripMargin,
+    // q133: q21 ∪ q22 ∪ q101 edges with provenance flags → recursive
+    // closure → per-cluster signal audit (each blocker's oracle CTEs
+    // reused verbatim; winnow's d/t renamed wd/t2 to avoid clashes).
+    "q133_multi_signal_dedup" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |jc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t),
+        |jac AS (SELECT d1, d2 FROM jc
+        |  JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(za.n + zb.n - common) >= 0.5),
+        |mh AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |wd AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |tr AS (SELECT doc_id, list_transform(range(1, len(ts) - 1),
+        |   i -> array_to_string(ts[i:i+2], ' ')) AS tri FROM wd),
+        |tr2 AS (SELECT doc_id, unnest(tri) AS t2,
+        |  generate_subscripts(tri, 1) AS pos FROM tr),
+        |th AS (SELECT doc_id, pos,
+        |  ${hex8Sql("concat('wn|', t2)")} AS h FROM tr2),
+        |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th
+        | GROUP BY doc_id),
+        |fp0 AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))) AS fps
+        | FROM hl WHERE len(hs) >= 4),
+        |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fp0),
+        |po AS (SELECT fp, count(*) AS df FROM fpe GROUP BY fp),
+        |wcand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        | FROM fpe a JOIN fpe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | JOIN po ON a.fp = po.fp WHERE po.df BETWEEN 2 AND 50),
+        |wn AS (SELECT d1, d2 FROM wcand GROUP BY d1, d2
+        | HAVING count(*) >= 2),
+        |edges AS (SELECT d1, d2, max(sj) AS sj, max(sm) AS sm,
+        |  max(sw) AS sw FROM (
+        |  SELECT d1, d2, 1 AS sj, 0 AS sm, 0 AS sw FROM jac
+        |  UNION ALL SELECT d1, d2, 0, 1, 0 FROM mh
+        |  UNION ALL SELECT d1, d2, 0, 0, 1 FROM wn) u GROUP BY 1, 2),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM edges
+        | UNION SELECT d2, d1 FROM edges),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |pe AS (SELECT comp.component, count(*) AS n_pairs,
+        |  CAST(sum(sj) AS BIGINT) AS n_jaccard,
+        |  CAST(sum(sm) AS BIGINT) AS n_minhash,
+        |  CAST(sum(sw) AS BIGINT) AS n_winnow,
+        |  CAST(sum(CASE WHEN sj + sm + sw >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_multi_signal
+        | FROM edges JOIN comp ON edges.d1 = comp.doc_id GROUP BY 1),
+        |nd AS (SELECT component, count(*) AS n_docs FROM comp
+        | GROUP BY component)
+        |SELECT nd.component, nd.n_docs, pe.n_pairs, pe.n_jaccard,
+        | pe.n_minhash, pe.n_winnow, pe.n_multi_signal
+        |FROM nd JOIN pe ON nd.component = pe.component""".stripMargin,
     // q129: degree-ordered triangle enumeration over q22's edges —
     // each triangle counted once at its lowest-(deg,id) corner;
     // wedge total from the degree frame alone.

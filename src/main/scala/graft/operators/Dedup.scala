@@ -614,6 +614,49 @@ object Dedup {
           .as("tokens_dropped"))
   }
 
+  /** q133: the PRODUCTION text near-dup run — q118's union argument
+    * applied to text: all three blockers (q21 AllPairs Jaccard ≥ 0.5,
+    * q22 MinHash band collisions, q101 winnowing shared passages)
+    * UNIONED into one provenance-flagged edge relation — each
+    * catches what the others miss (Jaccard: whole-doc overlap with
+    * 100% recall above threshold; MinHash: probabilistic whole-doc
+    * at lower cost; winnowing: shared PASSAGES in otherwise
+    * different docs) — then ONE component propagation and a
+    * per-cluster signal audit: how many edges each blocker
+    * contributed and how many pairs ≥ 2 blockers agree on (the
+    * high-confidence core a conservative curation run keeps).
+    * Shapes: three gated candidate plans unchanged, a union +
+    * max-flag hash agg on the pair key (one shuffle), the shared
+    * [[components]] propagation, two component-keyed aggs —
+    * never doc × doc, nothing re-banded twice. */
+  def multiSignalDedup(s: SparkSession, dir: String): DataFrame = {
+    val jac = ngramJaccard(s, dir).select(col("d1"), col("d2"),
+      lit(1L).as("sj"), lit(0L).as("sm"), lit(0L).as("sw"))
+    val mh = minhashLsh(s, dir).select(col("d1"), col("d2"),
+      lit(0L).as("sj"), lit(1L).as("sm"), lit(0L).as("sw"))
+    val wn = winnowPairs(s, dir).select(col("d1"), col("d2"),
+      lit(0L).as("sj"), lit(0L).as("sm"), lit(1L).as("sw"))
+    val edges = jac.unionByName(mh).unionByName(wn)
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("sj")).as("sj"), max(col("sm")).as("sm"),
+        max(col("sw")).as("sw"))
+    val comps = components(edges.select(col("d1"), col("d2")))
+    val perEdge = edges
+      .join(comps.toDF("d1", "component").hint("shuffle_hash"), "d1")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("sj")).as("n_jaccard"),
+        sum(col("sm")).as("n_minhash"),
+        sum(col("sw")).as("n_winnow"),
+        sum(when(col("sj") + col("sm") + col("sw") >= 2, 1L).otherwise(0L))
+          .as("n_multi_signal"))
+    comps.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+      .join(perEdge, "component")
+      .select(col("component"), col("n_docs"), col("n_pairs"),
+        col("n_jaccard"), col("n_minhash"), col("n_winnow"),
+        col("n_multi_signal"))
+  }
+
   /** q101: winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken —
     * the MOSS algorithm): each doc keeps the MIN trigram hash of
     * every w=4 consecutive-trigram window, giving position-robust

@@ -32,7 +32,7 @@ object Incremental {
   /** The partial aggregate both sides share: per (user_id, event_type)
     * event count + exact integer-cent revenue. Map-side combinable;
     * one shuffle of one row per (user, type). */
-  private def partialAgg(ev: DataFrame): DataFrame =
+  private[graft] def partialAgg(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))

@@ -19,6 +19,46 @@ object Sampling {
   def hashBucket(e: Column): Column =
     conv(substring(md5(e.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** q132: JOIN-CONSISTENT (coherent) sampling — both fact tables
+    * sampled by the SAME md5 bucket of the JOIN KEY, so the join of
+    * the samples IS an unbiased 1/`buckets` sample of the join
+    * (sampling each side independently by row would keep ~1/b² of
+    * the matches and bias toward nothing; keying both filters on
+    * hash(join key) keeps every match whose key survives). This is
+    * how a 100 TB planner estimates join aggregates without running
+    * the join: each side's filter is a narrow codegen predicate
+    * pushed below the join — the sampled join touches 1/b of each
+    * scan and of the shuffle. The scaled estimate lands next to the
+    * exact total (the audit side, one map-side-combinable agg per
+    * table) with everything in exact integer cents, so the estimate
+    * AND its sampling error replay on both engines. */
+  def coherentSample(s: SparkSession, dir: String,
+      buckets: Int = 16): DataFrame = {
+    def keep(key: Column) =
+      hashBucket(concat(lit("cs|"), key.cast("string"))) % buckets === 0
+    val o = Tables.orders(s, dir).filter(keep(col("o_orderkey")))
+      .select(col("o_orderkey"))
+    val l = Tables.lineitem(s, dir).filter(keep(col("l_orderkey")))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val sample = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders_sample"),
+        count(lit(1)).as("n_items_sample"),
+        sum(col("cents")).as("revenue_sample_cents"))
+    val exact = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("revenue_exact_cents"))
+    sample.crossJoin(exact) // two single-row frames
+      .select(col("n_orders_sample"), col("n_items_sample"),
+        col("revenue_sample_cents"),
+        (col("revenue_sample_cents") * buckets).as("revenue_est_cents"),
+        col("revenue_exact_cents"),
+        round(abs(col("revenue_sample_cents") * buckets - col("revenue_exact_cents"))
+          / col("revenue_exact_cents").cast("double"), 4).as("rel_err"))
+  }
+
   /** q54: Bernoulli sample at rate p keyed on doc_id — keep iff
     * bucket < p·2^32. */
   def hashSample(s: SparkSession, dir: String, p: Double = 0.1,
