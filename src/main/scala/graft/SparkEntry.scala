@@ -145,6 +145,8 @@ object SparkEntry {
     "q131_stream_hll"       -> (StreamingOps.streamHll _),
     "q132_coherent_sample"  -> ((s, d) => Sampling.coherentSample(s, d)),
     "q133_multi_signal_dedup" -> (Dedup.multiSignalDedup _),
+    "q134_resample_ffill"   -> ((s, d) => Events.resampleFfill(s, d)),
+    "q135_rolling_features" -> (Events.rollingFeatures _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1781,6 +1783,41 @@ object SparkEntry {
         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
+    // q134: grid rows (side 1) unioned with events (side 0), one
+    // last_value IGNORE NULLS pass per user — the q17/q62 as-of
+    // mirror; events at the exact grid instant are visible (side
+    // orders them first), max event_id wins time ties.
+    "q134_resample_ffill" ->
+      """WITH b AS (SELECT user_id, epoch_us(min(ts)) AS mn,
+        |  epoch_us(max(ts)) AS mx FROM events GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |  unnest(range(mn // 3600000000, mx // 3600000000 + 1)) AS hb
+        | FROM b),
+        |gg AS (SELECT user_id, hb * 3600000000 AS t, 1 AS side,
+        |  NULL::BIGINT AS eid, NULL::DOUBLE AS val FROM g),
+        |ev AS (SELECT user_id, epoch_us(ts) AS t, 0 AS side,
+        |  event_id AS eid, value AS val FROM events),
+        |u AS (SELECT * FROM gg UNION ALL SELECT * FROM ev),
+        |f AS (SELECT user_id, t, side,
+        |  last_value(val IGNORE NULLS) OVER w AS asof_value,
+        |  last_value(eid IGNORE NULLS) OVER w AS asof_event_id
+        | FROM u WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY t, side, eid
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, t AS grid_ts, asof_value, asof_event_id
+        |FROM f WHERE side = 1""".stripMargin,
+    // q135: per-(user, day) partials, then a RANGE-framed trailing
+    // 7-day window over the daily rows — integer sums throughout.
+    "q135_rolling_features" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_events, cents,
+        | CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d,
+        | CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+        |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     // q132: both sides filtered by the SAME md5 bucket of the join
     // key — join of samples == sample of the join; integer-cent
     // revenue so estimate AND sampling error replay exactly.

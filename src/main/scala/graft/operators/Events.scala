@@ -275,6 +275,55 @@ object Events {
         col("e.value"), col("e.ts"))
   }
 
+  /** q134: time-series RESAMPLE + forward-fill — each user's
+    * irregular event stream regularized onto an hourly grid with the
+    * last observation carried forward (the feature-generation /
+    * gap-fill step every downstream ML join wants a regular series
+    * for). Grid = one row per (user, hour) across the user's own
+    * [min, max] span (two-agg + sequence explode — never a window);
+    * the fill is the public [[AsOf.join]] composition (union + one
+    * ordered window pass per key, single shuffle) — NOT a per-grid-
+    * point lookup join, which would be |grid| point queries. Hours
+    * before the user's first event fill null (no fabricated data).
+    * Output size is |users|·span/step — a resample's output is
+    * bounded by the grid, not the event volume. */
+  def resampleFfill(s: SparkSession, dir: String,
+      stepMicros: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(expr(s"mn div $stepMicros"), expr(s"mx div $stepMicros")))
+          .as("hb"))
+      .select(col("user_id"), (col("hb") * stepMicros).as("grid_ts"))
+    AsOf.join(grid,
+      ev.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      key = "user_id", leftTime = "grid_ts", rightTime = "ts",
+      rightPayload = Seq("value", "event_id"),
+      rightTiebreak = Some("event_id"))
+  }
+
+  /** q135: rolling event-time features — per (user, day): the
+    * trailing-7-day event count and integer-cent revenue (the
+    * RFM-style training features a behavioral model joins on). The
+    * scale trick is PRE-AGGREGATION: events collapse to per-(user,
+    * day) partials first (map-side combinable, one shuffle), and the
+    * RANGE-framed window (rangeBetween −6..0 on the integer day)
+    * slides over ≤ |days| rows per user — never over raw events, so
+    * a 10⁹-event user costs the same window work as a 30-row one.
+    * All-integer sums ⇒ exact parity. */
+  def rollingFeatures(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr("ts div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("day"), col("n_events"), col("cents"),
+      sum(col("n_events")).over(w).as("n_events_7d"),
+      sum(col("cents")).over(w).as("cents_7d"))
+  }
+
   /** q68: per-user activity anomaly — z-score of each user's event
     * count against the population, assembled from distributive sums
     * (one pass over users, stats broadcast back; the streaming-ops
