@@ -147,6 +147,8 @@ object SparkEntry {
     "q133_multi_signal_dedup" -> (Dedup.multiSignalDedup _),
     "q134_resample_ffill"   -> ((s, d) => Events.resampleFfill(s, d)),
     "q135_rolling_features" -> (Events.rollingFeatures _),
+    "q136_table_profile"    -> (Relational.tableProfile _),
+    "q137_bloom_semi_join"  -> ((s, d) => Bucketing.bloomSemiJoin(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1783,6 +1785,73 @@ object SparkEntry {
         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
+    // q136: the profiling transpose (one UNION ALL per column ≙
+    // Spark's single-scan explode), grouped stats + q92's register
+    // pipeline per column; distinctness at integer-cent grain.
+    "q136_table_profile" -> {
+      def colSel(c: String) =
+        s"SELECT '$c' AS col0, CAST(round($c * 100) AS BIGINT) AS vc FROM lineitem"
+      s"""WITH en AS (${Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_linenumber").map(colSel).mkString("\n UNION ALL ")}),
+        |base AS (SELECT col0, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN vc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  min(vc) AS min_cents, max(vc) AS max_cents,
+        |  count(DISTINCT vc) AS n_distinct
+        | FROM en GROUP BY col0),
+        |h AS (SELECT col0, md5(CAST(vc AS VARCHAR)) AS h FROM en
+        | WHERE vc IS NOT NULL),
+        |rv AS (SELECT col0,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS reg,
+        |  ${hexNibblesSql("h", 3, 8)} AS v
+        | FROM h),
+        |rk AS (SELECT col0, reg,
+        |  CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rnk FROM rv),
+        |regs AS (SELECT col0, reg, max(rnk) AS mreg FROM rk GROUP BY 1, 2),
+        |sums AS (SELECT col0, count(*) AS n_occupied,
+        |  CAST(sum(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS s_occ
+        | FROM regs GROUP BY col0),
+        |est AS (SELECT col0,
+        |  CASE WHEN (256 - n_occupied) > 0 AND
+        |    (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |     / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) <= 2.5 * 256
+        |   THEN 256.0 * ln(256.0 / CAST(256 - n_occupied AS DOUBLE))
+        |   ELSE (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * 2199023255552.0
+        |     / CAST(s_occ + (256 - n_occupied) * 2199023255552 AS DOUBLE) END AS est_u
+        | FROM sums)
+        |SELECT base.col0 AS "column", n_rows, n_null, min_cents, max_cents,
+        | n_distinct, round(est_u, 4) AS distinct_est,
+        | round(abs(est_u - n_distinct) / CAST(n_distinct AS DOUBLE), 4) AS rel_err
+        |FROM base JOIN est ON base.col0 = est.col0""".stripMargin
+    },
+    // q137: md5 bloom bits of the urgent keys, probe rows pass iff
+    // all 3 bits set; result == the plain join (FPs die in the real
+    // join); audit counts the filter's pruning power.
+    "q137_bloom_semi_join" ->
+      s"""WITH u AS (SELECT o_orderkey FROM orders
+        | WHERE o_orderpriority = '1-URGENT'),
+        |bb AS (SELECT DISTINCT bit FROM (
+        | SELECT ${hex8Sql("concat('bj0|', CAST(o_orderkey AS VARCHAR))")} % 65536 AS bit FROM u
+        | UNION ALL
+        | SELECT ${hex8Sql("concat('bj1|', CAST(o_orderkey AS VARCHAR))")} % 65536 FROM u
+        | UNION ALL
+        | SELECT ${hex8Sql("concat('bj2|', CAST(o_orderkey AS VARCHAR))")} % 65536 FROM u) t),
+        |li AS (SELECT l_orderkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  ${hex8Sql("concat('bj0|', CAST(l_orderkey AS VARCHAR))")} % 65536 AS b0,
+        |  ${hex8Sql("concat('bj1|', CAST(l_orderkey AS VARCHAR))")} % 65536 AS b1,
+        |  ${hex8Sql("concat('bj2|', CAST(l_orderkey AS VARCHAR))")} % 65536 AS b2
+        | FROM lineitem),
+        |pass AS (SELECT l_orderkey, cents FROM li
+        | WHERE b0 IN (SELECT bit FROM bb) AND b1 IN (SELECT bit FROM bb)
+        |  AND b2 IN (SELECT bit FROM bb)),
+        |j AS (SELECT count(*) AS n_joined,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        | FROM pass JOIN u ON l_orderkey = o_orderkey),
+        |a AS (SELECT count(*) AS n_bloom_pass FROM pass)
+        |SELECT n_bloom_pass, n_joined, n_bloom_pass - n_joined AS n_false_pos,
+        | revenue_cents
+        |FROM j, a""".stripMargin,
     // q134: grid rows (side 1) unioned with events (side 0), one
     // last_value IGNORE NULLS pass per user — the q17/q62 as-of
     // mirror; events at the exact grid instant are visible (side

@@ -311,4 +311,44 @@ object Relational {
       round((d("sy") - slope * d("sx")) / n, 4).as("intercept_cents"),
       round(covn * covn / (varxn * varyn), 4).as("r2"))
   }
+
+  /** q136: one-pass TABLE PROFILE — the ANALYZE-style stats collection
+    * a cost-based optimizer (and every data-quality gate) runs per
+    * ingest: per numeric column, row/null counts, min/max, exact
+    * distinct count, and the HLL estimate a 100 TB run would keep
+    * INSTEAD of the exact one (the audit pairs them). ONE scan of the
+    * table: each row explodes to |columns| (column, value) entries —
+    * the classic profiling transpose — then one grouped aggregate +
+    * one register aggregate, both map-side combinable, keyed by
+    * column name (bounded groups). Values are profiled at integer-
+    * cent grain (round(v·100) as BIGINT): distinctness on a
+    * long-rendered key is engine-identical, where double→string
+    * formatting is not (Java vs DuckDB scientific-notation rules
+    * diverge) — the md5 registers replay exactly. */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber")
+    val entries = Tables.lineitem(s, dir)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          round(col(c) * 100).cast("long").as("vc"))): _*)).as("e"))
+      .select(col("e.column").as("column"), col("e.vc").as("vc"))
+    val base = entries.groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("vc").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("vc")).as("min_cents"),
+        max(col("vc")).as("max_cents"),
+        countDistinct(col("vc")).as("n_distinct"))
+    val regs = Sketch.hllRegistersBy(
+      entries.filter(col("vc").isNotNull)
+        .select(col("column"), col("vc").cast("string").as("k")),
+      "column")
+    val est = Sketch.hllEstimate(regs, "column")
+      .select(col("column"), col("est_unrounded"))
+    base.join(est, "column")
+      .select(col("column"), col("n_rows"), col("n_null"),
+        col("min_cents"), col("max_cents"), col("n_distinct"),
+        round(col("est_unrounded"), 4).as("distinct_est"),
+        round(abs(col("est_unrounded") - col("n_distinct"))
+          / col("n_distinct").cast("double"), 4).as("rel_err"))
+  }
 }
