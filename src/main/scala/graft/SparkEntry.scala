@@ -149,6 +149,8 @@ object SparkEntry {
     "q135_rolling_features" -> (Events.rollingFeatures _),
     "q136_table_profile"    -> (Relational.tableProfile _),
     "q137_bloom_semi_join"  -> ((s, d) => Bucketing.bloomSemiJoin(s, d)),
+    "q138_partition_pruning" -> ((s, d) => Bucketing.partitionPruning(s, d)),
+    "q139_zorder_audit"     -> (Bucketing.zOrderAudit _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1852,6 +1854,28 @@ object SparkEntry {
         |SELECT n_bloom_pass, n_joined, n_bloom_pass - n_joined AS n_false_pos,
         | revenue_cents
         |FROM j, a""".stripMargin,
+    // q138: layout must never change results — the oracle filters
+    // the raw table for the same day the partitioned read prunes to.
+    "q138_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE epoch_us(ts) // 86400000000 = 19739
+        |GROUP BY event_type""".stripMargin,
+    // q139: the same bit interleave as integer arithmetic; zone-map
+    // rows per 1024-cell z-file.
+    "q139_zorder_audit" -> {
+      val zSql = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT o_custkey % 256 AS xb,
+        |  (epoch_us(o_orderdate) // 86400000000) % 256 AS yb FROM orders),
+        |z AS (SELECT xb, yb, $zSql AS zv FROM b)
+        |SELECT zv >> 10 AS z_file, count(*) AS n_rows,
+        | min(xb) AS cust_min, max(xb) AS cust_max,
+        | min(yb) AS day_min, max(yb) AS day_max,
+        | (max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1) AS span_area
+        |FROM z GROUP BY 1""".stripMargin
+    },
     // q134: grid rows (side 1) unioned with events (side 0), one
     // last_value IGNORE NULLS pass per user — the q17/q62 as-of
     // mirror; events at the exact grid instant are visible (side

@@ -81,4 +81,59 @@ object Bucketing {
         (col("n_bloom_pass") - col("n_joined")).as("n_false_pos"),
         col("revenue_cents"))
   }
+
+  /** q138: PARTITIONED table layout + partition pruning — the other
+    * physical-layout lever next to q82's bucketing: events staged
+    * once as a day-partitioned parquet table (the universal 100 TB
+    * event-lake layout), then a one-day query reads ONLY that
+    * partition — the day predicate becomes a PartitionFilter (a
+    * directory listing decision; zero data files of other days are
+    * even opened — PlanSpec-pinned), vs the raw table where the same
+    * predicate is at best row-group stats pruning. The oracle
+    * replays the filter on the raw table: layout must never change
+    * results. */
+  def partitionPruning(s: SparkSession, dir: String,
+      day: Long = 19739L): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q138", dir)
+    Tables.events(s, dir)
+      .withColumn("day", expr("ts div 86400000000"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$stage/events_p")
+    s.read.parquet(s"$stage/events_p")
+      .filter(col("day") === day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  /** q139: Z-ORDER locality audit — multi-dimensional clustering for
+    * file skipping: interleaving the low 8 bits of (customer bucket,
+    * order day) into a z-value and splitting the z-range into 64
+    * "files" gives every file a SMALL min-max span in BOTH
+    * dimensions (~sqrt of the cells), so a filter on EITHER column
+    * skips most files; a linear (cust, day) sort spans the full day
+    * range in every customer run. The audit materializes exactly
+    * what a lake's zone maps would store — per z-file row counts and
+    * both dims' min/max — so the locality claim is checkable data,
+    * not prose. Bit interleave is integer arithmetic (shift/and/or)
+    * identical on both engines. */
+  def zOrderAudit(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("o_custkey") % 256).cast("long")
+    // timezone-free day number: datediff on the NTZ date — identical
+    // to the oracle's epoch_us // day on the naive parquet timestamp
+    val y = expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long") % 256
+    val z = (0 until 8).map { i =>
+      (shiftleft(shiftrightunsigned(x, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce((a, b) => a + b)
+    Tables.orders(s, dir)
+      .select(x.as("xb"), y.as("yb"), z.as("zv"))
+      .groupBy(shiftrightunsigned(col("zv"), 10).as("z_file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xb")).as("cust_min"), max(col("xb")).as("cust_max"),
+        min(col("yb")).as("day_min"), max(col("yb")).as("day_max"))
+      .select(col("z_file"), col("n_rows"),
+        col("cust_min"), col("cust_max"), col("day_min"), col("day_max"),
+        ((col("cust_max") - col("cust_min") + 1) *
+          (col("day_max") - col("day_min") + 1)).as("span_area"))
+  }
 }

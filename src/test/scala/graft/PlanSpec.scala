@@ -75,6 +75,17 @@ class PlanSpec extends SparkSpec {
       p.contains("LessThan(l_shipdate"), s"shipdate bounds not pushed:\n$p")
   }
 
+  test("q138 one-day query prunes PARTITIONS of the staged layout") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = Bucketing.partitionPruning(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the day predicate must be a PartitionFilter (directory-level
+    // pruning), not a post-scan Filter over every day's files
+    assert(p.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*day""".r.findFirstIn(p).isDefined,
+      s"day predicate did not become a partition filter:\n$p")
+  }
+
   test("star-schema joins broadcast the dimension side") {
     val p = plan(Relational.regionSales(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), "q04 lost its broadcast joins")
