@@ -151,6 +151,7 @@ object SparkEntry {
     "q137_bloom_semi_join"  -> ((s, d) => Bucketing.bloomSemiJoin(s, d)),
     "q138_partition_pruning" -> ((s, d) => Bucketing.partitionPruning(s, d)),
     "q139_zorder_audit"     -> (Bucketing.zOrderAudit _),
+    "q140_stream_upsert_view" -> (StreamingOps.streamUpsertView _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1854,6 +1855,12 @@ object SparkEntry {
         |SELECT n_bloom_pass, n_joined, n_bloom_pass - n_joined AS n_false_pos,
         | revenue_cents
         |FROM j, a""".stripMargin,
+    // q140: the upserted view's final state must equal the batch
+    // aggregate — q126's oracle (same grain, same integer cents).
+    "q140_stream_upsert_view" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // q138: layout must never change results — the oracle filters
     // the raw table for the same day the partitioned read prunes to.
     "q138_partition_pruning" ->

@@ -649,6 +649,59 @@ object StreamingOps {
           .as("rel_err"))
   }
 
+  /** q140: STREAMING MATERIALIZED VIEW via an UPDATE-mode UPSERT
+    * sink — the production shape of q126's IVM: the per-(user, type)
+    * aggregate runs as streaming state, and each micro-batch emits
+    * only the TOUCHED keys' new totals (update mode), which
+    * foreachBatch upserts into a keyed parquet view (read current →
+    * anti-join touched keys → union → atomic swap — the Delta/Hudi
+    * MERGE pattern without their jars). Contrast with q123/q131's
+    * Complete mode, which rewrites EVERY key every batch: at 100 TB
+    * the view has billions of keys and a batch touches thousands —
+    * update+upsert writes |touched|, not |keys|. Counting/summing
+    * is commutative, so the final view equals the batch aggregate
+    * (q126's oracle) regardless of batching — upsert latest-wins
+    * per key makes the sink idempotent per batch. */
+  def streamUpsertView(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q140", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val viewDir = s"$stage/view"; val tmpDir = s"$stage/view_tmp"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val totals = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").cast("long").as("user_id"),
+        col("cells")(0)("qualifier").as("event_type"),
+        round(col("cells")(0)("value").cast("double") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val query = totals.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        import java.nio.file.{Files, Paths}
+        val touched = df // update mode: only keys changed this batch
+        val merged =
+          if (Files.exists(Paths.get(viewDir))) {
+            val cur = s.read.parquet(viewDir)
+            cur.join(touched.select(col("user_id"), col("event_type")),
+                Seq("user_id", "event_type"), "left_anti")
+              .unionByName(touched)
+          } else touched
+        // write aside, then swap: the new view reads the old one
+        merged.write.mode("overwrite").parquet(tmpDir)
+        val v = Paths.get(viewDir)
+        if (Files.exists(v)) {
+          Files.walk(v).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.delete(p))
+        }
+        Files.move(Paths.get(tmpDir), v)
+        ()
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(viewDir)
+  }
+
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
     * (Trigger.AvailableNow) through the stateful materializer and
     * return each key's FINAL row state as scalar columns. Update mode
