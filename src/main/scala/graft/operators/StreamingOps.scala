@@ -684,7 +684,11 @@ object StreamingOps {
                 Seq("user_id", "event_type"), "left_anti")
               .unionByName(touched)
           } else touched
-        // write aside, then swap: the new view reads the old one
+        // write aside, then swap: the new view reads the old one.
+        // delete+move is NOT crash-atomic (a failure between them
+        // loses the view until the checkpoint replays the batch) —
+        // a real deployment swaps via a transactional table format
+        // or a catalog pointer; the upsert SHAPE is what's gated.
         merged.write.mode("overwrite").parquet(tmpDir)
         val v = Paths.get(viewDir)
         if (Files.exists(v)) {
