@@ -157,6 +157,23 @@ class PlanSpec extends SparkSpec {
     val nWindows = "Window".r.findAllIn(p117).length
     assert(!p117.contains("CartesianProduct"), "q117 has a cartesian product")
     assert(nWindows <= 4, s"q117 grew unexpected window sorts:\n$p117")
+    // q133: three blockers unioned — every candidate path stays an
+    // equi-join (a cartesian anywhere would be a corpus² plan)
+    val p133 = plan(Dedup.multiSignalDedup(spark, sfDir))
+    assert(!p133.contains("CartesianProduct") &&
+      !p133.contains("BroadcastNestedLoopJoin"), "q133 cross-joins the corpus")
+    // q136: the profiling transpose is one scan + aggs — no joins of
+    // corpus-derived frames beyond the bounded per-column stats join
+    val p136 = plan(Relational.tableProfile(spark, sfDir))
+    assert(!p136.contains("CartesianProduct") &&
+      !p136.contains("BroadcastNestedLoopJoin"), "q136 cross-joins")
+    // q134: the as-of fill must stay the single union+window plan —
+    // one Window pass, no per-grid-point join
+    val p134 = plan(Events.resampleFfill(spark, sfDir))
+    assert(!p134.contains("CartesianProduct") &&
+      !p134.contains("BroadcastNestedLoopJoin"), "q134 cross-joins")
+    assert("Window".r.findAllIn(p134).length <= 2,
+      s"q134 grew unexpected window passes:\n$p134")
   }
 
   test("q94 rank iterations keep the shuffle-hash join shape") {
