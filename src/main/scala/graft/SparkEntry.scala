@@ -152,6 +152,8 @@ object SparkEntry {
     "q138_partition_pruning" -> ((s, d) => Bucketing.partitionPruning(s, d)),
     "q139_zorder_audit"     -> (Bucketing.zOrderAudit _),
     "q140_stream_upsert_view" -> (StreamingOps.streamUpsertView _),
+    "q141_basket_pairs"     -> ((s, d) => Relational.basketPairs(s, d)),
+    "q142_session_paths"    -> (Events.sessionPaths _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1855,6 +1857,42 @@ object SparkEntry {
         |SELECT n_bloom_pass, n_joined, n_bloom_pass - n_joined AS n_false_pos,
         | revenue_cents
         |FROM j, a""".stripMargin,
+    // q141: bounded-basket pair counts + lift from exact integer
+    // frequencies; one IEEE lift expression on both engines.
+    "q141_basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey, count(*) AS f FROM i GROUP BY 1),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_pairs
+        | FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_pairs,
+        | round(CAST(n_pairs AS DOUBLE) * n_orders
+        |   / CAST(fa.f * fb.f AS DOUBLE), 4) AS lift
+        |FROM p JOIN f fa ON part_a = fa.l_partkey
+        | JOIN f fb ON part_b = fb.l_partkey, t""".stripMargin,
+    // q142: q63's session labels + two leads on the session window;
+    // |types|³-bounded output.
+    "q142_session_paths" ->
+      """WITH s1 AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, event_id, ts, event_type,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM s1),
+        |p AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER ws AS step2,
+        |  lead(event_type, 2) OVER ws AS step3
+        | FROM s2 WINDOW ws AS (PARTITION BY user_id, session_id
+        |   ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS n FROM p
+        |WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
     // q140: the upserted view's final state must equal the batch
     // aggregate — q126's oracle (same grain, same integer cents).
     "q140_stream_upsert_view" ->

@@ -223,6 +223,33 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
   }
 
+  /** q142: TOP USER JOURNEYS — ordered event-type trigram counts
+    * WITHIN sessions (the "top paths" report product analytics runs
+    * on every funnel): q63's session assignment labels each event,
+    * two lead()s on the (user, session) window extract each
+    * length-3 path, one hash agg counts them. Output is bounded by
+    * |types|³ (≤125 rows) at any corpus size; the only shuffles are
+    * the per-user window sort (q63's — shared by the session and
+    * lead windows, same key prefix) and the bounded count agg. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val labelled = Tables.events(s, dir)
+      .withColumn("prev_us", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    labelled
+      .withColumn("step2", lead(col("event_type"), 1).over(ws))
+      .withColumn("step3", lead(col("event_type"), 2).over(ws))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** q79: inter-event gap statistics per user — the arrival-cadence
     * profile (mean/min/max gap) an ops dashboard and the sessionizer
     * threshold tuning both consume. Gaps from lag() on the per-key

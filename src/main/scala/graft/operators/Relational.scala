@@ -312,6 +312,39 @@ object Relational {
       round(covn * covn / (varxn * varyn), 4).as("r2"))
   }
 
+  /** q141: MARKET-BASKET co-occurrence + lift — part pairs bought in
+    * the same order, with lift = P(a,b)/(P(a)·P(b)) flagging genuine
+    * association vs popularity (the item-item co-occurrence shape
+    * behind recommenders and assortment analytics). The scale
+    * argument is the bounded basket: the per-order self-join fans
+    * out C(k,2) per order where k is the basket size (≤ ~7 here, and
+    * capped in any real catalog), so candidate volume is
+    * Θ(orders·k²) — linear in orders, never parts². Frequencies and
+    * the order total are exact integer counts; lift is one IEEE
+    * expression both engines replay. Pairs below `minPairs` are cut
+    * (noise and output-size control — the support threshold every
+    * association miner has). */
+  def basketPairs(s: SparkSession, dir: String, minPairs: Long = 2L): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+    val total = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairs)
+    pairs
+      .join(freq.toDF("part_a", "fa").hint("shuffle_hash"), "part_a")
+      .join(freq.toDF("part_b", "fb").hint("shuffle_hash"), "part_b")
+      .crossJoin(total) // single-row scalar frame
+      .select(col("part_a"), col("part_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") * col("n_orders")
+          / (col("fa") * col("fb")).cast("double"), 4).as("lift"))
+  }
+
   /** q136: one-pass TABLE PROFILE — the ANALYZE-style stats collection
     * a cost-based optimizer (and every data-quality gate) runs per
     * ingest: per numeric column, row/null counts, min/max, exact
