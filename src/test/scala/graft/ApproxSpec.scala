@@ -86,4 +86,37 @@ class ApproxSpec extends SparkSpec {
       assert(rel < 0.25, s"I-E intersection off by ${rel * 100}%")
     }
   }
+
+  test("q136 per-column HLL distinct estimates stay within 10% of exact") {
+    import graft.operators.Relational
+    val rows = Relational.tableProfile(spark, sfDir).collect()
+    assert(rows.length == 4)
+    for (r <- rows)
+      assert(r.getAs[Double]("rel_err") < 0.10,
+        s"${r.getAs[String]("column")}: distinct estimate off by ${r.getAs[Double]("rel_err") * 100}%")
+  }
+
+  test("q132 coherent sampling: join of samples equals sample of the join") {
+    // the identity that makes key-hash sampling unbiased for join
+    // estimation: filtering BOTH sides by the same key bucket is the
+    // same relation as filtering the full join's key afterwards
+    import graft.operators.Sampling
+    import graft.Tables
+    def keep(key: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(concat(lit("cs|"), key.cast("string"))) % 16 === 0
+    val joinOfSamples = Tables.orders(spark, sfDir)
+      .filter(keep(col("o_orderkey"))).select(col("o_orderkey"))
+      .join(Tables.lineitem(spark, sfDir).filter(keep(col("l_orderkey")))
+        .select(col("l_orderkey"), col("l_linenumber")),
+        col("o_orderkey") === col("l_orderkey"))
+    val sampleOfJoin = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(keep(col("o_orderkey")))
+    assert(joinOfSamples.except(sampleOfJoin).isEmpty &&
+      sampleOfJoin.except(joinOfSamples).isEmpty,
+      "key-hash sampling broke the join-sample identity")
+    assert(joinOfSamples.count() > 0, "empty sample at sf0.001")
+  }
 }

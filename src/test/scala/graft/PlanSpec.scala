@@ -176,6 +176,25 @@ class PlanSpec extends SparkSpec {
       s"q134 grew unexpected window passes:\n$p134")
   }
 
+  test("q139 z-order files have tighter two-dim spans than a linear layout") {
+    // the locality CLAIM as data: with equal file counts, the z-order
+    // layout's summed span area must beat the linear (single-key)
+    // layout, whose every file spans the full secondary range
+    val zTotal = Bucketing.zOrderAudit(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("span_area")).head.getLong(0)
+    val zFiles = Bucketing.zOrderAudit(spark, sfDir).count()
+    import org.apache.spark.sql.functions._
+    val linear = graft.Tables.orders(spark, sfDir)
+      .select((col("o_custkey") % 256).as("xb"),
+        (expr("datediff(o_orderdate, DATE '1970-01-01')") % 256).as("yb"))
+      .groupBy((col("xb") / lit(256 / zFiles)).cast("long").as("f"))
+      .agg(((max(col("xb")) - min(col("xb")) + 1) *
+        (max(col("yb")) - min(col("yb")) + 1)).as("span_area"))
+      .agg(sum("span_area")).head.getLong(0)
+    assert(zTotal < linear,
+      s"z-order span area $zTotal not tighter than linear layout $linear")
+  }
+
   test("q94 rank iterations keep the shuffle-hash join shape") {
     // same rationale as q59: an SMJ would re-sort the adjacency list
     // every iteration; the hint must survive planning
