@@ -127,6 +127,30 @@ object ScaleProbe {
       println(f"""{"k":$k,"vecs":$nv,"band_cand_fixed":$candFixed,"band_cand_scaled":$candScaled,"band_scaled_sec":$tBandScaled%.2f,"ivf_vol_fixed":$volFixed,"ivf_vol_scaled":$volScaled,"ivf_scaled_sec":$tIvfScaled%.2f}""")
       emb.unpersist()
     }
+    // ---- market-basket pairs (q141) ----
+    // Replica-disjoint expansion of BOTH keys (orders and parts), so
+    // baskets replicate without cross-replica pairs: candidate volume
+    // and output must grow linearly — the bounded-basket Θ(orders·k²)
+    // claim, measured.
+    if (probeSel.contains("basket")) {
+      val items0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      def expandB(k: Int): DataFrame =
+        items0.select(col("l_orderkey"), col("l_partkey"),
+            explode(sequence(lit(0), lit(k - 1))).as("r"))
+          .select((col("l_orderkey") + col("r") * 1000000000L).as("l_orderkey"),
+            (col("l_partkey") + col("r") * 10000000L).as("l_partkey"))
+      for (k <- Seq(1, 2, 4, 8)) {
+        val items = expandB(k).cache()
+        val n = items.count()
+        if (k == 1) time(graft.operators.Relational.basketPairsOf(items, 2L))
+        val t = time(graft.operators.Relational.basketPairsOf(items, 2L))
+        val pairs = graft.operators.Relational.basketPairsOf(items, 2L).count()
+        println(f"""{"k":$k,"items":$n,"basket_sec":$t%.2f,"pairs":$pairs}""")
+        items.unpersist()
+      }
+    }
+
     // ---- incremental view maintenance (q126) ----
     // Base grows k× (replica-disjoint users: user_id + r·10⁷ keeps
     // the per-user grain intact); the DELTA stays FIXED (replica 0's

@@ -324,9 +324,14 @@ object Relational {
     * expression both engines replay. Pairs below `minPairs` are cut
     * (noise and output-size control — the support threshold every
     * association miner has). */
-  def basketPairs(s: SparkSession, dir: String, minPairs: Long = 2L): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+  def basketPairs(s: SparkSession, dir: String, minPairs: Long = 2L): DataFrame =
+    basketPairsOf(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct(), minPairs)
+
+  /** q141 core over an arbitrary distinct (l_orderkey, l_partkey)
+    * frame — shared with ScaleProbe so the probe measures exactly
+    * the gated plan on expanded corpora. */
+  private[graft] def basketPairsOf(items: DataFrame, minPairs: Long): DataFrame = {
     val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
     val total = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val pairs = items.as("a")
