@@ -71,6 +71,27 @@ object Bench {
         Seq(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
           max(col("mv")).as("mv"))))
       Map("x_skew_agg_plain" -> plain, "x_skew_agg_salted" -> salted)
+    } ++ {
+      // runtime-filter pair: q137's selective join WITH the bloom
+      // pre-filter vs the plain shuffle join on the IDENTICAL input —
+      // the measured value of pruning probe rows before the shuffle
+      import org.apache.spark.sql.functions._
+      def time(df: => org.apache.spark.sql.DataFrame): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        try { df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }
+      val urgent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val plain = time(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(urgent.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_joined"), sum(col("cents")).as("revenue_cents")))
+      val filtered = time(graft.operators.Bucketing.bloomSemiJoin(spark, sfDir))
+      Map("x_bloom_join_plain" -> plain, "x_bloom_join_filtered" -> filtered)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
