@@ -154,6 +154,7 @@ object SparkEntry {
     "q140_stream_upsert_view" -> (StreamingOps.streamUpsertView _),
     "q141_basket_pairs"     -> ((s, d) => Relational.basketPairs(s, d)),
     "q142_session_paths"    -> (Events.sessionPaths _),
+    "q143_bpe_merge_freq"   -> ((s, d) => TextAnalysis.bpeMergeFreq(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1857,6 +1858,16 @@ object SparkEntry {
         |SELECT n_bloom_pass, n_joined, n_bloom_pass - n_joined AS n_false_pos,
         | revenue_cents
         |FROM j, a""".stripMargin,
+    // q143: occurrence-weighted adjacent char pairs inside words —
+    // BPE's merge-candidate table; (n desc, pair) total order.
+    "q143_bpe_merge_freq" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+        | FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // q141: bounded-basket pair counts + lift from exact integer
     // frequencies; one IEEE lift expression on both engines.
     "q141_basket_pairs" ->

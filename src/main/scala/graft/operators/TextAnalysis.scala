@@ -141,6 +141,28 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** q143: BPE merge-pair frequencies — the first step of byte-pair-
+    * encoding TOKENIZER INDUCTION over the corpus: count every
+    * adjacent CHARACTER pair inside words (occurrence-weighted, as
+    * the BPE algorithm requires) and rank the merge candidates; the
+    * top pair is BPE's first merge rule. Shapes: one narrow explode
+    * per word (char pairs via substring over a sequence — codegen,
+    * no shuffle), one map-side-combinable count keyed by a ≤
+    * |alphabet|² pair space, and the bounded top-k is
+    * TakeOrderedAndProject over that constant-size aggregate (the
+    * q96 argument) — never a corpus sort. Iterating merges re-runs
+    * this with the learned pair collapsed; each round is the same
+    * plan. */
+  def bpeMergeFreq(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** q57: benchmark decontamination — flag corpus docs sharing 3-gram
     * shingles with a held-out probe set (docs 0-4 stand in for the
     * benchmark test set). The probe shingle set is tiny and broadcast;
