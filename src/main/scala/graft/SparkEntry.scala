@@ -155,6 +155,7 @@ object SparkEntry {
     "q141_basket_pairs"     -> ((s, d) => Relational.basketPairs(s, d)),
     "q142_session_paths"    -> (Events.sessionPaths _),
     "q143_bpe_merge_freq"   -> ((s, d) => TextAnalysis.bpeMergeFreq(s, d)),
+    "q144_dp_noise"         -> ((s, d) => Privacy.dpNoisyCounts(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1858,6 +1859,20 @@ object SparkEntry {
         |SELECT n_bloom_pass, n_joined, n_bloom_pass - n_joined AS n_false_pos,
         | revenue_cents
         |FROM j, a""".stripMargin,
+    // q144: q96's md5-uniform + the Laplace inverse CDF; 4-decimal
+    // rounding absorbs libm ln() ulp divergence.
+    "q144_dp_noise" ->
+      s"""WITH c AS (SELECT c_mktsegment, count(*) AS n FROM customer
+        | GROUP BY 1),
+        |u AS (SELECT c_mktsegment, n,
+        |  (CAST(${hex8Sql("concat('dp|', c_mktsegment)")} AS DOUBLE) + 0.5)
+        |    / 4294967296.0 - 0.5 AS cu
+        | FROM c)
+        |SELECT c_mktsegment, n,
+        | round(n + (-2.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS n_noisy,
+        | round((-2.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
+        | CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM u""".stripMargin,
     // q143: occurrence-weighted adjacent char pairs inside words —
     // BPE's merge-candidate table; (n desc, pair) total order.
     "q143_bpe_merge_freq" ->

@@ -47,4 +47,33 @@ object Privacy {
         col("n_risk_classes"), col("n_risk_rows"), col("min_class_size"),
         round(col("n_risk_rows") / col("n_rows").cast("double"), 4)
           .as("risk_row_frac"))
+
+  /** q144: DP-STYLE noisy-count release MECHANISM — per-segment
+    * counts with Laplace(Δ/ε) noise (sensitivity Δ=1 for counts) via
+    * inverse-CDF sampling: u ∈ (0,1) → noise = −(1/ε)·sign(u−½)·
+    * ln(1−2|u−½|). The uniform here is SEEDED (md5 of the group
+    * key — q96's proven cross-engine construction), which makes the
+    * mechanism testable and oracle-replayable but NOT differentially
+    * private: DP requires secret randomness, and a real release
+    * swaps in SecureRandom and drops the true-count audit column
+    * (which exists here exactly BECAUSE this gates the mechanism,
+    * not a release). Everything else — sensitivity-1 aggregation,
+    * the Laplace transform, post-processing rounding — is the real
+    * pipeline, one scan + one bounded agg. Residual parity risk:
+    * ln() libm ulp divergence absorbed by the 4-decimal rounding
+    * (the q96 note). */
+  def dpNoisyCounts(s: SparkSession, dir: String, epsilon: Double = 0.5,
+      salt: String = "dp"): DataFrame = {
+    val u = (Sampling.hashBucket(concat(lit(s"$salt|"), col("c_mktsegment")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val noise = lit(-1.0 / epsilon) * signum(col("cu")) *
+      log(lit(1.0) - lit(2.0) * abs(col("cu")))
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("cu", u - lit(0.5))
+      .select(col("c_mktsegment"), col("n"),
+        round(col("n") + noise, 4).as("n_noisy"),
+        round(noise, 4).as("noise"),
+        lit(epsilon).as("epsilon"))
+  }
 }

@@ -132,4 +132,26 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id", "byte_len", "content_sha")
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("dp noisy counts: Laplace mechanism is consistent, 1/eps-scaled, deterministic") {
+    def rows(eps: Double) = Privacy.dpNoisyCounts(spark, sfDir, epsilon = eps)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val e05 = rows(0.5)
+    // noisy = true + noise (post-processing consistency, up to rounding)
+    e05.values.foreach { case (n, noisy, noise) =>
+      assert(math.abs(noisy - (n + noise)) < 1e-9, s"$n $noisy $noise") }
+    // true counts preserved for the audit column
+    assert(e05.values.map(_._1).sum == Tables.customer(spark, sfDir).count())
+    // Laplace scale is 1/eps: same seeded uniform, so doubling eps
+    // exactly halves each noise draw (up to the 4-decimal rounding)
+    val e10 = rows(1.0)
+    e05.foreach { case (seg, (_, _, nz05)) =>
+      assert(math.abs(e10(seg)._3 - nz05 / 2.0) <= 1e-4 + 1e-9,
+        s"$seg: ${e10(seg)._3} vs ${nz05 / 2.0}") }
+    // noise is nonzero for at least one group (the mechanism is live)
+    assert(e05.values.exists(_._3 != 0.0))
+    // deterministic across invocations (seeded uniform)
+    assert(rows(0.5) == e05)
+  }
 }
