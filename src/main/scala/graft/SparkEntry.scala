@@ -156,6 +156,7 @@ object SparkEntry {
     "q142_session_paths"    -> (Events.sessionPaths _),
     "q143_bpe_merge_freq"   -> ((s, d) => TextAnalysis.bpeMergeFreq(s, d)),
     "q144_dp_noise"         -> ((s, d) => Privacy.dpNoisyCounts(s, d)),
+    "q145_l_diversity"      -> ((s, d) => Privacy.lDiversity(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1873,6 +1874,24 @@ object SparkEntry {
         | round((-2.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
         | CAST(0.5 AS DOUBLE) AS epsilon
         |FROM u""".stripMargin,
+    // q145: q130's QI classes, sensitive attribute = balance band;
+    // roll-up of classes below the l=3 distinct-value floor.
+    "q145_l_diversity" ->
+      """WITH cls AS (SELECT c_mktsegment, c_nationkey,
+        |  count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0)
+        |    AS BIGINT)) AS div,
+        |  count(*) AS n
+        | FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(*) AS n_classes,
+        | CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_low_div_classes,
+        | CAST(sum(CASE WHEN div < 3 THEN n ELSE 0 END) AS BIGINT)
+        |   AS n_low_div_rows,
+        | min(div) AS min_diversity,
+        | round(CAST(sum(CASE WHEN div < 3 THEN n ELSE 0 END) AS BIGINT)
+        |   / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE), 4) AS low_div_row_frac
+        |FROM cls GROUP BY c_mktsegment""".stripMargin,
     // q143: occurrence-weighted adjacent char pairs inside words —
     // BPE's merge-candidate table; (n desc, pair) total order.
     "q143_bpe_merge_freq" ->

@@ -48,6 +48,37 @@ object Privacy {
         round(col("n_risk_rows") / col("n_rows").cast("double"), 4)
           .as("risk_row_frac"))
 
+  /** q145: l-DIVERSITY audit over the same (segment, nation)
+    * quasi-identifier classes as q130 — the ATTRIBUTE-disclosure
+    * check k-anonymity misses: a class can hold ≥k rows yet leak the
+    * sensitive attribute if every member shares one value (homogeneity
+    * attack). Sensitive attribute = account-balance band
+    * (floor(acctbal/1000) — exact-multiple boundaries are
+    * double-exact at 2 decimals, so the band is cross-engine stable).
+    * Shape: one distinct-agg keyed on (QI, band) — Spark's two-phase
+    * partial distinct, state bounded by |classes|·|bands| — then a
+    * per-segment roll-up of classes/rows below the l floor. Output is
+    * |segments| rows at any corpus size; the report names the classes
+    * generalization must widen. */
+  def lDiversity(s: SparkSession, dir: String, l: Int = 3): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")
+          .as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(countDistinct(col("bal_band")).as("div"), count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        sum(when(col("div") < l, 1L).otherwise(0L)).as("n_low_div_classes"),
+        sum(when(col("div") < l, col("n")).otherwise(0L)).as("n_low_div_rows"),
+        min(col("div")).as("min_diversity"))
+      .select(col("c_mktsegment"), col("n_classes"), col("n_rows"),
+        col("n_low_div_classes"), col("n_low_div_rows"),
+        col("min_diversity"),
+        round(col("n_low_div_rows") / col("n_rows").cast("double"), 4)
+          .as("low_div_row_frac"))
+
   /** q144: DP-STYLE noisy-count release MECHANISM — per-segment
     * counts with Laplace(Δ/ε) noise (sensitivity Δ=1 for counts) via
     * inverse-CDF sampling: u ∈ (0,1) → noise = −(1/ε)·sign(u−½)·
