@@ -157,6 +157,7 @@ object SparkEntry {
     "q143_bpe_merge_freq"   -> ((s, d) => TextAnalysis.bpeMergeFreq(s, d)),
     "q144_dp_noise"         -> ((s, d) => Privacy.dpNoisyCounts(s, d)),
     "q145_l_diversity"      -> ((s, d) => Privacy.lDiversity(s, d)),
+    "q146_split_leakage"    -> ((s, d) => Pipeline.splitLeakage(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1874,6 +1875,29 @@ object SparkEntry {
         | round((-2.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
         | CAST(0.5 AS DOUBLE) AS epsilon
         |FROM u""".stripMargin,
+    // q146: q22's band pairs joined to deterministic 98/1/1 split
+    // assignment; off-diagonal (cross-split) rows are the leaks.
+    "q146_split_leakage" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ${hex8Sql("concat('sp|', CAST(doc_id AS VARCHAR))")} % 100 < 98
+        |    THEN 'train'
+        |   WHEN ${hex8Sql("concat('sp|', CAST(doc_id AS VARCHAR))")} % 100 = 98
+        |    THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT least(sa.split, sb.split) AS s1,
+        | greatest(sa.split, sb.split) AS s2,
+        | count(*) AS n_pairs,
+        | least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+        |   AS cross_split
+        |FROM p JOIN sp sa ON p.d1 = sa.doc_id
+        | JOIN sp sb ON p.d2 = sb.doc_id
+        |GROUP BY 1, 2, 4""".stripMargin,
     // q145: q130's QI classes, sensitive attribute = balance band;
     // roll-up of classes below the l=3 distinct-value floor.
     "q145_l_diversity" ->

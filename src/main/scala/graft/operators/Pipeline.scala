@@ -180,4 +180,34 @@ object Pipeline {
         round(first(col("thr_qual")), 4).as("threshold_quality"),
         sum(when(col("kept"), col("toks")).otherwise(0L)).as("n_tokens_kept"))
   }
+
+  /** q146: train/val/test SPLIT-LEAKAGE audit — the eval-contamination
+    * check q57/q88 (external benchmark decontamination) does NOT
+    * cover: near-duplicate pairs that straddle a split boundary leak
+    * training text into val/test, inflating eval scores. Splits are
+    * assigned deterministically (md5 bucket % 100 → 98/1/1), so the
+    * same doc always lands in the same split on any engine or
+    * cluster; leakage candidates are q22's MinHash-LSH band pairs —
+    * the bounded-bucket candidate path, never corpus². The report is
+    * the full (split, split) pair matrix (≤ 6 rows at any corpus
+    * size): off-diagonal rows (cross_split = true) are the leaks a
+    * pipeline must fix by moving whole near-dup CLUSTERS into one
+    * split (q59's components give the cluster ids). Cost on top of
+    * banding: two id-keyed shuffle-hash joins against the ~|docs|
+    * split frame + one tiny agg. */
+  def splitLeakage(s: SparkSession, dir: String, salt: String = "sp"): DataFrame = {
+    val bucket = Sampling.hashBucket(
+      concat(lit(s"$salt|"), col("doc_id").cast("string"))) % 100
+    val splits = Tables.documents(s, dir).select(col("doc_id"),
+      when(bucket < 98, "train").when(bucket === 98, "val")
+        .otherwise("test").as("split"))
+    Dedup.minhashLsh(s, dir)
+      .join(splits.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(splits.as("sb"), col("d2") === col("sb.doc_id"))
+      .select(least(col("sa.split"), col("sb.split")).as("s1"),
+        greatest(col("sa.split"), col("sb.split")).as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_split", col("s1") =!= col("s2"))
+  }
 }
