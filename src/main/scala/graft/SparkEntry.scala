@@ -158,6 +158,7 @@ object SparkEntry {
     "q144_dp_noise"         -> ((s, d) => Privacy.dpNoisyCounts(s, d)),
     "q145_l_diversity"      -> ((s, d) => Privacy.lDiversity(s, d)),
     "q146_split_leakage"    -> ((s, d) => Pipeline.splitLeakage(s, d)),
+    "q147_coherent_split"   -> ((s, d) => Pipeline.coherentSplitAudit(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1875,6 +1876,36 @@ object SparkEntry {
         | round((-2.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
         | CAST(0.5 AS DOUBLE) AS epsilon
         |FROM u""".stripMargin,
+    // q147: q146 re-run with the split keyed on the q59 component
+    // label (doc id for singletons) — off-diagonal structurally empty.
+    "q147_coherent_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM p UNION SELECT d2, d1 FROM p),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |sp AS (SELECT d.doc_id,
+        |  CASE WHEN ${hex8Sql(
+             "concat('sp|', CAST(coalesce(comp.component, d.doc_id) AS VARCHAR))")} % 100 < 98
+        |    THEN 'train'
+        |   WHEN ${hex8Sql(
+             "concat('sp|', CAST(coalesce(comp.component, d.doc_id) AS VARCHAR))")} % 100 = 98
+        |    THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
+        |SELECT least(sa.split, sb.split) AS s1,
+        | greatest(sa.split, sb.split) AS s2,
+        | count(*) AS n_pairs,
+        | least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+        |   AS cross_split
+        |FROM p JOIN sp sa ON p.d1 = sa.doc_id
+        | JOIN sp sb ON p.d2 = sb.doc_id
+        |GROUP BY 1, 2, 4""".stripMargin,
     // q146: q22's band pairs joined to deterministic 98/1/1 split
     // assignment; off-diagonal (cross-split) rows are the leaks.
     "q146_split_leakage" ->

@@ -154,4 +154,17 @@ class OperatorsSpec extends SparkSpec {
     // deterministic across invocations (seeded uniform)
     assert(rows(0.5) == e05)
   }
+
+  test("coherent split kills every cross-split leak without losing pairs") {
+    def matrix(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val leaky = matrix(Pipeline.splitLeakage(spark, sfDir))
+    val fixed = matrix(Pipeline.coherentSplitAudit(spark, sfDir))
+    // cluster-keyed assignment leaves no off-diagonal rows
+    fixed.foreach { case ((s1, s2), (_, cross)) =>
+      assert(s1 == s2 && !cross, s"leak survived: $s1 -> $s2") }
+    // same candidate pairs, just reassigned: totals match
+    assert(fixed.values.map(_._1).sum == leaky.values.map(_._1).sum)
+  }
 }
