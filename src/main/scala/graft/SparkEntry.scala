@@ -159,6 +159,7 @@ object SparkEntry {
     "q145_l_diversity"      -> ((s, d) => Privacy.lDiversity(s, d)),
     "q146_split_leakage"    -> ((s, d) => Pipeline.splitLeakage(s, d)),
     "q147_coherent_split"   -> ((s, d) => Pipeline.coherentSplitAudit(s, d)),
+    "q148_joinsize_sketch"  -> ((s, d) => Sketch.crossJoinSizeSketch(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1876,6 +1877,33 @@ object SparkEntry {
         | round((-2.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
         | CAST(0.5 AS DOUBLE) AS epsilon
         |FROM u""".stripMargin,
+    // q148: two CMS sketches over differently filtered lineitem
+    // views; est join size = min_r of the bucket inner product.
+    "q148_joinsize_sketch" ->
+      s"""WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |b AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        |  WHERE l_linestatus = 'O'),
+        |rr AS (SELECT unnest(range(4)) AS r),
+        |cma AS (SELECT rr.r,
+        |  ${hex8Sql("concat('xj', rr.r, '|', a.k)")} % 256 AS b,
+        |  count(*) AS ca FROM a, rr GROUP BY 1, 2),
+        |cmb AS (SELECT rr.r,
+        |  ${hex8Sql("concat('xj', rr.r, '|', b.k)")} % 256 AS b,
+        |  count(*) AS cb FROM b, rr GROUP BY 1, 2),
+        |ip AS (SELECT cma.r, CAST(sum(ca * cb) AS BIGINT) AS ip_r
+        | FROM cma JOIN cmb ON cma.r = cmb.r AND cma.b = cmb.b
+        | GROUP BY 1),
+        |est AS (SELECT CAST(min(ip_r) AS BIGINT) AS est_join_size FROM ip),
+        |ka AS (SELECT k, count(*) AS ca FROM a GROUP BY 1),
+        |kb AS (SELECT k, count(*) AS cb FROM b GROUP BY 1),
+        |ex AS (SELECT CAST(coalesce(sum(ka.ca * kb.cb), 0) AS BIGINT)
+        |  AS exact_join_size FROM ka JOIN kb ON ka.k = kb.k),
+        |na AS (SELECT count(*) AS n_rows_a FROM a),
+        |nb AS (SELECT count(*) AS n_rows_b FROM b)
+        |SELECT n_rows_a, n_rows_b, exact_join_size, est_join_size,
+        | est_join_size - exact_join_size AS overestimate
+        |FROM na, nb, ex, est""".stripMargin,
     // q147: q146 re-run with the split keyed on the q59 component
     // label (doc id for singletons) — off-diagonal structurally empty.
     "q147_coherent_split" ->

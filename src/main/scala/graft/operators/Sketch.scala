@@ -214,6 +214,57 @@ object Sketch {
         (col("est_f2") - col("exact_f2")).as("overestimate"))
   }
 
+  /** q148: CROSS-table join-size estimation from two count-min
+    * sketches — q107's estimator generalized to the planner's actual
+    * pre-join question: |A ⋈_k B| = Σ_k cA(k)·cB(k), estimated as
+    * est = min_r Σ_b cmsA[r][b]·cmsB[r][b] (the AMS inner product)
+    * from 2·d·w counters. The two sides here are differently
+    * FILTERED views of lineitem keyed on l_partkey — the self-join-
+    * with-different-predicates shape (parts both returned and
+    * open-status) whose output size a planner must bound before
+    * picking a strategy. Each sketch is one narrow scan + one
+    * bounded agg; the inner product is a d·w-row equi-join — cost
+    * independent of table size. Deterministic md5 buckets ⇒ the
+    * estimate AND its collision overestimate replay on the oracle.
+    * The single-row side frames combine via broadcast crossJoin
+    * (scalar frames, the q107 pattern).
+    *
+    * Accuracy: the AMS bound is overestimate ≤ ~nA·nB/w, and the
+    * default w=256 is sized for the GATE, not for production — at
+    * sf0.1 (200k×300k rows) collisions dominate (observed 233.7M ≈
+    * nA·nB/256 = 234.3M, oracle-replayed exactly). At 100 TB you
+    * size w ≈ nA·nB/(target absolute error): still constant-size
+    * state, just a bigger constant — the knob is this parameter. */
+  def crossJoinSizeSketch(s: SparkSession, dir: String, rows: Int = 4,
+      buckets: Int = 256): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").cast("string").as("k"))
+    val b = li.filter(col("l_linestatus") === "O")
+      .select(col("l_partkey").cast("string").as("k"))
+    def cms(keys: DataFrame, cnt: String) = keys
+      .select(explode(array((0 until rows).map { r =>
+        struct(lit(r).as("r"),
+          (Sampling.hashBucket(concat(lit(s"xj$r|"), col("k"))) % buckets)
+            .as("b"))
+      }: _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as(cnt))
+    val est = cms(a, "ca").join(cms(b, "cb"), Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip_r"))
+      .agg(min(col("ip_r")).as("est_join_size"))
+    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+        .as("exact_join_size"))
+    val na = a.agg(count(lit(1)).as("n_rows_a"))
+    val nb = b.agg(count(lit(1)).as("n_rows_b"))
+    na.crossJoin(nb).crossJoin(exact).crossJoin(est)
+      .select(col("n_rows_a"), col("n_rows_b"), col("exact_join_size"),
+        col("est_join_size"),
+        (col("est_join_size") - col("exact_join_size")).as("overestimate"))
+  }
+
   /** q97: histogram quantile sketch + exact refine — p50/p90/p99 of
     * lineitem prices from a fixed-width bin histogram, then the exact
     * value by rank-selecting WITHIN the one bin that holds each rank.
