@@ -160,6 +160,7 @@ object SparkEntry {
     "q146_split_leakage"    -> ((s, d) => Pipeline.splitLeakage(s, d)),
     "q147_coherent_split"   -> ((s, d) => Pipeline.coherentSplitAudit(s, d)),
     "q148_joinsize_sketch"  -> ((s, d) => Sketch.crossJoinSizeSketch(s, d)),
+    "q149_split_manifest"   -> ((s, d) => Pipeline.splitManifest(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1877,6 +1878,35 @@ object SparkEntry {
         | round((-2.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
         | CAST(0.5 AS DOUBLE) AS epsilon
         |FROM u""".stripMargin,
+    // q149: per-split doc/token counts under the q147 cluster-keyed
+    // assignment — the 98/1/1 balance audit.
+    "q149_split_manifest" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM p UNION SELECT d2, d1 FROM p),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |sp AS (SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+        |  CASE WHEN ${hex8Sql(
+             "concat('sp|', CAST(coalesce(comp.component, d.doc_id) AS VARCHAR))")} % 100 < 98
+        |    THEN 'train'
+        |   WHEN ${hex8Sql(
+             "concat('sp|', CAST(coalesce(comp.component, d.doc_id) AS VARCHAR))")} % 100 = 98
+        |    THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id),
+        |ag AS (SELECT split, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens FROM sp GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM ag)
+        |SELECT split, n_docs, n_tokens,
+        | round(n_docs / CAST(total AS DOUBLE), 4) AS doc_frac
+        |FROM ag, tt""".stripMargin,
     // q148: two CMS sketches over differently filtered lineitem
     // views; est join size = min_r of the bucket inner product.
     "q148_joinsize_sketch" ->

@@ -224,6 +224,36 @@ object Pipeline {
     * one left join to attach labels. Split sizes stay ~98/1/1
     * because clusters are small relative to the corpus (q74's
     * histogram is the check). */
+  /** q149: the split MANIFEST under cluster-coherent assignment —
+    * per-split doc/token counts and realized fractions, the balance
+    * audit run after q147's fix: keying splits on cluster labels
+    * must NOT skew the 98/1/1 budget (clusters are small relative
+    * to the corpus — if one split inherited a giant cluster the
+    * realized fraction would drift, and this report is where it
+    * shows). One components pass + one left join + one
+    * map-side-combinable agg; 3 output rows at any corpus size. */
+  def splitManifest(s: SparkSession, dir: String,
+      salt: String = "sp"): DataFrame = {
+    val comp = Dedup.components(Dedup.minhashLsh(s, dir))
+    val skey = coalesce(col("component"), col("doc_id"))
+    val bucket = Sampling.hashBucket(
+      concat(lit(s"$salt|"), skey.cast("string"))) % 100
+    val bySplit = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("toks"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(when(bucket < 98, "train").when(bucket === 98, "val")
+          .otherwise("test").as("split"),
+        col("toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    // total from the ≤3-row agg itself: scalar broadcast, no re-scan
+    val total = bySplit.agg(sum(col("n_docs")).as("total"))
+    bySplit.crossJoin(total)
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("total").cast("double"), 4).as("doc_frac"))
+  }
+
   def coherentSplitAudit(s: SparkSession, dir: String,
       salt: String = "sp"): DataFrame = {
     val pairs = Dedup.minhashLsh(s, dir)

@@ -19,9 +19,11 @@ class PlanSpec extends SparkSpec {
         "q24" -> Similarity.embedNearDup(spark, sfDir),
         "q47" -> Dedup.nameMatch(spark, sfDir),
         "q64" -> Events.valueBands(spark, sfDir),
-        // (q46/q58/q68/q85 are excluded: their one-row scalar
+        // (q46/q58/q68/q85/q148 are excluded: their one-row scalar
         // aggregate broadcast is the documented cross-join-of-one
         // pattern, not a corpus cross product)
+        "q146" -> Pipeline.splitLeakage(spark, sfDir),
+        "q147" -> Pipeline.coherentSplitAudit(spark, sfDir),
         "q57" -> TextAnalysis.decontaminate(spark, sfDir),
         "q88" -> TextAnalysis.bloomDecontaminate(spark, sfDir),
         "q65" -> Pipeline.curate(spark, sfDir))) {
