@@ -161,6 +161,7 @@ object SparkEntry {
     "q147_coherent_split"   -> ((s, d) => Pipeline.coherentSplitAudit(s, d)),
     "q148_joinsize_sketch"  -> ((s, d) => Sketch.crossJoinSizeSketch(s, d)),
     "q149_split_manifest"   -> ((s, d) => Pipeline.splitManifest(s, d)),
+    "q150_snapshot_diff"    -> ((s, d) => Incremental.snapshotDiff(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1964,6 +1965,34 @@ object SparkEntry {
         |FROM p JOIN sp sa ON p.d1 = sa.doc_id
         | JOIN sp sb ON p.d2 = sb.doc_id
         |GROUP BY 1, 2, 4""".stripMargin,
+    // q150: snapshot diff — full outer join on doc_id between the two
+    // deterministically derived corpus versions, digest compare,
+    // per-source status roll-up.
+    "q150_snapshot_diff" ->
+      """WITH oldd AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 1 THEN concat('draft: ', text)
+        |       ELSE text END AS text
+        | FROM documents WHERE doc_id % 11 <> 0),
+        |newd AS (SELECT doc_id, source, text FROM documents
+        | WHERE doc_id % 13 <> 0),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(length(n.text), 0) - coalesce(length(o.text), 0) AS delta
+        | FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        | CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_added,
+        | CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_removed,
+        | CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_changed,
+        | CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_unchanged,
+        | CAST(sum(delta) AS BIGINT) AS char_delta
+        |FROM j GROUP BY source""".stripMargin,
     // q146: q22's band pairs joined to deterministic 98/1/1 split
     // assignment; off-diagonal (cross-split) rows are the leaks.
     "q146_split_leakage" ->

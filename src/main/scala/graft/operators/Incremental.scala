@@ -72,4 +72,59 @@ object Incremental {
     mergeDelta(s, snap,
       Tables.eventsTsBounded(s, dir, minMicros = Some(cutoffMicros)))
   }
+
+  /** Corpus SNAPSHOT DIFF core — the data-versioning report run
+    * between two catalog versions of the same document table (what
+    * changed since the last training run, and is the delta small
+    * enough for the incremental paths q105/q111/q126 instead of a
+    * rebuild?). One full-outer shuffle-hash equi-join on doc_id —
+    * id-keyed and uniform, never corpus² — comparing 16-byte content
+    * digests (at 100 TB you diff digests, never text), then one
+    * map-side-combinable per-source roll-up. Output is |sources|
+    * rows at any corpus size.
+    *
+    * Both inputs just need (doc_id, source, text). */
+  def snapshotDiffOf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id").as("o_id"), col("source").as("o_src"),
+      md5(col("text").cast("binary")).as("o_h"),
+      length(col("text")).cast("long").as("o_len"))
+    val n = newDocs.select(col("doc_id").as("n_id"), col("source").as("n_src"),
+      md5(col("text").cast("binary")).as("n_h"),
+      length(col("text")).cast("long").as("n_len"))
+    val status = when(col("o_id").isNull, "added")
+      .when(col("n_id").isNull, "removed")
+      .when(col("o_h") =!= col("n_h"), "changed")
+      .otherwise("unchanged")
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("n_src"), col("o_src")).as("source"),
+        status.as("status"),
+        (coalesce(col("n_len"), lit(0L)) - coalesce(col("o_len"), lit(0L)))
+          .as("delta"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("delta")).as("char_delta"))
+  }
+
+  /** q150: [[snapshotDiffOf]] under the oracle gate. The two corpus
+    * versions are derived deterministically from the one documents
+    * table (the stand-in for two persisted catalog snapshots — the
+    * diff JOIN is what's gated, exactly as q105's parity split
+    * stands in for its persisted base): version A drops doc_id%11==0
+    * (those become "added"), carries a draft-prefixed revision for
+    * doc_id%5==1 (those become "changed"); version B drops
+    * doc_id%13==0 (those become "removed"). All four statuses are
+    * live at every SF. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val oldV = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 1,
+        concat(lit("draft: "), col("text"))).otherwise(col("text")))
+    val newV = docs.filter(col("doc_id") % 13 =!= 0)
+    snapshotDiffOf(oldV, newV)
+  }
 }
