@@ -162,6 +162,7 @@ object SparkEntry {
     "q148_joinsize_sketch"  -> ((s, d) => Sketch.crossJoinSizeSketch(s, d)),
     "q149_split_manifest"   -> ((s, d) => Pipeline.splitManifest(s, d)),
     "q150_snapshot_diff"    -> ((s, d) => Incremental.snapshotDiff(s, d)),
+    "q151_range_buckets"    -> ((s, d) => Bucketing.rangeBuckets(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1993,6 +1994,29 @@ object SparkEntry {
         |   AS n_unchanged,
         | CAST(sum(delta) AS BIGINT) AS char_delta
         |FROM j GROUP BY source""".stripMargin,
+    // q151: histogram-estimated equal-frequency range boundaries +
+    // array-comparison bucket assignment + balance report.
+    "q151_range_buckets" ->
+      """WITH h AS (SELECT n_chars // 32 AS bin, count(*) AS cnt
+        | FROM documents GROUP BY 1),
+        |cum AS (SELECT bin, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |ks AS (SELECT unnest(range(1, 8)) AS k),
+        |bd AS (SELECT (bin + 1) * 32 AS boundary
+        | FROM ks, t, cum
+        | WHERE cum * 8 >= k * n AND (cum - cnt) * 8 < k * n),
+        |bl AS (SELECT list_sort(list(boundary)) AS bds FROM bd),
+        |asg AS (SELECT d.n_chars,
+        |  CAST(len(list_filter(bl.bds, b -> d.n_chars >= b)) AS BIGINT)
+        |    AS bucket
+        | FROM documents d, bl),
+        |ag AS (SELECT bucket, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        | FROM asg GROUP BY 1)
+        |SELECT bucket, n_docs, min_chars, max_chars,
+        | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
+        |FROM ag, t""".stripMargin,
     // q146: q22's band pairs joined to deterministic 98/1/1 split
     // assignment; off-diagonal (cross-split) rows are the leaks.
     "q146_split_leakage" ->
