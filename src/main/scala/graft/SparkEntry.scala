@@ -163,7 +163,26 @@ object SparkEntry {
     "q149_split_manifest"   -> ((s, d) => Pipeline.splitManifest(s, d)),
     "q150_snapshot_diff"    -> ((s, d) => Incremental.snapshotDiff(s, d)),
     "q151_range_buckets"    -> ((s, d) => Bucketing.rangeBuckets(s, d)),
+    "q152_fk_integrity"     -> ((s, d) => Relational.fkIntegrity(s, d)),
   )
+
+  /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
+  private def fkEdgeSql(name: String, childTable: String, childKey: String,
+      parentTable: String, parentKey: String): String =
+    s"""SELECT '$name' AS fk,
+      | CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_child_rows,
+      | CAST(count(c.ck) AS BIGINT) AS n_child_keys,
+      | CAST(coalesce(sum(CASE WHEN p.pk IS NULL THEN c.n END), 0) AS BIGINT)
+      |   AS n_orphan_rows,
+      | CAST(count(CASE WHEN p.pk IS NULL THEN c.ck END) AS BIGINT)
+      |   AS n_orphan_keys,
+      | CAST(count(p.pk) AS BIGINT) AS n_parents,
+      | CAST(count(CASE WHEN c.ck IS NULL THEN p.pk END) AS BIGINT)
+      |   AS n_unreferenced
+      |FROM (SELECT $childKey AS ck, count(*) AS n FROM $childTable
+      |   GROUP BY 1) c
+      | FULL OUTER JOIN (SELECT $parentKey AS pk FROM $parentTable) p
+      |  ON c.ck = p.pk""".stripMargin
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val shinglesCte =
@@ -2017,6 +2036,24 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q152: one audit row per FK edge of the star schema.
+    "q152_fk_integrity" -> Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .map { case (n, ct, ck, pt, pk) => fkEdgeSql(n, ct, ck, pt, pk) }
+      .mkString("\nUNION ALL\n"),
     // q146: q22's band pairs joined to deterministic 98/1/1 split
     // assignment; off-diagonal (cross-split) rows are the leaks.
     "q146_split_leakage" ->

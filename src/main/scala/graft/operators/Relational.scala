@@ -389,4 +389,60 @@ object Relational {
         round(abs(col("est_unrounded") - col("n_distinct"))
           / col("n_distinct").cast("double"), 4).as("rel_err"))
   }
+
+  /** One FK edge of [[fkIntegrity]]: distinct child keys with row
+    * counts (map-side combinable) full-outer joined to the parent key
+    * set — ONE key-partitioned shuffle per edge, never a row-level
+    * join — rolled up to a single audit row. Parent keys are assumed
+    * unique (primary keys); `count(col)` counts non-nulls on both
+    * engines. */
+  private def fkEdge(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.groupBy(col(childKey).as("ck")).agg(count(lit(1)).as("n"))
+      .join(parent.select(col(parentKey).as("pk")),
+        col("ck") === col("pk"), "full_outer")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_child_rows"),
+        count(col("ck")).as("n_child_keys"),
+        coalesce(sum(when(col("pk").isNull, col("n"))), lit(0L))
+          .as("n_orphan_rows"),
+        count(when(col("pk").isNull, col("ck"))).as("n_orphan_keys"),
+        count(col("pk")).as("n_parents"),
+        count(when(col("ck").isNull, col("pk"))).as("n_unreferenced"))
+      .select(lit(name).as("fk"), col("n_child_rows"), col("n_child_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"), col("n_parents"),
+        col("n_unreferenced"))
+
+  /** q152: REFERENTIAL-INTEGRITY audit over every FK edge of the star
+    * schema — the data-quality gate a pipeline runs per ingest before
+    * trusting its joins: orphan child rows silently VANISH from inner
+    * joins (so a revenue number can be wrong without any query
+    * failing), and unreferenced parents measure dimension bloat. One
+    * audit row per edge: child rows/keys, orphan rows/keys (child key
+    * missing from parent), parent count, unreferenced parents. Each
+    * edge is independent — one distinct-agg + one key-keyed
+    * full-outer join (both scans pruned to the key column) — so at
+    * 100 TB the edges run in parallel and the widest table is scanned
+    * once per edge it appears in. A clean corpus (this one) reports
+    * zeros in the orphan columns — the audit PROVING that is the
+    * product; unreferenced parents are live (customers without
+    * orders, parts never ordered at small SF). */
+  def fkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      fkEdge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      fkEdge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      fkEdge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      fkEdge("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      fkEdge("customer.c_nationkey->nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      fkEdge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
+        "s_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      fkEdge("nation.n_regionkey->region", Tables.nation(s, dir),
+        "n_regionkey", Tables.region(s, dir), "r_regionkey")
+    ).reduce(_ unionByName _)
+  }
 }
