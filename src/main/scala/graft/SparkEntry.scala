@@ -164,6 +164,7 @@ object SparkEntry {
     "q150_snapshot_diff"    -> ((s, d) => Incremental.snapshotDiff(s, d)),
     "q151_range_buckets"    -> ((s, d) => Bucketing.rangeBuckets(s, d)),
     "q152_fk_integrity"     -> ((s, d) => Relational.fkIntegrity(s, d)),
+    "q153_lsh_recall"       -> ((s, d) => Dedup.lshRecallAudit(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2036,6 +2037,30 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q153: exact q21 pairs left-joined to q22 band candidates,
+    // rolled up per Jaccard decile — the empirical LSH s-curve.
+    "q153_lsh_recall" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t),
+        |ex AS (SELECT d1, d2,
+        |  CAST(common AS DOUBLE)/(za.n + zb.n - common) AS jaccard
+        | FROM c JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(za.n + zb.n - common) >= 0.5),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT CAST(floor(ex.jaccard * 10) AS BIGINT) AS sim_band,
+        |  CASE WHEN cand.d1 IS NULL THEN 0 ELSE 1 END AS found
+        | FROM ex LEFT JOIN cand ON ex.d1 = cand.d1 AND ex.d2 = cand.d2)
+        |SELECT sim_band, CAST(count(*) AS BIGINT) AS n_exact,
+        | CAST(sum(found) AS BIGINT) AS n_found,
+        | round(sum(found) / CAST(count(*) AS DOUBLE), 4) AS recall
+        |FROM j GROUP BY 1""".stripMargin,
     // q152: one audit row per FK edge of the star schema.
     "q152_fk_integrity" -> Seq(
       ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",

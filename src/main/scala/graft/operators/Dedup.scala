@@ -141,6 +141,31 @@ object Dedup {
       .distinct()
   }
 
+  /** q153: LSH RECALL audit — the measured miss rate of the MinHash
+    * band index (q22) against ground truth (q21's AllPairs pairs,
+    * which are EXACT for the threshold: 100% recall by the prefix
+    * theorem), broken out by Jaccard decile. This is the empirical
+    * s-curve 1−(1−s^r)^b that the banding parameters (r=2 rows,
+    * b=4 bands here) only promise analytically — at 100 TB you run
+    * this audit on a slice BEFORE trusting the cheap index for the
+    * corpus, because every missed pair is a duplicate that survives
+    * dedup and a leak q146 then has to catch. One id-keyed left join
+    * between the two pair sets + one bounded agg (≤6 decile rows);
+    * cost is dominated by the two generators it audits. Expected
+    * shape: recall climbs toward 1.0 as similarity → 1 (near-exact
+    * dups are almost never missed; borderline-threshold pairs are
+    * where LSH leaks). */
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(s, dir)
+    val cand = minhashLsh(s, dir).withColumn("found", lit(1L))
+    exact.join(cand, Seq("d1", "d2"), "left")
+      .groupBy(floor(col("jaccard") * 10).as("sim_band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .select(col("sim_band"), col("n_exact"), col("n_found"),
+        round(col("n_found") / col("n_exact").cast("double"), 4).as("recall"))
+  }
+
   /** q129: triangle count + global clustering coefficient over the
     * near-dup pair graph (q22's edges) — the cohesion audit that
     * separates tight duplicate cliques (high clustering: every pair
