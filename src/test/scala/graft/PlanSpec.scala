@@ -178,6 +178,33 @@ class PlanSpec extends SparkSpec {
       s"q134 grew unexpected window passes:\n$p134")
   }
 
+  test("round-5 closers q150-q153 keep their shapes") {
+    // q150: the snapshot diff is one id-keyed full-outer equi-join —
+    // never a cartesian, never a nested loop
+    val p150 = plan(Incremental.snapshotDiff(spark, sfDir))
+    assert(!p150.contains("CartesianProduct") &&
+      !p150.contains("BroadcastNestedLoopJoin"), "q150 cross-joins")
+    // q151: the SORT-FREE claim in the plan — no range-partitioning
+    // exchange (that's what a global orderBy would insert) and only
+    // the constant-size bin-table window sort. The two scalar-frame
+    // crossJoins (boundary array, total) are the documented
+    // cross-join-of-one pattern, so BNLJ of single-row frames is
+    // expected here.
+    val p151 = plan(Bucketing.rangeBuckets(spark, sfDir))
+    assert(!p151.toLowerCase.contains("rangepartitioning"),
+      s"q151 sorts the corpus globally:\n$p151")
+    assert("Window".r.findAllIn(p151).length <= 1,
+      s"q151 grew unexpected window sorts:\n$p151")
+    // q152: every FK edge is a key-keyed equi-join
+    val p152 = plan(Relational.fkIntegrity(spark, sfDir))
+    assert(!p152.contains("CartesianProduct") &&
+      !p152.contains("BroadcastNestedLoopJoin"), "q152 cross-joins")
+    // q153: the audit join of the two pair sets stays an equi-join
+    val p153 = plan(Dedup.lshRecallAudit(spark, sfDir))
+    assert(!p153.contains("CartesianProduct") &&
+      !p153.contains("BroadcastNestedLoopJoin"), "q153 cross-joins")
+  }
+
   test("q139 z-order files have tighter two-dim spans than a linear layout") {
     // the locality CLAIM as data: with equal file counts, the z-order
     // layout's summed span area must beat the linear (single-key)
