@@ -165,6 +165,7 @@ object SparkEntry {
     "q151_range_buckets"    -> ((s, d) => Bucketing.rangeBuckets(s, d)),
     "q152_fk_integrity"     -> ((s, d) => Relational.fkIntegrity(s, d)),
     "q153_lsh_recall"       -> ((s, d) => Dedup.lshRecallAudit(s, d)),
+    "q154_robust_outliers"  -> ((s, d) => Sketch.robustOutliers(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2037,6 +2038,38 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q154: histogram-grain median/MAD per source + exact outlier
+    // count (|x - med| > 3*MAD); crossing test all-integer.
+    "q154_robust_outliers" ->
+      """WITH d AS (SELECT source AS g, n_chars AS v FROM documents),
+        |h1 AS (SELECT g, v // 16 AS bin, count(*) AS cnt FROM d
+        | GROUP BY 1, 2),
+        |c1 AS (SELECT g, bin, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n FROM h1),
+        |m1 AS (SELECT g, bin * 16 + 15 AS med FROM c1
+        | WHERE cum * 2 >= n AND (cum - cnt) * 2 < n),
+        |dv AS (SELECT d.g, abs(d.v - m1.med) AS v
+        | FROM d JOIN m1 ON d.g = m1.g),
+        |h2 AS (SELECT g, v // 16 AS bin, count(*) AS cnt FROM dv
+        | GROUP BY 1, 2),
+        |c2 AS (SELECT g, bin, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n FROM h2),
+        |m2 AS (SELECT g, bin * 16 + 15 AS mad FROM c2
+        | WHERE cum * 2 >= n AND (cum - cnt) * 2 < n)
+        |SELECT d.g AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(m1.med) AS BIGINT) AS med_chars,
+        | CAST(min(m2.mad) AS BIGINT) AS mad_chars,
+        | CAST(sum(CASE WHEN abs(d.v - m1.med) > m2.mad * 3
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | round(sum(CASE WHEN abs(d.v - m1.med) > m2.mad * 3
+        |   THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+        |   AS outlier_frac
+        |FROM d JOIN m1 ON d.g = m1.g JOIN m2 ON d.g = m2.g
+        |GROUP BY 1""".stripMargin,
     // q153: exact q21 pairs left-joined to q22 band candidates,
     // rolled up per Jaccard decile — the empirical LSH s-curve.
     "q153_lsh_recall" ->

@@ -308,4 +308,59 @@ object Sketch {
         col("vc").as("exact_cents"),
         (col("est_cents") - col("vc")).as("err_cents"))
   }
+
+  /** Histogram-grain median per group: value binned at width `w`,
+    * per-(group, bin) counts (map-side combinable), cumulative window
+    * over the BOUNDED per-group bin table, estimate = upper edge of
+    * the bin where cum first reaches ceil(n/2) (all-integer crossing
+    * test 2·cum ≥ n). Resolution is `w` — the explicit knob — and no
+    * task ever sorts a group. */
+  private def histMedian(vals: DataFrame, w: Long): DataFrame = {
+    val hist = vals.groupBy(col("g"), expr(s"v div $w").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      .filter(col("cum") * 2 >= col("n") &&
+        (col("cum") - col("cnt")) * 2 < col("n"))
+      .select(col("g"), (col("bin") * w + (w - 1)).as("med"), col("n"))
+  }
+
+  /** q154: ROBUST per-source outlier report — median/MAD instead of
+    * mean/stddev (q68's z-score breaks on the heavy tails it is
+    * supposed to flag: one giant document inflates σ until nothing
+    * is an outlier). Three narrow column-pruned scans, each ending
+    * in a map-side-combinable histogram agg — never a per-group
+    * sort, which is what naive percentile_exact costs at 100 TB:
+    *  1. per-source length histogram → histogram-grain median;
+    *  2. per-source |x − med| histogram → histogram-grain MAD;
+    *  3. exact count of rows with |x − med| > 3·MAD (integer
+    *     compare per row against the tiny broadcast thresholds).
+    * Thresholds are histogram-grain (resolution `binWidth`, the
+    * knob); the outlier TEST is exact per row. MAD = 0 (over half
+    * the mass in one bin) flags every off-bin row — the honest
+    * degenerate case, reported not hidden. */
+  def robustOutliers(s: SparkSession, dir: String,
+      binWidth: Long = 16L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source").as("g"), col("n_chars").as("v"))
+    val med = histMedian(docs, binWidth)
+    val dev = docs.join(broadcast(med), "g") // |sources|-row frame
+      .select(col("g"), abs(col("v") - col("med")).as("v"))
+    val mad = histMedian(dev, binWidth)
+      .select(col("g"), col("med").as("mad"))
+    val thresholds = med.join(mad, "g")
+    docs.join(broadcast(thresholds), "g")
+      .groupBy(col("g").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("med")).as("med_chars"),
+        first(col("mad")).as("mad_chars"),
+        sum(when(abs(col("v") - col("med")) > col("mad") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("med_chars"),
+        col("mad_chars"), col("n_outliers"),
+        round(col("n_outliers") / col("n_docs").cast("double"), 4)
+          .as("outlier_frac"))
+  }
 }
