@@ -166,6 +166,7 @@ object SparkEntry {
     "q152_fk_integrity"     -> ((s, d) => Relational.fkIntegrity(s, d)),
     "q153_lsh_recall"       -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "q154_robust_outliers"  -> ((s, d) => Sketch.robustOutliers(s, d)),
+    "q155_ann_recall"       -> ((s, d) => Similarity.annRecallAudit(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -202,6 +203,39 @@ object SparkEntry {
     """CAST(CAST(list_sum(list_transform(range(len(a.v)),
       |   i -> a.v[i+1]*b.v[i+1])) AS BIGINT) AS DOUBLE)
       | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
+  /** The q38 IVF pipeline as oracle CTEs (quantize → per-label
+    * centroids → nearest-cell assignment → nprobe=2 probe → scored
+    * candidates `sc`) — shared by the q38 gate and the q155 recall
+    * audit. */
+  private val ivfScoreCtes =
+    """q AS (SELECT vec_id, label, list_transform(embedding,
+      |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |m AS (SELECT vec_id, label, v,
+      |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
+      |cu AS (SELECT label, unnest(v) AS x,
+      |  generate_subscripts(v, 1) - 1 AS pos FROM q),
+      |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv FROM cu GROUP BY 1, 2),
+      |cl AS (SELECT label,
+      |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos) AS cv
+      | FROM cs GROUP BY label),
+      |cn AS (SELECT label, cv,
+      |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM cl),
+      |ac AS (SELECT m.vec_id, m.v, m.n2, cn.label,
+      |  CAST(CAST(list_sum(list_transform(range(64), i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+      |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS ccos
+      | FROM m, cn),
+      |asg AS (SELECT vec_id, v, n2, cell FROM (SELECT vec_id, v, n2,
+      |   label AS cell, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY ccos DESC, label) AS rk FROM ac) t WHERE rk = 1),
+      |pr AS (SELECT query_id, qv, qn2, cell FROM (SELECT vec_id AS query_id,
+      |   v AS qv, n2 AS qn2, label AS cell, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY ccos DESC, label) AS rk FROM ac WHERE vec_id < 5) t WHERE rk <= 2),
+      |sc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+      |  CAST(CAST(list_sum(list_transform(range(64), i -> pr.qv[i+1] * a.v[i+1])) AS BIGINT) AS DOUBLE)
+      |   / (sqrt(CAST(pr.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
+      | FROM pr JOIN asg a ON pr.cell = a.cell AND a.vec_id >= 5)""".stripMargin
+
   /** First 8 md5 hex nibbles of `e` as a BIGINT in [0, 2^32) —
     * mirrors Sampling.hashBucket exactly. */
   private def hex8Sql(e: String): String =
@@ -519,33 +553,7 @@ object SparkEntry {
         | sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_sha
         |FROM x""".stripMargin,
     "q38_ann_ivf" ->
-      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
-        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
-        | FROM embeddings),
-        |m AS (SELECT vec_id, label, v,
-        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
-        |cu AS (SELECT label, unnest(v) AS x,
-        |  generate_subscripts(v, 1) - 1 AS pos FROM q),
-        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv FROM cu GROUP BY 1, 2),
-        |cl AS (SELECT label,
-        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos) AS cv
-        | FROM cs GROUP BY label),
-        |cn AS (SELECT label, cv,
-        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM cl),
-        |ac AS (SELECT m.vec_id, m.v, m.n2, cn.label,
-        |  CAST(CAST(list_sum(list_transform(range(64), i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
-        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS ccos
-        | FROM m, cn),
-        |asg AS (SELECT vec_id, v, n2, cell FROM (SELECT vec_id, v, n2,
-        |   label AS cell, row_number() OVER (PARTITION BY vec_id
-        |     ORDER BY ccos DESC, label) AS rk FROM ac) t WHERE rk = 1),
-        |pr AS (SELECT query_id, qv, qn2, cell FROM (SELECT vec_id AS query_id,
-        |   v AS qv, n2 AS qn2, label AS cell, row_number() OVER (PARTITION BY vec_id
-        |     ORDER BY ccos DESC, label) AS rk FROM ac WHERE vec_id < 5) t WHERE rk <= 2),
-        |sc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
-        |  CAST(CAST(list_sum(list_transform(range(64), i -> pr.qv[i+1] * a.v[i+1])) AS BIGINT) AS DOUBLE)
-        |   / (sqrt(CAST(pr.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
-        | FROM pr JOIN asg a ON pr.cell = a.cell AND a.vec_id >= 5)
+      s"""WITH $ivfScoreCtes
         |SELECT query_id, rank, neighbor_id, cosine FROM (
         | SELECT query_id, neighbor_id, cosine,
         |  row_number() OVER (PARTITION BY query_id
@@ -2038,6 +2046,31 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q155: IVF top-3 (q38's CTE chain) vs brute-force top-3 ground
+    // truth — per-query recall@k.
+    "q155_ann_recall" ->
+      s"""WITH $ivfScoreCtes,
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc) t WHERE rank <= 3),
+        |scx AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM scx) t WHERE rank <= 3),
+        |j AS (SELECT ex.query_id,
+        |  CASE WHEN ivf.neighbor_id IS NULL THEN 0 ELSE 1 END AS found
+        | FROM ex LEFT JOIN ivf ON ex.query_id = ivf.query_id
+        |  AND ex.neighbor_id = ivf.neighbor_id)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+        | CAST(sum(found) AS BIGINT) AS n_hit,
+        | round(sum(found) / CAST(count(*) AS DOUBLE), 4) AS recall_at_k
+        |FROM j GROUP BY 1""".stripMargin,
     // q154: histogram-grain median/MAD per source + exact outlier
     // count (|x - med| > 3*MAD); crossing test all-integer.
     "q154_robust_outliers" ->

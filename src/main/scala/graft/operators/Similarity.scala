@@ -358,6 +358,33 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
+  /** q155: ANN RECALL audit — q38's IVF top-k measured against q25's
+    * brute-force ground truth per query: recall@k, THE standard ANN
+    * quality metric, and q153's missing half (text LSH recall there,
+    * embedding IVF recall here). At 100 TB you run the exact scorer
+    * on a small query sample exactly like this — ground truth is
+    * affordable per-query (one corpus scan for a bounded query set),
+    * never per-corpus — and tune nprobe until sampled recall meets
+    * target before trusting the index for the workload. Both top-k
+    * sets use the shared (score desc, id asc) total order, so set
+    * membership at the k boundary is engine-identical. One id-keyed
+    * left join + bounded agg; |queries| rows out. Misses are REAL
+    * here (nprobe=2 of 10 cells): a true neighbor whose cell the
+    * probe skips is invisible, and the audit quantifies exactly
+    * that. */
+  def annRecallAudit(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val exact = annBruteForce(s, dir).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id")).withColumn("found", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("found"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_k"))
+  }
+
   /** q124: SQ8 compress-then-rerank ANN — the memory-bandwidth scale
     * path production vector search actually runs: (1) every vector is
     * scalar-quantized to int8 codes (`round(x·127)` — exact for these
