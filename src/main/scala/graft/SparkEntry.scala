@@ -167,6 +167,7 @@ object SparkEntry {
     "q153_lsh_recall"       -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "q154_robust_outliers"  -> ((s, d) => Sketch.robustOutliers(s, d)),
     "q155_ann_recall"       -> ((s, d) => Similarity.annRecallAudit(s, d)),
+    "q156_position_attribution" -> (Events.positionAttribution _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2046,6 +2047,33 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q156: U-shaped multi-touch attribution — integer-ppm credits,
+    // cent-truncated payouts, unattributed purchases conserved.
+    "q156_position_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents, ts AS pts
+        | FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id, ts, event_type AS touch_type
+        | FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.purchase_id, p.cents, t.event_id, t.ts, t.touch_type
+        | FROM p LEFT JOIN t ON p.user_id = t.user_id AND t.ts < p.pts),
+        |w AS (SELECT purchase_id, cents, touch_type, event_id,
+        |  count(event_id) OVER (PARTITION BY purchase_id) AS n,
+        |  row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY ts, event_id) AS r
+        | FROM j),
+        |c AS (SELECT coalesce(touch_type, '(unattributed)') AS touch_type,
+        |  CASE WHEN event_id IS NULL THEN 1000000
+        |       WHEN n = 1 THEN 1000000
+        |       WHEN n = 2 THEN 500000
+        |       WHEN r = 1 OR r = n THEN 400000
+        |       ELSE 200000 // (n - 2) END AS credit_ppm,
+        |  cents FROM w)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credited,
+        | CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum,
+        | CAST(sum((cents * credit_ppm) // 1000000) AS BIGINT)
+        |   AS attributed_cents
+        |FROM c GROUP BY 1""".stripMargin,
     // q155: IVF top-3 (q38's CTE chain) vs brute-force top-3 ground
     // truth — per-query recall@k.
     "q155_ann_recall" ->

@@ -445,6 +445,54 @@ object Events {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  /** q156: POSITION-BASED (U-shaped) multi-touch attribution — the
+    * model marketers run when last-click (q122) over-credits the
+    * final touch: each purchase's value splits 40% to the FIRST
+    * touch, 40% to the LAST touch before it, 20% evenly across the
+    * middles (100% / 50-50 for 1- and 2-touch paths; purchases with
+    * no prior touch roll up as `(unattributed)` so value is
+    * CONSERVED, not dropped). Credits are integer parts-per-million
+    * and payouts integer-cents-truncated — division order is pinned,
+    * so both engines replay the same cent. Shapes: one user-keyed
+    * equi-join (ts < purchase_ts as a residual filter; fan-out
+    * bounded by per-user activity — q16/q104's argument), per-
+    * PURCHASE rank/count windows (bounded partitions), then a
+    * |types|-row roll-up. */
+  def positionAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts").as("pts"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("touch_type"))
+    val wp = Window.partitionBy(col("purchase_id"))
+    // ts < pts lives in the JOIN condition, not a post-filter: a
+    // purchase whose user has only LATER touches must keep its null
+    // row (→ unattributed), or its value silently vanishes
+    val credited = purchases
+      .join(touches.withColumnRenamed("user_id", "t_user"),
+        col("user_id") === col("t_user") && col("ts") < col("pts"), "left")
+      .withColumn("n", count(col("event_id")).over(wp))
+      .withColumn("r", row_number().over(wp.orderBy(col("ts"), col("event_id"))))
+      .withColumn("credit_ppm",
+        when(col("event_id").isNull, 1000000L)
+          .when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("r") === 1 || col("r") === col("n"), 400000L)
+          .otherwise(expr("200000L div (n - 2)")))
+    credited
+      .select(coalesce(col("touch_type"), lit("(unattributed)"))
+          .as("touch_type"),
+        col("credit_ppm"),
+        expr("(cents * credit_ppm) div 1000000L").as("attr_cents"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credited"),
+        sum(col("credit_ppm")).as("credit_ppm_sum"),
+        sum(col("attr_cents")).as("attributed_cents"))
+  }
+
   /** q104: behavioral Markov transition matrix — corpus-wide
     * (from_type → to_type) counts and row-normalized probabilities
     * over each user's time-ordered event sequence (the first-order
