@@ -168,6 +168,7 @@ object SparkEntry {
     "q154_robust_outliers"  -> ((s, d) => Sketch.robustOutliers(s, d)),
     "q155_ann_recall"       -> ((s, d) => Similarity.annRecallAudit(s, d)),
     "q156_position_attribution" -> (Events.positionAttribution _),
+    "q157_ab_lift"          -> (Events.abLift _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2047,6 +2048,39 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q157: seeded-hash A/B arms, per-user conversion/revenue, one
+    // report row with ppm rates, lift, and the two-proportion z.
+    "q157_ab_lift" ->
+      s"""WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' AND value >= 100
+        |    THEN 1 ELSE 0 END) AS converted,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |    AS rev_cents
+        | FROM events GROUP BY 1),
+        |a AS (SELECT CASE WHEN ${hex8Sql("concat('ab|', user_id)")} % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm, converted, rev_cents FROM u),
+        |g AS (SELECT arm, count(*) AS n, sum(converted) AS conv,
+        |  sum(rev_cents) AS rev FROM a GROUP BY 1),
+        |o AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS conv_a,
+        |  CAST(sum(CASE WHEN arm = 'A' THEN rev END) AS BIGINT)
+        |    AS rev_a_cents,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS conv_b,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN rev END) AS BIGINT)
+        |    AS rev_b_cents
+        | FROM g)
+        |SELECT n_a, conv_a, rev_a_cents, n_b, conv_b, rev_b_cents,
+        | (conv_a * 1000000) // n_a AS conv_a_ppm,
+        | (conv_b * 1000000) // n_b AS conv_b_ppm,
+        | (conv_b * n_a * 1000000) // (conv_a * n_b) - 1000000 AS lift_ppm,
+        | round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+        |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+        |FROM o""".stripMargin,
     // q156: U-shaped multi-touch attribution — integer-ppm credits,
     // cent-truncated payouts, unattributed purchases conserved.
     "q156_position_attribution" ->

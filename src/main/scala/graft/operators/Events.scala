@@ -445,6 +445,57 @@ object Events {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  /** q157: A/B EXPERIMENT LIFT report — the experimentation primitive
+    * every product pipeline runs on the event stream: users split
+    * into two arms by a SEEDED HASH of the user id (the industry
+    * assignment mechanism: sticky, uniform, no coordination, replays
+    * identically on both engines — q54's construction), then per-arm
+    * conversion (any purchase) and revenue roll up into one report
+    * row with lift and the two-proportion z statistic. Shapes: one
+    * per-user agg (map-side combinable on user_id), one 2-row arm
+    * agg, one conditional-agg pivot to a single row — a 100 TB
+    * experiment report is three bounded aggregations, nothing else.
+    * Rates are integer ppm (truncated); only the z stat is double
+    * (rounded; both engines IEEE-identical). */
+  def abLift(s: SparkSession, dir: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase (value ≥ 100): "any purchase"
+    // is degenerate on this corpus (every user buys ⇒ pooled variance
+    // 0 ⇒ z undefined); ~80% convert under this definition at all SFs
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 100, 1L).otherwise(0L))
+          .as("converted"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("rev_cents"))
+      .withColumn("arm",
+        when(Sampling.hashBucket(concat(lit("ab|"),
+          col("user_id").cast("string"))) % 2 === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"),
+        sum(col("rev_cents")).as("rev"))
+    val one = arms.agg(
+      sum(when(col("arm") === "A", col("n"))).as("n_a"),
+      sum(when(col("arm") === "A", col("conv"))).as("conv_a"),
+      sum(when(col("arm") === "A", col("rev"))).as("rev_a_cents"),
+      sum(when(col("arm") === "B", col("n"))).as("n_b"),
+      sum(when(col("arm") === "B", col("conv"))).as("conv_b"),
+      sum(when(col("arm") === "B", col("rev"))).as("rev_b_cents"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    one.select(col("n_a"), col("conv_a"), col("rev_a_cents"),
+      col("n_b"), col("conv_b"), col("rev_b_cents"),
+      expr("(conv_a * 1000000L) div n_a").as("conv_a_ppm"),
+      expr("(conv_b * 1000000L) div n_b").as("conv_b_ppm"),
+      expr("(conv_b * n_a * 1000000L) div (conv_a * n_b) - 1000000L")
+        .as("lift_ppm"),
+      round((pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z_stat"))
+  }
+
   /** q156: POSITION-BASED (U-shaped) multi-touch attribution — the
     * model marketers run when last-click (q122) over-credits the
     * final touch: each purchase's value splits 40% to the FIRST
