@@ -169,6 +169,7 @@ object SparkEntry {
     "q155_ann_recall"       -> ((s, d) => Similarity.annRecallAudit(s, d)),
     "q156_position_attribution" -> (Events.positionAttribution _),
     "q157_ab_lift"          -> (Events.abLift _),
+    "q158_watermark_lag"    -> ((s, d) => StreamingOps.watermarkLagAudit(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2048,6 +2049,29 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q158: seeded-jitter arrival, processing-time chunk watermark,
+    // per-event lateness vs the watermark at arrival, 5-band report.
+    "q158_watermark_lag" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+        |  (epoch_us(ts) + ${hex8Sql("concat('lag|', event_id)")}
+        |    % 1800000000) // 600000000 AS chunkid FROM events),
+        |c AS (SELECT chunkid, max(ts_us) AS cmax FROM e GROUP BY 1),
+        |w AS (SELECT chunkid, max(cmax) OVER (ORDER BY chunkid
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_prev
+        | FROM c),
+        |l AS (SELECT CASE WHEN wm_prev IS NULL THEN 0
+        |    ELSE greatest(wm_prev - ts_us, 0) END AS late_us
+        | FROM e JOIN w USING (chunkid)),
+        |b AS (SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+        |   WHEN late_us <= 60000000 THEN '1_within_1m'
+        |   WHEN late_us <= 600000000 THEN '2_within_10m'
+        |   WHEN late_us <= 3600000000 THEN '3_within_1h'
+        |   ELSE '4_over_1h' END AS band, late_us FROM l),
+        |t AS (SELECT count(*) AS n FROM e)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(max(late_us) AS BIGINT) AS max_late_us,
+        | round(count(*) / CAST(t.n AS DOUBLE), 4) AS frac
+        |FROM b, t GROUP BY band, t.n""".stripMargin,
     // q157: seeded-hash A/B arms, per-user conversion/revenue, one
     // report row with ppm rates, lift, and the two-proportion z.
     "q157_ab_lift" ->

@@ -757,4 +757,54 @@ object StreamingOps {
         col("st.deleted").as("deleted"),
         array_join(array_sort(map_keys(col("st.cells"))), ",").as("qualifiers"))
   }
+
+  /** q158: WATERMARK-LAG audit — the measurement that SIZES
+    * `withWatermark` before any streaming job runs: how late does
+    * event time actually arrive relative to the advancing watermark,
+    * and what fraction of events would each candidate delay drop?
+    * The generator's WAL is perfectly time-ordered (measured: zero
+    * inversions), so ARRIVAL time is simulated as event time + a
+    * seeded-hash network delay of up to 30 min (deterministic — the
+    * q96/q144 uniform construction — so both engines replay the same
+    * disorder). Arrival is then chunked into processing-time
+    * micro-batches (`chunkDurUs`), because that is EXACTLY how
+    * Spark's watermark advances: frozen within a batch, bumped to
+    * max-seen event time at batch boundaries. Per chunk: max event
+    * time (map-side agg); running max over PRIOR chunks = the
+    * watermark each event confronts on arrival; lateness = wm − ts
+    * clamped at 0. The chunk table the window sorts has
+    * stream-lifetime/chunkDur rows — bounded by wall-clock lifetime
+    * (the cardinality of Spark's own progress log), not corpus size.
+    * Output: 5 lateness bands → the delay-vs-data-loss table (a 1 m
+    * watermark drops the >1 m bands, etc.). All-integer µs
+    * arithmetic. */
+  def watermarkLagAudit(s: SparkSession, dir: String,
+      chunkDurUs: Long = 600000000L, maxJitterUs: Long = 1800000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir).select(col("event_id"), col("ts"))
+      .withColumn("arrival", col("ts") +
+        Sampling.hashBucket(concat(lit("lag|"),
+          col("event_id").cast("string"))) % maxJitterUs)
+      .withColumn("chunkid", expr(s"arrival div $chunkDurUs"))
+    val chunks = ev.groupBy(col("chunkid")).agg(max(col("ts")).as("cmax"))
+    val wprior = Window.orderBy(col("chunkid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = chunks.select(col("chunkid"),
+      max(col("cmax")).over(wprior).as("wm_prev"))
+    val total = ev.agg(count(lit(1)).as("n"))
+    ev.join(broadcast(wm), "chunkid")
+      .withColumn("late_us", when(col("wm_prev").isNull, 0L)
+        .otherwise(greatest(col("wm_prev") - col("ts"), lit(0L))))
+      .withColumn("band",
+        when(col("late_us") === 0, "0_on_time")
+          .when(col("late_us") <= 60000000L, "1_within_1m")
+          .when(col("late_us") <= 600000000L, "2_within_10m")
+          .when(col("late_us") <= 3600000000L, "3_within_1h")
+          .otherwise("4_over_1h"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"))
+      .crossJoin(broadcast(total))
+      .select(col("band"), col("n_events"), col("max_late_us"),
+        round(col("n_events") / col("n").cast("double"), 4).as("frac"))
+  }
 }
