@@ -170,6 +170,7 @@ object SparkEntry {
     "q156_position_attribution" -> (Events.positionAttribution _),
     "q157_ab_lift"          -> (Events.abLift _),
     "q158_watermark_lag"    -> ((s, d) => StreamingOps.watermarkLagAudit(s, d)),
+    "q159_forget_cascade"   -> ((s, d) => Privacy.forgetCascade(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2049,6 +2050,40 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q159: hash-selected forget set, FK-cascade deletion counts per
+    // table (customer -> orders -> lineitem; events by principal).
+    "q159_forget_cascade" ->
+      s"""WITH dc AS (SELECT c_custkey FROM customer
+        |  WHERE ${hex8Sql("concat('forget|', c_custkey)")} % 50 = 0),
+        |dord AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM dc))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_deleted,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_remaining
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dord),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM dord)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_orderkey IN (SELECT o_orderkey FROM dord)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM dord))
+        |UNION ALL
+        |SELECT 'events',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |    WHERE ${hex8Sql("concat('forget|', user_id)")} % 50 = 0),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM events
+        |       WHERE ${hex8Sql("concat('forget|', user_id)")} % 50 = 0)""".stripMargin,
     // q158: seeded-jitter arrival, processing-time chunk watermark,
     // per-event lateness vs the watermark at arrival, 5-band report.
     "q158_watermark_lag" ->

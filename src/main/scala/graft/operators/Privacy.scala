@@ -107,4 +107,48 @@ object Privacy {
         round(noise, 4).as("noise"),
         lit(epsilon).as("epsilon"))
   }
+
+  /** q159: RIGHT-TO-BE-FORGOTTEN cascade audit — the deletion-impact
+    * report a pipeline produces BEFORE executing a GDPR/CCPA erasure
+    * batch: given a forget-set of principals (~2% of customers here,
+    * hash-selected so the oracle replays the same set; production
+    * receives an explicit id list), count every row that must go,
+    * FOLLOWING THE FK GRAPH — the customer rows, their orders, those
+    * orders' lineitems (two hops deep: lineitem has no custkey, so a
+    * naive single-hop delete strands order lines = a compliance
+    * failure this audit exists to prevent), and the event-store rows
+    * of the same principals. Per-table row: total / to-delete /
+    * remaining. Shapes: deletion joins are left-SEMI on the FK keys
+    * (shuffle-hash, never the row payload — 100 TB deletes move ids,
+    * not rows); the count pairs combine via single-row crossJoins.
+    * When the forget-set is hash-defined (as here) the predicate
+    * also pushes straight into each scan with NO join — the gated
+    * plan keeps the id-list join shape because real erasure lists
+    * are explicit. */
+  def forgetCascade(s: SparkSession, dir: String,
+      buckets: Int = 50): DataFrame = {
+    def forgot(c: org.apache.spark.sql.Column) =
+      (Sampling.hashBucket(concat(lit("forget|"), c.cast("string")))
+        % buckets) === 0
+    val cust = Tables.customer(s, dir)
+    val delCust = cust.filter(forgot(col("c_custkey")))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+    val delOrd = ord.join(delCust.hint("shuffle_hash"),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = Tables.lineitem(s, dir)
+    val delLi = li.join(delOrd.select(col("o_orderkey")).hint("shuffle_hash"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val ev = Tables.events(s, dir)
+    val delEv = ev.filter(forgot(col("user_id")))
+    def row(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("table_name"), col("n_total"), col("n_deleted"),
+          (col("n_total") - col("n_deleted")).as("n_remaining"))
+    row("customer", cust, delCust)
+      .unionByName(row("orders", ord, delOrd))
+      .unionByName(row("lineitem", li, delLi))
+      .unionByName(row("events", ev, delEv))
+  }
 }
