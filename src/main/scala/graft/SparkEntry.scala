@@ -171,6 +171,7 @@ object SparkEntry {
     "q157_ab_lift"          -> (Events.abLift _),
     "q158_watermark_lag"    -> ((s, d) => StreamingOps.watermarkLagAudit(s, d)),
     "q159_forget_cascade"   -> ((s, d) => Privacy.forgetCascade(s, d)),
+    "q160_skew_report"      -> ((s, d) => Skew.skewReport(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2050,6 +2051,23 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q160: per-key counts -> top-k heavy hitters with corpus share
+    // and per-key salt factor (q81's synthetic hot key as input).
+    "q160_skew_report" ->
+      """WITH c AS (SELECT CASE WHEN event_id % 2 = 0 THEN -1
+        |   ELSE user_id END AS skew_key, count(*) AS cnt
+        | FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT skew_key, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, skew_key) AS rank
+        | FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, skew_key,
+        | CAST(cnt AS BIGINT) AS cnt, n_rows, n_keys,
+        | (cnt * 1000000) // n_rows AS share_ppm,
+        | CAST(ceil(cnt * CAST(32 AS DOUBLE) / n_rows) AS BIGINT)
+        |   AS salt_shards
+        |FROM r, t WHERE rank <= 5""".stripMargin,
     // q159: hash-selected forget set, FK-cascade deletion counts per
     // table (customer -> orders -> lineitem; events by principal).
     "q159_forget_cascade" ->

@@ -70,4 +70,41 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     (bigSalted, smallReplicated)
   }
+
+  /** q160: SKEW DIAGNOSIS report for a join/agg key — the
+    * measurement that decides BETWEEN the mitigations this file and
+    * q107/q148 provide: q107's F2 sketch says "this key distribution
+    * is dangerous", this report says WHICH keys and what salt factor
+    * fixes each. Per-key counts (one map-side-combinable agg — the
+    * only corpus-sized shuffle), then a bounded [[graft.functions.TopKAgg]]
+    * keeps the top `k` heavy hitters (never a sort: q25's argument),
+    * each annotated with its corpus share (ppm) and `salt_shards` =
+    * ceil(cnt·P / n_rows) — how many (key, salt) shards spread that
+    * key across `parts` reduce slots so no task owns more than an
+    * average partition's rows (salt_shards ≤ 1 ⇒ key needs no
+    * salting; the q81 `saltedAgg` `salts` argument comes straight
+    * from the max of this column). Run on the q81 synthetic hot key
+    * (half the corpus on key −1) so the report has a real pathology
+    * to diagnose. */
+  def skewReport(s: SparkSession, dir: String, k: Int = 5,
+      parts: Int = 32): DataFrame = {
+    import graft.functions.TopK
+    val counts = Tables.events(s, dir)
+      .withColumn("skew_key",
+        when(col("event_id") % 2 === 0, lit(-1L)).otherwise(col("user_id")))
+      .groupBy(col("skew_key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts
+      .agg(TopK.topk(k)(col("skew_key"), col("cnt").cast("double")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("skew_key"), col("t.score").cast("long").as("cnt"))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("skew_key"), col("cnt"), col("n_rows"),
+        col("n_keys"),
+        expr("(cnt * 1000000L) div n_rows").as("share_ppm"),
+        expr(s"ceil(cnt * CAST($parts AS DOUBLE) / n_rows)").cast("long")
+          .as("salt_shards"))
+  }
 }
