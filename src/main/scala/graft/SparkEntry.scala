@@ -172,6 +172,7 @@ object SparkEntry {
     "q158_watermark_lag"    -> ((s, d) => StreamingOps.watermarkLagAudit(s, d)),
     "q159_forget_cascade"   -> ((s, d) => Privacy.forgetCascade(s, d)),
     "q160_skew_report"      -> ((s, d) => Skew.skewReport(s, d)),
+    "q161_centroid_drift"   -> ((s, d) => Similarity.centroidDrift(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2051,6 +2052,43 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q161: per-label centroids of the two vec_id-parity batches,
+    // injected +0.5 dim-0 drift on label 0, cosine per label.
+    "q161_centroid_drift" ->
+      s"""WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |uo AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q WHERE vec_id % 2 = 0),
+        |so AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv
+        | FROM uo GROUP BY 1, 2),
+        |co AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos)
+        |    AS v, max(nv) AS n FROM so GROUP BY 1),
+        |un AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q WHERE vec_id % 2 = 1),
+        |sn AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv
+        | FROM un GROUP BY 1, 2),
+        |cn0 AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos)
+        |    AS v, max(nv) AS n FROM sn GROUP BY 1),
+        |cn AS (SELECT label, CASE WHEN label = 0
+        |   THEN list_concat([v[1] + 500000], v[2:]) ELSE v END AS v, n
+        | FROM cn0),
+        |a AS (SELECT label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2, n
+        | FROM co),
+        |b AS (SELECT label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2, n
+        | FROM cn)
+        |SELECT a.label, CAST(a.n AS BIGINT) AS n_old,
+        | CAST(b.n AS BIGINT) AS n_new,
+        | CAST(round(sqrt(CAST(list_sum(list_transform(range(64),
+        |   i -> (a.v[i+1] - b.v[i+1]) * (a.v[i+1] - b.v[i+1])))
+        |   AS DOUBLE))) AS BIGINT) AS shift_micro,
+        | round($cosExpr, 4) AS drift_cosine,
+        | a.label = 0 AS drift_injected
+        |FROM a JOIN b ON a.label = b.label""".stripMargin,
     // q160: per-key counts -> top-k heavy hitters with corpus share
     // and per-key salt factor (q81's synthetic hot key as input).
     "q160_skew_report" ->

@@ -358,6 +358,58 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
+  /** q161: embedding CENTROID DRIFT monitor — the model-monitoring
+    * check run when a new encoder batch lands: per label, old-batch
+    * vs new-batch centroid. A label whose centroid MOVES is a class
+    * the new encoder embeds differently — mixing its vectors into
+    * the old index silently breaks that class's recall (q155 would
+    * find it later, expensively; this catches it at ingest). The
+    * detector is the centroid L2 SHIFT in micro units against the
+    * per-label sampling-noise floor (~σ·√(dim/n)): on THIS corpus
+    * the labels are NOT geometric clusters (measured — parity-half
+    * centroids are near-orthogonal residual noise, so centroid
+    * cosine is uninformative here; it is still emitted for corpora
+    * with real cluster structure, where ≈1.0 is the healthy
+    * baseline). Batches = vec_id parity halves; a known regression
+    * is INJECTED into label 0's new-batch centroid (+0.5 on dim 0,
+    * micro units, oracle-replayed) and separates cleanly: shift
+    * ≈ 6.1·10⁵ vs the ≤3.3·10⁵ noise floor of the healthy labels
+    * at sf0.01 (1.9×; the floor shrinks as batches grow).
+    * Shape: q37's scalable centroid pattern twice ((label, pos)
+    * partial sums — the shuffle carries dims, never vectors) + one
+    * |labels|-row join; integer micro-unit arithmetic, doubles only
+    * in the final sqrt/cosine per label. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    def centroidsOf(half: DataFrame, pfx: String): DataFrame = half
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("nv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("sx") / col("nv")).cast("long").as("cx")))),
+          e => e.getField("cx")).as(s"${pfx}v"),
+        max(col("nv")).as(s"${pfx}n"))
+    val q = quantizedL(s, dir)
+    val oldC = centroidsOf(q.filter(col("vec_id") % 2 === 0), "o")
+    val newC = centroidsOf(q.filter(col("vec_id") % 2 === 1), "n")
+      // injected drift: label 0's new-batch centroid shifts +0.5 on
+      // dim 0 (micro units) — the simulated encoder regression
+      .withColumn("nv_drift", when(col("label") === 0,
+        concat(array(element_at(col("nv"), 1) + 500000L),
+          expr("slice(nv, 2, 63)"))).otherwise(col("nv")))
+      .select(col("label"), col("nv_drift").as("nv"), col("nn"))
+    oldC.join(newC, "label")
+      .withColumn("on2", org.apache.spark.sql.graft.LongArrayDot.column(col("ov"), col("ov")))
+      .withColumn("nn2", org.apache.spark.sql.graft.LongArrayDot.column(col("nv"), col("nv")))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(ov, nv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .select(col("label"), col("on").as("n_old"), col("nn").as("n_new"),
+        round(sqrt(col("d2").cast("double"))).cast("long").as("shift_micro"),
+        round(cosineQ(col("ov"), col("nv"), col("on2"), col("nn2")), 4)
+          .as("drift_cosine"),
+        (col("label") === 0).as("drift_injected"))
+  }
+
   /** q155: ANN RECALL audit — q38's IVF top-k measured against q25's
     * brute-force ground truth per query: recall@k, THE standard ANN
     * quality metric, and q153's missing half (text LSH recall there,
