@@ -187,6 +187,41 @@ object ScaleProbe {
         ev.unpersist()
       }
     }
+
+    // ---- histogram-pass operators (q151 range buckets / q154 MAD) ----
+    // Row-replica expansion (distribution unchanged; q154's sources
+    // suffixed per replica so GROUP count also grows k×): q151's
+    // boundaries must stay IDENTICAL while the corpus grows — the
+    // window only ever sees the constant-size bin table — and both
+    // operators' wall time must stay near-linear (they are pure
+    // scan+histogram plans; a hidden global sort would show as
+    // super-linear growth and a rangepartitioning exchange).
+    if (probeSel.contains("hist")) {
+      import graft.operators.{Bucketing, Sketch}
+      val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("source"), col("n_chars"))
+      def expandD(k: Int): DataFrame =
+        d0.select(col("source"), col("n_chars"),
+            explode(sequence(lit(0), lit(k - 1))).as("r"))
+          .select(concat(col("source"), lit("_"), col("r")).as("source"),
+            col("n_chars"))
+      // documents are small rows — push to 256× (1.3M rows) so the
+      // scan actually dominates the fixed job overhead
+      for (k <- Seq(1, 16, 64, 256)) {
+        val docs = expandD(k).cache()
+        val n = docs.count()
+        val gv = docs.select(col("source").as("g"), col("n_chars").as("v"))
+        if (k == 1) { // warm codegen
+          time(Bucketing.rangeBucketsOf(spark, docs, 32, 8))
+          time(Sketch.robustOutliersOf(gv))
+        }
+        val tRange = time(Bucketing.rangeBucketsOf(spark, docs, 32, 8))
+        val nBounds = Bucketing.rangeBucketsOf(spark, docs, 32, 8).count()
+        val tMad = time(Sketch.robustOutliersOf(gv))
+        println(f"""{"k":$k,"docs":$n,"range_sec":$tRange%.2f,"buckets":$nBounds,"mad_sec":$tMad%.2f}""")
+        docs.unpersist()
+      }
+    }
     spark.stop()
   }
 }

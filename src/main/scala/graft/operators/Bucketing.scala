@@ -160,9 +160,17 @@ object Bucketing {
     * — the report SHOWS that rather than hiding it, which is the
     * audit's job. */
   def rangeBuckets(s: SparkSession, dir: String, binWidth: Long = 32L,
-      nBuckets: Int = 8): DataFrame = {
+      nBuckets: Int = 8): DataFrame =
+    rangeBucketsOf(s, Tables.documents(s, dir).select(col("n_chars")),
+      binWidth, nBuckets)
+
+  /** [[rangeBuckets]] over any frame with an `n_chars` column —
+    * shared with ScaleProbe so the probe measures exactly the gated
+    * plan on expanded corpora. */
+  private[graft] def rangeBucketsOf(s: SparkSession, docsIn: DataFrame,
+      binWidth: Long, nBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir).select(col("n_chars"))
+    val docs = docsIn.select(col("n_chars"))
     val hist = docs.groupBy(expr(s"n_chars div $binWidth").as("bin"))
       .agg(count(lit(1)).as("cnt"))
     // Bounded single-partition window: ≤ max_chars/W bin rows at any SF.

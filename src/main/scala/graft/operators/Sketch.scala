@@ -342,9 +342,14 @@ object Sketch {
     * the mass in one bin) flags every off-bin row — the honest
     * degenerate case, reported not hidden. */
   def robustOutliers(s: SparkSession, dir: String,
+      binWidth: Long = 16L): DataFrame =
+    robustOutliersOf(Tables.documents(s, dir)
+      .select(col("source").as("g"), col("n_chars").as("v")), binWidth)
+
+  /** [[robustOutliers]] over any (g, v) frame — shared with
+    * ScaleProbe so the probe measures exactly the gated plan. */
+  private[graft] def robustOutliersOf(docs: DataFrame,
       binWidth: Long = 16L): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("source").as("g"), col("n_chars").as("v"))
     val med = histMedian(docs, binWidth)
     val dev = docs.join(broadcast(med), "g") // |sources|-row frame
       .select(col("g"), abs(col("v") - col("med")).as("v"))
