@@ -173,6 +173,7 @@ object SparkEntry {
     "q159_forget_cascade"   -> ((s, d) => Privacy.forgetCascade(s, d)),
     "q160_skew_report"      -> ((s, d) => Skew.skewReport(s, d)),
     "q161_centroid_drift"   -> ((s, d) => Similarity.centroidDrift(s, d)),
+    "q162_lang_length_chi2" -> ((s, d) => TextAnalysis.langLengthChi2(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2052,6 +2053,33 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q162: lang x length-band contingency incl. zero cells from the
+    // marginal cross, chi-square with pinned double order.
+    "q162_lang_length_chi2" ->
+      """WITH d AS (SELECT lang, CASE WHEN n_chars < 200 THEN 'short'
+        |   WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS band
+        | FROM documents),
+        |cells AS (SELECT lang, band, count(*) AS n FROM d GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nr FROM cells
+        | GROUP BY 1),
+        |c AS (SELECT band, CAST(sum(n) AS BIGINT) AS nc FROM cells
+        | GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+        |g AS (SELECT r.lang, c.band, r.nr, c.nc, t.nt,
+        |  coalesce(cells.n, 0) AS n0
+        | FROM r CROSS JOIN c CROSS JOIN t
+        | LEFT JOIN cells ON cells.lang = r.lang AND cells.band = c.band),
+        |x AS (SELECT nt, lang, band,
+        |  (n0 - CAST(nr * nc AS DOUBLE) / nt)
+        |   * (n0 - CAST(nr * nc AS DOUBLE) / nt)
+        |   / (CAST(nr * nc AS DOUBLE) / nt) AS contrib FROM g)
+        |SELECT CAST(max(nt) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(count(DISTINCT band) AS BIGINT) AS n_bands,
+        | CAST((count(DISTINCT lang) - 1) * (count(DISTINCT band) - 1)
+        |   AS BIGINT) AS dof,
+        | round(sum(contrib), 4) AS chi2
+        |FROM x""".stripMargin,
     // q161: per-label centroids of the two vec_id-parity batches,
     // injected +0.5 dim-0 drift on label 0, cosine per label.
     "q161_centroid_drift" ->

@@ -281,4 +281,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"),
         round(col("score"), 4).as("score"))
   }
+
+  /** q162: χ² INDEPENDENCE audit — is document length independent of
+    * language? The corpus-balance check a mixture designer (q46/q85)
+    * runs before treating length and language quotas as separable
+    * knobs: a significant χ² means cutting by length RESHAPES the
+    * language mix (and vice versa), so the two filters cannot be
+    * tuned independently. One corpus scan → |langs|×|bands|
+    * contingency counts (map-side combinable); the expected-count
+    * grid is built from the TINY marginal frames (including
+    * zero-observed cells — a left join from the full cross of
+    * marginals, never from observed cells only, which would bias χ²
+    * low); one bounded agg emits a single report row. Counts are
+    * exact longs; expected/χ² are doubles with pinned evaluation
+    * order. */
+  def langLengthChi2(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("lang"),
+      when(col("n_chars") < 200, "short")
+        .when(col("n_chars") < 350, "medium")
+        .otherwise("long").as("band"))
+    val cells = docs.groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val rowsM = cells.groupBy(col("lang")).agg(sum(col("n")).as("nr"))
+    val colsM = cells.groupBy(col("band")).agg(sum(col("n")).as("nc"))
+    val total = cells.agg(sum(col("n")).as("nt"))
+    rowsM.crossJoin(colsM).crossJoin(broadcast(total))
+      .join(cells, Seq("lang", "band"), "left")
+      .withColumn("n0", coalesce(col("n"), lit(0L)))
+      .withColumn("e", (col("nr") * col("nc")).cast("double") / col("nt"))
+      .withColumn("contrib",
+        (col("n0") - col("e")) * (col("n0") - col("e")) / col("e"))
+      .agg(max(col("nt")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("band")).as("n_bands"),
+        round(sum(col("contrib")), 4).as("chi2"))
+      .select(col("n_docs"), col("n_langs"), col("n_bands"),
+        ((col("n_langs") - 1) * (col("n_bands") - 1)).as("dof"),
+        col("chi2"))
+  }
 }
