@@ -174,6 +174,7 @@ object SparkEntry {
     "q160_skew_report"      -> ((s, d) => Skew.skewReport(s, d)),
     "q161_centroid_drift"   -> ((s, d) => Similarity.centroidDrift(s, d)),
     "q162_lang_length_chi2" -> ((s, d) => TextAnalysis.langLengthChi2(s, d)),
+    "q163_rate_spikes"      -> (Events.rateSpikes _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2053,6 +2054,25 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q163: hourly counts vs trailing-24h sum (integer cross-multiply
+    // spike test), per-day rollup; first-day hours excluded.
+    "q163_rate_spikes" ->
+      """WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        | FROM events GROUP BY 1),
+        |w AS (SELECT h, n,
+        |  CAST(sum(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s24,
+        |  count(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS c24
+        | FROM hh),
+        |e AS (SELECT h, n, s24, (n * 24000000) // s24 AS ratio_ppm
+        | FROM w WHERE c24 = 24)
+        |SELECT h // 24 AS day, CAST(count(*) AS BIGINT) AS n_hours,
+        | CAST(sum(CASE WHEN ratio_ppm > 2000000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_spikes,
+        | CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+        | CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm
+        |FROM e GROUP BY 1""".stripMargin,
     // q162: lang x length-band contingency incl. zero cells from the
     // marginal cross, chi-square with pinned double order.
     "q162_lang_length_chi2" ->

@@ -445,6 +445,35 @@ object Events {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  /** q163: traffic RATE-SPIKE monitor — the ops-side anomaly check
+    * (q68 flags anomalous USERS; this flags anomalous HOURS): hourly
+    * event counts vs the trailing-24 h mean, a spike = count > 2×
+    * the baseline. Shapes: one map-side-combinable hourly rollup
+    * (the only corpus-sized pass), then ALL windowing happens on the
+    * bounded hour table (stream-lifetime rows — q158's argument);
+    * per-day report ≤ |days| rows. The spike test is exact integer
+    * cross-multiplication (n·24 > 2·Σ₂₄ — no division), ratios are
+    * truncated ppm; hours without a full 24 h history are excluded
+    * from evaluation rather than compared against a short window
+    * (which would false-positive the first day). */
+  def rateSpikes(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w24 = Window.orderBy(col("h")).rowsBetween(-24, -1)
+    hourly
+      .withColumn("s24", sum(col("n")).over(w24))
+      .withColumn("c24", count(col("n")).over(w24))
+      .filter(col("c24") === 24)
+      .withColumn("ratio_ppm", expr("(n * 24000000L) div s24"))
+      .groupBy(expr("h div 24").as("day"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("ratio_ppm") > 2000000L, 1L).otherwise(0L))
+          .as("n_spikes"),
+        max(col("ratio_ppm")).as("max_ratio_ppm"),
+        min(col("ratio_ppm")).as("min_ratio_ppm"))
+  }
+
   /** q157: A/B EXPERIMENT LIFT report — the experimentation primitive
     * every product pipeline runs on the event stream: users split
     * into two arms by a SEEDED HASH of the user id (the industry
