@@ -175,6 +175,7 @@ object SparkEntry {
     "q161_centroid_drift"   -> ((s, d) => Similarity.centroidDrift(s, d)),
     "q162_lang_length_chi2" -> ((s, d) => TextAnalysis.langLengthChi2(s, d)),
     "q163_rate_spikes"      -> (Events.rateSpikes _),
+    "q164_conversion_latency" -> (Events.conversionLatency _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2054,6 +2055,29 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q164: forward-asof view->purchase delays, minute-bin histogram
+    // quantiles with integer rank crossing.
+    "q164_conversion_latency" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS ts
+        | FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts FROM events
+        | WHERE event_type = 'purchase'),
+        |d AS (SELECT min(p.ts) - v.ts AS dl
+        | FROM v JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+        | GROUP BY v.user_id, v.event_id, v.ts),
+        |h AS (SELECT dl // 60000000 AS bin, count(*) AS cnt FROM d
+        | GROUP BY 1),
+        |c AS (SELECT bin, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |q AS (SELECT * FROM (VALUES ('p50', 50), ('p90', 90),
+        |  ('p99', 99)) AS qq(q_label, q)),
+        |r AS (SELECT q_label, t.n, (q.q * t.n + 99) // 100 AS rnk
+        | FROM q CROSS JOIN t)
+        |SELECT q_label, n, CAST(rnk AS BIGINT) AS rnk,
+        | CAST(bin AS BIGINT) AS delay_min_lower,
+        | CAST(bin * 60000000 + 59999999 AS BIGINT) AS est_upper_us
+        |FROM r JOIN c ON c.cum >= r.rnk AND (c.cum - c.cnt) < r.rnk""".stripMargin,
     // q163: hourly counts vs trailing-24h sum (integer cross-multiply
     // spike test), per-day rollup; first-day hours excluded.
     "q163_rate_spikes" ->

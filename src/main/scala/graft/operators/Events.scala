@@ -445,6 +445,45 @@ object Events {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  /** q164: CONVERSION-LATENCY percentiles — p50/p90/p99 of
+    * view→purchase delay, the product-funnel SLA metric, composed
+    * from two library pieces: the forward [[AsOf.join]] (q103's
+    * single-shuffle plan — per view, the earliest purchase at or
+    * after it) and q97's histogram-quantile pattern (minute-grain
+    * bins → cum window over the BOUNDED bin table — bins ≤ corpus
+    * time-span minutes, never corpus rows — all-integer rank
+    * crossing, estimate = bin upper edge). No task ever sorts the
+    * delay corpus; rank arithmetic is integer ceil((q·n)/100).
+    * Views that never convert are excluded (they have no latency;
+    * their count is q16's funnel drop-off, not this metric). */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val delays = AsOf.join(views, purchases, "user_id", "ts", "ts",
+        rightPayload = Seq("ts"), rightTiebreak = Some("event_id"),
+        forward = true)
+      .filter(col("asof_ts").isNotNull)
+      .select((col("asof_ts") - col("ts")).as("d"))
+    val hist = delays.groupBy(expr("d div 60000000").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    Seq(("p50", 50L), ("p90", 90L), ("p99", 99L)).toDF("q_label", "q")
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", expr("(q * n + 99) div 100"))
+      .join(cum, col("cum") >= col("rnk") &&
+        (col("cum") - col("cnt")) < col("rnk"))
+      .select(col("q_label"), col("n"), col("rnk"),
+        col("bin").as("delay_min_lower"),
+        (col("bin") * 60000000L + 59999999L).as("est_upper_us"))
+  }
+
   /** q163: traffic RATE-SPIKE monitor — the ops-side anomaly check
     * (q68 flags anomalous USERS; this flags anomalous HOURS): hourly
     * event counts vs the trailing-24 h mean, a spike = count > 2×
