@@ -176,6 +176,7 @@ object SparkEntry {
     "q162_lang_length_chi2" -> ((s, d) => TextAnalysis.langLengthChi2(s, d)),
     "q163_rate_spikes"      -> (Events.rateSpikes _),
     "q164_conversion_latency" -> (Events.conversionLatency _),
+    "q165_mixture_plan"     -> ((s, d) => Pipeline.mixturePlan(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2055,6 +2056,28 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q165: per-language token rollup + min-ratio budget, per-lang
+    // downsampling rates (binding language at rate 1e6).
+    "q165_mixture_plan" ->
+      """WITH tg AS (SELECT * FROM (VALUES ('en', 300000), ('de', 175000),
+        |  ('es', 175000), ('fr', 175000), ('zh', 175000))
+        |  AS tg(lang, target_ppm)),
+        |tk AS (SELECT lang,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY 1),
+        |j AS (SELECT tk.lang, tk.tokens,
+        |  CAST(tg.target_ppm AS BIGINT) AS target_ppm
+        | FROM tk JOIN tg ON tk.lang = tg.lang),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS all_tokens,
+        |  CAST(min((tokens * 1000000) // target_ppm) AS BIGINT)
+        |    AS budget_tokens FROM j)
+        |SELECT lang, tokens,
+        | (tokens * 1000000) // all_tokens AS current_ppm,
+        | target_ppm, budget_tokens,
+        | (budget_tokens * target_ppm) // 1000000 AS need_tokens,
+        | ((budget_tokens * target_ppm) // 1000000 * 1000000) // tokens
+        |   AS rate_ppm
+        |FROM j CROSS JOIN t""".stripMargin,
     // q164: forward-asof view->purchase delays, minute-bin histogram
     // quantiles with integer rank crossing.
     "q164_conversion_latency" ->

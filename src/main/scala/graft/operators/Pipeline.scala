@@ -275,4 +275,36 @@ object Pipeline {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("cross_split", col("s1") =!= col("s2"))
   }
+
+  /** q165: MIXTURE PLANNER — derives the per-language sampling rates
+    * q85 then APPLIES: given target language fractions (ppm) and the
+    * no-upsampling constraint (rate ≤ 1 — repeating documents to hit
+    * a quota is a training-quality decision this planner refuses to
+    * make silently), the achievable token budget is
+    * T = min_l tokens_l·10⁶ / target_l — the BINDING language sets
+    * the budget, every other language downsamples to its share of T.
+    * Per-language output: corpus tokens, current vs target mix,
+    * budget, needed tokens, rate (ppm) — with the binding language
+    * flagged at rate = 10⁶, which is the row a pipeline owner reads
+    * first ("we are constrained by zh; collect more zh or shrink
+    * the run"). One map-side-combinable token rollup + |langs|-row
+    * arithmetic; all integer (truncated div, pinned order). */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val targets = Seq(("en", 300000L), ("de", 175000L), ("es", 175000L),
+      ("fr", 175000L), ("zh", 175000L)).toDF("lang", "target_ppm")
+    val tokens = Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val joined = tokens.join(broadcast(targets), "lang")
+    val total = joined.agg(sum(col("tokens")).as("all_tokens"),
+      min(expr("(tokens * 1000000L) div target_ppm")).as("budget_tokens"))
+    joined.crossJoin(broadcast(total))
+      .select(col("lang"), col("tokens"),
+        expr("(tokens * 1000000L) div all_tokens").as("current_ppm"),
+        col("target_ppm"), col("budget_tokens"),
+        expr("(budget_tokens * target_ppm) div 1000000L").as("need_tokens"),
+        expr("((budget_tokens * target_ppm) div 1000000L * 1000000L) div tokens")
+          .as("rate_ppm"))
+  }
 }
