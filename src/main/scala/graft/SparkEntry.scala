@@ -177,6 +177,7 @@ object SparkEntry {
     "q163_rate_spikes"      -> (Events.rateSpikes _),
     "q164_conversion_latency" -> (Events.conversionLatency _),
     "q165_mixture_plan"     -> ((s, d) => Pipeline.mixturePlan(s, d)),
+    "q166_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2056,6 +2057,31 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q166: per-doc distinct 8-grams, train digest set, digest-keyed
+    // left join -> per-split contamination rates.
+    "q166_split_contamination" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |  CASE WHEN ${hex8Sql("concat('sp|', CAST(doc_id AS VARCHAR))")} % 100 < 98
+        |    THEN 'train'
+        |   WHEN ${hex8Sql("concat('sp|', CAST(doc_id AS VARCHAR))")} % 100 = 98
+        |    THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents),
+        |g AS (SELECT doc_id, split, md5(gg) AS h FROM (
+        |  SELECT doc_id, split, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 6, 1)),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS gg FROM d) t),
+        |tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+        |ev AS (SELECT g.doc_id, g.split,
+        |  CASE WHEN tr.h IS NULL THEN 0 ELSE 1 END AS hit
+        | FROM g LEFT JOIN tr ON g.h = tr.h WHERE g.split <> 'train')
+        |SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(hit) AS BIGINT) AS n_hit_grams,
+        | (CAST(sum(hit) AS BIGINT) * 1000000) // count(*) AS hit_ppm,
+        | CAST(count(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS BIGINT)
+        |   AS n_docs_hit
+        |FROM ev GROUP BY 1""".stripMargin,
     // q165: per-language token rollup + min-ratio budget, per-lang
     // downsampling rates (binding language at rate 1e6).
     "q165_mixture_plan" ->

@@ -282,6 +282,52 @@ object TextAnalysis {
         round(col("score"), 4).as("score"))
   }
 
+  /** q166: cross-split N-GRAM CONTAMINATION rate — the metric behind
+    * every LLM eval-integrity claim: what fraction of val/test
+    * 8-grams also appear in train? q146 audits PAIR-level leakage
+    * (near-dup docs straddling the split); this measures the
+    * finer-grained phrase-level leak that survives even when no doc
+    * pair crosses the near-dup threshold — the thing eval
+    * decontamination (q57/q88) is calibrated against. Same 98/1/1
+    * doc-keyed split as q146 (salt 'sp', so the two audits describe
+    * the same split). Shapes: 8-grams per doc (narrow codegen,
+    * per-doc distinct), train gram set as DISTINCT 16-byte digests,
+    * one digest-keyed left join (shuffle-hash — never strings, never
+    * corpus²), 2 report rows. Docs under 8 tokens have no 8-grams
+    * and are absent by construction (can't be phrase-contaminated at
+    * this n). */
+  def splitContamination(s: SparkSession, dir: String,
+      salt: String = "sp"): DataFrame = {
+    val bucket = Sampling.hashBucket(
+      concat(lit(s"$salt|"), col("doc_id").cast("string"))) % 100
+    val gramsExpr = expr(
+      """CASE WHEN size(split(text, ' ')) >= 8
+        | THEN transform(sequence(1, size(split(text, ' ')) - 7),
+        |   i -> array_join(slice(split(text, ' '), i, 8), ' '))
+        | ELSE array() END""".stripMargin)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(bucket < 98, "train").when(bucket === 98, "val")
+          .otherwise("test").as("split"),
+        explode(array_distinct(gramsExpr)).as("g"))
+      .select(col("doc_id"), col("split"),
+        md5(col("g").cast("binary")).as("h"))
+    val trainSet = grams.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("split") =!= "train")
+      .join(trainSet.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_grams"),
+        countDistinct(when(col("hit") === 1, col("doc_id")))
+          .as("n_docs_hit"))
+      .select(col("split"), col("n_docs"), col("n_grams"),
+        col("n_hit_grams"),
+        expr("(n_hit_grams * 1000000L) div n_grams").as("hit_ppm"),
+        col("n_docs_hit"))
+  }
+
   /** q162: χ² INDEPENDENCE audit — is document length independent of
     * language? The corpus-balance check a mixture designer (q46/q85)
     * runs before treating length and language quotas as separable
