@@ -178,6 +178,7 @@ object SparkEntry {
     "q164_conversion_latency" -> (Events.conversionLatency _),
     "q165_mixture_plan"     -> ((s, d) => Pipeline.mixturePlan(s, d)),
     "q166_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
+    "q167_basket_triples"   -> ((s, d) => Relational.basketTriples(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2057,6 +2058,29 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q167: canonical a<b<c triples per order, support prune, triple
+    // lift vs the singleton independence baseline.
+    "q167_basket_triples" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |fr AS (SELECT l_partkey, count(*) AS f FROM it GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |  AS n_orders FROM it),
+        |tp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  c.l_partkey AS part_c, count(*) AS n_triples
+        | FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | JOIN it c ON a.l_orderkey = c.l_orderkey
+        |  AND b.l_partkey < c.l_partkey
+        | GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, part_c,
+        | CAST(n_triples AS BIGINT) AS n_triples,
+        | round(CAST(n_triples AS DOUBLE) * n_orders * n_orders
+        |  / CAST(fa.f * fb.f * fc.f AS DOUBLE), 4) AS lift
+        |FROM tp
+        | JOIN fr fa ON tp.part_a = fa.l_partkey
+        | JOIN fr fb ON tp.part_b = fb.l_partkey
+        | JOIN fr fc ON tp.part_c = fc.l_partkey
+        | CROSS JOIN t""".stripMargin,
     // q166: per-doc distinct 8-grams, train digest set, digest-keyed
     // left join -> per-split contamination rates.
     "q166_split_contamination" ->

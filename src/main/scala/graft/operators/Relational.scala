@@ -350,6 +350,46 @@ object Relational {
           / (col("fa") * col("fb")).cast("double"), 4).as("lift"))
   }
 
+  /** q167: frequent 3-ITEMSETS — q141's association mining one level
+    * deeper (pair rules recommend items; triple rules catch the
+    * bundle effects pairs factor apart). Same BOUNDED-BASKET scale
+    * argument, one order higher: the per-order double self-join fans
+    * out C(k,3) per basket (k ≲ 7 ⇒ ≤35 triples/order), Θ(orders·k³)
+    * total — linear in orders at any corpus size, never parts³.
+    * Support threshold prunes before the output; lift vs the
+    * independence baseline uses the exact singleton frequencies
+    * (lift = P(abc)·n² / (P(a)P(b)P(c)·…) — the triple analogue of
+    * q141's). Orientation a<b<c makes each triple canonical. */
+  def basketTriples(s: SparkSession, dir: String,
+      minSupport: Long = 2L): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+    val total = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val triples = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .join(items.as("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("b.l_partkey") < col("c.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"), col("c.l_partkey").as("part_c"))
+      .agg(count(lit(1)).as("n_triples"))
+      .filter(col("n_triples") >= minSupport)
+    triples
+      .join(freq.toDF("part_a", "fa").hint("shuffle_hash"), "part_a")
+      .join(freq.toDF("part_b", "fb").hint("shuffle_hash"), "part_b")
+      .join(freq.toDF("part_c", "fc").hint("shuffle_hash"), "part_c")
+      .crossJoin(total) // single-row scalar frame
+      .select(col("part_a"), col("part_b"), col("part_c"),
+        col("n_triples"),
+        round(col("n_triples").cast("double") * col("n_orders")
+          * col("n_orders")
+          / (col("fa") * col("fb") * col("fc")).cast("double"), 4)
+          .as("lift"))
+  }
+
   /** q136: one-pass TABLE PROFILE — the ANALYZE-style stats collection
     * a cost-based optimizer (and every data-quality gate) runs per
     * ingest: per numeric column, row/null counts, min/max, exact
