@@ -179,6 +179,7 @@ object SparkEntry {
     "q165_mixture_plan"     -> ((s, d) => Pipeline.mixturePlan(s, d)),
     "q166_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
     "q167_basket_triples"   -> ((s, d) => Relational.basketTriples(s, d)),
+    "q168_markov_holdout"   -> (Events.markovHoldout _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2058,6 +2059,31 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q168: transition matrix from seeded-hash train users, row
+    // argmax (n desc, to_type asc), accuracy on held-out users.
+    "q168_markov_holdout" ->
+      s"""WITH sq AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type,
+        |  ${hex8Sql("concat('mk|', user_id)")} % 2 AS arm
+        | FROM events),
+        |s2 AS (SELECT * FROM sq WHERE next_type IS NOT NULL),
+        |tc AS (SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n FROM s2 WHERE arm = 0 GROUP BY 1, 2),
+        |pr AS (SELECT from_type, to_type AS predicted_to,
+        |  CAST(n AS BIGINT) AS n_train FROM (
+        |  SELECT from_type, to_type, n, row_number() OVER (
+        |    PARTITION BY from_type ORDER BY n DESC, to_type) AS rk
+        |  FROM tc) t WHERE rk = 1)
+        |SELECT pr.from_type, pr.predicted_to, pr.n_train,
+        | CAST(count(*) AS BIGINT) AS n_eval,
+        | CAST(sum(CASE WHEN s2.next_type = pr.predicted_to
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | (CAST(sum(CASE WHEN s2.next_type = pr.predicted_to
+        |   THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS acc_ppm
+        |FROM s2 JOIN pr ON s2.event_type = pr.from_type
+        |WHERE s2.arm = 1
+        |GROUP BY 1, 2, 3""".stripMargin,
     // q167: canonical a<b<c triples per order, support prune, triple
     // lift vs the singleton independence baseline.
     "q167_basket_triples" ->

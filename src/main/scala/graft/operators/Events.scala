@@ -445,6 +445,53 @@ object Events {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  /** q168: MARKOV HELD-OUT accuracy — the model-eval loop for q104's
+    * transition matrix, done the way an ML pipeline must: TRAIN the
+    * matrix on one user population (seeded-hash split — q157's
+    * sticky assignment), predict next_type = argmax row, score on
+    * the HELD-OUT users. In-sample accuracy (what q104 alone could
+    * report) overstates a sequence model; the held-out gap is the
+    * real generalization number. Per-from_type row: the predicted
+    * next event, eval transitions, hits, accuracy (integer ppm).
+    * Shapes: the per-user lead() windows are user-bounded (q104's
+    * argument); the matrix and its argmax live on constant-size
+    * frames (rank window over |types|² rows); the eval join
+    * broadcasts |types| predictions. Argmax ties break to the
+    * lexicographically smallest to_type (rank orders n desc,
+    * to_type asc — pinned on both engines). */
+  def markovHoldout(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .withColumn("arm", Sampling.hashBucket(concat(lit("mk|"),
+        col("user_id").cast("string"))) % 2)
+    val trainCounts = seq0.filter(col("arm") === 0)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    // constant-size |types|^2 window: rank 1 = the row argmax
+    val wm = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type"))
+    val pred = trainCounts
+      .withColumn("rk", row_number().over(wm))
+      .filter(col("rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted_to"),
+        col("n").as("n_train"))
+    seq0.filter(col("arm") === 1)
+      .join(broadcast(pred), col("event_type") === col("from_type"))
+      .groupBy(col("from_type"))
+      .agg(first(col("predicted_to")).as("predicted_to"),
+        first(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("next_type") === col("predicted_to"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("from_type"), col("predicted_to"), col("n_train"),
+        col("n_eval"), col("n_correct"),
+        expr("(n_correct * 1000000L) div n_eval").as("acc_ppm"))
+  }
+
   /** q164: CONVERSION-LATENCY percentiles — p50/p90/p99 of
     * view→purchase delay, the product-funnel SLA metric, composed
     * from two library pieces: the forward [[AsOf.join]] (q103's
