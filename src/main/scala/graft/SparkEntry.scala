@@ -180,6 +180,7 @@ object SparkEntry {
     "q166_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
     "q167_basket_triples"   -> ((s, d) => Relational.basketTriples(s, d)),
     "q168_markov_holdout"   -> (Events.markovHoldout _),
+    "q169_bm25_search"      -> ((s, d) => TextAnalysis.bm25Search(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2059,6 +2060,34 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q169: Okapi BM25 over the inline inverted index, top-10 per
+    // query by (score desc, doc_id); constants as shared literals.
+    "q169_bm25_search" ->
+      """WITH qs AS (SELECT * FROM (VALUES ('qa', 'stream'),
+        |  ('qa', 'window'), ('qa', 'merge'), ('qb', 'customer'),
+        |  ('qb', 'key'), ('qc', 'fast'), ('qc', 'scan'), ('qc', 'sort'))
+        |  AS qs(query_id, tok)),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (SELECT qs.query_id, tf.doc_id,
+        |  sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        | FROM tf JOIN qs ON tf.tok = qs.tok
+        |  JOIN df ON tf.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN st
+        | GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        | round(score, 4) AS score FROM (
+        | SELECT query_id, doc_id, score, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        | FROM sc) t WHERE rank <= 10""".stripMargin,
     // q168: transition matrix from seeded-hash train users, row
     // argmax (n desc, to_type asc), accuracy on held-out users.
     "q168_markov_holdout" ->

@@ -282,6 +282,57 @@ object TextAnalysis {
         round(col("score"), 4).as("score"))
   }
 
+  /** q169: BM25 FULL-TEXT RETRIEVAL — the search primitive the
+    * corpus-management family was missing: rank documents for a
+    * bounded query set under Okapi BM25 (k1 = 1.2, b = 0.75). Exact
+    * classic shapes: tf per (doc, term) and doc lengths in one
+    * tokenize pass; df + avgdl from bounded aggregates; the query
+    * term list (|terms| rows) BROADCASTS against the tf table — the
+    * inverted-index probe, no corpus shuffle on the query path; the
+    * per-(query, doc) score sum and the bounded
+    * [[graft.functions.TopKAgg]] top-10 keep the shuffle at k rows
+    * per partition×query (q25's argument — a window-rank would
+    * shuffle every scored doc). At 100 TB the tf/df tables are the
+    * persisted inverted index this computes inline. All-double
+    * scoring with pinned order; ranking by (score desc, doc_id) is
+    * the engine-identical total order. */
+  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import graft.functions.TopK
+    import s.implicits._
+    // BM25 constants appear as the same decimal LITERALS in the
+    // oracle SQL (2.2 = k1+1, 0.25 = 1-b) — a Scala-computed k1+1
+    // could differ from the parsed literal 2.2 by one ulp
+    val queries = Seq(("qa", "stream"), ("qa", "window"), ("qa", "merge"),
+      ("qb", "customer"), ("qb", "key"),
+      ("qc", "fast"), ("qc", "scan"), ("qc", "sort"))
+      .toDF("query_id", "tok")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val scored = tf.join(broadcast(queries), "tok")
+      .join(df_.hint("shuffle_hash"), "tok")
+      .join(dl.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("term_score", col("idf")
+        * (col("tf") * lit(2.2))
+        / (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), round(col("t.score"), 4).as("score"))
+  }
+
   /** q166: cross-split N-GRAM CONTAMINATION rate — the metric behind
     * every LLM eval-integrity claim: what fraction of val/test
     * 8-grams also appear in train? q146 audits PAIR-level leakage
