@@ -181,6 +181,7 @@ object SparkEntry {
     "q167_basket_triples"   -> ((s, d) => Relational.basketTriples(s, d)),
     "q168_markov_holdout"   -> (Events.markovHoldout _),
     "q169_bm25_search"      -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    "q170_degree_audit"     -> ((s, d) => Dedup.degreeAudit(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2060,6 +2061,26 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q170: symmetrized q22 edge degrees -> degree histogram with a
+    // subtraction-derived degree-0 row.
+    "q170_degree_audit" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |dg AS (SELECT v, count(*) AS degree FROM (
+        |  SELECT d1 AS v FROM p UNION ALL SELECT d2 FROM p) u GROUP BY 1),
+        |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        | FROM dg GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |z AS (SELECT CAST(0 AS BIGINT) AS degree,
+        |  tt.n_docs - (SELECT CAST(coalesce(sum(n_nodes), 0) AS BIGINT)
+        |    FROM h) AS n_nodes FROM tt),
+        |a AS (SELECT * FROM h UNION ALL SELECT * FROM z)
+        |SELECT degree, n_nodes,
+        | round(n_nodes / CAST(tt.n_docs AS DOUBLE), 4) AS frac
+        |FROM a CROSS JOIN tt""".stripMargin,
     // q169: Okapi BM25 over the inline inverted index, top-10 per
     // query by (score desc, doc_id); constants as shared literals.
     "q169_bm25_search" ->

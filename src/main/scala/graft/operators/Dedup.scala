@@ -166,6 +166,34 @@ object Dedup {
         round(col("n_found") / col("n_exact").cast("double"), 4).as("recall"))
   }
 
+  /** q170: dedup-graph DEGREE-DISTRIBUTION audit — the graph-health
+    * observability every pair-graph consumer (q59 components, q94
+    * rank, q129 triangles) wants BEFORE it runs: the degree
+    * histogram is where pathologies show as data — a fat tail means
+    * a boilerplate mega-cluster forming (q110's territory, and the
+    * thing that makes q129's wedge volume cluster³), degree 0 is
+    * the singleton mass dedup will pass through untouched. One
+    * count per node over the symmetrized edge list + one histogram
+    * agg on the BOUNDED degree domain; singletons counted by
+    * subtraction from the corpus total (never materialized). Output
+    * ≤ max-degree rows: degree, node count, corpus fraction. */
+  def degreeAudit(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashLsh(s, dir)
+    val deg = edges.select(col("d1").as("v"))
+      .unionAll(edges.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val connected = hist.agg(sum(col("n_nodes")).as("n_connected"))
+    val zero = total.crossJoin(connected)
+      .select(lit(0L).as("degree"),
+        (col("n_docs") - col("n_connected")).as("n_nodes"))
+    hist.unionByName(zero)
+      .crossJoin(broadcast(total))
+      .select(col("degree"), col("n_nodes"),
+        round(col("n_nodes") / col("n_docs").cast("double"), 4).as("frac"))
+  }
+
   /** q129: triangle count + global clustering coefficient over the
     * near-dup pair graph (q22's edges) — the cohesion audit that
     * separates tight duplicate cliques (high clustering: every pair
