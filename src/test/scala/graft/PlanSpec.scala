@@ -205,6 +205,35 @@ class PlanSpec extends SparkSpec {
       !p153.contains("BroadcastNestedLoopJoin"), "q153 cross-joins")
   }
 
+  test("round-5 closers q156-q170 keep their shapes") {
+    // q156: the touch join is a user-keyed equi-join (ts<pts is a
+    // residual condition, not a range cross product)
+    val p156 = plan(Events.positionAttribution(spark, sfDir))
+    assert(!p156.contains("CartesianProduct") &&
+      !p156.contains("BroadcastNestedLoopJoin"), "q156 cross-joins")
+    // q159: every cascade hop is a left-SEMI join on the FK key
+    val p159 = plan(Privacy.forgetCascade(spark, sfDir))
+    assert(!p159.contains("CartesianProduct"), "q159 has a cartesian")
+    assert(p159.contains("LeftSemi"), s"q159 lost its semi-join shape")
+    // q166: the contamination probe is a digest-keyed equi-join
+    val p166 = plan(TextAnalysis.splitContamination(spark, sfDir))
+    assert(!p166.contains("CartesianProduct") &&
+      !p166.contains("BroadcastNestedLoopJoin"), "q166 cross-joins")
+    // q167: triple generation stays per-order equi-joins
+    val p167 = plan(Relational.basketTriples(spark, sfDir))
+    assert(!p167.contains("CartesianProduct"), "q167 has a cartesian")
+    // q169: the query-term probe broadcasts the |terms| side; the
+    // ranking is the bounded TopKAgg, never a corpus window sort
+    val p169 = plan(TextAnalysis.bm25Search(spark, sfDir))
+    assert(!p169.contains("CartesianProduct"), "q169 has a cartesian")
+    assert(!p169.contains("WindowExec"), s"q169 grew a window sort")
+    // q164: delay quantiles — the AsOf union+window passes (2, both
+    // user-partitioned) and the bounded bin-table cumulative window
+    val p164 = plan(Events.conversionLatency(spark, sfDir))
+    assert("Window".r.findAllIn(p164).length <= 3,
+      s"q164 grew unexpected window sorts:\n$p164")
+  }
+
   test("q139 z-order files have tighter two-dim spans than a linear layout") {
     // the locality CLAIM as data: with equal file counts, the z-order
     // layout's summed span area must beat the linear (single-key)
