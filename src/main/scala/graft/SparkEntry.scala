@@ -182,6 +182,7 @@ object SparkEntry {
     "q168_markov_holdout"   -> (Events.markovHoldout _),
     "q169_bm25_search"      -> ((s, d) => TextAnalysis.bm25Search(s, d)),
     "q170_degree_audit"     -> ((s, d) => Dedup.degreeAudit(s, d)),
+    "q171_nprobe_sweep"     -> ((s, d) => Similarity.annNprobeSweep(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2061,6 +2062,33 @@ object SparkEntry {
         |SELECT bucket, n_docs, min_chars, max_chars,
         | round(n_docs / CAST(t.n AS DOUBLE), 4) AS doc_frac
         |FROM ag, t""".stripMargin,
+    // q171: q155's recall computation per nprobe arm (the pr CTE's
+    // rk bound swapped per arm), one UNION ALL row each.
+    "q171_nprobe_sweep" -> (1 to 3).map { np =>
+      s"""SELECT * FROM (WITH ${ivfScoreCtes.replace("rk <= 2", s"rk <= $np")},
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc) t WHERE rank <= 3),
+        |scx AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM scx) t WHERE rank <= 3),
+        |j AS (SELECT ex.query_id,
+        |  CASE WHEN ivf.neighbor_id IS NULL THEN 0 ELSE 1 END AS found
+        | FROM ex LEFT JOIN ivf ON ex.query_id = ivf.query_id
+        |  AND ex.neighbor_id = ivf.neighbor_id)
+        |SELECT CAST($np AS BIGINT) AS nprobe,
+        | CAST(count(*) AS BIGINT) AS n_exact,
+        | CAST(sum(found) AS BIGINT) AS n_hit,
+        | (CAST(sum(found) AS BIGINT) * 1000000) // count(*) AS recall_ppm,
+        | CAST(${np * 100000} AS BIGINT) AS probe_cost_ppm
+        |FROM j)""".stripMargin }.mkString("\nUNION ALL\n"),
     // q170: symmetrized q22 edge degrees -> degree histogram with a
     // subtraction-derived degree-0 row.
     "q170_degree_audit" ->

@@ -437,6 +437,32 @@ object Similarity {
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_k"))
   }
 
+  /** q171: NPROBE TUNING SWEEP — the measurement q155's scaladoc
+    * says to run ("tune nprobe until sampled recall meets target"),
+    * made a gated query: corpus-level recall@3 for nprobe = 1, 2, 3
+    * against one brute-force ground truth. This is the actual
+    * tuning loop of a production ANN deploy — the output row where
+    * recall_ppm crosses the target IS the config decision, and the
+    * cost column (probed cells / total cells) is the price. Ground
+    * truth computed once; each sweep arm re-probes with its own
+    * nprobe (the probe stage is the cheap part — the argument for
+    * why this sweep is affordable on a query sample at 100 TB). */
+  def annNprobeSweep(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val exact = annBruteForce(s, dir).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    (1 to 3).map { np =>
+      val approx = ivfTopK(s, dir, nprobe = np)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("found", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("found"), lit(0L))).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_exact"), col("n_hit"),
+          expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"),
+          lit(np.toLong * 100000L).as("probe_cost_ppm")) // np of 10 cells
+    }.reduce(_ unionByName _)
+  }
+
   /** q124: SQ8 compress-then-rerank ANN — the memory-bandwidth scale
     * path production vector search actually runs: (1) every vector is
     * scalar-quantized to int8 codes (`round(x·127)` — exact for these
