@@ -183,6 +183,8 @@ object SparkEntry {
     "q169_bm25_search"      -> ((s, d) => TextAnalysis.bm25Search(s, d)),
     "q170_degree_audit"     -> ((s, d) => Dedup.degreeAudit(s, d)),
     "q171_nprobe_sweep"     -> ((s, d) => Similarity.annNprobeSweep(s, d)),
+    "q172_hybrid_rrf"       -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "q173_pit_features"     -> (Events.pitFeatures _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -2089,6 +2091,78 @@ object SparkEntry {
         | (CAST(sum(found) AS BIGINT) * 1000000) // count(*) AS recall_ppm,
         | CAST(${np * 100000} AS BIGINT) AS probe_cost_ppm
         |FROM j)""".stripMargin }.mkString("\nUNION ALL\n"),
+    // q173: cutoff = t0 + 80% of range (integer µs), features from
+    // strictly-pre rows, churned = 1 - any-post, one conditional agg.
+    "q173_pit_features" ->
+      """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts
+        | FROM events),
+        |b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM e),
+        |c AS (SELECT t0 + ((t1 - t0) * 4) // 5 AS cutoff FROM b)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN ts < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_pre,
+        | CAST(sum(CASE WHEN ts < cutoff AND event_type = 'error'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_err_pre,
+        | CAST(sum(CASE WHEN ts < cutoff
+        |   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |   AS value_cents_pre,
+        | CAST(count(DISTINCT CASE WHEN ts < cutoff
+        |   THEN ts // 86400000000 END) AS BIGINT) AS active_days_pre,
+        | CAST(1 - max(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS churned
+        |FROM e CROSS JOIN c
+        |GROUP BY user_id""".stripMargin,
+    // q172: BM25 more-like-this arm (corpus-wide stats, candidates
+    // doc_id>=5, rank on round(score,4)) + q25's cosine arm, fused
+    // by integer RRF (1000000 // (60+rank)); top-5 per query with
+    // arm-provenance flags.
+    "q172_hybrid_rrf" ->
+      s"""WITH $quantCte,
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qs AS (SELECT doc_id AS query_id,
+        |  unnest(list_distinct(string_split(text, ' '))) AS tok
+        | FROM documents WHERE doc_id < 5),
+        |sc AS (SELECT qs.query_id, tf.doc_id,
+        |  sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        | FROM tf JOIN qs ON tf.tok = qs.tok
+        |  JOIN df ON tf.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN st
+        | WHERE tf.doc_id >= 5
+        | GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rk AS lex_rank FROM (
+        | SELECT query_id, doc_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id)
+        |  AS rk FROM sc) t WHERE rk <= 5),
+        |vsc AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+        |  $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5),
+        |vec AS (SELECT query_id, doc_id, rk AS vec_rank FROM (
+        | SELECT query_id, doc_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rk
+        | FROM vsc) t WHERE rk <= 5),
+        |fu AS (SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+        |  coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        |  coalesce(1000000 // (60 + lex_rank), 0)
+        |    + coalesce(1000000 // (60 + vec_rank), 0) AS rrf,
+        |  CASE WHEN lex_rank IS NULL THEN 0 ELSE 1 END AS in_lex,
+        |  CASE WHEN vec_rank IS NULL THEN 0 ELSE 1 END AS in_vec
+        | FROM lex FULL OUTER JOIN vec
+        |  ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
+        | CAST(rrf AS BIGINT) AS rrf_ppm,
+        | CAST(in_lex AS BIGINT) AS in_lex, CAST(in_vec AS BIGINT) AS in_vec
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY rrf DESC, doc_id) AS rk FROM fu) t
+        |WHERE rk <= 5""".stripMargin,
     // q170: symmetrized q22 edge degrees -> degree histogram with a
     // subtraction-derived degree-0 row.
     "q170_degree_audit" ->

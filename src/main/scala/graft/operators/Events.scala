@@ -704,4 +704,42 @@ object Events {
         col("asof_event_id").as("next_purchase_id"),
         col("asof_ts").as("next_purchase_ts"))
   }
+
+  /** q173: POINT-IN-TIME-CORRECT feature/label extraction — the
+    * feature-store primitive behind every churn/propensity model
+    * trained off an event stream: a cutoff at the 80% point of the
+    * corpus time range (integer µs arithmetic, engine-exact) splits
+    * each user's history into a FEATURE window (strictly pre-cutoff:
+    * event count, error count, integer-cents value sum, distinct
+    * active days) and a LABEL window (churned = no post-cutoff
+    * activity). Leakage is impossible by construction: both windows
+    * come from ONE conditional-aggregation pass, so no feature
+    * expression can read a post-cutoff row — the property a
+    * hand-rolled features-then-labels join gets wrong under late
+    * data. Scale: the cutoff is a broadcast 1-row scalar; the whole
+    * extraction is a single map-side-combinable hash agg keyed by
+    * user_id (no window, no self-join); an incremental rebuild would
+    * read the pre-window through the raw-nanos pushdown seam
+    * (Tables.eventsTsBounded) instead of rescanning the corpus. */
+  def pitFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val pre = col("ts") < col("cutoff")
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("cutoff", expr("t0 + ((t1 - t0) * 4) div 5"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(pre && col("event_type") === "error", 1L)
+          .otherwise(0L)).as("n_err_pre"),
+        sum(when(pre, expr("CAST(round(value * 100) AS BIGINT)"))
+          .otherwise(0L)).as("value_cents_pre"),
+        countDistinct(when(pre, expr("ts div 86400000000")))
+          .as("active_days_pre"),
+        max(when(col("ts") >= col("cutoff"), 1L).otherwise(0L))
+          .as("any_post"))
+      .select(col("user_id"), col("n_pre"), col("n_err_pre"),
+        col("value_cents_pre"), col("active_days_pre"),
+        (lit(1L) - col("any_post")).as("churned"))
+  }
 }

@@ -463,6 +463,57 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** q172: HYBRID RETRIEVAL FUSION (reciprocal-rank fusion) — the
+    * production RAG primitive the two proven arms were built for:
+    * a lexical arm (q169's BM25 core, "more-like-this" — each query
+    * doc's distinct tokens probe the corpus-wide inverted index) and
+    * a vector arm (q25's exact integer cosine top-k) are fused with
+    * the standard RRF score Σ 1/(60+rank), in integer ppm-of-1M form
+    * (`1000000 div (60+rank)`) so the fused ordering is
+    * engine-exact. Each arm contributes ≤ kArm rows PER QUERY — the
+    * fusion join and final top-k touch O(queries·k) rows no matter
+    * the corpus size, so at 100 TB the whole fusion stage costs
+    * nothing beyond the two arms (each already k-bounded via
+    * TopKAgg). Provenance flags in_lex/in_vec audit which arm found
+    * each winner — the column a relevance engineer actually reads
+    * when tuning arm weights. Lexical arm ranks on round(score,4)
+    * (parity-robust vs raw ln() ulp; same rounding the q169 gate
+    * proves engine-identical) with doc_id tiebreak. */
+  def hybridRrf(s: SparkSession, dir: String, kArm: Int = 5,
+      kOut: Int = 5): DataFrame = {
+    import graft.functions.TopK
+    val qTokens = broadcast(Tables.documents(s, dir)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok")))
+    val lex = TextAnalysis.bm25Scored(s, dir, qTokens, col("doc_id") >= 5)
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(kArm)(col("doc_id"), round(col("score"), 4)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
+    val vec = annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+      .withColumn("in_lex",
+        when(col("lex_rank").isNotNull, 1L).otherwise(0L))
+      .withColumn("in_vec",
+        when(col("vec_rank").isNotNull, 1L).otherwise(0L))
+    fused.groupBy(col("query_id"))
+      .agg(TopK.topk(kOut)(col("doc_id"), col("rrf").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").cast("long").as("rrf_ppm"))
+      .join(fused.select(col("query_id"), col("doc_id"),
+        col("in_lex"), col("in_vec")), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_ppm"), col("in_lex"), col("in_vec"))
+  }
+
   /** q124: SQ8 compress-then-rerank ANN — the memory-bandwidth scale
     * path production vector search actually runs: (1) every vector is
     * scalar-quantized to int8 codes (`round(x·127)` — exact for these

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -296,16 +296,16 @@ object TextAnalysis {
     * persisted inverted index this computes inline. All-double
     * scoring with pinned order; ranking by (score desc, doc_id) is
     * the engine-identical total order. */
-  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import graft.functions.TopK
-    import s.implicits._
-    // BM25 constants appear as the same decimal LITERALS in the
-    // oracle SQL (2.2 = k1+1, 0.25 = 1-b) — a Scala-computed k1+1
-    // could differ from the parsed literal 2.2 by one ulp
-    val queries = Seq(("qa", "stream"), ("qa", "window"), ("qa", "merge"),
-      ("qb", "customer"), ("qb", "key"),
-      ("qc", "fast"), ("qc", "scan"), ("qc", "sort"))
-      .toDF("query_id", "tok")
+  /** Shared BM25 scoring core (q169 search / q172 hybrid fusion):
+    * scores `queries` (query_id, tok) against candidate docs passing
+    * `candidate`. The tf/df/dl/avgdl statistics are ALWAYS computed
+    * over the full corpus — restricting the candidate set must not
+    * change term weights (the production inverted index is
+    * corpus-wide; a query-time candidate filter only prunes the
+    * probe). Returns (query_id, doc_id, score) with score the raw
+    * double BM25 sum — callers choose their own rank/rounding. */
+  private[graft] def bm25Scored(s: SparkSession, dir: String,
+      queries: DataFrame, candidate: Column): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
@@ -314,7 +314,7 @@ object TextAnalysis {
     val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val scored = tf.join(broadcast(queries), "tok")
+    tf.filter(candidate).join(broadcast(queries), "tok")
       .join(df_.hint("shuffle_hash"), "tok")
       .join(dl.hint("shuffle_hash"), "doc_id")
       .crossJoin(broadcast(stats))
@@ -326,6 +326,19 @@ object TextAnalysis {
           (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
+  }
+
+  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import graft.functions.TopK
+    import s.implicits._
+    // BM25 constants appear as the same decimal LITERALS in the
+    // oracle SQL (2.2 = k1+1, 0.25 = 1-b) — a Scala-computed k1+1
+    // could differ from the parsed literal 2.2 by one ulp
+    val queries = Seq(("qa", "stream"), ("qa", "window"), ("qa", "merge"),
+      ("qb", "customer"), ("qb", "key"),
+      ("qc", "fast"), ("qc", "scan"), ("qc", "sort"))
+      .toDF("query_id", "tok")
+    val scored = bm25Scored(s, dir, queries, lit(true))
     scored.groupBy(col("query_id"))
       .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))

@@ -234,6 +234,21 @@ class PlanSpec extends SparkSpec {
       s"q164 grew unexpected window sorts:\n$p164")
   }
 
+  test("round-5 closers q171-q173 keep their shapes") {
+    // q172: both arms rank via the bounded TopKAgg and the fusion
+    // join is a (query_id, doc_id) equi-join — never a window sort,
+    // never a cartesian beyond q25's intentional query×corpus scan
+    val p172 = plan(Similarity.hybridRrf(spark, sfDir))
+    assert(!p172.contains("WindowExec"), "q172 grew a window sort")
+    // q173: the whole extraction is ONE hash agg over one scan plus
+    // a broadcast 1-row bounds scalar — no window, no self-join
+    val p173 = plan(Events.pitFeatures(spark, sfDir))
+    assert(!p173.contains("WindowExec"), "q173 grew a window sort")
+    assert(!p173.contains("SortMergeJoin") &&
+      !p173.contains("ShuffledHashJoin"),
+      s"q173 grew a shuffled self-join:\n$p173")
+  }
+
   test("q139 z-order files have tighter two-dim spans than a linear layout") {
     // the locality CLAIM as data: with equal file counts, the z-order
     // layout's summed span area must beat the linear (single-key)
