@@ -185,6 +185,15 @@ object SparkEntry {
     "q171_nprobe_sweep"     -> ((s, d) => Similarity.annNprobeSweep(s, d)),
     "q172_hybrid_rrf"       -> ((s, d) => Similarity.hybridRrf(s, d)),
     "q173_pit_features"     -> (Events.pitFeatures _),
+    "q174_auc_rank"         -> (Eval.aucRank _),
+    "q175_calibration"      -> (Eval.calibrationReport _),
+    "q176_psi_drift"        -> (Eval.psiDrift _),
+    "q177_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    "q178_lsh_precision"    -> ((s, d) => Dedup.lshPrecisionAudit(s, d)),
+    "q179_schema_evolution" -> ((s, d) => Bucketing.schemaEvolution(s, d)),
+    "q180_zorder_locality"  -> ((s, d) => Bucketing.zorderLocality(s, d)),
+    "q181_incremental_components" -> ((s, d) => Dedup.incrementalComponents(s, d)),
+    "q182_bbit_minhash"     -> ((s, d) => Dedup.bbitMinhashAudit(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3111,5 +3120,175 @@ object SparkEntry {
         |   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
         |FROM g""".stripMargin,
+    // q174: exact Mann-Whitney AUC with midrank ties over the bounded
+    // ppm-score domain; all-integer (hugeint sums mirror decimal-38).
+    "q174_auc_rank" ->
+      """WITH d AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+        |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(count(*) - sum(pos) AS BIGINT) AS n_neg FROM d GROUP BY score),
+        |c AS (SELECT score, n_pos, n_neg,
+        |  coalesce(sum(n_neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+        | FROM g)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        | CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        | CAST(sum(n_pos * (2 * cum_neg + n_neg)) * 1000000
+        |   // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_ppm
+        |FROM c""".stripMargin,
+    // q175: q29's evidence scores read as p(en) ppm (Laplace +1),
+    // decile reliability bins; exact integral ppm everywhere.
+    "q175_calibration" ->
+      """WITH b AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS BIGINT) AS s_es
+        | FROM b),
+        |p AS (SELECT s_en * 1000000 // (s_en + s_de + s_fr + s_es + 1) AS p_ppm,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM sc)
+        |SELECT CAST(least(p_ppm // 100000, 9) AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+        | CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS obs_ppm,
+        | CAST(sum(pos) * 1000000 // count(*)
+        |   - sum(p_ppm) // count(*) AS BIGINT) AS gap_ppm
+        |FROM p GROUP BY 1""".stripMargin,
+    // q176: PSI over 12 fixed length bins, A = old-version membership,
+    // B = new-version with the injected +40 shift on doc_id%3==0;
+    // Laplace ppm shares exact, ln-term rounded to 6dp per bin.
+    "q176_psi_drift" ->
+      """WITH ac AS (SELECT least(n_chars // 50, 11) AS bin, count(*) AS n_a
+        | FROM documents WHERE doc_id % 11 <> 0 GROUP BY 1),
+        |bc AS (SELECT least((CASE WHEN doc_id % 3 = 0 THEN n_chars + 40
+        |    ELSE n_chars END) // 50, 11) AS bin, count(*) AS n_b
+        | FROM documents WHERE doc_id % 13 <> 0 GROUP BY 1),
+        |bins AS (SELECT unnest(range(12)) AS bin),
+        |j AS (SELECT bins.bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        | FROM bins LEFT JOIN ac ON bins.bin = ac.bin
+        |  LEFT JOIN bc ON bins.bin = bc.bin),
+        |t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j),
+        |f AS (SELECT bin, n_a, n_b,
+        |  CAST((n_a + 1) * 1000000 // (tot_a + 12) AS BIGINT) AS pa_ppm,
+        |  CAST((n_b + 1) * 1000000 // (tot_b + 12) AS BIGINT) AS pb_ppm
+        | FROM j CROSS JOIN t)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+        | CAST(n_b AS BIGINT) AS n_b, pa_ppm, pb_ppm,
+        | round((pa_ppm - pb_ppm) / 1e6
+        |   * ln(CAST(pa_ppm AS DOUBLE) / pb_ppm), 6) AS psi_contrib
+        |FROM f""".stripMargin,
+    // q177: adjacent-bigram pointwise lift (exp-PMI, rank-identical),
+    // marginals from the same bigram table, min-count 5, top-20.
+    "q177_pmi_collocations" ->
+      """WITH b AS (SELECT string_split(text, ' ') AS toks FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS g FROM b),
+        |w AS (SELECT string_split(g, ' ')[1] AS w1,
+        |  string_split(g, ' ')[2] AS w2 FROM bg),
+        |p AS (SELECT w1, w2, count(*) AS c_ab FROM w GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(c_ab) AS c_a FROM p GROUP BY 1),
+        |r AS (SELECT w2, sum(c_ab) AS c_b FROM p GROUP BY 1),
+        |t AS (SELECT sum(c_ab) AS n_bigrams FROM p)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        | CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+        | CAST(c_ab * n_bigrams * 1000000 // (c_a * c_b) AS BIGINT) AS lift_ppm
+        |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+        |WHERE c_ab >= 5
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+    // q178: q22's band candidates verified by exact trigram Jaccard
+    // at 0.5 in integer form (2*common >= |A|+|B|-common).
+    "q178_lsh_precision" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.d1, c.d2,
+        |  CAST(len(list_intersect(t1.sh, t2.sh)) AS BIGINT) AS common,
+        |  CAST(len(t1.sh) AS BIGINT) AS l1, CAST(len(t2.sh) AS BIGINT) AS l2
+        | FROM c JOIN t t1 ON c.d1 = t1.doc_id JOIN t t2 ON c.d2 = t2.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        | CAST(sum(CASE WHEN 2 * common >= l1 + l2 - common
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        | CAST(sum(CASE WHEN 2 * common >= l1 + l2 - common
+        |   THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS precision_ppm
+        |FROM v""".stripMargin,
+    // q179: generation split is event_id parity; legacy (even) rows
+    // count but contribute zero revenue — layout never changes results.
+    "q179_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_legacy,
+        | CAST(sum(CASE WHEN event_id % 2 = 1
+        |   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |   AS value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q180: 5-bit-per-dimension Morton interleave via div/mod, 16-cell
+    // blocks, 4x4 aligned box query; blocks touched per layout.
+    "q180_zorder_locality" ->
+      """WITH e AS (SELECT user_id % 32 AS u,
+        |  (epoch_us(ts) // 86400000000) % 32 AS d FROM events),
+        |m AS (SELECT u, d,
+        |  (((u // 1) % 2) * 2 + ((d // 1) % 2) * 1
+        |   + ((u // 2) % 2) * 8 + ((d // 2) % 2) * 4
+        |   + ((u // 4) % 2) * 32 + ((d // 4) % 2) * 16
+        |   + ((u // 8) % 2) * 128 + ((d // 8) % 2) * 64
+        |   + ((u // 16) % 2) * 512 + ((d // 16) % 2) * 256) AS z,
+        |  u * 32 + d AS lin,
+        |  (u BETWEEN 8 AND 11 AND d BETWEEN 8 AND 11) AS in_box FROM e)
+        |SELECT CAST(sum(CASE WHEN in_box THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_box_rows,
+        | CAST(count(DISTINCT z // 16) AS BIGINT) AS z_blocks_total,
+        | CAST(count(DISTINCT lin // 16) AS BIGINT) AS lin_blocks_total,
+        | CAST(count(DISTINCT CASE WHEN in_box THEN z // 16 END) AS BIGINT)
+        |   AS z_blocks_touched,
+        | CAST(count(DISTINCT CASE WHEN in_box THEN lin // 16 END) AS BIGINT)
+        |   AS lin_blocks_touched
+        |FROM m""".stripMargin,
+    // q181: full-recompute ground truth — recursive closure over the
+    // whole corpus's band graph (q59's oracle) + singleton fill; the
+    // incremental super-node path must reproduce it exactly.
+    "q181_incremental_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v)
+        |SELECT d.doc_id,
+        | CAST(coalesce(comp.component, d.doc_id) AS BIGINT) AS component
+        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""".stripMargin,
+    // q182: per-candidate full-signature vs 1-bit estimates; low bit =
+    // last md5 hex nibble parity, correction 2a-1 clamped at 0.
+    "q182_bbit_minhash" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |s1 AS (SELECT doc_id, [h0,h1,h2,h3,h4,h5,h6,h7] AS hs FROM sig),
+        |v AS (SELECT c.d1, c.d2,
+        |  CAST(len(list_filter(range(8), i -> a.hs[i+1] = b.hs[i+1]))
+        |    AS BIGINT) AS m8,
+        |  CAST(len(list_filter(range(8), i ->
+        |    ((strpos('0123456789abcdef', substr(a.hs[i+1], 32, 1)) - 1) % 2)
+        |    = ((strpos('0123456789abcdef', substr(b.hs[i+1], 32, 1)) - 1) % 2)))
+        |    AS BIGINT) AS a8
+        | FROM c JOIN s1 a ON c.d1 = a.doc_id JOIN s1 b ON c.d2 = b.doc_id)
+        |SELECT d1, d2, m8, a8,
+        | CAST(m8 * 1000000 // 8 AS BIGINT) AS est_full_ppm,
+        | CAST(greatest(2 * (a8 * 1000000 // 8) - 1000000, 0) AS BIGINT)
+        |   AS est_b1_ppm,
+        | CAST(greatest(2 * (a8 * 1000000 // 8) - 1000000, 0)
+        |   - m8 * 1000000 // 8 AS BIGINT) AS err_ppm
+        |FROM v""".stripMargin,
   )
 }

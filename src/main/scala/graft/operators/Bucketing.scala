@@ -197,4 +197,73 @@ object Bucketing {
         col("max_chars"),
         round(col("n_docs") / col("n").cast("double"), 4).as("doc_frac"))
   }
+
+  /** q179: SCHEMA EVOLUTION read — the lakehouse reality every
+    * long-lived event table hits: old files were written before a
+    * column existed (here: v1 files lack `value_cents`; v2 files
+    * carry it), and the engine must union them WITHOUT a rewrite.
+    * Stages the two generations as separate parquet dirs (event_id
+    * parity standing in for write-time), reads them back in ONE scan
+    * with mergeSchema=true (Spark resolves the superset schema;
+    * missing columns surface as NULL — exactly the semantics a
+    * 100 TB table migration needs, since rewriting history is the
+    * thing you can't afford), and aggregates across generations:
+    * per-type totals where legacy rows count but contribute zero
+    * revenue. The oracle computes the same from the raw table — the
+    * layout/generation split must never change results. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q179", dir)
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(stage + "/v1")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .write.mode("overwrite").parquet(stage + "/v2")
+    s.read.option("mergeSchema", "true")
+      .parquet(stage + "/v1", stage + "/v2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value_cents").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("value_cents"), lit(0L))).as("value_cents"))
+  }
+
+  /** q180: Z-ORDER layout locality audit — the multi-dimensional
+    * clustering lever next to q82's bucketing (one key) and q138's
+    * partitioning (one dimension): when queries filter on TWO
+    * dimensions (user × day here), neither single-dimension sort
+    * helps both; a Morton/Z-code interleaving their bits keeps
+    * 2-D-close rows file-close. This query MEASURES that on the
+    * events table: rows map to 16-cell blocks ("files") under (a)
+    * Z-order and (b) row-major (user-then-day) layout, and a 4×4
+    * aligned box query (u,d ∈ [8,11]) counts blocks it would touch
+    * under each — the Z-layout's aligned box lands in ONE block
+    * while row-major scatters it across one block PER user value.
+    * The bit interleave is pure integer div/mod arithmetic (5 bits
+    * per dimension), identical on both engines; one narrow pass +
+    * one agg, no shuffle beyond the final fold. At 100 TB this
+    * audit prices a re-layout before you pay for it: blocks touched
+    * IS the I/O ratio. */
+  def zorderLocality(s: SparkSession, dir: String): DataFrame = {
+    val z = (0 until 5).map { i =>
+      val pu = 1L << i; val pz = 1L << (2 * i + 1)
+      val pd = 1L << i; val pzd = 1L << (2 * i)
+      expr(s"((u div $pu) % 2) * $pz + ((d div $pd) % 2) * $pzd")
+    }.reduce(_ + _)
+    Tables.events(s, dir)
+      .select((col("user_id") % 32).as("u"),
+        expr("(ts div 86400000000) % 32").as("d"))
+      .withColumn("z", z)
+      .withColumn("zb", expr("z div 16"))
+      .withColumn("lb", expr("(u * 32 + d) div 16"))
+      .withColumn("in_box",
+        col("u").between(8, 11) && col("d").between(8, 11))
+      .agg(
+        sum(when(col("in_box"), 1L).otherwise(0L)).as("n_box_rows"),
+        countDistinct(col("zb")).as("z_blocks_total"),
+        countDistinct(col("lb")).as("lin_blocks_total"),
+        countDistinct(when(col("in_box"), col("zb"))).as("z_blocks_touched"),
+        countDistinct(when(col("in_box"), col("lb"))).as("lin_blocks_touched"))
+  }
 }

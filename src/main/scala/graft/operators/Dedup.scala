@@ -892,4 +892,138 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
   }
+
+  /** q178: LSH PRECISION audit — the other half of q153's
+    * measurement: q153 asks "which true pairs does the cheap index
+    * MISS" (recall); this asks "how much of the candidate volume the
+    * index emits is WASTED" (precision) — the number that prices the
+    * verify stage, because at 100 TB every false candidate is a
+    * shuffled shingle-set pair and an array-intersect you paid for
+    * nothing. Each MinHash band candidate (q22's generator,
+    * unchanged) is verified against exact trigram Jaccard at the 0.5
+    * threshold in INTEGER form (2·common ≥ |A|+|B|−common ⟺
+    * J ≥ ½ — no float compare at the boundary); output is one row:
+    * candidates, survivors, precision ppm (exact integral div).
+    * Shapes: the banding self-join (bounded buckets) + two id-keyed
+    * shuffle-hash joins to fetch shingle sets — candidate-volume
+    * cost, never corpus². */
+  def lshPrecisionAudit(s: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLsh(s, dir)
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    cand
+      .join(t.hint("shuffle_hash")
+        .select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(t.hint("shuffle_hash")
+        .select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("true_pair",
+        (lit(2L) * col("common") >=
+          size(col("sh1")) + size(col("sh2")) - col("common")).cast("long"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("true_pair")).as("n_true"))
+      .select(col("n_candidates"), col("n_true"),
+        expr("n_true * 1000000 div n_candidates").as("precision_ppm"))
+  }
+
+  /** q181: INCREMENTAL connected components — the pair-graph
+    * counterpart of q111's persisted-index dedup: the base corpus
+    * (doc_id%4 ≠ 3) has its band index AND component labels written
+    * once ([[stagingRoot]] parquet standing in for the catalog);
+    * an increment (doc_id%4 = 3) is folded in WITHOUT re-banding or
+    * re-propagating the base. The algebra that makes this exact:
+    * base components collapse to SUPER-NODES (their min-id label),
+    * delta-incident edges (delta bands probing the persisted index +
+    * a delta×delta self-join) map endpoints through the label table,
+    * and components run on the SUPER-NODE graph — which is |deltas +
+    * touched components| big, never corpus-sized. Min-label over the
+    * super graph = global min doc_id of each merged component, so
+    * the result is IDENTICAL to a full recompute — which is exactly
+    * what the oracle (recursive closure over the full corpus's band
+    * graph) proves. Output: (doc_id, component) for every doc. */
+  def incrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 4 =!= 3)
+    val delta = docs.filter(col("doc_id") % 4 === 3)
+    val stage = StreamingOps.stagingRoot("q181idx", dir)
+    // -- write-once phase (amortized across all future increments) --
+    minhashBandsOf(base).write.mode("overwrite").parquet(stage + "/bands")
+    val bb = s.read.parquet(stage + "/bands")
+    val baseEdges = bb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    base.select(col("doc_id"))
+      .join(components(baseEdges), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("sn"))
+      .write.mode("overwrite").parquet(stage + "/labels")
+    // -- incremental probe phase: index + labels + delta only --
+    val idx = s.read.parquet(stage + "/bands")
+    val baseMap = s.read.parquet(stage + "/labels")
+    val dBands = minhashBandsOf(delta)
+    val deltaBase = dBands.as("a")
+      .join(idx.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val deltaDelta = dBands.as("a")
+      .join(dBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val allMap = baseMap
+      .union(delta.select(col("doc_id"), col("doc_id").as("sn")))
+    val superEdges = deltaBase.union(deltaDelta)
+      .join(allMap.select(col("doc_id").as("d1"), col("sn").as("sn1"))
+        .hint("shuffle_hash"), "d1")
+      .join(allMap.select(col("doc_id").as("d2"), col("sn").as("sn2"))
+        .hint("shuffle_hash"), "d2")
+      .filter(col("sn1") =!= col("sn2"))
+      .select(col("sn1").as("d1"), col("sn2").as("d2")).distinct()
+    val superLabels = components(superEdges)
+      .select(col("doc_id").as("sn"), col("component").as("super_label"))
+    allMap.join(superLabels.hint("shuffle_hash"), Seq("sn"), "left")
+      .select(col("doc_id"),
+        coalesce(col("super_label"), col("sn")).as("component"))
+  }
+
+  /** q182: b-BIT MinHash compression audit — the signature-storage
+    * trade (Li & König): keeping only the LOWEST BIT of each of the
+    * 8 MinHash values shrinks the persisted index 32× (1 byte vs 32
+    * per doc here; at 100 TB the index is a real table and this is
+    * the difference between RAM and disk), at the cost of estimator
+    * variance the b=1 correction ĵ = 2·(agree/k) − 1 only partially
+    * recovers. The audit quantifies that trade ON THIS CORPUS: per
+    * band-candidate pair (q22's generator), the full-signature
+    * estimate (matches/8, exact integral ppm) against the 1-bit
+    * estimate (clamped correction, exact integral ppm) and the
+    * signed error. Low-bit parity comes from the minhash md5 hex's
+    * last nibble — deterministic on both engines. Bounded by
+    * candidate volume; two id-keyed shuffle-hash joins. */
+  def bbitMinhashAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sig = docs
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .withColumn("hs", org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
+      .select(col("doc_id"), col("hs"))
+    val cand = minhashLsh(s, dir)
+    val m8 = (0 until 8).map(i =>
+      when(col("hs1")(i) === col("hs2")(i), 1L).otherwise(0L)).reduce(_ + _)
+    val a8 = (0 until 8).map { i =>
+      val b1 = conv(substring(col("hs1")(i), 32, 1), 16, 10).cast("long") % 2
+      val b2 = conv(substring(col("hs2")(i), 32, 1), 16, 10).cast("long") % 2
+      when(b1 === b2, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    cand
+      .join(sig.hint("shuffle_hash")
+        .select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
+      .join(sig.hint("shuffle_hash")
+        .select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .withColumn("m8", m8)
+      .withColumn("a8", a8)
+      .select(col("d1"), col("d2"), col("m8"), col("a8"),
+        expr("m8 * 1000000 div 8").as("est_full_ppm"),
+        greatest(expr("2 * (a8 * 1000000 div 8) - 1000000"), lit(0L))
+          .as("est_b1_ppm"))
+      .withColumn("err_ppm", col("est_b1_ppm") - col("est_full_ppm"))
+  }
 }

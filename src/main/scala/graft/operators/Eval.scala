@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Model-evaluation and distribution-drift operators (SURVEY §2.E2
+  * extension) — the measurement layer a training-data pipeline runs
+  * over its own heuristic classifiers and corpus snapshots: exact
+  * ranking quality (AUC), probability calibration (reliability /
+  * ECE), and distribution drift (PSI). All three are
+  * integer-arithmetic or round-at-the-end deterministic, so the
+  * DuckDB oracle replays them bit-exactly.
+  */
+object Eval {
+
+  /** q174: EXACT ROC AUC via the Mann–Whitney rank-sum identity with
+    * midrank tie handling — the ranking-quality number every learned
+    * or heuristic quality filter (q28's TTR score here, predicting
+    * "is English") gets audited with before its threshold is trusted
+    * to cut a corpus. AUC = P(score⁺ > score⁻) + ½P(tie), computed
+    * WITHOUT ranking individual rows: group rows by their
+    * integer-ppm score (the domain is ≤ 1e6+1 values at ANY corpus
+    * size — a per-row rank would be a corpus-scale sort), then one
+    * ordered pass over the bounded score domain accumulates
+    * Σ n⁺(s)·(2·cumNeg(<s) + n⁻(s)) = 2·U. Everything is integer:
+    * decimal(38,0) guards the U accumulator (U ~ n²/4 overflows
+    * BIGINT past ~6e9 rows), and the final div is exact integral
+    * division — no float enters at any point, so the oracle matches
+    * bit-for-bit, ties included.
+    *
+    * Scale: one map-side-combinable agg (corpus → ≤1e6 score rows),
+    * one single-partition window over that BOUNDED domain (the q97
+    * histogram argument: constant-size, never corpus-size), one
+    * final agg. */
+  def aucRank(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    aucOf(Tables.documents(s, dir).select(
+      size(array_distinct(toks)).cast("long").as("s_uniq"),
+      size(toks).cast("long").as("s_tok"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .select(expr("s_uniq * 1000000 div s_tok").as("score"), col("pos")))
+  }
+
+  /** [[aucRank]]'s core over any (score: long, pos: 0/1 long) frame —
+    * the property-testable seam (perfect separation ⇒ 1e6, reversed
+    * ⇒ 0, all-tied ⇒ 500000 exactly, by midrank). */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    val grouped = scored
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("cum_neg", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("n_pos")).as("p"),
+        sum(col("n_neg")).as("n"),
+        sum(col("n_pos").cast("decimal(38,0)")
+          * (lit(2L) * col("cum_neg") + col("n_neg"))).as("u2"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        expr("CAST(u2 * 1000000 div (2 * p * n) AS BIGINT)").as("auc_ppm"))
+  }
+
+  /** q175: probability CALIBRATION report (reliability table) — the
+    * audit run before any heuristic score is treated as a
+    * probability: the lang-ID evidence ratio (q29's stopword-hit
+    * scores, Laplace +1 in the denominator) is read as
+    * p(en) in ppm, binned into 10 probability deciles, and each bin
+    * compares MEAN PREDICTED ppm against OBSERVED positive rate ppm;
+    * the signed gap per bin is the reliability curve, and
+    * Σ n·|gap|/N (the per-bin rows carry everything needed) is ECE.
+    * A well-calibrated score has gaps ≈ 0; a discriminative but
+    * uncalibrated one (typical for evidence ratios) shows the
+    * S-shaped gap profile — which is the point of the audit.
+    *
+    * All-integer: predictions and rates are exact integral ppm
+    * divisions (decimal(38,0) guards the per-bin p_ppm sum);
+    * output is ≤10 rows at any corpus size from one
+    * map-side-combinable agg. */
+  def calibrationReport(s: SparkSession, dir: String): DataFrame = {
+    TextAnalysis.langId(s, dir)
+      .select(
+        expr("s_en * 1000000 div (s_en + s_de + s_fr + s_es + 1)").as("p_ppm"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(p_ppm AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_pred_ppm"),
+        expr("sum(pos) * 1000000 div count(1)").as("obs_ppm"))
+      .withColumn("gap_ppm", col("obs_ppm") - col("mean_pred_ppm"))
+  }
+
+  /** q176: POPULATION STABILITY INDEX between two corpus snapshots —
+    * the distribution-drift monitor run between training snapshots
+    * (q150 diffs identities; this diffs the SHAPE of the corpus):
+    * doc-length distributions of snapshot A (q150's old-version
+    * membership rule) and snapshot B (new-version membership, with a
+    * deterministic injected length shift on doc_id%3==0 standing in
+    * for "the new crawler adds boilerplate" — the q161
+    * injected-regression pattern, so the gate proves the monitor
+    * DETECTS drift, not just that it emits zeros). Lengths bin into
+    * 12 fixed 50-char bins (capped top bin); per-bin shares are
+    * Laplace-smoothed integral ppm — (n+1)·1e6 div (N+12) — so empty
+    * bins never divide by zero and the ppm arithmetic is exact; the
+    * only float is the standard PSI log-ratio term
+    * (Δp·ln(pA/pB)), rounded to 6dp per bin (the q162 convention).
+    * Output: 12 rows at any corpus size; two map-side-combinable
+    * bin counts + a broadcast totals row. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val nb = 12
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val a = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(least(expr("n_chars div 50"), lit(nb - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_a"))
+    val b = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("nc", when(col("doc_id") % 3 === 0, col("n_chars") + 40)
+        .otherwise(col("n_chars")))
+      .select(least(expr("nc div 50"), lit(nb - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = s.range(nb).select(col("id").as("bin"))
+    val joined = bins
+      .join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr(s"(n_a + 1) * 1000000 div (tot_a + $nb)").as("pa_ppm"),
+        expr(s"(n_b + 1) * 1000000 div (tot_b + $nb)").as("pb_ppm"))
+      .withColumn("psi_contrib",
+        round((col("pa_ppm") - col("pb_ppm")).cast("double") / 1e6
+          * log(col("pa_ppm").cast("double") / col("pb_ppm")), 6))
+  }
+}

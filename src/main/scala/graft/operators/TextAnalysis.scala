@@ -429,4 +429,39 @@ object TextAnalysis {
         ((col("n_langs") - 1) * (col("n_bands") - 1)).as("dof"),
         col("chi2"))
   }
+
+  /** q177: PMI COLLOCATION mining — the corpus-linguistics primitive
+    * behind multi-word-expression vocab entries ("new york"-style
+    * merges a tokenizer wants as one unit) and phrase-table seeding:
+    * over the adjacent-bigram distribution, score each bigram by
+    * pointwise LIFT c(ab)·N / (c(a·)·c(·b)) — the exp of PMI, rank-
+    * identical to it but computable EXACTLY in integers (PMI's ln
+    * would put a float in the ordering; lift keeps the top-k
+    * engine-exact). Marginals are first-position / second-position
+    * counts from the SAME bigram table (the standard adjacent-pair
+    * convention), a min-count floor of 5 kills the noise tail, and
+    * lift is integral ppm over decimal(38,0) (c·N·1e6 overflows
+    * BIGINT at ~1e12 bigrams). Scale: one exploded-bigram shuffle +
+    * two bounded-domain marginal aggs re-joined by token key (skew-
+    * safe: marginal tables are vocab-sized); global top-20 via
+    * TakeOrderedAndProject, never a full sort. */
+  def pmiCollocations(s: SparkSession, dir: String,
+      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(explode(bigrams2(col("text"))).as("bg"))
+      .select(split(col("bg"), " ")(0).as("w1"), split(col("bg"), " ")(1).as("w2"))
+    val pairs = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val left = pairs.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val right = pairs.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val total = pairs.agg(sum(col("c_ab")).as("n_bigrams"))
+    pairs.filter(col("c_ab") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_bigrams * 1000000" +
+          " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
