@@ -188,6 +188,40 @@ object ScaleProbe {
       }
     }
 
+    // ---- incremental connected components (q181) ----
+    // Same replica-disjoint expansion as "docs" (prefixed tokens ⇒
+    // no cross-replica pairs); the base grows k×, the DELTA stays
+    // FIXED (replica 0's doc_id%4==3 slice). Full recompute re-bands
+    // and re-propagates the k×-corpus per increment; the probe reads
+    // the persisted index + the fixed delta — its cost must track
+    // |delta|, not |corpus| (the super-node graph never exceeds
+    // |delta| + touched components). The measured gap is q181's
+    // 100 TB argument, the pair-graph twin of the IVM probe above.
+    if (probeSel.contains("inccc")) {
+      import graft.operators.Dedup
+      for (k <- Seq(1, 2, 4, 8)) {
+        val docs = expand(k).cache()
+        val n = docs.count()
+        val baseSide = docs.filter(col("doc_id") >= 10000000L || col("doc_id") % 4 =!= 3)
+        val delta = docs.filter(col("doc_id") < 10000000L && col("doc_id") % 4 === 3)
+        val stage = s"${sys.props("java.io.tmpdir")}/graft-probe-inccc-$k"
+        Dedup.writeComponentIndex(spark, baseSide, stage)
+        def fullRecompute() = docs.select(col("doc_id"))
+          .join(Dedup.components(minhashOf(docs)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        if (k == 1) { // warm codegen
+          time(fullRecompute())
+          time(Dedup.probeComponentIndex(spark, stage, delta))
+        }
+        val tFull = time(fullRecompute())
+        val tProbe = time(Dedup.probeComponentIndex(spark, stage, delta))
+        val nDelta = delta.count()
+        println(f"""{"k":$k,"docs":$n,"delta":$nDelta,"full_sec":$tFull%.2f,"probe_sec":$tProbe%.2f}""")
+        docs.unpersist()
+      }
+    }
+
     // ---- histogram-pass operators (q151 range buckets / q154 MAD) ----
     // Row-replica expansion (distribution unchanged; q154's sources
     // suffixed per replica so GROUP count also grows k×): q151's

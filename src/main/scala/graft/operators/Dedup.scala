@@ -945,7 +945,15 @@ object Dedup {
     val base = docs.filter(col("doc_id") % 4 =!= 3)
     val delta = docs.filter(col("doc_id") % 4 === 3)
     val stage = StreamingOps.stagingRoot("q181idx", dir)
-    // -- write-once phase (amortized across all future increments) --
+    writeComponentIndex(s, base, stage)
+    probeComponentIndex(s, stage, delta)
+  }
+
+  /** [[incrementalComponents]]'s write-once phase: band index +
+    * component labels of the base corpus, persisted to `stage`
+    * (parquet standing in for the catalog). Paid once, amortized
+    * across every subsequent increment. */
+  def writeComponentIndex(s: SparkSession, base: DataFrame, stage: String): Unit = {
     minhashBandsOf(base).write.mode("overwrite").parquet(stage + "/bands")
     val bb = s.read.parquet(stage + "/bands")
     val baseEdges = bb.as("a")
@@ -957,7 +965,13 @@ object Dedup {
       .join(components(baseEdges), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("sn"))
       .write.mode("overwrite").parquet(stage + "/labels")
-    // -- incremental probe phase: index + labels + delta only --
+  }
+
+  /** [[incrementalComponents]]'s per-increment phase: reads ONLY the
+    * persisted index + labels and the delta — the base corpus is
+    * never rescanned, re-banded, or re-propagated; the component
+    * join runs on the |delta|-sized super-node graph. */
+  def probeComponentIndex(s: SparkSession, stage: String, delta: DataFrame): DataFrame = {
     val idx = s.read.parquet(stage + "/bands")
     val baseMap = s.read.parquet(stage + "/labels")
     val dBands = minhashBandsOf(delta)
