@@ -36,7 +36,7 @@ object SparkEntry {
     "q22_dedup_minhash"     -> (Dedup.minhashLsh _),
     "q23_dedup_simhash"     -> (Dedup.simhash _),
     "q24_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
-    "q25_ann_bruteforce"    -> (Similarity.annBruteForce _),
+    "q25_ann_bruteforce"    -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q26_ann_lsh"           -> ((s, d) => Similarity.annLshBuckets(s, d)),
     "q27_token_stats"       -> (TextAnalysis.tokenStats _),
     "q28_doc_quality"       -> (TextAnalysis.docQuality _),
@@ -194,6 +194,10 @@ object SparkEntry {
     "q180_zorder_locality"  -> ((s, d) => Bucketing.zorderLocality(s, d)),
     "q181_incremental_components" -> ((s, d) => Dedup.incrementalComponents(s, d)),
     "q182_bbit_minhash"     -> ((s, d) => Dedup.bbitMinhashAudit(s, d)),
+    "q183_ndcg_eval"        -> (Eval.ndcgEval _),
+    "q184_bootstrap_ci"     -> ((s, d) => Eval.bootstrapCi(s, d)),
+    "q185_path_topk"        -> ((s, d) => Events.pathTopK(s, d)),
+    "q186_media_canonical"  -> ((s, d) => Multimodal.mediaCanonical(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3290,5 +3294,113 @@ object SparkEntry {
         | CAST(greatest(2 * (a8 * 1000000 // 8) - 1000000, 0)
         |   - m8 * 1000000 // 8 AS BIGINT) AS err_ppm
         |FROM v""".stripMargin,
+    // q183: IVF top-10 (nprobe=2) vs brute-force ideal, graded 3/2/1
+    // by ideal rank; integer ppm discount weights, constant IDCG.
+    "q183_ndcg_eval" ->
+      s"""WITH $ivfScoreCtes,
+        |ap AS (SELECT query_id, neighbor_id, rk AS ar FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        | FROM sc) t WHERE rk <= 10),
+        |ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5),
+        |er AS (SELECT query_id, neighbor_id,
+        |  CASE WHEN rk <= 2 THEN 3 WHEN rk <= 5 THEN 2 ELSE 1 END AS rel
+        | FROM (SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM ex) t WHERE rk <= 10),
+        |j AS (SELECT ap.query_id, ap.ar, coalesce(er.rel, 0) AS rel
+        | FROM ap LEFT JOIN er ON ap.query_id = er.query_id
+        |  AND ap.neighbor_id = er.neighbor_id),
+        |d AS (SELECT query_id, CAST(sum(rel * CASE ar
+        |   WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        |   WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+        |   WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+        |   WHEN 10 THEN 289065 ELSE 0 END) AS BIGINT) AS dcg_ppm
+        | FROM j GROUP BY 1)
+        |SELECT query_id, dcg_ppm, CAST(9122950 AS BIGINT) AS idcg_ppm,
+        | CAST(dcg_ppm * 1000000 // 9122950 AS BIGINT) AS ndcg_ppm
+        |FROM d""".stripMargin,
+    // q184: Poisson(1) weights from 32-bit md5 thresholds, 100
+    // replicate means in exact milli-chars, CI = ranks 3/98.
+    "q184_bootstrap_ci" ->
+      s"""WITH rs AS (SELECT unnest(range(100)) AS r),
+        |e AS (SELECT doc_id, n_chars, r FROM documents, rs),
+        |uu AS (SELECT r, n_chars,
+        |  ${hex8Sql("concat('boot', r, '|', doc_id)")} AS u FROM e),
+        |wv AS (SELECT r, n_chars, 5 -
+        |  (CASE WHEN u < 1580030168 THEN 1 ELSE 0 END
+        |   + CASE WHEN u < 3160060337 THEN 1 ELSE 0 END
+        |   + CASE WHEN u < 3950075421 THEN 1 ELSE 0 END
+        |   + CASE WHEN u < 4213413783 THEN 1 ELSE 0 END
+        |   + CASE WHEN u < 4279248373 THEN 1 ELSE 0 END) AS w FROM uu),
+        |mm AS (SELECT r, CAST(sum(w * n_chars) * 1000 // sum(w) AS BIGINT)
+        |   AS mean_milli FROM wv GROUP BY r),
+        |rk AS (SELECT r, mean_milli,
+        |  row_number() OVER (ORDER BY mean_milli, r) AS rk FROM mm),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) * 1000 // count(*) AS BIGINT) AS mean_milli
+        | FROM documents)
+        |SELECT p.n_docs, CAST(100 AS BIGINT) AS n_replicates, p.mean_milli,
+        | (SELECT mean_milli FROM rk WHERE rk = 3) AS ci_lo_milli,
+        | (SELECT mean_milli FROM rk WHERE rk = 98) AS ci_hi_milli
+        |FROM p""".stripMargin,
+    // q185: per-user lead()x2 3-step paths, corpus count, top-10.
+    "q185_path_topk" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+        |  event_type FROM events),
+        |w AS (SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS t2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS t3
+        | FROM s)
+        |SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM w WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // q186: q113's hamming pair graph -> recursive closure ->
+    // largest-binary keeper per cluster (ties smallest id).
+    "q186_media_canonical" ->
+      """WITH RECURSIVE b AS (SELECT doc_id,
+        |  list_transform(range(1, 65), i ->
+        |   CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1))
+        |     < ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) THEN 1 ELSE 0 END) AS bits
+        | FROM documents WHERE len(text) >= 65),
+        |h AS (SELECT doc_id, array_to_string(list_transform(range(0, 16), j ->
+        |   substr('0123456789abcdef',
+        |     bits[CAST(j*4+1 AS INTEGER)]*8 + bits[CAST(j*4+2 AS INTEGER)]*4
+        |     + bits[CAST(j*4+3 AS INTEGER)]*2 + bits[CAST(j*4+4 AS INTEGER)] + 1, 1)), '') AS dhash
+        | FROM b),
+        |bd AS (SELECT doc_id, unnest(range(8)) AS band,
+        |  substr(dhash, CAST(unnest(range(8))*2 + 1 AS INTEGER), 2) AS band_key FROM h),
+        |c AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        | FROM bd x JOIN bd y ON x.band = y.band AND x.band_key = y.band_key
+        |  AND x.doc_id < y.doc_id),
+        |v AS (SELECT id1, id2,
+        |  CAST(list_sum(list_transform(range(16), j ->
+        |    bit_count(xor(
+        |     CAST(strpos('0123456789abcdef', substr(a.dhash, CAST(j+1 AS INTEGER), 1)) - 1 AS BIGINT),
+        |     CAST(strpos('0123456789abcdef', substr(bb.dhash, CAST(j+1 AS INTEGER), 1)) - 1 AS BIGINT))))) AS BIGINT) AS hamming
+        | FROM c JOIN h a ON id1 = a.doc_id JOIN h bb ON id2 = bb.doc_id),
+        |ee AS (SELECT id1, id2 FROM v WHERE hamming <= 8),
+        |adj AS (SELECT id1 AS vv, id2 AS u FROM ee UNION SELECT id2, id1 FROM ee),
+        |r AS (SELECT vv, u FROM adj
+        | UNION SELECT r.vv, adj.u FROM r, adj WHERE r.u = adj.vv),
+        |comp AS (SELECT vv AS doc_id, least(vv, min(u)) AS component
+        | FROM r GROUP BY vv),
+        |el AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS nb
+        | FROM documents WHERE len(text) >= 65),
+        |mm AS (SELECT el.doc_id,
+        |  coalesce(comp.component, el.doc_id) AS component, nb
+        | FROM el LEFT JOIN comp ON el.doc_id = comp.doc_id)
+        |SELECT component, n_members, keep_id, keep_bytes FROM (
+        | SELECT component,
+        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+        |  doc_id AS keep_id, nb AS keep_bytes,
+        |  row_number() OVER (PARTITION BY component
+        |    ORDER BY nb DESC, doc_id) AS rk
+        | FROM mm) t WHERE rk = 1""".stripMargin,
   )
 }

@@ -137,4 +137,99 @@ object Eval {
         round((col("pa_ppm") - col("pb_ppm")).cast("double") / 1e6
           * log(col("pa_ppm").cast("double") / col("pb_ppm")), 6))
   }
+
+  /** Integer nDCG position weights w(r) = round(1e6/log₂(r+1)) for
+    * r = 1..10, and the constant ideal DCG for the 3/2/1 grade
+    * ladder over ≥10 ground-truth neighbors. Precomputed literals so
+    * BOTH engines rank and sum in exact integers — no float log
+    * enters the metric at query time (the q177 lift argument applied
+    * to DCG). */
+  private val NdcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private[graft] val NdcgIdeal: Long =
+    3 * (NdcgW(0) + NdcgW(1)) + 2 * (NdcgW(2) + NdcgW(3) + NdcgW(4)) +
+      (NdcgW(5) + NdcgW(6) + NdcgW(7) + NdcgW(8) + NdcgW(9))
+
+  /** q183: nDCG@10 RETRIEVAL-QUALITY eval — the graded ranking
+    * metric that completes the index-trust suite (q155/q171 measure
+    * recall: "did the true neighbors appear AT ALL"; nDCG measures
+    * "did they appear IN THE RIGHT ORDER, weighted toward the
+    * top"): the IVF arm's top-10 (nprobe=2) against brute-force
+    * ground truth, graded 3/2/1 by ideal rank (1–2 / 3–5 / 6–10).
+    * Discount weights are precomputed integer ppm literals
+    * (round(1e6/log₂(r+1))), so DCG is an exact integer sum and
+    * ideal DCG a constant — ranking floats never reach the metric.
+    * Per query: dcg, the constant idcg, ndcg ppm. Cost = the two
+    * arms it audits (ground truth affordable per-query on a sample
+    * — q155's argument); the eval join is |queries|·10 rows. */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val wCase = "CASE rank " + NdcgW.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN ${w}L" }.mkString(" ") + " ELSE 0L END"
+    val ideal = Similarity.annBruteForce(s, dir, k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rank") <= 2, 3L).when(col("rank") <= 5, 2L)
+          .otherwise(1L).as("rel"))
+    val approx = Similarity.ivfTopK(s, dir, nprobe = 2, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    approx.join(ideal, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("w", expr(wCase))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("w")).as("dcg_ppm"))
+      .select(col("query_id"), col("dcg_ppm"),
+        lit(NdcgIdeal).as("idcg_ppm"),
+        expr(s"dcg_ppm * 1000000 div ${NdcgIdeal}L").as("ndcg_ppm"))
+  }
+
+  /** Poisson(1) CDF thresholds scaled to 2^32, for the
+    * inverse-CDF draw over a 32-bit md5 bucket: w = #{thresholds
+    * below u}, capped at 5 (tail mass 3.7e-3 folded into the cap).
+    * Literals shared with the oracle SQL — the draw is engine-exact
+    * integer comparison, never a float RNG. */
+  private[graft] val PoissonThr = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L)
+
+  /** q184: POISSON-BOOTSTRAP confidence interval for the corpus mean
+    * doc length — distributed uncertainty quantification: the
+    * percentile CI behind "is this month's corpus statistically
+    * different", computable in ONE pass because Poisson(1) resample
+    * weights are independent per (doc, replicate) — no shared
+    * counter, no sequential RNG, the property that makes bootstrap
+    * work on a cluster at all (the classic n-out-of-n resample
+    * needs a global multinomial draw). Weights come from an
+    * inverse-CDF lookup on a 32-bit md5 bucket (deterministic,
+    * engine-exact integer thresholds); R = 100 replicates explode
+    * each row ×100 (the knob; at 100 TB you bootstrap a hash-sample
+    * or shard-level means), one map-side-combinable agg to 100
+    * replicate rows, percentile pick by rank over that BOUNDED
+    * table. All-integer: replicate means in milli-chars via
+    * integral div; CI = ranks 3 / 98 of 100 (⌈2.5⌉ / ⌈97.5⌉). */
+  def bootstrapCi(s: SparkSession, dir: String, replicates: Int = 100): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val nAbove = PoissonThr.map(t =>
+      when(col("u") < t, 1L).otherwise(0L)).reduce(_ + _)
+    val reps = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+      .withColumn("u", Sampling.hashBucket(
+        concat(lit("boot"), col("r"), lit("|"), col("doc_id"))))
+      .withColumn("w", lit(5L) - nAbove)
+      .groupBy(col("r"))
+      .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("r"), expr("swx * 1000 div sw").as("mean_milli"))
+    val w = Window.orderBy(col("mean_milli"), col("r"))
+    val ranked = reps.withColumn("rk", row_number().over(w))
+    val point = docs.agg(
+      expr("sum(n_chars) * 1000 div count(1)").as("mean_milli"),
+      count(lit(1)).as("n_docs"))
+    val lo = (replicates * 25 + 999) / 1000 // ceil(0.025 R)
+    val hi = (replicates * 975 + 999) / 1000 // ceil(0.975 R)
+    broadcast(point)
+      .crossJoin(ranked.filter(col("rk") === lo)
+        .select(col("mean_milli").as("ci_lo_milli")))
+      .crossJoin(ranked.filter(col("rk") === hi)
+        .select(col("mean_milli").as("ci_hi_milli")))
+      .select(col("n_docs"), lit(replicates.toLong).as("n_replicates"),
+        col("mean_milli"), col("ci_lo_milli"), col("ci_hi_milli"))
+  }
 }

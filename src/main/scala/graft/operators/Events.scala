@@ -742,4 +742,29 @@ object Events {
         col("value_cents_pre"), col("active_days_pre"),
         (lit(1L) - col("any_post")).as("churned"))
   }
+
+  /** q185: top common 3-step behavior PATHS — order-sensitive
+    * sequence mining, the grain between q104 (1-step transition
+    * probabilities) and q167 (order-blind itemsets): every
+    * consecutive (type → type → type) window in each user's
+    * timeline, counted corpus-wide, top-10. The UX/funnel-design
+    * report ("what do users actually do in threes") and the
+    * Markov-order-2 evidence check in one. Scale: per-user-bounded
+    * lead() windows (the q104 shape — a user's events fit a task),
+    * one map-side-combinable count on the ≤|types|³ bounded path
+    * domain, TakeOrderedAndProject top-k. Ties broken by path text. */
+  def pathTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

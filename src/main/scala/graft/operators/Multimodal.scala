@@ -195,4 +195,35 @@ object Multimodal {
         r.blob.length % 1920, r.blob.length % 1080, (crc.getValue % 120).toInt)
     }
   }
+
+  /** q186: media dedup CANONICAL keep-list — the full
+    * pairs→clusters→keep-one pipeline for the binary modality (what
+    * q106 is for text and q109's keeper stage is for embeddings),
+    * completing the media-dedup story q113 starts: q113's
+    * perceptual-hash near-dup pairs feed [[Dedup.components]]
+    * (min-label over the hamming graph), and each cluster keeps the
+    * LARGEST binary (most-complete encoding — media's quality
+    * proxy, where text uses q48's source rank), ties to the
+    * smallest id on the negated long (never a double cast). Output
+    * is one row per cluster over the eligible (≥65-byte) corpus —
+    * the keep-list a media-lake cleanup actually executes. Scale:
+    * the pieces' own gated plans unchanged + one id-keyed join and
+    * one max_by hash agg; at 100 TB the edge relation comes from
+    * the persisted band index (q181's seam), not a re-band. */
+  def mediaCanonical(s: SparkSession, dir: String): DataFrame = {
+    val edges = phashNearDup(s, dir)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val eligible = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 65)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"))
+    eligible
+      .join(Dedup.components(edges), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"),
+          struct(col("n_bytes"), negate(col("doc_id")))).as("keep_id"),
+        max(col("n_bytes")).as("keep_bytes"))
+  }
 }

@@ -135,7 +135,7 @@ object Similarity {
     * bounded top-k buffer ([[graft.functions.TopKAgg]]) — the shuffle
     * moves ≤ k rows per (partition × query), never the scored corpus
     * (a window-rank formulation would shuffle every scored row). */
-  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+  def annBruteForce(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import graft.functions.TopK
     val q = quantized(s, dir)
     val queries = broadcast(q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2"))
@@ -143,7 +143,7 @@ object Similarity {
     corpus.join(queries, lit(true))
       .withColumn("cosine", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
       .groupBy(col("query_id"))
-      .agg(TopK.topk(5)(col("neighbor_id"), col("cosine")).as("top"))
+      .agg(TopK.topk(k)(col("neighbor_id"), col("cosine")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
@@ -333,7 +333,7 @@ object Similarity {
     * centroid lists. At 100 TB the corpus is partitioned by centroid
     * id, so a probe touches nprobe/k of the data. Returns top-3
     * neighbors per query from the probed lists. */
-  def ivfTopK(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+  def ivfTopK(s: SparkSession, dir: String, nprobe: Int = 2, k: Int = 3): DataFrame = {
     val q = quantized(s, dir)
     val (centN, assigned) = ivfAssigned(s, dir)
     // queries probe their nprobe nearest cells — bounded TopKAgg keeps
@@ -352,7 +352,7 @@ object Similarity {
     probes.join(assigned.filter(col("vec_id") >= 5), "cell")
       .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
       .groupBy(col("query_id"))
-      .agg(TopK.topk(3)(col("vec_id"), col("cosine")).as("top"))
+      .agg(TopK.topk(k)(col("vec_id"), col("cosine")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))

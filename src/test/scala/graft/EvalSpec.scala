@@ -90,6 +90,35 @@ class EvalSpec extends SparkSpec {
     assert(merged === total, "generation split lost or duplicated rows")
   }
 
+  test("q183 nDCG: dcg never exceeds the constant ideal; ppm bounded") {
+    val rows = Eval.ndcgEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dcg_ppm") <= Eval.NdcgIdeal)
+      assert(r.getAs[Long]("idcg_ppm") === Eval.NdcgIdeal)
+      assert(r.getAs[Long]("ndcg_ppm") >= 0L && r.getAs[Long]("ndcg_ppm") <= 1000000L)
+    }
+  }
+
+  test("q184 bootstrap CI brackets and orders correctly") {
+    val r = Eval.bootstrapCi(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_replicates") === 100L)
+    val (lo, hi) = (r.getAs[Long]("ci_lo_milli"), r.getAs[Long]("ci_hi_milli"))
+    assert(lo <= hi)
+    // the percentile interval should bracket the point estimate on
+    // any non-degenerate corpus (Poisson weights are mean-1)
+    val mean = r.getAs[Long]("mean_milli")
+    assert(lo <= mean && mean <= hi)
+  }
+
+  test("q186 media keep-list partitions the eligible corpus") {
+    val eligible = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 65).count()
+    val rows = Multimodal.mediaCanonical(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === eligible)
+    rows.foreach(r => assert(r.getAs[Long]("keep_bytes") >= 65L))
+  }
+
   test("new-family plans: no cartesians; q177 top-k is TakeOrdered") {
     // (q176/q177's one-row totals broadcast is the documented
     // cross-join-of-one scalar pattern, not a corpus cross product —
@@ -117,5 +146,8 @@ class EvalSpec extends SparkSpec {
     val p177 = plan(TextAnalysis.pmiCollocations(spark, sfDir))
     assert(p177.contains("TakeOrderedAndProject"),
       "q177 top-20 must be TakeOrderedAndProject, not a global sort")
+    val p185 = plan(Events.pathTopK(spark, sfDir))
+    assert(p185.contains("TakeOrderedAndProject"),
+      "q185 top-10 must be TakeOrderedAndProject, not a global sort")
   }
 }
