@@ -48,4 +48,27 @@ class PersistedIndexSpec extends SparkSpec {
     assert(verdicts.getOrElse("keep", 0L) > 0)
     assert(verdicts.getOrElse("drop_exact", 0L) + verdicts.getOrElse("drop_near", 0L) > 0)
   }
+
+  test("q181 probeComponentIndex reads the index + delta only — base docs never rescanned") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-ccspec").toString
+    Dedup.writeComponentIndex(spark, docs.filter(col("doc_id") % 4 =!= 3), stage)
+
+    val probe = Dedup.probeComponentIndex(spark, stage,
+      docs.filter(col("doc_id") % 4 === 3))
+    val paths = scanPaths(probe)
+    val docScans = paths.count(_.contains("documents.parquet"))
+    val idxScans = paths.count(_.contains(stage))
+    // the band-index probe and the super-node propagation run
+    // EAGERLY inside probeComponentIndex (checkpoint-truncated), so
+    // the returned frame's scan set is labels parquet + the delta
+    // restriction of documents — anything else is a base rescan
+    // leaking in
+    assert(idxScans >= 1, s"probe plan does not read the label index: $paths")
+    assert(paths.forall(p =>
+        p.contains("documents.parquet") || p.contains(stage)),
+      s"probe plan reads something besides delta + index: $paths")
+    assert(docScans >= 1)
+  }
 }
