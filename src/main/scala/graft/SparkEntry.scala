@@ -198,6 +198,9 @@ object SparkEntry {
     "q184_bootstrap_ci"     -> ((s, d) => Eval.bootstrapCi(s, d)),
     "q185_path_topk"        -> ((s, d) => Events.pathTopK(s, d)),
     "q186_media_canonical"  -> ((s, d) => Multimodal.mediaCanonical(s, d)),
+    "q187_stem_vocab"       -> ((s, d) => TextAnalysis.stemVocabAudit(s, d)),
+    "q188_group_kfold"      -> ((s, d) => Eval.groupKfold(s, d)),
+    "q189_ewma_spikes"      -> (Events.ewmaSpikes _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3402,5 +3405,75 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY component
         |    ORDER BY nb DESC, doc_id) AS rk
         | FROM mm) t WHERE rk = 1""".stripMargin,
+    // q187: derived inflection (position-hash picks none/s/ing/ed),
+    // then len>=5 forms lose one trailing ing|ed|es|s (leftmost-
+    // first alternation, identical in Java regex and RE2).
+    "q187_stem_vocab" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS t0,
+        |  generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+        | FROM documents),
+        |f AS (SELECT doc_id, t0, p FROM tok WHERE len(t0) > 0),
+        |iv AS (SELECT t0 || (CASE ${hex8Sql("concat('inflect|', doc_id, '|', p)")} % 4
+        |   WHEN 1 THEN 's' WHEN 2 THEN 'ing' WHEN 3 THEN 'ed'
+        |   ELSE '' END) AS t FROM f),
+        |st AS (SELECT t, CASE WHEN len(t) >= 5
+        |   THEN regexp_replace(t, '(ing|ed|es|s)$$', '') ELSE t END AS stem
+        | FROM iv),
+        |ps AS (SELECT stem, count(DISTINCT t) AS n_forms FROM st GROUP BY stem)
+        |SELECT CAST(sum(n_forms) AS BIGINT) AS vocab_surface,
+        | CAST(count(*) AS BIGINT) AS vocab_stems,
+        | CAST((sum(n_forms) - count(*)) * 1000000 // sum(n_forms) AS BIGINT)
+        |   AS reduction_ppm,
+        | CAST(sum(CASE WHEN n_forms >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_merged_stems
+        |FROM ps""".stripMargin,
+    // q188: q173's feature extraction + seeded-hash fold; per-fold
+    // balance report, all exact integral ppm/milli.
+    "q188_group_kfold" ->
+      s"""WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts
+        | FROM events),
+        |b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM e),
+        |c AS (SELECT t0 + ((t1 - t0) * 4) // 5 AS cutoff FROM b),
+        |f AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN ts < cutoff
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS value_cents_pre,
+        |  CAST(sum(CASE WHEN ts < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |  CAST(1 - max(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS churned
+        | FROM e CROSS JOIN c GROUP BY user_id),
+        |g AS (SELECT ${hex8Sql("concat('fold|', user_id)")} % 5 AS fold,
+        |  value_cents_pre, n_pre, churned FROM f)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(churned) AS BIGINT) AS n_churned,
+        | CAST(sum(churned) * 1000000 // count(*) AS BIGINT) AS churn_ppm,
+        | CAST(sum(value_cents_pre) AS BIGINT) AS value_cents,
+        | CAST(sum(n_pre) * 1000 // count(*) AS BIGINT) AS mean_events_milli
+        |FROM g GROUP BY 1""".stripMargin,
+    // q189: truncated power-ladder EWMA (weights 128..1 over lags
+    // 1-8, sum 255), contiguity-guarded, cross-multiplied alarm.
+    "q189_ewma_spikes" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  count(*) AS n FROM events GROUP BY 1),
+        |l AS (SELECT h, n,
+        |  lag(n, 1) OVER (ORDER BY h) AS n1,
+        |  lag(n, 2) OVER (ORDER BY h) AS n2,
+        |  lag(n, 3) OVER (ORDER BY h) AS n3,
+        |  lag(n, 4) OVER (ORDER BY h) AS n4,
+        |  lag(n, 5) OVER (ORDER BY h) AS n5,
+        |  lag(n, 6) OVER (ORDER BY h) AS n6,
+        |  lag(n, 7) OVER (ORDER BY h) AS n7,
+        |  lag(n, 8) OVER (ORDER BY h) AS n8,
+        |  lag(h, 8) OVER (ORDER BY h) AS h8
+        | FROM hourly)
+        |SELECT CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n,
+        | CAST((n1*128 + n2*64 + n3*32 + n4*16 + n5*8 + n6*4 + n7*2 + n8)
+        |   * 1000 // 255 AS BIGINT) AS ewma_milli,
+        | CAST(CASE WHEN n * 255 >
+        |   2 * (n1*128 + n2*64 + n3*32 + n4*16 + n5*8 + n6*4 + n7*2 + n8)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM l WHERE h8 = h - 8""".stripMargin,
   )
 }

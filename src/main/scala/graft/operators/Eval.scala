@@ -232,4 +232,73 @@ object Eval {
       .select(col("n_docs"), lit(replicates.toLong).as("n_replicates"),
         col("mean_milli"), col("ci_lo_milli"), col("ci_hi_milli"))
   }
+
+  /** q188: user-GROUPED k-fold assignment over the q173 feature
+    * table — the cross-validation primitive a feature-store consumer
+    * needs where q146/q149's document splits don't apply: the UNIT
+    * of leakage is the user (two rows of one user in different
+    * folds leak behavior across train/test), so folds are assigned
+    * by seeded hash of user_id — sticky, uniform, coordination-free
+    * (q157's arm-assignment mechanism), and grouped-disjoint BY
+    * CONSTRUCTION (a hash is a function: one user, one fold — the
+    * guarantee row-level random splits break). The report is what a
+    * modeler checks before trusting the folds: per-fold user count,
+    * churn-label balance (exact ppm), feature mass (value cents,
+    * mean event count in milli) — a fold whose label rate diverges
+    * flags assignment bias. One hash agg over the feature table;
+    * k rows out at any scale. */
+  def groupKfold(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    Events.pitFeatures(s, dir)
+      .withColumn("fold",
+        Sampling.hashBucket(concat(lit("fold|"), col("user_id"))) % k)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("churned")).as("n_churned"),
+        expr("sum(churned) * 1000000 div count(1)").as("churn_ppm"),
+        sum(col("value_cents_pre")).as("value_cents"),
+        expr("sum(n_pre) * 1000 div count(1)").as("mean_events_milli"))
+  }
+
+  /** q190: PRECISION/RECALL OPERATING POINTS — the threshold-sweep
+    * table that complements q174's single AUC integral: AUC says
+    * whether the score RANKS well; this table says what happens at
+    * each concrete cut a filter operator would deploy (precision,
+    * recall, F1 at every decile threshold of the ppm score domain) —
+    * the artifact a curation engineer reads to pick q117's cut
+    * point. Same scored frame as q174 (q28's TTR ppm predicting
+    * "is English"); the corpus collapses to ≤11 decile-bin rows in
+    * ONE map-side-combinable agg, and each threshold's confusion
+    * entries are suffix-sums over that bounded table (threshold t
+    * predicts positive ⟺ bin ≥ t) — an 11×11 broadcast theta-join,
+    * never a per-threshold corpus rescan. All integral ppm with
+    * decimal-38 guards (tp·1e6 overflows BIGINT past ~9e12 rows);
+    * F1 = 2tp/(2tp+fp+fn) = 2tp/(pred_pos + pos_total), exact in
+    * one integral division. Thresholds with zero predicted
+    * positives are reported with null precision (0/0), not
+    * dropped — the sweep stays a partition of the domain. */
+  def prCurve(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .select(expr("s_uniq * 1000000 div s_tok").as("score"), col("pos"))
+    val bins = scored.groupBy(expr("score div 100000").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val totals = bins.agg(sum(col("n_pos")).as("p_total"))
+    s.range(0, 11).select(col("id").as("t"))
+      .join(broadcast(bins), col("b") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_pred_pos"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(totals))
+      .select((col("t") * 100000L).as("threshold_ppm"),
+        col("n_pred_pos"), col("tp"),
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div nullif(n_pred_pos, 0) AS BIGINT)")
+          .as("precision_ppm"),
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div p_total AS BIGINT)")
+          .as("recall_ppm"),
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 2000000 div (n_pred_pos + p_total) AS BIGINT)")
+          .as("f1_ppm"))
+  }
 }

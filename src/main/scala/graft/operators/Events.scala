@@ -767,4 +767,70 @@ object Events {
       .orderBy(col("n").desc, col("path"))
       .limit(k)
   }
+
+  /** q189: EWMA rate-spike monitor — q163's flat trailing-24h mean
+    * replaced by an EXPONENTIALLY-weighted baseline (α = ½,
+    * truncated at 8 lags), the smoothing every production rate
+    * alarm actually uses (a flat window lets one old burst suppress
+    * alerts for a day; EWMA forgets geometrically). Exact integers
+    * throughout: weights are the truncated power ladder
+    * 128,64,…,1 (sum 255) over lags 1–8, the baseline is
+    * Σwᵢ·n_{t−i} and the spike test is the cross-multiplied
+    * n_t·255 > 2·Σwᵢ·n_{t−i} — no division anywhere, so the oracle
+    * replays the alarm bit-exactly. Same bounded-hourly-table shape
+    * as q163 (stream-lifetime rows, never corpus-sized); a
+    * CONTIGUITY guard (lag(h,8) = h−8) excludes hours whose history
+    * has gaps instead of silently comparing against a shifted
+    * window — the q163 first-day exclusion, hardened. */
+  def ewmaSpikes(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("h"))
+    val weights = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+    val ewmaNum = weights.zipWithIndex.map { case (wt, i) =>
+      lag(col("n"), i + 1).over(w) * wt }.reduce(_ + _)
+    hourly
+      .withColumn("h8", lag(col("h"), 8).over(w))
+      .withColumn("ewma_num", ewmaNum)
+      .filter(col("h8") === col("h") - 8)
+      .select(col("h"), col("n"),
+        expr("ewma_num * 1000 div 255").as("ewma_milli"),
+        when(col("n") * 255 > lit(2) * col("ewma_num"), 1L).otherwise(0L)
+          .as("spike"))
+  }
+
+  /** q191: SEASONAL-baseline anomaly report — the third member of
+    * the rate-alarm family (q163 flat trailing window, q189 EWMA):
+    * real traffic is PERIODIC, and both trailing baselines flag the
+    * daily peak as a spike while a genuine 2× burst at 4 am hides
+    * under the trailing mean. The seasonal fix compares each hour
+    * against the mean of the SAME hour-of-day across all other days
+    * (leave-one-out — including the candidate hour in its own
+    * baseline dilutes exactly the burst being tested): spike ⟺
+    * n·(d−1) > 2·(total_hod − n), exact integer cross-multiply, no
+    * division (d = days observed for that hour-of-day; d ≥ 2
+    * guard — one observation has no peers to compare against).
+    * Shapes: corpus → bounded hourly table (ONE map-side-combinable
+    * rollup, stream-lifetime rows); the 24-row hour-of-day profile
+    * broadcasts back onto it; report = ≤24 rows (per hour-of-day:
+    * days, mean, spike count, peak). At 100 TB this is one rollup +
+    * a 24-row broadcast join — the cheapest possible seasonal
+    * monitor. */
+  def seasonalSpikes(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", expr("h % 24"))
+    val prof = hourly.groupBy(col("hod"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("d"))
+    hourly.join(broadcast(prof), "hod")
+      .filter(col("d") >= 2)
+      .groupBy(col("hod"))
+      .agg(max(col("d")).as("n_days"),
+        expr("max(total * 1000 div d)").as("mean_milli"),
+        sum(when(col("n") * (col("d") - 1) > lit(2) * (col("total") - col("n")),
+          1L).otherwise(0L)).as("n_spikes"),
+        max(col("n")).as("max_n"))
+  }
 }

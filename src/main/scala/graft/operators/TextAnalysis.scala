@@ -464,4 +464,47 @@ object TextAnalysis {
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** q187: suffix-strip NORMALIZATION (porter-lite stemming) vocab
+    * audit — the text-normalization stage between raw tokens and
+    * vocabulary induction (q143's BPE works on whatever surface
+    * forms reach it; stripping inflection first shrinks the
+    * long tail): surface tokens lose one trailing `ing|ed|es|s`
+    * suffix (longest-first alternation, anchored — identical
+    * leftmost-first semantics in Java regex and RE2, so both
+    * engines stem identically), and the report quantifies what
+    * normalization buys: surface vocab, stem vocab, reduction ppm,
+    * and how many stems actually MERGE ≥ 2 surface forms (the
+    * conflation count; a stemmer that only renames buys nothing).
+    * The synthetic corpus's fixed vocabulary carries no inflection,
+    * so surface forms are DERIVED deterministically (position-hash
+    * picks none/'s'/'ing'/'ed' per token instance — the q176/q161
+    * injected-signal pattern): the gate proves the stemmer
+    * CONFLATES, not merely that it renames an uninflected corpus.
+    * Shapes: one token explode → two map-side-combinable distinct
+    * aggs on vocab-sized domains; one report row. */
+  def stemVocabAudit(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t0")))
+      .filter(length(col("t0")) > 0)
+      .withColumn("v", graft.operators.Sampling.hashBucket(
+        concat(lit("inflect|"), col("doc_id"), lit("|"), col("p"))) % 4)
+      .withColumn("t", concat(col("t0"),
+        when(col("v") === 1, "s").when(col("v") === 2, "ing")
+          .when(col("v") === 3, "ed").otherwise("")))
+      .withColumn("stem",
+        when(length(col("t")) >= 5,
+          regexp_replace(col("t"), "(ing|ed|es|s)$", ""))
+          .otherwise(col("t")))
+    val perStem = tok.groupBy(col("stem"))
+      .agg(countDistinct(col("t")).as("n_forms"))
+    perStem.agg(
+        sum(col("n_forms")).as("vocab_surface"),
+        count(lit(1)).as("vocab_stems"),
+        sum(when(col("n_forms") >= 2, 1L).otherwise(0L)).as("n_merged_stems"))
+      .select(col("vocab_surface"), col("vocab_stems"),
+        expr("(vocab_surface - vocab_stems) * 1000000 div vocab_surface")
+          .as("reduction_ppm"),
+        col("n_merged_stems"))
+  }
 }

@@ -119,6 +119,37 @@ class EvalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("keep_bytes") >= 65L))
   }
 
+  test("q187 stemmer conflates (injected inflection) and shrinks vocab") {
+    val r = TextAnalysis.stemVocabAudit(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("vocab_stems") <= r.getAs[Long]("vocab_surface"))
+    assert(r.getAs[Long]("n_merged_stems") > 0L,
+      "conflation path not exercised — injected inflection missing")
+  }
+
+  test("q188 folds partition the user population") {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    val rows = Eval.groupKfold(spark, sfDir).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+  }
+
+  test("q189 EWMA baseline is positive and the alarm bit matches its own inputs") {
+    val rows = Events.ewmaSpikes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ewma_milli") >= 0L)
+      // alarm ⇔ n > 2·ewma, replayed from the row's own columns
+      // (255·n > 2·num ⟺ n·1000 > 2·(num·1000/255) up to the floor —
+      // check the exact cross-multiplied form via reconstruction)
+      val n = r.getAs[Long]("n")
+      val ewmaMilli = r.getAs[Long]("ewma_milli")
+      val spike = r.getAs[Long]("spike")
+      if (spike == 1L) assert(n * 1000L > 2L * ewmaMilli,
+        s"spike row violates n > 2*ewma: n=$n ewma_milli=$ewmaMilli")
+    }
+  }
+
   test("new-family plans: no cartesians; q177 top-k is TakeOrdered") {
     // (q176/q177's one-row totals broadcast is the documented
     // cross-join-of-one scalar pattern, not a corpus cross product —
