@@ -201,6 +201,8 @@ object SparkEntry {
     "q187_stem_vocab"       -> ((s, d) => TextAnalysis.stemVocabAudit(s, d)),
     "q188_group_kfold"      -> ((s, d) => Eval.groupKfold(s, d)),
     "q189_ewma_spikes"      -> (Events.ewmaSpikes _),
+    "q190_pr_curve"         -> ((s, d) => Eval.prCurve(s, d)),
+    "q191_seasonal_spikes"  -> (Events.seasonalSpikes _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3475,5 +3477,39 @@ object SparkEntry {
         |   2 * (n1*128 + n2*64 + n3*32 + n4*16 + n5*8 + n6*4 + n7*2 + n8)
         |  THEN 1 ELSE 0 END AS BIGINT) AS spike
         |FROM l WHERE h8 = h - 8""".stripMargin,
+    // q190: q174's scored frame → decile bins → suffix-sum confusion
+    // entries per threshold; exact integral ppm, null precision at 0/0.
+    "q190_pr_curve" ->
+      """WITH d AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+        |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |b AS (SELECT score // 100000 AS b, count(*) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p_total FROM b),
+        |t AS (SELECT unnest(generate_series(0, 10)) AS t),
+        |j AS (SELECT t.t, coalesce(sum(b.n), 0) AS n_pred_pos,
+        |  coalesce(sum(b.n_pos), 0) AS tp
+        | FROM t LEFT JOIN b ON b.b >= t.t GROUP BY t.t)
+        |SELECT CAST(t * 100000 AS BIGINT) AS threshold_ppm,
+        | CAST(n_pred_pos AS BIGINT) AS n_pred_pos, CAST(tp AS BIGINT) AS tp,
+        | CAST(tp * 1000000 // nullif(n_pred_pos, 0) AS BIGINT) AS precision_ppm,
+        | CAST(tp * 1000000 // p_total AS BIGINT) AS recall_ppm,
+        | CAST(tp * 2000000 // (n_pred_pos + p_total) AS BIGINT) AS f1_ppm
+        |FROM j CROSS JOIN tot""".stripMargin,
+    // q191: hour-of-day profile, leave-one-out cross-multiplied spike
+    // test, d >= 2 guard; <= 24 report rows.
+    "q191_seasonal_spikes" ->
+      """WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        | FROM events GROUP BY 1),
+        |hd AS (SELECT h, n, h % 24 AS hod FROM hh),
+        |p AS (SELECT hod, CAST(sum(n) AS BIGINT) AS total,
+        |  count(*) AS d FROM hd GROUP BY 1)
+        |SELECT CAST(hd.hod AS BIGINT) AS hod, CAST(max(d) AS BIGINT) AS n_days,
+        | CAST(max(total * 1000 // d) AS BIGINT) AS mean_milli,
+        | CAST(sum(CASE WHEN n * (d - 1) > 2 * (total - n) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_spikes,
+        | CAST(max(n) AS BIGINT) AS max_n
+        |FROM hd JOIN p ON hd.hod = p.hod WHERE d >= 2 GROUP BY 1""".stripMargin,
   )
 }

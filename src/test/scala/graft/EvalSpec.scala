@@ -150,6 +150,27 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q190 PR sweep: 11 thresholds, recall monotone non-increasing, t=0 has recall 1") {
+    val rows = Eval.prCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("threshold_ppm"))
+    assert(rows.length === 11)
+    assert(rows.head.getAs[Long]("recall_ppm") === 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_pred_pos"))
+    }
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    recalls.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+  }
+
+  test("q191 seasonal profile is bounded by 24 rows and spike counts by day counts") {
+    val rows = Events.seasonalSpikes(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 24)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_spikes") <= r.getAs[Long]("n_days"))
+      assert(r.getAs[Long]("mean_milli") > 0L)
+    }
+  }
+
   test("new-family plans: no cartesians; q177 top-k is TakeOrdered") {
     // (q176/q177's one-row totals broadcast is the documented
     // cross-join-of-one scalar pattern, not a corpus cross product —
