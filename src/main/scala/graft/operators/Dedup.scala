@@ -1040,4 +1040,36 @@ object Dedup {
           .as("est_b1_ppm"))
       .withColumn("err_ppm", col("est_b1_ppm") - col("est_full_ppm"))
   }
+
+  /** q194: EDIT-DISTANCE verification of the LSH candidate pairs —
+    * the third verify metric over the q22 band index (set-based
+    * Jaccard in q21/q22, sequence-based winnowing in q101; edit
+    * distance is the ORDER-SENSITIVE string metric that catches
+    * scrambled-bag-of-words false positives the set metrics accept).
+    * Levenshtein is O(len²) per pair, so it runs on the NORMALIZED
+    * PREFIX (q49's normalizer, first `prefixLen` chars) — a constant
+    * per-pair cost bound that holds at any corpus size; the quadratic
+    * cost lives per-pair, never per-corpus, and the pair volume is
+    * the band index's (bounded by bandBits, ScaleProbe-measured).
+    * Vector lookups are shuffle-hash id-joins (the q24 rationale:
+    * only ids travel in the wide shuffle). A pair passes at relative
+    * distance ≤ maxRelPpm of the longer prefix; sim_ppm is the
+    * integer normalized similarity. Both engines implement textbook
+    * Levenshtein over ASCII chars, so parity is exact. */
+  def editVerify(s: SparkSession, dir: String, prefixLen: Int = 120,
+      maxRelPpm: Long = 300000L): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      "  +", " ")
+    val pfx = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(norm, 1, prefixLen).as("t"))
+    minhashLsh(s, dir)
+      .join(pfx.toDF("d1", "t1").hint("shuffle_hash"), "d1")
+      .join(pfx.toDF("d2", "t2").hint("shuffle_hash"), "d2")
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("len", greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      .filter(col("len") > 0 && col("dist") * 1000000L <= col("len") * maxRelPpm)
+      .select(col("d1"), col("d2"), col("dist"),
+        expr("(len - dist) * 1000000 div len").as("sim_ppm"))
+  }
 }

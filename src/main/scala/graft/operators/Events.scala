@@ -833,4 +833,72 @@ object Events {
           1L).otherwise(0L)).as("n_spikes"),
         max(col("n")).as("max_n"))
   }
+
+  /** q192: WAL sequence-INTEGRITY audit — the trust check a CDC
+    * consumer runs before believing any downstream materialization
+    * (SURVEY §1: at-least-once delivery means duplicates are
+    * EXPECTED; sequence gaps are not). Events are sharded by
+    * `event_id % shards` (the WAL partition layout, so each shard's
+    * ids form an arithmetic progression with step = shards); per
+    * shard the audit reports duplicates (rows − distinct ids), gaps
+    * (expected progression length − distinct ids), and REORDERINGS:
+    * adjacent-in-sequence pairs (id, id+shards) whose event times
+    * run backwards — found with an EQUI-join on the successor id,
+    * never a per-shard window sort (at 100 TB a shard is far bigger
+    * than an executor; the join shuffles on id and each pair is
+    * checked locally). Output = `shards` rows. `shards` tracks the
+    * real WAL partition count (Kafka partitions / region count). */
+  def walIntegrity(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("ts"))
+    val stats = e.groupBy((col("event_id") % shards).as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+    val late = e.as("a")
+      .join(e.as("b"), col("b.event_id") === col("a.event_id") + shards)
+      .filter(col("b.ts") < col("a.ts"))
+      .groupBy((col("a.event_id") % shards).as("shard"))
+      .agg(count(lit(1)).as("n_late"))
+    stats.join(late, Seq("shard"), "left")
+      .select(col("shard"), col("n_rows"), col("n_ids"),
+        col("min_id"), col("max_id"),
+        expr(s"(max_id - min_id) div $shards + 1 - n_ids").as("n_gaps"),
+        (col("n_rows") - col("n_ids")).as("n_dups"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+  }
+
+  /** q193: AUTOCORRELATION of the hourly event-rate series at lags
+    * 1..maxLag — the periodicity detector that DECIDES between the
+    * rate-alarm baselines (q163 flat trailing / q189 EWMA vs q191
+    * seasonal): a spike in r at lag 24 is the data saying "use the
+    * seasonal baseline". Exact integer moments per lag (n, Σx, Σy,
+    * Σx², Σy², Σxy — the q108 policy: sums of longs are
+    * order-insensitive, so cross-engine parity is exact) with
+    * Pearson r derived from them in one deterministic double
+    * expression, rounded to 4. Shapes: corpus → bounded hourly
+    * rollup (map-side combinable), then hourly ⋈ hourly on
+    * h+lag (a stream-lifetime-sized equi-join, NEVER corpus-sized)
+    * → maxLag report rows. */
+  def acfLags(s: SparkSession, dir: String, maxLag: Int = 6): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = hourly
+      .withColumn("lag", explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))
+      .join(hourly.toDF("h2", "y"), col("h2") === col("h") + col("lag"))
+    def d(c: Column): Column = c.cast("double")
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n_pairs"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+        round((d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / (sqrt(d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            * sqrt(d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 4)
+          .as("r"))
+  }
 }
