@@ -203,6 +203,9 @@ object SparkEntry {
     "q189_ewma_spikes"      -> (Events.ewmaSpikes _),
     "q190_pr_curve"         -> ((s, d) => Eval.prCurve(s, d)),
     "q191_seasonal_spikes"  -> (Events.seasonalSpikes _),
+    "q192_wal_integrity"    -> ((s, d) => Events.walIntegrity(s, d)),
+    "q193_acf_lags"         -> ((s, d) => Events.acfLags(s, d)),
+    "q194_edit_verify"      -> ((s, d) => Dedup.editVerify(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3511,5 +3514,60 @@ object SparkEntry {
         |   AS BIGINT) AS n_spikes,
         | CAST(max(n) AS BIGINT) AS max_n
         |FROM hd JOIN p ON hd.hod = p.hod WHERE d >= 2 GROUP BY 1""".stripMargin,
+    // q192: per-id min-ts dedup before the successor join (one logical
+    // reordering per sequence position), range left-join => 8 rows.
+    "q192_wal_integrity" ->
+      """WITH u AS (SELECT event_id, min(ts) AS ts FROM events GROUP BY 1),
+        |st AS (SELECT event_id % 8 AS shard, count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        | FROM events GROUP BY 1),
+        |late AS (SELECT a.event_id % 8 AS shard, count(*) AS n_late
+        | FROM u a JOIN u b ON b.event_id = a.event_id + 8
+        | WHERE b.ts < a.ts GROUP BY 1)
+        |SELECT r.shard, coalesce(n_rows, 0) AS n_rows,
+        | coalesce(n_ids, 0) AS n_ids, min_id, max_id,
+        | (max_id - min_id) // 8 + 1 - n_ids AS n_gaps,
+        | coalesce(n_rows - n_ids, 0) AS n_dups,
+        | coalesce(n_late, 0) AS n_late
+        |FROM (SELECT unnest(range(8)) AS shard) r
+        |LEFT JOIN st USING (shard) LEFT JOIN late USING (shard)""".stripMargin,
+    // q193: exact integer moments per lag; r null on zero variance
+    // (guard on the integer variance, matching the Spark side).
+    "q193_acf_lags" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS x
+        | FROM events GROUP BY 1),
+        |p AS (SELECT l.lag, a.x AS x, b.x AS y
+        | FROM hourly a CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+        | JOIN hourly b ON b.h = a.h + l.lag),
+        |m AS (SELECT lag, count(*) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy FROM p GROUP BY 1)
+        |SELECT lag, n_pairs, sx, sy, sxx, syy, sxy,
+        | CASE WHEN n_pairs * sxx - sx * sx <= 0
+        |    OR n_pairs * syy - sy * sy <= 0 THEN NULL
+        |  ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |   / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4) END AS r
+        |FROM m""".stripMargin,
+    // q194: q22's band pairs verified by Levenshtein over the q49
+    // normalizer's 120-char prefix; both engines' levenshtein is
+    // textbook edit distance so parity is exact.
+    "q194_edit_verify" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pfx AS (SELECT doc_id, substr(regexp_replace(regexp_replace(
+        |   lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'), 1, 120) AS t
+        | FROM documents),
+        |v AS (SELECT d1, d2,
+        |  CAST(levenshtein(p1.t, p2.t) AS BIGINT) AS dist,
+        |  CAST(greatest(len(p1.t), len(p2.t)) AS BIGINT) AS mlen
+        | FROM c JOIN pfx p1 ON d1 = p1.doc_id JOIN pfx p2 ON d2 = p2.doc_id)
+        |SELECT d1, d2, dist, (mlen - dist) * 1000000 // mlen AS sim_ppm
+        |FROM v WHERE mlen > 0 AND dist * 1000000 <= mlen * 300000""".stripMargin,
   )
 }

@@ -23,16 +23,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as BIGINT nanos and truncate to epoch
-    * MICROseconds (matching how DuckDB reads the same file — it
-    * truncates ns→us on scan). All event-time arithmetic is exact
-    * integer microseconds. The conf is dynamic, so this works in any
+  /** events.parquet's `ts` column has shipped as BOTH
+    * TIMESTAMP(NANOS) (older generators — Spark's vectorized reader
+    * rejects it, so it's read as BIGINT nanos via the legacy conf)
+    * and timestamp[us] (current generator — inferred TIMESTAMP_NTZ).
+    * Either way the exposed `ts` is epoch MICROseconds as BIGINT
+    * (matching DuckDB's `epoch_us(ts)` on the same file), so all
+    * event-time arithmetic downstream is exact integer micros. The
+    * NTZ→epoch conversion pins the session timezone to UTC first —
+    * the stored values are UTC epochs, and DuckDB's epoch_us is
+    * timezone-free. Confs are dynamic, so this works in any
     * caller-provided session. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp))"))
+    }
   }
   /** [[events]] with event-time bounds (inclusive, in epoch MICROS)
     * applied to the STORED nanos column BEFORE the µs truncation —
@@ -49,10 +61,24 @@ object Tables {
       maxMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     var raw = load(s, d, "events")
-    minMicros.foreach(m => raw = raw.filter(col("ts") >= m * 1000L))
-    maxMicros.foreach(m => raw = raw.filter(col("ts") <= m * 1000L + 999L))
-    raw.withColumn("ts", expr("ts div 1000"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        minMicros.foreach(m => raw = raw.filter(col("ts") >= m * 1000L))
+        maxMicros.foreach(m => raw = raw.filter(col("ts") <= m * 1000L + 999L))
+        raw.withColumn("ts", expr("ts div 1000"))
+      case _ =>
+        // timestamp[us] storage: the micros bound IS the stored
+        // granularity — fold to an NTZ literal so it reaches the
+        // row-group statistics (cast(LTZ→NTZ) is foldable under the
+        // UTC session tz pinned above).
+        minMicros.foreach(m => raw = raw.filter(
+          col("ts") >= expr(s"cast(timestamp_micros(${m}L) as timestamp_ntz)")))
+        maxMicros.foreach(m => raw = raw.filter(
+          col("ts") <= expr(s"cast(timestamp_micros(${m}L) as timestamp_ntz)")))
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

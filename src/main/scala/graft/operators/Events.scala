@@ -846,25 +846,38 @@ object Events {
     * run backwards — found with an EQUI-join on the successor id,
     * never a per-shard window sort (at 100 TB a shard is far bigger
     * than an executor; the join shuffles on id and each pair is
-    * checked locally). Output = `shards` rows. `shards` tracks the
-    * real WAL partition count (Kafka partitions / region count). */
+    * checked locally). Because duplicates are expected, the
+    * reordering check runs on ONE row per event_id (min ts — the
+    * first delivery is the authoritative event time); joining raw
+    * copies would cross-product duplicates and count one logical
+    * reordering many times. Output = exactly `shards` rows via a
+    * left join onto the 0..shards-1 range — a fully-gapped shard
+    * surfaces as an all-zero row (null min/max/gaps: nothing to
+    * infer a progression from) instead of silently vanishing.
+    * `shards` tracks the real WAL partition count (Kafka
+    * partitions / region count). */
   def walIntegrity(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_id"), col("ts"))
+    val u = e.groupBy(col("event_id")).agg(min(col("ts")).as("ts"))
     val stats = e.groupBy((col("event_id") % shards).as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_ids"),
         min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"))
-    val late = e.as("a")
-      .join(e.as("b"), col("b.event_id") === col("a.event_id") + shards)
+    val late = u.as("a")
+      .join(u.as("b"), col("b.event_id") === col("a.event_id") + shards)
       .filter(col("b.ts") < col("a.ts"))
       .groupBy((col("a.event_id") % shards).as("shard"))
       .agg(count(lit(1)).as("n_late"))
-    stats.join(late, Seq("shard"), "left")
-      .select(col("shard"), col("n_rows"), col("n_ids"),
+    s.range(shards).select(col("id").as("shard"))
+      .join(stats, Seq("shard"), "left")
+      .join(late, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_ids"), lit(0L)).as("n_ids"),
         col("min_id"), col("max_id"),
         expr(s"(max_id - min_id) div $shards + 1 - n_ids").as("n_gaps"),
-        (col("n_rows") - col("n_ids")).as("n_dups"),
+        coalesce(col("n_rows") - col("n_ids"), lit(0L)).as("n_dups"),
         coalesce(col("n_late"), lit(0L)).as("n_late"))
   }
 
@@ -874,9 +887,14 @@ object Events {
     * seasonal): a spike in r at lag 24 is the data saying "use the
     * seasonal baseline". Exact integer moments per lag (n, Σx, Σy,
     * Σx², Σy², Σxy — the q108 policy: sums of longs are
-    * order-insensitive, so cross-engine parity is exact) with
-    * Pearson r derived from them in one deterministic double
-    * expression, rounded to 4. Shapes: corpus → bounded hourly
+    * order-insensitive, so cross-engine parity is exact; the long
+    * domain bounds hourly rates at ~3e9/h — Σx² for T hourly
+    * buckets stays in-range while x_max ≤ sqrt(2^63/T), far above
+    * any WAL's real rate) with Pearson r derived from them, rounded
+    * to 4. A degenerate (constant) series has zero variance on one
+    * side — r is then emitted as an EXPLICIT null (the guard is on
+    * the exact integer variance n·Σx²−(Σx)², never a double), not
+    * engine-dependent NaN/∞. Shapes: corpus → bounded hourly
     * rollup (map-side combinable), then hourly ⋈ hourly on
     * h+lag (a stream-lifetime-sized equi-join, NEVER corpus-sized)
     * → maxLag report rows. */
@@ -894,11 +912,14 @@ object Events {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
       .select(col("lag"), col("n_pairs"),
         col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
-        round((d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
-          / (sqrt(d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
-            * sqrt(d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 4)
+        when(col("vx") <= 0 || col("vy") <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            d(col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(d(col("vx"))) * sqrt(d(col("vy")))), 4))
           .as("r"))
   }
 }
