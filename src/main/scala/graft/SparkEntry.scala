@@ -3532,42 +3532,63 @@ object SparkEntry {
         | coalesce(n_late, 0) AS n_late
         |FROM (SELECT unnest(range(8)) AS shard) r
         |LEFT JOIN st USING (shard) LEFT JOIN late USING (shard)""".stripMargin,
-    // q193: exact integer moments per lag; r null on zero variance
-    // (guard on the integer variance, matching the Spark side).
+    // q193: exact integer moments per lag; the variance/covariance
+    // products are widened to HUGEINT (mirror of Spark's
+    // Decimal(38,0)) so n·Σx² never wraps; r null on zero variance
+    // (guard on the exact widened variance, matching the Spark
+    // side); single-row recommendation cross-joined back on.
     "q193_acf_lags" ->
       """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS x
         | FROM events GROUP BY 1),
         |p AS (SELECT l.lag, a.x AS x, b.x AS y
-        | FROM hourly a CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+        | FROM hourly a CROSS JOIN (SELECT unnest(range(1, 25)) AS lag) l
         | JOIN hourly b ON b.h = a.h + l.lag),
         |m AS (SELECT lag, count(*) AS n_pairs,
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-        |  CAST(sum(x * y) AS BIGINT) AS sxy FROM p GROUP BY 1)
-        |SELECT lag, n_pairs, sx, sy, sxx, syy, sxy,
-        | CASE WHEN n_pairs * sxx - sx * sx <= 0
-        |    OR n_pairs * syy - sy * sy <= 0 THEN NULL
-        |  ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-        |   / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-        |      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4) END AS r
-        |FROM m""".stripMargin,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy FROM p GROUP BY 1),
+        |o AS (SELECT lag, n_pairs, sx, sy, sxx, syy, sxy,
+        | CASE WHEN CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
+        |    OR CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <= 0
+        |  THEN NULL
+        |  ELSE round(CAST(CAST(n_pairs AS HUGEINT) * sxy
+        |     - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |   / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx
+        |       - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |      * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy
+        |       - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 4) END AS r
+        |FROM m),
+        |rec AS (SELECT CASE
+        |  WHEN max(CASE WHEN lag = 24 THEN r END) IS NOT NULL
+        |   AND max(CASE WHEN lag = 24 THEN r END) >= 0.5
+        |   AND max(CASE WHEN lag = 24 THEN r END) >= max(r) THEN 'seasonal'
+        |  WHEN max(CASE WHEN lag = 1 THEN r END) >= 0.3 THEN 'ewma'
+        |  ELSE 'flat' END AS recommended FROM o)
+        |SELECT o.*, rec.recommended FROM o CROSS JOIN rec""".stripMargin,
     // q194: q22's band pairs verified by Levenshtein over the q49
-    // normalizer's 120-char prefix; both engines' levenshtein is
-    // textbook edit distance so parity is exact.
+    // normalizer's 120-char prefix, PLUS the full-length ratio gate
+    // (un-truncated normalized lengths within 30% — closes the
+    // equal-prefix/divergent-tail FP the truncation admits); both
+    // engines' levenshtein is textbook edit distance so parity is
+    // exact.
     "q194_edit_verify" ->
       s"""WITH $shinglesCte,
         |$minhashSigCte,
         |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         | FROM bands a JOIN bands b ON a.band = b.band
         |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |pfx AS (SELECT doc_id, substr(regexp_replace(regexp_replace(
-        |   lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'), 1, 120) AS t
-        | FROM documents),
+        |pfx AS (SELECT doc_id, substr(n, 1, 120) AS t,
+        |  CAST(len(n) AS BIGINT) AS fl
+        | FROM (SELECT doc_id, regexp_replace(regexp_replace(
+        |   lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g') AS n
+        |  FROM documents)),
         |v AS (SELECT d1, d2,
         |  CAST(levenshtein(p1.t, p2.t) AS BIGINT) AS dist,
-        |  CAST(greatest(len(p1.t), len(p2.t)) AS BIGINT) AS mlen
+        |  CAST(greatest(len(p1.t), len(p2.t)) AS BIGINT) AS mlen,
+        |  p1.fl AS fl1, p2.fl AS fl2
         | FROM c JOIN pfx p1 ON d1 = p1.doc_id JOIN pfx p2 ON d2 = p2.doc_id)
         |SELECT d1, d2, dist, (mlen - dist) * 1000000 // mlen AS sim_ppm
-        |FROM v WHERE mlen > 0 AND dist * 1000000 <= mlen * 300000""".stripMargin,
+        |FROM v WHERE mlen > 0 AND dist * 1000000 <= mlen * 300000
+        | AND abs(fl1 - fl2) * 1000000 <= greatest(fl1, fl2) * 300000""".stripMargin,
   )
 }

@@ -30,38 +30,56 @@ object Tables {
     * Either way the exposed `ts` is epoch MICROseconds as BIGINT
     * (matching DuckDB's `epoch_us(ts)` on the same file), so all
     * event-time arithmetic downstream is exact integer micros. The
-    * NTZ→epoch conversion pins the session timezone to UTC first —
-    * the stored values are UTC epochs, and DuckDB's epoch_us is
-    * timezone-free. Confs are dynamic, so this works in any
-    * caller-provided session. */
+    * NTZ→epoch conversion is `timestampdiff(MICROSECOND, epoch,
+    * ts)` over two NTZ operands — wall-clock arithmetic with NO
+    * session-timezone dependence (the stored values are UTC wall
+    * times and DuckDB's epoch_us is timezone-free), so the loader
+    * never mutates the caller session's timeZone conf. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
       case _ =>
-        raw.withColumn("ts", org.apache.spark.sql.functions
-          .expr("unix_micros(cast(ts as timestamp))"))
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
     }
   }
+
+  /** Formats epoch micros as a session-tz-independent TIMESTAMP_NTZ
+    * literal (UTC wall time) for pushdown-safe bounds on NTZ scans. */
+  private def ntzLit(micros: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val str = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").format(ldt)
+    s"TIMESTAMP_NTZ '$str'"
+  }
+
   /** [[events]] with event-time bounds (inclusive, in epoch MICROS)
-    * applied to the STORED nanos column BEFORE the µs truncation —
-    * a predicate on the derived `ts div 1000` defeats parquet
+    * applied to the STORED column BEFORE the µs conversion — a
+    * predicate on the derived integer-micros column defeats parquet
     * pushdown entirely (the scan would read every row group), while
-    * the equivalent bound on raw nanos reaches the row-group
-    * statistics: for the non-negative ts domain,
-    * `ts_us >= m ⟺ ts_ns >= m·1000` and
-    * `ts_us <= m ⟺ ts_ns <= m·1000 + 999`. At 100 TB this is the
-    * difference between a time-travel/incremental read scanning one
-    * day and scanning the corpus (PlanSpec-pinned). */
+    * the equivalent bound on the stored representation reaches the
+    * row-group statistics. Two storage branches:
+    * - legacy nanos-as-BIGINT: for the non-negative ts domain,
+    *   `ts_us >= m ⟺ ts_ns >= m·1000` and
+    *   `ts_us <= m ⟺ ts_ns <= m·1000 + 999`;
+    * - timestamp[us] (TIMESTAMP_NTZ): the micros bound IS the stored
+    *   granularity — the bound becomes a TIMESTAMP_NTZ literal
+    *   (formatted as a UTC wall time, independent of session tz), a
+    *   same-type comparison the scan pushes down.
+    * At 100 TB this is the difference between a time-travel /
+    * incremental read scanning one day and scanning the corpus
+    * (PlanSpec-pinned in IncrementalSpec). */
   def eventsTsBounded(s: SparkSession, d: String,
       minMicros: Option[Long] = None,
       maxMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     var raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -69,15 +87,10 @@ object Tables {
         maxMicros.foreach(m => raw = raw.filter(col("ts") <= m * 1000L + 999L))
         raw.withColumn("ts", expr("ts div 1000"))
       case _ =>
-        // timestamp[us] storage: the micros bound IS the stored
-        // granularity — fold to an NTZ literal so it reaches the
-        // row-group statistics (cast(LTZ→NTZ) is foldable under the
-        // UTC session tz pinned above).
-        minMicros.foreach(m => raw = raw.filter(
-          col("ts") >= expr(s"cast(timestamp_micros(${m}L) as timestamp_ntz)")))
-        maxMicros.foreach(m => raw = raw.filter(
-          col("ts") <= expr(s"cast(timestamp_micros(${m}L) as timestamp_ntz)")))
-        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
+        minMicros.foreach(m => raw = raw.filter(expr(s"ts >= ${ntzLit(m)}")))
+        maxMicros.foreach(m => raw = raw.filter(expr(s"ts <= ${ntzLit(m)}")))
+        raw.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
     }
   }
 

@@ -1053,22 +1053,32 @@ object Dedup {
     * the band index's (bounded by bandBits, ScaleProbe-measured).
     * Vector lookups are shuffle-hash id-joins (the q24 rationale:
     * only ids travel in the wide shuffle). A pair passes at relative
-    * distance ≤ maxRelPpm of the longer prefix; sim_ppm is the
-    * integer normalized similarity. Both engines implement textbook
-    * Levenshtein over ASCII chars, so parity is exact. */
+    * distance ≤ maxRelPpm of the longer prefix AND at a FULL-LENGTH
+    * ratio gate: the prefix truncation would otherwise admit a
+    * named false-positive class — two documents identical in their
+    * first `prefixLen` normalized chars but arbitrarily divergent
+    * after — so the relative difference of the UN-truncated
+    * normalized lengths must also be ≤ maxRelPpm (one cheap extra
+    * column; a tail 10× the prefix cannot hide behind an equal
+    * prefix). sim_ppm is the integer normalized similarity over the
+    * prefix. Both engines implement textbook Levenshtein over ASCII
+    * chars, so parity is exact. */
   def editVerify(s: SparkSession, dir: String, prefixLen: Int = 120,
       maxRelPpm: Long = 300000L): DataFrame = {
     val norm = regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
       "  +", " ")
     val pfx = Tables.documents(s, dir)
-      .select(col("doc_id"), substring(norm, 1, prefixLen).as("t"))
+      .select(col("doc_id"), substring(norm, 1, prefixLen).as("t"),
+        length(norm).cast("long").as("fl"))
     minhashLsh(s, dir)
-      .join(pfx.toDF("d1", "t1").hint("shuffle_hash"), "d1")
-      .join(pfx.toDF("d2", "t2").hint("shuffle_hash"), "d2")
+      .join(pfx.toDF("d1", "t1", "fl1").hint("shuffle_hash"), "d1")
+      .join(pfx.toDF("d2", "t2", "fl2").hint("shuffle_hash"), "d2")
       .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
       .withColumn("len", greatest(length(col("t1")), length(col("t2"))).cast("long"))
-      .filter(col("len") > 0 && col("dist") * 1000000L <= col("len") * maxRelPpm)
+      .filter(col("len") > 0 && col("dist") * 1000000L <= col("len") * maxRelPpm &&
+        abs(col("fl1") - col("fl2")) * 1000000L <=
+          greatest(col("fl1"), col("fl2")) * maxRelPpm)
       .select(col("d1"), col("d2"), col("dist"),
         expr("(len - dist) * 1000000 div len").as("sim_ppm"))
   }

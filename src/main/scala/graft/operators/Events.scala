@@ -885,20 +885,28 @@ object Events {
     * 1..maxLag — the periodicity detector that DECIDES between the
     * rate-alarm baselines (q163 flat trailing / q189 EWMA vs q191
     * seasonal): a spike in r at lag 24 is the data saying "use the
-    * seasonal baseline". Exact integer moments per lag (n, Σx, Σy,
-    * Σx², Σy², Σxy — the q108 policy: sums of longs are
-    * order-insensitive, so cross-engine parity is exact; the long
-    * domain bounds hourly rates at ~3e9/h — Σx² for T hourly
-    * buckets stays in-range while x_max ≤ sqrt(2^63/T), far above
-    * any WAL's real rate) with Pearson r derived from them, rounded
-    * to 4. A degenerate (constant) series has zero variance on one
-    * side — r is then emitted as an EXPLICIT null (the guard is on
-    * the exact integer variance n·Σx²−(Σx)², never a double), not
-    * engine-dependent NaN/∞. Shapes: corpus → bounded hourly
-    * rollup (map-side combinable), then hourly ⋈ hourly on
-    * h+lag (a stream-lifetime-sized equi-join, NEVER corpus-sized)
-    * → maxLag report rows. */
-  def acfLags(s: SparkSession, dir: String, maxLag: Int = 6): DataFrame = {
+    * seasonal baseline", so the gated default covers a full day
+    * (maxLag = 24) and the report carries that DECISION as a
+    * `recommended` column — 'seasonal' if the lag-24 r is both the
+    * series maximum and ≥ 0.5, else 'ewma' if the lag-1 r ≥ 0.3
+    * (short memory but no daily period), else 'flat'. Exact integer
+    * moments per lag (n, Σx, Σy, Σx², Σy², Σxy — the q108 policy:
+    * sums of longs are order-insensitive, so cross-engine parity is
+    * exact; Σx² for T hourly buckets stays in Long while
+    * x_max ≤ sqrt(2^63/T)) — but the DERIVED products n·Σx² and
+    * (Σx)² need up to double that magnitude, so the variance and
+    * covariance arithmetic is widened to Decimal(38,0) (DuckDB
+    * mirror: HUGEINT) before the final double cast: no silent Long
+    * wraparound at WAL-scale rates, and both engines agree bit-for-
+    * bit because the exact integers are identical. A degenerate
+    * (constant) series has zero variance on one side — r is then an
+    * EXPLICIT null (guard on the exact widened variance, never a
+    * double), not engine-dependent NaN/∞. Shapes: corpus → bounded
+    * hourly rollup (map-side combinable), then hourly ⋈ hourly on
+    * h+lag (stream-lifetime-sized equi-join, NEVER corpus-sized) →
+    * maxLag report rows + a single-row broadcast for the
+    * recommendation. */
+  def acfLags(s: SparkSession, dir: String, maxLag: Int = 24): DataFrame = {
     val hourly = Tables.events(s, dir)
       .groupBy(expr("ts div 3600000000").as("h"))
       .agg(count(lit(1)).as("x"))
@@ -906,20 +914,31 @@ object Events {
       .withColumn("lag", explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))
       .join(hourly.toDF("h2", "y"), col("h2") === col("h") + col("lag"))
     def d(c: Column): Column = c.cast("double")
-    pairs.groupBy(col("lag"))
+    def w(c: Column): Column = c.cast("decimal(38,0)")
+    val perLag = pairs.groupBy(col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("vx", w(col("n_pairs")) * w(col("sxx")) - w(col("sx")) * w(col("sx")))
+      .withColumn("vy", w(col("n_pairs")) * w(col("syy")) - w(col("sy")) * w(col("sy")))
       .select(col("lag"), col("n_pairs"),
         col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
         when(col("vx") <= 0 || col("vy") <= 0, lit(null).cast("double"))
           .otherwise(round(
-            d(col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            d(w(col("n_pairs")) * w(col("sxy")) - w(col("sx")) * w(col("sy")))
               / (sqrt(d(col("vx"))) * sqrt(d(col("vy")))), 4))
           .as("r"))
+    val rec = perLag.agg(
+        max(when(col("lag") === 24, col("r"))).as("r24"),
+        max(col("r")).as("rmax"),
+        max(when(col("lag") === 1, col("r"))).as("r1"))
+      .select(
+        when(col("r24").isNotNull && col("r24") >= 0.5 && col("r24") >= col("rmax"),
+          lit("seasonal"))
+          .when(col("r1") >= 0.3, lit("ewma"))
+          .otherwise(lit("flat")).as("recommended"))
+    perLag.crossJoin(broadcast(rec))
   }
 }
