@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{Dedup, Events}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Edge-case specs for the round-6 audit operators: q192 WAL
+  * sequence integrity, q193 rate-series ACF + baseline chooser,
+  * q194 edit-distance verify (incl. the round-7 full-length ratio
+  * guard). Each test builds a synthetic table whose expected output
+  * is hand-computable — the sf-data oracle asserts parity, these
+  * assert SEMANTICS (gap arithmetic, duplicate collapse, null
+  * guards, FP rejection) at points the shipped data doesn't hit. */
+class AuditOpsSpec extends SparkSpec {
+
+  /** Writes (event_id, ts-in-nanos) rows as a `$dir/events.parquet`
+    * the [[Tables.events]] legacy LongType branch reads. */
+  private def eventsDir(rows: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_audit").toString
+    rows.toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def byShard(df: DataFrame): Map[Long, Map[String, Any]] =
+    df.collect().map { r =>
+      r.getAs[Long]("shard") ->
+        df.columns.map(c => c -> r.getAs[Any](c)).toMap
+    }.toMap
+
+  test("q192: gap, duplicate, reordering, and empty shard each surface once") {
+    val us = 1000L // ts below are micros; store nanos
+    // shard = event_id % 5:
+    //  shard 0: ids 0,5,10 in order            -> clean row
+    //  shard 1: ids 1,11 (6 missing)           -> n_gaps 1
+    //  shard 2: ids 2,7,7 (dup, and min-ts of 7 precedes 2's ts)
+    //           -> n_dups 1, reordering counted ONCE despite 2 copies
+    //  shard 3: ids 3,8 in order               -> clean row
+    //  shard 4: no ids at all                  -> all-zero row, null min/max
+    val dir = eventsDir(Seq(
+      0L -> 10L * us, 5L -> 20L * us, 10L -> 30L * us,
+      1L -> 10L * us, 11L -> 40L * us,
+      2L -> 100L * us, 7L -> 50L * us, 7L -> 150L * us,
+      3L -> 10L * us, 8L -> 20L * us))
+    val got = byShard(Events.walIntegrity(spark, dir, shards = 5))
+    assert(got.size == 5, s"expected exactly 5 shard rows, got ${got.size}")
+    assert(got(0L)("n_gaps") == 0L && got(0L)("n_dups") == 0L &&
+      got(0L)("n_late") == 0L, s"shard 0 not clean: ${got(0L)}")
+    assert(got(1L)("n_gaps") == 1L, s"shard 1 gap missed: ${got(1L)}")
+    assert(got(2L)("n_dups") == 1L && got(2L)("n_late") == 1L,
+      s"shard 2 dup/reorder wrong (reordering must count once): ${got(2L)}")
+    assert(got(3L)("n_late") == 0L, s"shard 3 falsely late: ${got(3L)}")
+    assert(got(4L)("n_rows") == 0L && got(4L)("n_ids") == 0L &&
+      got(4L)("min_id") == null && got(4L)("max_id") == null &&
+      got(4L)("n_gaps") == null,
+      s"empty shard must be an all-zero row with null id stats: ${got(4L)}")
+  }
+
+  test("q193: constant series yields explicit-null r at every lag and 'flat'") {
+    val hourNs = 3600L * 1000000000L
+    // 48 hours, exactly 2 events each hour -> zero variance both sides
+    val dir = eventsDir((0 until 48).flatMap(h =>
+      Seq((h * 2L) -> (h * hourNs), (h * 2 + 1L) -> (h * hourNs + 1000L))))
+    val rows = Events.acfLags(spark, dir).collect()
+    assert(rows.length == 24)
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("r"))),
+      "constant series must emit explicit null r, not NaN or a value")
+    assert(rows.forall(_.getAs[String]("recommended") == "flat")
+      , "all-null ACF must recommend the flat baseline")
+  }
+
+  test("q193: period-24 series peaks at lag 24 and recommends 'seasonal'") {
+    val hourNs = 3600L * 1000000000L
+    // 120 hours (5 days); 10 events at midnight hours, 1 otherwise
+    var id = -1L
+    val dir = eventsDir((0 until 120).flatMap { h =>
+      val n = if (h % 24 == 0) 10 else 1
+      (0 until n).map { _ => id += 1; id -> (h * hourNs) }
+    })
+    val rows = Events.acfLags(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (if (r.isNullAt(r.fieldIndex("r"))) None
+         else Some(r.getAs[Double]("r")))).toMap
+    // lag-24 pairs align spike with spike: exactly periodic -> r = 1
+    assert(rows(24L).contains(1.0), s"lag-24 r should be 1.0: ${rows(24L)}")
+    assert(rows(24L).get > rows(12L).getOrElse(-2.0),
+      "lag 24 must beat the off-period lag 12")
+    val rec = Events.acfLags(spark, dir)
+      .select("recommended").distinct().collect()
+    assert(rec.map(_.getString(0)).toSeq == Seq("seasonal"),
+      s"period-24 series must recommend the seasonal baseline: ${rec.toSeq}")
+  }
+
+  /** Writes (doc_id, text) rows as `$dir/documents.parquet`. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_audit").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q194: equal-prefix/divergent-tail band candidates are rejected") {
+    // Base doc: >120 normalized chars so the prefixes are identical.
+    val base = ("the quick brown fox jumps over the lazy dog while the " +
+      "patient grey owl watches from a very tall oak tree near the " +
+      "quiet river bank at dawn")
+    val tail = " every single morning without fail or complaint"
+    // Doc B = A plus the SAME sentence repeated 30x: its shingle SET
+    // barely changes (only seam shingles), so it stays a minhash band
+    // candidate of A — but its full normalized length is ~8x A's.
+    val a = base + tail
+    val b = base + (tail * 30)
+    val dir = docsDir(Seq(1L -> a, 2L -> b))
+    val cands = Dedup.minhashLsh(spark, dir).collect()
+    assert(cands.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "test premise: the repeated-tail pair must be an LSH band candidate")
+    val verified = Dedup.editVerify(spark, dir).collect()
+    assert(!verified.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "full-length ratio guard must reject the equal-prefix/divergent-tail pair")
+  }
+
+  test("q194: near-identical docs of similar length still pass") {
+    val base = ("the quick brown fox jumps over the lazy dog while the " +
+      "patient grey owl watches from a very tall oak tree near the " +
+      "quiet river bank at dawn every single morning")
+    val dir = docsDir(Seq(
+      1L -> (base + " without fail"),
+      2L -> (base + " without complaint")))
+    val verified = Dedup.editVerify(spark, dir).collect()
+    assert(verified.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "a genuine near-duplicate pair must survive the length guard")
+  }
+
+  test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Dedup.editVerify(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"q194 plan has an unbounded join:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"q194 text lookups lost their shuffle-hash shape:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"q194 hints a broadcast of a corpus-derived table:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}
