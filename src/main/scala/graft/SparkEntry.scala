@@ -206,6 +206,7 @@ object SparkEntry {
     "q192_wal_integrity"    -> ((s, d) => Events.walIntegrity(s, d)),
     "q193_acf_lags"         -> ((s, d) => Events.acfLags(s, d)),
     "q194_edit_verify"      -> ((s, d) => Dedup.editVerify(s, d)),
+    "q195_stream_wal_integrity" -> ((s, d) => StreamingOps.streamWalIntegrity(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3517,6 +3518,26 @@ object SparkEntry {
     // q192: per-id min-ts dedup before the successor join (one logical
     // reordering per sequence position), range left-join => 8 rows.
     "q192_wal_integrity" ->
+      """WITH u AS (SELECT event_id, min(ts) AS ts FROM events GROUP BY 1),
+        |st AS (SELECT event_id % 8 AS shard, count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        | FROM events GROUP BY 1),
+        |late AS (SELECT a.event_id % 8 AS shard, count(*) AS n_late
+        | FROM u a JOIN u b ON b.event_id = a.event_id + 8
+        | WHERE b.ts < a.ts GROUP BY 1)
+        |SELECT r.shard, coalesce(n_rows, 0) AS n_rows,
+        | coalesce(n_ids, 0) AS n_ids, min_id, max_id,
+        | (max_id - min_id) // 8 + 1 - n_ids AS n_gaps,
+        | coalesce(n_rows - n_ids, 0) AS n_dups,
+        | coalesce(n_late, 0) AS n_late
+        |FROM (SELECT unnest(range(8)) AS shard) r
+        |LEFT JOIN st USING (shard) LEFT JOIN late USING (shard)""".stripMargin,
+    // q195: the STREAMING monitor's final state must equal the batch
+    // audit (q192's SQL verbatim): first-delivery dedup = global
+    // min-ts under the range-staged WAL, counters are batch-additive,
+    // and each successor pair is checked exactly once.
+    "q195_stream_wal_integrity" ->
       """WITH u AS (SELECT event_id, min(ts) AS ts FROM events GROUP BY 1),
         |st AS (SELECT event_id % 8 AS shard, count(*) AS n_rows,
         |  count(DISTINCT event_id) AS n_ids,

@@ -649,23 +649,68 @@ object StreamingOps {
           .as("rel_err"))
   }
 
+  /** Pointer file naming the live version dir of a versioned parquet
+    * view (the q140 sink). Swaps are a single POSIX rename
+    * (ATOMIC_MOVE), so a reader sees either the old or the new
+    * version — never a half-written or missing view. */
+  private[graft] def viewPointer(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "view.current")
+
+  /** Resolve the live version dir named by the pointer, if any. */
+  private[graft] def currentViewDir(root: String): Option[String] = {
+    val ptr = viewPointer(root)
+    if (java.nio.file.Files.exists(ptr))
+      Some(java.nio.file.Paths.get(root,
+        java.nio.file.Files.readString(ptr).trim).toString)
+    else None
+  }
+
+  /** CRASH-ATOMIC publish of a new view version: (1) write the new
+    * version to its own dir — the live pointer still names the old
+    * version, so a crash here costs nothing; (2) swap the pointer by
+    * writing a sidecar file and ATOMIC_MOVE-renaming it over the
+    * pointer — the one atomic step; (3) garbage-collect versions the
+    * pointer no longer names — a crash between (2) and (3) leaves
+    * orphan DIRECTORIES, never an unreadable view (the next publish
+    * sweeps them). This is the catalog-pointer shape transactional
+    * table formats use, minus their jars. */
+  private[graft] def publishView(root: String, df: DataFrame,
+      version: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = s"view_v$version"
+    df.write.mode("overwrite").parquet(Paths.get(root, name).toString)
+    val tmp = Paths.get(root, s"view.current.tmp$version")
+    Files.writeString(tmp, name)
+    Files.move(tmp, viewPointer(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val live = Paths.get(root, name)
+    val listing = Files.list(Paths.get(root))
+    try listing.filter(p =>
+        p.getFileName.toString.startsWith("view_v") && p != live)
+      .forEach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      }
+    finally listing.close()
+  }
+
   /** q140: STREAMING MATERIALIZED VIEW via an UPDATE-mode UPSERT
     * sink — the production shape of q126's IVM: the per-(user, type)
     * aggregate runs as streaming state, and each micro-batch emits
     * only the TOUCHED keys' new totals (update mode), which
     * foreachBatch upserts into a keyed parquet view (read current →
-    * anti-join touched keys → union → atomic swap — the Delta/Hudi
-    * MERGE pattern without their jars). Contrast with q123/q131's
-    * Complete mode, which rewrites EVERY key every batch: at 100 TB
-    * the view has billions of keys and a batch touches thousands —
-    * update+upsert writes |touched|, not |keys|. Counting/summing
-    * is commutative, so the final view equals the batch aggregate
-    * (q126's oracle) regardless of batching — upsert latest-wins
-    * per key makes the sink idempotent per batch. */
+    * anti-join touched keys → union → versioned write + atomic
+    * pointer swap via [[publishView]] — the Delta/Hudi MERGE pattern
+    * without their jars, crash-atomic at every step). Contrast with
+    * q123/q131's Complete mode, which rewrites EVERY key every
+    * batch: at 100 TB the view has billions of keys and a batch
+    * touches thousands — update+upsert writes |touched|, not |keys|.
+    * Counting/summing is commutative, so the final view equals the
+    * batch aggregate (q126's oracle) regardless of batching — upsert
+    * latest-wins per key makes the sink idempotent per batch. */
   def streamUpsertView(s: SparkSession, dir: String): DataFrame = {
     val stage = stagingRoot("q140", dir)
     val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
-    val viewDir = s"$stage/view"; val tmpDir = s"$stage/view_tmp"
     WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
     val totals = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
       .select(col("rowkey").cast("long").as("user_id"),
@@ -674,36 +719,25 @@ object StreamingOps {
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
     val query = totals.writeStream
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        import java.nio.file.{Files, Paths}
+      .foreachBatch { (df: DataFrame, id: Long) =>
         val touched = df // update mode: only keys changed this batch
-        val merged =
-          if (Files.exists(Paths.get(viewDir))) {
-            val cur = s.read.parquet(viewDir)
-            cur.join(touched.select(col("user_id"), col("event_type")),
+        val merged = currentViewDir(stage) match {
+          case Some(cur) =>
+            s.read.parquet(cur)
+              .join(touched.select(col("user_id"), col("event_type")),
                 Seq("user_id", "event_type"), "left_anti")
               .unionByName(touched)
-          } else touched
-        // write aside, then swap: the new view reads the old one.
-        // delete+move is NOT crash-atomic (a failure between them
-        // loses the view until the checkpoint replays the batch) —
-        // a real deployment swaps via a transactional table format
-        // or a catalog pointer; the upsert SHAPE is what's gated.
-        merged.write.mode("overwrite").parquet(tmpDir)
-        val v = Paths.get(viewDir)
-        if (Files.exists(v)) {
-          Files.walk(v).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.delete(p))
+          case None => touched
         }
-        Files.move(Paths.get(tmpDir), v)
-        ()
+        publishView(stage, merged, id)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    s.read.parquet(viewDir)
+    s.read.parquet(currentViewDir(stage).getOrElse(
+      sys.error("q140: no view version published")))
   }
 
   /** Run any [[graft.sources.WalStream]] transport to exhaustion
@@ -806,5 +840,96 @@ object StreamingOps {
       .crossJoin(broadcast(total))
       .select(col("band"), col("n_events"), col("max_late_us"),
         round(col("n_events") / col("n").cast("double"), 4).as("frac"))
+  }
+
+  /** q195: STREAMING WAL sequence-integrity monitor — q192's trust
+    * audit run per micro-batch on the live stream, the way q53/q73
+    * shadow their batch twins: a CDC consumer should not wait for a
+    * nightly batch audit to learn its WAL has gaps. One streaming
+    * query over the raw WAL with a foreachBatch incremental ledger
+    * (the q126/q140 pattern — manual state in parquet, because the
+    * monitor needs BOTH raw delivery counts and a cross-batch
+    * distinct-id view, which no single built-in streaming aggregate
+    * provides):
+    *  1. per-batch raw delivery counts per shard (duplicates
+    *     included) appended keyed by (batch, shard) — a replayed
+    *     batch overwrites, not double-counts, at read time;
+    *  2. FIRST-DELIVERY dedup against the persisted id ledger
+    *     (at-least-once: the first delivery is authoritative —
+    *     min-ts within a batch; the WAL's range staging puts same-id
+    *     copies in one segment, so this equals q192's global min-ts);
+    *  3. incremental REORDERING detection: each (id, id+shards)
+    *     successor pair is checked exactly once, in the batch its
+    *     SECOND member first arrives — new-vs-all equi-join on the
+    *     successor id, never a window sort (q192's scale argument);
+    *  4. the new first-deliveries append to the ledger.
+    * Final assembly mirrors q192 row-for-row (left join onto
+    * range(shards); a silent shard is an all-zero row). Scale notes:
+    * the per-batch ledger join is O(ledger) here; a production
+    * deployment range-partitions the ledger by id (q111's persisted-
+    * index layout) so a batch joins only the id ranges it touches,
+    * and bounds the ledger by the WAL retention window. Late pairs
+    * are deduped by pair key at read — append idempotent under
+    * checkpoint replay. */
+  def streamWalIntegrity(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val stage = stagingRoot("q195", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val countsDir = s"$stage/counts"; val ledgerDir = s"$stage/ledger"
+    val lateDir = s"$stage/late"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val raw = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("seq"), col("ts"))
+    val query = raw.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.groupBy((col("seq") % shards).as("shard"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("batch", lit(id))
+          .write.mode("append").parquet(countsDir)
+        val batchFirst = df.groupBy(col("seq")).agg(min(col("ts")).as("ts"))
+        val ledger = if (Files.exists(Paths.get(ledgerDir)))
+          Some(s.read.parquet(ledgerDir)) else None
+        val newFirst = (ledger match {
+          case Some(l) => batchFirst.join(l.select("seq"), Seq("seq"), "left_anti")
+          case None => batchFirst
+        }).cache()
+        // pair check at second-member arrival: at least one side new
+        val all = ledger.map(_.withColumn("is_new", lit(false))
+            .unionByName(newFirst.withColumn("is_new", lit(true))))
+          .getOrElse(newFirst.withColumn("is_new", lit(true)))
+        all.toDF("sa", "tsa", "na").join(all.toDF("sb", "tsb", "nb"),
+            col("sb") === col("sa") + shards && col("tsb") < col("tsa") &&
+              (col("na") || col("nb")))
+          .select(col("sa").as("pair_seq"))
+          .write.mode("append").parquet(lateDir)
+        newFirst.write.mode("append").parquet(ledgerDir)
+        newFirst.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val ledger = s.read.parquet(ledgerDir)
+    val stats = ledger.groupBy((col("seq") % shards).as("shard"))
+      .agg(count(lit(1)).as("n_ids"),
+        min(col("seq")).as("min_id"), max(col("seq")).as("max_id"))
+    val nRows = s.read.parquet(countsDir)
+      .groupBy(col("batch"), col("shard")).agg(max(col("n")).as("n"))
+      .groupBy(col("shard")).agg(sum(col("n")).as("n_rows"))
+    val late = s.read.parquet(lateDir).distinct()
+      .groupBy((col("pair_seq") % shards).as("shard"))
+      .agg(count(lit(1)).as("n_late"))
+    s.range(shards).select(col("id").as("shard"))
+      .join(nRows, Seq("shard"), "left")
+      .join(stats, Seq("shard"), "left")
+      .join(late, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_ids"), lit(0L)).as("n_ids"),
+        col("min_id"), col("max_id"),
+        expr(s"(max_id - min_id) div $shards + 1 - n_ids").as("n_gaps"),
+        coalesce(col("n_rows") - col("n_ids"), lit(0L)).as("n_dups"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
   }
 }
