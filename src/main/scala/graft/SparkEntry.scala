@@ -2785,25 +2785,31 @@ object SparkEntry {
     // q134: grid rows (side 1) unioned with events (side 0), one
     // last_value IGNORE NULLS pass per user — the q17/q62 as-of
     // mirror; events at the exact grid instant are visible (side
-    // orders them first), max event_id wins time ties.
+    // orders them first), max event_id wins time ties. The grid is
+    // clamped to the most recent 100000 points per user with a
+    // truncated flag (mirrors the Spark maxGridRows knob).
     "q134_resample_ffill" ->
-      """WITH b AS (SELECT user_id, epoch_us(min(ts)) AS mn,
-        |  epoch_us(max(ts)) AS mx FROM events GROUP BY user_id),
-        |g AS (SELECT user_id,
-        |  unnest(range(mn // 3600000000, mx // 3600000000 + 1)) AS hb
-        | FROM b),
+      """WITH b AS (SELECT user_id,
+        |  greatest(epoch_us(min(ts)) // 3600000000,
+        |    epoch_us(max(ts)) // 3600000000 - 99999) AS lo,
+        |  epoch_us(max(ts)) // 3600000000 AS hi,
+        |  epoch_us(min(ts)) // 3600000000
+        |    < epoch_us(max(ts)) // 3600000000 - 99999 AS trunc
+        | FROM events GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb, trunc FROM b),
         |gg AS (SELECT user_id, hb * 3600000000 AS t, 1 AS side,
-        |  NULL::BIGINT AS eid, NULL::DOUBLE AS val FROM g),
+        |  NULL::BIGINT AS eid, NULL::DOUBLE AS val, trunc FROM g),
         |ev AS (SELECT user_id, epoch_us(ts) AS t, 0 AS side,
-        |  event_id AS eid, value AS val FROM events),
+        |  event_id AS eid, value AS val, NULL::BOOLEAN AS trunc FROM events),
         |u AS (SELECT * FROM gg UNION ALL SELECT * FROM ev),
-        |f AS (SELECT user_id, t, side,
+        |f AS (SELECT user_id, t, side, trunc,
         |  last_value(val IGNORE NULLS) OVER w AS asof_value,
         |  last_value(eid IGNORE NULLS) OVER w AS asof_event_id
         | FROM u WINDOW w AS (PARTITION BY user_id
         |   ORDER BY t, side, eid
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, t AS grid_ts, asof_value, asof_event_id
+        |SELECT user_id, t AS grid_ts, trunc AS truncated,
+        | asof_value, asof_event_id
         |FROM f WHERE side = 1""".stripMargin,
     // q135: per-(user, day) partials, then a RANGE-framed trailing
     // 7-day window over the daily rows — integer sums throughout.

@@ -307,22 +307,37 @@ object Events {
     * last observation carried forward (the feature-generation /
     * gap-fill step every downstream ML join wants a regular series
     * for). Grid = one row per (user, hour) across the user's own
-    * [min, max] span (two-agg + sequence explode — never a window);
-    * the fill is the public [[AsOf.join]] composition (union + one
-    * ordered window pass per key, single shuffle) — NOT a per-grid-
-    * point lookup join, which would be |grid| point queries. Hours
-    * before the user's first event fill null (no fabricated data).
-    * Output size is |users|·span/step — a resample's output is
-    * bounded by the grid, not the event volume. */
+    * [min, max] span (two-agg + sequence explode — never a window),
+    * CLAMPED at `maxGridRows` points per user: `sequence` allocates
+    * the whole grid as one in-memory array, so one user whose span
+    * is years at a fine step would otherwise be a single-row memory
+    * bomb no partitioning can split. A clamped user keeps the most
+    * RECENT maxGridRows points (the feature-useful end of the
+    * series) and every emitted row carries `truncated = true` — the
+    * overflow is reported, never silent. The fill is the public
+    * [[AsOf.join]] composition (union + one ordered window pass per
+    * key, single shuffle) — NOT a per-grid-point lookup join, which
+    * would be |grid| point queries. Hours before the user's first
+    * event fill null (no fabricated data). Output size is
+    * |users|·min(span/step, maxGridRows) — bounded by the grid knob,
+    * not the event volume. */
   def resampleFfill(s: SparkSession, dir: String,
-      stepMicros: Long = 3600000000L): DataFrame = {
+      stepMicros: Long = 3600000000L,
+      maxGridRows: Long = 100000L): DataFrame = {
     val ev = Tables.events(s, dir)
     val grid = ev.groupBy(col("user_id"))
       .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
       .select(col("user_id"),
-        explode(sequence(expr(s"mn div $stepMicros"), expr(s"mx div $stepMicros")))
-          .as("hb"))
-      .select(col("user_id"), (col("hb") * stepMicros).as("grid_ts"))
+        expr(s"greatest(mn div $stepMicros, mx div $stepMicros - ${maxGridRows - 1}L)")
+          .as("lo"),
+        expr(s"mx div $stepMicros").as("hi"),
+        expr(s"mn div $stepMicros < mx div $stepMicros - ${maxGridRows - 1}L")
+          .as("truncated"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("hb"),
+        col("truncated"))
+      .select(col("user_id"), (col("hb") * stepMicros).as("grid_ts"),
+        col("truncated"))
     AsOf.join(grid,
       ev.select(col("user_id"), col("ts"), col("event_id"), col("value")),
       key = "user_id", leftTime = "grid_ts", rightTime = "ts",

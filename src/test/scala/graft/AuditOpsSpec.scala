@@ -92,6 +92,33 @@ class AuditOpsSpec extends SparkSpec {
       s"period-24 series must recommend the seasonal baseline: ${rec.toSeq}")
   }
 
+  test("q134: grid clamp keeps the most recent maxGridRows points and flags them") {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val dir = Files.createTempDirectory("graft_audit").toString
+    // user 1 spans 10 grid hours (events at hour 0 and hour 9);
+    // user 2 spans 2 (no clamp at maxGridRows = 5)
+    Seq((1L, 1L, 0L * hourUs, 10.0), (2L, 1L, 9L * hourUs, 99.0),
+        (3L, 2L, 0L * hourUs, 7.0), (4L, 2L, 1L * hourUs, 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts") * 1000) // stored nanos
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.resampleFfill(spark, dir, hourUs, maxGridRows = 5L)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    val u1 = got(1L).sortBy(_.getAs[Long]("grid_ts"))
+    assert(u1.length == 5, s"clamped user must emit exactly 5 grid rows: ${u1.length}")
+    assert(u1.head.getAs[Long]("grid_ts") == 5L * hourUs,
+      "clamp must keep the most RECENT points")
+    assert(u1.forall(_.getAs[Boolean]("truncated")), "clamped rows must be flagged")
+    // forward-fill still works across the clamped start: hour 5
+    // carries the hour-0 observation, hour 9 its own
+    assert(u1.head.getAs[Double]("asof_value") == 10.0)
+    assert(u1.last.getAs[Double]("asof_value") == 99.0)
+    val u2 = got(2L)
+    assert(u2.length == 2 && u2.forall(!_.getAs[Boolean]("truncated")),
+      "unclamped user keeps the full grid, unflagged")
+  }
+
   /** Writes (doc_id, text) rows as `$dir/documents.parquet`. */
   private def docsDir(rows: Seq[(Long, String)]): String = {
     import spark.implicits._
