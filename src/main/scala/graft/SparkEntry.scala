@@ -207,6 +207,9 @@ object SparkEntry {
     "q193_acf_lags"         -> ((s, d) => Events.acfLags(s, d)),
     "q194_edit_verify"      -> ((s, d) => Dedup.editVerify(s, d)),
     "q195_stream_wal_integrity" -> ((s, d) => StreamingOps.streamWalIntegrity(s, d)),
+    "q196_heaps_vocab"      -> ((s, d) => TextAnalysis.heapsVocab(s, d)),
+    "q197_ivf_delta_probe"  -> ((s, d) => Similarity.ivfDeltaProbe(s, d)),
+    "q198_completeness_curve" -> ((s, d) => StreamingOps.completenessCurve(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3617,5 +3620,85 @@ object SparkEntry {
         |SELECT d1, d2, dist, (mlen - dist) * 1000000 // mlen AS sim_ppm
         |FROM v WHERE mlen > 0 AND dist * 1000000 <= mlen * 300000
         | AND abs(fl1 - fl2) * 1000000 <= greatest(fl1, fl2) * 300000""".stripMargin,
+    // q196: docs binned into 10 equal id-range slices; a token's
+    // first bucket = min(bucket); cumulate over the 10-row table.
+    "q196_heaps_vocab" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        |d AS (SELECT doc_id, text,
+        |  least(9, (doc_id - mn) * 10 // (mx - mn + 1)) AS bucket
+        | FROM documents, b),
+        |pb AS (SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM d GROUP BY 1),
+        |fs AS (SELECT tok, min(bucket) AS bucket FROM
+        |  (SELECT bucket, unnest(string_split(text, ' ')) AS tok FROM d)
+        | GROUP BY tok),
+        |nt AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY 1)
+        |SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+        | CAST(sum(n_docs) OVER w AS BIGINT) AS n_docs_cum,
+        | CAST(sum(n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+        | CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+        | CAST(sum(coalesce(new_types, 0)) OVER w AS BIGINT) AS vocab_cum
+        |FROM pb LEFT JOIN nt USING (bucket)
+        |WINDOW w AS (ORDER BY pb.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q197: base-only centroids (frozen), every vector assigned to
+    // them (q99's assignment CTEs), delta left-joined to its cell's
+    // base members for candidate count + best match + verdict.
+    "q197_ivf_delta_probe" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q WHERE vec_id % 5 != 0),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM cl),
+        |ac AS (SELECT m.vec_id, m.v, m.n2, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS ccos
+        | FROM m, cn),
+        |asg AS (SELECT vec_id, v, n2, cell FROM (SELECT vec_id, v, n2,
+        |   label AS cell, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY ccos DESC, label) AS rk FROM ac) t WHERE rk = 1),
+        |dd AS (SELECT * FROM asg WHERE vec_id % 5 = 0),
+        |bb AS (SELECT * FROM asg WHERE vec_id % 5 != 0),
+        |sc AS (SELECT dd.vec_id, bb.vec_id AS bid,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> dd.v[i+1] * bb.v[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(dd.n2 AS DOUBLE)) * sqrt(CAST(bb.n2 AS DOUBLE))) AS cosine
+        | FROM dd JOIN bb ON dd.cell = bb.cell),
+        |ag AS (SELECT vec_id, count(*) AS n_cands FROM sc GROUP BY 1),
+        |bst AS (SELECT vec_id, bid, cosine FROM (SELECT vec_id, bid, cosine,
+        |   row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY cosine DESC, bid) AS rk FROM sc) t WHERE rk = 1)
+        |SELECT dd.vec_id, CAST(dd.cell AS BIGINT) AS cell,
+        | CAST(coalesce(ag.n_cands, 0) AS BIGINT) AS n_cands,
+        | bst.bid AS best_id, round(bst.cosine, 6) AS best_cos,
+        | CASE WHEN bst.cosine >= 0.4 THEN 'drop_near' ELSE 'keep' END AS verdict
+        |FROM dd LEFT JOIN ag USING (vec_id) LEFT JOIN bst USING (vec_id)""".stripMargin,
+    // q198: q158's seeded-hash arrival world; per event the ceil
+    // 5-minute step past its hour end, cumulated to a ppm curve.
+    "q198_completeness_curve" ->
+      s"""WITH e AS (SELECT epoch_us(ts)
+        |   + ${hex8Sql("concat('lag|', event_id)")} % 1800000000 AS arrival,
+        |  (epoch_us(ts) // 3600000000 + 1) * 3600000000 AS hour_end
+        | FROM events),
+        |d AS (SELECT CASE WHEN arrival <= hour_end THEN 0
+        |   ELSE (arrival - hour_end - 1) // 300000000 + 1 END AS delay_steps
+        | FROM e),
+        |g AS (SELECT delay_steps, count(*) AS n_events FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM e)
+        |SELECT CAST(delay_steps AS BIGINT) AS delay_steps,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | CAST(sum(n_events) OVER w AS BIGINT) AS n_cum,
+        | CAST(sum(n_events) OVER w * 1000000 // t.n AS BIGINT) AS frac_ppm
+        |FROM g, t
+        |WINDOW w AS (ORDER BY delay_steps
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }

@@ -217,7 +217,16 @@ object Similarity {
     * measures exactly the gated quantizer plan on expanded corpora. */
   private[graft] def ivfAssignedOf(embQ: DataFrame,
       subBits: Int, dim: Int): (DataFrame, DataFrame) = {
-    val q = embQ.select(col("vec_id"), col("v"), col("n2"))
+    val centN = centroidsOf(embQ)
+    (centN, assignTo(embQ.select(col("vec_id"), col("v"), col("n2")),
+      centN, subBits, dim))
+  }
+
+  /** Per-label integer mean centroids + norms, broadcast-wrapped —
+    * the trainable half of the coarse quantizer, split out so the
+    * incremental path (q197) can FREEZE it to parquet and assign
+    * later deltas without retraining. */
+  private[graft] def centroidsOf(embQ: DataFrame): DataFrame = {
     val cent = embQ
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -225,8 +234,17 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), (col("sx") / col("nv")).cast("long").as("cx")))),
         e => e.getField("cx")).as("cv"))
-    val centN = broadcast(cent
+    broadcast(cent
       .withColumn("cn2", org.apache.spark.sql.graft.LongArrayDot.column(col("cv"), col("cv"))))
+  }
+
+  /** Assign (vec_id, v, n2) rows to their max-cosine centroid cell
+    * (max_by under hash aggregation — one shuffle of one row per
+    * vector; smallest-label ties), optionally split by `subBits`
+    * hyperplane sign bits. The assignment half of the quantizer,
+    * shared by the inline (q38/q99) and frozen-index (q197) paths. */
+  private[graft] def assignTo(q: DataFrame, centN: DataFrame,
+      subBits: Int, dim: Int): DataFrame = {
     val labelled = q.join(centN, lit(true))
       .withColumn("ccos", cosineQ(col("v"), col("cv"), col("n2"), col("cn2")))
       .groupBy(col("vec_id"))
@@ -234,16 +252,14 @@ object Similarity {
         struct(col("ccos"), negate(col("label")))).as("c"))
       .select(col("vec_id"), col("c.v").as("v"), col("c.n2").as("n2"),
         col("c.label").as("cell"))
-    val assigned =
-      if (subBits == 0) labelled
-      else {
-        val subKey = (0 until subBits).map(j =>
-            planeBit(col("v"), IvfPlaneBase + j, dim) * (1L << (subBits - 1 - j)))
-          .reduce(_ + _)
-        labelled.withColumn("cell",
-          col("cell").cast("long") * (1L << subBits) + subKey)
-      }
-    (centN, assigned)
+    if (subBits == 0) labelled
+    else {
+      val subKey = (0 until subBits).map(j =>
+          planeBit(col("v"), IvfPlaneBase + j, dim) * (1L << (subBits - 1 - j)))
+        .reduce(_ + _)
+      labelled.withColumn("cell",
+        col("cell").cast("long") * (1L << subBits) + subKey)
+    }
   }
 
   /** q99: embedding near-dup SELF-JOIN blocked by IVF cell — the
@@ -275,6 +291,66 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cell").cast("long").as("cell"),
         col("cosine"))
+  }
+
+  /** Materialize the IVF index of a labelled quantized base frame to
+    * parquet: the frozen centroids ([[centroidsOf]]) and every base
+    * vector's cell assignment. The catalog artifact a 100 TB vector
+    * deployment maintains — built in one pass over the base, then
+    * probed by every embedding increment WITHOUT retraining the
+    * quantizer or rescanning the base (the q111 persisted-index
+    * pattern applied to the similarity family). At scale both
+    * relations bucket by `cell` so a delta probe is a bucket-local
+    * join. */
+  def writeIvfIndex(base: DataFrame, indexPath: String): Unit = {
+    val centN = centroidsOf(base)
+    centN.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignTo(base.select(col("vec_id"), col("v"), col("n2")), centN, 0, 64)
+      .write.mode("overwrite").parquet(s"$indexPath/cells")
+  }
+
+  /** q197: INCREMENTAL ANN — a delta of new embeddings probed
+    * against the PERSISTED IVF index (the similarity-family twin of
+    * q105/q111's incremental dedup, closing the one production gap
+    * in the D family: indexes are built once and fed daily, never
+    * retrained per increment). [[writeIvfIndex]] freezes the
+    * base-trained centroids + base cell assignments to parquet;
+    * the delta (20% of vectors by id) is assigned to the FROZEN
+    * centroids — assignment drift is impossible by construction, the
+    * invariant hand-rolled re-train-per-batch pipelines break — and
+    * searched only within its cell against the base assignments
+    * (shuffle-hash equi-join on cell, never delta × base). Per delta
+    * vector: its cell, candidate count, best base match
+    * (max-cosine, smallest-id ties) and a keep/drop_near verdict at
+    * `threshold` — a delta vector landing in a cell with NO base
+    * members keeps with zero candidates (the new-region signal an
+    * index monitor alerts on). Integer-quantized cosine ⇒ both
+    * engines replay bit-identically. */
+  def ivfDeltaProbe(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val idx = StreamingOps.stagingRoot("q197idx", dir)
+    val all = quantizedL(s, dir)
+    writeIvfIndex(all.filter(col("vec_id") % 5 =!= 0), idx)
+    val centN = broadcast(s.read.parquet(s"$idx/centroids"))
+    val cells = s.read.parquet(s"$idx/cells")
+    val dAsg = assignTo(all.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("v"), col("n2")), centN, 0, 64)
+    val scored = dAsg.as("d")
+      .join(cells.as("b").hint("shuffle_hash"), col("d.cell") === col("b.cell"))
+      .withColumn("cosine",
+        cosineQ(col("d.v"), col("b.v"), col("d.n2"), col("b.n2")))
+      .groupBy(col("d.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        max_by(struct(col("b.vec_id").as("bid"), col("cosine")),
+          struct(col("cosine"), negate(col("b.vec_id")))).as("best"))
+    dAsg.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(scored, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        col("best.bid").as("best_id"),
+        round(col("best.cosine"), 6).as("best_cos"),
+        when(col("best.cosine") >= threshold, "drop_near")
+          .otherwise("keep").as("verdict"))
   }
 
   /** q109: embedding dedup END-TO-END — q24's banded near-dup pairs

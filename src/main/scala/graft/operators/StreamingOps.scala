@@ -842,6 +842,42 @@ object StreamingOps {
         round(col("n_events") / col("n").cast("double"), 4).as("frac"))
   }
 
+  /** q198: event-time COMPLETENESS curve — the other half of q158's
+    * watermark sizing: q158 asks "how late is data vs the advancing
+    * watermark"; this asks the scheduler's question — "when can the
+    * HOURLY job safely run?" For each event hour, what fraction of
+    * its events have ARRIVED by the hour's end + k·step (5-minute
+    * steps): the curve a pipeline reads as "at :00 we have 91.6%, by
+    * :30 we have 100%" and turns directly into a trigger delay /
+    * SLA. Arrival is the SAME seeded-hash network-delay simulation
+    * as q158 ("lag|" family — one consistent disorder world across
+    * both audits, deterministic on both engines). Per event:
+    * delay_steps = 0 if it arrived within its own hour, else the
+    * ceil 5-minute step past hour end; one corpus aggregation to
+    * ≤ jitter/step+1 rows, cumulated over that bounded table.
+    * All-integer ppm output. */
+  def completenessCurve(s: SparkSession, dir: String,
+      stepUs: Long = 300000000L, maxJitterUs: Long = 1800000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val ev = graft.Tables.events(s, dir).select(col("event_id"), col("ts"))
+      .withColumn("arrival", col("ts") +
+        Sampling.hashBucket(concat(lit("lag|"),
+          col("event_id").cast("string"))) % maxJitterUs)
+      .withColumn("hour_end", (expr(s"ts div $hourUs") + 1) * hourUs)
+      .withColumn("d", when(col("arrival") <= col("hour_end"), 0L)
+        .otherwise(expr(s"(arrival - hour_end - 1) div $stepUs") + 1L))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    // bounded window: <= maxJitter/step + 1 rows (7 at the defaults)
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.groupBy(col("d")).agg(count(lit(1)).as("n_events"))
+      .withColumn("n_cum", sum(col("n_events")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("d").as("delay_steps"), col("n_events"), col("n_cum"),
+        expr("n_cum * 1000000 div n_total").as("frac_ppm"))
+  }
+
   /** q195: STREAMING WAL sequence-integrity monitor — q192's trust
     * audit run per micro-batch on the live stream, the way q53/q73
     * shadow their batch twins: a CDC consumer should not wait for a

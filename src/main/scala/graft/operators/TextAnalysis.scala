@@ -507,4 +507,46 @@ object TextAnalysis {
           .as("reduction_ppm"),
         col("n_merged_stems"))
   }
+
+  /** q196: HEAPS-LAW vocabulary-growth audit — the corpus-scaling
+    * complement of q89's Zipf rank-frequency check: how fast does
+    * the TYPE vocabulary grow as the corpus grows (V ≈ K·Nᵝ)? The
+    * curve sizes tokenizer vocabularies and predicts OOV rates
+    * before a 10× crawl expansion — sublinear growth flattening
+    * early means more data buys breadth, not new vocabulary, while
+    * near-linear growth means the corpus is still vocabulary-open
+    * (or full of noise/ids — the q187 audit's territory). Docs are
+    * binned into `buckets` equal id-range slices (broadcast 1-row
+    * min/max — ingestion order, the order a streaming tokenizer
+    * would see); a token's first appearance is min(bucket) (bucket
+    * is monotone in doc_id, so this IS the first-occurrence bucket);
+    * per-bucket new-type counts + token counts then cumulate over
+    * the BUCKETS-row table (bounded window — never over tokens).
+    * Shapes: one token explode → min-agg on the vocab-sized domain →
+    * bounded join; all-integer output. */
+  def heapsVocab(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = Tables.documents(s, dir)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val d = Tables.documents(s, dir).crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(buckets - 1L),
+        expr(s"(doc_id - mn) * $buckets div (mx - mn + 1)")))
+    val perBucket = d.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val newTypes = d.select(col("bucket"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    // the window runs over <= `buckets` rows — bounded by the knob,
+    // never by the corpus (same class as q97's bin table)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .select(col("bucket"),
+        sum(col("n_docs")).over(w).as("n_docs_cum"),
+        sum(col("n_tokens")).over(w).as("n_tokens_cum"),
+        col("new_types"),
+        sum(col("new_types")).over(w).as("vocab_cum"))
+  }
 }

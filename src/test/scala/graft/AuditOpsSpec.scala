@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Events}
+import graft.operators.{Dedup, Events, Similarity, StreamingOps, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -157,6 +157,66 @@ class AuditOpsSpec extends SparkSpec {
     val verified = Dedup.editVerify(spark, dir).collect()
     assert(verified.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
       "a genuine near-duplicate pair must survive the length guard")
+  }
+
+  test("q196: vocab curve is exhaustive, monotone, and ends at the corpus totals") {
+    import graft.functions.TextFunctions.tokens
+    val rows = TextAnalysis.heapsVocab(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    val docs = Tables.documents(spark, sfDir)
+    val totalDocs = docs.count()
+    val totalTypes = docs.select(explode(tokens(col("text"))).as("t"))
+      .select(countDistinct(col("t"))).head.getLong(0)
+    assert(rows.last.getAs[Long]("n_docs_cum") == totalDocs)
+    assert(rows.last.getAs[Long]("vocab_cum") == totalTypes,
+      "every distinct token must be counted exactly once at its first bucket")
+    assert(rows.map(_.getAs[Long]("vocab_cum")).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)), "vocab_cum must be monotone")
+    assert(rows.map(_.getAs[Long]("new_types")).sum == totalTypes)
+  }
+
+  test("q197: delta-only probe with self-consistent candidate counts and verdicts") {
+    val out = Similarity.ivfDeltaProbe(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("vec_id") % 5 == 0),
+      "probe output must cover exactly the delta ids")
+    out.foreach { r =>
+      val (nc, bc, v) = (r.getAs[Long]("n_cands"),
+        Option(r.getAs[Any]("best_cos")).map(_.asInstanceOf[Double]),
+        r.getAs[String]("verdict"))
+      if (nc == 0) assert(bc.isEmpty && v == "keep",
+        s"empty-cell delta must keep with no match: $r")
+      else {
+        assert(bc.isDefined, s"candidates but no best match: $r")
+        // best_cos is rounded to 6 decimals; allow that slack at the
+        // threshold boundary
+        if (v == "drop_near") assert(bc.get >= 0.4 - 1e-6,
+          s"drop verdict below threshold: $r")
+        else assert(bc.get < 0.4 + 1e-6, s"keep verdict above threshold: $r")
+      }
+    }
+  }
+
+  test("q197 plan: probe reads the persisted index, base search is shuffle-hash") {
+    val p = Similarity.ivfDeltaProbe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("q197idx"), s"probe plan does not read the frozen index:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"cell-local base search lost its shuffle-hash shape:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"probe has an unbounded cross product:\n$p")
+  }
+
+  test("q198: completeness curve is cumulative, bounded by the jitter, ends at 100%") {
+    val rows = StreamingOps.completenessCurve(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("delay_steps"))
+    assert(rows.last.getAs[Long]("frac_ppm") == 1000000L,
+      "the curve must reach exactly 100% at the final step")
+    assert(rows.forall(_.getAs[Long]("delay_steps") <= 6L),
+      "a 30-min jitter cannot spill past hour end + 6 five-minute steps")
+    assert(rows.map(_.getAs[Long]("n_cum")).sliding(2)
+      .forall(p => p.length < 2 || p(0) < p(1)), "n_cum must strictly increase")
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      rows.last.getAs[Long]("n_cum"))
   }
 
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
