@@ -210,6 +210,8 @@ object SparkEntry {
     "q196_heaps_vocab"      -> ((s, d) => TextAnalysis.heapsVocab(s, d)),
     "q197_ivf_delta_probe"  -> ((s, d) => Similarity.ivfDeltaProbe(s, d)),
     "q198_completeness_curve" -> ((s, d) => StreamingOps.completenessCurve(s, d)),
+    "q199_t_closeness"      -> ((s, d) => Privacy.tCloseness(s, d)),
+    "q200_auto_anomaly"     -> (Events.autoAnomaly _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3700,5 +3702,104 @@ object SparkEntry {
         |FROM g, t
         |WINDOW w AS (ORDER BY delay_steps
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q199: same QI classes / bands as q130/q145; ordered EMD with
+    // HUGEINT cross products (Spark: Decimal(38,0)), one division,
+    // rounded to 6 BEFORE the t gate so both engines compare the
+    // same number.
+    "q199_t_closeness" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |  CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS band
+        | FROM customer),
+        |cls AS (SELECT seg, nat, count(*) AS n FROM c GROUP BY 1, 2),
+        |gb AS (SELECT band, count(*) AS g FROM c GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn, count(DISTINCT band) AS m FROM c),
+        |cb AS (SELECT seg, nat, band, count(*) AS cnt FROM c GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.seg, cls.nat, cls.n, gb.band, gb.g,
+        |  coalesce(cb.cnt, 0) AS cnt
+        | FROM cls CROSS JOIN gb
+        | LEFT JOIN cb ON cb.seg = cls.seg AND cb.nat = cls.nat
+        |   AND cb.band = gb.band),
+        |cum AS (SELECT seg, nat, n, band,
+        |  sum(cnt) OVER w AS ci, sum(g) OVER w AS gi
+        | FROM grid WINDOW w AS (PARTITION BY seg, nat ORDER BY band
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pc AS (SELECT seg, nat, max(n) AS n,
+        |  sum(abs(CAST(tot.nn AS HUGEINT) * ci - CAST(n AS HUGEINT) * gi)) AS sdev,
+        |  max(tot.nn) AS nn, max(tot.m) AS m
+        | FROM cum CROSS JOIN tot GROUP BY 1, 2),
+        |e AS (SELECT seg, n,
+        |  round(CAST(sdev AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(m - 1 AS DOUBLE)),
+        |   6) AS emd FROM pc)
+        |SELECT seg AS c_mktsegment, count(*) AS n_classes,
+        | CAST(sum(n) AS BIGINT) AS n_rows, max(emd) AS max_emd,
+        | CAST(sum(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_risk_classes,
+        | CAST(sum(CASE WHEN emd > 0.2 THEN n ELSE 0 END) AS BIGINT)
+        |   AS n_risk_rows,
+        | round(CAST(sum(CASE WHEN emd > 0.2 THEN n ELSE 0 END) AS BIGINT)
+        |   / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE), 4) AS risk_row_frac
+        |FROM e GROUP BY seg""".stripMargin,
+    // q200: one shared hourly CTE feeds all three monitor chains +
+    // the ACF chooser; spike totals are the per-hour counts of each
+    // gated monitor's own integer test.
+    "q200_auto_anomaly" ->
+      """WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        | FROM events GROUP BY 1),
+        |fw AS (SELECT h, n,
+        |  CAST(sum(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s24,
+        |  count(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS c24
+        | FROM hh),
+        |f AS (SELECT CAST(coalesce(sum(CASE
+        |    WHEN (n * 24000000) // s24 > 2000000 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_flat FROM fw WHERE c24 = 24),
+        |el AS (SELECT h, n,
+        |  lag(n, 1) OVER (ORDER BY h) AS n1, lag(n, 2) OVER (ORDER BY h) AS n2,
+        |  lag(n, 3) OVER (ORDER BY h) AS n3, lag(n, 4) OVER (ORDER BY h) AS n4,
+        |  lag(n, 5) OVER (ORDER BY h) AS n5, lag(n, 6) OVER (ORDER BY h) AS n6,
+        |  lag(n, 7) OVER (ORDER BY h) AS n7, lag(n, 8) OVER (ORDER BY h) AS n8,
+        |  lag(h, 8) OVER (ORDER BY h) AS h8
+        | FROM hh),
+        |e AS (SELECT CAST(coalesce(sum(CASE WHEN n * 255 >
+        |    2 * (n1*128 + n2*64 + n3*32 + n4*16 + n5*8 + n6*4 + n7*2 + n8)
+        |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ewma
+        | FROM el WHERE h8 = h - 8),
+        |sd AS (SELECT h, n, h % 24 AS hod FROM hh),
+        |sp AS (SELECT hod, sum(n) AS total, count(*) AS d FROM sd GROUP BY 1),
+        |sz AS (SELECT CAST(coalesce(sum(CASE
+        |    WHEN sd.n * (d - 1) > 2 * (total - sd.n) THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_seasonal
+        | FROM sd JOIN sp ON sd.hod = sp.hod WHERE d >= 2),
+        |ap AS (SELECT l.lag, a.n AS x, b.n AS y
+        | FROM hh a CROSS JOIN (SELECT unnest(range(1, 25)) AS lag) l
+        | JOIN hh b ON b.h = a.h + l.lag),
+        |am AS (SELECT lag, count(*) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy FROM ap GROUP BY 1),
+        |ar AS (SELECT lag,
+        | CASE WHEN CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
+        |    OR CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <= 0
+        |  THEN NULL
+        |  ELSE round(CAST(CAST(n_pairs AS HUGEINT) * sxy
+        |     - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |   / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx
+        |       - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |      * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy
+        |       - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 4) END AS r
+        | FROM am),
+        |rec AS (SELECT CASE
+        |  WHEN max(CASE WHEN lag = 24 THEN r END) IS NOT NULL
+        |   AND max(CASE WHEN lag = 24 THEN r END) >= 0.5
+        |   AND max(CASE WHEN lag = 24 THEN r END) >= max(r) THEN 'seasonal'
+        |  WHEN max(CASE WHEN lag = 1 THEN r END) >= 0.3 THEN 'ewma'
+        |  ELSE 'flat' END AS recommended FROM ar)
+        |SELECT rec.recommended, f.n_flat AS n_spikes_flat,
+        | e.n_ewma AS n_spikes_ewma, sz.n_seasonal AS n_spikes_seasonal,
+        | CASE rec.recommended WHEN 'flat' THEN f.n_flat
+        |  WHEN 'ewma' THEN e.n_ewma ELSE sz.n_seasonal END AS n_spikes_chosen
+        |FROM rec, f, e, sz""".stripMargin,
   )
 }

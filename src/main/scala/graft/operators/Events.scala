@@ -956,4 +956,35 @@ object Events {
           .otherwise(lit("flat")).as("recommended"))
     perLag.crossJoin(broadcast(rec))
   }
+
+  /** q200: AUTO-BASELINE anomaly report — the rate-alarm family
+    * CLOSED as one decision: q193's ACF chooser picks the baseline
+    * the data supports, and this report runs ALL THREE monitors
+    * (q163 flat trailing / q189 EWMA / q191 seasonal) over the same
+    * corpus and emits one row — the recommendation, each monitor's
+    * total spike count, and the count under the CHOSEN baseline (the
+    * number the on-call alert actually fires on). Composed entirely
+    * from the public operators — four independent hourly rollups
+    * here; a production deployment shares the one bounded hourly
+    * table across all four chains (the oracle does exactly that),
+    * trading a 4× corpus scan for pipeline simplicity at this gate's
+    * scale. Every branch is the already-gated integer arithmetic of
+    * its operator; single-row broadcast crossJoins assemble the
+    * report. */
+  def autoAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val flat = rateSpikes(s, dir)
+      .agg(coalesce(sum(col("n_spikes")), lit(0L)).as("n_spikes_flat"))
+    val ew = ewmaSpikes(s, dir)
+      .agg(coalesce(sum(col("spike")), lit(0L)).as("n_spikes_ewma"))
+    val seas = seasonalSpikes(s, dir)
+      .agg(coalesce(sum(col("n_spikes")), lit(0L)).as("n_spikes_seasonal"))
+    val rec = acfLags(s, dir).select(col("recommended")).distinct()
+    rec.crossJoin(broadcast(flat)).crossJoin(broadcast(ew))
+      .crossJoin(broadcast(seas))
+      .select(col("recommended"), col("n_spikes_flat"), col("n_spikes_ewma"),
+        col("n_spikes_seasonal"),
+        when(col("recommended") === "flat", col("n_spikes_flat"))
+          .when(col("recommended") === "ewma", col("n_spikes_ewma"))
+          .otherwise(col("n_spikes_seasonal")).as("n_spikes_chosen"))
+  }
 }

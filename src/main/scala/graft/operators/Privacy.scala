@@ -79,6 +79,61 @@ object Privacy {
         round(col("n_low_div_rows") / col("n_rows").cast("double"), 4)
           .as("low_div_row_frac"))
 
+  /** q199: t-CLOSENESS audit — the third rung of the release-risk
+    * ladder (q130 k-anonymity: classes too small; q145 l-diversity:
+    * classes too uniform; this: classes whose sensitive-attribute
+    * DISTRIBUTION differs too much from the corpus — the skewness
+    * attack l-diversity misses: a class can hold l distinct values
+    * yet be 95% "over 9000" when the corpus is 5%). Distance is the
+    * ordered-attribute Earth Mover's Distance over the same
+    * account-balance bands as q145: EMD = Σᵢ|Cᵢ/n − Gᵢ/N| / (m−1)
+    * computed as exact integers — Σᵢ|N·Cᵢ − n·Gᵢ| in Decimal(38,0)
+    * (the q193 widening policy: at 10⁹-row classes the cross
+    * products exceed Long; DuckDB mirror HUGEINT), ONE division at
+    * the end, rounded to 6 — so the t gate compares the same number
+    * on both engines. Shapes: class/global/cell aggs are map-side
+    * combinable; the cumulative runs over the |classes|·|bands|
+    * GRID (bounded by the QI and band domains, never corpus rows);
+    * |segments| report rows. */
+  def tCloseness(s: SparkSession, dir: String, t: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val c = Tables.customer(s, dir).select(
+      col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+      floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")
+        .as("band"))
+    val cls = c.groupBy(col("seg"), col("nat")).agg(count(lit(1)).as("n"))
+    val gb = c.groupBy(col("band")).agg(count(lit(1)).as("g"))
+    val tot = c.agg(count(lit(1)).as("nn"), countDistinct(col("band")).as("m"))
+    val cb = c.groupBy(col("seg"), col("nat"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = cls.crossJoin(broadcast(gb))
+      .join(cb, Seq("seg", "nat", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wcum = Window.partitionBy(col("seg"), col("nat")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(x: Column): Column = x.cast("decimal(38,0)")
+    val perClass = grid
+      .withColumn("ci", sum(col("cnt")).over(wcum))
+      .withColumn("gi", sum(col("g")).over(wcum))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        abs(dec(col("nn")) * dec(col("ci")) - dec(col("n")) * dec(col("gi"))))
+      .groupBy(col("seg"), col("nat"))
+      .agg(max(col("n")).as("n"), sum(col("dev")).as("sdev"),
+        max(col("nn")).as("nn"), max(col("m")).as("m"))
+      .withColumn("emd", round(col("sdev").cast("double") /
+        (col("n").cast("double") * col("nn").cast("double") *
+          (col("m") - 1).cast("double")), 6))
+    perClass.groupBy(col("seg").as("c_mktsegment"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"),
+        max(col("emd")).as("max_emd"),
+        sum(when(col("emd") > t, 1L).otherwise(0L)).as("n_risk_classes"),
+        sum(when(col("emd") > t, col("n")).otherwise(0L)).as("n_risk_rows"))
+      .withColumn("risk_row_frac",
+        round(col("n_risk_rows") / col("n_rows").cast("double"), 4))
+  }
+
   /** q144: DP-STYLE noisy-count release MECHANISM — per-segment
     * counts with Laplace(Δ/ε) noise (sensitivity Δ=1 for counts) via
     * inverse-CDF sampling: u ∈ (0,1) → noise = −(1/ε)·sign(u−½)·

@@ -219,6 +219,46 @@ class AuditOpsSpec extends SparkSpec {
       rows.last.getAs[Long]("n_cum"))
   }
 
+  test("q199: EMD is 0 for a global-matching class and flags the skewed one") {
+    import graft.operators.Privacy
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_audit").toString
+    // class (A,1): 100% band 0; class (B,3): the exact global mix —
+    // EMD must be 0.5 and 0.0 respectively (m=2 bands, 150 rows)
+    val rows =
+      (1 to 50).map(i => (s"c$i", "A", 1L, 500.0)) ++
+      (1 to 50).map(i => (s"d$i", "A", 2L, 9500.0)) ++
+      (1 to 25).map(i => (s"e$i", "B", 3L, 500.0)) ++
+      (1 to 25).map(i => (s"f$i", "B", 3L, 9500.0))
+    rows.toDF("c_name", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Privacy.tCloseness(spark, dir)
+      .collect().map(r => r.getAs[String]("c_mktsegment") -> r).toMap
+    assert(got("A").getAs[Double]("max_emd") == 0.5,
+      s"one-band class must sit at EMD 0.5: ${got("A")}")
+    assert(got("A").getAs[Long]("n_risk_classes") == 2L)
+    assert(got("B").getAs[Double]("max_emd") == 0.0,
+      s"global-matching class must have EMD 0: ${got("B")}")
+    assert(got("B").getAs[Long]("n_risk_classes") == 0L)
+  }
+
+  test("q200: chosen count equals the monitor the recommendation names") {
+    val r = Events.autoAnomaly(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val expected = row.getAs[String]("recommended") match {
+      case "flat" => row.getAs[Long]("n_spikes_flat")
+      case "ewma" => row.getAs[Long]("n_spikes_ewma")
+      case _      => row.getAs[Long]("n_spikes_seasonal")
+    }
+    assert(row.getAs[Long]("n_spikes_chosen") == expected)
+    // and the component totals equal the public monitors' own sums
+    val flat = Events.rateSpikes(spark, sfDir)
+      .agg(sum(col("n_spikes"))).head.getLong(0)
+    assert(row.getAs[Long]("n_spikes_flat") == flat,
+      "flat total diverges from the q163 operator")
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
