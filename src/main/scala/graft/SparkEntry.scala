@@ -212,6 +212,8 @@ object SparkEntry {
     "q198_completeness_curve" -> ((s, d) => StreamingOps.completenessCurve(s, d)),
     "q199_t_closeness"      -> ((s, d) => Privacy.tCloseness(s, d)),
     "q200_auto_anomaly"     -> (Events.autoAnomaly _),
+    "q201_dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
+    "q202_mixture_temperature"   -> (Pipeline.mixtureTemperature _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3801,5 +3803,53 @@ object SparkEntry {
         | CASE rec.recommended WHEN 'flat' THEN f.n_flat
         |  WHEN 'ewma' THEN e.n_ewma ELSE sz.n_seasonal END AS n_spikes_chosen
         |FROM rec, f, e, sz""".stripMargin,
+    // q201: exact AllPairs at the loosest threshold (q21's CTEs at
+    // 0.3), then every tighter threshold's counts from that one pair
+    // set via a 7-row threshold join.
+    "q201_dedup_threshold_sweep" ->
+      s"""WITH $shinglesCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t),
+        |p AS (SELECT d1, d2,
+        |  CAST(common AS DOUBLE)/(za.n + zb.n - common) AS j
+        | FROM c JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(za.n + zb.n - common) >= 0.3),
+        |th AS (SELECT unnest(range(3, 10)) AS i),
+        |pp AS (SELECT i, count(*) AS n_pairs
+        | FROM th JOIN p ON p.j >= i / 10.0 GROUP BY 1),
+        |dd AS (SELECT i, count(DISTINCT d) AS n_docs_hit FROM
+        |  (SELECT i, unnest([d1, d2]) AS d FROM th JOIN p ON p.j >= i / 10.0)
+        | GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM documents)
+        |SELECT CAST(i * 100000 AS BIGINT) AS threshold_ppm,
+        | CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        | CAST(coalesce(n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+        | CAST(coalesce(n_docs_hit, 0) * 1000000 // nd.nd AS BIGINT)
+        |   AS hit_frac_ppm
+        |FROM th LEFT JOIN pp USING (i) LEFT JOIN dd USING (i)
+        |CROSS JOIN nd""".stripMargin,
+    // q202: sqrt-composition temperature weights (bit-stable — no
+    // libm pow), quantized to integer milli-units so the normalizing
+    // sum is order-insensitive integer arithmetic.
+    "q202_mixture_temperature" ->
+      """WITH per AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |a AS (SELECT unnest([25, 50, 75, 100]) AS alpha_pct),
+        |w AS (SELECT alpha_pct, source, n_tokens,
+        |  CAST(round(CASE alpha_pct
+        |    WHEN 25 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+        |    WHEN 50 THEN sqrt(CAST(n_tokens AS DOUBLE))
+        |    WHEN 75 THEN sqrt(CAST(n_tokens AS DOUBLE)
+        |      * sqrt(CAST(n_tokens AS DOUBLE)))
+        |    ELSE CAST(n_tokens AS DOUBLE) END * 1000) AS BIGINT) AS wq
+        | FROM per CROSS JOIN a),
+        |t2 AS (SELECT alpha_pct, CAST(sum(wq) AS BIGINT) AS tw
+        | FROM w GROUP BY 1)
+        |SELECT CAST(w.alpha_pct AS BIGINT) AS alpha_pct, source, n_tokens,
+        | CAST(wq * 1000000 // tw AS BIGINT) AS weight_ppm
+        |FROM w JOIN t2 USING (alpha_pct)""".stripMargin,
   )
 }

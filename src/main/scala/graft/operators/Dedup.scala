@@ -109,6 +109,38 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** q201: dedup THRESHOLD-SWEEP — the knob-tuning curve run BEFORE
+    * committing a 100 TB dedup pass: how many near-dup pairs, and
+    * how much of the corpus, does each Jaccard threshold implicate?
+    * (0.9 removes only true near-copies; 0.3 starts eating
+    * templated-but-distinct docs — this table is the data for that
+    * decision, the dedup analogue of q171's nprobe sweep.) ONE pair
+    * generation at the LOOSEST threshold (q21's exact AllPairs —
+    * 100% recall at minThreshold, hence for every tighter one), then
+    * every threshold's counts from that one pair set: a 7-row
+    * threshold table nested-loop-joined (broadcast, bounded ×7
+    * fan-out) onto the pairs, never a re-run per threshold. Pair
+    * doubles are ratios of exact integers ⇒ the ≥ i/10 gates replay
+    * identically. Output: 7 rows — pairs, distinct docs implicated,
+    * corpus fraction. */
+  def dedupThresholdSweep(s: SparkSession, dir: String,
+      minThreshold: Double = 0.3): DataFrame = {
+    val p = ngramJaccard(s, dir, minThreshold)
+    val th = s.range(3, 10).select(col("id").as("i"))
+    val hit = broadcast(th).join(p, col("jaccard") >= col("i") / lit(10.0))
+    val pairsPer = hit.groupBy(col("i")).agg(count(lit(1)).as("n_pairs"))
+    val docsPer = hit
+      .select(col("i"), explode(array(col("d1"), col("d2"))).as("d"))
+      .groupBy(col("i")).agg(countDistinct(col("d")).as("n_docs_hit"))
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    th.join(pairsPer, Seq("i"), "left").join(docsPer, Seq("i"), "left")
+      .crossJoin(broadcast(nd))
+      .select((col("i") * 100000L).as("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        expr("coalesce(n_docs_hit, 0) * 1000000 div nd").as("hit_frac_ppm"))
+  }
+
   /** Per-doc LSH band keys: 8 md5-family minhashes (one native pass —
     * [[org.apache.spark.sql.graft.MinHashMd5]]), 4 bands × 2 rows. */
   def minhashBands(s: SparkSession, dir: String): DataFrame =

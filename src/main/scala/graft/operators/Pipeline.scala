@@ -75,6 +75,42 @@ object Pipeline {
         least(lit(1.0), col("budget").cast("double") / col("n_tokens")).as("rate"))
   }
 
+  /** q202: TEMPERATURE-based mixture reweighting — the other
+    * mixture policy (q46 splits a budget evenly; this is the
+    * multilingual/source sampling-temperature curve from LLM
+    * training: weight ∝ tokensᵅ, α=1 proportional, α→0 uniform —
+    * upsampling the tail without flattening it). The α grid is
+    * {0.25, 0.5, 0.75, 1.0} COMPUTED ONLY FROM sqrt COMPOSITIONS
+    * (n^¼ = √√n, n^¾ = √(n·√n)): sqrt is IEEE-correctly-rounded on
+    * every engine, so the weights are bit-identical cross-engine
+    * where a libm pow() could differ by ulps. Weights then quantize
+    * to integer milli-units (round half-up — engine-stable for
+    * positive values) so the normalizing SUM is exact integer
+    * arithmetic — a double Σw would depend on summation order across
+    * partitions. Output: |sources|·4 rows of integral ppm weights.
+    * One corpus rollup; everything after runs on the bounded
+    * source×α grid. */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("n_tokens"))
+    val nt = col("n_tokens").cast("double")
+    val w = per
+      .withColumn("alpha_pct",
+        explode(array(lit(25L), lit(50L), lit(75L), lit(100L))))
+      .withColumn("wv",
+        when(col("alpha_pct") === 25, sqrt(sqrt(nt)))
+          .when(col("alpha_pct") === 50, sqrt(nt))
+          .when(col("alpha_pct") === 75, sqrt(nt * sqrt(nt)))
+          .otherwise(nt))
+      .withColumn("wq", round(col("wv") * 1000, 0).cast("long"))
+    val tot = w.groupBy(col("alpha_pct")).agg(sum(col("wq")).as("tw"))
+    w.join(broadcast(tot), "alpha_pct")
+      .select(col("alpha_pct"), col("source"), col("n_tokens"),
+        expr("wq * 1000000 div tw").as("weight_ppm"))
+  }
+
   /** q85: APPLY the q46 mixture — deterministic per-source sampling
     * at the computed rates (md5-bucket keep decision, so the draw is
     * reproducible across engines, reruns and partitionings), audited

@@ -259,6 +259,39 @@ class AuditOpsSpec extends SparkSpec {
       "flat total diverges from the q163 operator")
   }
 
+  test("q201: sweep is monotone and its 0.5 row equals the gated q21 pair count") {
+    val rows = Dedup.dedupThresholdSweep(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("threshold_ppm"))
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Long]("n_pairs")).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)),
+      "tightening the threshold cannot add pairs")
+    assert(rows.map(_.getAs[Long]("n_docs_hit")).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)))
+    val at05 = rows.find(_.getAs[Long]("threshold_ppm") == 500000L).get
+    val q21 = Dedup.ngramJaccard(spark, sfDir).count()
+    assert(at05.getAs[Long]("n_pairs") == q21,
+      s"sweep@0.5 (${at05.getAs[Long]("n_pairs")}) != q21 ($q21)")
+  }
+
+  test("q202: weights normalize per alpha and flatten as alpha drops") {
+    val rows = graft.operators.Pipeline.mixtureTemperature(spark, sfDir).collect()
+    val byAlpha = rows.groupBy(_.getAs[Long]("alpha_pct"))
+    assert(byAlpha.keySet == Set(25L, 50L, 75L, 100L))
+    for ((a, rs) <- byAlpha) {
+      val total = rs.map(_.getAs[Long]("weight_ppm")).sum
+      // integral-ppm truncation loses < 1 ppm per source
+      assert(total > 1000000L - rs.length && total <= 1000000L,
+        s"alpha=$a ppm sum $total not normalized")
+    }
+    def spread(a: Long) = {
+      val w = byAlpha(a).map(_.getAs[Long]("weight_ppm"))
+      w.max - w.min
+    }
+    assert(spread(25L) < spread(100L),
+      "lower temperature must flatten the mixture toward uniform")
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
