@@ -214,6 +214,7 @@ object SparkEntry {
     "q200_auto_anomaly"     -> (Events.autoAnomaly _),
     "q201_dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "q202_mixture_temperature"   -> (Pipeline.mixtureTemperature _),
+    "q203_active_users"     -> (Events.activeUsers _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3851,5 +3852,24 @@ object SparkEntry {
         |SELECT CAST(w.alpha_pct AS BIGINT) AS alpha_pct, source, n_tokens,
         | CAST(wq * 1000000 // tw AS BIGINT) AS weight_ppm
         |FROM w JOIN t2 USING (alpha_pct)""".stripMargin,
+    // q203: one distinct (user, day) pass, offset fan-out to the
+    // trailing 7/30-day report days, countDistinct per day; report
+    // days restricted to observed activity days.
+    "q203_active_users" ->
+      """WITH pairs AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM pairs),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        | FROM pairs GROUP BY 1),
+        |wau AS (SELECT day + o AS day, count(DISTINCT user_id) AS wau
+        | FROM pairs CROSS JOIN (SELECT unnest(range(0, 7)) AS o) GROUP BY 1),
+        |mau AS (SELECT day + o AS day, count(DISTINCT user_id) AS mau
+        | FROM pairs CROSS JOIN (SELECT unnest(range(0, 30)) AS o) GROUP BY 1)
+        |SELECT CAST(dau.day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+        | CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
+        | CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm,
+        | dau.day >= b.mnd + 29 AS full_window
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day) CROSS JOIN b
+        |WHERE dau.day <= b.mxd""".stripMargin,
   )
 }

@@ -957,6 +957,41 @@ object Events {
     perLag.crossJoin(broadcast(rec))
   }
 
+  /** q203: ACTIVE-USERS report — DAU / trailing-7 WAU / trailing-30
+    * MAU + the DAU/WAU stickiness ratio per day, the product-ops
+    * metric family between q51's weekly cohorts and the rate
+    * monitors. The scale shape: events collapse ONCE to distinct
+    * (user, day) pairs (the only corpus-sized pass, map-side
+    * combinable); each pair then fans out to the ≤7 / ≤30 report
+    * days its activity supports (explode over a constant offset
+    * array — pairs·30 rows, orders of magnitude below event volume)
+    * and a countDistinct per report day finishes it. NEVER a
+    * distinct-over-sliding-window (Spark has no distinct range
+    * frame; a collect_set window would hold every user id per day
+    * in one buffer). Days outside the observed range are dropped;
+    * `full_window` flags days whose trailing 30 days are fully
+    * observed — partial-window rows are reported, not silently
+    * misleading. Integer ppm stickiness. */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .distinct()
+    val bounds = pairs.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    def actives(window: Int, name: String): DataFrame = pairs
+      .withColumn("off", explode(array((0 until window).map(i => lit(i.toLong)): _*)))
+      .groupBy((col("day") + col("off")).as("day"))
+      .agg(countDistinct(col("user_id")).as(name))
+    val dau = pairs.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    dau
+      .join(actives(7, "wau"), Seq("day"))
+      .join(actives(30, "mau"), Seq("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("mxd"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"),
+        (col("day") >= col("mnd") + 29).as("full_window"))
+  }
+
   /** q200: AUTO-BASELINE anomaly report — the rate-alarm family
     * CLOSED as one decision: q193's ACF chooser picks the baseline
     * the data supports, and this report runs ALL THREE monitors

@@ -292,6 +292,24 @@ class AuditOpsSpec extends SparkSpec {
       "lower temperature must flatten the mixture toward uniform")
   }
 
+  test("q203: DAU <= WAU <= MAU, stickiness bounded, first day degenerate-equal") {
+    val rows = Events.activeUsers(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, w, m) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("mau"))
+      assert(d <= w && w <= m, s"active-user containment violated: $r")
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+    // the first observed day has no history: all three metrics equal
+    val first = rows.head
+    assert(first.getAs[Long]("dau") == first.getAs[Long]("wau") &&
+      first.getAs[Long]("wau") == first.getAs[Long]("mau"),
+      s"first day must have DAU=WAU=MAU: $first")
+    assert(!first.getAs[Boolean]("full_window"))
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
