@@ -215,6 +215,8 @@ object SparkEntry {
     "q201_dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "q202_mixture_temperature"   -> (Pipeline.mixtureTemperature _),
     "q203_active_users"     -> (Events.activeUsers _),
+    "q204_source_quality_calibration" ->
+      ((s, d) => Pipeline.sourceQualityCalibration(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3871,5 +3873,29 @@ object SparkEntry {
         | dau.day >= b.mnd + 29 AS full_window
         |FROM dau JOIN wau USING (day) JOIN mau USING (day) CROSS JOIN b
         |WHERE dau.day <= b.mxd""".stripMargin,
+    // q204: q28's score in integer ppm bins per source, cumulative +
+    // ceil-rank crossing on the bounded bin table (the q97/q164
+    // pattern); estimate = bin upper edge.
+    "q204_source_quality_calibration" ->
+      """WITH ql AS (SELECT source,
+        |  CAST(round(((CAST(len(list_distinct(string_split(text, ' ')))
+        |       AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+        |    + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' '))) * 0.5) * 1000000)
+        |   AS BIGINT) // 10000 AS bin
+        | FROM documents),
+        |b AS (SELECT source, bin, count(*) AS cnt FROM ql GROUP BY 1, 2),
+        |c AS (SELECT source, bin, cnt, sum(cnt) OVER
+        |  (PARTITION BY source ORDER BY bin
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+        |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES ('p10', 10), ('p50', 50), ('p90', 90))
+        |  AS v(q_label, q))
+        |SELECT c.source, q_label, n.n,
+        | CAST((c.bin + 1) * 10000 - 1 AS BIGINT) AS est_ppm
+        |FROM p CROSS JOIN n JOIN c ON c.source = n.source
+        |WHERE cum >= (q * n.n + 99) // 100
+        |  AND cum - cnt < (q * n.n + 99) // 100""".stripMargin,
   )
 }

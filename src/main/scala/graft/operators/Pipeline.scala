@@ -111,6 +111,43 @@ object Pipeline {
         expr("wq * 1000000 div tw").as("weight_ppm"))
   }
 
+  /** q204: per-SOURCE quality CALIBRATION — the reason a global
+    * quality cut is wrong: the same composite score means different
+    * things in different sources (a 0.6 in a curated corpus is junk;
+    * in a web crawl it's good), so curation should compare each
+    * doc against ITS SOURCE'S distribution. This report measures
+    * that drift: per source, the p10/p50/p90 of the canonical q28
+    * score, computed the SCALABLE way — integer score bins (10⁴-ppm
+    * grain) → per-(source, bin) counts (one map-side-combinable
+    * corpus pass) → cumulative + ceil-rank crossing on the BOUNDED
+    * |sources|·100 bin table (the q97/q164 histogram-quantile
+    * pattern; q117's row_number window sorts corpus rows per group —
+    * fine at report grain, not as the corpus-wide primitive).
+    * Estimate = bin upper edge, exact integer arithmetic
+    * throughout. Divergent p50s across sources = the calibration
+    * evidence; feeding each source's own cut threshold is then q117
+    * with this table as input. */
+  def sourceQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binUnit = 10000L // 100 bins over the [0, 1e6] ppm score range
+    val bins = Tables.documents(s, dir)
+      .select(col("source"),
+        (round(qualityScore(col("text")) * 1000000).cast("long") / binUnit)
+          .cast("long").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(wcum))
+    val totals = bins.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    Seq(("p10", 10L), ("p50", 50L), ("p90", 90L)).toDF("q_label", "q")
+      .crossJoin(broadcast(totals))
+      .withColumn("rnk", expr("(q * n + 99) div 100"))
+      .join(cum, Seq("source"))
+      .filter(col("cum") >= col("rnk") && (col("cum") - col("cnt")) < col("rnk"))
+      .select(col("source"), col("q_label"), col("n"),
+        ((col("bin") + 1) * binUnit - 1).as("est_ppm"))
+  }
+
   /** q85: APPLY the q46 mixture — deterministic per-source sampling
     * at the computed rates (md5-bucket keep decision, so the draw is
     * reproducible across engines, reruns and partitionings), audited

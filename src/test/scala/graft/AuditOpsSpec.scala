@@ -310,6 +310,22 @@ class AuditOpsSpec extends SparkSpec {
     assert(!first.getAs[Boolean]("full_window"))
   }
 
+  test("q204: per-source percentiles are ordered and complete") {
+    val rows = graft.operators.Pipeline.sourceQualityCalibration(spark, sfDir)
+      .collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    for ((src, rs) <- bySource) {
+      val m = rs.map(r => r.getAs[String]("q_label") ->
+        r.getAs[Long]("est_ppm")).toMap
+      assert(m.keySet == Set("p10", "p50", "p90"),
+        s"$src missing percentile rows: ${m.keySet}")
+      assert(m("p10") <= m("p50") && m("p50") <= m("p90"),
+        s"$src percentile ordering violated: $m")
+      assert(rs.forall(r => r.getAs[Long]("est_ppm") >= 0))
+    }
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
