@@ -217,6 +217,7 @@ object SparkEntry {
     "q203_active_users"     -> (Events.activeUsers _),
     "q204_source_quality_calibration" ->
       ((s, d) => Pipeline.sourceQualityCalibration(s, d)),
+    "q205_constraint_checks" -> (Relational.constraintChecks _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3897,5 +3898,34 @@ object SparkEntry {
         |FROM p CROSS JOIN n JOIN c ON c.source = n.source
         |WHERE cum >= (q * n.n + 99) // 100
         |  AND cum - cnt < (q * n.n + 99) // 100""".stripMargin,
+    // q205: every same-table rule shares one conditional-agg scan;
+    // one report row per rule.
+    "q205_constraint_checks" ->
+      """WITH l AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |    THEN 1 ELSE 0 END) AS v_qty,
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |    THEN 1 ELSE 0 END) AS v_disc,
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq
+        | FROM lineitem),
+        |o AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        |  sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 1 ELSE 0 END) AS v_status
+        | FROM orders)
+        |SELECT 'not_null:l_orderkey' AS rule, 'lineitem' AS table_name,
+        |  CAST(n AS BIGINT) AS n_checked, CAST(v_nn AS BIGINT) AS n_violations,
+        |  v_nn = 0 AS pass FROM l
+        |UNION ALL SELECT 'range:l_quantity:1-50', 'lineitem',
+        |  CAST(n AS BIGINT), CAST(v_qty AS BIGINT), v_qty = 0 FROM l
+        |UNION ALL SELECT 'range:l_discount:0-0.1', 'lineitem',
+        |  CAST(n AS BIGINT), CAST(v_disc AS BIGINT), v_disc = 0 FROM l
+        |UNION ALL SELECT 'unique:l_orderkey+l_linenumber', 'lineitem',
+        |  CAST(n AS BIGINT), CAST(v_uniq AS BIGINT), v_uniq = 0 FROM l
+        |UNION ALL SELECT 'not_null:o_orderdate', 'orders',
+        |  CAST(n AS BIGINT), CAST(v_nn AS BIGINT), v_nn = 0 FROM o
+        |UNION ALL SELECT 'accepted:o_orderstatus', 'orders',
+        |  CAST(n AS BIGINT), CAST(v_status AS BIGINT), v_status = 0 FROM o""".stripMargin,
   )
 }

@@ -485,4 +485,48 @@ object Relational {
         "n_regionkey", Tables.region(s, dir), "r_regionkey")
     ).reduce(_ unionByName _)
   }
+
+  /** q205: declarative CONSTRAINT-CHECK report — the dbt-tests /
+    * CHECK-constraint layer a warehouse runs on every load:
+    * not_null, accepted range, accepted values, and composite-key
+    * uniqueness rules evaluated as ONE conditional-aggregation pass
+    * per table (every same-table rule shares the scan — adding a
+    * rule costs a counter, not a pass; at 100 TB that is the
+    * difference between 4 corpus scans and 1). Referential rules
+    * live in q152's FK audit — this is the row-local + uniqueness
+    * half. Output: one row per rule (n_checked, n_violations,
+    * pass); a clean corpus PROVES itself clean here, and a dirty
+    * load names exactly which rule broke. */
+  def constraintChecks(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_nn"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("v_disc"),
+      // struct-wrapped distinct: a multi-column countDistinct drops
+      // rows where ANY key column is null (so a null-keyed dup would
+      // vanish from the uniqueness count), while the struct is never
+      // null and compares its fields null-safely — the row semantics
+      // DuckDB's count(DISTINCT (a, b)) has
+      (count(lit(1)) -
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("v_uniq"))
+    val o = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v_nn"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("v_status"))
+    def row(df: DataFrame, rule: String, table: String, v: String): DataFrame =
+      df.select(lit(rule).as("rule"), lit(table).as("table_name"),
+        col("n").as("n_checked"), col(v).as("n_violations"),
+        (col(v) === 0L).as("pass"))
+    row(l, "not_null:l_orderkey", "lineitem", "v_nn")
+      .unionByName(row(l, "range:l_quantity:1-50", "lineitem", "v_qty"))
+      .unionByName(row(l, "range:l_discount:0-0.1", "lineitem", "v_disc"))
+      .unionByName(row(l, "unique:l_orderkey+l_linenumber", "lineitem", "v_uniq"))
+      .unionByName(row(o, "not_null:o_orderdate", "orders", "v_nn"))
+      .unionByName(row(o, "accepted:o_orderstatus", "orders", "v_status"))
+  }
 }

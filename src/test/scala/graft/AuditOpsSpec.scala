@@ -326,6 +326,33 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("q205: a deliberately dirty load names exactly the broken rules") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_audit").toString
+    // violations: one null key, one qty=99, one discount=0.5, one
+    // duplicated (orderkey, linenumber); orders: one bad status
+    Seq(
+      (Option(1L), 1, 10.0, 0.05), (Option(1L), 2, 99.0, 0.05),
+      (Option(2L), 1, 5.0, 0.5), (Option(2L), 1, 5.0, 0.0),
+      (None: Option[Long], 9, 1.0, 0.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "O", "2024-01-01"), (2L, "X", "2024-01-02"))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = Relational.constraintChecks(spark, dir)
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(got("not_null:l_orderkey") == (1L, false))
+    assert(got("range:l_quantity:1-50") == (1L, false))
+    assert(got("range:l_discount:0-0.1") == (1L, false))
+    assert(got("unique:l_orderkey+l_linenumber") == (1L, false),
+      s"dup composite key must count once: ${got}")
+    assert(got("not_null:o_orderdate") == (0L, true))
+    assert(got("accepted:o_orderstatus") == (1L, false))
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
