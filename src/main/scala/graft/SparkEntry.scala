@@ -218,6 +218,7 @@ object SparkEntry {
     "q204_source_quality_calibration" ->
       ((s, d) => Pipeline.sourceQualityCalibration(s, d)),
     "q205_constraint_checks" -> (Relational.constraintChecks _),
+    "q206_survival_curve"   -> (Events.survivalCurve _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3927,5 +3928,21 @@ object SparkEntry {
         |  CAST(n AS BIGINT), CAST(v_nn AS BIGINT), v_nn = 0 FROM o
         |UNION ALL SELECT 'accepted:o_orderstatus', 'orders',
         |  CAST(n AS BIGINT), CAST(v_status AS BIGINT), v_status = 0 FROM o""".stripMargin,
+    // q206: per-user (first, last) day spans; each user enters the
+    // at-risk set only for horizons the data can observe.
+    "q206_survival_curve" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        | FROM events),
+        |sp AS (SELECT user_id, min(day) AS f, max(day) AS l
+        | FROM d GROUP BY 1),
+        |m AS (SELECT max(l) AS mxd FROM sp),
+        |g AS (SELECT l - f AS life, unnest(range(0, mxd - f + 1)) AS k
+        | FROM sp, m)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_at_risk,
+        | CAST(sum(CASE WHEN life >= k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_survived,
+        | CAST(sum(CASE WHEN life >= k THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS survival_ppm
+        |FROM g GROUP BY 1""".stripMargin,
   )
 }

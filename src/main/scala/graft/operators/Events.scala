@@ -992,6 +992,35 @@ object Events {
         (col("day") >= col("mnd") + 29).as("full_window"))
   }
 
+  /** q206: user SURVIVAL curve — "what fraction of users are still
+    * around k days after they arrive?", the Kaplan-Meier-style
+    * retention summary that collapses q51's cohort×week matrix to
+    * one curve, CENSORING-AWARE: a user first seen f days before
+    * the corpus end can only testify about k ≤ (end − f), so they
+    * enter the at-risk denominator only for those k (counting them
+    * as churned at horizons the data cannot observe is the classic
+    * retention-curve bug this avoids). Survival here = lifespan
+    * (last − first activity day) ≥ k. Shapes: one corpus pass to
+    * per-user (first, last) day; the k fan-out explodes each user
+    * over their OBSERVABLE horizon — Σ ≤ |users|·|days| rows,
+    * bounded by the stream-lifetime day count, never event volume;
+    * one bounded agg → ≤ |days| report rows, exact integer ppm. */
+  def survivalCurve(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("min(ts div 86400000000)").as("f"),
+        expr("max(ts div 86400000000)").as("l"))
+    val mx = spans.agg(max(col("l")).as("mxd"))
+    spans.crossJoin(broadcast(mx))
+      .withColumn("life", col("l") - col("f"))
+      .withColumn("k", explode(sequence(lit(0L), col("mxd") - col("f"))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_at_risk"),
+        sum(when(col("life") >= col("k"), 1L).otherwise(0L)).as("n_survived"))
+      .select(col("k"), col("n_at_risk"), col("n_survived"),
+        expr("n_survived * 1000000 div n_at_risk").as("survival_ppm"))
+  }
+
   /** q200: AUTO-BASELINE anomaly report — the rate-alarm family
     * CLOSED as one decision: q193's ACF chooser picks the baseline
     * the data supports, and this report runs ALL THREE monitors

@@ -353,6 +353,19 @@ class AuditOpsSpec extends SparkSpec {
     assert(got("accepted:o_orderstatus") == (1L, false))
   }
 
+  test("q206: day-0 survival is 100%, at-risk shrinks with horizon, counts contained") {
+    val rows = Events.survivalCurve(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.head.getAs[Long]("k") == 0L &&
+      rows.head.getAs[Long]("survival_ppm") == 1000000L,
+      "every user survives at least to their own first day")
+    assert(rows.map(_.getAs[Long]("n_at_risk")).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)),
+      "censoring can only shrink the at-risk set as the horizon grows")
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_survived") <= r.getAs[Long]("n_at_risk")))
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
