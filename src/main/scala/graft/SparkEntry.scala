@@ -219,6 +219,7 @@ object SparkEntry {
       ((s, d) => Pipeline.sourceQualityCalibration(s, d)),
     "q205_constraint_checks" -> (Relational.constraintChecks _),
     "q206_survival_curve"   -> (Events.survivalCurve _),
+    "q207_kcore"            -> ((s, d) => Dedup.kCore(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3944,5 +3945,31 @@ object SparkEntry {
         | CAST(sum(CASE WHEN life >= k THEN 1 ELSE 0 END) * 1000000
         |   // count(*) AS BIGINT) AS survival_ppm
         |FROM g GROUP BY 1""".stripMargin,
+    // q207: the fixed 6-round peel unrolled as chained CTEs — each
+    // round drops nodes with degree < 2 and the edges touching them;
+    // the converged flag reports fixpoint status. Every chain CTE is
+    // MATERIALIZED: inlining would re-expand the banding pipeline
+    // per reference (3 refs/round → 3^6 rescans of the parquet).
+    "q207_kcore" -> {
+      val peel = (1 to 6).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT a FROM (SELECT a, count(*) AS deg
+           |  FROM e${i - 1} GROUP BY 1) WHERE deg >= 2),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           | JOIN s$i x ON e.a = x.a JOIN s$i y ON e.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM c
+        | UNION ALL SELECT d2, d1 FROM c),
+        |$peel,
+        |f AS (SELECT a AS doc_id, count(*) AS core_degree FROM e6 GROUP BY 1),
+        |cv AS (SELECT coalesce(min(core_degree) >= 2, true) AS converged
+        | FROM f)
+        |SELECT doc_id, CAST(core_degree AS BIGINT) AS core_degree, converged
+        |FROM f CROSS JOIN cv""".stripMargin
+    },
   )
 }

@@ -141,6 +141,51 @@ object Dedup {
         expr("coalesce(n_docs_hit, 0) * 1000000 div nd").as("hit_frac_ppm"))
   }
 
+  /** q207: k-CORE of the near-dup graph — the dense-duplication
+    * extractor between q59 (components: any connectivity) and q129
+    * (triangles: local cohesion): the k-core is what remains after
+    * repeatedly peeling nodes with degree < k, isolating the
+    * template/boilerplate clusters where every member has ≥ k
+    * near-dup partners (chains and stars peel away — exactly the
+    * banding artifacts q129's docs warn about). Peeling runs a
+    * FIXED `rounds` count so both engines compute the identical
+    * relation (a data-dependent fixpoint loop would diverge between
+    * engines whenever their iteration counts differ); the
+    * `converged` audit column reports whether the peel actually
+    * reached the fixpoint (min surviving degree ≥ k) — at 100 TB
+    * you raise `rounds` when it says false, instead of silently
+    * shipping a partial core. Each round: one degree agg + two
+    * id-keyed shuffle-hash semi-joins on the shrinking edge set —
+    * cost is rounds × |edges|, never quadratic. Each round
+    * localCheckpoints (the q59/q94 iteration policy): the round
+    * references `cur` three times, so an unbroken lineage would
+    * re-execute the banding 3^rounds times. */
+  def kCore(s: SparkSession, dir: String, k: Int = 2,
+      rounds: Int = 6): DataFrame =
+    kCoreOf(minhashLsh(s, dir), k, rounds)
+
+  /** [[kCore]] over an arbitrary (d1, d2) undirected edge list —
+    * the generic seam (same policy as [[components]]). */
+  def kCoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var cur = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(edges.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a"))
+      cur = cur
+        .join(keep.hint("shuffle_hash"), Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")).hint("shuffle_hash"),
+          Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    val f = cur.groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+    f.crossJoin(broadcast(
+      f.agg(coalesce(min(col("core_degree")) >= k, lit(true)).as("converged"))))
+  }
+
   /** Per-doc LSH band keys: 8 md5-family minhashes (one native pass —
     * [[org.apache.spark.sql.graft.MinHashMd5]]), 4 bands × 2 rows. */
   def minhashBands(s: SparkSession, dir: String): DataFrame =

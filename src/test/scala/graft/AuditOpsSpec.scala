@@ -366,6 +366,35 @@ class AuditOpsSpec extends SparkSpec {
       r.getAs[Long]("n_survived") <= r.getAs[Long]("n_at_risk")))
   }
 
+  test("q207: the 2-core keeps the clique and peels chains and stars") {
+    import spark.implicits._
+    // triangle {1,2,3} (survives: every node has 2 in-core partners),
+    // chain 4-5-6 (peels from the endpoints in), star 7-{8,9,10}
+    // (leaves peel, then the hub)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (7L, 10L)).toDF("d1", "d2")
+    val got = Dedup.kCoreOf(edges, k = 2, rounds = 6).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L),
+      s"2-core must be exactly the triangle: ${got.toSeq}")
+    assert(got.forall(_.getAs[Long]("core_degree") == 2L))
+    assert(got.forall(_.getAs[Boolean]("converged")))
+  }
+
+  test("q207: insufficient rounds report converged=false, never a silent partial core") {
+    import spark.implicits._
+    // a 6-chain needs 3 peel rounds; with 1 round the endpoints are
+    // gone but 2-degree interior nodes with dead neighbors remain
+    val chain = (1L to 6L).sliding(2)
+      .map(p => (p(0), p(1))).toSeq.toDF("d1", "d2")
+    val partial = Dedup.kCoreOf(chain, k = 2, rounds = 1).collect()
+    assert(partial.nonEmpty && partial.forall(!_.getAs[Boolean]("converged")),
+      s"a cut-short peel must say so: ${partial.toSeq}")
+    val full = Dedup.kCoreOf(chain, k = 2, rounds = 6).collect()
+    assert(full.isEmpty, "a chain has no 2-core")
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
