@@ -220,6 +220,8 @@ object SparkEntry {
     "q205_constraint_checks" -> (Relational.constraintChecks _),
     "q206_survival_curve"   -> (Events.survivalCurve _),
     "q207_kcore"            -> ((s, d) => Dedup.kCore(s, d)),
+    "q208_stream_active_users" ->
+      ((s, d) => StreamingOps.streamActiveUsers(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3971,5 +3973,11 @@ object SparkEntry {
         |SELECT doc_id, CAST(core_degree AS BIGINT) AS core_degree, converged
         |FROM f CROSS JOIN cv""".stripMargin
     },
+    // q208: the streaming dedup→agg pipeline's final state must
+    // equal the batch distinct count per day.
+    "q208_stream_active_users" ->
+      """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -878,6 +878,40 @@ object StreamingOps {
         expr("n_cum * 1000000 div n_total").as("frac_ppm"))
   }
 
+  /** q208: STREAMING daily-active-users — q203's DAU as live
+    * streaming state, and the one gate exercising Spark's
+    * MULTI-STATEFUL pipeline (stateful dropDuplicates feeding a
+    * stateful aggregation in one query): per-(user, day) dedup
+    * state emits each pair's FIRST delivery only, so the downstream
+    * Complete-mode per-day count state receives each active pair
+    * exactly once — count(distinct) decomposed into two bounded
+    * state stores (dedup state = |active pairs|, agg state =
+    * |days|), which is how a streaming engine does distinct at
+    * 100 TB (an exact distinct inside the agg would buffer every
+    * id per day). Dedup-first makes the final counts arrival-order
+    * independent ⇒ SQL-replayable (the q53 argument). */
+  def streamActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q208", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
+    val dau = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").cast("long").as("user_id"),
+        expr("ts div 86400000000").as("day"))
+      .dropDuplicates("user_id", "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val query = dau.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+  }
+
   /** q195: STREAMING WAL sequence-integrity monitor — q192's trust
     * audit run per micro-batch on the live stream, the way q53/q73
     * shadow their batch twins: a CDC consumer should not wait for a
