@@ -222,6 +222,7 @@ object SparkEntry {
     "q207_kcore"            -> ((s, d) => Dedup.kCore(s, d)),
     "q208_stream_active_users" ->
       ((s, d) => StreamingOps.streamActiveUsers(s, d)),
+    "q209_cohort_funnel"    -> (Events.cohortFunnel _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -3979,5 +3980,26 @@ object SparkEntry {
       """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS dau
         |FROM events GROUP BY 1""".stripMargin,
+    // q209: per-user conditional stage times, cohort rollup, ppm
+    // rates; conversion requires purchase at/after the first view.
+    "q209_cohort_funnel" ->
+      """WITH per AS (SELECT user_id,
+        |  min(epoch_us(ts) // 604800000000) AS cohort_week,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+        |  max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS lp
+        | FROM events GROUP BY 1)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_viewed,
+        | CAST(sum(CASE WHEN fv IS NOT NULL AND lp IS NOT NULL AND lp >= fv
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        | CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS viewed_ppm,
+        | CAST(sum(CASE WHEN fv IS NOT NULL AND lp IS NOT NULL AND lp >= fv
+        |   THEN 1 ELSE 0 END) * 1000000
+        |   // greatest(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END), 1)
+        |   AS BIGINT) AS conv_ppm
+        |FROM per GROUP BY 1""".stripMargin,
   )
 }

@@ -992,6 +992,36 @@ object Events {
         (col("day") >= col("mnd") + 29).as("full_window"))
   }
 
+  /** q209: COHORT-funnel conversion — q51's cohort axis crossed with
+    * q16's funnel semantics in ONE conditional-aggregation pass: per
+    * signup-week cohort (a user's first activity week), how many
+    * users ever viewed, and how many converted (a purchase at or
+    * after their FIRST view — the event-order constraint that makes
+    * it a funnel, not two independent counts). The per-user stage
+    * times fold into min/max conditional aggregates (map-side
+    * combinable, one shuffle on user), the cohort report is a second
+    * bounded agg — no window, no join, |weeks| rows out. The
+    * product question it answers: "is conversion drifting across
+    * acquisition cohorts?" — the cohort-quality signal a growth team
+    * reads weekly. Integer ppm rates (conversion over viewers). */
+  def cohortFunnel(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("min(ts div 604800000000)").as("cohort_week"),
+        min(when(col("event_type") === "view", col("ts"))).as("fv"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("lp"))
+    per.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("fv").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("fv").isNotNull && col("lp").isNotNull &&
+          col("lp") >= col("fv"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("cohort_week"), col("n_users"), col("n_viewed"),
+        col("n_converted"),
+        expr("n_viewed * 1000000 div n_users").as("viewed_ppm"),
+        expr("n_converted * 1000000 div greatest(n_viewed, 1)")
+          .as("conv_ppm"))
+  }
+
   /** q206: user SURVIVAL curve — "what fraction of users are still
     * around k days after they arrive?", the Kaplan-Meier-style
     * retention summary that collapses q51's cohort×week matrix to

@@ -395,6 +395,33 @@ class AuditOpsSpec extends SparkSpec {
     assert(full.isEmpty, "a chain has no 2-core")
   }
 
+  test("q209: conversion needs a purchase AT/AFTER the first view, per cohort") {
+    import spark.implicits._
+    val wk = 604800000000L
+    val dir = Files.createTempDirectory("graft_audit").toString
+    // week 0: u1 view->purchase (converts), u2 purchase->view with no
+    // later purchase (must NOT convert); week 1: u3 view-only,
+    // u4 purchase-only (not even a viewer)
+    Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "purchase", 20L),
+      (3L, 2L, "purchase", 10L), (4L, 2L, "view", 20L),
+      (5L, 3L, "view", wk + 10L),
+      (6L, 4L, "purchase", wk + 10L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", col("ts") * 1000) // stored nanos
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.cohortFunnel(spark, dir)
+      .collect().map(r => r.getAs[Long]("cohort_week") -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L).getAs[Long]("n_users") == 2 &&
+      got(0L).getAs[Long]("n_viewed") == 2 &&
+      got(0L).getAs[Long]("n_converted") == 1,
+      s"purchase-before-view must not convert: ${got(0L)}")
+    assert(got(1L).getAs[Long]("n_users") == 2 &&
+      got(1L).getAs[Long]("n_viewed") == 1 &&
+      got(1L).getAs[Long]("n_converted") == 0, s"week 1 wrong: ${got(1L)}")
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
