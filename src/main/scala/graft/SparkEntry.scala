@@ -223,6 +223,7 @@ object SparkEntry {
     "q208_stream_active_users" ->
       ((s, d) => StreamingOps.streamActiveUsers(s, d)),
     "q209_cohort_funnel"    -> (Events.cohortFunnel _),
+    "q210_pii_scan"         -> ((s, d) => Privacy.piiScan(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4001,5 +4002,24 @@ object SparkEntry {
         |   // greatest(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END), 1)
         |   AS BIGINT) AS conv_ppm
         |FROM per GROUP BY 1""".stripMargin,
+    // q210: engine-portable regex subset (character classes +
+    // counted repetition only); hit counts via regexp_extract_all.
+    "q210_pii_scan" ->
+      """WITH h AS (SELECT source,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |  len(regexp_extract_all(text,
+        |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS p,
+        |  len(regexp_extract_all(text, '[0-9]{9,}')) AS i
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(e) AS BIGINT) AS n_email_hits,
+        | CAST(sum(p) AS BIGINT) AS n_phone_hits,
+        | CAST(sum(i) AS BIGINT) AS n_longid_hits,
+        | CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_docs_flagged,
+        | CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS flagged_ppm
+        |FROM h GROUP BY 1""".stripMargin,
   )
 }

@@ -79,6 +79,38 @@ object Privacy {
         round(col("n_low_div_rows") / col("n_rows").cast("double"), 4)
           .as("low_div_row_frac"))
 
+  /** q210: corpus PII SCAN — the training-data audit q61's
+    * structured masking presumes: BEFORE a text corpus ships, count
+    * email addresses, phone-shaped numbers, and long digit runs
+    * (account/SSN-shaped identifiers) per source, so the release
+    * decision sees exactly which ingest streams leak PII and at
+    * what density. Patterns are deliberately restricted to syntax
+    * both regex engines (Java here, RE2-style in the oracle)
+    * interpret identically — character classes and counted
+    * repetition only, no \\d shorthand, no lookaround. One
+    * conditional-aggregation scan (regexp_count is codegen'd;
+    * adding a pattern costs a counter, not a pass); |sources| report
+    * rows. A clean corpus PROVING itself clean is the product (the
+    * q152 argument); the spec's seeded dirty docs prove detection. */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+    val longId = "[0-9]{9,}"
+    def hits(p: String) = regexp_count(col("text"), lit(p))
+    Tables.documents(s, dir)
+      .select(col("source"), hits(email).as("e"), hits(phone).as("p"),
+        hits(longId).as("i"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_email_hits"),
+        sum(col("p")).as("n_phone_hits"),
+        sum(col("i")).as("n_longid_hits"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("n_docs_flagged"))
+      .withColumn("flagged_ppm",
+        expr("n_docs_flagged * 1000000 div n_docs"))
+  }
+
   /** q199: t-CLOSENESS audit — the third rung of the release-risk
     * ladder (q130 k-anonymity: classes too small; q145 l-diversity:
     * classes too uniform; this: classes whose sensitive-attribute

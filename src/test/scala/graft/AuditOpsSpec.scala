@@ -422,6 +422,32 @@ class AuditOpsSpec extends SparkSpec {
       got(1L).getAs[Long]("n_converted") == 0, s"week 1 wrong: ${got(1L)}")
   }
 
+  test("q210: seeded PII is detected per pattern; clean docs stay unflagged") {
+    import graft.operators.Privacy
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_audit").toString
+    Seq(
+      (1L, "web", "contact me at jane.doe@example.com for details"),
+      (2L, "web", "call 555-123-4567 or 555 987 6543 today"),
+      (3L, "web", "account number 123456789012 on file"),
+      (4L, "web", "a perfectly clean document about owls"),
+      (5L, "books", "also clean, 42 is short and 12345678 is too"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Privacy.piiScan(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val web = got("web")
+    assert(web.getAs[Long]("n_email_hits") == 1L)
+    assert(web.getAs[Long]("n_phone_hits") == 2L,
+      s"both phone formats must match: $web")
+    assert(web.getAs[Long]("n_longid_hits") == 1L)
+    assert(web.getAs[Long]("n_docs_flagged") == 3L &&
+      web.getAs[Long]("flagged_ppm") == 750000L)
+    val books = got("books")
+    assert(books.getAs[Long]("n_docs_flagged") == 0L,
+      s"8-digit runs are below the long-id floor: $books")
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
