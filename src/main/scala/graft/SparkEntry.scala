@@ -224,6 +224,7 @@ object SparkEntry {
       ((s, d) => StreamingOps.streamActiveUsers(s, d)),
     "q209_cohort_funnel"    -> (Events.cohortFunnel _),
     "q210_pii_scan"         -> ((s, d) => Privacy.piiScan(s, d)),
+    "q211_lang_confusion"   -> (TextAnalysis.langConfusion _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4021,5 +4022,26 @@ object SparkEntry {
         | CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) * 1000000
         |   // count(*) AS BIGINT) AS flagged_ppm
         |FROM h GROUP BY 1""".stripMargin,
+    // q211: q29's scoring + argmax, rolled into confusion cells with
+    // each cell's share of its true language.
+    "q211_lang_confusion" ->
+      """WITH b AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS s_es
+        | FROM b),
+        |pr AS (SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+        | FROM sc),
+        |cells AS (SELECT lang, pred_lang, count(*) AS n FROM pr GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS n_true FROM pr GROUP BY 1)
+        |SELECT cells.lang, pred_lang, CAST(n AS BIGINT) AS n,
+        | CAST(n_true AS BIGINT) AS n_true,
+        | CAST(n * 1000000 // n_true AS BIGINT) AS cell_ppm
+        |FROM cells JOIN tot ON cells.lang = tot.lang""".stripMargin,
   )
 }

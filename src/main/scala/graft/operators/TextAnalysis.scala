@@ -508,6 +508,24 @@ object TextAnalysis {
         col("n_merged_stems"))
   }
 
+  /** q211: language-ID CONFUSION matrix — q29's classifier audited
+    * against the corpus's own labels, the way any heuristic filter
+    * must be before it gates a 100 TB ingest: per (true lang,
+    * predicted lang) cell counts plus the cell's share of its true
+    * language (recall on the diagonal, the specific confusion off
+    * it — "es mislabeled as en" is an actionable stopword-list gap,
+    * a bare accuracy number is not). Two bounded aggs over q29's
+    * per-doc scores; ≤ |langs|² rows at any corpus size. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val scored = langId(s, dir).select(col("lang"), col("pred_lang"))
+    val cells = scored.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+    cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_true"),
+        expr("n * 1000000 div n_true").as("cell_ppm"))
+  }
+
   /** q196: HEAPS-LAW vocabulary-growth audit — the corpus-scaling
     * complement of q89's Zipf rank-frequency check: how fast does
     * the TYPE vocabulary grow as the corpus grows (V ≈ K·Nᵝ)? The

@@ -448,6 +448,19 @@ class AuditOpsSpec extends SparkSpec {
       s"8-digit runs are below the long-id floor: $books")
   }
 
+  test("q211: confusion rows partition each true language exactly") {
+    val rows = TextAnalysis.langConfusion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for ((lang, rs) <- rows.groupBy(_.getAs[String]("lang"))) {
+      val nTrue = rs.head.getAs[Long]("n_true")
+      assert(rs.map(_.getAs[Long]("n")).sum == nTrue,
+        s"$lang cells don't partition its docs")
+      val ppm = rs.map(_.getAs[Long]("cell_ppm")).sum
+      assert(ppm > 1000000L - rs.length && ppm <= 1000000L,
+        s"$lang cell shares don't sum to ~1e6: $ppm")
+    }
+  }
+
   test("q194 plan: shuffle-hash text lookups, no cartesian, no broadcast hint") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
