@@ -44,6 +44,34 @@ class PlanLintSpec extends SparkSpec {
       allow = Set("nested-loop-join", "unpartitioned-window"))
   }
 
+  test("every round-7 operator is cartesian-free") {
+    import graft.operators._
+    // nested-loop joins (single-row / bounded-grid broadcasts) and
+    // bounded-table windows are the two documented exception
+    // classes; an actual cartesian product is never acceptable
+    for ((name, df) <- Seq(
+        "q193" -> Events.acfLags(spark, sfDir),
+        "q194" -> Dedup.editVerify(spark, sfDir),
+        "q196" -> TextAnalysis.heapsVocab(spark, sfDir),
+        "q197" -> Similarity.ivfDeltaProbe(spark, sfDir),
+        "q198" -> StreamingOps.completenessCurve(spark, sfDir),
+        "q199" -> Privacy.tCloseness(spark, sfDir),
+        "q200" -> Events.autoAnomaly(spark, sfDir),
+        "q201" -> Dedup.dedupThresholdSweep(spark, sfDir),
+        "q202" -> Pipeline.mixtureTemperature(spark, sfDir),
+        "q203" -> Events.activeUsers(spark, sfDir),
+        "q204" -> Pipeline.sourceQualityCalibration(spark, sfDir),
+        "q205" -> Relational.constraintChecks(spark, sfDir),
+        "q206" -> Events.survivalCurve(spark, sfDir),
+        "q209" -> Events.cohortFunnel(spark, sfDir),
+        "q210" -> Privacy.piiScan(spark, sfDir),
+        "q211" -> TextAnalysis.langConfusion(spark, sfDir))) {
+      val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
+      assert(!rules.contains("cartesian-product"),
+        s"$name has a cartesian product")
+    }
+  }
+
   test("allowlist admits only the named rule") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
