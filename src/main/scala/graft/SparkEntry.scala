@@ -3860,7 +3860,7 @@ object SparkEntry {
         |t2 AS (SELECT alpha_pct, CAST(sum(wq) AS BIGINT) AS tw
         | FROM w GROUP BY 1)
         |SELECT CAST(w.alpha_pct AS BIGINT) AS alpha_pct, source, n_tokens,
-        | CAST(wq * 1000000 // tw AS BIGINT) AS weight_ppm
+        | CAST(CAST(wq AS HUGEINT) * 1000000 // tw AS BIGINT) AS weight_ppm
         |FROM w JOIN t2 USING (alpha_pct)""".stripMargin,
     // q203: one distinct (user, day) pass, offset fan-out to the
     // trailing 7/30-day report days, countDistinct per day; report

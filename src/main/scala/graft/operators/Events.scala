@@ -557,10 +557,23 @@ object Events {
     * truncated ppm; hours without a full 24 h history are excluded
     * from evaluation rather than compared against a short window
     * (which would false-positive the first day). */
-  def rateSpikes(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
+  def rateSpikes(s: SparkSession, dir: String): DataFrame =
+    rateSpikesFrom(hourlyCounts(s, dir))
+
+  /** The ONE corpus-sized pass the whole rate-alarm family shares:
+    * events rolled up to the bounded hourly table (h = hour index,
+    * n = events that hour; map-side combinable, stream-lifetime
+    * rows). Every monitor below accepts this frame via its `*From`
+    * overload so a composed report (q200) scans the corpus ONCE —
+    * the shared-CTE shape the monitors' own oracles use — while the
+    * standalone gates keep building it themselves. */
+  def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .groupBy(expr("ts div 3600000000").as("h"))
       .agg(count(lit(1)).as("n"))
+
+  /** q163 over a pre-built [[hourlyCounts]] frame. */
+  def rateSpikesFrom(hourly: DataFrame): DataFrame = {
     val w24 = Window.orderBy(col("h")).rowsBetween(-24, -1)
     hourly
       .withColumn("s24", sum(col("n")).over(w24))
@@ -797,10 +810,11 @@ object Events {
     * CONTIGUITY guard (lag(h,8) = h−8) excludes hours whose history
     * has gaps instead of silently comparing against a shifted
     * window — the q163 first-day exclusion, hardened. */
-  def ewmaSpikes(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
-      .groupBy(expr("ts div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
+  def ewmaSpikes(s: SparkSession, dir: String): DataFrame =
+    ewmaSpikesFrom(hourlyCounts(s, dir))
+
+  /** q189 over a pre-built [[hourlyCounts]] frame. */
+  def ewmaSpikesFrom(hourly: DataFrame): DataFrame = {
     val w = Window.orderBy(col("h"))
     val weights = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
     val ewmaNum = weights.zipWithIndex.map { case (wt, i) =>
@@ -832,11 +846,12 @@ object Events {
     * days, mean, spike count, peak). At 100 TB this is one rollup +
     * a 24-row broadcast join — the cheapest possible seasonal
     * monitor. */
-  def seasonalSpikes(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
-      .groupBy(expr("ts div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("hod", expr("h % 24"))
+  def seasonalSpikes(s: SparkSession, dir: String): DataFrame =
+    seasonalSpikesFrom(hourlyCounts(s, dir))
+
+  /** q191 over a pre-built [[hourlyCounts]] frame. */
+  def seasonalSpikesFrom(hourlyIn: DataFrame): DataFrame = {
+    val hourly = hourlyIn.withColumn("hod", expr("h % 24"))
     val prof = hourly.groupBy(col("hod"))
       .agg(sum(col("n")).as("total"), count(lit(1)).as("d"))
     hourly.join(broadcast(prof), "hod")
@@ -921,10 +936,12 @@ object Events {
     * h+lag (stream-lifetime-sized equi-join, NEVER corpus-sized) →
     * maxLag report rows + a single-row broadcast for the
     * recommendation. */
-  def acfLags(s: SparkSession, dir: String, maxLag: Int = 24): DataFrame = {
-    val hourly = Tables.events(s, dir)
-      .groupBy(expr("ts div 3600000000").as("h"))
-      .agg(count(lit(1)).as("x"))
+  def acfLags(s: SparkSession, dir: String, maxLag: Int = 24): DataFrame =
+    acfLagsFrom(hourlyCounts(s, dir), maxLag)
+
+  /** q193 over a pre-built [[hourlyCounts]] frame. */
+  def acfLagsFrom(hourlyIn: DataFrame, maxLag: Int = 24): DataFrame = {
+    val hourly = hourlyIn.withColumnRenamed("n", "x")
     val pairs = hourly
       .withColumn("lag", explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))
       .join(hourly.toDF("h2", "y"), col("h2") === col("h") + col("lag"))
@@ -945,7 +962,17 @@ object Events {
             d(w(col("n_pairs")) * w(col("sxy")) - w(col("sx")) * w(col("sy")))
               / (sqrt(d(col("vx"))) * sqrt(d(col("vy")))), 4))
           .as("r"))
-    val rec = perLag.agg(
+    perLag.crossJoin(broadcast(recommendBaseline(perLag)))
+  }
+
+  /** The q193 baseline DECISION as a single-row AGGREGATE over the
+    * per-lag ACF report: 'seasonal' if lag-24 r is the series max and
+    * ≥ 0.5, else 'ewma' if lag-1 r ≥ 0.3, else 'flat'. Being a global
+    * aggregate (not a distinct over report rows), it emits its one
+    * row even when the report is EMPTY — a degenerate/empty corpus
+    * recommends 'flat', matching the oracle's aggregate CTE. */
+  private[graft] def recommendBaseline(perLag: DataFrame): DataFrame =
+    perLag.agg(
         max(when(col("lag") === 24, col("r"))).as("r24"),
         max(col("r")).as("rmax"),
         max(when(col("lag") === 1, col("r"))).as("r1"))
@@ -954,8 +981,6 @@ object Events {
           lit("seasonal"))
           .when(col("r1") >= 0.3, lit("ewma"))
           .otherwise(lit("flat")).as("recommended"))
-    perLag.crossJoin(broadcast(rec))
-  }
 
   /** q203: ACTIVE-USERS report — DAU / trailing-7 WAU / trailing-30
     * MAU + the DAU/WAU stickiness ratio per day, the product-ops
@@ -965,26 +990,34 @@ object Events {
     * combinable); each pair then fans out to the ≤7 / ≤30 report
     * days its activity supports (explode over a constant offset
     * array — pairs·30 rows, orders of magnitude below event volume)
-    * and a countDistinct per report day finishes it. NEVER a
-    * distinct-over-sliding-window (Spark has no distinct range
-    * frame; a collect_set window would hold every user id per day
-    * in one buffer). Days outside the observed range are dropped;
-    * `full_window` flags days whose trailing 30 days are fully
-    * observed — partial-window rows are reported, not silently
-    * misleading. Integer ppm stickiness. */
+    * and ONE aggregation with three CONDITIONAL countDistincts
+    * (off = 0 → DAU, off < 7 → WAU, any → MAU) finishes all three
+    * horizons in a single pass — never three scans of the pair
+    * frame, and NEVER a distinct-over-sliding-window (Spark has no
+    * distinct range frame; a collect_set window would hold every
+    * user id per day in one buffer). The rolled report is bounded
+    * (|days|+29 rows) and localCheckpoint-ed so the min/max bounds
+    * derive from it without re-running the corpus lineage: the
+    * events table is scanned exactly once. Report days = days with
+    * observed activity (DAU ≥ 1, the oracle's inner-join set); days
+    * past the observed range are dropped; `full_window` flags days
+    * whose trailing 30 days are fully observed — partial-window rows
+    * are reported, not silently misleading. Integer ppm
+    * stickiness. */
   def activeUsers(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.events(s, dir)
       .select(col("user_id"), expr("ts div 86400000000").as("day"))
       .distinct()
-    val bounds = pairs.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
-    def actives(window: Int, name: String): DataFrame = pairs
-      .withColumn("off", explode(array((0 until window).map(i => lit(i.toLong)): _*)))
+    val rolled = pairs
+      .withColumn("off", explode(array((0 until 30).map(i => lit(i.toLong)): _*)))
       .groupBy((col("day") + col("off")).as("day"))
-      .agg(countDistinct(col("user_id")).as(name))
-    val dau = pairs.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
-    dau
-      .join(actives(7, "wau"), Seq("day"))
-      .join(actives(30, "mau"), Seq("day"))
+      .agg(countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("off") < 7, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .filter(col("dau") > 0)
+      .localCheckpoint()
+    val bounds = rolled.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    rolled
       .crossJoin(broadcast(bounds))
       .filter(col("day") <= col("mxd"))
       .select(col("day"), col("dau"), col("wau"), col("mau"),
@@ -1057,22 +1090,27 @@ object Events {
     * (q163 flat trailing / q189 EWMA / q191 seasonal) over the same
     * corpus and emits one row — the recommendation, each monitor's
     * total spike count, and the count under the CHOSEN baseline (the
-    * number the on-call alert actually fires on). Composed entirely
-    * from the public operators — four independent hourly rollups
-    * here; a production deployment shares the one bounded hourly
-    * table across all four chains (the oracle does exactly that),
-    * trading a 4× corpus scan for pipeline simplicity at this gate's
-    * scale. Every branch is the already-gated integer arithmetic of
-    * its operator; single-row broadcast crossJoins assemble the
+    * number the on-call alert actually fires on). Composed from the
+    * monitors' `*From` overloads over ONE shared [[hourlyCounts]]
+    * rollup — the corpus is scanned exactly once (the hourly table is
+    * localCheckpoint-ed: bounded stream-lifetime rows, so pinning it
+    * costs nothing and severs the four chains from the scan), the
+    * same shared-CTE shape the oracle uses. The recommendation is
+    * [[recommendBaseline]] — an AGGREGATE, so an empty corpus still
+    * emits its one ('flat', 0, 0, 0, 0) report row instead of
+    * vanishing (row-count parity with the oracle's aggregate CTE).
+    * Every branch is the already-gated integer arithmetic of its
+    * operator; single-row broadcast crossJoins assemble the
     * report. */
   def autoAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val flat = rateSpikes(s, dir)
+    val hourly = hourlyCounts(s, dir).localCheckpoint()
+    val flat = rateSpikesFrom(hourly)
       .agg(coalesce(sum(col("n_spikes")), lit(0L)).as("n_spikes_flat"))
-    val ew = ewmaSpikes(s, dir)
+    val ew = ewmaSpikesFrom(hourly)
       .agg(coalesce(sum(col("spike")), lit(0L)).as("n_spikes_ewma"))
-    val seas = seasonalSpikes(s, dir)
+    val seas = seasonalSpikesFrom(hourly)
       .agg(coalesce(sum(col("n_spikes")), lit(0L)).as("n_spikes_seasonal"))
-    val rec = acfLags(s, dir).select(col("recommended")).distinct()
+    val rec = recommendBaseline(acfLagsFrom(hourly))
     rec.crossJoin(broadcast(flat)).crossJoin(broadcast(ew))
       .crossJoin(broadcast(seas))
       .select(col("recommended"), col("n_spikes_flat"), col("n_spikes_ewma"),

@@ -89,7 +89,11 @@ object Pipeline {
     * arithmetic — a double Σw would depend on summation order across
     * partitions. Output: |sources|·4 rows of integral ppm weights.
     * One corpus rollup; everything after runs on the bounded
-    * source×α grid. */
+    * source×α grid. The ppm normalization runs in decimal(38,0)
+    * (HUGEINT in the oracle): wq·10⁶ would overflow a BIGINT once a
+    * source holds ~9.2e12 tokens at α=1 — inside 100 TB range — and
+    * Spark wraps silently where DuckDB errors (the q193/q199
+    * widening policy). */
   def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.documents(s, dir)
       .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
@@ -108,7 +112,8 @@ object Pipeline {
     val tot = w.groupBy(col("alpha_pct")).agg(sum(col("wq")).as("tw"))
     w.join(broadcast(tot), "alpha_pct")
       .select(col("alpha_pct"), col("source"), col("n_tokens"),
-        expr("wq * 1000000 div tw").as("weight_ppm"))
+        expr("CAST(CAST(wq AS DECIMAL(38,0)) * 1000000 div tw AS BIGINT)")
+          .as("weight_ppm"))
   }
 
   /** q204: per-SOURCE quality CALIBRATION — the reason a global

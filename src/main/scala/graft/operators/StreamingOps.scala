@@ -669,13 +669,21 @@ object StreamingOps {
     * version to its own dir — the live pointer still names the old
     * version, so a crash here costs nothing; (2) swap the pointer by
     * writing a sidecar file and ATOMIC_MOVE-renaming it over the
-    * pointer — the one atomic step; (3) garbage-collect versions the
-    * pointer no longer names — a crash between (2) and (3) leaves
-    * orphan DIRECTORIES, never an unreadable view (the next publish
-    * sweeps them). This is the catalog-pointer shape transactional
-    * table formats use, minus their jars. */
+    * pointer — the one atomic step; (3) garbage-collect STALE
+    * versions, RETAINING the `retainVersions` most recent non-live
+    * dirs as a reader grace window: a concurrent reader that resolved
+    * [[currentViewDir]] just before the swap keeps scanning the old
+    * version it holds instead of hitting FileNotFoundException
+    * mid-scan (crash atomicity alone never covered that race). A
+    * crash between (2) and (3) leaves orphan DIRECTORIES, never an
+    * unreadable view (the next publish sweeps them). Retention is a
+    * GRACE, not a lease — a reader that dawdles past `retainVersions`
+    * further publishes can still lose its dir; single-writer is
+    * assumed throughout. This is the catalog-pointer + retained
+    * snapshot shape transactional table formats use, minus their
+    * jars. */
   private[graft] def publishView(root: String, df: DataFrame,
-      version: Long): Unit = {
+      version: Long, retainVersions: Int = 2): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val name = s"view_v$version"
     df.write.mode("overwrite").parquet(Paths.get(root, name).toString)
@@ -685,13 +693,17 @@ object StreamingOps {
       StandardCopyOption.REPLACE_EXISTING)
     val live = Paths.get(root, name)
     val listing = Files.list(Paths.get(root))
-    try listing.filter(p =>
-        p.getFileName.toString.startsWith("view_v") && p != live)
-      .forEach { p =>
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-      }
-    finally listing.close()
+    val stale = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.toList
+        .filter(p => p.getFileName.toString.startsWith("view_v") && p != live)
+        .sortBy(p => p.getFileName.toString.stripPrefix("view_v").toLong)
+        .dropRight(retainVersions)
+    } finally listing.close()
+    stale.foreach { p =>
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
   }
 
   /** q140: STREAMING MATERIALIZED VIEW via an UPDATE-mode UPSERT

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -31,11 +31,18 @@ object PlanLint {
 
   final case class Finding(rule: String, node: String)
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
-    p +: (p match {
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    // Children alone miss two containers: materialized AQE stages hold
+    // their subtree in `plan` with no children, and subquery expressions
+    // (scalar / IN) hang whole plans off `subqueries` — a cartesian
+    // hidden in either must not pass the lint silently.
+    val below = p match {
       case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
       case _ => p.children.flatMap(allNodes)
-    })
+    }
+    (p +: below) ++ p.subqueries.flatMap(allNodes)
+  }
 
   def audit(df: DataFrame): Seq[Finding] =
     allNodes(df.queryExecution.executedPlan).flatMap {

@@ -259,6 +259,32 @@ class AuditOpsSpec extends SparkSpec {
       "flat total diverges from the q163 operator")
   }
 
+  test("q200: empty corpus still emits its one 'flat' report row") {
+    // the rec is an AGGREGATE, not a distinct over report rows — an
+    // empty events table must match the oracle's always-one-row CTE
+    val dir = eventsDir(Seq.empty)
+    val r = Events.autoAnomaly(spark, dir).collect()
+    assert(r.length == 1, s"empty corpus must emit exactly one row: ${r.toSeq}")
+    val row = r.head
+    assert(row.getAs[String]("recommended") == "flat")
+    assert(row.getAs[Long]("n_spikes_flat") == 0L &&
+      row.getAs[Long]("n_spikes_ewma") == 0L &&
+      row.getAs[Long]("n_spikes_seasonal") == 0L &&
+      row.getAs[Long]("n_spikes_chosen") == 0L)
+  }
+
+  test("q200/q203: corpus is scanned once — report plans carry no file scan") {
+    // both operators pin their single corpus pass behind one
+    // localCheckpoint-ed bounded frame; a FileScan in the report plan
+    // would mean a chain re-reads events behind the seam's back
+    for ((name, df) <- Seq("q200" -> Events.autoAnomaly(spark, sfDir),
+        "q203" -> Events.activeUsers(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan"),
+        s"$name report plan re-scans the corpus:\n$plan")
+    }
+  }
+
   test("q201: sweep is monotone and its 0.5 row equals the gated q21 pair count") {
     val rows = Dedup.dedupThresholdSweep(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("threshold_ppm"))

@@ -26,20 +26,32 @@ class StreamSinkSpec extends SparkSpec {
     mkView(5).write.parquet(Paths.get(root, "view_v99").toString)
     assert(StreamingOps.currentViewDir(root).get == v1)
     assert(spark.read.parquet(StreamingOps.currentViewDir(root).get).count() == 3)
-    // next successful publish garbage-collects the orphan and swaps
+    // next successful publish swaps; the previous versions survive as
+    // the concurrent-reader grace window (retainVersions = 2) — a
+    // reader holding v1 keeps scanning it across the swap
     StreamingOps.publishView(root, mkView(7), 100L)
     val v2 = StreamingOps.currentViewDir(root).get
     assert(spark.read.parquet(v2).count() == 7)
-    assert(!Files.exists(Paths.get(root, "view_v99")), "orphan version not swept")
-    assert(!Files.exists(Paths.get(root, "view_v1")), "old version not swept")
+    assert(Files.exists(Paths.get(root, "view_v99")), "grace window violated")
+    assert(Files.exists(Paths.get(root, "view_v1")), "grace window violated")
+    assert(spark.read.parquet(v1).count() == 3, "retained version unreadable")
+    // versions beyond the grace window ARE swept: after two more
+    // publishes the oldest dirs go, the two most recent non-live stay
+    StreamingOps.publishView(root, mkView(8), 101L)
+    StreamingOps.publishView(root, mkView(9), 102L)
+    assert(!Files.exists(Paths.get(root, "view_v1")), "expired version not swept")
+    assert(!Files.exists(Paths.get(root, "view_v99")), "expired version not swept")
+    assert(Files.exists(Paths.get(root, "view_v100")))
+    assert(Files.exists(Paths.get(root, "view_v101")))
     // CRASH WINDOW B: between pointer swap and old-version GC the
     // pointer already names the new version — emulate by writing a
     // stale dir back; the view stays the pointer's version
+    val v3 = StreamingOps.currentViewDir(root).get
     mkView(2).write.parquet(Paths.get(root, "view_v0").toString)
-    assert(StreamingOps.currentViewDir(root).get == v2)
-    assert(spark.read.parquet(v2).count() == 7)
+    assert(StreamingOps.currentViewDir(root).get == v3)
+    assert(spark.read.parquet(v3).count() == 9)
     // the pointer file must always name an existing directory
-    assert(Files.exists(Paths.get(v2)))
+    assert(Files.exists(Paths.get(v3)))
   }
 
   test("q195 streaming monitor equals the q192 batch audit on a synthetic WAL") {
