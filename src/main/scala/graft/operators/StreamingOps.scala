@@ -924,6 +924,208 @@ object StreamingOps {
     s.read.parquet(out)
   }
 
+  // ---------------------------------------------------------------
+  // q195 state stores: BASE (compacted, pointer-versioned) + DELTA
+  // (per-batch appends). Every store is READ-IDEMPOTENT under row
+  // duplication (ledger dedups by seq, counts max-per-(batch,shard),
+  // late distinct), so every crash window — checkpoint replay
+  // re-appending a batch, a compaction that published but died before
+  // clearing its delta — degrades to duplicate rows the read
+  // collapses, never to wrong answers. Single writer assumed (the
+  // monitor's one streaming query).
+  // ---------------------------------------------------------------
+
+  /** Pointer file + versioned-dir resolution for a named q195 state
+    * store — the [[publishView]] mechanism generalized: `name.current`
+    * names the live `name_vN` base dir; swaps are ATOMIC_MOVE. */
+  private def storePointer(root: String, name: String) =
+    java.nio.file.Paths.get(root, s"$name.current")
+  private[graft] def storeBaseDir(root: String, name: String): Option[String] = {
+    val ptr = storePointer(root, name)
+    if (java.nio.file.Files.exists(ptr))
+      Some(java.nio.file.Paths.get(root,
+        java.nio.file.Files.readString(ptr).trim).toString)
+    else None
+  }
+  private def storeDeltaDir(root: String, name: String): String =
+    java.nio.file.Paths.get(root, s"${name}_delta").toString
+
+  /** Crash-atomically publish a new compacted base for store `name`
+    * (write dir → ATOMIC_MOVE pointer → GC bases beyond a 1-version
+    * reader grace), then clear the delta. A crash before the swap
+    * leaves the old base live; between swap and delta-clear leaves
+    * delta rows ALSO present in the new base — which the
+    * read-idempotent stores collapse. */
+  private def publishStore(s: SparkSession, root: String, name: String,
+      df: DataFrame, partitionCols: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val version = storeBaseDir(root, name)
+      .map(_.split(s"${name}_v").last.toLong + 1).getOrElse(0L)
+    val newDir = Paths.get(root, s"${name}_v$version")
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(newDir.toString)
+    val tmp = Paths.get(root, s"$name.current.tmp$version")
+    Files.writeString(tmp, s"${name}_v$version")
+    Files.move(tmp, storePointer(root, name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val listing = Files.list(Paths.get(root))
+    val stale = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.toList
+        .filter(p => p.getFileName.toString.startsWith(s"${name}_v") && p != newDir)
+        .sortBy(_.getFileName.toString.split(s"${name}_v").last.toLong)
+        .dropRight(1)
+    } finally listing.close()
+    stale.foreach(rmTree)
+    rmTree(Paths.get(storeDeltaDir(root, name)))
+  }
+
+  /** The ledger bucket dirs (base + delta) that EXIST for the given
+    * id-range buckets — the per-batch scan set: a batch's ledger
+    * reads resolve to exactly these explicit paths, so pruning is by
+    * construction (spec-pinnable from the plan's scan paths), not an
+    * optimizer courtesy. */
+  private[graft] def ledgerBucketDirs(root: String,
+      buckets: Seq[Long]): Seq[String] = {
+    val roots = storeBaseDir(root, "ledger").toSeq :+ storeDeltaDir(root, "ledger")
+    for {
+      r <- roots; b <- buckets
+      p = java.nio.file.Paths.get(r, s"bucket=$b")
+      if hasParquet(p)
+    } yield p.toString
+  }
+
+  /** True iff the dir exists and holds at least one parquet data
+    * file — an append of an EMPTY frame leaves a dir with only
+    * _SUCCESS, which schema inference rejects. */
+  private def hasParquet(p: java.nio.file.Path): Boolean = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) false
+    else {
+      val walk = Files.walk(p)
+      try walk.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+  }
+
+  /** Pruned first-delivery ledger read over explicit bucket dirs:
+    * (seq, ts) deduped by seq — duplicate rows from replayed appends
+    * or an unfinished compaction collapse here. None when no bucket
+    * dir exists yet. */
+  private[graft] def readLedgerPruned(s: SparkSession, root: String,
+      buckets: Seq[Long]): Option[DataFrame] = {
+    val dirs = ledgerBucketDirs(root, buckets)
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs: _*)
+      .groupBy(col("seq")).agg(min(col("ts")).as("ts")))
+  }
+
+  /** Full (base ∪ delta) read of store `name` with read-side dedup
+    * applied by the caller; None if the store has never been written. */
+  private def readStoreAll(s: SparkSession, root: String,
+      name: String): Option[DataFrame] = {
+    val dirs = (storeBaseDir(root, name).toSeq :+ storeDeltaDir(root, name))
+      .filter(d => hasParquet(java.nio.file.Paths.get(d)))
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d => s.read.parquet(d)).reduce(_ unionByName _))
+  }
+
+  /** ONE micro-batch of the q195 ledger protocol (factored out of the
+    * streaming query so specs can drive batches directly and pin the
+    * pruned scan set):
+    *  1. raw per-shard delivery counts append to the counts delta,
+    *     keyed (batch, shard) — max-at-read makes replay idempotent;
+    *  2. batch first-deliveries (min ts per seq) dedup against the
+    *     ledger PRUNED to the buckets the batch touches — ids equal
+    *     to a batch id live in buckets(ids), successor-pair partners
+    *     in buckets(ids ± shards); nothing else can match, so the
+    *     join reads O(touched ranges), not O(ledger);
+    *  3. reordering pairs (id, id+shards, ts running backwards) are
+    *     detected in the batch their SECOND member first arrives —
+    *     new-vs-(pruned ledger ∪ new) equi-join, never a window sort;
+    *  4. new first-deliveries append to the ledger delta partitioned
+    *     by bucket;
+    *  5. every `compactEvery` batches, [[compactWalState]] folds the
+    *     deltas into fresh pointer-versioned bases and applies the
+    *     retention bound.
+    * Returns the touched-bucket list (the spec's pin surface). */
+  private[graft] def walLedgerBatch(s: SparkSession, stateRoot: String,
+      batch: DataFrame, batchId: Long, shards: Int, rangeSize: Long,
+      compactEvery: Int = 4, retentionUs: Long = Long.MaxValue): Seq[Long] = {
+    batch.groupBy((col("seq") % shards).as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "counts"))
+    val batchFirst = batch.groupBy(col("seq")).agg(min(col("ts")).as("ts")).cache()
+    val touched = batchFirst
+      .select(explode(array(col("seq"), col("seq") + shards,
+        col("seq") - shards)).as("q"))
+      .filter(col("q") >= 0)
+      .select(expr(s"q div $rangeSize").as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val ledger = readLedgerPruned(s, stateRoot, touched)
+    val newFirst = (ledger match {
+      case Some(l) => batchFirst.join(l.select("seq"), Seq("seq"), "left_anti")
+      case None => batchFirst
+    }).cache()
+    // pair check at second-member arrival: at least one side new
+    val all = ledger.map(_.withColumn("is_new", lit(false))
+        .unionByName(newFirst.withColumn("is_new", lit(true))))
+      .getOrElse(newFirst.withColumn("is_new", lit(true)))
+    all.toDF("sa", "tsa", "na").join(all.toDF("sb", "tsb", "nb"),
+        col("sb") === col("sa") + shards && col("tsb") < col("tsa") &&
+          (col("na") || col("nb")))
+      .select(col("sa").as("pair_seq"))
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "late"))
+    newFirst
+      .withColumn("bucket", expr(s"seq div $rangeSize"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(storeDeltaDir(stateRoot, "ledger"))
+    newFirst.unpersist(); batchFirst.unpersist()
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactWalState(s, stateRoot, rangeSize, retentionUs)
+    touched
+  }
+
+  /** Fold each store's delta into a fresh compacted base (bounding
+    * the file count the per-batch appends would otherwise grow
+    * without limit) and bound the id ledger by the WAL RETENTION
+    * window: first-deliveries older than `retentionUs` before the
+    * newest retained delivery are dropped — the ledger's size tracks
+    * the retention window, not the stream's lifetime. The contract
+    * is the watermarked-dedup one (q86): a duplicate redelivered
+    * LATER than the retention window re-counts as a first delivery —
+    * exactly the guarantee the WAL itself makes. localCheckpoint
+    * pins each merged store before its publish so the new base never
+    * reads through the dirs being replaced. */
+  private[graft] def compactWalState(s: SparkSession, stateRoot: String,
+      rangeSize: Long, retentionUs: Long = Long.MaxValue): Unit = {
+    readStoreAll(s, stateRoot, "ledger").foreach { raw =>
+      val led = raw.groupBy(col("seq")).agg(min(col("ts")).as("ts"))
+      val bounded = if (retentionUs == Long.MaxValue) led else
+        led.crossJoin(broadcast(led.agg(max(col("ts")).as("mx"))))
+          .filter(col("ts") >= col("mx") - retentionUs)
+          .select(col("seq"), col("ts"))
+      val compacted = bounded
+        .withColumn("bucket", expr(s"seq div $rangeSize"))
+        .localCheckpoint()
+      publishStore(s, stateRoot, "ledger", compacted, Seq("bucket"))
+    }
+    readStoreAll(s, stateRoot, "counts").foreach { raw =>
+      publishStore(s, stateRoot, "counts",
+        raw.groupBy(col("batch"), col("shard")).agg(max(col("n")).as("n"))
+          .localCheckpoint(), Seq.empty)
+    }
+    readStoreAll(s, stateRoot, "late").foreach { raw =>
+      publishStore(s, stateRoot, "late", raw.distinct().localCheckpoint(),
+        Seq.empty)
+    }
+  }
+
   /** q195: STREAMING WAL sequence-integrity monitor — q192's trust
     * audit run per micro-batch on the live stream, the way q53/q73
     * shadow their batch twins: a CDC consumer should not wait for a
@@ -932,74 +1134,67 @@ object StreamingOps {
     * (the q126/q140 pattern — manual state in parquet, because the
     * monitor needs BOTH raw delivery counts and a cross-batch
     * distinct-id view, which no single built-in streaming aggregate
-    * provides):
-    *  1. per-batch raw delivery counts per shard (duplicates
-    *     included) appended keyed by (batch, shard) — a replayed
-    *     batch overwrites, not double-counts, at read time;
-    *  2. FIRST-DELIVERY dedup against the persisted id ledger
-    *     (at-least-once: the first delivery is authoritative —
-    *     min-ts within a batch; the WAL's range staging puts same-id
-    *     copies in one segment, so this equals q192's global min-ts);
-    *  3. incremental REORDERING detection: each (id, id+shards)
-    *     successor pair is checked exactly once, in the batch its
-    *     SECOND member first arrives — new-vs-all equi-join on the
-    *     successor id, never a window sort (q192's scale argument);
-    *  4. the new first-deliveries append to the ledger.
+    * provides). The ledger is PRODUCTION-SHAPED ([[walLedgerBatch]]):
+    *  - id-RANGE-PARTITIONED (q111's persisted-index layout, bucket =
+    *    seq div rangeSize): each batch joins only the bucket dirs it
+    *    touches — per-batch cost is O(touched ranges), independent of
+    *    stream lifetime;
+    *  - COMPACTED every `compactEvery` batches ([[compactWalState]]):
+    *    per-batch delta appends fold into a pointer-versioned base
+    *    (crash-atomic swap, the q140 mechanism), so the file count is
+    *    bounded by the compaction cadence, not the batch count;
+    *  - RETENTION-BOUNDED: `retentionUs` drops first-deliveries
+    *    older than the WAL retention window at compaction — ledger
+    *    size tracks the window, and a duplicate arriving later than
+    *    retention re-counts as first delivery (the q86 watermarked-
+    *    dedup contract, and the WAL's own guarantee);
+    *  - REPLAY-IDEMPOTENT: every store dedups at read (ledger by
+    *    seq, counts max-per-(batch, shard), late by pair), so
+    *    checkpoint replays and compaction crash windows degrade to
+    *    duplicate rows the read collapses.
     * Final assembly mirrors q192 row-for-row (left join onto
-    * range(shards); a silent shard is an all-zero row). Scale notes:
-    * the per-batch ledger join is O(ledger) here; a production
-    * deployment range-partitions the ledger by id (q111's persisted-
-    * index layout) so a batch joins only the id ranges it touches,
-    * and bounds the ledger by the WAL retention window. Late pairs
-    * are deduped by pair key at read — append idempotent under
-    * checkpoint replay. */
-  def streamWalIntegrity(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    * range(shards); a silent shard is an all-zero row). */
+  def streamWalIntegrity(s: SparkSession, dir: String, shards: Int = 8,
+      rangeSize: Long = 1L << 20, compactEvery: Int = 4,
+      retentionUs: Long = Long.MaxValue): DataFrame = {
     val stage = stagingRoot("q195", dir)
     val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
-    val countsDir = s"$stage/counts"; val ledgerDir = s"$stage/ledger"
-    val lateDir = s"$stage/late"
+    val stateRoot = s"$stage/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
     WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
     val raw = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
       .select(col("seq"), col("ts"))
     val query = raw.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        df.groupBy((col("seq") % shards).as("shard"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("batch", lit(id))
-          .write.mode("append").parquet(countsDir)
-        val batchFirst = df.groupBy(col("seq")).agg(min(col("ts")).as("ts"))
-        val ledger = if (Files.exists(Paths.get(ledgerDir)))
-          Some(s.read.parquet(ledgerDir)) else None
-        val newFirst = (ledger match {
-          case Some(l) => batchFirst.join(l.select("seq"), Seq("seq"), "left_anti")
-          case None => batchFirst
-        }).cache()
-        // pair check at second-member arrival: at least one side new
-        val all = ledger.map(_.withColumn("is_new", lit(false))
-            .unionByName(newFirst.withColumn("is_new", lit(true))))
-          .getOrElse(newFirst.withColumn("is_new", lit(true)))
-        all.toDF("sa", "tsa", "na").join(all.toDF("sb", "tsb", "nb"),
-            col("sb") === col("sa") + shards && col("tsb") < col("tsa") &&
-              (col("na") || col("nb")))
-          .select(col("sa").as("pair_seq"))
-          .write.mode("append").parquet(lateDir)
-        newFirst.write.mode("append").parquet(ledgerDir)
-        newFirst.unpersist()
+        walLedgerBatch(s, stateRoot, df, id, shards, rangeSize,
+          compactEvery, retentionUs)
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    val ledger = s.read.parquet(ledgerDir)
+    walStateReport(s, stateRoot, shards)
+  }
+
+  /** Assemble the q192-shaped audit from the q195 state stores (base
+    * ∪ delta, read-side dedup). */
+  private[graft] def walStateReport(s: SparkSession, stateRoot: String,
+      shards: Int): DataFrame = {
+    val ledger = readStoreAll(s, stateRoot, "ledger")
+      .map(_.groupBy(col("seq")).agg(min(col("ts")).as("ts")))
+      .getOrElse(s.range(0).select(col("id").as("seq"), col("id").as("ts")))
     val stats = ledger.groupBy((col("seq") % shards).as("shard"))
       .agg(count(lit(1)).as("n_ids"),
         min(col("seq")).as("min_id"), max(col("seq")).as("max_id"))
-    val nRows = s.read.parquet(countsDir)
+    val nRows = readStoreAll(s, stateRoot, "counts")
+      .getOrElse(s.range(0).select(col("id").as("batch"), col("id").as("shard"),
+        col("id").as("n")))
       .groupBy(col("batch"), col("shard")).agg(max(col("n")).as("n"))
       .groupBy(col("shard")).agg(sum(col("n")).as("n_rows"))
-    val late = s.read.parquet(lateDir).distinct()
+    val late = readStoreAll(s, stateRoot, "late")
+      .getOrElse(s.range(0).select(col("id").as("pair_seq")))
+      .distinct()
       .groupBy((col("pair_seq") % shards).as("shard"))
       .agg(count(lit(1)).as("n_late"))
     s.range(shards).select(col("id").as("shard"))
