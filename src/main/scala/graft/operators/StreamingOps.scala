@@ -904,9 +904,23 @@ object StreamingOps {
     * independent ⇒ SQL-replayable (the q53 argument). */
   def streamActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val stage = stagingRoot("q208", dir)
-    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
-    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
-    val dau = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), s"$stage/wal", batches = 8)
+    runStreamActiveUsers(s, s"$stage/wal", s"$stage/ckpt", s"$stage/out",
+      maxFilesPerTrigger = 2)
+  }
+
+  /** The q208 pipeline against an existing WAL dir + checkpoint —
+    * factored out so the spec can drive the multi-stateful semantics
+    * the SQL oracle cannot see: pair deliveries split across
+    * micro-batches, and checkpoint kill/restart continuing through
+    * BOTH state stores without double-counting. Runs the query to
+    * current-WAL exhaustion (AvailableNow) and returns the final
+    * per-day counts; re-invoking with the same checkpoint after new
+    * segments arrive RESUMES (dedup + agg state restored), it does
+    * not recount. */
+  private[graft] def runStreamActiveUsers(s: SparkSession, walDir: String,
+      ckpt: String, out: String, maxFilesPerTrigger: Int = 2): DataFrame = {
+    val dau = WalSource.streamV2(s, walDir, maxFilesPerTrigger)
       .select(col("rowkey").cast("long").as("user_id"),
         expr("ts div 86400000000").as("day"))
       .dropDuplicates("user_id", "day")
