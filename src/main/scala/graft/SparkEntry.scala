@@ -225,6 +225,7 @@ object SparkEntry {
     "q209_cohort_funnel"    -> (Events.cohortFunnel _),
     "q210_pii_scan"         -> ((s, d) => Privacy.piiScan(s, d)),
     "q211_lang_confusion"   -> (TextAnalysis.langConfusion _),
+    "q212_wal_retention"    -> (WalRetention.walRetentionState _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4043,5 +4044,14 @@ object SparkEntry {
         | CAST(n_true AS BIGINT) AS n_true,
         | CAST(n * 1000000 // n_true AS BIGINT) AS cell_ppm
         |FROM cells JOIN tot ON cells.lang = tot.lang""".stripMargin,
+    // q212: latest state materialized from (snapshot ∪ surviving WAL)
+    // after retention truncation; the oracle recomputes q12 from the
+    // raw events — the gate proves truncation lost nothing.
+    "q212_wal_retention" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts FROM (
+        | SELECT user_id, event_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
   )
 }
