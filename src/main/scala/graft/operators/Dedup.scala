@@ -46,9 +46,18 @@ object Dedup {
 
   /** Same operator over any (doc_id, text) DataFrame. */
   def ngramJaccardOf(docs: DataFrame, threshold: Double = 0.5,
+      postingCap: Int = Int.MaxValue): DataFrame =
+    ngramJaccardShingles(
+      docs.select(col("doc_id"), shingles3(col("text")).as("sh")),
+      threshold, postingCap)
+
+  /** Same operator over a PRE-EXTRACTED (doc_id, sh) shingle frame —
+    * the shared-extraction seam: q133 computes the shingle frame once
+    * (checkpointed) and feeds this index AND q22's signatures, instead
+    * of each blocker re-reading and re-shingling the corpus. */
+  def ngramJaccardShingles(t: DataFrame, threshold: Double = 0.5,
       postingCap: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
     // Candidate generation runs on xxhash64(shingle) longs, not the
     // 3-word strings — the two window sorts and the posting groupBy
     // shuffle 8-byte keys instead of ~30-byte strings. Sound: the
@@ -194,9 +203,14 @@ object Dedup {
   /** [[minhashBands]] over an arbitrary (doc_id, text) frame — the
     * band-index builder the persisted-index path (q111) writes once
     * and the per-corpus queries compute inline. */
-  def minhashBandsOf(docs: DataFrame): DataFrame = {
-    val withSig = docs
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+  def minhashBandsOf(docs: DataFrame): DataFrame =
+    minhashBandsOfShingles(
+      docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
+
+  /** [[minhashBandsOf]] over a pre-extracted (doc_id, sh) shingle
+    * frame — the q133 shared-extraction seam. */
+  def minhashBandsOfShingles(sh: DataFrame): DataFrame = {
+    val withSig = sh
       .withColumn("hs", org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -755,21 +769,40 @@ object Dedup {
     * per-cluster signal audit: how many edges each blocker
     * contributed and how many pairs ≥ 2 blockers agree on (the
     * high-confidence core a conservative curation run keeps).
-    * Shapes: three gated candidate plans unchanged, a union +
-    * max-flag hash agg on the pair key (one shuffle), the shared
-    * [[components]] propagation, two component-keyed aggs —
-    * never doc × doc, nothing re-banded twice. */
+    * Shapes: the q21/q22 candidate plans run off ONE checkpointed
+    * shingle frame (the corpus is read and shingled once for both —
+    * and the AllPairs index's several uses of the shingle table stop
+    * re-deriving it from the scan); q101 keeps its own single pass
+    * (its POSITIONAL trigram extraction is a different computation
+    * by design); then a union + max-flag hash agg on the pair key
+    * (one shuffle), the shared [[components]] propagation, two
+    * component-keyed aggs — never doc × doc, nothing re-banded
+    * twice. */
   def multiSignalDedup(s: SparkSession, dir: String): DataFrame = {
-    val jac = ngramJaccard(s, dir).select(col("d1"), col("d2"),
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .localCheckpoint()
+    val jac = ngramJaccardShingles(sh).select(col("d1"), col("d2"),
       lit(1L).as("sj"), lit(0L).as("sm"), lit(0L).as("sw"))
-    val mh = minhashLsh(s, dir).select(col("d1"), col("d2"),
-      lit(0L).as("sj"), lit(1L).as("sm"), lit(0L).as("sw"))
-    val wn = winnowPairs(s, dir).select(col("d1"), col("d2"),
+    val mhBands = minhashBandsOfShingles(sh)
+    val mh = mhBands.as("a")
+      .join(mhBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .select(col("d1"), col("d2"),
+        lit(0L).as("sj"), lit(1L).as("sm"), lit(0L).as("sw"))
+    val wn = winnowPairsOf(docs).select(col("d1"), col("d2"),
       lit(0L).as("sj"), lit(0L).as("sm"), lit(1L).as("sw"))
+    // checkpoint the merged edge relation: it feeds BOTH the component
+    // propagation and the per-edge signal audit — without the pin the
+    // three blocker plans execute twice
     val edges = jac.unionByName(mh).unionByName(wn)
       .groupBy(col("d1"), col("d2"))
       .agg(max(col("sj")).as("sj"), max(col("sm")).as("sm"),
         max(col("sw")).as("sw"))
+      .localCheckpoint()
     val comps = components(edges.select(col("d1"), col("d2")))
     val perEdge = edges
       .join(comps.toDF("d1", "component").hint("shuffle_hash"), "d1")
