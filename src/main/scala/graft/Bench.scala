@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Streaming-gate variance mechanism (StreamVarianceProbe, r8):
+      // after a gate's query terminates, its HDFS-backed state-store
+      // providers stay loaded in-JVM until the maintenance pass
+      // notices (default interval 60 s) — in a back-to-back sweep
+      // the retained state maps + background snapshot uploads from
+      // PRIOR entries stack heap/GC pressure into whichever entries
+      // follow (isolated gates are stable: q78 1.13x, q80 1.35x over
+      // 5 idle reps). Unload terminated providers promptly instead.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "5s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Timed action = noop-sink write: every output column is fully

@@ -226,6 +226,16 @@ object SparkEntry {
     "q210_pii_scan"         -> ((s, d) => Privacy.piiScan(s, d)),
     "q211_lang_confusion"   -> (TextAnalysis.langConfusion _),
     "q212_wal_retention"    -> (WalRetention.walRetentionState _),
+    "q213_benford_audit"    -> (Relational.benfordAudit _),
+    "q214_rater_agreement"  -> (TextAnalysis.raterAgreement _),
+    "q215_readability"      -> (TextAnalysis.readability _),
+    "q216_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
+    "q217_chunk_manifest"   -> ((s, d) => Pipeline.chunkManifest(s, d)),
+    "q218_pq_recall"        -> ((s, d) => Similarity.pqRecall(s, d)),
+    "q219_dup_drift"        -> ((s, d) => Dedup.dupDrift(s, d)),
+    "q220_ngram_novelty"    -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "q221_stream_quota"     -> ((s, d) => StreamingOps.streamQuota(s, d)),
+    "q222_category_drift"   -> (Incremental.categoryDrift _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4053,5 +4063,241 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+    "q213_benford_audit" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice*100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem WHERE round(l_extendedprice*100) > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS n_total FROM c),
+        |e AS (SELECT * FROM (VALUES (1,301030),(2,176091),(3,124939),
+        |  (4,96910),(5,79181),(6,66947),(7,57992),(8,51153),(9,45757))
+        |  AS e(digit, benford_ppm))
+        |SELECT c.digit, CAST(n AS BIGINT) AS n,
+        | CAST(n * 1000000 // n_total AS BIGINT) AS obs_ppm,
+        | CAST(benford_ppm AS BIGINT) AS benford_ppm,
+        | CAST((n * 1000000 // n_total - benford_ppm) *
+        |      (n * 1000000 // n_total - benford_ppm) // benford_ppm AS BIGINT)
+        |   AS chi2_contrib_ppm
+        |FROM c CROSS JOIN t JOIN e ON c.digit = e.digit""".stripMargin,
+    "q214_rater_agreement" ->
+      """WITH b AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS s_es
+        | FROM b),
+        |pr AS (SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+        | FROM sc),
+        |cells AS (SELECT lang, pred_lang, count(*) AS n FROM pr GROUP BY 1, 2),
+        |agg AS (SELECT sum(n) AS n_docs,
+        |  sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS n_agree
+        | FROM cells),
+        |rm AS (SELECT lang, sum(n) AS n_row FROM cells GROUP BY 1),
+        |cm AS (SELECT pred_lang, sum(n) AS n_col FROM cells GROUP BY 1),
+        |pe AS (SELECT sum(CAST(n_row AS HUGEINT) * n_col) AS pe_num
+        | FROM rm JOIN cm ON rm.lang = cm.pred_lang),
+        |r AS (SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_agree AS BIGINT) AS n_agree,
+        |  CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
+        |  CAST(pe_num * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs)
+        |    AS BIGINT) AS pe_ppm
+        | FROM agg CROSS JOIN pe)
+        |SELECT n_docs, n_agree, po_ppm, pe_ppm,
+        | CAST((po_ppm - pe_ppm) * 1000000 // nullif(1000000 - pe_ppm, 0)
+        |   AS BIGINT) AS kappa_ppm
+        |FROM r""".stripMargin,
+    "q215_readability" ->
+      """WITH p AS (SELECT lang, source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS words,
+        |  greatest(CAST(len(regexp_extract_all(text,'[.!?]+')) AS BIGINT), 1)
+        |    AS sents,
+        |  CAST(len(regexp_extract_all(lower(text),'[aeiou]+')) AS BIGINT)
+        |    AS sylls
+        | FROM documents),
+        |d AS (SELECT lang, source, words, sents, sylls,
+        |  206835 - (1015 * (words * 1000 // sents)) // 1000
+        |         - (84600 * (sylls * 1000 // greatest(words,1))) // 1000
+        |    AS score_milli
+        | FROM p)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(words) * 1000 // sum(sents) AS BIGINT) AS wps_milli,
+        | CAST(sum(sylls) * 1000 // sum(words) AS BIGINT) AS spw_milli,
+        | CAST(sum(CASE WHEN score_milli < 30000 THEN 1 ELSE 0 END) * 1000000
+        |      // count(*) AS BIGINT) AS hard_ppm
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q216_tokenizer_fertility" ->
+      """WITH p AS (SELECT lang,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS words,
+        |  CAST(len(regexp_extract_all(text,'[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+        |    AS BIGINT) AS re_toks,
+        |  CAST(length(text) AS BIGINT) AS chars
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(words) AS BIGINT) AS n_words,
+        | CAST(sum(re_toks) AS BIGINT) AS n_tokens,
+        | CAST(sum(chars) AS BIGINT) AS n_chars,
+        | CAST(sum(re_toks) * 1000 // sum(words) AS BIGINT) AS fertility_milli,
+        | CAST(sum(chars) * 1000 // sum(re_toks) AS BIGINT)
+        |   AS chars_per_tok_milli
+        |FROM p GROUP BY 1""".stripMargin,
+    "q217_chunk_manifest" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM b),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0,
+        |   1 + CASE WHEN n > 128 THEN (n - 128 + 95) // 96 ELSE 0 END))
+        |   AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | CAST(chunk_id * 96 AS BIGINT) AS tok_start,
+        | CAST(least(128, n - chunk_id * 96) AS BIGINT) AS n_toks,
+        | md5(array_to_string(toks[CAST(chunk_id * 96 + 1 AS INTEGER) :
+        |   CAST(chunk_id * 96 + least(128, n - chunk_id * 96) AS INTEGER)],
+        |   ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+    "q218_pq_recall" ->
+      s"""WITH $quantCte,
+        |corpus AS (SELECT vec_id, v FROM m WHERE vec_id >= 5),
+        |qs AS (SELECT vec_id, v FROM m WHERE vec_id < 5),
+        |subs AS (SELECT unnest(range(4)) AS sub),
+        |seedrank AS (SELECT vec_id,
+        |  ${hex8Sql("concat('pqseed|', vec_id)")} AS hb FROM corpus),
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY hb, vec_id) - 1
+        |   AS BIGINT) AS seed_id, vec_id
+        |  FROM seedrank ORDER BY hb, vec_id LIMIT 16),
+        |seedsubs AS (SELECT s.seed_id, t.sub,
+        |  m.v[CAST(t.sub*16+1 AS INTEGER) : CAST(t.sub*16+16 AS INTEGER)] AS sv
+        |  FROM seeds s JOIN m ON m.vec_id = s.vec_id CROSS JOIN subs t),
+        |corpussubs AS (SELECT c.vec_id, t.sub,
+        |  c.v[CAST(t.sub*16+1 AS INTEGER) : CAST(t.sub*16+16 AS INTEGER)] AS vv
+        |  FROM corpus c CROSS JOIN subs t),
+        |enc AS (SELECT vec_id, sub, seed_id,
+        |  CAST(list_sum(list_transform(range(16),
+        |    i -> (vv[i+1]-sv[i+1])*(vv[i+1]-sv[i+1]))) AS BIGINT) AS d
+        |  FROM corpussubs JOIN seedsubs USING (sub)),
+        |dmin AS (SELECT vec_id, sub, min(d) AS dm FROM enc GROUP BY 1, 2),
+        |codes AS (SELECT e.vec_id, e.sub, min(e.seed_id) AS code
+        |  FROM enc e JOIN dmin ON e.vec_id = dmin.vec_id AND e.sub = dmin.sub
+        |   AND e.d = dmin.dm GROUP BY 1, 2),
+        |qsubs AS (SELECT q.vec_id AS query_id, t.sub,
+        |  q.v[CAST(t.sub*16+1 AS INTEGER) : CAST(t.sub*16+16 AS INTEGER)] AS qv
+        |  FROM qs q CROSS JOIN subs t),
+        |qtab AS (SELECT query_id, sub, seed_id AS code,
+        |  CAST(list_sum(list_transform(range(16),
+        |    i -> (qv[i+1]-sv[i+1])*(qv[i+1]-sv[i+1]))) AS BIGINT) AS qd
+        |  FROM qsubs JOIN seedsubs USING (sub)),
+        |adist AS (SELECT query_id, vec_id, sum(qd) AS ad
+        |  FROM codes JOIN qtab USING (sub, code) GROUP BY 1, 2),
+        |atop AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id)
+        |    AS rn FROM adist) t WHERE rn <= 10),
+        |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(64),
+        |    i -> (q.v[i+1]-c.v[i+1])*(q.v[i+1]-c.v[i+1]))) AS BIGINT) AS d
+        |  FROM qs q CROSS JOIN corpus c),
+        |etop AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+        |   neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d, neighbor_id) AS rn FROM ex) t WHERE rn <= 10)
+        |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        | CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+        | CAST(count(a.vec_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        |FROM etop e LEFT JOIN atop a
+        | ON e.query_id = a.query_id AND e.neighbor_id = a.vec_id
+        |GROUP BY 1""".stripMargin,
+    "q219_dup_drift" ->
+      """WITH bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+        |  FROM documents),
+        |h AS (SELECT md5(text) AS h,
+        |  least(9, (doc_id - mn) * 10 // (mx - mn + 1)) AS bucket
+        | FROM documents CROSS JOIN bounds),
+        |phb AS (SELECT h, bucket, count(*) AS n FROM h GROUP BY 1, 2),
+        |fb AS (SELECT h, min(bucket) AS first_bucket FROM phb GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        | CAST(sum(n) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN bucket > first_bucket THEN n ELSE 0 END)
+        |   AS BIGINT) AS n_incoming_dup,
+        | CAST(sum(CASE WHEN bucket = first_bucket THEN n - 1 ELSE 0 END)
+        |   AS BIGINT) AS n_within_dup,
+        | CAST(sum(CASE WHEN bucket > first_bucket THEN n ELSE 0 END)
+        |   * 1000000 // sum(n) AS BIGINT) AS incoming_ppm,
+        | CAST(sum(CASE WHEN bucket = first_bucket THEN n - 1 ELSE 0 END)
+        |   * 1000000 // sum(n) AS BIGINT) AS within_ppm
+        |FROM phb JOIN fb USING (h) GROUP BY 1""".stripMargin,
+    "q220_ngram_novelty" ->
+      s"""WITH b AS (SELECT doc_id, lang, string_split(text,' ') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, lang, toks, len(toks) AS nt FROM b
+        |  WHERE len(toks) >= 5),
+        |g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |   range(1, nt - 3), i -> md5(array_to_string(toks[i:i+4], ' ')))))
+        |   AS g FROM g0),
+        |spl AS (SELECT doc_id, lang, g,
+        |  (${hex8Sql("concat('novel|', doc_id)")} < 2147483648) AS is_train
+        | FROM g),
+        |tr AS (SELECT DISTINCT g FROM spl WHERE is_train),
+        |te AS (SELECT doc_id, lang, g FROM spl WHERE NOT is_train)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_novel,
+        | CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS novelty_ppm
+        |FROM te LEFT JOIN tr ON te.g = tr.g GROUP BY 1, 2""".stripMargin,
+    // q221: final streaming quota state ≡ the batch row_number-by-seq
+    // admission; admitted_seq_sum pins set MEMBERSHIP, not just counts.
+    "q221_stream_quota" ->
+      """WITH e AS (SELECT event_id AS seq, user_id,
+        |  epoch_us(ts) // 3600000000 AS hour FROM events),
+        |r AS (SELECT user_id, hour, seq, row_number() OVER (
+        |   PARTITION BY user_id, hour ORDER BY seq) AS rn FROM e),
+        |pu AS (SELECT user_id, hour, count(*) AS n,
+        |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS adm,
+        |  sum(CASE WHEN rn <= 5 THEN seq ELSE 0 END) AS sseq
+        | FROM r GROUP BY 1, 2)
+        |SELECT CAST(hour AS BIGINT) AS hour,
+        | CAST(sum(n) AS BIGINT) AS n_events,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
+        | CAST(sum(n) - sum(adm) AS BIGINT) AS n_rejected,
+        | CAST(sum(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_capped_users,
+        | CAST(sum(sseq) AS BIGINT) AS admitted_seq_sum
+        |FROM pu GROUP BY 1""".stripMargin,
+    "q222_category_drift" ->
+      """WITH oldv AS (SELECT lang, source FROM documents WHERE doc_id % 11 <> 0),
+        |newv AS (SELECT lang, source FROM documents WHERE doc_id % 13 <> 0),
+        |olde AS (SELECT 'lang' AS column_name, lang AS value FROM oldv
+        |  UNION ALL SELECT 'source', source FROM oldv),
+        |newe AS (SELECT 'lang' AS column_name, lang AS value FROM newv
+        |  UNION ALL SELECT 'source', source FROM newv),
+        |oc AS (SELECT column_name, value, count(*) AS n FROM olde GROUP BY 1,2),
+        |ot AS (SELECT column_name, sum(n) AS nt, max(n) AS nmax,
+        |   count(*) AS ndv FROM oc GROUP BY 1),
+        |op AS (SELECT oc.column_name, value, n * 1000000 // nt AS share_old,
+        |   ndv AS ndv_old, (n = nmax) AS is_top_old
+        |  FROM oc JOIN ot ON oc.column_name = ot.column_name),
+        |nc AS (SELECT column_name, value, count(*) AS n FROM newe GROUP BY 1,2),
+        |nt AS (SELECT column_name, sum(n) AS nt, max(n) AS nmax,
+        |   count(*) AS ndv FROM nc GROUP BY 1),
+        |np AS (SELECT nc.column_name, value, n * 1000000 // nt AS share_new,
+        |   ndv AS ndv_new, (n = nmax) AS is_top_new
+        |  FROM nc JOIN nt ON nc.column_name = nt.column_name),
+        |j AS (SELECT coalesce(op.column_name, np.column_name) AS column_name,
+        |   coalesce(op.value, np.value) AS value, share_old, ndv_old,
+        |   is_top_old, share_new, ndv_new, is_top_new
+        |  FROM op FULL OUTER JOIN np
+        |   ON op.column_name = np.column_name AND op.value = np.value)
+        |SELECT column_name,
+        | CAST(max(ndv_old) AS BIGINT) AS ndv_old,
+        | CAST(max(ndv_new) AS BIGINT) AS ndv_new,
+        | CAST(sum(abs(coalesce(share_old, 0) - coalesce(share_new, 0))) // 2
+        |   AS BIGINT) AS tvd_ppm,
+        | min(CASE WHEN is_top_old THEN value END) AS top_old,
+        | min(CASE WHEN is_top_new THEN value END) AS top_new,
+        | CAST(max(CASE WHEN is_top_old THEN share_old END) AS BIGINT)
+        |   AS top_share_old_ppm,
+        | CAST(max(CASE WHEN is_top_new THEN share_new END) AS BIGINT)
+        |   AS top_share_new_ppm
+        |FROM j GROUP BY 1""".stripMargin,
   )
 }

@@ -1192,4 +1192,41 @@ object Dedup {
       .select(col("d1"), col("d2"), col("dist"),
         expr("(len - dist) * 1000000 div len").as("sim_ppm"))
   }
+
+  /** q219: DUP-RATE DRIFT — the ingest-monitoring curve over q20's
+    * exact signal: per id-range ingestion slice (q196's bucket
+    * derivation — doc_id order stands in for arrival order), how
+    * much of the slice is (a) a rehash of content already seen in an
+    * EARLIER slice ("incoming dup" — the crawler re-fetching the
+    * web) vs (b) duplicated WITHIN the slice (a feed gone circular).
+    * A drifting incoming-dup rate is the first signal a crawl has
+    * saturated its frontier — the "stop paying for this source"
+    * curve. Shape: one content-hash agg to (hash → first bucket,
+    * per-bucket counts) — the q20 scan — then a bounded per-bucket
+    * rollup; |buckets| rows out at any corpus size. A doc is an
+    * incoming dup iff its hash's FIRST bucket precedes its own;
+    * within-slice dups are (slice count − distinct hashes) there. */
+  def dupDrift(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val bounds = Tables.documents(s, dir)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val hashed = Tables.documents(s, dir).crossJoin(broadcast(bounds))
+      .select(md5(col("text").cast("binary")).as("h"),
+        least(lit(buckets - 1L),
+          expr(s"(doc_id - mn) * $buckets div (mx - mn + 1)")).as("bucket"))
+    val perHashBucket = hashed.groupBy(col("h"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val firstBucket = perHashBucket.groupBy(col("h"))
+      .agg(min(col("bucket")).as("first_bucket"))
+    perHashBucket.join(firstBucket, "h")
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("bucket") > col("first_bucket"), col("n")).otherwise(0L))
+          .as("n_incoming_dup"),
+        sum(when(col("bucket") === col("first_bucket"), col("n") - 1L)
+          .otherwise(0L)).as("n_within_dup"))
+      .select(col("bucket"), col("n_docs"), col("n_incoming_dup"),
+        col("n_within_dup"),
+        expr("n_incoming_dup * 1000000 div n_docs").as("incoming_ppm"),
+        expr("n_within_dup * 1000000 div n_docs").as("within_ppm"))
+  }
 }

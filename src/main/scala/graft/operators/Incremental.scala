@@ -127,4 +127,57 @@ object Incremental {
     val newV = docs.filter(col("doc_id") % 13 =!= 0)
     snapshotDiffOf(oldV, newV)
   }
+
+  /** q222: CATEGORY-DRIFT report between two corpus snapshots — the
+    * column-level complement of q150's row diff (q150 says HOW MANY
+    * rows changed; this says whether the corpus COMPOSITION shifted
+    * — the silent failure mode where a crawl re-balances toward one
+    * source/language and every downstream mixture quietly inherits
+    * it). Per categorical column: distinct-value counts and the
+    * TOTAL VARIATION distance between old and new category
+    * distributions (integer ppm — ½·Σ|share_old − share_new|, the
+    * tightest "how different can any event's probability be"
+    * bound), plus each side's modal value and share (mode via
+    * max-count-then-min-value, engine-deterministic with NO window:
+    * a max join over the bounded category table). ONE scan per
+    * version: every audited column explodes to (column, value)
+    * entries (q136's profiling transpose), then all arithmetic runs
+    * on the |columns|·|categories| table — the report assumes
+    * bounded category domains (lang/source-like columns; an
+    * id-cardinality column belongs in q136's profile, not here).
+    * Versions = q150's derived stand-ins, so the two reports
+    * cross-reference. */
+  def categoryDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    def entries(v: DataFrame): DataFrame = v.select(posexplode(
+        array(struct(lit("lang").as("c"), col("lang").as("v")),
+          struct(lit("source").as("c"), col("source").as("v")))))
+      .select(col("col.c").as("column_name"), col("col.v").as("value"))
+    val oldE = entries(docs.filter(col("doc_id") % 11 =!= 0))
+    val newE = entries(docs.filter(col("doc_id") % 13 =!= 0))
+    def profile(e: DataFrame, pfx: String): DataFrame = {
+      val counts = e.groupBy(col("column_name"), col("value"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy(col("column_name"))
+        .agg(sum(col("n")).as("nt"), max(col("n")).as("nmax"),
+          count(lit(1)).as("ndv"))
+      counts.join(tot, "column_name")
+        .withColumn("share_ppm", expr("n * 1000000 div nt"))
+        .withColumn("is_top", col("n") === col("nmax"))
+        .select(col("column_name"), col("value"),
+          col("share_ppm").as(s"share_$pfx"), col("ndv").as(s"ndv_$pfx"),
+          col("is_top").as(s"is_top_$pfx"))
+    }
+    val joined = profile(oldE, "old")
+      .join(profile(newE, "new"), Seq("column_name", "value"), "full_outer")
+    joined.groupBy(col("column_name"))
+      .agg(max(col("ndv_old")).as("ndv_old"), max(col("ndv_new")).as("ndv_new"),
+        (sum(abs(coalesce(col("share_old"), lit(0L)) -
+          coalesce(col("share_new"), lit(0L)))) / 2).cast("long").as("tvd_ppm"),
+        min(when(col("is_top_old"), col("value"))).as("top_old"),
+        min(when(col("is_top_new"), col("value"))).as("top_new"),
+        max(when(col("is_top_old"), col("share_old"))).as("top_share_old_ppm"),
+        max(when(col("is_top_new"), col("share_new"))).as("top_share_new_ppm"))
+  }
 }

@@ -385,4 +385,34 @@ object Pipeline {
         expr("((budget_tokens * target_ppm) div 1000000L * 1000000L) div tokens")
           .as("rate_ppm"))
   }
+
+  /** q217: CHUNK MANIFEST — sliding-window document chunking with
+    * overlap (chunk 128 tokens, stride 96 → 32-token overlap), the
+    * step between q66's greedy packing (whole docs into budgets) and
+    * an embedding/RAG indexer that needs fixed-size overlapping
+    * passages. Per doc: chunk count from ONE integer formula
+    * (1 + ⌈(n−128)/96⌉, truncation-safe as (n−128+95) div 96), each
+    * chunk materialized by a bounded per-row sequence explode —
+    * output rows ≈ corpus_tokens/stride, a constant factor of the
+    * input, NEVER quadratic; no shuffle at all (narrow explode off
+    * the scan; the manifest inherits the scan's partitioning).
+    * Chunk identity = md5 of the chunk's token span, so downstream
+    * dedup (q127's chunk-hash family) and cache keys are stable
+    * under re-chunking. Boundary semantics spec-pinned: a doc at or
+    * under 128 tokens is exactly one chunk; the LAST chunk may be
+    * short (n − start tokens) but always ≥ 1 token because start <
+    * n by construction. */
+  def chunkManifest(s: SparkSession, dir: String, chunk: Int = 128,
+      stride: Int = 96): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        expr(s"CASE WHEN n > $chunk THEN (n - $chunk + ${stride - 1}) div $stride ELSE 0 END"))))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("n_toks", least(lit(chunk.toLong), col("n") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("n_toks"),
+        md5(concat_ws(" ", slice(col("toks"),
+          (col("tok_start") + 1).cast("int"), col("n_toks").cast("int")))
+          .cast("binary")).as("chunk_hash"))
 }

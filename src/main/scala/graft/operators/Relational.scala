@@ -529,4 +529,36 @@ object Relational {
       .unionByName(row(o, "not_null:o_orderdate", "orders", "v_nn"))
       .unionByName(row(o, "accepted:o_orderstatus", "orders", "v_status"))
   }
+
+  /** q213: BENFORD first-digit audit — the forensic data-quality
+    * screen for a value column (synthetic fills, unit mix-ups, and
+    * truncated feeds all bend the first-significant-digit curve
+    * away from log10(1+1/d) long before a mean or a range check
+    * notices). One narrow scan: integer cents (the proven
+    * round·100 grain), first significant digit via the leading
+    * char of the decimal string (no float log10 — the
+    * boundary-value parity trap), ONE 9-row agg; observed vs
+    * expected shares and the per-digit chi² contribution in integer
+    * ppm (expected ppm constants sum to exactly 1 000 000, so the
+    * shares partition). A uniform synthetic column FAILS Benford —
+    * the audit reports the curve, the caller owns the policy. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expMap = map((1 to 9).flatMap(d =>
+      Seq(lit(d.toLong), lit(expected(d - 1)))): _*)
+    val digits = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("n * 1000000 div n_total"))
+      .withColumn("benford_ppm", expMap(col("digit")))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("benford_ppm"),
+        expr("(obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) div benford_ppm")
+          .as("chi2_contrib_ppm"))
+  }
 }

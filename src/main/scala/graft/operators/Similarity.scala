@@ -654,4 +654,92 @@ object Similarity {
     withBucket.join(sizes, "bucket")
       .select(col("vec_id"), col("bucket"), col("bucket_size"))
   }
+
+  /** q218: PRODUCT-QUANTIZATION recall audit — the third point on
+    * the compression curve after exact int64 (q25) and SQ8 (q124):
+    * PQ splits each vector into `m` subvectors, snaps every
+    * subvector to one of `ksub` codebook entries, and scores a
+    * query against the corpus by Asymmetric Distance Computation
+    * (ADC) — sum over subspaces of a precomputed query↔codeword
+    * table lookup. Memory per vector collapses to m code ids (here
+    * 4 bytes vs 512), which is why PQ is what actually fits a
+    * 100 TB corpus in RAM; this audit prices the recall it costs.
+    *
+    * Everything is deterministic and oracle-replayable:
+    *  - codebooks = the ksub hash-ranked corpus vectors per subspace
+    *    (the q54 salted-md5 order via the bounded TopK agg — a real
+    *    deployment k-means-refines these seeds; assignment, ADC, and
+    *    the recall math are IDENTICAL either way, so the audit
+    *    exercises the true PQ plan shape with a weaker codebook);
+    *  - encode = per (vector, subspace) argmin over the broadcast
+    *    codebook by exact integer L2² (micro² units; ties →
+    *    smallest seed) — corpus×m×ksub bounded rows, the linear
+    *    PQ-encode pass;
+    *  - ADC = codes equi-joined to the broadcast per-query distance
+    *    table on (subspace, code), summed per (query, vector) —
+    *    never a full-vector scan at query time;
+    *  - recall@k vs the exact integer-L2² top-k (tie order
+    *    (dist, id) on both sides; all distances < 2⁵³ so the double
+    *    TopK scores are exact).
+    * Output: one row per query — hits and recall_ppm. */
+  def pqRecall(s: SparkSession, dir: String, m: Int = 4, ksub: Int = 16,
+      k: Int = 10): DataFrame = {
+    import graft.functions.TopK
+    val dsub = 64 / m
+    val q = quantized(s, dir)
+    def l2sq(a: Column, b: Column): Column =
+      dotQ(a, a) + dotQ(b, b) - lit(2L) * dotQ(a, b)
+    def subv(c: Column, sub: Column): Column =
+      slice(c, (sub * dsub + 1).cast("int"), lit(dsub))
+    val subSeq = explode(sequence(lit(0L), lit((m - 1).toLong)))
+    // codebook: ksub hash-ranked corpus vectors, split per subspace
+    val seedIds = q.filter(col("vec_id") >= 5)
+      .agg(TopK.topk(ksub)(col("vec_id"),
+        -Sampling.hashBucket(concat(lit("pqseed|"), col("vec_id").cast("string")))
+          .cast("double")).as("top"))
+      .select(posexplode(col("top")).as(Seq("seed_id", "t")))
+      .select(col("seed_id").cast("long").as("seed_id"),
+        col("t.id").as("seed_vec_id"))
+    val seedSubs = seedIds
+      .join(q.select(col("vec_id").as("seed_vec_id"), col("v")), "seed_vec_id")
+      .select(col("seed_id"), subSeq.as("sub"), col("v"))
+      .select(col("seed_id"), col("sub"), subv(col("v"), col("sub")).as("sv"))
+    // encode: argmin codeword per (vector, subspace)
+    val corpusSubs = q.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), subSeq.as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"), subv(col("v"), col("sub")).as("vv"))
+    val codes = corpusSubs.join(broadcast(seedSubs), "sub")
+      .withColumn("d", l2sq(col("vv"), col("sv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("seed_id"), struct(col("d"), col("seed_id"))).as("code"))
+    // per-query ADC table: distance to every codeword per subspace
+    val qtab = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), subSeq.as("sub"), col("v"))
+      .select(col("query_id"), col("sub"), subv(col("v"), col("sub")).as("qv"))
+      .join(seedSubs, "sub")
+      .select(col("query_id"), col("sub"), col("seed_id").as("code"),
+        l2sq(col("qv"), col("sv")).as("qd"))
+    val approxTop = codes.join(broadcast(qtab), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(k)(col("vec_id"), -col("adist").cast("double")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    val exactTop = q.filter(col("vec_id") >= 5).toDF("neighbor_id", "cv", "cn2")
+      .join(broadcast(q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2")),
+        lit(true))
+      .withColumn("d", col("qn2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(k)(col("neighbor_id"), -col("d").cast("double")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    exactTop.join(approxTop.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+  }
 }

@@ -938,6 +938,62 @@ object StreamingOps {
     s.read.parquet(out)
   }
 
+  /** q221: STREAMING admission QUOTA — at most 5 events per (user,
+    * hour) admitted, the rate-limit gate a SEP consumer runs in
+    * front of expensive downstream work. State is
+    * [[graft.streaming.Quota]]'s k-min lattice (total count + the 5
+    * lowest WAL seqs per key), so the FINAL admitted set is
+    * arrival-order independent and equals the oracle's
+    * row_number-by-seq ≤ 5 — including which events were admitted,
+    * pinned by `admitted_seq_sum` (set membership, not just counts).
+    * Sink: Update-mode emissions appended per batch; `n` is monotone
+    * per key, so max_by(n) at read collapses to the final state —
+    * no upsert machinery needed for an append-only audit sink. The
+    * per-hour report then aggregates the per-key finals (bounded by
+    * active (user, hour) keys, never event volume). */
+  def streamQuota(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q221", dir)
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), s"$stage/wal", batches = 8)
+    runStreamQuota(s, s"$stage/wal", s"$stage/ckpt", s"$stage/out",
+      maxFilesPerTrigger = 2)
+  }
+
+  /** The q221 pipeline against an existing WAL/checkpoint — factored
+    * out so QuotaSpec can drive cross-batch eviction and restart
+    * semantics the SQL oracle cannot see. AvailableNow to WAL
+    * exhaustion; same-checkpoint re-invocation RESUMES. */
+  private[graft] def runStreamQuota(s: SparkSession, walDir: String,
+      ckpt: String, out: String, maxFilesPerTrigger: Int = 2,
+      limit: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Quota
+    val events = WalSource.streamV2(s, walDir, maxFilesPerTrigger)
+      .select(col("rowkey").cast("long").as("user"),
+        expr("ts div 3600000000").as("hour"), col("seq"))
+      .as[Quota.QuotaEvent]
+    val query = Quota.track(events, limit).toDF().writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val finals = s.read.parquet(out)
+      .groupBy(col("user"), col("hour"))
+      .agg(max_by(struct(col("n"), col("admitted")), col("n")).as("f"))
+      .select(col("user"), col("hour"), col("f.n").as("n"),
+        col("f.admitted").as("admitted"))
+    finals.groupBy(col("hour"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(size(col("admitted")).cast("long")).as("n_admitted"),
+        sum(col("n") - size(col("admitted"))).as("n_rejected"),
+        sum(when(col("n") > limit, 1L).otherwise(0L)).as("n_capped_users"),
+        sum(aggregate(col("admitted"), lit(0L), (a, x) => a + x))
+          .as("admitted_seq_sum"))
+  }
+
   // ---------------------------------------------------------------
   // q195 state stores: BASE (compacted, pointer-versioned) + DELTA
   // (per-batch appends). Every store is READ-IDEMPOTENT under row

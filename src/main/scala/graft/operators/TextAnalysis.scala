@@ -567,4 +567,142 @@ object TextAnalysis {
         col("new_types"),
         sum(col("new_types")).over(w).as("vocab_cum"))
   }
+
+  /** q214: RATER-AGREEMENT audit — Cohen's kappa between q29's
+    * heuristic language classifier and the corpus's own labels: the
+    * chance-corrected agreement a bare accuracy number overstates
+    * when the class distribution is skewed (a 90%-English corpus
+    * gives a constant-"en" rater 90% accuracy and kappa 0). This is
+    * the go/no-go statistic for replacing a labeled pipeline stage
+    * with a cheap heuristic. Shape: ONE bounded-domain agg over
+    * q29's per-doc predictions (|langs|² cells), marginals and the
+    * expected-agreement sum over that bounded cell table — the
+    * corpus is scanned once, everything after is |langs|-sized.
+    * pe's marginal products are Decimal(38,0) (row·col overflows
+    * Long at ~3·10⁹ docs per class — the q193/q199 widening policy);
+    * kappa in integer ppm with symmetric truncation-toward-zero on
+    * both engines (Spark `div` truncates toward zero and so does
+    * DuckDB's `//` — measured, not assumed). Degenerate single-class
+    * corpus (pe = 1): the denominator is nullif-guarded on BOTH
+    * engines, so kappa is NULL — Spark 4 runs ANSI mode by default
+    * and a bare `div 0` would THROW, not null out (spec-pinned). */
+  def raterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val cells = langId(s, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |langs|^2 rows; marginals + po derive from it
+    val agg = cells.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val rowM = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_row"))
+    val colM = cells.groupBy(col("pred_lang")).agg(sum(col("n")).as("n_col"))
+    val peSum = rowM.join(colM, col("lang") === col("pred_lang"))
+      .agg(sum(col("n_row").cast("decimal(38,0)") * col("n_col"))
+        .cast("decimal(38,0)").as("pe_num"))
+    agg.crossJoin(broadcast(peSum))
+      .select(col("n_docs"), col("n_agree"),
+        expr("n_agree * 1000000 div n_docs").as("po_ppm"),
+        expr("cast(pe_num * 1000000 div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)")
+          .as("pe_ppm"))
+      .select(col("n_docs"), col("n_agree"), col("po_ppm"), col("pe_ppm"),
+        expr("(po_ppm - pe_ppm) * 1000000 div nullif(1000000 - pe_ppm, 0)")
+          .as("kappa_ppm"))
+  }
+
+  /** q221: READABILITY scoring — Flesch-reading-ease-style composite
+    * from three counts a regex scan gets exactly (words, sentence
+    * terminators, vowel-group "syllables"): the classic quality
+    * gate between q28's lexical ratios and q50's LM score. All
+    * fixed-point integer arithmetic (milli units) so Spark and the
+    * oracle agree bit-for-bit — the float formula's 206.835 constant
+    * becomes 206835 milli. Per-row expressions (no shuffle) then ONE
+    * bounded rollup per (lang, source): mean words-per-sentence,
+    * syllables-per-word and score, plus the low-readability doc
+    * count the curation pipeline actually filters on. Sums first,
+    * divide once — integer mean of sums, not mean of per-doc
+    * truncations, so the rollup is exact at any corpus size. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir).select(
+      col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("words"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+        .as("sents"),
+      regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+        .as("sylls"))
+      .withColumn("score_milli",
+        lit(206835L) - expr("1015 * (words * 1000 div sents) div 1000") -
+          expr("84600 * (sylls * 1000 div greatest(words, 1)) div 1000"))
+    perDoc.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("n_words"),
+        sum(col("sents")).as("n_sents"),
+        sum(col("sylls")).as("n_sylls"),
+        sum(when(col("score_milli") < 30000L, 1L).otherwise(0L))
+          .as("n_hard_docs"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("n_words * 1000 div n_sents").as("wps_milli"),
+        expr("n_sylls * 1000 div n_words").as("spw_milli"),
+        expr("n_hard_docs * 1000000 div n_docs").as("hard_ppm"))
+  }
+
+  /** q222: TOKENIZER-FERTILITY stats — tokens-per-word and
+    * chars-per-token per language under the BPE-ish regex tokenizer
+    * (q27's pattern): the pre-training budget question "how many
+    * model tokens does a TB of each language cost?" — high fertility
+    * means a language is systematically over-charged context window,
+    * the signal that drives per-language tokenizer vocab allocation.
+    * One narrow scan (regexp_count per row), one bounded agg; ratios
+    * as integer milli on summed counts (exact, order-free). */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("lang"),
+      size(tokens(col("text"))).cast("long").as("words"),
+      regexp_count(col("text"), lit(bpeIshPattern)).cast("long").as("re_toks"),
+      length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("n_words"),
+        sum(col("re_toks")).as("n_tokens"), sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        expr("n_tokens * 1000 div n_words").as("fertility_milli"),
+        expr("n_chars * 1000 div n_tokens").as("chars_per_tok_milli"))
+
+  /** q220: N-GRAM NOVELTY — the memorization-risk audit the
+    * decontamination family (q57/q88/q166) does not cover: those ask
+    * "does the corpus CONTAIN these specific eval texts?"; this asks,
+    * for every held-out document, WHAT FRACTION of its 5-gram
+    * phrases already exists anywhere in the training half — the
+    * per-doc novelty score that separates genuinely new text from
+    * recombinated boilerplate before it is paid for. Split = the
+    * q54 salted-hash bucket on doc_id (deterministic, engine-equal);
+    * 5-grams are hashed (16-byte md5 — never raw phrases at 100 TB)
+    * and DISTINCT per doc, the train side collapses to a distinct
+    * hash set; one equi-join on the hash (bucketed, linear — the
+    * q57 shape) and a per-doc agg. Docs under 5 tokens have no
+    * 5-grams and are excluded (novelty undefined, not 0 — reporting
+    * them as fully novel would reward empty docs). Two corpus scans
+    * (train build + test probe), matching the decontamination
+    * family's honest cost. */
+  def ngramNovelty(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .filter(col("nt") >= n)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(transform(sequence(lit(0), col("nt") - n),
+          i => md5(concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)
+            .cast("binary"))))).as("g"))
+      .withColumn("is_train",
+        Sampling.hashBucket(concat(lit("novel|"), col("doc_id").cast("string")))
+          < 2147483648L)
+    val train = grams.filter(col("is_train")).select(col("g")).distinct()
+    grams.filter(!col("is_train"))
+      .join(train.withColumn("seen", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("lang"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
 }

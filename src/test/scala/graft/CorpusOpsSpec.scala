@@ -1,0 +1,224 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline, Relational, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Semantics specs for the round-8 corpus operators (q213–q220):
+  * synthetic tables whose expected outputs are hand-computable, at
+  * edge points the shipped sf data doesn't hit (the AuditOpsSpec
+  * convention). The sf0.01 DuckDB oracle asserts engine parity;
+  * these assert the MEANING — chunk boundary arithmetic, dup
+  * provenance, split containment, codebook-exactness, degenerate
+  * divisions. */
+class CorpusOpsSpec extends SparkSpec {
+
+  /** Writes (doc_id, text, lang, source) rows as documents.parquet. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus").toString
+    rows.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(n: Int, pfx: String = "w"): String =
+    (0 until n).map(i => s"$pfx$i").mkString(" ")
+
+  // ---------------------------------------------------------- q217
+  test("q217: chunk boundaries — single-chunk, overlap, short tail") {
+    val dir = docsDir(Seq(
+      (1L, words(200), "en", "a"), // 2 chunks: [0,128) + [96,200)
+      (2L, words(128), "en", "a"), // exactly one chunk
+      (3L, words(129), "en", "a"), // 2 chunks, tail of 33
+      (4L, "solo", "en", "a")))    // 1-token doc: one 1-token chunk
+    val got = Pipeline.chunkManifest(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("n_toks"))).toMap
+    assert(got.size == 6, s"expected 6 chunks, got: $got")
+    assert(got((1L, 0L)) == (0L, 128L) && got((1L, 1L)) == (96L, 104L))
+    assert(got((2L, 0L)) == (0L, 128L) && !got.contains((2L, 1L)),
+      "a 128-token doc must be exactly one chunk")
+    assert(got((3L, 1L)) == (96L, 33L), "129-token tail chunk must be 33")
+    assert(got((4L, 0L)) == (0L, 1L))
+  }
+
+  test("q217: single-chunk hash equals the md5 of the whole text") {
+    val dir = docsDir(Seq((9L, "alpha beta gamma", "en", "a")))
+    val got = Pipeline.chunkManifest(spark, dir)
+      .select(col("chunk_hash")).collect().map(_.getString(0))
+    val want = spark.sql("SELECT md5(cast('alpha beta gamma' as binary))")
+      .collect().head.getString(0)
+    assert(got.toSeq == Seq(want))
+  }
+
+  // ---------------------------------------------------------- q219
+  test("q219: incoming vs within dup provenance per id-range slice") {
+    // 20 ids, 10 buckets => 2 ids per bucket. Content X first lands at
+    // id 0 (bucket 0), recurs at id 5 (bucket 2) and twice in bucket 6
+    // (ids 12, 13) — all three later copies are INCOMING dups. Content
+    // Y occupies ids 8,9 (both bucket 4): one WITHIN dup.
+    val x = "dup content x"; val y = "dup content y"
+    val rows = (0L to 19L).map { id =>
+      val t = if (Seq(0L, 5L, 12L, 13L).contains(id)) x
+        else if (id == 8L || id == 9L) y
+        else s"unique $id"
+      (id, t, "en", "a")
+    }
+    val got = Dedup.dupDrift(spark, docsDir(rows)).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_incoming_dup"),
+          r.getAs[Long]("n_within_dup"))).toMap
+    assert(got(0L) == (2L, 0L, 0L), s"bucket 0 is all-first: ${got(0L)}")
+    assert(got(2L) == (2L, 1L, 0L), s"id 5 is an incoming dup: ${got(2L)}")
+    assert(got(6L) == (2L, 2L, 0L),
+      s"both copies in a later bucket are incoming: ${got(6L)}")
+    assert(got(4L) == (2L, 0L, 1L), s"ids 8,9 are a within dup: ${got(4L)}")
+    assert(got.values.map(_._1).sum == 20L)
+  }
+
+  // ---------------------------------------------------------- q220
+  test("q220: train copy scores zero novelty; unique test doc full") {
+    // learn the operator's own split for candidate ids, then plant
+    // an exact train-duplicate and a unique text on TEST ids
+    import spark.implicits._
+    val split = (0L to 30L).toDF("doc_id")
+      .withColumn("is_train",
+        Sampling.hashBucket(concat(lit("novel|"), col("doc_id").cast("string")))
+          < 2147483648L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val trainId = split.collectFirst { case (id, true) => id }.get
+    val testIds = split.collect { case (id, false) => id }.toSeq.sorted
+    val (copyId, freshId) = (testIds.head, testIds(1))
+    val shared = words(12, "s")
+    val dir = docsDir(Seq(
+      (trainId, shared, "en", "a"),
+      (copyId, shared, "en", "a"),
+      (freshId, words(12, "q"), "en", "a"),
+      (testIds(2), "too short", "en", "a"))) // < 5 tokens: excluded
+    val got = TextAnalysis.ngramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("novelty_ppm"))).toMap
+    assert(got.keySet == Set(copyId, freshId),
+      s"only >=5-token TEST docs appear: $got")
+    assert(got(copyId) == (8L, 0L),
+      s"an exact train copy must be 0 novel: ${got(copyId)}")
+    assert(got(freshId) == (8L, 1000000L),
+      s"disjoint-vocab test doc must be fully novel: ${got(freshId)}")
+  }
+
+  // ---------------------------------------------------------- q213
+  test("q213: digits partition the rows and expectations sum to 1e6") {
+    val rows = Relational.benfordAudit(spark, sfDir).collect()
+    val digits = rows.map(_.getAs[Long]("digit"))
+    assert(digits.toSet.subsetOf((1L to 9L).toSet) && digits.length == digits.toSet.size)
+    assert(rows.map(_.getAs[Long]("benford_ppm")).sum == 1000000L,
+      "Benford expected shares must sum to exactly 1e6")
+    val total = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(round(col("l_extendedprice") * 100) > 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "every positive-cents row lands in exactly one digit")
+  }
+
+  // ---------------------------------------------------------- q214
+  test("q214: po matches q29 accuracy; single-class corpus yields null kappa") {
+    val r = TextAnalysis.raterAgreement(spark, sfDir).collect().head
+    val acc = TextAnalysis.langId(spark, sfDir)
+      .agg(sum(col("is_correct")).cast("long").as("c"), count(lit(1)).as("n"))
+      .collect().head
+    assert(r.getAs[Long]("n_agree") == acc.getAs[Long]("c"))
+    assert(r.getAs[Long]("po_ppm") == acc.getAs[Long]("c") * 1000000L / acc.getAs[Long]("n"))
+    val kappa = r.getAs[Long]("kappa_ppm")
+    assert(kappa <= 1000000L, s"kappa cannot exceed 1: $kappa")
+    // degenerate: every doc 'en' and predicted 'en' => pe = 1, kappa NULL
+    val dir = docsDir(Seq((1L, "the the the", "en", "a"),
+      (2L, "the a of", "en", "a")))
+    val d = TextAnalysis.raterAgreement(spark, dir).collect().head
+    assert(d.getAs[Long]("po_ppm") == 1000000L &&
+      d.getAs[Long]("pe_ppm") == 1000000L && d.isNullAt(d.fieldIndex("kappa_ppm")),
+      s"single-class kappa must be NULL (0/0), got $d")
+  }
+
+  // ---------------------------------------------------------- q215
+  test("q215: fixed-point readability arithmetic on a crafted doc") {
+    // "aaa bbb. ccc ddd." => 4 words, 2 sentences, 1 vowel group
+    val dir = docsDir(Seq((1L, "aaa bbb. ccc ddd.", "en", "s")))
+    val r = TextAnalysis.readability(spark, dir).collect().head
+    assert(r.getAs[Long]("wps_milli") == 2000L, s"wps: $r")
+    assert(r.getAs[Long]("spw_milli") == 250L, s"spw: $r")
+    assert(r.getAs[Long]("hard_ppm") == 0L, s"hard: $r")
+    // no terminator at all: sentence count clamps to 1, never 0-div
+    val r2 = TextAnalysis.readability(spark,
+      docsDir(Seq((1L, "no punctuation here", "en", "s")))).collect().head
+    assert(r2.getAs[Long]("wps_milli") == 3000L, s"clamped sents: $r2")
+  }
+
+  // ---------------------------------------------------------- q216
+  test("q216: fertility counts BPE-ish tokens against words exactly") {
+    val dir = docsDir(Seq((1L, "ab cd-ef", "en", "a")))
+    val r = TextAnalysis.tokenizerFertility(spark, dir).collect().head
+    assert(r.getAs[Long]("n_words") == 2L && r.getAs[Long]("n_tokens") == 4L,
+      s"'ab cd-ef' is 2 words / 4 regex tokens: $r")
+    assert(r.getAs[Long]("fertility_milli") == 2000L)
+    assert(r.getAs[Long]("chars_per_tok_milli") == 2000L)
+  }
+
+  // ---------------------------------------------------------- q222
+  test("q222: identical snapshots drift zero; a vanishing source registers") {
+    import graft.operators.Incremental
+    // ids avoid %11 and %13 zeros => old == new => tvd 0, tops equal
+    val same = docsDir(Seq((1L, "t", "en", "a"), (2L, "t", "en", "a"),
+      (3L, "t", "de", "b")))
+    val r0 = Incremental.categoryDrift(spark, same).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(r0("lang").getAs[Long]("tvd_ppm") == 0L &&
+      r0("source").getAs[Long]("tvd_ppm") == 0L, s"equal snapshots: $r0")
+    assert(r0("lang").getAs[String]("top_old") ==
+      r0("lang").getAs[String]("top_new"))
+    // id 22 (%11==0) exists only in the NEW snapshot: its unique
+    // source 'z' must register as drift on the source column
+    val drift = docsDir(Seq((1L, "t", "en", "a"), (2L, "t", "en", "a"),
+      (22L, "t", "en", "z")))
+    val r1 = Incremental.categoryDrift(spark, drift).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(r1("source").getAs[Long]("tvd_ppm") > 0L &&
+      r1("lang").getAs[Long]("tvd_ppm") == 0L,
+      s"new-only source must drift source, not lang: $r1")
+    assert(r1("source").getAs[Long]("ndv_new") == 2L &&
+      r1("source").getAs[Long]("ndv_old") == 1L)
+  }
+
+  // ---------------------------------------------------------- q218
+  test("q218: a corpus equal to its own codebook has perfect recall") {
+    import spark.implicits._
+    // 16 far-apart corpus vectors (ids 5..20) => the 16 hash-ranked
+    // seeds ARE the corpus, every vector snaps to itself, ADC equals
+    // the exact distance, and PQ top-k == exact top-k for k=10.
+    val dir = Files.createTempDirectory("graft_pq").toString
+    def vec(hot: Int, mag: Float): Seq[Float] =
+      (0 until 64).map(i => if (i == hot) mag else 0.0f)
+    val rows =
+      (0 until 5).map(q => (q.toLong, vec(q % 16, 0.31f + q * 0.01f), 0)) ++
+      (0 until 16).map(c => ((c + 5).toLong, vec(c, 0.9f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.pqRecall(spark, dir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10L &&
+        r.getAs[Long]("recall_ppm") == 1000000L,
+        s"codebook-exact corpus must recall perfectly: $r")
+    }
+  }
+
+  test("q218: recall bounded and n_exact = k on the sf corpus") {
+    val got = Similarity.pqRecall(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val rec = r.getAs[Long]("recall_ppm")
+      assert(r.getAs[Long]("n_exact") == 10L && rec >= 0L && rec <= 1000000L, s"$r")
+    }
+  }
+}

@@ -44,7 +44,7 @@ class PlanLintSpec extends SparkSpec {
       allow = Set("nested-loop-join", "unpartitioned-window"))
   }
 
-  test("every round-7 operator is cartesian-free") {
+  test("every round-7/8 operator is cartesian-free") {
     import graft.operators._
     // nested-loop joins (single-row / bounded-grid broadcasts) and
     // bounded-table windows are the two documented exception
@@ -65,7 +65,15 @@ class PlanLintSpec extends SparkSpec {
         "q206" -> Events.survivalCurve(spark, sfDir),
         "q209" -> Events.cohortFunnel(spark, sfDir),
         "q210" -> Privacy.piiScan(spark, sfDir),
-        "q211" -> TextAnalysis.langConfusion(spark, sfDir))) {
+        "q211" -> TextAnalysis.langConfusion(spark, sfDir),
+        "q213" -> Relational.benfordAudit(spark, sfDir),
+        "q214" -> TextAnalysis.raterAgreement(spark, sfDir),
+        "q215" -> TextAnalysis.readability(spark, sfDir),
+        "q216" -> TextAnalysis.tokenizerFertility(spark, sfDir),
+        "q217" -> Pipeline.chunkManifest(spark, sfDir),
+        "q218" -> Similarity.pqRecall(spark, sfDir),
+        "q219" -> Dedup.dupDrift(spark, sfDir),
+        "q220" -> TextAnalysis.ngramNovelty(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")
