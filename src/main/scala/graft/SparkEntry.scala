@@ -236,6 +236,7 @@ object SparkEntry {
     "q220_ngram_novelty"    -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "q221_stream_quota"     -> ((s, d) => StreamingOps.streamQuota(s, d)),
     "q222_category_drift"   -> (Incremental.categoryDrift _),
+    "q223_edge_cohesion"    -> (Dedup.edgeCohesion _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4299,5 +4300,27 @@ object SparkEntry {
         | CAST(max(CASE WHEN is_top_new THEN share_new END) AS BIGINT)
         |   AS top_share_new_ppm
         |FROM j GROUP BY 1""".stripMargin,
+    "q223_edge_cohesion" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c
+        | UNION ALL SELECT d2, d1 FROM c),
+        |deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY 1),
+        |cm AS (SELECT c.d1, c.d2, count(*) AS n_common
+        | FROM c JOIN adj a1 ON a1.v = c.d1
+        |  JOIN adj a2 ON a2.v = c.d2 AND a2.u = a1.u
+        | GROUP BY 1, 2)
+        |SELECT c.d1, c.d2,
+        | CAST(g1.degree AS BIGINT) AS deg1, CAST(g2.degree AS BIGINT) AS deg2,
+        | CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        | CAST(coalesce(n_common, 0) * 1000000 // nullif(
+        |   g1.degree + g2.degree - 2 - coalesce(n_common, 0), 0) AS BIGINT)
+        |   AS cohesion_ppm,
+        | (coalesce(n_common, 0) = 0) AS is_local_bridge
+        |FROM c JOIN deg g1 ON g1.v = c.d1 JOIN deg g2 ON g2.v = c.d2
+        | LEFT JOIN cm ON cm.d1 = c.d1 AND cm.d2 = c.d2""".stripMargin,
   )
 }

@@ -1193,6 +1193,46 @@ object Dedup {
         expr("(len - dist) * 1000000 div len").as("sim_ppm"))
   }
 
+  /** q223: EDGE-COHESION audit of the near-dup graph — q129's
+    * clustering question answered PER EDGE, which is the actionable
+    * form: an edge whose endpoints share NO other neighbor (a local
+    * bridge) is exactly the banding artifact that chains two
+    * unrelated clusters through q59's transitive closure — the
+    * single-edge failure mode behind every "dedup merged my whole
+    * site" incident — while a high-cohesion edge is corroborated by
+    * the cluster around it. Per q22 edge: endpoint degrees, common
+    * neighbor count (one triangle-listing join: edges ⋈ adj ⋈ adj on
+    * the shared neighbor — Σ deg² bounded, the q129 wedge volume),
+    * neighborhood-Jaccard cohesion in integer ppm (nullif-guarded:
+    * an isolated pair has an empty union → NULL cohesion, flagged
+    * bridge), is_local_bridge. Edges localCheckpointed once — the
+    * banding pipeline runs once, not three times. The mitigation a
+    * consumer applies: verify bridges with q194's order-sensitive
+    * metric before letting them into the closure. */
+  def edgeCohesion(s: SparkSession, dir: String): DataFrame =
+    edgeCohesionOf(minhashLsh(s, dir).localCheckpoint())
+
+  /** [[edgeCohesion]] over any distinct (d1 < d2) edge frame —
+    * GraphSpec drives clique/chain/star shapes through it. */
+  def edgeCohesionOf(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .unionAll(edges.select(col("d2").as("v"), col("d1").as("u")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val common = edges
+      .join(adj.toDF("d1", "w"), "d1")
+      .join(adj.toDF("d2", "w"), Seq("d2", "w"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+    edges
+      .join(deg.toDF("d1", "deg1").hint("shuffle_hash"), "d1")
+      .join(deg.toDF("d2", "deg2").hint("shuffle_hash"), "d2")
+      .join(common, Seq("d1", "d2"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("d1"), col("d2"), col("deg1"), col("deg2"), col("n_common"),
+        expr("n_common * 1000000 div nullif(deg1 + deg2 - 2 - n_common, 0)")
+          .as("cohesion_ppm"),
+        (col("n_common") === 0L).as("is_local_bridge"))
+  }
+
   /** q219: DUP-RATE DRIFT — the ingest-monitoring curve over q20's
     * exact signal: per id-range ingestion slice (q196's bucket
     * derivation — doc_id order stands in for arrival order), how

@@ -54,4 +54,33 @@ class GraphSpec extends SparkSpec {
     val star = (1L to 5L).map(i => (0L, i)).toDF("d1", "d2")
     assert(Dedup.triangleCountOf(star).head.getAs[Long]("n_triangles") == 0L)
   }
+
+  test("q223 edge cohesion: clique edges cohere, chain/star edges are bridges") {
+    import spark.implicits._
+    def byEdge(edges: Seq[(Long, Long)]) =
+      Dedup.edgeCohesionOf(edges.toDF("d1", "d2")).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+          (r.getAs[Long]("n_common"), Option(r.get(r.fieldIndex("cohesion_ppm")))
+            .map(_.asInstanceOf[Long]), r.getAs[Boolean]("is_local_bridge"))).toMap
+    // K4: every edge has the 2 off-edge vertices in common, union =
+    // (3-1)+(3-1)-2 = 2 => cohesion exactly 1e6, no bridges
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    byEdge(k4).foreach { case (e, (nc, coh, br)) =>
+      assert(nc == 2L && coh.contains(1000000L) && !br, s"K4 edge $e: $nc $coh $br")
+    }
+    // 4-chain: middle edge (1,2) has no common neighbor but non-empty
+    // union (0 and 3) => cohesion 0, bridge; end edges too
+    val chain = byEdge(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(chain.values.forall { case (nc, _, br) => nc == 0L && br })
+    assert(chain((1L, 2L))._2.contains(0L))
+    // isolated pair edge: union empty => NULL cohesion, still a bridge
+    val pair = byEdge(Seq((7L, 8L)))
+    assert(pair((7L, 8L)) == ((0L, None, true)),
+      s"isolated pair must have null cohesion: $pair")
+    // triangle with a pendant: the pendant edge is the bridge, the
+    // triangle edges are not — the per-edge split q129's global
+    // clustering cannot express
+    val tri = byEdge(Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 9L)))
+    assert(!tri((0L, 1L))._3 && tri((2L, 9L))._3)
+  }
 }
