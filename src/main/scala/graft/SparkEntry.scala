@@ -237,6 +237,7 @@ object SparkEntry {
     "q221_stream_quota"     -> ((s, d) => StreamingOps.streamQuota(s, d)),
     "q222_category_drift"   -> (Incremental.categoryDrift _),
     "q223_edge_cohesion"    -> (Dedup.edgeCohesion _),
+    "q224_mmr_diversify"    -> ((s, d) => Similarity.mmrDiversify(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -269,6 +270,60 @@ object SparkEntry {
       | FROM embeddings),
       |m AS (SELECT vec_id, v,
       |   CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM n)""".stripMargin
+  /** Parametric cosine between aliased (v, n2) column pairs — the
+    * cosExpr shape for oracles joining arbitrary vector tables. */
+  private def cosSql(av: String, an2: String, bv: String, bn2: String): String =
+    s"""CAST(CAST(list_sum(list_transform(range(len($av)),
+       |   i -> $av[i+1]*$bv[i+1])) AS BIGINT) AS DOUBLE)
+       | / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
+
+  /** q224 oracle: the greedy MMR steps 2..k unrolled as CTE blocks
+    * (pa1 seeds with the pure-relevance argmax; each block excludes
+    * the picked set, takes max-sim against it, and argmaxes
+    * λ·rel − (1−λ)·maxsim with the (score desc, id asc) order).
+    * (1.0 - 0.7) is spelled as the SUBTRACTION, not 0.3 — the
+    * double 1.0−0.7 ≠ the double 0.3, and Spark computes the
+    * former. */
+  private def mmrOracle(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      val prev = s"pa${i - 1}"
+      s"""ex$i AS (SELECT c.* FROM cand c LEFT JOIN $prev p
+         | ON p.query_id = c.query_id AND p.cand_id = c.cand_id
+         | WHERE p.cand_id IS NULL),
+         |ms$i AS (SELECT e.query_id, e.cand_id,
+         |  max(${cosSql("e.cv", "e.cn2", "p.cv", "p.cn2")}) AS maxsim
+         | FROM ex$i e JOIN $prev p ON p.query_id = e.query_id GROUP BY 1, 2),
+         |s$i AS (SELECT e.query_id, e.cand_id, e.cv, e.cn2,
+         |  0.7*e.rel - (1.0 - 0.7)*mm.maxsim AS score
+         | FROM ex$i e JOIN ms$i mm
+         |  ON mm.query_id = e.query_id AND mm.cand_id = e.cand_id),
+         |p$i AS (SELECT query_id, cand_id, cv, cn2, $i AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS rn FROM s$i) t WHERE rn = 1),
+         |pa$i AS (SELECT * FROM pa${i - 1} UNION ALL SELECT * FROM p$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantCte,
+       |qs AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM m
+       |  WHERE vec_id < 5),
+       |cs AS (SELECT vec_id AS cand_id, v AS cv, n2 AS cn2 FROM m
+       |  WHERE vec_id >= 5),
+       |rels AS (SELECT query_id, cand_id, cv, cn2,
+       |  ${cosSql("qv", "qn2", "cv", "cn2")} AS rel FROM qs CROSS JOIN cs),
+       |cand AS (SELECT query_id, cand_id, cv, cn2, rel FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, cand_id) AS rn FROM rels) t WHERE rn <= 20),
+       |pa1 AS (SELECT query_id, cand_id, cv, cn2, 1 AS rank FROM (
+       |  SELECT query_id, cand_id, cv, cn2, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY 0.7*rel DESC, cand_id) AS rn
+       |  FROM cand) t WHERE rn = 1),
+       |$steps
+       |SELECT p.query_id, CAST(p.rank AS BIGINT) AS rank,
+       | p.cand_id AS neighbor_id, round(c.rel, 4) AS rel_cosine
+       |FROM pa$k p JOIN cand c
+       | ON c.query_id = p.query_id AND c.cand_id = p.cand_id""".stripMargin
+  }
+
   private val cosExpr =
     """CAST(CAST(list_sum(list_transform(range(len(a.v)),
       |   i -> a.v[i+1]*b.v[i+1])) AS BIGINT) AS DOUBLE)
@@ -4322,5 +4377,6 @@ object SparkEntry {
         | (coalesce(n_common, 0) = 0) AS is_local_bridge
         |FROM c JOIN deg g1 ON g1.v = c.d1 JOIN deg g2 ON g2.v = c.d2
         | LEFT JOIN cm ON cm.d1 = c.d1 AND cm.d2 = c.d2""".stripMargin,
+    "q224_mmr_diversify" -> mmrOracle(5),
   )
 }

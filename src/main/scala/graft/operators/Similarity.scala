@@ -742,4 +742,68 @@ object Similarity {
       .select(col("query_id"), col("n_exact"), col("n_hits"),
         expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
   }
+
+  /** q224: MMR-DIVERSIFIED retrieval — the re-rank between raw
+    * top-k (q25) and a RAG prompt: Maximal Marginal Relevance picks
+    * `k` of the top-`m` candidates greedily by
+    * λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s), so near-duplicate
+    * hits (exactly what a near-dup-heavy corpus returns) don't fill
+    * the whole context window with one document's clones. Cost
+    * shape: ONE corpus pass builds the bounded top-m candidate set
+    * per query (TopKAgg — the q25 argument); the greedy loop then
+    * runs k fixed DataFrame iterations over queries·m rows — at
+    * 100 TB the loop's cost is independent of corpus size, which is
+    * the property that makes MMR deployable as a re-ranker and NOT
+    * as a corpus operator. Determinism: rel and sim are the exact
+    * integer dots divided by IEEE sqrt norms — both engines compute
+    * the identical double from identical integers — and every
+    * argmax carries the (score desc, id asc) total order; the
+    * oracle unrolls the same greedy steps. λ in ppm to keep the
+    * knob integer (0.7 ≡ 700000). */
+  def mmrDiversify(s: SparkSession, dir: String, m: Int = 20, k: Int = 5,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    import graft.functions.TopK
+    val lam = lambdaPpm.toDouble / 1e6
+    val q = quantized(s, dir)
+    val corpus = q.filter(col("vec_id") >= 5).toDF("cand_id", "cv", "cn2")
+    val cand = corpus
+      .join(broadcast(q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2")),
+        lit(true))
+      .withColumn("rel", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(m)(col("cand_id"), col("rel")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("cand_id"), col("t.score").as("rel"))
+      .join(corpus, "cand_id")
+      .localCheckpoint() // queries·m rows; the loop below reuses it k times
+    var picked = cand.limit(0)
+      .select(col("query_id"), lit(0).as("rank"), col("cand_id"),
+        col("cv").as("pv"), col("cn2").as("pn2"))
+    for (step <- 1 to k) {
+      val remaining = cand.join(picked.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored =
+        if (step == 1) remaining.withColumn("maxsim", lit(0.0))
+        else {
+          val ms = remaining
+            .join(picked.select(col("query_id"), col("pv"), col("pn2")), "query_id")
+            .withColumn("sim", cosineQ(col("cv"), col("pv"), col("cn2"), col("pn2")))
+            .groupBy(col("query_id"), col("cand_id"))
+            .agg(max(col("sim")).as("maxsim"))
+          remaining.join(ms, Seq("query_id", "cand_id"))
+        }
+      val next = scored
+        .withColumn("score", lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim"))
+        .groupBy(col("query_id"))
+        .agg(min_by(struct(col("cand_id"), col("cv"), col("cn2")),
+          struct(negate(col("score")), col("cand_id"))).as("p"))
+        .select(col("query_id"), lit(step).as("rank"), col("p.cand_id"),
+          col("p.cv").as("pv"), col("p.cn2").as("pn2"))
+      picked = picked.unionByName(next).localCheckpoint()
+    }
+    picked.join(cand.select(col("query_id"), col("cand_id"), col("rel")),
+        Seq("query_id", "cand_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round(col("rel"), 4).as("rel_cosine"))
+  }
 }

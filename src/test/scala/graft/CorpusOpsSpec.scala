@@ -213,6 +213,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------- q224
+  test("q224: MMR demotes an exact duplicate below a diverse hit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mmr").toString
+    def axis(i: Int, mag: Float): Seq[Float] =
+      (0 until 64).map(j => if (j == i) mag else 0.0f)
+    val queryVec = (0 until 64).map(j =>
+      if (j == 0) 0.6f else if (j == 1) 0.5f else 0.0f)
+    // corpus: A (id 5) and its exact clone A' (id 6) on axis 0,
+    // B (id 7) on axis 1 with lower relevance than A
+    val rows: Seq[(Long, Seq[Float], Int)] =
+      (0L to 4L).map(id => (id, queryVec, 0)) ++
+      Seq((5L, axis(0, 0.9f), 1), (6L, axis(0, 0.9f), 1), (7L, axis(1, 0.9f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.mmrDiversify(spark, dir).filter(col("query_id") === 0)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    // rank 1: A beats its clone on the id tie-break; rank 2: the
+    // clone's max-sim penalty (sim = 1.0) demotes it below the
+    // diverse B despite higher relevance; rank 3: the clone; a
+    // 3-candidate corpus yields 3 rows even though k = 5
+    assert(got.toSeq == Seq((1L, 5L), (2L, 7L), (3L, 6L)),
+      s"MMR order wrong: ${got.toSeq}")
+  }
+
   test("q218: recall bounded and n_exact = k on the sf corpus") {
     val got = Similarity.pqRecall(spark, sfDir).collect()
     assert(got.length == 5)

@@ -73,7 +73,10 @@ class PlanLintSpec extends SparkSpec {
         "q217" -> Pipeline.chunkManifest(spark, sfDir),
         "q218" -> Similarity.pqRecall(spark, sfDir),
         "q219" -> Dedup.dupDrift(spark, sfDir),
-        "q220" -> TextAnalysis.ngramNovelty(spark, sfDir))) {
+        "q220" -> TextAnalysis.ngramNovelty(spark, sfDir),
+        "q222" -> Incremental.categoryDrift(spark, sfDir),
+        "q223" -> Dedup.edgeCohesion(spark, sfDir),
+        "q224" -> Similarity.mmrDiversify(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")
