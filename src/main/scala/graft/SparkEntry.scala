@@ -238,6 +238,8 @@ object SparkEntry {
     "q222_category_drift"   -> (Incremental.categoryDrift _),
     "q223_edge_cohesion"    -> (Dedup.edgeCohesion _),
     "q224_mmr_diversify"    -> ((s, d) => Similarity.mmrDiversify(s, d)),
+    "q225_scene_cuts"       -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "q226_bounce_rate"      -> (Events.bounceRate _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -270,6 +272,14 @@ object SparkEntry {
       | FROM embeddings),
       |m AS (SELECT vec_id, v,
       |   CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM n)""".stripMargin
+  /** Hex→int over an arbitrary 8-hex-char SQL expression (hex8Sql's
+    * strpos arithmetic, parametric on the hex source). */
+  private def hexIntSql(e: String): String =
+    s"""CAST(list_sum(list_transform(range(8), i ->
+       |   CAST(strpos('0123456789abcdef',
+       |     substr($e, CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+       |   * (1::BIGINT << CAST((7 - i) * 4 AS INTEGER)))) AS BIGINT)""".stripMargin
+
   /** Parametric cosine between aliased (v, n2) column pairs — the
     * cosExpr shape for oracles joining arbitrary vector tables. */
   private def cosSql(av: String, an2: String, bv: String, bn2: String): String =
@@ -4378,5 +4388,46 @@ object SparkEntry {
         |FROM c JOIN deg g1 ON g1.v = c.d1 JOIN deg g2 ON g2.v = c.d2
         | LEFT JOIN cm ON cm.d1 = c.d1 AND cm.d2 = c.d2""".stripMargin,
     "q224_mmr_diversify" -> mmrOracle(5),
+    "q225_scene_cuts" ->
+      s"""WITH f AS (SELECT doc_id, text,
+        |  LEAST(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) AS n_frames
+        | FROM documents WHERE length(text) > 0),
+        |x AS (SELECT doc_id, text, n_frames,
+        |  unnest(range(n_frames)) AS frame_idx FROM f),
+        |fr AS (SELECT doc_id, n_frames, frame_idx,
+        |  ${hexIntSql("substr(sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)), 1, 8)")}
+        |    AS fv FROM x),
+        |lg AS (SELECT doc_id, n_frames, fv, lag(fv) OVER (
+        |   PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM fr),
+        |hm AS (SELECT doc_id, n_frames,
+        |  CASE WHEN prev IS NULL THEN NULL
+        |   ELSE CAST(bit_count(xor(fv, prev)) AS BIGINT) END AS ham FROM lg)
+        |SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+        | CAST(count(ham) AS BIGINT) AS n_transitions,
+        | CAST(sum(CASE WHEN ham >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        | CAST(sum(coalesce(ham, 0)) * 1000 // nullif(count(ham), 0) AS BIGINT)
+        |   AS mean_ham_milli
+        |FROM hm GROUP BY doc_id""".stripMargin,
+    "q226_bounce_rate" ->
+      """WITH sa AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |se AS (SELECT user_id, tsu, sum(new_s) OVER (
+        |   PARTITION BY user_id ORDER BY tsu, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM sa),
+        |ps AS (SELECT user_id, session_id, count(*) AS n_ev,
+        |   min(tsu) AS start_ts FROM se GROUP BY 1, 2),
+        |d AS (SELECT start_ts // 86400000000 AS day, n_ev FROM ps)
+        |SELECT CAST(day AS BIGINT) AS day,
+        | CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        | CAST(sum(n_ev) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |   AS BIGINT) AS bounce_ppm,
+        | CAST(sum(n_ev) * 1000 // count(*) AS BIGINT) AS depth_milli
+        |FROM d GROUP BY 1""".stripMargin,
   )
 }

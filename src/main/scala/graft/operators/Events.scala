@@ -223,6 +223,29 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
   }
 
+  /** q226: session BOUNCE-RATE report — the engagement headline over
+    * q63's sessionization: per day, how many sessions, how many were
+    * single-event bounces, and the mean session depth — the triple a
+    * product dashboard pairs with q203's DAU (users can be active
+    * daily AND bouncing — this is the report that tells them apart).
+    * One per-user window pass (q63's sort, the only corpus shuffle)
+    * folds to per-session rows (count + start ts), then ONE bounded
+    * per-day agg; integer ppm/milli. A session belongs to the day
+    * its FIRST event lands on (midnight-straddling sessions count
+    * once — spec-pinned, not double-reported). */
+  def bounceRate(s: SparkSession, dir: String): DataFrame =
+    sessionAssign(s, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"), min(col("ts")).as("start_ts"))
+      .withColumn("day", expr("start_ts div 86400000000"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_ev")).as("n_events"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"), col("n_events"),
+        expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
+        expr("n_events * 1000 div n_sessions").as("depth_milli"))
+
   /** q142: TOP USER JOURNEYS — ordered event-type trigram counts
     * WITHIN sessions (the "top paths" report product analytics runs
     * on every funnel): q63's session assignment labels each event,

@@ -226,4 +226,34 @@ object Multimodal {
           struct(col("n_bytes"), negate(col("doc_id")))).as("keep_id"),
         max(col("n_bytes")).as("keep_bytes"))
   }
+
+  /** q225: SCENE-CUT detection over the sampled frame sequence —
+    * the video-segmentation step between q52's frame extraction and
+    * a per-scene embedding/captioning stage: consecutive frames
+    * whose FEATURE distance exceeds a threshold mark a cut, and the
+    * per-media cut count + mean inter-frame distance is the "is
+    * this a slideshow or a single take?" triage a sampling budget
+    * allocator reads. Feature = the first 32 bits of each q52 frame
+    * digest (STUB: on decoded media this is a perceptual feature —
+    * dHash/histogram — and the distance law is identical); distance
+    * = Hamming via bit_count(xor), exact on both engines. Shape:
+    * q52's narrow extraction, a lag() on the per-media window
+    * (≤ maxFrames rows per partition — bounded, never corpus-wide),
+    * one per-media agg; |docs| rows out. */
+  def sceneCuts(s: SparkSession, dir: String, threshold: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSample(s, dir)
+      .withColumn("f", conv(substring(col("frame_sha"), 1, 8), 16, 10).cast("long"))
+      .withColumn("prev", lag(col("f"), 1).over(w))
+      .withColumn("ham", expr("bit_count(f ^ prev)").cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(col("ham")).as("n_transitions"),
+        sum(when(col("ham") >= threshold, 1L).otherwise(0L)).as("n_cuts"),
+        sum(coalesce(col("ham"), lit(0L))).as("ham_sum"))
+      .select(col("doc_id"), col("n_frames"), col("n_transitions"),
+        col("n_cuts"),
+        expr("ham_sum * 1000 div nullif(n_transitions, 0)").as("mean_ham_milli"))
+  }
 }

@@ -213,6 +213,53 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------- q225
+  test("q225: identical consecutive frames never cut; single frame has no transitions") {
+    import graft.operators.Multimodal
+    val dir = docsDir(Seq(
+      (1L, "a" * 64, "en", "m"),          // one frame
+      (2L, "b" * 128, "en", "m"),         // two IDENTICAL frames
+      (3L, ("c" * 64) + ("d" * 64), "en", "m"))) // two distinct frames
+    val got = Multimodal.sceneCuts(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_transitions"),
+          r.getAs[Long]("n_cuts"),
+          Option(r.get(r.fieldIndex("mean_ham_milli"))))).toMap
+    assert(got(1L) == (1L, 0L, 0L, None),
+      s"single frame must have null mean distance: ${got(1L)}")
+    assert(got(2L) == (2L, 1L, 0L, Some(0L)),
+      s"identical frames must measure distance 0: ${got(2L)}")
+    val (f3, t3, _, m3) = got(3L)
+    assert(f3 == 2L && t3 == 1L && m3.exists(_.asInstanceOf[Long] > 0L),
+      s"distinct frames must measure a positive distance: ${got(3L)}")
+  }
+
+  // ---------------------------------------------------------- q226
+  test("q226: midnight-straddling session counts once, on its first day") {
+    import spark.implicits._
+    import graft.operators.Events
+    val us = 1000L // store nanos; Tables.events re-types to micros
+    val day = 86400000000L
+    val dir = Files.createTempDirectory("graft_bounce").toString
+    // u1: one 2-event session early day 0; one 2-event session
+    // straddling midnight (gap 15 min < 30 min) starting day 0;
+    // u2: a single-event bounce on day 1
+    Seq(
+      (1L, 1L, 1000000L), (2L, 1L, 601000000L),
+      (3L, 1L, day - 600000000L), (4L, 1L, day + 300000000L),
+      (5L, 2L, day + 1000000L))
+      .map { case (id, u, ts) => (id, u, ts * us) }
+      .toDF("event_id", "user_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.bounceRate(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("depth_milli"))).toMap
+    assert(got(0L) == (2L, 0L, 4L, 2000L),
+      s"straddling session must land on day 0 only: ${got(0L)}")
+    assert(got(1L) == (1L, 1L, 1L, 1000L), s"day-1 bounce: ${got(1L)}")
+  }
+
   // ---------------------------------------------------------- q224
   test("q224: MMR demotes an exact duplicate below a diverse hit") {
     import spark.implicits._

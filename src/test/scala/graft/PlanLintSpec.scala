@@ -76,7 +76,9 @@ class PlanLintSpec extends SparkSpec {
         "q220" -> TextAnalysis.ngramNovelty(spark, sfDir),
         "q222" -> Incremental.categoryDrift(spark, sfDir),
         "q223" -> Dedup.edgeCohesion(spark, sfDir),
-        "q224" -> Similarity.mmrDiversify(spark, sfDir))) {
+        "q224" -> Similarity.mmrDiversify(spark, sfDir),
+        "q225" -> Multimodal.sceneCuts(spark, sfDir),
+        "q226" -> Events.bounceRate(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")
