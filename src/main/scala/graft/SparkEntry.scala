@@ -240,6 +240,9 @@ object SparkEntry {
     "q224_mmr_diversify"    -> ((s, d) => Similarity.mmrDiversify(s, d)),
     "q225_scene_cuts"       -> ((s, d) => Multimodal.sceneCuts(s, d)),
     "q226_bounce_rate"      -> (Events.bounceRate _),
+    "q227_char_entropy"     -> (TextAnalysis.charEntropy _),
+    "q228_cohort_ltv"       -> (Events.cohortLtv _),
+    "q229_seasonal_profile" -> (Events.seasonalProfile _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4429,5 +4432,59 @@ object SparkEntry {
         |   AS BIGINT) AS bounce_ppm,
         | CAST(sum(n_ev) * 1000 // count(*) AS BIGINT) AS depth_milli
         |FROM d GROUP BY 1""".stripMargin,
+    "q227_char_entropy" ->
+      """WITH ch AS (SELECT source, unnest(list_transform(
+        |   range(1, length(text) + 1),
+        |   i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
+        | FROM documents WHERE length(text) > 0),
+        |ct AS (SELECT source, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  sum(c * log2(c)) AS slc FROM ct GROUP BY 1)
+        |SELECT source, n_chars, n_distinct_chars,
+        | round(log2(n_chars) - slc / n_chars, 4) AS entropy_bits,
+        | round((log2(n_chars) - slc / n_chars) / 8, 4)
+        |   AS est_compression_ratio
+        |FROM a""".stripMargin,
+    "q228_cohort_ltv" ->
+      """WITH pu AS (SELECT user_id,
+        |  min(epoch_us(ts) // 604800000000) AS cohort_week
+        | FROM events GROUP BY 1),
+        |cs AS (SELECT cohort_week, count(*) AS n_cohort_users
+        | FROM pu GROUP BY 1),
+        |cells AS (SELECT pu.cohort_week,
+        |  epoch_us(e.ts) // 604800000000 - pu.cohort_week AS age_week,
+        |  count(DISTINCT e.user_id) AS n_active,
+        |  sum(CASE WHEN e.event_type = 'purchase'
+        |    THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS rev_cents
+        | FROM events e JOIN pu ON e.user_id = pu.user_id GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, age_week, n_active, rev_cents,
+        |  sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents
+        | FROM cells)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        | CAST(age_week AS BIGINT) AS age_week,
+        | CAST(n_active AS BIGINT) AS n_active,
+        | CAST(n_cohort_users AS BIGINT) AS n_cohort_users,
+        | CAST(rev_cents AS BIGINT) AS rev_cents,
+        | CAST(cum_rev_cents AS BIGINT) AS cum_rev_cents,
+        | CAST(cum_rev_cents * 1000 // n_cohort_users AS BIGINT)
+        |   AS ltv_millicents
+        |FROM cum JOIN cs USING (cohort_week)""".stripMargin,
+    "q229_seasonal_profile" ->
+      """WITH c AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hod, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |grid AS (SELECT d.dow, h.hod FROM
+        |  (SELECT unnest(range(7)) AS dow) d,
+        |  (SELECT unnest(range(24)) AS hod) h),
+        |t AS (SELECT sum(n) AS n_total FROM c)
+        |SELECT CAST(grid.dow AS BIGINT) AS dow,
+        | CAST(grid.hod AS BIGINT) AS hod,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        | CAST(coalesce(c.n, 0) * 1000000 // n_total AS BIGINT) AS share_ppm,
+        | (coalesce(c.n, 0) * 168 > n_total * 2) AS peak
+        |FROM grid LEFT JOIN c ON grid.dow = c.dow AND grid.hod = c.hod
+        | CROSS JOIN t""".stripMargin,
   )
 }

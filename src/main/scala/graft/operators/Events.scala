@@ -246,6 +246,66 @@ object Events {
         expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
         expr("n_events * 1000 div n_sessions").as("depth_milli"))
 
+  /** q228: COHORT LTV curve — q51's retention matrix with revenue on
+    * it: per (signup-week cohort, weeks-since-signup age), active
+    * users, revenue, and the CUMULATIVE revenue per cohort member in
+    * integer milli-cents — the "how much is a week-N user worth so
+    * far" curve that prices acquisition against q206's survival.
+    * Shape: one per-user agg pins each user's cohort week; one
+    * shuffle-hash join tags events; ONE bounded (cohort, age) agg;
+    * the cumulative window runs over the ≤|weeks|² cell table
+    * partitioned by cohort — never over events. All-integer cents. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("min(ts div 604800000000)").as("cohort_week"))
+    val cohortSize = perUser.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val cells = Tables.events(s, dir)
+      .join(perUser.hint("shuffle_hash"), "user_id")
+      .withColumn("age_week",
+        expr("ts div 604800000000") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(cohortSize), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_active"),
+        col("n_cohort_users"), col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents * 1000 div n_cohort_users")
+          .as("ltv_millicents"))
+  }
+
+  /** q229: SEASONAL traffic PROFILE — the hour-of-day × day-of-week
+    * event-rate heatmap (168 cells) capacity planning and the q191
+    * seasonal-baseline monitors both read; DESCRIPTIVE where q191
+    * is an alarm. dow is days-since-epoch mod 7 shifted so 0 =
+    * Sunday (1970-01-01 was a Thursday); cells with no events are
+    * REPORTED as zeros (a dead overnight window is the finding, not
+    * a missing row) via a literal 168-row grid left-joined to the
+    * one bounded agg. peak flags cells above 2× the mean cell rate
+    * in exact integer arithmetic (n·168 > 2·total). */
+  def seasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(expr("(ts div 86400000000 + 4) % 7").as("dow"),
+        expr("(ts div 3600000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val grid = s.range(1)
+      .select(explode(sequence(lit(0L), lit(6L))).as("dow"))
+      .select(col("dow"), explode(sequence(lit(0L), lit(23L))).as("hod"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    grid.join(counts, Seq("dow", "hod"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("dow"), col("hod"), col("n"),
+        expr("n * 1000000 div n_total").as("share_ppm"),
+        (col("n") * 168L > col("n_total") * 2L).as("peak"))
+  }
+
   /** q142: TOP USER JOURNEYS — ordered event-type trigram counts
     * WITHIN sessions (the "top paths" report product analytics runs
     * on every funnel): q63's session assignment labels each event,

@@ -667,6 +667,35 @@ object TextAnalysis {
         expr("n_tokens * 1000 div n_words").as("fertility_milli"),
         expr("n_chars * 1000 div n_tokens").as("chars_per_tok_milli"))
 
+  /** q227: CHARACTER-ENTROPY profile per source — the
+    * storage-planning number (a source's char entropy bounds its
+    * compressed footprint: est. bytes/char ≈ H/8) and a cheap
+    * garbage detector in the same pass — binary-junk-as-text scores
+    * near 8 bits/char, natural language near 4, template spam
+    * collapses below it, all long before a tokenizer runs. q91's
+    * exact-count entropy formulation (H = log2(n) − Σc·log2(c)/n —
+    * the float log touches only the BOUNDED per-(source, char)
+    * count table, never per-row) over a chars explode: linear,
+    * map-side combinable, |sources|·|alphabet| intermediate. Empty
+    * texts are filtered (Spark's sequence(1, 0) is [1, 0], not
+    * [] — the q52 guard). */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+        .as("ch"))
+      .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * log2(col("c"))).as("slc"))
+      .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+        round(log2(col("n_chars")) - col("slc") / col("n_chars"), 4)
+          .as("entropy_bits"),
+        round((log2(col("n_chars")) - col("slc") / col("n_chars")) / 8, 4)
+          .as("est_compression_ratio"))
+
   /** q220: N-GRAM NOVELTY — the memorization-risk audit the
     * decontamination family (q57/q88/q166) does not cover: those ask
     * "does the corpus CONTAIN these specific eval texts?"; this asks,

@@ -260,6 +260,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L) == (1L, 1L, 1L, 1000L), s"day-1 bounce: ${got(1L)}")
   }
 
+  // ---------------------------------------------------------- q227
+  test("q227: constant text is 0 bits; a fair two-char mix is 1 bit") {
+    val dir = docsDir(Seq((1L, "aaaaaaaa", "en", "mono"),
+      (2L, "abababab", "en", "duo")))
+    val got = TextAnalysis.charEntropy(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy_bits"))).toMap
+    assert(got("mono") == (1L, 0.0), s"constant: ${got("mono")}")
+    assert(got("duo") == (2L, 1.0), s"fair binary mix: ${got("duo")}")
+  }
+
+  /** Full-schema synthetic events table. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ev").toString
+    rows.map { case (id, u, tsUs, et, v) => (id, u, tsUs * 1000L, et, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------- q228
+  test("q228: revenue accumulates along the cohort age axis") {
+    import graft.operators.Events
+    val wk = 604800000000L
+    // u1 signs up week 0: buys 2.00 at age 0, 3.00 at age 1;
+    // u2 signs up week 0, never buys; u3 signs up week 1, buys 1.00
+    val dir = eventsDir(Seq(
+      (1L, 1L, 10L, "purchase", 2.0), (2L, 1L, wk + 10L, "purchase", 3.0),
+      (3L, 2L, 20L, "view", 0.0), (4L, 3L, wk + 20L, "purchase", 1.0)))
+    val got = Events.cohortLtv(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("age_week")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort_users"),
+          r.getAs[Long]("cum_rev_cents"), r.getAs[Long]("ltv_millicents")))
+      .toMap
+    assert(got((0L, 0L)) == (2L, 2L, 200L, 100000L), s"w0a0: ${got((0L, 0L))}")
+    assert(got((0L, 1L)) == (1L, 2L, 500L, 250000L),
+      s"cumulative 5.00 over 2 members: ${got((0L, 1L))}")
+    assert(got((1L, 0L)) == (1L, 1L, 100L, 100000L), s"w1a0: ${got((1L, 0L))}")
+  }
+
+  // ---------------------------------------------------------- q229
+  test("q229: empty cells are reported as zeros and a lone spike peaks") {
+    import graft.operators.Events
+    // all events in one (dow, hod) cell: epoch day 0 is Thursday
+    // (dow = 4), hour 5
+    val h = 3600000000L
+    val dir = eventsDir((1L to 10L).map(i =>
+      (i, i, 5L * h + i * 1000L, "view", 1.0)))
+    val rows = Events.seasonalProfile(spark, dir).collect()
+    assert(rows.length == 168, s"grid must be complete: ${rows.length}")
+    val hot = rows.filter(_.getAs[Long]("n") > 0L)
+    assert(hot.length == 1 &&
+      hot.head.getAs[Long]("dow") == 4L && hot.head.getAs[Long]("hod") == 5L &&
+      hot.head.getAs[Boolean]("peak") &&
+      hot.head.getAs[Long]("share_ppm") == 1000000L, s"${hot.toSeq}")
+    assert(rows.filter(!_.getAs[Boolean]("peak")).length == 167)
+  }
+
   // ---------------------------------------------------------- q224
   test("q224: MMR demotes an exact duplicate below a diverse hit") {
     import spark.implicits._

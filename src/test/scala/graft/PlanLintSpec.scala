@@ -78,7 +78,10 @@ class PlanLintSpec extends SparkSpec {
         "q223" -> Dedup.edgeCohesion(spark, sfDir),
         "q224" -> Similarity.mmrDiversify(spark, sfDir),
         "q225" -> Multimodal.sceneCuts(spark, sfDir),
-        "q226" -> Events.bounceRate(spark, sfDir))) {
+        "q226" -> Events.bounceRate(spark, sfDir),
+        "q227" -> TextAnalysis.charEntropy(spark, sfDir),
+        "q228" -> Events.cohortLtv(spark, sfDir),
+        "q229" -> Events.seasonalProfile(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")
