@@ -243,6 +243,7 @@ object SparkEntry {
     "q227_char_entropy"     -> (TextAnalysis.charEntropy _),
     "q228_cohort_ltv"       -> (Events.cohortLtv _),
     "q229_seasonal_profile" -> (Events.seasonalProfile _),
+    "q230_stream_scd2"      -> ((s, d) => StreamingOps.streamScd2(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4486,5 +4487,12 @@ object SparkEntry {
         | (coalesce(c.n, 0) * 168 > n_total * 2) AS peak
         |FROM grid LEFT JOIN c ON grid.dow = c.dow AND grid.hod = c.hod
         | CROSS JOIN t""".stripMargin,
+    // q230: final streaming SCD2 history ≡ the q70 batch intervals
+    "q230_stream_scd2" ->
+      """SELECT user_id, event_id, event_type, value,
+        | epoch_us(ts) AS valid_from,
+        | lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS valid_to
+        |FROM events""".stripMargin,
   )
 }

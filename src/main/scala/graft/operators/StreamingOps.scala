@@ -994,6 +994,58 @@ object StreamingOps {
           .as("admitted_seq_sum"))
   }
 
+  /** q230: STREAMING SCD2 — q70's validity-interval dimension
+    * history maintained live off the WAL ([[graft.streaming.Scd2]]):
+    * O(1) state per key (high-water + the open version), history in
+    * the append sink, closed rows emitted exactly once, below-
+    * high-water arrivals late-routed (counted, never spliced).
+    * Read-side collapse: (user, valid_from) → max(valid_to) — a
+    * closed row supersedes its stale open emission and checkpoint-
+    * replay duplicates. Final assembled history ≡ the q70 batch
+    * oracle because the staged WAL honors the CDC per-key ordering
+    * contract (Scd2Spec drives the violating case). */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q230", dir)
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), s"$stage/wal", batches = 8)
+    runStreamScd2(s, s"$stage/wal", s"$stage/ckpt", s"$stage/out",
+      maxFilesPerTrigger = 2)
+  }
+
+  /** The q230 pipeline against an existing WAL/checkpoint; the raw
+    * sink (with `kind`, incl. late rows) lands in `out` for the spec
+    * — the returned frame is the collapsed q70-shaped history. */
+  private[graft] def runStreamScd2(s: SparkSession, walDir: String,
+      ckpt: String, out: String, maxFilesPerTrigger: Int = 2): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Scd2
+    val events = WalSource.streamV2(s, walDir, maxFilesPerTrigger)
+      .select(col("rowkey").cast("long").as("user"), col("seq"), col("ts"),
+        col("cells")(0)("qualifier").as("etype"),
+        col("cells")(0)("value").cast("double").as("value"))
+      .as[Scd2.Scd2Event]
+    val query = Scd2.track(events).toDF().writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .filter(col("kind") =!= "late")
+      // event_id is the version identity (same-ts versions share a
+      // valid_from but never an id); open/closed/replay duplicates
+      // collapse to the one row with the closed valid_to if any
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(first(col("event_type")).as("event_type"),
+        first(col("value")).as("value"),
+        first(col("valid_from")).as("valid_from"),
+        max(col("valid_to")).as("valid_to"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("valid_from"), col("valid_to"))
+  }
+
   // ---------------------------------------------------------------
   // q195 state stores: BASE (compacted, pointer-versioned) + DELTA
   // (per-batch appends). Every store is READ-IDEMPOTENT under row
