@@ -244,6 +244,9 @@ object SparkEntry {
     "q228_cohort_ltv"       -> (Events.cohortLtv _),
     "q229_seasonal_profile" -> (Events.seasonalProfile _),
     "q230_stream_scd2"      -> ((s, d) => StreamingOps.streamScd2(s, d)),
+    "q231_group_quantile_bands" -> ((s, d) => Sketch.groupQuantileBands(s, d)),
+    "q232_code_switch"      -> (TextAnalysis.codeSwitch _),
+    "q233_embed_outliers"   -> (Similarity.embedOutliers _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4494,5 +4497,74 @@ object SparkEntry {
         | lead(epoch_us(ts)) OVER (PARTITION BY user_id
         |   ORDER BY ts, event_id) AS valid_to
         |FROM events""".stripMargin,
+    "q231_group_quantile_bands" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |t AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+        |qs AS (SELECT * FROM (VALUES ('p50', 0.5), ('p95', 0.95),
+        |  ('p99', 0.99)) AS q(q_label, q)),
+        |tg AS (SELECT event_type, q_label, CAST(n AS BIGINT) AS n,
+        |  CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT) AS rnk FROM t, qs),
+        |r AS (SELECT event_type, vc, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY vc) AS rn FROM b)
+        |SELECT tg.event_type, q_label, n,
+        | CAST((vc // 100) * 100 + 99 AS BIGINT) AS est_cents,
+        | CAST(vc AS BIGINT) AS exact_cents
+        |FROM tg JOIN r ON r.event_type = tg.event_type AND r.rn = tg.rnk"""
+        .stripMargin,
+    "q232_code_switch" ->
+      """WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS s_es
+        | FROM b),
+        |up AS (
+        | SELECT doc_id, lang, 'en' AS l, s_en AS sc FROM sc
+        | UNION ALL SELECT doc_id, lang, 'de', s_de FROM sc
+        | UNION ALL SELECT doc_id, lang, 'fr', s_fr FROM sc
+        | UNION ALL SELECT doc_id, lang, 'es', s_es FROM sc),
+        |rk AS (SELECT doc_id, lang, l, sc, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY sc DESC, l) AS rn FROM up)
+        |SELECT doc_id, lang,
+        | min(CASE WHEN rn = 1 THEN l END) AS top_lang,
+        | CAST(max(CASE WHEN rn = 1 THEN sc END) AS BIGINT) AS s_top,
+        | min(CASE WHEN rn = 2 THEN l END) AS second_lang,
+        | CAST(max(CASE WHEN rn = 2 THEN sc END) AS BIGINT) AS s_second,
+        | (max(CASE WHEN rn = 2 THEN sc END) * 10 >=
+        |    max(CASE WHEN rn = 1 THEN sc END) * 6
+        |  AND max(CASE WHEN rn = 2 THEN sc END) >= 2) AS mixed
+        |FROM rk WHERE rn <= 2 GROUP BY 1, 2""".stripMargin,
+    "q233_embed_outliers" ->
+      """WITH n AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(range(len(v))) AS pos, v FROM n),
+        |e2 AS (SELECT vec_id, label, pos,
+        |  v[CAST(pos + 1 AS INTEGER)] AS x FROM ex),
+        |cent AS (SELECT label, pos, sum(x) // count(*) AS c
+        | FROM e2 GROUP BY 1, 2),
+        |d2 AS (SELECT vec_id, e2.label,
+        |  CAST(sum((x - c) * (x - c)) AS BIGINT) AS d2
+        | FROM e2 JOIN cent ON e2.label = cent.label AND e2.pos = cent.pos
+        | GROUP BY 1, 2),
+        |st AS (SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(d2 AS HUGEINT)) AS HUGEINT) AS sum_d2
+        | FROM d2 GROUP BY 1),
+        |wm AS (SELECT label, max(d2) AS worst_d2 FROM d2 GROUP BY 1),
+        |wv AS (SELECT d2.label, min(vec_id) AS worst_vec_id
+        | FROM d2 JOIN wm ON d2.label = wm.label AND d2.d2 = wm.worst_d2
+        | GROUP BY 1)
+        |SELECT d2.label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+        | CAST(max(sum_d2 // n_vecs) AS BIGINT) AS mean_d2,
+        | CAST(sum(CASE WHEN CAST(d2 AS HUGEINT) * n_vecs > sum_d2 * 9
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | CAST(max(worst_vec_id) AS BIGINT) AS worst_vec_id,
+        | CAST(max(wm.worst_d2) AS BIGINT) AS worst_d2
+        |FROM d2 JOIN st ON d2.label = st.label
+        | JOIN wm ON d2.label = wm.label JOIN wv ON d2.label = wv.label
+        |GROUP BY 1""".stripMargin,
   )
 }

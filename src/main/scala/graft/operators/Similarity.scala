@@ -743,6 +743,49 @@ object Similarity {
         expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
   }
 
+  /** q233: EMBEDDING-OUTLIER audit — per label, vectors
+    * anomalously far from their label centroid: the rows a broken
+    * encoder batch, mislabeled example, or corrupted vector
+    * produces, caught BEFORE they poison q37's centroids and q38's
+    * IVF cells (q161 catches a whole batch drifting; this catches
+    * individual rows). All-integer: centroid = truncated per-dim
+    * mean (the q37 (label, pos) partial-sum shuffle — dims cross
+    * the wire, never vectors), per-vector squared distance d² in
+    * micro² Long, and the cut is the integer rule d²·n > 9·Σd²
+    * (9× the label's mean squared distance) — NO float σ threshold,
+    * whose rounding could flip a boundary row between engines.
+    * Output one row per label: count, mean d², outliers, and the
+    * worst offender (max d², ties → smaller id). */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long"))
+          .as("v"))
+    val exploded = q.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = exploded.groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr("sx div n").as("c"))
+    val d2 = exploded.join(cent.hint("shuffle_hash"), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    // Σd² and the cut's products are Decimal(38,0): per-vector d² is
+    // ~1e15 micro², so a 1e12-row label wraps Long in the sum and in
+    // d²·n — the q193/q199/q214 widening policy
+    val stats = d2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_d2"))
+    d2.join(broadcast(stats), "label")
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        expr("cast(max(sum_d2 div n_vecs) as bigint)").as("mean_d2"),
+        sum(when(col("d2").cast("decimal(38,0)") * col("n_vecs") >
+          col("sum_d2") * 9L, 1L).otherwise(0L)).as("n_outliers"),
+        max_by(col("vec_id"), struct(col("d2"), negate(col("vec_id"))))
+          .as("worst_vec_id"),
+        max(col("d2")).as("worst_d2"))
+  }
+
   /** q224: MMR-DIVERSIFIED retrieval — the re-rank between raw
     * top-k (q25) and a RAG prompt: Maximal Marginal Relevance picks
     * `k` of the top-`m` candidates greedily by

@@ -278,6 +278,50 @@ object Sketch {
     * ever sees an unbounded sort. All arithmetic is integer cents;
     * the only double op is ceil(q·n), identical IEEE on both engines.
     */
+  /** q231: exact PER-GROUP quantiles at scale — q97's two-pass
+    * bin-then-rank-select technique applied per event_type (p50 /
+    * p95 / p99 of the value column), the form a per-type SLO or
+    * pricing report needs. The contrast is q67, which ranks every
+    * group with a full per-group window sort — the documented scale
+    * trap this operator exists to avoid: pass 1 is one map-side-
+    * combinable (group, bin) count (bins bounded by value-range /
+    * binCents per group), the cumulative walk runs per group over
+    * the BOUNDED bin table, and pass 2 rank-selects inside only the
+    * boundary bins (≤ |quantiles| bins' rows per group ever sorted,
+    * ~n/bins rows each). Duplicate values inside a boundary bin make
+    * row identity arbitrary but the selected VALUE deterministic —
+    * the offset-th smallest is the same cents either way. */
+  def groupQuantileBands(s: SparkSession, dir: String,
+      binCents: Long = 100L): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("bin", expr(s"vc div $binCents"))
+    val hist = base.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val total = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val qdf = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+      .toDF("q_label", "q")
+    val targets = total.crossJoin(broadcast(qdf))
+      .withColumn("rnk", ceil(col("q") * col("n")).cast("long"))
+    val picked = targets.join(cum, "event_type")
+      .filter(col("cum") >= col("rnk") && col("cum") - col("cnt") < col("rnk"))
+      .select(col("event_type"), col("q_label"), col("n"), col("rnk"),
+        col("bin"), (col("rnk") - (col("cum") - col("cnt"))).as("off"),
+        (col("bin") * binCents + (binCents - 1)).as("est_cents"))
+    val wbin = Window.partitionBy(col("event_type"), col("q_label"))
+      .orderBy(col("vc"))
+    base.join(broadcast(picked), Seq("event_type", "bin"))
+      .withColumn("rn", row_number().over(wbin))
+      .filter(col("rn") === col("off"))
+      .select(col("event_type"), col("q_label"), col("n"),
+        col("est_cents"), col("vc").as("exact_cents"))
+  }
+
   def histQuantiles(s: SparkSession, dir: String,
       binCents: Long = 10000L): DataFrame = {
     import s.implicits._

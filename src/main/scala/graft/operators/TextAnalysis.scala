@@ -667,6 +667,41 @@ object TextAnalysis {
         expr("n_tokens * 1000 div n_words").as("fertility_milli"),
         expr("n_chars * 1000 div n_tokens").as("chars_per_tok_milli"))
 
+  /** q232: CODE-SWITCH / mixed-language detector — the doc-level
+    * audit between q29 (one label per doc) and q211 (corpus
+    * confusion): a document whose SECOND-language evidence is close
+    * to its first is mixed-language text — the rows that break
+    * mono-lingual tokenizers, poison per-language mixtures (q46/
+    * q165 budgets count them once), and show up in q211 as
+    * unexplained off-diagonal mass. Per doc: q29's four stopword
+    * scores unpivoted, top-2 by (score desc, lang asc) via a
+    * BOUNDED per-doc window (exactly 4 rows per partition key);
+    * mixed ⟺ second ≥ 60% of top AND second ≥ 2 hits — all-integer
+    * (s2·10 ≥ s1·6), no float ratio. Output per doc with the
+    * per-language rollup left to q211's machinery. */
+  def codeSwitch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = langId(s, dir)
+    val unpiv = scored.select(col("doc_id"), col("lang"),
+      explode(array(
+        struct(lit("en").as("l"), col("s_en").as("sc")),
+        struct(lit("de").as("l"), col("s_de").as("sc")),
+        struct(lit("fr").as("l"), col("s_fr").as("sc")),
+        struct(lit("es").as("l"), col("s_es").as("sc")))).as("e"))
+      .select(col("doc_id"), col("lang"), col("e.l"), col("e.sc"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sc").desc, col("l"))
+    unpiv.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(when(col("rn") === 1, col("l"))).as("top_lang"),
+        max(when(col("rn") === 1, col("sc"))).as("s_top"),
+        min(when(col("rn") === 2, col("l"))).as("second_lang"),
+        max(when(col("rn") === 2, col("sc"))).as("s_second"))
+      .withColumn("mixed",
+        col("s_second") * 10 >= col("s_top") * 6 && col("s_second") >= 2)
+  }
+
   /** q227: CHARACTER-ENTROPY profile per source — the
     * storage-planning number (a source's char entropy bounds its
     * compressed footprint: est. bytes/char ≈ H/8) and a cheap

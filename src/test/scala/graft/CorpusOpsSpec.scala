@@ -320,6 +320,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.filter(!_.getAs[Boolean]("peak")).length == 167)
   }
 
+  // ---------------------------------------------------------- q231
+  test("q231: bin-selected per-group quantiles equal the brute ranks") {
+    import graft.operators.Sketch
+    // type a: cents 1..100 => p50 = 50, p95 = 95, p99 = 99;
+    // type b: cents 1..10  => p50 = 5,  p95 = 10, p99 = 10
+    val dir = eventsDir(
+      (1L to 100L).map(i => (i, i, i * 1000L, "a", i / 100.0)) ++
+      (1L to 10L).map(i => (100L + i, i, i * 1000L, "b", i / 100.0)))
+    val got = Sketch.groupQuantileBands(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("q_label")) ->
+        (r.getAs[Long]("exact_cents"), r.getAs[Long]("est_cents"))).toMap
+    assert(got(("a", "p50")) == (50L, 99L) && got(("a", "p95")) == (95L, 99L)
+      && got(("a", "p99")) == (99L, 99L), s"type a: $got")
+    assert(got(("b", "p50")) == (5L, 99L) && got(("b", "p99")) == (10L, 99L),
+      s"type b: $got")
+  }
+
+  // ---------------------------------------------------------- q232
+  test("q232: near-tied second language flags mixed; clear margins don't") {
+    val dir = docsDir(Seq(
+      (1L, "the the und und x", "en", "a"),  // en 2 / de 2: tie => mixed
+      (2L, "the the the und x", "en", "a"),  // en 3 / de 1: clear
+      (3L, "the of and a x y", "en", "a")))  // en 4 / others 0: s2 < 2
+    val got = TextAnalysis.codeSwitch(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("top_lang"), r.getAs[String]("second_lang"),
+          r.getAs[Boolean]("mixed"))).toMap
+    assert(got(1L) == (("de", "en", true)),
+      s"tie breaks to 'de' (lang asc) and flags mixed: ${got(1L)}")
+    assert(got(2L) == (("en", "de", false)), s"clear margin: ${got(2L)}")
+    assert(!got(3L)._3, s"second score below 2 never flags: ${got(3L)}")
+  }
+
+  // ---------------------------------------------------------- q233
+  test("q233: a single far vector among tight inliers is the one outlier") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_outl").toString
+    def axis(i: Int, mag: Float): Seq[Float] =
+      (0 until 64).map(j => if (j == i) mag else 0.0f)
+    // label 0: 19 identical inliers + 1 far vector (n = 20 so the
+    // mean-pull identity at n = 10 doesn't sit exactly on the 9x
+    // boundary); label 1: all identical => zero distances, no outlier
+    val rows: Seq[(Long, Seq[Float], Int)] =
+      (1L to 19L).map(id => (id, axis(1, 0.1f), 0)) ++
+      Seq((20L, axis(0, 0.9f), 0)) ++
+      (21L to 25L).map(id => (id, axis(2, 0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embedOutliers(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_outliers"),
+          r.getAs[Long]("worst_vec_id"))).toMap
+    assert(got(0) == (20L, 1L, 20L), s"label 0: ${got(0)}")
+    assert(got(1) == (5L, 0L, 21L), s"identical vectors: ${got(1)}")
+  }
+
   // ---------------------------------------------------------- q224
   test("q224: MMR demotes an exact duplicate below a diverse hit") {
     import spark.implicits._

@@ -81,7 +81,10 @@ class PlanLintSpec extends SparkSpec {
         "q226" -> Events.bounceRate(spark, sfDir),
         "q227" -> TextAnalysis.charEntropy(spark, sfDir),
         "q228" -> Events.cohortLtv(spark, sfDir),
-        "q229" -> Events.seasonalProfile(spark, sfDir))) {
+        "q229" -> Events.seasonalProfile(spark, sfDir),
+        "q231" -> Sketch.groupQuantileBands(spark, sfDir),
+        "q232" -> TextAnalysis.codeSwitch(spark, sfDir),
+        "q233" -> Similarity.embedOutliers(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")
