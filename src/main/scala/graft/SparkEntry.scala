@@ -247,6 +247,9 @@ object SparkEntry {
     "q231_group_quantile_bands" -> ((s, d) => Sketch.groupQuantileBands(s, d)),
     "q232_code_switch"      -> (TextAnalysis.codeSwitch _),
     "q233_embed_outliers"   -> (Similarity.embedOutliers _),
+    "q234_reconciliation"   -> ((s, d) => Relational.reconciliation(s, d)),
+    "q235_ship_latency"     -> ((s, d) => Relational.shipLatency(s, d)),
+    "q236_price_consistency" -> ((s, d) => Relational.priceConsistency(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4566,5 +4569,51 @@ object SparkEntry {
         |FROM d2 JOIN st ON d2.label = st.label
         | JOIN wm ON d2.label = wm.label JOIN wv ON d2.label = wv.label
         |GROUP BY 1""".stripMargin,
+    "q234_reconciliation" ->
+      """WITH li AS (SELECT l_orderkey, count(*) AS n_lines,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) *
+        |    (1.0 + l_tax) * 100) AS BIGINT)) AS line_cents
+        | FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderstatus,
+        |  coalesce(n_lines, 0) AS n_lines,
+        |  abs(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    - coalesce(line_cents, 0)) AS delta
+        | FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_lineless,
+        | CAST(sum(CASE WHEN delta > n_lines * 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_mismatched,
+        | CAST(max(delta) AS BIGINT) AS max_delta_cents,
+        | CAST(sum(CAST(delta AS HUGEINT)) AS HUGEINT) AS sum_delta_cents
+        |FROM j GROUP BY 1""".stripMargin,
+    "q235_ship_latency" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |  date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS days
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(days) * 1000 // count(*) AS BIGINT) AS mean_days_milli,
+        | CAST(max(days) AS BIGINT) AS max_days,
+        | CAST(sum(CASE WHEN days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_impossible,
+        | CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |   AS BIGINT) AS late_ppm
+        |FROM j GROUP BY 1""".stripMargin,
+    "q236_price_consistency" ->
+      """WITH j AS (SELECT p_brand,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+        |  CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(ext_cents AS HUGEINT) * 1000000) //
+        |   sum(CAST(retail_cents AS HUGEINT) * qty) AS BIGINT)
+        |   AS mean_ratio_ppm,
+        | CAST(sum(CASE WHEN ext_cents * 1000000 // (retail_cents * qty)
+        |     > 1200000 OR ext_cents * 1000000 // (retail_cents * qty)
+        |     < 800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_band
+        |FROM j GROUP BY 1""".stripMargin,
   )
 }

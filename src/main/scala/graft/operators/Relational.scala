@@ -530,6 +530,103 @@ object Relational {
       .unionByName(row(o, "accepted:o_orderstatus", "orders", "v_status"))
   }
 
+  /** q234: ORDER↔LINEITEM RECONCILIATION — the "books balance"
+    * audit every warehouse runs on load: per order, the header
+    * total vs the sum of its lines' charges (extended·(1−disc)·
+    * (1+tax)), rolled to one row per order status with mismatch
+    * counts and the worst absolute delta. Engine parity: each
+    * line's charge is computed as ONE double product then rounded
+    * to cents once (same expression tree both engines — rounding
+    * per factor would compound differently); the tolerance is ±1
+    * cent per line, so the gate reports REAL generator mismatches
+    * rather than float noise. One fact-fact shuffle on orderkey
+    * (both sides cluster on it at 100 TB — bucketed, co-located),
+    * then a |statuses|-row agg. */
+  def reconciliation(s: SparkSession, dir: String, tolCentsPerLine: Long = 1L)
+      : DataFrame = {
+    val lines = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * 100).cast("long")).as("line_cents"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+      .join(lines.withColumnRenamed("l_orderkey", "o_orderkey")
+        .hint("shuffle_hash"), Seq("o_orderkey"), "left")
+      .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+      .withColumn("delta", abs(col("hdr_cents") - coalesce(col("line_cents"), lit(0L))))
+      .withColumn("bad", col("delta") > col("n_lines") * tolCentsPerLine)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_lines") === 0L, 1L).otherwise(0L)).as("n_lineless"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_mismatched"),
+        max(col("delta")).as("max_delta_cents"),
+        // decimal(38,0): 1e12 orders x 1e7-cent deltas wraps Long
+        sum(col("delta").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sum_delta_cents"))
+  }
+
+  /** q235: SHIP-LATENCY SLA report — days from order date to each
+    * line's ship date, per order priority: the supply-chain
+    * service-level readout (and a data-quality tripwire: a NEGATIVE
+    * latency is an impossible record, counted explicitly rather
+    * than averaged away). Exact integer day arithmetic on the two
+    * date columns; one orderkey-shuffled join (co-located at
+    * 100 TB), one |priorities|-row agg. Mean in milli-days from
+    * summed counts (exact); the full latency DISTRIBUTION belongs
+    * to q231's per-group band machinery. */
+  def shipLatency(s: SparkSession, dir: String, slaDays: Long = 90L)
+      : DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .hint("shuffle_hash"), "o_orderkey")
+      .withColumn("days", datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("days")).as("sum_days"),
+        max(col("days")).as("max_days"),
+        sum(when(col("days") < 0L, 1L).otherwise(0L)).as("n_impossible"),
+        sum(when(col("days") > slaDays, 1L).otherwise(0L)).as("n_late"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        expr("sum_days * 1000 div n_lines").as("mean_days_milli"),
+        col("max_days"), col("n_impossible"), col("n_late"),
+        expr("n_late * 1000000 div n_lines").as("late_ppm"))
+
+  /** q236: PRICE-CONSISTENCY audit — billed unit price vs catalogue
+    * retail price per brand: the margin/pricing-integrity check
+    * (systematic under-billing of one brand is either a promotion
+    * or a bug; this report tells which brand to ask about). ratio
+    * = billed cents ·10⁶ div (retail cents · qty) — all-integer,
+    * qty exact; per brand: line count, MEAN ratio from summed
+    * integer products (never mean-of-truncated-ratios), and the
+    * count outside the ±20% band. The part side is a broadcast dim
+    * (q03's star shape); one bounded agg. */
+  def priceConsistency(s: SparkSession, dir: String,
+      bandPpm: Long = 200000L): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("ext_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))),
+        "p_partkey")
+      .withColumn("ratio_ppm",
+        expr("ext_cents * 1000000 div (retail_cents * qty)"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        // decimal(38,0) sums: cents x 1e6 per line is ~1e13 — a
+        // 1e12-line brand wraps Long (the q193/q214/q233 policy)
+        expr("cast(sum(cast(ext_cents as decimal(38,0)) * 1000000) div " +
+          "sum(cast(retail_cents as decimal(38,0)) * qty) as bigint)")
+          .as("mean_ratio_ppm"),
+        sum(when(col("ratio_ppm") > 1000000L + bandPpm ||
+          col("ratio_ppm") < 1000000L - bandPpm, 1L).otherwise(0L))
+          .as("n_out_of_band"))
+
   /** q213: BENFORD first-digit audit — the forensic data-quality
     * screen for a value column (synthetic fills, unit mix-ups, and
     * truncated feeds all bend the first-significant-digit curve

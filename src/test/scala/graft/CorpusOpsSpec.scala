@@ -320,6 +320,65 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.filter(!_.getAs[Boolean]("peak")).length == 167)
   }
 
+  // ------------------------------------------------------ q234-q236
+  test("q234/q235: books balance, mismatches and impossible latencies surface") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val dir = Files.createTempDirectory("graft_whse").toString
+    val d0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // order 1 (status O): one line, charge == header => clean
+    // order 2 (status F): one line, header off by 5 cents => mismatch;
+    //   its line ships BEFORE the order date => impossible latency
+    // order 3 (status O): no lines at all => lineless
+    Seq((1L, 1L, "O", 110.0, d0), (2L, 1L, "F", 100.05, d0),
+      (3L, 2L, "O", 50.0, d0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1, 1.0, 100.0, 0.0, 0.10, ts("2020-01-11")),
+      (2L, 1L, 1, 1.0, 100.0, 0.0, 0.0, ts("2019-12-30")))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rec = Relational.reconciliation(spark, dir).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("n_lineless"),
+          r.getAs[Long]("n_mismatched"), r.getAs[Long]("max_delta_cents")))
+      .toMap
+    assert(rec("O") == (2L, 1L, 1L, 5000L),
+      s"status O: clean order + the lineless one (delta = its header): ${rec("O")}")
+    assert(rec("F") == (1L, 0L, 1L, 5L), s"5-cent mismatch: ${rec("F")}")
+    val lat = Relational.shipLatency(spark, dir).collect().head
+    assert(lat.getAs[Long]("n_lines") == 2L &&
+      lat.getAs[Long]("n_impossible") == 1L &&
+      lat.getAs[Long]("max_days") == 10L, s"latency: $lat")
+  }
+
+  test("q236: exact integer billed-vs-retail ratio per brand") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val dir = Files.createTempDirectory("graft_price").toString
+    val d = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    // brand A: billed exactly retail*qty (ratio 1e6, in band);
+    // brand B: billed at half retail (ratio 5e5, out of band)
+    Seq((1L, 1L, 1, 2.0, 20.0, 0.0, 0.0, d),
+      (2L, 2L, 1, 1.0, 5.0, 0.0, 0.0, d))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A", 10.0), (2L, "B", 10.0))
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    val got = Relational.priceConsistency(spark, dir).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("mean_ratio_ppm"), r.getAs[Long]("n_out_of_band")))
+      .toMap
+    assert(got("A") == (1000000L, 0L), s"brand A at par: ${got("A")}")
+    assert(got("B") == (500000L, 1L), s"brand B half-billed: ${got("B")}")
+  }
+
   // ---------------------------------------------------------- q231
   test("q231: bin-selected per-group quantiles equal the brute ranks") {
     import graft.operators.Sketch

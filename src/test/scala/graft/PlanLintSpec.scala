@@ -84,7 +84,10 @@ class PlanLintSpec extends SparkSpec {
         "q229" -> Events.seasonalProfile(spark, sfDir),
         "q231" -> Sketch.groupQuantileBands(spark, sfDir),
         "q232" -> TextAnalysis.codeSwitch(spark, sfDir),
-        "q233" -> Similarity.embedOutliers(spark, sfDir))) {
+        "q233" -> Similarity.embedOutliers(spark, sfDir),
+        "q234" -> Relational.reconciliation(spark, sfDir),
+        "q235" -> Relational.shipLatency(spark, sfDir),
+        "q236" -> Relational.priceConsistency(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")
