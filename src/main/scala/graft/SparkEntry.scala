@@ -250,6 +250,10 @@ object SparkEntry {
     "q234_reconciliation"   -> ((s, d) => Relational.reconciliation(s, d)),
     "q235_ship_latency"     -> ((s, d) => Relational.shipLatency(s, d)),
     "q236_price_consistency" -> ((s, d) => Relational.priceConsistency(s, d)),
+    "q237_contrastive_pairs" -> (Pipeline.contrastivePairs _),
+    "q238_sq8_calibration"  -> (Similarity.sq8Calibration _),
+    "q239_epoch_shuffle"    -> ((s, d) => Sampling.epochShuffle(s, d)),
+    "q240_packing_efficiency" -> ((s, d) => Pipeline.packingEfficiency(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4615,5 +4619,75 @@ object SparkEntry {
         |     > 1200000 OR ext_cents * 1000000 // (retail_cents * qty)
         |     < 800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_band
         |FROM j GROUP BY 1""".stripMargin,
+    "q237_contrastive_pairs" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+        | FROM documents),
+        |anchors AS (SELECT DISTINCT d1 FROM p),
+        |negc AS (SELECT d1, mn + (${hex8Sql("concat('neg|', d1)")}
+        |   % (mx - mn + 1)) AS cand
+        | FROM anchors CROSS JOIN bounds),
+        |neg AS (SELECT n.d1 AS anchor_id, n.cand AS partner_id,
+        |  CAST(0 AS BIGINT) AS label
+        | FROM negc n LEFT JOIN p ON p.d1 = least(n.d1, n.cand)
+        |  AND p.d2 = greatest(n.d1, n.cand)
+        | WHERE n.cand <> n.d1 AND p.d1 IS NULL)
+        |SELECT d1 AS anchor_id, d2 AS partner_id, CAST(1 AS BIGINT) AS label
+        |FROM p
+        |UNION ALL SELECT anchor_id, partner_id, label FROM neg""".stripMargin,
+    "q238_sq8_calibration" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |ex AS (SELECT unnest(range(len(v))) AS pos, v FROM n),
+        |e2 AS (SELECT pos, v[CAST(pos + 1 AS INTEGER)] AS x FROM ex),
+        |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx, max(x) - min(x)
+        |   AS rng FROM e2 GROUP BY 1),
+        |qd AS (SELECT e2.pos, x, mn, mx,
+        |  coalesce(((x - mn) * 510 + rng) // nullif(2 * rng, 0), 0) AS q,
+        |  rng FROM e2 JOIN rg ON e2.pos = rg.pos),
+        |dq AS (SELECT pos, x, mn, mx,
+        |  x - (mn + coalesce((q * rng) // 255, 0)) AS err FROM qd)
+        |SELECT CAST(pos AS BIGINT) AS pos,
+        | CAST(max(mn) AS BIGINT) AS mn_micro,
+        | CAST(max(mx) AS BIGINT) AS mx_micro,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(err * err AS HUGEINT)) // count(*) AS BIGINT)
+        |   AS mean_err2_micro2,
+        | CAST(max(abs(err)) AS BIGINT) AS max_abs_err_micro
+        |FROM dq GROUP BY 1""".stripMargin,
+    "q239_epoch_shuffle" ->
+      s"""WITH d AS (SELECT doc_id, unnest(range(2)) AS epoch FROM documents),
+        |h AS (SELECT doc_id, epoch,
+        |  ${hex8Sql("concat('epoch', epoch, '|', doc_id)")} AS hb FROM d),
+        |sh AS (SELECT doc_id, epoch, hb, hb % 8 AS shard FROM h)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, shard
+        |   ORDER BY hb, doc_id) - 1 AS BIGINT) AS position, doc_id
+        |FROM sh""".stripMargin,
+    "q240_packing_efficiency" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ${hex8Sql("concat('pack|', doc_id)")} % 8 AS shard
+        | FROM documents),
+        |ck AS (SELECT doc_id, lang, shard, n_tokens,
+        | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) // 4096 AS BIGINT) AS chunk_id
+        | FROM d),
+        |f AS (SELECT lang, shard, chunk_id, sum(n_tokens) AS fill
+        | FROM ck GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(fill) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN fill < 4096 THEN 4096 - fill ELSE 0 END)
+        |   AS BIGINT) AS pad_tokens,
+        | CAST(sum(fill) * 1000000 // (count(*) * 4096) AS BIGINT) AS fill_ppm,
+        | CAST(sum(CASE WHEN fill < 4096 THEN 4096 - fill ELSE 0 END)
+        |   * 1000000 // (count(*) * 4096) AS BIGINT) AS waste_ppm
+        |FROM f GROUP BY 1""".stripMargin,
   )
 }

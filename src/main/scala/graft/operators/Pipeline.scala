@@ -386,6 +386,61 @@ object Pipeline {
           .as("rate_ppm"))
   }
 
+  /** q237: CONTRASTIVE-PAIR manifest — the training-data emitter on
+    * top of the dedup graph: every q22 near-dup pair is a POSITIVE
+    * (label 1 — texts known similar by the gated blocker); each
+    * positive's anchor also gets one deterministic NEGATIVE (label
+    * 0) drawn by salted hash over the id RANGE (q196's bounds
+    * broadcast) — the uniform random partner a bi-encoder trains
+    * against, reproducible across runs because the "randomness" is
+    * md5(anchor). A hash-drawn negative can collide with the anchor
+    * or land on a real near-dup; both are EXCLUDED exactly (self by
+    * filter, accidental positives by anti-join against the positive
+    * pair set — the standard false-negative scrub). Output: (anchor,
+    * partner, label) rows, ~2·|pairs|; every step an equi-join or
+    * narrow map. */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val pos = Dedup.minhashLsh(s, dir).localCheckpoint()
+    val bounds = Tables.documents(s, dir)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val neg = pos.select(col("d1")).distinct()
+      .crossJoin(broadcast(bounds))
+      .withColumn("cand", col("mn") +
+        pmod(Sampling.hashBucket(concat(lit("neg|"), col("d1").cast("string"))),
+          col("mx") - col("mn") + 1))
+      .filter(col("cand") =!= col("d1"))
+      .select(col("d1"), least(col("d1"), col("cand")).as("a"),
+        greatest(col("d1"), col("cand")).as("b"), col("cand"))
+      .join(pos.toDF("a", "b"), Seq("a", "b"), "left_anti")
+      .select(col("d1").as("anchor_id"), col("cand").as("partner_id"),
+        lit(0L).as("label"))
+    pos.select(col("d1").as("anchor_id"), col("d2").as("partner_id"),
+        lit(1L).as("label"))
+      .unionByName(neg)
+  }
+
+  /** q240: PACKING-EFFICIENCY audit — what q66's greedy budget
+    * packing actually costs: per language, chunk count, mean fill
+    * (tokens per 4096 budget, ppm), and the PAD-WASTE share — the
+    * fraction of paid context window carrying padding, which at
+    * training scale is the same unit as money. Waste counts only
+    * UNDERFILL (budget − fill for chunks below budget; an overfull
+    * final chunk wastes nothing). Composes the q66 manifest (same
+    * per-(lang, shard) bounded window) + two bounded aggs. */
+  def packingEfficiency(s: SparkSession, dir: String,
+      budget: Long = 4096L): DataFrame =
+    tokenPack(s, dir, budget)
+      .groupBy(col("lang"), col("shard"), col("chunk_id"))
+      .agg(sum(col("n_tokens")).as("fill"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("fill")).as("n_tokens"),
+        sum(when(col("fill") < budget, lit(budget) - col("fill")).otherwise(0L))
+          .as("pad_tokens"))
+      .select(col("lang"), col("n_chunks"), col("n_tokens"), col("pad_tokens"),
+        expr(s"n_tokens * 1000000 div (n_chunks * $budget)").as("fill_ppm"),
+        expr(s"pad_tokens * 1000000 div (n_chunks * $budget)").as("waste_ppm"))
+
   /** q217: CHUNK MANIFEST — sliding-window document chunking with
     * overlap (chunk 128 tokens, stride 96 → 32-token overlap), the
     * step between q66's greedy packing (whole docs into budgets) and

@@ -141,4 +141,31 @@ object Sampling {
       .limit(k)
       .select(col("doc_id"), col("weight"), col("key_ppm"))
   }
+
+  /** q239: EPOCH-SHUFFLE manifest — the reproducible data-loader
+    * order a training run needs: per epoch, every doc lands in a
+    * hash shard with a position, the whole ordering a pure function
+    * of (epoch, doc_id) — re-runnable byte-identically on any
+    * cluster (seeded-hash order, the q54 construction; no
+    * Math.random anywhere), and DIFFERENT across epochs because
+    * the salt carries the epoch (the decorrelation that stops the
+    * model from seeing the same neighbor pairs every epoch). The
+    * only sorts are per-(epoch, shard) windows — each bounded by
+    * corpus/shards, the loader's own shard-file size; at 100 TB
+    * you raise `shards` so a shard's manifest fits one task, which
+    * is the same knob the loader already has. */
+  def epochShuffle(s: SparkSession, dir: String, epochs: Int = 2,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("hb"), col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit((epochs - 1).toLong))))
+      .withColumn("hb", hashBucket(concat(lit("epoch"),
+        col("epoch").cast("string"), lit("|"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("hb"), lit(shards.toLong)))
+      .withColumn("position", (row_number().over(w) - 1).cast("long"))
+      .select(col("epoch"), col("shard"), col("position"), col("doc_id"))
+  }
 }

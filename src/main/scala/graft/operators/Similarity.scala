@@ -786,6 +786,45 @@ object Similarity {
         max(col("d2")).as("worst_d2"))
   }
 
+  /** q238: SQ8 CALIBRATION — the per-dimension scale table q124's
+    * scaladoc defers ("a per-dim scale would make it a calibrated
+    * SQ8") plus the error audit that tells you whether 8 bits are
+    * enough per dimension BEFORE committing the index format: per
+    * dim, corpus min/max (the affine quantizer's range), and the
+    * reconstruction error of round-to-255-levels quantization —
+    * mean squared and worst-case, exact. All integer micro units:
+    * the rounded quantizer is ((x−mn)·510 + range) div (2·range)
+    * (integer round-half-up — no float division to diverge),
+    * dequant truncates, a CONSTANT dim (range 0) quantizes to code
+    * 0 with zero error via nullif. One (pos) agg for ranges, one
+    * re-join, one 64-row error agg; Σerr² in Decimal(38,0) (the
+    * widening policy — err² ~10⁸ per row wraps Long at ~10¹¹
+    * rows). */
+  def sq8Calibration(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(posexplode(
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")))
+        .as(Seq("pos", "x")))
+    val ranges = ex.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("range", col("mx") - col("mn"))
+    ex.join(broadcast(ranges), "pos")
+      .withColumn("q", coalesce(
+        expr("((x - mn) * 510 + range) div nullif(2 * range, 0)"), lit(0L)))
+      .withColumn("dq", col("mn") +
+        coalesce(expr("(q * range) div 255"), lit(0L)))
+      .withColumn("err", col("x") - col("dq"))
+      .groupBy(col("pos"))
+      .agg(max(col("mn")).as("mn_micro"), max(col("mx")).as("mx_micro"),
+        count(lit(1)).as("n"),
+        expr("cast(sum(cast(err * err as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_err2_micro2"),
+        max(abs(col("err"))).as("max_abs_err_micro"))
+      .select(col("pos").cast("long").as("pos"), col("mn_micro"),
+        col("mx_micro"), col("n"), col("mean_err2_micro2"),
+        col("max_abs_err_micro"))
+  }
+
   /** q224: MMR-DIVERSIFIED retrieval — the re-rank between raw
     * top-k (q25) and a RAG prompt: Maximal Marginal Relevance picks
     * `k` of the top-`m` candidates greedily by

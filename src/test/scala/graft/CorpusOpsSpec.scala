@@ -320,6 +320,79 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.filter(!_.getAs[Boolean]("peak")).length == 167)
   }
 
+  // ------------------------------------------------------ q237-q240
+  test("q237: labels partition cleanly and negatives avoid known positives") {
+    import graft.operators.{Dedup, Pipeline}
+    val rows = Pipeline.contrastivePairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("anchor_id") != r.getAs[Long]("partner_id"),
+        s"self pair: $r")
+    }
+    val pos = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val negPairs = rows.filter(_.getAs[Long]("label") == 0L)
+      .map(r => (math.min(r.getAs[Long]("anchor_id"), r.getAs[Long]("partner_id")),
+        math.max(r.getAs[Long]("anchor_id"), r.getAs[Long]("partner_id"))))
+    assert(negPairs.forall(p => !pos.contains(p)),
+      "a negative must never be a known near-dup pair")
+    val emitted = rows.filter(_.getAs[Long]("label") == 1L)
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("partner_id"))).toSet
+    assert(emitted == pos, "positives must be exactly the q22 pair set")
+  }
+
+  test("q238: a constant dimension calibrates to zero error; bounds hold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sq8").toString
+    // dim 0 constant 0.5; dim 1 spans [-0.5, 0.5]
+    val rows: Seq[(Long, Seq[Float], Int)] = (0L to 9L).map { i =>
+      (i, (0 until 64).map(j => if (j == 0) 0.5f
+        else if (j == 1) -0.5f + i * (1.0f / 9) else 0.0f), 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.sq8Calibration(spark, dir).collect()
+      .map(r => r.getAs[Long]("pos") ->
+        (r.getAs[Long]("mn_micro"), r.getAs[Long]("mx_micro"),
+          r.getAs[Long]("mean_err2_micro2"), r.getAs[Long]("max_abs_err_micro")))
+      .toMap
+    assert(got(0L) == (500000L, 500000L, 0L, 0L),
+      s"constant dim must be exact: ${got(0L)}")
+    val (mn1, mx1, _, maxErr1) = got(1L)
+    assert(mn1 == -500000L && mx1 == 500000L &&
+      maxErr1 <= (mx1 - mn1) / 510 + 1,
+      s"8-bit error must respect the half-step bound: ${got(1L)}")
+  }
+
+  test("q239: positions are dense per shard and epochs decorrelate") {
+    import graft.operators.Sampling
+    val rows = Sampling.epochShuffle(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("position"), r.getAs[Long]("doc_id")))
+    val n = rows.count(_._1 == 0L)
+    assert(rows.length == 2 * n, "every doc appears once per epoch")
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq,
+        s"positions must be dense in $k")
+    }
+    val e0 = rows.filter(_._1 == 0L).map(r => r._4 -> (r._2, r._3)).toMap
+    val e1 = rows.filter(_._1 == 1L).map(r => r._4 -> (r._2, r._3)).toMap
+    assert(e0.keySet == e1.keySet &&
+      e0.count { case (id, v) => e1(id) != v } > n / 2,
+      "epoch orders must actually differ")
+  }
+
+  test("q240: fill plus waste accounts for every budgeted slot") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.packingEfficiency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fp = r.getAs[Long]("fill_ppm"); val wp = r.getAs[Long]("waste_ppm")
+      assert(fp > 0 && fp + wp >= 999998L,
+        s"underfilled chunks must be fully accounted: $r")
+    }
+  }
+
   // ------------------------------------------------------ q234-q236
   test("q234/q235: books balance, mismatches and impossible latencies surface") {
     import spark.implicits._

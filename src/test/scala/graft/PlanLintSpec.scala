@@ -87,7 +87,11 @@ class PlanLintSpec extends SparkSpec {
         "q233" -> Similarity.embedOutliers(spark, sfDir),
         "q234" -> Relational.reconciliation(spark, sfDir),
         "q235" -> Relational.shipLatency(spark, sfDir),
-        "q236" -> Relational.priceConsistency(spark, sfDir))) {
+        "q236" -> Relational.priceConsistency(spark, sfDir),
+        "q237" -> Pipeline.contrastivePairs(spark, sfDir),
+        "q238" -> Similarity.sq8Calibration(spark, sfDir),
+        "q239" -> Sampling.epochShuffle(spark, sfDir),
+        "q240" -> Pipeline.packingEfficiency(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")
