@@ -254,6 +254,13 @@ object SparkEntry {
     "q238_sq8_calibration"  -> (Similarity.sq8Calibration _),
     "q239_epoch_shuffle"    -> ((s, d) => Sampling.epochShuffle(s, d)),
     "q240_packing_efficiency" -> ((s, d) => Pipeline.packingEfficiency(s, d)),
+    "q241_rfm_segments"     -> (Relational.rfmSegments _),
+    "q242_cusum_changepoint" -> (Events.cusumChangepoints _),
+    "q243_softdedup_weights" -> (Dedup.softdedupWeights _),
+    "q244_bitmask_retention" -> ((s, d) => Events.bitmaskRetention(s, d)),
+    "q245_session_overlap"  -> (Events.sessionMaintenanceOverlap _),
+    "q246_revenue_gini"     -> (Relational.revenueGini _),
+    "q248_vocab_coverage"   -> (TextAnalysis.vocabCoverage _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4689,5 +4696,203 @@ object SparkEntry {
         | CAST(sum(CASE WHEN fill < 4096 THEN 4096 - fill ELSE 0 END)
         |   * 1000000 // (count(*) * 4096) AS BIGINT) AS waste_ppm
         |FROM f GROUP BY 1""".stripMargin,
+    // q241: value-based quintiles via the q151 histogram-boundary
+    // machinery (NOT ntile — ties share a score on both engines).
+    "q241_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |  count(*) AS freq,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1),
+        |an AS (SELECT max(last_order) AS anchor FROM pc),
+        |base AS (SELECT o_custkey, CAST(date_diff('day',
+        |   CAST(last_order AS DATE), CAST(anchor AS DATE)) AS BIGINT)
+        |   AS r_days, freq, cents FROM pc CROSS JOIN an),
+        |rh AS (SELECT r_days AS bin, count(*) AS cnt FROM base GROUP BY 1),
+        |rc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+        |  sum(cnt) OVER () AS n FROM rh),
+        |rb AS (SELECT (bin + 1) * 1 AS boundary FROM rc, range(1, 5) t(k)
+        | WHERE cum * 5 >= k * n AND (cum - cnt) * 5 < k * n),
+        |rs AS (SELECT b.o_custkey, 1 + count(rb.boundary) AS r_raw
+        | FROM base b LEFT JOIN rb ON b.r_days >= rb.boundary GROUP BY 1),
+        |fh AS (SELECT freq AS bin, count(*) AS cnt FROM base GROUP BY 1),
+        |fc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+        |  sum(cnt) OVER () AS n FROM fh),
+        |fb AS (SELECT (bin + 1) * 1 AS boundary FROM fc, range(1, 5) t(k)
+        | WHERE cum * 5 >= k * n AND (cum - cnt) * 5 < k * n),
+        |fs AS (SELECT b.o_custkey, 1 + count(fb.boundary) AS f_score
+        | FROM base b LEFT JOIN fb ON b.freq >= fb.boundary GROUP BY 1),
+        |mh AS (SELECT cents // 100000 AS bin, count(*) AS cnt
+        | FROM base GROUP BY 1),
+        |mc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+        |  sum(cnt) OVER () AS n FROM mh),
+        |mb AS (SELECT (bin + 1) * 100000 AS boundary
+        | FROM mc, range(1, 5) t(k)
+        | WHERE cum * 5 >= k * n AND (cum - cnt) * 5 < k * n),
+        |ms AS (SELECT b.o_custkey, 1 + count(mb.boundary) AS m_score
+        | FROM base b LEFT JOIN mb ON b.cents >= mb.boundary GROUP BY 1)
+        |SELECT CAST(6 - r_raw AS BIGINT) AS r_score,
+        | CAST(f_score AS BIGINT) AS f_score,
+        | CAST(m_score AS BIGINT) AS m_score,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM base JOIN rs USING (o_custkey) JOIN fs USING (o_custkey)
+        | JOIN ms USING (o_custkey)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q242: CUSUM via the prefix-min closed form; HUGEINT prefix
+    // sums mirror the Spark side's Decimal(38,0) widening.
+    "q242_cusum_changepoint" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT unnest(range((SELECT min(h) FROM hc),
+        |  (SELECT max(h) FROM hc) + 1)) AS h),
+        |f AS (SELECT g.h, coalesce(cnt, 0) AS x
+        | FROM g LEFT JOIN hc ON g.h = hc.h),
+        |t AS (SELECT sum(x) AS total, count(*) AS hn FROM f),
+        |sc AS (SELECT h, x, total, hn,
+        |  sum(CAST(x AS HUGEINT) * (4 * hn) - CAST(total AS HUGEINT) * 5)
+        |    OVER (ORDER BY h) AS pu,
+        |  sum(CAST(x AS HUGEINT) * (4 * hn) - CAST(total AS HUGEINT) * 3)
+        |    OVER (ORDER BY h) AS pd
+        | FROM f CROSS JOIN t),
+        |m AS (SELECT h, x, total, hn, pu, pd,
+        |  min(pu) OVER (ORDER BY h) AS mu, max(pd) OVER (ORDER BY h) AS md
+        | FROM sc),
+        |st AS (SELECT h, x, total, hn, pu - mu AS su, md - pd AS sd,
+        |  max(CASE WHEN pu = mu THEN h END) OVER (ORDER BY h) AS cpu,
+        |  max(CASE WHEN pd = md THEN h END) OVER (ORDER BY h) AS cpd
+        | FROM m),
+        |al AS (SELECT h, x, total, hn, su, sd, cpu, cpd,
+        |  su > CAST(total AS HUGEINT) * 8 AS ua,
+        |  sd > CAST(total AS HUGEINT) * 8 AS da,
+        |  lag(su > CAST(total AS HUGEINT) * 8, 1, false)
+        |    OVER (ORDER BY h) AS pua,
+        |  lag(sd > CAST(total AS HUGEINT) * 8, 1, false)
+        |    OVER (ORDER BY h) AS pda
+        | FROM st)
+        |SELECT 'up' AS side, CAST(h AS BIGINT) AS h, CAST(x AS BIGINT) AS x,
+        | CAST(su // (4 * hn) AS BIGINT) AS stat, CAST(cpu AS BIGINT) AS cp_h,
+        | CAST(total * 1000 // hn AS BIGINT) AS mean_milli
+        |FROM al WHERE ua AND NOT pua
+        |UNION ALL
+        |SELECT 'down', CAST(h AS BIGINT), CAST(x AS BIGINT),
+        | CAST(sd // (4 * hn) AS BIGINT), CAST(cpd AS BIGINT),
+        | CAST(total * 1000 // hn AS BIGINT)
+        |FROM al WHERE da AND NOT pda""".stripMargin,
+    // q243: q59's recursive-CTE closure + singleton coalesce.
+    "q243_softdedup_weights" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |wc AS (SELECT d.doc_id, d.source,
+        |  coalesce(comp.component, d.doc_id) AS cluster
+        | FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id),
+        |sz AS (SELECT cluster, count(*) AS csize FROM wc GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_in_clusters,
+        | CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+        | CAST(sum(1000000 // csize) // count(*) AS BIGINT) AS retention_ppm
+        |FROM wc JOIN sz USING (cluster) GROUP BY 1""".stripMargin,
+    // q244: one 63-bit activity mask per user; retention = bit tests.
+    "q244_bitmask_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |u AS (SELECT user_id, min(day - d0) AS cohort,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(day - d0 AS INTEGER)) AS mask
+        | FROM e CROSS JOIN d0 WHERE day - d0 < 63 GROUP BY 1),
+        |x AS (SELECT user_id, cohort, mask, unnest(range(0, 8)) AS k FROM u)
+        |SELECT CAST(cohort AS BIGINT) AS cohort, CAST(k AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS n_cohort,
+        | CAST(sum((mask >> CAST(cohort + k AS INTEGER)) & 1) AS BIGINT)
+        |   AS n_active,
+        | CAST(sum((mask >> CAST(cohort + k AS INTEGER)) & 1) * 1000000
+        |   // count(*) AS BIGINT) AS ret_ppm
+        |FROM x WHERE cohort + k < 63 GROUP BY 1, 2""".stripMargin,
+    // q245: the interval-overlap join replayed as a plain inequality
+    // join (the oracle side is unconstrained by plan shape).
+    "q245_session_overlap" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts
+        |  FROM events),
+        |lg AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_us FROM ev),
+        |ns AS (SELECT user_id, ts, CASE WHEN prev_us IS NULL
+        |   OR ts - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        | FROM lg),
+        |sd AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+        |   ORDER BY ts) AS sid FROM ns),
+        |sess AS (SELECT user_id, sid, min(ts) AS s_start,
+        |  max(ts) + 1 AS s_end FROM sd GROUP BY 1, 2),
+        |dy AS (SELECT unnest(range(
+        |   (SELECT min(ts) // 86400000000 FROM ev),
+        |   (SELECT max(ts) // 86400000000 FROM ev) + 1)) AS day),
+        |win AS (SELECT day, day * 86400000000 + 2 * 3600000000 AS w_start,
+        |  day * 86400000000 + 4 * 3600000000 AS w_end FROM dy),
+        |ovl AS (SELECT user_id, day,
+        |  least(s_end, w_end) - greatest(s_start, w_start) AS ov
+        | FROM sess JOIN win ON s_start < w_end AND w_start < s_end)
+        |SELECT CAST(day AS BIGINT) AS day,
+        | CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(ov) // 1000000 AS BIGINT) AS overlap_seconds
+        |FROM ovl GROUP BY 1""".stripMargin,
+    "q246_revenue_gini" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1),
+        |sg AS (SELECT c_mktsegment, cents, c_custkey
+        | FROM pc JOIN customer ON o_custkey = c_custkey),
+        |rk AS (SELECT c_mktsegment, cents,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY cents, c_custkey) AS i,
+        |  count(*) OVER (PARTITION BY c_mktsegment) AS n FROM sg)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | CAST((2 * sum(CAST(i AS HUGEINT) * cents)
+        |    - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)) * 1000
+        |   // (count(*) * CAST(sum(cents) AS HUGEINT)) AS BIGINT)
+        |   AS gini_milli,
+        | CAST(sum(CASE WHEN i * 5 > n * 4 THEN CAST(cents AS HUGEINT)
+        |     ELSE 0 END) * 1000000 // CAST(sum(cents) AS HUGEINT)
+        |   AS BIGINT) AS top20_ppm
+        |FROM rk GROUP BY 1""".stripMargin,
+    // q248: the frequency-class collapse is exact — tokens within a
+    // class are interchangeable, the crossing class contributes
+    // ceil(remaining/f) entries.
+    "q248_vocab_coverage" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ct AS (SELECT tok, count(*) AS n FROM tk WHERE tok <> ''
+        | GROUP BY 1),
+        |fcls AS (SELECT n AS f, count(*) AS n_toks, n * count(*) AS mass
+        | FROM ct GROUP BY 1),
+        |cum AS (SELECT f, n_toks, mass,
+        |  coalesce(sum(mass) OVER (ORDER BY f DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS mass_above,
+        |  coalesce(sum(n_toks) OVER (ORDER BY f DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS toks_above
+        | FROM fcls),
+        |tot AS (SELECT sum(mass) AS total_mass, sum(n_toks) AS vocab_total
+        | FROM fcls),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct)
+        |SELECT CAST(pct AS BIGINT) AS pct,
+        | CAST((total_mass * pct + 99) // 100 AS BIGINT) AS target_mass,
+        | CAST(toks_above + ((total_mass * pct + 99) // 100 - mass_above
+        |    + f - 1) // f AS BIGINT) AS vocab_needed,
+        | CAST(vocab_total AS BIGINT) AS vocab_total,
+        | CAST((toks_above + ((total_mass * pct + 99) // 100 - mass_above
+        |    + f - 1) // f) * 1000000 // vocab_total AS BIGINT) AS vocab_ppm
+        |FROM p CROSS JOIN tot JOIN cum
+        | ON mass_above < (total_mass * pct + 99) // 100
+        |  AND (total_mass * pct + 99) // 100 <= mass_above + mass""".stripMargin,
   )
 }

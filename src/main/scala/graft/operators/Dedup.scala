@@ -1269,4 +1269,35 @@ object Dedup {
         expr("n_incoming_dup * 1000000 div n_docs").as("incoming_ppm"),
         expr("n_within_dup * 1000000 div n_docs").as("within_ppm"))
   }
+
+  /** q243: SOFT-DEDUP SAMPLING WEIGHTS — the alternative to dropping
+    * near-duplicates outright: keep every document but DOWNWEIGHT
+    * each near-dup cluster to unit total mass (w = 1/cluster_size,
+    * integer ppm), so an epoch samples each piece of CONTENT once
+    * however many copies exist — the soft-dedup knob between "train
+    * on duplicates" (memorization risk) and "hard-drop" (loses the
+    * best copy's formatting). Composed from the gated graph: q59's
+    * connected components label clustered docs; unpaired docs are
+    * their own singleton cluster (left join + coalesce — never an
+    * all-docs closure). Shapes: the component relation (bounded by
+    * docs IN the pair graph), one cluster-size agg, one doc-grain
+    * join, one per-source rollup. Report per source: docs, docs in
+    * >1-clusters, effective docs (Σw in ppm — the number an epoch
+    * budget actually buys), and retention (effective/total, ppm):
+    * the per-source "how much of this feed is really new content"
+    * number that prices a crawl refresh. */
+  def softdedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val withC = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+    val sizes = withC.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    withC.join(sizes.hint("shuffle_hash"), Seq("cluster"))
+      .withColumn("w_ppm", expr("1000000L div csize"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_in_clusters"),
+        sum(col("w_ppm")).as("eff_docs_ppm"))
+      .withColumn("retention_ppm", expr("eff_docs_ppm div n_docs"))
+  }
 }

@@ -1202,4 +1202,155 @@ object Events {
           .when(col("recommended") === "ewma", col("n_spikes_ewma"))
           .otherwise(col("n_spikes_seasonal")).as("n_spikes_chosen"))
   }
+
+  /** q242: CUSUM CHANGEPOINT detection over the hourly rate series —
+    * the sequential level-shift detector that completes the
+    * rate-monitoring family: q163/q189/q191 flag single anomalous
+    * HOURS against a baseline; CUSUM flags a SUSTAINED mean shift
+    * (a deploy that doubled traffic, a feed that silently halved)
+    * and estimates WHEN it began. The textbook recursion
+    * S⁺_t = max(0, S⁺_{t−1} + x_t − (μ+k)) looks inherently
+    * sequential — the trap would be a driver loop — but it has a
+    * closed prefix form: S⁺_t = P_t − min_{j≤t} P_j where P is the
+    * prefix sum of x_t − (μ+k); the mirrored S⁻ uses the running
+    * max. So the whole detector is one corpus-sized hourly rollup
+    * (map-side combinable) and then windowed passes over the
+    * BOUNDED gap-filled hour grid (stream-lifetime rows — the q97
+    * class; missing hours count as x=0, which correctly drives the
+    * DOWN side: an outage IS a level shift). All comparisons are
+    * integer cross-multiplied by 4H (drift k = μ/4, alarm threshold
+    * 2μ): y⁺ = 4H·x − 5·total, alarm ⟺ S⁺ > 8·total — H cancels,
+    * no division anywhere in the decision. Prefix terms are widened
+    * to Decimal(38,0) (HUGEINT in the oracle — the q193 policy:
+    * 4H·x sums over a WAL-scale rate series wrap Long). Output: one
+    * row per alarm ONSET (alarm ∧ ¬alarm_{t−1}) with the triggering
+    * hour, its count, the CUSUM statistic in count units, the
+    * changepoint estimate (the LAST hour where the running
+    * min/max of P was attained — the standard CUSUM changepoint),
+    * and the corpus mean in milli-counts. */
+  def cusumChangepoints(s: SparkSession, dir: String): DataFrame =
+    cusumFrom(hourlyCounts(s, dir))
+
+  /** q242 over a pre-built [[hourlyCounts]] frame (testable on
+    * synthetic shift series). */
+  private[graft] def cusumFrom(hourlyIn: DataFrame): DataFrame = {
+    val hourly = hourlyIn.toDF("h", "n")
+    val grid = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val filled = grid.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+    val tot = filled.agg(sum(col("x")).as("total"), count(lit(1)).as("hn"))
+    def wq(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("h"))
+    val scored = filled.crossJoin(broadcast(tot))
+      .withColumn("pu",
+        sum(wq(col("x")) * (lit(4L) * col("hn")) - wq(col("total")) * lit(5L))
+          .over(w))
+      .withColumn("pd",
+        sum(wq(col("x")) * (lit(4L) * col("hn")) - wq(col("total")) * lit(3L))
+          .over(w))
+      .withColumn("mu", min(col("pu")).over(w))
+      .withColumn("md", max(col("pd")).over(w))
+      .withColumn("su", col("pu") - col("mu"))
+      .withColumn("sd", col("md") - col("pd"))
+      .withColumn("cpu", max(when(col("pu") === col("mu"), col("h"))).over(w))
+      .withColumn("cpd", max(when(col("pd") === col("md"), col("h"))).over(w))
+      .withColumn("ua", col("su") > wq(col("total")) * lit(8L))
+      .withColumn("da", col("sd") > wq(col("total")) * lit(8L))
+      .withColumn("pua", lag(col("ua"), 1, false).over(wl))
+      .withColumn("pda", lag(col("da"), 1, false).over(wl))
+    def side(name: String, a: Column, pa: Column, st: Column,
+        cp: Column): DataFrame =
+      scored.filter(a && !pa).select(lit(name).as("side"), col("h"),
+        col("x"),
+        floor(st / (lit(4L) * col("hn"))).cast("long").as("stat"),
+        cp.as("cp_h"),
+        expr("total * 1000 div hn").as("mean_milli"))
+    side("up", col("ua"), col("pua"), col("su"), col("cpu"))
+      .unionByName(
+        side("down", col("da"), col("pda"), col("sd"), col("cpd")))
+  }
+
+  /** q244: COHORT RETENTION VIA DAY-BITMASKS — the classic retention
+    * triangle (q51) recomputed with the bitmap trick a 100 TB engine
+    * actually uses: instead of self-joining the event table against
+    * itself per (cohort, offset) — |offsets| shuffles of corpus rows
+    * — each user's activity collapses to ONE 64-bit integer (bit d
+    * set ⟺ active on day d, via the `bit_or` aggregate, map-side
+    * combinable like any agg), and every retention cell is then pure
+    * bit arithmetic on the BOUNDED user-grain table: active at
+    * offset k ⟺ (mask >> (cohort+k)) & 1. One corpus scan, one
+    * user-keyed shuffle, and the ×(horizon+1) fan-out touches rows
+    * proportional to USERS, never events. The 63-day window is the
+    * explicit capacity of one Long mask (days ≥ 63 are excluded up
+    * front; a longer program keys masks by 63-day epoch — noted, not
+    * built). k=0 rows are the trivial 1e6-ppm sanity diagonal. */
+  def bitmaskRetention(s: SparkSession, dir: String,
+      horizon: Int = 7): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val users = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"), (col("day") - col("d0")).as("d"))
+      .filter(col("d") < 63)
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort"),
+        expr("bit_or(shiftleft(cast(1 as bigint), cast(d as int)))")
+          .as("mask"))
+    users
+      .select(col("cohort"), col("mask"),
+        explode(sequence(lit(0), lit(horizon))).as("k"))
+      .withColumn("k", col("k").cast("long"))
+      .filter(col("cohort") + col("k") < 63)
+      .withColumn("active",
+        expr("shiftright(mask, cast(cohort + k as int)) & 1"))
+      .groupBy(col("cohort"), col("k"))
+      .agg(count(lit(1)).as("n_cohort"), sum(col("active")).as("n_active"))
+      .withColumn("ret_ppm", expr("n_active * 1000000 div n_cohort"))
+  }
+
+  /** q245: SESSION × MAINTENANCE-WINDOW overlap — the
+    * interval-interval range join ([[RangeJoin.intervalOverlap]])
+    * gated end-to-end: which user sessions intersected the daily
+    * 02:00–04:00 UTC maintenance window, and for how long — the
+    * "who did the deploy actually hit" impact report. Left
+    * intervals: q14's 30-min-gap sessions as half-open
+    * [first_ts, last_ts + 1μs) (built with the SAME lag/cumsum
+    * arithmetic, partitioned per user — never a global sort);
+    * right: one deterministic 2-hour window per day of the corpus
+    * span. The join explodes both sides to shared HOUR units and
+    * meets on an equi-join (fan-out = interval hours, bounded by
+    * the 30-min session gap) — Spark would otherwise plan the raw
+    * inequality join as a nested loop. Overlap micros are exact
+    * integer least/greatest arithmetic; report per day: sessions
+    * hit, distinct users hit, total overlap seconds. */
+  def sessionMaintenanceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, dir)
+      .withColumn("prev_us", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), (max(col("ts")) + 1L).as("s_end"))
+    val windows = Tables.events(s, dir)
+      .agg(expr("min(ts div 86400000000)").as("d0"),
+        expr("max(ts div 86400000000)").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"),
+        (col("day") * 86400000000L + 2L * 3600000000L).as("w_start"),
+        (col("day") * 86400000000L + 4L * 3600000000L).as("w_end"))
+    RangeJoin.intervalOverlap(sessions, windows,
+        "s_start", "s_end", "w_start", "w_end", 3600000000L)
+      .withColumn("ov",
+        least(col("s_end"), col("w_end")) -
+          greatest(col("s_start"), col("w_start")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("sum(ov) div 1000000").as("overlap_seconds"))
+  }
 }

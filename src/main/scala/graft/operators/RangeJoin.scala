@@ -32,4 +32,31 @@ object RangeJoin {
       .filter(col(t) >= col(start) && col(t) <= col(end))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join — the second range-join shape
+    * (pointInInterval covers containment): emit every (left, right)
+    * pair whose HALF-OPEN intervals [lStart, lEnd) × [rStart, rEnd)
+    * intersect. Same bucketization strategy: each interval explodes
+    * to the `bucketWidth` units it covers, pairs meet on an EQUI
+    * join over the unit, the exact overlap predicate runs as a
+    * residual filter, and the final `distinct` collapses pairs that
+    * met in several shared units (fan-out bounded by
+    * interval_width / bucketWidth — pick a width near the typical
+    * interval length; callers with row keys can dedupe on keys
+    * instead of full rows). Never a nested-loop over interval
+    * pairs. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    val l = left.withColumn("__bucket", explode(sequence(
+      col(lStart).divide(bucketWidth).cast("long"),
+      (col(lEnd) - 1).divide(bucketWidth).cast("long"))))
+    val r = right.withColumn("__bucket", explode(sequence(
+      col(rStart).divide(bucketWidth).cast("long"),
+      (col(rEnd) - 1).divide(bucketWidth).cast("long"))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .drop("__bucket")
+      .distinct()
+  }
 }

@@ -658,4 +658,119 @@ object Relational {
         expr("(obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) div benford_ppm")
           .as("chi2_contrib_ppm"))
   }
+
+  /** Sort-free equal-frequency score 1..nTiles for a LONG metric
+    * column — q151's rangeBuckets machinery packaged as a reusable
+    * scorer: bounded histogram (bin = metric div binWidth, map-side
+    * combinable), cumulative window over the CONSTANT-SIZE bin
+    * table, boundary k = the unique bin where cum·B crosses k·n
+    * (all-integer, no division), assignment via
+    * `functions.aggregate` over the broadcast ≤(B−1)-element
+    * boundary array. VALUE-based tiles: ties (same bin) share a
+    * score, and a bin crossing several k·n thresholds duplicates
+    * its boundary so upper scores skip — the q151 skew-visibility
+    * property, bounded by binWidth. Never an unpartitioned ntile
+    * window (which would sort all rows on ONE task). */
+  private def quantileScore(df: DataFrame, metric: String, binWidth: Long,
+      nTiles: Int, scoreName: String): DataFrame = {
+    val hist = df.groupBy(expr(s"$metric div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    val boundaries = df.sparkSession.range(1, nTiles).toDF("k")
+      .crossJoin(broadcast(total))
+      .join(cum, col("cum") * nTiles >= col("k") * col("n") &&
+        (col("cum") - col("cnt")) * nTiles < col("k") * col("n"))
+      .select(((col("bin") + 1) * binWidth).as("boundary"))
+    val bds = boundaries
+      .agg(sort_array(collect_list(col("boundary"))).as("__bds"))
+    df.crossJoin(broadcast(bds))
+      .withColumn(scoreName, expr(
+        s"1L + aggregate(__bds, 0L, (acc, b) -> acc + if($metric >= b, 1L, 0L))"))
+      .drop("__bds")
+  }
+
+  /** q241: RFM SEGMENTATION — the classic warehouse customer scoring
+    * (recency / frequency / monetary → quintile codes → the 5×5×5
+    * segment grid marketing actually budgets against), built
+    * WITHOUT the usual `ntile` trap: an unpartitioned ntile window
+    * sorts every customer on one task, so each dimension is scored
+    * by [[quantileScore]] instead (q151's sort-free histogram
+    * boundaries; customer-grain rows never sort globally). Facts
+    * pre-aggregate per customer first — one orderkey-less groupBy
+    * shuffle moves customer rows, not orders. Recency is scored on
+    * exact integer days since the corpus anchor (max order date)
+    * and INVERTED (r_score 5 = most recent, the RFM convention);
+    * frequency bins at width 1, monetary at $1000 of integer cents
+    * (bin width = the documented tie/skew knob). Output: the
+    * ≤5×5×5 segment grid with customer counts and total monetary
+    * cents. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val anchor = perCust.agg(max(col("last_order")).as("anchor"))
+    val base = perCust.crossJoin(broadcast(anchor))
+      .withColumn("r_days",
+        datediff(col("anchor").cast("date"), col("last_order").cast("date"))
+          .cast("long"))
+    val scored = quantileScore(
+      quantileScore(
+        quantileScore(base, "r_days", 1L, 5, "r_raw"),
+        "freq", 1L, 5, "f_score"),
+      "cents", 100000L, 5, "m_score")
+      .withColumn("r_score", lit(6L) - col("r_raw"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"))
+  }
+
+  /** q246: REVENUE-CONCENTRATION audit — Gini coefficient and
+    * top-20% revenue share per market segment (the Pareto "do 20%
+    * of customers carry 80% of revenue" question, answered with a
+    * number instead of a slogan). Facts pre-aggregate to customer
+    * grain first (one shuffle of customer rows, never orders), the
+    * segment lookup is a key-shuffled dim join, and the ONLY sort
+    * is a rank window PARTITIONED by segment over customer-grain
+    * rows — bounded by the dim, never the fact table (an extreme
+    * program would swap in q151 histogram ranks). Gini via the
+    * rank identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on
+    * ascending-ranked cents — one pass, Decimal(38,0) products
+    * (rank·cents summed over customers wraps Long at warehouse
+    * scale), emitted in integer milli; top-20% membership by the
+    * all-integer cross-multiply i·5 > 4·n. Deterministic ties:
+    * rank orders by (cents, custkey). */
+  def revenueGini(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val seg = perCust.join(
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        .hint("shuffle_hash"),
+      "o_custkey")
+    val ranked = seg
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("c_mktsegment"))))
+    ranked.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(expr("cast(i as decimal(38,0)) * cents")).as("ixc"),
+        sum(when(col("i") * 5 > col("n") * 4, col("cents")).otherwise(0L))
+          .as("top_cents"))
+      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        // div on Decimal(38,0): quotient ≤ 1000 / ≤ 1e6, no Long wrap
+        expr("cast((2 * ixc - (n_customers + 1) * cast(total_cents as decimal(38,0))) * 1000" +
+          " div (n_customers * cast(total_cents as decimal(38,0))) as bigint)")
+          .as("gini_milli"),
+        expr("cast(cast(top_cents as decimal(38,0)) * 1000000" +
+          " div total_cents as bigint)").as("top20_ppm"))
+  }
 }

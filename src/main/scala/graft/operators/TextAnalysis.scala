@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -768,5 +769,49 @@ object TextAnalysis {
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("lang"), col("n_shingles"), col("n_novel"),
         expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
+  /** q248: VOCAB-COVERAGE curve — how many vocabulary entries cover
+    * 50 / 90 / 99% of token MASS: the tokenizer-budget question
+    * (every vocab slot costs embedding rows; the long tail costs
+    * slots and buys almost no coverage). The naive shape sorts the
+    * whole vocabulary by frequency and walks the cumulative sum —
+    * a corpus-vocab-sized global sort. Here the sort collapses onto
+    * the FREQUENCY-CLASS table instead: group tokens by their count
+    * f → (f, n_toks, mass = f·n_toks); distinct frequencies number
+    * O(√corpus_tokens) (Σf over distinct f ≤ total), so the desc
+    * cumulative window runs over a provably tiny table. Tokens
+    * within a class are interchangeable, so the crossing class
+    * contributes exactly ⌈remaining/f⌉ entries — the answer is
+    * EXACT, identical to the full-sort walk, with ceil targets
+    * (total·p + 99) div 100 all-integer. 3 report rows. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val fcls = counts.groupBy(col("n").as("f"))
+      .agg(count(lit(1)).as("n_toks"))
+      .withColumn("mass", col("f") * col("n_toks"))
+    // bounded single-partition window: O(√corpus) frequency classes
+    val wAbove = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = fcls
+      .withColumn("mass_above", coalesce(sum(col("mass")).over(wAbove), lit(0L)))
+      .withColumn("toks_above", coalesce(sum(col("n_toks")).over(wAbove), lit(0L)))
+    val tot = fcls.agg(sum(col("mass")).as("total_mass"),
+      sum(col("n_toks")).as("vocab_total"))
+    Seq(50L, 90L, 99L).toDF("pct")
+      .crossJoin(broadcast(tot))
+      .withColumn("target", expr("(total_mass * pct + 99) div 100"))
+      // bounded nested-loop: 3 targets × the tiny class table
+      .join(cum, col("mass_above") < col("target") &&
+        col("target") <= col("mass_above") + col("mass"))
+      .withColumn("vocab_needed",
+        col("toks_above") + expr("(target - mass_above + f - 1) div f"))
+      .select(col("pct"), col("target").as("target_mass"), col("vocab_needed"),
+        col("vocab_total"),
+        expr("vocab_needed * 1000000 div vocab_total").as("vocab_ppm"))
   }
 }

@@ -91,7 +91,13 @@ class PlanLintSpec extends SparkSpec {
         "q237" -> Pipeline.contrastivePairs(spark, sfDir),
         "q238" -> Similarity.sq8Calibration(spark, sfDir),
         "q239" -> Sampling.epochShuffle(spark, sfDir),
-        "q240" -> Pipeline.packingEfficiency(spark, sfDir))) {
+        "q240" -> Pipeline.packingEfficiency(spark, sfDir),
+        "q241" -> Relational.rfmSegments(spark, sfDir),
+        "q242" -> Events.cusumChangepoints(spark, sfDir),
+        "q244" -> Events.bitmaskRetention(spark, sfDir),
+        "q245" -> Events.sessionMaintenanceOverlap(spark, sfDir),
+        "q246" -> Relational.revenueGini(spark, sfDir),
+        "q248" -> TextAnalysis.vocabCoverage(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

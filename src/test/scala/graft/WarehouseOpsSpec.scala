@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Events, RangeJoin, Relational, TextAnalysis}
+
+/** Semantics pins for the round-8 warehouse/analytics closers:
+  * q241 RFM segmentation, q242 CUSUM changepoints, q243 soft-dedup
+  * weights, q244 bitmask retention. */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q242 CUSUM -------------------------------------------------
+
+  private def hourly(rows: Seq[(Long, Long)]) =
+    rows.toDF("h", "n")
+
+  test("cusum: flat series raises no alarms") {
+    val flat = hourly((0L until 96L).map(h => (h, 10L)))
+    assert(Events.cusumFrom(flat).count() === 0)
+  }
+
+  test("cusum: sustained upward shift alarms once, changepoint at the shift") {
+    // 10/hour for 48h, then 40/hour for 48h: global mean 25, the
+    // up-side drift target is 5/4·25 = 31.25 < 40, so S+ grows from
+    // h=48 on and must cross 2μ=50 within a few hours; the prefix
+    // min is pinned at h=47 (P decreases while x < target).
+    val shifted = hourly((0L until 96L).map(h => (h, if (h < 48) 10L else 40L)))
+    val out = Events.cusumFrom(shifted).collect()
+    val ups = out.filter(_.getString(0) == "up")
+    assert(ups.length === 1, s"expected one up onset, got ${out.mkString(";")}")
+    val up = ups.head
+    val h = up.getLong(1)
+    assert(h >= 48 && h <= 56, s"onset at $h")
+    assert(up.getLong(4) === 47L, "changepoint = last prefix-min hour")
+    // mean_milli = 25.000
+    assert(up.getLong(5) === 25000L)
+  }
+
+  test("cusum: sustained drop alarms on the down side") {
+    val dropped = hourly((0L until 96L).map(h => (h, if (h < 48) 40L else 10L)))
+    val downs = Events.cusumFrom(dropped).collect()
+      .filter(_.getString(0) == "down")
+    assert(downs.length === 1)
+    assert(downs.head.getLong(4) === 47L)
+  }
+
+  test("cusum: missing hours fill as zero and drive the down side") {
+    // present hours 0..47 at 40/hour, then nothing until a final
+    // marker hour 95 — the gap reads as x=0, a level DROP.
+    val gappy = hourly((0L until 48L).map(h => (h, 40L)) :+ (95L, 40L))
+    val downs = Events.cusumFrom(gappy).collect()
+      .filter(_.getString(0) == "down")
+    assert(downs.nonEmpty, "gap hours must alarm the down side")
+  }
+
+  // ---- q241 RFM ---------------------------------------------------
+
+  test("rfm: scores bounded 1..5, customers conserved, grid non-trivial") {
+    val seg = Relational.rfmSegments(spark, sfDir).collect()
+    for (r <- seg; i <- 0 to 2)
+      assert(r.getLong(i) >= 1L && r.getLong(i) <= 5L)
+    val nCustWithOrders = Tables.orders(spark, sfDir)
+      .select(countDistinct(col("o_custkey"))).as[Long].head()
+    assert(seg.map(_.getLong(3)).sum === nCustWithOrders)
+    // quintiles over a non-degenerate metric must spread scores
+    assert(seg.map(_.getLong(2)).distinct.length >= 3, "m_score spread")
+  }
+
+  test("rfm: total_cents conserved against the raw fact table") {
+    val seg = Relational.rfmSegments(spark, sfDir)
+      .agg(sum(col("total_cents"))).as[Long].head()
+    val raw = Tables.orders(spark, sfDir)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+      .agg(sum(col("c"))).as[Long].head()
+    assert(seg === raw)
+  }
+
+  // ---- q244 bitmask retention ------------------------------------
+
+  test("bitmask retention: k=0 diagonal is exactly 1e6 ppm") {
+    val rows = Events.bitmaskRetention(spark, sfDir).collect()
+    val k0 = rows.filter(_.getLong(1) == 0L)
+    assert(k0.nonEmpty)
+    for (r <- k0) {
+      assert(r.getLong(3) === r.getLong(2), "cohort day itself is active")
+      assert(r.getLong(4) === 1000000L)
+    }
+    for (r <- rows) assert(r.getLong(3) <= r.getLong(2))
+  }
+
+  test("bitmask retention: matches the direct distinct-join formulation") {
+    // independent computation: per-user active-day set via distinct
+    // rows, cohort = min day, offset membership by join — the shape
+    // the bitmask replaces
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+    val d0 = ev.agg(min(col("day"))).as[Long].head()
+    val days = ev.select(col("user_id"), (col("day") - d0).as("d"))
+      .filter(col("d") < 63).distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    val expected = cohorts
+      .select(col("user_id"), col("cohort"),
+        explode(sequence(lit(0), lit(7))).as("k"))
+      .withColumn("k", col("k").cast("long"))
+      .filter(col("cohort") + col("k") < 63)
+      .join(days.withColumnRenamed("d", "dk"),
+        Seq("user_id"), "left")
+      .groupBy(col("cohort"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_cohort"),
+        countDistinct(when(col("dk") === col("cohort") + col("k"),
+          col("user_id"))).as("n_active"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = Events.bitmaskRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+  }
+
+  // ---- q243 soft-dedup weights -----------------------------------
+
+  test("softdedup: retention bounded, consistent with the component sizes") {
+    val rep = Dedup.softdedupWeights(spark, sfDir).collect()
+    assert(rep.nonEmpty)
+    for (r <- rep) {
+      assert(r.getLong(4) <= 1000000L, "retention cannot exceed 1e6 ppm")
+      assert(r.getLong(2) <= r.getLong(1), "clustered docs <= docs")
+      if (r.getLong(2) == 0L)
+        assert(r.getLong(4) === 1000000L,
+          "a source with no clustered docs keeps full weight")
+    }
+    // global effective mass equals the independent per-cluster sum
+    val comp = Dedup.dedupComponents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val sizes = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val expectedEff = sizes
+      .select(expr("csize * (1000000L div csize)").as("mass"))
+      .agg(sum(col("mass"))).as[Long].head()
+    assert(rep.map(_.getLong(3)).sum === expectedEff)
+  }
+
+  // ---- q245 interval overlap join ---------------------------------
+
+  test("intervalOverlap: matches the naive inequality join, half-open") {
+    val left = Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 250L, 260L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 50L, 150L), (20L, 200L, 300L), (30L, 400L, 500L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right,
+        "ls", "le", "rs", "re", 64L)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // [0,100)∩[50,150)≠∅; [100,200)∩[50,150)≠∅; [250,260)∩[200,300)≠∅;
+    // [100,200) does NOT meet [200,300) (half-open endpoints touch)
+    assert(got === Set((1L, 10L), (2L, 10L), (3L, 20L)))
+  }
+
+  test("intervalOverlap: a pair spanning many shared buckets emits once") {
+    val left = Seq((1L, 0L, 1000L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 1L, 999L)).toDF("rid", "rs", "re")
+    assert(RangeJoin.intervalOverlap(left, right,
+      "ls", "le", "rs", "re", 16L).count() === 1L)
+  }
+
+  test("q245: overlap seconds bounded by the 2h window") {
+    for (r <- Events.sessionMaintenanceOverlap(spark, sfDir).collect()) {
+      assert(r.getLong(3) <= 7200L * r.getLong(1),
+        "per-session overlap cannot exceed the window length")
+      assert(r.getLong(2) <= r.getLong(1), "users <= sessions")
+    }
+  }
+
+  // ---- q246 revenue gini -----------------------------------------
+
+  test("gini: bounded [0,1000), top20 share >= 200000 ppm by definition") {
+    val rows = Relational.revenueGini(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val g = r.getLong(3)
+      assert(g >= 0L && g < 1000L, s"gini $g out of range")
+      // the top 20% of an ascending ranking always carries at least
+      // its proportional share
+      assert(r.getLong(4) >= 200000L - 1000000L / r.getLong(1))
+    }
+  }
+
+  test("gini: equal values give gini 0, one-owner gives ~1") {
+    // identity check on the formula via a synthetic segment table is
+    // implicit in the oracle; here pin the two analytic extremes by
+    // direct computation of the same expression
+    def gini(xs: Seq[Long]): Long = {
+      val n = xs.length.toLong
+      val sorted = xs.sorted
+      val ixc = sorted.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * BigInt(x) }.sum
+      val tot = BigInt(sorted.sum)
+      ((BigInt(2) * ixc - BigInt(n + 1) * tot) * 1000 / (BigInt(n) * tot))
+        .toLong
+    }
+    assert(gini(Seq(5L, 5L, 5L, 5L)) === 0L)
+    assert(gini(Seq(0L, 0L, 0L, 100L)) === 750L) // (n-1)/n scaled
+  }
+
+  // ---- q248 vocab coverage ---------------------------------------
+
+  test("vocab coverage: monotone in pct, exact vs the full-sort walk") {
+    val rows = TextAnalysis.vocabCoverage(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(50L, 90L, 99L))
+    val needed = rows.map(_.getLong(2))
+    assert(needed.sorted.toSeq === needed.toSeq, "coverage is monotone")
+    // independent full-sort reference
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val total = counts.sum
+    for (r <- rows) {
+      val target = (total * r.getLong(0) + 99) / 100
+      var acc = 0L; var k = 0
+      while (acc < target) { acc += counts(k); k += 1 }
+      assert(r.getLong(2) === k.toLong, s"pct ${r.getLong(0)}")
+      assert(r.getLong(3) === counts.length.toLong)
+    }
+  }
+}
