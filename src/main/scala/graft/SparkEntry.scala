@@ -260,6 +260,7 @@ object SparkEntry {
     "q244_bitmask_retention" -> ((s, d) => Events.bitmaskRetention(s, d)),
     "q245_session_overlap"  -> (Events.sessionMaintenanceOverlap _),
     "q246_revenue_gini"     -> (Relational.revenueGini _),
+    "q247_stream_asof"      -> (StreamingOps.streamAsofAttribution _),
     "q248_vocab_coverage"   -> (TextAnalysis.vocabCoverage _),
   )
 
@@ -4863,6 +4864,22 @@ object SparkEntry {
         |     ELSE 0 END) * 1000000 // CAST(sum(cents) AS HUGEINT)
         |   AS BIGINT) AS top20_ppm
         |FROM rk GROUP BY 1""".stripMargin,
+    // q247: the streaming state must replay as the batch as-of join
+    // (q62's relation) — clicks at exactly the purchase ts visible,
+    // (ts, id)-max tiebreak.
+    "q247_stream_asof" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, epoch_us(ts) AS ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+        |FROM (
+        | SELECT p.user_id, p.event_id AS purchase_id,
+        |  p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        | FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts) t
+        |WHERE rn = 1""".stripMargin,
     // q248: the frequency-class collapse is exact — tokens within a
     // class are interchangeable, the crossing class contributes
     // ceil(remaining/f) entries.

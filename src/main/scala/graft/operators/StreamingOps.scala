@@ -1331,4 +1331,54 @@ object StreamingOps {
         coalesce(col("n_rows") - col("n_ids"), lit(0L)).as("n_dups"),
         coalesce(col("n_late"), lit(0L)).as("n_late"))
   }
+
+  /** q247: STREAMING AS-OF JOIN under the oracle gate — last-click
+    * attribution live ([[graft.streaming.AsOfStream]]): every
+    * purchase mutation is attributed to the latest click at-or-before
+    * it for the same rowkey, the backward AsOf.join (q62 semantics,
+    * (ts, id)-max tiebreak) that Spark's built-in stream-stream joins
+    * cannot express ("latest match" is an aggregation over the match
+    * set). Clicks+purchases staged as an event-time-ordered WAL with
+    * a delay-0 watermark; per-user state is an order-invariant set
+    * union, watermark-compacted each batch (purchases below the
+    * horizon finalize and evict; older clicks collapse to their
+    * single max survivor — state O(watermark window), independent of
+    * stream lifetime). Update-mode emissions append to the sink;
+    * the last emission per purchase_id is final and must equal the
+    * batch as-of join row-for-row (the oracle — same replay bar as
+    * q53/q95/q230). */
+  def streamAsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q247", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val subset = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("kind") === "put" &&
+        col("cells")(0)("qualifier").isin("click", "purchase"))
+    WalSource.writeWalJson(subset, walDir, batches = 6)
+    val evs = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").as("user"),
+        col("cells")(0)("qualifier").as("kind"),
+        col("ts"), col("seq").as("id"))
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+      .as[graft.streaming.AsOfStream.Ev]
+    val query = graft.streaming.AsOfStream.track(s, evs).writeStream
+      .foreachBatch {
+        (df: Dataset[graft.streaming.AsOfStream.Out], id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("purchase_id"))
+      .agg(max_by(struct(col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts")), col("batch")).as("st"))
+      .select(col("st.user_id").cast("long").as("user_id"),
+        col("purchase_id"), col("st.purchase_ts").as("purchase_ts"),
+        when(col("st.click_id") >= 0, col("st.click_id")).as("click_id"),
+        when(col("st.click_ts") >= 0, col("st.click_ts")).as("click_ts"))
+  }
 }
