@@ -262,6 +262,9 @@ object SparkEntry {
     "q246_revenue_gini"     -> (Relational.revenueGini _),
     "q247_stream_asof"      -> (StreamingOps.streamAsofAttribution _),
     "q248_vocab_coverage"   -> (TextAnalysis.vocabCoverage _),
+    "q249_ivm_join"         -> (Incremental.ivmJoin _),
+    "q250_kmv_overlap"      -> ((s, d) => Sketch.kmvOverlap(s, d)),
+    "q251_partition_bloom"  -> ((s, d) => Bucketing.partitionBloomAudit(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4911,5 +4914,99 @@ object SparkEntry {
         |FROM p CROSS JOIN tot JOIN cum
         | ON mass_above < (total_mass * pct + 99) // 100
         |  AND (total_mass * pct + 99) // 100 <= mass_above + mass""".stripMargin,
+    // q249: ONE plain join labeled by the same md5 split — the
+    // quadrant decomposition must partition it exactly.
+    "q249_ivm_join" ->
+      s"""WITH a AS (SELECT o_orderkey, o_orderstatus,
+        |  ${hex8Sql("concat('ivmA|', o_orderkey)")} < 2147483648 AS a_base
+        | FROM orders),
+        |b AS (SELECT l_orderkey,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    AS cents,
+        |  ${hex8Sql("concat('ivmB|', l_orderkey, '|', l_linenumber)")}
+        |    < 2147483648 AS b_base
+        | FROM lineitem)
+        |SELECT o_orderstatus,
+        | CASE WHEN a_base AND b_base THEN 'base'
+        |  WHEN NOT a_base AND b_base THEN 'delta_orders'
+        |  WHEN a_base AND NOT b_base THEN 'delta_lines'
+        |  ELSE 'both_delta' END AS quadrant,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM a JOIN b ON o_orderkey = l_orderkey GROUP BY 1, 2""".stripMargin,
+    // q250: the KMV estimators replayed value-for-value (k = 16 —
+    // sized so the 25-distinct-per-source corpus actually TRUNCATES
+    // the sketches; 32-bit hash domain, complete-sketch fallback).
+    "q250_kmv_overlap" ->
+      s"""WITH v AS (SELECT DISTINCT source,
+        |  ${hex8Sql("concat('kmv|', md5(text))")} AS h FROM documents),
+        |cnt AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+        |   ORDER BY h) AS rk FROM v),
+        |sk AS (SELECT source, h FROM r WHERE rk <= 16),
+        |pr AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b
+        | FROM cnt a JOIN cnt b ON a.source < b.source),
+        |uh AS (SELECT pr.sa, pr.sb, sk.h FROM pr JOIN sk
+        |  ON sk.source = pr.sa OR sk.source = pr.sb GROUP BY 1, 2, 3),
+        |ur AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb
+        |   ORDER BY h) AS urk FROM uh),
+        |uk AS (SELECT sa, sb, h FROM ur WHERE urk <= 16),
+        |ust AS (SELECT sa, sb, count(*) AS usz, max(h) AS kth
+        | FROM uk GROUP BY 1, 2),
+        |mt AS (SELECT uk.sa, uk.sb, count(*) AS matches
+        | FROM uk JOIN sk x ON x.source = uk.sa AND x.h = uk.h
+        |  JOIN sk y ON y.source = uk.sb AND y.h = uk.h GROUP BY 1, 2),
+        |ex AS (SELECT a.source AS sa, b.source AS sb,
+        |  count(*) AS exact_intersection
+        | FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT pr.sa AS source_a, pr.sb AS source_b,
+        | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(CASE WHEN usz < 16 THEN usz
+        |   ELSE (15 * 4294967296) // kth END AS BIGINT) AS est_union,
+        | CAST(coalesce(matches, 0) * 1000000 // usz AS BIGINT)
+        |   AS jaccard_ppm,
+        | CAST((coalesce(matches, 0) * (CASE WHEN usz < 16 THEN usz
+        |   ELSE (15 * 4294967296) // kth END)) // usz AS BIGINT)
+        |   AS est_intersection,
+        | CAST(coalesce(exact_intersection, 0) AS BIGINT)
+        |   AS exact_intersection
+        |FROM pr JOIN ust ON ust.sa = pr.sa AND ust.sb = pr.sb
+        | LEFT JOIN mt ON mt.sa = pr.sa AND mt.sb = pr.sb
+        | LEFT JOIN ex ON ex.sa = pr.sa AND ex.sb = pr.sb""".stripMargin,
+    // q251: blooms and probes are pure md5 arithmetic; duplicate
+    // hash positions keep their multiplicity on both engines (the
+    // count(*)=3 membership test).
+    "q251_partition_bloom" ->
+      s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |  user_id FROM events),
+        |rr AS (SELECT unnest(range(3)) AS r),
+        |bb AS (SELECT DISTINCT day,
+        |  ${hex8Sql("concat('pb', r, '|', user_id)")} % 512 AS pos
+        | FROM du, rr),
+        |probes AS (SELECT DISTINCT user_id FROM du
+        | WHERE ${hex8Sql("concat('probe|', user_id)")} % 16 = 0),
+        |days AS (SELECT DISTINCT day FROM du),
+        |pg AS (SELECT user_id, day,
+        |  ${hex8Sql("concat('pb', r, '|', user_id)")} % 512 AS pos
+        | FROM probes, days, rr),
+        |hits AS (SELECT user_id, day FROM pg
+        | WHERE EXISTS (SELECT 1 FROM bb
+        |   WHERE bb.day = pg.day AND bb.pos = pg.pos)
+        | GROUP BY 1, 2 HAVING count(*) = 3),
+        |hd AS (SELECT user_id, count(*) AS hit_days FROM hits GROUP BY 1),
+        |tr AS (SELECT user_id, count(*) AS true_days FROM du
+        | WHERE user_id IN (SELECT user_id FROM probes) GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_days FROM days)
+        |SELECT p.user_id, CAST(n_days AS BIGINT) AS n_days,
+        | CAST(coalesce(true_days, 0) AS BIGINT) AS true_days,
+        | CAST(coalesce(hit_days, 0) AS BIGINT) AS hit_days,
+        | CAST(coalesce(hit_days, 0) - coalesce(true_days, 0) AS BIGINT)
+        |   AS fp_days,
+        | CAST((n_days - coalesce(hit_days, 0)) * 1000000 // n_days
+        |   AS BIGINT) AS skip_ppm
+        |FROM probes p CROSS JOIN nd
+        | LEFT JOIN hd ON hd.user_id = p.user_id
+        | LEFT JOIN tr ON tr.user_id = p.user_id""".stripMargin,
   )
 }

@@ -266,4 +266,64 @@ object Bucketing {
         countDistinct(when(col("in_box"), col("zb"))).as("z_blocks_touched"),
         countDistinct(when(col("in_box"), col("lb"))).as("lin_blocks_touched"))
   }
+
+  /** q251: PARTITION-LEVEL BLOOM pruning audit — the file-skipping
+    * index the day-partitioned layout (q138) can't give a POINT
+    * lookup: partition pruning skips by the PARTITION column; a
+    * per-partition bloom over a high-cardinality column (user_id)
+    * prices skipping partitions for "all events of user X" — the
+    * lakehouse bloom-filter-index decision (bits per partition vs
+    * partitions scanned), MEASURED before you pay for it, like
+    * q139/q180 price clustering. Per day-partition: a 512-bit
+    * 3-hash md5 bloom over its distinct users (deliberately tight —
+    * ~0.58 fill at sf0.01 — so false positives are OBSERVABLE, not
+    * a 1e-9 rounding ghost); probes: a deterministic ~1/16
+    * hash-chosen user subset. Per probe user: partitions it truly
+    * occupies, partitions the bloom makes a reader open (hits =
+    * true + FPs — a bloom never misses, pinned by hit ≥ true), and
+    * the skip rate the index buys. Shapes: one distinct
+    * (day, user) rollup, bloom bit sets and probes are
+    * bounded-by-|days|·bits tables; every decision is md5
+    * arithmetic that replays exactly in the oracle. */
+  def partitionBloomAudit(s: SparkSession, dir: String, bits: Int = 512,
+      hashes: Int = 3, probeMod: Int = 16): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("ts div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    def pos(r: Int, user: org.apache.spark.sql.Column) =
+      pmod(Sampling.hashBucket(concat(lit(s"pb$r|"), user.cast("string"))),
+        lit(bits.toLong))
+    val bloomBits = du
+      .select(col("day"), explode(array((0 until hashes).map(r =>
+        pos(r, col("user_id"))): _*)).as("pos"))
+      .distinct()
+    val probes = du.select(col("user_id")).distinct()
+      .filter(pmod(Sampling.hashBucket(concat(lit("probe|"),
+        col("user_id").cast("string"))), lit(probeMod.toLong)) === 0L)
+    val days = du.select(col("day")).distinct()
+    val probeGrid = probes.crossJoin(days)
+      .select(col("user_id"), col("day"), explode(array((0 until hashes).map(r =>
+        pos(r, col("user_id"))): _*)).as("pos"))
+    val hits = probeGrid
+      .join(bloomBits, Seq("day", "pos"), "left_semi")
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_pos"))
+      .filter(col("n_pos") === hashes)
+      .select(col("user_id"), col("day"))
+    val truth = du.join(probes, Seq("user_id"), "left_semi")
+    val nDays = days.agg(count(lit(1)).as("n_days"))
+    probes
+      .join(hits.groupBy(col("user_id")).agg(count(lit(1)).as("hit_days")),
+        Seq("user_id"), "left")
+      .join(truth.groupBy(col("user_id")).agg(count(lit(1)).as("true_days")),
+        Seq("user_id"), "left")
+      .crossJoin(broadcast(nDays))
+      .select(col("user_id"), col("n_days"),
+        coalesce(col("true_days"), lit(0L)).as("true_days"),
+        coalesce(col("hit_days"), lit(0L)).as("hit_days"),
+        (coalesce(col("hit_days"), lit(0L)) -
+          coalesce(col("true_days"), lit(0L))).as("fp_days"),
+        expr("(n_days - coalesce(hit_days, 0)) * 1000000 div n_days")
+          .as("skip_ppm"))
+  }
 }

@@ -180,4 +180,46 @@ object Incremental {
         max(when(col("is_top_old"), col("share_old"))).as("top_share_old_ppm"),
         max(when(col("is_top_new"), col("share_new"))).as("top_share_new_ppm"))
   }
+
+  /** q249: INCREMENTAL JOIN MAINTENANCE — the delta-join algebra that
+    * keeps a materialized JOIN view current without re-joining the
+    * bases (q126 maintains an AGGREGATE; this is the other half of
+    * IVM): with insert deltas ΔA, ΔB on top of bases A₁, B₁,
+    *   J₂ = (A₁⋈B₁) ⊎ (ΔA⋈B₁) ⊎ (A₁⋈ΔB) ⊎ (ΔA⋈ΔB)
+    * — the first term is the stored view, the three delta terms each
+    * have a DELTA on one side, so the nightly maintenance cost is
+    * |Δ|·fanout, never |A|·|B| recompute. The gate proves the
+    * algebra: orders/lineitem are hash-split into base/delta halves
+    * (md5 buckets — the split replays in the oracle), the four
+    * quadrants are joined separately (three shuffle-hash joins with
+    * the delta side as the small build) and rolled up per
+    * (status, quadrant); the oracle computes ONE plain join and
+    * labels quadrants from the same hashes — the decomposition must
+    * partition it exactly (no overlap, no omission). Per-line
+    * revenue rounded to cents once (the q234 policy). */
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val half = 2147483648L
+    val a = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus"),
+      (Sampling.hashBucket(concat(lit("ivmA|"),
+        col("o_orderkey").cast("string"))) < half).as("a_base"))
+    val b = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        .as("cents"),
+      (Sampling.hashBucket(concat(lit("ivmB|"),
+        col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))) < half).as("b_base"))
+    val (a1, da) = (a.filter(col("a_base")), a.filter(!col("a_base")))
+    val (b1, db) = (b.filter(col("b_base")), b.filter(!col("b_base")))
+    def part(x: DataFrame, y: DataFrame, q: String): DataFrame =
+      x.join(y.hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderstatus"), col("cents"), lit(q).as("quadrant"))
+    part(a1, b1, "base")
+      .unionByName(part(da, b1, "delta_orders"))
+      .unionByName(part(a1, db, "delta_lines"))
+      .unionByName(part(da, db, "both_delta"))
+      .groupBy(col("o_orderstatus"), col("quadrant"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("revenue_cents"))
+  }
 }

@@ -412,4 +412,65 @@ object Sketch {
         round(col("n_outliers") / col("n_docs").cast("double"), 4)
           .as("outlier_frac"))
   }
+
+  /** q250: KMV (k-minimum-values) SET-OPERATION sketches — the third
+    * distinct-counting family next to HLL (q92: cardinality, q125:
+    * inclusion-exclusion overlap): a KMV sketch keeps the k SMALLEST
+    * hash values of a set, and unlike HLL supports a DIRECT
+    * Jaccard/intersection estimator — the union sketch is the k
+    * smallest of the two sketches' union, and the fraction of its
+    * entries present in BOTH input sketches estimates J(A,B)
+    * (Beyer et al.'s distinct-value synopses). Pairwise source
+    * content overlap estimated from 20 constant-size sketches
+    * instead of q120's full hash-join matrix:
+    *  - per source, the k-min of md5-derived 32-bit content hashes
+    *    via the bounded TopK aggregator (score = −h: map-side k-min
+    *    lattice, shuffle carries ≤ k rows per partition — never a
+    *    per-source window sort);
+    *  - estimators all-integer: |S| ≈ (k−1)·2³² div h₍ₖ₎ (exact
+    *    count when the sketch is complete), Ĵ ppm = matches·10⁶
+    *    div |union sketch|, intersection ≈ Ĵ·|A∪B|;
+    *  - the EXACT hash-join numbers ride along per pair (the
+    *    q92/q136 audit pattern — at 100 TB you keep the sketch
+    *    column and drop the exact one).
+    * Hash collisions fold identical 32-bit values on both engines
+    * (the sketch's own semantics, replayed exactly by the oracle). */
+  def kmvOverlap(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import graft.functions.TopK
+    val m = 4294967296L
+    val vals = Tables.documents(s, dir)
+      .select(col("source"),
+        Sampling.hashBucket(concat(lit("kmv|"),
+          md5(col("text").cast("binary")))).as("h"))
+      .distinct()
+    val sketches = vals.groupBy(col("source"))
+      .agg(TopK.topk(k)(col("h"), -col("h").cast("double")).as("top"),
+        count(lit(1)).as("n_exact"))
+      .select(col("source"), expr("transform(top, t -> t.id)").as("kmv"),
+        col("n_exact"))
+    val pairs = sketches.toDF("source_a", "kmv_a", "n_a")
+      .crossJoin(broadcast(sketches.toDF("source_b", "kmv_b", "n_b")))
+      .filter(col("source_a") < col("source_b"))
+    val exact = vals.toDF("source_a", "h")
+      .join(vals.toDF("source_b", "h"), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    pairs
+      .withColumn("u", expr(s"slice(array_sort(array_union(kmv_a, kmv_b)), 1, $k)"))
+      .withColumn("usz", size(col("u")).cast("long"))
+      .withColumn("kth", element_at(col("u"), size(col("u"))))
+      .withColumn("est_union",
+        when(col("usz") < k, col("usz"))
+          .otherwise(expr(s"(${k - 1} * ${m}L) div kth")))
+      .withColumn("matches",
+        size(expr("array_intersect(u, array_intersect(kmv_a, kmv_b))"))
+          .cast("long"))
+      .withColumn("jaccard_ppm", expr("matches * 1000000 div usz"))
+      .withColumn("est_intersection", expr("(matches * est_union) div usz"))
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("est_union"), col("jaccard_ppm"), col("est_intersection"),
+        coalesce(col("exact_intersection"), lit(0L)).as("exact_intersection"))
+  }
 }

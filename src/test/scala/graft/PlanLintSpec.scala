@@ -97,7 +97,10 @@ class PlanLintSpec extends SparkSpec {
         "q244" -> Events.bitmaskRetention(spark, sfDir),
         "q245" -> Events.sessionMaintenanceOverlap(spark, sfDir),
         "q246" -> Relational.revenueGini(spark, sfDir),
-        "q248" -> TextAnalysis.vocabCoverage(spark, sfDir))) {
+        "q248" -> TextAnalysis.vocabCoverage(spark, sfDir),
+        "q249" -> Incremental.ivmJoin(spark, sfDir),
+        "q250" -> Sketch.kmvOverlap(spark, sfDir),
+        "q251" -> Bucketing.partitionBloomAudit(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

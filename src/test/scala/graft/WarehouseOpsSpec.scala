@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Events, RangeJoin, Relational, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, Events, Incremental, RangeJoin,
+  Relational, Sketch, TextAnalysis}
 
 /** Semantics pins for the round-8 warehouse/analytics closers:
   * q241 RFM segmentation, q242 CUSUM changepoints, q243 soft-dedup
@@ -225,6 +226,71 @@ class WarehouseOpsSpec extends SparkSpec {
       while (acc < target) { acc += counts(k); k += 1 }
       assert(r.getLong(2) === k.toLong, s"pct ${r.getLong(0)}")
       assert(r.getLong(3) === counts.length.toLong)
+    }
+  }
+
+  // ---- q249 IVM join ---------------------------------------------
+
+  test("ivm join: quadrants partition the full join exactly") {
+    val quads = Incremental.ivmJoin(spark, sfDir).collect()
+    assert(quads.map(_.getString(1)).distinct.length === 4,
+      "all four delta quadrants materialize")
+    val full = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)),
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")))
+      .head()
+    assert(quads.map(_.getLong(2)).sum === full.getLong(0))
+    assert(quads.map(_.getLong(3)).sum === full.getLong(1))
+  }
+
+  // ---- q250 KMV sketches -----------------------------------------
+
+  test("kmv: complete sketches degrade to exact set algebra") {
+    // with k=64 > the ~25 distinct contents per source, every sketch
+    // is complete and the estimators must be EXACT
+    for (r <- Sketch.kmvOverlap(spark, sfDir, k = 64).collect()) {
+      val (na, nb, estU, jacc, estI, exactI) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      val exactUnion = na + nb - exactI
+      if (na < 64 && nb < 64) {
+        assert(estU === exactUnion, s"${r.getString(0)}x${r.getString(1)}")
+        assert(estI === exactI)
+        assert(jacc === exactI * 1000000L / exactUnion)
+      }
+    }
+  }
+
+  test("kmv: truncated sketches estimate within the error budget") {
+    // the gate default k=16 truncates on the 25-distinct sources; a
+    // single deterministic draw per pair, so bound loosely per pair
+    // and tightly in aggregate (k=16 stderr ~ 26%)
+    val rows = Sketch.kmvOverlap(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(2) > 16L), "sketches actually truncated")
+    var relErrPpmSum = 0L
+    for (r <- rows) {
+      val exactUnion = r.getLong(2) + r.getLong(3) - r.getLong(7)
+      val est = r.getLong(4)
+      assert(est > exactUnion / 4 && est < exactUnion * 4,
+        s"union estimate $est vs $exactUnion")
+      relErrPpmSum += math.abs(est - exactUnion) * 1000000L / exactUnion
+    }
+    assert(relErrPpmSum / rows.length < 400000L,
+      "mean relative union error under 40%")
+  }
+
+  // ---- q251 partition bloom --------------------------------------
+
+  test("partition bloom: never a false negative, skip rate consistent") {
+    val rows = Bucketing.partitionBloomAudit(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(3) >= r.getLong(2), "bloom hit every true partition")
+      assert(r.getLong(4) === r.getLong(3) - r.getLong(2))
+      assert(r.getLong(5) ===
+        (r.getLong(1) - r.getLong(3)) * 1000000L / r.getLong(1))
     }
   }
 }
