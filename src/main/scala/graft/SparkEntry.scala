@@ -265,6 +265,7 @@ object SparkEntry {
     "q249_ivm_join"         -> (Incremental.ivmJoin _),
     "q250_kmv_overlap"      -> ((s, d) => Sketch.kmvOverlap(s, d)),
     "q251_partition_bloom"  -> ((s, d) => Bucketing.partitionBloomAudit(s, d)),
+    "q252_stream_rate_spikes" -> (StreamingOps.streamRateSpikes _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4974,6 +4975,23 @@ object SparkEntry {
         |FROM pr JOIN ust ON ust.sa = pr.sa AND ust.sb = pr.sb
         | LEFT JOIN mt ON mt.sa = pr.sa AND mt.sb = pr.sb
         | LEFT JOIN ex ON ex.sa = pr.sa AND ex.sb = pr.sb""".stripMargin,
+    // q252: q163's exact hourly spike relation; the last present
+    // hour is excluded — the watermark can never close it.
+    "q252_stream_rate_spikes" ->
+      """WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(epoch_us(ts)) // 3600000000 AS maxh FROM events),
+        |w AS (SELECT h, n,
+        |  CAST(sum(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s24,
+        |  count(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS c24
+        | FROM hh)
+        |SELECT CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n, s24,
+        | CAST((n * 24000000) // s24 AS BIGINT) AS ratio_ppm,
+        | CAST(CASE WHEN (n * 24000000) // s24 > 2000000 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS spike
+        |FROM w CROSS JOIN mx WHERE c24 = 24 AND h < maxh""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

@@ -1381,4 +1381,46 @@ object StreamingOps {
         when(col("st.click_id") >= 0, col("st.click_id")).as("click_id"),
         when(col("st.click_ts") >= 0, col("st.click_ts")).as("click_ts"))
   }
+
+  /** q252: STREAMING RATE-SPIKE monitor under the oracle gate —
+    * q163's hourly traffic alarm run LIVE
+    * ([[graft.streaming.RateMonitor]]): each present hour finalizes
+    * exactly once when the event-time watermark closes it (its count
+    * is complete by the watermark contract) and is judged against
+    * the trailing 24 PRESENT hours with the same all-integer
+    * n·24e6 div Σ ratio — the alarm fires when the hour closes, not
+    * when tomorrow's batch runs. State per series is O(25 + open
+    * hours); an EventTimeTimeout wake-up lets hours from the final
+    * data batch finalize on the trailing no-data batch. The stream's
+    * LAST present hour can never finalize (no later event pushes the
+    * watermark past it) — the oracle mirrors that honest append-mode
+    * edge (h < max hour; the q121 precedent) and is otherwise
+    * q163's exact hourly relation. */
+  def streamRateSpikes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q252", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val evs = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(lit("events").as("series"), col("ts"))
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+      .as[graft.streaming.RateMonitor.Ev]
+    val query = graft.streaming.RateMonitor.track(s, evs).writeStream
+      .foreachBatch {
+        (df: Dataset[graft.streaming.RateMonitor.RateOut], id: Long) =>
+          df.write.mode("append").parquet(out)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // finalize-once emissions; distinct absorbs checkpoint-replay
+    // duplicates (values are deterministic per hour)
+    s.read.parquet(out)
+      .select(col("h"), col("n"), col("s24"), col("ratio_ppm"),
+        when(col("spike"), 1L).otherwise(0L).as("spike"))
+      .distinct()
+  }
 }
