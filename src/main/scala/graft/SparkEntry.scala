@@ -266,6 +266,9 @@ object SparkEntry {
     "q250_kmv_overlap"      -> ((s, d) => Sketch.kmvOverlap(s, d)),
     "q251_partition_bloom"  -> ((s, d) => Bucketing.partitionBloomAudit(s, d)),
     "q252_stream_rate_spikes" -> (StreamingOps.streamRateSpikes _),
+    "q253_stl_decompose"    -> (Events.stlDecompose _),
+    "q254_window_funnel"    -> ((s, d) => Events.windowFunnel(s, d)),
+    "q255_alignment_filter" -> ((s, d) => Multimodal.alignmentFilter(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -4992,6 +4995,94 @@ object SparkEntry {
         | CAST(CASE WHEN (n * 24000000) // s24 > 2000000 THEN 1 ELSE 0 END
         |   AS BIGINT) AS spike
         |FROM w CROSS JOIN mx WHERE c24 = 24 AND h < maxh""".stripMargin,
+    "q253_stl_decompose" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT unnest(range((SELECT min(h) FROM hc),
+        |  (SELECT max(h) FROM hc) + 1)) AS h),
+        |f AS (SELECT g.h, coalesce(cnt, 0) AS x
+        | FROM g LEFT JOIN hc ON g.h = hc.h),
+        |w AS (SELECT h, x,
+        |  sum(x) OVER (ORDER BY h
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS s25,
+        |  count(x) OVER (ORDER BY h
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS c25 FROM f),
+        |tr AS (SELECT h, x, x * 1000 - (s25 * 1000) // 25 AS detr_milli,
+        |  h % 24 AS hod FROM w WHERE c25 = 25),
+        |se AS (SELECT hod, sum(detr_milli) // count(*) AS seasonal_milli
+        | FROM tr GROUP BY 1)
+        |SELECT CAST(tr.hod AS BIGINT) AS hod,
+        | CAST(count(*) AS BIGINT) AS n_hours,
+        | CAST(max(seasonal_milli) AS BIGINT) AS seasonal_milli,
+        | CAST(sum(abs(detr_milli - seasonal_milli)) // count(*) AS BIGINT)
+        |   AS mean_abs_resid_milli,
+        | CAST(max(abs(detr_milli - seasonal_milli)) AS BIGINT)
+        |   AS max_abs_resid_milli
+        |FROM tr JOIN se ON tr.hod = se.hod GROUP BY 1""".stripMargin,
+    "q254_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts
+        |  FROM events),
+        |fv AS (SELECT user_id, min(ts) AS fv FROM e
+        | WHERE event_type = 'view' GROUP BY 1),
+        |per AS (SELECT fv.user_id, fv.fv,
+        |  min(CASE WHEN p.ts >= fv.fv THEN p.ts END) AS conv
+        | FROM fv LEFT JOIN (SELECT user_id, ts FROM e
+        |   WHERE event_type = 'purchase') p ON fv.user_id = p.user_id
+        | GROUP BY 1, 2),
+        |d AS (SELECT fv // 86400000000 AS day,
+        |  CASE WHEN conv IS NOT NULL AND conv - fv <= 86400000000
+        |   THEN conv - fv END AS delay
+        | FROM per)
+        |SELECT CAST(day AS BIGINT) AS day,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(count(delay) AS BIGINT) AS n_conv,
+        | CAST(count(delay) * 1000000 // count(*) AS BIGINT) AS cvr_ppm,
+        | CAST(sum(delay) // (1000 * nullif(count(delay), 0)) AS BIGINT)
+        |   AS mean_delay_ms
+        |FROM d GROUP BY 1""".stripMargin,
+    // q255: q23's simhash chain + q113's dhash chain joined per doc;
+    // the alignment distance is their 64-bit hamming.
+    "q255_alignment_filter" ->
+      """WITH t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, md5(tok) AS h FROM t1),
+        |sb AS (SELECT doc_id, h, unnest(range(64)) AS bit FROM tk),
+        |sv AS (SELECT doc_id, bit, sum(CASE WHEN
+        |   (((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INTEGER) + 1, 1)) - 1)
+        |     >> CAST(bit % 4 AS INTEGER)) & 1) = 1
+        |  THEN 1 ELSE -1 END) AS v FROM sb GROUP BY 1, 2),
+        |sn AS (SELECT doc_id, bit // 4 AS j,
+        |  sum(CASE WHEN v > 0 THEN (1 << CAST(bit % 4 AS INTEGER)) ELSE 0 END) AS nv
+        | FROM sv GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, array_to_string(
+        |  list(substr('0123456789abcdef', CAST(nv AS INTEGER) + 1, 1) ORDER BY j),
+        |  '') AS simhash FROM sn GROUP BY doc_id),
+        |db AS (SELECT doc_id,
+        |  list_transform(range(1, 65), i ->
+        |   CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1))
+        |     < ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) THEN 1 ELSE 0 END) AS bits
+        | FROM documents WHERE len(text) >= 65),
+        |dh AS (SELECT doc_id, array_to_string(list_transform(range(0, 16), j ->
+        |   substr('0123456789abcdef',
+        |     bits[CAST(j*4+1 AS INTEGER)]*8 + bits[CAST(j*4+2 AS INTEGER)]*4
+        |     + bits[CAST(j*4+3 AS INTEGER)]*2 + bits[CAST(j*4+4 AS INTEGER)] + 1, 1)), '')
+        |   AS dhash
+        | FROM db),
+        |pj AS (SELECT d.source,
+        |  CAST(list_sum(list_transform(range(16), j -> bit_count(xor(
+        |   CAST(strpos('0123456789abcdef', substr(dh.dhash, CAST(j+1 AS INTEGER), 1)) - 1 AS BIGINT),
+        |   CAST(strpos('0123456789abcdef', substr(sh.simhash, CAST(j+1 AS INTEGER), 1)) - 1 AS BIGINT)))))
+        |   AS BIGINT) AS dist
+        | FROM dh JOIN sh ON dh.doc_id = sh.doc_id
+        |  JOIN documents d ON d.doc_id = dh.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(dist) * 1000 // count(*) AS BIGINT) AS mean_dist_milli,
+        | CAST(max(dist) AS BIGINT) AS max_dist,
+        | CAST(sum(CASE WHEN dist > 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_misaligned,
+        | CAST(sum(CASE WHEN dist > 40 THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS misaligned_ppm
+        |FROM pj GROUP BY 1""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

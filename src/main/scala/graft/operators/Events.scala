@@ -1231,14 +1231,20 @@ object Events {
   def cusumChangepoints(s: SparkSession, dir: String): DataFrame =
     cusumFrom(hourlyCounts(s, dir))
 
-  /** q242 over a pre-built [[hourlyCounts]] frame (testable on
-    * synthetic shift series). */
-  private[graft] def cusumFrom(hourlyIn: DataFrame): DataFrame = {
+  /** Gap-filled hourly grid (h, x) shared by q242/q253 — missing
+    * hours count as zero. */
+  private[graft] def filledHourly(hourlyIn: DataFrame): DataFrame = {
     val hourly = hourlyIn.toDF("h", "n")
     val grid = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(explode(sequence(col("h0"), col("h1"))).as("h"))
-    val filled = grid.join(hourly, Seq("h"), "left")
+    grid.join(hourly, Seq("h"), "left")
       .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+  }
+
+  /** q242 over a pre-built [[hourlyCounts]] frame (testable on
+    * synthetic shift series). */
+  private[graft] def cusumFrom(hourlyIn: DataFrame): DataFrame = {
+    val filled = filledHourly(hourlyIn)
     val tot = filled.agg(sum(col("x")).as("total"), count(lit(1)).as("hn"))
     def wq(c: Column): Column = c.cast("decimal(38,0)")
     val w = Window.orderBy(col("h"))
@@ -1309,6 +1315,88 @@ object Events {
       .groupBy(col("cohort"), col("k"))
       .agg(count(lit(1)).as("n_cohort"), sum(col("active")).as("n_active"))
       .withColumn("ret_ppm", expr("n_active * 1000000 div n_cohort"))
+  }
+
+  /** q253: STL-style SEASONAL DECOMPOSITION of the hourly rate
+    * series — trend / seasonal / residual additively separated, the
+    * capacity-planning and anomaly-baseline input the rate-alarm
+    * family consumes (q191 ASSUMES a daily season; this MEASURES
+    * what the season is and how much signal is left after removing
+    * it):
+    *  - trend = centered 25-hour moving average (integer milli; only
+    *    hours with the full ±12 window — edge hours have no honest
+    *    trend);
+    *  - seasonal(hod) = mean of the detrended series per hour-of-day
+    *    (the classic cycle-subseries mean);
+    *  - residual = detrended − seasonal(hod): what an alarm should
+    *    actually fire on.
+    * All windows run over the BOUNDED gap-filled hour grid (q97's
+    * argument; gaps count as zero rows of real traffic). Integer
+    * milli arithmetic throughout — negative divisions are safe
+    * because both engines truncate integer division toward zero.
+    * Report: 24 hour-of-day rows with the seasonal offset and the
+    * residual magnitude (mean/max abs) — a flat seasonal column ⇒
+    * no daily cycle (use q163/q189); a large seasonal column with
+    * small residuals ⇒ q191's baseline is the right alarm. */
+  def stlDecompose(s: SparkSession, dir: String): DataFrame =
+    stlFrom(hourlyCounts(s, dir))
+
+  /** q253 over a pre-built [[hourlyCounts]] frame. */
+  private[graft] def stlFrom(hourlyIn: DataFrame): DataFrame = {
+    val filled = filledHourly(hourlyIn)
+    val w25 = Window.orderBy(col("h")).rowsBetween(-12, 12)
+    val tr = filled
+      .withColumn("s25", sum(col("x")).over(w25))
+      .withColumn("c25", count(col("x")).over(w25))
+      .filter(col("c25") === 25)
+      .withColumn("trend_milli", expr("(s25 * 1000) div 25"))
+      .withColumn("detr_milli", col("x") * 1000 - col("trend_milli"))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+    val seas = tr.groupBy(col("hod"))
+      .agg(sum(col("detr_milli")).as("sd"), count(lit(1)).as("cnt"))
+      .select(col("hod"), expr("sd div cnt").as("seasonal_milli"))
+    tr.join(broadcast(seas), "hod")
+      .withColumn("resid_milli", col("detr_milli") - col("seasonal_milli"))
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("n_hours"),
+        max(col("seasonal_milli")).as("seasonal_milli"),
+        expr("sum(abs(resid_milli)) div count(1)").as("mean_abs_resid_milli"),
+        max(abs(col("resid_milli"))).as("max_abs_resid_milli"))
+  }
+
+  /** q254: TIME-BOXED FUNNEL — conversion only counts inside an
+    * attribution window (24 h after the user's FIRST view), the
+    * convention product analytics actually reports (q16's funnel is
+    * unbounded — a purchase a month later still "converts"; a
+    * windowed CVR is comparable across cohorts). Per user: first
+    * view (one map-side-combinable agg), earliest at-or-after
+    * purchase via one user-keyed join + conditional min (never a
+    * per-user sort), then a per-cohort-day report: users, in-window
+    * conversions, CVR ppm, and the mean in-window delay in
+    * milli-seconds (exact integer micros summed, divided once;
+    * NULL for cohorts with no conversions rather than a fake 0). */
+  def windowFunnel(s: SparkSession, dir: String,
+      windowMicros: Long = 86400000000L): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+    val per = fv
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts")), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("fv"))
+      .agg(min(when(col("pts") >= col("fv"), col("pts"))).as("conv"))
+    per
+      .withColumn("day", expr("fv div 86400000000"))
+      .withColumn("delay",
+        when(col("conv").isNotNull &&
+          col("conv") - col("fv") <= windowMicros,
+          col("conv") - col("fv")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("delay")).as("n_conv"),
+        expr("count(delay) * 1000000 div count(1)").as("cvr_ppm"),
+        expr("sum(delay) div (1000 * nullif(count(delay), 0))")
+          .as("mean_delay_ms"))
   }
 
   /** q245: SESSION × MAINTENANCE-WINDOW overlap — the

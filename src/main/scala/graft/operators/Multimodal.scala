@@ -76,6 +76,24 @@ object Multimodal {
     * pattern — the wide shuffle moves ids + 16-char hashes, never
     * binaries). Every stage is byte arithmetic the oracle replays
     * exactly. */
+  /** 64-bit dHash per doc as 16 hex chars (shared by q113/q255). */
+  private[graft] def dhashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= 65)
+      .withColumn("bits", expr(
+        "transform(sequence(1, 64), i -> IF(ascii(substring(text, i, 1)) < ascii(substring(text, i + 1, 1)), 1, 0))"))
+      .select(col("doc_id"), expr(
+        "concat_ws('', transform(sequence(0, 15), j -> substring('0123456789abcdef', " +
+          "element_at(bits, j*4+1)*8 + element_at(bits, j*4+2)*4 + " +
+          "element_at(bits, j*4+3)*2 + element_at(bits, j*4+4) + 1, 1)))").as("dhash"))
+
+  /** Hamming distance between two 16-hex-char 64-bit signatures. */
+  private[graft] def hexHamming64(a: String, b: String):
+      org.apache.spark.sql.Column = expr(
+    s"aggregate(transform(sequence(0, 15), j -> " +
+      s"bit_count(CAST(instr('0123456789abcdef', substring($a, j+1, 1)) - 1 AS INT) ^ " +
+      s"CAST(instr('0123456789abcdef', substring($b, j+1, 1)) - 1 AS INT))), 0, (acc, x) -> acc + x)")
+
   def phashNearDup(s: SparkSession, dir: String, maxHamming: Int = 8,
       bandChars: Int = 2): DataFrame = {
     // bandChars is the q24-style bucket-size knob: nBands = 16 /
@@ -87,14 +105,7 @@ object Multimodal {
     // (same subset property as q24's bandBits, spec-pinned).
     require(16 % bandChars == 0, "bandChars must divide 16")
     val nBands = 16 / bandChars
-    val h = Tables.documents(s, dir)
-      .filter(length(col("text")) >= 65)
-      .withColumn("bits", expr(
-        "transform(sequence(1, 64), i -> IF(ascii(substring(text, i, 1)) < ascii(substring(text, i + 1, 1)), 1, 0))"))
-      .select(col("doc_id"), expr(
-        "concat_ws('', transform(sequence(0, 15), j -> substring('0123456789abcdef', " +
-          "element_at(bits, j*4+1)*8 + element_at(bits, j*4+2)*4 + " +
-          "element_at(bits, j*4+3)*2 + element_at(bits, j*4+4) + 1, 1)))").as("dhash"))
+    val h = dhashes(s, dir)
     val bands = h.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> substring(dhash, b*$bandChars + 1, $bandChars))"))
       .as(Seq("band", "band_key")))
@@ -255,5 +266,38 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"), col("n_transitions"),
         col("n_cuts"),
         expr("ham_sum * 1000 div nullif(n_transitions, 0)").as("mean_ham_milli"))
+  }
+
+  /** q255: IMAGE↔TEXT ALIGNMENT filter — the LAION/CLIP-style "does
+    * the caption match the image" gate a multimodal training
+    * pipeline runs before paying for a pair: each doc's binary
+    * (image stand-in) is encoded to a 64-bit code (the q113 dHash),
+    * its text to another (q23's SimHash), and the pair's alignment
+    * distance is their Hamming distance. The ENCODERS are the
+    * clearly-marked stubs (a real pipeline swaps in CLIP image/text
+    * embeddings and cosine — this container has no model weights);
+    * the PLUMBING is the real thing and is what the gate pins:
+    * pair-wise scoring stays narrow/codegen per row (no shuffle
+    * until the rollup), the per-source report prices each feed's
+    * alignment quality, and the threshold count is the drop
+    * decision. Docs under 65 bytes carry no dHash and are excluded
+    * (mirrored by the oracle). Stub distances are ~Binomial(64, ½)
+    * — the audit shape, not a quality claim. */
+  def alignmentFilter(s: SparkSession, dir: String,
+      threshold: Int = 40): DataFrame = {
+    val img = dhashes(s, dir)
+    val txt = Dedup.simhash(s, dir)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    img.join(txt.hint("shuffle_hash"), "doc_id")
+      .join(src.hint("shuffle_hash"), "doc_id")
+      .withColumn("dist", hexHamming64("dhash", "simhash").cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(dist) * 1000 div count(1)").as("mean_dist_milli"),
+        max(col("dist")).as("max_dist"),
+        sum(when(col("dist") > threshold, 1L).otherwise(0L))
+          .as("n_misaligned"))
+      .withColumn("misaligned_ppm",
+        expr("n_misaligned * 1000000 div n_pairs"))
   }
 }

@@ -100,7 +100,10 @@ class PlanLintSpec extends SparkSpec {
         "q248" -> TextAnalysis.vocabCoverage(spark, sfDir),
         "q249" -> Incremental.ivmJoin(spark, sfDir),
         "q250" -> Sketch.kmvOverlap(spark, sfDir),
-        "q251" -> Bucketing.partitionBloomAudit(spark, sfDir))) {
+        "q251" -> Bucketing.partitionBloomAudit(spark, sfDir),
+        "q253" -> Events.stlDecompose(spark, sfDir),
+        "q254" -> Events.windowFunnel(spark, sfDir),
+        "q255" -> Multimodal.alignmentFilter(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

@@ -229,6 +229,65 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q253 STL decomposition ------------------------------------
+
+  test("stl: constant series decomposes to zero seasonal and residual") {
+    val flat = (0L until 96L).map(h => (h, 42L)).toDF("h", "n")
+    val rows = Events.stlFrom(flat).collect()
+    assert(rows.length === 24)
+    for (r <- rows) {
+      assert(r.getLong(2) === 0L, "seasonal")
+      assert(r.getLong(3) === 0L, "mean abs resid")
+      assert(r.getLong(4) === 0L, "max abs resid")
+    }
+  }
+
+  test("stl: a daily cycle lands in the seasonal column, not residual") {
+    // hod 5 carries +24 traffic every day; 10 days of data
+    val cyc = (0L until 240L).map(h =>
+      (h, 100L + (if (h % 24 == 5) 24L else 0L))).toDF("h", "n")
+    val rows = Events.stlFrom(cyc).collect()
+    val best = rows.maxBy(_.getLong(2))
+    assert(best.getLong(0) === 5L, "seasonal peak at the boosted hour")
+    assert(best.getLong(2) > 20000L, "most of the +24 is seasonal")
+    assert(rows.map(_.getLong(3)).max < 3000L,
+      "residual magnitude well below the cycle amplitude")
+  }
+
+  // ---- q254 window funnel ----------------------------------------
+
+  test("window funnel: bounded by the unbounded funnel, sane delays") {
+    val rows = Events.windowFunnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1), "conversions <= users")
+      assert(r.getLong(3) <= 1000000L)
+      if (!r.isNullAt(4))
+        assert(r.getLong(4) <= 86400000L, "delay within the 24h box")
+    }
+    // the 24h box can only lose conversions vs q16's unbounded funnel
+    val unbounded = Events.windowFunnel(spark, sfDir,
+      windowMicros = Long.MaxValue / 2).collect().map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(2)).sum <= unbounded)
+  }
+
+  // ---- q255 alignment filter -------------------------------------
+
+  test("alignment filter: distances bounded by 64 bits, counts consistent") {
+    val rows = graft.operators.Multimodal.alignmentFilter(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocs65 = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 65).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs65,
+      "every >=65-byte doc scored exactly once")
+    for (r <- rows) {
+      assert(r.getLong(3) <= 64L, "hamming over 64-bit codes")
+      assert(r.getLong(4) <= r.getLong(1))
+      assert(r.getLong(5) === r.getLong(4) * 1000000L / r.getLong(1))
+    }
+  }
+
   // ---- q249 IVM join ---------------------------------------------
 
   test("ivm join: quadrants partition the full join exactly") {
