@@ -269,6 +269,9 @@ object SparkEntry {
     "q253_stl_decompose"    -> (Events.stlDecompose _),
     "q254_window_funnel"    -> ((s, d) => Events.windowFunnel(s, d)),
     "q255_alignment_filter" -> ((s, d) => Multimodal.alignmentFilter(s, d)),
+    "q256_copurchase_topk"  -> ((s, d) => Relational.copurchaseTopK(s, d)),
+    "q257_csv_ingest"       -> (Pipeline.csvIngest _),
+    "q258_dynamic_pruning"  -> (Bucketing.dynamicPartitionPruning _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5083,6 +5086,47 @@ object SparkEntry {
         | CAST(sum(CASE WHEN dist > 40 THEN 1 ELSE 0 END) * 1000000
         |   // count(*) AS BIGINT) AS misaligned_ppm
         |FROM pj GROUP BY 1""".stripMargin,
+    // q256: exact integer lift; ties broken by partner id asc on
+    // both engines.
+    "q256_copurchase_topk" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |fr AS (SELECT l_partkey, count(*) AS f FROM it GROUP BY 1),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM it),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |  count(*) AS n_pairs
+        | FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |l AS (SELECT pa, pb,
+        |  CAST(CAST(n_pairs AS HUGEINT) * n_orders * 1000000
+        |   // (CAST(fa.f AS HUGEINT) * fb.f) AS BIGINT) AS lift_micro
+        | FROM p JOIN fr fa ON fa.l_partkey = pa
+        |  JOIN fr fb ON fb.l_partkey = pb CROSS JOIN t),
+        |sym AS (SELECT pa AS part, pb AS partner, lift_micro FROM l
+        | UNION ALL SELECT pb, pa, lift_micro FROM l),
+        |r AS (SELECT part, partner, lift_micro, row_number() OVER (
+        |  PARTITION BY part ORDER BY lift_micro DESC, partner) AS rank
+        | FROM sym)
+        |SELECT CAST(part AS BIGINT) AS part, CAST(rank AS BIGINT) AS rank,
+        | CAST(partner AS BIGINT) AS partner, lift_micro
+        |FROM r WHERE rank <= 3""".stripMargin,
+    // q257: the CSV round-trip + quarantine must lose nothing — the
+    // oracle computes the same report arithmetically.
+    "q257_csv_ingest" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_quarantined,
+        | CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE n_chars END)
+        |   AS BIGINT) AS clean_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q258: layout + runtime pruning never change results.
+    "q258_dynamic_pruning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events
+        |WHERE ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6)
+        |GROUP BY 1""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

@@ -326,4 +326,56 @@ object Bucketing {
         expr("(n_days - coalesce(hit_days, 0)) * 1000000 div n_days")
           .as("skip_ppm"))
   }
+
+  /** q258: DYNAMIC PARTITION PRUNING — the runtime half of q138's
+    * layout story: static pruning needs the day literal IN the
+    * query; production queries filter a DIMENSION ("weekend days")
+    * and the partition set is only known at runtime. Spark's DPP
+    * injects the dim-side filter result as a subquery into the
+    * fact scan's PartitionFilters (a DynamicPruningExpression — the
+    * broadcast feeding both the join and the scan), so only the
+    * qualifying day directories are ever opened — at 100 TB the
+    * difference between scanning 2/7 of the lake and all of it.
+    * Gate: events staged day-partitioned (q138's layout), a
+    * day-dimension built from the span with dow = (day+4)%7
+    * (0=Sunday), weekend dim rows joined against the fact on the
+    * partition column; the plan pin (PlanSpec) asserts the
+    * dynamicpruning subquery is present; the oracle filters the raw
+    * table with the same dow arithmetic — layout and pruning never
+    * change results. */
+  def dynamicPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q258", dir)
+    Tables.events(s, dir)
+      .withColumn("day", expr("ts div 86400000000"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$stage/events_p")
+    dppJoined(s, dir, s"$stage/events_p")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  /** q258's fact⋈dim join over the already-staged layout — exposed
+    * so PlanSpec can pin the DynamicPruningExpression on the scan
+    * (run [[dynamicPartitionPruning]] first to stage; this resolves
+    * the SAME path WITHOUT stagingRoot's fresh-start delete). */
+  private[graft] def dppStagedJoin(s: SparkSession, dir: String): DataFrame = {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val stage = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-q258-$dirKey").toString
+    dppJoined(s, dir, s"$stage/events_p")
+  }
+
+  private def dppJoined(s: SparkSession, dir: String,
+      factPath: String): DataFrame = {
+    val dim = Tables.events(s, dir)
+      .agg(expr("min(ts div 86400000000)").as("d0"),
+        expr("max(ts div 86400000000)").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+      .filter(col("dow").isin(0L, 6L))
+    s.read.parquet(factPath).join(broadcast(dim), "day")
+  }
 }

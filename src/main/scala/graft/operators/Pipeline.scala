@@ -470,4 +470,42 @@ object Pipeline {
         md5(concat_ws(" ", slice(col("toks"),
           (col("tok_start") + 1).cast("int"), col("n_toks").cast("int")))
           .cast("binary")).as("chunk_hash"))
+
+  /** q257: CSV INGESTION ROBUSTNESS — schema-on-read with PERMISSIVE
+    * corrupt-record capture, the front door every external feed comes
+    * through before any operator here sees it: a malformed row must
+    * become a COUNTED quarantine row, never a job failure (FAILFAST
+    * at 100 TB = one bad byte kills a day of compute) and never a
+    * silent drop (DROPMALFORMED = unmeasured data loss). The gate
+    * stages the document metadata as CSV with a DETERMINISTIC
+    * corruption (every doc_id ≡ 0 mod 50 ships `n_chars` as
+    * unparseable text — a type violation, the real-world "header
+    * drifted / locale changed" failure), reads it back with an
+    * explicit schema + `_corrupt` capture column, and reports per
+    * source: rows, quarantined rows, and the n_chars sum over clean
+    * rows. The oracle computes the same numbers arithmetically from
+    * the raw table — the CSV round-trip and quarantine must lose
+    * nothing. (Fields here are alphanumeric, so no quoting ambiguity
+    * clouds what "corrupt" means.) */
+  def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q257", dir)
+    Tables.documents(s, dir)
+      .select(when(col("doc_id") % 50 === 0,
+          concat_ws(",", col("doc_id"), col("lang"), col("source"),
+            concat(lit("x"), col("n_chars"))))
+        .otherwise(concat_ws(",", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))).as("value"))
+      .write.mode("overwrite").text(s"$stage/csv")
+    s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$stage/csv")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("_corrupt").isNull, col("n_chars")).otherwise(0L))
+          .as("clean_chars"))
+  }
 }

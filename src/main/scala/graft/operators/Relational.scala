@@ -350,6 +350,51 @@ object Relational {
           / (col("fa") * col("fb")).cast("double"), 4).as("lift"))
   }
 
+  /** q256: CO-PURCHASE TOP-K — q141's association rules turned into
+    * the item-item SERVING TABLE a recommender actually reads ("the
+    * 3 best partners for part X"): pair lift recomputed as EXACT
+    * integer micro (n_pairs·n_orders·10⁶ div (fa·fb), Decimal(38,0)
+    * products — double lift would tie-break on float noise), edges
+    * symmetrized, and the per-part top-k selected by the bounded
+    * TopK aggregator — the shuffle carries ≤ k rows per (partition ×
+    * part), never a window sort of the full pair table (q11's rank
+    * window is the shape this replaces at serving scale).
+    * Deterministic total order: lift desc, partner id asc. Output:
+    * (part, rank, partner, lift_micro). */
+  def copurchaseTopK(s: SparkSession, dir: String, k: Int = 3,
+      minPairs: Long = 2L): DataFrame = {
+    import graft.functions.TopK
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+    val total = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairs)
+      .join(freq.toDF("pa", "fa").hint("shuffle_hash"), "pa")
+      .join(freq.toDF("pb", "fb").hint("shuffle_hash"), "pb")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_micro", expr(
+        "cast(cast(n_pairs as decimal(38,0)) * n_orders * 1000000" +
+          " div (cast(fa as decimal(38,0)) * fb) as bigint)"))
+    val sym = pairs.select(col("pa").as("part"), col("pb").as("partner"),
+        col("lift_micro"))
+      .unionByName(pairs.select(col("pb").as("part"), col("pa").as("partner"),
+        col("lift_micro")))
+    sym.groupBy(col("part"))
+      // TopK orders by (score desc, id asc); lift_micro < 2^53 is
+      // exact as a double
+      .agg(TopK.topk(k)(col("partner"), col("lift_micro").cast("double"))
+        .as("top"))
+      .select(col("part"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("part"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("partner"), col("t.score").cast("long").as("lift_micro"))
+  }
+
   /** q167: frequent 3-ITEMSETS — q141's association mining one level
     * deeper (pair rules recommend items; triple rules catch the
     * bundle effects pairs factor apart). Same BOUNDED-BASKET scale
@@ -714,10 +759,13 @@ object Relational {
         count(lit(1)).as("freq"),
         sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
     val anchor = perCust.agg(max(col("last_order")).as("anchor"))
+    // customer-grain rows, scanned by three scorer passes (histogram
+    // + assignment each) — pin once instead of re-aggregating orders
     val base = perCust.crossJoin(broadcast(anchor))
       .withColumn("r_days",
         datediff(col("anchor").cast("date"), col("last_order").cast("date"))
           .cast("long"))
+      .localCheckpoint()
     val scored = quantileScore(
       quantileScore(
         quantileScore(base, "r_days", 1L, 5, "r_raw"),

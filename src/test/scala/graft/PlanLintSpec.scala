@@ -103,7 +103,10 @@ class PlanLintSpec extends SparkSpec {
         "q251" -> Bucketing.partitionBloomAudit(spark, sfDir),
         "q253" -> Events.stlDecompose(spark, sfDir),
         "q254" -> Events.windowFunnel(spark, sfDir),
-        "q255" -> Multimodal.alignmentFilter(spark, sfDir))) {
+        "q255" -> Multimodal.alignmentFilter(spark, sfDir),
+        "q256" -> Relational.copurchaseTopK(spark, sfDir),
+        "q257" -> Pipeline.csvIngest(spark, sfDir),
+        "q258" -> Bucketing.dynamicPartitionPruning(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

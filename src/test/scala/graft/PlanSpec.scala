@@ -88,6 +88,16 @@ class PlanSpec extends SparkSpec {
       s"day predicate did not become a partition filter:\n$p")
   }
 
+  test("q258 dim filter becomes a DYNAMIC partition-pruning subquery") {
+    import org.apache.spark.sql.execution.ExplainMode
+    // stage the partitioned layout once, then pin the join's plan
+    Bucketing.dynamicPartitionPruning(spark, sfDir).collect() // stages
+    val p = Bucketing.dppStagedJoin(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"dim filter did not become a dynamic pruning subquery:\n$p")
+  }
+
   test("star-schema joins broadcast the dimension side") {
     val p = plan(Relational.regionSales(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), "q04 lost its broadcast joins")

@@ -288,6 +288,41 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q256 co-purchase top-k ------------------------------------
+
+  test("copurchase topk: dense ranks 1..k, symmetric edge consistency") {
+    val rows = Relational.copurchaseTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byPart = rows.groupBy(_.getLong(0))
+    for ((_, rs) <- byPart) {
+      assert(rs.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rs.length.toLong), "dense ranks")
+      val lifts = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(lifts.sorted.reverse.toSeq === lifts.toSeq, "lift descending")
+      assert(rs.length <= 3)
+    }
+    // symmetry: if (a, b) is in the pair set, b appears under a and
+    // a under b with the SAME lift whenever both make their top-3
+    val asMap = rows.map(r =>
+      (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    for (((a, b), lift) <- asMap; l2 <- asMap.get((b, a)))
+      assert(l2 === lift, s"asymmetric lift for ($a,$b)")
+  }
+
+  // ---- q257 CSV ingest -------------------------------------------
+
+  test("csv ingest: quarantine counts exactly the injected corruption") {
+    val rows = graft.operators.Pipeline.csvIngest(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val nBad = docs.filter(col("doc_id") % 50 === 0).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "no row lost in transit")
+    assert(rows.map(_.getLong(2)).sum === nBad, "quarantine = injected set")
+    val cleanChars = docs.filter(col("doc_id") % 50 =!= 0)
+      .agg(sum(col("n_chars"))).as[Long].head()
+    assert(rows.map(_.getLong(3)).sum === cleanChars)
+  }
+
   // ---- q249 IVM join ---------------------------------------------
 
   test("ivm join: quadrants partition the full join exactly") {
