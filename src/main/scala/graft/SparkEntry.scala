@@ -272,6 +272,9 @@ object SparkEntry {
     "q256_copurchase_topk"  -> ((s, d) => Relational.copurchaseTopK(s, d)),
     "q257_csv_ingest"       -> (Pipeline.csvIngest _),
     "q258_dynamic_pruning"  -> (Bucketing.dynamicPartitionPruning _),
+    "q259_temporal_split"   -> (Pipeline.temporalSplit _),
+    "q260_jl_projection"    -> ((s, d) => Similarity.jlProjection(s, d)),
+    "q261_twohop_reach"     -> (Dedup.twoHopReach _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5127,6 +5130,73 @@ object SparkEntry {
         |FROM events
         |WHERE ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6)
         |GROUP BY 1""".stripMargin,
+    "q259_temporal_split" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |  FROM events),
+        |c AS (SELECT t0 + (t1 - t0) * 8 // 10 AS cut FROM b),
+        |u AS (SELECT user_id,
+        |  sum(CASE WHEN epoch_us(ts) < cut THEN 1 ELSE 0 END) AS n_tr,
+        |  sum(CASE WHEN epoch_us(ts) >= cut THEN 1 ELSE 0 END) AS n_te
+        | FROM events CROSS JOIN c GROUP BY 1)
+        |SELECT CASE WHEN n_tr > 0 AND n_te > 0 THEN 'both'
+        |  WHEN n_tr > 0 THEN 'train_only' ELSE 'test_only' END AS class,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(n_tr) AS BIGINT) AS n_train_events,
+        | CAST(sum(n_te) AS BIGINT) AS n_test_events
+        |FROM u GROUP BY 1""".stripMargin,
+    // q260: the ±1 sign matrix is md5('jl|i|j') parity — replayed
+    // cell-for-cell; every distance/ratio is integer.
+    "q260_jl_projection" ->
+      s"""WITH m AS (SELECT i.range AS i, j.range AS j,
+        |  (${hex8Sql("concat('jl|', i.range, '|', j.range)")} & 1) * 2 - 1
+        |    AS sgn
+        | FROM range(64) i, range(16) j),
+        |xm AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        | FROM embeddings
+        | WHERE ${hex8Sql("concat('jlv|', vec_id)")} % 5 = 0),
+        |yx AS (SELECT vec_id, j, sum(xm[CAST(i + 1 AS INTEGER)] * sgn) AS y
+        | FROM xm JOIN m ON true GROUP BY 1, 2),
+        |yv AS (SELECT vec_id, list(y ORDER BY j) AS y FROM yx GROUP BY 1),
+        |pr AS (SELECT a.vec_id AS a, b.vec_id AS b, a.xm AS xa, b.xm AS xb
+        | FROM xm a JOIN xm b ON a.vec_id < b.vec_id
+        | WHERE ${hex8Sql("concat('jlp|', a.vec_id, '|', b.vec_id)")}
+        |   % 100 = 0),
+        |dd AS (SELECT pr.a, pr.b,
+        |  list_sum(list_transform(range(64), i ->
+        |   (xa[CAST(i + 1 AS INTEGER)] - xb[CAST(i + 1 AS INTEGER)])
+        |   * (xa[CAST(i + 1 AS INTEGER)] - xb[CAST(i + 1 AS INTEGER)]))) AS d2o,
+        |  list_sum(list_transform(range(16), i ->
+        |   (ya.y[CAST(i + 1 AS INTEGER)] - yb.y[CAST(i + 1 AS INTEGER)])
+        |   * (ya.y[CAST(i + 1 AS INTEGER)] - yb.y[CAST(i + 1 AS INTEGER)]))) AS d2p
+        | FROM pr JOIN yv ya ON ya.vec_id = pr.a
+        |  JOIN yv yb ON yb.vec_id = pr.b),
+        |r AS (SELECT CAST(CAST(d2p AS HUGEINT) * 1000000
+        |   // (CAST(d2o AS HUGEINT) * 16) AS BIGINT) AS ratio_ppm
+        | FROM dd WHERE d2o > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm,
+        | CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+        | CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+        |FROM r""".stripMargin,
+    // q261: one wedge join + distinct over the symmetrized q22 graph.
+    "q261_twohop_reach" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |e AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM e
+        | UNION SELECT d2, d1 FROM e),
+        |two AS (SELECT a.v, b.u FROM adj a JOIN adj b ON a.u = b.v),
+        |rch AS (SELECT v, count(DISTINCT u) AS reach2 FROM (
+        |  SELECT v, u FROM adj UNION SELECT v, u FROM two) t
+        | WHERE v <> u GROUP BY 1),
+        |dg AS (SELECT v, count(*) AS degree FROM adj GROUP BY 1)
+        |SELECT dg.v AS doc_id, CAST(degree AS BIGINT) AS degree,
+        | CAST(reach2 AS BIGINT) AS reach2,
+        | CAST(reach2 * 1000000 // degree AS BIGINT) AS amplification_ppm
+        |FROM dg JOIN rch ON dg.v = rch.v""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

@@ -1286,6 +1286,34 @@ object Dedup {
     * budget actually buys), and retention (effective/total, ppm):
     * the per-source "how much of this feed is really new content"
     * number that prices a crawl refresh. */
+  /** q261: TWO-HOP REACH — the neighborhood-growth audit of the
+    * near-dup graph (degree q170 sees one hop; components q59 see
+    * the closure; the 2-hop shell in between is what predicts how
+    * fast q59's propagation will EXPLODE a cluster, and which nodes
+    * are one merge away from joining a mega-component — the "blast
+    * radius" number per doc). reach2(v) = |{u ≠ v reachable in ≤ 2
+    * hops}| via ONE adjacency self-join on the shared middle vertex
+    * (Σ deg(m)² bounded — the same wedge budget q129's triangles
+    * already price) + a distinct; amplification = reach2·10⁶ div
+    * degree says how much bigger the 2-hop shell is than the
+    * 1-hop. */
+  def twoHopReach(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashLsh(s, dir)
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+      .distinct().localCheckpoint()
+    val two = adj.toDF("v", "m")
+      .join(adj.toDF("m", "u").hint("shuffle_hash"), "m")
+      .select(col("v"), col("u"))
+    val reach = adj.unionByName(two)
+      .filter(col("v") =!= col("u")).distinct()
+      .groupBy(col("v")).agg(count(lit(1)).as("reach2"))
+    adj.groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .join(reach, Seq("v"))
+      .select(col("v").as("doc_id"), col("degree"), col("reach2"),
+        expr("reach2 * 1000000 div degree").as("amplification_ppm"))
+  }
+
   def softdedupWeights(s: SparkSession, dir: String): DataFrame = {
     val comp = dedupComponents(s, dir)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))

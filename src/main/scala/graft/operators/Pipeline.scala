@@ -487,6 +487,35 @@ object Pipeline {
     * the raw table — the CSV round-trip and quarantine must lose
     * nothing. (Fields here are alphanumeric, so no quoting ambiguity
     * clouds what "corrupt" means.) */
+  /** q259: TEMPORAL SPLIT + ENTITY-LEAKAGE audit — the time-based
+    * train/test cut evaluation actually requires (q146 audits
+    * CONTENT leakage between random splits; a temporal model eval
+    * needs train strictly BEFORE test, and the subtler leak is the
+    * ENTITY: a user active on both sides lets the model memorize
+    * user-specific behavior and call it generalization). Cut at 80%
+    * of the event-time span (exact integer micros); per user one
+    * map-side-combinable conditional agg classifies train_only /
+    * test_only / both; the ≤3-row report carries users and event
+    * volumes per class — `both` is the population a leakage-clean
+    * eval must hold out or stratify, `test_only` users are the true
+    * cold-start set. One corpus scan, one user-keyed agg. */
+  def temporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val cut = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(expr("t0 + (t1 - t0) * 8 div 10").as("cut"))
+    ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < col("cut"), 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("ts") >= col("cut"), 1L).otherwise(0L)).as("n_te"))
+      .withColumn("class",
+        when(col("n_tr") > 0 && col("n_te") > 0, "both")
+          .when(col("n_tr") > 0, "train_only").otherwise("test_only"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_tr")).as("n_train_events"),
+        sum(col("n_te")).as("n_test_events"))
+  }
+
   def csvIngest(s: SparkSession, dir: String): DataFrame = {
     val stage = StreamingOps.stagingRoot("q257", dir)
     Tables.documents(s, dir)

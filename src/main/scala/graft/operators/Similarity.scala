@@ -888,4 +888,67 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id").as("neighbor_id"), round(col("rel"), 4).as("rel_cosine"))
   }
+
+  /** q260: JOHNSON–LINDENSTRAUSS PROJECTION + distortion audit —
+    * the dimensionality-reduction lever the ANN shelf hasn't priced
+    * yet (SQ8/PQ compress VALUES; JL compresses DIMENSIONS): a
+    * ±1 random-sign projection 64→16 dims shrinks every distance
+    * computation 4× while the JL lemma bounds the squared-distance
+    * distortion — and the audit MEASURES that distortion before an
+    * index commits to it (the q139/q251 price-before-you-pay
+    * pattern). Determinism end-to-end: the sign matrix is the md5
+    * parity of ('jl|i|j') — no RNG, replayed cell-for-cell by the
+    * oracle; embeddings quantize once to exact integer micros, so
+    * projections, squared distances, and the ratio
+    * proj²·(d/k) / orig² are all integer (Decimal(38,0) for the
+    * ppm cross-multiply). Pairs audited: a hash-chosen vector
+    * sample paired within itself, hash-thinned — a BOUNDED pair
+    * set, never vectors². One report row: pairs, mean/min/max
+    * ratio ppm (1e6 = distortion-free). */
+  def jlProjection(s: SparkSession, dir: String, k: Int = 16,
+      d: Int = 64): DataFrame = {
+    // md5-parity sign in {-1, +1}: same arithmetic as hex8Sql & 1
+    def sign(i: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$i|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) & 1L) * 2L - 1L
+    }
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("xm"))
+      .withColumn("y", array((0 until k).map { j =>
+        val signs = (0 until d).map(i => sign(i, j)).mkString(",")
+        expr(s"aggregate(sequence(0, ${d - 1}), 0L, (acc, i) -> " +
+          s"acc + element_at(xm, i + 1) * element_at(array($signs), i + 1))")
+      }: _*))
+    val sampled = vecs.filter(
+      pmod(Sampling.hashBucket(concat(lit("jlv|"),
+        col("vec_id").cast("string"))), lit(5L)) === 0L)
+    // bounded-sample inequality join: the hash sample is a constant
+    // fraction of the (dim-sized) vector table, broadcastable
+    val pairs = sampled.toDF("a", "xa", "ya")
+      .join(broadcast(sampled.toDF("b", "xb", "yb")), col("a") < col("b"))
+      .filter(pmod(Sampling.hashBucket(concat(lit("jlp|"),
+        col("a").cast("string"), lit("|"), col("b").cast("string"))),
+        lit(100L)) === 0L)
+    pairs
+      .withColumn("d2o", expr(
+        "aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("d2p", expr(
+        "aggregate(zip_with(ya, yb, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("d2o") > 0)
+      // E[(Σᵢ sᵢⱼ δᵢ)²] = Σ δᵢ² per output dim ⇒ E[d2p] = k·d2o: the
+      // unnormalized ±1 projection inflates squared distances by
+      // exactly k (JL's 1/√k scaling undone), so the distortion
+      // ratio divides it back out
+      .withColumn("ratio_ppm", expr(
+        s"cast(cast(d2p as decimal(38,0)) * 1000000" +
+          s" div (cast(d2o as decimal(38,0)) * $k) as bigint)"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ratio_ppm) div count(1)").as("mean_ratio_ppm"),
+        min(col("ratio_ppm")).as("min_ratio_ppm"),
+        max(col("ratio_ppm")).as("max_ratio_ppm"))
+  }
 }

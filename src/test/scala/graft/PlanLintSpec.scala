@@ -106,7 +106,9 @@ class PlanLintSpec extends SparkSpec {
         "q255" -> Multimodal.alignmentFilter(spark, sfDir),
         "q256" -> Relational.copurchaseTopK(spark, sfDir),
         "q257" -> Pipeline.csvIngest(spark, sfDir),
-        "q258" -> Bucketing.dynamicPartitionPruning(spark, sfDir))) {
+        "q258" -> Bucketing.dynamicPartitionPruning(spark, sfDir),
+        "q259" -> Pipeline.temporalSplit(spark, sfDir),
+        "q260" -> Similarity.jlProjection(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

@@ -323,6 +323,51 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum === cleanChars)
   }
 
+  // ---- q259 temporal split ---------------------------------------
+
+  test("temporal split: users and events conserved across classes") {
+    val rows = graft.operators.Pipeline.temporalSplit(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum ===
+      ev.select(countDistinct(col("user_id"))).as[Long].head())
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum === ev.count())
+    for (r <- rows) r.getString(0) match {
+      case "train_only" => assert(r.getLong(3) === 0L)
+      case "test_only"  => assert(r.getLong(2) === 0L)
+      case "both"       => assert(r.getLong(2) > 0L && r.getLong(3) > 0L)
+    }
+  }
+
+  // ---- q260 JL projection ----------------------------------------
+
+  test("jl projection: distance ratios centered near 1e6 within JL bounds") {
+    val r = graft.operators.Similarity.jlProjection(spark, sfDir).head()
+    assert(r.getLong(0) > 10L, "enough audited pairs")
+    val mean = r.getLong(1)
+    assert(mean > 700000L && mean < 1400000L,
+      s"mean squared-distance ratio $mean far from 1e6")
+    assert(r.getLong(2) > 0L, "no degenerate zero projection")
+    assert(r.getLong(2) <= mean && mean <= r.getLong(3))
+  }
+
+  // ---- q261 two-hop reach ----------------------------------------
+
+  test("two-hop reach: dominates degree, bounded by the component") {
+    val rows = Dedup.twoHopReach(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val compSizes = Dedup.dedupComponents(spark, sfDir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .join(Dedup.dedupComponents(spark, sfDir), Seq("component"))
+      .select(col("doc_id"), col("sz")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      assert(r.getLong(2) >= r.getLong(1), "reach2 includes the 1-hop shell")
+      assert(r.getLong(3) >= 1000000L)
+      assert(r.getLong(2) <= compSizes(r.getLong(0)) - 1,
+        "2-hop shell cannot exceed the component")
+    }
+  }
+
   // ---- q249 IVM join ---------------------------------------------
 
   test("ivm join: quadrants partition the full join exactly") {
