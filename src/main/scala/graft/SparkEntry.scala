@@ -275,6 +275,9 @@ object SparkEntry {
     "q259_temporal_split"   -> (Pipeline.temporalSplit _),
     "q260_jl_projection"    -> ((s, d) => Similarity.jlProjection(s, d)),
     "q261_twohop_reach"     -> (Dedup.twoHopReach _),
+    "q262_max_versions"     -> ((s, d) => Events.maxVersionsRead(s, d)),
+    "q263_consumer_lag"     -> (StreamingOps.consumerLag _),
+    "q264_abc_classes"      -> ((s, d) => Relational.abcClasses(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5197,6 +5200,64 @@ object SparkEntry {
         | CAST(reach2 AS BIGINT) AS reach2,
         | CAST(reach2 * 1000000 // degree AS BIGINT) AS amplification_ppm
         |FROM dg JOIN rch ON dg.v = rch.v""".stripMargin,
+    // q262: HBase VERSIONS=>k read — ts desc, write-order desc.
+    "q262_max_versions" ->
+      """SELECT user_id, qualifier, version, ts, value_cents, seq FROM (
+        | SELECT user_id, event_type AS qualifier,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS BIGINT) AS version,
+        |  epoch_us(ts) AS ts,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |  event_id AS seq
+        | FROM events) t
+        |WHERE version <= 3""".stripMargin,
+    // q263: per-subscription visibility + the deterministic 80-99%
+    // ack position replayed from md5('ack|name').
+    "q263_consumer_lag" -> {
+      def branch(name: String, cond: String): String =
+        s"""SELECT '$name' AS subscription,
+           | CAST(max(ack) AS BIGINT) AS ack_seq,
+           | CAST(count(*) AS BIGINT) AS n_visible,
+           | CAST(sum(CASE WHEN event_id > ack THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_pending,
+           | CAST(count(DISTINCT CASE WHEN event_id > ack THEN user_id END)
+           |   AS BIGINT) AS n_pending_keys,
+           | CAST(min(CASE WHEN event_id > ack THEN epoch_us(ts) END)
+           |   AS BIGINT) AS oldest_pending_ts,
+           | CAST(sum(CASE WHEN event_id > ack THEN 1 ELSE 0 END) * 1000000
+           |   // count(*) AS BIGINT) AS lag_ppm
+           |FROM (SELECT event_id, user_id, ts,
+           |  s0 + (s1 - s0) * (80 + ${hex8Sql(s"'ack|$name'")} % 20) // 100
+           |    AS ack
+           | FROM events CROSS JOIN b WHERE $cond) t""".stripMargin
+      s"""WITH b AS (SELECT min(event_id) AS s0, max(event_id) AS s1
+         |  FROM events)
+         |${branch("all", "true")}
+         |UNION ALL ${branch("clicks", "event_type = 'click'")}
+         |UNION ALL ${branch("purchases", "event_type = 'purchase'")}
+         |UNION ALL ${branch("payloads", "true")}""".stripMargin
+    },
+    // q264: bin-granular Pareto classes; exact per-bin mass.
+    "q264_abc_classes" ->
+      """WITH pp AS (SELECT l_partkey,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        | FROM lineitem GROUP BY 1),
+        |h AS (SELECT cents // 10000000 AS bin, count(*) AS n_parts,
+        |  sum(cents) AS mass FROM pp GROUP BY 1),
+        |c AS (SELECT bin, n_parts, mass,
+        |  coalesce(sum(mass) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS mass_above
+        | FROM h),
+        |t AS (SELECT sum(mass) AS total FROM h),
+        |k AS (SELECT CASE WHEN mass_above * 10 < total * 8 THEN 'A'
+        |   WHEN mass_above * 100 < total * 95 THEN 'B'
+        |   ELSE 'C' END AS cls, n_parts, mass, total
+        | FROM c CROSS JOIN t)
+        |SELECT cls, CAST(sum(n_parts) AS BIGINT) AS n_parts,
+        | CAST(sum(mass) AS BIGINT) AS revenue_cents,
+        | CAST(sum(mass) * 1000000 // max(total) AS BIGINT) AS share_ppm
+        |FROM k GROUP BY 1""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

@@ -1317,6 +1317,30 @@ object Events {
       .withColumn("ret_ppm", expr("n_active * 1000000 div n_cohort"))
   }
 
+  /** q262: MAX-VERSIONS read — HBase's other retention knob made a
+    * query (SURVEY §1: a column family declares VERSIONS => k and a
+    * read returns the latest k cells per (row, qualifier); q12 is
+    * the k=1 special case, q71 the time-travel cousin): per
+    * (rowkey, qualifier) keep the newest `k` cells in HBase's exact
+    * order — timestamp desc, then WRITE order desc (WAL seq — the
+    * tiebreak HBase resolves by memstore order). One partitioned
+    * rank window per (row, qualifier) — never a global sort; the
+    * heavy-history alternative is the bounded TopK aggregator, the
+    * trade documented rather than silently taken. Output: the
+    * versioned cell table (row, qualifier, version 1..k, ts, value
+    * cents, seq). */
+  def maxVersionsRead(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .filter(col("version") <= k)
+      .select(col("user_id"), col("event_type").as("qualifier"),
+        col("version"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("value_cents"),
+        col("event_id").as("seq"))
+  }
+
   /** q253: STL-style SEASONAL DECOMPOSITION of the hourly rate
     * series — trend / seasonal / residual additively separated, the
     * capacity-planning and anomaly-baseline input the rate-alarm

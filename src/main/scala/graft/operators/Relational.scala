@@ -395,6 +395,44 @@ object Relational {
         col("t.id").as("partner"), col("t.score").cast("long").as("lift_micro"))
   }
 
+  /** q264: ABC CLASSIFICATION — the inventory-management Pareto cut
+    * (class A = the parts carrying 80% of revenue, B the next 15%,
+    * C the tail) computed WITHOUT ranking the part dimension
+    * globally: per-part revenue (one fact rollup), a BOUNDED
+    * revenue-bin histogram (bin = cents div $100k — q151's
+    * machinery with exact per-bin mass, not bin·count), a desc
+    * cumulative window over that constant-size bin table, and class
+    * membership decided per BIN (a bin belongs to A while the mass
+    * strictly above it is under the 80% threshold — ties at bin
+    * granularity, the documented resolution knob). All-integer
+    * thresholds (total·8 div 10, total·95 div 100). Report: 3 rows
+    * with part counts, revenue, and realized share ppm. */
+  def abcClasses(s: SparkSession, dir: String,
+      binWidth: Long = 10000000L): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents"))
+    val hist = perPart.groupBy(expr(s"cents div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("mass"))
+    val wAbove = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("mass")).as("total"))
+    hist
+      .withColumn("mass_above", coalesce(sum(col("mass")).over(wAbove), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("mass_above") * 10 < col("total") * 8, "A")
+          .when(col("mass_above") * 100 < col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(sum(col("n_parts")).as("n_parts"),
+        sum(col("mass")).as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_parts"), col("revenue_cents"),
+        expr("revenue_cents * 1000000 div total").as("share_ppm"))
+  }
+
   /** q167: frequent 3-ITEMSETS — q141's association mining one level
     * deeper (pair rules recommend items; triple rules catch the
     * bundle effects pairs factor apart). Same BOUNDED-BASKET scale

@@ -316,6 +316,46 @@ object StreamingOps {
       Subscription("payloads", family = Some("e"), qualifier = Some("props")))
   }
 
+  /** q263: SUBSCRIPTION CONSUMER-LAG report — the per-subscription
+    * operational dashboard the SEP model implies (SURVEY §1:
+    * replication peers track their own progress; the on-call
+    * question is "how far behind is each consumer, on the mutations
+    * IT subscribes to"): per q69 subscription, the acked WAL
+    * position (deterministic synthetic acks at 80–99% of the seq
+    * span — md5('ack|name') replays in the oracle; production reads
+    * the registry), pending visible mutations past it, distinct
+    * pending keys, the oldest pending event time (the staleness
+    * number), and lag ppm of the subscription's own visible
+    * volume. One pass: the q69 array-of-structs explode tags each
+    * mutation per subscription, a broadcast seq-bounds row prices
+    * the ack, one grouped agg per subscription — |subs| rows out. */
+  def consumerLag(s: SparkSession, dir: String): DataFrame = {
+    def hex8(str: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val wal = WalSource.eventsAsWal(s, dir)
+    val entries = array(auditSubscriptions.map { sub =>
+      struct(lit(sub.name).as("subscription"),
+        sub.predicate.as("visible"),
+        lit(80L + hex8(s"ack|${sub.name}") % 20L).as("frac"))
+    }: _*)
+    val bounds = wal.agg(min(col("seq")).as("s0"), max(col("seq")).as("s1"))
+    wal.select(col("seq"), col("ts"), col("rowkey"), explode(entries).as("e"))
+      .filter(col("e.visible"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("ack", expr("s0 + (s1 - s0) * e.frac div 100"))
+      .groupBy(col("e.subscription").as("subscription"))
+      .agg(max(col("ack")).as("ack_seq"),
+        count(lit(1)).as("n_visible"),
+        sum(when(col("seq") > col("ack"), 1L).otherwise(0L)).as("n_pending"),
+        countDistinct(when(col("seq") > col("ack"), col("rowkey")))
+          .as("n_pending_keys"),
+        min(when(col("seq") > col("ack"), col("ts")))
+          .as("oldest_pending_ts"))
+      .withColumn("lag_ppm", expr("n_pending * 1000000 div n_visible"))
+  }
+
   /** q76: effectively-once replay audit — the WAL delivered twice
     * (at-least-once), deduplicated on the sequence number, must equal
     * single delivery. The batch form of streaming.ExactlyOnce's

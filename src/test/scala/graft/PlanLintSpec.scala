@@ -108,7 +108,10 @@ class PlanLintSpec extends SparkSpec {
         "q257" -> Pipeline.csvIngest(spark, sfDir),
         "q258" -> Bucketing.dynamicPartitionPruning(spark, sfDir),
         "q259" -> Pipeline.temporalSplit(spark, sfDir),
-        "q260" -> Similarity.jlProjection(spark, sfDir))) {
+        "q260" -> Similarity.jlProjection(spark, sfDir),
+        "q262" -> Events.maxVersionsRead(spark, sfDir),
+        "q263" -> StreamingOps.consumerLag(spark, sfDir),
+        "q264" -> Relational.abcClasses(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Bucketing, Dedup, Events, Incremental, RangeJoin,
-  Relational, Sketch, TextAnalysis}
+  Relational, Sketch, StreamingOps, TextAnalysis}
 
 /** Semantics pins for the round-8 warehouse/analytics closers:
   * q241 RFM segmentation, q242 CUSUM changepoints, q243 soft-dedup
@@ -366,6 +366,57 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(r.getLong(2) <= compSizes(r.getLong(0)) - 1,
         "2-hop shell cannot exceed the component")
     }
+  }
+
+  // ---- q262 max versions -----------------------------------------
+
+  test("max versions: at most 3 per (row, qualifier), newest first") {
+    val rows = Events.maxVersionsRead(spark, sfDir).collect()
+    val byKey = rows.groupBy(r => (r.getLong(0), r.getString(1)))
+    for ((_, vs) <- byKey) {
+      assert(vs.length <= 3)
+      val sorted = vs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to vs.length.toLong))
+      // version order is (ts desc, seq desc)
+      val keys = sorted.map(r => (r.getLong(3), r.getLong(5)))
+      assert(keys.sortBy(k => (-k._1, -k._2)).toSeq === keys.toSeq)
+    }
+    val nGroups = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(byKey.size.toLong === nGroups, "every (row, qualifier) represented")
+  }
+
+  // ---- q263 consumer lag -----------------------------------------
+
+  test("consumer lag: visibility and lag bounds per subscription") {
+    val rows = StreamingOps.consumerLag(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("all", "clicks", "purchases", "payloads"))
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows("all").getLong(2) === nEvents)
+    assert(rows("payloads").getLong(2) === nEvents,
+      "every mutation carries a props cell")
+    for ((_, r) <- rows) {
+      assert(r.getLong(3) <= r.getLong(2), "pending <= visible")
+      assert(r.getLong(6) <= 220000L,
+        "acks at 80-99% of the span keep lag near-bounded")
+      if (r.getLong(3) > 0) assert(!r.isNullAt(5), "staleness present")
+    }
+  }
+
+  // ---- q264 ABC classes ------------------------------------------
+
+  test("abc: shares partition, A covers >= 80%, parts conserved") {
+    val rows = Relational.abcClasses(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("A", "B", "C"))
+    assert(rows("A").getLong(3) >= 800000L, "A reaches the 80% mass")
+    assert(rows("A").getLong(3) + rows("B").getLong(3) >= 950000L)
+    val sharesSum = rows.values.map(_.getLong(3)).sum
+    assert(sharesSum >= 999998L && sharesSum <= 1000000L, "ppm partition")
+    val nParts = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).as[Long].head()
+    assert(rows.values.map(_.getLong(1)).sum === nParts)
   }
 
   // ---- q249 IVM join ---------------------------------------------
