@@ -278,6 +278,9 @@ object SparkEntry {
     "q262_max_versions"     -> ((s, d) => Events.maxVersionsRead(s, d)),
     "q263_consumer_lag"     -> (StreamingOps.consumerLag _),
     "q264_abc_classes"      -> ((s, d) => Relational.abcClasses(s, d)),
+    "q265_spike_attribution" -> (Events.spikeAttribution _),
+    "q267_event_debounce"   -> ((s, d) => Events.eventDebounce(s, d)),
+    "q268_sql_api"          -> (Relational.sqlApi _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5258,6 +5261,59 @@ object SparkEntry {
         | CAST(sum(mass) AS BIGINT) AS revenue_cents,
         | CAST(sum(mass) * 1000000 // max(total) AS BIGINT) AS share_ppm
         |FROM k GROUP BY 1""".stripMargin,
+    // q265: per-type trailing windows aligned to the total's
+    // present-hour axis; spike predicate is q163's cross-multiply.
+    "q265_spike_attribution" ->
+      """WITH bt AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+        |  count(*) AS nt FROM events GROUP BY 1, 2),
+        |t AS (SELECT h, sum(nt) AS n FROM bt GROUP BY 1),
+        |tw AS (SELECT h, n,
+        |  sum(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s24,
+        |  count(n) OVER (ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS c24 FROM t),
+        |g AS (SELECT t.h, et.event_type, coalesce(nt, 0) AS nt
+        | FROM t CROSS JOIN (SELECT DISTINCT event_type FROM bt) et
+        | LEFT JOIN bt ON bt.h = t.h AND bt.event_type = et.event_type),
+        |tg AS (SELECT h, event_type, nt,
+        |  sum(nt) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS st24 FROM g)
+        |SELECT CAST(tg.h AS BIGINT) AS h, tg.event_type,
+        | CAST(nt AS BIGINT) AS nt,
+        | CAST(st24 * n * 1000 // s24 AS BIGINT) AS expected_milli,
+        | CAST(nt * 1000 - st24 * n * 1000 // s24 AS BIGINT)
+        |   AS contribution_milli
+        |FROM tg JOIN tw ON tg.h = tw.h
+        |WHERE c24 = 24 AND (n * 24000000) // s24 > 2000000""".stripMargin,
+    // q267: burst-collapse debounce — drop if within gap of the
+    // PREDECESSOR (kept or dropped), q14's lag shape.
+    "q267_event_debounce" ->
+      """WITH l AS (SELECT event_type, epoch_us(ts) AS ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id) AS prev
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN prev IS NOT NULL AND ts - prev <= 3600000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | CAST(count(*) - sum(CASE WHEN prev IS NOT NULL
+        |   AND ts - prev <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN prev IS NOT NULL AND ts - prev <= 3600000000
+        |   THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS drop_ppm
+        |FROM l GROUP BY 1""".stripMargin,
+    // q268: the SQL surface must be the same engine — q01's oracle.
+    "q268_sql_api" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

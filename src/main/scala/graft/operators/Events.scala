@@ -1341,6 +1341,68 @@ object Events {
         col("event_id").as("seq"))
   }
 
+  /** q265: SPIKE ATTRIBUTION — the drill-down that answers the page
+    * q163 opens ("hour H spiked — WHY?"): for every spike hour, each
+    * event type's observed count vs what its own trailing-24h share
+    * of traffic predicts (expected = share_type · hour_total), and
+    * the signed contribution — the root-cause table an on-call reads
+    * before blaming a deploy. Alignment subtlety handled, not
+    * wished away: the per-type trailing windows run over the SAME
+    * present-hour axis as the total's (types gridded to the hour
+    * set with zero fills), so "trailing 24" means the same 24 hours
+    * in numerator and denominator. All integer milli; the spike
+    * predicate is exactly q163's cross-multiply. */
+  def spikeAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byType = Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("nt"))
+    val totals = byType.groupBy(col("h")).agg(sum(col("nt")).as("n"))
+    val wTot = Window.orderBy(col("h")).rowsBetween(-24, -1)
+    val tot = totals
+      .withColumn("s24", sum(col("n")).over(wTot))
+      .withColumn("c24", count(col("n")).over(wTot))
+    val grid = totals.select(col("h"))
+      .crossJoin(broadcast(byType.select(col("event_type")).distinct()))
+      .join(byType, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+    val wType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    grid.withColumn("st24", sum(col("nt")).over(wType))
+      .join(tot, Seq("h"))
+      .filter(col("c24") === 24 &&
+        expr("(n * 24000000L) div s24") > 2000000L)
+      .select(col("h"), col("event_type"), col("nt"),
+        expr("st24 * n * 1000 div s24").as("expected_milli"),
+        expr("nt * 1000 - st24 * n * 1000 div s24")
+          .as("contribution_milli"))
+  }
+
+  /** q267: EVENT DEBOUNCE — near-duplicate event collapse, the CDC
+    * hygiene between exact dedup (q86: same id) and sessionization
+    * (q14: 30-min behavioral gaps): an at-least-once client retry or
+    * a double-fired tracker emits the SAME (user, type) again within
+    * a short window, and counting it twice corrupts every downstream
+    * rate. Burst-collapse semantics (the standard debounce): an
+    * event within `gap` of its PREDECESSOR in the (user, type)
+    * stream is dropped, so a chain of rapid repeats keeps only its
+    * first — the q14 lag/cumsum shape per (user, type), never a
+    * self-join. Report per type: events, dropped, kept, drop ppm. */
+  def eventDebounce(s: SparkSession, dir: String,
+      gapMicros: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("dup",
+        when(col("prev").isNotNull &&
+          col("ts") - col("prev") <= gapMicros, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("dup")).as("n_dropped"))
+      .withColumn("n_kept", col("n_events") - col("n_dropped"))
+      .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_events"))
+  }
+
   /** q253: STL-style SEASONAL DECOMPOSITION of the hourly rate
     * series — trend / seasonal / residual additively separated, the
     * capacity-planning and anomaly-baseline input the rate-alarm

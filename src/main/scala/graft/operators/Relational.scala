@@ -395,6 +395,31 @@ object Relational {
         col("t.id").as("partner"), col("t.score").cast("long").as("lift_micro"))
   }
 
+  /** q268: SQL-API surface — q01's pricing summary submitted as
+    * LITERAL SQL text through `spark.sql` over registered temp views
+    * (the other half of "a user of the reference could run every
+    * query they run today": the DataFrame API and the SQL string
+    * must be the same engine — same Catalyst plan, same oracle).
+    * Production maps the parquet dirs into a catalog; the temp-view
+    * registration here is that seam at test scale. */
+  def sqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+          AS sum_charge,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(1) AS count_order
+      FROM graft_lineitem
+      WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
+      GROUP BY l_returnflag, l_linestatus""")
+  }
+
   /** q264: ABC CLASSIFICATION — the inventory-management Pareto cut
     * (class A = the parts carrying 80% of revenue, B the next 15%,
     * C the tail) computed WITHOUT ranking the part dimension

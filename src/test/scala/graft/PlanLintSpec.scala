@@ -111,7 +111,10 @@ class PlanLintSpec extends SparkSpec {
         "q260" -> Similarity.jlProjection(spark, sfDir),
         "q262" -> Events.maxVersionsRead(spark, sfDir),
         "q263" -> StreamingOps.consumerLag(spark, sfDir),
-        "q264" -> Relational.abcClasses(spark, sfDir))) {
+        "q264" -> Relational.abcClasses(spark, sfDir),
+        "q265" -> Events.spikeAttribution(spark, sfDir),
+        "q267" -> Events.eventDebounce(spark, sfDir),
+        "q268" -> Relational.sqlApi(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

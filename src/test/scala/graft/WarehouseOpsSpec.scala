@@ -419,6 +419,52 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(rows.values.map(_.getLong(1)).sum === nParts)
   }
 
+  // ---- q265 spike attribution ------------------------------------
+
+  test("spike attribution: per-hour type counts rebuild the spiked total") {
+    val rows = Events.spikeAttribution(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty, "sf0.01 has q163 spikes to attribute")
+    val byHour = rows.groupBy(_.getLong(0))
+    val hourly = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((h, rs) <- byHour) {
+      assert(rs.map(_.getLong(2)).sum === hourly(h),
+        "type counts partition the hour total")
+      // a spike hour must have at least one positive contributor
+      assert(rs.map(_.getLong(4)).max > 0L)
+    }
+  }
+
+  // ---- q267 event debounce ---------------------------------------
+
+  test("event debounce: accounting closes, burst actually collapses") {
+    val rows = Events.eventDebounce(spark, sfDir).collect()
+    val perType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      assert(r.getLong(1) === perType(r.getString(0)))
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    }
+    // tightening the gap can only drop fewer events
+    val tight = Events.eventDebounce(spark, sfDir, gapMicros = 60000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (r <- rows) assert(tight(r.getString(0)) <= r.getLong(2))
+  }
+
+  // ---- q268 SQL API ----------------------------------------------
+
+  test("sql api: literal SQL equals the DataFrame formulation row-for-row") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|"))
+        .sorted.toSeq
+    assert(canon(Relational.sqlApi(spark, sfDir)) ===
+      canon(Relational.pricingSummary(spark, sfDir)))
+  }
+
   // ---- q249 IVM join ---------------------------------------------
 
   test("ivm join: quadrants partition the full join exactly") {
