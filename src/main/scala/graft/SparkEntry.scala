@@ -279,6 +279,7 @@ object SparkEntry {
     "q263_consumer_lag"     -> (StreamingOps.consumerLag _),
     "q264_abc_classes"      -> ((s, d) => Relational.abcClasses(s, d)),
     "q265_spike_attribution" -> (Events.spikeAttribution _),
+    "q266_degree_assortativity" -> (Dedup.degreeAssortativity _),
     "q267_event_debounce"   -> ((s, d) => Events.eventDebounce(s, d)),
     "q268_sql_api"          -> (Relational.sqlApi _),
   )
@@ -5285,6 +5286,32 @@ object SparkEntry {
         |   AS contribution_milli
         |FROM tg JOIN tw ON tg.h = tw.h
         |WHERE c24 = 24 AND (n * 24000000) // s24 > 2000000""".stripMargin,
+    // q266: q108's exact-moment Pearson over the symmetrized edges.
+    "q266_degree_assortativity" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |e AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM e
+        | UNION ALL SELECT d2, d1 FROM e),
+        |dg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        |j AS (SELECT dx.deg AS dx, dy.deg AS dy
+        | FROM adj JOIN dg dx ON adj.v = dx.v JOIN dg dy ON adj.u = dy.v),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+        |  CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+        |  CAST(sum(dy * dy) AS HUGEINT) AS syy,
+        |  CAST(sum(dx * dy) AS HUGEINT) AS sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_dirs, CAST(sx AS BIGINT) AS sx,
+        | CAST(sxy AS BIGINT) AS sxy,
+        | CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |  THEN NULL
+        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) END
+        |  AS assortativity
+        |FROM m""".stripMargin,
     // q267: burst-collapse debounce — drop if within gap of the
     // PREDECESSOR (kept or dropped), q14's lag shape.
     "q267_event_debounce" ->

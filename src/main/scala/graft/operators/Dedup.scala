@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -1312,6 +1312,45 @@ object Dedup {
       .join(reach, Seq("v"))
       .select(col("v").as("doc_id"), col("degree"), col("reach2"),
         expr("reach2 * 1000000 div degree").as("amplification_ppm"))
+  }
+
+  /** q266: DEGREE ASSORTATIVITY of the near-dup graph — do
+    * high-degree docs link to other high-degree docs (one boilerplate
+    * blob chaining through hubs — q110's mega-cluster forming) or to
+    * low-degree ones (a hub-and-spoke template with unique tails)?
+    * The one-number answer is the Pearson correlation of endpoint
+    * degrees over the symmetrized edge list — computed with q108's
+    * exact-integer-moment pattern (n, Σx, Σy, Σx², Σy², Σxy as
+    * Decimal(38,0) sums in ONE agg over edges; r is scalar IEEE on
+    * the single result row). Positive r = assortative clustering
+    * (components will snowball under q59); negative = star/template
+    * structure (cluster growth bounded by the hubs). One degree agg
+    * + two endpoint joins + one moment agg. */
+  def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashLsh(s, dir)
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    def w(c: Column): Column = c.cast("decimal(38,0)")
+    adj
+      .join(deg.toDF("v", "dx").hint("shuffle_hash"), "v")
+      .join(deg.toDF("u", "dy").hint("shuffle_hash"), "u")
+      .agg(count(lit(1)).as("n_dirs"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .withColumn("vx", w(col("n_dirs")) * w(col("sxx")) - w(col("sx")) * w(col("sx")))
+      .withColumn("vy", w(col("n_dirs")) * w(col("syy")) - w(col("sy")) * w(col("sy")))
+      .select(col("n_dirs"), col("sx"), col("sxy"),
+        when(col("vx") <= 0 || col("vy") <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (w(col("n_dirs")) * w(col("sxy")) - w(col("sx")) * w(col("sy")))
+              .cast("double") /
+              (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))),
+            4))
+          .as("assortativity"))
   }
 
   def softdedupWeights(s: SparkSession, dir: String): DataFrame = {

@@ -465,6 +465,36 @@ class WarehouseOpsSpec extends SparkSpec {
       canon(Relational.pricingSummary(spark, sfDir)))
   }
 
+  // ---- q266 degree assortativity ---------------------------------
+
+  test("assortativity: bounded in [-1,1] on the real graph, exact on stars") {
+    val r = Dedup.degreeAssortativity(spark, sfDir).head()
+    if (!r.isNullAt(3)) {
+      val a = r.getDouble(3)
+      assert(a >= -1.0 && a <= 1.0)
+    }
+    // analytic pin: a perfect star is maximally disassortative; the
+    // same moment formula on a K3 clique degenerates (zero variance)
+    def moments(edges: Seq[(Long, Long)]): Option[Double] = {
+      val adj = edges ++ edges.map(e => (e._2, e._1))
+      val deg = adj.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+      val pairs = adj.map { case (v, u) => (deg(v), deg(u)) }
+      val n = BigInt(pairs.length)
+      val sx = BigInt(pairs.map(_._1).sum); val sy = BigInt(pairs.map(_._2).sum)
+      val sxx = BigInt(pairs.map(p => p._1 * p._1).sum)
+      val syy = BigInt(pairs.map(p => p._2 * p._2).sum)
+      val sxy = BigInt(pairs.map(p => p._1 * p._2).sum)
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (vx <= 0 || vy <= 0) None
+      else Some((n * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+    }
+    val star = moments(Seq((0L, 1L), (0L, 2L), (0L, 3L))).get
+    assert(math.abs(star - (-1.0)) < 1e-9, "star graph r = -1")
+    assert(moments(Seq((0L, 1L), (1L, 2L), (2L, 0L))).isEmpty,
+      "regular clique has zero degree variance")
+  }
+
   // ---- q249 IVM join ---------------------------------------------
 
   test("ivm join: quadrants partition the full join exactly") {
