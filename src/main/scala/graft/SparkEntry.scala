@@ -282,6 +282,8 @@ object SparkEntry {
     "q266_degree_assortativity" -> (Dedup.degreeAssortativity _),
     "q267_event_debounce"   -> ((s, d) => Events.eventDebounce(s, d)),
     "q268_sql_api"          -> (Relational.sqlApi _),
+    "q269_stream_debounce"  -> ((s, d) => StreamingOps.streamDebounce(s, d)),
+    "q270_stream_max_versions" -> ((s, d) => StreamingOps.streamMaxVersions(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5341,6 +5343,32 @@ object SparkEntry {
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // q269/q270: the streaming states must replay as their batch
+    // relations — same oracles as q267/q262.
+    "q269_stream_debounce" ->
+      """WITH l AS (SELECT event_type, epoch_us(ts) AS ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id) AS prev
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN prev IS NOT NULL AND ts - prev <= 3600000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | CAST(count(*) - sum(CASE WHEN prev IS NOT NULL
+        |   AND ts - prev <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN prev IS NOT NULL AND ts - prev <= 3600000000
+        |   THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS drop_ppm
+        |FROM l GROUP BY 1""".stripMargin,
+    "q270_stream_max_versions" ->
+      """SELECT user_id, qualifier, version, ts, value_cents, seq FROM (
+        | SELECT user_id, event_type AS qualifier,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS BIGINT) AS version,
+        |  epoch_us(ts) AS ts,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |  event_id AS seq
+        | FROM events) t
+        |WHERE version <= 3""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

@@ -356,6 +356,86 @@ object StreamingOps {
       .withColumn("lag_ppm", expr("n_pending * 1000000 div n_visible"))
   }
 
+  /** q269: STREAMING DEBOUNCE under the oracle gate — q267's
+    * burst-collapse run live ([[graft.streaming.Debounce]]): O(1)
+    * state per (user, type) (last cell time + counters; the chain
+    * rule only needs the predecessor), below-high-water arrivals
+    * late-routed not spliced (q230's ordering contract — zero on
+    * the ordered staged WAL, spec-drivable), update-mode
+    * last-emission-wins collapse, and the per-type report must
+    * equal q267's batch windows under the same oracle. */
+  def streamDebounce(s: SparkSession, dir: String,
+      gapMicros: Long = 3600000000L): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q269", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val evs = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").as("user"),
+        col("cells")(0)("qualifier").as("kind"),
+        col("ts"), col("seq").as("id"))
+      .as[graft.streaming.Debounce.Ev]
+    val query = graft.streaming.Debounce.track(s, evs, gapMicros).writeStream
+      .foreachBatch {
+        (df: Dataset[graft.streaming.Debounce.Out], id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("user"), col("kind"))
+      .agg(max_by(struct(col("n_events"), col("n_dropped")), col("batch"))
+        .as("st"))
+      .groupBy(col("kind").as("event_type"))
+      .agg(sum(col("st.n_events")).as("n_events"),
+        sum(col("st.n_dropped")).as("n_dropped"))
+      .withColumn("n_kept", col("n_events") - col("n_dropped"))
+      .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_events"))
+  }
+
+  /** q270: STREAMING MAX-VERSIONS under the oracle gate — HBase's
+    * VERSIONS=>3 retention maintained live
+    * ([[graft.streaming.MaxVersions]]): per (rowkey, qualifier) the
+    * state is the k-MAX lattice of (ts, seq) cells — arrival-order
+    * independent and duplicate-idempotent (permutation-fuzzed in
+    * the spec), exactly ≤ k cells per key however long the stream
+    * runs. Update-mode emissions collapse per (key, version) by
+    * last batch; the assembled versioned cell table must equal
+    * q262's batch read row-for-row under the same oracle. */
+  def streamMaxVersions(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q270", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val cells = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").as("user"),
+        col("cells")(0)("qualifier").as("qualifier"),
+        col("ts"), col("seq"),
+        expr("cast(round(cast(cells[0].value as double) * 100) as bigint)")
+          .as("value_cents"))
+      .as[graft.streaming.MaxVersions.Cell]
+    val query = graft.streaming.MaxVersions.track(s, cells, k).writeStream
+      .foreachBatch {
+        (df: Dataset[graft.streaming.MaxVersions.Out], id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("user"), col("qualifier"), col("version"))
+      .agg(max_by(struct(col("ts"), col("value_cents"), col("seq")),
+        col("batch")).as("st"))
+      .select(col("user").cast("long").as("user_id"), col("qualifier"),
+        col("version"), col("st.ts").as("ts"),
+        col("st.value_cents").as("value_cents"), col("st.seq").as("seq"))
+  }
+
   /** q76: effectively-once replay audit — the WAL delivered twice
     * (at-least-once), deduplicated on the sequence number, must equal
     * single delivery. The batch form of streaming.ExactlyOnce's
