@@ -284,6 +284,8 @@ object SparkEntry {
     "q268_sql_api"          -> (Relational.sqlApi _),
     "q269_stream_debounce"  -> ((s, d) => StreamingOps.streamDebounce(s, d)),
     "q270_stream_max_versions" -> ((s, d) => StreamingOps.streamMaxVersions(s, d)),
+    "q271_theil_sen_forecast" -> ((s, d) => Events.theilSenForecast(s, d)),
+    "q272_cbo_skew_audit"   -> (Relational.cboSkewAudit _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5369,6 +5371,50 @@ object SparkEntry {
         |  event_id AS seq
         | FROM events) t
         |WHERE version <= 3""".stripMargin,
+    // q271: exact rational slope median — integer cross-multiplied
+    // order with a deterministic (h1, h2) tiebreak, lower median.
+    "q271_theil_sen_forecast" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(h) AS hm FROM hc),
+        |r AS (SELECT h, n FROM hc CROSS JOIN mx WHERE h > hm - 25),
+        |p AS (SELECT a.h AS h1, b.h AS h2, b.n - a.n AS num,
+        |  b.h - a.h AS den FROM r a JOIN r b ON a.h < b.h),
+        |rk AS (SELECT a.h1, a.h2, a.num, a.den,
+        |  1 + sum(CASE WHEN b.num * a.den < a.num * b.den
+        |    OR (b.num * a.den = a.num * b.den AND (b.h1 < a.h1
+        |      OR (b.h1 = a.h1 AND b.h2 < a.h2))) THEN 1 ELSE 0 END)
+        |    AS rank
+        | FROM p a CROSS JOIN p b GROUP BY 1, 2, 3, 4),
+        |np AS (SELECT count(*) AS np FROM p),
+        |lst AS (SELECT h AS last_h, n AS last_x FROM r CROSS JOIN mx
+        | WHERE h = hm)
+        |SELECT CAST(np AS BIGINT) AS n_pairs,
+        | CAST(last_h AS BIGINT) AS last_h, CAST(last_x AS BIGINT) AS last_x,
+        | CAST(num AS BIGINT) AS slope_num, CAST(den AS BIGINT) AS slope_den,
+        | CAST(num * 1000 // den AS BIGINT) AS slope_milli,
+        | CAST(last_x * 1000 + num * 1000 // den AS BIGINT)
+        |   AS forecast_milli
+        |FROM rk CROSS JOIN np CROSS JOIN lst
+        |WHERE rank = (np + 1) // 2""".stripMargin,
+    // q272: actual/uniform >= 1 (Cauchy-Schwarz); the gap is the
+    // planner's under-provisioning on that key.
+    "q272_cbo_skew_audit" -> {
+      def branch(name: String, key: String): String =
+        s"""SELECT '$name' AS join_key, CAST(sum(c) AS BIGINT) AS n,
+           | CAST(count(*) AS BIGINT) AS ndv,
+           | CAST(sum(c) * sum(c) // count(*) AS BIGINT) AS uniform_est,
+           | CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS actual,
+           | CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+           |   // (sum(c) * sum(c) // count(*)) AS BIGINT)
+           |   AS skew_ratio_ppm
+           |FROM (SELECT $key AS k, count(*) AS c FROM events GROUP BY 1) t"""
+          .stripMargin
+      s"""${branch("user_id", "user_id")}
+         |UNION ALL ${branch("event_type", "event_type")}
+         |UNION ALL ${branch("day", "epoch_us(ts) // 86400000000")}"""
+        .stripMargin
+    },
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

@@ -1403,6 +1403,60 @@ object Events {
       .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_events"))
   }
 
+  /** q271: THEIL–SEN ROBUST FORECAST — next-hour traffic from the
+    * MEDIAN of pairwise slopes over the trailing window (the robust
+    * alternative to least-squares drift: one outage hour in the
+    * window drags an OLS slope arbitrarily; the slope median
+    * shrugs). Exact-by-construction where float medians wobble:
+    * slopes stay RATIONALS (num = Δx, den = Δh > 0), ordered by
+    * integer cross-multiplication num_a·den_b < num_b·den_a with a
+    * deterministic (h1, h2) tiebreak, and the lower median is
+    * selected by exact rank over the BOUNDED pair set (≤ C(25,2) =
+    * 300 pairs — the window is the knob; both the pair build and
+    * the rank compare are broadcast joins over that constant-size
+    * frame, never anything corpus-sized). One report row: window
+    * size, last hour/count, median slope as num/den and milli, and
+    * the forecast last + slope in milli-counts. */
+  def theilSenForecast(s: SparkSession, dir: String,
+      window: Int = 25): DataFrame =
+    theilSenFrom(hourlyCounts(s, dir), window)
+
+  /** q271 over a pre-built [[hourlyCounts]] frame. */
+  private[graft] def theilSenFrom(hourlyIn: DataFrame,
+      window: Int = 25): DataFrame = {
+    val hourly = hourlyIn.toDF("h", "n")
+    val hmax = hourly.agg(max(col("h")).as("hm"))
+    val recent = hourly.crossJoin(broadcast(hmax))
+      .filter(col("h") > col("hm") - window)
+      .select(col("h"), col("n"))
+      .localCheckpoint()
+    val pairs = recent.toDF("h1", "x1")
+      .join(broadcast(recent.toDF("h2", "x2")), col("h1") < col("h2"))
+      .select(col("h1"), col("h2"), (col("x2") - col("x1")).as("num"),
+        (col("h2") - col("h1")).as("den"))
+      .localCheckpoint()
+    val ranked = pairs.toDF("h1", "h2", "num", "den")
+      .join(broadcast(pairs.toDF("b1", "b2", "bnum", "bden")), lit(true))
+      .groupBy(col("h1"), col("h2"), col("num"), col("den"))
+      .agg((sum(when(
+        col("bnum") * col("den") < col("num") * col("bden") ||
+          (col("bnum") * col("den") === col("num") * col("bden") &&
+            (col("b1") < col("h1") ||
+              (col("b1") === col("h1") && col("b2") < col("h2")))),
+        1L).otherwise(0L)) + 1L).as("rank"))
+    val np = pairs.agg(count(lit(1)).as("np"))
+    val last = recent.crossJoin(broadcast(hmax))
+      .filter(col("h") === col("hm"))
+      .select(col("h").as("last_h"), col("n").as("last_x"))
+    ranked.crossJoin(broadcast(np))
+      .filter(col("rank") === expr("(np + 1) div 2"))
+      .crossJoin(broadcast(last))
+      .select(col("np").as("n_pairs"), col("last_h"), col("last_x"),
+        col("num").as("slope_num"), col("den").as("slope_den"),
+        expr("num * 1000 div den").as("slope_milli"),
+        expr("last_x * 1000 + num * 1000 div den").as("forecast_milli"))
+  }
+
   /** q253: STL-style SEASONAL DECOMPOSITION of the hourly rate
     * series — trend / seasonal / residual additively separated, the
     * capacity-planning and anomaly-baseline input the rate-alarm

@@ -420,6 +420,36 @@ object Relational {
       GROUP BY l_returnflag, l_linestatus""")
   }
 
+  /** q272: CBO SKEW AUDIT — the uniformity assumption every
+    * cost-based optimizer makes (self-join size ≈ n²/ndv) measured
+    * against the exact answer (Σ cₖ² — what the join will REALLY
+    * produce) for the event table's candidate join keys. The ratio
+    * actual/uniform ≥ 1 always (Cauchy–Schwarz; equality iff the
+    * key is perfectly uniform), and its magnitude is exactly how
+    * badly a planner under-provisions the shuffle on that key —
+    * the one-number "do I need q81's salting here" answer, priced
+    * per key BEFORE the join runs. One grouped count per key +
+    * one Decimal(38,0) Σc² rollup (c² over a hot key wraps Long at
+    * WAL scale); 3 report rows. */
+  def cboSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def keyRow(name: String, key: Column): DataFrame =
+      ev.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"),
+          sum(expr("cast(c as decimal(38,0)) * c")).as("actual"))
+        .select(lit(name).as("join_key"), col("n"), col("ndv"),
+          // n² wraps Long at WAL scale — Decimal(38,0), HUGEINT mirror
+          expr("cast(cast(n as decimal(38,0)) * n div ndv as bigint)")
+            .as("uniform_est"),
+          col("actual").cast("long").as("actual"))
+        .withColumn("skew_ratio_ppm",
+          expr("cast(cast(actual as decimal(38,0)) * 1000000" +
+            " div uniform_est as bigint)"))
+    keyRow("user_id", col("user_id"))
+      .unionByName(keyRow("event_type", col("event_type")))
+      .unionByName(keyRow("day", expr("ts div 86400000000")))
+  }
+
   /** q264: ABC CLASSIFICATION — the inventory-management Pareto cut
     * (class A = the parts carrying 80% of revenue, B the next 15%,
     * C the tail) computed WITHOUT ranking the part dimension

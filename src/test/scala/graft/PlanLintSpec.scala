@@ -113,8 +113,11 @@ class PlanLintSpec extends SparkSpec {
         "q263" -> StreamingOps.consumerLag(spark, sfDir),
         "q264" -> Relational.abcClasses(spark, sfDir),
         "q265" -> Events.spikeAttribution(spark, sfDir),
+        "q266" -> Dedup.degreeAssortativity(spark, sfDir),
         "q267" -> Events.eventDebounce(spark, sfDir),
-        "q268" -> Relational.sqlApi(spark, sfDir))) {
+        "q268" -> Relational.sqlApi(spark, sfDir),
+        "q271" -> Events.theilSenForecast(spark, sfDir),
+        "q272" -> Relational.cboSkewAudit(spark, sfDir))) {
       val rules = graft.plans.PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"),
         s"$name has a cartesian product")

@@ -495,6 +495,37 @@ class WarehouseOpsSpec extends SparkSpec {
       "regular clique has zero degree variance")
   }
 
+  // ---- q271 Theil-Sen forecast -----------------------------------
+
+  test("theil-sen: exact on a linear series, robust to one outlier") {
+    val linear = (0L until 30L).map(h => (h, 100L + 3L * h)).toDF("h", "n")
+    val r = Events.theilSenFrom(linear).head()
+    assert(r.getLong(4) === 1L || r.getLong(3) / r.getLong(4) === 3L)
+    assert(r.getLong(5) === 3000L, "slope 3 exactly")
+    assert(r.getLong(6) === (100L + 3L * 29L) * 1000L + 3000L,
+      "forecast = next point on the line")
+    // corrupt one interior point 10x: the slope MEDIAN must not move
+    val spiked = (0L until 30L).map(h =>
+      (h, if (h == 15L) 3000L else 100L + 3L * h)).toDF("h", "n")
+    val r2 = Events.theilSenFrom(spiked).head()
+    assert(math.abs(r2.getLong(5) - 3000L) <= 1000L,
+      s"median slope ${r2.getLong(5)} dragged by a single outlier")
+  }
+
+  // ---- q272 CBO skew audit ---------------------------------------
+
+  test("cbo skew: actual dominates the uniform estimate (Cauchy-Schwarz)") {
+    val rows = Relational.cboSkewAudit(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("user_id", "event_type", "day"))
+    val nEvents = Tables.events(spark, sfDir).count()
+    for (r <- rows) {
+      assert(r.getLong(1) === nEvents)
+      assert(r.getLong(4) >= r.getLong(3), "actual >= uniform estimate")
+      assert(r.getLong(5) >= 999999L, "ratio >= ~1e6 ppm")
+    }
+  }
+
   // ---- q249 IVM join ---------------------------------------------
 
   test("ivm join: quadrants partition the full join exactly") {
