@@ -286,6 +286,7 @@ object SparkEntry {
     "q270_stream_max_versions" -> ((s, d) => StreamingOps.streamMaxVersions(s, d)),
     "q271_theil_sen_forecast" -> ((s, d) => Events.theilSenForecast(s, d)),
     "q272_cbo_skew_audit"   -> (Relational.cboSkewAudit _),
+    "q273_rowkey_scan"      -> ((s, d) => Bucketing.rowkeyScan(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5415,6 +5416,14 @@ object SparkEntry {
          |UNION ALL ${branch("day", "epoch_us(ts) // 86400000000")}"""
         .stripMargin
     },
+    // q273: the salt is layout-only — the staged salted/pruned scan
+    // must return exactly the plain filter on the raw table.
+    "q273_rowkey_scan" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+        | CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id = 7
+        | AND epoch_us(ts) >= 1704672000000000
+        | AND epoch_us(ts) < 1705881600000000""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

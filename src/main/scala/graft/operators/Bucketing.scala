@@ -378,4 +378,59 @@ object Bucketing {
       .filter(col("dow").isin(0L, 6L))
     s.read.parquet(factPath).join(broadcast(dim), "day")
   }
+
+  /** q273: SALTED ROWKEY POINT SCAN — the HBase read pattern the SEP
+    * lineage materializes its tables for (SURVEY §1: rowkeys are
+    * salted to spread hot key ranges across regions; a point read
+    * recomputes the salt from the key and touches exactly one
+    * region). Spark translation: the event log is staged partitioned
+    * by `salt = pmod(xxhash64(user_id), S)` — the salt is a pure
+    * function of the key, so a single-user scan carries a FOLDABLE
+    * salt predicate and static partition pruning opens exactly ONE
+    * of the S directories, however large the table. That 1/S bound
+    * is the whole point at 100 TB: a per-user "get" costs one
+    * directory listing + the matching row groups, never a lake scan
+    * (PlanSpec pins the selected-partition count to 1). The salt is
+    * layout-only — the oracle replays the plain filter on the raw
+    * table, so the layout can never change results. The time range
+    * on the sorted-within-partition layout is the HBase
+    * reversed-timestamp scan bound, here served by parquet row-group
+    * min/max on ts. */
+  def rowkeyScan(s: SparkSession, dir: String,
+      userId: Long = 7L, salts: Int = 16): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q273", dir)
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("user_id")), lit(salts.toLong)))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .write.partitionBy("salt").mode("overwrite").parquet(s"$stage/events_s")
+    rowkeyScanStaged(s, s"$stage/events_s", userId, salts)
+  }
+
+  /** q273's read half over an already-staged layout — split out so
+    * the PlanSpec pin can resolve the scan WITHOUT re-staging (and
+    * without stagingRoot's fresh-start delete). */
+  private[graft] def rowkeyScanStaged(s: SparkSession, path: String,
+      userId: Long, salts: Int): DataFrame = {
+    s.read.parquet(path)
+      // foldable salt predicate == HBase's salt-from-key point read:
+      // static partition pruning keeps exactly one of the S dirs
+      // [2024-01-08, 2024-01-22) in epoch micros — Tables.events'
+      // canonical integer event-time axis; served by row-group
+      // min/max inside the one surviving salt directory
+      .filter(col("salt") === pmod(xxhash64(lit(userId)), lit(salts.toLong)) &&
+        col("user_id") === userId &&
+        col("ts") >= 1704672000000000L && col("ts") < 1705881600000000L)
+      .select(col("event_id"), col("ts").as("ts_us"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+  }
+
+  /** q273's semantics on the RAW table (no salt layout) — the layout-
+    * never-changes-results contract the PlanSpec pin asserts. */
+  private[graft] def rowkeyScanRaw(s: SparkSession, dir: String,
+      userId: Long = 7L): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id") === userId &&
+        col("ts") >= 1704672000000000L && col("ts") < 1705881600000000L)
+      .select(col("event_id"), col("ts").as("ts_us"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
 }

@@ -50,10 +50,17 @@ object StreamingOps {
     * to key a wipe-then-write space); assumes a single runner per
     * input dir per host — concurrent JVMs verifying the same dir
     * would need per-run unique dirs. */
-  private[operators] def stagingRoot(tag: String, dir: String): String = {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
+  /** The per-sfDir staging-key suffix stagingRoot embeds in its
+    * directory names — exposed so specs can re-resolve a staged path
+    * without re-staging (and without the fresh-start delete). */
+  private[graft] def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
+
+  private[operators] def stagingRoot(tag: String, dir: String): String = {
+    val dirKey = this.dirKey(dir)
     val stagePath = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-$tag-$dirKey")
     if (java.nio.file.Files.exists(stagePath)) {

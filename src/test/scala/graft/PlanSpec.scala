@@ -98,6 +98,27 @@ class PlanSpec extends SparkSpec {
       s"dim filter did not become a dynamic pruning subquery:\n$p")
   }
 
+  test("q273 salted point scan prunes to exactly one salt partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // stage the salted layout once, then pin the read half's scan
+    Bucketing.rowkeyScan(spark, sfDir).collect() // stages
+    val stagePath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-q273-${StreamingOps.dirKey(sfDir)}").toString
+    val df = Bucketing.rowkeyScanStaged(
+      spark, s"$stagePath/events_s", userId = 7L, salts = 16)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the q273 plan"))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"salted point read must open exactly 1 of 16 salt dirs, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    // and the layout never changes results: same rows as the raw filter
+    val staged = df.collect().map(_.toSeq).toSet
+    val raw = Bucketing.rowkeyScanRaw(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(staged == raw, "salted layout changed scan results")
+  }
+
   test("star-schema joins broadcast the dimension side") {
     val p = plan(Relational.regionSales(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), "q04 lost its broadcast joins")
