@@ -287,6 +287,7 @@ object SparkEntry {
     "q271_theil_sen_forecast" -> ((s, d) => Events.theilSenForecast(s, d)),
     "q272_cbo_skew_audit"   -> (Relational.cboSkewAudit _),
     "q273_rowkey_scan"      -> ((s, d) => Bucketing.rowkeyScan(s, d)),
+    "q274_stream_full_outer" -> (StreamingOps.fullOuterJoinStream _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5424,6 +5425,35 @@ object SparkEntry {
         |FROM events WHERE user_id = 7
         | AND epoch_us(ts) >= 1704672000000000
         | AND epoch_us(ts) < 1705881600000000""".stripMargin,
+    // q274: full-outer interval join — unmatched rows are emitted
+    // exactly when the joint watermark (least of the two sides' max
+    // event times, delay 0) proves no partner can arrive: purchases
+    // once joint passes their ts, clicks once it passes ts + 1h.
+    "q274_stream_full_outer" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM c),
+        |  (SELECT max(ts) FROM p)) AS joint),
+        |j AS (SELECT p.user_id AS p_user, p.event_id AS purchase_seq,
+        |  p.ts AS p_ts, c.user_id AS c_user, c.event_id AS click_seq,
+        |  c.ts AS c_ts
+        | FROM p FULL JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - 3600000000 AND c.ts <= p.ts),
+        |f AS (SELECT coalesce(p_user, c_user) AS user_id,
+        |  purchase_seq, click_seq FROM j, wm
+        | WHERE (purchase_seq IS NOT NULL AND click_seq IS NOT NULL)
+        |  OR (click_seq IS NULL AND p_ts < wm.joint)
+        |  OR (purchase_seq IS NULL AND c_ts + 3600000000 < wm.joint))
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN purchase_seq IS NOT NULL
+        |   AND click_seq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        | count(DISTINCT CASE WHEN click_seq IS NULL THEN purchase_seq END)
+        |   AS n_unmatched_purchases,
+        | count(DISTINCT CASE WHEN purchase_seq IS NULL THEN click_seq END)
+        |   AS n_unmatched_clicks
+        |FROM f GROUP BY user_id""".stripMargin,
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

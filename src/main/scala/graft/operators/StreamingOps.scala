@@ -602,6 +602,69 @@ object StreamingOps {
           .as("n_unmatched_purchases"))
   }
 
+  /** q274: STREAMING FULL-OUTER interval join — the join family's
+    * last member (inner q80, left-outer q121): purchases and clicks
+    * matched within the 1-hour attribution window, AND both kinds of
+    * non-matches surfaced — purchases with no qualifying click
+    * (attribution gaps) and clicks that never converted (abandoned
+    * intent). Each side's state is watermark-bounded and its
+    * unmatched rows are emitted exactly when the joint watermark
+    * proves no future partner can arrive: a purchase finalizes once
+    * the watermark passes its own ts (clicks never arrive later than
+    * the purchase), a click once the watermark passes ts + 1h (its
+    * match window closes). Delay-0 watermarks make both cutoffs the
+    * joint max event time — exact integer bounds the oracle replays
+    * (q121's argument extended to both sides). At 100 TB the state
+    * bound is the same as the inner join's: the 1-hour window per
+    * key, never the stream. */
+  def fullOuterJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q274", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"; val out = s"$stage/out"
+    val subset = WalSource.eventsAsWal(s, dir)
+      .filter(col("cells")(0)("qualifier").isin("click", "purchase"))
+    WalSource.writeWalJson(subset, walDir, batches = 6)
+    def side(q: String): DataFrame =
+      WalSource.streamV2(s, walDir, maxFilesPerTrigger = 3)
+        .filter(col("cells")(0)("qualifier") === q)
+        .withColumn("event_time", timestamp_micros(col("ts")))
+    val clicks = side("click")
+      .select(col("rowkey").as("c_rowkey"), col("seq").as("click_seq"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "0 seconds")
+    val purchases = side("purchase")
+      .select(col("rowkey"), col("seq").as("purchase_seq"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "0 seconds")
+    val joined = purchases.join(clicks,
+        col("rowkey") === col("c_rowkey") &&
+          col("click_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR") &&
+          col("click_time") <= col("purchase_time"),
+        "fullOuter")
+      .select(coalesce(col("rowkey"), col("c_rowkey")).as("user_key"),
+        col("purchase_seq"), col("click_seq"))
+    val query = joined.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      // idempotence under any foreachBatch retry/replay; null seqs
+      // (outer rows) keep one row per (purchase, click) identity
+      .dropDuplicates("purchase_seq", "click_seq")
+      .groupBy(col("user_key").cast("long").as("user_id"))
+      .agg(
+        sum(when(col("click_seq").isNotNull && col("purchase_seq").isNotNull,
+          1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(when(col("click_seq").isNull, col("purchase_seq")))
+          .as("n_unmatched_purchases"),
+        countDistinct(when(col("purchase_seq").isNull, col("click_seq")))
+          .as("n_unmatched_clicks"))
+  }
+
   /** q116: STREAMING per-window top-k under the oracle gate — the
     * custom bounded [[graft.functions.TopKAgg]] run INSIDE a
     * streaming aggregation (Complete mode): per 1-day event-time
