@@ -259,7 +259,7 @@ object SparkEntry {
     "q243_softdedup_weights" -> (Dedup.softdedupWeights _),
     "q244_bitmask_retention" -> ((s, d) => Events.bitmaskRetention(s, d)),
     "q245_session_overlap"  -> (Events.sessionMaintenanceOverlap _),
-    "q246_revenue_gini"     -> (Relational.revenueGini _),
+    "q246_revenue_gini"     -> ((s, d) => Relational.revenueGini(s, d)),
     "q247_stream_asof"      -> (StreamingOps.streamAsofAttribution _),
     "q248_vocab_coverage"   -> (TextAnalysis.vocabCoverage _),
     "q249_ivm_join"         -> (Incremental.ivmJoin _),
@@ -288,6 +288,7 @@ object SparkEntry {
     "q272_cbo_skew_audit"   -> (Relational.cboSkewAudit _),
     "q273_rowkey_scan"      -> ((s, d) => Bucketing.rowkeyScan(s, d)),
     "q274_stream_full_outer" -> (StreamingOps.fullOuterJoinStream _),
+    "q275_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -1244,8 +1245,8 @@ object SparkEntry {
         |  WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
         |  WHERE event_type = 'purchase'),
-        |wm AS (SELECT least((SELECT max(ts) FROM c),
-        |  (SELECT max(ts) FROM p)) AS joint),
+        |wm AS (SELECT (least((SELECT max(ts) FROM c),
+        |  (SELECT max(ts) FROM p)) // 1000) * 1000 AS joint),
         |j AS (SELECT p.user_id, p.event_id AS purchase_seq,
         |  c.event_id AS click_seq, p.ts
         | FROM p LEFT JOIN c ON p.user_id = c.user_id
@@ -4623,7 +4624,7 @@ object SparkEntry {
         | CAST(sum(CASE WHEN delta > n_lines * 1 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_mismatched,
         | CAST(max(delta) AS BIGINT) AS max_delta_cents,
-        | CAST(sum(CAST(delta AS HUGEINT)) AS HUGEINT) AS sum_delta_cents
+        | CAST(sum(CAST(delta AS HUGEINT)) AS BIGINT) AS sum_delta_cents
         |FROM j GROUP BY 1""".stripMargin,
     "q235_ship_latency" ->
       """WITH j AS (SELECT o_orderpriority,
@@ -5434,8 +5435,8 @@ object SparkEntry {
         |  WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
         |  WHERE event_type = 'purchase'),
-        |wm AS (SELECT least((SELECT max(ts) FROM c),
-        |  (SELECT max(ts) FROM p)) AS joint),
+        |wm AS (SELECT (least((SELECT max(ts) FROM c),
+        |  (SELECT max(ts) FROM p)) // 1000) * 1000 AS joint),
         |j AS (SELECT p.user_id AS p_user, p.event_id AS purchase_seq,
         |  p.ts AS p_ts, c.user_id AS c_user, c.event_id AS click_seq,
         |  c.ts AS c_ts
@@ -5454,6 +5455,36 @@ object SparkEntry {
         | count(DISTINCT CASE WHEN purchase_seq IS NULL THEN click_seq END)
         |   AS n_unmatched_clicks
         |FROM f GROUP BY user_id""".stripMargin,
+    // q275: the iterated BPE loop — per round, pair counts over the
+    // word-frequency table, argmax rule (n DESC, then (l, r)), then
+    // a left-to-right greedy collapse replayed as the identical
+    // list_reduce look-back fold (a merged l||r can never equal l,
+    // so the fold never re-fires on its own output — same argument
+    // as the Spark side's `aggregate`).
+    "q275_bpe_train" -> {
+      def round(i: Int) =
+        s"""p$i AS MATERIALIZED (
+           |  SELECT p['l'] AS l, p['r'] AS r, sum(freq) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)),
+           |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p, freq FROM w${i - 1})
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT list_reduce(list_transform(syms, y -> [y]),
+           |    (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+           |      THEN list_concat(acc[1:len(acc)-1], [l || r])
+           |      ELSE list_concat(acc, x) END) AS syms, freq
+           |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT string_split(w, '') AS syms, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1 GROUP BY w),
+        |${(1 to 3).map(round).mkString(",\n")}
+        |SELECT CAST(1 AS BIGINT) AS merge_round, l AS left_sym,
+        |  r AS right_sym, CAST(n AS BIGINT) AS n FROM b1
+        |UNION ALL SELECT 2, l, r, CAST(n AS BIGINT) FROM b2
+        |UNION ALL SELECT 3, l, r, CAST(n AS BIGINT) FROM b3""".stripMargin
+    },
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the
     // count(*)=3 membership test).

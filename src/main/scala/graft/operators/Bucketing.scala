@@ -401,7 +401,11 @@ object Bucketing {
     val stage = StreamingOps.stagingRoot("q273", dir)
     Tables.events(s, dir)
       .withColumn("salt", pmod(xxhash64(col("user_id")), lit(salts.toLong)))
-      .sortWithinPartitions(col("user_id"), col("ts"))
+      // salt FIRST: FileFormatWriter requires ordering by the partition
+      // column and would inject its own (unstable) sort if unsatisfied,
+      // destroying the (user_id, ts) clustering the row-group min/max
+      // pruning story relies on
+      .sortWithinPartitions(col("salt"), col("user_id"), col("ts"))
       .write.partitionBy("salt").mode("overwrite").parquet(s"$stage/events_s")
     rowkeyScanStaged(s, s"$stage/events_s", userId, salts)
   }

@@ -148,13 +148,18 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
 
-  /** q35: suppliers vs their nation's average balance — window agg
-    * over a broadcast-joined dim. */
+  /** q35: suppliers vs their nation's average balance. The naive
+    * window (`avg OVER (PARTITION BY n_name)`) would land every
+    * supplier of a nation on ONE task — 25 partitions however large
+    * the table — so the per-nation average is a map-side-combined
+    * 25-row aggregate broadcast back instead: no supplier row ever
+    * shuffles. */
   def supplierBalance(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("n_name"))
-    Tables.supplier(s, dir)
+    val sup = Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
-      .withColumn("nation_avg", round(avg(col("s_acctbal")).over(w), 4))
+    val avgs = sup.groupBy(col("n_name"))
+      .agg(round(avg(col("s_acctbal")), 4).as("nation_avg"))
+    sup.join(broadcast(avgs), "n_name")
       .filter(col("s_acctbal") > col("nation_avg"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         col("s_acctbal"), col("nation_avg"))
@@ -166,17 +171,18 @@ object Relational {
       .groupBy((floor(col("o_totalprice") / 50000.0) * 50000.0).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
 
-  /** q40: exact median order value per segment — deterministic manual
-    * formulation (row_number + partition count, average the middle
-    * one/two values) so both engines compute the identical result. */
+  /** q40: exact median order value per segment — deterministic
+    * rank-selection (the middle one/two values averaged) so both
+    * engines compute the identical result, ranked by
+    * [[twoPhaseRank]] (price-aligned bins) so no task ever sorts a
+    * whole segment — the 5-partition window this used to be is the
+    * q246-class scale hazard. */
   def medianOrder(s: SparkSession, dir: String): DataFrame = {
     val joined = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-    val ordered = w.orderBy(col("o_totalprice"), col("o_orderkey"))
-    joined
-      .withColumn("rn", row_number().over(ordered))
-      .withColumn("cnt", count(lit(1)).over(w))
+    twoPhaseRank(joined, col("c_mktsegment"),
+      floor(col("o_totalprice") / 500.0).cast("long"),
+      Seq(col("o_totalprice"), col("o_orderkey")), "rn", "cnt")
       .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
       .groupBy(col("c_mktsegment"))
       .agg(round(avg(col("o_totalprice")), 4).as("median_price"))
@@ -184,15 +190,15 @@ object Relational {
 
   /** q67: exact per-group quartiles (generalizes q40's median) —
     * rank-selection formulation: the value at rank ⌈q·cnt⌉ per
-    * quantile, deterministic in both engines. One window sort per
-    * segment partition, conditional-min assembly, no approx sketch. */
+    * quantile, deterministic in both engines. Ranks via
+    * [[twoPhaseRank]] (no whole-segment sort on one task);
+    * conditional-min assembly, no approx sketch. */
   def groupQuartiles(s: SparkSession, dir: String): DataFrame = {
     val joined = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-    joined
-      .withColumn("rn", row_number().over(w.orderBy(col("o_totalprice"), col("o_orderkey"))))
-      .withColumn("cnt", count(lit(1)).over(w))
+    twoPhaseRank(joined, col("c_mktsegment"),
+      floor(col("o_totalprice") / 500.0).cast("long"),
+      Seq(col("o_totalprice"), col("o_orderkey")), "rn", "cnt")
       .groupBy(col("c_mktsegment"))
       .agg(
         min(when(col("rn") === ceil(col("cnt") * 0.25), col("o_totalprice"))).as("p25"),
@@ -223,15 +229,26 @@ object Relational {
       .select(col("c_custkey"), col("c_acctbal"), col("max_order"))
   }
 
-  /** q11: top-2 parts per type by retail price (rank-per-group). */
+  /** q11: top-2 parts per type by retail price (rank-per-group).
+    * NOT a per-type rank window — ~150 p_type values would sort
+    * |parts|/150 rows per task at scale; TopKAgg keeps a bounded
+    * 2-element buffer per (map partition × type) so the shuffle
+    * carries ≤ 2·partitions·|types| rows, then the ≤ 2·|types|-row
+    * winner set broadcasts back to pick up p_brand (parts stream,
+    * nothing shuffles). */
   def partTypeTopK(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("p_type"))
-      .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    Tables.part(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-      .select(col("p_type"), col("p_partkey"), col("p_brand"), col("p_retailprice"),
-        col("rn").cast("long").as("rn"))
+    val part = Tables.part(s, dir)
+    val top = part.groupBy(col("p_type"))
+      .agg(graft.functions.TopK.topk(2)(col("p_partkey"), col("p_retailprice"))
+        .as("top"))
+      .select(col("p_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("p_type"), col("t.id").as("p_partkey"),
+        col("t.score").as("p_retailprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+    part.select(col("p_partkey"), col("p_brand"))
+      .join(broadcast(top), "p_partkey")
+      .select(col("p_type"), col("p_partkey"), col("p_brand"),
+        col("p_retailprice"), col("rn"))
   }
 
   /** q108: one-pass Pearson correlation profile over the lineitem
@@ -700,8 +717,9 @@ object Relational {
         sum(when(col("n_lines") === 0L, 1L).otherwise(0L)).as("n_lineless"),
         sum(when(col("bad"), 1L).otherwise(0L)).as("n_mismatched"),
         max(col("delta")).as("max_delta_cents"),
-        // decimal(38,0): 1e12 orders x 1e7-cent deltas wraps Long
-        sum(col("delta").cast("decimal(38,0)")).cast("decimal(38,0)")
+        // decimal(38,0) internally: 1e12 orders x 1e7-cent deltas can
+        // wrap Long mid-sum; final cast to BIGINT (house policy, q193/q199)
+        sum(col("delta").cast("decimal(38,0)")).cast("long")
           .as("sum_delta_cents"))
   }
 
@@ -809,6 +827,39 @@ object Relational {
     * its boundary so upper scores skip — the q151 skew-visibility
     * property, bounded by binWidth. Never an unpartitioned ntile
     * window (which would sort all rows on ONE task). */
+  /** Two-phase exact per-group rank — `row_number() OVER (PARTITION
+    * BY part ORDER BY orderKeys)` computed WITHOUT ever sorting a
+    * whole group's rows on one task (the q246-class hazard when
+    * `part` has a handful of values): (1) a (part × bin) histogram
+    * — a BOUNDED table, bin monotone in the leading order key — is
+    * cumulated per part to give each bin its rank BASE and the group
+    * its total `cntName`; (2) a row_number window partitioned by
+    * (part, bin) ranks only one bin's occupancy per task, and
+    * `rankName` = base + local rank reassembles the exact global
+    * rank. Requires: `bin` monotone non-decreasing in the first of
+    * `orderKeys` (cents-aligned or price-aligned bins), so lower bin
+    * ⇒ strictly earlier rank range. Parallelism is |parts|·|bins|
+    * window partitions of ~n/bins rows each; the bin table
+    * broadcasts. */
+  private def twoPhaseRank(df: DataFrame, part: Column, bin: Column,
+      orderKeys: Seq[Column], rankName: String, cntName: String): DataFrame = {
+    val withBin = df.withColumn("__part", part).withColumn("__bin", bin)
+    val hist = withBin.groupBy(col("__part"), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wcum = Window.partitionBy(col("__part")).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = hist
+      .withColumn("__base", sum(col("__cnt")).over(wcum) - col("__cnt"))
+      .withColumn(cntName, sum(col("__cnt")).over(
+        Window.partitionBy(col("__part"))))
+      .select(col("__part"), col("__bin"), col("__base"), col(cntName))
+    withBin.join(broadcast(bases), Seq("__part", "__bin"))
+      .withColumn(rankName, col("__base") + row_number().over(
+        Window.partitionBy(col("__part"), col("__bin"))
+          .orderBy(orderKeys: _*)).cast("long"))
+      .drop("__part", "__bin", "__base")
+  }
+
   private def quantileScore(df: DataFrame, metric: String, binWidth: Long,
       nTiles: Int, scoreName: String): DataFrame = {
     val hist = df.groupBy(expr(s"$metric div $binWidth").as("bin"))
@@ -875,17 +926,26 @@ object Relational {
     * of customers carry 80% of revenue" question, answered with a
     * number instead of a slogan). Facts pre-aggregate to customer
     * grain first (one shuffle of customer rows, never orders), the
-    * segment lookup is a key-shuffled dim join, and the ONLY sort
-    * is a rank window PARTITIONED by segment over customer-grain
-    * rows — bounded by the dim, never the fact table (an extreme
-    * program would swap in q151 histogram ranks). Gini via the
-    * rank identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on
-    * ascending-ranked cents — one pass, Decimal(38,0) products
-    * (rank·cents summed over customers wraps Long at warehouse
-    * scale), emitted in integer milli; top-20% membership by the
-    * all-integer cross-multiply i·5 > 4·n. Deterministic ties:
-    * rank orders by (cents, custkey). */
-  def revenueGini(s: SparkSession, dir: String): DataFrame = {
+    * segment lookup is a key-shuffled dim join, and the rank is
+    * TWO-PHASE so no task ever sorts a whole segment: (1) a
+    * per-(segment, cents-bin) histogram — a BOUNDED table
+    * (segments × occupied bins) — whose cumulative counts give
+    * each bin its global rank BASE within the segment; (2) a
+    * row_number window partitioned by (segment, bin), so each
+    * task sorts only one bin's occupancy (n/bins rows, thousands
+    * of parallel partitions), and global rank = base + local rank
+    * — exactly the rank the old 5-partition segment window
+    * produced, reassembled from q151's histogram machinery.
+    * Gini via the rank identity
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on ascending-ranked cents
+    * — one pass, Decimal(38,0) products (rank·cents summed over
+    * customers wraps Long at warehouse scale), emitted in integer
+    * milli; top-20% membership by the all-integer cross-multiply
+    * i·5 > 4·n. Deterministic ties: rank orders by (cents,
+    * custkey); bins are cents-aligned so lower bin ⇒ strictly
+    * lower cents and the composition is exact. */
+  def revenueGini(s: SparkSession, dir: String,
+      binWidthCents: Long = 100000L): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
@@ -894,12 +954,27 @@ object Relational {
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
         .hint("shuffle_hash"),
       "o_custkey")
-    val ranked = seg
-      .withColumn("i", row_number().over(
-        Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("cents"), col("o_custkey"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(
+      .withColumn("bin", expr(s"cents div $binWidthCents"))
+    // phase 1: bounded (segment × bin) histogram; cumulative count up
+    // to (but excluding) each bin = that bin's rank base. The windows
+    // here run over the BIN TABLE (≤ segments × max_cents/binWidth
+    // rows), never corpus rows.
+    val hist = seg.groupBy(col("c_mktsegment"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("c_mktsegment")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = hist
+      .withColumn("base", sum(col("cnt")).over(wcum) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(
         Window.partitionBy(col("c_mktsegment"))))
+      .select(col("c_mktsegment"), col("bin"), col("base"), col("n"))
+    // phase 2: local rank inside each (segment, bin) — thousands of
+    // small window partitions; global rank composes exactly.
+    val ranked = seg
+      .join(broadcast(bases), Seq("c_mktsegment", "bin"))
+      .withColumn("i", col("base") + row_number().over(
+        Window.partitionBy(col("c_mktsegment"), col("bin"))
+          .orderBy(col("cents"), col("o_custkey"))).cast("long"))
     ranked.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("total_cents"),

@@ -59,10 +59,16 @@ object StreamingOps {
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
 
+  /** Non-wiping resolver for the staged path stagingRoot would use —
+    * the single source of truth for the naming convention, so specs
+    * that re-open a staged layout never duplicate (and silently
+    * drift from) the scheme. */
+  private[graft] def stagingPath(tag: String, dir: String): String =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-$tag-${dirKey(dir)}").toString
+
   private[operators] def stagingRoot(tag: String, dir: String): String = {
-    val dirKey = this.dirKey(dir)
-    val stagePath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-$tag-$dirKey")
+    val stagePath = java.nio.file.Paths.get(stagingPath(tag, dir))
     if (java.nio.file.Files.exists(stagePath)) {
       java.nio.file.Files.walk(stagePath)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -341,26 +347,83 @@ object StreamingOps {
       java.security.MessageDigest.getInstance("MD5")
         .digest(str.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8), 16)
-    val wal = WalSource.eventsAsWal(s, dir)
-    val entries = array(auditSubscriptions.map { sub =>
+    lagReportFor(WalSource.eventsAsWal(s, dir), auditSubscriptions, sub => {
+      val frac = 80L + hex8(s"ack|${sub.name}") % 20L
+      expr(s"s0 + (s1 - s0) * ${frac}L div 100")
+    })
+  }
+
+  /** q263's PRODUCTION overload: the same lag-report math priced
+    * from the REAL per-subscription acked positions a consuming
+    * stream wrote into a [[graft.streaming.SubscriptionRegistry]]
+    * (via [[consumeAndAck]]) — the md5 fixture in [[consumerLag]]
+    * stays only as the oracle gate's deterministic stand-in. A
+    * registered consumer that never acked is fully behind
+    * (ack = s0 − 1: everything visible is pending). */
+  def consumerLagFrom(s: SparkSession, dir: String,
+      reg: graft.streaming.SubscriptionRegistry): DataFrame = {
+    val acks = reg.acks()
+    lagReportFor(WalSource.eventsAsWal(s, dir), reg.list(),
+      sub => acks.get(sub.name)
+        .map(a => lit(a).cast("long")).getOrElse(expr("s0 - 1")))
+  }
+
+  /** Shared core of the q263 report. `ackOf` prices each
+    * subscription's acked WAL position as a column over the
+    * broadcast seq bounds (columns `s0`/`s1` are in scope). One
+    * pass: array-of-structs explode tags each mutation per
+    * subscription, one grouped agg — |subs| rows out. */
+  private def lagReportFor(wal: DataFrame,
+      subs: Seq[graft.streaming.Subscription],
+      ackOf: graft.streaming.Subscription => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val entries = array(subs.map { sub =>
       struct(lit(sub.name).as("subscription"),
         sub.predicate.as("visible"),
-        lit(80L + hex8(s"ack|${sub.name}") % 20L).as("frac"))
+        ackOf(sub).cast("long").as("ack"))
     }: _*)
     val bounds = wal.agg(min(col("seq")).as("s0"), max(col("seq")).as("s1"))
-    wal.select(col("seq"), col("ts"), col("rowkey"), explode(entries).as("e"))
+    wal.crossJoin(broadcast(bounds))
+      .select(col("seq"), col("ts"), col("rowkey"), explode(entries).as("e"))
       .filter(col("e.visible"))
-      .crossJoin(broadcast(bounds))
-      .withColumn("ack", expr("s0 + (s1 - s0) * e.frac div 100"))
       .groupBy(col("e.subscription").as("subscription"))
-      .agg(max(col("ack")).as("ack_seq"),
+      .agg(max(col("e.ack")).as("ack_seq"),
         count(lit(1)).as("n_visible"),
-        sum(when(col("seq") > col("ack"), 1L).otherwise(0L)).as("n_pending"),
-        countDistinct(when(col("seq") > col("ack"), col("rowkey")))
+        sum(when(col("seq") > col("e.ack"), 1L).otherwise(0L)).as("n_pending"),
+        countDistinct(when(col("seq") > col("e.ack"), col("rowkey")))
           .as("n_pending_keys"),
-        min(when(col("seq") > col("ack"), col("ts")))
+        min(when(col("seq") > col("e.ack"), col("ts")))
           .as("oldest_pending_ts"))
       .withColumn("lag_ppm", expr("n_pending * 1000000 div n_visible"))
+  }
+
+  /** The SEP consumer loop: attach a REGISTERED subscription's
+    * filtered view to a streaming WAL, hand each micro-batch to
+    * `process`, then ack the max seq the batch delivered into the
+    * registry. The ack lands AFTER `process` returns, so a recorded
+    * position never covers work that didn't happen; a crash between
+    * process and ack replays the batch (at-least-once) and the
+    * registry's monotonic ack absorbs the replay. Spark's checkpoint
+    * tracks the source offsets; the registry tracks the CONSUMER
+    * position q263 reports on — the two-level progress model of the
+    * reference (ZK subscription state + per-peer replication
+    * position). Runs Trigger.AvailableNow to completion. */
+  def consumeAndAck(s: SparkSession, wal: graft.sources.WalStream,
+      reg: graft.streaming.SubscriptionRegistry, name: String, ckpt: String)
+      (process: DataFrame => Unit = _ => ()): Unit = {
+    val sub = reg.list().find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown subscription: $name"))
+    val query = sub(wal.open(s)).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        process(batch)
+        val mx = batch.agg(max(col("seq"))).head()
+        if (!mx.isNullAt(0)) reg.ack(name, mx.getLong(0))
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
   }
 
   /** q269: STREAMING DEBOUNCE under the oracle gate — q267's

@@ -814,4 +814,62 @@ object TextAnalysis {
         col("vocab_total"),
         expr("vocab_needed * 1000000 div vocab_total").as("vocab_ppm"))
   }
+
+  /** q275: ITERATED BPE TRAINING — the tokenizer-induction LOOP
+    * (q143 is the single counting step; this runs the actual merge
+    * loop, gated): per round, count adjacent symbol pairs, select
+    * the argmax merge rule (n desc, then lexicographic (l, r) —
+    * deterministic), collapse it greedily left-to-right in every
+    * word, recount on the collapsed symbols. Emits the learned
+    * rules: (merge_round, left_sym, right_sym, n-at-selection).
+    *
+    * Scale shape: the loop state is the (symbols, freq)
+    * WORD-FREQUENCY table — vocabulary-sized (Heaps: ~corpus^0.5),
+    * built by the one corpus-scale pass up front; every round after
+    * that touches vocab rows only. Pair counting explodes ≤ len−1
+    * structs per vocab entry into a map-side-combinable agg over
+    * the bounded pair space; the winning rule is a 1-row broadcast
+    * cross-joined into the collapse — an `aggregate` higher-order
+    * fold, codegen, no UDF; `localCheckpoint` per round cuts
+    * lineage so round i+1 never re-derives rounds 1..i (the q207
+    * iterative discipline). The look-back fold is provably the
+    * left-to-right greedy merge: a merged symbol l||r can never
+    * equal l (symbols non-empty), so a fresh merge never re-fires
+    * on its own output; the oracle replays the identical fold via
+    * DuckDB list_reduce. */
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    var words = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("split(w, '')").as("syms"), col("freq"))
+      .localCheckpoint()
+    val rules = (1 to rounds).map { r =>
+      val pairs = words
+        .select(col("freq"), explode(expr(
+          // guard: sequence(1, 0) DESCENDS in Spark, so a 1-symbol
+          // word would index past its end — emit no pairs instead
+          "CASE WHEN size(syms) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) END"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint() // the 1-row merge decision, materialized once
+      if (r < rounds) {
+        words = words.crossJoin(broadcast(best.select(col("l"), col("r"))))
+          .select(expr(
+            """aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+              |(acc, x) -> if(element_at(acc, -1) = l AND x = r,
+              |  concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))),
+              |  concat(acc, array(x))))""".stripMargin).as("syms"),
+            col("freq"))
+          .localCheckpoint()
+      }
+      best.select(lit(r.toLong).as("merge_round"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("n"))
+    }
+    rules.reduce(_ unionAll _)
+  }
 }

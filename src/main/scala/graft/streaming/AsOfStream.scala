@@ -41,26 +41,64 @@ object AsOfStream {
   /** (user, kind ∈ {click, purchase}, event-time micros, event id) */
   case class Ev(user: String, kind: String, ts: Long, id: Long)
 
-  /** Distinct (ts, id) pairs per side; purchases still pending. */
+  /** Distinct (ts, id) pairs per side; purchases still pending.
+    * INVARIANT (maintained by [[merge]]/[[compact]], assumed by the
+    * track hot path's binary search): both lists ascending-sorted.
+    * [[attribute]]/[[compact]] themselves stay order-agnostic — the
+    * lattice proofs in StreamAsOfSpec exercise arbitrary orders. */
   case class St(clicks: List[(Long, Long)], purchases: List[(Long, Long)])
 
   /** click_id/click_ts = -1 when no click at-or-before the purchase. */
   case class Out(user_id: String, purchase_id: Long, purchase_ts: Long,
       click_id: Long, click_ts: Long)
 
+  /** Linear merge-union of two ASCENDING-sorted distinct pair lists
+    * — O(|a| + |b|), no rebuild, no hashing. */
+  private def union(a: List[(Long, Long)],
+      b: List[(Long, Long)]): List[(Long, Long)] = {
+    val out = List.newBuilder[(Long, Long)]
+    var (x, y) = (a, b)
+    while (x.nonEmpty && y.nonEmpty) {
+      val c = implicitly[Ordering[(Long, Long)]].compare(x.head, y.head)
+      if (c < 0) { out += x.head; x = x.tail }
+      else if (c > 0) { out += y.head; y = y.tail }
+      else { out += x.head; x = x.tail; y = y.tail }
+    }
+    out ++= x; out ++= y
+    out.result()
+  }
+
   /** Set-union merge — commutative/associative/idempotent across any
-    * partition of the event multiset. */
+    * partition of the event multiset. State lists hold the sorted
+    * invariant (ascending (ts, id), distinct), so each merge is
+    * O(|state| + |batch| log |batch|) — a linear splice, never a
+    * per-merge distinct rebuild of the whole state (hot keys stay
+    * linear in batch size). */
   def merge(st: St, evs: Seq[Ev]): St = St(
-    (st.clicks ++ evs.collect { case e if e.kind == "click" => (e.ts, e.id) })
-      .distinct,
-    (st.purchases ++
-      evs.collect { case e if e.kind == "purchase" => (e.ts, e.id) }).distinct)
+    union(st.clicks, evs.collect {
+      case e if e.kind == "click" => (e.ts, e.id) }.distinct.sorted.toList),
+    union(st.purchases, evs.collect {
+      case e if e.kind == "purchase" => (e.ts, e.id) }.distinct.sorted.toList))
 
   /** Latest click at-or-before `pTs`: lexicographic (ts, id) max —
-    * the AsOf.join tiebreak (equal-time clicks resolved by max id). */
+    * the AsOf.join tiebreak (equal-time clicks resolved by max id).
+    * Order-agnostic (linear scan) — the spec-facing definition. */
   def attribute(clicks: Seq[(Long, Long)], pTs: Long): Option[(Long, Long)] = {
     val cand = clicks.filter(_._1 <= pTs)
     if (cand.isEmpty) None else Some(cand.max)
+  }
+
+  /** [[attribute]] against an ascending-sorted click array — binary
+    * search, O(log n) per purchase instead of a full scan (the track
+    * hot path: per batch, sort once, search per pending purchase). */
+  private def attributeSorted(clicks: Array[(Long, Long)],
+      pTs: Long): Option[(Long, Long)] = {
+    var lo = 0; var hi = clicks.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (clicks(mid)._1 <= pTs) lo = mid + 1 else hi = mid
+    }
+    if (lo == 0) None else Some(clicks(lo - 1))
   }
 
   /** Watermark compaction (see the safety argument above). Returns
@@ -72,9 +110,9 @@ object AsOfStream {
     (St(survivor ++ live, pending), done)
   }
 
-  private def row(user: String, clicks: Seq[(Long, Long)],
+  private def row(user: String, clicks: Array[(Long, Long)],
       p: (Long, Long)): Out = {
-    val best = attribute(clicks, p._1)
+    val best = attributeSorted(clicks, p._1)
     Out(user, p._2, p._1, best.map(_._2).getOrElse(-1L),
       best.map(_._1).getOrElse(-1L))
   }
@@ -97,10 +135,13 @@ object AsOfStream {
           val (st2, done) =
             if (horizon > 0L) compact(st1, horizon) else (st1, Nil)
           // finalized purchases attribute against the PRE-compaction
-          // clicks (their own ≤-ts clicks are all there)
-          val doneRows = done.map(p => row(user, st1.clicks, p))
+          // clicks (their own ≤-ts clicks are all there); state lists
+          // hold the sorted invariant, so toArray is search-ready
+          val preClicks = st1.clicks.toArray
+          val doneRows = done.map(p => row(user, preClicks, p))
           state.update(st2)
-          (doneRows ++ st2.purchases.map(p => row(user, st2.clicks, p)))
+          val liveClicks = st2.clicks.toArray
+          (doneRows ++ st2.purchases.map(p => row(user, liveClicks, p)))
             .iterator
         })
   }

@@ -73,6 +73,54 @@ final class SubscriptionRegistry(path: String) {
 
   def hasSubscription(name: String): Boolean = list().exists(_.name == name)
 
+  // ---- consumer progress (the reference tracks per-subscription
+  // replication positions in ZK; here a sibling acks file with the
+  // same crash-atomic write-temp-then-rename discipline) ----
+
+  private def acksPath = s"$path.acks"
+
+  /** Record that `name` has consumed the WAL through `seq`.
+    * MONOTONIC: the stored position only moves forward, so an
+    * at-least-once replay after a crash (the same batch acked twice,
+    * or an older batch re-delivered) can never move a consumer
+    * backwards — ack is idempotent and order-tolerant, the same
+    * lattice discipline as every other state in this library. */
+  def ack(name: String, seq: Long): Unit = lock.synchronized {
+    val cur = acks()
+    if (cur.getOrElse(name, Long.MinValue) < seq)
+      writeAcks(cur + (name -> seq))
+  }
+
+  /** The acked WAL position of every consumer that has ever acked. */
+  def acks(): Map[String, Long] = {
+    val p = Paths.get(acksPath)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val n = mapper.readTree(line)
+      n.get("name").asText() -> n.get("seq").asLong()
+    }.toMap
+  }
+
+  /** `name`'s acked position, if it has ever acked. */
+  def ackedSeq(name: String): Option[Long] = acks().get(name)
+
+  private def writeAcks(m: Map[String, Long]): Unit = {
+    val lines = m.toSeq.sortBy(_._1).map { case (n, q) =>
+      val node = mapper.createObjectNode()
+      node.put("name", n); node.put("seq", q)
+      mapper.writeValueAsString(node)
+    }
+    val target = Paths.get(acksPath).toAbsolutePath
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${ProcessHandle.current().pid()}." +
+        s"${Thread.currentThread().getId}." +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Attach every registered subscription to a WAL stream. */
   def attachAll(wal: DataFrame): Map[String, DataFrame] =
     Subscriptions.fanOut(wal, list())

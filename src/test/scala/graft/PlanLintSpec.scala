@@ -124,6 +124,41 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("low-cardinality-partition window: fires on the pre-fix q246 shape") {
+    // reconstruct round-8 q246: a rank window partitioned ONLY by the
+    // 5-value segment over customer-grain rows — each task sorts
+    // |customers|/5 rows; the unpartitioned-window check misses it
+    // because the window IS partitioned
+    val perCust = Tables.orders(spark, sfDir).groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val seg = perCust.join(Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+    val bad = seg.withColumn("i", row_number().over(
+      Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cents"), col("o_custkey"))))
+    assert(PlanLint.audit(bad).exists(
+      _.rule == "low-cardinality-partition-window"),
+      "pre-fix q246 shape must fire the low-cardinality window rule")
+  }
+
+  test("low-cardinality-partition window: two-phase ranks sweep clean") {
+    import graft.operators.{Relational, Sketch}
+    for ((name, df) <- Seq(
+        "q246" -> Relational.revenueGini(spark, sfDir),
+        "q40" -> Relational.medianOrder(spark, sfDir),
+        "q67" -> Relational.groupQuartiles(spark, sfDir),
+        "q35" -> Relational.supplierBalance(spark, sfDir),
+        "q11" -> Relational.partTypeTopK(spark, sfDir),
+        // documented bounded-input classes the heuristic must clear:
+        // boundary-bin refinement joins + bin-table windows
+        "q97" -> Sketch.histQuantiles(spark, sfDir),
+        "q231" -> Sketch.groupQuantileBands(spark, sfDir),
+        "q154" -> Sketch.robustOutliers(spark, sfDir)))
+      assert(!PlanLint.audit(df).exists(
+        _.rule == "low-cardinality-partition-window"),
+        s"$name fires the low-cardinality window rule")
+  }
+
   test("allowlist admits only the named rule") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -102,9 +102,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // stage the salted layout once, then pin the read half's scan
     Bucketing.rowkeyScan(spark, sfDir).collect() // stages
-    val stagePath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-q273-${StreamingOps.dirKey(sfDir)}").toString
+    val stagePath = StreamingOps.stagingPath("q273", sfDir)
     val df = Bucketing.rowkeyScanStaged(
       spark, s"$stagePath/events_s", userId = 7L, salts = 16)
     val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {

@@ -64,6 +64,25 @@ class StreamAsOfSpec extends SparkSpec {
     }
   }
 
+  test("merge maintains the sorted-distinct state invariant") {
+    val rnd = new scala.util.Random(11)
+    var st = St(Nil, Nil)
+    for (_ <- 1 to 10) {
+      val evs = (1 to 20).map { i =>
+        Ev("u", if (rnd.nextBoolean()) "click" else "purchase",
+          rnd.nextInt(100).toLong, rnd.nextInt(50).toLong)
+      }
+      st = AsOfStream.merge(st, evs)
+      for (l <- Seq(st.clicks, st.purchases)) {
+        assert(l == l.distinct.sorted, "state list not sorted-distinct")
+      }
+      // compaction preserves the invariant too
+      val (st2, _) = AsOfStream.compact(st, rnd.nextInt(100).toLong)
+      for (l <- Seq(st2.clicks, st2.purchases))
+        assert(l == l.distinct.sorted, "compacted state not sorted-distinct")
+    }
+  }
+
   test("stream gate replays as the batch AsOf.join API") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
