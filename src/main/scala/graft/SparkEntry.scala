@@ -289,6 +289,18 @@ object SparkEntry {
     "q273_rowkey_scan"      -> ((s, d) => Bucketing.rowkeyScan(s, d)),
     "q274_stream_full_outer" -> (StreamingOps.fullOuterJoinStream _),
     "q275_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "q276_small_qty_revenue" -> (Relational.smallQtyRevenue _),
+    "q277_waiting_suppliers" -> (Relational.waitingSuppliers _),
+    "q278_dormant_high_balance" -> ((s, d) => Relational.dormantHighBalance(s, d)),
+    "q279_promo_share"      -> (Relational.promoShare _),
+    "q280_market_leader"    -> (Relational.marketLeader _),
+    "q281_label_propagation" -> ((s, d) => Dedup.labelPropagation(s, d)),
+    "q282_bpe_apply"        -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "q283_stream_bitmask_retention" -> ((s, d) => StreamingOps.streamBitmaskRetention(s, d)),
+    "q284_ks_drift"         -> (Eval.ksDrift _),
+    "q285_markov_removal"   -> ((s, d) => Events.markovRemoval(s, d)),
+    "q286_stream_kmv"       -> ((s, d) => StreamingOps.streamKmv(s, d)),
+    "q287_decile_lift"      -> (Eval.decileLift _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -507,6 +519,7 @@ object SparkEntry {
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
     "q02_top_revenue" ->
       """WITH rev AS (
         | SELECT l_orderkey, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
@@ -4844,6 +4857,196 @@ object SparkEntry {
         | CAST(sum((mask >> CAST(cohort + k AS INTEGER)) & 1) * 1000000
         |   // count(*) AS BIGINT) AS ret_ppm
         |FROM x WHERE cohort + k < 63 GROUP BY 1, 2""".stripMargin,
+    // q283: the streaming lattice's final state must equal q244's
+    // batch relation - identical oracle.
+    "q283_stream_bitmask_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |u AS (SELECT user_id, min(day - d0) AS cohort,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(day - d0 AS INTEGER)) AS mask
+        | FROM e CROSS JOIN d0 WHERE day - d0 < 63 GROUP BY 1),
+        |x AS (SELECT user_id, cohort, mask, unnest(range(0, 8)) AS k FROM u)
+        |SELECT CAST(cohort AS BIGINT) AS cohort, CAST(k AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS n_cohort,
+        | CAST(sum((mask >> CAST(cohort + k AS INTEGER)) & 1) AS BIGINT)
+        |   AS n_active,
+        | CAST(sum((mask >> CAST(cohort + k AS INTEGER)) & 1) * 1000000
+        |   // count(*) AS BIGINT) AS ret_ppm
+        |FROM x WHERE cohort + k < 63 GROUP BY 1, 2""".stripMargin,
+    // q284: exact two-sample KS per event type vs the pooled rest -
+    // sup over every pooled jump point on the bounded distinct-cents
+    // grid; HUGEINT cross-products, one ppm division, argmax ties to
+    // the smallest cents.
+    "q284_ks_drift" ->
+      """WITH counts AS (SELECT CAST(round(value * 100) AS BIGINT) AS bin,
+        |    event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |grid AS (SELECT b.bin, t.event_type, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT bin FROM counts) b
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+        |  LEFT JOIN counts c ON c.bin = b.bin AND c.event_type = t.event_type),
+        |cum AS (SELECT bin, event_type, c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum_t,
+        |  sum(c) OVER (PARTITION BY event_type) AS n_t
+        | FROM grid),
+        |g AS (SELECT bin, sum(c) AS gr FROM counts GROUP BY 1),
+        |gc AS (SELECT bin, sum(gr) OVER (ORDER BY bin) AS gcum FROM g),
+        |tot AS (SELECT sum(c) AS n FROM counts),
+        |st AS (SELECT event_type, n_t, n - n_t AS n_rest, bin,
+        |  abs(CAST(cum_t AS HUGEINT) * (n - n_t)
+        |    - CAST(gcum - cum_t AS HUGEINT) * n_t) AS stat
+        | FROM cum JOIN gc USING (bin) CROSS JOIN tot)
+        |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_type,
+        | CAST(max(n_rest) AS BIGINT) AS n_rest,
+        | CAST(max({'s': stat, 'nb': -bin})['s'] * 1000000
+        |   // (CAST(max(n_t) AS HUGEINT) * max(n_rest)) AS BIGINT) AS ks_ppm,
+        | CAST(-max({'s': stat, 'nb': -bin})['nb'] AS BIGINT) AS ks_at_cents
+        |FROM st GROUP BY 1""".stripMargin,
+    // q285: removal-effect attribution - 6 truncating integer-ppm
+    // power iterations over the transition grid with an explicit
+    // '__end' terminal; one removal variant per channel plus the
+    // __none__ baseline; HUGEINT products, BIGINT casts.
+    "q285_markov_removal" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nx
+        | FROM events),
+        |tr AS MATERIALIZED (SELECT event_type AS from_type,
+        |  coalesce(nx, '__end') AS to_type, count(*) AS n FROM s GROUP BY 1, 2),
+        |ot AS (SELECT from_type, sum(n) AS n_out FROM tr GROUP BY 1),
+        |st AS (SELECT from_type AS st FROM tr UNION SELECT to_type FROM tr),
+        |v AS (SELECT st AS removed FROM st WHERE st NOT IN ('purchase', '__end')
+        |  UNION ALL SELECT '__none__'),
+        |grid AS (SELECT v.removed, s.st FROM v CROSS JOIN st s),
+        |fs AS (SELECT min({'ts': epoch_us(ts), 'eid': event_id,
+        |    'et': event_type})['et'] AS st, user_id FROM events GROUP BY user_id),
+        |fc AS (SELECT st, count(*) AS n_first FROM fs GROUP BY 1),
+        |p0 AS (SELECT removed, st,
+        |  CASE WHEN st = 'purchase' THEN 1000000 ELSE 0 END AS p FROM grid),
+        |p1 AS MATERIALIZED (
+        |  SELECT g.removed, g.st,
+        |    CASE WHEN g.st = 'purchase' THEN 1000000
+        |         WHEN g.st = g.removed THEN 0
+        |         ELSE coalesce(x.pn, 0) END AS p
+        |  FROM grid g LEFT JOIN (
+        |    SELECT p.removed, tr.from_type AS st,
+        |      CAST(sum(CAST(tr.n AS HUGEINT) * p.p) // max(ot.n_out) AS BIGINT) AS pn
+        |    FROM tr JOIN p0 p ON tr.to_type = p.st
+        |      JOIN ot ON tr.from_type = ot.from_type
+        |    GROUP BY 1, 2) x ON g.removed = x.removed AND g.st = x.st),
+        |p2 AS MATERIALIZED (
+        |  SELECT g.removed, g.st,
+        |    CASE WHEN g.st = 'purchase' THEN 1000000
+        |         WHEN g.st = g.removed THEN 0
+        |         ELSE coalesce(x.pn, 0) END AS p
+        |  FROM grid g LEFT JOIN (
+        |    SELECT p.removed, tr.from_type AS st,
+        |      CAST(sum(CAST(tr.n AS HUGEINT) * p.p) // max(ot.n_out) AS BIGINT) AS pn
+        |    FROM tr JOIN p1 p ON tr.to_type = p.st
+        |      JOIN ot ON tr.from_type = ot.from_type
+        |    GROUP BY 1, 2) x ON g.removed = x.removed AND g.st = x.st),
+        |p3 AS MATERIALIZED (
+        |  SELECT g.removed, g.st,
+        |    CASE WHEN g.st = 'purchase' THEN 1000000
+        |         WHEN g.st = g.removed THEN 0
+        |         ELSE coalesce(x.pn, 0) END AS p
+        |  FROM grid g LEFT JOIN (
+        |    SELECT p.removed, tr.from_type AS st,
+        |      CAST(sum(CAST(tr.n AS HUGEINT) * p.p) // max(ot.n_out) AS BIGINT) AS pn
+        |    FROM tr JOIN p2 p ON tr.to_type = p.st
+        |      JOIN ot ON tr.from_type = ot.from_type
+        |    GROUP BY 1, 2) x ON g.removed = x.removed AND g.st = x.st),
+        |p4 AS MATERIALIZED (
+        |  SELECT g.removed, g.st,
+        |    CASE WHEN g.st = 'purchase' THEN 1000000
+        |         WHEN g.st = g.removed THEN 0
+        |         ELSE coalesce(x.pn, 0) END AS p
+        |  FROM grid g LEFT JOIN (
+        |    SELECT p.removed, tr.from_type AS st,
+        |      CAST(sum(CAST(tr.n AS HUGEINT) * p.p) // max(ot.n_out) AS BIGINT) AS pn
+        |    FROM tr JOIN p3 p ON tr.to_type = p.st
+        |      JOIN ot ON tr.from_type = ot.from_type
+        |    GROUP BY 1, 2) x ON g.removed = x.removed AND g.st = x.st),
+        |p5 AS MATERIALIZED (
+        |  SELECT g.removed, g.st,
+        |    CASE WHEN g.st = 'purchase' THEN 1000000
+        |         WHEN g.st = g.removed THEN 0
+        |         ELSE coalesce(x.pn, 0) END AS p
+        |  FROM grid g LEFT JOIN (
+        |    SELECT p.removed, tr.from_type AS st,
+        |      CAST(sum(CAST(tr.n AS HUGEINT) * p.p) // max(ot.n_out) AS BIGINT) AS pn
+        |    FROM tr JOIN p4 p ON tr.to_type = p.st
+        |      JOIN ot ON tr.from_type = ot.from_type
+        |    GROUP BY 1, 2) x ON g.removed = x.removed AND g.st = x.st),
+        |p6 AS MATERIALIZED (
+        |  SELECT g.removed, g.st,
+        |    CASE WHEN g.st = 'purchase' THEN 1000000
+        |         WHEN g.st = g.removed THEN 0
+        |         ELSE coalesce(x.pn, 0) END AS p
+        |  FROM grid g LEFT JOIN (
+        |    SELECT p.removed, tr.from_type AS st,
+        |      CAST(sum(CAST(tr.n AS HUGEINT) * p.p) // max(ot.n_out) AS BIGINT) AS pn
+        |    FROM tr JOIN p5 p ON tr.to_type = p.st
+        |      JOIN ot ON tr.from_type = ot.from_type
+        |    GROUP BY 1, 2) x ON g.removed = x.removed AND g.st = x.st),
+        |conv AS (SELECT p.removed,
+        |  CAST(sum(CAST(fc.n_first AS HUGEINT) * p.p) // sum(fc.n_first) AS BIGINT)
+        |    AS conv_ppm
+        | FROM p6 p JOIN fc ON p.st = fc.st GROUP BY 1),
+        |b AS (SELECT conv_ppm AS base_ppm FROM conv WHERE removed = '__none__')
+        |SELECT removed AS removed_channel, base_ppm, conv_ppm AS removed_ppm,
+        | CAST((base_ppm - conv_ppm) * 1000000 // base_ppm AS BIGINT) AS effect_ppm
+        |FROM conv CROSS JOIN b WHERE removed <> '__none__'""".stripMargin,
+    // q286: the streaming KMV sketch's final state replayed in SQL -
+    // k smallest distinct hashes per qualifier (rank <= k), q250's
+    // estimator arithmetic, exact distinct for the error column.
+    "q286_stream_kmv" ->
+      s"""WITH u AS (SELECT DISTINCT event_type AS qualifier, user_id
+        |  FROM events),
+        |cnt AS (SELECT qualifier, count(*) AS n_exact FROM u GROUP BY 1),
+        |v AS (SELECT DISTINCT qualifier,
+        |  ${hex8Sql("concat('kmv|', CAST(user_id AS VARCHAR))")} AS h
+        | FROM u),
+        |r AS (SELECT qualifier, h, row_number() OVER (PARTITION BY qualifier
+        |   ORDER BY h) AS rk FROM v),
+        |sk AS (SELECT qualifier, count(*) AS usz, max(h) AS kth
+        | FROM r WHERE rk <= 16 GROUP BY 1),
+        |e AS (SELECT qualifier, n_exact, usz, kth,
+        |  CASE WHEN usz < 16 THEN usz
+        |    ELSE (15 * 4294967296) // kth END AS est
+        | FROM sk JOIN cnt USING (qualifier))
+        |SELECT qualifier, CAST(n_exact AS BIGINT) AS n_exact,
+        | CAST(usz AS BIGINT) AS usz, CAST(kth AS BIGINT) AS kth,
+        | CAST(est AS BIGINT) AS est,
+        | CAST(abs(est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+        |FROM e""".stripMargin,
+    // q287: deciles replayed by the exact quantileScore semantics
+    // (bin histogram, k*n crossings, boundary-count assignment with
+    // duplicate boundaries); HUGEINT lift cross-products.
+    "q287_decile_lift" ->
+      """WITH per AS (SELECT user_id,
+        |  sum(CASE WHEN event_type IN ('click', 'view')
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS m,
+        |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |    THEN 1 ELSE 0 END AS conv
+        | FROM events GROUP BY 1),
+        |h AS (SELECT m // 100 AS bin, count(*) AS c FROM per GROUP BY 1),
+        |cu AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        |t AS (SELECT count(*) AS n FROM per),
+        |bd AS (SELECT (bin + 1) * 100 AS boundary
+        | FROM cu CROSS JOIN t
+        |  JOIN (SELECT unnest(range(1, 10)) AS k) kk
+        |  ON cum * 10 >= k * n AND (cum - c) * 10 < k * n),
+        |sc AS (SELECT p.user_id, p.conv, 1 + count(b.boundary) AS decile
+        | FROM per p LEFT JOIN bd b ON b.boundary <= p.m GROUP BY 1, 2),
+        |agg AS (SELECT decile, count(*) AS n_users, sum(conv) AS n_converters
+        | FROM sc GROUP BY 1),
+        |tt AS (SELECT sum(conv) AS nc, count(*) AS nu FROM per)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n_users AS BIGINT) AS n_users,
+        | CAST(n_converters AS BIGINT) AS n_converters,
+        | CAST(n_converters * 1000000 // n_users AS BIGINT) AS conv_ppm,
+        | CAST(CAST(n_converters AS HUGEINT) * nu * 1000000
+        |   // (CAST(n_users AS HUGEINT) * nc) AS BIGINT) AS lift_ppm
+        |FROM agg CROSS JOIN tt""".stripMargin,
     // q245: the interval-overlap join replayed as a plain inequality
     // join (the oracle side is unconstrained by plan shape).
     "q245_session_overlap" ->
@@ -5484,6 +5687,156 @@ object SparkEntry {
         |  r AS right_sym, CAST(n AS BIGINT) AS n FROM b1
         |UNION ALL SELECT 2, l, r, CAST(n AS BIGINT) FROM b2
         |UNION ALL SELECT 3, l, r, CAST(n AS BIGINT) FROM b3""".stripMargin
+    },
+    // q276: the TPC-H Q17 correlated scalar subquery, written in its
+    // correlated form here — DuckDB decorrelates it to the same
+    // agg+join the Spark side declares; the threshold compare is
+    // integer cross-multiplication on both engines.
+    "q276_small_qty_revenue" ->
+      """WITH pp AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  count(*) AS n_lines FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small_lines,
+        | round(sum(l_extendedprice), 2) AS small_qty_revenue
+        |FROM lineitem JOIN pp USING (l_partkey)
+        | JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty
+        |GROUP BY 1""".stripMargin,
+    // q277: Q21's double EXISTS/NOT EXISTS as the one-pass per-order
+    // aggregation (sole late supplier in a multi-supplier order).
+    "q277_waiting_suppliers" ->
+      """WITH b AS (SELECT l_orderkey,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+        |    + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+        |  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    THEN l_suppkey END) AS late_supp
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1)
+        |SELECT late_supp AS s_suppkey, s_name,
+        | CAST(count(*) AS BIGINT) AS numwait
+        |FROM b JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supps >= 2 AND n_late = 1
+        |GROUP BY 1, 2""".stripMargin,
+    // q278: Q22's scalar-subquery threshold + anti-join; integer
+    // cents cross-multiply for the above-average test.
+    "q278_dormant_high_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer),
+        |t AS (SELECT sum(bal_cents) AS sum_pos, count(*) AS n_pos
+        | FROM c WHERE bal_cents > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_dormant,
+        | round(sum(c_acctbal), 2) AS total_balance
+        |FROM c CROSS JOIN t
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_cents * n_pos > sum_pos
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
+    // q279: Q14's promo share per ship-year; cents + integer ppm.
+    "q279_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |   ELSE 0 END) AS BIGINT) AS promo_cents,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS total_cents,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |   ELSE 0 END) * 1000000 // sum(CAST(round(l_extendedprice
+        |   * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    // q280: Q8 generalized — top supplier-nation per region-year and
+    // its ppm share; leader ties by (cents, name) max.
+    "q280_market_leader" ->
+      """WITH g AS (SELECT r_name,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year, n_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS nation_cents
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2, 3)
+        |SELECT r_name, order_year,
+        | max({'c': nation_cents, 'n': n_name})['n'] AS leader_nation,
+        | CAST(max({'c': nation_cents, 'n': n_name})['c'] AS BIGINT)
+        |   AS leader_cents,
+        | CAST(sum(nation_cents) AS BIGINT) AS region_cents,
+        | CAST(CAST(max({'c': nation_cents, 'n': n_name})['c'] AS BIGINT)
+        |   * 1000000 // sum(nation_cents) AS BIGINT) AS leader_ppm
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    // q281: deterministic synchronous LPA — majority neighbor label,
+    // ties to the smallest label (min over a (-count, label) struct),
+    // 3 fixed rounds over the q207 edge CTEs; output is the bounded
+    // community-size histogram.
+    "q281_label_propagation" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT a AS node, min({'nc': -cnt, 'l': label})['l'] AS label
+           |  FROM (SELECT e.a, l.label, count(*) AS cnt
+           |    FROM e0 e JOIN l${i - 1} l ON e.b = l.node GROUP BY 1, 2)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM c
+        | UNION ALL SELECT d2, d1 FROM c),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e0),
+        |$rounds,
+        |sz AS (SELECT label, count(*) AS sz FROM l3 GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS community_size,
+        | CAST(count(*) AS BIGINT) AS n_communities
+        |FROM sz GROUP BY 1""".stripMargin
+    },
+    // q282: the q275 rules applied in learned order (one LTR pass per
+    // rule — the pass the trainer's statistics were counted under) to
+    // each language's vocab; per-lang compression report.
+    "q282_bpe_apply" -> {
+      def round(i: Int) =
+        s"""p$i AS MATERIALIZED (
+           |  SELECT p['l'] AS l, p['r'] AS r, sum(freq) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)),
+           |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p, freq FROM w${i - 1})
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT list_reduce(list_transform(syms, y -> [y]),
+           |    (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+           |      THEN list_concat(acc[1:len(acc)-1], [l || r])
+           |      ELSE list_concat(acc, x) END) AS syms, freq
+           |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+      def applyRound(i: Int) =
+        s"""v$i AS MATERIALIZED (
+           |  SELECT lang, list_reduce(list_transform(syms, y -> [y]),
+           |    (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+           |      THEN list_concat(acc[1:len(acc)-1], [l || r])
+           |      ELSE list_concat(acc, x) END) AS syms, freq, n_chars
+           |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT string_split(w, '') AS syms, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1 GROUP BY w),
+        |${(1 to 3).map(round).mkString(",\n")},
+        |v0 AS MATERIALIZED (
+        |  SELECT lang, string_split(w, '') AS syms, count(*) AS freq,
+        |    CAST(length(w) AS BIGINT) AS n_chars
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 1 GROUP BY lang, w),
+        |${(1 to 3).map(applyRound).mkString(",\n")}
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        | CAST(sum(freq) AS BIGINT) AS n_words,
+        | CAST(sum(freq * n_chars) AS BIGINT) AS n_tokens_char,
+        | CAST(sum(freq * len(syms)) AS BIGINT) AS n_tokens_bpe,
+        | CAST((sum(freq * n_chars) - sum(freq * len(syms))) * 1000000
+        |   // sum(freq * n_chars) AS BIGINT) AS saved_ppm
+        |FROM v3 GROUP BY 1""".stripMargin
     },
     // q251: blooms and probes are pure md5 arithmetic; duplicate
     // hash positions keep their multiplicity on both engines (the

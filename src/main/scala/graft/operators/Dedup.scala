@@ -1367,4 +1367,50 @@ object Dedup {
         sum(col("w_ppm")).as("eff_docs_ppm"))
       .withColumn("retention_ppm", expr("eff_docs_ppm div n_docs"))
   }
+
+  /** q281: LABEL-PROPAGATION communities of the near-dup graph —
+    * the mesoscale between q59 (components: ANY connectivity chains
+    * everything a banding artifact touches) and q207 (k-core:
+    * strict density): synchronous LPA finds the dense template
+    * families inside a component without a density knob. Fully
+    * DETERMINISTIC replay (classic LPA random-iterates; a gate
+    * can't): every node starts labeled with its own id, and each
+    * of `rounds` SYNCHRONOUS rounds relabels every node with its
+    * neighbors' MAJORITY label, ties broken by SMALLEST label —
+    * argmax via min over a (−count, label) struct, exact integers.
+    * Fixed round count (the q207 rule: a data-dependent fixpoint
+    * diverges between engines); the output is the bounded
+    * community-SIZE histogram, never per-node rows. Each round is
+    * one b-keyed shuffle join + two aggs on the edge list —
+    * rounds × |edges|, localCheckpoint per round (the q59/q94
+    * lineage policy). */
+  def labelPropagation(s: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame =
+    labelPropagationOf(minhashLsh(s, dir), rounds)
+
+  /** [[labelPropagation]] over an arbitrary (d1, d2) undirected
+    * edge list — the generic seam (same policy as [[kCoreOf]]). */
+  private[graft] def labelPropagationOf(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(edges.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "b").hint("shuffle_hash"), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a").as("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .getField("l").as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+  }
 }

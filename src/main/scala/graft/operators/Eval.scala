@@ -301,4 +301,90 @@ object Eval {
         expr("CAST(CAST(tp AS DECIMAL(38,0)) * 2000000 div (n_pred_pos + p_total) AS BIGINT)")
           .as("f1_ppm"))
   }
+
+  /** q284: EXACT two-sample KOLMOGOROV–SMIRNOV drift per event type
+    * — each type's value distribution against the POOLED REST (the
+    * "did this event class's money distribution drift away from the
+    * others" question PSI (q176) answers only at fixed-bin
+    * granularity; KS is binless and catches shape shifts PSI's bins
+    * straddle). EXACT, not approximated: the KS sup runs over every
+    * pooled jump point — the bounded distinct-cents × |types| grid
+    * (value DOMAIN, never corpus rows; missing cells zero-filled so
+    * every CDF is evaluated at every jump). All-integer: the sup of
+    * |cum_t·n_rest − cum_rest·n_t| in Decimal(38,0) (cum·n products
+    * overflow Long at ~10¹⁰ rows), divided ONCE into ppm; argmax
+    * location ties resolve to the smallest cents (max over a
+    * (stat, −cents) struct). Windows: per-type cum partitioned by
+    * the 5-value type key and one unpartitioned global cum — BOTH
+    * over the bounded jump-point table, the q97 documented class. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("bin"))
+      .groupBy(col("bin"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val types = counts.select(col("event_type")).distinct()
+    val grid = counts.select(col("bin")).distinct()
+      .crossJoin(broadcast(types))
+      .join(counts, Seq("bin", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_t", sum(col("c")).over(wcum))
+      .withColumn("n_t", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+    val gcum = counts.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+      .withColumn("gcum", sum(col("g")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bin"), col("gcum"))
+    val tot = counts.agg(sum(col("c")).as("n"))
+    cum.join(gcum, "bin").crossJoin(broadcast(tot))
+      .withColumn("stat", expr(
+        "abs(cast(cum_t as decimal(38,0)) * (n - n_t)" +
+          " - cast(gcum - cum_t as decimal(38,0)) * n_t)"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_t")).as("n_type"),
+        first(col("n") - col("n_t")).as("n_rest"),
+        max(struct(col("stat"), (-col("bin")).as("negbin"))).as("mx"))
+      .select(col("event_type"), col("n_type"), col("n_rest"),
+        expr("cast(mx.stat * 1000000 div (cast(n_type as decimal(38,0))" +
+          " * n_rest) as bigint)").as("ks_ppm"),
+        (-col("mx.negbin")).as("ks_at_cents"))
+  }
+  /** q287: DECILE LIFT / gains table — the campaign-targeting readout
+    * ("how much better does the top spend-decile convert"): per-user
+    * engagement cents (clicks+views) scored into 10 VALUE-based
+    * deciles by the q241/q151 sort-free histogram machinery (never an
+    * unpartitioned ntile — the whole point of quantileScore), then
+    * per-decile conversion vs the global rate as integer-ppm lift
+    * (Decimal(38,0) cross-products; a float rate ratio would make
+    * ties engine-dependent). Ties share a decile and skewed mass may
+    * skip scores — the documented value-tile semantics. Two corpus
+    * passes (per-user rollup + assignment), bounded everything else.
+    * Label: heavy purchaser (≥ 14 purchases — the corpus median
+    * split; every user of this synthetic corpus purchases, so a
+    * has-purchased label would be degenerate). */
+  def decileLift(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type").isin("click", "view"),
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+          .as("engage_cents"),
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14L, 1L).otherwise(0L).as("converted"))
+    val scored = Relational.quantileScore(per, "engage_cents", 100L, 10,
+      "decile")
+    val tot = per.agg(sum(col("converted")).as("nc"),
+      count(lit(1)).as("nu"))
+    scored.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converters"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("n_converters"),
+        expr("n_converters * 1000000 div n_users").as("conv_ppm"),
+        expr("cast(cast(n_converters as decimal(38,0)) * nu * 1000000" +
+          " div (cast(n_users as decimal(38,0)) * nc) as bigint)")
+          .as("lift_ppm"))
+  }
 }

@@ -1305,6 +1305,14 @@ object Events {
       .agg(min(col("d")).as("cohort"),
         expr("bit_or(shiftleft(cast(1 as bigint), cast(d as int)))")
           .as("mask"))
+    retentionGrid(users, horizon)
+  }
+
+  /** The q244 report tail over a (cohort, mask) per-user frame —
+    * shared with the streaming twin (q283), whose final state must
+    * land in the identical grid. */
+  private[graft] def retentionGrid(users: DataFrame,
+      horizon: Int): DataFrame =
     users
       .select(col("cohort"), col("mask"),
         explode(sequence(lit(0), lit(horizon))).as("k"))
@@ -1315,7 +1323,6 @@ object Events {
       .groupBy(col("cohort"), col("k"))
       .agg(count(lit(1)).as("n_cohort"), sum(col("active")).as("n_active"))
       .withColumn("ret_ppm", expr("n_active * 1000000 div n_cohort"))
-  }
 
   /** q262: MAX-VERSIONS read — HBase's other retention knob made a
     * query (SURVEY §1: a column family declares VERSIONS => k and a
@@ -1580,5 +1587,78 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"),
         countDistinct(col("user_id")).as("n_users"),
         expr("sum(ov) div 1000000").as("overlap_seconds"))
+  }
+  /** q285: MARKOV REMOVAL-EFFECT attribution — the channel-value
+    * question last-click (q122) and position (q156) models answer by
+    * fiat, answered from the journey graph itself: how much does
+    * bounded-horizon conversion probability DROP if a channel is
+    * removed (its visits convert nothing)? The q104 transition
+    * matrix plus an explicit '__end' terminal (each user's last
+    * event — without it every chain would look immortal), iterated
+    * `horizon` times: p_{i+1}(s) = 1e6 if s = purchase, 0 if s is
+    * the removed channel, else Σ_t n(s→t)·p_i(t) div n(s·) — FIXED
+    * horizon and TRUNCATING integer-ppm arithmetic, so both engines
+    * replay the identical fixed point (a float fixpoint iteration
+    * would drift). One removal variant per non-terminal channel plus
+    * the '__none__' baseline; removal is monotone (it only zeroes
+    * terms), so effects are provably ≥ 0. Scale: two corpus passes
+    * (transitions + first-touches — per-user windows, the q104
+    * shape); everything after lives on the (|types|+1)·|types|
+    * grid — iteration cost is independent of the corpus. */
+  def markovRemoval(s: SparkSession, dir: String,
+      horizon: Int = 6): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit("__end")))
+    val trans = seq0
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val outTot = trans.groupBy(col("from_type")).agg(sum(col("n")).as("n_out"))
+    val firsts = seq0.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+      .groupBy(col("f.event_type").as("st"))
+      .agg(count(lit(1)).as("n_first")).localCheckpoint()
+    val states = trans.select(col("from_type").as("st"))
+      .unionAll(trans.select(col("to_type"))).distinct().localCheckpoint()
+    val variants = states
+      .filter(col("st") =!= "purchase" && col("st") =!= "__end")
+      .select(col("st").as("removed"))
+      .unionAll(Seq("__none__").toDF("removed")).localCheckpoint()
+    val grid = variants.crossJoin(states)
+    var p = grid.withColumn("p",
+      when(col("st") === "purchase", lit(1000000L)).otherwise(lit(0L)))
+      .localCheckpoint()
+    for (_ <- 1 to horizon) {
+      val stepped = trans
+        .join(p.withColumnRenamed("st", "to_type"), "to_type")
+        .groupBy(col("removed"), col("from_type").as("st"))
+        .agg(expr("sum(cast(n as decimal(38,0)) * p)").as("np"))
+        .join(outTot.withColumnRenamed("from_type", "st"), "st")
+        .select(col("removed"), col("st"),
+          expr("cast(np div n_out as bigint)").as("pn"))
+      p = grid.join(stepped, Seq("removed", "st"), "left")
+        .withColumn("p",
+          when(col("st") === "purchase", lit(1000000L))
+            .when(col("st") === col("removed"), lit(0L))
+            .otherwise(coalesce(col("pn"), lit(0L))))
+        .select(col("removed"), col("st"), col("p"))
+        .localCheckpoint()
+    }
+    val conv = p.join(firsts, "st")
+      .groupBy(col("removed"))
+      .agg(expr("cast(sum(cast(n_first as decimal(38,0)) * p)" +
+        " div sum(n_first) as bigint)").as("conv_ppm"))
+    val base = conv.filter(col("removed") === "__none__")
+      .select(col("conv_ppm").as("base_ppm"))
+    conv.filter(col("removed") =!= "__none__")
+      .crossJoin(broadcast(base))
+      .select(col("removed").as("removed_channel"), col("base_ppm"),
+        col("conv_ppm").as("removed_ppm"),
+        expr("(base_ppm - conv_ppm) * 1000000 div base_ppm")
+          .as("effect_ppm"))
   }
 }

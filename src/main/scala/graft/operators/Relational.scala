@@ -860,7 +860,7 @@ object Relational {
       .drop("__part", "__bin", "__base")
   }
 
-  private def quantileScore(df: DataFrame, metric: String, binWidth: Long,
+  private[graft] def quantileScore(df: DataFrame, metric: String, binWidth: Long,
       nTiles: Int, scoreName: String): DataFrame = {
     val hist = df.groupBy(expr(s"$metric div $binWidth").as("bin"))
       .agg(count(lit(1)).as("cnt"))
@@ -988,5 +988,150 @@ object Relational {
           .as("gini_milli"),
         expr("cast(cast(top_cents as decimal(38,0)) * 1000000" +
           " div total_cents as bigint)").as("top20_ppm"))
+  }
+
+  /** q276: SMALL-QUANTITY revenue audit (TPC-H Q17 shape) — revenue
+    * sitting in lines whose quantity is under 20% of their part's
+    * average order quantity, per brand: the "should this ship by
+    * parcel instead of pallet" logistics question, and Catalyst's
+    * classic correlated-scalar-subquery decorrelation (the oracle
+    * writes the correlated form; the plan is the same agg+join both
+    * ways). Scale: the per-part threshold is a FACT PRE-AGG keyed
+    * on partkey (map-side combinable, one co-located partkey
+    * shuffle, never a per-row subquery); the threshold compare is
+    * ALL-INTEGER cross-multiplication (qty·5·n < Σqty on long
+    * quantities — a float 0.2·avg would make the boundary row an
+    * IEEE coin flip); the brand dim is a broadcast. */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+    li.join(perPart.hint("shuffle_hash"), "l_partkey")
+      .filter(col("qty") * 5 * col("n_lines") < col("sum_qty"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        round(sum(col("l_extendedprice")), 2).as("small_qty_revenue"))
+  }
+
+  /** q277: SUPPLIERS WHO KEPT ORDERS WAITING (TPC-H Q21 shape) —
+    * per supplier, the multi-supplier orders where THEIR line
+    * shipped late (> 60 days after the order date) and no other
+    * supplier's did: the blame-assignment report Q21 writes as a
+    * double EXISTS / NOT EXISTS correlation, here the scalable
+    * form — ONE per-order aggregation computes (distinct suppliers,
+    * distinct late suppliers, the sole late supplier when unique),
+    * so the fact shuffles once on orderkey and the correlation
+    * never becomes a per-row probe. The sole-late-supplier pick is
+    * exact (max over a 1-element set); supplier names broadcast. */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val blame = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate")).hint("shuffle_hash"),
+        "o_orderkey")
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supps"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supps") >= 2 && col("n_late_supps") === 1)
+    blame.groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  /** q278: DORMANT HIGH-BALANCE customers (TPC-H Q22 shape) — the
+    * sales-opportunity scan: customers whose balance beats the
+    * average positive balance but who placed no order since the
+    * cutoff, rolled up per nation. The Q22 signature is a scalar
+    * subquery (global threshold) + an anti-join, exactly how the
+    * plan should run at 100 TB: the threshold is ONE broadcast row
+    * (sum/count of positive balances — map-side combined), the
+    * anti-join probes a pre-distinct custkey set co-located on the
+    * join key, and the threshold compare is integer
+    * cross-multiplication on cents (bal·n > Σpos — no float
+    * boundary flips). */
+  def dormantHighBalance(s: SparkSession, dir: String,
+      cutoff: String = "1999-01-01"): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .withColumn("bal_cents", expr("cast(round(c_acctbal * 100) as bigint)"))
+    val thr = cust.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    cust.crossJoin(broadcast(thr))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_dormant"),
+        round(sum(col("c_acctbal")), 2).as("total_balance"))
+  }
+
+  /** q279: PROMO revenue share per ship-year (TPC-H Q14 shape) —
+    * what fraction of each year's discounted revenue moved through
+    * promo-class parts. Revenue is quantized to cents by the SAME
+    * IEEE expression on both engines (the q234 policy) and the
+    * share is ppm by integer division — never a float quotient in
+    * the gate. One broadcast part dim, one bounded per-year agg. */
+  def promoShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))), "l_partkey")
+      .withColumn("rev_cents", expr(
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .withColumn("promo_ppm",
+        expr("promo_cents * 1000000 div total_cents"))
+
+  /** q280: REGIONAL MARKET LEADER per year (TPC-H Q8 generalized —
+    * instead of one fixed nation's share, the TOP supplier-nation
+    * by revenue within each region-year and its share): lineitem
+    * shuffles ONCE on orderkey for the date; the supplier→nation→
+    * region chain is a broadcast; everything after the first agg
+    * runs on the bounded region×year×nation grid (5·7·25 rows), so
+    * the leader pick (max_by) and the ppm share are free. Exact:
+    * cents revenue, integer ppm, leader ties broken by nation name
+    * (max_by on a (cents, name) struct). */
+  def marketLeader(s: SparkSession, dir: String): DataFrame = {
+    val supNation = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name"), col("r_name"))
+    val grid = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+          .as("rev_cents"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long")
+          .as("order_year")).hint("shuffle_hash"), "o_orderkey")
+      .join(broadcast(supNation), "l_suppkey")
+      .groupBy(col("r_name"), col("order_year"), col("n_name"))
+      .agg(sum(col("rev_cents")).as("nation_cents"))
+    grid.groupBy(col("r_name"), col("order_year"))
+      .agg(
+        max_by(col("n_name"), struct(col("nation_cents"), col("n_name")))
+          .as("leader_nation"),
+        max(struct(col("nation_cents"), col("n_name")))
+          .getField("nation_cents").as("leader_cents"),
+        sum(col("nation_cents")).as("region_cents"))
+      .withColumn("leader_ppm",
+        expr("leader_cents * 1000000 div region_cents"))
   }
 }

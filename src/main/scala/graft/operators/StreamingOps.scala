@@ -506,6 +506,101 @@ object StreamingOps {
         col("st.value_cents").as("value_cents"), col("st.seq").as("seq"))
   }
 
+  /** q283: STREAMING BITMASK RETENTION — q244's day-bitmask cohort
+    * retention run live: per-user state is ONE (min-day, 64-bit
+    * mask) pair maintained by a plain streaming aggregation in
+    * Update mode — `min` and `bit_or` are both
+    * commutative/associative/IDEMPOTENT merges, so this is the
+    * purest lattice in the library: any arrival order, any batch
+    * split, even duplicate delivery of a whole batch lands in the
+    * same state (bit-OR absorbs replays without a dedup pass). The
+    * last emission per user is its final (cohort, mask); the q244
+    * grid over that state must equal the batch relation under the
+    * same oracle. State: O(1) per user forever — the bitmask IS the
+    * retention curve, fan-out ∝ users, never events. The day-zero
+    * anchor is a config constant in production; the gate derives it
+    * from the staged corpus (deterministic). */
+  def streamBitmaskRetention(s: SparkSession, dir: String,
+      horizon: Int = 7): DataFrame = {
+    val stage = stagingRoot("q283", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val d0 = graft.Tables.events(s, dir)
+      .agg(min(expr("ts div 86400000000"))).head().getLong(0)
+    val masks = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").cast("long").as("user_id"),
+        (expr("ts div 86400000000") - lit(d0)).as("d"))
+      .filter(col("d") >= 0L && col("d") < 63L)
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort"),
+        expr("bit_or(shiftleft(cast(1 as bigint), cast(d as int)))")
+          .as("mask"))
+    val query = masks.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val fin = s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("cohort"), col("mask")), col("batch")).as("st"))
+      .select(col("st.cohort").as("cohort"), col("st.mask").as("mask"))
+    Events.retentionGrid(fin, horizon)
+  }
+
+  /** q286: STREAMING KMV distinct-count — per-qualifier distinct-key
+    * cardinality estimated LIVE with a [[graft.functions.KMinAgg]]
+    * sketch as streaming state: the k smallest distinct md5-hashes
+    * per qualifier, a SET lattice (commutative/associative/
+    * IDEMPOTENT — replays absorb with no dedup pass, the q283
+    * argument with a k-element buffer instead of a bitmask). HBase
+    * has no distinct-count; a SEP consumer materializing per-column
+    * cardinality dashboards runs exactly this. Final state feeds
+    * q250's estimator (k−1)·2³² div h₍ₖ₎, reported against the
+    * exact batch distinct count with an integer-ppm error — the
+    * oracle replays the identical hash sketch in SQL (rank ≤ k
+    * over distinct hashes). State: O(k) longs per qualifier,
+    * forever. */
+  def streamKmv(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val stage = stagingRoot("q286", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val sketches = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("cells")(0)("qualifier").as("qualifier"),
+        Sampling.hashBucket(concat(lit("kmv|"), col("rowkey"))).as("h"))
+      .groupBy(col("qualifier"))
+      .agg(graft.functions.KMin.kmin(k)(col("h")).as("kmv"))
+    val query = sketches.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val fin = s.read.parquet(out)
+      .groupBy(col("qualifier"))
+      .agg(max_by(col("kmv"), col("batch")).as("kmv"))
+    val exact = graft.Tables.events(s, dir)
+      .select(col("event_type").as("qualifier"), col("user_id"))
+      .distinct()
+      .groupBy(col("qualifier")).agg(count(lit(1)).as("n_exact"))
+    fin.join(exact, "qualifier")
+      .withColumn("usz", size(col("kmv")).cast("long"))
+      .withColumn("kth", element_at(col("kmv"), size(col("kmv"))))
+      .withColumn("est", when(col("usz") < k, col("usz"))
+        .otherwise(expr(s"(${k - 1} * 4294967296L) div kth")))
+      .select(col("qualifier"), col("n_exact"), col("usz"), col("kth"),
+        col("est"),
+        expr("abs(est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+  }
+
   /** q76: effectively-once replay audit — the WAL delivered twice
     * (at-least-once), deduplicated on the sequence number, must equal
     * single delivery. The batch form of streaming.ExactlyOnce's

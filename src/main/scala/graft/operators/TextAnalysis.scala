@@ -837,14 +837,36 @@ object TextAnalysis {
     * equal l (symbols non-empty), so a fresh merge never re-fires
     * on its own output; the oracle replays the identical fold via
     * DuckDB list_reduce. */
-  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    bpeLearn(s, dir, rounds).zipWithIndex.map { case (best, i) =>
+      best.select(lit((i + 1).toLong).as("merge_round"),
+        col("l").as("left_sym"), col("r").as("right_sym"), col("n"))
+    }.reduce(_ unionAll _)
+
+  /** One greedy left-to-right collapse of the broadcast 1-row (l, r)
+    * rule into `df`'s `syms` arrays (other columns pass through) —
+    * the codegen `aggregate` fold shared by train and apply. */
+  private def bpeCollapse(df: DataFrame, rule: DataFrame): DataFrame = {
+    val rest = df.columns.filterNot(_ == "syms").map(col).toSeq
+    df.crossJoin(broadcast(rule.select(col("l"), col("r"))))
+      .select(expr(
+        """aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+          |(acc, x) -> if(element_at(acc, -1) = l AND x = r,
+          |  concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))),
+          |  concat(acc, array(x))))""".stripMargin).as("syms") +: rest: _*)
+  }
+
+  /** The train loop's per-round argmax rules (1-row frames, each
+    * localCheckpointed) — shared by [[bpeTrain]] and [[bpeApply]]. */
+  private def bpeLearn(s: SparkSession, dir: String,
+      rounds: Int): Seq[DataFrame] = {
     var words = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(expr("split(w, '')").as("syms"), col("freq"))
       .localCheckpoint()
-    val rules = (1 to rounds).map { r =>
+    (1 to rounds).map { r =>
       val pairs = words
         .select(col("freq"), explode(expr(
           // guard: sequence(1, 0) DESCENDS in Spark, so a 1-symbol
@@ -857,19 +879,39 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("n"))
       val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
         .localCheckpoint() // the 1-row merge decision, materialized once
-      if (r < rounds) {
-        words = words.crossJoin(broadcast(best.select(col("l"), col("r"))))
-          .select(expr(
-            """aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
-              |(acc, x) -> if(element_at(acc, -1) = l AND x = r,
-              |  concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))),
-              |  concat(acc, array(x))))""".stripMargin).as("syms"),
-            col("freq"))
-          .localCheckpoint()
-      }
-      best.select(lit(r.toLong).as("merge_round"), col("l").as("left_sym"),
-        col("r").as("right_sym"), col("n"))
+      if (r < rounds) words = bpeCollapse(words, best).localCheckpoint()
+      best
     }
-    rules.reduce(_ unionAll _)
+  }
+
+  /** q282: BPE TOKENIZER APPLY — the encode half that closes q275's
+    * loop: the 3 globally-learned merge rules applied IN LEARNED
+    * ORDER (one left-to-right pass each — exactly the pass the
+    * trainer's own statistics were counted under) to each
+    * language's word vocabulary, pricing the tokenizer per
+    * language: token counts before/after, saved ppm — q216's
+    * fertility question asked of the REAL learned tokenizer
+    * instead of a regex proxy. Scale: rules come from the
+    * vocab-sized train loop (one corpus pass up front); apply
+    * touches only the (lang, word, freq) vocab (corpus pass #2),
+    * each rule a broadcast 1-row cross join + codegen fold; the
+    * report is a |langs|-row agg of exact integers. */
+  def bpeApply(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val rules = bpeLearn(s, dir, rounds)
+    var vocab = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("lang"), expr("split(w, '')").as("syms"), col("freq"),
+        length(col("w")).cast("long").as("n_chars"))
+      .localCheckpoint()
+    for (rule <- rules) vocab = bpeCollapse(vocab, rule).localCheckpoint()
+    vocab.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_chars")).as("n_tokens_char"),
+        sum(col("freq") * size(col("syms"))).as("n_tokens_bpe"))
+      .withColumn("saved_ppm", expr(
+        "(n_tokens_char - n_tokens_bpe) * 1000000 div n_tokens_char"))
   }
 }
