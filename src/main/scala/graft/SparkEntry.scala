@@ -301,6 +301,9 @@ object SparkEntry {
     "q285_markov_removal"   -> ((s, d) => Events.markovRemoval(s, d)),
     "q286_stream_kmv"       -> ((s, d) => StreamingOps.streamKmv(s, d)),
     "q287_decile_lift"      -> (Eval.decileLift _),
+    "q288_ann_filtered"     -> ((s, d) => Similarity.annFiltered(s, d)),
+    "q289_ivm_retract"      -> ((s, d) => Incremental.ivmRetract(s, d)),
+    "q290_pareto_frontier"  -> (Relational.paretoFrontier _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5047,6 +5050,46 @@ object SparkEntry {
         | CAST(CAST(n_converters AS HUGEINT) * nu * 1000000
         |   // (CAST(n_users AS HUGEINT) * nc) AS BIGINT) AS lift_ppm
         |FROM agg CROSS JOIN tt""".stripMargin,
+    // q288: filtered search replayed as per-(query, label) rank <= k
+    // over the exact integer cosine.
+    "q288_ann_filtered" ->
+      s"""WITH $quantCte,
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |  FROM embeddings),
+        |sc AS (SELECT a.vec_id AS query_id, lb.label,
+        |  b.vec_id AS neighbor_id, $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5
+        |  JOIN lb ON b.vec_id = lb.vec_id)
+        |SELECT query_id, label, rank, neighbor_id, cosine FROM (
+        | SELECT query_id, label, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id, label
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc) t WHERE rank <= 3""".stripMargin,
+    // q289: retraction IVM - merge must equal the from-scratch
+    // aggregate with the retracted set excluded; zero-support groups
+    // vanish on both sides by construction.
+    "q289_ivm_retract" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE NOT (event_id % 7 = 0 AND epoch_us(ts) < 1705276800000000)
+        |GROUP BY 1, 2""".stripMargin,
+    // q290: skyline replayed as the same staircase decomposition
+    // (per-price max + exclusive prefix max over the bounded grid).
+    "q290_pareto_frontier" ->
+      """WITH p AS (SELECT p_partkey, p_brand,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(p_size AS BIGINT) AS p_size FROM part),
+        |g AS (SELECT price_cents, max(p_size) AS best_size
+        | FROM p GROUP BY 1),
+        |pre AS (SELECT price_cents, best_size,
+        |  coalesce(max(best_size) OVER (ORDER BY price_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    AS prefix_best
+        | FROM g)
+        |SELECT p.p_partkey, p.p_brand, p.price_cents, p.p_size
+        |FROM p JOIN pre USING (price_cents)
+        |WHERE p.p_size > pre.prefix_best AND p.p_size = pre.best_size""".stripMargin,
     // q245: the interval-overlap join replayed as a plain inequality
     // join (the oracle side is unconstrained by plan shape).
     "q245_session_overlap" ->

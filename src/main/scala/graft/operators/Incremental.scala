@@ -73,6 +73,43 @@ object Incremental {
       Tables.eventsTsBounded(s, dir, minMicros = Some(cutoffMicros)))
   }
 
+  /** q289: IVM with RETRACTIONS — the missing half of q126/q249's
+    * insert-only delta algebra: a CDC correction stream carries
+    * DELETES (HBase tombstones, GDPR erasures, fraud reversals), and
+    * the maintained aggregate must subtract them without a recompute.
+    * Signed multiplicities: every delta row carries mult ∈ {+1, −1};
+    * count becomes Σmult and revenue Σmult·cents — still
+    * distributive, so snapshot ⊎ delta ≡ recompute-without-retracted
+    * (what the oracle proves); groups whose support hits ZERO are
+    * DROPPED from the view (the Z-relation rule — an IVM that leaves
+    * 0-count ghost groups poisons downstream joins). Retraction set:
+    * pre-cutoff events with event_id % 7 == 0 (the deterministic
+    * stand-in for the CDC correction feed, the q150 derivation
+    * pattern). Cost: |snapshot| + |delta| rows, never the corpus. */
+  def ivmRetract(s: SparkSession, dir: String,
+      cutoffMicros: Long = DefaultCutoffMicros): DataFrame = {
+    val snap = StreamingOps.stagingRoot("q289snap", dir) + "/agg"
+    writeAggSnapshot(s, dir, snap, cutoffMicros)
+    val inserts = Tables.eventsTsBounded(s, dir,
+        minMicros = Some(cutoffMicros))
+      .withColumn("mult", lit(1L))
+    val retractions = Tables.eventsTsBounded(s, dir,
+        maxMicros = Some(cutoffMicros - 1))
+      .filter(col("event_id") % 7 === 0)
+      .withColumn("mult", lit(-1L))
+    val deltaAgg = inserts.unionByName(retractions)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("mult")).as("n_events"),
+        sum(col("mult") * round(col("value") * 100).cast("long"))
+          .as("sum_cents"))
+    s.read.parquet(snap)
+      .unionByName(deltaAgg)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .filter(col("n_events") > 0L)
+  }
+
   /** Corpus SNAPSHOT DIFF core — the data-versioning report run
     * between two catalog versions of the same document table (what
     * changed since the last training run, and is the delta small

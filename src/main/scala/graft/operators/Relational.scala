@@ -990,6 +990,37 @@ object Relational {
           " div total_cents as bigint)").as("top20_ppm"))
   }
 
+  /** q290: PARETO FRONTIER (skyline) of the part catalog — the
+    * multi-criteria shortlist ("no part is both cheaper and larger")
+    * every sourcing/recommendation surface needs, and a classic
+    * operator family (Börzsönyi's skyline) relational engines lack.
+    * Criteria: minimize retail price, maximize size. NOT an
+    * all-pairs dominance join (corpus² at scale): the staircase
+    * decomposes — (1) per-price-cent max size, a BOUNDED table
+    * (price domain); (2) EXCLUSIVE running max over that grid
+    * ascending (strictly-cheaper best size); (3) a part survives
+    * iff its size tops every strictly cheaper part (size >
+    * prefix max) AND nothing at its own price beats it (size ==
+    * per-price max) — weak dominance, equal-on-both-dims parts all
+    * survive. All-integer; the one window runs over the bounded
+    * price grid (q97 class). */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+    val grid = parts.groupBy(col("price_cents"))
+      .agg(max(col("p_size")).as("best_size"))
+      .withColumn("prefix_best", coalesce(max(col("best_size")).over(
+        Window.orderBy(col("price_cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(-1L)))
+    parts.join(grid.hint("shuffle_hash"), "price_cents")
+      .filter(col("p_size") > col("prefix_best") &&
+        col("p_size") === col("best_size"))
+      .select(col("p_partkey"), col("p_brand"), col("price_cents"),
+        col("p_size"))
+  }
+
   /** q276: SMALL-QUANTITY revenue audit (TPC-H Q17 shape) — revenue
     * sitting in lines whose quantity is under 20% of their part's
     * average order quantity, per brand: the "should this ship by

@@ -149,6 +149,39 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
+  /** q288: FILTERED vector search — top-k under a metadata predicate,
+    * the capability every vector store sells ("nearest neighbors
+    * WHERE label = X") and the one that breaks post-filtered indexes
+    * (filter after a global top-k starves selective predicates of
+    * results). Done filter-FIRST: the corpus is scored per (query,
+    * label) group, so each group keeps its own bounded TopKAgg
+    * buffer — the shuffle carries ≤ k rows per (partition × query ×
+    * label), k results are GUARANTEED per filter value however
+    * selective it is, and the label filter rides the column-pruned
+    * scan (at 100 TB, partition-prune by label first). One pass
+    * scores every label's search simultaneously — |labels| filtered
+    * searches for the price of one corpus scan. */
+  def annFiltered(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.functions.TopK
+    val q = quantized(s, dir)
+    val queries = broadcast(q.filter(col("vec_id") < 5)
+      .toDF("query_id", "qv", "qn2"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(q, "vec_id")
+      .filter(col("vec_id") >= 5)
+      .toDF("neighbor_id", "label", "cv", "cn2")
+    corpus.join(queries, lit(true))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      .groupBy(col("query_id"), col("label"))
+      .agg(TopK.topk(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), col("label"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
+  }
+
   /** q75: embedding norm audit per label — the health check run
     * before any similarity work (collapsed/exploded norms flag a bad
     * encoder batch). Norms from the exact integer n2. */

@@ -158,6 +158,45 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---- q290: skyline semantics ----
+
+  test("q290: frontier members are mutually non-dominated and complete") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = parts.exists(q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+    val expected = parts.filterNot(dominated).map(_._1).toSet
+    val got = Relational.paretoFrontier(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  // ---- q289: retraction algebra ----
+
+  test("q289: retracting everything re-inserted is the identity") {
+    import graft.operators.Incremental
+    // inserts(X) then retract(X) must leave the snapshot unchanged
+    val snap = Incremental.partialAgg(
+      Tables.events(spark, sfDir)).collect().map(_.toSeq).toSet
+    val all = Tables.events(spark, sfDir)
+    val doubled = Incremental.partialAgg(all).unionByName(
+      all.withColumn("mult", lit(1L))
+        .unionByName(all.withColumn("mult", lit(-1L)))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("mult")).as("n_events"),
+          sum(col("mult") * round(col("value") * 100).cast("long"))
+            .as("sum_cents")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .filter(col("n_events") > 0L)
+      .collect().map(_.toSeq).toSet
+    assert(doubled === snap)
+  }
+
   test("round-9 operators: no cartesians, no low-cardinality windows") {
     import graft.operators.{Eval, Events}
     for ((name, df) <- Seq(
@@ -171,6 +210,9 @@ class Round9Spec extends SparkSpec {
         "q284" -> Eval.ksDrift(spark, sfDir),
         "q285" -> Events.markovRemoval(spark, sfDir),
         "q287" -> Eval.decileLift(spark, sfDir),
+        "q288" -> graft.operators.Similarity.annFiltered(spark, sfDir),
+        "q289" -> graft.operators.Incremental.ivmRetract(spark, sfDir),
+        "q290" -> Relational.paretoFrontier(spark, sfDir),
         "q282" -> TextAnalysis.bpeApply(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
