@@ -304,6 +304,8 @@ object SparkEntry {
     "q288_ann_filtered"     -> ((s, d) => Similarity.annFiltered(s, d)),
     "q289_ivm_retract"      -> ((s, d) => Incremental.ivmRetract(s, d)),
     "q290_pareto_frontier"  -> (Relational.paretoFrontier _),
+    "q291_media_shard_pack" -> ((s, d) => Multimodal.mediaShardPack(s, d)),
+    "q292_max_concurrency"  -> (Events.maxConcurrency _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5090,6 +5092,46 @@ object SparkEntry {
         |SELECT p.p_partkey, p.p_brand, p.price_cents, p.p_size
         |FROM p JOIN pre USING (price_cents)
         |WHERE p.p_size > pre.prefix_best AND p.p_size = pre.best_size""".stripMargin,
+    // q291: shard layout replayed with one global window (the oracle
+    // is unconstrained by plan shape); same hash order, same
+    // start-offset cut rule.
+    "q291_media_shard_pack" ->
+      s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes,
+        |  ${hex8Sql("concat('shard|', CAST(doc_id AS VARCHAR))")} AS h
+        | FROM documents),
+        |o AS (SELECT doc_id, bytes,
+        |  sum(bytes) OVER (ORDER BY h, doc_id) - bytes AS strt FROM b),
+        |a AS (SELECT bytes, strt // 16384 AS shard_id,
+        |  CASE WHEN strt // 16384 <> (strt + bytes - 1) // 16384
+        |    THEN 1 ELSE 0 END AS straddle FROM o)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        | CAST(count(*) AS BIGINT) AS n_blobs,
+        | CAST(sum(bytes) AS BIGINT) AS bytes,
+        | CAST(sum(straddle) AS BIGINT) AS n_straddlers,
+        | CAST(sum(bytes) * 1000000 // 16384 AS BIGINT) AS fill_ppm
+        |FROM a GROUP BY 1""".stripMargin,
+    // q292: the interval sweep with ends-before-starts tie order;
+    // per-instant cum sets are order-independent so the daily max is
+    // well-defined (see the operator scaladoc).
+    "q292_max_concurrency" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
+        |lg AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_us FROM ev),
+        |ns AS (SELECT user_id, ts, CASE WHEN prev_us IS NULL
+        |   OR ts - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lg),
+        |sd AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+        |   ORDER BY ts) AS sid FROM ns),
+        |sess AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) + 1 AS s_end
+        | FROM sd GROUP BY 1, 2),
+        |d AS (SELECT s_start AS t, 1 AS delta FROM sess
+        | UNION ALL SELECT s_end, -1 FROM sess),
+        |c AS (SELECT t, delta, sum(delta) OVER (ORDER BY t, delta) AS conc
+        | FROM d)
+        |SELECT CAST(t // 86400000000 AS BIGINT) AS day,
+        | CAST(max(conc) AS BIGINT) AS max_concurrent,
+        | CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_starts
+        |FROM c GROUP BY 1""".stripMargin,
     // q245: the interval-overlap join replayed as a plain inequality
     // join (the oracle side is unconstrained by plan shape).
     "q245_session_overlap" ->

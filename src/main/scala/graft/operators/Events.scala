@@ -1588,6 +1588,49 @@ object Events {
         countDistinct(col("user_id")).as("n_users"),
         expr("sum(ov) div 1000000").as("overlap_seconds"))
   }
+  /** q292: MAX CONCURRENCY per day — peak simultaneous sessions, the
+    * capacity-planning number behind every serving-fleet size
+    * (q245 measures overlap SECONDS against fixed windows; this is
+    * the sup of the concurrency step function itself). Classic
+    * interval sweep: each session contributes (+1 at start, −1 at
+    * end) deltas, concurrency = running sum in time order, ends
+    * processed BEFORE starts at the same instant (delta asc — the
+    * touching-sessions-don't-overlap rule, and what makes the
+    * per-instant cum SET order-independent within ties: all −1s
+    * land, then +1s climb monotonically, so the daily MAX is
+    * well-defined on both engines). The running sum is TWO-PHASE
+    * (the q246/q291 machinery): per-hour-bin net deltas → exclusive
+    * prefix bases over the bounded hour grid → within-hour running
+    * sums in parallel windows — no task ever prefix-sums the
+    * corpus. Output: day, peak concurrency, session starts. */
+  def maxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, dir)
+      .withColumn("prev_us", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), (max(col("ts")) + 1L).as("s_end"))
+    val deltas = sessions
+      .select(col("s_start").as("t"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("s_end").as("t"), lit(-1L).as("delta")))
+      .withColumn("bin", expr("t div 3600000000"))
+    val bases = deltas.groupBy(col("bin")).agg(sum(col("delta")).as("net"))
+      .withColumn("base", coalesce(sum(col("net")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("base"))
+    deltas.join(broadcast(bases), "bin")
+      .withColumn("conc", col("base") + sum(col("delta")).over(
+        Window.partitionBy(col("bin")).orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(expr("t div 86400000000").as("day"))
+      .agg(max(col("conc")).as("max_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+  }
+
   /** q285: MARKOV REMOVAL-EFFECT attribution — the channel-value
     * question last-click (q122) and position (q156) models answer by
     * fiat, answered from the journey graph itself: how much does

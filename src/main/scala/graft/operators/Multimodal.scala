@@ -300,4 +300,44 @@ object Multimodal {
       .withColumn("misaligned_ppm",
         expr("n_misaligned * 1000000 div n_pairs"))
   }
+
+  /** q291: MEDIA SHARD PACKING — the webdataset/tar-shard builder
+    * every media training pipeline runs: blobs laid out in a
+    * deterministic hash-shuffled order (reproducible "random"
+    * interleave — no source runs) and cut into fixed-capacity
+    * shards by BYTE OFFSET (a blob belongs to the shard its first
+    * byte lands in; boundary straddlers counted — the resume/read
+    * amplification knob). The global byte offset is TWO-PHASE, the
+    * q246 rank machinery on bytes: per-hash-bin byte totals (bounded
+    * grid) → exclusive prefix bases → within-bin running sums
+    * (2^(32−binShift)-way parallel windows) — no task ever
+    * prefix-sums the corpus. Report: per-shard blob count, bytes,
+    * fill ppm, straddlers — the balance audit that decides whether
+    * the capacity knob is right before a 100 TB re-encode. */
+  def mediaShardPack(s: SparkSession, dir: String,
+      capacityBytes: Long = 16384L, binShift: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blobs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("bytes"),
+        Sampling.hashBucket(concat(lit("shard|"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("bin", expr(s"h div ${1L << binShift}"))
+    val bases = blobs.groupBy(col("bin")).agg(sum(col("bytes")).as("bb"))
+      .withColumn("base", coalesce(sum(col("bb")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("base"))
+    blobs.join(broadcast(bases), "bin")
+      .withColumn("start", col("base") + sum(col("bytes")).over(
+        Window.partitionBy(col("bin")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("bytes"))
+      .withColumn("shard_id", expr(s"start div $capacityBytes"))
+      .withColumn("straddle", expr(s"cast(start div $capacityBytes != " +
+        s"(start + bytes - 1) div $capacityBytes as long)"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("bytes")).as("bytes"),
+        sum(col("straddle")).as("n_straddlers"))
+      .withColumn("fill_ppm", expr(s"bytes * 1000000 div $capacityBytes"))
+  }
 }

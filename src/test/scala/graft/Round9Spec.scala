@@ -197,6 +197,49 @@ class Round9Spec extends SparkSpec {
     assert(doubled === snap)
   }
 
+  // ---- q291/q292: the two-phase prefix-sum invariants ----
+
+  test("q291: shards partition the corpus and offsets are consistent") {
+    val rows = graft.operators.Multimodal.mediaShardPack(spark, sfDir)
+      .collect()
+    val totalBytes = Tables.documents(spark, sfDir)
+      .agg(sum(length(col("text")).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("bytes")).sum === totalBytes,
+      "packed bytes must conserve the corpus")
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_blobs")).sum === nDocs)
+    // start-offset cut rule: every shard id is within the byte span
+    val maxShard = rows.map(_.getAs[Long]("shard_id")).max
+    assert(maxShard <= totalBytes / 16384L)
+  }
+
+  test("q292: peak concurrency equals the brute-force sweep") {
+    import graft.operators.Events
+    val got = Events.maxConcurrency(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force on the collected session set (sf0.001: small)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, sfDir)
+      .withColumn("p", lag(col("ts"), 1).over(w))
+      .withColumn("n", when(col("p").isNull ||
+        col("ts") - col("p") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("n")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("a"), (max(col("ts")) + 1L).as("b"))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val deltas = (sess.map(s => (s._1, 1)) ++ sess.map(s => (s._2, -1)))
+      .sortBy(d => (d._1, d._2))
+    var c = 0L
+    val best = scala.collection.mutable.Map.empty[Long, Long]
+    for ((t, d) <- deltas) {
+      c += d
+      val day = t / 86400000000L
+      if (c > best.getOrElse(day, Long.MinValue)) best(day) = c
+    }
+    assert(got === best.toMap)
+  }
+
   test("round-9 operators: no cartesians, no low-cardinality windows") {
     import graft.operators.{Eval, Events}
     for ((name, df) <- Seq(
@@ -213,6 +256,8 @@ class Round9Spec extends SparkSpec {
         "q288" -> graft.operators.Similarity.annFiltered(spark, sfDir),
         "q289" -> graft.operators.Incremental.ivmRetract(spark, sfDir),
         "q290" -> Relational.paretoFrontier(spark, sfDir),
+        "q291" -> graft.operators.Multimodal.mediaShardPack(spark, sfDir),
+        "q292" -> Events.maxConcurrency(spark, sfDir),
         "q282" -> TextAnalysis.bpeApply(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
