@@ -306,6 +306,8 @@ object SparkEntry {
     "q290_pareto_frontier"  -> (Relational.paretoFrontier _),
     "q291_media_shard_pack" -> ((s, d) => Multimodal.mediaShardPack(s, d)),
     "q292_max_concurrency"  -> (Events.maxConcurrency _),
+    "q293_disjunctive_revenue" -> (Relational.disjunctiveRevenue _),
+    "q294_null_aware_antijoin" -> (Relational.nullAwareAntiJoin _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5132,6 +5134,32 @@ object SparkEntry {
         | CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_starts
         |FROM c GROUP BY 1""".stripMargin,
+    // q293: the Q19-shape disjunction; per-branch cents.
+    "q293_disjunctive_revenue" ->
+      """SELECT branch, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |   AS BIGINT) AS revenue_cents
+        |FROM (SELECT CASE
+        |   WHEN p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+        |     AND p_size <= 5 THEN 'small'
+        |   WHEN p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+        |     AND p_size <= 10 THEN 'medium'
+        |   WHEN p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+        |     AND p_size <= 15 THEN 'large' END AS branch,
+        |  l_extendedprice, l_discount
+        | FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |WHERE branch IS NOT NULL GROUP BY 1""".stripMargin,
+    // q294: NOT IN vs NOT EXISTS under an injected NULL - the
+    // three-valued-logic pin; identical SQL semantics both engines.
+    "q294_null_aware_antijoin" ->
+      """SELECT
+        | CAST((SELECT count(*) FROM part
+        |   WHERE p_size NOT IN (SELECT nullif(n_nationkey, 13) FROM nation))
+        |   AS BIGINT) AS n_not_in,
+        | CAST((SELECT count(*) FROM part p
+        |   WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |     WHERE nullif(n.n_nationkey, 13) = p.p_size)) AS BIGINT) AS n_not_exists,
+        | CAST((SELECT count(*) FROM part) AS BIGINT) AS n_parts""".stripMargin,
     // q245: the interval-overlap join replayed as a plain inequality
     // join (the oracle side is unconstrained by plan shape).
     "q245_session_overlap" ->

@@ -1021,6 +1021,61 @@ object Relational {
         col("p_size"))
   }
 
+  /** q293: DISJUNCTIVE-PREDICATE revenue (TPC-H Q19 shape) — the
+    * OR-of-ANDs filter family (brand × quantity-band alternatives)
+    * that separates engines which push a disjunction into the scan
+    * from engines that evaluate it post-join. Declared as ONE
+    * disjunctive predicate after a broadcast part join; Catalyst
+    * pushes the quantity bounds and the join output stays narrow.
+    * Per-branch revenue reported (cents, the q234 policy) so the
+    * gate sees each alternative fire. */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+          col("p_size"))), "l_partkey")
+      .withColumn("branch",
+        when(col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+          col("p_size") <= 5, "small")
+        .when(col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+          col("p_size") <= 10, "medium")
+        .when(col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+          col("p_size") <= 15, "large"))
+      .filter(col("branch").isNotNull)
+      .groupBy(col("branch"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)"))
+          .as("revenue_cents"))
+
+  /** q294: NULL-AWARE ANTI-JOIN semantics pin — SQL's most-shipped
+    * correctness bug as a gated relation: `x NOT IN (subquery)` is
+    * EMPTY the moment the subquery yields one NULL (three-valued
+    * logic), while `NOT EXISTS` does what the author meant. Both
+    * counts computed side by side over the same deterministic
+    * null-bearing set (NULLIF manufactures the null), so the report
+    * IS the lesson: n_not_in = 0, n_not_exists = the real count,
+    * and their difference is the silent data loss a migration to/
+    * from an engine with this bug would ship. Catalyst plans the
+    * NOT IN branch as a null-aware anti join (the expensive
+    * fallback — why the scaladoc tells you to write NOT EXISTS);
+    * both branches stay broadcast-size here (25-row dim subquery). */
+  def nullAwareAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_q294_part")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_q294_nation")
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM graft_q294_part
+         WHERE p_size NOT IN
+           (SELECT nullif(n_nationkey, 13) FROM graft_q294_nation))
+          AS n_not_in,
+        (SELECT count(*) FROM graft_q294_part p
+         WHERE NOT EXISTS (SELECT 1 FROM graft_q294_nation n
+           WHERE nullif(n.n_nationkey, 13) = p.p_size))
+          AS n_not_exists,
+        (SELECT count(*) FROM graft_q294_part) AS n_parts""")
+  }
+
   /** q276: SMALL-QUANTITY revenue audit (TPC-H Q17 shape) — revenue
     * sitting in lines whose quantity is under 20% of their part's
     * average order quantity, per brand: the "should this ship by
