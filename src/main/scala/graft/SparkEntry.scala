@@ -308,6 +308,7 @@ object SparkEntry {
     "q292_max_concurrency"  -> (Events.maxConcurrency _),
     "q293_disjunctive_revenue" -> (Relational.disjunctiveRevenue _),
     "q294_null_aware_antijoin" -> (Relational.nullAwareAntiJoin _),
+    "q295_contribution_decomposition" -> ((s, d) => Relational.contributionDecomposition(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5160,6 +5161,29 @@ object SparkEntry {
         |   WHERE NOT EXISTS (SELECT 1 FROM nation n
         |     WHERE nullif(n.n_nationkey, 13) = p.p_size)) AS BIGINT) AS n_not_exists,
         | CAST((SELECT count(*) FROM part) AS BIGINT) AS n_parts""".stripMargin,
+    // q295: YoY contribution decomposition over the rollup grid;
+    // both engines truncate integral division toward zero, so the
+    // signed share ppm is parity-safe (probed).
+    "q295_contribution_decomposition" ->
+      """WITH g AS (SELECT r_name, n_name,
+        |  sum(CASE WHEN year(o_orderdate) = 1997
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y1_cents,
+        |  sum(CASE WHEN year(o_orderdate) = 1998
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y2_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE year(o_orderdate) IN (1997, 1998)
+        | GROUP BY ROLLUP (r_name, n_name)),
+        |d AS (SELECT r_name, n_name, CAST(y1_cents AS BIGINT) AS y1_cents,
+        |  CAST(y2_cents AS BIGINT) AS y2_cents,
+        |  CAST(y2_cents - y1_cents AS BIGINT) AS delta_cents FROM g),
+        |t AS (SELECT delta_cents AS total_delta FROM d
+        | WHERE r_name IS NULL AND n_name IS NULL)
+        |SELECT r_name, n_name, y1_cents, y2_cents, delta_cents,
+        | CASE WHEN total_delta = 0 THEN NULL
+        |   ELSE CAST(delta_cents * 1000000 // total_delta AS BIGINT) END AS share_ppm
+        |FROM d CROSS JOIN t""".stripMargin,
     // q245: the interval-overlap join replayed as a plain inequality
     // join (the oracle side is unconstrained by plan shape).
     "q245_session_overlap" ->

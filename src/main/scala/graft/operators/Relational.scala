@@ -1021,6 +1021,44 @@ object Relational {
         col("p_size"))
   }
 
+  /** q295: YEAR-OVER-YEAR CONTRIBUTION decomposition — the "why did
+    * revenue move" question every executive dashboard answers with a
+    * waterfall chart: per (region ⊃ nation) ROLLUP node, revenue in
+    * each of two years, the signed delta, and the node's share of
+    * the TOTAL movement (signed ppm — negative shares are nodes
+    * moving against the trend, the interesting rows). One orderkey
+    * shuffle for the date, broadcast customer→nation→region chain,
+    * then ROLLUP on the bounded (region, nation) grid — grouping
+    * sets come free from the same agg. Cents + integer ppm; a zero
+    * total delta yields NULL shares rather than a division blowup
+    * (both engines). */
+  def contributionDecomposition(s: SparkSession, dir: String,
+      y1: Int = 1997, y2: Int = 1998): DataFrame = {
+    val custGeo = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey").as("o_custkey"), col("r_name"), col("n_name"))
+    val grid = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(y1, y2))
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .join(broadcast(custGeo), "o_custkey")
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(when(col("yr") === y1, col("cents")).otherwise(0L))
+          .as("y1_cents"),
+        sum(when(col("yr") === y2, col("cents")).otherwise(0L))
+          .as("y2_cents"))
+      .withColumn("delta_cents", col("y2_cents") - col("y1_cents"))
+    val total = grid.filter(col("r_name").isNull && col("n_name").isNull)
+      .select(col("delta_cents").as("total_delta"))
+    grid.crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"), col("y1_cents"),
+        col("y2_cents"), col("delta_cents"),
+        when(col("total_delta") === 0L, lit(null).cast("long"))
+          .otherwise(expr("delta_cents * 1000000 div total_delta"))
+          .as("share_ppm"))
+  }
+
   /** q293: DISJUNCTIVE-PREDICATE revenue (TPC-H Q19 shape) — the
     * OR-of-ANDs filter family (brand × quantity-band alternatives)
     * that separates engines which push a disjunction into the scan

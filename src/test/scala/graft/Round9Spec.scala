@@ -259,6 +259,7 @@ class Round9Spec extends SparkSpec {
         "q291" -> graft.operators.Multimodal.mediaShardPack(spark, sfDir),
         "q292" -> Events.maxConcurrency(spark, sfDir),
         "q293" -> Relational.disjunctiveRevenue(spark, sfDir),
+        "q295" -> Relational.contributionDecomposition(spark, sfDir),
         "q282" -> TextAnalysis.bpeApply(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
