@@ -309,6 +309,7 @@ object SparkEntry {
     "q293_disjunctive_revenue" -> (Relational.disjunctiveRevenue _),
     "q294_null_aware_antijoin" -> (Relational.nullAwareAntiJoin _),
     "q295_contribution_decomposition" -> ((s, d) => Relational.contributionDecomposition(s, d)),
+    "q296_crosstab_independence" -> (Events.crosstabIndependence _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5184,6 +5185,23 @@ object SparkEntry {
         | CASE WHEN total_delta = 0 THEN NULL
         |   ELSE CAST(delta_cents * 1000000 // total_delta AS BIGINT) END AS share_ppm
         |FROM d CROSS JOIN t""".stripMargin,
+    // q296: two-factor chi^2 by exact integer cross-multiplication;
+    // HUGEINT squares, one division per grid cell.
+    "q296_crosstab_independence" ->
+      """WITH g AS (SELECT event_type,
+        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, count(*) AS obs
+        | FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(obs) AS rt FROM g GROUP BY 1),
+        |ct AS (SELECT dow, sum(obs) AS ct FROM g GROUP BY 1),
+        |t AS (SELECT sum(obs) AS n FROM g)
+        |SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow,
+        | CAST(g.obs AS BIGINT) AS obs, CAST(rt.rt AS BIGINT) AS rt,
+        | CAST(ct.ct AS BIGINT) AS ct,
+        | CAST((CAST(g.obs AS HUGEINT) * n - CAST(rt.rt AS HUGEINT) * ct.ct)
+        |   * (CAST(g.obs AS HUGEINT) * n - CAST(rt.rt AS HUGEINT) * ct.ct)
+        |   * 1000000 // (CAST(n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT)
+        |   AS chi2_contrib_micro
+        |FROM g JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t""".stripMargin,
     // q245: the interval-overlap join replayed as a plain inequality
     // join (the oracle side is unconstrained by plan shape).
     "q245_session_overlap" ->

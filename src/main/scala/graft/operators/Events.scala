@@ -1588,6 +1588,36 @@ object Events {
         countDistinct(col("user_id")).as("n_users"),
         expr("sum(ov) div 1000000").as("overlap_seconds"))
   }
+  /** q296: CROSSTAB INDEPENDENCE audit — is event mix independent of
+    * day-of-week? The generic two-factor chi² every ops dashboard
+    * wants (q162 runs the same test on lang × length bands; this is
+    * the behavioral axis): one map-side-combinable count over the
+    * bounded |types| × 7 grid, marginals re-aggregated FROM the grid
+    * (never a second corpus pass), expected counts compared by exact
+    * integer CROSS-MULTIPLICATION — obs·N vs rowΣ·colΣ, Decimal(38,0)
+    * products (n² wraps Long past ~3·10⁹ events) — and the χ²
+    * contribution emitted in integer micro:
+    * (obs·N − rowΣ·colΣ)² · 10⁶ div (N · rowΣ · colΣ). Divisions
+    * happen ONCE per grid cell at the end; nothing float. */
+  def crosstabIndependence(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("(ts div 86400000000 + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("obs")).localCheckpoint()
+    val rowTot = grid.groupBy(col("event_type")).agg(sum(col("obs")).as("rt"))
+    val colTot = grid.groupBy(col("dow")).agg(sum(col("obs")).as("ct"))
+    val n = grid.agg(sum(col("obs")).as("n"))
+    grid.join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "dow")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("obs"), col("rt"),
+        col("ct"),
+        expr("cast((cast(obs as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)" +
+          " * (cast(obs as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)" +
+          " * 1000000 div (cast(n as decimal(38,0)) * rt * ct) as bigint)")
+          .as("chi2_contrib_micro"))
+  }
+
   /** q292: MAX CONCURRENCY per day — peak simultaneous sessions, the
     * capacity-planning number behind every serving-fleet size
     * (q245 measures overlap SECONDS against fixed windows; this is

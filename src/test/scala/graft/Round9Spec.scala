@@ -5,7 +5,7 @@ import graft.plans.PlanLint
 import org.apache.spark.sql.functions._
 
 /** Round-9 operators: semantics pins + plan-shape sweeps for
-  * q275–q283. */
+  * q275–q295. */
 class Round9Spec extends SparkSpec {
 
   // ---- q275/q282: the BPE collapse fold ----
@@ -260,6 +260,7 @@ class Round9Spec extends SparkSpec {
         "q292" -> Events.maxConcurrency(spark, sfDir),
         "q293" -> Relational.disjunctiveRevenue(spark, sfDir),
         "q295" -> Relational.contributionDecomposition(spark, sfDir),
+        "q296" -> Events.crosstabIndependence(spark, sfDir),
         "q282" -> TextAnalysis.bpeApply(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
