@@ -1731,7 +1731,13 @@ object Events {
       .crossJoin(broadcast(base))
       .select(col("removed").as("removed_channel"), col("base_ppm"),
         col("conv_ppm").as("removed_ppm"),
-        expr("(base_ppm - conv_ppm) * 1000000 div base_ppm")
+        // zero-guard: if NO first-touch state converts within the
+        // horizon, base_ppm = 0 and removal effect is undefined —
+        // emit NULL explicitly (Spark `div` would yield NULL anyway,
+        // but the DuckDB oracle's `//` raises; q295's total_delta
+        // guard is the house pattern)
+        when(col("base_ppm") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(base_ppm - conv_ppm) * 1000000 div base_ppm"))
           .as("effect_ppm"))
   }
 }

@@ -74,10 +74,27 @@ final class SubscriptionRegistry(path: String) {
   def hasSubscription(name: String): Boolean = list().exists(_.name == name)
 
   // ---- consumer progress (the reference tracks per-subscription
-  // replication positions in ZK; here a sibling acks file with the
-  // same crash-atomic write-temp-then-rename discipline) ----
+  // replication positions in ZK; here ONE FILE PER SUBSCRIPTION in a
+  // sibling directory, each written with the crash-atomic
+  // write-temp-then-rename discipline). Per-subscription files make
+  // concurrent consumer PROCESSES safe: two registries acking
+  // DIFFERENT subscriptions touch different files, so neither can
+  // lose the other's position (the round-9 whole-file
+  // read-modify-write could last-writer-win the full map away).
+  // Same-subscription multi-writer remains monotonic-conservative:
+  // a lost race can only under-report (lag over-stated, never a
+  // position covering unconsumed WAL) — the same safe direction as
+  // the monotonic ack itself. O(1) per ack, not O(|subs|). ----
 
-  private def acksPath = s"$path.acks"
+  private def acksDir = Paths.get(s"$path.acks.d")
+  // legacy round-9 combined file — still read (max-merged) so
+  // registries written before the per-sub layout keep their positions
+  private def legacyAcksPath = Paths.get(s"$path.acks")
+
+  private def ackFile(name: String): java.nio.file.Path =
+    acksDir.resolve(
+      java.net.URLEncoder.encode(name, java.nio.charset.StandardCharsets.UTF_8)
+        + ".ack")
 
   /** Record that `name` has consumed the WAL through `seq`.
     * MONOTONIC: the stored position only moves forward, so an
@@ -86,39 +103,63 @@ final class SubscriptionRegistry(path: String) {
     * backwards — ack is idempotent and order-tolerant, the same
     * lattice discipline as every other state in this library. */
   def ack(name: String, seq: Long): Unit = lock.synchronized {
-    val cur = acks()
-    if (cur.getOrElse(name, Long.MinValue) < seq)
-      writeAcks(cur + (name -> seq))
+    if (ackedSeq(name).getOrElse(Long.MinValue) < seq) {
+      Files.createDirectories(acksDir)
+      val node = mapper.createObjectNode()
+      node.put("name", name); node.put("seq", seq)
+      val target = ackFile(name).toAbsolutePath
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.${ProcessHandle.current().pid()}." +
+          s"${Thread.currentThread().getId}." +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.write(tmp, Seq(mapper.writeValueAsString(node)).asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
-  /** The acked WAL position of every consumer that has ever acked. */
+  /** The acked WAL position of every consumer that has ever acked —
+    * the max-merge of every per-subscription file plus the legacy
+    * combined file (monotonic: max is the only safe merge). */
   def acks(): Map[String, Long] = {
-    val p = Paths.get(acksPath)
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
-      val n = mapper.readTree(line)
-      n.get("name").asText() -> n.get("seq").asLong()
-    }.toMap
+    def parse(lines: Seq[String]): Seq[(String, Long)] =
+      lines.filter(_.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        n.get("name").asText() -> n.get("seq").asLong()
+      }
+    val legacy =
+      if (Files.exists(legacyAcksPath))
+        parse(Files.readAllLines(legacyAcksPath).asScala.toSeq)
+      else Seq.empty
+    val perSub =
+      if (!Files.isDirectory(acksDir)) Seq.empty
+      else {
+        val listing = Files.list(acksDir)
+        try listing.iterator().asScala.toList
+          .filter(_.getFileName.toString.endsWith(".ack"))
+          .flatMap(p => parse(Files.readAllLines(p).asScala.toSeq))
+        finally listing.close()
+      }
+    (legacy ++ perSub).groupMapReduce(_._1)(_._2)(math.max)
   }
 
   /** `name`'s acked position, if it has ever acked. */
-  def ackedSeq(name: String): Option[Long] = acks().get(name)
-
-  private def writeAcks(m: Map[String, Long]): Unit = {
-    val lines = m.toSeq.sortBy(_._1).map { case (n, q) =>
-      val node = mapper.createObjectNode()
-      node.put("name", n); node.put("seq", q)
-      mapper.writeValueAsString(node)
-    }
-    val target = Paths.get(acksPath).toAbsolutePath
-    val tmp = target.resolveSibling(
-      s".${target.getFileName}.${ProcessHandle.current().pid()}." +
-        s"${Thread.currentThread().getId}." +
-        s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp, lines.asJava,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  def ackedSeq(name: String): Option[Long] = {
+    val own = ackFile(name)
+    val fromFile =
+      if (Files.exists(own)) {
+        Files.readAllLines(own).asScala.find(_.nonEmpty)
+          .map(line => mapper.readTree(line).get("seq").asLong())
+      } else None
+    val fromLegacy =
+      if (Files.exists(legacyAcksPath))
+        Files.readAllLines(legacyAcksPath).asScala.filter(_.nonEmpty)
+          .map(mapper.readTree)
+          .find(_.get("name").asText() == name)
+          .map(_.get("seq").asLong())
+      else None
+    (fromFile.toSeq ++ fromLegacy.toSeq).maxOption
   }
 
   /** Attach every registered subscription to a WAL stream. */

@@ -55,4 +55,43 @@ class ConsumerAckSpec extends SparkSpec {
     assert(new SubscriptionRegistry(s"$tmp/r.json").ackedSeq("c")
       === Some(12L))
   }
+
+  test("two registries acking different subs cannot lose each other") {
+    // the round-10 multi-writer fix: per-subscription ack files mean
+    // two consumer PROCESSES (modeled as two registry instances;
+    // the in-process path lock is keyed per path so we interleave
+    // rather than truly race — the property under test is the FILE
+    // layout, one file per sub, not the JVM lock) acking different
+    // subscriptions write different files and merge instead of
+    // last-writer-winning the whole map
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ack3").toString
+    val a = new SubscriptionRegistry(s"$tmp/r.json")
+    val b = new SubscriptionRegistry(s"$tmp/r.json")
+    // interleaved ack sequences from the two writers
+    a.ack("slow", 3L); b.ack("fast", 100L)
+    a.ack("slow", 7L); b.ack("fast", 200L)
+    b.ack("fast", 250L); a.ack("slow", 9L)
+    val merged = new SubscriptionRegistry(s"$tmp/r.json").acks()
+    assert(merged === Map("slow" -> 9L, "fast" -> 250L))
+    // same-sub concurrent acks stay monotonic-conservative
+    a.ack("slow", 11L); b.ack("slow", 10L)
+    assert(new SubscriptionRegistry(s"$tmp/r.json").ackedSeq("slow")
+      === Some(11L))
+  }
+
+  test("legacy combined acks file max-merges with per-sub files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ack4").toString
+    // simulate a round-9 registry: one combined `.acks` file
+    val legacy = Seq(
+      """{"name":"old","seq":42}""",
+      """{"name":"both","seq":500}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/r.json.acks"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(legacy).asJava)
+    val reg = new SubscriptionRegistry(s"$tmp/r.json")
+    assert(reg.ackedSeq("old") === Some(42L))
+    reg.ack("both", 400L) // below legacy -> no-op (monotonic)
+    assert(reg.ackedSeq("both") === Some(500L))
+    reg.ack("both", 600L)
+    assert(reg.acks() === Map("old" -> 42L, "both" -> 600L))
+  }
 }
