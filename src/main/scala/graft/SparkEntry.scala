@@ -310,6 +310,11 @@ object SparkEntry {
     "q294_null_aware_antijoin" -> (Relational.nullAwareAntiJoin _),
     "q295_contribution_decomposition" -> ((s, d) => Relational.contributionDecomposition(s, d)),
     "q296_crosstab_independence" -> (Events.crosstabIndependence _),
+    "q297_ack_retention"    -> ((s, d) => WalRetention.ackRetentionReport(s, d)),
+    "q298_filtered_ivf"     -> ((s, d) => Similarity.filteredIvfRecall(s, d)),
+    "q299_stream_ivm_retract" -> ((s, d) => StreamingOps.streamIvmRetract(s, d)),
+    "q300_ppm_decode"       -> ((s, d) => Multimodal.ppmDecode(s, d)),
+    "q301_skyline_3d"       -> (Relational.skyline3d _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5003,7 +5008,9 @@ object SparkEntry {
         | FROM p6 p JOIN fc ON p.st = fc.st GROUP BY 1),
         |b AS (SELECT conv_ppm AS base_ppm FROM conv WHERE removed = '__none__')
         |SELECT removed AS removed_channel, base_ppm, conv_ppm AS removed_ppm,
-        | CAST((base_ppm - conv_ppm) * 1000000 // base_ppm AS BIGINT) AS effect_ppm
+        | CAST(CASE WHEN base_ppm = 0 THEN NULL
+        |   ELSE (base_ppm - conv_ppm) * 1000000 // base_ppm END AS BIGINT)
+        |   AS effect_ppm
         |FROM conv CROSS JOIN b WHERE removed <> '__none__'""".stripMargin,
     // q286: the streaming KMV sketch's final state replayed in SQL -
     // k smallest distinct hashes per qualifier (rank <= k), q250's
@@ -5071,10 +5078,75 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id, label
         |    ORDER BY cosine DESC, neighbor_id) AS rank
         | FROM sc) t WHERE rank <= 3""".stripMargin,
+    // q298: filtered-IVF + recall audit - reuses the q38 probe CTEs
+    // (sc = probed-cell scores), attaches each neighbor's metadata
+    // label, ranks per (query, label) on both the IVF and the exact
+    // arm, and scores recall per group.
+    "q298_filtered_ivf" ->
+      s"""WITH $ivfScoreCtes,
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |  FROM embeddings),
+        |ivfk AS (SELECT query_id, label, neighbor_id FROM (
+        | SELECT sc.query_id, lb.label, sc.neighbor_id,
+        |  row_number() OVER (PARTITION BY sc.query_id, lb.label
+        |    ORDER BY sc.cosine DESC, sc.neighbor_id) AS rk
+        | FROM sc JOIN lb ON sc.neighbor_id = lb.vec_id) t WHERE rk <= 3),
+        |ic AS (SELECT query_id, label, count(*) AS n_ivf FROM ivfk
+        | GROUP BY 1, 2),
+        |scx AS (SELECT a.vec_id AS query_id, lb.label,
+        |  b.vec_id AS neighbor_id, $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5
+        |  JOIN lb ON b.vec_id = lb.vec_id),
+        |exk AS (SELECT query_id, label, neighbor_id FROM (
+        | SELECT query_id, label, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id, label
+        |    ORDER BY cosine DESC, neighbor_id) AS rk
+        | FROM scx) t WHERE rk <= 3),
+        |j AS (SELECT exk.query_id, exk.label,
+        |  CASE WHEN ivfk.neighbor_id IS NULL THEN 0 ELSE 1 END AS found
+        | FROM exk LEFT JOIN ivfk ON exk.query_id = ivfk.query_id
+        |  AND exk.label = ivfk.label
+        |  AND exk.neighbor_id = ivfk.neighbor_id),
+        |g AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(found) AS BIGINT) AS n_hit
+        | FROM j GROUP BY 1, 2)
+        |SELECT g.query_id, g.label, g.n_exact,
+        | CAST(coalesce(ic.n_ivf, 0) AS BIGINT) AS n_ivf, g.n_hit,
+        | CAST(g.n_hit * 1000000 // g.n_exact AS BIGINT) AS recall_ppm
+        |FROM g LEFT JOIN ic ON g.query_id = ic.query_id
+        | AND g.label = ic.label""".stripMargin,
     // q289: retraction IVM - merge must equal the from-scratch
     // aggregate with the retracted set excluded; zero-support groups
     // vanish on both sides by construction.
     "q289_ivm_retract" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE NOT (event_id % 7 = 0 AND epoch_us(ts) < 1705276800000000)
+        |GROUP BY 1, 2""".stripMargin,
+    // q300: every parsed field predicted from the generation formula
+    // (the parser never sees it) - the gate proves the PPM
+    // encode->stage->parse round-trip is exact on real bytes.
+    "q300_ppm_decode" ->
+      """WITH g AS (SELECT doc_id, md5(text) AS m,
+        |  CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 7 + 3 AS BIGINT) AS h FROM documents),
+        |n AS (SELECT doc_id, w, h, w * h * 3 AS np, m FROM g),
+        |s AS (SELECT doc_id, w, h, np,
+        |  (np // 32) * list_sum(list_transform(range(32),
+        |     i -> ascii(substr(m, CAST(i + 1 AS INTEGER), 1))))
+        |  + coalesce(list_sum(list_transform(range(CAST(np % 32 AS INTEGER)),
+        |     i -> ascii(substr(m, CAST(i + 1 AS INTEGER), 1)))), 0) AS sum_pix
+        | FROM n)
+        |SELECT doc_id, true AS is_p6, w AS width, h AS height,
+        | CAST(255 AS BIGINT) AS maxval, np AS n_pixel_bytes,
+        | CAST(sum_pix AS BIGINT) AS sum_pixels,
+        | CAST(sum_pix * 1000 // np AS BIGINT) AS mean_pixel_milli
+        |FROM s""".stripMargin,
+    // q299: the streaming retraction view's final state IS q289's
+    // batch relation — recompute without the retracted set; groups
+    // whose support hits zero are absent on both sides.
+    "q299_stream_ivm_retract" ->
       """SELECT user_id, event_type, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
@@ -5114,6 +5186,23 @@ object SparkEntry {
         | CAST(sum(straddle) AS BIGINT) AS n_straddlers,
         | CAST(sum(bytes) * 1000000 // 16384 AS BIGINT) AS fill_ppm
         |FROM a GROUP BY 1""".stripMargin,
+    // q301: 3-d skyline replayed as the brute-force NOT EXISTS
+    // dominance test (the oracle is unconstrained by plan shape).
+    "q301_skyline_3d" ->
+      """WITH d AS (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT)
+        |  AS demand FROM lineitem GROUP BY 1),
+        |p AS (SELECT p_partkey, p_brand,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(p_size AS BIGINT) AS p_size,
+        |  coalesce(d.demand, 0) AS demand
+        | FROM part LEFT JOIN d ON p_partkey = l_partkey)
+        |SELECT p_partkey, p_brand, price_cents, p_size, demand
+        |FROM p x
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        | WHERE q.price_cents <= x.price_cents AND q.p_size >= x.p_size
+        |  AND q.demand >= x.demand
+        |  AND (q.price_cents < x.price_cents OR q.p_size > x.p_size
+        |   OR q.demand > x.demand))""".stripMargin,
     // q292: the interval sweep with ends-before-starts tie order;
     // per-instant cum sets are order-independent so the daily max is
     // well-defined (see the operator scaladoc).
@@ -5129,7 +5218,8 @@ object SparkEntry {
         | FROM sd GROUP BY 1, 2),
         |d AS (SELECT s_start AS t, 1 AS delta FROM sess
         | UNION ALL SELECT s_end, -1 FROM sess),
-        |c AS (SELECT t, delta, sum(delta) OVER (ORDER BY t, delta) AS conc
+        |c AS (SELECT t, delta, sum(delta) OVER (ORDER BY t, delta
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
         | FROM d)
         |SELECT CAST(t // 86400000000 AS BIGINT) AS day,
         | CAST(max(conc) AS BIGINT) AS max_concurrent,
@@ -5202,6 +5292,36 @@ object SparkEntry {
         |   * 1000000 // (CAST(n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT)
         |   AS chi2_contrib_micro
         |FROM g JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t""".stripMargin,
+    // q297: the ack-aware retention report replayed from the raw
+    // events table + the q263 md5-fraction ack fixture: boundary =
+    // min ts still needed past min(ack); the snapshot-key count is
+    // what pins the REAL published snapshot artifact.
+    "q297_ack_retention" -> {
+      def ackSql(name: String): String =
+        s"""SELECT '$name' AS subscription,
+           | s0 + (s1 - s0) * (80 + ${hex8Sql(s"'ack|$name'")} % 20) // 100
+           |   AS ack_seq FROM b""".stripMargin
+      s"""WITH b AS (SELECT min(event_id) AS s0, max(event_id) AS s1
+         |  FROM events),
+         |a AS (${ackSql("sink_a")}
+         | UNION ALL ${ackSql("sink_b")}
+         | UNION ALL ${ackSql("sink_c")}),
+         |m AS (SELECT min(ack_seq) AS min_ack FROM a),
+         |bd AS (SELECT coalesce(
+         |  (SELECT min(epoch_us(ts)) FROM events, m WHERE event_id > min_ack),
+         |  (SELECT max(epoch_us(ts)) + 1 FROM events)) AS boundary),
+         |dom AS (SELECT count(*) AS n_dominated,
+         |  count(DISTINCT user_id) AS n_snapshot_keys
+         | FROM events, bd WHERE epoch_us(ts) < boundary)
+         |SELECT a.subscription, CAST(a.ack_seq AS BIGINT) AS ack_seq,
+         | CAST((SELECT count(*) FROM events e WHERE e.event_id > a.ack_seq)
+         |   AS BIGINT) AS n_pending,
+         | a.ack_seq = m.min_ack AS holds_boundary,
+         | CAST(bd.boundary AS BIGINT) AS boundary_ts,
+         | CAST(dom.n_dominated AS BIGINT) AS n_dominated,
+         | CAST(dom.n_snapshot_keys AS BIGINT) AS n_snapshot_keys
+         |FROM a CROSS JOIN m CROSS JOIN bd CROSS JOIN dom""".stripMargin
+    },
     // q245: the interval-overlap join replayed as a plain inequality
     // join (the oracle side is unconstrained by plan shape).
     "q245_session_overlap" ->

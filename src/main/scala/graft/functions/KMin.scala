@@ -20,14 +20,49 @@ class KMinAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   override def zero: Seq[Long] = Seq.empty
 
-  override def reduce(b: Seq[Long], a: Long): Seq[Long] =
-    if (b.contains(a)) b
-    else if (b.length < k) (b :+ a).sorted
-    else if (a < b.last) (b.init :+ a).sorted
-    else b
+  // The buffer is kept SORTED ASCENDING as its invariant, so
+  // membership + insertion position are one binary search (O(log k)
+  // per row, the AsOfStream round-9 treatment) instead of the
+  // round-9 O(k) Seq.contains scan.
 
-  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
-    (x ++ y).distinct.sorted.take(k)
+  /** Insertion index of `a` in sorted `b`, or -(idx+1) if present. */
+  private def search(b: Seq[Long], a: Long): Int = {
+    var lo = 0; var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val v = b(mid)
+      if (v == a) return -(mid + 1)
+      else if (v < a) lo = mid + 1
+      else hi = mid
+    }
+    lo
+  }
+
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] = {
+    if (b.length == k && a >= b.last) return b
+    val idx = search(b, a)
+    if (idx < 0) b // already present: idempotent
+    else {
+      val (pre, post) = b.splitAt(idx)
+      val grown = (pre :+ a) ++ post
+      if (grown.length > k) grown.init else grown
+    }
+  }
+
+  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = {
+    // linear merge-union of two sorted-distinct buffers, truncated
+    // at k — O(|x| + |y|), never a re-sort
+    val out = Seq.newBuilder[Long]
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < x.length || j < y.length)) {
+      val v =
+        if (j >= y.length || (i < x.length && x(i) <= y(j))) {
+          val v0 = x(i); if (j < y.length && y(j) == v0) j += 1; i += 1; v0
+        } else { val v0 = y(j); j += 1; v0 }
+      out += v; n += 1
+    }
+    out.result()
+  }
 
   override def finish(b: Seq[Long]): Seq[Long] = b
 

@@ -340,4 +340,68 @@ object Multimodal {
         sum(col("straddle")).as("n_straddlers"))
       .withColumn("fill_ppm", expr(s"bytes * 1000000 div $capacityBytes"))
   }
+
+  /** q300: the REAL-PAYLOAD seam (round-10, VERDICT Next #6) — the
+    * one multimodal gate that runs on ACTUAL image bytes end-to-end,
+    * no digest stub. PPM P6 (netpbm) is a public format simple
+    * enough to encode and parse in pure JVM/SQL: `P6\n<w> <h>\n255\n`
+    * followed by w·h·3 raw pixel bytes.
+    *
+    * Stage: every document becomes a real P6 file — dimensions from
+    * doc_id (w = id%13+4, h = id%7+3), pixel bytes the md5 hex chars
+    * of the text repeated cyclically (legal 8-bit samples that keep
+    * the whole file ASCII, which is what lets the parse stay in
+    * codegen string ops — the seam for arbitrary bytes is
+    * [[decodePartitions]]'s per-partition decoder). Written to
+    * parquet as a binary column: a real on-disk media table.
+    *
+    * Parse: reads the staged table and decodes THE BYTES — magic
+    * check, whitespace-scanned header ints, pixel-region offset from
+    * the parsed header lengths, then sum/mean over the actual pixel
+    * samples. Nothing flows from the generator to the parser except
+    * the file; the DuckDB oracle predicts every field from the
+    * generation formula, so the gate proves the encode→parse
+    * round-trip is exact. Per-row work is O(bytes); no shuffle at
+    * all — at 100 TB this is the embarrassingly-parallel scan shape
+    * a decode pass should be. */
+  def ppmDecode(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q300", dir)
+    val media = s"$stage/media"
+    // ---- encode: build real P6 payloads and stage them ----
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 13 + 4).cast("int").as("w"),
+        (col("doc_id") % 7 + 3).cast("int").as("h"),
+        md5(col("text").cast("binary")).as("m"))
+      .withColumn("np", expr("w * h * 3"))
+      .withColumn("pix",
+        expr("substring(repeat(m, CAST(ceil(np / 32.0) AS INT)), 1, np)"))
+      .select(col("doc_id"),
+        concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+          col("h").cast("string"), lit("\n255\n"), col("pix"))
+          .cast("binary").as("blob"))
+      .write.mode("overwrite").parquet(media)
+    // ---- decode: parse the staged bytes, oblivious to the encoder ----
+    s.read.parquet(media)
+      .withColumn("s", col("blob").cast("string"))
+      .withColumn("is_p6", expr("substring(s, 1, 3) = 'P6\n'"))
+      .withColumn("dim_line", expr("substring_index(substring(s, 4), '\n', 1)"))
+      .withColumn("maxval_line", expr(
+        "substring_index(substring(s, 4 + length(dim_line) + 1), '\n', 1)"))
+      .withColumn("width", expr(
+        "CAST(substring_index(dim_line, ' ', 1) AS BIGINT)"))
+      .withColumn("height", expr(
+        "CAST(substring_index(dim_line, ' ', -1) AS BIGINT)"))
+      .withColumn("maxval", expr("CAST(maxval_line AS BIGINT)"))
+      .withColumn("pix_off", expr(
+        "3 + length(dim_line) + 1 + length(maxval_line) + 1 + 1"))
+      .withColumn("n_pixel_bytes", col("width") * col("height") * 3)
+      .withColumn("sum_pixels", expr(
+        "aggregate(transform(sequence(1, CAST(n_pixel_bytes AS INT)), " +
+          "i -> CAST(ascii(substring(s, pix_off + i - 1, 1)) AS BIGINT)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("is_p6"), col("width"), col("height"),
+        col("maxval"), col("n_pixel_bytes"), col("sum_pixels"),
+        expr("sum_pixels * 1000 div n_pixel_bytes").as("mean_pixel_milli"))
+  }
 }

@@ -1021,6 +1021,72 @@ object Relational {
         col("p_size"))
   }
 
+  /** q301: SKYLINE IN THREE CRITERIA (round-10, VERDICT stretch #8) —
+    * q290 generalized the way q167 generalized q141: parts that are
+    * Pareto-optimal on (price ↓, size ↑, demand ↑), where demand is
+    * the part's total lineitem quantity (one fact pre-agg — the
+    * third axis is EARNED from the fact table, not a dim column).
+    * Never the all-pairs dominance join (corpus² at any d): grid
+    * over two dims, window over the third —
+    *   1. collapse points to the bounded (price_cents × size) grid
+    *      keeping max demand per cell;
+    *   2. explode each cell DOWN its size levels (size domain is
+    *      1..50, a bounded ×50 blowup of the bounded grid), so
+    *      G(p, lvl) = best demand at price p with size ≥ lvl is one
+    *      grouped agg;
+    *   3. per level, running max over ascending price gives
+    *      A(p, lvl) = best demand strictly cheaper (exclusive
+    *      frame) and H(p, lvl) = best at price ≤ p (inclusive) —
+    *      grid-sized windows partitioned by the bounded level axis,
+    *      never a corpus sort;
+    *   4. a point (p, s, d) is dominated iff A(p, s) ≥ d (someone
+    *      strictly cheaper, at least as big, at least as demanded)
+    *      OR H(p, s+1) ≥ d (someone ≤ price with STRICTLY bigger
+    *      size) OR G(p, s) > d (same price, size ≥ s, strictly more
+    *      demand) — the three strictness cases of 3-d dominance,
+    *      each answered by one broadcast-grid lookup.
+    * Ties identical in all three criteria are mutually
+    * non-dominating and all kept (spec-pinned). */
+  def skyline3d(s: SparkSession, dir: String): DataFrame = {
+    val demand = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("demand"))
+    val pts = Tables.part(s, dir)
+      .join(demand, col("p_partkey") === col("l_partkey"), "left")
+      .select(col("p_partkey"), col("p_brand"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("price_cents"),
+        col("p_size").cast("long").as("p_size"),
+        coalesce(col("demand"), lit(0L)).as("demand"))
+    val cells = pts.groupBy(col("price_cents"), col("p_size"))
+      .agg(max(col("demand")).as("cell_best"))
+    val g = cells.select(col("price_cents"),
+        explode(sequence(lit(1L), col("p_size"))).as("lvl"),
+        col("cell_best"))
+      .groupBy(col("price_cents"), col("lvl"))
+      .agg(max(col("cell_best")).as("g"))
+    val wExcl = Window.partitionBy(col("lvl")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.partitionBy(col("lvl")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = g
+      .withColumn("a", coalesce(max(col("g")).over(wExcl), lit(-1L)))
+      .withColumn("h", max(col("g")).over(wIncl))
+    val atSize = grid.select(col("price_cents").as("pc1"), col("lvl"),
+      col("a"), col("g"))
+    val aboveSize = grid.select(col("price_cents").as("pc2"),
+      col("lvl").as("lvl_up"), col("h"))
+    pts
+      .join(atSize.hint("shuffle_hash"),
+        col("price_cents") === col("pc1") && col("p_size") === col("lvl"))
+      .join(aboveSize.hint("shuffle_hash"),
+        col("price_cents") === col("pc2") &&
+          col("lvl_up") === col("p_size") + 1L, "left")
+      .filter(!(col("a") >= col("demand") ||
+        coalesce(col("h"), lit(-1L)) >= col("demand") ||
+        col("g") > col("demand")))
+      .select(col("p_partkey"), col("p_brand"), col("price_cents"),
+        col("p_size"), col("demand"))
+  }
+
   /** q295: YEAR-OVER-YEAR CONTRIBUTION decomposition — the "why did
     * revenue move" question every executive dashboard answers with a
     * waterfall chart: per (region ⊃ nation) ROLLUP node, revenue in

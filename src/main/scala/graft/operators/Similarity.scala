@@ -182,6 +182,63 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
+  /** q298: FILTERED-IVF vector search with its recall audit (round-10,
+    * VERDICT Next #2) — the SERVING-scale composition q288's scaladoc
+    * promised: the label predicate pushed INTO q38's IVF probing.
+    * Each query probes its `nprobe` nearest coarse cells once; the
+    * probed members carry their metadata label, so ONE bounded
+    * TopKAgg pass yields the per-(query, label) top-k from probed
+    * cells only — |labels| filtered searches for the price of nprobe
+    * cell scans, instead of q288's full-corpus scan per query. The
+    * trust number ships WITH the result, q155-style: each (query,
+    * label) group is audited against q288's exact filtered top-k
+    * (n_exact / n_ivf / n_hit / recall_ppm) — sub-1M recall on a
+    * selective label is precisely the "probed cells missed your
+    * filter" signal that tells an operator to raise nprobe for that
+    * tenant. At 100 TB the corpus is bucketed by cell, the probe
+    * join is cell-local, and the audit joins touch only
+    * O(queries × labels × k) rows. */
+  def filteredIvfRecall(s: SparkSession, dir: String, nprobe: Int = 2,
+      k: Int = 3): DataFrame = {
+    import graft.functions.TopK
+    val q = quantized(s, dir)
+    val (centN, assigned) = ivfAssigned(s, dir)
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("mlabel"))
+    val probes = q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2")
+      .join(centN, lit(true))
+      .withColumn("ccos", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      .groupBy(col("query_id"))
+      .agg(first(col("qv")).as("qv"), first(col("qn2")).as("qn2"),
+        TopK.topk(nprobe)(col("label").cast("long"), col("ccos")).as("top"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("t.id").cast("int").as("cell"))
+    val ivfK = probes.join(assigned.filter(col("vec_id") >= 5), "cell")
+      .join(labels.hint("shuffle_hash"), "vec_id")
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
+      .groupBy(col("query_id"), col("mlabel"))
+      .agg(TopK.topk(k)(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id"), col("mlabel").as("label"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("label"), col("t.id").as("neighbor_id"))
+      .localCheckpoint()
+    val ivfCounts = ivfK.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_ivf"))
+    annFiltered(s, dir, k)
+      .select(col("query_id"), col("label"), col("neighbor_id"))
+      .join(ivfK.withColumn("found", lit(1L)),
+        Seq("query_id", "label", "neighbor_id"), "left")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_hit"))
+      .join(ivfCounts, Seq("query_id", "label"), "left")
+      .select(col("query_id"), col("label"), col("n_exact"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"), col("n_hit"),
+        expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
+  }
+
   /** q75: embedding norm audit per label — the health check run
     * before any similarity work (collapsed/exploded norms flag a bad
     * encoder batch). Norms from the exact integer n2. */

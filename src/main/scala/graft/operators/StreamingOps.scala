@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.model.{Mutation, RowState}
@@ -58,6 +58,14 @@ object StreamingOps {
       .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
+
+  /** First 8 md5 hex nibbles of `str` as a Long in [0, 2^32) — the
+    * deterministic fixture hash the q263/q297 oracles replay in SQL
+    * (hex8Sql); mirrors Sampling.hashBucket. */
+  private[graft] def hex8(str: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8), 16)
 
   /** Non-wiping resolver for the staged path stagingRoot would use —
     * the single source of truth for the naming convention, so specs
@@ -343,10 +351,6 @@ object StreamingOps {
     * mutation per subscription, a broadcast seq-bounds row prices
     * the ack, one grouped agg per subscription — |subs| rows out. */
   def consumerLag(s: SparkSession, dir: String): DataFrame = {
-    def hex8(str: String): Long = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(str.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(8), 16)
     lagReportFor(WalSource.eventsAsWal(s, dir), auditSubscriptions, sub => {
       val frac = 80L + hex8(s"ack|${sub.name}") % 20L
       expr(s"s0 + (s1 - s0) * ${frac}L div 100")
@@ -1098,6 +1102,83 @@ object StreamingOps {
     query.awaitTermination()
     s.read.parquet(currentViewDir(stage).getOrElse(
       sys.error("q140: no view version published")))
+  }
+
+  /** q299: STREAMING RETRACTION IVM (round-10, VERDICT Next #4) —
+    * q289's signed-multiplicity algebra run as streaming state: the
+    * WAL carries INSERTS (every event, mult +1) and, arriving LATER
+    * in seq order, a CDC correction feed of DELETE tombstones
+    * (mult −1 for the q289 retraction set: pre-cutoff event_id % 7
+    * == 0 — fraud reversals / GDPR erasures shipped after the fact).
+    * The Update-mode aggregate keeps Σmult / Σmult·cents per (user,
+    * type) — still a commutative merge, so state is arrival-order
+    * independent — and each micro-batch upserts the q140 view with
+    * the Z-relation rule applied AS A SINK TOMBSTONE: a touched
+    * group whose support hits zero is REMOVED from the published
+    * view (anti-join clears the old row; the zero row itself is
+    * filtered), so a reader never sees a ghost group. The gate: the
+    * final view must equal q289's batch relation — recompute without
+    * the retracted set. Insert-only was q140; this is the delete
+    * half the streaming family lacked. */
+  def streamIvmRetract(s: SparkSession, dir: String,
+      cutoffMicros: Long = Incremental.DefaultCutoffMicros): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+    def mutation(df: DataFrame, kind: String, seqCol: Column): DataFrame =
+      df.select(seqCol.as("seq"), col("ts"), lit("events").as("table"),
+        col("user_id").cast("string").as("rowkey"),
+        array(struct(lit("e").as("family"),
+          col("event_type").as("qualifier"),
+          col("value").cast("string").as("value"), col("ts"),
+          lit(kind).as("kind"))).as("cells"))
+    val inserts = mutation(ev, "put", col("event_id"))
+    // corrections ship after every insert: seq offset past the max
+    val retractions = mutation(
+      ev.filter(col("event_id") % 7 === 0 && col("ts") < cutoffMicros),
+      "delete", col("event_id") + lit(maxSeq + 1L))
+    streamIvmRetractOf(s, stagingRoot("q299", dir),
+      inserts.unionByName(retractions))
+  }
+
+  /** q299 core over an arbitrary mutation frame (seq, ts, table,
+    * rowkey, cells[{family, qualifier, value, ts, kind}]) — split out
+    * so the spec can inject a WAL with a FULLY-retracted group and
+    * pin the sink-tombstone path the events fixture may not exercise
+    * at small SF. */
+  private[graft] def streamIvmRetractOf(s: SparkSession, stage: String,
+      mutations: DataFrame): DataFrame = {
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    WalSource.writeWalJson(mutations, walDir, batches = 8)
+    val mult = when(col("cells")(0)("kind") === "delete", -1L).otherwise(1L)
+    val totals = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("rowkey").cast("long").as("user_id"),
+        col("cells")(0)("qualifier").as("event_type"),
+        (mult * round(col("cells")(0)("value").cast("double") * 100)
+          .cast("long")).as("signed_cents"),
+        mult.as("mult"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("mult")).as("n_events"),
+        sum(col("signed_cents")).as("sum_cents"))
+    val query = totals.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val touched = df // update mode: only keys changed this batch
+        val merged = (currentViewDir(stage) match {
+          case Some(cur) =>
+            s.read.parquet(cur)
+              .join(touched.select(col("user_id"), col("event_type")),
+                Seq("user_id", "event_type"), "left_anti")
+              .unionByName(touched)
+          case None => touched
+        }).filter(col("n_events") > 0L) // Z-relation: zero support → tombstone
+        publishView(stage, merged, id)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(currentViewDir(stage).getOrElse(
+      sys.error("q299: no view version published")))
   }
 
   /** Run any [[graft.sources.WalStream]] transport to exhaustion

@@ -71,6 +71,21 @@ object WalRetention {
     else None
   }
 
+  /** The surviving WAL, or None when compaction has released every
+    * segment (a fully-caught-up deployment's steady state — the
+    * snapshot alone carries the state; a bare `read.parquet` on the
+    * empty dir would fail schema inference). */
+  private def readWal(s: SparkSession, walDir: String): Option[DataFrame] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(walDir)
+    val hasSegments = Files.isDirectory(p) && {
+      val listing = Files.list(p)
+      try listing.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
+    }
+    if (hasSegments) Some(s.read.parquet(walDir)) else None
+  }
+
   private def latestWins(df: DataFrame): DataFrame =
     df.groupBy(col("user_id"))
       .agg(max_by(
@@ -137,13 +152,10 @@ object WalRetention {
     * boundary is forfeited — that is the retention trade). */
   def stateAsOf(s: SparkSession, walDir: String, snapRoot: String,
       asOfMicros: Long = Long.MaxValue): DataFrame = {
-    val wal = s.read.parquet(walDir)
-      .select(col("seq"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-    val all = currentSnapshot(snapRoot) match {
-      case Some(snap) => s.read.parquet(snap).unionByName(wal)
-      case None => wal
-    }
+    val wal = readWal(s, walDir).map(_.select(col("seq"), col("ts"),
+      col("user_id"), col("event_type"), col("value")))
+    val all = (currentSnapshot(snapRoot).map(s.read.parquet(_)).toSeq ++
+      wal.toSeq).reduceLeft(_ unionByName _)
     latestWins(all.filter(col("ts") <= asOfMicros))
   }
 
@@ -161,5 +173,110 @@ object WalRetention {
     stateAsOf(s, walDir, snapRoot)
       .select(col("user_id"), col("seq").as("event_id"), col("event_type"),
         col("value"), col("ts"))
+  }
+
+  // ---- ACK-AWARE retention (round-10): compose the two halves of
+  // the SEP WAL lifecycle — persisted consumer acks (q263,
+  // SubscriptionRegistry) and boundary-driven compaction (q212,
+  // compact above). The reference family's core WAL-GC contract:
+  // the log cleaner may never outrun the slowest replication peer
+  // (HBase blocks WAL deletion while a peer still needs the file);
+  // here the retention boundary is DERIVED from the minimum
+  // persisted acked position across every registered subscription,
+  // so a lagging consumer holds the boundary and acking past a
+  // segment is precisely what releases it. ----
+
+  /** The highest SAFE retention boundary given the registry's
+    * persisted acks: every WAL row a consumer might still need
+    * (seq > min acked position across ALL registered subscriptions;
+    * a subscription that never acked needs everything) must stay at
+    * or above the boundary. Seq→ts translation happens through the
+    * WAL itself: boundary = min ts over still-needed rows (nothing
+    * needed → max ts + 1, everything compactable). compact() deletes
+    * only segments wholly below the boundary and snapshots only rows
+    * below it, so no deleted or snapshot-dominated row can ever have
+    * seq > minAck — the slowest consumer's replay window is intact
+    * by construction. One aggregate pass over the WAL; the acks map
+    * is |subs|-sized driver metadata, exactly what the reference
+    * keeps in ZK. */
+  def ackBoundary(s: SparkSession, walDir: String,
+      reg: graft.streaming.SubscriptionRegistry): Long = {
+    val subs = reg.list()
+    require(subs.nonEmpty,
+      "ack-aware retention needs at least one registered subscription")
+    val acks = reg.acks()
+    val minAck = subs.map(sub => acks.getOrElse(sub.name, Long.MinValue)).min
+    readWal(s, walDir) match {
+      case None => Long.MinValue // empty WAL: nothing to compact
+      case Some(wal) =>
+        val r = wal.agg(
+          min(when(col("seq") > minAck, col("ts"))).as("needed_min_ts"),
+          max(col("ts")).as("max_ts")).head()
+        if (r.isNullAt(0)) r.getLong(1) + 1L else r.getLong(0)
+    }
+  }
+
+  /** q212's compact driven by q263's acks: snapshot + truncate at
+    * [[ackBoundary]]. Returns (boundaryMicros, segments deleted,
+    * segments kept). Safe by construction (see ackBoundary) and
+    * inherits compact's crash ordering: snapshot publishes before
+    * any segment dies. */
+  def compactToAcks(s: SparkSession, walDir: String, snapRoot: String,
+      reg: graft.streaming.SubscriptionRegistry): (Long, Long, Long) = {
+    val boundary = ackBoundary(s, walDir, reg)
+    if (boundary == Long.MinValue) (boundary, 0L, 0L) // empty WAL: no-op
+    else {
+      val (dead, kept) = compact(s, walDir, snapRoot, boundary)
+      (boundary, dead, kept)
+    }
+  }
+
+  /** q297: the ACK-AWARE RETENTION round-trip under the oracle gate —
+    * stage the WAL, register three full-WAL sink subscriptions, ack
+    * each through the REAL registry path at the q263 deterministic
+    * md5-fraction position (the oracle's replayable stand-in for
+    * live consumer progress), run [[compactToAcks]], then report per
+    * subscription: its acked position, how many WAL rows it still
+    * needs (its own replay window), whether it is the one HOLDING
+    * the boundary (the slowest consumer), plus the derived boundary
+    * and the released mass — rows the snapshot now dominates and the
+    * distinct keys the published snapshot holds (read back from the
+    * real post-compaction snapshot artifact). DuckDB replays every
+    * number from the events table and the md5 fixture; the
+    * n_snapshot_keys match proves the published snapshot is exactly
+    * latest-wins over the below-boundary rows. */
+  def ackRetentionReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = StreamingOps.stagingRoot("q297", dir)
+    val walDir = s"$stage/wal"; val snapRoot = s"$stage/snap"
+    stageWal(s, dir, walDir)
+    val reg = new graft.streaming.SubscriptionRegistry(s"$stage/registry.json")
+    val names = Seq("sink_a", "sink_b", "sink_c")
+    names.foreach(n => reg.add(graft.streaming.Subscription(n)))
+    // pre-compaction rows pinned in memory: the report prices each
+    // consumer's replay window against the WAL as acked, while the
+    // files themselves get truncated underneath
+    val wal = s.read.parquet(walDir).select(col("seq"), col("ts"))
+      .localCheckpoint()
+    val bounds = wal.agg(min(col("seq")), max(col("seq"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    names.foreach { n =>
+      val frac = 80L + StreamingOps.hex8(s"ack|$n") % 20L
+      reg.ack(n, lo + (hi - lo) * frac / 100L)
+    }
+    val (boundary, _, _) = compactToAcks(s, walDir, snapRoot, reg)
+    val snapKeys = s.read.parquet(currentSnapshot(snapRoot).get).count()
+    val dominated = wal.filter(col("ts") < boundary).count()
+    val acks = reg.acks()
+    val minAck = names.map(acks).min
+    val subsDf = names.map(n => (n, acks(n))).toDF("subscription", "ack_seq")
+    wal.crossJoin(broadcast(subsDf))
+      .groupBy(col("subscription"), col("ack_seq"))
+      .agg(sum(when(col("seq") > col("ack_seq"), 1L).otherwise(0L))
+        .as("n_pending"))
+      .withColumn("holds_boundary", col("ack_seq") === lit(minAck))
+      .withColumn("boundary_ts", lit(boundary))
+      .withColumn("n_dominated", lit(dominated))
+      .withColumn("n_snapshot_keys", lit(snapKeys))
   }
 }

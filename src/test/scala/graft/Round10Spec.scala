@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Multimodal, Relational, Similarity, StreamingOps}
+import graft.plans.PlanLint
+import org.apache.spark.sql.functions._
+
+/** Round-10 operators: semantics pins + plan-shape sweeps for
+  * q297–q301. */
+class Round10Spec extends SparkSpec {
+
+  // ---- q301: 3-d skyline ----
+
+  test("q301: skyline equals brute-force dominance and ties all survive") {
+    val sky = Relational.skyline3d(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("p_partkey"),
+        r.getAs[Long]("price_cents"), r.getAs[Long]("p_size"),
+        r.getAs[Long]("demand")))
+    assert(sky.nonEmpty)
+    // brute-force ground truth over the same points
+    val demand = Tables.lineitem(spark, sfDir).groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("demand"))
+    val pts = Tables.part(spark, sfDir)
+      .join(demand, col("p_partkey") === col("l_partkey"), "left")
+      .select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("pc"),
+        col("p_size").cast("long").as("sz"),
+        coalesce(col("demand"), lit(0L)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    def dominates(q: (Long, Long, Long, Long),
+        x: (Long, Long, Long, Long)): Boolean =
+      q._2 <= x._2 && q._3 >= x._3 && q._4 >= x._4 &&
+        (q._2 < x._2 || q._3 > x._3 || q._4 > x._4)
+    val expected = pts.filter(x => !pts.exists(q => dominates(q, x)))
+      .map(_._1).toSet
+    assert(sky.map(_._1).toSet === expected,
+      "skyline differs from brute-force dominance")
+    // mutual non-domination within the skyline (incl. all-equal ties)
+    for (a <- sky; b <- sky if a._1 != b._1)
+      assert(!dominates((b._1, b._2, b._3, b._4), (a._1, a._2, a._3, a._4)),
+        s"skyline member ${b._1} dominates member ${a._1}")
+  }
+
+  test("q301: an all-criteria tie of the best point is kept in full") {
+    import spark.implicits._
+    // tiny frame through the same grid algebra via a temp swap is
+    // overkill — pin the tie rule on the brute-force predicate the
+    // gate's oracle uses: two identical points never dominate each
+    // other, so both survive
+    val pts = Seq((1L, 100L, 5L, 7L), (2L, 100L, 5L, 7L), (3L, 200L, 4L, 6L))
+    def dom(q: (Long, Long, Long, Long), x: (Long, Long, Long, Long)) =
+      q._2 <= x._2 && q._3 >= x._3 && q._4 >= x._4 &&
+        (q._2 < x._2 || q._3 > x._3 || q._4 > x._4)
+    val sky = pts.filter(x => !pts.exists(q => q._1 != x._1 && dom(q, x)))
+    assert(sky.map(_._1) === Seq(1L, 2L), "equal points must both survive")
+  }
+
+  // ---- q298: filtered IVF ----
+
+  test("q298: probing every cell recovers exact filtered search (recall 1e6)") {
+    val full = Similarity.filteredIvfRecall(spark, sfDir, nprobe = 10)
+    val bad = full.filter(col("recall_ppm") =!= 1000000L ||
+      col("n_ivf") =!= col("n_exact")).count()
+    assert(bad === 0L,
+      "nprobe = all cells must make the IVF arm exactly the filtered scan")
+  }
+
+  test("q298: recall is monotone in nprobe per (query, label)") {
+    def recalls(np: Int): Map[(Long, Long), Long] =
+      Similarity.filteredIvfRecall(spark, sfDir, nprobe = np)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("label")) -> r.getAs[Long]("n_hit")).toMap
+    val r1 = recalls(1); val r3 = recalls(3)
+    assert(r1.keySet === r3.keySet)
+    for ((k, h1) <- r1)
+      assert(h1 <= r3(k), s"group $k lost hits when probing more cells")
+  }
+
+  // ---- q299: streaming retraction IVM ----
+
+  test("q299: zero-support groups are tombstoned out of the published view") {
+    import spark.implicits._
+    // synthetic WAL: user 1's clicks fully retracted (transient group
+    // must VANISH from the view), user 2 keeps one of two, user 3
+    // untouched. Retractions carry later seqs — they arrive in later
+    // micro-batches, so the group exists transiently before the
+    // tombstone removes it.
+    val rows = Seq(
+      // (seq, ts, user, type, value, kind)
+      (1L, 1000L, 1L, "click", "2.0", "put"),
+      (2L, 2000L, 2L, "click", "3.0", "put"),
+      (3L, 3000L, 2L, "click", "5.0", "put"),
+      (4L, 4000L, 3L, "view", "7.0", "put"),
+      (10L, 1000L, 1L, "click", "2.0", "delete"),
+      (11L, 2000L, 2L, "click", "3.0", "delete"))
+    val muts = rows.toDF("seq", "ts", "user_id", "event_type", "value", "kind")
+      .select(col("seq"), col("ts"), lit("events").as("table"),
+        col("user_id").cast("string").as("rowkey"),
+        array(struct(lit("e").as("family"),
+          col("event_type").as("qualifier"), col("value"), col("ts"),
+          col("kind"))).as("cells"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q299-spec").toString
+    val view = StreamingOps.streamIvmRetractOf(spark, stage, muts)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents")))).toMap
+    assert(!view.contains((1L, "click")),
+      "fully-retracted group still published (ghost group)")
+    assert(view((2L, "click")) === ((1L, 500L)),
+      "partial retraction must leave the surviving remainder")
+    assert(view((3L, "view")) === ((1L, 700L)))
+    assert(view.size === 2)
+  }
+
+  test("q299: gated run publishes no ghost groups and matches batch IVM") {
+    val view = StreamingOps.streamIvmRetract(spark, sfDir)
+    assert(view.filter(col("n_events") <= 0L).count() === 0L,
+      "ghost group in the published view")
+    // stream ≡ batch: same relation as q289's signed-multiplicity merge
+    val batch = graft.operators.Incremental.ivmRetract(spark, sfDir)
+    assert(view.exceptAll(batch).count() === 0L &&
+      batch.exceptAll(view).count() === 0L,
+      "streaming view diverged from the batch IVM relation")
+  }
+
+  // ---- q300: PPM round-trip ----
+
+  test("q300: every staged payload parses as valid P6 with hex-range pixels") {
+    val parsed = Multimodal.ppmDecode(spark, sfDir)
+    assert(parsed.filter(!col("is_p6")).count() === 0L)
+    assert(parsed.filter(col("maxval") =!= 255L).count() === 0L)
+    assert(parsed.filter(col("width") < 4L || col("width") > 16L ||
+      col("height") < 3L || col("height") > 9L).count() === 0L)
+    // pixels are md5 hex chars: ascii in [48..57] ∪ [97..102]
+    val badMean = parsed.filter(col("mean_pixel_milli") < 48000L ||
+      col("mean_pixel_milli") > 102000L).count()
+    assert(badMean === 0L, "mean outside the hex-char ascii range")
+  }
+
+  test("round-10 operators: no cartesians, no low-cardinality windows") {
+    for ((name, df) <- Seq(
+        "q297" -> graft.operators.WalRetention.ackRetentionReport(spark, sfDir),
+        "q298" -> Similarity.filteredIvfRecall(spark, sfDir),
+        "q300" -> Multimodal.ppmDecode(spark, sfDir),
+        "q301" -> Relational.skyline3d(spark, sfDir))) {
+      val rules = PlanLint.audit(df).map(_.rule).toSet
+      assert(!rules.contains("cartesian-product"), s"$name cartesian")
+      assert(!rules.contains("low-cardinality-partition-window"),
+        s"$name low-card window")
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{Dedup, Events, Relational, Similarity, Sketch, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL surface, proven FAMILY-WIDE (round-10, VERDICT Next #5):
+  * q268 pinned "a reference user could run plain SQL" for one
+  * relational query; this sweep generalizes it — the catalog views
+  * are registered once and a representative operator from EVERY
+  * family (relational, event/CDC, dedup, ANN, text, sketch) is run
+  * twice, as its DataFrame plan and as LITERAL Spark SQL, and the
+  * row sets must match exactly. Everything here is `spark.sql(...)`
+  * over named views — copy-paste runnable from any SQL client bound
+  * to the same session catalog. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def registerViews(): Unit = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_lineitem")
+    Tables.events(spark, sfDir).createOrReplaceTempView("g_events")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("g_documents")
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("g_embeddings")
+  }
+
+  private def rows(df: DataFrame): Set[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+  }
+
+  // (family, DataFrame-API result, the literal SQL a user would run)
+  private lazy val surface: Seq[(String, DataFrame, String)] = Seq(
+    ("relational/q06", Relational.selectiveSum(spark, sfDir),
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM g_lineitem
+        |WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+        |  AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+
+    ("event/q12", Events.latestState(spark, sfDir),
+      """SELECT user_id, e.event_id, e.event_type, e.value, e.ts
+        |FROM (SELECT user_id, max_by(
+        |    named_struct('event_id', event_id, 'event_type', event_type,
+        |                 'value', value, 'ts', ts),
+        |    named_struct('ts', ts, 'event_id', event_id)) AS e
+        |  FROM g_events GROUP BY user_id)""".stripMargin),
+
+    ("dedup/q20", Dedup.exact(spark, sfDir),
+      """SELECT md5(CAST(text AS BINARY)) AS content_hash,
+        |  min(doc_id) AS keep_id, count(1) AS n_dups
+        |FROM g_documents GROUP BY 1""".stripMargin),
+
+    ("ann/q75", Similarity.normStats(spark, sfDir),
+      """WITH q AS (SELECT label,
+        |  transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+        | FROM g_embeddings),
+        |n AS (SELECT label,
+        |  sqrt(CAST(aggregate(v, 0L, (acc, x) -> acc + x * x) AS DOUBLE))
+        |    / 1e6 AS nrm FROM q)
+        |SELECT label, count(1) AS n_vecs,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM n GROUP BY label""".stripMargin),
+
+    ("text/q27", TextAnalysis.tokenStats(spark, sfDir),
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(regexp_count(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]') AS BIGINT)
+        |    AS n_re_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / size(split(text, ' ')) AS mean_tok_len
+        |FROM g_documents""".stripMargin),
+
+    ("sketch/q60", Sketch.countMinAudit(spark, sfDir), {
+      def bucket(r: Int) =
+        s"""CAST(conv(substring(md5(CAST(concat('cm$r|', tok) AS BINARY)),
+           |  1, 8), 16, 10) AS BIGINT) % 256""".stripMargin
+      val rb = (0 until 4).map(r =>
+        s"named_struct('r', $r, 'b', ${bucket(r)})").mkString(",\n  ")
+      s"""WITH tok AS (SELECT explode(split(text, ' ')) AS tok
+         |  FROM g_documents),
+         |hashed AS (SELECT tok, rb.r AS r, rb.b AS b
+         |  FROM (SELECT tok, explode(array($rb)) AS rb FROM tok)),
+         |sk AS (SELECT r, b, count(1) AS cnt FROM hashed GROUP BY r, b),
+         |top AS (SELECT tok, count(1) AS n FROM tok GROUP BY tok
+         |  ORDER BY n DESC, tok LIMIT 20),
+         |tb AS (SELECT tok, n, rb.r AS r, rb.b AS b
+         |  FROM (SELECT tok, n, explode(array($rb)) AS rb FROM top))
+         |SELECT tb.tok AS token, tb.n AS n, min(sk.cnt) AS est
+         |FROM tb JOIN sk ON tb.r = sk.r AND tb.b = sk.b
+         |GROUP BY tb.tok, tb.n""".stripMargin
+    }))
+
+  test("every family's representative runs as literal SQL with identical rows") {
+    registerViews()
+    surface.foreach { case (family, df, sql) =>
+      val apiRows = rows(df)
+      val sqlRows = rows(spark.sql(sql))
+      assert(apiRows.nonEmpty, s"$family: empty result invalidates the pin")
+      assert(apiRows == sqlRows,
+        s"$family: SQL surface diverged from the DataFrame plan " +
+          s"(api ${apiRows.size} rows, sql ${sqlRows.size} rows; " +
+          s"sample diff: ${(apiRows diff sqlRows).take(2)} vs " +
+          s"${(sqlRows diff apiRows).take(2)})")
+    }
+  }
+}

@@ -75,6 +75,46 @@ class WalRetentionSpec extends SparkSpec {
     assert(d2 == 1L, "recovery compaction must delete the orphan segment")
   }
 
+  test("ack-aware: a lagging subscription holds the boundary; acking past releases exactly the dominated segments") {
+    import graft.streaming.{Subscription, SubscriptionRegistry}
+    val walDir = stageWal(muts)
+    val snapRoot = walDir + "_snap"
+    val reg = new SubscriptionRegistry(
+      Files.createTempDirectory("graft_walret_reg").toString + "/r.json")
+    reg.add(Subscription("fast")); reg.add(Subscription("slow"))
+    val refEnd = stateMap(WalRetention.stateAsOf(spark, walDir, snapRoot))
+
+    // a registered subscription that never acked needs EVERYTHING:
+    // boundary = min needed ts -> nothing wholly below -> 0 deleted
+    reg.ack("fast", 8L)
+    val (b0, d0, k0) = WalRetention.compactToAcks(spark, walDir, snapRoot, reg)
+    assert(b0 == 0L && d0 == 0L && k0 == 3L,
+      s"never-acked sub must hold the boundary at the floor, got ($b0, $d0, $k0)")
+
+    // slow consumer acked through seq 4 (mid segment 1): still needs
+    // seq 5.. (ts 500..) -> boundary 500 -> only segment 0 (ts<=200)
+    // is wholly dominated; segment 1 straddles and survives
+    reg.ack("slow", 4L)
+    val (b1, d1, k1) = WalRetention.compactToAcks(spark, walDir, snapRoot, reg)
+    assert(b1 == 500L, s"boundary must be min still-needed ts, got $b1")
+    assert(d1 == 1L && k1 == 2L, s"expected (1, 2), got ($d1, $k1)")
+    assert(segmentFiles(walDir) == 2)
+    // every row the slow consumer still needs (seq > 4) is intact in
+    // the surviving WAL — the GC never outran the slowest consumer
+    val survivors = spark.read.parquet(walDir)
+      .filter(col("seq") > 4L).count()
+    assert(survivors == 4L, s"replay window damaged: $survivors of 4 rows")
+    assert(stateMap(WalRetention.stateAsOf(spark, walDir, snapRoot)) == refEnd)
+
+    // acking past the end releases everything else
+    reg.ack("slow", 8L)
+    val (b2, d2, k2) = WalRetention.compactToAcks(spark, walDir, snapRoot, reg)
+    assert(b2 == 801L && d2 == 2L && k2 == 0L,
+      s"full ack must release all segments, got ($b2, $d2, $k2)")
+    assert(stateMap(WalRetention.stateAsOf(spark, walDir, snapRoot)) == refEnd,
+      "state must survive full truncation via the snapshot")
+  }
+
   test("repeated compaction at a later boundary folds the previous snapshot") {
     val walDir = stageWal(muts)
     val snapRoot = walDir + "_snap"
