@@ -315,6 +315,21 @@ object SparkEntry {
     "q299_stream_ivm_retract" -> ((s, d) => StreamingOps.streamIvmRetract(s, d)),
     "q300_ppm_decode"       -> ((s, d) => Multimodal.ppmDecode(s, d)),
     "q301_skyline_3d"       -> (Relational.skyline3d _),
+    "q302_min_cost_supplier" -> (Relational.minCostSupplier _),
+    "q303_important_parts"  -> (Relational.importantParts _),
+    "q304_top_supplier"     -> (Relational.topSupplier _),
+    "q305_brand_supplier_counts" -> (Relational.brandSupplierCounts _),
+    "q306_dominant_supplier" -> (Relational.dominantSupplier _),
+    "q307_returned_revenue" -> ((s, d) => Relational.returnedRevenue(s, d)),
+    "q308_power_curve"      -> (Events.powerCurve _),
+    "q309_macro_f1"         -> (Eval.macroF1 _),
+    "q310_shipping_priority" -> (Relational.shippingPriority _),
+    "q311_nation_trade"     -> (Relational.nationTrade _),
+    "q312_nation_profit"    -> (Relational.nationProfit _),
+    "q313_large_orders"     -> ((s, d) => Relational.largeOrders(s, d)),
+    "q314_sep_lifecycle"    -> (StreamingOps.sepLifecycle _),
+    "q315_bot_regularity"   -> (Events.botRegularity _),
+    "q316_growth_accounting" -> (Events.growthAccounting _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5186,6 +5201,265 @@ object SparkEntry {
         | CAST(sum(straddle) AS BIGINT) AS n_straddlers,
         | CAST(sum(bytes) * 1000000 // 16384 AS BIGINT) AS fill_ppm
         |FROM a GROUP BY 1""".stripMargin,
+    // q302: Q2's correlated min replayed as a row_number window
+    // (the oracle is unconstrained by plan shape).
+    "q302_min_cost_supplier" ->
+      """WITH o AS (SELECT l_partkey, l_suppkey,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty
+        | FROM lineitem GROUP BY 1, 2),
+        |u AS (SELECT l_partkey, l_suppkey,
+        |  CAST(CAST(cents AS HUGEINT) * 10000 // qty AS BIGINT)
+        |    AS unit_micro FROM o),
+        |r AS (SELECT l_partkey, l_suppkey, unit_micro,
+        |  count(*) OVER (PARTITION BY l_partkey) AS n_suppliers,
+        |  row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY unit_micro, l_suppkey) AS rk FROM u)
+        |SELECT r.l_partkey AS p_partkey, r.l_suppkey AS best_suppkey,
+        | s.s_name, n.n_name, r.unit_micro,
+        | CAST(r.n_suppliers AS BIGINT) AS n_suppliers
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE r.rk = 1""".stripMargin,
+    // q303: Q11's fraction-of-total HAVING as integer cross-multiply.
+    "q303_important_parts" ->
+      """WITH g AS (SELECT n.n_name, l.l_partkey,
+        |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |    AS value_cents
+        | FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |t AS (SELECT n_name, sum(value_cents) AS nation_cents FROM g
+        | GROUP BY 1)
+        |SELECT g.n_name, g.l_partkey,
+        | CAST(g.value_cents AS BIGINT) AS value_cents,
+        | CAST(g.value_cents * 1000000 // t.nation_cents AS BIGINT)
+        |   AS share_ppm
+        |FROM g JOIN t ON g.n_name = t.n_name
+        |WHERE g.value_cents * 1000 > t.nation_cents""".stripMargin,
+    // q304: Q15's max-revenue view; ties kept.
+    "q304_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS revenue_cents
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1),
+        |m AS (SELECT max(revenue_cents) AS mx FROM r)
+        |SELECT s.s_suppkey, s.s_name,
+        | CAST(r.revenue_cents AS BIGINT) AS revenue_cents
+        |FROM r CROSS JOIN m JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.revenue_cents = m.mx""".stripMargin,
+    // q305: Q16's distinct-supplier breadth with the distrust filter.
+    "q305_brand_supplier_counts" ->
+      """SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+        | CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_suppkey NOT IN
+        | (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+    // q306: Q20's half-of-demand test as a concentration audit.
+    "q306_dominant_supplier" ->
+      """WITH pr AS (SELECT l_partkey, l_suppkey,
+        |  CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+        | FROM lineitem GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty,
+        |  count(*) AS n_suppliers FROM pr GROUP BY 1)
+        |SELECT pr.l_partkey, pr.l_suppkey, pr.supp_qty,
+        | CAST(pt.part_qty AS BIGINT) AS part_qty,
+        | CAST(pt.n_suppliers AS BIGINT) AS n_suppliers,
+        | CAST(pr.supp_qty * 1000000 // pt.part_qty AS BIGINT) AS share_ppm
+        |FROM pr JOIN pt ON pr.l_partkey = pt.l_partkey
+        |WHERE pt.n_suppliers >= 2
+        | AND pr.supp_qty * pt.n_suppliers > 3 * pt.part_qty""".stripMargin,
+    // q307: Q10 with the deterministic (cents desc, custkey) cut.
+    "q307_returned_revenue" ->
+      """WITH r AS (SELECT o.o_custkey,
+        |  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+        |    AS BIGINT)) AS revenue_cents
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        | GROUP BY 1 ORDER BY revenue_cents DESC, o_custkey LIMIT 20)
+        |SELECT c.c_custkey, c.c_name, n.n_name,
+        | CAST(r.revenue_cents AS BIGINT) AS revenue_cents
+        |FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    // q308: trailing-28-day active-day histogram.
+    "q308_power_curve" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |a AS (SELECT max(day) AS mxd FROM d),
+        |pu AS (SELECT user_id, count(*) AS active_days
+        | FROM d, a WHERE day > mxd - 28 GROUP BY 1),
+        |h AS (SELECT active_days, count(*) AS n_users FROM pu GROUP BY 1),
+        |t AS (SELECT sum(n_users) AS n_total FROM h)
+        |SELECT CAST(active_days AS BIGINT) AS active_days,
+        | CAST(n_users AS BIGINT) AS n_users,
+        | CAST(n_users * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM h, t""".stripMargin,
+    // q309: per-class P/R/F1 + macro from the q29 prediction rule.
+    "q309_macro_f1" ->
+      """WITH b AS (SELECT lang, string_split(text,' ') AS toks
+        |  FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS s_es
+        | FROM b),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred FROM sc),
+        |g AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |cl AS (SELECT unnest(['en','de','fr','es']) AS cls),
+        |pc AS (SELECT cls,
+        |  CAST(coalesce(sum(CASE WHEN g.lang = cls AND g.pred = cls
+        |    THEN n END), 0) AS BIGINT) AS tp,
+        |  CAST(coalesce(sum(CASE WHEN g.lang <> cls AND g.pred = cls
+        |    THEN n END), 0) AS BIGINT) AS fp,
+        |  CAST(coalesce(sum(CASE WHEN g.lang = cls AND g.pred <> cls
+        |    THEN n END), 0) AS BIGINT) AS fn
+        | FROM cl LEFT JOIN g ON true GROUP BY 1),
+        |m AS (SELECT cls AS lang, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+        |    AS precision_ppm,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+        |    AS recall_ppm
+        | FROM pc),
+        |f AS (SELECT lang, tp, fp, fn, precision_ppm, recall_ppm,
+        |  CASE WHEN coalesce(precision_ppm, 0) + coalesce(recall_ppm, 0) = 0
+        |    THEN NULL
+        |    ELSE CAST(2 * coalesce(precision_ppm, 0) * coalesce(recall_ppm, 0)
+        |      // (coalesce(precision_ppm, 0) + coalesce(recall_ppm, 0))
+        |      AS BIGINT) END AS f1_ppm
+        | FROM m)
+        |SELECT lang, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm FROM f
+        |UNION ALL
+        |SELECT '__macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+        | CAST(sum(fn) AS BIGINT),
+        | CAST(sum(coalesce(precision_ppm, 0)) // count(*) AS BIGINT),
+        | CAST(sum(coalesce(recall_ppm, 0)) // count(*) AS BIGINT),
+        | CAST(sum(coalesce(f1_ppm, 0)) // count(*) AS BIGINT)
+        |FROM f""".stripMargin,
+    // q310: Q3 with the deterministic (cents desc, orderkey) cut.
+    "q310_shipping_priority" ->
+      """SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+        | CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        | AND o.o_orderdate < TIMESTAMP '1996-07-15'
+        | AND l.l_shipdate > TIMESTAMP '1996-07-15'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    // q311: Q7's full bilateral trade matrix.
+    "q311_nation_trade" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        | CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |   * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+        |FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name <> nc.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q312: Q9 with catalog cost standing in for supplycost.
+    "q312_nation_profit" ->
+      """SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+        | CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100) AS BIGINT)
+        |  - CAST(round(p.p_retailprice * 100) AS BIGINT)
+        |    * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%a%'
+        |GROUP BY 1, 2""".stripMargin,
+    // q313: Q18's HAVING-grouped-subquery shape.
+    "q313_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        | FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 190)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        | big.total_qty,
+        | CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    // q314: the full SEP loop - a COMPLETED consume acks max visible
+    // seq, which makes every downstream number fixture-free.
+    "q314_sep_lifecycle" ->
+      """WITH a AS (
+        | SELECT 'clicks' AS subscription, max(event_id) AS ack_seq
+        |  FROM events WHERE event_type = 'click'
+        | UNION ALL SELECT 'all', max(event_id) FROM events),
+        |m AS (SELECT min(ack_seq) AS min_ack FROM a),
+        |bd AS (SELECT coalesce(
+        |  (SELECT min(epoch_us(ts)) FROM events, m WHERE event_id > min_ack),
+        |  (SELECT max(epoch_us(ts)) + 1 FROM events)) AS boundary),
+        |dom AS (SELECT count(DISTINCT user_id) AS n_snapshot_keys
+        | FROM events, bd WHERE epoch_us(ts) < boundary),
+        |st AS (SELECT count(DISTINCT user_id) AS n_state_rows FROM events)
+        |SELECT a.subscription, CAST(a.ack_seq AS BIGINT) AS ack_seq,
+        | CAST((SELECT count(*) FROM events e WHERE e.event_id > a.ack_seq)
+        |   AS BIGINT) AS n_pending,
+        | CAST(bd.boundary AS BIGINT) AS boundary_ts,
+        | CAST(dom.n_snapshot_keys AS BIGINT) AS n_snapshot_keys,
+        | CAST(st.n_state_rows AS BIGINT) AS n_state_rows
+        |FROM a CROSS JOIN bd CROSS JOIN dom CROSS JOIN st""".stripMargin,
+    // q315: exact integer CV-squared; HUGEINT mirrors Decimal(38,0).
+    "q315_bot_regularity" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts))
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |  AS gap FROM events),
+        |a AS (SELECT user_id, count(*) AS n_gaps, sum(gap) AS sg,
+        |  sum(CAST(gap AS HUGEINT) * gap) AS sg2
+        | FROM g WHERE gap IS NOT NULL GROUP BY 1
+        | HAVING count(*) >= 5 AND sum(gap) > 0)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        | CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+        | CAST((n_gaps * sg2 - CAST(sg AS HUGEINT) * sg) * 1000
+        |   // (CAST(sg AS HUGEINT) * sg) AS BIGINT) AS cv2_milli,
+        | 10 * (n_gaps * sg2 - CAST(sg AS HUGEINT) * sg)
+        |   < CAST(sg AS HUGEINT) * sg AS is_bot
+        |FROM a""".stripMargin,
+    // q316: growth accounting; churn booked at day+1 within the grid.
+    "q316_growth_accounting" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |w AS (SELECT user_id, day,
+        |  lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+        |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        | FROM d),
+        |a AS (SELECT max(day) AS mxd FROM d),
+        |act AS (SELECT day,
+        |  sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |  sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS n_retained,
+        |  sum(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+        |    THEN 1 ELSE 0 END) AS n_resurrected
+        | FROM w GROUP BY 1),
+        |ch AS (SELECT day + 1 AS day, count(*) AS n_churned FROM w, a
+        | WHERE (next_day IS NULL OR next_day > day + 1) AND day + 1 <= mxd
+        | GROUP BY 1)
+        |SELECT CAST(act.day AS BIGINT) AS day,
+        | CAST(n_new AS BIGINT) AS n_new,
+        | CAST(n_retained AS BIGINT) AS n_retained,
+        | CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        | CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act LEFT JOIN ch ON act.day = ch.day""".stripMargin,
     // q301: 3-d skyline replayed as the brute-force NOT EXISTS
     // dominance test (the oracle is unconstrained by plan shape).
     "q301_skyline_3d" ->

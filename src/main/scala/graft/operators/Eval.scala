@@ -387,4 +387,62 @@ object Eval {
           " div (cast(n_users as decimal(38,0)) * nc) as bigint)")
           .as("lift_ppm"))
   }
+
+  /** q309: PER-CLASS PRECISION/RECALL/F1 + MACRO (round-10) — the
+    * standard multi-class report card over q29's language-id
+    * predictions, completing the eval shelf next to q211's confusion
+    * matrix (counts) with the NUMBERS a model card publishes. Per
+    * class: tp / fp / fn from one conditional pass over the
+    * (true, pred) pairs, precision/recall in integer ppm
+    * (zero-support guards → NULL, both engines), F1 by the
+    * harmonic-mean identity in ppm (2·p·r div (p+r) — same
+    * truncation both sides). The '__macro' row carries summed counts
+    * and the UNWEIGHTED mean of per-class F1 (macro-F1 — the number
+    * that punishes ignoring a rare class; integer mean over the
+    * bounded class set). Everything lives on the |classes|² grid
+    * after one corpus pass. */
+  def macroF1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ONE corpus pass to the bounded |classes|² confusion grid; all
+    // per-class counts derive from the grid crossed with the class
+    // list (4×16 rows — never a per-class corpus pass)
+    val grid = TextAnalysis.langId(s, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val langs = Seq("en", "de", "fr", "es")
+    val perClass = grid.crossJoin(broadcast(langs.toDF("cls")))
+      .groupBy(col("cls"))
+      .agg(
+        sum(when(col("lang") === col("cls") &&
+          col("pred_lang") === col("cls"), col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("lang") =!= col("cls") &&
+          col("pred_lang") === col("cls"), col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("lang") === col("cls") &&
+          col("pred_lang") =!= col("cls"), col("n")).otherwise(0L)).as("fn"))
+      .withColumnRenamed("cls", "lang")
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(coalesce(col("precision_ppm"), lit(0L)) +
+          coalesce(col("recall_ppm"), lit(0L)) === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "2 * coalesce(precision_ppm, 0L) * coalesce(recall_ppm, 0L)" +
+              " div (coalesce(precision_ppm, 0L) + coalesce(recall_ppm, 0L))")))
+    val macroRow = perClass.agg(
+      sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+      sum(col("fn")).as("fn"),
+      expr("sum(coalesce(precision_ppm, 0L)) div count(1)")
+        .as("precision_ppm"),
+      expr("sum(coalesce(recall_ppm, 0L)) div count(1)").as("recall_ppm"),
+      expr("sum(coalesce(f1_ppm, 0L)) div count(1)").as("f1_ppm"))
+      .select(lit("__macro").as("lang"), col("tp"), col("fp"), col("fn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+    perClass.unionByName(macroRow)
+  }
 }

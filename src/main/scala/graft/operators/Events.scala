@@ -1087,6 +1087,107 @@ object Events {
     * whose trailing 30 days are fully observed — partial-window rows
     * are reported, not silently misleading. Integer ppm
     * stickiness. */
+  /** q315: BOT-REGULARITY audit (round-10) — the "too regular to be
+    * human" filter a training pipeline runs before user events feed
+    * models: per user, the squared coefficient of variation of
+    * inter-event gaps (scripted clients fire on timers → CV² ≈ 0;
+    * humans are bursty → CV² ≥ 1). Exact integer identity — CV² =
+    * (n·Σg² − (Σg)²)/(Σg)², milli-scaled with Decimal(38,0) products
+    * (Σg² reaches 10²⁴ at month-long micros; Long wraps) — and the
+    * bot flag by cross-multiply 10·(n·Σg² − (Σg)²) < (Σg)² (CV² <
+    * 0.1), no float variance to diverge. One user-partitioned lag
+    * window (user-keyed shuffle; partitions are per-user event
+    * counts, never the corpus) + one grouped agg; users with < 5
+    * gaps carry too little evidence and are excluded. */
+  def botRegularity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(expr("cast(gap as decimal(38,0)) * gap")).as("sg2"))
+      .filter(col("n_gaps") >= 5L && col("sg") > 0L)
+      .select(col("user_id"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_us"),
+        expr("cast((n_gaps * sg2 - cast(sg as decimal(38,0)) * sg) * 1000" +
+          " div (cast(sg as decimal(38,0)) * sg) as bigint)").as("cv2_milli"),
+        expr("cast(10 * (n_gaps * sg2 - cast(sg as decimal(38,0)) * sg)" +
+          " < cast(sg as decimal(38,0)) * sg as boolean)").as("is_bot"))
+  }
+
+  /** q316: GROWTH ACCOUNTING (round-10) — the new / retained /
+    * resurrected / churned daily decomposition (the Social-Capital
+    * accounting identity: DAU(d) = new + retained + resurrected;
+    * churn balances MAU movement) — the canonical product-health
+    * report over the event stream. One distinct (user, day)
+    * projection; per-user lag/lead windows classify each active day
+    * (first-ever → new, yesterday-active → retained, gap → ⁠
+    * resurrected) and locate the day AFTER an activity gap starts
+    * (→ churned, counted at d+1 while d+1 ≤ corpus max — the
+    * broadcast anchor); one grouped rollup onto the bounded day
+    * grid. The identity n_new+n_retained+n_resurrected = DAU is
+    * spec-pinned. */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val anchor = days.agg(max(col("day")).as("mxd"))
+    val classified = days
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .crossJoin(broadcast(anchor))
+    val active = classified.groupBy(col("day"))
+      .agg(
+        sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_day") === col("day") - 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_day").isNotNull &&
+          col("prev_day") < col("day") - 1L, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churned = classified
+      .filter((col("next_day").isNull || col("next_day") > col("day") + 1L) &&
+        col("day") + 1L <= col("mxd"))
+      .groupBy((col("day") + 1L).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** q308: L28 POWER-USER CURVE (round-10) — the engagement-depth
+    * histogram growth teams read next to q203's DAU/MAU surface: in
+    * the trailing 28-day window (anchored at the corpus max day — a
+    * 1-row broadcast scalar), how many users were active exactly d
+    * of the 28 days, for d = 1..28. The curve's SHAPE is the health
+    * metric (right-heavy = habit, left-heavy = drive-by), and its
+    * mass-weighted mean is the single engagement number. Cost: one
+    * distinct (user, day) projection pruned to the window, one
+    * per-user count (user-keyed shuffle), one 28-bin histogram —
+    * never a window function, output 28 rows at any scale. */
+  def powerCurve(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+    val anchor = days.agg(max(col("day")).as("mxd"))
+    val perUser = days
+      .crossJoin(broadcast(anchor))
+      .filter(col("day") > col("mxd") - 28L)
+      .select(col("user_id"), col("day")).distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("active_days"))
+    val hist = perUser.groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum(col("n_users")).as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("active_days"), col("n_users"),
+        expr("n_users * 1000000 div n_total").as("share_ppm"))
+  }
+
   def activeUsers(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.events(s, dir)
       .select(col("user_id"), expr("ts div 86400000000").as("day"))

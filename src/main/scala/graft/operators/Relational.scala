@@ -1324,4 +1324,290 @@ object Relational {
       .withColumn("leader_ppm",
         expr("leader_cents * 1000000 div region_cents"))
   }
+
+  /** q302: MIN-COST SUPPLIER per part (round-10) — the TPC-H Q2
+    * correlated-min shape (`WHERE cost = (SELECT min(cost) ... WHERE
+    * same part)`) decorrelated the scale-right way: the observed
+    * supply book comes from lineitem (no partsupp table in this
+    * corpus — unit price is earned per (part, supplier) from shipped
+    * lines; Decimal(38,0) micro-cents-per-unit, truncating), ONE
+    * grouped agg per (part, supplier), then the per-part min is a
+    * min_by on the SAME shuffle key — never a per-part subquery.
+    * Supplier name and nation arrive by broadcast dim joins AFTER
+    * the argmin, so the wide columns never ride the fact shuffle.
+    * Ties (unit_micro, suppkey) pinned both engines. */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents"), sum(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("unit_micro",
+        expr("cast(cast(cents as decimal(38,0)) * 10000 div qty as bigint)"))
+    val best = offers.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min_by(struct(col("l_suppkey"), col("unit_micro")),
+          struct(col("unit_micro"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("b.l_suppkey").as("best_suppkey"),
+        col("b.unit_micro").as("unit_micro"), col("n_suppliers"))
+    best
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("best_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("best_suppkey"), col("s_name"),
+        col("n_name"), col("unit_micro"), col("n_suppliers"))
+  }
+
+  /** q303: IMPORTANT PARTS per nation (round-10) — the TPC-H Q11
+    * shape (group value vs a fraction-of-total HAVING on a scalar
+    * subquery) decorrelated: supply value per (nation, part) in ONE
+    * fact rollup (supplier nation rides a broadcast dim join), the
+    * per-nation totals re-aggregated FROM that grid (never a second
+    * fact pass), broadcast back, and the Q11 threshold test done by
+    * integer cross-multiplication (value · 1000 > total — keep parts
+    * above 0.1% of their nation's supply value; no float fraction to
+    * diverge). Output rows are the "concentrated stock" a planner
+    * reviews. */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val supNation = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name")))
+    val grid = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .join(supNation, "l_suppkey")
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(sum(col("cents")).as("value_cents"))
+    val totals = grid.groupBy(col("n_name"))
+      .agg(sum(col("value_cents")).as("nation_cents"))
+    grid.join(broadcast(totals), "n_name")
+      .filter(expr("value_cents * 1000 > nation_cents"))
+      .select(col("n_name"), col("l_partkey"), col("value_cents"),
+        expr("value_cents * 1000000 div nation_cents").as("share_ppm"))
+  }
+
+  /** q304: TOP SUPPLIER (round-10) — TPC-H Q15: quarterly revenue
+    * per supplier, keep the supplier(s) achieving THE maximum
+    * (Q15's `revenue = (SELECT max(revenue) FROM view)` — ties kept,
+    * exactly the case the classic query is famous for). One
+    * shipdate-pruned fact rollup keyed by supplier; the max is a
+    * 1-row broadcast scalar; names arrive by broadcast dim join
+    * after the filter. All-integer cents. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)"))
+        .as("revenue_cents"))
+    val mx = rev.agg(max(col("revenue_cents")).as("max_cents"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("revenue_cents") === col("max_cents"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+  }
+
+  /** q305: SUPPLIER COUNTS per (brand, size) (round-10) — the TPC-H
+    * Q16 shape: how many DISTINCT suppliers actually ship each
+    * (brand, size) shelf, excluding distrusted suppliers (Q16's
+    * complaint filter; here the deterministic analog s_acctbal < 0),
+    * the assortment-breadth number a category manager reads. The
+    * exclusion list is a broadcast anti-join BEFORE the rollup
+    * (filter early — excluded suppliers' lines never shuffle); part
+    * attrs ride a broadcast dim join; one countDistinct on the
+    * bounded (brand × size) grid. */
+  def brandSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val distrusted = broadcast(Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey")))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(distrusted, Seq("l_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+          col("p_size").cast("long").as("p_size"))), "l_partkey")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** q306: DOMINANT-SUPPLIER concentration audit (round-10) — the
+    * TPC-H Q20 excess-share test turned into the supply-chain risk
+    * report it implies: (part, supplier) pairs where one supplier
+    * ships MORE THAN 3× ITS FAIR SHARE of the part's volume
+    * (sq·n > 3·tq — fair share is 1/n of the total across the
+    * part's n observed suppliers; the multiple, not an absolute 50%,
+    * is the right knob for wide supplier books, and it is live at
+    * every SF). Two rollups on the SAME partkey shuffle key (pair
+    * grain, then part grain re-aggregated FROM the pair grid), one
+    * broadcast-back, threshold by integer cross-multiply. */
+  def dominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("supp_qty"))
+    val parts = pairs.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"),
+        count(lit(1)).as("n_suppliers"))
+    pairs.join(broadcast(parts.filter(col("n_suppliers") >= 2L)),
+        "l_partkey")
+      .filter(expr("supp_qty * n_suppliers > 3 * part_qty"))
+      .select(col("l_partkey"), col("l_suppkey"), col("supp_qty"),
+        col("part_qty"), col("n_suppliers"),
+        expr("supp_qty * 1000000 div part_qty").as("share_ppm"))
+  }
+
+  /** q307: RETURNED-ITEM customer ranking (round-10) — TPC-H Q10:
+    * the top-20 customers by revenue lost to returns in a quarter
+    * (who to call about quality complaints). Flag + date filters
+    * prune BOTH fact scans before the orderkey equi-join (return
+    * lines ~25% of lineitem, the quarter ~4% of orders — predicate
+    * pushdown does the work); one custkey rollup; the top-20 is
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject —
+    * a map-side bounded top-k per partition, NEVER a global sort
+    * (the reason Q10's LIMIT is cheap at any scale); selection made
+    * deterministic by the (cents desc, custkey) tie order. Names by
+    * broadcast nation join after the cut. */
+  def returnedRevenue(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash"),
+        "o_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_custkey"))
+      .limit(k)
+    rev.join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_cents"))
+  }
+
+  /** q310: SHIPPING-PRIORITY top-10 (round-10) — TPC-H Q3: the 10
+    * highest-revenue orders from a market segment placed before a
+    * date but still shipping after it (the unshipped backlog to
+    * expedite). Segment customers broadcast INTO the order scan
+    * (pushes the date predicate alongside), order keys carry into
+    * the lineitem rollup on the orderkey shuffle, top-10 via
+    * orderBy+limit (TakeOrderedAndProject — bounded map-side top-k),
+    * (cents desc, orderkey) deterministic cut. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-07-15").cast("timestamp")
+    val segCust = broadcast(Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey")))
+    val ords = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(segCust, "o_custkey")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      .join(ords.hint("shuffle_hash"), "l_orderkey")
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey").as("o_orderkey"), col("o_orderdate"),
+        col("revenue_cents"))
+  }
+
+  /** q311: NATION TRADE MATRIX (round-10) — TPC-H Q7: bilateral
+    * shipping volume between supplier nation and customer nation per
+    * year, for a nation pair set (here ALL ordered pairs with
+    * supp ≠ cust, the full trade matrix Q7 samples two cells of).
+    * Both nation chains are broadcast dims; the orderkey equi-join
+    * carries custkey to the line grain once; one rollup on the
+    * bounded (nation × nation × year) grid. */
+  def nationTrade(s: SparkSession, dir: String): DataFrame = {
+    val supN = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation")))
+    val custN = broadcast(Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("o_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .hint("shuffle_hash"), "o_orderkey")
+      .join(supN, "l_suppkey")
+      .join(custN, "o_custkey")
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("volume_cents"))
+  }
+
+  /** q312: PRODUCT-LINE PROFIT by nation and year (round-10) — the
+    * TPC-H Q9 shape without a partsupp table: profit = discounted
+    * revenue − catalog cost (p_retailprice · quantity, the
+    * deterministic cost stand-in), per (supplier nation, order
+    * year), for parts whose name carries a token (Q9's LIKE '%green%'
+    * → p_name contains 'a' rides the broadcast part dim as a
+    * pre-join filter). One orderkey shuffle for the year; part and
+    * supplier dims broadcast; bounded (nation × year) grid out;
+    * all-integer cents. */
+  def nationProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").contains("a"))
+      .select(col("p_partkey").as("l_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("unit_cost")))
+    val supN = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name")))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+        expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+          .as("rev_cents"))
+      .join(parts, "l_partkey")
+      .join(supN, "l_suppkey")
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long")
+          .as("order_year")).hint("shuffle_hash"), "o_orderkey")
+      .groupBy(col("n_name"), col("order_year"))
+      .agg(sum(col("rev_cents") - col("unit_cost") * col("qty"))
+        .as("profit_cents"))
+  }
+
+  /** q313: LARGE-VOLUME CUSTOMERS (round-10) — TPC-H Q18: orders
+    * whose total quantity exceeds a threshold, with their customer —
+    * the HAVING-on-a-grouped-subquery shape: ONE orderkey rollup
+    * filters to the rare big orders (the threshold makes the result
+    * tiny), the survivors join orders + customer (big-order keys are
+    * few → the join input after the filter is broadcast-sized, and
+    * Spark's AQE sees that at runtime). Threshold tuned to the
+    * corpus's flat quantity distribution (sum qty > 190 over ~4-line
+    * orders) so rows are live at every SF. */
+  def largeOrders(s: SparkSession, dir: String, minQty: Long = 190L): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"), col("price_cents"))
+  }
 }

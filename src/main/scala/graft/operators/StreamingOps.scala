@@ -1140,6 +1140,63 @@ object StreamingOps {
       inserts.unionByName(retractions))
   }
 
+  /** q314: the FULL SEP LIFECYCLE in one gated query (round-10) —
+    * register → consume → ack → compact, every stage the REAL
+    * production path (q297 proves the retention math on fixture
+    * acks; this earns the acks by actually consuming): two
+    * subscriptions ("clicks" filtered, "all" unfiltered) are
+    * registered, each is consumed TO COMPLETION through the DSv2 WAL
+    * stream by [[consumeAndAck]] (checkpointed micro-batches, ack
+    * after process — at-least-once with monotonic absorb), then
+    * [[WalRetention.compactToAcks]] derives the retention boundary
+    * from the persisted positions: the filtered consumer's ack stops
+    * at the last mutation IT CAN SEE, so everything after the final
+    * click is held — the lag a lazy subscription imposes on GC,
+    * measured. A completed consume acks a DETERMINISTIC position
+    * (max visible seq), which is what makes the whole loop
+    * oracle-replayable with no fixture. Report per subscription:
+    * acked seq, rows still unreleasable because of it, the derived
+    * boundary, the published snapshot's keys, and the materialized
+    * state rows that survive compaction (must equal q12's latest
+    * state cardinality — retention lost nothing). */
+  def sepLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = stagingRoot("q314", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    val reg = new graft.streaming.SubscriptionRegistry(s"$stage/registry.json")
+    reg.add(graft.streaming.Subscription("clicks", family = Some("e"),
+      qualifier = Some("click")))
+    reg.add(graft.streaming.Subscription("all"))
+    // the logical WAL in both transports: JSONL for the consuming
+    // stream, parquet segments for the compactor (the shipped form —
+    // same seq space, seq = event_id)
+    val walJson = s"$stage/walj"; val walParquet = s"$stage/walp"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walJson, batches = 6)
+    WalRetention.stageWal(s, dir, walParquet)
+    Seq("clicks", "all").foreach { name =>
+      consumeAndAck(s, graft.sources.GraftWalStream(walJson,
+        maxFilesPerTrigger = 2), reg, name, s"$stage/ckpt_$name")()
+    }
+    val wal = s.read.parquet(walParquet).select(col("seq"), col("ts"))
+      .localCheckpoint()
+    val (boundary, _, _) = WalRetention.compactToAcks(s, walParquet,
+      s"$stage/snap", reg)
+    val snapKeys = s.read.parquet(
+      WalRetention.currentSnapshot(s"$stage/snap").get).count()
+    val stateRows = WalRetention.stateAsOf(s, walParquet, s"$stage/snap")
+      .count()
+    val acks = reg.acks()
+    val subsDf = Seq("clicks", "all").map(n => (n, acks(n)))
+      .toDF("subscription", "ack_seq")
+    wal.crossJoin(broadcast(subsDf))
+      .groupBy(col("subscription"), col("ack_seq"))
+      .agg(sum(when(col("seq") > col("ack_seq"), 1L).otherwise(0L))
+        .as("n_pending"))
+      .withColumn("boundary_ts", lit(boundary))
+      .withColumn("n_snapshot_keys", lit(snapKeys))
+      .withColumn("n_state_rows", lit(stateRows))
+  }
+
   /** q299 core over an arbitrary mutation frame (seq, ts, table,
     * rowkey, cells[{family, qualifier, value, ts, kind}]) — split out
     * so the spec can inject a WAL with a FULLY-retracted group and

@@ -138,12 +138,74 @@ class Round10Spec extends SparkSpec {
     assert(badMean === 0L, "mean outside the hex-char ascii range")
   }
 
+  // ---- q316: growth accounting ----
+
+  test("q316: the accounting identity holds every day") {
+    val ga = graft.operators.Events.growthAccounting(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))).toMap
+    assert(ga.nonEmpty)
+    // DAU(d) = new + retained + resurrected, against the raw stream
+    val dau = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("dau")).toMap
+    for ((day, (nw, rt, rs, _)) <- ga)
+      assert(nw + rt + rs === dau(day), s"identity broken on day $day")
+    // churn balances: yesterday's DAU = retained(d) + churned(d)
+    for ((day, (_, rt, _, ch)) <- ga if dau.contains(day - 1))
+      assert(rt + ch === dau(day - 1), s"churn imbalance on day $day")
+  }
+
+  // ---- q315: bot regularity ----
+
+  test("q315: a metronome user is flagged, a bursty user is not") {
+    import spark.implicits._
+    // build a tiny events-shaped frame and run the same algebra the
+    // operator uses, via a temp view swap of the identity below:
+    // metronome gaps exactly 1000us; bursty gaps vary wildly
+    val rows =
+      (1 to 10).map(i => (i.toLong, i * 1000L, 1L)) ++ // metronome
+        Seq(1L, 2L, 4L, 8L, 200L, 210L, 5000L, 5010L, 9000L, 20000L)
+          .zipWithIndex.map { case (t, i) => ((100 + i).toLong, t, 2L) }
+    val df = rows.toDF("event_id", "ts", "user_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flags = df
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+        sum(expr("cast(gap as decimal(38,0)) * gap")).as("sg2"))
+      .select(col("user_id"),
+        expr("cast(10 * (n_gaps * sg2 - cast(sg as decimal(38,0)) * sg)" +
+          " < cast(sg as decimal(38,0)) * sg as boolean)").as("is_bot"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L) === true, "constant-gap user must flag as bot")
+    assert(flags(2L) === false, "bursty user must not flag")
+  }
+
   test("round-10 operators: no cartesians, no low-cardinality windows") {
     for ((name, df) <- Seq(
         "q297" -> graft.operators.WalRetention.ackRetentionReport(spark, sfDir),
         "q298" -> Similarity.filteredIvfRecall(spark, sfDir),
         "q300" -> Multimodal.ppmDecode(spark, sfDir),
-        "q301" -> Relational.skyline3d(spark, sfDir))) {
+        "q301" -> Relational.skyline3d(spark, sfDir),
+        "q302" -> Relational.minCostSupplier(spark, sfDir),
+        "q303" -> Relational.importantParts(spark, sfDir),
+        "q304" -> Relational.topSupplier(spark, sfDir),
+        "q305" -> Relational.brandSupplierCounts(spark, sfDir),
+        "q306" -> Relational.dominantSupplier(spark, sfDir),
+        "q307" -> Relational.returnedRevenue(spark, sfDir),
+        "q308" -> graft.operators.Events.powerCurve(spark, sfDir),
+        "q309" -> graft.operators.Eval.macroF1(spark, sfDir),
+        "q310" -> Relational.shippingPriority(spark, sfDir),
+        "q311" -> Relational.nationTrade(spark, sfDir),
+        "q312" -> Relational.nationProfit(spark, sfDir),
+        "q313" -> Relational.largeOrders(spark, sfDir),
+        "q315" -> graft.operators.Events.botRegularity(spark, sfDir),
+        "q316" -> graft.operators.Events.growthAccounting(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
       assert(!rules.contains("low-cardinality-partition-window"),
