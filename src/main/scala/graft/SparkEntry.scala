@@ -330,6 +330,10 @@ object SparkEntry {
     "q314_sep_lifecycle"    -> (StreamingOps.sepLifecycle _),
     "q315_bot_regularity"   -> (Events.botRegularity _),
     "q316_growth_accounting" -> (Events.growthAccounting _),
+    "q317_cust_order_distribution" -> (Relational.custOrderDistribution _),
+    "q318_bfs_hops"         -> ((s, d) => Dedup.bfsHops(s, d)),
+    "q319_spearman_price_demand" -> (Relational.spearmanPriceDemand _),
+    "q320_supplier_hhi"     -> (Relational.supplierHhi _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5460,6 +5464,82 @@ object SparkEntry {
         | CAST(n_resurrected AS BIGINT) AS n_resurrected,
         | CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
         |FROM act LEFT JOIN ch ON act.day = ch.day""".stripMargin,
+    // q317: Q13's left join keeps the zero-order customers; the
+    // distribution is over the order-count domain.
+    "q317_cust_order_distribution" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS cnt FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT CAST(coalesce(pc.cnt, 0) AS BIGINT) AS c_count,
+        | CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        |GROUP BY 1""".stripMargin,
+    // q318: the level-synchronous BFS as a recursive CTE — UNION
+    // dedups (v, hops) states, min(hops) per vertex is the shortest
+    // distance; hops < 4 caps the recursion at the Spark side's
+    // maxHops.
+    "q318_bfs_hops" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |bfs AS (SELECT u AS v, CAST(0 AS BIGINT) AS hops
+        |  FROM (SELECT DISTINCT u FROM adj) sd WHERE u % 10 = 0
+        | UNION
+        | SELECT a.v, b.hops + 1 FROM bfs b JOIN adj a ON a.u = b.v
+        | WHERE b.hops < 4)
+        |SELECT v AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+        |FROM bfs GROUP BY 1""".stripMargin,
+    // q319: tie-aware doubled average ranks from the distinct-value
+    // grids (2r = 2·below + ties + 1), exact HUGEINT moments, ρ as
+    // one scalar IEEE expression — mirrors the Spark decimal math.
+    "q319_spearman_price_demand" ->
+      """WITH dm AS (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT)
+        |  AS qty FROM lineitem GROUP BY 1),
+        |b AS (SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+        |  coalesce(dm.qty, 0) AS qty
+        | FROM part LEFT JOIN dm ON p_partkey = dm.l_partkey),
+        |rx AS (SELECT pc, 2 * (sum(cnt) OVER (ORDER BY pc
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |   + cnt + 1 AS rx2
+        | FROM (SELECT pc, count(*) AS cnt FROM b GROUP BY 1) t),
+        |ry AS (SELECT qty, 2 * (sum(cnt) OVER (ORDER BY qty
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |   + cnt + 1 AS ry2
+        | FROM (SELECT qty, count(*) AS cnt FROM b GROUP BY 1) t),
+        |j AS (SELECT rx.rx2, ry.ry2 FROM b
+        | JOIN rx ON b.pc = rx.pc JOIN ry ON b.qty = ry.qty),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(rx2) AS HUGEINT) AS sx,
+        |  CAST(sum(ry2) AS HUGEINT) AS sy,
+        |  sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+        |  sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+        |  sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_parts,
+        | CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |  THEN NULL
+        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) END
+        |  AS spearman_rho
+        |FROM m""".stripMargin,
+    // q320: one division per nation (Σrev²·10⁶ // (Σrev)²) — the
+    // truncation-once identity the Spark side uses.
+    "q320_supplier_hhi" ->
+      """WITH r AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev
+        | FROM lineitem GROUP BY 1)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        | CAST(sum(rev) AS BIGINT) AS rev_cents,
+        | CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000 //
+        |   nullif(CAST(sum(rev) AS HUGEINT) * sum(rev), 0) AS BIGINT)
+        |  AS hhi_ppm
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
     // q301: 3-d skyline replayed as the brute-force NOT EXISTS
     // dominance test (the oracle is unconstrained by plan shape).
     "q301_skyline_3d" ->

@@ -1413,4 +1413,52 @@ object Dedup {
       .groupBy(col("sz").as("community_size"))
       .agg(count(lit(1)).as("n_communities"))
   }
+
+  /** q318: MULTI-SOURCE BFS hop distance over the near-dup graph —
+    * the "how far is every doc from a trusted set" primitive the
+    * graph shelf lacked (components say WHETHER connected, PageRank
+    * says how CENTRAL; neither says how many hops): shortest hop
+    * count from any seed (here the deterministic `doc_id % seedMod
+    * == 0` vertices — in production, the human-audited canonicals),
+    * capped at `maxHops`. Level-synchronous frontier expansion, the
+    * only BFS that distributes: per round, ONE equi-join of the
+    * edge list with the CURRENT frontier (never the visited set),
+    * distinct, anti-join against settled vertices, settle at the
+    * round's hop count. Work per round is Θ(edges incident to the
+    * frontier) and the frontier only shrinks once the graph is
+    * swept; rounds are a fixed knob (an empty frontier makes the
+    * remaining rounds no-op joins, so no driver-side convergence
+    * poll). localCheckpoint per round truncates the growing lineage
+    * (the q281 discipline). Unreached-within-cap vertices are
+    * absent — their distance is unknown, not maxHops.
+    * Oracle: DuckDB WITH RECURSIVE over the same banded edges,
+    * min(hops) per vertex. */
+  def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4,
+      seedMod: Long = 10L): DataFrame =
+    bfsHopsOf(minhashLsh(s, dir), maxHops, seedMod)
+
+  /** [[bfsHops]] over an arbitrary (d1, d2) undirected edge list —
+    * the generic seam (same policy as [[labelPropagationOf]]). */
+  private[graft] def bfsHopsOf(edges: DataFrame, maxHops: Int,
+      seedMod: Long): DataFrame = {
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+      .localCheckpoint()
+    var settled = adj.select(col("u")).distinct()
+      .filter(col("u") % seedMod === 0)
+      .select(col("u").as("v"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = settled.select(col("v"))
+    for (h <- 1 to maxHops) {
+      val next = adj
+        .join(frontier.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
+        .select(col("v")).distinct()
+        .join(settled.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint()
+      settled = settled.union(next).localCheckpoint()
+      frontier = next.select(col("v"))
+    }
+    settled.select(col("v").as("doc_id"), col("hops"))
+  }
 }

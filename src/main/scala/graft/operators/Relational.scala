@@ -1610,4 +1610,121 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("total_qty"), col("price_cents"))
   }
+
+  /** q317: CUSTOMER ORDER-COUNT DISTRIBUTION (round-10) — TPC-H Q13:
+    * how many customers placed exactly k qualifying orders, INCLUDING
+    * the zero-order bucket (the left join is the whole point of Q13 —
+    * an inner join silently drops the customers who never ordered,
+    * which is usually the most interesting bar of the histogram).
+    * Orders roll up to per-customer counts first (one custkey
+    * shuffle of the fact side carrying just the key), customers LEFT
+    * join that bounded count table on the same key, and the final
+    * rollup lands on the order-count domain (≤ max orders per
+    * customer rows — tens, at any corpus size). Q13's NOT LIKE
+    * comment filter is stood in by the order-priority cut (no
+    * o_comment column in this corpus). */
+  def custOrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"))
+      .join(perCust.hint("shuffle_hash"), Seq("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q319: SPEARMAN RANK CORRELATION between catalog price and shipped
+    * demand over parts — the monotone-association number Pearson
+    * (q108) misses when the relationship is nonlinear: does a more
+    * expensive part ship less, in RANK terms? Tie-aware average
+    * ranks computed WITHOUT ranking rows: each distinct value's
+    * (strictly-below count, tie count) comes from a cumulative sum
+    * over the bounded distinct-VALUE grid (the q284 jump-table class
+    * — the price grid is capped by the cents domain, the demand grid
+    * by the distinct-total-qty domain; never a corpus-row window),
+    * and doubled average rank 2r = 2·below + ties + 1 keeps
+    * everything integer. Parts join their ranks back by value
+    * (broadcast grids); ρ = Pearson on (2rx, 2ry) via one exact
+    * Decimal(38,0) moment aggregation (Σ(2r·2r') reaches n·4n² —
+    * wraps Long past ~10⁶ parts), final ρ = scalar IEEE on the
+    * single moment row (the q266 pattern). Parts that never shipped
+    * count at demand 0 — excluding them would correlate price with
+    * itself over a demand-censored subset. */
+  def spearmanPriceDemand(s: SparkSession, dir: String): DataFrame = {
+    val demand = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val base = Tables.part(s, dir)
+      .select(col("p_partkey").as("l_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("price_cents"))
+      .join(demand.hint("shuffle_hash"), Seq("l_partkey"), "left")
+      .select(col("l_partkey"), col("price_cents"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+    // doubled average rank per distinct value, from the value grid:
+    // 2r(v) = 2·(# strictly below v) + (# tied at v) + 1
+    def rank2(values: DataFrame, vCol: String, out: String): DataFrame = {
+      val wcum = Window.orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      values.groupBy(col(vCol)).agg(count(lit(1)).as("__t"))
+        .withColumn(out,
+          (sum(col("__t")).over(wcum) - col("__t")) * 2 + col("__t") + 1)
+        .drop("__t")
+    }
+    val ranked = base
+      .join(broadcast(rank2(base.select(col("price_cents")),
+        "price_cents", "rx2")), "price_cents")
+      .join(broadcast(rank2(base.select(col("qty")), "qty", "ry2")), "qty")
+    def w(c: Column): Column = c.cast("decimal(38,0)")
+    ranked
+      .agg(count(lit(1)).as("n_parts"),
+        sum(w(col("rx2"))).as("sx"), sum(w(col("ry2"))).as("sy"),
+        sum(w(col("rx2")) * w(col("rx2"))).as("sxx"),
+        sum(w(col("ry2")) * w(col("ry2"))).as("syy"),
+        sum(w(col("rx2")) * w(col("ry2"))).as("sxy"))
+      .withColumn("vx", w(col("n_parts")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", w(col("n_parts")) * col("syy") - col("sy") * col("sy"))
+      .select(col("n_parts"),
+        when(col("vx") <= 0 || col("vy") <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (w(col("n_parts")) * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))),
+            4))
+          .as("spearman_rho"))
+  }
+
+  /** q320: SUPPLIER-CONCENTRATION (Herfindahl–Hirschman index) per
+    * nation — the antitrust/procurement-risk number a sourcing
+    * dashboard reads next to q306's dominant-pair flags: Σ over a
+    * nation's suppliers of (revenue share)², in ppm (10⁶ = monopoly,
+    * →0 = atomistic). Computed with ONE division per nation via the
+    * algebraic identity HHI = Σrev² / (Σrev)² — per-supplier share
+    * divisions would each truncate and the sum of truncations is not
+    * the truncated sum. One suppkey rollup (map-side combinable),
+    * nation attached to the AGGREGATED rows by broadcast dim, final
+    * rollup on the 25-row nation grid; Σrev² in Decimal(38,0) (a
+    * 10¹³-cent book squares past Long). Zero-revenue nations yield
+    * NULL, not a division error (Spark 4 ANSI div throws; nullif
+    * both engines). */
+  def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val supN = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name")))
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("cents")).as("rev"))
+      .join(supN, "l_suppkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("rev_cents"),
+        sum(col("rev").cast("decimal(38,0)") * col("rev")).as("ssq"))
+      .select(col("n_name"), col("n_suppliers"), col("rev_cents"),
+        expr("cast(ssq * 1000000 div nullif(cast(rev_cents as decimal(38,0))" +
+          " * rev_cents, 0) as bigint)").as("hhi_ppm"))
+  }
 }

@@ -205,11 +205,120 @@ class Round10Spec extends SparkSpec {
         "q312" -> Relational.nationProfit(spark, sfDir),
         "q313" -> Relational.largeOrders(spark, sfDir),
         "q315" -> graft.operators.Events.botRegularity(spark, sfDir),
-        "q316" -> graft.operators.Events.growthAccounting(spark, sfDir))) {
+        "q316" -> graft.operators.Events.growthAccounting(spark, sfDir),
+        "q317" -> Relational.custOrderDistribution(spark, sfDir),
+        "q318" -> graft.operators.Dedup.bfsHops(spark, sfDir),
+        "q319" -> Relational.spearmanPriceDemand(spark, sfDir),
+        "q320" -> Relational.supplierHhi(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
       assert(!rules.contains("low-cardinality-partition-window"),
         s"$name low-card window")
+    }
+  }
+
+  // ---- q317: Q13 distribution ----
+
+  test("q317: every customer lands in exactly one bucket") {
+    val dist = Relational.custOrderDistribution(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("c_count") ->
+        r.getAs[Long]("custdist")).toMap
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(dist.values.sum === nCust, "buckets must partition customers")
+    // the zero bucket is data-dependent at this SF (every sf0.001
+    // customer has a qualifying order; live at sf0.01) — pin the
+    // left-join semantics that produce it on a synthetic frame
+    import spark.implicits._
+    val cust = Seq(1L, 2L, 3L).toDF("o_custkey")
+    val cnts = Seq((1L, 4L)).toDF("o_custkey", "cnt")
+    val zero = cust.join(cnts, Seq("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero === Map(0L -> 2L, 4L -> 1L),
+      "customers with no orders must surface in the zero bucket")
+  }
+
+  // ---- q318: BFS hops ----
+
+  test("q318: path-graph distances, cap, and unreachable exclusion") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus isolated pair 21-22 (no seed: 21,22 % 10 != 0)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (21L, 22L)).toDF("d1", "d2")
+    val got = graft.operators.Dedup.bfsHopsOf(edges, maxHops = 3, seedMod = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hops"))
+      .toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      "exact hop distances up to the cap; 4,5 beyond cap and 21,22 " +
+        "unreachable must be absent")
+    // two seeds: min distance wins (20 is a seed; 21 now 1 hop from it)
+    val edges2 = Seq((0L, 1L), (20L, 21L), (21L, 1L)).toDF("d1", "d2")
+    val got2 = graft.operators.Dedup.bfsHopsOf(edges2, 3, 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hops"))
+      .toMap
+    assert(got2 === Map(0L -> 0L, 20L -> 0L, 21L -> 1L, 1L -> 1L),
+      "multi-source: each vertex takes its NEAREST seed")
+  }
+
+  // ---- q319: Spearman ----
+
+  test("q319: perfect monotone data gives rho 1, ties stay exact") {
+    import spark.implicits._
+    // replay the operator's rank+moment algebra on a tiny frame:
+    // y strictly increases with x => rho = 1 even with tied x's
+    // handled by average ranks
+    val rows = Seq((1L, 10L), (2L, 20L), (2L, 25L), (3L, 30L), (5L, 50L))
+    val df = rows.toDF("x", "y")
+    def rank2(vCol: String) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(vCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.groupBy(col(vCol)).agg(count(lit(1)).as("t"))
+        .withColumn(vCol + "_r2",
+          (sum(col("t")).over(w) - col("t")) * 2 + col("t") + 1)
+        .drop("t")
+    }
+    val ranked = df.join(rank2("x"), "x").join(rank2("y"), "y")
+      .select(col("x_r2").cast("double").as("rx"),
+        col("y_r2").cast("double").as("ry"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // tied x=2 rows share average rank (2r = 5 twice)
+    assert(ranked.count(_._1 == 5.0) === 2, "tied values share average rank")
+    val n = ranked.length.toDouble
+    val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+    val sxx = ranked.map(p => p._1 * p._1).sum
+    val syy = ranked.map(p => p._2 * p._2).sum
+    val sxy = ranked.map(p => p._1 * p._2).sum
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(rho < 1.0 && rho > 0.97,
+      "monotone-with-ties data must sit just below 1 (tie penalty)")
+    // and the gated operator emits exactly one defined row
+    val out = Relational.spearmanPriceDemand(spark, sfDir).collect()
+    assert(out.length === 1 && !out.head.isNullAt(1))
+  }
+
+  // ---- q320: HHI ----
+
+  test("q320: monopoly nation scores 1e6, even split scores 1e6/k") {
+    import spark.implicits._
+    // replay the identity HHI = sum(rev^2) * 1e6 / (sum rev)^2
+    def hhi(revs: Seq[Long]): Long = {
+      val tot = revs.sum
+      revs.map(r => BigInt(r) * r).sum * 1000000 / (BigInt(tot) * tot) match {
+        case v => v.toLong
+      }
+    }
+    assert(hhi(Seq(500L)) === 1000000L, "monopoly")
+    assert(hhi(Seq(250L, 250L, 250L, 250L)) === 250000L, "even 4-way split")
+    val out = Relational.supplierHhi(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val h = r.getAs[Long]("hhi_ppm")
+      val k = r.getAs[Long]("n_suppliers")
+      assert(h <= 1000000L && h >= 1000000L / k - 1,
+        s"HHI must sit in [1e6/k, 1e6] for ${r.getAs[String]("n_name")}")
     }
   }
 }
