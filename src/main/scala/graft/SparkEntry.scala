@@ -334,6 +334,7 @@ object SparkEntry {
     "q318_bfs_hops"         -> ((s, d) => Dedup.bfsHops(s, d)),
     "q319_spearman_price_demand" -> (Relational.spearmanPriceDemand _),
     "q320_supplier_hhi"     -> (Relational.supplierHhi _),
+    "q321_ppm_resize"       -> ((s, d) => Multimodal.ppmResize(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5162,6 +5163,25 @@ object SparkEntry {
         | CAST(sum_pix AS BIGINT) AS sum_pixels,
         | CAST(sum_pix * 1000 // np AS BIGINT) AS mean_pixel_milli
         |FROM s""".stripMargin,
+    // q321: every thumbnail sample predicted from the generation
+    // formula (pixel-region byte k = md5 hex char k mod 32) with the
+    // same integer index map src = (dst · src_dim) // out_dim — the
+    // parser reads the staged bytes, the oracle never does.
+    "q321_ppm_resize" ->
+      """WITH g AS (SELECT doc_id, md5(text) AS m,
+        |  CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 7 + 3 AS BIGINT) AS h FROM documents),
+        |i AS (SELECT unnest(range(12)) AS i),
+        |x AS (SELECT doc_id, m, w, h, i,
+        |  i // 6 AS ty, (i // 3) % 2 AS tx, i % 3 AS channel FROM g, i),
+        |k AS (SELECT doc_id, ty, tx, channel,
+        |  (((ty * h) // 2) * w + ((tx * w) // 2)) * 3 + channel AS kk, m
+        | FROM x)
+        |SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+        | CAST(channel AS BIGINT) AS channel,
+        | CAST(ascii(substr(m, CAST(kk % 32 + 1 AS INTEGER), 1)) AS BIGINT)
+        |  AS value
+        |FROM k""".stripMargin,
     // q299: the streaming retraction view's final state IS q289's
     // batch relation — recompute without the retracted set; groups
     // whose support hits zero are absent on both sides.

@@ -364,10 +364,26 @@ object Multimodal {
     * round-trip is exact. Per-row work is O(bytes); no shuffle at
     * all — at 100 TB this is the embarrassingly-parallel scan shape
     * a decode pass should be. */
-  def ppmDecode(s: SparkSession, dir: String): DataFrame = {
-    val stage = StreamingOps.stagingRoot("q300", dir)
-    val media = s"$stage/media"
-    // ---- encode: build real P6 payloads and stage them ----
+  def ppmDecode(s: SparkSession, dir: String): DataFrame =
+    parsePpmHeader(s.read.parquet(stagePpmMedia(s, dir, "q300")))
+      .withColumn("n_pixel_bytes", col("width") * col("height") * 3)
+      .withColumn("sum_pixels", expr(
+        "aggregate(transform(sequence(1, CAST(n_pixel_bytes AS INT)), " +
+          "i -> CAST(ascii(substring(s, pix_off + i - 1, 1)) AS BIGINT)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("is_p6"), col("width"), col("height"),
+        col("maxval"), col("n_pixel_bytes"), col("sum_pixels"),
+        expr("sum_pixels * 1000 div n_pixel_bytes").as("mean_pixel_milli"))
+
+  /** The q300 encode stage: every document written as a REAL P6 file
+    * (binary column) under the op's staging root — dims from doc_id,
+    * pixel bytes the md5 hex chars cycled (legal 8-bit ASCII samples,
+    * which is what keeps the parse in codegen string ops). Shared by
+    * every real-payload multimodal gate so encode and parse meet
+    * ONLY at the staged file. */
+  private[graft] def stagePpmMedia(s: SparkSession, dir: String,
+      tag: String): String = {
+    val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
     Tables.documents(s, dir)
       .select(col("doc_id"),
         (col("doc_id") % 13 + 4).cast("int").as("w"),
@@ -381,8 +397,14 @@ object Multimodal {
           col("h").cast("string"), lit("\n255\n"), col("pix"))
           .cast("binary").as("blob"))
       .write.mode("overwrite").parquet(media)
-    // ---- decode: parse the staged bytes, oblivious to the encoder ----
-    s.read.parquet(media)
+    media
+  }
+
+  /** The q300 header parse over a staged (doc_id, blob) media table —
+    * magic check, whitespace-scanned header ints, pixel-region offset
+    * from the parsed lengths; oblivious to the encoder. */
+  private[graft] def parsePpmHeader(media: DataFrame): DataFrame =
+    media
       .withColumn("s", col("blob").cast("string"))
       .withColumn("is_p6", expr("substring(s, 1, 3) = 'P6\n'"))
       .withColumn("dim_line", expr("substring_index(substring(s, 4), '\n', 1)"))
@@ -395,13 +417,33 @@ object Multimodal {
       .withColumn("maxval", expr("CAST(maxval_line AS BIGINT)"))
       .withColumn("pix_off", expr(
         "3 + length(dim_line) + 1 + length(maxval_line) + 1 + 1"))
-      .withColumn("n_pixel_bytes", col("width") * col("height") * 3)
-      .withColumn("sum_pixels", expr(
-        "aggregate(transform(sequence(1, CAST(n_pixel_bytes AS INT)), " +
-          "i -> CAST(ascii(substring(s, pix_off + i - 1, 1)) AS BIGINT)), " +
-          "0L, (acc, x) -> acc + x)"))
-      .select(col("doc_id"), col("is_p6"), col("width"), col("height"),
-        col("maxval"), col("n_pixel_bytes"), col("sum_pixels"),
-        expr("sum_pixels * 1000 div n_pixel_bytes").as("mean_pixel_milli"))
-  }
+
+  /** q321: NEAREST-NEIGHBOR RESIZE on the real bytes (round-10) —
+    * the thumbnail step of the decode→resize→featurize media
+    * pipeline, run on q300's ACTUAL staged P6 payloads (no digest
+    * stub): every image downsampled to a fixed 2×2 RGB thumbnail by
+    * the classic integer index map src = (dst · src_dim) div
+    * out_dim, each sample read straight out of the staged blob's
+    * pixel region at its computed offset. Output is the thumbnail AS
+    * A TABLE — (doc_id, ty, tx, channel, value) rows, 12 per image —
+    * so the gate checks every sampled byte, not a digest of them.
+    * Per-row work is O(out_pixels) regardless of source size (the
+    * point of resize-before-featurize at 100 TB); narrow explode, no
+    * shuffle anywhere. The DuckDB oracle predicts each sample from
+    * the generation formula (byte k of the pixel region = md5 hex
+    * char k mod 32) — parse and prediction meet only at the staged
+    * file, proving the offset arithmetic exact. */
+  def ppmResize(s: SparkSession, dir: String): DataFrame =
+    parsePpmHeader(s.read.parquet(stagePpmMedia(s, dir, "q321")))
+      .select(col("doc_id"), col("s"), col("pix_off"), col("width"),
+        col("height"), explode(expr("sequence(0, 11)")).as("i"))
+      .withColumn("ty", expr("i div 6"))
+      .withColumn("tx", expr("(i div 3) % 2"))
+      .withColumn("channel", expr("CAST(i % 3 AS BIGINT)"))
+      .withColumn("sy", expr("(ty * height) div 2"))
+      .withColumn("sx", expr("(tx * width) div 2"))
+      .withColumn("value", expr("CAST(ascii(substring(s, " +
+        "pix_off + ((sy * width + sx) * 3 + channel), 1)) AS BIGINT)"))
+      .select(col("doc_id"), col("ty"), col("tx"), col("channel"),
+        col("value"))
 }

@@ -209,7 +209,8 @@ class Round10Spec extends SparkSpec {
         "q317" -> Relational.custOrderDistribution(spark, sfDir),
         "q318" -> graft.operators.Dedup.bfsHops(spark, sfDir),
         "q319" -> Relational.spearmanPriceDemand(spark, sfDir),
-        "q320" -> Relational.supplierHhi(spark, sfDir))) {
+        "q320" -> Relational.supplierHhi(spark, sfDir),
+        "q321" -> Multimodal.ppmResize(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
       assert(!rules.contains("low-cardinality-partition-window"),
@@ -259,6 +260,38 @@ class Round10Spec extends SparkSpec {
       .toMap
     assert(got2 === Map(0L -> 0L, 20L -> 0L, 21L -> 1L, 1L -> 1L),
       "multi-source: each vertex takes its NEAREST seed")
+  }
+
+  // ---- q321: PPM resize ----
+
+  test("q321: known-bytes blob samples the exact nearest-neighbor pixels") {
+    import spark.implicits._
+    // 4x2 P6 image, pixel bytes 'A'..'X' (24 = 4*2*3): the 2x2
+    // nearest-neighbor map picks src (0,0),(2,0),(0,1),(2,1) —
+    // offsets 0,6,12,18 in the pixel region, three channels each
+    val pix = ('A' to 'X').mkString
+    val blob = s"P6\n4 2\n255\n$pix"
+    val media = Seq((1L, blob.getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val parsed = graft.operators.Multimodal.parsePpmHeader(media)
+      .select("is_p6", "width", "height", "pix_off").collect().head
+    assert(parsed.getBoolean(0) && parsed.getLong(1) === 4L &&
+      parsed.getLong(2) === 2L)
+    val got = graft.operators.Multimodal.parsePpmHeader(media)
+      .select(col("doc_id"), col("s"), col("pix_off"), col("width"),
+        col("height"), explode(expr("sequence(0, 11)")).as("i"))
+      .withColumn("ty", expr("i div 6"))
+      .withColumn("tx", expr("(i div 3) % 2"))
+      .withColumn("channel", expr("CAST(i % 3 AS BIGINT)"))
+      .withColumn("sy", expr("(ty * height) div 2"))
+      .withColumn("sx", expr("(tx * width) div 2"))
+      .withColumn("value", expr("CAST(ascii(substring(s, " +
+        "pix_off + ((sy * width + sx) * 3 + channel), 1)) AS BIGINT)"))
+      .orderBy(col("ty"), col("tx"), col("channel"))
+      .select(col("value")).collect().map(_.getLong(0)).toSeq
+    val expected = Seq(0, 6, 12, 18).flatMap(k =>
+      (0 to 2).map(c => pix(k + c).toLong))
+    assert(got === expected, "each thumbnail sample must be the exact " +
+      "source byte the integer index map names")
   }
 
   // ---- q319: Spearman ----
