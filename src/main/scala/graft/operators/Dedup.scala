@@ -1440,23 +1440,23 @@ object Dedup {
   /** [[bfsHops]] over an arbitrary (d1, d2) undirected edge list —
     * the generic seam (same policy as [[labelPropagationOf]]). */
   private[graft] def bfsHopsOf(edges: DataFrame, maxHops: Int,
-      seedMod: Long): DataFrame = {
-    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
-      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
-      .localCheckpoint()
-    var settled = adj.select(col("u")).distinct()
+      seedMod: Long, checkpoint: Boolean = true): DataFrame = {
+    // checkpoint=false keeps the composed plan visible (PlanSpec pins
+    // the per-hop join shape through it — the q94 policy)
+    def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
+    val adj = cp(edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u"))))
+    var settled = cp(adj.select(col("u")).distinct()
       .filter(col("u") % seedMod === 0)
-      .select(col("u").as("v"), lit(0L).as("hops"))
-      .localCheckpoint()
+      .select(col("u").as("v"), lit(0L).as("hops")))
     var frontier = settled.select(col("v"))
     for (h <- 1 to maxHops) {
-      val next = adj
+      val next = cp(adj
         .join(frontier.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
         .select(col("v")).distinct()
         .join(settled.select(col("v")), Seq("v"), "left_anti")
-        .withColumn("hops", lit(h.toLong))
-        .localCheckpoint()
-      settled = settled.union(next).localCheckpoint()
+        .withColumn("hops", lit(h.toLong)))
+      settled = cp(settled.union(next))
       frontier = next.select(col("v"))
     }
     settled.select(col("v").as("doc_id"), col("hops"))

@@ -307,6 +307,44 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("round-10 plan shapes: bounded top-k, broadcast dims, hash iterations") {
+    // q307/q310: orderBy+limit must plan as TakeOrderedAndProject —
+    // map-side bounded top-k per partition, never a global sort
+    for ((name, df) <- Seq(
+        "q307" -> Relational.returnedRevenue(spark, sfDir),
+        "q310" -> Relational.shippingPriority(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name top-k lost its TakeOrderedAndProject shape:\n$p")
+      assert(!p.contains("GlobalSort") && !p.contains("CartesianProduct"))
+    }
+    // q302/q312/q320: supplier/part/nation dims ride broadcast joins —
+    // wide dim columns never shuffle with the fact side
+    for ((name, df) <- Seq(
+        "q302" -> Relational.minCostSupplier(spark, sfDir),
+        "q312" -> Relational.nationProfit(spark, sfDir),
+        "q320" -> Relational.supplierHhi(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast-dim join:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    }
+    // q318: the BFS frontier join keeps the hash shape every round
+    // (an SMJ would re-sort the adjacency per hop — the q94 rule)
+    val bfs = plan(Dedup.bfsHopsOf(
+      Dedup.minhashLsh(spark, sfDir), maxHops = 1, seedMod = 10L,
+      checkpoint = false))
+    assert(bfs.contains("ShuffledHashJoin") || bfs.contains("BroadcastHashJoin"),
+      s"q318 frontier join lost its hash-join shape:\n$bfs")
+    // q321: the resize sampling is a pure narrow scan — zero exchanges
+    val rz = Multimodal.ppmResize(spark, sfDir)
+    val exchanges = rz.queryExecution.executedPlan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "q321 resize must not shuffle")
+  }
+
   test("queries stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the per-row hot paths of scan-shaped queries must be codegen'd
