@@ -335,6 +335,8 @@ object SparkEntry {
     "q319_spearman_price_demand" -> (Relational.spearmanPriceDemand _),
     "q320_supplier_hhi"     -> (Relational.supplierHhi _),
     "q321_ppm_resize"       -> ((s, d) => Multimodal.ppmResize(s, d)),
+    "q322_time_to_convert"  -> (Events.timeToConvert _),
+    "q323_audience_overlap" -> (Events.audienceOverlap _),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5182,6 +5184,52 @@ object SparkEntry {
         | CAST(ascii(substr(m, CAST(kk % 32 + 1 AS INTEGER), 1)) AS BIGINT)
         |  AS value
         |FROM k""".stripMargin,
+    // q322: q95's converter relation + rank selection at ceil(q·cnt)
+    // with the (dur, user_id) total order — the oracle ranks fully
+    // (DuckDB need not scale); cuts must land identically.
+    "q322_time_to_convert" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, v.first_view, min(e.ts) AS conv_ts
+        | FROM e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        | GROUP BY 1, 2),
+        |d AS (SELECT user_id, conv_ts - first_view AS dur FROM p),
+        |r AS (SELECT dur, row_number() OVER (ORDER BY dur, user_id) AS rn,
+        |  count(*) OVER () AS cnt FROM d)
+        |SELECT CAST(max(cnt) AS BIGINT) AS n_converters,
+        | CAST(min(CASE WHEN rn = CAST(ceil(cnt * 0.50) AS BIGINT)
+        |   THEN dur END) AS BIGINT) AS p50_us,
+        | CAST(min(CASE WHEN rn = CAST(ceil(cnt * 0.90) AS BIGINT)
+        |   THEN dur END) AS BIGINT) AS p90_us,
+        | CAST(min(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT)
+        |   THEN dur END) AS BIGINT) AS p99_us
+        |FROM r""".stripMargin,
+    // q323: the oracle counts pair audiences directly from the
+    // distinct (user, type) relation — the bitmask collapse must
+    // agree with plain set algebra; zero-overlap pairs kept via the
+    // all-pairs grid left join.
+    "q323_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |pc AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_both
+        | FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        | GROUP BY 1, 2),
+        |grid AS (SELECT na.event_type AS type_a, nb.event_type AS type_b,
+        |  na.n AS n_a, nb.n AS n_b
+        | FROM n na JOIN n nb ON na.event_type < nb.event_type)
+        |SELECT g.type_a, g.type_b,
+        | CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+        | CAST(coalesce(pc.n_both, 0) AS BIGINT) AS n_both,
+        | CAST(coalesce(pc.n_both, 0) * 1000000 //
+        |   nullif(g.n_a + g.n_b - coalesce(pc.n_both, 0), 0) AS BIGINT)
+        |  AS jaccard_ppm
+        |FROM grid g LEFT JOIN pc
+        | ON g.type_a = pc.type_a AND g.type_b = pc.type_b""".stripMargin,
     // q299: the streaming retraction view's final state IS q289's
     // batch relation — recompute without the retracted set; groups
     // whose support hits zero are absent on both sides.

@@ -1841,4 +1841,86 @@ object Events {
           .otherwise(expr("(base_ppm - conv_ppm) * 1000000 div base_ppm"))
           .as("effect_ppm"))
   }
+
+  /** q322: TIME-TO-CONVERT percentiles (round-10) — the duration
+    * distribution behind q95's funnel counts: how LONG between a
+    * user's first view and their first at-or-after purchase, as
+    * exact p50/p90/p99 (a mean hides the long tail that decides
+    * retargeting windows and attribution horizons). Durations are
+    * exact integer micros on q95's converter relation; percentiles
+    * by rank selection over [[Relational.twoPhaseRank]] with
+    * hour-aligned duration bins — no task ever sorts the whole
+    * converter set (the q40/q67 machinery, q246 discipline). Rank
+    * ceil(q·cnt) with the (duration, user_id) total order makes
+    * every cut deterministic on both engines. One report row. */
+  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val durs = e.filter(col("event_type") === "purchase")
+      .join(firstView.hint("shuffle_hash"), "user_id")
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("ts")).as("conv_ts"))
+      .select(col("user_id"),
+        (col("conv_ts") - col("first_view")).as("dur"))
+    Relational.twoPhaseRank(durs, lit(1), expr("dur div 3600000000"),
+      Seq(col("dur"), col("user_id")), "rn", "cnt")
+      .agg(max(col("cnt")).as("n_converters"),
+        min(when(col("rn") === ceil(col("cnt") * 0.50), col("dur")))
+          .as("p50_us"),
+        min(when(col("rn") === ceil(col("cnt") * 0.90), col("dur")))
+          .as("p90_us"),
+        min(when(col("rn") === ceil(col("cnt") * 0.99), col("dur")))
+          .as("p99_us"))
+  }
+
+  /** q323: AUDIENCE-OVERLAP matrix (round-10) — for every event-type
+    * pair, how many users do BOTH and the Jaccard overlap in ppm:
+    * the audience-segmentation number ("do purchasers also share?")
+    * that decides whether two surfaces are one audience or two.
+    * Scale shape is the q244 bitmask collapse, generalized from days
+    * to TYPES: one distinct (user, type) projection, each user folds
+    * to ONE Long bitmask via the map-side-combinable bit_or (bit
+    * positions = alphabetical rank over the bounded type list), the
+    * corpus then collapses to the ≤2^|types| mask HISTOGRAM — and
+    * every pair cell is conditional arithmetic over (pair grid ×
+    * histogram), two bounded broadcast frames. No per-pair corpus
+    * pass, no user-level self-join: |types|² searches for the price
+    * of one scan. 63 types is the explicit Long capacity (the q244
+    * note). Zero-overlap pairs are REPORTED (disjoint audiences are
+    * the finding); Jaccard's union denominator is never zero for
+    * listed types. */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val typeBits = ut.select(col("event_type")).distinct()
+      .withColumn("pos", row_number().over(Window.orderBy(col("event_type")))
+        .cast("long"))
+      .withColumn("bit", expr("cast(1 as bigint) << cast(pos - 1 as int)"))
+      .select(col("event_type"), col("bit"))
+    val hist = ut
+      .join(broadcast(typeBits), "event_type")
+      .groupBy(col("user_id")).agg(expr("bit_or(bit)").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    val pairGrid = broadcast(typeBits.toDF("type_a", "bit_a"))
+      .crossJoin(broadcast(typeBits.toDF("type_b", "bit_b")))
+      .filter(col("type_a") < col("type_b"))
+    broadcast(pairGrid).crossJoin(hist)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        sum(when(col("mask").bitwiseAND(col("bit_a")) === col("bit_a"),
+          col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("mask").bitwiseAND(col("bit_b")) === col("bit_b"),
+          col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("mask").bitwiseAND(col("bit_a").bitwiseOR(col("bit_b")))
+            === col("bit_a").bitwiseOR(col("bit_b")),
+          col("n")).otherwise(0L)).as("n_both"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("cast(n_both * 1000000 div nullif(n_a + n_b - n_both, 0)" +
+          " as bigint)").as("jaccard_ppm"))
+  }
 }

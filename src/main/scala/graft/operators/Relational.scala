@@ -841,7 +841,7 @@ object Relational {
     * ⇒ strictly earlier rank range. Parallelism is |parts|·|bins|
     * window partitions of ~n/bins rows each; the bin table
     * broadcasts. */
-  private def twoPhaseRank(df: DataFrame, part: Column, bin: Column,
+  private[graft] def twoPhaseRank(df: DataFrame, part: Column, bin: Column,
       orderKeys: Seq[Column], rankName: String, cntName: String): DataFrame = {
     val withBin = df.withColumn("__part", part).withColumn("__bin", bin)
     val hist = withBin.groupBy(col("__part"), col("__bin"))

@@ -210,7 +210,9 @@ class Round10Spec extends SparkSpec {
         "q318" -> graft.operators.Dedup.bfsHops(spark, sfDir),
         "q319" -> Relational.spearmanPriceDemand(spark, sfDir),
         "q320" -> Relational.supplierHhi(spark, sfDir),
-        "q321" -> Multimodal.ppmResize(spark, sfDir))) {
+        "q321" -> Multimodal.ppmResize(spark, sfDir),
+        "q322" -> graft.operators.Events.timeToConvert(spark, sfDir),
+        "q323" -> graft.operators.Events.audienceOverlap(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
       assert(!rules.contains("low-cardinality-partition-window"),
@@ -260,6 +262,50 @@ class Round10Spec extends SparkSpec {
       .toMap
     assert(got2 === Map(0L -> 0L, 20L -> 0L, 21L -> 1L, 1L -> 1L),
       "multi-source: each vertex takes its NEAREST seed")
+  }
+
+  // ---- q322: time-to-convert ----
+
+  test("q322: percentile cuts are ordered and the gate emits one row") {
+    val r = graft.operators.Events.timeToConvert(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (n, p50, p90, p99) = (row.getAs[Long]("n_converters"),
+      row.getAs[Long]("p50_us"), row.getAs[Long]("p90_us"),
+      row.getAs[Long]("p99_us"))
+    assert(n > 0)
+    assert(p50 <= p90 && p90 <= p99, "quantile cuts must be monotone")
+    assert(p50 >= 0, "a conversion can never precede its first view")
+  }
+
+  // ---- q323: audience overlap ----
+
+  test("q323: bitmask collapse equals direct set algebra, zero pairs kept") {
+    val got = graft.operators.Events.audienceOverlap(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("type_a"),
+        r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("jaccard_ppm")))).toMap
+    // ground truth by plain distinct-set intersection
+    val ut = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("event_type"))
+    val byType = ut.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    val expectedPairs = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    assert(got.keySet === expectedPairs.toSet,
+      "every ordered pair must be reported, including zero overlaps")
+    for (((a, b), (na, nb, both, jac)) <- got) {
+      assert(na === byType(a).size.toLong)
+      assert(nb === byType(b).size.toLong)
+      val inter = (byType(a) intersect byType(b)).size.toLong
+      assert(both === inter, s"($a,$b) intersection")
+      assert(jac === inter * 1000000L / (na + nb - inter),
+        s"($a,$b) jaccard")
+    }
   }
 
   // ---- q321: PPM resize ----
