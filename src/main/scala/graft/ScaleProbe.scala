@@ -222,6 +222,28 @@ object ScaleProbe {
       }
     }
 
+    // ---- multi-source BFS (q318) ----
+    // Same replica-disjoint doc expansion (prefixed tokens ⇒ no
+    // cross-replica edges): each replica carries its own seeds
+    // (doc_id % 10 survives the +r·10⁷ offset), so the frontier,
+    // settled set, and per-hop join volume all grow k× — wall time
+    // must track that linearly; a super-linear curve would mean the
+    // per-hop join degenerated (the level-synchronous claim,
+    // measured).
+    if (probeSel.contains("bfs")) {
+      for (k <- Seq(1, 2, 4, 8)) {
+        val docs = expand(k).cache()
+        docs.count()
+        val edges = minhashOf(docs).cache()
+        val ne = edges.count()
+        if (k == 1) time(graft.operators.Dedup.bfsHopsOf(edges, 4, 10L))
+        val t = time(graft.operators.Dedup.bfsHopsOf(edges, 4, 10L))
+        val settled = graft.operators.Dedup.bfsHopsOf(edges, 4, 10L).count()
+        println(f"""{"k":$k,"edges":$ne,"bfs_sec":$t%.2f,"settled":$settled}""")
+        edges.unpersist(); docs.unpersist()
+      }
+    }
+
     // ---- histogram-pass operators (q151 range buckets / q154 MAD) ----
     // Row-replica expansion (distribution unchanged; q154's sources
     // suffixed per replica so GROUP count also grows k×): q151's
