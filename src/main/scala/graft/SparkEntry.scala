@@ -337,6 +337,7 @@ object SparkEntry {
     "q321_ppm_resize"       -> ((s, d) => Multimodal.ppmResize(s, d)),
     "q322_time_to_convert"  -> (Events.timeToConvert _),
     "q323_audience_overlap" -> (Events.audienceOverlap _),
+    "q324_bfs_delta"        -> ((s, d) => Dedup.bfsDelta(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5546,6 +5547,24 @@ object SparkEntry {
     // distance; hops < 4 caps the recursion at the Spark side's
     // maxHops.
     "q318_bfs_hops" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |bfs AS (SELECT u AS v, CAST(0 AS BIGINT) AS hops
+        |  FROM (SELECT DISTINCT u FROM adj) sd WHERE u % 10 = 0
+        | UNION
+        | SELECT a.v, b.hops + 1 FROM bfs b JOIN adj a ON a.u = b.v
+        | WHERE b.hops < 4)
+        |SELECT v AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+        |FROM bfs GROUP BY 1""".stripMargin,
+    // q324: the maintained index must EQUAL the full recompute —
+    // the oracle is q318's recursive BFS over ALL edges (the 80/20
+    // split is internal to the incremental path; decrease-only
+    // relaxation must land on the same fixpoint).
+    "q324_bfs_delta" ->
       s"""WITH RECURSIVE $shinglesCte,
         |$minhashSigCte,
         |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

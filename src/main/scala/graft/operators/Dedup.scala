@@ -1461,4 +1461,88 @@ object Dedup {
     }
     settled.select(col("v").as("doc_id"), col("hops"))
   }
+
+  /** q324: INCREMENTAL BFS — new edges arrive, distances only
+    * IMPROVE (the monotone half of dynamic shortest paths), so the
+    * index is MAINTAINED, not recomputed: the fourth member of the
+    * incremental family (q105/q111 dedup index, q181 components,
+    * q197 IVF) and the maintenance story q318 needs at 100 TB (the
+    * crawl adds edges daily; re-running BFS over the full graph per
+    * day is the recompute-axis cost IVM exists to kill).
+    *
+    * Decrease-only relaxation, the textbook dynamic-BFS argument
+    * stated in the scaladoc because the gate leans on it: on any new
+    * shortest path, walk from the seed — the FIRST vertex whose
+    * distance improved must be reached THROUGH A DELTA EDGE from an
+    * unimproved predecessor (were its incoming edge a base edge, the
+    * old index would already have the shorter value). So seeding the
+    * worklist with (a) delta-edge relaxations off the persisted
+    * distances and (b) delta-introduced seed vertices, then
+    * propagating decreases through the FULL adjacency for maxHops
+    * rounds, reaches exactly the affected region — work proportional
+    * to improvements, never the graph. Final state must equal
+    * [[bfsHopsOf]] over base ∪ delta — the gate (same oracle as
+    * q318: the maintained index IS the recomputed one).
+    *
+    * The 80/20 edge split is a deterministic md5 bucket of the
+    * (d1, d2) pair, replayable at any SF; the base index is a REAL
+    * persisted parquet artifact (the q181 discipline) — the relax
+    * path reads it back, never the base edges. */
+  def bfsDelta(s: SparkSession, dir: String, maxHops: Int = 4,
+      seedMod: Long = 10L): DataFrame = {
+    val edges = minhashLsh(s, dir)
+      .withColumn("__b", Sampling.hashBucket(
+        concat(lit("bfs|"), col("d1").cast("string"), lit("|"),
+          col("d2").cast("string"))) % 5)
+    val base = edges.filter(col("__b") =!= 0).drop("__b")
+    val delta = edges.filter(col("__b") === 0).drop("__b").localCheckpoint()
+    val stage = graft.operators.StreamingOps.stagingRoot("q324", dir)
+    bfsHopsOf(base, maxHops, seedMod)
+      .write.mode("overwrite").parquet(s"$stage/bfs_index")
+    val baseDist = s.read.parquet(s"$stage/bfs_index")
+      .select(col("doc_id").as("v"), col("hops"))
+    bfsRelaxOf(s, baseDist, minhashLsh(s, dir), delta, maxHops, seedMod)
+  }
+
+  /** [[bfsDelta]]'s relaxation core over explicit frames: persisted
+    * distances + the FULL adjacency's edge list + the delta edges —
+    * the generic seam (spec drives crafted graphs through it). */
+  private[graft] def bfsRelaxOf(s: SparkSession, baseDist: DataFrame,
+      allEdges: DataFrame, delta: DataFrame, maxHops: Int,
+      seedMod: Long): DataFrame = {
+    val adjAll = allEdges.select(col("d1").as("u"), col("d2").as("v"))
+      .union(allEdges.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint()
+    val deltaAdj = delta.select(col("d1").as("u"), col("d2").as("v"))
+      .union(delta.select(col("d2").as("u"), col("d1").as("v")))
+    // (b) delta-introduced seeds: seed-id vertices absent from the
+    // base index (every base-graph seed is already settled at 0)
+    val newSeeds = deltaAdj.select(col("u").as("v")).distinct()
+      .filter(col("v") % seedMod === 0)
+      .join(baseDist.select(col("v")), Seq("v"), "left_anti")
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var dist = baseDist.union(newSeeds).localCheckpoint()
+    // (a) first-wave improvements: delta edges relaxed off the
+    // persisted distances (plus the new seeds merged above)
+    def relax(adj: DataFrame, frontier: DataFrame): DataFrame =
+      adj.join(frontier.withColumnRenamed("v", "u")
+          .withColumnRenamed("hops", "du").hint("shuffle_hash"), "u")
+        .select(col("v"), (col("du") + 1).as("cand"))
+        .filter(col("cand") <= maxHops)
+        .groupBy(col("v")).agg(min(col("cand")).as("cand"))
+        .join(dist.withColumnRenamed("hops", "d"), Seq("v"), "left")
+        .filter(col("d").isNull || col("cand") < col("d"))
+        .select(col("v"), col("cand").as("hops"))
+    var frontier = newSeeds.union(relax(deltaAdj, dist)).localCheckpoint()
+    dist = dist.join(frontier.select(col("v")), Seq("v"), "left_anti")
+      .union(frontier).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val improved = relax(adjAll, frontier).localCheckpoint()
+      dist = dist.join(improved.select(col("v")), Seq("v"), "left_anti")
+        .union(improved).localCheckpoint()
+      frontier = improved
+    }
+    dist.select(col("v").as("doc_id"), col("hops"))
+  }
 }

@@ -158,9 +158,11 @@ object Similarity {
     * buffer — the shuffle carries ≤ k rows per (partition × query ×
     * label), k results are GUARANTEED per filter value however
     * selective it is, and the label filter rides the column-pruned
-    * scan (at 100 TB, partition-prune by label first). One pass
-    * scores every label's search simultaneously — |labels| filtered
-    * searches for the price of one corpus scan. */
+    * scan. One pass scores every label's search simultaneously —
+    * |labels| filtered searches for the price of one corpus scan.
+    * This is the EXACT baseline; the serving-scale path that prunes
+    * the scan to probed index cells is [[filteredIvfRecall]] (q298),
+    * which audits its recall against this result. */
   def annFiltered(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import graft.functions.TopK
     val q = quantized(s, dir)

@@ -212,7 +212,8 @@ class Round10Spec extends SparkSpec {
         "q320" -> Relational.supplierHhi(spark, sfDir),
         "q321" -> Multimodal.ppmResize(spark, sfDir),
         "q322" -> graft.operators.Events.timeToConvert(spark, sfDir),
-        "q323" -> graft.operators.Events.audienceOverlap(spark, sfDir))) {
+        "q323" -> graft.operators.Events.audienceOverlap(spark, sfDir),
+        "q324" -> graft.operators.Dedup.bfsDelta(spark, sfDir))) {
       val rules = PlanLint.audit(df).map(_.rule).toSet
       assert(!rules.contains("cartesian-product"), s"$name cartesian")
       assert(!rules.contains("low-cardinality-partition-window"),
@@ -262,6 +263,47 @@ class Round10Spec extends SparkSpec {
       .toMap
     assert(got2 === Map(0L -> 0L, 20L -> 0L, 21L -> 1L, 1L -> 1L),
       "multi-source: each vertex takes its NEAREST seed")
+  }
+
+  // ---- q324: incremental BFS ----
+
+  test("q324: delta relaxation equals recompute on crafted graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def dist(edges: Seq[(Long, Long)], maxHops: Int): Map[Long, Long] =
+      Dedup.bfsHopsOf(edges.toDF("d1", "d2"), maxHops, 10L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def relaxed(base: Seq[(Long, Long)], delta: Seq[(Long, Long)],
+        maxHops: Int): Map[Long, Long] = {
+      val baseDist = Dedup.bfsHopsOf(base.toDF("d1", "d2"), maxHops, 10L)
+        .select(col("doc_id").as("v"), col("hops"))
+      Dedup.bfsRelaxOf(spark, baseDist, (base ++ delta).toDF("d1", "d2"),
+        delta.toDF("d1", "d2"), maxHops, 10L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // (1) a delta shortcut shortens a chain: 0-1-2-3-4 with new edge
+    // 0-4 => 4 jumps from hops 4 to 1, and 3 improves via 4 (the
+    // multi-hop propagation THROUGH a base edge)
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(relaxed(chain, Seq((0L, 4L)), 4) ===
+      dist(chain ++ Seq((0L, 4L)), 4))
+    // (2) a delta-introduced SEED radiates through base edges:
+    // base 1-2-3 (no seed => empty index), delta 20-1
+    val r2 = relaxed(Seq((1L, 2L), (2L, 3L)), Seq((20L, 1L)), 4)
+    assert(r2 === dist(Seq((1L, 2L), (2L, 3L), (20L, 1L)), 4))
+    assert(r2(20L) === 0L && r2(1L) === 1L && r2(3L) === 3L)
+    // (3) the cap still binds after improvement: long chain, shortcut
+    // leaves the far tail beyond maxHops => absent on both sides
+    val long = (0L to 7L).sliding(2).map(p => (p(0), p(1))).toSeq
+    assert(relaxed(long, Seq((0L, 5L)), 3) ===
+      dist(long ++ Seq((0L, 5L)), 3))
+    // (4) and the gated operator's maintained index equals q318's
+    // recompute over the full edge set
+    val full = Dedup.bfsHops(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = Dedup.bfsDelta(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full, "incremental BFS must land on the recompute fixpoint")
   }
 
   // ---- q322: time-to-convert ----
