@@ -411,7 +411,13 @@ object Eval {
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val langs = Seq("en", "de", "fr", "es")
-    val perClass = grid.crossJoin(broadcast(langs.toDF("cls")))
+    // classes-FIRST (left join onto the grid, grid broadcast): every
+    // class row survives even an EMPTY corpus (tp=fp=fn=0), matching
+    // the oracle's `cl LEFT JOIN g ON true` shape — a crossJoin from
+    // the grid side would emit zero per-class rows on an empty grid
+    val perClass = langs.toDF("cls")
+      .join(broadcast(grid),
+        col("lang") === col("cls") || col("pred_lang") === col("cls"), "left")
       .groupBy(col("cls"))
       .agg(
         sum(when(col("lang") === col("cls") &&

@@ -1129,8 +1129,11 @@ object Events {
     * resurrected) and locate the day AFTER an activity gap starts
     * (→ churned, counted at d+1 while d+1 ≤ corpus max — the
     * broadcast anchor); one grouped rollup onto the bounded day
-    * grid. The identity n_new+n_retained+n_resurrected = DAU is
-    * spec-pinned. */
+    * grid. Active and churned meet in a FULL OUTER join so a day
+    * with churn but zero active users (a gap day in the corpus)
+    * still emits its row — churn is counted at EVERY d+1 ≤ corpus
+    * max, not only at days that happen to have activity. The
+    * identity n_new+n_retained+n_resurrected = DAU is spec-pinned. */
   def growthAccounting(s: SparkSession, dir: String): DataFrame = {
     val days = Tables.events(s, dir)
       .select(col("user_id"), expr("ts div 86400000000").as("day"))
@@ -1154,9 +1157,11 @@ object Events {
         col("day") + 1L <= col("mxd"))
       .groupBy((col("day") + 1L).as("day"))
       .agg(count(lit(1)).as("n_churned"))
-    active.join(churned, Seq("day"), "left")
-      .select(col("day"), col("n_new"), col("n_retained"),
-        col("n_resurrected"),
+    active.join(churned, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 

@@ -154,8 +154,14 @@ object WalRetention {
       asOfMicros: Long = Long.MaxValue): DataFrame = {
     val wal = readWal(s, walDir).map(_.select(col("seq"), col("ts"),
       col("user_id"), col("event_type"), col("value")))
-    val all = (currentSnapshot(snapRoot).map(s.read.parquet(_)).toSeq ++
-      wal.toSeq).reduceLeft(_ unionByName _)
+    val parts = currentSnapshot(snapRoot).map(s.read.parquet(_)).toSeq ++
+      wal.toSeq
+    // explicit empty guard: reduceLeft on Nil throws the opaque
+    // 'empty.reduceLeft'; a store with neither WAL segments nor a
+    // published snapshot is a caller error worth naming
+    if (parts.isEmpty) sys.error(
+      s"stateAsOf: no WAL segments under $walDir and no snapshot under $snapRoot")
+    val all = parts.reduceLeft(_ unionByName _)
     latestWins(all.filter(col("ts") <= asOfMicros))
   }
 

@@ -81,10 +81,9 @@ final class SubscriptionRegistry(path: String) {
   // DIFFERENT subscriptions touch different files, so neither can
   // lose the other's position (the round-9 whole-file
   // read-modify-write could last-writer-win the full map away).
-  // Same-subscription multi-writer remains monotonic-conservative:
-  // a lost race can only under-report (lag over-stated, never a
-  // position covering unconsumed WAL) — the same safe direction as
-  // the monotonic ack itself. O(1) per ack, not O(|subs|). ----
+  // Same-subscription multi-writer is serialized by a per-sub OS
+  // FileLock inside [[ack]], so the monotonic invariant holds
+  // cross-process too. O(1) per ack, not O(|subs|). ----
 
   private def acksDir = Paths.get(s"$path.acks.d")
   // legacy round-9 combined file — still read (max-merged) so
@@ -97,26 +96,44 @@ final class SubscriptionRegistry(path: String) {
         + ".ack")
 
   /** Record that `name` has consumed the WAL through `seq`.
-    * MONOTONIC: the stored position only moves forward, so an
-    * at-least-once replay after a crash (the same batch acked twice,
-    * or an older batch re-delivered) can never move a consumer
-    * backwards — ack is idempotent and order-tolerant, the same
-    * lattice discipline as every other state in this library. */
+    * MONOTONIC — including ACROSS PROCESSES: the read-check-write is
+    * guarded by an OS [[java.nio.channels.FileLock]] on a per-
+    * subscription sibling lock file (the in-process `lock` alone
+    * would let two registry PROCESSES interleave read(5) / write(11)
+    * / write(10) and move the persisted position backward), so the
+    * stored position only moves forward no matter how many registries
+    * share the file. An at-least-once replay after a crash (the same
+    * batch acked twice, or an older batch re-delivered) can never
+    * move a consumer backwards — ack is idempotent and
+    * order-tolerant, the same lattice discipline as every other
+    * state in this library. The lock file is tiny, per-subscription
+    * (no cross-consumer contention), and held only for the
+    * read-compare-rename window. */
   def ack(name: String, seq: Long): Unit = lock.synchronized {
-    if (ackedSeq(name).getOrElse(Long.MinValue) < seq) {
-      Files.createDirectories(acksDir)
-      val node = mapper.createObjectNode()
-      node.put("name", name); node.put("seq", seq)
-      val target = ackFile(name).toAbsolutePath
-      val tmp = target.resolveSibling(
-        s".${target.getFileName}.${ProcessHandle.current().pid()}." +
-          s"${Thread.currentThread().getId}." +
-          s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      Files.write(tmp, Seq(mapper.writeValueAsString(node)).asJava,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    Files.createDirectories(acksDir)
+    val target = ackFile(name).toAbsolutePath
+    val lockPath = target.resolveSibling(s"${target.getFileName}.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val fl = ch.lock() // blocks until any other PROCESS releases
+      try {
+        // re-read INSIDE the lock: the check and the rename are now
+        // one atomic step w.r.t. every other locker
+        if (ackedSeq(name).getOrElse(Long.MinValue) < seq) {
+          val node = mapper.createObjectNode()
+          node.put("name", name); node.put("seq", seq)
+          val tmp = target.resolveSibling(
+            s".${target.getFileName}.${ProcessHandle.current().pid()}." +
+              s"${Thread.currentThread().getId}." +
+              s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+          Files.write(tmp, Seq(mapper.writeValueAsString(node)).asJava,
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally fl.release()
+    } finally ch.close()
   }
 
   /** The acked WAL position of every consumer that has ever acked —
