@@ -338,6 +338,12 @@ object SparkEntry {
     "q322_time_to_convert"  -> (Events.timeToConvert _),
     "q323_audience_overlap" -> (Events.audienceOverlap _),
     "q324_bfs_delta"        -> ((s, d) => Dedup.bfsDelta(s, d)),
+    "q325_shipmode_priority" -> (Relational.shipmodePriority _),
+    "q326_stream_dedup_index" -> ((s, d) => Dedup.streamDedupIndex(s, d)),
+    "q327_stream_dedup_pairs" -> ((s, d) => Dedup.streamDedupPairs(s, d)),
+    "q328_png_decode"       -> ((s, d) => Multimodal.pngDecode(s, d)),
+    "q329_png_dhash"        -> ((s, d) => Multimodal.pngDhash(s, d)),
+    "q330_ivf_pq"           -> ((s, d) => Similarity.ivfPqRecall(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5527,12 +5533,12 @@ object SparkEntry {
         |ch AS (SELECT day + 1 AS day, count(*) AS n_churned FROM w, a
         | WHERE (next_day IS NULL OR next_day > day + 1) AND day + 1 <= mxd
         | GROUP BY 1)
-        |SELECT CAST(act.day AS BIGINT) AS day,
-        | CAST(n_new AS BIGINT) AS n_new,
-        | CAST(n_retained AS BIGINT) AS n_retained,
-        | CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |SELECT CAST(coalesce(act.day, ch.day) AS BIGINT) AS day,
+        | CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        | CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        | CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
         | CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
-        |FROM act LEFT JOIN ch ON act.day = ch.day""".stripMargin,
+        |FROM act FULL OUTER JOIN ch ON act.day = ch.day""".stripMargin,
     // q317: Q13's left join keeps the zero-order customers; the
     // distribution is over the order-count domain.
     "q317_cust_order_distribution" ->
@@ -5560,6 +5566,131 @@ object SparkEntry {
         | WHERE b.hops < 4)
         |SELECT v AS doc_id, CAST(min(hops) AS BIGINT) AS hops
         |FROM bfs GROUP BY 1""".stripMargin,
+    // q325: Q12 shape — mode / receipt / commit derived exactly as
+    // the Spark side derives them (suppkey 7-way mode, ship +
+    // (suppkey%30+1)d receipt, order + 30d commit).
+    "q325_shipmode_priority" ->
+      """SELECT ['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR']
+        |   [CAST(l_suppkey % 7 + 1 AS INTEGER)] AS ship_mode,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate + (l_suppkey % 30 + 1) * INTERVAL 1 DAY
+        |   >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate + (l_suppkey % 30 + 1) * INTERVAL 1 DAY
+        |   < TIMESTAMP '1998-01-01'
+        | AND o_orderdate + 30 * INTERVAL 1 DAY
+        |   < l_shipdate + (l_suppkey % 30 + 1) * INTERVAL 1 DAY
+        | AND l_shipdate < o_orderdate + 30 * INTERVAL 1 DAY
+        |GROUP BY 1""".stripMargin,
+    // q326: the CONTINUOUSLY-maintained index must yield exactly the
+    // one-shot batch verdicts — the SAME oracle as q105/q111, the
+    // strongest possible stream≡batch pin for the dedup flagship.
+    "q326_stream_dedup_index" -> incrementalDedupOracle,
+    // q327: within-stream pair discovery is batching-invariant — the
+    // oracle is the full band self-join restricted to the streamed
+    // (odd) half of the corpus.
+    "q327_stream_dedup_pairs" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte
+        |SELECT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band
+        | AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        | AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+        |GROUP BY 1, 2""".stripMargin,
+    // q328: the oracle replays the pixel FORMULA over the (x, y)
+    // grid; the Spark side reads pixels out of a real deflate-
+    // compressed PNG via ImageIO — agreement proves the compressed
+    // round-trip is sample-exact.
+    "q328_png_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS width,
+        |  doc_id % 7 + 3 AS height FROM documents),
+        |xs AS (SELECT unnest(range(16)) AS x),
+        |ys AS (SELECT unnest(range(9)) AS y),
+        |px AS (SELECT doc_id, width, height, x, y FROM d, xs, ys
+        | WHERE x < width AND y < height),
+        |agg AS (SELECT doc_id, width, height,
+        |  sum((doc_id + 3*x + 5*y) % 256) AS sum_r,
+        |  sum((2*doc_id + 7*x + 11*y) % 256) AS sum_g,
+        |  sum((3*doc_id + 13*x + 17*y) % 256) AS sum_b
+        | FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(width AS BIGINT) AS width,
+        | CAST(height AS BIGINT) AS height,
+        | CAST(width * height AS BIGINT) AS n_pixels,
+        | CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_b AS BIGINT) AS sum_b,
+        | CAST((sum_r + sum_g + sum_b) * 1000 // (width * height * 3)
+        |   AS BIGINT) AS mean_gray_milli
+        |FROM agg""".stripMargin,
+    // q329: every dhash bit checks TWO formula-predicted gray values
+    // against the decoded raster's 9×8 nearest-neighbor grid.
+    "q329_png_dhash" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+        |  doc_id % 7 + 3 AS h FROM documents),
+        |gxs AS (SELECT unnest(range(9)) AS gx),
+        |gys AS (SELECT unnest(range(8)) AS gy),
+        |g AS (SELECT doc_id, gx, gy,
+        |  (((doc_id + 3*((gx*w)//9) + 5*((gy*h)//8)) % 256)
+        |   + ((2*doc_id + 7*((gx*w)//9) + 11*((gy*h)//8)) % 256)
+        |   + ((3*doc_id + 13*((gx*w)//9) + 17*((gy*h)//8)) % 256)) // 3
+        |    AS gray
+        | FROM d, gxs, gys)
+        |SELECT a.doc_id, CAST(a.gy AS BIGINT) AS gy,
+        | CAST(a.gx AS BIGINT) AS gx,
+        | CAST(CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS BIGINT) AS bit
+        |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        | AND b.gx = a.gx + 1
+        |WHERE a.gx < 8""".stripMargin,
+    // q330: the full IVF+PQ pipeline replayed — residual sign codes,
+    // integer scale vector, reconstruction, ADC over probed cells,
+    // top-k, recall vs the exact brute force; all integer except the
+    // fixed IEEE score expression both engines share.
+    "q330_ivf_pq" ->
+      s"""WITH $ivfScoreCtes,
+        |ps AS (SELECT unnest(range(64)) AS pos),
+        |rx AS (SELECT a.vec_id, a.cell, ps.pos,
+        |  cn.cv[pos+1] AS cvp, a.v[pos+1] - cn.cv[pos+1] AS r
+        | FROM asg a JOIN cn ON a.cell = cn.label CROSS JOIN ps),
+        |sj AS (SELECT pos, CAST(sum(abs(r)) // count(*) AS BIGINT) AS sj
+        | FROM rx WHERE vec_id >= 5 GROUP BY 1),
+        |rec AS (SELECT rx.vec_id, rx.cell, rx.pos,
+        |  rx.cvp + CASE WHEN rx.r >= 0 THEN sj.sj ELSE -sj.sj END AS vh
+        | FROM rx JOIN sj ON rx.pos = sj.pos),
+        |rv AS (SELECT vec_id, cell, list(vh ORDER BY pos) AS vh,
+        |  CAST(sum(vh * vh) AS BIGINT) AS vn2
+        | FROM rec GROUP BY 1, 2),
+        |adc AS (SELECT pr.query_id, rv.vec_id AS neighbor_id,
+        |  CAST(CAST(list_sum(list_transform(range(64),
+        |     i -> pr.qv[i+1] * rv.vh[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(pr.qn2 AS DOUBLE)) * sqrt(CAST(rv.vn2 AS DOUBLE)))
+        |    AS score
+        | FROM pr JOIN rv ON pr.cell = rv.cell AND rv.vec_id >= 5),
+        |pqk AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+        | FROM adc) t WHERE rk <= 5),
+        |pc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pq
+        | FROM pqk GROUP BY 1),
+        |scx AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5),
+        |exk AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        | FROM scx) t WHERE rk <= 5),
+        |j AS (SELECT exk.query_id,
+        |  CASE WHEN pqk.neighbor_id IS NULL THEN 0 ELSE 1 END AS found
+        | FROM exk LEFT JOIN pqk ON exk.query_id = pqk.query_id
+        |  AND exk.neighbor_id = pqk.neighbor_id),
+        |g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(found) AS BIGINT) AS n_hit FROM j GROUP BY 1)
+        |SELECT g.query_id, g.n_exact,
+        | CAST(coalesce(pc.n_pq, 0) AS BIGINT) AS n_pq, g.n_hit,
+        | CAST(g.n_hit * 1000000 // g.n_exact AS BIGINT) AS recall_ppm,
+        | CAST(32 AS BIGINT) AS mem_ratio
+        |FROM g LEFT JOIN pc ON g.query_id = pc.query_id""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

@@ -1727,4 +1727,45 @@ object Relational {
         expr("cast(ssq * 1000000 div nullif(cast(rev_cents as decimal(38,0))" +
           " * rev_cents, 0) as bigint)").as("hhi_ppm"))
   }
+
+  /** q325: LATE-SHIPMENT priority split per ship mode — the TPC-H
+    * Q12 shape (round-11, VERDICT Next #4), closing the classics
+    * sweep: for lines received in the audit window that were shipped
+    * late (committed date before receipt — the carrier missed) but
+    * not the shipper's fault (shipped before commit), how many came
+    * from critical- vs normal-priority orders, per ship mode. The
+    * corpus has no mode/receipt/commit columns, so the analog derives
+    * them deterministically the way every gate-shared column here is:
+    * mode from the supplier key's 7-way split, receipt = ship +
+    * (suppkey%30 + 1) days (carrier transit), commit = order + 30
+    * days (the promise). Shapes: the receipt-window + lateness
+    * predicates prune lineitem BEFORE the one orderkey equi-join
+    * (only priority rides in from orders); conditional agg onto the
+    * bounded 7-mode grid. At 100 TB: narrow scan, one shuffle keyed
+    * o_orderkey, 7-row output. */
+  def shipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        element_at(
+          array(Seq("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR")
+            .map(lit): _*),
+          (col("l_suppkey") % 7 + 1).cast("int")).as("ship_mode"),
+        col("l_shipdate"),
+        expr("l_shipdate + make_interval(0, 0, 0, cast(l_suppkey % 30 + 1 as int))")
+          .as("l_receiptdate"))
+      .filter(col("l_receiptdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_receiptdate") < lit("1998-01-01").cast("timestamp"))
+    lines.join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("o_orderdate + make_interval(0, 0, 0, 30)").as("l_commitdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_commitdate") < col("l_receiptdate") &&
+        col("l_shipdate") < col("l_commitdate"))
+      .groupBy(col("ship_mode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
 }
