@@ -651,6 +651,221 @@ object Dedup {
     probeBaseIndex(s, idx, docs.filter(col("doc_id") % 2 =!= 0))
   }
 
+  // ---------------------------------------------------------------
+  // q326/q327: STREAMING dedup-index MAINTENANCE (round-11, VERDICT
+  // Next #1) — q111's persisted index made CONTINUOUS with the q195
+  // productionization pattern: a streaming query whose foreachBatch
+  // probes the persisted index for each micro-batch's docs, emits
+  // match evidence, appends the batch's hashes + bands to the index,
+  // and compacts on a cadence. Every store is pointer-versioned
+  // (crash-atomic publish) and read-idempotent (distinct at read),
+  // so checkpoint replays and compaction crash windows degrade to
+  // duplicate rows the read collapses — never wrong verdicts.
+  // ---------------------------------------------------------------
+
+  /** Publish the initial index stores for a base corpus: the exact
+    * md5 hash set and the minhash band index, each tagged
+    * `is_base = true` (origin rides ON THE ROW, so compaction can
+    * fold delta appends into the base dirs without losing the
+    * base-vs-stream distinction the verdict gate needs). Bands are
+    * partitioned by band — at 100 TB this layout is bucketBy on
+    * (band, band_key) and the per-batch probe is a bucket-local
+    * join against a delta that is orders of magnitude smaller. */
+  private[graft] def initDedupIndex(s: SparkSession, stateRoot: String,
+      base: DataFrame): Unit = {
+    StreamingOps.publishStore(s, stateRoot, "hashes",
+      base.select(md5(col("text").cast("binary")).as("h"))
+        .distinct().withColumn("is_base", lit(true)), Seq.empty)
+    StreamingOps.publishStore(s, stateRoot, "bands",
+      minhashBandsOf(base).withColumn("is_base", lit(true)), Seq("band"))
+  }
+
+  /** ONE micro-batch of the streaming dedup-index protocol (factored
+    * out of the streaming query so specs can drive batches directly —
+    * replay a batch, force a compaction — the q195 walLedgerBatch
+    * discipline):
+    *  1. the batch's docs are hashed and banded (per-doc work only,
+    *     identical code paths to the batch operators);
+    *  2. the batch PROBES the index (base ∪ delta appends): exact
+    *     md5 membership and band collisions against BASE-origin
+    *     entries append (doc_id, kind) evidence — the new-doc →
+    *     canonical verdicts q105 computes inline; band collisions
+    *     against STREAM-origin entries (docs from earlier batches)
+    *     append symmetric (d1 < d2) near-dup PAIRS — a pair is
+    *     discovered when its SECOND member arrives, whichever member
+    *     that is, so the evidence set is independent of how the
+    *     stream happened to be batched;
+    *  3. an intra-batch band self-join catches pairs landing in the
+    *     SAME micro-batch (neither side indexed yet);
+    *  4. the batch's hashes and bands APPEND to the index deltas,
+    *     tagged `is_base = false` — probe-then-append, so nothing
+    *     matches itself;
+    *  5. every `compactEvery` batches, [[compactDedupIndex]] folds
+    *     each store's delta into a fresh pointer-versioned base.
+    * Per-batch cost: |batch| banding + asymmetric equi-joins into
+    * the index (the tiny batch side broadcasts; at scale the index
+    * side is bucketed so the probe is bucket-local) — never
+    * index × index. */
+  private[graft] def dedupIndexBatch(s: SparkSession, stateRoot: String,
+      batch: DataFrame, batchId: Long, compactEvery: Int = 3): Unit = {
+    import StreamingOps.{readStoreAll, storeDeltaDir}
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val bh = b.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val bb = minhashBandsOf(b).localCheckpoint()
+    val idxH = readStoreAll(s, stateRoot, "hashes")
+    val idxB = readStoreAll(s, stateRoot, "bands")
+    // base-origin evidence → the q326 verdicts
+    val exactEv = idxH.map(ih =>
+      bh.join(ih.filter(col("is_base")).select(col("h")).distinct()
+          .hint("shuffle_hash"), "h")
+        .select(col("doc_id"), lit("exact").as("kind")).distinct())
+    val nearBaseEv = idxB.map(ib =>
+      bb.as("d").join(ib.filter(col("is_base")).as("b"),
+          col("d.band") === col("b.band") &&
+            col("d.band_key") === col("b.band_key"))
+        .select(col("d.doc_id").as("doc_id"), lit("near").as("kind"))
+        .distinct())
+    (exactEv.toSeq ++ nearBaseEv.toSeq).reduceOption(_ unionByName _)
+      .foreach(_.write.mode("append")
+        .parquet(storeDeltaDir(stateRoot, "matches")))
+    // stream-origin evidence → the q327 pairs (cross-batch probe +
+    // intra-batch self-join; least/greatest make the pair canonical)
+    val crossPairs = idxB.map(ib =>
+      bb.as("d").join(ib.filter(!col("is_base")).as("b"),
+          col("d.band") === col("b.band") &&
+            col("d.band_key") === col("b.band_key") &&
+            col("d.doc_id") =!= col("b.doc_id"))
+        .select(least(col("d.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("d.doc_id"), col("b.doc_id")).as("d2")))
+    val selfPairs = bb.toDF("xd", "band", "band_key").as("x")
+      .join(bb.toDF("yd", "band", "band_key").as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.xd") < col("y.yd"))
+      .select(col("x.xd").as("d1"), col("y.yd").as("d2"))
+    (crossPairs.toSeq :+ selfPairs).reduce(_ unionByName _).distinct()
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "pairs"))
+    // probe-then-append: the batch joins the index only now (the
+    // hash index is a bare membership set — same (h, is_base)
+    // schema as the published base, so base ∪ delta unions cleanly)
+    bh.select(col("h")).distinct().withColumn("is_base", lit(false))
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "hashes"))
+    bb.withColumn("is_base", lit(false))
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "bands"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactDedupIndex(s, stateRoot)
+  }
+
+  /** Fold every dedup-index store's per-batch delta appends into a
+    * fresh compacted pointer-versioned base (distinct-at-compaction
+    * keeps replay duplicates from accumulating; localCheckpoint pins
+    * each merged store before its publish so the new base never
+    * reads through the dirs being replaced). File count is bounded
+    * by the compaction cadence, not the stream's lifetime. */
+  private[graft] def compactDedupIndex(s: SparkSession,
+      stateRoot: String): Unit = {
+    import StreamingOps.{publishStore, readStoreAll}
+    readStoreAll(s, stateRoot, "hashes").foreach(r => publishStore(
+      s, stateRoot, "hashes", r.distinct().localCheckpoint(), Seq.empty))
+    readStoreAll(s, stateRoot, "bands").foreach(r => publishStore(
+      s, stateRoot, "bands", r.distinct().localCheckpoint(), Seq("band")))
+    readStoreAll(s, stateRoot, "matches").foreach(r => publishStore(
+      s, stateRoot, "matches", r.distinct().localCheckpoint(), Seq.empty))
+    readStoreAll(s, stateRoot, "pairs").foreach(r => publishStore(
+      s, stateRoot, "pairs", r.distinct().localCheckpoint(), Seq.empty))
+  }
+
+  /** Stage the q326/q327 pipeline: publish the base (even doc_ids)
+    * index, write the delta (odd doc_ids) docs as a 6-file JSONL
+    * stream, and drain it with a foreachBatch streaming query (2
+    * files per trigger → 3 micro-batches, compaction mid-stream).
+    * Idempotent per staging root — both gates and the specs drive
+    * the SAME protocol. */
+  private[graft] def runStreamDedup(s: SparkSession, dir: String,
+      stage: String, compactEvery: Int = 3): Unit = {
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    initDedupIndex(s, stateRoot, docs.filter(col("doc_id") % 2 === 0))
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .repartitionByRange(6, col("doc_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).json(inDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        dedupIndexBatch(s, stateRoot, df, id, compactEvery)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Assemble the q326 verdict report from the match-evidence store:
+    * every delta doc left-joins its accumulated base-origin evidence
+    * — the q105 (doc_id, exact_dup, near_dup, verdict) schema. */
+  private[graft] def streamDedupVerdicts(s: SparkSession, dir: String,
+      stateRoot: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamingOps.readStoreAll(s, stateRoot, "matches")
+      .getOrElse(Seq.empty[(Long, String)].toDF("doc_id", "kind"))
+      .distinct().localCheckpoint()
+    Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"))
+      .join(ev.filter(col("kind") === "exact")
+        .select(col("doc_id"), lit(1).as("e")), Seq("doc_id"), "left")
+      .join(ev.filter(col("kind") === "near")
+        .select(col("doc_id"), lit(1).as("n")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e").isNotNull, 1).otherwise(0).as("exact_dup"),
+        when(col("n").isNotNull, 1).otherwise(0).as("near_dup"))
+      .withColumn("verdict",
+        when(col("exact_dup") === 1, "drop_exact")
+          .when(col("near_dup") === 1, "drop_near")
+          .otherwise("keep"))
+  }
+
+  /** q326: STREAMING incremental dedup against the MAINTAINED index —
+    * [[persistedIncrementalDedup]] made continuous: the odd-doc delta
+    * arrives as a file stream, each micro-batch probes the persisted
+    * index and appends itself to it ([[dedupIndexBatch]]), and the
+    * final verdict report must EQUAL the one-shot batch q105/q111
+    * computation on the same split — same oracle SQL, proving the
+    * continuous path computes exactly what the batch path computes
+    * however the stream was batched, compacted, or replayed. */
+  def streamDedupIndex(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q326", dir)
+    runStreamDedup(s, dir, stage)
+    streamDedupVerdicts(s, dir, s"$stage/state")
+  }
+
+  /** q327: WITHIN-STREAM near-dup pair discovery — the evidence the
+    * maintained index accumulates BEYOND the base verdicts: every
+    * band collision between two STREAMED docs, found either when the
+    * later one probes the earlier one's appended bands or by the
+    * intra-batch self-join when both land together. The result must
+    * equal the batch band self-join over the whole delta (q22's
+    * shape restricted to odd ids) — pair discovery is
+    * batching-invariant. */
+  def streamDedupPairs(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q327", dir)
+    runStreamDedup(s, dir, stage)
+    StreamingOps.readStoreAll(s, s"$stage/state", "pairs")
+      .map(_.distinct())
+      .getOrElse {
+        import s.implicits._
+        Seq.empty[(Long, Long)].toDF("d1", "d2")
+      }
+  }
+
   /** q119: SEGMENT-level dedup cleaning (the CCNet/RefinedWeb
     * duplicated-line removal stage, at 8-token segment grain since
     * the corpus has no line breaks): each doc's non-overlapping

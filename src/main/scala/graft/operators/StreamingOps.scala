@@ -1555,7 +1555,7 @@ object StreamingOps {
         java.nio.file.Files.readString(ptr).trim).toString)
     else None
   }
-  private def storeDeltaDir(root: String, name: String): String =
+  private[graft] def storeDeltaDir(root: String, name: String): String =
     java.nio.file.Paths.get(root, s"${name}_delta").toString
 
   /** Crash-atomically publish a new compacted base for store `name`
@@ -1564,7 +1564,7 @@ object StreamingOps {
     * leaves the old base live; between swap and delta-clear leaves
     * delta rows ALSO present in the new base — which the
     * read-idempotent stores collapse. */
-  private def publishStore(s: SparkSession, root: String, name: String,
+  private[graft] def publishStore(s: SparkSession, root: String, name: String,
       df: DataFrame, partitionCols: Seq[String]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val version = storeBaseDir(root, name)
@@ -1634,7 +1634,7 @@ object StreamingOps {
 
   /** Full (base ∪ delta) read of store `name` with read-side dedup
     * applied by the caller; None if the store has never been written. */
-  private def readStoreAll(s: SparkSession, root: String,
+  private[graft] def readStoreAll(s: SparkSession, root: String,
       name: String): Option[DataFrame] = {
     val dirs = (storeBaseDir(root, name).toSeq :+ storeDeltaDir(root, name))
       .filter(d => hasParquet(java.nio.file.Paths.get(d)))
