@@ -7,10 +7,14 @@ import graft.Tables
 /** Multimodal column plumbing (SURVEY §2.F).
   *
   * Images/audio/video are opaque `binary` columns with typed metadata.
-  * The container has no decode libs, so the decode itself is a
-  * clearly-marked deterministic fake — but the Spark plumbing (binary
-  * columns, schema, partition-iterator batch shape, typed Encoders)
-  * is real and is exactly what a production decoder plugs into.
+  * The container has no NATIVE decode libs (libjpeg/ffmpeg), so those
+  * decode steps are clearly-marked deterministic fakes — but the
+  * Spark plumbing (binary columns, schema, partition-iterator batch
+  * shape, typed Encoders) is real, and TWO codec families run on
+  * REAL bytes end-to-end: PPM P6 (q300/q321 — pure-SQL parse of
+  * staged netpbm payloads) and PNG via `javax.imageio` (q328/q329 —
+  * a real compressed raster format encoded AND decoded with the
+  * public JDK codec, per-pixel values oracle-checked).
   */
 object Multimodal {
 
@@ -446,4 +450,135 @@ object Multimodal {
         "pix_off + ((sy * width + sx) * 3 + channel), 1)) AS BIGINT)"))
       .select(col("doc_id"), col("ty"), col("tx"), col("channel"),
         col("value"))
+
+  // ---------------------------------------------------------------
+  // q328/q329: REAL-CODEC PNG via javax.imageio (round-11, VERDICT
+  // Next #2) — a real COMPRESSED raster format through the
+  // decodePartitions mapPartitions seam: zlib-deflated scanlines,
+  // filters, CRCs, the works, encoded and decoded by the public JDK
+  // codec (pure JVM, no new jars). The pixel FORMULA is the only
+  // thing the oracle shares with the generator — encode and decode
+  // meet at the staged compressed file, so the gate proves the
+  // round-trip through a real codec is pixel-exact.
+  // ---------------------------------------------------------------
+
+  /** Pixel formula shared by the PNG stage and (via SQL) the oracle:
+    * channel c of pixel (x, y) in image doc_id. Kept to pure integer
+    * arithmetic so DuckDB replays it exactly. */
+  @inline private def pngPixel(id: Long, x: Int, y: Int, c: Int): Int =
+    c match {
+      case 0 => ((id + 3L * x + 5L * y) % 256).toInt
+      case 1 => ((2L * id + 7L * x + 11L * y) % 256).toInt
+      case _ => ((3L * id + 13L * x + 17L * y) % 256).toInt
+    }
+
+  /** The q328/q329 encode stage: every document becomes a REAL PNG
+    * (binary column) — dims from doc_id (the q300 family: w = id%13+4,
+    * h = id%7+3), RGB samples from [[pngPixel]], compressed by
+    * `javax.imageio.ImageIO.write` ON THE EXECUTORS (mapPartitions —
+    * one codec context per partition, the [[decodePartitions]] batch
+    * shape). PNG is lossless 8-bit sRGB, so decode must return the
+    * formula exactly. */
+  private[graft] def stagePngMedia(s: SparkSession, dir: String,
+      tag: String): String = {
+    import s.implicits._
+    val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id % 7 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (pngPixel(id, x, y, 0) << 16) |
+                (pngPixel(id, x, y, 1) << 8) | pngPixel(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "blob")
+      .write.mode("overwrite").parquet(media)
+    media
+  }
+
+  /** Per-partition PNG decode of a staged (doc_id, blob) media table
+    * — `ImageIO.read` on the executors, pixels back out as sRGB
+    * ints. The shared read path of q328/q329. */
+  private def decodedPngs(s: SparkSession, media: String)
+      : Dataset[(Long, Int, Int, Array[Int])] = {
+    import s.implicits._
+    s.read.parquet(media).as[BlobRow]
+      .mapPartitions { rows =>
+        // per-partition codec init happens HERE (ImageIO scans its
+        // service registry once per task, not once per image)
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob))
+          val w = img.getWidth; val h = img.getHeight
+          (r.doc_id, w, h, img.getRGB(0, 0, w, h, null, 0, w))
+        }
+      }
+  }
+
+  /** q328: REAL PNG DECODE — metadata + per-channel pixel sums from
+    * ACTUALLY DECODED bytes: the staged blobs are genuine deflate-
+    * compressed PNGs, and every number here comes out of
+    * `ImageIO.read`'s raster, not the generator. The DuckDB oracle
+    * recomputes the sums from the pixel formula over the (x, y)
+    * grid — agreement means the compressed round-trip reproduced
+    * every sample of every image. Per-row work is O(pixels), no
+    * shuffle — the embarrassingly-parallel scan shape a 100 TB
+    * decode pass needs. */
+  def pngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodedPngs(s, stagePngMedia(s, dir, "q328"))
+      .map { case (id, w, h, px) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        (id, w.toLong, h.toLong, (w * h).toLong, sr, sg, sb)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+      .withColumn("mean_gray_milli",
+        expr("(sum_r + sum_g + sum_b) * 1000 div (n_pixels * 3)"))
+  }
+
+  /** q329: dHash on REAL decoded pixels — the perceptual fingerprint
+    * of the media-dedup family (q113's phash neighborhood) computed
+    * the production way: decode the compressed PNG, gray each sample
+    * ((r+g+b) div 3), nearest-neighbor the gray plane onto a 9×8
+    * grid (src = (dst·src_dim) div out_dim — q321's index map), and
+    * emit each of the 64 horizontal-gradient bits as its OWN ROW
+    * (doc_id, gy, gx, bit) — the gate checks every bit against the
+    * oracle's formula replay, not a digest of them (and 64 rows
+    * sidesteps signed-64-bit packing entirely). O(pixels) per row,
+    * no shuffle. */
+  def pngDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodedPngs(s, stagePngMedia(s, dir, "q329"))
+      .flatMap { case (id, w, h, px) =>
+        def gray(gx: Int, gy: Int): Int = {
+          val sx = gx * w / 9; val sy = gy * h / 8
+          val p = px(sy * w + sx)
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        }
+        for (gy <- 0 until 8; gx <- 0 until 8) yield
+          (id, gy.toLong, gx.toLong,
+            if (gray(gx, gy) > gray(gx + 1, gy)) 1L else 0L)
+      }
+      .toDF("doc_id", "gy", "gx", "bit")
+  }
 }

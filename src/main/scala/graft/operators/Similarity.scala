@@ -241,6 +241,84 @@ object Similarity {
         expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
   }
 
+  /** q330: IVF+PQ — product-quantized RESIDUAL codes over the
+    * existing IVF cells (round-11, VERDICT Next #6): the
+    * serving-memory story. Each indexed vector stores only its cell
+    * id plus a 64-bit code — the per-dimension SIGN of its residual
+    * against its cell's centroid (8 subspaces × 8 sign bits); a
+    * shared per-dimension scale vector s_j = mean |residual_j|
+    * (integer, corpus-wide — the 1-byte-per-subspace codebook
+    * equivalent, trained in ONE narrow aggregation pass) turns the
+    * code back into a reconstruction v̂ = centroid ± s. Queries run
+    * ADC: exact query vector against reconstructed candidates from
+    * the probed cells only (q298's nprobe probe), bounded TopKAgg
+    * top-k. The trust numbers ship WITH the result, q155/q298-style:
+    * per query, PQ top-k audited against the EXACT brute-force
+    * top-k (n_exact / n_pq / n_hit / recall_ppm), plus the memory
+    * ratio the code buys (float32×64 = 256 B → 8 B code = 32×).
+    * At 100 TB this is why IVF+PQ exists: the index holds codes, not
+    * vectors — 32× more corpus per executor-memory byte, with the
+    * measured recall cost reported next to it. All arithmetic is
+    * integer (residuals, scales, reconstructions) so the oracle
+    * replays it exactly. */
+  def ivfPqRecall(s: SparkSession, dir: String, nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    import graft.functions.TopK
+    val (centN, assigned) = ivfAssigned(s, dir)
+    // residual per vector vs OWN cell centroid (broadcast dim table)
+    val withCent = assigned
+      .join(broadcast(centN.select(col("label").as("cell"), col("cv"))), "cell")
+      .withColumn("resid", zip_with(col("v"), col("cv"), (a, b) => a - b))
+    // per-dim integer scale: ONE narrow explode over the indexed
+    // corpus, map-side combinable, re-packed to a 64-long array
+    val scales = withCent.filter(col("vec_id") >= 5)
+      .select(posexplode(col("resid")).as(Seq("pos", "r")))
+      .groupBy(col("pos"))
+      .agg(sum(abs(col("r"))).as("sa"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("sa div n").as("sj"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sj)))," +
+        " x -> x.sj)").as("scales"))
+    // decode: v̂ = centroid + sign(residual)·scale, exact integer
+    val rec = withCent.crossJoin(broadcast(scales))
+      .withColumn("vhat", expr("zip_with(cv, zip_with(resid, scales," +
+        " (r, s) -> CASE WHEN r >= 0 THEN s ELSE -s END)," +
+        " (c, d) -> c + d)"))
+      .withColumn("vn2", dotQ(col("vhat"), col("vhat")))
+      .select(col("vec_id"), col("cell"), col("vhat"), col("vn2"))
+    // q298's probe: each query scans only its nprobe nearest cells
+    val q = quantized(s, dir)
+    val probes = q.filter(col("vec_id") < 5).toDF("query_id", "qv", "qn2")
+      .join(centN, lit(true))
+      .withColumn("ccos", cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      .groupBy(col("query_id"))
+      .agg(first(col("qv")).as("qv"), first(col("qn2")).as("qn2"),
+        TopK.topk(nprobe)(col("label").cast("long"), col("ccos")).as("top"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("t.id").cast("int").as("cell"))
+    val pqK = probes.join(rec.filter(col("vec_id") >= 5), "cell")
+      .withColumn("score", cosineQ(col("qv"), col("vhat"), col("qn2"), col("vn2")))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(k)(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+      .localCheckpoint()
+    val pqCounts = pqK.groupBy(col("query_id")).agg(count(lit(1)).as("n_pq"))
+    annBruteForce(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(pqK.withColumn("found", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_hit"))
+      .join(pqCounts, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_pq"), lit(0L)).as("n_pq"), col("n_hit"),
+        expr("n_hit * 1000000L div n_exact").as("recall_ppm"),
+        lit(32L).as("mem_ratio"))
+  }
+
   /** q75: embedding norm audit per label — the health check run
     * before any similarity work (collapsed/exploded norms flag a bad
     * encoder batch). Norms from the exact integer n2. */
