@@ -278,6 +278,42 @@ object ScaleProbe {
         docs.unpersist()
       }
     }
+    // ---- streaming dedup-index batch (q326) ----
+    // Base index grows k× (replica-disjoint expansion), the incoming
+    // MICRO-BATCH stays fixed (replica 0's doc_id%4==3 slice). One
+    // dedupIndexBatch = banding the batch + probing the persisted
+    // index + appending. The banding/append work is Θ(|batch|); the
+    // probe joins stream the index side, so any growth in the curve
+    // is the index SCAN — locally that scan is the cost of not
+    // bucketing; at 100 TB the index is bucketBy(h / band_key) and
+    // the probe becomes bucket-local (the q111 layout note). The
+    // probe measures the scan slope so the bucketing decision rides
+    // on a number, not an assumption.
+    if (probeSel.contains("streamdedup")) {
+      import graft.operators.Dedup
+      for (k <- Seq(1, 2, 4, 8)) {
+        val docs = expand(k).cache()
+        val n = docs.count()
+        val baseSide = docs.filter(col("doc_id") >= 10000000L ||
+          col("doc_id") % 4 =!= 3)
+        val batch = docs.filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 4 === 3).cache()
+        val nb = batch.count()
+        val stage = s"${sys.props("java.io.tmpdir")}/graft-probe-sdedup-$k"
+        Dedup.initDedupIndex(spark, stage, baseSide)
+        if (k == 1) { // warm codegen/JIT on a throwaway state root
+          val warm = s"$stage-warm"
+          Dedup.initDedupIndex(spark, warm, baseSide)
+          Dedup.dedupIndexBatch(spark, warm, batch, 0L, compactEvery = 0)
+        }
+        System.gc()
+        val t0 = System.nanoTime()
+        Dedup.dedupIndexBatch(spark, stage, batch, 0L, compactEvery = 0)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"k":$k,"docs":$n,"batch":$nb,"batch_sec":$t%.2f}""")
+        batch.unpersist(); docs.unpersist()
+      }
+    }
     spark.stop()
   }
 }

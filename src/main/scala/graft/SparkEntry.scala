@@ -58,7 +58,7 @@ object SparkEntry {
     "q44_first_last"        -> (Events.firstLast _),
     "q45_scalar_subquery"   -> (Relational.maxOrderVsBalance _),
     "q46_source_mix"        -> ((s, d) => Pipeline.sourceMix(s, d)),
-    "q47_name_match"        -> (Dedup.nameMatch _),
+    "q47_name_match"        -> ((s, d) => Dedup.nameMatch(s, d)),
     "q48_canonical_docs"    -> (Dedup.canonicalDocs _),
     "q49_norm_dedup"        -> (Dedup.normalizedDedup _),
     "q50_lm_score"          -> (TextAnalysis.lmScore _),
@@ -344,6 +344,9 @@ object SparkEntry {
     "q328_png_decode"       -> ((s, d) => Multimodal.pngDecode(s, d)),
     "q329_png_dhash"        -> ((s, d) => Multimodal.pngDhash(s, d)),
     "q330_ivf_pq"           -> ((s, d) => Similarity.ivfPqRecall(s, d)),
+    "q331_kll_quantiles"    -> ((s, d) => Sketch.kllQuantiles(s, d)),
+    "q332_name_blocks"      -> ((s, d) => Dedup.nameBlockStats(s, d)),
+    "q333_dsir_selection"   -> ((s, d) => Pipeline.dsirSelection(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5691,6 +5694,58 @@ object SparkEntry {
         | CAST(g.n_hit * 1000000 // g.n_exact AS BIGINT) AS recall_ppm,
         | CAST(32 AS BIGINT) AS mem_ratio
         |FROM g LEFT JOIN pc ON g.query_id = pc.query_id""".stripMargin,
+    // q331: the sketch's estimates vary with Spark's partition-merge
+    // order, but its self-carried worst-case bound holds for EVERY
+    // order — so the gated surface is the bound assertion (plus n),
+    // which is deterministic; the spec pins tightness and laws.
+    "q331_kll_quantiles" ->
+      """WITH qs AS (SELECT unnest([10, 250, 500, 750, 990]) AS q)
+        |SELECT CAST(q AS BIGINT) AS q_milli,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM qs""".stripMargin,
+    // q332: deletion-variant block histogram — DuckDB rebuilds the
+    // same neighborhood (substr splice + the identity member).
+    "q332_name_blocks" ->
+      """WITH v AS (SELECT c_custkey,
+        |  unnest(list_append(list_transform(range(1, length(c_name) + 1),
+        |    i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
+        |      || substr(c_name, CAST(i + 1 AS INTEGER))), c_name))
+        |   AS variant FROM customer),
+        |b AS (SELECT variant, CAST(count(*) AS BIGINT) AS bsz
+        | FROM v GROUP BY 1)
+        |SELECT bsz AS block_size, CAST(count(*) AS BIGINT) AS n_blocks,
+        | CAST(bsz * (bsz - 1) // 2 AS BIGINT) AS pairs_per_block,
+        | CAST(bsz * (bsz - 1) // 2 * count(*) AS BIGINT) AS total_pairs,
+        | bsz > 256 AS is_overflow
+        |FROM b GROUP BY 1""".stripMargin,
+    // q333: hashed-bigram importance weights replayed end-to-end;
+    // both engines rank the ROUNDED score (ties to doc_id) so the
+    // selection cut is deterministic.
+    "q333_dsir_selection" ->
+      s"""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |   i -> t[i+1] || ' ' || t[i+2])) AS bg
+        | FROM tt WHERE len(t) >= 2),
+        |hb AS (SELECT doc_id,
+        |  ${hex8Sql("concat('dsir|', bg)")} % 4096 AS b FROM bg),
+        |c AS (SELECT b,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ct,
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cr
+        | FROM hb GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+        |sc AS (SELECT doc_id, count(*) AS nb,
+        |  sum(ln(ct + 1) - ln(cr + 1)) AS ssum
+        | FROM hb JOIN c USING (b) WHERE doc_id % 2 = 1 GROUP BY 1),
+        |fin AS (SELECT doc_id, nb,
+        |  round(ssum - nb * (ln(nt + 4096) - ln(nr + 4096)), 4)
+        |   AS dsir_score FROM sc, tot),
+        |sel AS (SELECT doc_id FROM fin
+        | ORDER BY dsir_score DESC, doc_id LIMIT 50)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams, dsir_score,
+        | doc_id IN (SELECT doc_id FROM sel) AS selected
+        |FROM fin""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

@@ -353,6 +353,17 @@ object Dedup {
     * plans stay constant-size). LSH dedup graphs are near-cliques
     * (tiny diameter), so this is the right default.
     *
+    * Fault-tolerance note on the localCheckpoint policy: a
+    * localCheckpoint pins blocks on the executors WITHOUT a
+    * recompute lineage — if an executor is lost mid-iteration the
+    * job fails and restarts from the start, which is the right trade
+    * for these gates (minutes of work, local mode, no distributed
+    * FS round-trip per round). A 1000-executor run iterating for
+    * hours should flip to reliable `checkpoint()` into the cluster's
+    * checkpoint dir (same lineage-truncation effect, executor-loss
+    * survivable at the cost of a DFS write per round) — the policy
+    * is a one-line swap at each localCheckpoint site.
+    *
     * `pointerDoubling = true` interleaves a label-shortcutting step —
     * l(v) ← l(l(v)), valid because labels are always vertex ids of
     * the same component — which halves remaining path lengths per
@@ -420,8 +431,18 @@ object Dedup {
     * which is why the unmodified name must be in the neighborhood.
     * Candidates come from a groupBy on variants — block sizes stay tiny even on degenerate key
     * distributions (a plain prefix block would put all zero-padded ids
-    * in one giant block). Exact levenshtein then confirms. */
-  def nameMatch(s: SparkSession, dir: String): DataFrame = {
+    * in one giant block). Exact levenshtein then confirms.
+    *
+    * `blockCap` makes the hot-block quadratic bound EXPLICIT: a
+    * variant block of b ids emits C(b,2) candidates, so one
+    * degenerate name repeated a million times would be a 5·10¹¹-pair
+    * bomb at 100 TB. Blocks are sorted (determinism) and truncated
+    * at the cap — per-block candidate volume is bounded by
+    * C(cap,2), and [[nameBlockStats]] (q332) measures exactly what
+    * the truncation would drop, so the knob is operated on evidence,
+    * not hope. At the gated SF no block approaches the cap, so the
+    * gate result is cap-invariant. */
+  def nameMatch(s: SparkSession, dir: String, blockCap: Int = 256): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
     val variants = c.select(col("c_custkey"),
       explode(expr(
@@ -435,6 +456,7 @@ object Dedup {
       .select(col("c_custkey"), xxhash64(col("variant")).as("variant"))
       .groupBy(col("variant")).agg(collect_list(col("c_custkey")).as("ids"))
       .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(sort_array(col("ids")), 1, blockCap))
       .select(explode(col("ids")).as("id1"), col("ids"))
       .select(col("id1"), explode(col("ids")).as("id2"))
       .filter(col("id1") < col("id2"))
@@ -451,6 +473,33 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select(col("id1"), col("id2"), col("name1"), col("name2"), col("dist"))
   }
+
+  /** q332: q47's BLOCK-SIZE AUDIT (round-11, VERDICT Next #8) — the
+    * evidence behind the blockCap knob: the deletion-variant block
+    * size histogram over RAW variant strings (the true block grain;
+    * the hashed grain only merges blocks on collision), each row
+    * carrying the C(b,2) candidate volume a block of that size emits
+    * and whether it overflows the default cap. The operator a
+    * blocking-based resolver runs BEFORE committing to a cap — at
+    * 100 TB the overflow rows are the hot names that need a
+    * different strategy (exact-group first, or length+prefix
+    * sub-blocking). One groupBy to block grain, one to the bounded
+    * size histogram. */
+  def nameBlockStats(s: SparkSession, dir: String,
+      blockCap: Int = 256): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        explode(expr(
+          "concat(transform(sequence(1, length(c_name)), i -> " +
+            "concat(substr(c_name, 1, i-1), substr(c_name, i+1))), array(c_name))"))
+          .as("variant"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("bsz"))
+      .groupBy(col("bsz").as("block_size"))
+      .agg(count(lit(1)).as("n_blocks"))
+      .select(col("block_size"), col("n_blocks"),
+        expr("block_size * (block_size - 1) div 2").as("pairs_per_block"),
+        expr("block_size * (block_size - 1) div 2 * n_blocks").as("total_pairs"),
+        (col("block_size") > blockCap).as("is_overflow"))
 
   /** q48: cross-source canonical document selection — exact-duplicate
     * groups where the SAME content arrives from multiple sources keep

@@ -537,4 +537,60 @@ object Pipeline {
         sum(when(col("_corrupt").isNull, col("n_chars")).otherwise(0L))
           .as("clean_chars"))
   }
+
+  /** q333: DSIR-style importance selection (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS'23 — public method): pick raw-corpus documents whose
+    * HASHED-N-GRAM distribution looks most like a target domain.
+    * Target = even doc_ids (the "domain" sample), candidates = odd.
+    * Features are hashed word bigrams (md5 bucket % `buckets` — the
+    * DSIR hashing trick: a bounded feature space regardless of
+    * vocabulary); both splits' bucket unigram-LMs get add-one
+    * smoothing, and each candidate's importance weight is the
+    * log-likelihood ratio Σ log p̂_target(b)/p̂_raw(b) =
+    * Σ [ln(ct+1) − ln(cr+1)] − n·[ln(Nt+B) − ln(Nr+B)]. The top
+    * `keep` docs by (rounded score, id) are flagged selected — both
+    * engines rank the ROUNDED score, so the cut is deterministic.
+    * Shapes for 100 TB: one narrow bigram explode; bucket counts are
+    * a BOUNDED (B-row) broadcast table; per-doc scoring is one
+    * hash agg over the explode; selection is the bounded TopKAgg,
+    * never a global sort. The corpus is scanned twice (count, score)
+    * — the DSIR paper's own two-pass structure. */
+  def dsirSelection(s: SparkSession, dir: String, buckets: Int = 4096,
+      keep: Int = 50): DataFrame = {
+    import graft.functions.TopK
+    val isTarget = col("doc_id") % 2 === 0
+    val big = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      // the q52 phantom-frame guard: sequence(0, -1) is NOT empty
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bg"))
+      .select(col("doc_id"),
+        (Sampling.hashBucket(concat(lit("dsir|"), col("bg"))) % buckets)
+          .as("b"))
+    val counts = big.groupBy(col("b"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val scored = big.filter(!isTarget)
+      .join(broadcast(counts), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("ct") + 1) - log(col("cr") + 1)).as("ssum"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ssum") - col("n_bigrams") *
+          (log(col("nt") + buckets) - log(col("nr") + buckets)), 4)
+          .as("dsir_score"))
+      .localCheckpoint()
+    val sel = scored
+      .agg(TopK.topk(keep)(col("doc_id"), col("dsir_score")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as("doc_id"), lit(true).as("selected"))
+    scored.join(broadcast(sel), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("dsir_score"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
 }

@@ -345,6 +345,35 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.isEmpty, "q321 resize must not shuffle")
   }
 
+  test("round-11 plan shapes: zero-shuffle codec scans, capped blocks, bounded grids") {
+    // q328/q329: PNG decode + dhash are pure partition-parallel scans
+    // through mapPartitions — zero exchanges, the embarrassingly-
+    // parallel shape a 100 TB decode pass needs
+    for ((name, df) <- Seq(
+        "q328" -> Multimodal.pngDecode(spark, sfDir),
+        "q329" -> Multimodal.pngDhash(spark, sfDir))) {
+      val exchanges = df.queryExecution.executedPlan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"$name decode must not shuffle")
+    }
+    // q325: lineitem is pruned by the derived receipt window BEFORE
+    // the orderkey join (the filter sits under the join, not above)
+    val q325 = Relational.shipmodePriority(spark, sfDir)
+    val p325 = plan(q325)
+    assert(!p325.contains("CartesianProduct") &&
+      !p325.contains("BroadcastNestedLoopJoin"), "q325 join degenerated")
+    // q332: the audit is two hash aggregations — no window sort over
+    // the variant stream
+    val p332 = plan(Dedup.nameBlockStats(spark, sfDir))
+    assert(!p332.contains("Window"), "q332 must not use a window")
+    // q47 with a tiny cap still produces a valid (smaller) candidate
+    // set — the cap bounds, never corrupts
+    val capped = Dedup.nameMatch(spark, sfDir, blockCap = 2).count()
+    val full = Dedup.nameMatch(spark, sfDir).count()
+    assert(capped <= full, "capped candidates exceed uncapped")
+  }
+
   test("queries stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the per-row hot paths of scan-shaped queries must be codegen'd

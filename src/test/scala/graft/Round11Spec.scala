@@ -146,6 +146,87 @@ class Round11Spec extends SparkSpec {
     assert(full.contains((3L, 0L, 0L, 1L, 0L)))
   }
 
+  // ---- q331: KLL sketch laws (driven directly — the Aggregator's
+  // reduce/merge ARE the distributed protocol, so fixed adversarial
+  // orders here pin exactly what Spark's arbitrary orders exercise).
+
+  private def kllWeight(sk: graft.functions.KllSketch): Long =
+    sk.levels.zipWithIndex.map { case (b, l) => b.length.toLong << l }.sum
+
+  test("q331: KLL is exact below capacity (no compactions, err = 0)") {
+    val agg = new graft.functions.KllAgg(400)
+    val vals = (0 until 300).map(i => ((i * 7919) % 300).toLong)
+    val sk = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(sk.err === 0L && sk.n === 300L)
+    for (qm <- Seq(10, 250, 500, 750, 990)) {
+      val est = sk.quantile(qm / 1000.0)
+      val target = math.max(1L, math.ceil(qm / 1000.0 * 300).toLong)
+      assert(est === target - 1, s"q=$qm exact below cap")
+    }
+  }
+
+  test("q331: carried bound holds and weight is conserved at 10k inserts") {
+    val agg = new graft.functions.KllAgg(64)
+    val n = 10000
+    val vals = (0 until n).map(i => ((i * 7919) % n).toLong)
+    val sk = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(sk.n === n.toLong)
+    assert(kllWeight(sk) === n.toLong, "total weight must equal n")
+    assert(sk.err > 0L, "compactions happened at this cap")
+    val bound = sk.err + sk.maxWeight
+    // bound must be non-trivial (a sketch with err ~ n is useless)
+    assert(bound < n / 4, s"bound $bound degenerate vs n=$n")
+    for (qm <- 1 to 99) {
+      val est = sk.quantile(qm / 100.0)
+      val trueRank = est + 1 // values are exactly 0..n-1
+      val target = math.max(1L, math.ceil(qm / 100.0 * n).toLong)
+      assert(math.abs(trueRank - target) <= bound,
+        s"q=$qm: |${trueRank - target}| > bound $bound")
+    }
+  }
+
+  test("q331: merge conserves n/weight and the bound survives any split order") {
+    // chunked merge is ALSO the streaming-state-reuse shape: a
+    // foreachBatch that folds each micro-batch's sketch into a
+    // persisted one runs exactly this sequence
+    val agg = new graft.functions.KllAgg(64)
+    val n = 8000
+    val vals = (0 until n).map(i => ((i * 7919) % n).toLong)
+    val chunks = vals.grouped(1100).toSeq
+      .map(c => c.foldLeft(agg.zero)(agg.reduce))
+    for (merged <- Seq(chunks.reduceLeft(agg.merge),
+        chunks.reverse.reduceLeft(agg.merge))) {
+      assert(merged.n === n.toLong)
+      assert(kllWeight(merged) === n.toLong)
+      val bound = merged.err + merged.maxWeight
+      for (qm <- Seq(1, 10, 25, 50, 75, 90, 99)) {
+        val est = merged.quantile(qm / 100.0)
+        val target = math.max(1L, math.ceil(qm / 100.0 * n).toLong)
+        assert(math.abs((est + 1) - target) <= bound,
+          s"merged q=$qm out of bound $bound")
+      }
+    }
+  }
+
+  // ---- q333: DSIR selection invariants.
+
+  test("q333: selection keeps exactly `keep` docs and weights are finite") {
+    val r = graft.operators.Pipeline.dsirSelection(spark, sfDir, keep = 20)
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.count(_.getAs[Boolean]("selected")) === 20)
+    // only raw-split (odd) docs are candidates
+    assert(r.forall(_.getAs[Long]("doc_id") % 2 == 1))
+    assert(r.forall(x => !x.getAs[Double]("dsir_score").isNaN &&
+      !x.getAs[Double]("dsir_score").isInfinite))
+    // the selected set is exactly the top-20 by (score desc, id asc)
+    val byScore = r.sortBy(x =>
+      (-x.getAs[Double]("dsir_score"), x.getAs[Long]("doc_id")))
+    val selected = r.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(byScore.take(20).map(_.getAs[Long]("doc_id")).toSet === selected)
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
