@@ -347,6 +347,10 @@ object SparkEntry {
     "q331_kll_quantiles"    -> ((s, d) => Sketch.kllQuantiles(s, d)),
     "q332_name_blocks"      -> ((s, d) => Dedup.nameBlockStats(s, d)),
     "q333_dsir_selection"   -> ((s, d) => Pipeline.dsirSelection(s, d)),
+    "q334_silhouette"       -> ((s, d) => Eval.silhouette(s, d)),
+    "q335_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "q336_ngram_contamination" ->
+      ((s, d) => TextAnalysis.ngramContamination(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5746,6 +5750,70 @@ object SparkEntry {
         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams, dsir_score,
         | doc_id IN (SELECT doc_id FROM sel) AS selected
         |FROM fin""".stripMargin,
+    // q334: per-vector fixed IEEE expressions — no cross-row float
+    // summation anywhere, so the gate is exact.
+    "q334_silhouette" ->
+      s"""WITH $ivfScoreCtes,
+        |own AS (SELECT ac.vec_id, asg.cell, ac.ccos AS acos
+        | FROM ac JOIN asg ON ac.vec_id = asg.vec_id
+        | WHERE ac.label = asg.cell),
+        |oth AS (SELECT ac.vec_id, max(ac.ccos) AS bcos
+        | FROM ac JOIN asg ON ac.vec_id = asg.vec_id
+        | WHERE ac.label <> asg.cell GROUP BY 1)
+        |SELECT own.vec_id, CAST(own.cell AS BIGINT) AS cell,
+        | round(acos, 4) AS a_cos, round(bcos, 4) AS b_cos,
+        | round((acos - bcos) / nullif(greatest(1.0 - acos, 1.0 - bcos),
+        |   0.0), 4) AS silhouette
+        |FROM own JOIN oth ON own.vec_id = oth.vec_id""".stripMargin,
+    // q335: every rule is integer arithmetic over the split tokens.
+    "q335_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  length(replace(text, ' ', '')) AS n_word_chars FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_words, n_word_chars,
+        |  len(list_filter(toks, x -> x IN ('the', 'of', 'and', 'to',
+        |    'a', 'in', 'is', 'for'))) AS n_stop,
+        |  len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+        |    AS n_alpha,
+        |  CASE WHEN len(toks) >= 2 THEN len(list_filter(
+        |    range(len(toks) - 1), i -> toks[i+1] = toks[i+2]))
+        |   ELSE 0 END AS n_rep
+        | FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_stop AS BIGINT) AS n_stop,
+        | CAST(n_alpha AS BIGINT) AS n_alpha,
+        | CAST(n_rep AS BIGINT) AS n_rep,
+        | n_words BETWEEN 20 AND 100000 AS ok_count,
+        | (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+        |   AS ok_word_len,
+        | n_stop * 100 >= n_words * 5 AS ok_stopwords,
+        | n_alpha * 100 >= n_words * 80 AS ok_alpha,
+        | (n_rep * 100 < (n_words - 1) * 20 OR n_words < 2)
+        |   AS ok_repetition,
+        | (n_words BETWEEN 20 AND 100000)
+        |  AND (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+        |  AND n_stop * 100 >= n_words * 5
+        |  AND n_alpha * 100 >= n_words * 80
+        |  AND (n_rep * 100 < (n_words - 1) * 20 OR n_words < 2)
+        |   AS pass_all
+        |FROM m""".stripMargin,
+    // q336: hashed 13-grams; benchmark side distinct; per-doc agg.
+    "q336_ngram_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |   range(len(toks) - 12),
+        |   i -> md5(list_aggregate(toks[i+1:i+13], 'string_agg', ' '))))
+        |  AS g
+        | FROM t WHERE len(toks) >= 13),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+        |j AS (SELECT g.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS n_hits
+        | FROM g LEFT JOIN b ON g.g = b.g WHERE g.doc_id % 2 = 1
+        | GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(n_hits AS BIGINT) AS n_hits, n_hits > 0 AS contaminated,
+        | CAST(n_hits * 1000000 // n_grams AS BIGINT) AS contaminated_ppm
+        |FROM j""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

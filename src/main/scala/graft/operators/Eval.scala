@@ -451,4 +451,40 @@ object Eval {
         col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
     perClass.unionByName(macroRow)
   }
+
+  /** q334: SIMPLIFIED SILHOUETTE per vector over the IVF cell
+    * assignment (round-11) — the clustering-quality number read next
+    * to q161's centroid drift and q109's cluster keepers: for each
+    * vector, cohesion a = 1 − cos(v, own centroid) vs separation
+    * b = 1 − max cos(v, other centroids); s = (b − a)/max(a, b) =
+    * (cos_own − cos_other_best)/max(1−cos_own, 1−cos_other_best) in
+    * (−1, 1] — negative means the vector sits closer to another
+    * cell's centroid than its own (a mis-assignment/overlap signal).
+    * The SIMPLIFIED variant (centroid distances, Hartigan-style) is
+    * the one that scales: O(n·k) centroid scores instead of the
+    * classic O(n²) pairwise silhouette — at 100 TB the pairwise
+    * variant is not computable, the centroid one is a broadcast
+    * join. Emitted PER VECTOR (no cross-row float summation — every
+    * row is an independent fixed IEEE expression, so the gate is
+    * exact). Zero-division (both distances 0) yields NULL via the
+    * same nullif both engines. */
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val (centN, assigned) = Similarity.ivfAssigned(s, dir)
+    val scored = assigned.crossJoin(broadcast(centN))
+      .withColumn("ccos", Similarity.cosineQ(col("v"), col("cv"),
+        col("n2"), col("cn2")))
+      .select(col("vec_id"), col("cell"),
+        col("label").cast("int").as("clabel"), col("ccos"))
+    val own = scored.filter(col("clabel") === col("cell"))
+      .select(col("vec_id"), col("cell"), col("ccos").as("acos"))
+    val other = scored.filter(col("clabel") =!= col("cell"))
+      .groupBy(col("vec_id")).agg(max(col("ccos")).as("bcos"))
+    own.join(other, "vec_id")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(col("acos"), 4).as("a_cos"),
+        round(col("bcos"), 4).as("b_cos"),
+        round((col("acos") - col("bcos")) /
+          expr("nullif(greatest(1.0 - acos, 1.0 - bcos), 0.0)"), 4)
+          .as("silhouette"))
+  }
 }

@@ -914,4 +914,84 @@ object TextAnalysis {
       .withColumn("saved_ppm", expr(
         "(n_tokens_char - n_tokens_bpe) * 1000000 div n_tokens_char"))
   }
+
+  /** q335: GOPHER-STYLE QUALITY RULE BATTERY (round-11) — the
+    * per-rule filter report of the Rae et al. (Gopher) / C4 cleaning
+    * recipes, adapted to this corpus's shape: rather than one opaque
+    * composite (q28), each rule emits its own flag so a curation run
+    * can see WHICH rule fires and tune thresholds per source:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] chars (integer cross-multiply
+    *    — no float division);
+    *  - stopword fraction ≥ 5% (the 8-word English function-word
+    *    list — the "natural language, not keyword spam" test);
+    *  - alpha-word fraction ≥ 80% (words containing a letter);
+    *  - adjacent-repetition ratio < 20% (q77's signal as a gate).
+    * pass_all = conjunction. All rules are integer arithmetic over
+    * one token explode-free pass (size/filter/transform on the token
+    * array — narrow, codegen, zero shuffle). */
+  def gopherRules(s: SparkSession, dir: String, minWords: Int = 20,
+      maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long")
+        .as("n_word_chars"),
+      size(filter(toks, t => t.isin("the", "of", "and", "to",
+        "a", "in", "is", "for"))).cast("long").as("n_stop"),
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+        .as("n_alpha"),
+      when(size(toks) >= 2,
+        size(filter(sequence(lit(0), size(toks) - 2),
+          i => element_at(toks, i + 1) === element_at(toks, i + 2))))
+        .otherwise(0).cast("long").as("n_rep"))
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        col("n_alpha"), col("n_rep"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("ok_count"),
+        (col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10).as("ok_word_len"),
+        (col("n_stop") * 100 >= col("n_words") * 5).as("ok_stopwords"),
+        (col("n_alpha") * 100 >= col("n_words") * 80).as("ok_alpha"),
+        (col("n_rep") * 100 < (col("n_words") - 1) * 20 ||
+          col("n_words") < 2).as("ok_repetition"))
+      .withColumn("pass_all",
+        col("ok_count") && col("ok_word_len") && col("ok_stopwords") &&
+          col("ok_alpha") && col("ok_repetition"))
+  }
+
+  /** q336: 13-GRAM BENCHMARK CONTAMINATION (round-11) — the
+    * GPT-3/PaLM decontamination standard grain: a training doc is
+    * contaminated if it shares ANY 13-token n-gram with the
+    * benchmark split (here: even doc_ids stand in for the benchmark,
+    * odd for training — q57/q88 flag whole-doc and bloom overlap;
+    * this is the industry-standard SUB-document grain that catches
+    * quoted benchmark questions inside otherwise-novel documents).
+    * Shapes: overlapping 13-grams hashed to md5 (never the raw
+    * string past the explode), benchmark side distinct, ONE
+    * hash-keyed semi-join-shaped left join + per-doc agg — never
+    * doc × doc; at 100 TB the benchmark gram set is small enough to
+    * broadcast (it is here) or rides a bloom pre-filter (q88's
+    * seam). */
+  def ngramContamination(s: SparkSession, dir: String,
+      n: Int = 13): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> md5(cast(array_join(slice(t, i + 1, $n), ' ') as binary)))"))
+        .as("g"))
+    val bench = grams.filter(col("doc_id") % 2 === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % 2 =!= 0)
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits") > 0L).as("contaminated"),
+        expr("n_hits * 1000000 div n_grams").as("contaminated_ppm"))
+  }
 }

@@ -227,6 +227,28 @@ class Round11Spec extends SparkSpec {
     assert(byScore.take(20).map(_.getAs[Long]("doc_id")).toSet === selected)
   }
 
+  // ---- q334/q336: round-11 batch additions.
+
+  test("q334: silhouette sign separates own-cell vs other-cell proximity") {
+    val r = graft.operators.Eval.silhouette(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    for (x <- r if !x.isNullAt(x.fieldIndex("silhouette"))) {
+      val s = x.getAs[Double]("silhouette")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      val a = x.getAs[Double]("a_cos"); val b = x.getAs[Double]("b_cos")
+      if (a > b) assert(s > 0 || math.abs(s) < 1e-9)
+      else if (b > a) assert(s < 0 || math.abs(s) < 1e-9)
+    }
+  }
+
+  test("q336: benchmark docs are never candidates; hits bounded by grams") {
+    val r = graft.operators.TextAnalysis.ngramContamination(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("doc_id") % 2 == 1))
+    assert(r.forall(x => x.getAs[Long]("n_hits") <= x.getAs[Long]("n_grams")))
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
