@@ -351,6 +351,9 @@ object SparkEntry {
     "q335_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q336_ngram_contamination" ->
       ((s, d) => TextAnalysis.ngramContamination(s, d)),
+    "q337_semdedup"         -> ((s, d) => Similarity.semDedup(s, d)),
+    "q338_ccnet_buckets"    -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
+    "q339_grouping_sets"    -> ((s, d) => Relational.groupingSetsSales(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5814,6 +5817,62 @@ object SparkEntry {
         | CAST(n_hits AS BIGINT) AS n_hits, n_hits > 0 AS contaminated,
         | CAST(n_hits * 1000000 // n_grams AS BIGINT) AS contaminated_ppm
         |FROM j""".stripMargin,
+    // q337: the SemDeDup replay — same ivf CTEs as q334; the greedy
+    // order (ccos ASC, vec_id) and the pair verify are both fixed
+    // IEEE expressions over exact integers, so rank and removal
+    // match bit-for-bit.
+    "q337_semdedup" ->
+      s"""WITH $ivfScoreCtes,
+        |own AS (SELECT ac.vec_id, asg.cell, ac.ccos
+        | FROM ac JOIN asg ON ac.vec_id = asg.vec_id
+        | WHERE ac.label = asg.cell),
+        |rk AS (SELECT o.vec_id, o.cell, o.ccos, a.v, a.n2,
+        |  row_number() OVER (PARTITION BY o.cell
+        |    ORDER BY o.ccos, o.vec_id) AS rk
+        | FROM own o JOIN asg a ON o.vec_id = a.vec_id),
+        |dup AS (SELECT b.vec_id, count(*) AS n_dup
+        | FROM rk a JOIN rk b ON a.cell = b.cell AND a.rk < b.rk
+        | WHERE $cosExpr >= 0.4
+        | GROUP BY 1)
+        |SELECT rk.vec_id, CAST(rk.cell AS BIGINT) AS cell,
+        | round(rk.ccos, 4) AS c_cos,
+        | CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_earlier,
+        | coalesce(dup.n_dup, 0) > 0 AS removed
+        |FROM rk LEFT JOIN dup ON rk.vec_id = dup.vec_id""".stripMargin,
+    // q338: both engines rank the identical integer score_micro;
+    // the tercile is integer quota arithmetic.
+    "q338_ccnet_buckets" ->
+      """WITH b AS (SELECT doc_id, unnest(list_transform(
+        |   range(len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+        | FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |f AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
+        |sc AS (SELECT doc_id,
+        |  CAST(round(avg(log10(cnt)) * 10000) AS BIGINT) AS score_micro,
+        |  count(*) AS n_bigrams
+        | FROM b JOIN f USING (bg) GROUP BY doc_id),
+        |sl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |   ORDER BY score_micro DESC, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM sl)
+        |SELECT doc_id, lang, score_micro,
+        | CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        | CAST(rk AS BIGINT) AS lang_rank,
+        | CASE WHEN (rk - 1) * 3 // n = 0 THEN 'head'
+        |  WHEN (rk - 1) * 3 // n = 1 THEN 'middle'
+        |  ELSE 'tail' END AS bucket
+        |FROM rk""".stripMargin,
+    // q339: DuckDB GROUPING() shares the ANSI bitmask convention
+    // with Spark's grouping_id().
+    "q339_grouping_sets" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        | FROM orders)
+        |SELECT o_orderpriority, o_year,
+        | CAST(GROUPING(o_orderpriority, o_year) AS BIGINT) AS gid,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM o GROUP BY GROUPING SETS ((o_orderpriority, o_year),
+        | (o_orderpriority), (o_year), ())""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

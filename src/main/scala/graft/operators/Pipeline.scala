@@ -593,4 +593,41 @@ object Pipeline {
       .select(col("doc_id"), col("n_bigrams"), col("dsir_score"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
+
+  /** q338: CCNet-STYLE PERPLEXITY TERCILES (round-11) — the public
+    * CCNet recipe (Wenzek et al., LREC 2020): score every document
+    * with a language-model signal, then split EACH LANGUAGE's corpus
+    * into head/middle/tail thirds by that score — the head feeds
+    * high-quality training mixes, the tail gets dropped or
+    * down-weighted, and the split is per-language so low-resource
+    * languages aren't graded on the dominant language's curve. The
+    * LM signal is q56's bigram corpus-frequency score (higher =
+    * more probable = lower-perplexity proxy), quantized to integer
+    * ten-thousandths so both engines rank the identical value; the
+    * per-language thirds come from [[Relational.twoPhaseRank]] on
+    * (−score, doc_id) — never a per-language corpus sort on one
+    * task (bin = the negated score's thousand-bucket, monotone in
+    * the rank key) — and the tercile is pure integer quota
+    * arithmetic 3·(rank−1) div n. Docs with <2 tokens have no
+    * bigram signal and are excluded, as in q56. */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bg = docs.filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(bigrams2(col("text"))).as("bg"))
+    val scored = bg.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("bg"))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log10(col("cnt"))) * 10000).cast("long")
+          .as("score_micro"),
+        count(lit(1)).as("n_bigrams"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    Relational.twoPhaseRank(scored, col("lang"),
+      expr("(-score_micro) div 1000"),
+      Seq(negate(col("score_micro")), col("doc_id")), "lang_rank", "n_lang")
+      .select(col("doc_id"), col("lang"), col("score_micro"),
+        col("n_bigrams"), col("lang_rank"),
+        when(expr("(lang_rank - 1) * 3 div n_lang") < 1L, "head")
+          .when(expr("(lang_rank - 1) * 3 div n_lang") < 2L, "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -1121,4 +1121,52 @@ object Similarity {
         min(col("ratio_ppm")).as("min_ratio_ppm"),
         max(col("ratio_ppm")).as("max_ratio_ppm"))
   }
+
+  /** q337: SEMANTIC DEDUP (round-11) — the SemDeDup recipe (Abbas et
+    * al. 2023, arXiv 2303.09540) over the IVF assignment: cluster the
+    * corpus with the coarse quantizer, then WITHIN each cell order
+    * members by similarity to their own centroid ascending (the
+    * paper's keep-the-far-from-centroid rule — preserves the
+    * diverse/hard examples) and remove any member whose cosine to an
+    * EARLIER-ordered cellmate reaches `eps`: within every semantic
+    * near-dup group exactly the lowest-centroid-similarity example
+    * survives, and chains collapse greedily in one deterministic
+    * order. Shapes (the paper's own scale argument): candidate pairs
+    * exist only WITHIN a cell — the quadratic is bounded by cell
+    * size, which the `subBits` quantizer knob keeps flat as the
+    * corpus grows (raise ∝ log n, q99's argument); ranks come from
+    * [[Relational.twoPhaseRank]], never a whole-cell sort on one
+    * task; the pair verify is the exact integer cosine re-joined by
+    * id so the wide shuffle moves ids, not vectors. Emitted per
+    * vector: cell, centroid cosine, how many earlier cellmates it
+    * duplicates, and the removal flag — `removed=false` rows ARE the
+    * deduplicated corpus manifest. */
+  def semDedup(s: SparkSession, dir: String, eps: Double = 0.4,
+      subBits: Int = 0): DataFrame = {
+    val (centN, assigned) = ivfAssigned(s, dir, subBits)
+    val withOwn = assigned
+      .join(centN.select(col("label").as("cell"), col("cv"), col("cn2")),
+        "cell")
+      .withColumn("ccos", cosineQ(col("v"), col("cv"), col("n2"), col("cn2")))
+      .select(col("vec_id"), col("cell"), col("v"), col("n2"), col("ccos"))
+    val ranked = Relational.twoPhaseRank(withOwn, col("cell"),
+      floor(col("ccos") * 100), Seq(col("ccos"), col("vec_id")),
+      "rk", "n_cell")
+    val slim = ranked.select(col("vec_id"), col("cell"), col("rk"))
+    val dup = slim.toDF("a_id", "cell", "a_rk")
+      .join(slim.toDF("b_id", "cell", "b_rk"), "cell")
+      .filter(col("a_rk") < col("b_rk"))
+      .join(withOwn.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("n2").as("n2a")).hint("shuffle_hash"), "a_id")
+      .join(withOwn.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("n2").as("n2b")).hint("shuffle_hash"), "b_id")
+      .filter(cosineQ(col("va"), col("vb"), col("n2a"), col("n2b")) >= eps)
+      .groupBy(col("b_id")).agg(count(lit(1)).as("n_dup_earlier"))
+      .withColumnRenamed("b_id", "vec_id")
+    ranked.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(col("ccos"), 4).as("c_cos"),
+        coalesce(col("n_dup_earlier"), lit(0L)).as("n_dup_earlier"),
+        (coalesce(col("n_dup_earlier"), lit(0L)) > 0L).as("removed"))
+  }
 }

@@ -249,6 +249,37 @@ class Round11Spec extends SparkSpec {
     assert(r.forall(x => x.getAs[Long]("n_hits") <= x.getAs[Long]("n_grams")))
   }
 
+  test("q337: rank-1 members survive — every cell keeps at least one vector") {
+    val r = graft.operators.Similarity.semDedup(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val cells = r.map(_.getAs[Long]("cell")).toSet
+    val keptCells = r.filter(!_.getAs[Boolean]("removed"))
+      .map(_.getAs[Long]("cell")).toSet
+    assert(keptCells === cells)
+    assert(r.forall(x =>
+      x.getAs[Boolean]("removed") === (x.getAs[Long]("n_dup_earlier") > 0)))
+  }
+
+  test("q338: per-language terciles are dense-ranked and quota-balanced") {
+    val r = graft.operators.Pipeline.ccnetBuckets(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("lang_rank")).sorted
+      assert(ranks === (1L to rows.length.toLong))
+      val sizes = rows.groupBy(_.getAs[String]("bucket")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("q339: grouping-set accounting — every grain totals the base table") {
+    val r = graft.operators.Relational.groupingSetsSales(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("gid")).toSet === Set(0L, 1L, 2L, 3L))
+    for (g <- Seq(0L, 1L, 2L, 3L))
+      assert(r.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n_orders")).sum === total)
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
