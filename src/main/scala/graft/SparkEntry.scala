@@ -354,6 +354,9 @@ object SparkEntry {
     "q337_semdedup"         -> ((s, d) => Similarity.semDedup(s, d)),
     "q338_ccnet_buckets"    -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
     "q339_grouping_sets"    -> ((s, d) => Relational.groupingSetsSales(s, d)),
+    "q340_stream_kll"       -> ((s, d) => StreamingOps.streamKll(s, d)),
+    "q341_hits"             -> ((s, d) => Events.hits(s, d)),
+    "q342_lsh_planner"      -> ((s, d) => Dedup.lshPlanner(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -532,6 +535,87 @@ object SparkEntry {
       (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS band_key FROM sig")
         .mkString(" UNION ALL ") + ")"
+
+  /** q341 oracle: 3 unrolled HITS rounds — all-integer mutual
+    * recursion, renormalized to ppm of each side's max per round
+    * (mirrors Events.hits exactly; `//` floor = Spark `div` trunc on
+    * the all-positive scores). */
+  private lazy val hitsOracle: String = {
+    val rounds = 3
+    val ctes = (1 to rounds).map { i =>
+      s"""a${i}r AS (SELECT event_type, sum(h${i - 1}.s * e.w) AS s
+         | FROM e JOIN h${i - 1} USING (user_id) GROUP BY 1),
+         |a$i AS (SELECT event_type,
+         |  s * 1000000 // (SELECT max(s) FROM a${i}r) AS s FROM a${i}r),
+         |h${i}r AS (SELECT user_id, sum(a$i.s * e.w) AS s
+         | FROM e JOIN a$i USING (event_type) GROUP BY 1),
+         |h$i AS (SELECT user_id,
+         |  s * 1000000 // (SELECT max(s) FROM h${i}r) AS s FROM h${i}r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_type, count(*) AS w
+       | FROM events GROUP BY 1, 2),
+       |h0 AS (SELECT DISTINCT user_id, CAST(1000000 AS BIGINT) AS s
+       | FROM events),
+       |$ctes
+       |SELECT 'authority' AS kind, event_type AS id,
+       | CAST(s AS BIGINT) AS score_scaled FROM a$rounds
+       |UNION ALL
+       |SELECT 'hub' AS kind, CAST(user_id AS VARCHAR) AS id,
+       | CAST(s AS BIGINT) AS score_scaled FROM h$rounds""".stripMargin
+  }
+
+  /** q342 oracle: every (bands × rows) cut of the same 8 minhashes,
+    * volume + actual recall + the S-curve as literal multiplication
+    * chains (never libm pow), per-pair ppm-rounded before the mean. */
+  private lazy val lshPlannerOracle: String = {
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val bandCtes = configs.map { case (nb, r) =>
+      s"b${nb}x$r AS (" + (0 until nb).map { b =>
+        val cat = (0 until r).map(j => s"h${b * r + j}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS k FROM sig"
+      }.mkString(" UNION ALL ") + ")"
+    }.mkString(",\n")
+    val selects = configs.map { case (nb, r) =>
+      val t = s"b${nb}x$r"
+      val sr = List.fill(r)("jaccard").mkString(" * ")
+      val qb = List.fill(nb)(s"(1.0 - ($sr))").mkString(" * ")
+      s"""SELECT n_bands, rows_per_band, candidate_pairs, n_exact_pairs,
+         | n_found,
+         | n_found * 1000000 // nullif(n_exact_pairs, 0) AS actual_recall_ppm,
+         | predicted_recall_ppm
+         |FROM (SELECT CAST($nb AS BIGINT) AS n_bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+         |   FROM (SELECT count(*) AS n FROM $t GROUP BY band, k) x)
+         |    AS candidate_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT ex.d1, ex.d2
+         |     FROM ex JOIN $t a ON ex.d1 = a.doc_id
+         |     JOIN $t b ON ex.d2 = b.doc_id AND a.band = b.band
+         |     WHERE a.k = b.k) y) AS n_found,
+         |  (SELECT CAST(sum(CAST(round((1.0 - ($qb)) * 1000000) AS BIGINT))
+         |     AS BIGINT) // nullif(count(*), 0) FROM ex)
+         |    AS predicted_recall_ppm) z""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val sigOnly = "sig AS (SELECT doc_id, " +
+      (0 until 8).map(i =>
+        s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS h$i")
+        .mkString(", ") + " FROM t)"
+    s"""WITH $shinglesCte,
+       |$sigOnly,
+       |e2 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+       |cp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       | FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2),
+       |z AS (SELECT doc_id, len(sh) AS n FROM t),
+       |ex AS (SELECT d1, d2,
+       |  CAST(common AS DOUBLE) / (za.n + zb.n - common) AS jaccard
+       | FROM cp JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+       | WHERE CAST(common AS DOUBLE) / (za.n + zb.n - common) >= 0.5),
+       |$bandCtes
+       |$selects""".stripMargin
+  }
 
   /** q105/q111 shared oracle: delta (odd ids) probed against base
     * (even ids) — exact md5 membership + band collision, folded to a
@@ -5873,6 +5957,18 @@ object SparkEntry {
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         |FROM o GROUP BY GROUPING SETS ((o_orderpriority, o_year),
         | (o_orderpriority), (o_year), ())""".stripMargin,
+    // q340: the estimates are merge-order-dependent but the carried
+    // worst-case bound is not (q331's argument) — the oracle pins
+    // within_bound = 1 on every (qualifier, quantile) and the exact
+    // per-type counts.
+    "q340_stream_kll" ->
+      """WITH qs AS (SELECT unnest([10, 250, 500, 750, 990]) AS q),
+        |t AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+        |SELECT t.event_type AS qualifier, CAST(q AS BIGINT) AS q_milli,
+        | CAST(n AS BIGINT) AS n, CAST(1 AS BIGINT) AS within_bound
+        |FROM t, qs""".stripMargin,
+    "q341_hits" -> hitsOracle,
+    "q342_lsh_planner" -> lshPlannerOracle,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

@@ -1809,4 +1809,69 @@ object Dedup {
     }
     dist.select(col("v").as("doc_id"), col("hops"))
   }
+
+  /** q342: LSH PARAMETER PLANNER (round-11) — the (bands × rows)
+    * decision table a 100 TB dedup run reads BEFORE committing to a
+    * banding layout (the q201 threshold sweep's sibling, one knob
+    * over): from the SAME 8 minhashes q22 uses, every way to cut
+    * them into b bands × r rows — (1×8, 2×4, 4×2, 8×1) — is
+    * evaluated on three axes at once:
+    *  - candidate VOLUME: Σ C(bucket,2) over that cut's buckets —
+    *    the join cost the cut would actually incur (8×1 floods,
+    *    1×8 starves);
+    *  - ACTUAL recall on ground truth: fraction of q21's exact
+    *    pairs colliding in ≥1 band under the cut;
+    *  - ANALYTIC recall: the 1−(1−s^r)^b S-curve averaged over the
+    *    same pairs' exact Jaccards — powers expanded to literal
+    *    multiplication chains (r, b ≤ 8) so both engines compute
+    *    the identical fixed IEEE product, never a libm pow; per-pair
+    *    values integer-ppm-rounded before the mean so the aggregate
+    *    is order-free.
+    * Actual ≈ analytic validates the model the production knob
+    * extrapolates from (at 100 TB you re-run the volume axis on the
+    * full corpus but the recall axes on a slice). Cost: signatures
+    * once, ≤4 bounded band aggregations + pair joins — output 4
+    * rows. */
+  def lshPlanner(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .withColumn("hs",
+        org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
+      .select(col("doc_id"), col("hs")).localCheckpoint()
+    val exact = ngramJaccard(s, dir).localCheckpoint()
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    configs.map { case (nb, r) =>
+      val bandStructs = array((0 until nb).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat((0 until r).map(j => col("hs")(b * r + j)): _*)
+            .cast("binary")).as("k"))
+      }: _*)
+      val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.k"))
+      val vol = bands.groupBy(col("band"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+          .as("candidate_pairs"))
+      val found = exact
+        .join(bands.toDF("d1", "band", "k1"), "d1")
+        .join(bands.toDF("d2", "band", "k2"), Seq("d2", "band"))
+        .filter(col("k1") === col("k2"))
+        .select(col("d1"), col("d2")).distinct()
+        .agg(count(lit(1)).as("n_found"))
+      val sr = (1 to r).map(_ => col("jaccard")).reduce(_ * _)
+      val qb = (1 to nb).map(_ => lit(1.0) - sr).reduce(_ * _)
+      val stats = exact
+        .select(round((lit(1.0) - qb) * 1e6).cast("long").as("p_ppm"))
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          expr("sum(p_ppm) div nullif(count(1), 0)")
+            .as("predicted_recall_ppm"))
+      stats.crossJoin(broadcast(found)).crossJoin(broadcast(vol))
+        .select(lit(nb.toLong).as("n_bands"),
+          lit(r.toLong).as("rows_per_band"), col("candidate_pairs"),
+          col("n_exact_pairs"), col("n_found"),
+          expr("n_found * 1000000 div nullif(n_exact_pairs, 0)")
+            .as("actual_recall_ppm"),
+          col("predicted_recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1928,4 +1928,48 @@ object Events {
         expr("cast(n_both * 1000000 div nullif(n_a + n_b - n_both, 0)" +
           " as bigint)").as("jaccard_ppm"))
   }
+
+  /** q341: HITS HUBS & AUTHORITIES (round-11, Kleinberg JACM'99) on
+    * the weighted user→event-type bipartite graph — the centrality
+    * PAIR next to q94's PageRank: authority(type) = how much
+    * engagement flows INTO an event type from well-spread users;
+    * hub(user) = how much a user's activity concentrates on
+    * authoritative types. On a bipartite graph the hub/authority
+    * split is exactly the two-sided importance a funnel owner reads
+    * (valuable types vs power users weighted by WHAT they do, not
+    * just q308's raw volume).
+    *
+    * Same engine-exactness treatment as q94: ALL-INTEGER mutual
+    * recursion — scores are ppm longs, each round is (Σ score·w) per
+    * side then renormalization to ppm of the side's max via integer
+    * div, so the result is bit-identical under any partitioning and
+    * the oracle unrolls the identical 3 rounds as CTEs. Per round:
+    * two weighted-edge equi-joins (the ≤|types|-row authority side
+    * broadcasts; the user side is shuffle-hash) + two map-side-
+    * combinable sums + two single-row max scalars (broadcast
+    * crossJoin). Σ-bound: s ≤ 10⁶ and Σw per node ≤ its event
+    * count, so sums stay < 10⁶·n — longs to n ≈ 10¹² edges. */
+  def hits(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val e = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("w")).localCheckpoint()
+    var hub = e.select(col("user_id")).distinct()
+      .withColumn("s", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val ar = e.join(hub.hint("shuffle_hash"), "user_id")
+        .groupBy(col("event_type")).agg(sum(expr("s * w")).as("s"))
+      auth = ar.crossJoin(broadcast(ar.agg(max(col("s")).as("mx"))))
+        .select(col("event_type"), expr("s * 1000000 div mx").as("s"))
+      val hr = e.join(broadcast(auth), "event_type")
+        .groupBy(col("user_id")).agg(sum(expr("s * w")).as("s"))
+      hub = hr.crossJoin(broadcast(hr.agg(max(col("s")).as("mx"))))
+        .select(col("user_id"), expr("s * 1000000 div mx").as("s"))
+        .localCheckpoint()
+    }
+    auth.select(lit("authority").as("kind"), col("event_type").as("id"),
+        col("s").as("score_scaled"))
+      .unionByName(hub.select(lit("hub").as("kind"),
+        col("user_id").cast("string").as("id"), col("s").as("score_scaled")))
+  }
 }

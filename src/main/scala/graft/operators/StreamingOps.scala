@@ -605,6 +605,76 @@ object StreamingOps {
         expr("abs(est - n_exact) * 1000000 div n_exact").as("err_ppm"))
   }
 
+  /** q340: STREAMING KLL QUANTILES (round-11) — q331's deterministic
+    * rank sketch maintained as live per-key streaming STATE: the
+    * events WAL streams through the DSv2 source and a per-qualifier
+    * [[graft.functions.KllAgg]] update-mode aggregation; each
+    * micro-batch merges new rows into the state-store sketch, and
+    * the final batch's row per qualifier is the sketch of
+    * EVERYTHING that ever streamed — fixed O(cap·log n) state per
+    * key, forever, the shape a 100 TB live-percentile dashboard
+    * needs (the exact q97-family machinery wants a bounded domain;
+    * the stream wants bounded MEMORY). Gate (the q331 argument):
+    * the deterministic worst-case bound carried IN the state —
+    * every compaction accounts for itself, so the bound holds for
+    * whatever merge order micro-batching imposes, even though the
+    * estimates themselves are partition-order-dependent — must
+    * contain the true rank: within_bound is pinned 1 for every
+    * (qualifier, quantile). The per-type sketch collect is
+    * metadata-sized (|event types| rows); true ranks come from ONE
+    * exact corpus pass against the broadcast estimate grid. */
+  def streamKll(s: SparkSession, dir: String, cap: Int = 400): DataFrame = {
+    import graft.functions.{KllAgg, KllSketch}
+    val stage = stagingRoot("q340", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val kll = udaf(new KllAgg(cap))
+    val sketches = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("cells")(0)("qualifier").as("qualifier"),
+        expr("cast(round(cast(cells[0].value as double) * 100) as bigint)")
+          .as("c"))
+      .groupBy(col("qualifier"))
+      .agg(kll(col("c")).as("sk"))
+    val query = sketches.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // metadata-sized collect: one sketch row per event type
+    val fin = s.read.parquet(out)
+      .groupBy(col("qualifier"))
+      .agg(max_by(col("sk"), col("batch")).as("sk"))
+      .collect()
+    val qs = Seq(10L, 250L, 500L, 750L, 990L)
+    val grid = fin.flatMap { r =>
+      val skr = r.getStruct(r.fieldIndex("sk"))
+      val sk = KllSketch(
+        skr.getSeq[scala.collection.Seq[Long]](skr.fieldIndex("levels"))
+          .map(_.toVector).toVector,
+        skr.getAs[Long]("err"), skr.getAs[Long]("n"))
+      qs.map(qm => (r.getAs[String]("qualifier"), qm,
+        sk.quantile(qm / 1000.0), sk.err + sk.maxWeight))
+    }
+    import s.implicits._
+    val gridDf = grid.toSeq.toDF("qualifier", "q_milli", "est", "bound")
+    graft.Tables.events(s, dir)
+      .select(col("event_type").as("qualifier"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .join(broadcast(gridDf), "qualifier")
+      .groupBy(col("qualifier"), col("q_milli"))
+      .agg(count(lit(1)).as("n"), max(col("bound")).as("bound"),
+        sum(when(col("c") <= col("est"), 1L).otherwise(0L)).as("true_rank"))
+      .select(col("qualifier"), col("q_milli"), col("n"),
+        (abs(col("true_rank") -
+          greatest(lit(1L), expr("(q_milli * n + 999) div 1000"))) <=
+          col("bound")).cast("long").as("within_bound"))
+  }
+
   /** q76: effectively-once replay audit — the WAL delivered twice
     * (at-least-once), deduplicated on the sequence number, must equal
     * single delivery. The batch form of streaming.ExactlyOnce's

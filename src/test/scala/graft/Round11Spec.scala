@@ -280,6 +280,27 @@ class Round11Spec extends SparkSpec {
         .map(_.getAs[Long]("n_orders")).sum === total)
   }
 
+  test("q341: each HITS side renormalizes to a 1e6 max; scores stay in (0, 1e6]") {
+    val r = graft.operators.Events.hits(spark, sfDir).collect()
+    for (k <- Seq("authority", "hub")) {
+      val side = r.filter(_.getAs[String]("kind") == k)
+        .map(_.getAs[Long]("score_scaled"))
+      assert(side.nonEmpty && side.max === 1000000L)
+      assert(side.forall(s => s > 0L && s <= 1000000L))
+    }
+  }
+
+  test("q342: refining rows into bands grows volume and recall monotonically") {
+    val r = graft.operators.Dedup.lshPlanner(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("n_bands"))
+    assert(r.map(_.getAs[Long]("n_bands")).toSeq === Seq(1L, 2L, 4L, 8L))
+    def mono(c: String) = {
+      val v = r.map(_.getAs[Long](c)).toSeq
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"$c: $v")
+    }
+    mono("candidate_pairs"); mono("n_found"); mono("predicted_recall_ppm")
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
