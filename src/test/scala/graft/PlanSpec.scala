@@ -374,6 +374,40 @@ class PlanSpec extends SparkSpec {
     assert(capped <= full, "capped candidates exceed uncapped")
   }
 
+  test("round-11 additions: narrow rule scans, equi-join candidates, one-pass grouping sets") {
+    // q335: the rule battery is one narrow pass — zero exchanges
+    val ex335 = TextAnalysis.gopherRules(spark, sfDir)
+      .queryExecution.executedPlan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(ex335.isEmpty, "q335 must not shuffle")
+    // q336: the benchmark gram set rides a broadcast, never a
+    // shuffled corpus-side join
+    val p336 = plan(TextAnalysis.ngramContamination(spark, sfDir))
+    assert(p336.contains("BroadcastHashJoin") &&
+      !p336.contains("CartesianProduct"), "q336 lost its broadcast shape")
+    // q337/q342: candidate generation stays equi-join — the only
+    // nested-loop is the bounded broadcast (centroids / scalar rows)
+    for ((name, df) <- Seq(
+        "q337" -> Similarity.semDedup(spark, sfDir),
+        "q342" -> Dedup.lshPlanner(spark, sfDir),
+        "q341" -> Events.hits(spark, sfDir))) {
+      assert(!plan(df).contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+    // q339: grouping sets = ONE Expand + hash aggregation, a single
+    // data shuffle — never |sets| scans of the fact table
+    val q339 = Relational.groupingSetsSales(spark, sfDir)
+    val p339 = q339.queryExecution.executedPlan
+    assert(plan(q339).contains("Expand"), "q339 lost the Expand shape")
+    val nScans = "Scan parquet".r.findAllIn(plan(q339)).size
+    assert(nScans == 1, s"q339 scans the fact table ${nScans}x")
+    val ex339 = p339.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex339.size <= 1, s"q339 shuffles ${ex339.size}x")
+  }
+
   test("queries stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the per-row hot paths of scan-shaped queries must be codegen'd
