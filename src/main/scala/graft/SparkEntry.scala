@@ -357,6 +357,11 @@ object SparkEntry {
     "q340_stream_kll"       -> ((s, d) => StreamingOps.streamKll(s, d)),
     "q341_hits"             -> ((s, d) => Events.hits(s, d)),
     "q342_lsh_planner"      -> ((s, d) => Dedup.lshPlanner(s, d)),
+    "q343_mrr"              -> ((s, d) => Eval.mrr(s, d)),
+    "q344_intradoc_repetition" ->
+      ((s, d) => TextAnalysis.intradocRepetition(s, d)),
+    "q345_price_band_join"  -> ((s, d) => Relational.priceBandJoin(s, d)),
+    "q346_cond_bigram_lm"   -> ((s, d) => TextAnalysis.condBigramLm(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -5969,6 +5974,83 @@ object SparkEntry {
         |FROM t, qs""".stripMargin,
     "q341_hits" -> hitsOracle,
     "q342_lsh_planner" -> lshPlannerOracle,
+    // q343: relevance = exact top-3; ranking = the IVF order from
+    // the shared ivf CTEs; reciprocal as integer ppm.
+    "q343_mrr" ->
+      s"""WITH $ivfScoreCtes,
+        |exsc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  $cosExpr AS cosine
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM exsc) t WHERE rank <= 3),
+        |iv AS (SELECT query_id, neighbor_id, rank FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc) t WHERE rank <= 3),
+        |h AS (SELECT iv.query_id, min(iv.rank) AS r
+        | FROM iv JOIN ex ON iv.query_id = ex.query_id
+        |  AND iv.neighbor_id = ex.neighbor_id GROUP BY 1)
+        |SELECT q.query_id, CAST(coalesce(h.r, 0) AS BIGINT)
+        |  AS first_hit_rank,
+        | CAST(coalesce(1000000 // h.r, 0) AS BIGINT) AS rr_ppm
+        |FROM (SELECT DISTINCT query_id FROM ex) q
+        |LEFT JOIN h USING (query_id)""".stripMargin,
+    // q344: per-doc n-gram multisets replayed with list arithmetic.
+    "q344_intradoc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(tk) AS n,
+        |  CASE WHEN len(tk) >= 2 THEN len(list_distinct(list_transform(
+        |    range(len(tk) - 1),
+        |    i -> array_to_string(tk[i+1:i+2], ' ')))) ELSE 0 END AS d2,
+        |  CASE WHEN len(tk) >= 3 THEN len(list_distinct(list_transform(
+        |    range(len(tk) - 2),
+        |    i -> array_to_string(tk[i+1:i+3], ' ')))) ELSE 0 END AS d3
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END AS BIGINT) AS n2_grams,
+        | CAST(d2 AS BIGINT) AS n2_distinct,
+        | CAST(coalesce((CASE WHEN n >= 2 THEN n - 1 ELSE 0 END - d2)
+        |   * 1000000 // nullif(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END, 0),
+        |  0) AS BIGINT) AS dup2_ppm,
+        | CAST(CASE WHEN n >= 3 THEN n - 2 ELSE 0 END AS BIGINT) AS n3_grams,
+        | CAST(d3 AS BIGINT) AS n3_distinct,
+        | CAST(coalesce((CASE WHEN n >= 3 THEN n - 2 ELSE 0 END - d3)
+        |   * 1000000 // nullif(CASE WHEN n >= 3 THEN n - 2 ELSE 0 END, 0),
+        |  0) AS BIGINT) AS dup3_ppm
+        |FROM m""".stripMargin,
+    // q345: the overlapping band table as VALUES; BETWEEN join.
+    "q345_price_band_join" ->
+      """WITH p AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b(band, lo, hi) AS (VALUES
+        | ('p0_under_1k', 0, 99999),
+        | ('p1_1k_50k', 100000, 4999999),
+        | ('p2_50k_200k', 5000000, 19999999),
+        | ('p3_over_200k', 20000000, 99999999),
+        | ('px_mid_market', 2500000, 29999999))
+        |SELECT band, count(*) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM p JOIN b ON p.cents BETWEEN b.lo AND b.hi
+        |GROUP BY band""".stripMargin,
+    // q346: both windows replayed as count tables; identical counts
+    // feed the identical per-row log difference.
+    "q346_cond_bigram_lm" ->
+      """WITH b AS (SELECT doc_id, unnest(list_transform(
+        |   range(len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+        | FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |f AS (SELECT bg, count(*) AS cbg FROM b GROUP BY bg),
+        |w AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS cw1
+        | FROM b GROUP BY 1)
+        |SELECT doc_id,
+        | round(avg(log10(f.cbg) - log10(w.cw1)), 4) AS cond_lm_score,
+        | count(*) AS n_bigrams
+        |FROM b JOIN f USING (bg)
+        |JOIN w ON string_split(b.bg, ' ')[1] = w.w1
+        |GROUP BY doc_id""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

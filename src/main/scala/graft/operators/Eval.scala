@@ -468,6 +468,32 @@ object Eval {
     * row is an independent fixed IEEE expression, so the gate is
     * exact). Zero-division (both distances 0) yields NULL via the
     * same nullif both engines. */
+  /** q343: MEAN-RECIPROCAL-RANK inputs for the IVF serving path
+    * (round-11) — the search-eval metric q183's NDCG doesn't cover:
+    * "how deep does a user scroll before the first RIGHT answer".
+    * Relevance = the exact brute-force top-3 (q25, the ground truth
+    * every ANN audit here prices against); ranking = q38's IVF
+    * top-3 order. Per query: the first IVF rank that hits the
+    * relevant set and its reciprocal as integer ppm (1e6 div rank;
+    * 0 = the probed cells missed entirely — exactly the q155-recall
+    * failure surfaced per query instead of averaged away). Emitted
+    * PER QUERY so the gate stays all-integer; the fleet-level MRR
+    * is one bounded avg over these rows. Cost: the two searches it
+    * audits + one (query × k)-row join. */
+  def mrr(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.annBruteForce(s, dir, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(s, dir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("r"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("r"), lit(0L)).as("first_hit_rank"),
+        coalesce(expr("1000000 div r"), lit(0L)).as("rr_ppm"))
+  }
+
   def silhouette(s: SparkSession, dir: String): DataFrame = {
     val (centN, assigned) = Similarity.ivfAssigned(s, dir)
     val scored = assigned.crossJoin(broadcast(centN))

@@ -1780,6 +1780,36 @@ object Relational {
     * the MAP side and the aggregate stays hash/partial — one
     * shuffle of (keys, partials), same as any groupBy; at 100 TB
     * you pay |sets| map-side expansion, never |sets| table scans. */
+  /** q345: PRICE-BAND RANGE JOIN (round-11) — puts the
+    * [[RangeJoin.pointInInterval]] API (previously ScalaTest-only,
+    * SURVEY §4) under the oracle gate on a real reporting shape:
+    * every order's total (integer cents) lands in each
+    * DELIBERATELY-OVERLAPPING price band containing it (tiered fee
+    * schedules / alert thresholds overlap in practice — a point may
+    * match several bands, which is why this is a JOIN and not a
+    * CASE ladder). Plan shape is the §4 argument: the interval side
+    * explodes to its covering buckets, the join is an EQUI-join on
+    * bucket id with the exact BETWEEN as residual — never Spark's
+    * nested-loop fallback for range predicates — and the fan-out is
+    * bounded by band_width/bucket_width. Output: per band, order
+    * count + revenue cents. */
+  def priceBandJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val bands = s.createDataFrame(Seq(
+      ("p0_under_1k", 0L, 99999L),
+      ("p1_1k_50k", 100000L, 4999999L),
+      ("p2_50k_200k", 5000000L, 19999999L),
+      ("p3_over_200k", 20000000L, 99999999L),
+      ("px_mid_market", 2500000L, 29999999L) // overlaps p1–p3
+    )).toDF("band", "lo", "hi")
+    RangeJoin.pointInInterval(points, bands, "cents", "lo", "hi",
+        bucketWidth = 1000000L)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
   def groupingSetsSales(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))

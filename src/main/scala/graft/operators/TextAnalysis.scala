@@ -974,6 +974,57 @@ object TextAnalysis {
     * doc × doc; at 100 TB the benchmark gram set is small enough to
     * broadcast (it is here) or rides a bloom pre-filter (q88's
     * seam). */
+  /** q344: INTRA-DOC DUPLICATE-NGRAM fractions (round-11) — the
+    * remaining Gopher repetition rules (Rae et al. 2021 §A1.1):
+    * q77 catches ADJACENT token repeats and q93 catches CROSS-doc
+    * duplicated spans; this measures how much of a single document
+    * is its own n-grams repeated ANYWHERE in the document (looping
+    * generations, boilerplate stutter, keyword stuffing) — the
+    * "duplicate 2-gram / 3-gram fraction" thresholds of the Gopher
+    * battery. dup_frac = 1 − distinct/total over the doc's own
+    * n-gram multiset, integer ppm. Entirely narrow array
+    * arithmetic (transform/slice/array_distinct on the token split)
+    * — codegen, zero shuffle, the cheapest rule family at 100 TB. */
+  def intradocRepetition(s: SparkSession, dir: String): DataFrame = {
+    def gramStats(n: Int): Seq[org.apache.spark.sql.Column] = {
+      val grams = s"transform(sequence(0, size(split(text, ' ')) - $n)," +
+        s" i -> array_join(slice(split(text, ' '), i + 1, $n), ' '))"
+      val total = s"cast(if(size(split(text, ' ')) >= $n," +
+        s" size(split(text, ' ')) - ${n - 1}, 0) as bigint)"
+      val dist = s"cast(if(size(split(text, ' ')) >= $n," +
+        s" size(array_distinct($grams)), 0) as bigint)"
+      Seq(expr(total).as(s"n${n}_grams"), expr(dist).as(s"n${n}_distinct"),
+        expr(s"coalesce(($total - $dist) * 1000000 div nullif($total, 0), 0)")
+          .as(s"dup${n}_ppm"))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: (gramStats(2) ++ gramStats(3)): _*)
+  }
+
+  /** q346: CONDITIONAL bigram LM score (round-11) — the properly
+    * normalized upgrade of q56's joint-frequency proxy: per doc, the
+    * mean log10 of p(w₂|w₁) = cnt(w₁w₂)/cnt(w₁·), where cnt(w₁·) is
+    * the corpus count of bigrams STARTING with w₁ (so each factor is
+    * a true conditional probability and the score is the doc's
+    * negative cross-entropy under the corpus bigram LM — the actual
+    * CCNet/KenLM quantity, up to smoothing). Two count-over-window
+    * passes on the SAME exploded frame (by full bigram, by first
+    * token — each one shuffle of the 8-byte-ish keys), one per-doc
+    * agg. Scores ≤ 0; higher = more probable text. */
+  def condBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(bigrams2(col("text"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ")(0))
+    import org.apache.spark.sql.expressions.Window
+    bg.withColumn("cbg", count(lit(1)).over(Window.partitionBy(col("bg"))))
+      .withColumn("cw1", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log10(col("cbg")) - log10(col("cw1"))), 4)
+          .as("cond_lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   def ngramContamination(s: SparkSession, dir: String,
       n: Int = 13): DataFrame = {
     val grams = Tables.documents(s, dir)

@@ -301,6 +301,44 @@ class Round11Spec extends SparkSpec {
     mono("candidate_pairs"); mono("n_found"); mono("predicted_recall_ppm")
   }
 
+  test("q343: reciprocal-rank arithmetic and miss encoding are consistent") {
+    val r = graft.operators.Eval.mrr(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    for (x <- r) {
+      val rk = x.getAs[Long]("first_hit_rank"); val rr = x.getAs[Long]("rr_ppm")
+      if (rk == 0L) assert(rr === 0L) else assert(rr === 1000000L / rk)
+    }
+  }
+
+  test("q344: distinct n-grams never exceed totals; ppm stays in range") {
+    val r = graft.operators.TextAnalysis.intradocRepetition(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    for (x <- r; n <- Seq(2, 3)) {
+      assert(x.getAs[Long](s"n${n}_distinct") <= x.getAs[Long](s"n${n}_grams"))
+      val p = x.getAs[Long](s"dup${n}_ppm")
+      assert(p >= 0L && p <= 1000000L)
+    }
+  }
+
+  test("q345: the range join stays an equi-join and overlapping bands double-count") {
+    val df = graft.operators.Relational.priceBandJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q345 range join degenerated to a nested loop")
+    val r = df.collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n_orders")).sum > total,
+      "overlap bands should multi-count orders")
+  }
+
+  test("q346: conditional log-probabilities are never positive") {
+    val r = graft.operators.TextAnalysis.condBigramLm(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Double]("cond_lm_score") <= 0.0))
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
