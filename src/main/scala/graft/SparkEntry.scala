@@ -362,6 +362,8 @@ object SparkEntry {
       ((s, d) => TextAnalysis.intradocRepetition(s, d)),
     "q345_price_band_join"  -> ((s, d) => Relational.priceBandJoin(s, d)),
     "q346_cond_bigram_lm"   -> ((s, d) => TextAnalysis.condBigramLm(s, d)),
+    "q347_rag_pack"         -> ((s, d) => Pipeline.ragPack(s, d)),
+    "q348_cluster_pii"      -> ((s, d) => Privacy.clusterPiiPropagation(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -6051,6 +6053,64 @@ object SparkEntry {
         |FROM b JOIN f USING (bg)
         |JOIN w ON string_split(b.bg, ' ')[1] = w.w1
         |GROUP BY doc_id""".stripMargin,
+    // q347: IVF top-3 (shared ctes) expanded to the q217 chunk
+    // replay, greedily packed by a pinned-ROWS running sum.
+    "q347_rag_pack" ->
+      s"""WITH $ivfScoreCtes,
+        |iv AS (SELECT query_id, neighbor_id, rank FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM sc) t WHERE rank <= 3),
+        |db AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |dn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM db),
+        |dc AS (SELECT doc_id, toks, n, unnest(range(0,
+        |   1 + CASE WHEN n > 128 THEN (n - 128 + 95) // 96 ELSE 0 END))
+        |   AS chunk_id FROM dn),
+        |cm AS (SELECT doc_id, chunk_id,
+        |  CAST(least(128, n - chunk_id * 96) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(toks[CAST(chunk_id * 96 + 1 AS INTEGER) :
+        |    CAST(chunk_id * 96 + least(128, n - chunk_id * 96) AS INTEGER)],
+        |    ' ')) AS chunk_hash
+        | FROM dc),
+        |pk AS (SELECT iv.query_id, iv.rank, cm.doc_id, cm.chunk_id,
+        |  cm.n_toks, cm.chunk_hash,
+        |  sum(cm.n_toks) OVER (PARTITION BY iv.query_id
+        |    ORDER BY iv.rank, cm.chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        | FROM iv JOIN cm ON iv.neighbor_id = cm.doc_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        | CAST(chunk_id AS BIGINT) AS chunk_id, n_toks,
+        | CAST(cum_tokens AS BIGINT) AS cum_tokens, chunk_hash
+        |FROM pk WHERE cum_tokens <= 512""".stripMargin,
+    // q348: the q59 component replay + per-doc PII regexes, rolled
+    // to the cluster grain.
+    "q348_cluster_pii" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |fl AS (SELECT doc_id,
+        |  (len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text,
+        |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+        |   + len(regexp_extract_all(text, '[0-9]{9,}'))) > 0 AS direct
+        | FROM documents)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN direct THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flagged,
+        | sum(CASE WHEN direct THEN 1 ELSE 0 END) > 0 AS cluster_flagged,
+        | CAST(CASE WHEN sum(CASE WHEN direct THEN 1 ELSE 0 END) > 0
+        |  THEN count(*) - sum(CASE WHEN direct THEN 1 ELSE 0 END)
+        |  ELSE 0 END AS BIGINT) AS n_inherited
+        |FROM comp JOIN fl USING (doc_id)
+        |GROUP BY component""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

@@ -610,6 +610,34 @@ object Pipeline {
     * the rank key) — and the tercile is pure integer quota
     * arithmetic 3·(rank−1) div n. Docs with <2 tokens have no
     * bigram signal and are excluded, as in q56. */
+  /** q347: RAG CONTEXT-PACK manifest (round-11) — the end-to-end
+    * retrieval composition the pieces exist for: each query vector
+    * retrieves its top-k documents through the IVF index (q38's
+    * probed search; doc_id = vec_id, the repo's standing embeddings↔
+    * documents association), the hits expand to the q217 overlapping
+    * chunk manifest, and chunks are packed GREEDILY in (rank,
+    * chunk_id) order into a fixed token budget — exactly the context
+    * window a RAG prompt assembler fills, emitted as a reproducible
+    * manifest (chunk hashes ride along for caching). The running
+    * total is a window over (rank, chunk_id) — unique keys, frame
+    * pinned to ROWS — partitioned BY QUERY: each partition's input
+    * is bounded by k·chunks-per-doc whatever the corpus size (this
+    * is per-query context assembly, not a corpus op). Cost: the IVF
+    * search + one chunk equi-join on k·|queries| doc ids. */
+  def ragPack(s: SparkSession, dir: String, k: Int = 3,
+      budget: Long = 512L): DataFrame = {
+    val hits = Similarity.ivfTopK(s, dir, k = k)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    val cand = hits.join(chunkManifest(s, dir), "doc_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_id"),
+        col("n_toks"), col("cum_tokens"), col("chunk_hash"))
+  }
+
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val bg = docs.filter(size(tokens(col("text"))) >= 2)

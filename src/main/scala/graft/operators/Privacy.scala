@@ -92,10 +92,13 @@ object Privacy {
     * adding a pattern costs a counter, not a pass); |sources| report
     * rows. A clean corpus PROVING itself clean is the product (the
     * q152 argument); the spec's seeded dirty docs prove detection. */
+  /** Shared PII detector regexes (q210 scan / q348 propagation). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  private val LongIdRe = "[0-9]{9,}"
+
   def piiScan(s: SparkSession, dir: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
-    val longId = "[0-9]{9,}"
+    val (email, phone, longId) = (EmailRe, PhoneRe, LongIdRe)
     def hits(p: String) = regexp_count(col("text"), lit(p))
     Tables.documents(s, dir)
       .select(col("source"), hits(email).as("e"), hits(phone).as("p"),
@@ -237,5 +240,35 @@ object Privacy {
       .unionByName(row("orders", ord, delOrd))
       .unionByName(row("lineitem", li, delLi))
       .unionByName(row("events", ev, delEv))
+  }
+
+  /** q348: PII PROPAGATION THROUGH DUP CLUSTERS (round-11) — the
+    * privacy × dedup composition a real scrub needs: a leaked email
+    * in ONE document is also in every near-copy of it, including
+    * copies where OCR noise, truncation, or reformatting broke the
+    * regex — so per-doc scanning (q210) systematically undercounts
+    * and the correct unit of risk is the q59 CLUSTER: if any member
+    * of a near-dup component is PII-flagged, every member is
+    * suspect. Per component: size, directly-flagged members, the
+    * propagated verdict, and `n_inherited` — the members ONLY the
+    * cluster rule catches (the pool a per-doc scrub silently
+    * ships). Shapes: the q59 components iteration + one narrow
+    * regex scan + one component-keyed agg; covers graph vertices
+    * (docs with ≥1 near-dup edge — a singleton's risk IS its q210
+    * row). */
+  def clusterPiiPropagation(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.dedupComponents(s, dir)
+    val flags = Tables.documents(s, dir).select(col("doc_id"),
+      (regexp_count(col("text"), lit(EmailRe)) +
+        regexp_count(col("text"), lit(PhoneRe)) +
+        regexp_count(col("text"), lit(LongIdRe)) > 0).as("direct"))
+    comp.join(flags, "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("direct"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("component"), col("n_docs"), col("n_flagged"),
+        (col("n_flagged") > 0L).as("cluster_flagged"),
+        when(col("n_flagged") > 0L, col("n_docs") - col("n_flagged"))
+          .otherwise(0L).as("n_inherited"))
   }
 }

@@ -339,6 +339,32 @@ class Round11Spec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("cond_lm_score") <= 0.0))
   }
 
+  test("q347: packed context respects the budget and fills greedily in order") {
+    val r = graft.operators.Pipeline.ragPack(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("cum_tokens") <= 512L))
+    r.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(x =>
+        (x.getAs[Long]("rank"), x.getAs[Long]("chunk_id")))
+      val cums = ordered.map(_.getAs[Long]("cum_tokens"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+      assert(cums.head === ordered.head.getAs[Long]("n_toks"))
+    }
+  }
+
+  test("q348: cluster PII accounting balances and clusters have >= 2 members") {
+    val r = graft.operators.Privacy.clusterPiiPropagation(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    for (x <- r) {
+      assert(x.getAs[Long]("n_docs") >= 2L)
+      val fl = x.getAs[Long]("n_flagged")
+      assert(x.getAs[Boolean]("cluster_flagged") === (fl > 0))
+      assert(x.getAs[Long]("n_inherited") ===
+        (if (fl > 0) x.getAs[Long]("n_docs") - fl else 0L))
+    }
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
