@@ -364,6 +364,10 @@ object SparkEntry {
     "q346_cond_bigram_lm"   -> ((s, d) => TextAnalysis.condBigramLm(s, d)),
     "q347_rag_pack"         -> ((s, d) => Pipeline.ragPack(s, d)),
     "q348_cluster_pii"      -> ((s, d) => Privacy.clusterPiiPropagation(s, d)),
+    "q349_effective_tokens" -> ((s, d) => Pipeline.effectiveTokens(s, d)),
+    "q350_minhash_estimator" ->
+      ((s, d) => Dedup.minhashEstimatorAudit(s, d)),
+    "q351_skipgram_pairs"   -> ((s, d) => TextAnalysis.skipgramPairs(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -6111,6 +6115,84 @@ object SparkEntry {
         |  ELSE 0 END AS BIGINT) AS n_inherited
         |FROM comp JOIN fl USING (doc_id)
         |GROUP BY component""".stripMargin,
+    // q349: q20 keeper + q59 components + disjoint-axis accounting,
+    // rolled up per source.
+    "q349_effective_tokens" ->
+      s"""WITH RECURSIVE $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION SELECT d2, d1 FROM c),
+        |r AS (SELECT v, u FROM adj
+        | UNION SELECT r.v, adj.u FROM r, adj WHERE r.u = adj.v),
+        |comp AS (SELECT v AS doc_id, least(v, min(u)) AS component
+        | FROM r GROUP BY v),
+        |d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk,
+        |  md5(text) AS h FROM documents),
+        |kp AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+        |g AS (SELECT d.doc_id, d.source, d.ntk,
+        |  d.doc_id <> kp.keep_id AS exact_dup,
+        |  (d.doc_id = kp.keep_id) AND
+        |    coalesce(comp.component <> d.doc_id, false) AS near_dup
+        | FROM d JOIN kp USING (h)
+        | LEFT JOIN comp ON comp.doc_id = d.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(ntk) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_exact_removed,
+        | CAST(sum(CASE WHEN near_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_near_removed,
+        | CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup THEN 1 ELSE 0
+        |   END) AS BIGINT) AS n_effective_docs,
+        | CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup THEN ntk
+        |   ELSE 0 END) AS BIGINT) AS effective_tokens,
+        | CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup THEN ntk
+        |   ELSE 0 END) * 1000000 // sum(ntk) AS BIGINT) AS yield_ppm
+        |FROM g GROUP BY source""".stripMargin,
+    // q350: signature match count vs the q21 exact jaccard, ppm.
+    "q350_minhash_estimator" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |cp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t),
+        |ex AS (SELECT d1, d2,
+        |  CAST(common AS DOUBLE) / (za.n + zb.n - common) AS jaccard
+        | FROM cp JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        | WHERE CAST(common AS DOUBLE) / (za.n + zb.n - common) >= 0.5),
+        |m AS (SELECT ex.d1, ex.d2,
+        |  CAST(round(ex.jaccard * 1000000) AS BIGINT) AS jaccard_ppm,
+        |  CAST(${(0 until 8).map(i =>
+            s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")}
+        |   AS BIGINT) AS matches
+        | FROM ex JOIN sig a ON ex.d1 = a.doc_id
+        | JOIN sig b ON ex.d2 = b.doc_id)
+        |SELECT d1, d2, jaccard_ppm, matches, matches * 125000 AS est_ppm,
+        | abs(matches * 125000 - jaccard_ppm) AS abs_err_ppm
+        |FROM m""".stripMargin,
+    // q351: identical md5 position sampling + offset-window pairs.
+    "q351_skipgram_pairs" ->
+      s"""WITH pos AS (SELECT doc_id,
+        |  generate_subscripts(string_split(text, ' '), 1) - 1 AS p,
+        |  unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS cnt FROM pos GROUP BY w),
+        |tt AS (SELECT sum(cnt) AS n_total FROM f),
+        |th AS (SELECT w, least(1000000,
+        |  CAST(round(sqrt(0.001 * n_total / cnt) * 1000000) AS BIGINT))
+        |   AS keep_ppm FROM f, tt),
+        |kp AS (SELECT pos.doc_id, pos.p, pos.w
+        | FROM pos JOIN th USING (w)
+        | WHERE ${hex8Sql("concat('sg|', doc_id, '|', p)")} % 1000000
+        |   < keep_ppm),
+        |pr AS (SELECT a.w AS center, b.w AS context
+        | FROM kp a JOIN kp b ON a.doc_id = b.doc_id
+        |  AND b.p - a.p BETWEEN -2 AND 2 AND a.p <> b.p)
+        |SELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2
+        |ORDER BY n DESC, center, context LIMIT 20""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

@@ -1832,6 +1832,36 @@ object Dedup {
     * full corpus but the recall axes on a slice). Cost: signatures
     * once, ≤4 bounded band aggregations + pair joins — output 4
     * rows. */
+  /** q350: MINHASH ESTIMATOR AUDIT (round-11) — how good is the
+    * 8-hash signature as a JACCARD ESTIMATE, pair by pair (q153
+    * audits the banding's recall — whether pairs are FOUND; this
+    * audits the signatures' accuracy — what similarity they CLAIM):
+    * for every q21 ground-truth pair, matching-hash fraction
+    * (matches/8, the unbiased MinHash estimator) vs the exact
+    * Jaccard, both integer ppm, plus the absolute error. The error
+    * histogram is the "do I trust 8 hashes or pay for 64?" knob at
+    * 100 TB — the estimator's σ = √(j(1−j)/k) is ~17% at k=8, and
+    * this table is that analytic claim measured on real pairs.
+    * Cost: the exact generator it audits + two id-keyed
+    * shuffle-hash signature joins (ids shuffle, not shingle sets). */
+  def minhashEstimatorAudit(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .withColumn("hs",
+        org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
+      .select(col("doc_id"), col("hs"))
+    ngramJaccard(s, dir)
+      .join(sig.toDF("d1", "h1").hint("shuffle_hash"), "d1")
+      .join(sig.toDF("d2", "h2").hint("shuffle_hash"), "d2")
+      .withColumn("matches", expr(
+        "size(filter(zip_with(h1, h2, (a, b) -> a = b), x -> x))")
+        .cast("long"))
+      .select(col("d1"), col("d2"),
+        round(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"),
+        col("matches"), (col("matches") * 125000L).as("est_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+  }
+
   def lshPlanner(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))

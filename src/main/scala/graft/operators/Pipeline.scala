@@ -624,6 +624,45 @@ object Pipeline {
     * is bounded by k·chunks-per-doc whatever the corpus size (this
     * is per-query context assembly, not a corpus op). Cost: the IVF
     * search + one chunk equi-join on k·|queries| doc ids. */
+  /** q349: EFFECTIVE-TOKEN YIELD per source (round-11) — the corpus
+    * accounting a data lead actually budgets with: raw token counts
+    * overstate a source's value by exactly its duplication, so per
+    * source this reports docs/tokens RAW, docs removed by exact
+    * dedup (q20: not the content-hash keeper), docs removed by
+    * near-dedup (q59: non-canonical component members, exact dups
+    * excluded so the axes stay disjoint — the accounting identity
+    * n_docs = exact + near + effective is spec-pinned), and the
+    * surviving EFFECTIVE docs/tokens + yield ppm. A source at 600k
+    * yield costs 1.67× its effective tokens in storage/compute —
+    * this table is where that shows. Canonicals are attributed
+    * globally (a copy's keeper may sit in another source — removal
+    * is charged to the source holding the COPY, which is the
+    * curation decision's grain). Shapes: one hash agg (q20), the
+    * q59 iteration, one source-keyed roll-up. */
+  def effectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        md5(col("text").cast("binary")).as("h"))
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val comp = Dedup.dedupComponents(s, dir)
+    docs.join(keep, "h")
+      .withColumn("exact_dup", col("doc_id") =!= col("keep_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("near_dup", !col("exact_dup") &&
+        coalesce(col("component") =!= col("doc_id"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_removed"),
+        sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_near_removed"),
+        sum(when(!col("exact_dup") && !col("near_dup"), 1L).otherwise(0L))
+          .as("n_effective_docs"),
+        sum(when(!col("exact_dup") && !col("near_dup"), col("n_toks"))
+          .otherwise(0L)).as("effective_tokens"))
+      .withColumn("yield_ppm",
+        expr("effective_tokens * 1000000 div n_tokens"))
+  }
+
   def ragPack(s: SparkSession, dir: String, k: Int = 3,
       budget: Long = 512L): DataFrame = {
     val hits = Similarity.ivfTopK(s, dir, k = k)

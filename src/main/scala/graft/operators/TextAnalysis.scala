@@ -1025,6 +1025,51 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** q351: SKIP-GRAM TRAINING PAIRS with frequency subsampling
+    * (round-11) — the word2vec data generator (Mikolov et al. 2013)
+    * as a corpus operator: (center, context) pairs within a ±window
+    * token distance, after the paper's frequent-word SUBSAMPLING
+    * P(keep w) = min(1, √(t/f(w))) — the step that stops "the"/"of"
+    * from dominating the pair distribution. Determinism treatment:
+    * the keep decision is a PURE function of (doc, position) — an
+    * md5 bucket compared against the word's keep threshold in
+    * integer ppm (√ is one fixed IEEE expression per DISTINCT word,
+    * micro-rounded before any comparison) — so both engines, and
+    * any two cluster runs, sample the identical positions (q54's
+    * reproducible-sampling argument, applied to data augmentation).
+    * Shapes: one posexplode, one bounded word-frequency agg
+    * (broadcast back), keep-filter, then pairs via a ±window OFFSET
+    * EXPLODE + (doc, position) equi-join — linear in kept tokens ×
+    * 2·window, never a per-doc quadratic self-join. Output: the
+    * top-k pair-count table (bounded TakeOrdered). */
+  def skipgramPairs(s: SparkSession, dir: String, window: Int = 2,
+      k: Int = 20): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "w")))
+    val freq = pos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_total"))
+    val thr = freq.crossJoin(broadcast(tot))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        round(sqrt(lit(0.001) * col("n_total") / col("cnt")) * 1e6)
+          .cast("long")))
+      .select(col("w"), col("keep_ppm"))
+    val kept = pos.join(thr, "w")
+      .filter(pmod(graft.operators.Sampling.hashBucket(
+        concat(lit("sg|"), col("doc_id").cast("string"), lit("|"),
+          col("p").cast("string"))), lit(1000000L)) < col("keep_ppm"))
+      .select(col("doc_id"), col("p"), col("w"))
+    val offs = array((-window to window).filter(_ != 0).map(o => lit(o)): _*)
+    kept.select(col("doc_id"), col("p"), col("w").as("center"),
+        explode(offs).as("o"))
+      .withColumn("p2", col("p") + col("o"))
+      .join(kept.select(col("doc_id"), col("p").as("p2"),
+        col("w").as("context")), Seq("doc_id", "p2"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(k)
+  }
+
   def ngramContamination(s: SparkSession, dir: String,
       n: Int = 13): DataFrame = {
     val grams = Tables.documents(s, dir)

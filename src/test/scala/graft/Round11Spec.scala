@@ -365,6 +365,36 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q349: removal axes are disjoint and the accounting identity holds") {
+    val r = graft.operators.Pipeline.effectiveTokens(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    for (x <- r) {
+      assert(x.getAs[Long]("n_exact_removed") + x.getAs[Long]("n_near_removed")
+        + x.getAs[Long]("n_effective_docs") === x.getAs[Long]("n_docs"))
+      assert(x.getAs[Long]("effective_tokens") <= x.getAs[Long]("n_tokens"))
+      assert(x.getAs[Long]("yield_ppm") <= 1000000L)
+    }
+  }
+
+  test("q350: estimator stays on the 8-hash lattice over threshold pairs") {
+    val r = graft.operators.Dedup.minhashEstimatorAudit(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    for (x <- r) {
+      val m = x.getAs[Long]("matches")
+      assert(m >= 0L && m <= 8L)
+      assert(x.getAs[Long]("est_ppm") === m * 125000L)
+      assert(x.getAs[Long]("jaccard_ppm") >= 500000L)
+    }
+  }
+
+  test("q351: subsampled pair table is a full bounded top-k in count order") {
+    val r = graft.operators.TextAnalysis.skipgramPairs(spark, sfDir).collect()
+    assert(r.length === 20)
+    val ns = r.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(ns.forall(_ >= 1L))
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
