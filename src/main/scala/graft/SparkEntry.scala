@@ -368,6 +368,11 @@ object SparkEntry {
     "q350_minhash_estimator" ->
       ((s, d) => Dedup.minhashEstimatorAudit(s, d)),
     "q351_skipgram_pairs"   -> ((s, d) => TextAnalysis.skipgramPairs(s, d)),
+    "q352_negative_sampling" ->
+      ((s, d) => TextAnalysis.negativeSampling(s, d)),
+    "q353_source_divergence" ->
+      ((s, d) => Pipeline.sourceDivergence(s, d)),
+    "q354_kcenter_coreset"  -> ((s, d) => Similarity.kcenterCoreset(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -6193,6 +6198,77 @@ object SparkEntry {
         |  AND b.p - a.p BETWEEN -2 AND 2 AND a.p <> b.p)
         |SELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2
         |ORDER BY n DESC, center, context LIMIT 20""".stripMargin,
+    // q352: cnt^0.75 as sqrt(cnt*sqrt(cnt)) — never libm pow —
+    // micro-rounded to integer weights before the ppm division.
+    "q352_negative_sampling" ->
+      """WITH pos AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY w),
+        |wt AS (SELECT w, cnt,
+        |  CAST(round(sqrt(cnt * sqrt(cnt)) * 1000000) AS BIGINT) AS w_fixed
+        | FROM f),
+        |tt AS (SELECT sum(w_fixed) AS tot FROM wt),
+        |top AS (SELECT w, cnt, w_fixed,
+        |  CAST(w_fixed * 1000000 // tot AS BIGINT) AS prob_ppm
+        | FROM wt, tt ORDER BY cnt DESC, w LIMIT 30)
+        |SELECT w, cnt, w_fixed, prob_ppm,
+        | CAST(sum(prob_ppm) OVER (ORDER BY cnt DESC, w
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_ppm
+        |FROM top""".stripMargin,
+    // q353: add-one-smoothed TV over 4096 hashed buckets; numerator
+    // exact integer cross-multiply, one final double division.
+    "q353_source_divergence" ->
+      s"""WITH tk AS (SELECT source, ${hex8Sql("w")} % 4096 AS b
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |   FROM documents)),
+        |sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c_sb
+        | FROM tk GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        | FROM tk GROUP BY 1),
+        |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c_b FROM tk GROUP BY 1),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+        |g AS (SELECT s2.source, s2.n_s, s2.b,
+        |  coalesce(sb.c_sb, 0) AS c_sb, coalesce(cb.c_b, 0) AS c_b
+        | FROM (SELECT st.source, st.n_s, r.b FROM st
+        |   CROSS JOIN (SELECT unnest(range(4096)) AS b) r) s2
+        | LEFT JOIN sb ON sb.source = s2.source AND sb.b = s2.b
+        | LEFT JOIN cb ON cb.b = s2.b),
+        |a AS (SELECT g.source, g.n_s AS n_tokens,
+        |  sum(abs((g.c_sb + 1) * (ct.n + 4096)
+        |    - (g.c_b + 1) * (g.n_s + 4096))) AS ss,
+        |  sum(CASE WHEN g.c_sb > 0 THEN 1 ELSE 0 END) AS nb,
+        |  max(ct.n) AS n
+        | FROM g, ct GROUP BY 1, 2)
+        |SELECT source, n_tokens, CAST(nb AS BIGINT) AS n_buckets,
+        | CAST(round(1000000.0 * CAST(ss AS DOUBLE)
+        |   / (2.0 * (n_tokens + 4096) * (n + 4096))) AS BIGINT) AS tv_ppm
+        |FROM a""".stripMargin,
+    // q354: 3 unrolled greedy rounds off the c0 = min-vec_id seed;
+    // d² exact integer; argmax total-ordered by (mind2 desc, id).
+    "q354_kcenter_coreset" -> {
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(range(64), i -> $a.v[i+1] * $b.v[i+1]))"
+      s"""WITH $quantCte,
+        |c0 AS (SELECT vec_id, v, n2, CAST(0 AS BIGINT) AS mind2
+        | FROM m ORDER BY vec_id LIMIT 1),
+        |e0 AS (SELECT m.vec_id, m.v, m.n2,
+        |  CAST(m.n2 + c0.n2 - 2 * ${dotSql("m", "c0")} AS BIGINT) AS mind2
+        | FROM m, c0),
+        |c1 AS (SELECT * FROM e0 ORDER BY mind2 DESC, vec_id LIMIT 1),
+        |e1 AS (SELECT e0.vec_id, e0.v, e0.n2, least(e0.mind2,
+        |  CAST(e0.n2 + c1.n2 - 2 * ${dotSql("e0", "c1")} AS BIGINT)) AS mind2
+        | FROM e0, c1),
+        |c2 AS (SELECT * FROM e1 ORDER BY mind2 DESC, vec_id LIMIT 1),
+        |e2 AS (SELECT e1.vec_id, e1.v, e1.n2, least(e1.mind2,
+        |  CAST(e1.n2 + c2.n2 - 2 * ${dotSql("e1", "c2")} AS BIGINT)) AS mind2
+        | FROM e1, c2),
+        |c3 AS (SELECT * FROM e2 ORDER BY mind2 DESC, vec_id LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS sel_order, vec_id, mind2 AS d2 FROM c0
+        |UNION ALL SELECT CAST(1 AS BIGINT), vec_id, mind2 FROM c1
+        |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, mind2 FROM c2
+        |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, mind2 FROM c3""".stripMargin
+    },
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

@@ -663,6 +663,55 @@ object Pipeline {
         expr("effective_tokens * 1000000 div n_tokens"))
   }
 
+  /** q353: SOURCE-DIVERGENCE table (round-11) — how far each
+    * source's unigram distribution sits from the corpus mixture,
+    * the quantity mixture planners (DoReMi-adjacent reweighting,
+    * CCNet's domain buckets) read before assigning sampling rates.
+    * Distance = TOTAL VARIATION over a HASHED feature space (md5
+    * bucket % 4096 — the q333 bound: the grid is 4096 rows per
+    * source at ANY vocabulary size), with add-one smoothing so
+    * empty buckets are priced. Determinism treatment: TV's per-
+    * bucket term |p_s − p| is put over the common denominator
+    * (n_s+V)(N+V) so the numerator is EXACT integer cross-
+    * multiplication, summed exactly; one final correctly-rounded
+    * double division produces tv_ppm — no transcendental (KL's ln)
+    * ever runs, so both engines agree bit-for-bit. Shapes: one
+    * narrow explode, three hash aggs, a bounded |sources|×4096 grid
+    * (broadcast range + broadcast bucket totals), one source
+    * roll-up. */
+  def sourceDivergence(s: SparkSession, dir: String,
+      buckets: Int = 4096): DataFrame = {
+    val v = buckets.toLong
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .withColumn("b", pmod(Sampling.hashBucket(col("w")), lit(v)))
+      .select(col("source"), col("b"))
+    val srcCnt = toks.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c_sb"))
+    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val corpusCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val corpusTot = toks.agg(count(lit(1)).as("n"))
+    srcTot
+      .crossJoin(broadcast(s.range(buckets).select(col("id").as("b"))))
+      .join(srcCnt, Seq("source", "b"), "left")
+      .join(broadcast(corpusCnt), Seq("b"), "left")
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("c_sb", coalesce(col("c_sb"), lit(0L)))
+      .withColumn("c_b", coalesce(col("c_b"), lit(0L)))
+      .withColumn("num", abs(
+        (col("c_sb") + lit(1L)) * (col("n") + lit(v)) -
+        (col("c_b") + lit(1L)) * (col("n_s") + lit(v))))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), max(col("n")).as("n"),
+        sum(col("num")).as("ss"),
+        sum(when(col("c_sb") > 0L, 1L).otherwise(0L)).as("n_buckets"))
+      .withColumn("tv_ppm", round(lit(1e6) * col("ss").cast("double") /
+        (lit(2.0) * (col("n_tokens") + lit(v)).cast("double") *
+          (col("n") + lit(v)).cast("double"))).cast("long"))
+      .select(col("source"), col("n_tokens"), col("n_buckets"),
+        col("tv_ppm"))
+  }
+
   def ragPack(s: SparkSession, dir: String, k: Int = 3,
       budget: Long = 512L): DataFrame = {
     val hits = Similarity.ivfTopK(s, dir, k = k)

@@ -1169,4 +1169,43 @@ object Similarity {
         coalesce(col("n_dup_earlier"), lit(0L)).as("n_dup_earlier"),
         (coalesce(col("n_dup_earlier"), lit(0L)) > 0L).as("removed"))
   }
+
+  /** q354: GREEDY K-CENTER CORESET (round-11) — the data-pruning
+    * selection the coreset literature uses (Sener & Savarese's
+    * k-center greedy, the backbone of diversity-first subset
+    * selection): seed with the smallest vec_id, then k−1 rounds of
+    * "pick the point FARTHEST from everything selected" — each
+    * selection's distance is the covering radius the next center
+    * removes, so the emitted (order, id, d²) rows ARE the pruning
+    * curve a data lead reads to pick the subset size. Exactness:
+    * distances are exact integer squared-L2 on the quantized
+    * vectors (d² = n²_a + n²_b − 2·dot, all BIGINT), ties broken
+    * by vec_id — bit-deterministic on both engines; the oracle
+    * unrolls the identical greedy rounds. Cost shape: k scans, each
+    * one narrow distance column + a TakeOrdered(1) — O(n·k) total,
+    * the textbook bound; the per-round argmax row is a bounded
+    * driver decision (one row per round, the documented
+    * driver-decision pattern), never a data-scale collect. */
+  def kcenterCoreset(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val m = quantized(s, dir)
+    def d2To(cv: Array[Long], cn2: Long) =
+      (col("n2") + lit(cn2) - lit(2L) * dotQ(col("v"), lit(cv))).cast("long")
+    val seed = m.orderBy(col("vec_id")).limit(1).collect()(0)
+    def vecOf(r: org.apache.spark.sql.Row): Array[Long] =
+      r.getAs[scala.collection.Seq[Long]]("v").toArray
+    var selected = List((seed.getAs[Long]("vec_id"), 0L))
+    var cur = m.withColumn("mind2",
+      d2To(vecOf(seed), seed.getAs[Long]("n2")))
+    for (_ <- 1 until k) {
+      val nxt = cur.orderBy(col("mind2").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      selected ::= (nxt.getAs[Long]("vec_id"), nxt.getAs[Long]("mind2"))
+      cur = cur.withColumn("mind2", least(col("mind2"),
+        d2To(vecOf(nxt), nxt.getAs[Long]("n2"))))
+    }
+    import s.implicits._
+    selected.reverse.zipWithIndex
+      .map { case ((id, d2), i) => (i.toLong, id, d2) }
+      .toDF("sel_order", "vec_id", "d2")
+  }
 }

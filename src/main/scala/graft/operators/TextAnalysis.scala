@@ -1070,6 +1070,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** q352: NEGATIVE-SAMPLING TABLE (round-11) — q351's companion
+    * word2vec artifact (Mikolov et al. 2013): negatives are drawn
+    * from the unigram distribution raised to the 3/4 power — the
+    * published exponent that lifts rare words without letting "the"
+    * dominate. Determinism treatment: cnt^0.75 is computed as
+    * √(cnt·√cnt) — two correctly-rounded IEEE sqrts and one product,
+    * NEVER libm pow (whose last-ulp differs across engines) — then
+    * micro-rounded to an integer weight BEFORE normalization, so the
+    * ppm probabilities are exact integer division on both engines.
+    * Output: the top-k rows of the sampling table (word, count,
+    * fixed-point weight, probability ppm, cumulative ppm — the
+    * cumulative column IS the inverse-CDF lookup a sampler binary-
+    * searches). Shapes: one explode + hash agg, scalar total
+    * broadcast back, bounded TakeOrdered cut; the in-frame running
+    * total windows over k rows, never the vocabulary. */
+  def negativeSampling(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val wt = freq.withColumn("w_fixed",
+      round(sqrt(col("cnt") * sqrt(col("cnt"))) * 1e6).cast("long"))
+    val tot = wt.agg(sum(col("w_fixed")).as("tot"))
+    wt.crossJoin(broadcast(tot))
+      .withColumn("prob_ppm", expr("w_fixed * 1000000 div tot"))
+      .select(col("w"), col("cnt"), col("w_fixed"), col("prob_ppm"))
+      .orderBy(col("cnt").desc, col("w")).limit(k)
+      .withColumn("cum_ppm", sum(col("prob_ppm")).over(
+        Window.orderBy(col("cnt").desc, col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   def ngramContamination(s: SparkSession, dir: String,
       n: Int = 13): DataFrame = {
     val grams = Tables.documents(s, dir)

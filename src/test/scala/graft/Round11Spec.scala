@@ -395,6 +395,43 @@ class Round11Spec extends SparkSpec {
     assert(ns.forall(_ >= 1L))
   }
 
+  test("q352: sampling table is normalized, ordered, and on the integer grid") {
+    val r = graft.operators.TextAnalysis.negativeSampling(spark, sfDir).collect()
+    assert(r.length === 30)
+    val cnts = r.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    var run = 0L
+    for (x <- r) {
+      assert(x.getAs[Long]("prob_ppm") <= 1000000L)
+      run += x.getAs[Long]("prob_ppm")
+      assert(x.getAs[Long]("cum_ppm") === run)
+    }
+    assert(run <= 1000000L)
+  }
+
+  test("q353: TV distance is a bounded ppm and bucket coverage is sane") {
+    val r = graft.operators.Pipeline.sourceDivergence(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    for (x <- r) {
+      val tv = x.getAs[Long]("tv_ppm")
+      assert(tv >= 0L && tv <= 1000000L)
+      val nb = x.getAs[Long]("n_buckets")
+      assert(nb >= 1L && nb <= 4096L)
+      assert(x.getAs[Long]("n_tokens") >= nb)
+    }
+  }
+
+  test("q354: covering radii are nonincreasing and centers distinct") {
+    val r = graft.operators.Similarity.kcenterCoreset(spark, sfDir)
+      .orderBy(col("sel_order")).collect()
+    assert(r.length === 4)
+    assert(r.map(_.getAs[Long]("vec_id")).distinct.length === 4)
+    assert(r(0).getAs[Long]("d2") === 0L)
+    val radii = r.drop(1).map(_.getAs[Long]("d2"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(radii.forall(_ >= 0L))
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
