@@ -373,6 +373,10 @@ object SparkEntry {
     "q353_source_divergence" ->
       ((s, d) => Pipeline.sourceDivergence(s, d)),
     "q354_kcenter_coreset"  -> ((s, d) => Similarity.kcenterCoreset(s, d)),
+    "q355_domain_transfer"  -> ((s, d) => Pipeline.domainTransferMatrix(s, d)),
+    "q356_link_prediction"  -> ((s, d) => Relational.linkPrediction(s, d)),
+    "q357_association_rules" ->
+      ((s, d) => Relational.associationRules(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -6269,6 +6273,80 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, mind2 FROM c2
         |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, mind2 FROM c3""".stripMargin
     },
+    // q355: per-bucket surprisal micro-rounded BEFORE the
+    // multiply-accumulate; all-positive integer mean.
+    "q355_domain_transfer" ->
+      s"""WITH bg AS (SELECT source, ${hex8Sql("bg")} % 4096 AS b
+        | FROM (SELECT source, unnest(list_transform(
+        |    range(len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i+1] || ' ' ||
+        |      string_split(text, ' ')[i+2])) AS bg
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+        |cn AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        | FROM bg GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        | FROM bg GROUP BY 1),
+        |gr AS (SELECT s2.source, s2.n, s2.b, coalesce(cn.c, 0) AS c
+        | FROM (SELECT ns.source, ns.n, r.b FROM ns
+        |   CROSS JOIN (SELECT unnest(range(4096)) AS b) r) s2
+        | LEFT JOIN cn ON cn.source = s2.source AND cn.b = s2.b),
+        |lm AS (SELECT source AS src_lm, b,
+        |  CAST(round(1000000 * log10(CAST(n + 4096 AS DOUBLE)
+        |    / CAST(c + 1 AS DOUBLE))) AS BIGINT) AS nlogp
+        | FROM gr),
+        |x AS (SELECT g.source AS src_corpus, lm.src_lm,
+        |  max(g.n) AS n_r, sum(g.c * lm.nlogp) AS ssum
+        | FROM gr g JOIN lm ON g.b = lm.b GROUP BY 1, 2),
+        |y AS (SELECT src_corpus, src_lm,
+        |  CAST(ssum // n_r AS BIGINT) AS xent_e6 FROM x),
+        |z AS (SELECT *, row_number() OVER (PARTITION BY src_corpus
+        |  ORDER BY xent_e6, src_lm) AS rn FROM y)
+        |SELECT src_corpus, src_lm, xent_e6, rn = 1 AS is_best_lm
+        |FROM z""".stripMargin,
+    // q356: wedge candidates at distance 2 in the co-purchase
+    // graph, anti-joined against the q141 edge set; neighbor-
+    // Jaccard in exact integer ppm.
+    "q356_link_prediction" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |c AS (SELECT a.l_partkey AS d1, b.l_partkey AS d2
+        | FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION ALL SELECT d2, d1 FROM c),
+        |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+        | FROM adj GROUP BY 1),
+        |w AS (SELECT a.u AS v, b.u AS u, CAST(count(*) AS BIGINT) AS common
+        | FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u GROUP BY 1, 2),
+        |ne AS (SELECT w.v, w.u, w.common FROM w
+        | LEFT JOIN c ON c.d1 = w.v AND c.d2 = w.u WHERE c.d1 IS NULL)
+        |SELECT ne.v AS part_a, ne.u AS part_b, common, dv.deg AS deg_v,
+        | du.deg AS deg_u,
+        | CAST(common * 1000000 // (dv.deg + du.deg - common) AS BIGINT)
+        |  AS jacc_ppm
+        |FROM ne JOIN dg dv ON dv.v = ne.v JOIN dg du ON du.v = ne.u
+        |ORDER BY jacc_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // q357: directional rules; confidence/support exact ppm, lift
+    // through HUGEINT (q256's overflow treatment).
+    "q357_association_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |fr AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+        | FROM it GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |  AS n_orders FROM it),
+        |p AS (SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        | FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey <> b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT antecedent, consequent, n_both,
+        | CAST(n_both * 1000000 // n_orders AS BIGINT) AS support_ppm,
+        | CAST(n_both * 1000000 // fa.f AS BIGINT) AS confidence_ppm,
+        | CAST(CAST(n_both AS HUGEINT) * n_orders * 1000000
+        |  // (CAST(fa.f AS HUGEINT) * fc.f) AS BIGINT) AS lift_micro
+        |FROM p JOIN fr fa ON fa.l_partkey = antecedent
+        | JOIN fr fc ON fc.l_partkey = consequent CROSS JOIN t
+        |ORDER BY confidence_ppm DESC, lift_micro DESC,
+        | antecedent, consequent LIMIT 20""".stripMargin,
     // q324: the maintained index must EQUAL the full recompute —
     // the oracle is q318's recursive BFS over ALL edges (the 80/20
     // split is internal to the incremental path; decrease-only

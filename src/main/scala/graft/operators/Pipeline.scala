@@ -712,6 +712,54 @@ object Pipeline {
         col("tv_ppm"))
   }
 
+  /** q355: DOMAIN-TRANSFER MATRIX (round-11) — the |S|×|S| cross-
+    * entropy table "corpus of source r scored under source t's LM"
+    * that domain-weighting work reads (Paloma-style domain
+    * perplexity grids, CCNet's domain filters): the diagonal should
+    * be each row's minimum (a source models itself best) and a
+    * small off-diagonal entry means t's data can stand in for r's.
+    * LM = q333's hashed-bigram bucket model (md5 % 4096, add-one
+    * smoothed — 4096 rows per source at ANY vocabulary); entry
+    * (r,t) = Σ_b c_r(b)·surprisal_t(b) / n_r. Determinism: the
+    * surprisal log10((n_t+V)/(c_t+1)) is ONE fixed IEEE expression
+    * of exact integers, micro-rounded to an integer PER BUCKET
+    * before the multiply-accumulate, so the sum is exact integer
+    * arithmetic in any order and the mean is one positive integer
+    * division. Shapes: one bigram explode + hash agg, a bounded
+    * |S|×4096 zero-filled grid, one b-keyed join producing the
+    * |S|²×4096 bounded product, one roll-up; is_best_lm = the
+    * (xent, lm) min-struct per corpus row. */
+  def domainTransferMatrix(s: SparkSession, dir: String,
+      buckets: Int = 4096): DataFrame = {
+    val v = buckets.toLong
+    val bg = Tables.documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("source"), explode(bigrams2(col("text"))).as("bg"))
+      .withColumn("b", pmod(Sampling.hashBucket(col("bg")), lit(v)))
+    val cnt = bg.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val nS = bg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val grid = nS
+      .crossJoin(broadcast(s.range(buckets).select(col("id").as("b"))))
+      .join(cnt, Seq("source", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val lm = grid.select(col("source").as("src_lm"), col("b"),
+      round(lit(1e6) * log10((col("n") + lit(v)).cast("double") /
+        (col("c") + lit(1L)).cast("double"))).cast("long").as("nlogp_e6"))
+    val xent = grid
+      .select(col("source").as("src_corpus"), col("b"), col("c"), col("n"))
+      .join(lm, "b")
+      .groupBy(col("src_corpus"), col("src_lm"))
+      .agg(max(col("n")).as("n_r"),
+        sum(col("c") * col("nlogp_e6")).as("ssum"))
+      .withColumn("xent_e6", expr("ssum div n_r"))
+    xent
+      .withColumn("best", min(struct(col("xent_e6"), col("src_lm")))
+        .over(Window.partitionBy(col("src_corpus"))))
+      .select(col("src_corpus"), col("src_lm"), col("xent_e6"),
+        (col("best.xent_e6") === col("xent_e6") &&
+          col("best.src_lm") === col("src_lm")).as("is_best_lm"))
+  }
+
   def ragPack(s: SparkSession, dir: String, k: Int = 3,
       budget: Long = 512L): DataFrame = {
     val hits = Similarity.ivfTopK(s, dir, k = k)

@@ -378,6 +378,91 @@ object Relational {
     * window is the shape this replaces at serving scale).
     * Deterministic total order: lift desc, partner id asc. Output:
     * (part, rank, partner, lift_micro). */
+  /** q356: LINK PREDICTION on the co-purchase graph (round-11) —
+    * the classic neighbor-Jaccard predictor (Liben-Nowell &
+    * Kleinberg) pointed at the recommender's question q141/q256
+    * cannot answer: which part pairs have NEVER co-occurred in an
+    * order yet share many co-purchase partners — the cross-sell
+    * candidates an "also bought" widget should trial next. (The
+    * near-dup doc graph is the wrong substrate here: its clusters
+    * are cliques — every 2-hop pair is already an edge — so the
+    * non-edge candidate set is empty by construction; the
+    * co-purchase graph is sparse and wedge-rich.) score =
+    * |N(a)∩N(b)| / |N(a)∪N(b)| in exact integer ppm over the q141
+    * edge set (pairs with ≥ minPairs shared orders). Shapes: the
+    * bounded per-order pair fan-out, wedge join bounded by Σ deg²
+    * (q129's triangle budget), an anti-join against the edges, two
+    * degree joins, bounded TakeOrdered top-k. Never all-pairs:
+    * candidates only exist at distance 2. */
+  def linkPrediction(s: SparkSession, dir: String,
+      minPairs: Long = 2L, k: Int = 20): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("d1"), col("b.l_partkey").as("d2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPairs)
+      .select(col("d1"), col("d2"))
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+      .localCheckpoint() // edge pairs are distinct by construction
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.toDF("m", "v")
+      .join(adj.toDF("m", "u").hint("shuffle_hash"), "m")
+      .filter(col("v") < col("u"))
+      .groupBy(col("v"), col("u")).agg(count(lit(1)).as("common"))
+    wedges.join(edges.toDF("v", "u"), Seq("v", "u"), "left_anti")
+      .join(deg.toDF("v", "deg_v").hint("shuffle_hash"), "v")
+      .join(deg.toDF("u", "deg_u").hint("shuffle_hash"), "u")
+      .withColumn("jacc_ppm",
+        expr("common * 1000000 div (deg_v + deg_u - common)"))
+      .select(col("v").as("part_a"), col("u").as("part_b"), col("common"),
+        col("deg_v"), col("deg_u"), col("jacc_ppm"))
+      .orderBy(col("jacc_ppm").desc, col("part_a"), col("part_b")).limit(k)
+  }
+
+  /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
+    * of q141/q256: a rule a→b carries support (how often the pair
+    * occurs at all), CONFIDENCE (p(b|a) — the number a "customers
+    * who bought X also bought" widget is actually thresholded on;
+    * asymmetric, unlike lift), and lift (confidence vs b's base
+    * rate). All three exact integer ppm/micro — confidence =
+    * n_both·10⁶ div f(a), lift through Decimal(38,0) products
+    * (q256's overflow treatment). Shapes: one distinct, the bounded
+    * per-order pair fan-out BOTH directions (C(k,2)·2 — the q141
+    * budget), two frequency joins, scalar total broadcast, bounded
+    * TakeOrdered top-k by (confidence desc, lift desc, ids). */
+  def associationRules(s: SparkSession, dir: String,
+      minPairs: Long = 2L, k: Int = 20): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+    val total = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("antecedent"),
+        col("b.l_partkey").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairs)
+      .join(freq.toDF("antecedent", "fa").hint("shuffle_hash"), "antecedent")
+      .join(freq.toDF("consequent", "fc").hint("shuffle_hash"), "consequent")
+      .crossJoin(broadcast(total))
+      .withColumn("support_ppm", expr("n_both * 1000000 div n_orders"))
+      .withColumn("confidence_ppm", expr("n_both * 1000000 div fa"))
+      .withColumn("lift_micro", expr(
+        "cast(cast(n_both as decimal(38,0)) * n_orders * 1000000" +
+          " div (cast(fa as decimal(38,0)) * fc) as bigint)"))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("support_ppm"), col("confidence_ppm"), col("lift_micro"))
+      .orderBy(col("confidence_ppm").desc, col("lift_micro").desc,
+        col("antecedent"), col("consequent")).limit(k)
+  }
+
   def copurchaseTopK(s: SparkSession, dir: String, k: Int = 3,
       minPairs: Long = 2L): DataFrame = {
     import graft.functions.TopK

@@ -432,6 +432,49 @@ class Round11Spec extends SparkSpec {
     assert(radii.forall(_ >= 0L))
   }
 
+  test("q355: matrix is square and the diagonal is every row's best LM") {
+    val r = graft.operators.Pipeline.domainTransferMatrix(spark, sfDir).collect()
+    val srcs = r.map(_.getAs[String]("src_corpus")).distinct
+    assert(r.length === srcs.length * srcs.length)
+    for (src <- srcs) {
+      val row = r.filter(_.getAs[String]("src_corpus") == src)
+      val best = row.filter(_.getAs[Boolean]("is_best_lm"))
+      assert(best.length === 1)
+      assert(best.head.getAs[String]("src_lm") === src,
+        s"source $src not best modeled by itself")
+      assert(row.forall(_.getAs[Long]("xent_e6") > 0L))
+    }
+  }
+
+  test("q356: predictions are genuine non-edges with positive overlap") {
+    val r = graft.operators.Relational.linkPrediction(spark, sfDir).collect()
+    assert(r.length === 20)
+    val edges = graft.operators.Relational.associationRules(spark, sfDir, k = Int.MaxValue)
+      .select(col("antecedent"), col("consequent")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    for (x <- r) {
+      val (a, b) = (x.getAs[Long]("part_a"), x.getAs[Long]("part_b"))
+      assert(a < b)
+      assert(!edges.contains((a, b)) && !edges.contains((b, a)))
+      val c = x.getAs[Long]("common")
+      assert(c >= 1L && c <= math.min(x.getAs[Long]("deg_v"), x.getAs[Long]("deg_u")))
+      assert(x.getAs[Long]("jacc_ppm") <= 1000000L)
+    }
+  }
+
+  test("q357: confidence dominates support and lift is consistent") {
+    val r = graft.operators.Relational.associationRules(spark, sfDir).collect()
+    assert(r.length === 20)
+    for (x <- r) {
+      assert(x.getAs[Long]("confidence_ppm") >= x.getAs[Long]("support_ppm"))
+      assert(x.getAs[Long]("confidence_ppm") <= 1000000L)
+      assert(x.getAs[Long]("n_both") >= 2L)
+      assert(x.getAs[Long]("lift_micro") > 0L)
+    }
+    val confs = r.map(_.getAs[Long]("confidence_ppm"))
+    assert(confs.zip(confs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
