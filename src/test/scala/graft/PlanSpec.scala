@@ -408,6 +408,35 @@ class PlanSpec extends SparkSpec {
     assert(ex339.size <= 1, s"q339 shuffles ${ex339.size}x")
   }
 
+  test("round-11 late additions: bounded grids, equi-join wedges, TakeOrdered cuts") {
+    // q352/q351/q356/q357: the top-k cut must be TakeOrdered (bounded
+    // per-partition heaps), never a global Sort of the full frame
+    for ((name, df) <- Seq(
+        "q351" -> TextAnalysis.skipgramPairs(spark, sfDir),
+        "q356" -> Relational.linkPrediction(spark, sfDir),
+        "q357" -> Relational.associationRules(spark, sfDir))) {
+      assert(plan(df).contains("TakeOrderedAndProject"),
+        s"$name lost its TakeOrdered cut")
+    }
+    // q353/q355: the |S|×4096 grid rides broadcasts — the only
+    // nested-loop joins are the bounded range/scalar frames
+    for ((name, df) <- Seq(
+        "q353" -> Pipeline.sourceDivergence(spark, sfDir),
+        "q355" -> Pipeline.domainTransferMatrix(spark, sfDir))) {
+      assert(!plan(df).contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+    // q354: each greedy round is one narrow distance column — the
+    // per-round frame never shuffles (argmax is a TakeOrdered(1))
+    val q354 = Similarity.kcenterCoreset(spark, sfDir)
+    assert(q354.count() === 4L)
+    // q350: signature joins keep the hash shape (ids shuffle, never
+    // a sorted corpus side)
+    val p350 = plan(Dedup.minhashEstimatorAudit(spark, sfDir))
+    assert(p350.contains("ShuffledHashJoin") || p350.contains("BroadcastHashJoin"),
+      "q350 signature join lost its hash-join shape")
+  }
+
   test("queries stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the per-row hot paths of scan-shaped queries must be codegen'd
