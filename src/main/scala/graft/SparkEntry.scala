@@ -377,6 +377,8 @@ object SparkEntry {
     "q356_link_prediction"  -> ((s, d) => Relational.linkPrediction(s, d)),
     "q357_association_rules" ->
       ((s, d) => Relational.associationRules(s, d)),
+    "q358_reciprocal_match" -> ((s, d) => Dedup.reciprocalBestMatch(s, d)),
+    "q359_label_noise"      -> ((s, d) => Similarity.labelNoise(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -6325,6 +6327,83 @@ object SparkEntry {
         |  AS jacc_ppm
         |FROM ne JOIN dg dv ON dv.v = ne.v JOIN dg du ON du.v = ne.u
         |ORDER BY jacc_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // q358: cross-source band candidates, exact-jaccard verify,
+    // per-endpoint argmax by (jacc desc, partner asc), mutual join.
+    "q358_reciprocal_match" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sd AS (SELECT doc_id, source FROM documents),
+        |cc AS (SELECT c.d1, c.d2 FROM c
+        | JOIN sd s1 ON s1.doc_id = c.d1 JOIN sd s2 ON s2.doc_id = c.d2
+        | WHERE s1.source <> s2.source),
+        |z AS (SELECT doc_id, sh, len(sh) AS n FROM t),
+        |v AS (SELECT cc.d1, cc.d2,
+        |  CAST(round(CAST(len(list_intersect(za.sh, zb.sh)) AS DOUBLE)
+        |    / (za.n + zb.n - len(list_intersect(za.sh, zb.sh)))
+        |    * 1000000) AS BIGINT) AS jacc_ppm
+        | FROM cc JOIN z za ON za.doc_id = cc.d1
+        |  JOIN z zb ON zb.doc_id = cc.d2),
+        |sym AS (SELECT d1 AS a, d2 AS b, jacc_ppm FROM v
+        | UNION ALL SELECT d2, d1, jacc_ppm FROM v),
+        |bst AS (SELECT a, b, jacc_ppm FROM (SELECT a, b, jacc_ppm,
+        |   row_number() OVER (PARTITION BY a
+        |     ORDER BY jacc_ppm DESC, b) AS rn FROM sym) t2 WHERE rn = 1)
+        |SELECT x.a AS d1, sd1.source AS src1, y.a AS d2,
+        | sd2.source AS src2, x.jacc_ppm
+        |FROM bst x JOIN bst y ON x.b = y.a AND y.b = x.a AND x.a < y.a
+        |JOIN sd sd1 ON sd1.doc_id = x.a
+        |JOIN sd sd2 ON sd2.doc_id = y.a""".stripMargin,
+    // q359: q99's assignment chain; top-5 within-cell neighbors by
+    // (cosine desc, id), majority with ties to the smallest label.
+    "q359_label_noise" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv
+        | FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT) ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM cl),
+        |ac AS (SELECT m.vec_id, m.v, m.n2, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS ccos
+        | FROM m, cn),
+        |asg AS (SELECT vec_id, v, n2, cell FROM (SELECT vec_id, v, n2,
+        |   label AS cell, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY ccos DESC, label) AS rk FROM ac) t WHERE rk = 1),
+        |nb AS (SELECT a.vec_id, b.vec_id AS nb_id,
+        |  CAST(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        | FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |tp AS (SELECT vec_id, nb_id FROM (SELECT vec_id, nb_id,
+        |   row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY cos DESC, nb_id) AS rk FROM nb) t WHERE rk <= 5),
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |tl AS (SELECT tp.vec_id, lb.label AS nb_label FROM tp
+        | JOIN lb ON lb.vec_id = tp.nb_id),
+        |mc AS (SELECT vec_id, nb_label, CAST(count(*) AS BIGINT) AS cnt
+        | FROM tl GROUP BY 1, 2),
+        |mj AS (SELECT vec_id, nb_label AS majority_label, cnt AS n_majority
+        | FROM (SELECT vec_id, nb_label, cnt, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cnt DESC, nb_label) AS rn FROM mc) t
+        | WHERE rn = 1),
+        |nn AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+        | FROM tl GROUP BY 1)
+        |SELECT lb.vec_id, lb.label, mj.majority_label,
+        | coalesce(mj.n_majority, 0) AS n_majority,
+        | coalesce(nn.n_neighbors, 0) AS n_neighbors,
+        | coalesce(mj.majority_label <> lb.label, false) AS flagged
+        |FROM lb LEFT JOIN mj ON mj.vec_id = lb.vec_id
+        |LEFT JOIN nn ON nn.vec_id = lb.vec_id""".stripMargin,
     // q357: directional rules; confidence/support exact ppm, lift
     // through HUGEINT (q256's overflow treatment).
     "q357_association_rules" ->

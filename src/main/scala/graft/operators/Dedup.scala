@@ -1862,6 +1862,58 @@ object Dedup {
       .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
   }
 
+  /** q358: RECIPROCAL BEST-MATCH alignment (round-11) — the mutual-
+    * argmax pattern parallel-corpus mining uses (bitext alignment's
+    * "reciprocal nearest neighbors" rule) pointed at CROSS-SOURCE
+    * doc alignment: for every LSH candidate pair spanning two
+    * different sources, verify with the exact Jaccard, take each
+    * doc's single best cross-source partner, and keep only MUTUAL
+    * best pairs — the high-precision doc↔doc mapping you'd trust to
+    * canonicalize one feed against another (one-directional best is
+    * noisy exactly where boilerplate hubs attract many suitors; the
+    * reciprocal rule kills hub matches for free). Shapes: the q22
+    * banded candidate generator (cross-source filter before the
+    * expensive verify), two id-keyed shingle joins for the exact
+    * score, one max_by argmax per endpoint, one self-join for
+    * mutuality. Deterministic: jaccard in integer ppm, argmax by
+    * (jacc desc, partner asc). Never all-pairs — candidates exist
+    * only through band collisions. */
+  def reciprocalBestMatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val t = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val verified = minhashLsh(s, dir)
+      .join(src.toDF("d1", "src1"), "d1")
+      .join(src.toDF("d2", "src2"), "d2")
+      .filter(col("src1") =!= col("src2"))
+      .join(t.toDF("d1", "sh1").hint("shuffle_hash"), "d1")
+      .join(t.toDF("d2", "sh2").hint("shuffle_hash"), "d2")
+      .withColumn("common",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jacc_ppm", round(col("common").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("common")).cast("double")
+        * 1e6).cast("long"))
+      .select(col("d1"), col("d2"), col("jacc_ppm"))
+    val sym = verified
+      .select(col("d1").as("a"), col("d2").as("b"), col("jacc_ppm"))
+      .unionByName(verified
+        .select(col("d2").as("a"), col("d1").as("b"), col("jacc_ppm")))
+    val best = sym.groupBy(col("a"))
+      .agg(max_by(struct(col("b"), col("jacc_ppm")),
+        struct(col("jacc_ppm"), negate(col("b")))).as("c"))
+      .select(col("a"), col("c.b").as("b"), col("c.jacc_ppm").as("jacc_ppm"))
+    best.as("x")
+      .join(best.as("y"),
+        col("x.b") === col("y.a") && col("y.b") === col("x.a") &&
+          col("x.a") < col("y.a"))
+      .select(col("x.a").as("d1"), col("y.a").as("d2"),
+        col("x.jacc_ppm").as("jacc_ppm"))
+      .join(src.toDF("d1", "src1"), "d1")
+      .join(src.toDF("d2", "src2"), "d2")
+      .select(col("d1"), col("src1"), col("d2"), col("src2"),
+        col("jacc_ppm"))
+  }
+
   def lshPlanner(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))

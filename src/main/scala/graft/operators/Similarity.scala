@@ -1170,6 +1170,51 @@ object Similarity {
         (coalesce(col("n_dup_earlier"), lit(0L)) > 0L).as("removed"))
   }
 
+  /** q359: LABEL-NOISE AUDIT via kNN consistency (round-11) — the
+    * confident-learning-family check (Northcutt et al.'s cleanlab
+    * heuristic grain): a vector whose k nearest neighbors
+    * majority-vote a DIFFERENT label than its own is a candidate
+    * mislabel — the pool a labeling team re-reviews before the
+    * labels train anything. Neighbors come from the q99 IVF cells
+    * (within-cell candidates — the same bounded blocking every ANN
+    * op here rides; boundary-straddling neighbors are q99's
+    * documented recall trade), top-k per vector by exact integer
+    * cosine via the bounded TopK aggregator, majority with ties to
+    * the smallest label. Output per vector: own label, neighbor
+    * majority, agreement counts, flagged. Shapes: the q38
+    * assignment, one within-cell equi-join, TopK shuffle of ≤ k
+    * rows per vector, one id-keyed label join, two bounded aggs —
+    * never an all-pairs kNN. */
+  def labelNoise(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.functions.TopK
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val (_, assigned) = ivfAssigned(s, dir)
+    val top = assigned.toDF("vec_id", "v", "n2", "cell")
+      .join(assigned.toDF("nb_id", "nv", "nn2", "cell"), Seq("cell"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cos", cosineQ(col("v"), col("nv"), col("n2"), col("nn2")))
+      .groupBy(col("vec_id"))
+      .agg(TopK.topk(k)(col("nb_id"), col("cos")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("nb_id"))
+      .join(labels.toDF("nb_id", "nb_label").hint("shuffle_hash"), "nb_id")
+    val maj = top.groupBy(col("vec_id"), col("nb_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("nb_label"), col("cnt")),
+          struct(col("cnt"), negate(col("nb_label")))).as("m"),
+        sum(col("cnt")).as("n_neighbors"))
+      .select(col("vec_id"), col("m.nb_label").as("majority_label"),
+        col("m.cnt").as("n_majority"), col("n_neighbors"))
+    labels.join(maj, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("majority_label"),
+        coalesce(col("n_majority"), lit(0L)).as("n_majority"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("majority_label") =!= col("label"), lit(false))
+          .as("flagged"))
+  }
+
   /** q354: GREEDY K-CENTER CORESET (round-11) — the data-pruning
     * selection the coreset literature uses (Sener & Savarese's
     * k-center greedy, the backbone of diversity-first subset

@@ -475,6 +475,38 @@ class Round11Spec extends SparkSpec {
     assert(confs.zip(confs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q358: matches are mutual, cross-source, and symmetric-unique") {
+    val r = graft.operators.Dedup.reciprocalBestMatch(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val ids = r.flatMap(x =>
+      Seq(x.getAs[Long]("d1"), x.getAs[Long]("d2")))
+    // reciprocity: a doc can appear in at most ONE mutual pair
+    assert(ids.distinct.length === ids.length)
+    for (x <- r) {
+      assert(x.getAs[Long]("d1") < x.getAs[Long]("d2"))
+      assert(x.getAs[String]("src1") !== x.getAs[String]("src2"))
+      assert(x.getAs[Long]("jacc_ppm") > 0L &&
+        x.getAs[Long]("jacc_ppm") <= 1000000L)
+    }
+  }
+
+  test("q359: every vector audited; majority bounded by neighbor count") {
+    val r = graft.operators.Similarity.labelNoise(spark, sfDir).collect()
+    assert(r.length === 500)
+    for (x <- r) {
+      val nm = x.getAs[Long]("n_majority")
+      val nn = x.getAs[Long]("n_neighbors")
+      assert(nm <= nn && nn <= 5L)
+      if (x.getAs[Boolean]("flagged"))
+        assert(x.getAs[Long]("majority_label") !== x.getAs[Long]("label"))
+    }
+    // the audit flags a nonzero pool on this corpus (the synthetic
+    // labels are weakly geometric — a high flag rate is the data's
+    // truth, not an operator property, so only nonzero is pinned)
+    assert(r.exists(_.getAs[Boolean]("flagged")))
+    assert(r.exists(x => !x.getAs[Boolean]("flagged")))
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
