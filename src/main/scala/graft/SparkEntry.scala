@@ -379,6 +379,7 @@ object SparkEntry {
       ((s, d) => Relational.associationRules(s, d)),
     "q358_reciprocal_match" -> ((s, d) => Dedup.reciprocalBestMatch(s, d)),
     "q359_label_noise"      -> ((s, d) => Similarity.labelNoise(s, d)),
+    "q360_minhash_k_sweep"  -> ((s, d) => Dedup.minhashKSweep(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -6327,6 +6328,42 @@ object SparkEntry {
         |  AS jacc_ppm
         |FROM ne JOIN dg dv ON dv.v = ne.v JOIN dg du ON du.v = ne.u
         |ORDER BY jacc_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // q360: q350's pairs estimated from the first k of 8 hashes;
+    // per-pair micro-rounding, integer means (order-free).
+    "q360_minhash_k_sweep" -> {
+      def mSql(k: Int) = "CAST(" + (0 until k).map(i =>
+        s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT)"
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |cp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t),
+        |ex AS (SELECT d1, d2,
+        |  CAST(common AS DOUBLE) / (za.n + zb.n - common) AS jaccard
+        | FROM cp JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        | WHERE CAST(common AS DOUBLE) / (za.n + zb.n - common) >= 0.5),
+        |m AS (SELECT ex.jaccard, ${mSql(2)} AS m2, ${mSql(4)} AS m4,
+        |  ${mSql(8)} AS m8
+        | FROM ex JOIN sig a ON ex.d1 = a.doc_id
+        | JOIN sig b ON ex.d2 = b.doc_id),
+        |st AS (SELECT jaccard, CAST(2 AS BIGINT) AS k, m2 AS mm FROM m
+        | UNION ALL SELECT jaccard, 4, m4 FROM m
+        | UNION ALL SELECT jaccard, 8, m8 FROM m),
+        |er AS (SELECT k,
+        |  abs(mm * (1000000 // k) - CAST(round(jaccard * 1000000) AS BIGINT))
+        |   AS err,
+        |  CAST(round(sqrt(jaccard * (1 - jaccard) / k) * 1000000) AS BIGINT)
+        |   AS asd
+        | FROM st)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(err) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+        | max(err) AS max_abs_err_ppm,
+        | CAST(sum(asd) // count(*) AS BIGINT) AS analytic_sd_ppm
+        |FROM er GROUP BY k""".stripMargin
+    },
     // q358: cross-source band candidates, exact-jaccard verify,
     // per-endpoint argmax by (jacc desc, partner asc), mutual join.
     "q358_reciprocal_match" ->

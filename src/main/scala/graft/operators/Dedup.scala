@@ -1914,6 +1914,45 @@ object Dedup {
         col("jacc_ppm"))
   }
 
+  /** q360: MINHASH k-SWEEP (round-11) — q350 measured the 8-hash
+    * estimator's error; this measures the LAW it obeys: the same
+    * ground-truth pairs estimated from the FIRST k of the 8 hashes
+    * for k ∈ {2,4,8} (a prefix of a fixed hash family is itself a
+    * valid family — no re-hashing), mean/max absolute error per k
+    * next to the analytic σ = √(j(1−j)/k), per-pair micro-rounded
+    * then integer-averaged so the aggregate is order-free. The
+    * measured-vs-analytic agreement is what licenses extrapolating
+    * to k=64 at 100 TB WITHOUT running k=64 — the sweep is the
+    * evidence the q342 planner's S-curve arithmetic rests on. Cost:
+    * ONE pass over the q350 join (all three match counts computed
+    * from the same signature arrays, stacked) + one 3-row agg. */
+  def minhashKSweep(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .withColumn("hs",
+        org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
+      .select(col("doc_id"), col("hs"))
+    def matches(k: Int) = expr(
+      s"cast(size(filter(zip_with(slice(h1, 1, $k), slice(h2, 1, $k), " +
+        s"(a, b) -> a = b), x -> x)) as bigint)")
+    ngramJaccard(s, dir)
+      .join(sig.toDF("d1", "h1").hint("shuffle_hash"), "d1")
+      .join(sig.toDF("d2", "h2").hint("shuffle_hash"), "d2")
+      .select(col("jaccard"), matches(2).as("m2"), matches(4).as("m4"),
+        matches(8).as("m8"))
+      .selectExpr("jaccard", "stack(3, 2L, m2, 4L, m4, 8L, m8) as (k, m)")
+      .withColumn("err", abs(expr("m * (1000000 div k)") -
+        round(col("jaccard") * 1e6).cast("long")))
+      .withColumn("asd", round(sqrt(col("jaccard") *
+        (lit(1.0) - col("jaccard")) / col("k").cast("double")) * 1e6)
+        .cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(err) div count(1)").as("mean_abs_err_ppm"),
+        max(col("err")).as("max_abs_err_ppm"),
+        expr("sum(asd) div count(1)").as("analytic_sd_ppm"))
+  }
+
   def lshPlanner(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))

@@ -507,6 +507,21 @@ class Round11Spec extends SparkSpec {
     assert(r.exists(x => !x.getAs[Boolean]("flagged")))
   }
 
+  test("q360: estimator error tightens as k doubles (the 1/√k law)") {
+    val r = graft.operators.Dedup.minhashKSweep(spark, sfDir)
+      .orderBy(col("k")).collect()
+    assert(r.map(_.getAs[Long]("k")).toSeq === Seq(2L, 4L, 8L))
+    assert(r.map(_.getAs[Long]("n_pairs")).distinct.length === 1)
+    // σ = √(j(1−j)/k) is per-pair non-increasing in k by construction;
+    // the MEASURED max error is a small-sample statistic and is NOT
+    // guaranteed monotone, so only the analytic column is pinned
+    val sds = r.map(_.getAs[Long]("analytic_sd_ppm"))
+    assert(sds.zip(sds.tail).forall { case (a, b) => a >= b })
+    for (x <- r)
+      assert(x.getAs[Long]("mean_abs_err_ppm") <=
+        x.getAs[Long]("max_abs_err_ppm"))
+  }
+
   test("q316: identity n_new + n_retained + n_resurrected = DAU holds on the corpus") {
     val ga = Events.growthAccounting(spark, sfDir)
     val dau = Tables.events(spark, sfDir)
