@@ -151,6 +151,44 @@ object ScaleProbe {
       }
     }
 
+    // ---- wedge-join link prediction (q356) ----
+    // Replica-disjoint expansion of the co-purchase items (same
+    // construction as the basket section): edges, degrees, and the
+    // Σ deg² wedge budget all grow k× with NO cross-replica wedges,
+    // so the claimed bound predicts near-linear wall time. The probe
+    // prints the measured time next to the budget so the prediction
+    // is checkable, not asserted.
+    if (probeSel.contains("wedge")) {
+      val items0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      def expandW(k: Int): DataFrame =
+        items0.select(col("l_orderkey"), col("l_partkey"),
+            explode(sequence(lit(0), lit(k - 1))).as("r"))
+          .select((col("l_orderkey") + col("r") * 1000000000L).as("l_orderkey"),
+            (col("l_partkey") + col("r") * 10000000L).as("l_partkey"))
+      for (k <- Seq(1, 2, 4, 8)) {
+        val items = expandW(k).cache()
+        val n = items.count()
+        if (k == 1) time(graft.operators.Relational.linkPredictionOf(items, 2L, 20))
+        val t = time(graft.operators.Relational.linkPredictionOf(items, 2L, 20))
+        // the claimed cost bound: Σ deg² over the q141 edge graph
+        val edges = items.as("a")
+          .join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("d1"), col("b.l_partkey").as("d2"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2L)
+          .select(col("d1"), col("d2")).cache()
+        val nEdges = edges.count()
+        val budget = edges.select(col("d1").as("v"))
+          .unionAll(edges.select(col("d2").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .agg(sum(col("deg") * col("deg"))).collect()(0).getLong(0)
+        println(f"""{"k":$k,"items":$n,"edges":$nEdges,"wedge_budget":$budget,"linkpred_sec":$t%.2f}""")
+        edges.unpersist(); items.unpersist()
+      }
+    }
+
     // ---- incremental view maintenance (q126) ----
     // Base grows k× (replica-disjoint users: user_id + r·10⁷ keeps
     // the per-user grain intact); the DELTA stays FIXED (replica 0's

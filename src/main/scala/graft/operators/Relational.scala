@@ -395,9 +395,15 @@ object Relational {
     * degree joins, bounded TakeOrdered top-k. Never all-pairs:
     * candidates only exist at distance 2. */
   def linkPrediction(s: SparkSession, dir: String,
-      minPairs: Long = 2L, k: Int = 20): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      minPairs: Long = 2L, k: Int = 20): DataFrame =
+    linkPredictionOf(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct(), minPairs, k)
+
+  /** q356 core over an arbitrary distinct (l_orderkey, l_partkey)
+    * frame — shared with ScaleProbe so the probe measures exactly
+    * the gated wedge-join plan on expanded corpora. */
+  private[graft] def linkPredictionOf(items: DataFrame, minPairs: Long,
+      k: Int): DataFrame = {
     val edges = items.as("a")
       .join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
