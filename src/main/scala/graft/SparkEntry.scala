@@ -5810,8 +5810,10 @@ object SparkEntry {
         |FROM g LEFT JOIN pc ON g.query_id = pc.query_id""".stripMargin,
     // q331: the sketch's estimates vary with Spark's partition-merge
     // order, but its self-carried worst-case bound holds for EVERY
-    // order — so the gated surface is the bound assertion (plus n),
-    // which is deterministic; the spec pins tightness and laws.
+    // order — so the gated surface is the rank-INTERVAL assertion
+    // (target within [count(<est)+1, count(<=est)] widened by the
+    // bound — the tie-correct form; plus n), which is deterministic;
+    // the spec pins tightness, laws, and a tie-heavy corpus.
     "q331_kll_quantiles" ->
       """WITH qs AS (SELECT unnest([10, 250, 500, 750, 990]) AS q)
         |SELECT CAST(q AS BIGINT) AS q_milli,
@@ -5981,9 +5983,9 @@ object SparkEntry {
         |FROM o GROUP BY GROUPING SETS ((o_orderpriority, o_year),
         | (o_orderpriority), (o_year), ())""".stripMargin,
     // q340: the estimates are merge-order-dependent but the carried
-    // worst-case bound is not (q331's argument) — the oracle pins
-    // within_bound = 1 on every (qualifier, quantile) and the exact
-    // per-type counts.
+    // worst-case bound is not (q331's argument, tie-correct interval
+    // form) — the oracle pins within_bound = 1 on every (qualifier,
+    // quantile) and the exact per-type counts.
     "q340_stream_kll" ->
       """WITH qs AS (SELECT unnest([10, 250, 500, 750, 990]) AS q),
         |t AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)

@@ -1810,28 +1810,6 @@ object Dedup {
     dist.select(col("v").as("doc_id"), col("hops"))
   }
 
-  /** q342: LSH PARAMETER PLANNER (round-11) — the (bands × rows)
-    * decision table a 100 TB dedup run reads BEFORE committing to a
-    * banding layout (the q201 threshold sweep's sibling, one knob
-    * over): from the SAME 8 minhashes q22 uses, every way to cut
-    * them into b bands × r rows — (1×8, 2×4, 4×2, 8×1) — is
-    * evaluated on three axes at once:
-    *  - candidate VOLUME: Σ C(bucket,2) over that cut's buckets —
-    *    the join cost the cut would actually incur (8×1 floods,
-    *    1×8 starves);
-    *  - ACTUAL recall on ground truth: fraction of q21's exact
-    *    pairs colliding in ≥1 band under the cut;
-    *  - ANALYTIC recall: the 1−(1−s^r)^b S-curve averaged over the
-    *    same pairs' exact Jaccards — powers expanded to literal
-    *    multiplication chains (r, b ≤ 8) so both engines compute
-    *    the identical fixed IEEE product, never a libm pow; per-pair
-    *    values integer-ppm-rounded before the mean so the aggregate
-    *    is order-free.
-    * Actual ≈ analytic validates the model the production knob
-    * extrapolates from (at 100 TB you re-run the volume axis on the
-    * full corpus but the recall axes on a slice). Cost: signatures
-    * once, ≤4 bounded band aggregations + pair joins — output 4
-    * rows. */
   /** q350: MINHASH ESTIMATOR AUDIT (round-11) — how good is the
     * 8-hash signature as a JACCARD ESTIMATE, pair by pair (q153
     * audits the banding's recall — whether pairs are FOUND; this
@@ -1953,6 +1931,28 @@ object Dedup {
         expr("sum(asd) div count(1)").as("analytic_sd_ppm"))
   }
 
+  /** q342: LSH PARAMETER PLANNER (round-11) — the (bands × rows)
+    * decision table a 100 TB dedup run reads BEFORE committing to a
+    * banding layout (the q201 threshold sweep's sibling, one knob
+    * over): from the SAME 8 minhashes q22 uses, every way to cut
+    * them into b bands × r rows — (1×8, 2×4, 4×2, 8×1) — is
+    * evaluated on three axes at once:
+    *  - candidate VOLUME: Σ C(bucket,2) over that cut's buckets —
+    *    the join cost the cut would actually incur (8×1 floods,
+    *    1×8 starves);
+    *  - ACTUAL recall on ground truth: fraction of q21's exact
+    *    pairs colliding in ≥1 band under the cut;
+    *  - ANALYTIC recall: the 1−(1−s^r)^b S-curve averaged over the
+    *    same pairs' exact Jaccards — powers expanded to literal
+    *    multiplication chains (r, b ≤ 8) so both engines compute
+    *    the identical fixed IEEE product, never a libm pow; per-pair
+    *    values integer-ppm-rounded before the mean so the aggregate
+    *    is order-free.
+    * Actual ≈ analytic validates the model the production knob
+    * extrapolates from (at 100 TB you re-run the volume axis on the
+    * full corpus but the recall axes on a slice). Cost: signatures
+    * once, ≤4 bounded band aggregations + pair joins — output 4
+    * rows. */
   def lshPlanner(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))

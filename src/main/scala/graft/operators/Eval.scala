@@ -452,22 +452,6 @@ object Eval {
     perClass.unionByName(macroRow)
   }
 
-  /** q334: SIMPLIFIED SILHOUETTE per vector over the IVF cell
-    * assignment (round-11) — the clustering-quality number read next
-    * to q161's centroid drift and q109's cluster keepers: for each
-    * vector, cohesion a = 1 − cos(v, own centroid) vs separation
-    * b = 1 − max cos(v, other centroids); s = (b − a)/max(a, b) =
-    * (cos_own − cos_other_best)/max(1−cos_own, 1−cos_other_best) in
-    * (−1, 1] — negative means the vector sits closer to another
-    * cell's centroid than its own (a mis-assignment/overlap signal).
-    * The SIMPLIFIED variant (centroid distances, Hartigan-style) is
-    * the one that scales: O(n·k) centroid scores instead of the
-    * classic O(n²) pairwise silhouette — at 100 TB the pairwise
-    * variant is not computable, the centroid one is a broadcast
-    * join. Emitted PER VECTOR (no cross-row float summation — every
-    * row is an independent fixed IEEE expression, so the gate is
-    * exact). Zero-division (both distances 0) yields NULL via the
-    * same nullif both engines. */
   /** q343: MEAN-RECIPROCAL-RANK inputs for the IVF serving path
     * (round-11) — the search-eval metric q183's NDCG doesn't cover:
     * "how deep does a user scroll before the first RIGHT answer".
@@ -494,6 +478,22 @@ object Eval {
         coalesce(expr("1000000 div r"), lit(0L)).as("rr_ppm"))
   }
 
+  /** q334: SIMPLIFIED SILHOUETTE per vector over the IVF cell
+    * assignment (round-11) — the clustering-quality number read next
+    * to q161's centroid drift and q109's cluster keepers: for each
+    * vector, cohesion a = 1 − cos(v, own centroid) vs separation
+    * b = 1 − max cos(v, other centroids); s = (b − a)/max(a, b) =
+    * (cos_own − cos_other_best)/max(1−cos_own, 1−cos_other_best) in
+    * (−1, 1] — negative means the vector sits closer to another
+    * cell's centroid than its own (a mis-assignment/overlap signal).
+    * The SIMPLIFIED variant (centroid distances, Hartigan-style) is
+    * the one that scales: O(n·k) centroid scores instead of the
+    * classic O(n²) pairwise silhouette — at 100 TB the pairwise
+    * variant is not computable, the centroid one is a broadcast
+    * join. Emitted PER VECTOR (no cross-row float summation — every
+    * row is an independent fixed IEEE expression, so the gate is
+    * exact). Zero-division (both distances 0) yields NULL via the
+    * same nullif both engines. */
   def silhouette(s: SparkSession, dir: String): DataFrame = {
     val (centN, assigned) = Similarity.ivfAssigned(s, dir)
     val scored = assigned.crossJoin(broadcast(centN))

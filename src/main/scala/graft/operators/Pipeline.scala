@@ -594,36 +594,6 @@ object Pipeline {
         coalesce(col("selected"), lit(false)).as("selected"))
   }
 
-  /** q338: CCNet-STYLE PERPLEXITY TERCILES (round-11) — the public
-    * CCNet recipe (Wenzek et al., LREC 2020): score every document
-    * with a language-model signal, then split EACH LANGUAGE's corpus
-    * into head/middle/tail thirds by that score — the head feeds
-    * high-quality training mixes, the tail gets dropped or
-    * down-weighted, and the split is per-language so low-resource
-    * languages aren't graded on the dominant language's curve. The
-    * LM signal is q56's bigram corpus-frequency score (higher =
-    * more probable = lower-perplexity proxy), quantized to integer
-    * ten-thousandths so both engines rank the identical value; the
-    * per-language thirds come from [[Relational.twoPhaseRank]] on
-    * (−score, doc_id) — never a per-language corpus sort on one
-    * task (bin = the negated score's thousand-bucket, monotone in
-    * the rank key) — and the tercile is pure integer quota
-    * arithmetic 3·(rank−1) div n. Docs with <2 tokens have no
-    * bigram signal and are excluded, as in q56. */
-  /** q347: RAG CONTEXT-PACK manifest (round-11) — the end-to-end
-    * retrieval composition the pieces exist for: each query vector
-    * retrieves its top-k documents through the IVF index (q38's
-    * probed search; doc_id = vec_id, the repo's standing embeddings↔
-    * documents association), the hits expand to the q217 overlapping
-    * chunk manifest, and chunks are packed GREEDILY in (rank,
-    * chunk_id) order into a fixed token budget — exactly the context
-    * window a RAG prompt assembler fills, emitted as a reproducible
-    * manifest (chunk hashes ride along for caching). The running
-    * total is a window over (rank, chunk_id) — unique keys, frame
-    * pinned to ROWS — partitioned BY QUERY: each partition's input
-    * is bounded by k·chunks-per-doc whatever the corpus size (this
-    * is per-query context assembly, not a corpus op). Cost: the IVF
-    * search + one chunk equi-join on k·|queries| doc ids. */
   /** q349: EFFECTIVE-TOKEN YIELD per source (round-11) — the corpus
     * accounting a data lead actually budgets with: raw token counts
     * overstate a source's value by exactly its duplication, so per
@@ -760,6 +730,20 @@ object Pipeline {
           col("best.src_lm") === col("src_lm")).as("is_best_lm"))
   }
 
+  /** q347: RAG CONTEXT-PACK manifest (round-11) — the end-to-end
+    * retrieval composition the pieces exist for: each query vector
+    * retrieves its top-k documents through the IVF index (q38's
+    * probed search; doc_id = vec_id, the repo's standing embeddings↔
+    * documents association), the hits expand to the q217 overlapping
+    * chunk manifest, and chunks are packed GREEDILY in (rank,
+    * chunk_id) order into a fixed token budget — exactly the context
+    * window a RAG prompt assembler fills, emitted as a reproducible
+    * manifest (chunk hashes ride along for caching). The running
+    * total is a window over (rank, chunk_id) — unique keys, frame
+    * pinned to ROWS — partitioned BY QUERY: each partition's input
+    * is bounded by k·chunks-per-doc whatever the corpus size (this
+    * is per-query context assembly, not a corpus op). Cost: the IVF
+    * search + one chunk equi-join on k·|queries| doc ids. */
   def ragPack(s: SparkSession, dir: String, k: Int = 3,
       budget: Long = 512L): DataFrame = {
     val hits = Similarity.ivfTopK(s, dir, k = k)
@@ -774,6 +758,22 @@ object Pipeline {
         col("n_toks"), col("cum_tokens"), col("chunk_hash"))
   }
 
+  /** q338: CCNet-STYLE PERPLEXITY TERCILES (round-11) — the public
+    * CCNet recipe (Wenzek et al., LREC 2020): score every document
+    * with a language-model signal, then split EACH LANGUAGE's corpus
+    * into head/middle/tail thirds by that score — the head feeds
+    * high-quality training mixes, the tail gets dropped or
+    * down-weighted, and the split is per-language so low-resource
+    * languages aren't graded on the dominant language's curve. The
+    * LM signal is q56's bigram corpus-frequency score (higher =
+    * more probable = lower-perplexity proxy), quantized to integer
+    * ten-thousandths so both engines rank the identical value; the
+    * per-language thirds come from [[Relational.twoPhaseRank]] on
+    * (−score, doc_id) — never a per-language corpus sort on one
+    * task (bin = the negated score's thousand-bucket, monotone in
+    * the rank key) — and the tercile is pure integer quota
+    * arithmetic 3·(rank−1) div n. Docs with <2 tokens have no
+    * bigram signal and are excluded, as in q56. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val bg = docs.filter(size(tokens(col("text"))) >= 2)

@@ -1860,17 +1860,6 @@ object Relational {
           .otherwise(1L)).as("low_line_count"))
   }
 
-  /** q339: EXPLICIT GROUPING SETS — the general form between q10's
-    * ROLLUP and q33's CUBE: exactly the four report grains a sales
-    * dashboard asks for — (priority × year), (priority), (year), and
-    * the grand total — in ONE pass via `Dataset.groupingSets`, with
-    * `grouping_id()` emitted so a reader can tell a real NULL from a
-    * subtotal row (the bitmask convention: leftmost grouping column
-    * = most significant bit, identical in ANSI SQL / DuckDB
-    * GROUPING()). Plan shape: grouping sets expand rows ×|sets| on
-    * the MAP side and the aggregate stays hash/partial — one
-    * shuffle of (keys, partials), same as any groupBy; at 100 TB
-    * you pay |sets| map-side expansion, never |sets| table scans. */
   /** q345: PRICE-BAND RANGE JOIN (round-11) — puts the
     * [[RangeJoin.pointInInterval]] API (previously ScalaTest-only,
     * SURVEY §4) under the oracle gate on a real reporting shape:
@@ -1901,6 +1890,17 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** q339: EXPLICIT GROUPING SETS — the general form between q10's
+    * ROLLUP and q33's CUBE: exactly the four report grains a sales
+    * dashboard asks for — (priority × year), (priority), (year), and
+    * the grand total — in ONE pass via `Dataset.groupingSets`, with
+    * `grouping_id()` emitted so a reader can tell a real NULL from a
+    * subtotal row (the bitmask convention: leftmost grouping column
+    * = most significant bit, identical in ANSI SQL / DuckDB
+    * GROUPING()). Plan shape: grouping sets expand rows ×|sets| on
+    * the MAP side and the aggregate stays hash/partial — one
+    * shuffle of (keys, partials), same as any groupBy; at 100 TB
+    * you pay |sets| map-side expansion, never |sets| table scans. */
   def groupingSetsSales(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))

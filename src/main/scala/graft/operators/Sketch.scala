@@ -480,10 +480,16 @@ object Sketch {
     * [[graft.functions.KllAgg]] pass builds a fixed-size mergeable
     * sketch (map-side partial sketches, one tiny merge shuffle — the
     * only state a 100 TB percentile needs), then ONE exact
-    * rank-counting pass audits every estimate: for each target
-    * quantile, |trueRank(estimate) − ⌈q·n⌉| must be within the
-    * sketch's SELF-CARRIED worst-case bound (err from its compaction
-    * ledger + one maxWeight estimator overshoot). The bound holds
+    * rank-counting pass audits every estimate against its RANK
+    * INTERVAL: a returned value v satisfies the sketch guarantee iff
+    * the target rank ⌈q·n⌉ lies within [count(c < v) + 1, count(c ≤
+    * v)] widened by the SELF-CARRIED worst-case bound (err from the
+    * compaction ledger + one maxWeight estimator overshoot). The
+    * interval form — not |count(c ≤ v) − target| ≤ bound — is the
+    * actual theorem when values tie: quantile() returns the smallest
+    * stored value crossing the target, while count(c ≤ v) also
+    * swallows the full duplicate mass ABOVE the stored copy, which
+    * is not the sketch's overshoot to answer for. The bound holds
     * for every partition-merge order — which is exactly what makes
     * this gateable: Spark's merge order is arbitrary, the estimates
     * can differ run to run, but the bound assertion cannot.
@@ -500,18 +506,22 @@ object Sketch {
       .select(new KllAgg(cap).toColumn).head()
     val qs = Seq(10L, 250L, 500L, 750L, 990L)
     val ests = qs.map(qm => qm -> sk.quantile(qm / 1000.0))
-    // one exact pass: the true rank of every estimate at once
+    // one exact pass: BOTH rank edges of every estimate at once —
+    // count(c < v) and count(c ≤ v) bracket the duplicate mass of v
     val rankCols = count(lit(1)).as("n") +:
-      ests.map { case (qm, v) =>
-        sum(when(col("c") <= v, 1L).otherwise(0L)).as(s"r$qm")
+      ests.flatMap { case (qm, v) =>
+        Seq(sum(when(col("c") <= v, 1L).otherwise(0L)).as(s"le$qm"),
+          sum(when(col("c") < v, 1L).otherwise(0L)).as(s"lt$qm"))
       }
     val r = vals.agg(rankCols.head, rankCols.tail: _*).head()
     val n = r.getAs[Long]("n")
     val bound = sk.err + sk.maxWeight
     val rows = qs.map { qm =>
       val target = math.max(1L, math.ceil(qm / 1000.0 * n).toLong)
-      val trueRank = r.getAs[Long](s"r$qm")
-      (qm, n, if (math.abs(trueRank - target) <= bound) 1L else 0L)
+      val rankLe = r.getAs[Long](s"le$qm")
+      val rankLt = r.getAs[Long](s"lt$qm")
+      val ok = target <= rankLe + bound && target >= rankLt + 1L - bound
+      (qm, n, if (ok) 1L else 0L)
     }
     rows.toDF("q_milli", "n", "within_bound")
   }

@@ -619,7 +619,11 @@ object StreamingOps {
     * every compaction accounts for itself, so the bound holds for
     * whatever merge order micro-batching imposes, even though the
     * estimates themselves are partition-order-dependent — must
-    * contain the true rank: within_bound is pinned 1 for every
+    * bracket the target rank against the estimate's RANK INTERVAL
+    * [count(c < est) + 1, count(c ≤ est)] (the tie-correct form —
+    * count(c ≤ est) alone also counts the duplicate mass above the
+    * stored copy, which the sketch never promised to absorb):
+    * within_bound is pinned 1 for every
     * (qualifier, quantile). The per-type sketch collect is
     * metadata-sized (|event types| rows); true ranks come from ONE
     * exact corpus pass against the broadcast estimate grid. */
@@ -668,11 +672,14 @@ object StreamingOps {
       .join(broadcast(gridDf), "qualifier")
       .groupBy(col("qualifier"), col("q_milli"))
       .agg(count(lit(1)).as("n"), max(col("bound")).as("bound"),
-        sum(when(col("c") <= col("est"), 1L).otherwise(0L)).as("true_rank"))
+        sum(when(col("c") <= col("est"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("c") < col("est"), 1L).otherwise(0L)).as("rank_lt"))
+      .withColumn("target",
+        greatest(lit(1L), expr("(q_milli * n + 999) div 1000")))
       .select(col("qualifier"), col("q_milli"), col("n"),
-        (abs(col("true_rank") -
-          greatest(lit(1L), expr("(q_milli * n + 999) div 1000"))) <=
-          col("bound")).cast("long").as("within_bound"))
+        (col("target") <= col("rank_le") + col("bound") &&
+          col("target") >= col("rank_lt") + lit(1L) - col("bound"))
+          .cast("long").as("within_bound"))
   }
 
   /** q76: effectively-once replay audit — the WAL delivered twice

@@ -961,19 +961,6 @@ object TextAnalysis {
           col("ok_alpha") && col("ok_repetition"))
   }
 
-  /** q336: 13-GRAM BENCHMARK CONTAMINATION (round-11) — the
-    * GPT-3/PaLM decontamination standard grain: a training doc is
-    * contaminated if it shares ANY 13-token n-gram with the
-    * benchmark split (here: even doc_ids stand in for the benchmark,
-    * odd for training — q57/q88 flag whole-doc and bloom overlap;
-    * this is the industry-standard SUB-document grain that catches
-    * quoted benchmark questions inside otherwise-novel documents).
-    * Shapes: overlapping 13-grams hashed to md5 (never the raw
-    * string past the explode), benchmark side distinct, ONE
-    * hash-keyed semi-join-shaped left join + per-doc agg — never
-    * doc × doc; at 100 TB the benchmark gram set is small enough to
-    * broadcast (it is here) or rides a bloom pre-filter (q88's
-    * seam). */
   /** q344: INTRA-DOC DUPLICATE-NGRAM fractions (round-11) — the
     * remaining Gopher repetition rules (Rae et al. 2021 §A1.1):
     * q77 catches ADJACENT token repeats and q93 catches CROSS-doc
@@ -1101,6 +1088,23 @@ object TextAnalysis {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** q336: 13-GRAM BENCHMARK CONTAMINATION (round-11) — the
+    * GPT-3/PaLM decontamination standard grain: a training doc is
+    * contaminated if it shares ANY 13-token n-gram with the
+    * benchmark split (here: even doc_ids stand in for the benchmark,
+    * odd for training — q57/q88 flag whole-doc and bloom overlap;
+    * this is the industry-standard SUB-document grain that catches
+    * quoted benchmark questions inside otherwise-novel documents).
+    * Shapes: overlapping 13-grams hashed to md5 (never the raw
+    * string past the explode), benchmark side distinct, ONE
+    * hash-keyed semi-join-shaped left join + per-doc agg — never
+    * doc × doc. The join strategy is deliberately left to AQE: the
+    * distinct benchmark gram set is O(benchmark tokens) — corpus-
+    * scale, not knob-bounded — so a forced broadcast would become a
+    * driver OOM as the benchmark grows; AQE broadcasts when the
+    * built side measures small and falls back to shuffle otherwise,
+    * and the q88 bloom pre-filter seam is the at-scale shape when
+    * even the shuffle is too hot. */
   def ngramContamination(s: SparkSession, dir: String,
       n: Int = 13): DataFrame = {
     val grams = Tables.documents(s, dir)
@@ -1113,7 +1117,7 @@ object TextAnalysis {
     val bench = grams.filter(col("doc_id") % 2 === 0)
       .select(col("g")).distinct().withColumn("hit", lit(1L))
     grams.filter(col("doc_id") % 2 =!= 0)
-      .join(broadcast(bench), Seq("g"), "left")
+      .join(bench, Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))

@@ -116,7 +116,26 @@ final class SubscriptionRegistry(path: String) {
     val ch = java.nio.channels.FileChannel.open(lockPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
-      val fl = ch.lock() // blocks until any other PROCESS releases
+      // blocks until any other PROCESS releases. Same-JVM collisions
+      // (FileLock throws OverlappingFileLockException instead of
+      // blocking) are normally excluded by the canonicalized
+      // per-path mutex in lockFor, but two path strings can still
+      // reach one underlying file (symlinks survive normalize) — so
+      // retry-with-backoff rather than surface a spurious throw
+      def acquire(): java.nio.channels.FileLock = {
+        var attempt = 0
+        var fl: java.nio.channels.FileLock = null
+        while (fl == null) {
+          try fl = ch.lock()
+          catch {
+            case _: java.nio.channels.OverlappingFileLockException
+                if attempt < 600 =>
+              attempt += 1; Thread.sleep(10)
+          }
+        }
+        fl
+      }
+      val fl = acquire()
       try {
         // re-read INSIDE the lock: the check and the rename are now
         // one atomic step w.r.t. every other locker

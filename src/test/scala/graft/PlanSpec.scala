@@ -381,11 +381,14 @@ class PlanSpec extends SparkSpec {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
     assert(ex335.isEmpty, "q335 must not shuffle")
-    // q336: the benchmark gram set rides a broadcast, never a
-    // shuffled corpus-side join
+    // q336: the benchmark gram set is corpus-scale (O(benchmark
+    // tokens)), so the strategy is AQE's call — pin only that the
+    // candidate join stays hash-equi (broadcast OR shuffled-hash,
+    // never a nested-loop product)
     val p336 = plan(TextAnalysis.ngramContamination(spark, sfDir))
-    assert(p336.contains("BroadcastHashJoin") &&
-      !p336.contains("CartesianProduct"), "q336 lost its broadcast shape")
+    assert((p336.contains("BroadcastHashJoin") ||
+      p336.contains("ShuffledHashJoin") || p336.contains("SortMergeJoin")) &&
+      !p336.contains("CartesianProduct"), "q336 lost its equi-join shape")
     // q337/q342: candidate generation stays equi-join — the only
     // nested-loop is the bounded broadcast (centroids / scalar rows)
     for ((name, df) <- Seq(

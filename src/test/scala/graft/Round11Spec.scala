@@ -208,6 +208,30 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q331: tie-heavy data satisfies the rank-INTERVAL gate " +
+      "(the |count(<=est) - target| form is not a theorem under ties)") {
+    // an exact sub-cap sketch of [1,1,1,5,6,...,n]: at q small enough
+    // that the estimate is 1, count(c <= 1) = 3 swallows the full
+    // duplicate mass — the old absolute-difference form fails with
+    // bound 0+1, while the interval form holds by construction
+    val agg = new graft.functions.KllAgg(400)
+    val vals = Seq(1L, 1L, 1L) ++ (5L to 100L)
+    val sk = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(sk.err === 0L, "sub-cap: exact sketch")
+    val n = vals.length
+    val bound = sk.err + sk.maxWeight // = 1
+    val qm = 10L // target = ceil(0.01*99*10) = 1 → estimate value 1
+    val target = math.max(1L, math.ceil(qm / 1000.0 * n).toLong)
+    val est = sk.quantile(qm / 1000.0)
+    assert(est === 1L)
+    val rankLe = vals.count(_ <= est).toLong // 3: full duplicate mass
+    val rankLt = vals.count(_ < est).toLong // 0
+    assert(math.abs(rankLe - target) > bound,
+      "precondition: the old form must actually fail on this corpus")
+    assert(target <= rankLe + bound && target >= rankLt + 1L - bound,
+      "the interval form is the theorem")
+  }
+
   // ---- q333: DSIR selection invariants.
 
   test("q333: selection keeps exactly `keep` docs and weights are finite") {
