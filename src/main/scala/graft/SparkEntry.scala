@@ -380,6 +380,16 @@ object SparkEntry {
     "q358_reciprocal_match" -> ((s, d) => Dedup.reciprocalBestMatch(s, d)),
     "q359_label_noise"      -> ((s, d) => Similarity.labelNoise(s, d)),
     "q360_minhash_k_sweep"  -> ((s, d) => Dedup.minhashKSweep(s, d)),
+    "q361_backoff_lm"       -> ((s, d) => TextAnalysis.backoffLm(s, d)),
+    "q362_moore_lewis"      -> ((s, d) => Pipeline.mooreLewis(s, d)),
+    "q363_log_odds_terms"   -> ((s, d) => TextAnalysis.logOddsTerms(s, d)),
+    "q365_mcc"              -> ((s, d) => Eval.mcc(s, d)),
+    "q366_simhash_precision" ->
+      ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q367_fellegi_sunter"   -> ((s, d) => Dedup.fellegiSunter(s, d)),
+    "q370_radius_search"    -> ((s, d) => Similarity.radiusSearch(s, d)),
+    "q372_winsorized_means" -> ((s, d) => Sketch.winsorized(s, d)),
+    "q373_hill_tail"        -> ((s, d) => TextAnalysis.hillTail(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -7493,5 +7503,266 @@ object SparkEntry {
         |FROM probes p CROSS JOIN nd
         | LEFT JOIN hd ON hd.user_id = p.user_id
         | LEFT JOIN tr ON tr.user_id = p.user_id""".stripMargin,
+    // q361: stupid-backoff components are exact integer counts;
+    // log10 per bigram is fixed IEEE, mean rounded at 4 (house q346
+    // discipline).
+    "q361_backoff_lm" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |bgt AS (SELECT unnest(list_transform(range(len(t) - 1),
+        |   i -> t[i+1] || ' ' || t[i+2])) AS bg
+        | FROM tt WHERE doc_id % 2 = 0 AND len(t) >= 2),
+        |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb
+        | FROM bgt GROUP BY 1),
+        |cw1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |  CAST(sum(cb) AS BIGINT) AS cw1 FROM cb GROUP BY 1),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+        |  SELECT unnest(t) AS w FROM tt WHERE doc_id % 2 = 0) GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n_train FROM cu),
+        |sc AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |   i -> t[i+1] || ' ' || t[i+2])) AS bg
+        | FROM tt WHERE doc_id % 2 = 1 AND len(t) >= 2),
+        |f AS (SELECT sc.doc_id, cb.cb, c1.cw1, cu.cu, nt.n_train
+        | FROM sc LEFT JOIN cb ON sc.bg = cb.bg
+        | LEFT JOIN cw1 c1 ON string_split(sc.bg, ' ')[1] = c1.w1
+        | LEFT JOIN cu ON string_split(sc.bg, ' ')[2] = cu.w
+        | CROSS JOIN nt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_backoff,
+        | CAST(sum(CASE WHEN cb IS NULL AND cu IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_oov,
+        | round(avg(CASE WHEN cb IS NOT NULL THEN log10(cb) - log10(cw1)
+        |  WHEN cu IS NOT NULL THEN log10(0.4) + log10(cu) - log10(n_train)
+        |  ELSE log10(0.4) - log10(n_train) END), 4) AS backoff_score
+        |FROM f GROUP BY 1""".stripMargin,
+    // q362: the per-WORD log-ratio is micro-rounded on the vocab
+    // frame; per-doc means are integer (// = Spark div, trunc-
+    // toward-zero on both engines, verified on negatives).
+    "q362_moore_lewis" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cg,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS cin FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng,
+        |  CAST(sum(cin) AS BIGINT) AS nin,
+        |  CAST(count(*) AS BIGINT) AS v FROM v),
+        |lp AS (SELECT w, CAST(round((
+        |   ln(CAST(cin + 1 AS DOUBLE) / CAST(nin + v AS DOUBLE))
+        |   - ln(CAST(cg + 1 AS DOUBLE) / CAST(ng + v AS DOUBLE))) * 1e6)
+        |  AS BIGINT) AS lp_micro FROM v, tot),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(lp_micro) // count(*) AS BIGINT) AS ml_micro
+        | FROM tok JOIN lp USING (w) GROUP BY 1),
+        |sel AS (SELECT doc_id FROM sc
+        | ORDER BY ml_micro DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_toks, ml_micro,
+        | doc_id IN (SELECT doc_id FROM sel) AS selected
+        |FROM sc""".stripMargin,
+    // q363: counts and the Dirichlet prior mass are exact integers
+    // (micro fixed-point); delta and z are one fixed IEEE expression
+    // per (source, word), micro-rounded BEFORE the rank.
+    "q363_log_odds_terms" ->
+      """WITH tok AS (SELECT source,
+        |  unnest(string_split(text, ' ')) AS w FROM documents),
+        |bs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS y
+        | FROM tok GROUP BY 1, 2),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS yc
+        | FROM tok GROUP BY 1),
+        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+        | FROM tok GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM tok),
+        |sc AS (SELECT bs.source, bs.w, bs.y,
+        |  yc * 1000 * 1000000 // n_corpus AS a_micro,
+        |  yc - y AS yr, n_corpus - ns AS nr, ns, n_corpus
+        | FROM bs JOIN c USING (w) JOIN t USING (source) CROSS JOIN na),
+        |z AS (SELECT source, w, y,
+        |  CAST(round((
+        |    ln(CAST(y * 1000000 + a_micro AS DOUBLE)
+        |      / CAST(ns * 1000000 + 1000 * 1000000 - y * 1000000
+        |          - a_micro AS DOUBLE))
+        |    - ln(CAST(yr * 1000000 + a_micro AS DOUBLE)
+        |      / CAST(nr * 1000000 + 1000 * 1000000 - yr * 1000000
+        |          - a_micro AS DOUBLE)))
+        |   / sqrt(1e6 / CAST(y * 1000000 + a_micro AS DOUBLE)
+        |        + 1e6 / CAST(yr * 1000000 + a_micro AS DOUBLE))
+        |   * 1e6) AS BIGINT) AS z_micro
+        | FROM sc)
+        |SELECT source, w AS term, y AS cnt, z_micro,
+        | CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |   ORDER BY z_micro DESC, w) AS rank FROM z) q
+        |WHERE rank <= 5""".stripMargin,
+    // q365: all confusion entries integer; MCC numerator rides
+    // HUGEINT (decimal-38 on the Spark side), one fixed IEEE
+    // sqrt-divide micro-rounded per threshold row.
+    "q365_mcc" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS score,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents),
+        |b AS (SELECT score // 100000 AS b, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(n_pos) AS BIGINT) AS p_total FROM b),
+        |th AS (SELECT unnest(range(11)) AS t),
+        |g AS (SELECT th.t,
+        |  CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_pred_pos,
+        |  CAST(coalesce(sum(b.n_pos), 0) AS BIGINT) AS tp
+        | FROM th LEFT JOIN b ON b.b >= th.t GROUP BY 1),
+        |f AS (SELECT g.t, tp, n_pred_pos - tp AS fp, p_total - tp AS fn,
+        |  n_total - p_total - (n_pred_pos - tp) AS tn FROM g, tot)
+        |SELECT CAST(t * 100000 AS BIGINT) AS threshold_ppm,
+        | tp, fp, tn, fn,
+        | CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
+        |    * (tn + fn) > 0 THEN
+        |  CAST(round(CAST(CAST(tp AS HUGEINT) * tn
+        |     - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |   / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
+        |       * (tn + fn) AS DOUBLE)) * 1e6) AS BIGINT)
+        | END AS mcc_micro,
+        | (tp * 1000000 // nullif(tp + fn, 0)
+        |  + tn * 1000000 // nullif(tn + fp, 0)) // 2 AS bal_acc_ppm
+        |FROM f""".stripMargin,
+    // q366: the q23 simhash CTE verbatim, WWW'07 4x16-bit banding,
+    // hamming on the decoded 60+4-bit longs, ground truth = exact
+    // shingle Jaccard >= 0.5 (the q21/q360 ex CTE).
+    "q366_simhash_precision" ->
+      s"""WITH t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, md5(tok) AS h FROM t1),
+        |bb AS (SELECT doc_id, h, unnest(range(64)) AS bit FROM tk),
+        |vv AS (SELECT doc_id, bit, sum(CASE WHEN
+        |   (((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INTEGER) + 1, 1)) - 1)
+        |     >> CAST(bit % 4 AS INTEGER)) & 1) = 1
+        |  THEN 1 ELSE -1 END) AS v FROM bb GROUP BY 1, 2),
+        |nb AS (SELECT doc_id, bit // 4 AS j,
+        |  sum(CASE WHEN v > 0 THEN (1 << CAST(bit % 4 AS INTEGER)) ELSE 0 END) AS nv
+        | FROM vv GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, array_to_string(
+        |  list(substr('0123456789abcdef', CAST(nv AS INTEGER) + 1, 1) ORDER BY j),
+        |  '') AS simhash
+        |FROM nb GROUP BY doc_id),
+        |fp AS (SELECT doc_id,
+        |  ${hexNibblesSql("simhash", 1, 15)} AS hi,
+        |  ${hexNibblesSql("simhash", 16, 1)} AS lo FROM sh),
+        |bd AS (SELECT doc_id, unnest(range(4)) AS band,
+        |  substr(simhash, CAST(unnest(range(4)) * 4 + 1 AS INTEGER), 4)
+        |   AS bk FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bd a JOIN bd b ON a.band = b.band AND a.bk = b.bk
+        |  AND a.doc_id < b.doc_id),
+        |pred AS (SELECT d1, d2 FROM cand
+        | JOIN fp f1 ON f1.doc_id = d1 JOIN fp f2 ON f2.doc_id = d2
+        | WHERE bit_count(xor(f1.hi, f2.hi)) + bit_count(xor(f1.lo, f2.lo))
+        |   <= 3),
+        |$shinglesCte,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |cp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t),
+        |ex AS (SELECT d1, d2 FROM cp
+        | JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        | WHERE CAST(common AS DOUBLE) / (za.n + zb.n - common) >= 0.5),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) AS n_predicted,
+        |  CAST(sum(CASE WHEN ex.d1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_true_found
+        | FROM pred LEFT JOIN ex ON pred.d1 = ex.d1 AND pred.d2 = ex.d2),
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+        |SELECT n_predicted, n_true_found, n_exact,
+        | n_true_found * 1000000 // nullif(n_predicted, 0) AS precision_ppm,
+        | n_true_found * 1000000 // nullif(n_exact, 0) AS recall_ppm
+        |FROM pc, ec""".stripMargin,
+    // q367: candidates = the q47 lev<=1 set (deletion-variant
+    // blocking is complete there); weights are the shared centiban
+    // literals; everything integer.
+    "q367_fellegi_sunter" ->
+      """WITH p AS (SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  a.c_nationkey AS nat1, b.c_nationkey AS nat2,
+        |  a.c_mktsegment AS seg1, b.c_mktsegment AS seg2,
+        |  CAST(round(a.c_acctbal * 100) AS BIGINT) AS bal1,
+        |  CAST(round(b.c_acctbal * 100) AS BIGINT) AS bal2
+        | FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |sc AS (SELECT id1, id2,
+        |  nat1 = nat2 AS agree_nation,
+        |  seg1 = seg2 AS agree_segment,
+        |  abs(bal1 - bal2) <= 10000 AS agree_balance,
+        |  9814
+        |   + (CASE WHEN nat1 = nat2 THEN 4570 ELSE -4263 END)
+        |   + (CASE WHEN seg1 = seg2 THEN 2170 ELSE -3000 END)
+        |   + (CASE WHEN abs(bal1 - bal2) <= 10000 THEN 6322 ELSE -2307 END)
+        |   AS score_cb
+        | FROM p)
+        |SELECT id1, id2, agree_nation, agree_segment, agree_balance,
+        | CAST(score_cb AS BIGINT) AS score_cb,
+        | CASE WHEN score_cb >= 18000 THEN 'match'
+        |  WHEN score_cb >= 10000 THEN 'possible'
+        |  ELSE 'nonmatch' END AS decision
+        |FROM sc""".stripMargin,
+    // q370: q24's banding CTEs from the same constants; exact and
+    // found sides share the identical fixed IEEE cosine expression.
+    "q370_radius_search" ->
+      s"""WITH $quantCte,
+        |$embedBandCtes,
+        |ex AS (SELECT a.vec_id AS query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact
+        | FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5
+        | WHERE $cosExpr >= 0.2 GROUP BY 1),
+        |c AS (SELECT DISTINCT q.vec_id AS query_id, x.vec_id
+        | FROM bd q JOIN bd x ON q.band = x.band AND q.band_key = x.band_key
+        |  AND q.vec_id < 5 AND x.vec_id >= 5),
+        |f AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_found
+        | FROM c JOIN m a ON a.vec_id = c.query_id
+        |  JOIN m b ON b.vec_id = c.vec_id
+        | WHERE $cosExpr >= 0.2 GROUP BY 1)
+        |SELECT ex.query_id, n_exact,
+        | CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
+        | coalesce(n_found, 0) * 1000000 // n_exact AS recall_ppm
+        |FROM ex LEFT JOIN f USING (query_id)""".stripMargin,
+    // q372: exact order-statistic clip bounds (rank over the same
+    // keys as the two-phase rank), pure integer clipping and means.
+    "q372_winsorized_means" ->
+      """WITH r AS (SELECT l_returnflag AS grp,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  l_orderkey, l_linenumber FROM lineitem),
+        |rk AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp
+        |   ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+        |  count(*) OVER (PARTITION BY grp) AS n FROM r),
+        |b AS (SELECT grp,
+        |  min(CASE WHEN rk = (n + 9) // 10 THEN cents END) AS p10,
+        |  min(CASE WHEN rk = (9 * n + 9) // 10 THEN cents END) AS p90
+        | FROM rk GROUP BY 1)
+        |SELECT r.grp, CAST(count(*) AS BIGINT) AS n,
+        | max(p10) AS p10_cents, max(p90) AS p90_cents,
+        | CAST(sum(r.cents) // count(*) AS BIGINT) AS raw_mean_cents,
+        | CAST(sum(greatest(p10, least(p90, r.cents))) // count(*)
+        |   AS BIGINT) AS wins_mean_cents
+        |FROM r JOIN b USING (grp) GROUP BY 1""".stripMargin,
+    // q373: per-row micro-rounded lns, integer sums — order-free.
+    "q373_hill_tail" ->
+      """WITH l AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        | FROM documents),
+        |rk AS (SELECT source, n_toks, row_number() OVER (
+        |   PARTITION BY source ORDER BY n_toks DESC, doc_id) AS rk
+        | FROM l),
+        |xk AS (SELECT source, n_toks AS x_k1 FROM rk WHERE rk = 11),
+        |s AS (SELECT rk.source, x_k1,
+        |  CAST(round((ln(rk.n_toks) - ln(x_k1)) * 1e6) AS BIGINT)
+        |   AS ln_micro
+        | FROM rk JOIN xk USING (source) WHERE rk.rk <= 10),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS k,
+        |  max(x_k1) AS x_k1,
+        |  CAST(sum(ln_micro) // count(*) AS BIGINT) AS hill_micro
+        | FROM s GROUP BY 1)
+        |SELECT source, k, x_k1, hill_micro,
+        | CASE WHEN hill_micro > 0 THEN 1000000000 // hill_micro
+        | END AS alpha_milli
+        |FROM a""".stripMargin,
   )
 }

@@ -1995,4 +1995,121 @@ object Dedup {
           col("predicted_recall_ppm"))
     }.reduce(_ unionByName _)
   }
+
+  /** q366: SIMHASH BANDED NEAR-DUP PAIRS + PRECISION/RECALL audit
+    * (round-12) — closes the audit symmetry: q178 prices the
+    * MinHash-LSH banding against exact Jaccard; nothing priced
+    * q23's simhash, which a 100 TB pipeline prefers when it wants
+    * FIXED 8-byte state per doc (Manku, Jain & Sarma, WWW'07 — the
+    * Google web-crawl dedup design). Pairing is the WWW'07 recipe:
+    * the 64-bit fingerprint splits into 4 bands of 16 bits; any
+    * shared band is a candidate (hamming ≤ 3 ⇒ the 3 differing bits
+    * hit ≤ 3 bands ⇒ at least one band is clean — EXACT recall for
+    * the hamming predicate, by pigeonhole, never probabilistic);
+    * candidates verify with one xor+bit_count on the decoded
+    * 60+4-bit longs. The audit then prices the hamming≤3 PREDICTED
+    * pair set against q21's exact-Jaccard ground truth — precision
+    * (verified pairs that are true dups) and recall (true dups the
+    * fingerprint finds) in one row. Shapes: band equi-join on
+    * 16-bit keys (bucket count 2^16 per band — the knob that keeps
+    * buckets bounded), id-keyed shuffle-hash verify joins; never
+    * doc × doc. */
+  def simhashNearDup(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(s, dir)
+      .withColumn("hi", conv(substring(col("simhash"), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("lo", conv(substring(col("simhash"), 16, 1), 16, 10)
+        .cast("long"))
+    val bands = sh.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "struct(b AS band, substring(simhash, b * 4 + 1, 4) AS bk))"))
+          .as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bk"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val fp = sh.select(col("doc_id"), col("hi"), col("lo"))
+    val predicted = cands
+      .join(fp.toDF("d1", "hi1", "lo1").hint("shuffle_hash"), "d1")
+      .join(fp.toDF("d2", "hi2", "lo2").hint("shuffle_hash"), "d2")
+      .withColumn("hamming",
+        (bit_count(expr("hi1 ^ hi2")) + bit_count(expr("lo1 ^ lo2")))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"))
+    val exact = ngramJaccard(s, dir)
+      .select(col("d1"), col("d2"), lit(1L).as("is_true"))
+    val p = predicted.join(exact, Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_predicted"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_true_found"))
+    val e = exact.agg(count(lit(1)).as("n_exact"))
+    p.crossJoin(broadcast(e))
+      .select(col("n_predicted"), col("n_true_found"), col("n_exact"),
+        expr("n_true_found * 1000000 div nullif(n_predicted, 0)")
+          .as("precision_ppm"),
+        expr("n_true_found * 1000000 div nullif(n_exact, 0)")
+          .as("recall_ppm"))
+  }
+
+  // Fellegi–Sunter field weights in centibans (round(log2(m/u)·1000)
+  // for agreement, round(log2((1−m)/(1−u))·1000) for disagreement)
+  // from fixed published-style (m, u) priors; the SAME literals are
+  // inlined in the oracle SQL, so gate and oracle cannot drift.
+  //   name    (m=0.90, u=0.001): +9814 / −3320
+  //   nation  (m=0.95, u=0.04):  +4570 / −4263
+  //   segment (m=0.90, u=0.20):  +2170 / −3000
+  //   balance (m=0.80, u=0.01):  +6322 / −2307
+  private[graft] val FsWeights = Map(
+    "name" -> (9814L, -3320L), "nation" -> (4570L, -4263L),
+    "segment" -> (2170L, -3000L), "balance" -> (6322L, -2307L))
+
+  /** q367: FELLEGI–SUNTER probabilistic record linkage (round-12) —
+    * the decision-theoretic layer q47's name matcher feeds (Fellegi
+    * & Sunter, JASA 1969 — still the canonical model behind every
+    * production ER system): each candidate pair gets a COMPOSITE
+    * match weight Σ_f log2(m_f/u_f) over its field agreement vector
+    * (m = P(agree|match), u = P(agree|non-match); agreement on a
+    * discriminating field adds evidence, disagreement subtracts),
+    * and two thresholds split the pairs into match / possible
+    * (clerical review) / non-match. Candidates are the q47
+    * deletion-variant name pairs (blocking provably complete for
+    * edit distance ≤ 1), so the name field always agrees and the
+    * OTHER fields carry the decision — exactly the "same name,
+    * different person?" calibration question. All weights are
+    * integer centibans from fixed (m, u) priors (literals shared
+    * with the oracle); the gate is exact. Shapes: the q47 block
+    * pairing + one customer-attribute shuffle-hash join per side. */
+  def fellegiSunter(s: SparkSession, dir: String,
+      tUpper: Long = 18000L, tLower: Long = 10000L): DataFrame = {
+    val attrs = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_cents"))
+    def w(f: String, agree: org.apache.spark.sql.Column) = {
+      val (a, d) = FsWeights(f)
+      when(agree, lit(a)).otherwise(lit(d))
+    }
+    nameMatch(s, dir)
+      .join(attrs.toDF("id1", "nat1", "seg1", "bal1").hint("shuffle_hash"),
+        "id1")
+      .join(attrs.toDF("id2", "nat2", "seg2", "bal2").hint("shuffle_hash"),
+        "id2")
+      .withColumn("agree_nation", col("nat1") === col("nat2"))
+      .withColumn("agree_segment", col("seg1") === col("seg2"))
+      .withColumn("agree_balance",
+        abs(col("bal1") - col("bal2")) <= 10000L)
+      .withColumn("score_cb",
+        lit(FsWeights("name")._1) +
+          w("nation", col("agree_nation")) +
+          w("segment", col("agree_segment")) +
+          w("balance", col("agree_balance")))
+      .select(col("id1"), col("id2"), col("agree_nation"),
+        col("agree_segment"), col("agree_balance"), col("score_cb"),
+        when(col("score_cb") >= tUpper, "match")
+          .when(col("score_cb") >= tLower, "possible")
+          .otherwise("nonmatch").as("decision"))
+  }
 }

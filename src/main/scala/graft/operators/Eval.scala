@@ -513,4 +513,58 @@ object Eval {
           expr("nullif(greatest(1.0 - acos, 1.0 - bcos), 0.0)"), 4)
           .as("silhouette"))
   }
+
+  /** q365: MATTHEWS CORRELATION + BALANCED ACCURACY threshold sweep
+    * (round-12) — the two confusion-matrix summaries robust to class
+    * imbalance, which precision/recall/F1 (q190) are not: a corpus
+    * filter tuned on an 95%-English corpus can post 0.95 accuracy
+    * and F1 ≈ 0.97 while rejecting every non-English doc — MCC
+    * (= the full-matrix correlation, (tp·tn − fp·fn)/√((tp+fp)(tp+fn)
+    * (tn+fp)(tn+fn))) and balanced accuracy ((TPR+TNR)/2) both go to
+    * chance-level there, which is why Chicco & Jurman (2020)
+    * recommend MCC as the default binary summary. Same scored frame
+    * and decile-threshold grid as q174/q190 (q28's TTR ppm
+    * predicting "is English"), same bounded suffix-sum shape: the
+    * corpus collapses to ≤11 bin rows in one map-side agg; every
+    * confusion entry is integer; MCC's numerator rides
+    * decimal(38,0) (tp·tn ~ n²/4 overflows BIGINT past ~6e9 rows)
+    * and only the final standardization is one fixed IEEE
+    * sqrt-divide per threshold row, micro-rounded. Degenerate
+    * thresholds (a zero marginal) yield NULL mcc, the convention. */
+  def mcc(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .select(expr("s_uniq * 1000000 div s_tok").as("score"), col("pos"))
+    val bins = scored.groupBy(expr("score div 100000").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val totals = bins.agg(sum(col("n")).as("n_total"),
+      sum(col("n_pos")).as("p_total"))
+    s.range(0, 11).select(col("id").as("t"))
+      .join(broadcast(bins), col("b") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_pred_pos"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(totals))
+      .withColumn("fp", col("n_pred_pos") - col("tp"))
+      .withColumn("fn", col("p_total") - col("tp"))
+      .withColumn("tn",
+        col("n_total") - col("p_total") - col("fp"))
+      .withColumn("num", expr(
+        "CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn"))
+      .withColumn("den2", expr(
+        """CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+          | * (tn + fp) * (tn + fn)""".stripMargin))
+      .select((col("t") * 100000L).as("threshold_ppm"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("den2") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("den2").cast("double")) * 1e6).cast("long"))
+          .as("mcc_micro"),
+        expr("""(tp * 1000000 div nullif(tp + fn, 0)
+          | + tn * 1000000 div nullif(tn + fp, 0)) div 2""".stripMargin)
+          .as("bal_acc_ppm"))
+  }
 }

@@ -794,4 +794,53 @@ object Pipeline {
           .when(expr("(lang_rank - 1) * 3 div n_lang") < 2L, "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** q362: MOORE-LEWIS cross-entropy-difference data selection
+    * (round-12) — the classic domain-adaptation selector (Moore &
+    * Lewis, ACL 2010): rank every candidate document by
+    * H_general(doc) − H_indomain(doc), equivalently the mean per-
+    * token ln P_in(w) − ln P_gen(w) — "looks like my target domain,
+    * unusual for the general corpus". q333's DSIR is the hashed-
+    * bigram importance-WEIGHT descendant; this is the original
+    * unigram log-likelihood-ratio form, still the first tool
+    * reached for when curating a domain slice out of a 100 TB web
+    * corpus. In-domain = the 'en' slice (the corpus' lang column),
+    * general = everything; both LMs add-1 smoothed over the SHARED
+    * vocab V. Float discipline: the per-WORD ratio is one fixed
+    * IEEE expression micro-rounded once on the vocab-sized frame;
+    * per-doc scores are integer sums of those micro values div
+    * n_toks — order-free by construction (no cross-row float
+    * summation anywhere). Selection = bounded TopK on
+    * (score desc, doc_id). */
+  def mooreLewis(s: SparkSession, dir: String, keep: Int = 50): DataFrame = {
+    import graft.functions.TopK
+    val docs = Tables.documents(s, dir)
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w"))
+      .agg(count(lit(1)).as("cg"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cin"))
+    val tot = vocab.agg(sum(col("cg")).as("ng"), sum(col("cin")).as("nin"),
+      count(lit(1)).as("v"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .withColumn("lp_micro", round((
+        log((col("cin") + 1).cast("double") /
+            (col("nin") + col("v")).cast("double")) -
+        log((col("cg") + 1).cast("double") /
+            (col("ng") + col("v")).cast("double"))) * 1e6).cast("long"))
+      .select(col("w"), col("lp_micro"))
+    val scored = tok.join(lp, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        expr("sum(lp_micro) div count(1)").as("ml_micro"))
+      .localCheckpoint()
+    val sel = scored
+      .agg(TopK.topk(keep)(col("doc_id"), col("ml_micro").cast("double"))
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as("doc_id"), lit(true).as("selected"))
+    scored.join(broadcast(sel), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("ml_micro"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
 }

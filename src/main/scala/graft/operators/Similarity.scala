@@ -1253,4 +1253,46 @@ object Similarity {
       .map { case ((id, d2), i) => (i.toLong, id, d2) }
       .toDF("sel_order", "vec_id", "d2")
   }
+
+  /** q370: COSINE RADIUS SEARCH with per-query recall audit
+    * (round-12) — the missing retrieval mode next to top-k (q25/q38)
+    * and threshold-pairs (q24): "EVERYTHING within cosine ≥ τ of
+    * this query", the shape dedup-against-index and policy-match
+    * lookups take (top-k truncates arbitrarily when a query has
+    * many legitimate matches; radius search returns the actual
+    * neighborhood). Exact side: the bounded query set (vec_id < 5)
+    * broadcast against the corpus — one narrow scored pass, a COUNT
+    * per query, never a stored corpus-scale result. LSH side: q24's
+    * hyperplane banding (same DefaultNBands×DefaultBandBits
+    * constants and md5 planes), query-to-corpus candidates by band
+    * collision, exact cosine verify on candidates only. recall_ppm
+    * per query prices what the banding knobs buy at radius τ — the
+    * q155/q298 audit pattern applied to the radius mode. */
+  def radiusSearch(s: SparkSession, dir: String, dim: Int = 64,
+      threshold: Double = 0.2): DataFrame = {
+    val q = quantized(s, dir)
+    val queries = q.filter(col("vec_id") < 5)
+    val corpus = q.filter(col("vec_id") >= 5)
+    val exact = corpus.crossJoin(
+        broadcast(queries.toDF("query_id", "qv", "qn2")))
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val bands = embedBandsOf(q, dim, DefaultNBands, DefaultBandBits)
+    val qBands = bands.filter(col("vec_id") < 5)
+      .toDF("query_id", "band", "band_key")
+    val cands = bands.filter(col("vec_id") >= 5)
+      .join(qBands, Seq("band", "band_key"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val found = cands
+      .join(corpus.hint("shuffle_hash"), "vec_id")
+      .join(broadcast(queries.toDF("query_id", "qv", "qn2")), "query_id")
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_found"))
+    exact.join(found, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        expr("coalesce(n_found, 0) * 1000000 div n_exact").as("recall_ppm"))
+  }
 }

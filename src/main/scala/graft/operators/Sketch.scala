@@ -525,4 +525,45 @@ object Sketch {
     }
     rows.toDF("q_milli", "n", "within_bound")
   }
+
+  /** q372: WINSORIZED GROUP MEANS (round-12) — the robust-mean
+    * companion to q154's MAD outlier report: per return-flag group,
+    * the mean of line prices after CLIPPING to the exact [P10, P90]
+    * order statistics (winsorizing caps the tails instead of
+    * dropping them, so n stays the same and the estimate stays a
+    * mean — the standard treatment when a metric feeds dashboards
+    * that must not jump when one whale order lands). Percentile
+    * VALUES come from [[Relational.twoPhaseRank]] on (cents, key) —
+    * the bounded-histogram rank, never a per-group corpus sort —
+    * rank ⌈n/10⌉ and ⌈9n/10⌉; clipping and the milli-unit means are
+    * pure integer arithmetic, so the gate is exact. Shapes: the
+    * two-phase rank's histogram agg + ONE broadcast of the
+    * |groups|-row clip bounds + one final agg. */
+  def winsorized(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = Relational.twoPhaseRank(rows, col("grp"),
+      col("cents"),
+      Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+      "rk", "n")
+    val bounds = ranked
+      .filter(col("rk") === expr("(n + 9) div 10") ||
+        col("rk") === expr("(9 * n + 9) div 10"))
+      .groupBy(col("grp"))
+      .agg(min(when(col("rk") === expr("(n + 9) div 10"), col("cents")))
+          .as("p10_cents"),
+        min(when(col("rk") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_cents"))
+    rows.join(broadcast(bounds), "grp")
+      .withColumn("clipped",
+        greatest(col("p10_cents"), least(col("p90_cents"), col("cents"))))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        max(col("p10_cents")).as("p10_cents"),
+        max(col("p90_cents")).as("p90_cents"),
+        expr("sum(cents) div count(1)").as("raw_mean_cents"),
+        expr("sum(clipped) div count(1)").as("wins_mean_cents"))
+  }
 }

@@ -1125,4 +1125,148 @@ object TextAnalysis {
         (col("n_hits") > 0L).as("contaminated"),
         expr("n_hits * 1000000 div n_grams").as("contaminated_ppm"))
   }
+
+  /** q361: STUPID-BACKOFF bigram LM scoring on a TRAIN/SCORE split
+    * (round-12) — the web-scale LM recipe of Brants et al. (EMNLP
+    * 2007, "Large Language Models in Machine Translation"): when the
+    * bigram is unseen in training, back off to α·unigram instead of
+    * computing a proper discount (α = 0.4, the paper's constant) —
+    * no normalization pass, which is exactly why it scales to
+    * trillion-token counts. q56/q346 score docs against the corpus'
+    * OWN bigrams, so no bigram is ever unseen there; the split here
+    * (even doc_ids train the LM, odd docs get scored) makes the
+    * backoff path real — n_backoff counts how often it fires, the
+    * coverage number a data lead reads next to q248's vocab
+    * coverage. Per-bigram score: seen ⇒ log10(cnt(w₁w₂)/cnt(w₁·));
+    * unseen w₂ known ⇒ log10(0.4·cnt(w₂)/N); OOV ⇒ log10(0.4/N).
+    * Shapes: two bounded count aggs over the train half (bigram,
+    * unigram), two hash LEFT joins from the scored half's exploded
+    * bigrams (strategy AQE's — vocab is corpus-scale), one per-doc
+    * agg. House float discipline: each factor is one fixed IEEE
+    * log10 of exact integers, mean rounded at 4. */
+  def backoffLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val bgT = train.filter(size(tokens(col("text"))) >= 2)
+      .select(explode(bigrams2(col("text"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", split(col("bg"), " ")(0))
+    // conditional denominator: count of TRAIN bigrams starting w1
+    val cw1T = bgT.groupBy(col("w1")).agg(sum(col("cb")).as("cw1"))
+    val uniT = train.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nT = uniT.agg(sum(col("cu")).as("n_train"))
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(bigrams2(col("text"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ")(0))
+      .withColumn("w2", split(col("bg"), " ")(1))
+      .join(bgT.select(col("bg"), col("cb")), Seq("bg"), "left")
+      .join(cw1T, Seq("w1"), "left")
+      .join(uniT.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(nT))
+      .withColumn("lp",
+        when(col("cb").isNotNull,
+          log10(col("cb")) - log10(col("cw1")))
+          .when(col("cu").isNotNull,
+            log10(lit(0.4)) + log10(col("cu")) - log10(col("n_train")))
+          .otherwise(log10(lit(0.4)) - log10(col("n_train"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("cb").isNull && col("cu").isNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        round(avg(col("lp")), 4).as("backoff_score"))
+  }
+
+  /** q363: DISTINCTIVE TERMS per source via weighted log-odds with
+    * an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words") — the per-source keyword surface q58's TF-IDF
+    * ranks per DOCUMENT: for source s and word w, δ = ln((y+a)/
+    * (n_s+a₀−y−a)) − ln((y'+a)/(n_r+a₀−y'−a)) with the corpus
+    * unigram distribution as prior (a_w = corpus count · a₀/N,
+    * a₀ = 1000 pseudo-tokens), z = δ/√(1/(y+a) + 1/(y'+a)) — the
+    * variance-standardized form that stops raw-frequency words from
+    * drowning the genuinely OVER-represented ones (plain
+    * count-ratio ranking surfaces "the"; log-odds-z surfaces the
+    * source's vocabulary fingerprint). Determinism: counts exact
+    * integers, a_w micro-fixed-point, δ and z each ONE fixed IEEE
+    * expression per (source, word) row micro-rounded before the
+    * rank — no cross-row float ever. Shapes: one unigram agg, one
+    * (source × word) agg, corpus totals broadcast; the top-5 cut
+    * ranks the VOCAB-sized frame (≪ corpus) per source. */
+  def logOddsTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val bySrc = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("y"))
+    val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("yc"))
+    val totals = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val nAll = tok.agg(count(lit(1)).as("n_corpus"))
+    val a0 = 1000L
+    val scored = bySrc
+      .join(corpus, "w")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(nAll))
+      // prior mass for w, micro fixed-point: a_w = yc*a0/N
+      .withColumn("a_micro", expr(s"yc * $a0 * 1000000 div n_corpus"))
+      .withColumn("yr", col("yc") - col("y")) // w count in the REST
+      .withColumn("nr", col("n_corpus") - col("ns"))
+      .withColumn("num_s", expr("y * 1000000 + a_micro"))
+      .withColumn("den_s",
+        expr(s"ns * 1000000 + $a0 * 1000000 - y * 1000000 - a_micro"))
+      .withColumn("num_r", expr("yr * 1000000 + a_micro"))
+      .withColumn("den_r",
+        expr(s"nr * 1000000 + $a0 * 1000000 - yr * 1000000 - a_micro"))
+      .withColumn("delta",
+        log(col("num_s").cast("double") / col("den_s").cast("double")) -
+        log(col("num_r").cast("double") / col("den_r").cast("double")))
+      .withColumn("z_micro", round(col("delta") /
+          sqrt(lit(1e6) / col("num_s").cast("double") +
+               lit(1e6) / col("num_r").cast("double")) * 1e6)
+        .cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("z_micro").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("w").as("term"), col("y").as("cnt"),
+        col("z_micro"), col("rank"))
+  }
+
+  /** q373: HILL TAIL-INDEX estimator over per-source document
+    * lengths (round-12) — q89's Zipf audit fits the WORD-frequency
+    * power law; this fits the DOC-LENGTH tail, the number that
+    * decides shuffle-partition sizing and straggler risk at 100 TB
+    * (α ≤ 2 ⇒ infinite variance ⇒ salting/AQE-skew mandatory, q81's
+    * territory — measured, not guessed). Hill (Annals of Statistics
+    * 1975): over the top k+1 order statistics, H = (1/k)·Σ ln(x₍ᵢ₎/
+    * x₍ₖ₊₁₎), α̂ = 1/H. Order statistics via [[Relational
+    * .twoPhaseRank]] on (−n_toks, doc_id) — the bounded-histogram
+    * rank, never a per-source corpus sort. Float discipline: each
+    * ln is one fixed IEEE expression of two exact integers,
+    * micro-rounded PER ROW, then integer-summed — the k-row
+    * aggregation is order-free by construction. */
+  def hillTail(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val lens = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val ranked = Relational.twoPhaseRank(lens, col("source"),
+      negate(col("n_toks")), Seq(negate(col("n_toks")), col("doc_id")),
+      "rk", "n_src")
+      .filter(col("rk") <= k + 1)
+    val xk1 = ranked.filter(col("rk") === k + 1)
+      .select(col("source"), col("n_toks").as("x_k1"))
+    ranked.filter(col("rk") <= k)
+      .join(broadcast(xk1), "source")
+      .withColumn("ln_micro",
+        round((log(col("n_toks")) - log(col("x_k1"))) * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k"), max(col("x_k1")).as("x_k1"),
+        sum(col("ln_micro")).as("sum_ln_micro"))
+      .withColumn("hill_micro", expr("sum_ln_micro div k"))
+      .withColumn("alpha_milli",
+        expr("if(hill_micro > 0, 1000000000 div hill_micro, null)"))
+      .select(col("source"), col("k"), col("x_k1"), col("hill_micro"),
+        col("alpha_milli"))
+  }
 }
