@@ -383,13 +383,22 @@ object SparkEntry {
     "q361_backoff_lm"       -> ((s, d) => TextAnalysis.backoffLm(s, d)),
     "q362_moore_lewis"      -> ((s, d) => Pipeline.mooreLewis(s, d)),
     "q363_log_odds_terms"   -> ((s, d) => TextAnalysis.logOddsTerms(s, d)),
+    "q364_stream_psi"       -> ((s, d) => StreamingOps.streamPsi(s, d)),
     "q365_mcc"              -> ((s, d) => Eval.mcc(s, d)),
+    "q368_heavy_hitters"    -> ((s, d) => Sketch.heavyHitters(s, d)),
+    "q369_stream_heavy_hitters" ->
+      ((s, d) => StreamingOps.streamHeavyHitters(s, d)),
     "q366_simhash_precision" ->
       ((s, d) => Dedup.simhashNearDup(s, d)),
     "q367_fellegi_sunter"   -> ((s, d) => Dedup.fellegiSunter(s, d)),
     "q370_radius_search"    -> ((s, d) => Similarity.radiusSearch(s, d)),
+    "q371_local_clustering" -> ((s, d) => Dedup.localClustering(s, d)),
     "q372_winsorized_means" -> ((s, d) => Sketch.winsorized(s, d)),
     "q373_hill_tail"        -> ((s, d) => TextAnalysis.hillTail(s, d)),
+    "q374_kn_lm"            -> ((s, d) => TextAnalysis.knLm(s, d)),
+    "q375_span_dedup"       -> ((s, d) => Dedup.spanDedup(s, d)),
+    "q376_png_histogram"    -> ((s, d) => Multimodal.pngHistogram(s, d)),
+    "q377_group_kll"        -> ((s, d) => Sketch.groupKll(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -7724,6 +7733,39 @@ object SparkEntry {
         | CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
         | coalesce(n_found, 0) * 1000000 // n_exact AS recall_ppm
         |FROM ex LEFT JOIN f USING (query_id)""".stripMargin,
+    // q371: the q129 oriented enumeration; each closed wedge emits
+    // its three corners; lcc integer ppm per node.
+    "q371_local_clustering" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |e0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT d1 AS node FROM e0 UNION ALL SELECT d2 AS node FROM e0) u
+        | GROUP BY node),
+        |ow AS (SELECT
+        |  CASE WHEN (g1.deg, e0.d1) < (g2.deg, e0.d2)
+        |   THEN e0.d1 ELSE e0.d2 END AS s,
+        |  CASE WHEN (g1.deg, e0.d1) < (g2.deg, e0.d2)
+        |   THEN e0.d2 ELSE e0.d1 END AS t,
+        |  CASE WHEN (g1.deg, e0.d1) < (g2.deg, e0.d2)
+        |   THEN g2.deg ELSE g1.deg END AS td
+        | FROM e0 JOIN deg g1 ON e0.d1 = g1.node
+        |  JOIN deg g2 ON e0.d2 = g2.node),
+        |wg AS (SELECT e1.s AS u, e1.t AS v, e2.t AS w2
+        | FROM ow e1 JOIN ow e2
+        | ON e1.s = e2.s AND (e1.td, e1.t) < (e2.td, e2.t)),
+        |cl AS (SELECT u, v, w2 FROM wg
+        | WHERE EXISTS (SELECT 1 FROM ow o WHERE o.s = wg.v AND o.t = wg.w2)),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT u AS node FROM cl UNION ALL SELECT v FROM cl
+        |  UNION ALL SELECT w2 FROM cl) x GROUP BY 1)
+        |SELECT deg.node AS doc_id, deg.deg,
+        | coalesce(n_tri, 0) AS n_tri,
+        | CASE WHEN deg.deg >= 2 THEN coalesce(n_tri, 0) * 1000000
+        |   // ((deg.deg * (deg.deg - 1)) // 2) END AS lcc_ppm
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin,
     // q372: exact order-statistic clip bounds (rank over the same
     // keys as the two-phase rank), pure integer clipping and means.
     "q372_winsorized_means" ->
@@ -7743,6 +7785,55 @@ object SparkEntry {
         | CAST(sum(greatest(p10, least(p90, r.cents))) // count(*)
         |   AS BIGINT) AS wins_mean_cents
         |FROM r JOIN b USING (grp) GROUP BY 1""".stripMargin,
+    // q364: the streamed histogram equals the batch histogram of the
+    // same deterministic split; PSI rows are integer ppm + one fixed
+    // IEEE log per bounded bin row, round 6 (q176 conventions).
+    "q364_stream_psi" ->
+      """WITH e AS (SELECT user_id % 2 AS side,
+        |  least(CAST(round(value * 100) AS BIGINT) // 2000, 11) AS bin
+        | FROM events),
+        |h AS (SELECT bin,
+        |  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_ref,
+        |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_cur FROM e GROUP BY 1),
+        |bins AS (SELECT unnest(range(12)) AS bin),
+        |j AS (SELECT CAST(bins.bin AS BIGINT) AS bin,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        | FROM bins LEFT JOIN h ON h.bin = bins.bin),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |  CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM j)
+        |SELECT bin, n_ref, n_cur,
+        | (n_ref + 1) * 1000000 // (tot_ref + 12) AS pa_ppm,
+        | (n_cur + 1) * 1000000 // (tot_cur + 12) AS pb_ppm,
+        | round(CAST((n_ref + 1) * 1000000 // (tot_ref + 12)
+        |     - (n_cur + 1) * 1000000 // (tot_cur + 12) AS DOUBLE) / 1e6
+        |   * ln(CAST((n_ref + 1) * 1000000 // (tot_ref + 12) AS DOUBLE)
+        |     / CAST((n_cur + 1) * 1000000 // (tot_cur + 12) AS DOUBLE)),
+        |   6) AS psi_contrib
+        |FROM j, t""".stripMargin,
+    // q368/q369: the sketch's estimates are merge-order-dependent
+    // but its est <= true <= est + d contract and the completeness
+    // theorem are not (the q331 gating argument applied to the
+    // frequency domain) — the oracle pins the exact audited counts
+    // and both flags at 1.
+    "q368_heavy_hitters" ->
+      """WITH c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+        | FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |   FROM documents) GROUP BY 1)
+        |SELECT token, cnt, CAST(1 AS BIGINT) AS within_bound,
+        | CAST(1 AS BIGINT) AS present_ok
+        |FROM c ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    "q369_stream_heavy_hitters" ->
+      """WITH e AS (SELECT event_type AS qualifier,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT qualifier, c, CAST(count(*) AS BIGINT) AS cnt
+        | FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qualifier
+        |   ORDER BY cnt DESC, c) AS rk FROM g)
+        |SELECT qualifier, c, cnt, CAST(1 AS BIGINT) AS within_bound,
+        | CAST(1 AS BIGINT) AS present_ok
+        |FROM r WHERE rk <= 3""".stripMargin,
     // q373: per-row micro-rounded lns, integer sums — order-free.
     "q373_hill_tail" ->
       """WITH l AS (SELECT source, doc_id,
@@ -7764,5 +7855,107 @@ object SparkEntry {
         | CASE WHEN hill_micro > 0 THEN 1000000000 // hill_micro
         | END AS alpha_milli
         |FROM a""".stripMargin,
+    // q374: every count integer; p and log10(p) are ONE fixed IEEE
+    // expression per scored bigram (identical operator order both
+    // engines), micro-rounded per row, integer per-doc means.
+    "q374_kn_lm" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tb AS (SELECT unnest(list_transform(range(len(t) - 1),
+        |   i -> t[i+1] || ' ' || t[i+2])) AS bg
+        | FROM tt WHERE doc_id % 2 = 0 AND len(t) >= 2),
+        |tb2 AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+        |  string_split(bg, ' ')[2] AS w2 FROM tb),
+        |pair AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb
+        | FROM tb2 GROUP BY 1),
+        |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1,
+        |  CAST(count(DISTINCT w2) AS BIGINT) AS n1w1 FROM tb2 GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont2
+        | FROM (SELECT DISTINCT w1, w2 FROM tb2) GROUP BY 1),
+        |tots AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS cont_all,
+        |  CAST(count(DISTINCT w2) AS BIGINT) AS n_vocab FROM tb2),
+        |sc AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |   i -> t[i+1] || ' ' || t[i+2])) AS bg
+        | FROM tt WHERE doc_id % 2 = 1 AND len(t) >= 2),
+        |j AS (SELECT sc.doc_id, pair.cb, ctx.cw1, ctx.n1w1, cont.cont2,
+        |  tots.cont_all, tots.n_vocab
+        | FROM sc LEFT JOIN pair ON sc.bg = pair.bg
+        | LEFT JOIN ctx ON string_split(sc.bg, ' ')[1] = ctx.w1
+        | LEFT JOIN cont ON string_split(sc.bg, ' ')[2] = cont.w2
+        | CROSS JOIN tots),
+        |f AS (SELECT doc_id, cb, cw1,
+        |  CAST(round(log10(CASE
+        |   WHEN cb IS NOT NULL THEN
+        |    (CAST(cb AS DOUBLE) - 0.75) / CAST(cw1 AS DOUBLE)
+        |     + 0.75 * CAST(n1w1 AS DOUBLE) / CAST(cw1 AS DOUBLE)
+        |       * (CAST(coalesce(cont2, 0) + 1 AS DOUBLE)
+        |          / CAST(cont_all + n_vocab AS DOUBLE))
+        |   WHEN cw1 IS NOT NULL THEN
+        |    0.75 * CAST(n1w1 AS DOUBLE) / CAST(cw1 AS DOUBLE)
+        |     * (CAST(coalesce(cont2, 0) + 1 AS DOUBLE)
+        |        / CAST(cont_all + n_vocab AS DOUBLE))
+        |   ELSE CAST(coalesce(cont2, 0) + 1 AS DOUBLE)
+        |        / CAST(cont_all + n_vocab AS DOUBLE)
+        |  END) * 1e6) AS BIGINT) AS lp_micro
+        | FROM j)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(CASE WHEN cb IS NULL AND cw1 IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_pair,
+        | CAST(sum(CASE WHEN cw1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_unseen_ctx,
+        | CAST(sum(lp_micro) // count(*) AS BIGINT) AS kn_score_micro
+        |FROM f GROUP BY 1""".stripMargin,
+    // q375: positional spans vs the distinct-shingle owner frame;
+    // all integer.
+    "q375_span_dedup" ->
+      s"""WITH $shinglesCte,
+        |own AS (SELECT sh2 AS sh, CAST(count(*) AS BIGINT) AS docs_with,
+        |  min(doc_id) AS owner
+        | FROM (SELECT doc_id, unnest(sh) AS sh2 FROM t) GROUP BY 1),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+        |   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        | FROM d WHERE len(tk) >= 3),
+        |agged AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_spans,
+        |  CAST(sum(CASE WHEN owner <> sp.doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_removed
+        | FROM sp JOIN own USING (sh) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+        | coalesce(n_dup_spans, 0) AS n_dup_spans,
+        | coalesce(n_removed, 0) AS n_removed,
+        | coalesce((coalesce(n_spans, 0) - coalesce(n_removed, 0))
+        |   * 1000000 // nullif(coalesce(n_spans, 0), 0), 1000000)
+        |   AS surviving_ppm
+        |FROM d LEFT JOIN agged ON agged.doc_id = d.doc_id""".stripMargin,
+    // q376: every bucket count recomputed from the pixel formula —
+    // the codec round-trip checked at distribution grain.
+    "q376_png_histogram" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+        |  doc_id % 7 + 3 AS h FROM documents),
+        |xs AS (SELECT unnest(range(16)) AS x),
+        |ys AS (SELECT unnest(range(9)) AS y),
+        |px AS (SELECT doc_id,
+        |  (((doc_id + 3*x + 5*y) % 256) + ((2*doc_id + 7*x + 11*y) % 256)
+        |   + ((3*doc_id + 13*x + 17*y) % 256)) // 3 AS gray
+        | FROM d, xs, ys WHERE x < w AND y < h),
+        |bs AS (SELECT unnest(range(8)) AS bucket),
+        |c AS (SELECT doc_id, gray // 32 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(bs.bucket AS BIGINT) AS bucket,
+        | coalesce(c.n_px, 0) AS n_px
+        |FROM d CROSS JOIN bs
+        |LEFT JOIN c ON c.doc_id = d.doc_id AND c.bucket = bs.bucket""".stripMargin,
+    // q377: the q331/q340 argument per group — estimates vary with
+    // merge order, the carried rank-interval bound does not.
+    "q377_group_kll" ->
+      """WITH g AS (SELECT l_returnflag AS grp,
+        |  CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+        |qs AS (SELECT unnest([250, 500, 750]) AS q)
+        |SELECT grp, CAST(q AS BIGINT) AS q_milli, n,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM g, qs""".stripMargin,
   )
 }

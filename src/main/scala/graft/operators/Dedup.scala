@@ -2112,4 +2112,95 @@ object Dedup {
           .when(col("score_cb") >= tLower, "possible")
           .otherwise("nonmatch").as("decision"))
   }
+
+  /** q371: LOCAL CLUSTERING COEFFICIENT per node (round-12) — q129's
+    * cohesion question answered PER VERTEX: lcc(v) = triangles at v /
+    * C(deg v, 2), the number that tells q59's component splitter
+    * WHICH docs sit in verified cliques (lcc → 1: every neighbor
+    * pair also collided — safe transitive merge) vs which are
+    * banding-artifact cut vertices (lcc → 0: a hub whose neighbors
+    * never met — the A~B~C chain q129's docs warn about, now
+    * locatable instead of a global average). Same degree-ordered
+    * enumeration as q129 (orient to the higher (deg, id) endpoint,
+    * wedge self-join bounded by Σ d_out², semi-join closure) — but
+    * each closed wedge emits its THREE corners, so per-node counts
+    * are one explode + hash agg more than the global count, never a
+    * second enumeration. Integer ppm; nodes with deg < 2 have no
+    * wedge and report null lcc. */
+  def localClustering(s: SparkSession, dir: String): DataFrame =
+    localClusteringOf(minhashLsh(s, dir))
+
+  private[graft] def localClusteringOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("d1").as("node"))
+      .union(edges.select(col("d2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.toDF("d1", "deg1").hint("shuffle_hash"), "d1")
+      .join(deg.toDF("d2", "deg2").hint("shuffle_hash"), "d2")
+    val lower = struct(col("deg1"), col("d1")) < struct(col("deg2"), col("d2"))
+    val oriented = withDeg.select(
+      when(lower, col("d1")).otherwise(col("d2")).as("s"),
+      when(lower, col("d2")).otherwise(col("d1")).as("t"),
+      when(lower, col("deg2")).otherwise(col("deg1")).as("td"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
+      .select(col("e1.s").as("u"), col("e1.t").as("v"), col("e2.t").as("w"))
+    val closed = wedges.join(
+        oriented.select(col("s").as("v"), col("t").as("w")).hint("shuffle_hash"),
+        Seq("v", "w"), "left_semi")
+    val perNode = closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("coalesce(n_tri, 0) * 1000000 div ((deg * (deg - 1)) div 2)"))
+          .as("lcc_ppm"))
+  }
+
+  /** q375: SPAN-LEVEL DEDUP with keeper attribution (round-12, the
+    * Lee et al. 2021 "Deduplicating Training Data" decision grain) —
+    * q93 measures how much of each doc is cross-doc duplicated
+    * spans; this makes the REMOVAL decision: every span keeps
+    * exactly ONE owner (the min doc_id holding it — the q48
+    * canonicalization rule at span grain), every other occurrence is
+    * removable, and the per-doc surviving fraction is what the
+    * token-budget accounting (q349) actually subtracts. Same
+    * positional-trigram × doc-frequency machinery as q93 (span
+    * stream equi-joined to the distinct-shingle frequency frame,
+    * shuffle-hash so the positional stream is never sorted) with one
+    * extra min() in the same agg — owner attribution costs nothing.
+    * Docs under 3 tokens re-enter as zero-span rows with full
+    * survival. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = toks.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3)))).as("sh"))
+    val own = docs
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("docs_with"), min(col("doc_id")).as("owner"))
+      .hint("shuffle_hash")
+    val agged = spans.join(own, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("owner") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_removed"))
+    docs.select(col("doc_id")).join(agged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("surviving_ppm",
+        expr("coalesce((n_spans - n_removed) * 1000000" +
+          " div nullif(n_spans, 0), 1000000)"))
+  }
 }

@@ -581,4 +581,34 @@ object Multimodal {
       }
       .toDF("doc_id", "gy", "gx", "bit")
   }
+
+  /** q376: LUMINANCE HISTOGRAM on REAL decoded pixels (round-12) —
+    * the per-image tonal profile (the thing auto-exposure filters,
+    * dark/blank-frame detectors, and near-dup pre-filters read)
+    * computed the production way: decode the staged deflate-
+    * compressed PNG on the executors (the q328 seam), gray each
+    * sample ((r+g+b) div 3), bucket into 8 bands of 32 gray levels,
+    * one row per (image, bucket). The DuckDB oracle recomputes every
+    * bucket count from the pixel formula over the (x, y) grid —
+    * agreement means the codec round-trip reproduced every sample,
+    * now checked at DISTRIBUTION grain (q328 checks channel sums —
+    * a transposed raster would pass sums but not histograms).
+    * O(pixels) per row, zero shuffle before the bounded per-image
+    * agg. */
+  def pngHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodedPngs(s, stagePngMedia(s, dir, "q376"))
+      .flatMap { case (id, w, h, px) =>
+        val buckets = new Array[Long](8)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          buckets(gray / 32) += 1L
+          i += 1
+        }
+        (0 until 8).map(b => (id, b.toLong, buckets(b)))
+      }
+      .toDF("doc_id", "bucket", "n_px")
+  }
 }

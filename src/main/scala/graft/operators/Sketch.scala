@@ -566,4 +566,89 @@ object Sketch {
         expr("sum(cents) div count(1)").as("raw_mean_cents"),
         expr("sum(clipped) div count(1)").as("wins_mean_cents"))
   }
+
+  /** q368: MISRA–GRIES HEAVY HITTERS over corpus tokens (round-12) —
+    * the frequency-sketch sibling of q331's KLL rank sketch, closing
+    * the sketch family's other half: q60's count-min OVERestimates
+    * point queries and cannot name the hot keys; [[graft.functions
+    * .MisraGriesAgg]] UNDERestimates with a self-carried deficit
+    * bound d and guarantees every key with true count > d a
+    * surviving counter (d ≤ n/(k+1) — the classic completeness
+    * theorem). One aggregator pass (k = 64 slots of state per
+    * partition, one bounded merge shuffle — the 100 TB hot-token
+    * monitor shape), then the exact top-10 audits it: est ≤ true ≤
+    * est + d and guaranteed presence, both theorems for EVERY
+    * partition-merge order (the q331 gating argument — estimates
+    * vary run to run, the bound assertions cannot). Tokens ride a
+    * 60-bit md5 hash (8-byte items in the sketch, never strings) —
+    * the oracle replays the same nibble arithmetic. */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 64,
+      top: Int = 10): DataFrame = {
+    import s.implicits._
+    import graft.functions.{MisraGriesAgg, MgSketch}
+    val tok = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val sk: MgSketch = tok.select(h60(col("tok")).as("h")).as[Long]
+      .select(new MisraGriesAgg(k).toColumn).head()
+    // metadata-sized collect: the exact top rows being audited
+    val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(top)
+      .withColumn("h", h60(col("tok")))
+      .collect()
+    val rows = exact.toSeq.map { r =>
+      val est = sk.estimate(r.getAs[Long]("h"))
+      val cnt = r.getAs[Long]("cnt")
+      (r.getAs[String]("tok"), cnt,
+        if (est <= cnt && cnt <= est + sk.d) 1L else 0L,
+        if (cnt <= sk.d || est > 0L) 1L else 0L)
+    }
+    rows.toDF("token", "cnt", "within_bound", "present_ok")
+  }
+
+  /** q377: PER-GROUP KLL QUANTILES (round-12) — q331's rank sketch
+    * composed with groupBy, the shape a 100 TB per-key percentile
+    * dashboard actually runs (one fixed-size sketch per key, map-
+    * side partials, one bounded merge shuffle — never a per-group
+    * sort, never a per-group histogram when the domain is
+    * unbounded): a [[graft.functions.KllAgg]] UDAF per return-flag
+    * group, then ONE exact corpus pass against the broadcast
+    * (group × quantile) estimate grid audits every estimate with
+    * the tie-correct RANK-INTERVAL gate — target within [count(<est)
+    * +1, count(≤est)] widened by the group sketch's self-carried
+    * err + maxWeight, a theorem for every merge order. The
+    * per-group sketch collect is metadata-sized (|groups| rows). */
+  def groupKll(s: SparkSession, dir: String, cap: Int = 400): DataFrame = {
+    import graft.functions.{KllAgg, KllSketch}
+    val vals = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+    val kll = udaf(new KllAgg(cap))
+    val fin = vals.groupBy(col("grp")).agg(kll(col("c")).as("sk"))
+      .collect() // metadata-sized: one sketch row per group
+    val qs = Seq(250L, 500L, 750L)
+    val grid = fin.flatMap { r =>
+      val skr = r.getStruct(r.fieldIndex("sk"))
+      val sk = KllSketch(
+        skr.getSeq[scala.collection.Seq[Long]](skr.fieldIndex("levels"))
+          .map(_.toVector).toVector,
+        skr.getAs[Long]("err"), skr.getAs[Long]("n"))
+      qs.map(qm => (r.getAs[String]("grp"), qm,
+        sk.quantile(qm / 1000.0), sk.err + sk.maxWeight))
+    }
+    import s.implicits._
+    val gridDf = grid.toSeq.toDF("grp", "q_milli", "est", "bound")
+    vals.join(broadcast(gridDf), "grp")
+      .groupBy(col("grp"), col("q_milli"))
+      .agg(count(lit(1)).as("n"), max(col("bound")).as("bound"),
+        sum(when(col("c") <= col("est"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("c") < col("est"), 1L).otherwise(0L)).as("rank_lt"))
+      .withColumn("target",
+        greatest(lit(1L), expr("(q_milli * n + 999) div 1000")))
+      .select(col("grp"), col("q_milli"), col("n"),
+        (col("target") <= col("rank_le") + col("bound") &&
+          col("target") >= col("rank_lt") + lit(1L) - col("bound"))
+          .cast("long").as("within_bound"))
+  }
 }

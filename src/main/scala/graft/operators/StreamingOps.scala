@@ -1986,4 +1986,129 @@ object StreamingOps {
         when(col("spike"), 1L).otherwise(0L).as("spike"))
       .distinct()
   }
+
+  /** q364: STREAMING PSI DRIFT monitor (round-12) — q176's
+    * population-stability index maintained as LIVE STATE: the events
+    * WAL streams through the DSv2 source; an update-mode (side, bin)
+    * count aggregation holds the value-band histogram of everything
+    * that ever streamed (reference side = even user ids, current =
+    * odd — the deterministic split both engines replay); the final
+    * read-out computes PSI between the two histograms with the q176
+    * conventions (+1-smoothed integer ppm proportions, one fixed
+    * IEEE log per BOUNDED bin row, round 6). State is |sides|·|bins|
+    * counters — constant, forever, the live drift-dashboard shape
+    * (q222/q284 are the batch snapshots; this is the monitor a
+    * 100 TB ingest keeps running). Gate: final streamed histogram ≡
+    * the batch histogram of the same split, so the PSI table equals
+    * the batch computation row for row. */
+  def streamPsi(s: SparkSession, dir: String, nb: Int = 12): DataFrame = {
+    val stage = stagingRoot("q364", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val binned = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(expr("cast(rowkey as bigint) % 2").as("side"),
+        least(expr(
+          "cast(round(cast(cells[0].value as double) * 100) as bigint)" +
+            " div 2000"), lit(nb - 1L)).as("bin"))
+      .groupBy(col("side"), col("bin")).agg(count(lit(1)).as("n"))
+    val query = binned.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val hist = s.read.parquet(out)
+      .groupBy(col("side"), col("bin"))
+      .agg(max_by(col("n"), col("batch")).as("n"))
+    val bins = s.range(nb).select(col("id").as("bin"))
+    val joined = bins
+      .join(hist.filter(col("side") === 0)
+        .select(col("bin"), col("n").as("n_ref")), Seq("bin"), "left")
+      .join(hist.filter(col("side") === 1)
+        .select(col("bin"), col("n").as("n_cur")), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        expr(s"(n_ref + 1) * 1000000 div (tot_ref + $nb)").as("pa_ppm"),
+        expr(s"(n_cur + 1) * 1000000 div (tot_cur + $nb)").as("pb_ppm"))
+      .withColumn("psi_contrib",
+        round((col("pa_ppm") - col("pb_ppm")).cast("double") / 1e6
+          * log(col("pa_ppm").cast("double") / col("pb_ppm")), 6))
+  }
+
+  /** q369: STREAMING MISRA–GRIES heavy hitters (round-12) — q368's
+    * frequency sketch as live per-key streaming STATE (the q340
+    * treatment applied to the frequency domain): the events WAL
+    * streams through the DSv2 source into a per-qualifier update-
+    * mode [[graft.functions.MisraGriesAgg]] aggregation — k = 32
+    * counter slots per event type, forever, whatever streams — and
+    * the final state is audited against the exact per-type top-3
+    * values: est ≤ true ≤ est + d and guaranteed presence when
+    * true > d, theorems for every micro-batch/merge order (the
+    * q331/q340 gating argument). The per-type sketch collect is
+    * metadata-sized; exact counts come from one bounded
+    * (type × cents) agg with a rank over that bounded frame. */
+  def streamHeavyHitters(s: SparkSession, dir: String, k: Int = 32,
+      top: Int = 3): DataFrame = {
+    import graft.functions.{MisraGriesAgg, MgSketch}
+    val stage = stagingRoot("q369", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 6)
+    val mg = udaf(new MisraGriesAgg(k))
+    val sketches = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("cells")(0)("qualifier").as("qualifier"),
+        expr("cast(round(cast(cells[0].value as double) * 100) as bigint)")
+          .as("c"))
+      .groupBy(col("qualifier"))
+      .agg(mg(col("c")).as("sk"))
+    val query = sketches.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // metadata-sized: one sketch row per event type
+    val fin = s.read.parquet(out)
+      .groupBy(col("qualifier"))
+      .agg(max_by(col("sk"), col("batch")).as("sk"))
+      .collect()
+      .map { r =>
+        val skr = r.getStruct(r.fieldIndex("sk"))
+        r.getAs[String]("qualifier") -> MgSketch(
+          skr.getSeq[Long](skr.fieldIndex("keys")).toVector,
+          skr.getSeq[Long](skr.fieldIndex("counts")).toVector,
+          skr.getAs[Long]("d"), skr.getAs[Long]("n"))
+      }.toMap
+    import org.apache.spark.sql.expressions.Window
+    val exact = graft.Tables.events(s, dir)
+      .select(col("event_type").as("qualifier"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .groupBy(col("qualifier"), col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qualifier"))
+        .orderBy(col("cnt").desc, col("c"))))
+      .filter(col("rk") <= top)
+      .collect() // metadata-sized: |types| * top rows
+    import s.implicits._
+    val rows = exact.toSeq.map { r =>
+      val q = r.getAs[String]("qualifier")
+      val c = r.getAs[Long]("c"); val cnt = r.getAs[Long]("cnt")
+      val skq = fin(q)
+      val est = skq.estimate(c)
+      (q, c, cnt,
+        if (est <= cnt && cnt <= est + skq.d) 1L else 0L,
+        if (cnt <= skq.d || est > 0L) 1L else 0L)
+    }
+    rows.toDF("qualifier", "c", "cnt", "within_bound", "present_ok")
+  }
 }

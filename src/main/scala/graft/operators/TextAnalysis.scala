@@ -1269,4 +1269,66 @@ object TextAnalysis {
       .select(col("source"), col("k"), col("x_k1"), col("hill_micro"),
         col("alpha_milli"))
   }
+
+  /** q374: INTERPOLATED KNESER–NEY bigram scoring on the q361
+    * train/score split (round-12) — the LM-quality ladder's top rung
+    * (q50 unigram → q56 joint → q346 conditional → q361 backoff →
+    * this): absolute discount D = 0.75 frees mass from every seen
+    * bigram, re-spent through the CONTINUATION distribution — "how
+    * many contexts has w₂ completed" rather than "how often has w₂
+    * appeared" — the fix for the Francisco-follows-San pathology
+    * that makes KN the production n-gram smoother (Kneser & Ney
+    * 1995; Chen & Goodman 1999). p(w₂|w₁) = (c(w₁w₂)−D)/c(w₁·)
+    * + D·N₁₊(w₁·)/c(w₁·) · p_cont(w₂); unseen w₁ falls back to
+    * p_cont alone; p_cont is +1-smoothed over the train bigram-type
+    * total so OOV w₂ keeps a nonzero floor. Everything is integer
+    * counts; p and its log10 are ONE fixed IEEE expression per
+    * scored bigram row, micro-rounded per row, per-doc INTEGER
+    * means — order-free by construction. Shapes: four bounded train
+    * aggs (pair/context/continuation/vocab), three hash left joins
+    * off the scored explode, one per-doc agg. */
+  def knLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val trainBg = docs.filter(col("doc_id") % 2 === 0)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(explode(bigrams2(col("text"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ")(0))
+      .withColumn("w2", split(col("bg"), " ")(1))
+    val pair = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val ctx = trainBg.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cw1"), countDistinct(col("w2")).as("n1w1"))
+    val cont = trainBg.select(col("w1"), col("w2")).distinct()
+      .groupBy(col("w2")).agg(count(lit(1)).as("cont2"))
+    val tots = trainBg.agg(
+      countDistinct(col("bg")).as("cont_all"),
+      countDistinct(col("w2")).as("n_vocab"))
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(bigrams2(col("text"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ")(0))
+      .withColumn("w2", split(col("bg"), " ")(1))
+      .join(pair, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tots))
+      .withColumn("pc",
+        (coalesce(col("cont2"), lit(0L)) + 1).cast("double") /
+          (col("cont_all") + col("n_vocab")).cast("double"))
+      .withColumn("p",
+        when(col("cb").isNotNull,
+          (col("cb").cast("double") - 0.75) / col("cw1").cast("double") +
+            lit(0.75) * col("n1w1").cast("double") /
+              col("cw1").cast("double") * col("pc"))
+          .when(col("cw1").isNotNull,
+            lit(0.75) * col("n1w1").cast("double") /
+              col("cw1").cast("double") * col("pc"))
+          .otherwise(col("pc")))
+      .withColumn("lp_micro", round(log10(col("p")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cb").isNull && col("cw1").isNotNull, 1L)
+          .otherwise(0L)).as("n_unseen_pair"),
+        sum(when(col("cw1").isNull, 1L).otherwise(0L)).as("n_unseen_ctx"),
+        expr("sum(lp_micro) div count(1)").as("kn_score_micro"))
+  }
 }

@@ -453,4 +453,33 @@ class PlanSpec extends SparkSpec {
       assert(spans.nonEmpty, s"$name fell out of codegen")
     }
   }
+
+  test("round-12 additions: equi-join candidates, bounded broadcasts, no corpus products") {
+    // q361/q362/q363: LM/selection joins stay hash-equi on token keys
+    for ((name, df) <- Seq(
+        "q361" -> TextAnalysis.backoffLm(spark, sfDir),
+        "q363" -> TextAnalysis.logOddsTerms(spark, sfDir),
+        "q366" -> Dedup.simhashNearDup(spark, sfDir),
+        "q367" -> Dedup.fellegiSunter(spark, sfDir),
+        "q371" -> Dedup.localClusteringOf(Dedup.minhashLsh(spark, sfDir)))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+    // q372: the clip bounds ride ONE broadcast of a |groups|-row
+    // frame; the corpus is never globally sorted (twoPhaseRank's
+    // window sorts only within (group, bin) partitions)
+    val p372 = plan(Sketch.winsorized(spark, sfDir))
+    assert(p372.contains("BroadcastHashJoin"), "q372 lost the bounds broadcast")
+    assert(!p372.contains("CartesianProduct"))
+    // q370: the LSH candidate path is an equi-join on (band, key);
+    // the only nested loop is the bounded 5-row query broadcast on
+    // the exact audit side
+    val p370 = plan(Similarity.radiusSearch(spark, sfDir))
+    assert(!p370.contains("CartesianProduct"), "q370 has a cartesian product")
+    // q368: one aggregator pass — a single pair of partial/final
+    // hash aggregates over the token scan, no join at all before
+    // the sketch
+    val p368 = plan(graft.SparkEntry.queries("q368_heavy_hitters")(spark, sfDir))
+    assert(!p368.contains("CartesianProduct"))
+  }
 }
