@@ -327,6 +327,38 @@ object ScaleProbe {
     // the probe becomes bucket-local (the q111 layout note). The
     // probe measures the scan slope so the bucketing decision rides
     // on a number, not an assumption.
+    // q366's simhash banding: candidate volume within the fixed
+    // 4 x 2^16 bucket grid. Replica-disjoint vocab gives distinct
+    // fingerprints, so this measures how the WWW'07 exact-recall
+    // layout's bucket population (and the verify volume it implies)
+    // grows with the corpus — the number that says when to shard the
+    // band join or move to permuted-table probing at 100 TB.
+    if (probeSel.contains("simhash")) for (k <- Seq(1, 2, 4, 8)) {
+      import graft.operators.Dedup
+      val docs = expand(k).cache()
+      val n = docs.count()
+      def candidates(d: DataFrame): DataFrame = {
+        val sh = Dedup.simhashOf(d)
+        val bands = sh.select(col("doc_id"),
+            explode(expr("transform(sequence(0, 3), b -> " +
+              "struct(b AS band, substring(simhash, b * 4 + 1, 4) AS bk))"))
+              .as("x"))
+          .select(col("doc_id"), col("x.band"), col("x.bk"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+      }
+      if (k == 1) time(candidates(docs)) // warm codegen/JIT
+      System.gc()
+      val t0 = System.nanoTime()
+      val nc = candidates(docs).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"""{"k":$k,"docs":$n,"cands":$nc,"cand_sec":$t%.2f}""")
+      docs.unpersist()
+    }
+
     if (probeSel.contains("streamdedup")) {
       import graft.operators.Dedup
       for (k <- Seq(1, 2, 4, 8)) {

@@ -535,11 +535,17 @@ object Dedup {
     * the same bits DuckDB derives from its md5 hex, so the oracle
     * replays exactly. Output is the 16-hex-char signature (a BIGINT
     * would need 1<<63, which overflows the oracle engine). */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir))
+
+  /** q23's fingerprint over any (doc_id, text) frame — the shared
+    * seam ScaleProbe's simhash section measures (same reason as
+    * dupSpanOf: two inline copies would drift). */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     // one row per token; the 128-bit md5 decoded with TWO conv calls
     // (nibbles 0-14 as a 60-bit long, nibble 15 separately) so the 64
     // bit extracts below are pure integer shifts
-    val tok = Tables.documents(s, dir)
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
       .withColumn("hi", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
@@ -2016,7 +2022,7 @@ object Dedup {
     * doc × doc. */
   def simhashNearDup(s: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(s, dir)
+    val sh = simhashOf(Tables.documents(s, dir))
       .withColumn("hi", conv(substring(col("simhash"), 1, 15), 16, 10)
         .cast("long"))
       .withColumn("lo", conv(substring(col("simhash"), 16, 1), 16, 10)

@@ -20,6 +20,7 @@ class SqlSurfaceSpec extends SparkSpec {
     Tables.events(spark, sfDir).createOrReplaceTempView("g_events")
     Tables.documents(spark, sfDir).createOrReplaceTempView("g_documents")
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("g_embeddings")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
   }
 
   private def rows(df: DataFrame): Set[String] = {
@@ -93,7 +94,49 @@ class SqlSurfaceSpec extends SparkSpec {
          |SELECT tb.tok AS token, tb.n AS n, min(sk.cnt) AS est
          |FROM tb JOIN sk ON tb.r = sk.r AND tb.b = sk.b
          |GROUP BY tb.tok, tb.n""".stripMargin
-    }))
+    }),
+
+    ("linkage/q367", Dedup.fellegiSunter(spark, sfDir),
+      """WITH p AS (SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  a.c_nationkey AS nat1, b.c_nationkey AS nat2,
+        |  a.c_mktsegment AS seg1, b.c_mktsegment AS seg2,
+        |  CAST(round(a.c_acctbal * 100) AS BIGINT) AS bal1,
+        |  CAST(round(b.c_acctbal * 100) AS BIGINT) AS bal2
+        | FROM g_customer a JOIN g_customer b ON a.c_custkey < b.c_custkey
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |sc AS (SELECT id1, id2,
+        |  nat1 = nat2 AS agree_nation, seg1 = seg2 AS agree_segment,
+        |  abs(bal1 - bal2) <= 10000 AS agree_balance,
+        |  CAST(9814
+        |   + (CASE WHEN nat1 = nat2 THEN 4570 ELSE -4263 END)
+        |   + (CASE WHEN seg1 = seg2 THEN 2170 ELSE -3000 END)
+        |   + (CASE WHEN abs(bal1 - bal2) <= 10000 THEN 6322 ELSE -2307 END)
+        |   AS BIGINT) AS score_cb
+        | FROM p)
+        |SELECT id1, id2, agree_nation, agree_segment, agree_balance,
+        | score_cb,
+        | CASE WHEN score_cb >= 18000 THEN 'match'
+        |  WHEN score_cb >= 10000 THEN 'possible'
+        |  ELSE 'nonmatch' END AS decision
+        |FROM sc""".stripMargin),
+
+    ("robust/q372", Sketch.winsorized(spark, sfDir),
+      """WITH r AS (SELECT l_returnflag AS grp,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  l_orderkey, l_linenumber FROM g_lineitem),
+        |rk AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp
+        |   ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+        |  count(1) OVER (PARTITION BY grp) AS n FROM r),
+        |b AS (SELECT grp,
+        |  min(CASE WHEN rk = (n + 9) div 10 THEN cents END) AS p10,
+        |  min(CASE WHEN rk = (9 * n + 9) div 10 THEN cents END) AS p90
+        | FROM rk GROUP BY grp)
+        |SELECT r.grp, count(1) AS n,
+        | max(p10) AS p10_cents, max(p90) AS p90_cents,
+        | sum(cents) div count(1) AS raw_mean_cents,
+        | sum(greatest(p10, least(p90, cents))) div count(1)
+        |   AS wins_mean_cents
+        |FROM r JOIN b ON r.grp = b.grp GROUP BY r.grp""".stripMargin))
 
   test("every family's representative runs as literal SQL with identical rows") {
     registerViews()
