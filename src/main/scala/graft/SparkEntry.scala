@@ -399,6 +399,13 @@ object SparkEntry {
     "q375_span_dedup"       -> ((s, d) => Dedup.spanDedup(s, d)),
     "q376_png_histogram"    -> ((s, d) => Multimodal.pngHistogram(s, d)),
     "q377_group_kll"        -> ((s, d) => Sketch.groupKll(s, d)),
+    "q378_kendall_tau"      -> ((s, d) => Eval.kendallTau(s, d)),
+    "q379_curriculum_pacing" ->
+      ((s, d) => Pipeline.curriculumPacing(s, d)),
+    "q380_chinchilla_planner" ->
+      ((s, d) => Pipeline.chinchillaPlanner(s, d)),
+    "q381_generalization_ladder" ->
+      ((s, d) => Privacy.generalizationLadder(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -7957,5 +7964,97 @@ object SparkEntry {
         |SELECT grp, CAST(q AS BIGINT) AS q_milli, n,
         | CAST(1 AS BIGINT) AS within_bound
         |FROM g, qs""".stripMargin,
+    // q378: the q174 bounded-domain trick in 2D — grid, marginals,
+    // and the constant grid-pair join are all integer (HUGEINT /
+    // decimal-38 internally); one fixed IEEE sqrt-divide at the end.
+    "q378_kendall_tau" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   // 100000 AS a,
+        |  least(CAST(length(text) AS BIGINT) // 50, 11) AS b
+        | FROM documents),
+        |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+        | FROM sc GROUP BY 1, 2),
+        |pr AS (SELECT g1.a AS a1, g1.b AS b1, g2.a AS a2, g2.b AS b2,
+        |  CAST(g1.n AS HUGEINT) * g2.n AS prod
+        | FROM g g1 JOIN g g2
+        | ON (g2.a > g1.a) OR (g2.a = g1.a AND g2.b > g1.b)),
+        |cd AS (SELECT
+        |  sum(CASE WHEN a2 > a1 AND b2 > b1 THEN prod ELSE 0 END) AS c,
+        |  sum(CASE WHEN a2 > a1 AND b2 < b1 THEN prod ELSE 0 END) AS d
+        | FROM pr),
+        |ma AS (SELECT sum(CAST(m AS HUGEINT) * (m - 1) // 2) AS t_a
+        | FROM (SELECT CAST(sum(n) AS BIGINT) AS m FROM g GROUP BY a)),
+        |mb AS (SELECT sum(CAST(m AS HUGEINT) * (m - 1) // 2) AS t_b
+        | FROM (SELECT CAST(sum(n) AS BIGINT) AS m FROM g GROUP BY b)),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(n) AS HUGEINT) * (sum(n) - 1) // 2 AS n0 FROM g)
+        |SELECT n_total, CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        | CAST(t_a AS BIGINT) AS t_a, CAST(t_b AS BIGINT) AS t_b,
+        | CAST(round(CAST(c - d AS DOUBLE)
+        |   / sqrt(CAST(n0 - t_a AS DOUBLE) * CAST(n0 - t_b AS DOUBLE))
+        |   * 1e6) AS BIGINT) AS tau_b_micro
+        |FROM cd, ma, mb, tt""".stripMargin,
+    // q379: global length rank replayed by one window (the gate
+    // grain); thresholds are integer ppm.
+    "q379_curriculum_pacing" ->
+      """WITH l AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        | FROM documents),
+        |rk AS (SELECT doc_id, n_toks,
+        |  row_number() OVER (ORDER BY n_toks, doc_id) AS rk,
+        |  count(*) OVER () AS n_all FROM l),
+        |d AS (SELECT doc_id, n_toks, rk * 1000000 // n_all AS diff_ppm
+        | FROM rk),
+        |e AS (SELECT unnest(range(1, 4)) AS epoch)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        | CAST(least(1000000, 250000 + 250000 * epoch) AS BIGINT)
+        |   AS threshold_ppm,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM e JOIN d
+        | ON d.diff_ppm <= least(1000000, 250000 + 250000 * epoch)
+        |GROUP BY 1, 2""".stripMargin,
+    // q380: md5-keeper token supply x a literal model grid; all
+    // integer.
+    "q380_chinchilla_planner" ->
+      """WITH k AS (SELECT md5(text) AS h,
+        |  max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_toks
+        | FROM documents GROUP BY 1),
+        |s AS (SELECT CAST(sum(n_toks) AS BIGINT) AS effective_tokens
+        | FROM k),
+        |g(model, params) AS (VALUES ('125M', 125000000),
+        | ('1.3B', 1300000000), ('13B', 13000000000),
+        | ('70B', 70000000000))
+        |SELECT model, CAST(params AS BIGINT) AS params, effective_tokens,
+        | CAST(params * 20 AS BIGINT) AS optimal_tokens,
+        | CAST(params * 20 * 1000 // effective_tokens AS BIGINT)
+        |   AS epochs_milli,
+        | params * 20 * 1000 // effective_tokens > 4000
+        |   AS data_constrained
+        |FROM g, s""".stripMargin,
+    // q381: three fixed generalization levels over the same keyed
+    // frame; every column integer.
+    "q381_generalization_ladder" ->
+      """WITH b AS (SELECT c.c_nationkey AS nat, n.n_regionkey AS reg,
+        |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+        | FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |lv AS (
+        | SELECT 0 AS level, concat(nat, '|', cents // 10000) AS qc FROM b
+        | UNION ALL
+        | SELECT 1, concat(reg, '|', cents // 100000) FROM b
+        | UNION ALL
+        | SELECT 2, concat(reg, '') FROM b),
+        |cl AS (SELECT level, qc, CAST(count(*) AS BIGINT) AS m
+        | FROM lv GROUP BY 1, 2)
+        |SELECT CAST(level AS BIGINT) AS level,
+        | CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(min(m) AS BIGINT) AS min_class,
+        | CAST(sum(CASE WHEN m < 5 THEN m ELSE 0 END) AS BIGINT)
+        |   AS n_suppressed,
+        | CAST(sum(CASE WHEN m < 5 THEN m ELSE 0 END) * 1000000
+        |   // sum(m) AS BIGINT) AS suppression_ppm
+        |FROM cl GROUP BY 1""".stripMargin,
   )
 }

@@ -567,4 +567,60 @@ object Eval {
           | + tn * 1000000 div nullif(tn + fp, 0)) div 2""".stripMargin)
           .as("bal_acc_ppm"))
   }
+
+  /** q378: KENDALL τ-b between the quality score and document length
+    * (round-12) — the rank-correlation completing q319's Spearman:
+    * τ counts CONCORDANT vs DISCORDANT pairs, the statistic whose
+    * value reads directly as "probability a random pair is ordered
+    * the same way by both signals" — the calibration question before
+    * using length as a cheap proxy for a quality cut. Computed the
+    * q174 bounded-domain way, extended to 2D: the corpus collapses
+    * to a ≤ 11×12 (score-bin, length-bin) grid in ONE map-side agg;
+    * C/D come from the grid × grid pair join (≤ 132² cells —
+    * constant, corpus-independent); tie corrections T₁/T₂ from the
+    * two marginals. Everything integer in decimal(38,0) (pair counts
+    * ~ n²/2 overflow BIGINT past ~6e9 rows); only the final
+    * standardization is one fixed IEEE sqrt-divide, micro-rounded.
+    * τ-b handles the heavy bin ties by construction. */
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val binned = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(expr("s_uniq * 1000000 div s_tok div 100000").as("a"),
+        least(expr("n_chars div 50"), lit(11L)).as("b"))
+    val grid = binned.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val pairs = grid.toDF("a1", "b1", "n1")
+      .crossJoin(broadcast(grid.toDF("a2", "b2", "n2")))
+      .filter(col("a2") > col("a1") ||
+        (col("a2") === col("a1") && col("b2") > col("b1")))
+      .withColumn("prod",
+        expr("CAST(n1 AS DECIMAL(38,0)) * n2"))
+    val cd = pairs.agg(
+      sum(when(col("a2") > col("a1") && col("b2") > col("b1"), col("prod"))
+        .otherwise(lit(0))).as("c"),
+      sum(when(col("a2") > col("a1") && col("b2") < col("b1"), col("prod"))
+        .otherwise(lit(0))).as("d"))
+    def tiePairs(df: DataFrame, key: String) = df.groupBy(col(key))
+      .agg(sum(col("n")).as("m"))
+      .agg(sum(expr("CAST(m AS DECIMAL(38,0)) * (m - 1) / 2"))
+        .cast("decimal(38,0)").as(s"t_$key"))
+    val ta = tiePairs(grid, "a"); val tb = tiePairs(grid, "b")
+    val tot = grid.agg(sum(col("n")).as("n_total"))
+      .withColumn("n0",
+        expr("CAST(CAST(n_total AS DECIMAL(38,0)) * (n_total - 1) / 2" +
+          " AS DECIMAL(38,0))"))
+    cd.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .crossJoin(broadcast(tot))
+      .select(col("n_total"),
+        col("c").cast("long").as("c"),
+        col("d").cast("long").as("d"),
+        col("t_a").cast("long").as("t_a"),
+        col("t_b").cast("long").as("t_b"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt((col("n0") - col("t_a")).cast("double") *
+               (col("n0") - col("t_b")).cast("double")) * 1e6)
+          .cast("long").as("tau_b_micro"))
+  }
 }

@@ -843,4 +843,64 @@ object Pipeline {
       .select(col("doc_id"), col("n_toks"), col("ml_micro"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
+
+  /** q379: CURRICULUM PACING manifests (round-12) — the easy-first
+    * training schedule (Bengio et al. 2009; linear pacing function
+    * per Hacohen & Weinshall 2019): difficulty = the doc's length
+    * rank (short = easy, the standard text proxy), pacing p(e) =
+    * min(1, 0.25 + 0.25·e), so epoch 1 trains on the easiest half,
+    * epoch 2 on 75%, epoch 3 on everything. Difficulty ppm comes
+    * from [[Relational.twoPhaseRank]] (bounded-histogram rank, no
+    * corpus sort); the epoch fan-out is a NARROW array filter per
+    * row (explode of the epochs the doc is admitted to — ≤ 3 rows
+    * per doc), then one bounded agg. Output: per epoch, the admitted
+    * doc/token volume — the manifest a data loader samples from. */
+  def curriculumPacing(s: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    val ranked = Relational.twoPhaseRank(lens, lit(1), col("n_toks"),
+      Seq(col("n_toks"), col("doc_id")), "rk", "n_all")
+      .withColumn("diff_ppm", expr("rk * 1000000 div n_all"))
+    ranked
+      .withColumn("epoch", explode(expr(
+        "filter(array(1, 2, 3), e -> " +
+          "diff_ppm <= least(1000000, 250000 + 250000 * e))")))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("threshold_ppm",
+        least(lit(1000000L), lit(250000L) + lit(250000L) * col("epoch")))
+      .select(col("epoch").cast("long").as("epoch"), col("threshold_ppm"),
+        col("n_docs"), col("n_tokens"))
+  }
+
+  /** q380: CHINCHILLA COMPUTE-OPTIMAL planner (round-12) — the
+    * capacity question the whole dedup/curation stack exists to
+    * answer: given the corpus' EXACT-DEDUPED token supply, which
+    * model sizes can be trained compute-optimally (Hoffmann et al.
+    * 2022: ~20 tokens per parameter) and how many EPOCHS of the
+    * corpus each needs — with the ≤ 4-epoch repeat ceiling of
+    * Muennighoff et al. 2023 flagging the data-constrained regime.
+    * Supply = tokens of md5-keeper docs (q20's grain — the cheapest
+    * defensible "unique tokens" number; q349's near-dup accounting
+    * refines it). One corpus agg + a 4-row literal model grid; all
+    * integer (tokens/needs/epochs-milli). */
+  def chinchillaPlanner(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"),
+        md5(col("text").cast("binary")).as("h"))
+    val keep = docs.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), max(col("n_toks")).as("n_toks"))
+    val supply = keep.agg(sum(col("n_toks")).as("effective_tokens"))
+    val grid = s.createDataFrame(Seq(
+      ("125M", 125000000L), ("1.3B", 1300000000L),
+      ("13B", 13000000000L), ("70B", 70000000000L)))
+      .toDF("model", "params")
+    grid.crossJoin(broadcast(supply))
+      .withColumn("optimal_tokens", col("params") * 20L)
+      .withColumn("epochs_milli",
+        expr("optimal_tokens * 1000 div effective_tokens"))
+      .withColumn("data_constrained", col("epochs_milli") > 4000L)
+      .select(col("model"), col("params"), col("effective_tokens"),
+        col("optimal_tokens"), col("epochs_milli"), col("data_constrained"))
+  }
 }

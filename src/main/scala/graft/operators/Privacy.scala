@@ -271,4 +271,42 @@ object Privacy {
         when(col("n_flagged") > 0L, col("n_docs") - col("n_flagged"))
           .otherwise(0L).as("n_inherited"))
   }
+
+  /** q381: GENERALIZATION LADDER for k-anonymity (round-12) — the
+    * decision table behind q130's check: a release that fails k at
+    * the raw quasi-identifier grain climbs a FIXED generalization
+    * schedule (Sweeney 2002; Samarati's full-domain generalization)
+    * until the equivalence classes are large enough — and this
+    * report shows the whole ladder at once, so the releasing
+    * pipeline picks the LOWEST level whose suppression cost is
+    * acceptable instead of generalizing blindly: level 0 =
+    * (nation, 100-currency-unit balance band), level 1 =
+    * (region, 1000-unit band), level 2 = (region). Per level:
+    * class count, smallest class, rows that would need suppression
+    * (classes < k) and the suppression ppm. One small dim join
+    * (broadcast) + three bounded aggs over the SAME keyed frame. */
+  def generalizationLadder(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val dims = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val base = Tables.customer(s, dir)
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+    def level(lv: Int, key: org.apache.spark.sql.Column): DataFrame =
+      base.groupBy(key.as("qi_class"))
+        .agg(count(lit(1)).as("m"))
+        .agg(lit(lv.toLong).as("level"),
+          count(lit(1)).as("n_classes"),
+          min(col("m")).as("min_class"),
+          sum(when(col("m") < k, col("m")).otherwise(0L)).as("n_suppressed"),
+          sum(col("m")).as("n_rows"))
+        .withColumn("suppression_ppm",
+          expr("n_suppressed * 1000000 div n_rows"))
+    level(0, concat_ws("|", col("nat"), expr("cents div 10000")))
+      .unionByName(level(1, concat_ws("|", col("reg"), expr("cents div 100000"))))
+      .unionByName(level(2, col("reg").cast("string")))
+      .select(col("level"), col("n_classes"), col("min_class"),
+        col("n_suppressed"), col("suppression_ppm"))
+  }
 }

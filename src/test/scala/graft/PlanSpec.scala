@@ -481,5 +481,17 @@ class PlanSpec extends SparkSpec {
     // the sketch
     val p368 = plan(graft.SparkEntry.queries("q368_heavy_hitters")(spark, sfDir))
     assert(!p368.contains("CartesianProduct"))
+    // q378: the corpus collapses to the bounded grid BEFORE the pair
+    // join — the only product is the broadcast grid x grid
+    val p378 = plan(Eval.kendallTau(spark, sfDir))
+    assert(!p378.contains("CartesianProduct"), "q378 has a cartesian product")
+    // q379/q381: narrow fan-outs + bounded aggs, no products at all
+    for ((name, df) <- Seq(
+        "q379" -> Pipeline.curriculumPacing(spark, sfDir),
+        "q381" -> Privacy.generalizationLadder(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name lost its bounded shape")
+    }
   }
 }

@@ -187,4 +187,55 @@ class Round12Spec extends SparkSpec {
         s"image $id lost pixels across buckets")
     }
   }
+
+  test("q378: Kendall tau-b is in [-1, 1] and pair counts partition N0") {
+    val r = graft.operators.Eval.kendallTau(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_total")
+    val n0 = n * (n - 1) / 2
+    val c = row.getAs[Long]("c"); val d = row.getAs[Long]("d")
+    val ta = row.getAs[Long]("t_a"); val tb = row.getAs[Long]("t_b")
+    assert(c + d <= n0, "concordant+discordant cannot exceed total pairs")
+    assert(ta <= n0 && tb <= n0)
+    val tau = row.getAs[Long]("tau_b_micro")
+    assert(tau >= -1000000L && tau <= 1000000L, s"tau out of range: $tau")
+  }
+
+  test("q379: curriculum epochs are nested and epoch 3 admits everything") {
+    val r = graft.operators.Pipeline.curriculumPacing(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("epoch"))
+    assert(r.map(_.getAs[Long]("epoch")).toSeq === Seq(1L, 2L, 3L))
+    val docs = r.map(_.getAs[Long]("n_docs"))
+    val toks = r.map(_.getAs[Long]("n_tokens"))
+    assert(docs(0) <= docs(1) && docs(1) <= docs(2), "epochs must nest")
+    assert(toks(0) <= toks(1) && toks(1) <= toks(2))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(docs(2) === total, "threshold 1e6 must admit the full corpus")
+  }
+
+  test("q380: planner arithmetic is exact and monotone in model size") {
+    val r = graft.operators.Pipeline.chinchillaPlanner(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("params"))
+    assert(r.length === 4)
+    for (row <- r) {
+      assert(row.getAs[Long]("optimal_tokens") ===
+        row.getAs[Long]("params") * 20L)
+      val em = row.getAs[Long]("epochs_milli")
+      assert(row.getAs[Boolean]("data_constrained") === (em > 4000L))
+    }
+    val epochs = r.map(_.getAs[Long]("epochs_milli"))
+    assert(epochs.zip(epochs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q381: generalization strictly coarsens classes and suppression falls") {
+    val r = graft.operators.Privacy.generalizationLadder(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("level"))
+    assert(r.map(_.getAs[Long]("level")).toSeq === Seq(0L, 1L, 2L))
+    val classes = r.map(_.getAs[Long]("n_classes"))
+    assert(classes(0) >= classes(1) && classes(1) >= classes(2),
+      "coarser levels cannot have more classes")
+    val minc = r.map(_.getAs[Long]("min_class"))
+    assert(minc(2) >= minc(0), "the coarsest level cannot shrink classes")
+  }
 }
