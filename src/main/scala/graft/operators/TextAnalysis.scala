@@ -1194,7 +1194,9 @@ object TextAnalysis {
     * expression per (source, word) row micro-rounded before the
     * rank — no cross-row float ever. Shapes: one unigram agg, one
     * (source × word) agg, corpus totals broadcast; the top-5 cut
-    * ranks the VOCAB-sized frame (≪ corpus) per source. */
+    * rides [[Relational.twoPhaseRank]] on (−z, word) — the bounded-
+    * histogram rank, so even a 100 TB-corpus vocabulary is never
+    * sorted per source. */
   def logOddsTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
@@ -1225,9 +1227,9 @@ object TextAnalysis {
           sqrt(lit(1e6) / col("num_s").cast("double") +
                lit(1e6) / col("num_r").cast("double")) * 1e6)
         .cast("long"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("z_micro").desc, col("w"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    Relational.twoPhaseRank(scored, col("source"),
+        negate(col("z_micro")), Seq(negate(col("z_micro")), col("w")),
+        "rank", "n_vocab")
       .filter(col("rank") <= k)
       .select(col("source"), col("w").as("term"), col("y").as("cnt"),
         col("z_micro"), col("rank"))
