@@ -406,6 +406,8 @@ object SparkEntry {
       ((s, d) => Pipeline.chinchillaPlanner(s, d)),
     "q381_generalization_ladder" ->
       ((s, d) => Privacy.generalizationLadder(s, d)),
+    "q382_source_heavy_hitters" ->
+      ((s, d) => Sketch.sourceHeavyHitters(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8056,5 +8058,18 @@ object SparkEntry {
         | CAST(sum(CASE WHEN m < 5 THEN m ELSE 0 END) * 1000000
         |   // sum(m) AS BIGINT) AS suppression_ppm
         |FROM cl GROUP BY 1""".stripMargin,
+    // q382: per-source exact top-2 with the pinned MG theorems
+    // (q368's argument per group).
+    "q382_source_heavy_hitters" ->
+      """WITH t AS (SELECT source,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        | FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |   ORDER BY cnt DESC, tok) AS rank FROM g)
+        |SELECT source, tok AS token, cnt, CAST(rank AS BIGINT) AS rank,
+        | CAST(1 AS BIGINT) AS within_bound,
+        | CAST(1 AS BIGINT) AS present_ok
+        |FROM r WHERE rank <= 2""".stripMargin,
   )
 }

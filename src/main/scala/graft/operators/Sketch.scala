@@ -651,4 +651,56 @@ object Sketch {
           col("target") >= col("rank_lt") + lit(1L) - col("bound"))
           .cast("long").as("within_bound"))
   }
+
+  /** q382: PER-SOURCE MISRA–GRIES heavy hitters (round-12) — q368
+    * composed with groupBy, completing the per-key composition
+    * symmetry (the rank sketch got it in q377): one
+    * [[graft.functions.MisraGriesAgg]] UDAF per source — k counter
+    * slots per key, map-side partials, one bounded merge shuffle —
+    * is the per-domain hot-token monitor (which boilerplate token
+    * floods WHICH feed), where q368's global sketch only names the
+    * corpus-wide flood. Audit per source: the exact top-2 tokens
+    * must satisfy est ≤ true ≤ est + d and guaranteed presence when
+    * true > d — theorems for every merge order. Exact side: one
+    * (source × token) agg ranked by twoPhaseRank (never a per-source
+    * vocab sort); the per-source sketch collect is metadata-sized. */
+  def sourceHeavyHitters(s: SparkSession, dir: String, k: Int = 32,
+      top: Int = 2): DataFrame = {
+    import graft.functions.{MisraGriesAgg, MgSketch}
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val mg = udaf(new MisraGriesAgg(k))
+    val fin = tok.select(col("source"), h60(col("tok")).as("h"))
+      .groupBy(col("source")).agg(mg(col("h")).as("sk"))
+      .collect() // metadata-sized: one sketch row per source
+      .map { r =>
+        val skr = r.getStruct(r.fieldIndex("sk"))
+        r.getAs[String]("source") -> MgSketch(
+          skr.getSeq[Long](skr.fieldIndex("keys")).toVector,
+          skr.getSeq[Long](skr.fieldIndex("counts")).toVector,
+          skr.getAs[Long]("d"), skr.getAs[Long]("n"))
+      }.toMap
+    val counts = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = Relational.twoPhaseRank(counts, col("source"),
+        negate(col("cnt")), Seq(negate(col("cnt")), col("tok")),
+        "rk", "n_vocab")
+      .filter(col("rk") <= top)
+      .withColumn("h", h60(col("tok")))
+      .collect() // metadata-sized: |sources| * top rows
+    import s.implicits._
+    val rows = exact.toSeq.map { r =>
+      val src = r.getAs[String]("source")
+      val cnt = r.getAs[Long]("cnt")
+      val sk = fin(src)
+      val est = sk.estimate(r.getAs[Long]("h"))
+      (src, r.getAs[String]("tok"), cnt, r.getAs[Long]("rk"),
+        if (est <= cnt && cnt <= est + sk.d) 1L else 0L,
+        if (cnt <= sk.d || est > 0L) 1L else 0L)
+    }
+    rows.toDF("source", "token", "cnt", "rank", "within_bound",
+      "present_ok")
+  }
 }

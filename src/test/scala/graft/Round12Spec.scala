@@ -238,4 +238,14 @@ class Round12Spec extends SparkSpec {
     val minc = r.map(_.getAs[Long]("min_class"))
     assert(minc(2) >= minc(0), "the coarsest level cannot shrink classes")
   }
+
+  test("q382: per-source MG satisfies the bound flags on every audited row") {
+    val r = graft.operators.Sketch.sourceHeavyHitters(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("within_bound") == 1L))
+    assert(r.forall(_.getAs[Long]("present_ok") == 1L))
+    // exactly `top` rows per source
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    assert(bySrc.values.forall(_.length == 2))
+  }
 }
