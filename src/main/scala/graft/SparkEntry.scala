@@ -408,6 +408,8 @@ object SparkEntry {
       ((s, d) => Privacy.generalizationLadder(s, d)),
     "q382_source_heavy_hitters" ->
       ((s, d) => Sketch.sourceHeavyHitters(s, d)),
+    "q383_quality_dup_interaction" ->
+      ((s, d) => Pipeline.qualityDupInteraction(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8071,5 +8073,39 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS within_bound,
         | CAST(1 AS BIGINT) AS present_ok
         |FROM r WHERE rank <= 2""".stripMargin,
+    // q383: quality composite is the q28/q65 shared fixed IEEE
+    // expression at the 0.7 cut; dups are the q21 exact-pair right
+    // column (the pairwise min-keeper removable set).
+    "q383_quality_dup_interaction" -> {
+      val shingles = """t AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text,' '))-1),
+        |   i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+        | FROM documents)""".stripMargin
+      s"""WITH $shingles,
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |cp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM t),
+        |dup AS (SELECT DISTINCT d2 AS doc_id FROM cp
+        | JOIN z za ON d1 = za.doc_id JOIN z zb ON d2 = zb.doc_id
+        | WHERE CAST(c AS DOUBLE) / (za.n + zb.n - c) >= 0.5),
+        |d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5
+        |   + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the', 'a'))) AS DOUBLE)
+        |     / len(string_split(text, ' '))) * 0.5 >= 0.7
+        |   AS quality_pass FROM documents),
+        |tt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total_tokens FROM d)
+        |SELECT quality_pass, dup.doc_id IS NOT NULL AS is_dup,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_toks) * 1000000 // total_tokens AS BIGINT)
+        |   AS token_share_ppm
+        |FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id CROSS JOIN tt
+        |GROUP BY 1, 2, total_tokens""".stripMargin
+    },
   )
 }

@@ -903,4 +903,40 @@ object Pipeline {
       .select(col("model"), col("params"), col("effective_tokens"),
         col("optimal_tokens"), col("epochs_milli"), col("data_constrained"))
   }
+
+  /** q383: QUALITY × NEAR-DUPLICATION interaction table (round-12)
+    * — the curation-ORDER question answered with data: how much of
+    * the low-quality mass is ALSO near-duplicated (cut once, not
+    * twice), and how much duplicated mass hides inside the
+    * quality-passing set. The 2×2 (quality_pass, is_dup) cell table
+    * with doc/token volumes and corpus token share — what a pipeline
+    * lead reads before deciding dedup-then-filter vs
+    * filter-then-dedup. is_dup is the PAIRWISE min-keeper grain over
+    * q21's exact-Jaccard pairs (a doc is a dup iff some
+    * smaller-id doc is ≥ 0.5-similar — q21 emits d1 < d2, so the
+    * right column is exactly the removable set; the q59 component
+    * grain coarsens it); quality is the q28/q65 shared composite at
+    * the 0.7 cut that splits this corpus. Near-dup is exactly where
+    * ORDER MATTERS: filtering first can remove a keeper whose copy
+    * then survives dedup — this table bounds that leakage by the
+    * (pass, dup) cell mass. Costs: the q21 generator + one id
+    * semi-join + one 4-row agg. */
+  def qualityDupInteraction(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      (qualityScore(col("text")) >= 0.7).as("quality_pass"))
+    val dups = Dedup.ngramJaccard(s, dir)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val tot = docs.agg(sum(col("n_toks")).as("total_tokens"))
+    docs.join(dups, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .groupBy(col("quality_pass"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("quality_pass"), col("is_dup"), col("n_docs"),
+        col("n_tokens"),
+        expr("n_tokens * 1000000 div total_tokens").as("token_share_ppm"))
+  }
+
 }

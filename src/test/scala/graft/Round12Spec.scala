@@ -248,4 +248,19 @@ class Round12Spec extends SparkSpec {
     val bySrc = r.groupBy(_.getAs[String]("source"))
     assert(bySrc.values.forall(_.length == 2))
   }
+
+  test("q383: interaction cells partition the corpus exactly") {
+    val r = graft.operators.Pipeline.qualityDupInteraction(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty && r.length <= 4)
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === totalDocs,
+      "cells must partition the corpus")
+    assert(r.map(_.getAs[Long]("token_share_ppm")).sum <= 1000000L)
+    // the dup flag matches the q21 pair right column exactly
+    val dupDocs = graft.operators.Dedup.ngramJaccard(spark, sfDir)
+      .select("d2").distinct().count()
+    assert(r.filter(_.getAs[Boolean]("is_dup"))
+      .map(_.getAs[Long]("n_docs")).sum === dupDocs)
+  }
 }
