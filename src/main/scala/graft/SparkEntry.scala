@@ -7552,9 +7552,11 @@ object SparkEntry {
         |   AS n_backoff,
         | CAST(sum(CASE WHEN cb IS NULL AND cu IS NULL THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_oov,
-        | round(avg(CASE WHEN cb IS NOT NULL THEN log10(cb) - log10(cw1)
+        | CAST(sum(CAST(round((CASE
+        |  WHEN cb IS NOT NULL THEN log10(cb) - log10(cw1)
         |  WHEN cu IS NOT NULL THEN log10(0.4) + log10(cu) - log10(n_train)
-        |  ELSE log10(0.4) - log10(n_train) END), 4) AS backoff_score
+        |  ELSE log10(0.4) - log10(n_train) END) * 1e6) AS BIGINT))
+        |  // count(*) AS BIGINT) AS backoff_micro
         |FROM f GROUP BY 1""".stripMargin,
     // q362: the per-WORD log-ratio is micro-rounded on the vocab
     // frame; per-doc means are integer (// = Spark div, trunc-
@@ -7594,7 +7596,7 @@ object SparkEntry {
         | FROM tok GROUP BY 1),
         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM tok),
         |sc AS (SELECT bs.source, bs.w, bs.y,
-        |  yc * 1000 * 1000000 // n_corpus AS a_micro,
+        |  greatest(yc * 1000 * 1000000 // n_corpus, 1) AS a_micro,
         |  yc - y AS yr, n_corpus - ns AS nr, ns, n_corpus
         | FROM bs JOIN c USING (w) JOIN t USING (source) CROSS JOIN na),
         |z AS (SELECT source, w, y,
@@ -7615,15 +7617,17 @@ object SparkEntry {
         |   ORDER BY z_micro DESC, w) AS rank FROM z) q
         |WHERE rank <= 5""".stripMargin,
     // q365: all confusion entries integer; MCC numerator rides
-    // HUGEINT (decimal-38 on the Spark side), one fixed IEEE
-    // sqrt-divide micro-rounded per threshold row.
+    // HUGEINT (decimal-38 on the Spark side); the denominator is the
+    // product of two double sqrts of BIGINT pair-products (never the
+    // n^4 product), one fixed IEEE expression per threshold row.
     "q365_mcc" ->
       """WITH sc AS (SELECT
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
         |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
         |   AS score,
         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        | FROM documents),
+        | FROM documents
+        | WHERE len(string_split(text, ' ')) >= 1),
         |b AS (SELECT score // 100000 AS b, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(pos) AS BIGINT) AS n_pos FROM sc GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
@@ -7637,12 +7641,13 @@ object SparkEntry {
         |  n_total - p_total - (n_pred_pos - tp) AS tn FROM g, tot)
         |SELECT CAST(t * 100000 AS BIGINT) AS threshold_ppm,
         | tp, fp, tn, fn,
-        | CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
-        |    * (tn + fn) > 0 THEN
+        | CASE WHEN (tp + fp) * (tp + fn) > 0
+        |    AND (tn + fp) * (tn + fn) > 0 THEN
         |  CAST(round(CAST(CAST(tp AS HUGEINT) * tn
         |     - CAST(fp AS HUGEINT) * fn AS DOUBLE)
-        |   / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
-        |       * (tn + fn) AS DOUBLE)) * 1e6) AS BIGINT)
+        |   / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+        |      * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE)))
+        |   * 1e6) AS BIGINT)
         | END AS mcc_micro,
         | (tp * 1000000 // nullif(tp + fn, 0)
         |  + tn * 1000000 // nullif(tn + fp, 0)) // 2 AS bal_acc_ppm
@@ -7739,11 +7744,15 @@ object SparkEntry {
         |f AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_found
         | FROM c JOIN m a ON a.vec_id = c.query_id
         |  JOIN m b ON b.vec_id = c.vec_id
-        | WHERE $cosExpr >= 0.2 GROUP BY 1)
-        |SELECT ex.query_id, n_exact,
+        | WHERE $cosExpr >= 0.2 GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id FROM m WHERE vec_id < 5)
+        |SELECT qs.query_id,
+        | CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
         | CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
-        | coalesce(n_found, 0) * 1000000 // n_exact AS recall_ppm
-        |FROM ex LEFT JOIN f USING (query_id)""".stripMargin,
+        | coalesce(n_found, 0) * 1000000
+        |   // nullif(coalesce(n_exact, 0), 0) AS recall_ppm
+        |FROM qs LEFT JOIN ex USING (query_id)
+        | LEFT JOIN f USING (query_id)""".stripMargin,
     // q371: the q129 oriented enumeration; each closed wedge emits
     // its three corners; lcc integer ppm per node.
     "q371_local_clustering" ->
@@ -7977,7 +7986,8 @@ object SparkEntry {
         |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
         |   // 100000 AS a,
         |  least(CAST(length(text) AS BIGINT) // 50, 11) AS b
-        | FROM documents),
+        | FROM documents
+        | WHERE len(string_split(text, ' ')) >= 1),
         |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
         | FROM sc GROUP BY 1, 2),
         |pr AS (SELECT g1.a AS a1, g1.b AS b1, g2.a AS a2, g2.b AS b2,

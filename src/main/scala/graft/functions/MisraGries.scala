@@ -48,8 +48,26 @@ case class MgSketch(keys: Seq[Long], counts: Seq[Long],
 
   /** Sketch frequency estimate for `x` (0 when untracked). */
   def estimate(x: Long): Long = {
-    val i = java.util.Arrays.binarySearch(keys.toArray, x)
+    val i = MgSketch.search(keys, x)
     if (i >= 0) counts(i) else 0L
+  }
+}
+
+object MgSketch {
+  /** Binary search over a sorted Seq — index of `x`, or
+    * -(insertionPoint+1) when absent (the KMinAgg treatment:
+    * allocation-free on the per-row hit path, never a toArray
+    * copy of the k-slot buffer). */
+  private[functions] def search(b: Seq[Long], x: Long): Int = {
+    var lo = 0; var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val v = b(mid)
+      if (v == x) return mid
+      else if (v < x) lo = mid + 1
+      else hi = mid
+    }
+    -(lo + 1)
   }
 }
 
@@ -59,7 +77,7 @@ class MisraGriesAgg(k: Int) extends Aggregator[Long, MgSketch, MgSketch] {
   override def zero: MgSketch = MgSketch(Vector.empty, Vector.empty, 0L, 0L)
 
   override def reduce(b: MgSketch, a: Long): MgSketch = {
-    val i = java.util.Arrays.binarySearch(b.keys.toArray, a)
+    val i = MgSketch.search(b.keys, a)
     if (i >= 0)
       MgSketch(b.keys,
         b.counts.toVector.updated(i, b.counts(i) + 1), b.d, b.n + 1)

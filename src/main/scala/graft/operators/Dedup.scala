@@ -2098,7 +2098,11 @@ object Dedup {
       val (a, d) = FsWeights(f)
       when(agree, lit(a)).otherwise(lit(d))
     }
-    nameMatch(s, dir)
+    // blockCap = MaxValue: the gate's oracle enumerates the FULL
+    // lev<=1 pair set, so the candidate generator must be uncapped
+    // here — a variant block past the default 256 cap would silently
+    // drop pairs at larger SF (q332 documents the cap's tradeoff).
+    nameMatch(s, dir, blockCap = Int.MaxValue)
       .join(attrs.toDF("id1", "nat1", "seg1", "bal1").hint("shuffle_hash"),
         "id1")
       .join(attrs.toDF("id2", "nat2", "seg2", "bal2").hint("shuffle_hash"),

@@ -528,15 +528,21 @@ object Eval {
     * corpus collapses to ≤11 bin rows in one map-side agg; every
     * confusion entry is integer; MCC's numerator rides
     * decimal(38,0) (tp·tn ~ n²/4 overflows BIGINT past ~6e9 rows)
-    * and only the final standardization is one fixed IEEE
-    * sqrt-divide per threshold row, micro-rounded. Degenerate
-    * thresholds (a zero marginal) yield NULL mcc, the convention. */
+    * and the denominator is the PRODUCT of two double sqrts of the
+    * BIGINT pair-products √((tp+fp)(tp+fn))·√((tn+fp)(tn+fn)) —
+    * each pair-product ≤ n² stays in BIGINT to ~3e9 rows, and the
+    * single n⁴ product that would silently null a decimal(38,0) on
+    * Spark (while DuckDB HUGEINT raises) is never formed. The final
+    * standardization is one fixed IEEE expression per threshold
+    * row, micro-rounded. Degenerate thresholds (a zero marginal)
+    * yield NULL mcc, the convention. */
   def mcc(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val scored = Tables.documents(s, dir).select(
         size(array_distinct(toks)).cast("long").as("s_uniq"),
         size(toks).cast("long").as("s_tok"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .filter(col("s_tok") >= 1)
       .select(expr("s_uniq * 1000000 div s_tok").as("score"), col("pos"))
     val bins = scored.groupBy(expr("score div 100000").as("b"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
@@ -554,14 +560,14 @@ object Eval {
         col("n_total") - col("p_total") - col("fp"))
       .withColumn("num", expr(
         "CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn"))
-      .withColumn("den2", expr(
-        """CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
-          | * (tn + fp) * (tn + fn)""".stripMargin))
+      .withColumn("den_a", expr("(tp + fp) * (tp + fn)"))
+      .withColumn("den_b", expr("(tn + fp) * (tn + fn)"))
       .select((col("t") * 100000L).as("threshold_ppm"),
         col("tp"), col("fp"), col("tn"), col("fn"),
-        when(col("den2") > 0,
+        when(col("den_a") > 0 && col("den_b") > 0,
           round(col("num").cast("double") /
-            sqrt(col("den2").cast("double")) * 1e6).cast("long"))
+            (sqrt(col("den_a").cast("double")) *
+             sqrt(col("den_b").cast("double"))) * 1e6).cast("long"))
           .as("mcc_micro"),
         expr("""(tp * 1000000 div nullif(tp + fn, 0)
           | + tn * 1000000 div nullif(tn + fp, 0)) div 2""".stripMargin)
@@ -588,6 +594,7 @@ object Eval {
         size(array_distinct(toks)).cast("long").as("s_uniq"),
         size(toks).cast("long").as("s_tok"),
         length(col("text")).cast("long").as("n_chars"))
+      .filter(col("s_tok") >= 1)
       .select(expr("s_uniq * 1000000 div s_tok div 100000").as("a"),
         least(expr("n_chars div 50"), lit(11L)).as("b"))
     val grid = binned.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))

@@ -1290,9 +1290,18 @@ object Similarity {
       .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
       .filter(col("cosine") >= threshold)
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_found"))
-    exact.join(found, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_found"), lit(0L)).as("n_found"),
-        expr("coalesce(n_found, 0) * 1000000 div n_exact").as("recall_ppm"))
+    // drive from the bounded query set, not the exact side's groupBy:
+    // a query with an EMPTY neighborhood (no corpus vec at cosine >=
+    // threshold) still emits a row with n_exact = 0 and NULL
+    // recall_ppm — "no neighbors" is distinguishable from "query
+    // missing", and LSH false-positive cost on such queries is
+    // visible instead of silently dropped.
+    queries.select(col("vec_id").as("query_id"))
+      .join(exact, Seq("query_id"), "left")
+      .join(found, Seq("query_id"), "left")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+      .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+      .select(col("query_id"), col("n_exact"), col("n_found"),
+        expr("n_found * 1000000 div nullif(n_exact, 0)").as("recall_ppm"))
   }
 }

@@ -1142,8 +1142,11 @@ object TextAnalysis {
     * Shapes: two bounded count aggs over the train half (bigram,
     * unigram), two hash LEFT joins from the scored half's exploded
     * bigrams (strategy AQE's — vocab is corpus-scale), one per-doc
-    * agg. House float discipline: each factor is one fixed IEEE
-    * log10 of exact integers, mean rounded at 4. */
+    * agg. House float discipline: each bigram's log-prob is ONE
+    * fixed IEEE expression of exact integers micro-rounded PER ROW,
+    * then the per-doc mean is an integer sum div count — no
+    * cross-row float summation, so partial-aggregation order can
+    * never flip a digit (the q374 lp_micro treatment). */
   def backoffLm(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("doc_id") % 2 === 0)
@@ -1165,18 +1168,19 @@ object TextAnalysis {
       .join(cw1T, Seq("w1"), "left")
       .join(uniT.withColumnRenamed("w", "w2"), Seq("w2"), "left")
       .crossJoin(broadcast(nT))
-      .withColumn("lp",
+      .withColumn("lp_micro", round((
         when(col("cb").isNotNull,
           log10(col("cb")) - log10(col("cw1")))
           .when(col("cu").isNotNull,
             log10(lit(0.4)) + log10(col("cu")) - log10(col("n_train")))
-          .otherwise(log10(lit(0.4)) - log10(col("n_train"))))
+          .otherwise(log10(lit(0.4)) - log10(col("n_train")))) * 1e6)
+        .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"),
         sum(when(col("cb").isNull && col("cu").isNull, 1L).otherwise(0L))
           .as("n_oov"),
-        round(avg(col("lp")), 4).as("backoff_score"))
+        expr("sum(lp_micro) div count(1)").as("backoff_micro"))
   }
 
   /** q363: DISTINCTIVE TERMS per source via weighted log-odds with
@@ -1210,8 +1214,13 @@ object TextAnalysis {
       .join(corpus, "w")
       .join(broadcast(totals), "source")
       .crossJoin(broadcast(nAll))
-      // prior mass for w, micro fixed-point: a_w = yc*a0/N
-      .withColumn("a_micro", expr(s"yc * $a0 * 1000000 div n_corpus"))
+      // prior mass for w, micro fixed-point: a_w = yc*a0/N, floored
+      // at 1 micro so a source-exclusive word (yr = 0) never yields
+      // ln(0) once n_corpus exceeds yc·a0·1e6 — the truncation-to-
+      // zero regime where Spark would emit -Infinity while DuckDB
+      // errors on the cast, diverging the gate at corpus scale.
+      .withColumn("a_micro",
+        expr(s"greatest(yc * $a0 * 1000000 div n_corpus, 1)"))
       .withColumn("yr", col("yc") - col("y")) // w count in the REST
       .withColumn("nr", col("n_corpus") - col("ns"))
       .withColumn("num_s", expr("y * 1000000 + a_micro"))

@@ -133,7 +133,7 @@ class Round12Spec extends SparkSpec {
     for (row <- r) {
       assert(row.getAs[Long]("n_backoff") <= row.getAs[Long]("n_bigrams"))
       assert(row.getAs[Long]("n_oov") <= row.getAs[Long]("n_backoff"))
-      assert(row.getAs[Double]("backoff_score") <= 0.0,
+      assert(row.getAs[Long]("backoff_micro") <= 0L,
         "log-probabilities cannot be positive")
     }
   }
