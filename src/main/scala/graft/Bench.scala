@@ -1,7 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Remove stale graft-owned artifacts from java.io.tmpdir BEFORE
+    * timing anything. Round-12 root cause: ~2,500 accumulated
+    * spec/stage/checkpoint tmpdirs from prior verify/test runs
+    * degraded the streaming gates 2x+ (state-store directory scans
+    * and file-listing slow down with a polluted tmp); runs 1-3 of
+    * that round's idle sweep were contaminated. Only names with
+    * graft-owned prefixes are touched — the staged layouts the
+    * warm-up pass needs are rebuilt by the queries themselves. */
+  private[graft] def cleanStaleTmp(): Unit = {
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val owned = Seq("graft-", "graft_", "spec_q")
+    val entries = java.nio.file.Files.list(tmp)
+    try entries.iterator().forEachRemaining { p =>
+      if (owned.exists(p.getFileName.toString.startsWith)) {
+        try java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { f =>
+            try java.nio.file.Files.delete(f)
+            catch { case _: Throwable => () }
+          }
+        catch { case _: Throwable => () }
+      }
+    } finally entries.close()
+  }
+
   def main(args: Array[String]): Unit = {
+    cleanStaleTmp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

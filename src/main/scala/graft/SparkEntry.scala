@@ -410,6 +410,7 @@ object SparkEntry {
       ((s, d) => Sketch.sourceHeavyHitters(s, d)),
     "q383_quality_dup_interaction" ->
       ((s, d) => Pipeline.qualityDupInteraction(s, d)),
+    "q384_exact_substr"     -> ((s, d) => Dedup.exactSubstr(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8117,5 +8118,39 @@ object SparkEntry {
         |FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id CROSS JOIN tt
         |GROUP BY 1, 2, total_tokens""".stripMargin
     },
+    // q384: positional 5-gram anchors; ownership frame distinct per
+    // doc (min-doc owner, the q375 rule); covered positions merge to
+    // maximal spans via the pos - row_number island trick.
+    "q384_exact_substr" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |gp AS (SELECT doc_id, unnest(range(len(tk) - 4)) AS pos, tk
+        | FROM tt WHERE len(tk) >= 5),
+        |g2 AS (SELECT doc_id, pos,
+        |  tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] || ' '
+        |   || tk[pos+4] || ' ' || tk[pos+5] AS g FROM gp),
+        |own AS (SELECT g, CAST(count(*) AS BIGINT) AS docs_with,
+        |  min(doc_id) AS owner
+        | FROM (SELECT DISTINCT doc_id, g FROM g2) GROUP BY 1),
+        |cut AS (SELECT doc_id, pos FROM g2 JOIN own USING (g)
+        | WHERE docs_with >= 2 AND owner <> doc_id),
+        |nocc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_occ
+        | FROM cut GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + off AS p
+        | FROM cut CROSS JOIN (SELECT unnest(range(5)) AS off) o),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        | FROM cov),
+        |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens,
+        |  CAST(count(DISTINCT grp) AS BIGINT) AS n_cut_spans
+        | FROM isl GROUP BY 1)
+        |SELECT tt.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+        | coalesce(n_cut_occ, 0) AS n_cut_occ,
+        | coalesce(n_cut_spans, 0) AS n_cut_spans,
+        | coalesce(n_cut_tokens, 0) AS n_cut_tokens,
+        | (len(tk) - coalesce(n_cut_tokens, 0)) * 1000000
+        |   // nullif(len(tk), 0) AS surviving_ppm
+        |FROM tt LEFT JOIN nocc USING (doc_id)
+        | LEFT JOIN sp USING (doc_id)""".stripMargin,
   )
 }

@@ -2213,4 +2213,77 @@ object Dedup {
         expr("coalesce((n_spans - n_removed) * 1000000" +
           " div nullif(n_spans, 0), 1000000)"))
   }
+
+  /** Core of [[exactSubstr]] over any (doc_id, text) frame — split
+    * out so specs can pin constructed overlap cases (two docs
+    * sharing a 2k-token block must cut exactly ONE span). */
+  def exactSubstrOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // positional k-gram stream: posexplode's index IS the 0-based
+    // token start position of the gram
+    val grams = toks.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("tk"), i + j + 1)): _*))))
+      .toDF("doc_id", "pos", "g")
+    // ownership frame at the q375 grain: docs containing the gram,
+    // owner = min doc_id — so removed-occurrence accounting is
+    // IDENTICAL to q375's n_removed when k = 3 (the reconciliation
+    // the Round13 spec pins)
+    val own = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("docs_with"), min(col("doc_id")).as("owner"))
+      .hint("shuffle_hash")
+    val cut = grams.join(own, "g")
+      .filter(col("docs_with") >= 2 && col("owner") =!= col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+    val nOcc = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cut_occ"))
+    // token-position coverage of all cut occurrences, merged into
+    // MAXIMAL spans via island detection (pos − row_number is
+    // constant within a run of consecutive covered positions); the
+    // window partitions by doc_id, so its sort is bounded by one
+    // document's length — never a corpus sort
+    val cov = cut.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val isl = cov.withColumn("grp",
+      col("p") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+    val spans = isl.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cut_tokens"),
+        countDistinct(col("grp")).as("n_cut_spans"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"))
+      .join(nOcc, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_cut_occ"), lit(0L)).as("n_cut_occ"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"))
+      .withColumn("surviving_ppm",
+        expr("(n_toks - n_cut_tokens) * 1000000 div nullif(n_toks, 0)"))
+  }
+
+  /** q384: EXACT-SUBSTRING DEDUP at the Lee et al. 2021 ExactSubstr
+    * decision grain (round-13) — q375 decides span ownership gram by
+    * gram; production ExactSubstr cuts MAXIMAL duplicated substrings
+    * ≥ k tokens mid-doc: a 2k-token block shared by two docs is ONE
+    * cut span in the non-owner, not k+1 independent gram decisions.
+    * Pipeline, bucketed end to end (never a suffix array on one
+    * task): positional k-gram anchors → gram-equi-joined ownership
+    * frame (docs_with, min-doc owner — the q48/q375 canonical-keeper
+    * rule) → non-owner occurrences explode to their covered token
+    * positions → consecutive positions merge into maximal spans by
+    * island detection under a PER-DOC window. Per doc: anchor
+    * occurrences cut (n_cut_occ — equals q375's n_removed at k = 3,
+    * the reconciliation grain), maximal spans cut, tokens removed,
+    * surviving ppm. The owner keeps every span; intra-doc repeats
+    * inside the owner survive (q375's convention). At 100 TB the
+    * gram frame shuffles on gram hash and every downstream shape is
+    * keyed by doc_id — the suffix-grain machinery without any
+    * global order. */
+  def exactSubstr(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    exactSubstrOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), k)
 }

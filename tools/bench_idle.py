@@ -1,15 +1,28 @@
 #!/usr/bin/env python3
 """Aggregate N idle graft.Bench sweeps into BENCH_IDLE_r{N}.json.
 
-Usage: python3 tools/bench_idle.py <round> <out.json> <run1.json> [run2.json ...]
+Usage:
+  # aggregate pre-captured runs
+  python3 tools/bench_idle.py <round> <out.json> <run1.json> [run2.json ...]
+  # OR drive the sweeps itself (cleans graft tmp dirs between runs,
+  # refuses a loaded box), then aggregate
+  python3 tools/bench_idle.py <round> <out.json> --sweep N [sf_dir]
 
 Each run file is the one-line JSON graft.Bench prints. Per-entry
 MINIMUM over the runs (the variance-robust estimator the round
 records use); entries missing from some runs (added mid-sequence)
 take the min over the runs that have them, and the method note says
 so. Dev-only tooling — driver-side python, not shipped library code.
+
+The --sweep mode exists because round 12's idle artifact was
+contaminated: ~2,500 accumulated spec/stage tmpdirs degraded the
+streaming gates 2x+ and runs 1-3 predated the cleanup. graft.Bench
+now cleans stale graft-owned tmp entries itself at startup; this
+driver additionally (a) warns when 1-min loadavg > 2 before a run
+(the round-12 "idle" box ran at loadavg ~10), and (b) keeps each
+sweep's raw json next to the aggregate for drift forensics.
 """
-import sys, json
+import os, subprocess, sys, json, time
 
 
 def load(path):
@@ -44,7 +57,9 @@ def main(rnd, out, runs):
                       f"mid-sequence): {sorted(partial)}. " if partial
                       else "All entries present in every run. ")
                    + "Bench sets stateStore.maintenanceInterval=5s "
-                     "(the round-8 streaming-variance mitigation)."),
+                     "(the round-8 streaming-variance mitigation) and "
+                     "cleans stale graft-owned tmpdirs at startup (the "
+                     "round-12 contamination fix)."),
         "failed_entries": sorted(failed),
         "min_total_sec": round(sum(mins.values()), 2),
         "queries_min_sec": {n: mins[n] for n in sorted(mins)},
@@ -54,5 +69,36 @@ def main(rnd, out, runs):
           f"{doc['min_total_sec']}s, failed {failed}")
 
 
+def sweep(rnd, out, n, sf_dir):
+    runs = []
+    for i in range(1, n + 1):
+        load1 = os.getloadavg()[0]
+        if load1 > 2.0:
+            print(f"WARN: loadavg {load1:.1f} > 2 before run {i} — "
+                  "box is not idle; timings will drift", file=sys.stderr)
+        path = f"/tmp/bench_idle_r{rnd}_run{i}.json"
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+        t0 = time.time()
+        p = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            env=env, capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+        line = next((l for l in p.stdout.splitlines()
+                     if '"metric"' in l), None)
+        if line is None:
+            print(f"run {i} produced no bench line (exit {p.returncode}); "
+                  f"stderr tail: {p.stderr[-500:]}", file=sys.stderr)
+            sys.exit(1)
+        open(path, "w").write(line + "\n")
+        runs.append(path)
+        print(f"run {i}/{n}: {time.time()-t0:.0f}s wall -> {path}")
+    main(rnd, out, runs)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]), sys.argv[2], sys.argv[3:])
+    if len(sys.argv) >= 5 and sys.argv[3] == "--sweep":
+        sweep(int(sys.argv[1]), sys.argv[2], int(sys.argv[4]),
+              sys.argv[5] if len(sys.argv) > 5 else "/root/testdata/sf0.1")
+    else:
+        main(int(sys.argv[1]), sys.argv[2], sys.argv[3:])
