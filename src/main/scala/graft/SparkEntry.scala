@@ -411,6 +411,7 @@ object SparkEntry {
     "q383_quality_dup_interaction" ->
       ((s, d) => Pipeline.qualityDupInteraction(s, d)),
     "q384_exact_substr"     -> ((s, d) => Dedup.exactSubstr(s, d)),
+    "q385_stream_ivf_index" -> ((s, d) => Similarity.streamIvfIndex(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8152,5 +8153,37 @@ object SparkEntry {
         |   // nullif(len(tk), 0) AS surviving_ppm
         |FROM tt LEFT JOIN nocc USING (doc_id)
         | LEFT JOIN sp USING (doc_id)""".stripMargin,
+    // q385: the q38 centroid CTEs with training restricted to the
+    // EVEN (base) split and assignment to the ODD (streamed) split —
+    // the stream must land exactly the batch assignment.
+    "q385_stream_ivf_index" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        | FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q
+        | WHERE vec_id % 2 = 0),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv
+        | FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+        |    ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2
+        | FROM cl),
+        |ac AS (SELECT m.vec_id, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64),
+        |      i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+        |   AS ccos
+        | FROM m, cn WHERE m.vec_id % 2 = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+        | SELECT vec_id, label AS cell, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY ccos DESC, label) AS rk
+        | FROM ac) t WHERE rk = 1""".stripMargin,
   )
 }

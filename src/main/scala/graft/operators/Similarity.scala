@@ -1304,4 +1304,110 @@ object Similarity {
       .select(col("query_id"), col("n_exact"), col("n_found"),
         expr("n_found * 1000000 div nullif(n_exact, 0)").as("recall_ppm"))
   }
+
+  // ---------------------------------------------------------------
+  // q385: STREAMING IVF-index MAINTENANCE (round-13, VERDICT Next
+  // #3) — the q326/q327 continuous-index treatment applied to the
+  // similarity index: centroids are TRAINED ONCE on the base split
+  // and frozen (the q197 discipline — deltas are assigned, never
+  // retrained), new embeddings arrive as a stream, every micro-batch
+  // assigns its vectors to the frozen centroids and APPENDS postings,
+  // and a compaction cadence folds the delta into a fresh pointer-
+  // versioned base. Assignment is a pure per-vector function of the
+  // frozen centroids, so the maintained postings are batching-,
+  // replay- and compaction-INVARIANT — which is exactly what the
+  // oracle gate checks (stream result ≡ one-shot batch assignment).
+  // ---------------------------------------------------------------
+
+  /** Publish the initial IVF stores for a base corpus: frozen
+    * centroids (label, cv, cn2) and the base postings (vec_id,
+    * cell, is_base=true — origin rides on the row, the q326 rule,
+    * so compaction never loses the base-vs-stream distinction). */
+  private[graft] def initIvfIndex(s: SparkSession, stateRoot: String,
+      base: DataFrame, dim: Int = 64): Unit = {
+    val centN = centroidsOf(base)
+    StreamingOps.publishStore(s, stateRoot, "centroids", centN, Seq.empty)
+    StreamingOps.publishStore(s, stateRoot, "postings",
+      assignTo(base.select(col("vec_id"), col("v"), col("n2")),
+          centN, 0, dim)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .withColumn("is_base", lit(true)),
+      Seq.empty)
+  }
+
+  /** ONE micro-batch of the streaming IVF protocol (factored out of
+    * the streaming query so specs can drive batches directly —
+    * replay a batch, force a compaction — the q195/q326 discipline):
+    * the batch's quantized vectors are assigned to the FROZEN
+    * centroids read from the store and appended to the postings
+    * delta; every `compactEvery` batches the delta folds into a
+    * fresh pointer-versioned base (distinct-at-compaction collapses
+    * checkpoint-replay duplicates). Per-batch cost: |batch| × k
+    * centroid cosines with the centroids BROADCAST (k rows), plus
+    * one bounded append — the index is never rescanned. */
+  private[graft] def ivfIndexBatch(s: SparkSession, stateRoot: String,
+      batch: DataFrame, batchId: Long, compactEvery: Int = 3,
+      dim: Int = 64): Unit = {
+    import StreamingOps.{readStoreAll, storeDeltaDir, publishStore}
+    val b = batch.select(col("vec_id"), col("v"))
+      .withColumn("n2",
+        org.apache.spark.sql.graft.LongArrayDot.column(col("v"), col("v")))
+      .localCheckpoint()
+    val cent = broadcast(
+      readStoreAll(s, stateRoot, "centroids").get.distinct())
+    assignTo(b, cent, 0, dim)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .withColumn("is_base", lit(false))
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "postings"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      readStoreAll(s, stateRoot, "postings").foreach(r => publishStore(
+        s, stateRoot, "postings", r.distinct().localCheckpoint(),
+        Seq.empty))
+  }
+
+  /** Stage + drain the q385 stream: publish the base (even vec_id)
+    * index, write the delta (odd vec_id) QUANTIZED vectors as a
+    * 6-file JSONL stream (fixed-point longs survive the JSON round
+    * trip exactly; raw floats would not), and drain it with a
+    * foreachBatch AvailableNow query over a checkpoint. */
+  private[graft] def runStreamIvf(s: SparkSession, dir: String,
+      stage: String, compactEvery: Int = 3): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+    val embQ = quantizedL(s, dir)
+    initIvfIndex(s, stateRoot, embQ.filter(col("vec_id") % 2 === 0))
+    embQ.filter(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("v"))
+      .repartitionByRange(6, col("vec_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(LongType))))
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).json(inDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        ivfIndexBatch(s, stateRoot, df, id, compactEvery)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** q385: STREAMING IVF-index maintenance under the oracle gate —
+    * [[ivfTopK]]'s coarse quantizer made CONTINUOUS: the maintained
+    * postings' stream-origin rows must EQUAL the one-shot batch
+    * assignment of the odd split to even-trained frozen centroids,
+    * however the stream was batched, replayed, or compacted. Closes
+    * the "both flagship indexes maintained continuously" story next
+    * to q326/q327 (dedup index). */
+  def streamIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q385", dir)
+    runStreamIvf(s, dir, stage)
+    StreamingOps.readStoreAll(s, s"$stage/state", "postings").get
+      .filter(!col("is_base"))
+      .select(col("vec_id"), col("cell")).distinct()
+  }
 }

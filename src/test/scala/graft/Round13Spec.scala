@@ -43,6 +43,104 @@ class Round13Spec extends SparkSpec {
     assert(r(2L).getAs[Long]("n_cut_tokens") === 6L)
   }
 
+  // ---- q385: streaming IVF maintenance — the spec drives batches
+  // DIRECTLY through ivfIndexBatch (the factored seam) and restarts
+  // the real streaming query mid-stream on its checkpoint.
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def batchIvfWant(): Set[String] = {
+    val embQ = graft.operators.Similarity.quantizedL(spark, sfDir)
+    canon(graft.operators.Similarity.assignTo(
+        embQ.filter(col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("v"), col("n2")),
+        graft.operators.Similarity.centroidsOf(
+          embQ.filter(col("vec_id") % 2 === 0)), 0, 64)
+      .select(col("vec_id"), col("cell").cast("long").as("cell")))
+  }
+
+  test("q385: batch replay + mid-stream compaction leave postings exact") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q385_replay").toString
+    val stateRoot = s"$stage/state"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    val embQ = graft.operators.Similarity.quantizedL(spark, sfDir)
+    graft.operators.Similarity.initIvfIndex(spark, stateRoot,
+      embQ.filter(col("vec_id") % 2 === 0))
+    val delta = embQ.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("v")).localCheckpoint()
+    val parts = Seq(
+      delta.filter(col("vec_id") % 6 === 1),
+      delta.filter(col("vec_id") % 6 === 3),
+      delta.filter(col("vec_id") % 6 === 5))
+    graft.operators.Similarity.ivfIndexBatch(spark, stateRoot,
+      parts(0), 0L, compactEvery = 2)
+    graft.operators.Similarity.ivfIndexBatch(spark, stateRoot,
+      parts(1), 1L, compactEvery = 2)
+    // crash window: checkpoint replay re-delivers batch 1 verbatim
+    graft.operators.Similarity.ivfIndexBatch(spark, stateRoot,
+      parts(1), 1L, compactEvery = 2)
+    graft.operators.Similarity.ivfIndexBatch(spark, stateRoot,
+      parts(2), 2L, compactEvery = 2)
+    val got = canon(graft.operators.StreamingOps
+      .readStoreAll(spark, stateRoot, "postings").get
+      .filter(!col("is_base"))
+      .select(col("vec_id"), col("cell")).distinct())
+    assert(got === batchIvfWant(),
+      "replayed stream postings differ from batch assignment")
+  }
+
+  test("q385: restart mid-stream — second AvailableNow run on the same checkpoint") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q385_restart").toString
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    val embQ = graft.operators.Similarity.quantizedL(spark, sfDir)
+    graft.operators.Similarity.initIvfIndex(spark, stateRoot,
+      embQ.filter(col("vec_id") % 2 === 0))
+    val delta = embQ.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("v"))
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(LongType))))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.operators.Similarity.ivfIndexBatch(spark, stateRoot,
+              df, id, compactEvery = 2)
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // phase 1: only half the stream exists; drain and TERMINATE
+    delta.filter(col("vec_id") % 4 === 1)
+      .repartitionByRange(2, col("vec_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    drain()
+    // phase 2: the rest lands; a NEW query on the SAME checkpoint
+    // picks up exactly the unseen files
+    delta.filter(col("vec_id") % 4 === 3)
+      .repartitionByRange(2, col("vec_id")).toJSON
+      .write.mode("append").text(inDir)
+    drain()
+    val got = canon(graft.operators.StreamingOps
+      .readStoreAll(spark, stateRoot, "postings").get
+      .filter(!col("is_base"))
+      .select(col("vec_id"), col("cell")).distinct())
+    assert(got === batchIvfWant(),
+      "restarted stream postings differ from batch assignment")
+  }
+
   test("q384 at k=3 reconciles with q375: cut occurrences = n_removed") {
     // same grain, same min-doc owner rule => the anchor-occurrence
     // accounting must agree doc by doc on the real corpus
