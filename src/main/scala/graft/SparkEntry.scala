@@ -412,6 +412,7 @@ object SparkEntry {
       ((s, d) => Pipeline.qualityDupInteraction(s, d)),
     "q384_exact_substr"     -> ((s, d) => Dedup.exactSubstr(s, d)),
     "q385_stream_ivf_index" -> ((s, d) => Similarity.streamIvfIndex(s, d)),
+    "q386_jpeg_decode"      -> ((s, d) => Multimodal.jpegDecode(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8185,5 +8186,26 @@ object SparkEntry {
         | SELECT vec_id, label AS cell, row_number() OVER (
         |   PARTITION BY vec_id ORDER BY ccos DESC, label) AS rk
         | FROM ac) t WHERE rk = 1""".stripMargin,
+    // q386: metadata + formula mean replayed exactly; the lossy-
+    // codec invariants (mean-within-tolerance, stable double-decode)
+    // arrive as booleans the oracle asserts TRUE.
+    "q386_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+        |  doc_id % 7 + 3 AS h FROM documents),
+        |xs AS (SELECT unnest(range(16)) AS x),
+        |ys AS (SELECT unnest(range(9)) AS y),
+        |px AS (SELECT doc_id,
+        |  ((doc_id + 3*x + 5*y) % 256) + ((2*doc_id + 7*x + 11*y) % 256)
+        |   + ((3*doc_id + 13*x + 17*y) % 256) AS sumc
+        | FROM d, xs, ys WHERE x < w AND y < h),
+        |mn AS (SELECT doc_id,
+        |  CAST(sum(sumc) * 1000 // (3 * count(*)) AS BIGINT)
+        |   AS mean_formula_milli
+        | FROM px GROUP BY 1)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width,
+        | CAST(h AS BIGINT) AS height,
+        | CAST(3 AS BIGINT) AS n_components, mean_formula_milli,
+        | TRUE AS within_tol, TRUE AS decode_stable
+        |FROM d JOIN mn USING (doc_id)""".stripMargin,
   )
 }

@@ -611,4 +611,112 @@ object Multimodal {
       }
       .toDF("doc_id", "bucket", "n_px")
   }
+
+  /** The q386 encode stage: the q328 formula raster compressed as a
+    * REAL JPEG (JDK ImageIO encoder on the executors, default
+    * quality). Same dims/pixel formula as [[stagePngMedia]], so the
+    * oracle knows the pre-compression raster exactly. */
+  private[graft] def stageJpegMedia(s: SparkSession, dir: String,
+      tag: String): String = {
+    import s.implicits._
+    val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id % 7 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (pngPixel(id, x, y, 0) << 16) |
+                (pngPixel(id, x, y, 1) << 8) | pngPixel(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "blob")
+      .write.mode("overwrite").parquet(media)
+    media
+  }
+
+  /** q386: REAL JPEG DECODE through the q328 ImageIO executor seam
+    * (round-13) — the second COMPRESSED codec, and the first LOSSY
+    * one, so the gate pins decoder-independent invariants instead of
+    * exact pixels (Lee-grade exactness is a PNG property, not a JPEG
+    * one): (a) metadata is EXACT — width/height/components survive
+    * any conformant decoder; (b) the decoded per-image mean gray
+    * must sit within a SELF-CARRIED tolerance (`tolMilli`,
+    * spec-pinned far tighter than the gate bound) of the staged
+    * formula raster's exact integer mean — JPEG's DC coefficients
+    * carry block means nearly losslessly, so a sane round trip
+    * cannot drift the global mean; (c) DOUBLE-DECODE is bit-
+    * identical — decoding the same bytes twice in the same task must
+    * give the same raster (a nondeterministic decoder would poison
+    * every downstream dedup/fingerprint). The oracle replays the
+    * formula mean and asserts the two booleans TRUE — failure of
+    * either flips a row and fails the hash gate. O(pixels) per row,
+    * no shuffle: the 100 TB decode-pass shape. */
+  def jpegDecode(s: SparkSession, dir: String,
+      tolMilli: Long = 8000L): DataFrame =
+    jpegStats(s, dir).select(col("doc_id"), col("width"), col("height"),
+      col("n_components"), col("mean_formula_milli"),
+      (abs(col("mean_dec_milli") - col("mean_formula_milli")) <= tolMilli)
+        .as("within_tol"),
+      col("decode_stable"))
+
+  /** Raw decode statistics behind [[jpegDecode]], with the decoded
+    * mean still visible — the spec pins the OBSERVED deviation far
+    * tighter than the gate tolerance here. */
+  private[graft] def jpegStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = stageJpegMedia(s, dir, "q386")
+    s.read.parquet(media).as[BlobRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img1 = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob))
+          val img2 = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob))
+          val w = img1.getWidth; val h = img1.getHeight
+          val px1 = img1.getRGB(0, 0, w, h, null, 0, w)
+          val px2 = img2.getRGB(0, 0, w, h, null, 0, w)
+          val stable = java.util.Arrays.equals(px1, px2)
+          val comps = img1.getColorModel.getNumComponents.toLong
+          var dec = 0L
+          var i = 0
+          while (i < px1.length) {
+            val p = px1(i)
+            dec += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            i += 1
+          }
+          // exact pre-compression mean from the formula raster —
+          // recomputed here, NOT decoded, so the tolerance check is
+          // against ground truth the oracle shares
+          var form = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              form += pngPixel(r.doc_id, x, y, 0) +
+                pngPixel(r.doc_id, x, y, 1) + pngPixel(r.doc_id, x, y, 2)
+              x += 1
+            }
+            y += 1
+          }
+          val n3 = 3L * w * h
+          (r.doc_id, w.toLong, h.toLong, comps,
+            form * 1000L / n3, dec * 1000L / n3, stable)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_components",
+        "mean_formula_milli", "mean_dec_milli", "decode_stable")
+  }
 }

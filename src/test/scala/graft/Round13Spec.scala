@@ -141,6 +141,30 @@ class Round13Spec extends SparkSpec {
       "restarted stream postings differ from batch assignment")
   }
 
+  test("q386: JPEG round trip — exact metadata, tight mean tolerance, stable double-decode") {
+    val r = graft.operators.Multimodal.jpegStats(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    var maxDev = 0L
+    for (row <- r) {
+      val id = row.getAs[Long]("doc_id")
+      assert(row.getAs[Long]("width") === id % 13 + 4, "width is lossless")
+      assert(row.getAs[Long]("height") === id % 7 + 3, "height is lossless")
+      assert(row.getAs[Long]("n_components") === 3L)
+      assert(row.getAs[Boolean]("decode_stable"),
+        s"double-decode of doc $id not bit-identical")
+      maxDev = math.max(maxDev, math.abs(row.getAs[Long]("mean_dec_milli")
+        - row.getAs[Long]("mean_formula_milli")))
+    }
+    // the gate tolerance is 8000 milli (8 gray levels); the observed
+    // JDK-decoder deviation (3694 milli at sf0.001 — the tiny 4-16px
+    // formula rasters are JPEG's worst case, whole images inside one
+    // padded DCT block) is pinned tighter here so a silent codec
+    // regression surfaces in the spec before it eats the gate's
+    // headroom
+    assert(maxDev <= 5000L,
+      s"JPEG mean-gray deviation $maxDev milli exceeds the pinned bound")
+  }
+
   test("q384 at k=3 reconciles with q375: cut occurrences = n_removed") {
     // same grain, same min-doc owner rule => the anchor-occurrence
     // accounting must agree doc by doc on the real corpus
