@@ -165,6 +165,141 @@ class Round13Spec extends SparkSpec {
       s"JPEG mean-gray deviation $maxDev milli exceeds the pinned bound")
   }
 
+  // ---- q364/q369: mid-stream restart on the checkpoint (the
+  // QuotaSpec pattern the round-12 verdict asked for) — kill the
+  // AvailableNow query after half the WAL, land the rest, restart
+  // on the SAME checkpoint, and the final state must be what an
+  // uninterrupted run computes (PSI histograms are order-free so
+  // equality is exact; the MG sketch asserts its self-carried
+  // theorems plus exact arrival accounting).
+  //
+  // The graft-wal source's offset is a count over the lex-sorted
+  // segment list (real WAL semantics: later segments sort later), so
+  // the phased append must land files whose names sort AFTER the
+  // already-consumed ones — this helper stages them as seg-NNNNN.
+
+  private def stageWalSegments(df: org.apache.spark.sql.DataFrame,
+      walDir: String, parts: Int, startIdx: Int): Unit = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("spec_q13_walstage").toString
+    df.repartitionByRange(parts, col("seq")).toJSON
+      .write.mode("overwrite").text(tmp)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(walDir))
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(walDir, f"seg-${startIdx + i}%05d.jsonl"))
+    }
+  }
+
+  test("q364: restart mid-stream — streamed PSI histogram equals batch") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q364_restart").toString
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    val nb = 12
+    val wal = graft.sources.WalSource.eventsAsWal(spark, sfDir)
+      .localCheckpoint()
+    val sideCol = expr("cast(rowkey as bigint) % 2")
+    val binCol = least(expr(
+      "cast(round(cast(cells[0].value as double) * 100) as bigint)" +
+        " div 2000"), lit(nb - 1L))
+    def drain(): Unit = {
+      val q = graft.sources.WalSource.streamV2(spark, walDir, 2)
+        .select(sideCol.as("side"), binCol.as("bin"))
+        .groupBy(col("side"), col("bin")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stageWalSegments(wal.filter(col("seq") % 2 === 0), walDir, 3, 0)
+    drain()
+    stageWalSegments(wal.filter(col("seq") % 2 === 1), walDir, 3, 3)
+    drain()
+    val got = canon(spark.read.parquet(out)
+      .groupBy(col("side"), col("bin"))
+      .agg(max_by(col("n"), col("batch")).as("n")))
+    val want = canon(wal.select(sideCol.as("side"), binCol.as("bin"))
+      .groupBy(col("side"), col("bin")).agg(count(lit(1)).as("n")))
+    assert(got === want, "restarted PSI histogram differs from batch")
+  }
+
+  test("q369: restart mid-stream — MG state keeps its theorems and exact n") {
+    import graft.functions.{MgSketch, MisraGriesAgg}
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q369_restart").toString
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    val k = 32
+    val wal = graft.sources.WalSource.eventsAsWal(spark, sfDir)
+      .localCheckpoint()
+    val mg = udaf(new MisraGriesAgg(k))
+    def drain(): Unit = {
+      val q = graft.sources.WalSource.streamV2(spark, walDir, 2)
+        .select(col("cells")(0)("qualifier").as("qualifier"),
+          expr("cast(round(cast(cells[0].value as double) * 100) as bigint)")
+            .as("c"))
+        .groupBy(col("qualifier")).agg(mg(col("c")).as("sk"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stageWalSegments(wal.filter(col("seq") % 2 === 0), walDir, 3, 0)
+    drain()
+    stageWalSegments(wal.filter(col("seq") % 2 === 1), walDir, 3, 3)
+    drain()
+    val fin = spark.read.parquet(out)
+      .groupBy(col("qualifier"))
+      .agg(max_by(col("sk"), col("batch")).as("sk"))
+      .collect()
+      .map { r =>
+        val skr = r.getStruct(r.fieldIndex("sk"))
+        r.getAs[String]("qualifier") -> MgSketch(
+          skr.getSeq[Long](skr.fieldIndex("keys")).toVector,
+          skr.getSeq[Long](skr.fieldIndex("counts")).toVector,
+          skr.getAs[Long]("d"), skr.getAs[Long]("n"))
+      }.toMap
+    val exact = wal
+      .select(col("cells")(0)("qualifier").as("qualifier"),
+        expr("cast(round(cast(cells[0].value as double) * 100) as bigint)")
+          .as("c"))
+      .groupBy(col("qualifier"), col("c")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    val perQ = exact.groupBy(_.getAs[String]("qualifier"))
+    assert(perQ.keySet === fin.keySet)
+    for ((q, rows) <- perQ) {
+      val sk = fin(q)
+      // restart must neither lose nor double-count an arrival: the
+      // sketch's n is the EXACT number of values that streamed
+      assert(sk.n === rows.map(_.getAs[Long]("cnt")).sum,
+        s"arrival count drifted across the restart for $q")
+      assert(sk.d <= sk.n / (k + 1))
+      for (r <- rows) {
+        val c = r.getAs[Long]("c"); val cnt = r.getAs[Long]("cnt")
+        val est = sk.estimate(c)
+        assert(est <= cnt, s"overestimate for ($q, $c)")
+        assert(cnt <= est + sk.d, s"deficit bound broken for ($q, $c)")
+        if (cnt > sk.d) assert(est > 0L, s"heavy hitter ($q, $c) lost")
+      }
+    }
+  }
+
   test("q384 at k=3 reconciles with q375: cut occurrences = n_removed") {
     // same grain, same min-doc owner rule => the anchor-occurrence
     // accounting must agree doc by doc on the real corpus
