@@ -413,6 +413,7 @@ object SparkEntry {
     "q384_exact_substr"     -> ((s, d) => Dedup.exactSubstr(s, d)),
     "q385_stream_ivf_index" -> ((s, d) => Similarity.streamIvfIndex(s, d)),
     "q386_jpeg_decode"      -> ((s, d) => Multimodal.jpegDecode(s, d)),
+    "q387_kn_trigram_lm"    -> ((s, d) => TextAnalysis.knTrigramLm(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8207,5 +8208,76 @@ object SparkEntry {
         | CAST(3 AS BIGINT) AS n_components, mean_formula_milli,
         | TRUE AS within_tol, TRUE AS decode_stable
         |FROM d JOIN mn USING (doc_id)""".stripMargin,
+    // q387: the q374 recursion one order up — middle-order counts
+    // are continuation counts N1+(.w2w3); p is the same single
+    // fixed IEEE CASE expression per scored trigram, micro-rounded
+    // per row, integer per-doc means.
+    "q387_kn_trigram_lm" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tg AS (SELECT unnest(list_transform(range(len(t) - 2),
+        |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS tg
+        | FROM tt WHERE doc_id % 2 = 0 AND len(t) >= 3),
+        |tg2 AS (SELECT tg, string_split(tg, ' ')[1] AS w1,
+        |  string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3
+        | FROM tg),
+        |tri AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3
+        | FROM tg2 GROUP BY 1),
+        |ctx2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2ctx,
+        |  CAST(count(DISTINCT w3) AS BIGINT) AS n3 FROM tg2 GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT w1, w2, w3 FROM tg2),
+        |cc2 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc2
+        | FROM ty GROUP BY 1, 2),
+        |ctx1 AS (SELECT w2, CAST(sum(cc2) AS BIGINT) AS cc2ctx,
+        |  CAST(count(*) AS BIGINT) AS n2 FROM cc2 GROUP BY 1),
+        |ty2 AS (SELECT DISTINCT w2, w3 FROM ty),
+        |cc1 AS (SELECT w3, CAST(count(*) AS BIGINT) AS cc1
+        | FROM ty2 GROUP BY 1),
+        |tots AS (SELECT CAST(count(*) AS BIGINT) AS cc_all,
+        |  CAST(count(DISTINCT w3) AS BIGINT) AS n_vocab FROM ty2),
+        |sc AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS tg
+        | FROM tt WHERE doc_id % 2 = 1 AND len(t) >= 3),
+        |j AS (SELECT sc.doc_id, tri.c3, ctx2.c2ctx, ctx2.n3, cc2.cc2,
+        |  ctx1.cc2ctx, ctx1.n2, cc1.cc1, tots.cc_all, tots.n_vocab
+        | FROM sc LEFT JOIN tri ON sc.tg = tri.tg
+        | LEFT JOIN ctx2 ON string_split(sc.tg, ' ')[1] = ctx2.w1
+        |  AND string_split(sc.tg, ' ')[2] = ctx2.w2
+        | LEFT JOIN cc2 ON string_split(sc.tg, ' ')[2] = cc2.w2
+        |  AND string_split(sc.tg, ' ')[3] = cc2.w3
+        | LEFT JOIN ctx1 ON string_split(sc.tg, ' ')[2] = ctx1.w2
+        | LEFT JOIN cc1 ON string_split(sc.tg, ' ')[3] = cc1.w3
+        | CROSS JOIN tots),
+        |pp AS (SELECT doc_id, c3, c2ctx, n3,
+        |  CASE WHEN cc2 IS NOT NULL THEN
+        |   (CAST(cc2 AS DOUBLE) - 0.75) / CAST(cc2ctx AS DOUBLE)
+        |    + 0.75 * CAST(n2 AS DOUBLE) / CAST(cc2ctx AS DOUBLE)
+        |      * (CAST(coalesce(cc1, 0) + 1 AS DOUBLE)
+        |         / CAST(cc_all + n_vocab AS DOUBLE))
+        |  WHEN cc2ctx IS NOT NULL THEN
+        |   0.75 * CAST(n2 AS DOUBLE) / CAST(cc2ctx AS DOUBLE)
+        |    * (CAST(coalesce(cc1, 0) + 1 AS DOUBLE)
+        |       / CAST(cc_all + n_vocab AS DOUBLE))
+        |  ELSE CAST(coalesce(cc1, 0) + 1 AS DOUBLE)
+        |       / CAST(cc_all + n_vocab AS DOUBLE)
+        |  END AS p2
+        | FROM j),
+        |f AS (SELECT doc_id, c3, c2ctx,
+        |  CAST(round(log10(CASE
+        |   WHEN c3 IS NOT NULL THEN
+        |    (CAST(c3 AS DOUBLE) - 0.75) / CAST(c2ctx AS DOUBLE)
+        |     + 0.75 * CAST(n3 AS DOUBLE) / CAST(c2ctx AS DOUBLE) * p2
+        |   WHEN c2ctx IS NOT NULL THEN
+        |    0.75 * CAST(n3 AS DOUBLE) / CAST(c2ctx AS DOUBLE) * p2
+        |   ELSE p2
+        |  END) * 1e6) AS BIGINT) AS lp_micro
+        | FROM pp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        | CAST(sum(CASE WHEN c3 IS NULL AND c2ctx IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_tri,
+        | CAST(sum(CASE WHEN c2ctx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_unseen_ctx,
+        | CAST(sum(lp_micro) // count(*) AS BIGINT) AS kn3_score_micro
+        |FROM f GROUP BY 1""".stripMargin,
   )
 }

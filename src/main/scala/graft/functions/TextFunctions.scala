@@ -36,6 +36,15 @@ object TextFunctions {
       i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
   }
 
+  /** Word trigrams of a text column ("a b c", "b c d", …). Callers
+    * must guard size ≥ 3 (same sequence caveat as [[bigrams2]]). */
+  def trigrams3(text: Column): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3)))
+  }
+
   /** The canonical composite quality score (q28's definition; shared
     * with the curation pipeline so the weights live in one place). */
   def qualityScore(text: Column): Column = {

@@ -1342,4 +1342,91 @@ object TextAnalysis {
         sum(when(col("cw1").isNull, 1L).otherwise(0L)).as("n_unseen_ctx"),
         expr("sum(lp_micro) div count(1)").as("kn_score_micro"))
   }
+
+  /** q387: TRIGRAM interpolated Kneser–Ney (round-13) — q374 recursed
+    * one order up, the production n-gram order, which exposes the
+    * plumbing the bigram version hides: the MIDDLE order's counts are
+    * CONTINUATION counts, not raw counts (Chen & Goodman 1999 —
+    * "for all orders below the highest, replace c by N₁₊(·…)").
+    * p(w₃|w₁w₂) = (c₃−D)/c(w₁w₂·) + D·N₁₊(w₁w₂·)/c(w₁w₂·)·p(w₃|w₂);
+    * p(w₃|w₂) = (N₁₊(·w₂w₃)−D)/N₁₊(·w₂·) +
+    * D·N₁₊(w₂·)/N₁₊(·w₂·)·p_cont(w₃); p_cont(w₃) is +1-smoothed over
+    * the distinct-(w₂,w₃)-pair total (the q374 floor, so OOV stays
+    * nonzero). Unseen trigram backs into the bigram term scaled by
+    * the context's freed mass; an unseen CONTEXT falls through to
+    * the lower order whole — at each of the two levels. Every count
+    * is an exact integer from ONE trigram frame of the train half
+    * (five bounded aggs); p and log10(p) are ONE fixed IEEE
+    * expression per scored trigram, micro-rounded per row, per-doc
+    * INTEGER means — order-free by construction. Shapes: five hash
+    * left joins off the scored explode (strategies AQE's — the
+    * n-gram frames are corpus-scale), one per-doc agg: the q374 plan
+    * one order deeper, still no global sort anywhere. */
+  def knTrigramLm(s: SparkSession, dir: String, d: Double = 0.75)
+      : DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val trainTg = docs.filter(col("doc_id") % 2 === 0)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(explode(trigrams3(col("text"))).as("tg"))
+      .withColumn("w1", split(col("tg"), " ")(0))
+      .withColumn("w2", split(col("tg"), " ")(1))
+      .withColumn("w3", split(col("tg"), " ")(2))
+    // highest order: raw trigram counts + per-context mass/types
+    val tri = trainTg.groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+    val ctx2 = trainTg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2ctx"), countDistinct(col("w3")).as("n3"))
+    // middle order: CONTINUATION counts over distinct (w1, w2, w3)
+    val types = trainTg.select(col("w1"), col("w2"), col("w3")).distinct()
+    val cc2 = types.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cc2"))
+    val ctx1 = cc2.groupBy(col("w2"))
+      .agg(sum(col("cc2")).as("cc2ctx"), count(lit(1)).as("n2"))
+    // lowest order: distinct middles preceding w3, +1-smoothed
+    val cc1 = types.select(col("w2"), col("w3")).distinct()
+      .groupBy(col("w3")).agg(count(lit(1)).as("cc1"))
+    val tots = types.select(col("w2"), col("w3")).distinct().agg(
+      count(lit(1)).as("cc_all"),
+      countDistinct(col("w3")).as("n_vocab"))
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(trigrams3(col("text"))).as("tg"))
+      .withColumn("w1", split(col("tg"), " ")(0))
+      .withColumn("w2", split(col("tg"), " ")(1))
+      .withColumn("w3", split(col("tg"), " ")(2))
+      .join(tri, Seq("tg"), "left")
+      .join(ctx2, Seq("w1", "w2"), "left")
+      .join(cc2, Seq("w2", "w3"), "left")
+      .join(ctx1, Seq("w2"), "left")
+      .join(cc1, Seq("w3"), "left")
+      .crossJoin(broadcast(tots))
+      .withColumn("p1",
+        (coalesce(col("cc1"), lit(0L)) + 1).cast("double") /
+          (col("cc_all") + col("n_vocab")).cast("double"))
+      .withColumn("p2",
+        when(col("cc2").isNotNull,
+          (col("cc2").cast("double") - d) / col("cc2ctx").cast("double") +
+            lit(d) * col("n2").cast("double") /
+              col("cc2ctx").cast("double") * col("p1"))
+          .when(col("cc2ctx").isNotNull,
+            lit(d) * col("n2").cast("double") /
+              col("cc2ctx").cast("double") * col("p1"))
+          .otherwise(col("p1")))
+      .withColumn("p",
+        when(col("c3").isNotNull,
+          (col("c3").cast("double") - d) / col("c2ctx").cast("double") +
+            lit(d) * col("n3").cast("double") /
+              col("c2ctx").cast("double") * col("p2"))
+          .when(col("c2ctx").isNotNull,
+            lit(d) * col("n3").cast("double") /
+              col("c2ctx").cast("double") * col("p2"))
+          .otherwise(col("p2")))
+      .withColumn("lp_micro", round(log10(col("p")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3").isNull && col("c2ctx").isNotNull, 1L)
+          .otherwise(0L)).as("n_unseen_tri"),
+        sum(when(col("c2ctx").isNull, 1L).otherwise(0L))
+          .as("n_unseen_ctx"),
+        expr("sum(lp_micro) div count(1)").as("kn3_score_micro"))
+  }
 }

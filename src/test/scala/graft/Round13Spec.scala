@@ -300,6 +300,18 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("q387: trigram KN scores are log-probs; unseen accounting nests") {
+    val r = graft.operators.TextAnalysis.knTrigramLm(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      assert(row.getAs[Long]("kn3_score_micro") <= 0L,
+        "log-probabilities cannot be positive")
+      assert(row.getAs[Long]("n_unseen_tri") +
+        row.getAs[Long]("n_unseen_ctx") <= row.getAs[Long]("n_trigrams"),
+        "unseen classes are disjoint subsets of the scored trigrams")
+    }
+  }
+
   test("q384 at k=3 reconciles with q375: cut occurrences = n_removed") {
     // same grain, same min-doc owner rule => the anchor-occurrence
     // accounting must agree doc by doc on the real corpus
