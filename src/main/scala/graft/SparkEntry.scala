@@ -414,6 +414,9 @@ object SparkEntry {
     "q385_stream_ivf_index" -> ((s, d) => Similarity.streamIvfIndex(s, d)),
     "q386_jpeg_decode"      -> ((s, d) => Multimodal.jpegDecode(s, d)),
     "q387_kn_trigram_lm"    -> ((s, d) => TextAnalysis.knTrigramLm(s, d)),
+    "q388_nb_langid"        -> ((s, d) => TextAnalysis.naiveBayesLangId(s, d)),
+    "q389_rbo"              -> ((s, d) => Eval.rbo(s, d)),
+    "q390_ari_label_cell"   -> ((s, d) => Eval.ariLabelCell(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8279,5 +8282,119 @@ object SparkEntry {
         |   AS n_unseen_ctx,
         | CAST(sum(lp_micro) // count(*) AS BIGINT) AS kn3_score_micro
         |FROM f GROUP BY 1""".stripMargin,
+    // q388: +1-smoothed multinomial NB; per-(token, lang) log-
+    // likelihood micro-rounded, integer per-doc sums + integer
+    // prior, argmax ties on lang asc.
+    "q388_nb_langid" ->
+      """WITH tr AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cw AS (SELECT lang AS cand, w, CAST(count(*) AS BIGINT) AS cw
+        | FROM tr GROUP BY 1, 2),
+        |nl AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS nl
+        | FROM tr GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tr),
+        |pri AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS nd_l
+        | FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nd AS (SELECT CAST(sum(nd_l) AS BIGINT) AS nd FROM pri),
+        |lg AS (SELECT nl.cand, nl.nl, vv.v,
+        |  CAST(round(log10(CAST(nd_l AS DOUBLE) / CAST(nd AS DOUBLE))
+        |   * 1e6) AS BIGINT) AS prior_micro
+        | FROM nl JOIN pri USING (cand) CROSS JOIN vv CROSS JOIN nd),
+        |tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        | FROM documents WHERE doc_id % 2 = 1),
+        |sc AS (SELECT tok.doc_id, tok.lang, lg.cand,
+        |  CAST(sum(CAST(round(log10(
+        |     CAST(coalesce(cw.cw, 0) + 1 AS DOUBLE)
+        |      / CAST(lg.nl + lg.v AS DOUBLE)) * 1e6) AS BIGINT))
+        |   + max(lg.prior_micro) AS BIGINT) AS score_micro
+        | FROM tok CROSS JOIN lg
+        | LEFT JOIN cw ON cw.cand = lg.cand AND cw.w = tok.w
+        | GROUP BY 1, 2, 3),
+        |pr AS (SELECT doc_id, lang, cand FROM (SELECT doc_id, lang, cand,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, cand) AS rk FROM sc) t
+        | WHERE rk = 1)
+        |SELECT lang, cand AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pr GROUP BY 1, 2""".stripMargin,
+    // q389: truncated RBO at k=20, p=0.9; per-depth term is one
+    // fixed IEEE expression micro-rounded on the bounded depth grid.
+    "q389_rbo" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS s_tok
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |sl AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY q DESC, doc_id) AS rs FROM m),
+        |tl AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY s_tok DESC, doc_id) AS rt FROM m),
+        |bo AS (SELECT greatest(rs, rt) AS rmax
+        | FROM sl JOIN tl USING (doc_id) WHERE rs <= 20 AND rt <= 20),
+        |dd AS (SELECT unnest(range(1, 21)) AS d),
+        |tm AS (SELECT d,
+        |  CAST(sum(CASE WHEN rmax IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS ov
+        | FROM dd LEFT JOIN bo ON rmax <= d GROUP BY 1),
+        |tm2 AS (SELECT d, ov,
+        |  CAST(round((1.0 - 0.9) * power(0.9, d - 1)
+        |    * (CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)) * 1e6) AS BIGINT)
+        |   AS term_micro
+        | FROM tm)
+        |SELECT CAST(20 AS BIGINT) AS k,
+        | max(CASE WHEN d = 20 THEN ov END) AS overlap_at_k,
+        | CAST(sum(term_micro) AS BIGINT) AS rbo_micro
+        |FROM tm2""".stripMargin,
+    // q390: the q38/q385 centroid+assignment CTEs over the FULL
+    // corpus; ARI from the bounded contingency, expected term
+    // divides before multiplying (no n^4 product).
+    "q390_ari_label_cell" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        | FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv
+        | FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+        |    ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2
+        | FROM cl),
+        |ac AS (SELECT m.vec_id, m.label AS tl, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64),
+        |      i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+        |   AS ccos
+        | FROM m, cn),
+        |asg AS (SELECT vec_id, tl AS label, cell FROM (
+        |  SELECT vec_id, tl, label AS cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, label) AS rk
+        |  FROM ac) t WHERE rk = 1),
+        |cont AS (SELECT label, cell, CAST(count(*) AS BIGINT) AS nij
+        | FROM asg GROUP BY 1, 2),
+        |x1 AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_ij,
+        |  CAST(count(*) AS BIGINT) AS n_cells_used FROM cont),
+        |x2 AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a,
+        |  CAST(count(*) AS BIGINT) AS n_labels,
+        |  CAST(sum(ai) AS BIGINT) AS n FROM (
+        |   SELECT label, CAST(sum(nij) AS BIGINT) AS ai
+        |   FROM cont GROUP BY 1)),
+        |x3 AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b,
+        |  CAST(count(*) AS BIGINT) AS n_cells FROM (
+        |   SELECT cell, CAST(sum(nij) AS BIGINT) AS bj
+        |   FROM cont GROUP BY 1))
+        |SELECT n, n_labels, n_cells, s_ij, s_a, s_b,
+        | CAST(round((CAST(s_ij AS DOUBLE)
+        |    - CAST(s_a AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)
+        |      * CAST(s_b AS DOUBLE))
+        |  / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+        |    - CAST(s_a AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)
+        |      * CAST(s_b AS DOUBLE)) * 1e6) AS BIGINT) AS ari_micro
+        |FROM x1, x2, x3""".stripMargin,
   )
 }

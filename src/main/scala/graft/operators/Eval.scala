@@ -630,4 +630,90 @@ object Eval {
                (col("n0") - col("t_b")).cast("double")) * 1e6)
           .cast("long").as("tau_b_micro"))
   }
+
+  /** q389: RANK-BIASED OVERLAP between two document rankers (Webber,
+    * Moffat & Zobel, TOIS 2010) — the TOP-WEIGHTED list-similarity
+    * q378's τ cannot give: τ weighs every pair equally, but a
+    * curation stack swapping its quality ranker cares about the TOP
+    * of the list (that's what survives the cut), and RBO's geometric
+    * depth discount (1−p)·Σ p^(d−1)·|S_d ∩ T_d|/d prices exactly
+    * that. Here: the TTR-quality ranker (q365's signal) vs raw
+    * document length — "is length a top-faithful proxy for quality"
+    * as a single number. Truncated form at depth k (no extrapolation
+    * term). Shapes: both top-k lists via [[Relational.twoPhaseRank]]
+    * (bounded-histogram rank, never a corpus sort), a k×k bounded
+    * join on doc_id, the depth grid broadcast; each depth's term is
+    * ONE fixed IEEE expression micro-rounded per BOUNDED row,
+    * integer-summed. */
+  def rbo(s: SparkSession, dir: String, k: Int = 20,
+      p: Double = 0.9): DataFrame = {
+    val toks = tokens(col("text"))
+    val m = Tables.documents(s, dir).select(col("doc_id"),
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"))
+      .filter(col("s_tok") >= 1)
+      .select(col("doc_id"), expr("s_uniq * 1000000 div s_tok").as("q"),
+        col("s_tok"))
+    val sList = Relational.twoPhaseRank(m, lit(1), negate(col("q")),
+        Seq(negate(col("q")), col("doc_id")), "rs", "n_all")
+      .filter(col("rs") <= k).select(col("doc_id"), col("rs"))
+    val tList = Relational.twoPhaseRank(m, lit(1), negate(col("s_tok")),
+        Seq(negate(col("s_tok")), col("doc_id")), "rt", "n_all")
+      .filter(col("rt") <= k).select(col("doc_id"), col("rt"))
+    val both = sList.join(tList, "doc_id")
+      .select(greatest(col("rs"), col("rt")).as("rmax"))
+    val terms = s.range(1, k + 1).select(col("id").as("d"))
+      .join(broadcast(both), col("rmax") <= col("d"), "left")
+      .groupBy(col("d"))
+      .agg(sum(when(col("rmax").isNotNull, 1L).otherwise(0L)).as("ov"))
+      .withColumn("term_micro",
+        round((lit(1.0) - p) * pow(lit(p), col("d") - 1) *
+          (col("ov").cast("double") / col("d").cast("double")) * 1e6)
+          .cast("long"))
+    terms.agg(lit(k.toLong).as("k"),
+      max(when(col("d") === k, col("ov"))).as("overlap_at_k"),
+      sum(col("term_micro")).as("rbo_micro"))
+  }
+
+  /** q390: ADJUSTED RAND INDEX between the embedding labels and the
+    * IVF cell assignment (Hubert & Arabie 1985) — the external
+    * cluster-validity number next to q334's internal silhouette:
+    * silhouette says the cells are geometrically tight; ARI says
+    * whether they recover the LABEL partition (chance-corrected, so
+    * "many tiny cells" can't cheat it — the failure mode raw Rand
+    * and purity both have). All pair counts are exact integers from
+    * the bounded label × cell contingency (one agg over the
+    * assignment join); C(x,2) products that would be n⁴ are never
+    * formed — the expected-index term divides BEFORE multiplying
+    * (the q365 overflow lesson), one fixed IEEE expression
+    * micro-rounded on the single output row. */
+  def ariLabelCell(s: SparkSession, dir: String): DataFrame = {
+    val embQ = Similarity.quantizedL(s, dir)
+    val asg = Similarity.assignTo(
+      embQ.select(col("vec_id"), col("v"), col("n2")),
+      Similarity.centroidsOf(embQ), 0, 64)
+    val cont = asg.select(col("vec_id"), col("cell"))
+      .join(embQ.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"), col("cell")).agg(count(lit(1)).as("nij"))
+    val sij = cont.agg(
+      sum(expr("nij * (nij - 1) div 2")).as("s_ij"),
+      count(lit(1)).as("n_cells_used"))
+    val sa = cont.groupBy(col("label")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).as("s_a"),
+        count(lit(1)).as("n_labels"), sum(col("ai")).as("n"))
+    val sb = cont.groupBy(col("cell")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).as("s_b"),
+        count(lit(1)).as("n_cells"))
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("c_n2", expr("n * (n - 1) div 2"))
+      .select(col("n"), col("n_labels"), col("n_cells"),
+        col("s_ij"), col("s_a"), col("s_b"),
+        round((col("s_ij").cast("double") -
+            col("s_a").cast("double") / col("c_n2").cast("double") *
+              col("s_b").cast("double")) /
+          ((col("s_a").cast("double") + col("s_b").cast("double")) / 2.0 -
+            col("s_a").cast("double") / col("c_n2").cast("double") *
+              col("s_b").cast("double")) * 1e6)
+          .cast("long").as("ari_micro"))
+  }
 }

@@ -1429,4 +1429,62 @@ object TextAnalysis {
           .as("n_unseen_ctx"),
         expr("sum(lp_micro) div count(1)").as("kn3_score_micro"))
   }
+
+  /** q388: TRAINED NAIVE-BAYES language id (round-13) — the learned
+    * upgrade of q29's fixed stopword heuristic and the simplest
+    * member of the fastText/CLD classifier family every production
+    * curation stack runs: multinomial NB with +1 smoothing, trained
+    * on the even half (per-(lang, word) counts, per-lang token
+    * totals, shared vocab V, document priors), argmax-scored on the
+    * odd half, reported as the lang × predicted CONFUSION matrix
+    * (the q211 surface, now for a trained model — the off-diagonal
+    * mass is the model's actual error structure, and comparing it to
+    * q211's heuristic confusion prices what training buys).
+    * Determinism: each token's log-likelihood log10((c+1)/(n_l+V))
+    * is ONE fixed IEEE expression of exact integers micro-rounded
+    * PER (token, lang) ROW; per-doc scores are integer sums plus an
+    * integer prior; argmax ties break on lang asc. Shapes: one
+    * train agg, the scored token stream fanned out by the BOUNDED
+    * broadcast lang list (|langs| rows), one hash left join on
+    * (w, lang), a per-(doc, lang) agg, and a per-doc window over
+    * |langs| rows — never a corpus sort. */
+  def naiveBayesLangId(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val trainTok = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val cw = trainTok.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val nl = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val vocab = trainTok.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nd_l"))
+    val ndAll = priors.agg(sum(col("nd_l")).as("nd"))
+    val langs = broadcast(nl.join(priors, "lang").crossJoin(vocab)
+      .crossJoin(ndAll)
+      .withColumn("prior_micro",
+        round(log10(col("nd_l").cast("double") / col("nd").cast("double"))
+          * 1e6).cast("long"))
+      .select(col("lang").as("cand"), col("nl"), col("v"),
+        col("prior_micro")))
+    val scored = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      .crossJoin(langs)
+      .join(cw.toDF("cand", "w", "cw").hint("shuffle_hash"),
+        Seq("cand", "w"), "left")
+      .withColumn("lp_micro",
+        round(log10((coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("nl") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg((sum(col("lp_micro")) + max(col("prior_micro")))
+        .as("score_micro"))
+    val pred = scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("cand"))))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("lang"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }
