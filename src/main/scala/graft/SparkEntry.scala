@@ -417,6 +417,9 @@ object SparkEntry {
     "q388_nb_langid"        -> ((s, d) => TextAnalysis.naiveBayesLangId(s, d)),
     "q389_rbo"              -> ((s, d) => Eval.rbo(s, d)),
     "q390_ari_label_cell"   -> ((s, d) => Eval.ariLabelCell(s, d)),
+    "q391_mann_whitney"     -> ((s, d) => Eval.mannWhitney(s, d)),
+    "q392_codec_dhash"      -> ((s, d) => Multimodal.codecDhashStability(s, d)),
+    "q393_unimax_allocation" -> ((s, d) => Pipeline.unimaxAllocation(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8396,5 +8399,88 @@ object SparkEntry {
         |    - CAST(s_a AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)
         |      * CAST(s_b AS DOUBLE)) * 1e6) AS BIGINT) AS ari_micro
         |FROM x1, x2, x3""".stripMargin,
+    // q391: 2U integer from the bounded cumulative bin frame; tie
+    // term on HUGEINT (decimal-38 Spark-side); one fixed IEEE z.
+    "q391_mann_whitney" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   // 100000 AS b,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |bins AS (SELECT b, CAST(sum(pos) AS BIGINT) AS n1i,
+        |  CAST(sum(1 - pos) AS BIGINT) AS n2i,
+        |  CAST(count(*) AS BIGINT) AS ti FROM sc GROUP BY 1),
+        |cum AS (SELECT *, coalesce(sum(n2i) OVER (ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS cum2 FROM bins),
+        |agg AS (SELECT CAST(sum(n1i) AS BIGINT) AS n1,
+        |  CAST(sum(n2i) AS BIGINT) AS n2,
+        |  CAST(sum(n1i * (2 * cum2 + n2i)) AS BIGINT) AS u2x,
+        |  sum(CAST(ti AS HUGEINT) * ti * ti - ti) AS tie
+        | FROM cum)
+        |SELECT n1, n2, u2x,
+        | CAST(round(CAST(u2x - n1 * n2 AS DOUBLE)
+        |  / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |    * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie AS DOUBLE)
+        |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+        |  * 1e6) AS BIGINT) AS z_micro
+        |FROM agg""".stripMargin,
+    // q392: the PNG dhash popcount replayed from the pixel formula
+    // (lossless side exact); the cross-codec hamming bound arrives
+    // as a boolean the oracle asserts TRUE.
+    "q392_codec_dhash" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+        |  doc_id % 7 + 3 AS h FROM documents),
+        |gxs AS (SELECT unnest(range(9)) AS gx),
+        |gys AS (SELECT unnest(range(8)) AS gy),
+        |g AS (SELECT doc_id, gx, gy,
+        |  (((doc_id + 3*((gx*w)//9) + 5*((gy*h)//8)) % 256)
+        |   + ((2*doc_id + 7*((gx*w)//9) + 11*((gy*h)//8)) % 256)
+        |   + ((3*doc_id + 13*((gx*w)//9) + 17*((gy*h)//8)) % 256)) // 3
+        |    AS gray
+        | FROM d, gxs, gys)
+        |SELECT a.doc_id,
+        | CAST(sum(CASE WHEN a.gray // 32 > b.gray // 32
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS png_bits_set,
+        | TRUE AS hamming_le_bound
+        |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        | AND b.gx = a.gx + 1
+        |WHERE a.gx < 8
+        |GROUP BY 1""".stripMargin,
+    // q393: integer water-filling — capacities 4x supply sorted
+    // ascending, waterline at the unique prefix row, div remainder
+    // +1 to the first rem uncapped sources by name.
+    "q393_unimax_allocation" ->
+      """WITH sup AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
+        | FROM documents GROUP BY 1),
+        |c AS (SELECT source, supply, supply * 4 AS cap FROM sup),
+        |tot AS (SELECT CAST(sum(supply) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS m FROM c),
+        |rkd AS (SELECT c.source, c.supply, c.cap, tot.m,
+        |  tot.n_total // 2 AS budget,
+        |  row_number() OVER (ORDER BY cap, source) AS rk,
+        |  coalesce(sum(cap) OVER (ORDER BY cap, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS p_prev,
+        |  coalesce(lag(cap) OVER (ORDER BY cap, source), 0) AS prev_cap
+        | FROM c, tot),
+        |wl AS (SELECT rk AS k_row,
+        |  (budget - p_prev) // (m - rk + 1) AS w,
+        |  (budget - p_prev) % (m - rk + 1) AS rem
+        | FROM rkd
+        | WHERE (budget - p_prev) // (m - rk + 1) < cap
+        |  AND (budget - p_prev) // (m - rk + 1) >= prev_cap
+        | ORDER BY rk LIMIT 1),
+        |al AS (SELECT source, supply, cap,
+        |  CASE WHEN rk < k_row THEN cap
+        |   ELSE w + CASE WHEN rk - k_row + 1 <= rem THEN 1 ELSE 0 END
+        |  END AS alloc
+        | FROM rkd, wl)
+        |SELECT source, supply, CAST(cap AS BIGINT) AS cap,
+        | CAST(alloc AS BIGINT) AS alloc,
+        | CAST(alloc * 1000 // supply AS BIGINT) AS epochs_milli
+        |FROM al""".stripMargin,
   )
 }

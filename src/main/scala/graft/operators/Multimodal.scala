@@ -719,4 +719,80 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_components",
         "mean_formula_milli", "mean_dec_milli", "decode_stable")
   }
+
+  /** q392: CROSS-CODEC dHASH STABILITY (round-13) — the property the
+    * whole perceptual-dedup family (q113/q329) rests on at 100 TB,
+    * where the same image arrives PNG from one crawl and JPEG from
+    * another: the fingerprint must survive the codec, or near-dup
+    * recall silently splits by file format. Per doc: ONE formula
+    * raster encoded through BOTH codecs on the executors, both
+    * decoded, both fingerprinted with the BUCKETED dHash (the q329
+    * 9×8 gradient grid over 32-level gray buckets — raw dHash
+    * measures up to 36/64 flipped bits across codecs on the tiny
+    * formula rasters because any near-equal adjacent pair sits
+    * inside JPEG's noise band; bucketing is the standard robustness
+    * trade). The gate carries (a) the PNG hash's popcount — EXACT,
+    * formula-replayed by the oracle since PNG is lossless — and
+    * (b) the PNG↔JPEG Hamming distance under a self-carried bound
+    * (the q386 tolerance treatment; the spec pins the observed
+    * maximum, 18, tighter than the 24 gate bound). What this prices
+    * is the near-dup RADIUS a cross-codec fingerprint match needs —
+    * measured, not assumed. O(pixels) per row, no shuffle. */
+  def codecDhashStability(s: SparkSession, dir: String,
+      maxHamming: Long = 24L): DataFrame =
+    codecDhashStats(s, dir).select(col("doc_id"), col("png_bits_set"),
+      (col("hamming") <= maxHamming).as("hamming_le_bound"))
+
+  /** Raw cross-codec stats behind [[codecDhashStability]] (hamming
+    * still visible for the spec pin). */
+  private[graft] def codecDhashStats(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        // COARSENED gradient: compare 32-level gray buckets, not raw
+        // grays — raw dHash flips whenever two adjacent samples are
+        // within the codec's noise band (measured: up to 36/64 bits
+        // on the tiny formula rasters), while a bucket boundary is
+        // only crossed when the true gradient is small AND sits near
+        // a multiple of 32. This is the production robust-fingerprint
+        // trade: a little discrimination for codec invariance.
+        def dhash(px: Array[Int], w: Int, h: Int): Array[Int] = {
+          def grayB(gx: Int, gy: Int): Int = {
+            val p = px((gy * h / 8) * w + (gx * w / 9))
+            ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3) / 32
+          }
+          (for (gy <- 0 until 8; gx <- 0 until 8)
+            yield if (grayB(gx, gy) > grayB(gx + 1, gy)) 1 else 0).toArray
+        }
+        ids.map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id % 7 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (pngPixel(id, x, y, 0) << 16) |
+                (pngPixel(id, x, y, 1) << 8) | pngPixel(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          def roundTrip(fmt: String): Array[Int] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            dec.getRGB(0, 0, w, h, null, 0, w)
+          }
+          val hp = dhash(roundTrip("png"), w, h)
+          val hj = dhash(roundTrip("jpg"), w, h)
+          val hamming = hp.zip(hj).count { case (a, b) => a != b }.toLong
+          (id, hp.map(_.toLong).sum, hamming)
+        }
+      }
+      .toDF("doc_id", "png_bits_set", "hamming")
+  }
 }

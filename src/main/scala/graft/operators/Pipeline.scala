@@ -939,4 +939,59 @@ object Pipeline {
         expr("n_tokens * 1000000 div total_tokens").as("token_share_ppm"))
   }
 
+  /** q393: UNIMAX token-budget allocation across sources (Chung,
+    * Garcia, Constant et al., "UniMax: Fairer and More Effective
+    * Language Sampling", ICLR 2023) — the principled answer to the
+    * mixture-weight question q202's temperature scaling approximates:
+    * distribute a total training budget UNIFORMLY across sources,
+    * capped at E epochs of each source's supply, and spill the
+    * leftover uniformly over the uncapped rest — exact integer
+    * WATER-FILLING. With capacities c_i = E·s_i sorted ascending and
+    * prefix sums P_k: the waterline sits at w = (B − P_k) div (m−k)
+    * for the unique k with c_k ≤ w < c_{k+1} (all-capped when the
+    * budget exceeds ΣC), and the div remainder goes +1 each to the
+    * first r uncapped sources by name — so Σ alloc = min(B, ΣC)
+    * EXACTLY, fully deterministic, no float anywhere. Shapes: one
+    * corpus agg to per-source supplies, then every step on the
+    * BOUNDED source frame (windows over |sources| rows). */
+  def unimaxAllocation(s: SparkSession, dir: String, epochCap: Long = 4L,
+      budgetShare: Long = 2L): DataFrame = {
+    val sup = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("supply"))
+      .withColumn("cap", col("supply") * epochCap)
+    val tot = sup.agg(sum(col("supply")).as("n_total"),
+      sum(col("cap")).as("cap_total"), count(lit(1)).as("m"))
+    // budget = half the corpus tokens (budgetShare = 2)
+    val ranked = sup.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"n_total div $budgetShare"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cap"), col("source"))))
+      .withColumn("p_prev",
+        coalesce(sum(col("cap")).over(Window.orderBy(col("cap"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_cap",
+        coalesce(lag(col("cap"), 1).over(
+          Window.orderBy(col("cap"), col("source"))), lit(0L)))
+    // the valid waterline row (min rk defensively — c_{k−1} ≤ w < c_k
+    // has a unique solution whenever budget ≤ ΣC, which epochCap ≥ 1
+    // and budgetShare ≥ 1 guarantee by construction): sources ranked
+    // below are at capacity; w = remaining budget div remaining
+    // sources, div remainder spread +1 to the first `rem` uncapped
+    val wline = ranked
+      .withColumn("w", expr("(budget - p_prev) div (m - rk + 1)"))
+      .filter(col("w") < col("cap") && col("w") >= col("prev_cap"))
+      .withColumn("pick", row_number().over(Window.orderBy(col("rk"))))
+      .filter(col("pick") === 1)
+      .select(col("rk").as("k_row"), col("w"),
+        expr("(budget - p_prev) % (m - rk + 1)").as("rem"))
+    ranked.crossJoin(broadcast(wline))
+      .withColumn("alloc",
+        when(col("rk") < col("k_row"), col("cap"))
+          .otherwise(col("w") +
+            when(col("rk") - col("k_row") + 1 <= col("rem"), 1L)
+              .otherwise(0L)))
+      .select(col("source"), col("supply"), col("cap"), col("alloc"),
+        expr("alloc * 1000 div supply").as("epochs_milli"))
+  }
 }

@@ -312,6 +312,36 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("q392: cross-codec bucketed dHash — observed hamming pinned under the gate bound") {
+    val r = graft.operators.Multimodal.codecDhashStats(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    val maxHam = r.map(_.getAs[Long]("hamming")).max
+    // gate bound is 24; the observed PNG<->JPEG distance of the
+    // bucketed fingerprint is pinned here (measured 18 at sf0.001)
+    assert(maxHam <= 20L,
+      s"bucketed-dHash cross-codec hamming $maxHam exceeds the pinned bound")
+  }
+
+  test("q393: water-filling invariants — exact budget, caps respected, fair spill") {
+    val r = graft.operators.Pipeline.unimaxAllocation(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val totalSupply = r.map(_.getAs[Long]("supply")).sum
+    val budget = totalSupply / 2
+    assert(r.map(_.getAs[Long]("alloc")).sum === budget,
+      "allocations must sum to the budget exactly")
+    for (row <- r)
+      assert(row.getAs[Long]("alloc") <= row.getAs[Long]("cap"),
+        s"${row.getAs[String]("source")} allocated past its epoch cap")
+    // uniform spill: every UNCAPPED source sits within 1 token of
+    // the waterline (the div remainder)
+    val uncapped = r.filter(x => x.getAs[Long]("alloc") < x.getAs[Long]("cap"))
+      .map(_.getAs[Long]("alloc"))
+    if (uncapped.length > 1)
+      assert(uncapped.max - uncapped.min <= 1L,
+        "uncapped sources must share the waterline")
+  }
+
   test("q384 at k=3 reconciles with q375: cut occurrences = n_removed") {
     // same grain, same min-doc owner rule => the anchor-occurrence
     // accounting must agree doc by doc on the real corpus
