@@ -420,6 +420,10 @@ object SparkEntry {
     "q391_mann_whitney"     -> ((s, d) => Eval.mannWhitney(s, d)),
     "q392_codec_dhash"      -> ((s, d) => Multimodal.codecDhashStability(s, d)),
     "q393_unimax_allocation" -> ((s, d) => Pipeline.unimaxAllocation(s, d)),
+    "q394_hard_negatives"   -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q395_selector_agreement" ->
+      ((s, d) => Pipeline.selectorAgreement(s, d)),
+    "q396_rouge_pairs"      -> ((s, d) => Dedup.rougePairs(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8482,5 +8486,138 @@ object SparkEntry {
         | CAST(alloc AS BIGINT) AS alloc,
         | CAST(alloc * 1000 // supply AS BIGINT) AS epochs_milli
         |FROM al""".stripMargin,
+    // q394: the q390 assignment chain carrying (v, n2); hard
+    // negative = within-cell cross-label argmax cosine, ties
+    // (cosine desc, neg_id asc).
+    "q394_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        | FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv
+        | FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+        |    ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2
+        | FROM cl),
+        |ac AS (SELECT m.vec_id, m.label AS tl, m.v, m.n2, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64),
+        |      i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+        |   AS ccos
+        | FROM m, cn),
+        |asg AS (SELECT vec_id, tl AS label, v, n2, cell FROM (
+        |  SELECT vec_id, tl, v, n2, label AS cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, label) AS rk
+        |  FROM ac) t WHERE rk = 1),
+        |p AS (SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+        |  b.label AS neg_label,
+        |  CAST(CAST(list_sum(list_transform(range(64),
+        |      i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+        |   AS cosine
+        | FROM asg a JOIN asg b ON a.cell = b.cell
+        |  AND a.label <> b.label)
+        |SELECT vec_id, label, neg_id, neg_label, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cosine DESC, neg_id) AS rk FROM p) t
+        |WHERE rk = 1""".stripMargin,
+    // q395: both selectors' oracle chains verbatim, agreement over
+    // the joined (odd-doc) universe; kappa one fixed IEEE expr.
+    "q395_selector_agreement" ->
+      s"""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |   i -> t[i+1] || ' ' || t[i+2])) AS bg
+        | FROM tt WHERE len(t) >= 2),
+        |hb AS (SELECT doc_id,
+        |  ${hex8Sql("concat('dsir|', bg)")} % 4096 AS b FROM bg),
+        |c AS (SELECT b,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ct,
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cr
+        | FROM hb GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+        |sc AS (SELECT doc_id, count(*) AS nb,
+        |  sum(ln(ct + 1) - ln(cr + 1)) AS ssum
+        | FROM hb JOIN c USING (b) WHERE doc_id % 2 = 1 GROUP BY 1),
+        |fin AS (SELECT doc_id, nb,
+        |  round(ssum - nb * (ln(nt + 4096) - ln(nr + 4096)), 4)
+        |   AS dsir_score FROM sc, tot),
+        |dsel AS (SELECT doc_id FROM fin
+        | ORDER BY dsir_score DESC, doc_id LIMIT 50),
+        |tok AS (SELECT doc_id, lang,
+        |  unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cg,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS cin FROM tok GROUP BY 1),
+        |tt2 AS (SELECT CAST(sum(cg) AS BIGINT) AS ng,
+        |  CAST(sum(cin) AS BIGINT) AS nin,
+        |  CAST(count(*) AS BIGINT) AS vv FROM v),
+        |lp AS (SELECT w, CAST(round((
+        |   ln(CAST(cin + 1 AS DOUBLE) / CAST(nin + vv AS DOUBLE))
+        |   - ln(CAST(cg + 1 AS DOUBLE) / CAST(ng + vv AS DOUBLE))) * 1e6)
+        |  AS BIGINT) AS lp_micro FROM v, tt2),
+        |mls AS (SELECT doc_id,
+        |  CAST(sum(lp_micro) // count(*) AS BIGINT) AS ml_micro
+        | FROM tok JOIN lp USING (w) GROUP BY 1),
+        |msel AS (SELECT doc_id FROM mls
+        | ORDER BY ml_micro DESC, doc_id LIMIT 50),
+        |fl AS (SELECT fin.doc_id,
+        |  fin.doc_id IN (SELECT doc_id FROM dsel) AS sd,
+        |  fin.doc_id IN (SELECT doc_id FROM msel) AS sm
+        | FROM fin JOIN mls ON fin.doc_id = mls.doc_id),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN sd THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir,
+        | CAST(sum(CASE WHEN sm THEN 1 ELSE 0 END) AS BIGINT) AS n_ml,
+        | CAST(sum(CASE WHEN sd AND sm THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_both FROM fl),
+        |kk AS (SELECT *, n - n_dsir - n_ml + n_both AS n00,
+        | CAST(n_dsir AS DOUBLE) * CAST(n_ml AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |  + CAST(n - n_dsir AS DOUBLE) * CAST(n - n_ml AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe FROM ag)
+        |SELECT n, n_dsir, n_ml, n_both,
+        | n_both * 1000000 // nullif(n_dsir + n_ml - n_both, 0)
+        |  AS jaccard_ppm,
+        | CAST(round((CAST(n_both + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        |   - pe) / (1.0 - pe) * 1e6) AS BIGINT) AS kappa_micro
+        |FROM kk""".stripMargin,
+    // q396: q22's band candidates, clipped multiset bigram match,
+    // integer ppm P/R and the 2m/(t1+t2) harmonic F1.
+    "q396_rouge_pairs" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |tt0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |bgc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+        |    i -> tk[i+1] || ' ' || tk[i+2])) AS g
+        |  FROM tt0 WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |tots AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot
+        | FROM bgc GROUP BY 1),
+        |mm AS (SELECT cand.d1, cand.d2,
+        |  CAST(sum(least(b1.c, b2.c)) AS BIGINT) AS match2
+        | FROM cand JOIN bgc b1 ON b1.doc_id = cand.d1
+        |  JOIN bgc b2 ON b2.doc_id = cand.d2 AND b2.g = b1.g
+        | GROUP BY 1, 2)
+        |SELECT cand.d1, cand.d2,
+        | coalesce(match2, 0) AS match2, t1.tot AS tot1, t2.tot AS tot2,
+        | coalesce(match2, 0) * 1000000 // t1.tot AS recall_ppm,
+        | coalesce(match2, 0) * 1000000 // t2.tot AS precision_ppm,
+        | 2 * coalesce(match2, 0) * 1000000 // (t1.tot + t2.tot) AS f_ppm
+        |FROM cand
+        | LEFT JOIN mm ON mm.d1 = cand.d1 AND mm.d2 = cand.d2
+        | JOIN tots t1 ON t1.doc_id = cand.d1
+        | JOIN tots t2 ON t2.doc_id = cand.d2""".stripMargin,
   )
 }

@@ -2265,6 +2265,47 @@ object Dedup {
         expr("(n_toks - n_cut_tokens) * 1000000 div nullif(n_toks, 0)"))
   }
 
+  /** q396: ROUGE-2 OVERLAP on the LSH candidate pairs (round-13) —
+    * the MULTISET n-gram precision/recall grain the dedup family's
+    * Jaccard (q21, distinct-set) deliberately ignores: Jaccard says
+    * "how much vocabulary is shared", ROUGE-2 with clipped counts
+    * (Lin 2004) says "how much of each document's actual bigram MASS
+    * the other one covers" — repeated boilerplate counts every
+    * occurrence, which is exactly why summarization eval and
+    * containment QA use it. Candidates are q22's band collisions
+    * (never doc × doc); per pair: clipped match Σ min(c₁, c₂), then
+    * recall (of d1), precision (of d2), and F1 via the integer
+    * harmonic identity 2m/(t₁+t₂) — everything exact integer ppm.
+    * Shapes: one multiset bigram agg, two shuffle-hash joins fanning
+    * the candidate list over shared grams only. */
+  def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bands = minhashBandsOf(docs)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val bg = docs.filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(bigrams2(col("text"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val totals = bg.groupBy(col("doc_id")).agg(sum(col("c")).as("tot"))
+    val matched = cands
+      .join(bg.toDF("d1", "g", "c1").hint("shuffle_hash"), Seq("d1"))
+      .join(bg.toDF("d2", "g", "c2").hint("shuffle_hash"), Seq("d2", "g"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(least(col("c1"), col("c2"))).as("match2"))
+    cands.join(matched, Seq("d1", "d2"), "left")
+      .join(totals.toDF("d1", "tot1").hint("shuffle_hash"), "d1")
+      .join(totals.toDF("d2", "tot2").hint("shuffle_hash"), "d2")
+      .withColumn("match2", coalesce(col("match2"), lit(0L)))
+      .select(col("d1"), col("d2"), col("match2"), col("tot1"), col("tot2"),
+        expr("match2 * 1000000 div tot1").as("recall_ppm"),
+        expr("match2 * 1000000 div tot2").as("precision_ppm"),
+        expr("2 * match2 * 1000000 div (tot1 + tot2)").as("f_ppm"))
+  }
+
   /** q384: EXACT-SUBSTRING DEDUP at the Lee et al. 2021 ExactSubstr
     * decision grain (round-13) — q375 decides span ownership gram by
     * gram; production ExactSubstr cuts MAXIMAL duplicated substrings

@@ -994,4 +994,42 @@ object Pipeline {
       .select(col("source"), col("supply"), col("cap"), col("alloc"),
         expr("alloc * 1000 div supply").as("epochs_milli"))
   }
+
+  /** q395: SELECTOR AGREEMENT — DSIR (q333) vs Moore–Lewis (q362) on
+    * the shared scoring universe (round-13): two principled data
+    * selectors trained toward the SAME target half should mostly
+    * agree, and where they don't is exactly the "which selection
+    * method do we trust" calibration question; this reports the
+    * selection-set Jaccard and Cohen's κ (chance-corrected — with a
+    * 10% selection rate, 81% raw agreement is FREE, so κ is the
+    * honest number). Both flags come from the gated operators
+    * unchanged; the contingency is one integer agg over the joined
+    * domain; κ is one fixed IEEE expression of exact integers,
+    * micro-rounded on the single output row. */
+  def selectorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val ds = dsirSelection(s, dir)
+      .select(col("doc_id"), col("selected").as("sel_dsir"))
+    val ml = mooreLewis(s, dir)
+      .select(col("doc_id"), col("selected").as("sel_ml"))
+    ds.join(ml, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sel_dsir"), 1L).otherwise(0L)).as("n_dsir"),
+        sum(when(col("sel_ml"), 1L).otherwise(0L)).as("n_ml"),
+        sum(when(col("sel_dsir") && col("sel_ml"), 1L).otherwise(0L))
+          .as("n_both"))
+      .withColumn("n00",
+        col("n") - col("n_dsir") - col("n_ml") + col("n_both"))
+      .withColumn("pe",
+        col("n_dsir").cast("double") * col("n_ml").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")) +
+          (col("n") - col("n_dsir")).cast("double") *
+            (col("n") - col("n_ml")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double")))
+      .select(col("n"), col("n_dsir"), col("n_ml"), col("n_both"),
+        expr("n_both * 1000000 div nullif(n_dsir + n_ml - n_both, 0)")
+          .as("jaccard_ppm"),
+        round(((col("n_both") + col("n00")).cast("double") /
+          col("n").cast("double") - col("pe")) / (lit(1.0) - col("pe"))
+          * 1e6).cast("long").as("kappa_micro"))
+  }
 }

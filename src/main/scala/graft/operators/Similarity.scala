@@ -1410,4 +1410,34 @@ object Similarity {
       .filter(!col("is_base"))
       .select(col("vec_id"), col("cell")).distinct()
   }
+
+  /** q394: HARD-NEGATIVE MINING via IVF cells (round-13) — the
+    * contrastive-training data op q237's random pairing can't
+    * provide: for every anchor, the MOST SIMILAR vector of a
+    * DIFFERENT label inside the anchor's IVF cell — the classic
+    * in-batch-negatives upgrade (hard negatives near the decision
+    * boundary carry the gradient signal; random negatives are
+    * trivially separable). IVF-cell blocking is exactly the ANN
+    * production shape for this: within-cell equi-join (never vec ×
+    * vec), exact integer-quantized cosine verify, per-anchor argmax
+    * with (cosine desc, neg_id asc) ties. Anchors whose cell holds
+    * no other label emit no row — the "cell too pure to mine"
+    * signal. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val embQ = quantizedL(s, dir)
+    val asg = assignTo(embQ.select(col("vec_id"), col("v"), col("n2")),
+        centroidsOf(embQ), 0, 64)
+      .join(embQ.select(col("vec_id"), col("label")), "vec_id")
+    val a = asg.toDF("vec_id", "v", "n2", "cell", "label")
+    val b = asg.toDF("neg_id", "nv", "nn2", "cell", "neg_label")
+    a.join(b.hint("shuffle_hash"), "cell")
+      .filter(col("label") =!= col("neg_label"))
+      .withColumn("cosine",
+        cosineQ(col("v"), col("nv"), col("n2"), col("nn2")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(struct(col("neg_id"), col("neg_label"), col("cosine")),
+        struct(col("cosine"), negate(col("neg_id")))).as("c"))
+      .select(col("vec_id"), col("label"), col("c.neg_id").as("neg_id"),
+        col("c.neg_label").as("neg_label"), col("c.cosine").as("cosine"))
+  }
 }
