@@ -424,6 +424,10 @@ object SparkEntry {
     "q395_selector_agreement" ->
       ((s, d) => Pipeline.selectorAgreement(s, d)),
     "q396_rouge_pairs"      -> ((s, d) => Dedup.rougePairs(s, d)),
+    "q397_positional_dup"   -> ((s, d) => Dedup.positionalDupProfile(s, d)),
+    "q398_burstiness"       -> ((s, d) => TextAnalysis.burstiness(s, d)),
+    "q399_monotone_audit"   -> ((s, d) => Eval.monotoneAudit(s, d)),
+    "q400_curate_v2"        -> ((s, d) => Pipeline.curateV2(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8619,5 +8623,129 @@ object SparkEntry {
         | LEFT JOIN mm ON mm.d1 = cand.d1 AND mm.d2 = cand.d2
         | JOIN tots t1 ON t1.doc_id = cand.d1
         | JOIN tots t2 ON t2.doc_id = cand.d2""".stripMargin,
+    // q397: the q375 ownership frame; positional trigrams bucketed
+    // into thirds by start position; integer ppm per (source, third).
+    "q397_positional_dup" ->
+      s"""WITH $shinglesCte,
+        |own AS (SELECT sh2 AS sh, CAST(count(*) AS BIGINT) AS docs_with
+        | FROM (SELECT doc_id, unnest(sh) AS sh2 FROM t) GROUP BY 1),
+        |d AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sp AS (SELECT doc_id, source, len(tk) - 2 AS n_sp,
+        |  unnest(range(len(tk) - 2)) AS pos, tk
+        | FROM d WHERE len(tk) >= 3),
+        |sp2 AS (SELECT source, pos * 3 // n_sp AS bucket,
+        |  tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] AS sh
+        | FROM sp)
+        |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_spans,
+        | CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup,
+        | CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) * 1000000
+        |  // count(*) AS BIGINT) AS dup_ppm
+        |FROM sp2 JOIN own USING (sh)
+        |GROUP BY 1, 2""".stripMargin,
+    // q398: burstiness = cf/df integer ppm, min-cf floor, top-25 by
+    // (burst desc, word asc).
+    "q398_burstiness" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS w FROM documents),
+        |st AS (SELECT w, CAST(count(*) AS BIGINT) AS cf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        | FROM tok GROUP BY 1),
+        |b AS (SELECT w, cf, df, cf * 1000000 // df AS burst_ppm
+        | FROM st WHERE cf >= 20)
+        |SELECT w, cf, df, burst_ppm, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |   ORDER BY burst_ppm DESC, w) AS rank FROM b) t
+        |WHERE rank <= 25""".stripMargin,
+    // q399: integer per-bin means on the q378 length bins; the lag
+    // window runs over the bounded bin frame.
+    "q399_monotone_audit" ->
+      """WITH sc AS (SELECT
+        |  least(CAST(length(text) AS BIGINT) // 50, 11) AS bin,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS q
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(q) AS BIGINT) AS sq FROM sc GROUP BY 1),
+        |m AS (SELECT bin, n_docs, sq // n_docs AS mean_q_ppm FROM bins)
+        |SELECT bin, n_docs, CAST(mean_q_ppm AS BIGINT) AS mean_q_ppm,
+        | CAST(lag(mean_q_ppm) OVER (ORDER BY bin) AS BIGINT)
+        |  AS prev_mean_q_ppm,
+        | lag(mean_q_ppm) OVER (ORDER BY bin) IS NOT NULL
+        |  AND mean_q_ppm > lag(mean_q_ppm) OVER (ORDER BY bin)
+        |  AS inverted
+        |FROM m""".stripMargin,
+    // q400: q28 quality cut + q384 ExactSubstr survival cut + q393
+    // water-filling over the surviving supply, per-source accounting.
+    "q400_curate_v2" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |gp AS (SELECT doc_id, unnest(range(len(tk) - 4)) AS pos, tk
+        | FROM tt WHERE len(tk) >= 5),
+        |g2 AS (SELECT doc_id, pos,
+        |  tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] || ' '
+        |   || tk[pos+4] || ' ' || tk[pos+5] AS g FROM gp),
+        |own AS (SELECT g, CAST(count(*) AS BIGINT) AS docs_with,
+        |  min(doc_id) AS owner
+        | FROM (SELECT DISTINCT doc_id, g FROM g2) GROUP BY 1),
+        |cut AS (SELECT doc_id, pos FROM g2 JOIN own USING (g)
+        | WHERE docs_with >= 2 AND owner <> doc_id),
+        |cov AS (SELECT DISTINCT doc_id, pos + off AS p
+        | FROM cut CROSS JOIN (SELECT unnest(range(5)) AS off) o),
+        |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens
+        | FROM cov GROUP BY 1),
+        |qd AS (SELECT doc_id, source,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' '))) * 0.5
+        |   + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the', 'a'))) AS DOUBLE)
+        |     / len(string_split(text, ' '))) * 0.5 >= 0.7 AS qpass
+        | FROM documents),
+        |st AS (SELECT tt.doc_id, qd.source, qd.qpass,
+        |  CAST(len(tk) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(sp.n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens,
+        |  (len(tk) - coalesce(sp.n_cut_tokens, 0)) * 1000000
+        |    // nullif(len(tk), 0) AS surviving_ppm
+        | FROM tt JOIN qd USING (doc_id) LEFT JOIN sp USING (doc_id)),
+        |st2 AS (SELECT *, qpass AND surviving_ppm >= 800000 AS kept
+        | FROM st),
+        |acct AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        |  CAST(sum(n_toks) AS BIGINT) AS tokens_raw,
+        |  CAST(sum(CASE WHEN kept THEN n_toks - n_cut_tokens ELSE 0 END)
+        |   AS BIGINT) AS tokens_kept
+        | FROM st2 GROUP BY 1),
+        |c AS (SELECT source, tokens_kept AS supply,
+        |  tokens_kept * 4 AS cap FROM acct),
+        |tot AS (SELECT CAST(sum(supply) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS m FROM c),
+        |rkd AS (SELECT c.source, c.supply, c.cap, tot.m,
+        |  tot.n_total // 2 AS budget,
+        |  row_number() OVER (ORDER BY cap, source) AS rk,
+        |  coalesce(sum(cap) OVER (ORDER BY cap, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS p_prev,
+        |  coalesce(lag(cap) OVER (ORDER BY cap, source), 0) AS prev_cap
+        | FROM c, tot),
+        |wl AS (SELECT rk AS k_row,
+        |  (budget - p_prev) // (m - rk + 1) AS w,
+        |  (budget - p_prev) % (m - rk + 1) AS rem
+        | FROM rkd
+        | WHERE (budget - p_prev) // (m - rk + 1) < cap
+        |  AND (budget - p_prev) // (m - rk + 1) >= prev_cap
+        | ORDER BY rk LIMIT 1),
+        |al AS (SELECT source, supply,
+        |  CASE WHEN rk < k_row THEN cap
+        |   ELSE w + CASE WHEN rk - k_row + 1 <= rem THEN 1 ELSE 0 END
+        |  END AS alloc
+        | FROM rkd, wl)
+        |SELECT acct.source, n_docs, n_kept, tokens_raw, tokens_kept,
+        | CAST(alloc AS BIGINT) AS alloc,
+        | CAST(alloc * 1000 // supply AS BIGINT) AS epochs_milli
+        |FROM acct JOIN al USING (source)""".stripMargin,
   )
 }

@@ -2306,6 +2306,45 @@ object Dedup {
         expr("2 * match2 * 1000000 div (tot1 + tot2)").as("f_ppm"))
   }
 
+  /** q397: POSITIONAL DUPLICATION PROFILE (round-13) — WHERE in the
+    * document the cross-doc duplication lives, per source: q93
+    * measures how much of a doc is duplicated span mass; this bins
+    * every positional trigram into head/middle/tail thirds and
+    * reports each (source, third)'s duplicated fraction. The number
+    * a cleaning pipeline acts on directly: boilerplate concentrates
+    * at document EDGES (headers, navigation, footers, signatures —
+    * the CCNet/RefinedWeb motivation for line-level cleaning), so
+    * head/tail dup_ppm far above the middle says "strip edges before
+    * doc-level dedup", while a flat profile says the duplication is
+    * genuine content overlap only dedup can fix. Same machinery as
+    * q375 (positional span stream × distinct-doc frequency frame,
+    * shuffle-hash), one extra integer bucket column; output is
+    * |sources| × 3 rows. */
+  def positionalDupProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("tk"))
+    val spans = toks.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("source"),
+        expr("size(tk) - 2").cast("long").as("n_sp"),
+        posexplode(transform(
+          sequence(lit(0), size(col("tk")) - 3),
+          i => concat_ws(" ", element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2), element_at(col("tk"), i + 3)))))
+      .toDF("doc_id", "source", "n_sp", "pos", "sh")
+      .withColumn("bucket", expr("pos * 3 div n_sp"))
+    val own = docs
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("docs_with"))
+      .hint("shuffle_hash")
+    spans.join(own, "sh")
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_spans"))
+  }
+
   /** q384: EXACT-SUBSTRING DEDUP at the Lee et al. 2021 ExactSubstr
     * decision grain (round-13) — q375 decides span ownership gram by
     * gram; production ExactSubstr cuts MAXIMAL duplicated substrings

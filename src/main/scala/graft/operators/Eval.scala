@@ -717,6 +717,36 @@ object Eval {
           .cast("long").as("ari_micro"))
   }
 
+  /** q399: MONOTONICITY AUDIT of the length → quality relation
+    * (round-13) — q378's τ-b summarizes the association in ONE
+    * number; this shows WHERE it breaks: per length bin (the q378
+    * binning), the mean TTR-quality in integer ppm, the previous
+    * bin's mean, and an inversion flag — the isotonic-regression
+    * question ("is length a monotone proxy for quality, and if not,
+    * in which range does it invert?") answered at the grain a
+    * cut-threshold designer actually uses. All integer (per-bin
+    * means are sum div count); the only window runs over the
+    * BOUNDED ≤ 12-row bin frame. */
+  def monotoneAudit(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val binned = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .filter(col("s_tok") >= 1)
+      .select(least(expr("n_chars div 50"), lit(11L)).as("bin"),
+        expr("s_uniq * 1000000 div s_tok").as("q"))
+    val bins = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sq"))
+      .withColumn("mean_q_ppm", expr("sq div n_docs"))
+    bins.withColumn("prev_mean_q_ppm",
+        lag(col("mean_q_ppm"), 1).over(Window.orderBy(col("bin"))))
+      .select(col("bin"), col("n_docs"), col("mean_q_ppm"),
+        col("prev_mean_q_ppm"),
+        (col("prev_mean_q_ppm").isNotNull &&
+          col("mean_q_ppm") > col("prev_mean_q_ppm")).as("inverted"))
+  }
+
   /** q391: MANN–WHITNEY U between English and non-English quality
     * scores (round-13) — the nonparametric two-sample LOCATION test
     * completing the family (q162 χ² tests independence, q284 KS

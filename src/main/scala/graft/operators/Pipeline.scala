@@ -955,11 +955,18 @@ object Pipeline {
     * corpus agg to per-source supplies, then every step on the
     * BOUNDED source frame (windows over |sources| rows). */
   def unimaxAllocation(s: SparkSession, dir: String, epochCap: Long = 4L,
-      budgetShare: Long = 2L): DataFrame = {
-    val sup = Tables.documents(s, dir)
+      budgetShare: Long = 2L): DataFrame =
+    waterFill(Tables.documents(s, dir)
       .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
-      .groupBy(col("source")).agg(sum(col("t")).as("supply"))
-      .withColumn("cap", col("supply") * epochCap)
+      .groupBy(col("source")).agg(sum(col("t")).as("supply")),
+      epochCap, budgetShare)
+
+  /** The UniMax water-filling core over any (source, supply) frame —
+    * split out so the composed pipeline (q400) can allocate over the
+    * POST-CURATION supply. */
+  private[graft] def waterFill(supply: DataFrame, epochCap: Long,
+      budgetShare: Long): DataFrame = {
+    val sup = supply.withColumn("cap", col("supply") * epochCap)
     val tot = sup.agg(sum(col("supply")).as("n_total"),
       sum(col("cap")).as("cap_total"), count(lit(1)).as("m"))
     // budget = half the corpus tokens (budgetShare = 2)
@@ -993,6 +1000,42 @@ object Pipeline {
               .otherwise(0L)))
       .select(col("source"), col("supply"), col("cap"), col("alloc"),
         expr("alloc * 1000 div supply").as("epochs_milli"))
+  }
+
+  /** q400: CURATION PIPELINE v2 (round-13 flagship composition) —
+    * the round's new decision layers composed end to end the way a
+    * production corpus build runs them, with per-source accounting
+    * at every stage: (1) the q28 composite quality cut; (2) the q384
+    * ExactSubstr survival cut (docs keeping < 80% of their tokens
+    * after maximal-duplicated-span removal are dropped — the Lee et
+    * al. removal applied at doc grain); (3) UniMax water-filling
+    * (q393) over the SURVIVING token supply — allocation follows
+    * what curation left, not the raw counts (allocating on raw
+    * supply over-samples duplicated sources by exactly their cut
+    * mass). Output per source: docs in/kept, raw/kept tokens, the
+    * exact allocation and implied epochs. Every stage is a gated
+    * operator reused unchanged; order matters (quality before dedup
+    * is the q383 interaction measured here as one pipeline). */
+  def curateV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (qualityScore(col("text")) >= 0.7).as("qpass"))
+    val es = Dedup.exactSubstr(s, dir)
+      .select(col("doc_id"), col("n_toks"), col("n_cut_tokens"),
+        col("surviving_ppm"))
+    val staged = docs.join(es, "doc_id")
+      .withColumn("kept", col("qpass") && col("surviving_ppm") >= 800000L)
+    val acct = staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_toks")).as("tokens_raw"),
+        sum(when(col("kept"), col("n_toks") - col("n_cut_tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+    acct.join(
+      waterFill(acct.select(col("source"),
+        col("tokens_kept").as("supply")), 4L, 2L)
+        .select(col("source"), col("alloc"), col("epochs_milli")),
+      "source")
   }
 
   /** q395: SELECTOR AGREEMENT — DSIR (q333) vs Moore–Lewis (q362) on

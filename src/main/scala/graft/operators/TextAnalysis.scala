@@ -1487,4 +1487,31 @@ object TextAnalysis {
     pred.groupBy(col("lang"), col("cand").as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** q398: TERM BURSTINESS ranking (Church & Gale 1995, "Poisson
+    * mixtures": content words are BURSTY — once a document mentions
+    * one, it mentions it again; function words spread uniformly) —
+    * burstiness = cf/df, the mean occurrences per CONTAINING
+    * document, the signal keyword extraction and stopword discovery
+    * read that raw frequency (q32) and doc frequency (TF-IDF's df)
+    * both miss: "the" has huge cf AND huge df (ratio ≈ constant),
+    * while a topical term has modest cf concentrated in few docs
+    * (ratio spikes). Pure integer (burst_ppm = cf·10⁶ div df); the
+    * min-cf floor kills the unstable singleton tail; top-k rides
+    * [[Relational.twoPhaseRank]] — the bounded-histogram rank, so a
+    * 100 TB vocabulary is never globally sorted. */
+  def burstiness(s: SparkSession, dir: String, minCf: Long = 20L,
+      k: Int = 25): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val stats = tok.groupBy(col("w"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("cf") >= minCf)
+      .withColumn("burst_ppm", expr("cf * 1000000 div df"))
+    Relational.twoPhaseRank(stats, lit(1), negate(col("burst_ppm")),
+        Seq(negate(col("burst_ppm")), col("w")), "rank", "n_vocab")
+      .filter(col("rank") <= k)
+      .select(col("w"), col("cf"), col("df"), col("burst_ppm"),
+        col("rank"))
+  }
 }
