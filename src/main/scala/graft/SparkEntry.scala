@@ -428,6 +428,11 @@ object SparkEntry {
     "q398_burstiness"       -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "q399_monotone_audit"   -> ((s, d) => Eval.monotoneAudit(s, d)),
     "q400_curate_v2"        -> ((s, d) => Pipeline.curateV2(s, d)),
+    "q401_stream_nb_langid" -> ((s, d) => TextAnalysis.streamNbLangId(s, d)),
+    "q402_mase"             -> ((s, d) => Events.mase(s, d)),
+    "q403_brier_decomposition" ->
+      ((s, d) => Eval.brierDecomposition(s, d)),
+    "q404_chao1"            -> ((s, d) => TextAnalysis.chao1(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8747,5 +8752,111 @@ object SparkEntry {
         | CAST(alloc AS BIGINT) AS alloc,
         | CAST(alloc * 1000 // supply AS BIGINT) AS epochs_milli
         |FROM acct JOIN al USING (source)""".stripMargin,
+    // q401: classification is a pure per-doc function of the
+    // frozen model, so the streamed confusion equals batch q388 —
+    // the oracle is the q388 SQL verbatim.
+    "q401_stream_nb_langid" ->
+      """WITH tr AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cw AS (SELECT lang AS cand, w, CAST(count(*) AS BIGINT) AS cw
+        | FROM tr GROUP BY 1, 2),
+        |nl AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS nl
+        | FROM tr GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tr),
+        |pri AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS nd_l
+        | FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nd AS (SELECT CAST(sum(nd_l) AS BIGINT) AS nd FROM pri),
+        |lg AS (SELECT nl.cand, nl.nl, vv.v,
+        |  CAST(round(log10(CAST(nd_l AS DOUBLE) / CAST(nd AS DOUBLE))
+        |   * 1e6) AS BIGINT) AS prior_micro
+        | FROM nl JOIN pri USING (cand) CROSS JOIN vv CROSS JOIN nd),
+        |tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        | FROM documents WHERE doc_id % 2 = 1),
+        |sc AS (SELECT tok.doc_id, tok.lang, lg.cand,
+        |  CAST(sum(CAST(round(log10(
+        |     CAST(coalesce(cw.cw, 0) + 1 AS DOUBLE)
+        |      / CAST(lg.nl + lg.v AS DOUBLE)) * 1e6) AS BIGINT))
+        |   + max(lg.prior_micro) AS BIGINT) AS score_micro
+        | FROM tok CROSS JOIN lg
+        | LEFT JOIN cw ON cw.cand = lg.cand AND cw.w = tok.w
+        | GROUP BY 1, 2, 3),
+        |pr AS (SELECT doc_id, lang, cand FROM (SELECT doc_id, lang, cand,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, cand) AS rk FROM sc) t
+        | WHERE rk = 1)
+        |SELECT lang, cand AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pr GROUP BY 1, 2""".stripMargin,
+    // q402: dense hourly grid, integer |delta| sums, ppm ratio.
+    "q402_mase" ->
+      """WITH ev AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS h FROM events),
+        |cts AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+        | FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+        | FROM (SELECT DISTINCT event_type FROM ev), b),
+        |ser AS (SELECT grid.event_type, grid.h, coalesce(n, 0) AS n
+        | FROM grid LEFT JOIN cts USING (event_type, h)),
+        |d AS (SELECT event_type, n, lag(n, 1) OVER w AS lag1,
+        |  lag(n, 24) OVER w AS lag24 FROM ser
+        | WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        | CAST(sum(abs(n - lag1)) AS BIGINT) AS sae_naive,
+        | CAST(sum(abs(n - lag24)) AS BIGINT) AS sae_seasonal,
+        | CAST(sum(abs(n - lag24)) * 1000000
+        |   // nullif(sum(abs(n - lag1)), 0) AS BIGINT) AS mase_ppm
+        |FROM d WHERE lag24 IS NOT NULL GROUP BY 1""".stripMargin,
+    // q403: integer ppm bin forecasts/outcomes; squared-gap sums on
+    // HUGEINT (decimal-38 Spark-side); UNC exactly integer.
+    "q403_brier_decomposition" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS score,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |bins AS (SELECT score // 100000 AS b,
+        |  CAST(count(*) AS BIGINT) AS n_k,
+        |  CAST(sum(score) AS BIGINT) AS s_score,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos FROM sc GROUP BY 1),
+        |bb AS (SELECT b, n_k, n_pos, s_score // n_k AS pbar,
+        |  n_pos * 1000000 // n_k AS obar_k FROM bins),
+        |tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+        |  CAST(sum(n_pos) AS BIGINT) AS np FROM bb),
+        |t2 AS (SELECT n, np * 1000000 // n AS obar FROM tot),
+        |ag AS (SELECT max(n) AS n, max(obar) AS obar,
+        |  sum(CAST(n_k AS HUGEINT) * (pbar - obar_k) * (pbar - obar_k))
+        |   AS s_rel,
+        |  sum(CAST(n_k AS HUGEINT) * (obar_k - obar) * (obar_k - obar))
+        |   AS s_res
+        | FROM bb, t2)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | CAST(round(CAST(s_rel AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * 1e6)) AS BIGINT) AS rel_micro,
+        | CAST(round(CAST(s_res AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * 1e6)) AS BIGINT) AS res_micro,
+        | CAST(obar * (1000000 - obar) // 1000000 AS BIGINT) AS unc_micro,
+        | CAST(round(CAST(s_rel AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+        |  - round(CAST(s_res AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+        |  + obar * (1000000 - obar) // 1000000 AS BIGINT) AS brier_micro
+        |FROM ag""".stripMargin,
+    // q404: freq-of-frequencies per source; bias-corrected form at
+    // f2 = 0; pure integer milli.
+    "q404_chao1" ->
+      """WITH wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS v,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        | CAST(count(*) * 1000 + CASE
+        |  WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0 THEN
+        |   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000
+        |    // (2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+        |  ELSE sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) * 1000 // 2
+        | END AS BIGINT) AS chao1_milli
+        |FROM wc GROUP BY 1""".stripMargin,
   )
 }

@@ -747,6 +747,52 @@ object Eval {
           col("mean_q_ppm") > col("prev_mean_q_ppm")).as("inverted"))
   }
 
+  /** q403: BRIER SCORE DECOMPOSITION (Murphy 1973) — q175 plots the
+    * reliability curve; this reduces it to the three numbers that
+    * say WHY the score is what it is: REL (calibration error — how
+    * far bin forecasts sit from bin outcomes; the only fixable
+    * term), RES (resolution — how much the bins separate outcomes;
+    * the value the signal carries), UNC (outcome base-rate entropy —
+    * the floor no forecaster beats), with Brier = REL − RES + UNC.
+    * Same scored frame and decile bins as q175/q365; all inputs are
+    * exact integer ppm (bin forecast = sum div count, bin outcome =
+    * integer ppm rate); the weighted squared-gap sums ride
+    * DECIMAL(38,0) (n_k·ppm² ~ n·10¹² overflows BIGINT past ~9e6
+    * rows — the q365 lesson pre-applied); each final term is one
+    * fixed IEEE division micro-rounded, UNC exactly integer. */
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .filter(col("s_tok") >= 1)
+      .select(expr("s_uniq * 1000000 div s_tok").as("score"), col("pos"))
+    val bins = scored.groupBy(expr("score div 100000").as("b"))
+      .agg(count(lit(1)).as("n_k"), sum(col("score")).as("s_score"),
+        sum(col("pos")).as("n_pos"))
+      .withColumn("pbar", expr("s_score div n_k"))
+      .withColumn("obar_k", expr("n_pos * 1000000 div n_k"))
+    val tot = bins.agg(sum(col("n_k")).as("n"), sum(col("n_pos")).as("np"))
+      .withColumn("obar", expr("np * 1000000 div n"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("obar")).as("obar"),
+        sum(expr(
+          "CAST(n_k AS DECIMAL(38,0)) * (pbar - obar_k) * (pbar - obar_k)"))
+          .as("s_rel"),
+        sum(expr(
+          "CAST(n_k AS DECIMAL(38,0)) * (obar_k - obar) * (obar_k - obar)"))
+          .as("s_res"))
+      .select(col("n"),
+        round(col("s_rel").cast("double") /
+          (col("n").cast("double") * 1e6)).cast("long").as("rel_micro"),
+        round(col("s_res").cast("double") /
+          (col("n").cast("double") * 1e6)).cast("long").as("res_micro"),
+        expr("obar * (1000000 - obar) div 1000000").as("unc_micro"))
+      .withColumn("brier_micro",
+        col("rel_micro") - col("res_micro") + col("unc_micro"))
+  }
+
   /** q391: MANN–WHITNEY U between English and non-English quality
     * scores (round-13) — the nonparametric two-sample LOCATION test
     * completing the family (q162 χ² tests independence, q284 KS

@@ -1972,4 +1972,44 @@ object Events {
       .unionByName(hub.select(lit("hub").as("kind"),
         col("user_id").cast("string").as("id"), col("s").as("score_scaled")))
   }
+
+  /** q402: MASE — Mean Absolute Scaled Error of the SEASONAL-naive
+    * hourly forecast per event type (Hyndman & Koehler 2006, the
+    * scale-free forecast-accuracy standard) — the missing judgment
+    * layer on the forecasting family (q271 fits a trend, q229
+    * profiles seasonality, q189/q191 flag anomalies; none says
+    * whether seasonality actually PREDICTS): seasonal-naive (count
+    * 24 h ago) scored against the one-step naive (count 1 h ago) on
+    * the DENSE hourly series — mase_ppm < 1e6 means daily
+    * seasonality beats persistence and q191's seasonal baseline is
+    * the right anomaly reference; > 1e6 means it doesn't and q189's
+    * EWMA is. Zero-count hours materialize via the bounded hour grid
+    * (fixed time span × |types|); everything integer (counts, |Δ|
+    * sums, final ppm ratio); windows partition per type over the
+    * bounded series — never a corpus sort. */
+  def mase(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 3600000000").as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = grid.join(counts, Seq("event_type", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    series
+      .withColumn("lag1", lag(col("n"), 1).over(w))
+      .withColumn("lag24", lag(col("n"), 24).over(w))
+      .filter(col("lag24").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("n") - col("lag1"))).as("sae_naive"),
+        sum(abs(col("n") - col("lag24"))).as("sae_seasonal"))
+      .withColumn("mase_ppm",
+        expr("sae_seasonal * 1000000 div nullif(sae_naive, 0)"))
+  }
 }

@@ -1488,6 +1488,133 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q404: CHAO1 VOCABULARY-RICHNESS estimator per source (Chao
+    * 1984; the species-richness standard) — q196's Heaps fit says
+    * how vocabulary GROWS with sampling; Chao1 says where it's
+    * GOING: V + f₁²/(2f₂) from the frequency-of-frequencies (words
+    * seen once/twice carry all the information about the unseen
+    * mass — Good-Turing's insight as a point estimate), the number
+    * that decides whether a source's vocabulary is near-exhausted
+    * (crawl more adds little) or barely sampled. Bias-corrected
+    * f₁(f₁−1)/2 form when f₂ = 0. Two bounded aggs (word counts →
+    * freq-of-freq); pure integer milli. */
+  def chao1(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("source"))
+      .agg(count(lit(1)).as("v"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_milli", expr(
+        """v * 1000 + if(f2 > 0, f1 * f1 * 1000 div (2 * f2),
+          | f1 * (f1 - 1) * 1000 div 2)""".stripMargin))
+  }
+
+  // ---------------------------------------------------------------
+  // q401: the q388 NB classifier SERVED ON A STREAM — the frozen-
+  // model discipline of q385 applied to a trained text model: train
+  // once on the base half, freeze the model to pointer-versioned
+  // stores, classify each arriving micro-batch against the frozen
+  // model, and the accumulated predictions must equal the one-shot
+  // batch classification however the stream was batched or replayed
+  // (classification is a pure per-doc function of the frozen model,
+  // so the evidence store is batching/replay-invariant by
+  // construction — duplicates collapse at read).
+  // ---------------------------------------------------------------
+
+  /** Train the q388 NB model on `train` docs and publish it:
+    * "nblangs" = (cand, nl, v, prior_micro), "nbcw" = (cand, w, cw). */
+  private[graft] def publishNbModel(s: SparkSession, stateRoot: String,
+      train: DataFrame): Unit = {
+    val trainTok = train
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val cw = trainTok.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+      .select(col("lang").as("cand"), col("w"), col("cw"))
+    val nl = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val vocab = trainTok.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("nd_l"))
+    val ndAll = priors.agg(sum(col("nd_l")).as("nd"))
+    val langs = nl.join(priors, "lang").crossJoin(vocab).crossJoin(ndAll)
+      .withColumn("prior_micro",
+        round(log10(col("nd_l").cast("double") / col("nd").cast("double"))
+          * 1e6).cast("long"))
+      .select(col("lang").as("cand"), col("nl"), col("v"),
+        col("prior_micro"))
+    StreamingOps.publishStore(s, stateRoot, "nblangs", langs, Seq.empty)
+    StreamingOps.publishStore(s, stateRoot, "nbcw", cw, Seq.empty)
+  }
+
+  /** Classify one batch of (doc_id, lang, text) rows against the
+    * frozen model — the q388 scoring plan verbatim, model frames
+    * read from the stores (langs broadcast; cw hash-joined). */
+  private[graft] def nbClassifyBatch(s: SparkSession, stateRoot: String,
+      batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = broadcast(
+      StreamingOps.readStoreAll(s, stateRoot, "nblangs").get.distinct())
+    val cw = StreamingOps.readStoreAll(s, stateRoot, "nbcw").get.distinct()
+    batch
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      .crossJoin(langs)
+      .join(cw.hint("shuffle_hash"), Seq("cand", "w"), "left")
+      .withColumn("lp_micro",
+        round(log10((coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("nl") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg((sum(col("lp_micro")) + max(col("prior_micro")))
+        .as("score_micro"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("cand"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("predicted"))
+  }
+
+  /** q401: STREAMING NB language id under the oracle gate — the odd
+    * half arrives as a JSONL doc stream, each micro-batch classifies
+    * against the frozen even-half model and appends its predictions;
+    * the final confusion matrix must EQUAL batch q388's. */
+  def streamNbLangId(s: SparkSession, dir: String): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q401", dir)
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    publishNbModel(s, stateRoot, docs.filter(col("doc_id") % 2 === 0))
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .repartitionByRange(6, col("doc_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).json(inDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        nbClassifyBatch(s, stateRoot, df)
+          .write.mode("append")
+          .parquet(StreamingOps.storeDeltaDir(stateRoot, "preds"))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    StreamingOps.readStoreAll(s, s"$stateRoot", "preds").get.distinct()
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** q398: TERM BURSTINESS ranking (Church & Gale 1995, "Poisson
     * mixtures": content words are BURSTY — once a document mentions
     * one, it mentions it again; function words spread uniformly) —

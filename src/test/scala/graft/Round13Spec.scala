@@ -342,6 +342,82 @@ class Round13Spec extends SparkSpec {
         "uncapped sources must share the waterline")
   }
 
+  test("q401: restart mid-stream — streamed NB confusion equals batch q388") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q401_restart").toString
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.operators.TextAnalysis.publishNbModel(spark, stateRoot,
+      docs.filter(col("doc_id") % 2 === 0))
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.TextAnalysis
+            .nbClassifyBatch(spark, stateRoot, df)
+            .write.mode("append").parquet(
+              graft.operators.StreamingOps
+                .storeDeltaDir(stateRoot, "preds"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    delta.filter(col("doc_id") % 4 === 1)
+      .repartitionByRange(2, col("doc_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    drain()
+    delta.filter(col("doc_id") % 4 === 3)
+      .repartitionByRange(2, col("doc_id")).toJSON
+      .write.mode("append").text(inDir)
+    drain()
+    val got = canon(graft.operators.StreamingOps
+      .readStoreAll(spark, stateRoot, "preds").get.distinct()
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs")))
+    val want = canon(
+      graft.operators.TextAnalysis.naiveBayesLangId(spark, sfDir))
+    assert(got === want,
+      "restarted stream confusion differs from batch q388")
+  }
+
+  test("q402/q403/q404: round-13 eval invariants") {
+    val m = graft.operators.Events.mase(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    val hours = m.map(_.getAs[Long]("n_hours")).distinct
+    assert(hours.length === 1, "all types share the dense hour grid")
+    for (row <- m) {
+      assert(row.getAs[Long]("sae_naive") >= 0L)
+      assert(row.getAs[Long]("sae_seasonal") >= 0L)
+    }
+    val b = graft.operators.Eval.brierDecomposition(spark, sfDir)
+      .collect()(0)
+    assert(b.getAs[Long]("unc_micro") >= 0L &&
+      b.getAs[Long]("unc_micro") <= 250000L,
+      "o(1-o) peaks at 1/4")
+    assert(b.getAs[Long]("brier_micro") === b.getAs[Long]("rel_micro")
+      - b.getAs[Long]("res_micro") + b.getAs[Long]("unc_micro"),
+      "Murphy identity must hold by construction")
+    for (row <- graft.operators.TextAnalysis.chao1(spark, sfDir).collect())
+      assert(row.getAs[Long]("chao1_milli") >= row.getAs[Long]("v") * 1000L,
+        "Chao1 can only add unseen mass")
+  }
+
   test("q384 at k=3 reconciles with q375: cut occurrences = n_removed") {
     // same grain, same min-doc owner rule => the anchor-occurrence
     // accounting must agree doc by doc on the real corpus
