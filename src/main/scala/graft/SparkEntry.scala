@@ -433,6 +433,8 @@ object SparkEntry {
     "q403_brier_decomposition" ->
       ((s, d) => Eval.brierDecomposition(s, d)),
     "q404_chao1"            -> ((s, d) => TextAnalysis.chao1(s, d)),
+    "q405_good_turing"      -> ((s, d) => TextAnalysis.goodTuring(s, d)),
+    "q406_lognormal_fit"    -> ((s, d) => TextAnalysis.lognormalFit(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8858,5 +8860,43 @@ object SparkEntry {
         |    * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) * 1000 // 2
         | END AS BIGINT) AS chao1_milli
         |FROM wc GROUP BY 1""".stripMargin,
+    // q405: freq-of-frequencies grid r=1..10, r* integer milli,
+    // GT unseen mass in ppm.
+    "q405_good_turing" ->
+      """WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents) GROUP BY 1),
+        |fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+        | FROM wc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        | FROM wc),
+        |grid AS (SELECT unnest(range(1, 11)) AS r)
+        |SELECT grid.r, coalesce(f1.n_r, 0) AS n_r,
+        | coalesce(f2.n_r, 0) AS n_r_next,
+        | (grid.r + 1) * coalesce(f2.n_r, 0) * 1000
+        |   // nullif(coalesce(f1.n_r, 0), 0) AS r_star_milli,
+        | n1 * 1000000 // n_tokens AS p_unseen_ppm
+        |FROM grid LEFT JOIN fof f1 ON f1.r = grid.r
+        | LEFT JOIN fof f2 ON f2.r = grid.r + 1
+        | CROSS JOIN tot""".stripMargin,
+    // q406: per-doc ln micro-rounded to integer; sums order-free;
+    // sigma/median one fixed IEEE expression per source row.
+    "q406_lognormal_fit" ->
+      """WITH lens AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |l AS (SELECT source,
+        |  CAST(round(ln(n_toks) * 1e6) AS BIGINT) AS l FROM lens),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l) AS BIGINT) AS sl,
+        |  sum(CAST(l AS HUGEINT) * l) AS sl2 FROM l GROUP BY 1)
+        |SELECT source, n, sl // n AS mu_micro,
+        | CAST(round(sqrt((CAST(sl2 AS DOUBLE)
+        |   - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / CAST(n AS DOUBLE))) AS BIGINT) AS sigma_micro,
+        | CAST(round(exp(CAST(sl // n AS DOUBLE) / 1e6) * 1000)
+        |  AS BIGINT) AS median_toks_milli
+        |FROM ag""".stripMargin,
   )
 }

@@ -1615,6 +1615,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q405: GOOD–TURING frequency re-estimation table (Good 1953) —
+    * the smoothing ground truth under the whole LM ladder (q361's
+    * 0.4 backoff and q374/q387's 0.75 discount are fixed-constant
+    * approximations of exactly this): adjusted count r* = (r+1)·
+    * N_{r+1}/N_r from the frequency-of-frequencies, for the low
+    * counts (r ≤ 10) where smoothing matters, plus the Good–Turing
+    * unseen-mass estimate N₁/N — the number that says how much
+    * probability the corpus owes to words it has never seen. One
+    * vocab agg → one freq-of-freq agg (≤ corpus-independent rows
+    * after the r ≤ 10 cut); pure integer milli/ppm. */
+  def goodTuring(s: SparkSession, dir: String, maxR: Long = 10L)
+      : DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val fof = wc.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = wc.agg(sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"))
+    s.range(1, maxR + 1).select(col("id").as("r"))
+      .join(broadcast(fof), Seq("r"), "left")
+      .join(broadcast(fof.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r_next"))), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        expr("(r + 1) * coalesce(n_r_next, 0) * 1000" +
+          " div nullif(coalesce(n_r, 0), 0)").as("r_star_milli"),
+        expr("n1 * 1000000 div n_tokens").as("p_unseen_ppm"))
+  }
+
+  /** q406: LOG-NORMAL FIT of document length per source (round-13) —
+    * q373's Hill estimator prices the power-law TAIL; this fits the
+    * BODY (doc lengths are classically log-normal), giving each
+    * source its (μ, σ) of ln(tokens) and the implied median — the
+    * two-parameter summary that sizes shuffle partitions and
+    * predicts straggler mass where a mean alone misleads. House
+    * float discipline: per-doc ln micro-rounded to an INTEGER, so
+    * Σl and Σl² (decimal-38 — l² ~ 4·10¹⁴ would overflow BIGINT·n
+    * past ~2·10⁴ docs) aggregate order-free; μ is an integer div,
+    * σ and the median are each ONE fixed IEEE expression per
+    * bounded source row. */
+  def lognormalFit(s: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .filter(col("n_toks") >= 1)
+      .withColumn("l", round(log(col("n_toks")) * 1e6).cast("long"))
+    lens.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("l")).as("sl"),
+        sum(expr("CAST(l AS DECIMAL(38,0)) * l")).as("sl2"))
+      .select(col("source"), col("n"),
+        expr("sl div n").as("mu_micro"),
+        round(sqrt((col("sl2").cast("double") -
+          col("sl").cast("double") * col("sl").cast("double") /
+            col("n").cast("double")) / col("n").cast("double")))
+          .cast("long").as("sigma_micro"),
+        round(exp((expr("sl div n")).cast("double") / 1e6) * 1000)
+          .cast("long").as("median_toks_milli"))
+  }
+
   /** q398: TERM BURSTINESS ranking (Church & Gale 1995, "Poisson
     * mixtures": content words are BURSTY — once a document mentions
     * one, it mentions it again; function words spread uniformly) —
