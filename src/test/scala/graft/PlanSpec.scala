@@ -494,4 +494,50 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$name lost its bounded shape")
     }
   }
+
+  test("round-13 additions: gram equi-joins, bounded frames, no corpus products") {
+    // q384/q396/q397: the dedup decision grains stay gram-hash
+    // equi-joins — never a corpus product; q384's span merge windows
+    // only per doc (no global Sort outside the per-doc windows is
+    // pinned by the no-cartesian + hash-join shape here)
+    for ((name, df) <- Seq(
+        "q384" -> Dedup.exactSubstr(spark, sfDir),
+        "q396" -> Dedup.rougePairs(spark, sfDir),
+        "q397" -> Dedup.positionalDupProfile(spark, sfDir),
+        "q387" -> TextAnalysis.knTrigramLm(spark, sfDir),
+        "q402" -> Events.mase(spark, sfDir),
+        "q400" -> Pipeline.curateV2(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+    // q388: the lang fan-out is a BOUNDED broadcast (|langs| rows);
+    // the (w, lang) model join is never a product
+    val p388 = plan(TextAnalysis.naiveBayesLangId(spark, sfDir))
+    assert(!p388.contains("CartesianProduct"), "q388 has a cartesian product")
+    assert(p388.contains("BroadcastNestedLoopJoin") ||
+      p388.contains("BroadcastHashJoin"),
+      "q388 lost the bounded lang-list broadcast")
+    // q394: hard negatives block by IVF cell — equi-join, never
+    // vec x vec
+    val p394 = plan(Similarity.hardNegatives(spark, sfDir))
+    assert(!p394.contains("CartesianProduct"), "q394 has a cartesian product")
+    // q393: one corpus agg, then the bounded source frame — no
+    // product anywhere (the waterline crossJoin is a 1-row broadcast)
+    val p393 = plan(Pipeline.unimaxAllocation(spark, sfDir))
+    assert(!p393.contains("CartesianProduct"), "q393 has a cartesian product")
+    // q389/q390/q391/q399/q403: corpus collapses to bounded frames in
+    // one map-side agg before any window/join
+    for ((name, df) <- Seq(
+        "q389" -> Eval.rbo(spark, sfDir),
+        "q390" -> Eval.ariLabelCell(spark, sfDir),
+        "q391" -> Eval.mannWhitney(spark, sfDir),
+        "q399" -> Eval.monotoneAudit(spark, sfDir),
+        "q403" -> Eval.brierDecomposition(spark, sfDir),
+        "q404" -> TextAnalysis.chao1(spark, sfDir),
+        "q405" -> TextAnalysis.goodTuring(spark, sfDir),
+        "q406" -> TextAnalysis.lognormalFit(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
 }
