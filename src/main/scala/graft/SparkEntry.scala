@@ -435,6 +435,9 @@ object SparkEntry {
     "q404_chao1"            -> ((s, d) => TextAnalysis.chao1(s, d)),
     "q405_good_turing"      -> ((s, d) => TextAnalysis.goodTuring(s, d)),
     "q406_lognormal_fit"    -> ((s, d) => TextAnalysis.lognormalFit(s, d)),
+    "q407_longest_shared_span" ->
+      ((s, d) => Dedup.longestSharedSpan(s, d)),
+    "q408_youden_cut"       -> ((s, d) => Eval.youdenCut(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8898,5 +8901,60 @@ object SparkEntry {
         | CAST(round(exp(CAST(sl // n AS DOUBLE) / 1e6) * 1000)
         |  AS BIGINT) AS median_toks_milli
         |FROM ag""".stripMargin,
+    // q407: q22's candidates; shared-anchor dotplot cells; maximal
+    // diagonal runs by island detection per (pair, diagonal).
+    "q407_longest_shared_span" ->
+      s"""WITH $shinglesCte,
+        |$minhashSigCte,
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        | FROM bands a JOIN bands b ON a.band = b.band
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |tt0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |gp AS (SELECT doc_id, unnest(range(len(tk) - 2)) AS pos, tk
+        | FROM tt0 WHERE len(tk) >= 3),
+        |g2 AS (SELECT doc_id, pos,
+        |  tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] AS g
+        | FROM gp),
+        |cells AS (SELECT DISTINCT cand.d1, cand.d2, a.pos AS p1,
+        |  b.pos AS p2, a.pos - b.pos AS diag
+        | FROM cand JOIN g2 a ON a.doc_id = cand.d1
+        |  JOIN g2 b ON b.doc_id = cand.d2 AND b.g = a.g),
+        |isl AS (SELECT d1, d2, diag,
+        |  p1 - row_number() OVER (PARTITION BY d1, d2, diag
+        |    ORDER BY p1) AS grp FROM cells),
+        |runs AS (SELECT d1, d2, diag, grp,
+        |  CAST(count(*) AS BIGINT) AS n_anchors
+        | FROM isl GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2,
+        | CAST(max(n_anchors) + 2 AS BIGINT) AS max_shared_span_tokens
+        |FROM runs GROUP BY 1, 2""".stripMargin,
+    // q408: the q365 suffix-sum frame; J integer ppm; argmax with
+    // (J desc, threshold asc) ties on the bounded grid.
+    "q408_youden_cut" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS score,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |b AS (SELECT score // 100000 AS b, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(n_pos) AS BIGINT) AS p_total FROM b),
+        |th AS (SELECT unnest(range(11)) AS t),
+        |g AS (SELECT th.t,
+        |  CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_pred_pos,
+        |  CAST(coalesce(sum(b.n_pos), 0) AS BIGINT) AS tp
+        | FROM th LEFT JOIN b ON b.b >= th.t GROUP BY 1),
+        |f AS (SELECT g.t, tp, n_pred_pos - tp AS fp,
+        |  tp * 1000000 // nullif(p_total, 0)
+        |   - (n_pred_pos - tp) * 1000000 // nullif(n_total - p_total, 0)
+        |   AS j_ppm
+        | FROM g, tot)
+        |SELECT CAST(t * 100000 AS BIGINT) AS threshold_ppm, tp,
+        | CAST(fp AS BIGINT) AS fp, CAST(j_ppm AS BIGINT) AS j_ppm
+        |FROM (SELECT *, row_number() OVER (ORDER BY j_ppm DESC, t)
+        |   AS rk FROM f) z WHERE rk = 1""".stripMargin,
   )
 }

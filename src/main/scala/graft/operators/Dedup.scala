@@ -2345,6 +2345,62 @@ object Dedup {
       .withColumn("dup_ppm", expr("n_dup * 1000000 div n_spans"))
   }
 
+  /** q407: LONGEST SHARED TOKEN SPAN per candidate pair (round-13) —
+    * the dedup-forensics number q384 aggregates away: for each LSH
+    * candidate pair, the length of the longest CONTIGUOUS token run
+    * the two documents share — "is this a quoted paragraph or a
+    * wholesale copy", the evidence a removal appeal actually reads.
+    * Mechanism: positional k-gram anchors joined per pair on gram
+    * content; a shared run of length L contributes L−k+1 anchor
+    * matches along ONE DIAGONAL (pos₁ − pos₂ constant), so maximal
+    * runs are island detection over (pair, diagonal) — windows
+    * bounded by one document pair's anchors, never the corpus. A
+    * multi-occurrence gram contributes every (pos₁, pos₂) cell, each
+    * on its own diagonal — exactly the dotplot matrix, sparsified to
+    * matching anchors. Pairs sharing no k-gram report no row. */
+  def longestSharedSpan(s: SparkSession, dir: String, k: Int = 3)
+      : DataFrame =
+    longestSharedSpanOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), k)
+
+  /** Core of [[longestSharedSpan]] over any (doc_id, text) frame —
+    * split out so specs can pin constructed shared-block cases. */
+  def longestSharedSpanOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = minhashBandsOf(docs)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("tk"), i + j + 1)): _*))))
+      .toDF("doc_id", "pos", "g")
+    val cells = cands
+      .join(grams.toDF("d1", "p1", "g").hint("shuffle_hash"), Seq("d1"))
+      .join(grams.toDF("d2", "p2", "g").hint("shuffle_hash"),
+        Seq("d2", "g"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("diag"))
+      .distinct()
+    val isl = cells.withColumn("grp",
+      col("p1") - row_number().over(Window
+        .partitionBy(col("d1"), col("d2"), col("diag"))
+        .orderBy(col("p1"))))
+    isl.groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("n_anchors")).as("max_anchors"))
+      .select(col("d1"), col("d2"),
+        (col("max_anchors") + (k - 1)).cast("long")
+          .as("max_shared_span_tokens"))
+  }
+
   /** q384: EXACT-SUBSTRING DEDUP at the Lee et al. 2021 ExactSubstr
     * decision grain (round-13) — q375 decides span ownership gram by
     * gram; production ExactSubstr cuts MAXIMAL duplicated substrings

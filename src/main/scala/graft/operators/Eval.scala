@@ -747,6 +747,44 @@ object Eval {
           col("mean_q_ppm") > col("prev_mean_q_ppm")).as("inverted"))
   }
 
+  /** q408: YOUDEN-J OPTIMAL CUT (round-13) — the decision the whole
+    * q174/q190/q365 threshold family exists to make, made: argmax
+    * over the bounded threshold grid of J = TPR − FPR (Youden 1950 —
+    * the cut that maximizes informedness, invariant to class
+    * balance, which the accuracy-optimal cut is not). Same ≤11-bin
+    * suffix-sum frame as q365; J in exact integer ppm; the argmax is
+    * a bounded-frame rank with (J desc, threshold asc) ties — one
+    * row out, the chosen cut with its full confusion. */
+  def youdenCut(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .filter(col("s_tok") >= 1)
+      .select(expr("s_uniq * 1000000 div s_tok").as("score"), col("pos"))
+    val bins = scored.groupBy(expr("score div 100000").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val totals = bins.agg(sum(col("n")).as("n_total"),
+      sum(col("n_pos")).as("p_total"))
+    val grid = s.range(0, 11).select(col("id").as("t"))
+      .join(broadcast(bins), col("b") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_pred_pos"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(totals))
+      .withColumn("fp", col("n_pred_pos") - col("tp"))
+      .withColumn("j_ppm", expr(
+        """tp * 1000000 div nullif(p_total, 0)
+          | - fp * 1000000 div nullif(n_total - p_total, 0)""".stripMargin))
+    grid.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("j_ppm").desc, col("t"))))
+      .filter(col("rk") === 1)
+      .select((col("t") * 100000L).as("threshold_ppm"), col("tp"),
+        col("fp"), col("j_ppm"))
+  }
+
   /** q403: BRIER SCORE DECOMPOSITION (Murphy 1973) — q175 plots the
     * reliability curve; this reduces it to the three numbers that
     * say WHY the score is what it is: REL (calibration error — how

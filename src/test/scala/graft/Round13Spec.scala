@@ -418,6 +418,36 @@ class Round13Spec extends SparkSpec {
         "Chao1 can only add unseen mass")
   }
 
+  test("q407: a constructed shared block reports its exact token length") {
+    import spark.implicits._
+    // the 7-token block is the longest run; a separate repeated
+    // trigram ("x1 x2 x3") must NOT extend it (different diagonal)
+    val block = "b1 b2 b3 b4 b5 b6 b7"
+    val docs = Seq(
+      (1L, s"$block u1 u2 x1 x2 x3"),
+      (2L, s"v1 x1 x2 x3 v2 $block")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.longestSharedSpanOf(docs, 3).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("max_shared_span_tokens") === 7L,
+      "the shared 7-token block is the maximal diagonal run")
+  }
+
+  test("q408: the Youden cut maximizes J over the full sweep") {
+    val cut = graft.operators.Eval.youdenCut(spark, sfDir).collect()(0)
+    val sweep = graft.operators.Eval.mcc(spark, sfDir).collect()
+    // recompute J for every threshold from the q365 confusion and
+    // check the chosen one is the max (ties to the smaller threshold)
+    val js = sweep.map { r =>
+      val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+      val fn = r.getAs[Long]("fn"); val tn = r.getAs[Long]("tn")
+      (r.getAs[Long]("threshold_ppm"),
+        tp * 1000000L / (tp + fn) - fp * 1000000L / (fp + tn))
+    }
+    val best = js.minBy { case (t, j) => (-j, t) }
+    assert(cut.getAs[Long]("threshold_ppm") === best._1)
+    assert(cut.getAs[Long]("j_ppm") === best._2)
+  }
+
   test("q384 at k=3 reconciles with q375: cut occurrences = n_removed") {
     // same grain, same min-doc owner rule => the anchor-occurrence
     // accounting must agree doc by doc on the real corpus
