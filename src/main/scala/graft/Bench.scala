@@ -13,16 +13,31 @@ object Bench {
   private[graft] def cleanStaleTmp(): Unit = {
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val owned = Seq("graft-", "graft_", "spec_q")
+    // Age guard: only entries last modified BEFORE this JVM started
+    // are stale by construction. A concurrently running test/verify
+    // JVM keeps touching its live staging dirs, so its entries are
+    // younger than our start time and survive the sweep.
+    val jvmStartMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    def staleOwned(p: java.nio.file.Path): Boolean =
+      owned.exists(p.getFileName.toString.startsWith) && {
+        try java.nio.file.Files.getLastModifiedTime(p).toMillis < jvmStartMs
+        catch { case _: java.io.IOException => false }
+      }
     val entries = java.nio.file.Files.list(tmp)
     try entries.iterator().forEachRemaining { p =>
-      if (owned.exists(p.getFileName.toString.startsWith)) {
-        try java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach { f =>
-            try java.nio.file.Files.delete(f)
-            catch { case _: Throwable => () }
-          }
-        catch { case _: Throwable => () }
+      if (staleOwned(p)) {
+        val walk =
+          try java.nio.file.Files.walk(p)
+          catch { case _: java.io.IOException => null }
+        if (walk != null)
+          try walk
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach { f =>
+              try java.nio.file.Files.delete(f)
+              catch { case _: java.io.IOException => () }
+            }
+          finally walk.close()
       }
     } finally entries.close()
   }

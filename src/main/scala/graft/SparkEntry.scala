@@ -8398,23 +8398,28 @@ object SparkEntry {
         |  FROM ac) t WHERE rk = 1),
         |cont AS (SELECT label, cell, CAST(count(*) AS BIGINT) AS nij
         | FROM asg GROUP BY 1, 2),
-        |x1 AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_ij,
+        |x1 AS (SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1)) // 2
+        |   AS DECIMAL(38,0)) AS s_ij,
         |  CAST(count(*) AS BIGINT) AS n_cells_used FROM cont),
-        |x2 AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a,
+        |x2 AS (SELECT CAST(sum(CAST(ai AS HUGEINT) * (ai - 1)) // 2
+        |   AS DECIMAL(38,0)) AS s_a,
         |  CAST(count(*) AS BIGINT) AS n_labels,
         |  CAST(sum(ai) AS BIGINT) AS n FROM (
         |   SELECT label, CAST(sum(nij) AS BIGINT) AS ai
         |   FROM cont GROUP BY 1)),
-        |x3 AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b,
+        |x3 AS (SELECT CAST(sum(CAST(bj AS HUGEINT) * (bj - 1)) // 2
+        |   AS DECIMAL(38,0)) AS s_b,
         |  CAST(count(*) AS BIGINT) AS n_cells FROM (
         |   SELECT cell, CAST(sum(nij) AS BIGINT) AS bj
         |   FROM cont GROUP BY 1))
         |SELECT n, n_labels, n_cells, s_ij, s_a, s_b,
         | CAST(round((CAST(s_ij AS DOUBLE)
-        |    - CAST(s_a AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)
+        |    - CAST(s_a AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE)
         |      * CAST(s_b AS DOUBLE))
         |  / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
-        |    - CAST(s_a AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)
+        |    - CAST(s_a AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE)
         |      * CAST(s_b AS DOUBLE)) * 1e6) AS BIGINT) AS ari_micro
         |FROM x1, x2, x3""".stripMargin,
     // q391: 2U integer from the bounded cumulative bin frame; tie
@@ -8434,11 +8439,12 @@ object SparkEntry {
         |  AS cum2 FROM bins),
         |agg AS (SELECT CAST(sum(n1i) AS BIGINT) AS n1,
         |  CAST(sum(n2i) AS BIGINT) AS n2,
-        |  CAST(sum(n1i * (2 * cum2 + n2i)) AS BIGINT) AS u2x,
+        |  CAST(sum(CAST(n1i AS HUGEINT) * (2 * cum2 + n2i))
+        |   AS DECIMAL(38,0)) AS u2x,
         |  sum(CAST(ti AS HUGEINT) * ti * ti - ti) AS tie
         | FROM cum)
         |SELECT n1, n2, u2x,
-        | CAST(round(CAST(u2x - n1 * n2 AS DOUBLE)
+        | CAST(round(CAST(u2x - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
         |  / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
         |    * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie AS DOUBLE)
         |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
@@ -8473,7 +8479,8 @@ object SparkEntry {
       """WITH sup AS (SELECT source,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
         | FROM documents GROUP BY 1),
-        |c AS (SELECT source, supply, supply * 4 AS cap FROM sup),
+        |c AS (SELECT source, supply, supply * 4 AS cap FROM sup
+        | WHERE supply > 0),
         |tot AS (SELECT CAST(sum(supply) AS BIGINT) AS n_total,
         |  CAST(count(*) AS BIGINT) AS m FROM c),
         |rkd AS (SELECT c.source, c.supply, c.cap, tot.m,
@@ -8498,8 +8505,13 @@ object SparkEntry {
         | FROM rkd, wl)
         |SELECT source, supply, CAST(cap AS BIGINT) AS cap,
         | CAST(alloc AS BIGINT) AS alloc,
-        | CAST(alloc * 1000 // supply AS BIGINT) AS epochs_milli
-        |FROM al""".stripMargin,
+        | CAST(alloc * 1000 // nullif(supply, 0) AS BIGINT)
+        |  AS epochs_milli
+        |FROM al
+        |UNION ALL
+        |SELECT source, supply, CAST(supply * 4 AS BIGINT) AS cap,
+        | CAST(0 AS BIGINT) AS alloc, CAST(NULL AS BIGINT) AS epochs_milli
+        |FROM sup WHERE supply <= 0""".stripMargin,
     // q394: the q390 assignment chain carrying (v, n2); hard
     // negative = within-cell cross-label argmax cosine, ties
     // (cosine desc, neg_id asc).
@@ -8730,7 +8742,7 @@ object SparkEntry {
         |   AS BIGINT) AS tokens_kept
         | FROM st2 GROUP BY 1),
         |c AS (SELECT source, tokens_kept AS supply,
-        |  tokens_kept * 4 AS cap FROM acct),
+        |  tokens_kept * 4 AS cap FROM acct WHERE tokens_kept > 0),
         |tot AS (SELECT CAST(sum(supply) AS BIGINT) AS n_total,
         |  CAST(count(*) AS BIGINT) AS m FROM c),
         |rkd AS (SELECT c.source, c.supply, c.cap, tot.m,
@@ -8752,11 +8764,16 @@ object SparkEntry {
         |  CASE WHEN rk < k_row THEN cap
         |   ELSE w + CASE WHEN rk - k_row + 1 <= rem THEN 1 ELSE 0 END
         |  END AS alloc
-        | FROM rkd, wl)
+        | FROM rkd, wl),
+        |al2 AS (SELECT source, supply, alloc FROM al
+        | UNION ALL
+        | SELECT source, tokens_kept AS supply, CAST(0 AS BIGINT)
+        | FROM acct WHERE tokens_kept <= 0)
         |SELECT acct.source, n_docs, n_kept, tokens_raw, tokens_kept,
         | CAST(alloc AS BIGINT) AS alloc,
-        | CAST(alloc * 1000 // supply AS BIGINT) AS epochs_milli
-        |FROM acct JOIN al USING (source)""".stripMargin,
+        | CAST(alloc * 1000 // nullif(supply, 0) AS BIGINT)
+        |  AS epochs_milli
+        |FROM acct JOIN al2 USING (source)""".stripMargin,
     // q401: classification is a pure per-doc function of the
     // frozen model, so the streamed confusion equals batch q388 —
     // the oracle is the q388 SQL verbatim.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -695,17 +695,26 @@ object Eval {
     val cont = asg.select(col("vec_id"), col("cell"))
       .join(embQ.select(col("vec_id"), col("label")), "vec_id")
       .groupBy(col("label"), col("cell")).agg(count(lit(1)).as("nij"))
+    // Pair counts ride DECIMAL(38,0): one label/cell holding ≥ ~4.3e9
+    // vectors wraps x*(x-1) silently on BIGINT (Spark wraps, DuckDB
+    // raises) — the q365/q391 widening applied here too. x*(x-1) is
+    // always even, so the /2 is exact; Spark's `div` would collapse
+    // back to LONG, hence the decimal divide + cast.
+    def pairs2(c: Column): Column =
+      (sum(c.cast("decimal(38,0)") * (c - 1)) / 2).cast("decimal(38,0)")
     val sij = cont.agg(
-      sum(expr("nij * (nij - 1) div 2")).as("s_ij"),
+      pairs2(col("nij")).as("s_ij"),
       count(lit(1)).as("n_cells_used"))
     val sa = cont.groupBy(col("label")).agg(sum(col("nij")).as("ai"))
-      .agg(sum(expr("ai * (ai - 1) div 2")).as("s_a"),
+      .agg(pairs2(col("ai")).as("s_a"),
         count(lit(1)).as("n_labels"), sum(col("ai")).as("n"))
     val sb = cont.groupBy(col("cell")).agg(sum(col("nij")).as("bj"))
-      .agg(sum(expr("bj * (bj - 1) div 2")).as("s_b"),
+      .agg(pairs2(col("bj")).as("s_b"),
         count(lit(1)).as("n_cells"))
     sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
-      .withColumn("c_n2", expr("n * (n - 1) div 2"))
+      .withColumn("c_n2",
+        (col("n").cast("decimal(38,0)") * (col("n") - 1) / 2)
+          .cast("decimal(38,0)"))
       .select(col("n"), col("n_labels"), col("n_cells"),
         col("s_ij"), col("s_a"), col("s_b"),
         round((col("s_ij").cast("double") -
@@ -866,11 +875,17 @@ object Eval {
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     cum.agg(
         sum(col("n1i")).as("n1"), sum(col("n2i")).as("n2"),
-        sum(expr("n1i * (2 * cum2 + n2i)")).as("u2x"),
+        // u2x ≈ 2·n₁·n₂ wraps BIGINT at ~4.3e9 total rows (Spark
+        // wraps silently) — DECIMAL(38,0) exactly like the tie term,
+        // holding to ~10¹⁹ rows; same widening on the n₁·n₂ product
+        // in the z numerator below.
+        sum(expr("CAST(n1i AS DECIMAL(38,0)) * (2 * cum2 + n2i)"))
+          .as("u2x"),
         sum(expr("CAST(ti AS DECIMAL(38,0)) * ti * ti - ti")).as("tie"))
       .withColumn("n", col("n1") + col("n2"))
       .select(col("n1"), col("n2"), col("u2x"),
-        round((col("u2x") - col("n1") * col("n2")).cast("double") /
+        round((col("u2x") -
+            col("n1").cast("decimal(38,0)") * col("n2")).cast("double") /
           (lit(2.0) * sqrt(
             col("n1").cast("double") * col("n2").cast("double") / 12.0 *
               ((col("n") + 1).cast("double") - col("tie").cast("double") /

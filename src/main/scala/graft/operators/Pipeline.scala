@@ -966,7 +966,20 @@ object Pipeline {
     * POST-CURATION supply. */
   private[graft] def waterFill(supply: DataFrame, epochCap: Long,
       budgetShare: Long): DataFrame = {
-    val sup = supply.withColumn("cap", col("supply") * epochCap)
+    // Zero-supply sources (possible in q400 when quality + ExactSubstr
+    // cuts keep nothing of a source) are excluded from the
+    // water-filling itself: a zero-cap row can never host the
+    // waterline (w < cap is unsatisfiable at cap = 0) and, ranked
+    // last among ties, would leave the waterline condition
+    // unsatisfiable. They re-enter the output with alloc = 0 and NULL
+    // epochs (0 tokens allocated of 0 supplied is 0/0 — NULL, the
+    // nullif house convention, on both engines).
+    val zeroSup = supply.filter(col("supply") <= 0L)
+      .select(col("source"), col("supply"),
+        (col("supply") * epochCap).as("cap"), lit(0L).as("alloc"),
+        lit(null).cast("long").as("epochs_milli"))
+    val sup = supply.filter(col("supply") > 0L)
+      .withColumn("cap", col("supply") * epochCap)
     val tot = sup.agg(sum(col("supply")).as("n_total"),
       sum(col("cap")).as("cap_total"), count(lit(1)).as("m"))
     // budget = half the corpus tokens (budgetShare = 2)
@@ -999,7 +1012,8 @@ object Pipeline {
             when(col("rk") - col("k_row") + 1 <= col("rem"), 1L)
               .otherwise(0L)))
       .select(col("source"), col("supply"), col("cap"), col("alloc"),
-        expr("alloc * 1000 div supply").as("epochs_milli"))
+        expr("alloc * 1000 div nullif(supply, 0)").as("epochs_milli"))
+      .unionByName(zeroSup)
   }
 
   /** q400: CURATION PIPELINE v2 (round-13 flagship composition) —

@@ -155,14 +155,22 @@ class Round13Spec extends SparkSpec {
       maxDev = math.max(maxDev, math.abs(row.getAs[Long]("mean_dec_milli")
         - row.getAs[Long]("mean_formula_milli")))
     }
-    // the gate tolerance is 8000 milli (8 gray levels); the observed
-    // JDK-decoder deviation (3694 milli at sf0.001 — the tiny 4-16px
-    // formula rasters are JPEG's worst case, whole images inside one
-    // padded DCT block) is pinned tighter here so a silent codec
-    // regression surfaces in the spec before it eats the gate's
-    // headroom
-    assert(maxDev <= 5000L,
-      s"JPEG mean-gray deviation $maxDev milli exceeds the pinned bound")
+    // HARD assertion = the shipped gate tolerance of 8000 milli
+    // (8 gray levels). The tighter 5000 bound below is an
+    // ENVIRONMENT PIN of THIS JDK's codec (observed 3694 milli at
+    // sf0.001 on JDK 17 ImageIO — the tiny 4-16px formula rasters
+    // are JPEG's worst case, whole images inside one padded DCT
+    // block): a JDK upgrade that changes the encoder's quantization
+    // tables surfaces as an info() drift note, not a suite failure —
+    // only a breach of the product gate fails.
+    assert(maxDev <= 8000L,
+      s"JPEG mean-gray deviation $maxDev milli breaches the GATE bound")
+    if (maxDev > 5000L)
+      info(s"ENV-PIN drift: JPEG mean-gray deviation $maxDev milli " +
+        "exceeds the JDK-17 pin of 5000 (gate bound 8000 still holds " +
+        "— likely a JDK codec change, not a code regression)")
+    else info(s"JPEG mean-gray deviation observed: $maxDev milli " +
+      "(env pin 5000, gate 8000)")
   }
 
   // ---- q364/q369: mid-stream restart on the checkpoint (the
@@ -317,10 +325,16 @@ class Round13Spec extends SparkSpec {
       .collect()
     assert(r.nonEmpty)
     val maxHam = r.map(_.getAs[Long]("hamming")).max
-    // gate bound is 24; the observed PNG<->JPEG distance of the
-    // bucketed fingerprint is pinned here (measured 18 at sf0.001)
-    assert(maxHam <= 20L,
-      s"bucketed-dHash cross-codec hamming $maxHam exceeds the pinned bound")
+    // HARD assertion = the shipped gate bound of 24. The tighter 20
+    // is an ENVIRONMENT PIN of this JDK's JPEG codec (measured 18 at
+    // sf0.001 on JDK 17): drift past the pin is an info() note so a
+    // JDK bump is distinguishable from a code regression.
+    assert(maxHam <= 24L,
+      s"bucketed-dHash cross-codec hamming $maxHam breaches the GATE bound")
+    if (maxHam > 20L)
+      info(s"ENV-PIN drift: cross-codec hamming $maxHam exceeds the " +
+        "JDK-17 pin of 20 (gate bound 24 still holds)")
+    else info(s"cross-codec hamming observed: $maxHam (env pin 20, gate 24)")
   }
 
   test("q393: water-filling invariants — exact budget, caps respected, fair spill") {

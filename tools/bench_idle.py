@@ -76,7 +76,11 @@ def sweep(rnd, out, n, sf_dir):
         if load1 > 2.0:
             print(f"WARN: loadavg {load1:.1f} > 2 before run {i} — "
                   "box is not idle; timings will drift", file=sys.stderr)
-        path = f"/tmp/bench_idle_r{rnd}_run{i}.json"
+        # Per-run raw json lives NEXT TO the aggregate (same dir as
+        # out), so "kept for drift forensics" survives a reboot and
+        # ships with the committed artifact.
+        out_dir = os.path.dirname(os.path.abspath(out)) or "."
+        path = os.path.join(out_dir, f"bench_idle_r{rnd}_run{i}.json")
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
         t0 = time.time()
