@@ -359,6 +359,60 @@ object ScaleProbe {
       docs.unpersist()
     }
 
+    // ---- q407 dotplot fan-out (capped vs uncapped) ----
+    // A constructed boilerplate-heavy pair: two docs, each k×256
+    // tokens long, where every 16-token block OPENS with the same
+    // 4-token boilerplate phrase (so the two boilerplate 3-grams
+    // recur k×16 times per doc — the shape LSH candidates actually
+    // have). Cells per pair are
+    // Σ_g p_g·q_g: uncapped that term grows QUADRATICALLY in doc
+    // length for the boilerplate grams; with the per-doc per-gram
+    // occurrence cap (maxOcc = 8, the q407 knob) it is bounded by
+    // maxOcc·min(|d1|,|d2|) — the probe prints both counts and the
+    // capped runtime so the knob's trade is a number, not a claim.
+    if (probeSel.contains("dotplot")) {
+      import graft.operators.Dedup
+      for (k <- Seq(1, 2, 4, 8)) {
+        val len = k * 256
+        val mk = (d: Long) => (0 until len).map { i =>
+          if (i % 16 < 4) s"b${i % 16}" else s"w${d}_$i"
+        }.mkString(" ")
+        val pair = spark.createDataFrame(Seq(
+          (1L, mk(1L)), (2L, mk(2L)))).toDF("doc_id", "text")
+        def cells(maxOcc: Int): Long = {
+          // the pre-island cell count of q407's plan (diag cells
+          // after the cap) — replicated inline so the probe prices
+          // the fan-out itself, not the downstream window
+          import org.apache.spark.sql.expressions.Window
+          val grams = pair
+            .select(col("doc_id"),
+              posexplode(expr("transform(sequence(0, " +
+                "size(split(text, ' ')) - 3), i -> concat_ws(' ', " +
+                "element_at(split(text, ' '), i + 1), " +
+                "element_at(split(text, ' '), i + 2), " +
+                "element_at(split(text, ' '), i + 3)))")))
+            .toDF("doc_id", "pos", "g")
+            .withColumn("occ", row_number().over(Window
+              .partitionBy(col("doc_id"), col("g"))
+              .orderBy(col("pos"))))
+            .filter(col("occ") <= maxOcc).drop("occ")
+          grams.filter(col("doc_id") === 1L).as("a")
+            .join(grams.filter(col("doc_id") === 2L).as("b"),
+              col("a.g") === col("b.g"))
+            .count()
+        }
+        val uncapped = cells(Int.MaxValue)
+        val capped = cells(8)
+        if (k == 1) time(Dedup.longestSharedSpanOf(pair, 3))
+        System.gc()
+        val t0 = System.nanoTime()
+        Dedup.longestSharedSpanOf(pair, 3)
+          .write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"k":$k,"doc_tokens":$len,"cells_uncapped":$uncapped,"cells_capped":$capped,"span_capped_sec":$t%.2f}""")
+      }
+    }
+
     if (probeSel.contains("streamdedup")) {
       import graft.operators.Dedup
       for (k <- Seq(1, 2, 4, 8)) {

@@ -8918,8 +8918,10 @@ object SparkEntry {
         | CAST(round(exp(CAST(sl // n AS DOUBLE) / 1e6) * 1000)
         |  AS BIGINT) AS median_toks_milli
         |FROM ag""".stripMargin,
-    // q407: q22's candidates; shared-anchor dotplot cells; maximal
-    // diagonal runs by island detection per (pair, diagonal).
+    // q407: q22's candidates; shared-anchor dotplot cells under the
+    // per-doc per-gram occurrence cap (maxOcc = 8, the fan-out
+    // knob); maximal diagonal runs by island detection per
+    // (pair, diagonal).
     "q407_longest_shared_span" ->
       s"""WITH $shinglesCte,
         |$minhashSigCte,
@@ -8930,9 +8932,13 @@ object SparkEntry {
         |  FROM documents),
         |gp AS (SELECT doc_id, unnest(range(len(tk) - 2)) AS pos, tk
         | FROM tt0 WHERE len(tk) >= 3),
-        |g2 AS (SELECT doc_id, pos,
+        |g2a AS (SELECT doc_id, pos,
         |  tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] AS g
         | FROM gp),
+        |g2 AS (SELECT doc_id, pos, g FROM (
+        |  SELECT doc_id, pos, g, row_number() OVER (
+        |    PARTITION BY doc_id, g ORDER BY pos) AS occ
+        |  FROM g2a) z WHERE occ <= 8),
         |cells AS (SELECT DISTINCT cand.d1, cand.d2, a.pos AS p1,
         |  b.pos AS p2, a.pos - b.pos AS diag
         | FROM cand JOIN g2 a ON a.doc_id = cand.d1

@@ -2357,15 +2357,32 @@ object Dedup {
     * bounded by one document pair's anchors, never the corpus. A
     * multi-occurrence gram contributes every (pos₁, pos₂) cell, each
     * on its own diagonal — exactly the dotplot matrix, sparsified to
-    * matching anchors. Pairs sharing no k-gram report no row. */
-  def longestSharedSpan(s: SparkSession, dir: String, k: Int = 3)
-      : DataFrame =
+    * matching anchors. Pairs sharing no k-gram report no row.
+    *
+    * FAN-OUT CAP (`maxOcc`, the winnowing-style knob): a gram
+    * occurring p times in d1 and q times in d2 emits p·q dotplot
+    * cells, and boilerplate-heavy near-dup pairs — exactly what LSH
+    * surfaces — go quadratic per pair. Each document therefore
+    * contributes only its FIRST `maxOcc` positions of any gram, so
+    * cells per gram per pair are ≤ maxOcc² and total cells per pair
+    * are ≤ maxOcc·min(|d1|,|d2|) anchors — LINEAR in document
+    * length. The reported span is exact whenever no anchor gram of
+    * the true longest run repeats more than maxOcc times within a
+    * document (k-grams that frequent inside ONE doc are boilerplate
+    * by definition); past the cap a run can only be UNDER-reported,
+    * never invented. The `dotplot` ScaleProbe section prices
+    * cells-per-pair capped vs uncapped on a constructed
+    * boilerplate-heavy pair. */
+  def longestSharedSpan(s: SparkSession, dir: String, k: Int = 3,
+      maxOcc: Int = 8): DataFrame =
     longestSharedSpanOf(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")), k)
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), k,
+      maxOcc)
 
   /** Core of [[longestSharedSpan]] over any (doc_id, text) frame —
     * split out so specs can pin constructed shared-block cases. */
-  def longestSharedSpanOf(docs: DataFrame, k: Int): DataFrame = {
+  def longestSharedSpanOf(docs: DataFrame, k: Int, maxOcc: Int = 8)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bands = minhashBandsOf(docs)
     val cands = bands.as("a").join(bands.as("b"),
@@ -2381,6 +2398,12 @@ object Dedup {
         i => concat_ws(" ",
           (0 until k).map(j => element_at(col("tk"), i + j + 1)): _*))))
       .toDF("doc_id", "pos", "g")
+      // the fan-out cap: keep each doc's first maxOcc positions of a
+      // gram (window keyed by (doc, gram) — bounded per partition by
+      // one document's occurrences of one gram)
+      .withColumn("occ", row_number().over(Window
+        .partitionBy(col("doc_id"), col("g")).orderBy(col("pos"))))
+      .filter(col("occ") <= maxOcc).drop("occ")
     val cells = cands
       .join(grams.toDF("d1", "p1", "g").hint("shuffle_hash"), Seq("d1"))
       .join(grams.toDF("d2", "p2", "g").hint("shuffle_hash"),

@@ -1327,12 +1327,14 @@ object Similarity {
       base: DataFrame, dim: Int = 64): Unit = {
     val centN = centroidsOf(base)
     StreamingOps.publishStore(s, stateRoot, "centroids", centN, Seq.empty)
+    // postings live PARTITIONED BY CELL (base and delta alike) so
+    // compaction can scope its rewrite to the cells a delta touched
     StreamingOps.publishStore(s, stateRoot, "postings",
       assignTo(base.select(col("vec_id"), col("v"), col("n2")),
           centN, 0, dim)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .withColumn("is_base", lit(true)),
-      Seq.empty)
+      Seq("cell"))
   }
 
   /** ONE micro-batch of the streaming IVF protocol (factored out of
@@ -1344,11 +1346,17 @@ object Similarity {
     * fresh pointer-versioned base (distinct-at-compaction collapses
     * checkpoint-replay duplicates). Per-batch cost: |batch| × k
     * centroid cosines with the centroids BROADCAST (k rows), plus
-    * one bounded append — the index is never rescanned. */
+    * one bounded append — the index is never rescanned. Compaction
+    * is SCOPED (round-14 hardening): both stores ride partitioned by
+    * cell, so folding the delta rewrites only the cell partitions
+    * the delta touched — every untouched cell partition enters the
+    * new pointer version as hard links to the previous base's files
+    * (metadata-only). Compaction IO is O(delta · fanout), never
+    * O(index). */
   private[graft] def ivfIndexBatch(s: SparkSession, stateRoot: String,
       batch: DataFrame, batchId: Long, compactEvery: Int = 3,
       dim: Int = 64): Unit = {
-    import StreamingOps.{readStoreAll, storeDeltaDir, publishStore}
+    import StreamingOps.{readStoreAll, storeDeltaDir}
     val b = batch.select(col("vec_id"), col("v"))
       .withColumn("n2",
         org.apache.spark.sql.graft.LongArrayDot.column(col("v"), col("v")))
@@ -1358,11 +1366,30 @@ object Similarity {
     assignTo(b, cent, 0, dim)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .withColumn("is_base", lit(false))
-      .write.mode("append").parquet(storeDeltaDir(stateRoot, "postings"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(storeDeltaDir(stateRoot, "postings"))
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      readStoreAll(s, stateRoot, "postings").foreach(r => publishStore(
-        s, stateRoot, "postings", r.distinct().localCheckpoint(),
-        Seq.empty))
+      compactIvfScoped(s, stateRoot)
+  }
+
+  /** Fold the postings delta into the base, rewriting ONLY the cell
+    * partitions the delta touched (the touched-cell list is bounded
+    * by the centroid count — one bounded collect). No delta → no-op. */
+  private[graft] def compactIvfScoped(s: SparkSession,
+      stateRoot: String): Unit = {
+    import StreamingOps.{hasParquet, readStoreAll, storeDeltaDir}
+    val deltaDir = storeDeltaDir(stateRoot, "postings")
+    if (!hasParquet(java.nio.file.Paths.get(deltaDir))) return
+    val touched = s.read.parquet(deltaDir)
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val compacted = readStoreAll(s, stateRoot, "postings").get
+      .filter(col("cell").cast("long").isin(touched.toSeq: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("is_base"))
+      .distinct()
+    StreamingOps.publishStoreScoped(s, stateRoot, "postings",
+      compacted, "cell", touched.map(_.toString))
   }
 
   /** Stage + drain the q385 stream: publish the base (even vec_id)
@@ -1408,7 +1435,8 @@ object Similarity {
     runStreamIvf(s, dir, stage)
     StreamingOps.readStoreAll(s, s"$stage/state", "postings").get
       .filter(!col("is_base"))
-      .select(col("vec_id"), col("cell")).distinct()
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .distinct()
   }
 
   /** q394: HARD-NEGATIVE MINING via IVF cells (round-13) — the

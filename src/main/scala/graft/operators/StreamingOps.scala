@@ -1643,13 +1643,26 @@ object StreamingOps {
     * read-idempotent stores collapse. */
   private[graft] def publishStore(s: SparkSession, root: String, name: String,
       df: DataFrame, partitionCols: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val version = storeBaseDir(root, name)
-      .map(_.split(s"${name}_v").last.toLong + 1).getOrElse(0L)
+    import java.nio.file.Paths
+    val version = nextStoreVersion(root, name)
     val newDir = Paths.get(root, s"${name}_v$version")
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(newDir.toString)
+    finishStorePublish(root, name, version)
+  }
+
+  private def nextStoreVersion(root: String, name: String): Long =
+    storeBaseDir(root, name)
+      .map(_.split(s"${name}_v").last.toLong + 1).getOrElse(0L)
+
+  /** The publish tail shared by the full and scoped publishers: swap
+    * the pointer ATOMIC_MOVE onto the freshly written version, GC
+    * bases beyond a 1-version reader grace, clear the delta. */
+  private def finishStorePublish(root: String, name: String,
+      version: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val newDir = Paths.get(root, s"${name}_v$version")
     val tmp = Paths.get(root, s"$name.current.tmp$version")
     Files.writeString(tmp, s"${name}_v$version")
     Files.move(tmp, storePointer(root, name), StandardCopyOption.ATOMIC_MOVE,
@@ -1667,6 +1680,52 @@ object StreamingOps {
     } finally listing.close()
     stale.foreach(rmTree)
     rmTree(Paths.get(storeDeltaDir(root, name)))
+  }
+
+  /** SCOPED compaction publisher (q385 hardening): fold ONLY the
+    * `touched` partitions into the new base version — `compacted`
+    * must hold exactly the new contents of those partitions — while
+    * every OTHER partition of the previous base enters the new
+    * version as HARD LINKS to its existing parquet files
+    * (metadata-only, no data IO; deleting the old version later only
+    * drops link counts). Compaction IO is O(touched partitions) =
+    * O(delta · fanout), never O(index). Crash windows match
+    * [[publishStore]]: before the pointer swap the old base stays
+    * live and a retry's mode=overwrite write clears the half-built
+    * version dir (links included) before relinking. `touched` holds
+    * partition VALUES as path-rendered strings (e.g. "7" for
+    * cell=7). */
+  private[graft] def publishStoreScoped(s: SparkSession, root: String,
+      name: String, compacted: DataFrame, partitionCol: String,
+      touched: Set[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val version = nextStoreVersion(root, name)
+    val newDir = Paths.get(root, s"${name}_v$version")
+    compacted.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(newDir.toString)
+    storeBaseDir(root, name).foreach { old =>
+      val oldDir = Paths.get(old)
+      val parts = Files.list(oldDir)
+      try parts.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$partitionCol=") &&
+          !touched.contains(
+            p.getFileName.toString.stripPrefix(s"$partitionCol=")))
+        .foreach { part =>
+          val dst = newDir.resolve(part.getFileName.toString)
+          Files.createDirectories(dst)
+          val fl = Files.list(part)
+          try fl.iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              f.getFileName.toString.endsWith(".parquet"))
+            .foreach(f =>
+              Files.createLink(dst.resolve(f.getFileName.toString), f))
+          finally fl.close()
+        }
+      finally parts.close()
+    }
+    finishStorePublish(root, name, version)
   }
 
   /** The ledger bucket dirs (base + delta) that EXIST for the given
@@ -1687,7 +1746,7 @@ object StreamingOps {
   /** True iff the dir exists and holds at least one parquet data
     * file — an append of an EMPTY frame leaves a dir with only
     * _SUCCESS, which schema inference rejects. */
-  private def hasParquet(p: java.nio.file.Path): Boolean = {
+  private[graft] def hasParquet(p: java.nio.file.Path): Boolean = {
     import java.nio.file.Files
     if (!Files.exists(p)) false
     else {

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 pins: q385 scoped compaction (rewrite scope asserted at
+  * the filesystem grain), the q390/q391 DECIMAL(38,0) widenings on
+  * constructed near-boundary frames, q407's fan-out cap, and the
+  * waterFill zero-supply guard. */
+class Round14Spec extends SparkSpec {
+
+  // ---- q385: SCOPED compaction — folding a delta that touches ONE
+  // cell must rewrite ONLY that cell's partition; every untouched
+  // cell partition of the new pointer version must be HARD LINKS to
+  // the previous base's files (same file key = metadata-only IO).
+
+  private def partFiles(base: String, cell: Long): Map[String, java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(base, s"cell=$cell")
+    assert(java.nio.file.Files.isDirectory(dir), s"missing $dir")
+    val ls = java.nio.file.Files.list(dir)
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> p).toMap
+    finally ls.close()
+  }
+
+  test("q385: compaction rewrites only touched cells; untouched partitions are hard links") {
+    import spark.implicits._
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q385_scoped").toString
+    val stateRoot = s"$stage/state"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    def vecOf(hot: Int): Seq[Long] =
+      (0 until 4).map(i => if (i == hot) 1000000L else 0L)
+    // three well-separated cells (labels 0/1/2 sit on axis vectors,
+    // so the per-label centroid IS the axis and assignment is exact)
+    val base = Seq(
+      (0L, 0L, vecOf(0)), (1L, 0L, vecOf(0)),
+      (2L, 1L, vecOf(1)), (3L, 1L, vecOf(1)),
+      (4L, 2L, vecOf(2)), (5L, 2L, vecOf(2)))
+      .toDF("vec_id", "label", "v")
+      .withColumn("n2",
+        org.apache.spark.sql.graft.LongArrayDot.column(col("v"), col("v")))
+    graft.operators.Similarity.initIvfIndex(spark, stateRoot, base)
+    val v0 = graft.operators.StreamingOps
+      .storeBaseDir(stateRoot, "postings").get
+    val before = Seq(0L, 1L, 2L).map { c => c -> partFiles(v0, c) }
+      .toMap
+    // ONE delta vector on axis 1 — the batch touches ONLY cell 1;
+    // compactEvery = 1 forces the scoped fold immediately
+    graft.operators.Similarity.ivfIndexBatch(spark, stateRoot,
+      Seq((10L, vecOf(1))).toDF("vec_id", "v"), 0L, compactEvery = 1)
+    val v1 = graft.operators.StreamingOps
+      .storeBaseDir(stateRoot, "postings").get
+    assert(v1 !== v0, "compaction must publish a new pointer version")
+    // correctness: all 6 base rows + the stream row, in their cells
+    val got = graft.operators.StreamingOps
+      .readStoreAll(spark, stateRoot, "postings").get
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("is_base"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got === Set((0L, 0L, true), (1L, 0L, true), (2L, 1L, true),
+      (3L, 1L, true), (4L, 2L, true), (5L, 2L, true), (10L, 1L, false)))
+    // the delta is cleared by the fold
+    assert(!graft.operators.StreamingOps.hasParquet(java.nio.file.Paths
+      .get(graft.operators.StreamingOps.storeDeltaDir(stateRoot, "postings"))))
+    // REWRITE SCOPE: untouched cells 0/2 carry the SAME file names,
+    // each a hard link of the old version's file (same file key)
+    for (c <- Seq(0L, 2L)) {
+      val after = partFiles(v1, c)
+      assert(after.keySet === before(c).keySet,
+        s"untouched cell $c must keep its file names (linked, not rewritten)")
+      for ((name, p) <- after)
+        assert(java.nio.file.Files.isSameFile(p, before(c)(name)),
+          s"untouched cell $c file $name must be a hard link, not a copy")
+    }
+    // touched cell 1 is freshly written — no file survives by name
+    val after1 = partFiles(v1, 1L)
+    assert(after1.keySet.intersect(before(1L).keySet).isEmpty,
+      "touched cell 1 must be rewritten, not linked")
+  }
+
+  // ---- q390/q391: the DECIMAL(38,0) widenings hold where BIGINT
+  // pair/rank products would wrap. 4.3e9 real rows don't fit a spec,
+  // so the pin drives the exact agg expressions over a constructed
+  // bin/contingency frame whose counts sit ABOVE the wrap boundary
+  // (x*(x-1) > Long.MaxValue) and asserts the decimal results.
+
+  test("q390/q391 widening: pair counts and 2U survive counts past the BIGINT wrap boundary") {
+    import spark.implicits._
+    // x = 4e9: x*(x-1) = 1.6e19 > Long.MaxValue (9.22e18) — a BIGINT
+    // product wraps negative; DECIMAL(38,0) holds it exactly
+    val x = 4000000000L
+    val cont = Seq(("a", 0L, x), ("b", 1L, x)).toDF("label", "cell", "nij")
+    val pairSum = cont
+      .agg((sum(col("nij").cast("decimal(38,0)") * (col("nij") - 1)) / 2)
+        .cast("decimal(38,0)").as("s"))
+      .select(col("s").cast("string")).as[String].head()
+    assert(pairSum === "15999999996000000000", // 2 * x(x-1)/2, exact
+      "pair-count sum must not wrap")
+    // q391's 2U term at one bin with n1i = n2i = 4e9:
+    // n1i*(2*cum2 + n2i) = 4e9 * 4e9 = 1.6e19 — wraps BIGINT
+    val bins = Seq((0L, x, x, 0L)).toDF("b", "n1i", "n2i", "cum2")
+    val u2x = bins
+      .agg(sum(expr("CAST(n1i AS DECIMAL(38,0)) * (2 * cum2 + n2i)"))
+        .as("u2x"))
+      .select(col("u2x").cast("string")).as[String].head()
+    assert(u2x === "16000000000000000000", "2U must not wrap")
+  }
+
+  // ---- q407: the maxOcc fan-out cap — a boilerplate gram repeated
+  // past the cap contributes only its first maxOcc positions, so a
+  // capped run can be UNDER-reported but the uncapped-span semantics
+  // hold whenever no anchor gram repeats more than maxOcc times.
+
+  test("q407: fan-out cap bounds dotplot cells; spans below the cap stay exact") {
+    import spark.implicits._
+    // two docs sharing one clean 8-token run plus a repeated trigram
+    // (the Round13Spec construction, which LSH reliably surfaces):
+    // each anchor gram of the run occurs ONCE per doc — far below
+    // maxOcc — so the span stays exact at 8 under the default cap
+    val run = (0 until 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run u1 u2 x1 x2 x3"),
+      (2L, s"v1 x1 x2 x3 v2 $run")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.longestSharedSpanOf(docs, 3)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("max_shared_span_tokens") === 8L)
+    // maxOcc = 1 on an identical boilerplate-heavy pair (the shared
+    // gram family repeats 4 times per doc): the dotplot keeps 1 cell
+    // per gram instead of 16 — the span is still reported (>= k),
+    // just possibly shortened by the capped anchor set
+    val rep = (0 until 4).map(_ => "b0 b1 b2 b3").mkString(" ")
+    val t = s"x1 $rep x2"
+    val docs2 = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val capped = graft.operators.Dedup.longestSharedSpanOf(docs2, 3,
+      maxOcc = 1).collect()
+    assert(capped.length === 1)
+    val spanCapped = capped.head.getAs[Long]("max_shared_span_tokens")
+    val full = graft.operators.Dedup.longestSharedSpanOf(docs2, 3,
+      maxOcc = 1000).collect().head
+      .getAs[Long]("max_shared_span_tokens")
+    assert(spanCapped >= 3L && spanCapped <= full,
+      "a capped span may shorten but never exceeds the uncapped span")
+    assert(full === 18L, "uncapped: identical docs share the whole text")
+  }
+
+  // ---- waterFill: the all-cut-source case (advisory) — zero-supply
+  // sources re-enter with alloc = 0 and NULL epochs; positive
+  // sources still water-fill exactly.
+
+  test("waterFill: zero-supply sources get alloc 0 / NULL epochs; budget still exact") {
+    import spark.implicits._
+    val sup = Seq(("s_dead", 0L), ("s_a", 600L), ("s_b", 1400L))
+      .toDF("source", "supply")
+    val r = graft.operators.Pipeline.waterFill(sup, 4L, 2L)
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("s_dead").getAs[Long]("alloc") === 0L)
+    assert(r("s_dead").isNullAt(r("s_dead").fieldIndex("epochs_milli")),
+      "0 tokens of 0 supplied is NULL epochs, not a silent div-by-zero")
+    val budget = (600L + 1400L) / 2
+    assert(r("s_a").getAs[Long]("alloc")
+      + r("s_b").getAs[Long]("alloc") === budget,
+      "zero-supply rows must not perturb the exact budget")
+    // the all-cut corpus: every source zero — no waterline row
+    // exists; the output is all-zero allocs, not an empty frame
+    val dead = Seq(("d1", 0L), ("d2", 0L)).toDF("source", "supply")
+    val rd = graft.operators.Pipeline.waterFill(dead, 4L, 2L).collect()
+    assert(rd.length === 2)
+    assert(rd.forall(_.getAs[Long]("alloc") === 0L))
+  }
+}
