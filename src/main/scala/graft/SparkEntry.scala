@@ -438,6 +438,7 @@ object SparkEntry {
     "q407_longest_shared_span" ->
       ((s, d) => Dedup.longestSharedSpan(s, d)),
     "q408_youden_cut"       -> ((s, d) => Eval.youdenCut(s, d)),
+    "q409_wav_decode"       -> ((s, d) => Multimodal.wavDecode(s, d)),
   )
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
@@ -8979,5 +8980,36 @@ object SparkEntry {
         | CAST(fp AS BIGINT) AS fp, CAST(j_ppm AS BIGINT) AS j_ppm
         |FROM (SELECT *, row_number() OVER (ORDER BY j_ppm DESC, t)
         |   AS rk FROM f) z WHERE rk = 1""".stripMargin,
+    // q409: WAV is lossless — the oracle replays the staged sample
+    // formula (frame f, channel c of doc_id) and the decoded stats
+    // must match exactly; zero crossings via a per-doc lag window
+    // over channel 0 (bounded by one waveform's frames).
+    "q409_wav_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS channels,
+        |  doc_id % 400 + 50 AS frames,
+        |  8000 + (doc_id % 4) * 4000 AS rate
+        | FROM documents),
+        |fr AS (SELECT doc_id, channels, frames, rate,
+        |  unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT doc_id, channels, frames, rate, f, c,
+        |  (doc_id * 31 + f * 17 + c * 7919) % 65536 - 32768 AS v
+        | FROM fr CROSS JOIN (SELECT unnest(range(2)) AS c) cc
+        | WHERE c < channels),
+        |st AS (SELECT doc_id, CAST(max(rate) AS BIGINT) AS sample_rate,
+        |  CAST(max(channels) AS BIGINT) AS n_channels,
+        |  CAST(max(frames) AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        | FROM sm GROUP BY 1),
+        |zc AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS zero_cross_ch0
+        | FROM (SELECT doc_id, f, v, lag(v) OVER (
+        |    PARTITION BY doc_id ORDER BY f) AS pv
+        |   FROM sm WHERE c = 0) t
+        | WHERE pv IS NOT NULL GROUP BY 1)
+        |SELECT st.doc_id, sample_rate, n_channels, n_frames,
+        | sum_samples, sum_sq, zero_cross_ch0
+        |FROM st JOIN zc USING (doc_id)""".stripMargin,
   )
 }

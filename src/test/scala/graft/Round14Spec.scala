@@ -82,6 +82,40 @@ class Round14Spec extends SparkSpec {
       "touched cell 1 must be rewritten, not linked")
   }
 
+  // ---- q409: a CONSTRUCTED waveform through the real WAV codec —
+  // a 100-frame stereo square wave (ch0 alternates ±1000 per frame,
+  // ch1 holds a DC +25) round-trips through AudioSystem with every
+  // stat exact: WAV is lossless, so this is the q328 pin, not the
+  // q386 tolerance.
+
+  test("q409: constructed square wave — exact metadata and integer sample stats") {
+    val frames = 100; val channels = 2; val rate = 16000
+    val pcm = new Array[Byte](frames * channels * 2)
+    for (f <- 0 until frames; c <- 0 until channels) {
+      val v = if (c == 0) { if (f % 2 == 0) 1000 else -1000 } else 25
+      val off = (f * channels + c) * 2
+      pcm(off) = (v & 0xff).toByte
+      pcm(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (gotRate, gotCh, gotFrames, sum, sumSq, zc) =
+      graft.operators.Multimodal.wavStatsOf(bos.toByteArray)
+    assert(gotRate === rate.toLong, "sample rate survives the header")
+    assert(gotCh === channels.toLong)
+    assert(gotFrames === frames.toLong)
+    // ch0 sums to 0 over an even frame count; ch1 contributes 25 each
+    assert(sum === 25L * frames)
+    assert(sumSq === 1000L * 1000L * frames + 25L * 25L * frames)
+    // the square wave flips sign on EVERY frame boundary
+    assert(zc === (frames - 1).toLong)
+  }
+
   // ---- q390/q391: the DECIMAL(38,0) widenings hold where BIGINT
   // pair/rank products would wrap. 4.3e9 real rows don't fit a spec,
   // so the pin drives the exact agg expressions over a constructed
