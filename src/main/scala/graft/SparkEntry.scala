@@ -439,7 +439,64 @@ object SparkEntry {
       ((s, d) => Dedup.longestSharedSpan(s, d)),
     "q408_youden_cut"       -> ((s, d) => Eval.youdenCut(s, d)),
     "q409_wav_decode"       -> ((s, d) => Multimodal.wavDecode(s, d)),
+    "q410_unigram_train"    -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
+    "q411_unigram_apply"    -> ((s, d) => TextAnalysis.unigramApply(s, d)),
   )
+
+  /** Shared q410/q411 oracle CTE chain: train-split word vocab,
+    * seed vocabulary (singles + top-200 substrings), longest-match
+    * walk 1 (recursive CTE — one deterministic path per word),
+    * prune to 50 multis, walk 2, final counts `c2` and the frozen
+    * vocabulary `vf`. */
+  private val unigramTrainCtes: String =
+    """w0 AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE doc_id % 2 = 0) t
+      |  WHERE len(w) >= 1 GROUP BY 1),
+      |wp AS (SELECT w, freq, unnest(range(len(w))) + 1 AS pos FROM w0),
+      |sgl AS (SELECT DISTINCT substr(w, pos, 1) AS piece FROM wp),
+      |mc AS (SELECT piece, sum(freq) AS n FROM (
+      |   SELECT substr(wp.w, wp.pos, l.l) AS piece, wp.freq
+      |   FROM wp CROSS JOIN (SELECT unnest([2, 3, 4]) AS l) l
+      |   WHERE wp.pos + l.l - 1 <= len(wp.w)) t
+      |  GROUP BY 1),
+      |seed AS (SELECT piece FROM sgl UNION ALL
+      | SELECT piece FROM (SELECT piece,
+      |    row_number() OVER (ORDER BY n DESC, piece) AS rk FROM mc) z
+      | WHERE rk <= 200),
+      |cand AS (SELECT wp.w, wp.pos, l.l,
+      |  substr(wp.w, wp.pos, l.l) AS sub
+      | FROM wp CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l
+      | WHERE wp.pos + l.l - 1 <= len(wp.w)),
+      |g1 AS (SELECT c.w, c.pos,
+      |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+      |   AS bl
+      | FROM cand c LEFT JOIN seed v ON v.piece = c.sub GROUP BY 1, 2),
+      |k1 AS (SELECT w, freq, 1 AS pos FROM w0
+      | UNION ALL
+      | SELECT k.w, k.freq, k.pos + g.bl
+      | FROM k1 k JOIN g1 g ON g.w = k.w AND g.pos = k.pos),
+      |c1 AS (SELECT substr(k.w, k.pos, g.bl) AS piece,
+      |  sum(k.freq) AS n
+      | FROM k1 k JOIN g1 g ON g.w = k.w AND g.pos = k.pos GROUP BY 1),
+      |vf AS (SELECT piece FROM sgl UNION ALL
+      | SELECT piece FROM (SELECT piece,
+      |    row_number() OVER (ORDER BY n DESC, piece) AS rk
+      |   FROM c1 WHERE len(piece) >= 2) z
+      | WHERE rk <= 50),
+      |g2 AS (SELECT c.w, c.pos,
+      |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+      |   AS bl
+      | FROM cand c LEFT JOIN vf v ON v.piece = c.sub GROUP BY 1, 2),
+      |k2 AS (SELECT w, freq, 1 AS pos FROM w0
+      | UNION ALL
+      | SELECT k.w, k.freq, k.pos + g.bl
+      | FROM k2 k JOIN g2 g ON g.w = k.w AND g.pos = k.pos),
+      |c2 AS (SELECT substr(k.w, k.pos, g.bl) AS piece,
+      |  sum(k.freq) AS n
+      | FROM k2 k JOIN g2 g ON g.w = k.w AND g.pos = k.pos GROUP BY 1)"""
+      .stripMargin
 
   /** One FK-edge block of the q152 oracle — mirrors Relational.fkEdge. */
   private def fkEdgeSql(name: String, childTable: String, childKey: String,
@@ -9011,5 +9068,49 @@ object SparkEntry {
         |SELECT st.doc_id, sample_rate, n_channels, n_frames,
         | sum_samples, sum_sq, zero_cross_ch0
         |FROM st JOIN zc USING (doc_id)""".stripMargin,
+    // q410/q411: the unigram-LM tokenizer protocol replayed — seed =
+    // singles + top-200 substrings, one longest-match E-step prune
+    // to 50, final E-step counts; the walk is a recursive CTE (one
+    // deterministic path per word).
+    "q410_unigram_train" ->
+      s"""WITH RECURSIVE $unigramTrainCtes,
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c2)
+        |SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len,
+        | CAST(n AS BIGINT) AS n_uses,
+        | CAST(round(log10(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |  * 1e6) AS BIGINT) AS lp_micro
+        |FROM c2, tot""".stripMargin,
+    "q411_unigram_apply" ->
+      s"""WITH RECURSIVE $unigramTrainCtes,
+        |hw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |   SELECT lang, unnest(string_split(text, ' ')) AS w
+        |   FROM documents WHERE doc_id % 2 = 1) t
+        |  WHERE len(w) >= 1 GROUP BY 1, 2),
+        |hwd AS (SELECT DISTINCT w FROM hw),
+        |hp AS (SELECT w, unnest(range(len(w))) + 1 AS pos FROM hwd),
+        |hcand AS (SELECT hp.w, hp.pos, l.l,
+        |  substr(hp.w, hp.pos, l.l) AS sub
+        | FROM hp CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l
+        | WHERE hp.pos + l.l - 1 <= len(hp.w)),
+        |ga AS (SELECT c.w, c.pos,
+        |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+        |   AS bl
+        | FROM hcand c LEFT JOIN vf v ON v.piece = c.sub GROUP BY 1, 2),
+        |ka AS (SELECT w, 1 AS pos, 0 AS np FROM hwd
+        | UNION ALL
+        | SELECT k.w, k.pos + g.bl, k.np + 1
+        | FROM ka k JOIN ga g ON g.w = k.w AND g.pos = k.pos),
+        |npw AS (SELECT w, CAST(max(np) AS BIGINT) AS n_pieces
+        | FROM ka GROUP BY 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        | CAST(sum(freq) AS BIGINT) AS n_words,
+        | CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
+        | CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces,
+        | CAST(sum(freq * n_pieces) * 1000000 // sum(freq) AS BIGINT)
+        |  AS pieces_per_word_micro,
+        | CAST(sum(freq * len(w)) * 1000000
+        |   // nullif(sum(freq * n_pieces), 0) AS BIGINT)
+        |  AS chars_per_piece_micro
+        |FROM hw JOIN npw USING (w) GROUP BY lang""".stripMargin,
   )
 }

@@ -1701,4 +1701,161 @@ object TextAnalysis {
       .select(col("w"), col("cf"), col("df"), col("burst_ppm"),
         col("rank"))
   }
+
+  // ---------------------------------------------------------------
+  // q410/q411: UNIGRAM-LM (SentencePiece-family) tokenizer — the
+  // OTHER production tokenizer family next to BPE (q275/q282), per
+  // Kudo 2018 ("Subword Regularization"): a bounded candidate piece
+  // vocabulary, an E-step that segments the training words with the
+  // current vocabulary and counts piece usage, an M-step that
+  // re-estimates piece probabilities from those counts, and a prune
+  // loop that shrinks the vocabulary to target size by expected
+  // count. The E-step segmenter here is the DETERMINISTIC
+  // longest-match-from-left walk (the q282 machinery — a hard
+  // Viterbi approximation; the full soft-EM lattice is the noted
+  // refinement), which keeps every count an exact integer the
+  // DuckDB oracle replays via a recursive walk. Trained on the even
+  // doc_id split (the q361/q388 convention); q411 applies the
+  // frozen vocabulary to the ODD split per language. Scale: every
+  // step runs on the BOUNDED word vocabulary (one corpus agg up
+  // front), candidates equi-join the broadcast piece set, both
+  // prune top-ks ride twoPhaseRank (no global candidate sort), and the
+  // walk is a codegen fold over one word's characters.
+  // ---------------------------------------------------------------
+
+  /** Per-word longest-match segmentation against a bounded piece
+    * set: adds a `picks` column (array of (pos, l) steps). Unknown
+    * characters fall back to 1-char UNK pieces so the walk always
+    * advances. `words` must carry a distinct-per-row `w`; extra
+    * columns pass through. */
+  private def segmentWords(words: DataFrame, pieces: DataFrame)
+      : DataFrame = {
+    val cand = words.select(col("w")).distinct()
+      .select(col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("pos"), explode(expr(
+        "transform(sequence(1, 4), l -> " +
+          "named_struct('l', l, 'sub', substr(w, pos, l)))")).as("c"))
+      .select(col("w"), col("pos"), col("c.l").as("l"),
+        col("c.sub").as("sub"))
+      .filter(length(col("sub")) === col("l"))
+    val grid = cand
+      .join(broadcast(pieces.select(col("piece"))),
+        cand("sub") === col("piece"), "left")
+      .groupBy(col("w"), col("pos"))
+      .agg(coalesce(max(when(col("piece").isNotNull, col("l"))),
+        lit(1)).as("bl"))
+    val larr = grid.groupBy(col("w"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "named_struct('pos', pos, 'bl', bl))), e -> e.bl)").as("larr"))
+    words.join(larr, "w")
+      .withColumn("picks", expr(
+        """aggregate(sequence(1, size(larr)),
+          |named_struct('pos', 1,
+          |  'ls', cast(array() as array<struct<pos:int,l:int>>)),
+          |(acc, i) -> IF(i = acc.pos,
+          |  named_struct('pos', acc.pos + element_at(larr, i),
+          |    'ls', concat(acc.ls, array(named_struct('pos', acc.pos,
+          |      'l', element_at(larr, i))))),
+          |  acc),
+          |acc -> acc.ls)""".stripMargin))
+      .drop("larr")
+  }
+
+  /** Piece-usage counts (sum of word freq per used piece) of one
+    * segmentation pass — the E-step. */
+  private def pieceCounts(seg: DataFrame): DataFrame =
+    seg.select(col("w"), col("freq"), explode(col("picks")).as("pk"))
+      .select(expr("substr(w, pk.pos, pk.l)").as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("n"))
+
+  /** Train-split word vocabulary (w, freq) — even doc_ids. */
+  private def trainWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** The frozen final vocabulary: all train-split single characters
+    * (coverage) ∪ the top `target` multi-char pieces surviving one
+    * E-step prune of the top-`seedMultis` substring candidates
+    * (tie-broken (count desc, piece asc) — fully deterministic). */
+  private def unigramVocab(words: DataFrame, seedMultis: Int,
+      target: Int): DataFrame = {
+    val singles = words
+      .select(explode(expr("split(w, '')")).as("piece"))
+      .filter(length(col("piece")) === 1).distinct()
+    val multiCand = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("freq"), col("pos"), explode(expr(
+        "transform(sequence(2, 4), l -> " +
+          "named_struct('l', l, 'p', substr(w, pos, l)))")).as("c"))
+      // a substring truncated short of its requested length is the
+      // shorter candidate already emitted — drop it, don't recount
+      .filter(length(col("c.p")) === col("c.l"))
+      .select(col("w"), col("freq"), col("pos"), col("c.p").as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("n"))
+      .transform(c => Relational.twoPhaseRank(c, lit(1), negate(col("n")),
+        Seq(negate(col("n")), col("piece")), "rk", "n_cand"))
+      .filter(col("rk") <= seedMultis).select(col("piece"))
+    val seed = singles.unionByName(multiCand).localCheckpoint()
+    val c1 = pieceCounts(segmentWords(words, seed))
+    val kept = c1.filter(length(col("piece")) >= 2)
+      .transform(c => Relational.twoPhaseRank(c, lit(1), negate(col("n")),
+        Seq(negate(col("n")), col("piece")), "rk", "n_kept"))
+      .filter(col("rk") <= target).select(col("piece"))
+    singles.unionByName(kept).localCheckpoint()
+  }
+
+  /** q410: UNIGRAM-LM TOKENIZER TRAIN — the final vocabulary with
+    * its M-step mass: piece, length, exact usage count under the
+    * frozen vocabulary's own segmentation of the train split, and
+    * the unigram log-probability in integer micro (one fixed IEEE
+    * log10 of exact integers, micro-rounded — the q50 convention).
+    * Pieces the final segmentation never uses carry no mass and are
+    * dropped (no ln(0) at any scale — the q363 lesson). */
+  def unigramTrain(s: SparkSession, dir: String, seedMultis: Int = 200,
+      target: Int = 50): DataFrame = {
+    val words = trainWords(s, dir).localCheckpoint()
+    val vocab = unigramVocab(words, seedMultis, target)
+    val counts = pieceCounts(segmentWords(words, vocab))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("n").as("n_uses"),
+        expr("CAST(round(log10(CAST(n AS DOUBLE) " +
+          "/ CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)").as("lp_micro"))
+  }
+
+  /** q411: UNIGRAM-LM TOKENIZER APPLY — the frozen even-split
+    * vocabulary segments the ODD split's per-language word
+    * vocabulary (the q361 holdout convention), pricing the tokenizer
+    * where it will run: per language, vocab size, word/char/piece
+    * totals, and the two fertility numbers (pieces per word, chars
+    * per piece — q216's question asked of the REAL learned
+    * tokenizer). All integer; unknown holdout characters segment as
+    * 1-char UNK pieces (counted — exactly what a production
+    * tokenizer's byte-fallback pays). */
+  def unigramApply(s: SparkSession, dir: String, seedMultis: Int = 200,
+      target: Int = 50): DataFrame = {
+    val vocab = unigramVocab(
+      trainWords(s, dir).localCheckpoint(), seedMultis, target)
+    val holdout = Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 =!= 0)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    segmentWords(holdout, vocab)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w"))).as("n_chars"),
+        sum(col("freq") * size(col("picks"))).as("n_pieces"))
+      .withColumn("pieces_per_word_micro",
+        expr("n_pieces * 1000000 div n_words"))
+      .withColumn("chars_per_piece_micro",
+        expr("n_chars * 1000000 div nullif(n_pieces, 0)"))
+  }
 }

@@ -182,6 +182,47 @@ class Round14Spec extends SparkSpec {
     assert(full === 18L, "uncapped: identical docs share the whole text")
   }
 
+  // ---- q410/q411: the unigram-LM tokenizer — learned-piece and
+  // segmentation semantics on the real corpus, and fertility
+  // reconciled with q216's regex proxy.
+
+  test("q410/q411: unigram vocab invariants and q216 fertility reconciliation") {
+    val vocab = graft.operators.TextAnalysis
+      .unigramTrain(spark, sfDir).collect()
+    assert(vocab.nonEmpty)
+    // coverage + bounded target: every piece 1-4 chars, at most 50
+    // multis, all used at least once, probabilities well-formed
+    assert(vocab.forall(r => r.getAs[Long]("piece_len") >= 1L
+      && r.getAs[Long]("piece_len") <= 4L))
+    assert(vocab.count(_.getAs[Long]("piece_len") >= 2L) <= 50)
+    assert(vocab.forall(_.getAs[Long]("n_uses") >= 1L))
+    assert(vocab.forall(_.getAs[Long]("lp_micro") < 0L),
+      "every piece probability is < 1 (negative log10 micro)")
+    val apply = graft.operators.TextAnalysis
+      .unigramApply(spark, sfDir).collect()
+    val q216 = graft.operators.TextAnalysis
+      .tokenizerFertility(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    for (row <- apply) {
+      val ppw = row.getAs[Long]("pieces_per_word_micro")
+      val cpp = row.getAs[Long]("chars_per_piece_micro")
+      // a word is >= 1 piece; a piece is 1-4 chars
+      assert(ppw >= 1000000L, "at least one piece per word")
+      assert(cpp >= 1000000L && cpp <= 4000000L,
+        "mean piece length must sit inside the 1-4 char piece bounds")
+      // reconciliation with q216: chars-per-word agrees between the
+      // two pipelines' own accounting (subword pieces never change
+      // the char mass), and the learned tokenizer's chars-per-piece
+      // cannot exceed the language's chars-per-word
+      val cpwMilli = row.getAs[Long]("n_chars") * 1000L /
+        row.getAs[Long]("n_words")
+      assert(cpp / 1000L <= cpwMilli,
+        "a piece never spans more chars than the mean word")
+      assert(q216.contains(row.getAs[String]("lang")),
+        "apply langs must be q216 langs")
+    }
+  }
+
   // ---- waterFill: the all-cut-source case (advisory) — zero-supply
   // sources re-enter with alloc = 0 and NULL epochs; positive
   // sources still water-fill exactly.
