@@ -441,7 +441,44 @@ object SparkEntry {
     "q409_wav_decode"       -> ((s, d) => Multimodal.wavDecode(s, d)),
     "q410_unigram_train"    -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
     "q411_unigram_apply"    -> ((s, d) => TextAnalysis.unigramApply(s, d)),
+    "q412_stream_exact_substr" ->
+      ((s, d) => Dedup.streamExactSubstr(s, d)),
   )
+
+  /** The q384 ExactSubstr oracle — also the q412 gate verbatim: the
+    * streamed ownership frame must land exactly the batch
+    * computation (the q388/q401 oracle-reuse discipline). */
+  private val exactSubstrOracle: String =
+    """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |gp AS (SELECT doc_id, unnest(range(len(tk) - 4)) AS pos, tk
+        | FROM tt WHERE len(tk) >= 5),
+        |g2 AS (SELECT doc_id, pos,
+        |  tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] || ' '
+        |   || tk[pos+4] || ' ' || tk[pos+5] AS g FROM gp),
+        |own AS (SELECT g, CAST(count(*) AS BIGINT) AS docs_with,
+        |  min(doc_id) AS owner
+        | FROM (SELECT DISTINCT doc_id, g FROM g2) GROUP BY 1),
+        |cut AS (SELECT doc_id, pos FROM g2 JOIN own USING (g)
+        | WHERE docs_with >= 2 AND owner <> doc_id),
+        |nocc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_occ
+        | FROM cut GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + off AS p
+        | FROM cut CROSS JOIN (SELECT unnest(range(5)) AS off) o),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        | FROM cov),
+        |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens,
+        |  CAST(count(DISTINCT grp) AS BIGINT) AS n_cut_spans
+        | FROM isl GROUP BY 1)
+        |SELECT tt.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+        | coalesce(n_cut_occ, 0) AS n_cut_occ,
+        | coalesce(n_cut_spans, 0) AS n_cut_spans,
+        | coalesce(n_cut_tokens, 0) AS n_cut_tokens,
+        | (len(tk) - coalesce(n_cut_tokens, 0)) * 1000000
+        |   // nullif(len(tk), 0) AS surviving_ppm
+        |FROM tt LEFT JOIN nocc USING (doc_id)
+        | LEFT JOIN sp USING (doc_id)""".stripMargin
 
   /** Shared q410/q411 oracle CTE chain: train-split word vocab,
     * seed vocabulary (singles + top-200 substrings), longest-match
@@ -8206,37 +8243,7 @@ object SparkEntry {
     // q384: positional 5-gram anchors; ownership frame distinct per
     // doc (min-doc owner, the q375 rule); covered positions merge to
     // maximal spans via the pos - row_number island trick.
-    "q384_exact_substr" ->
-      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |  FROM documents),
-        |gp AS (SELECT doc_id, unnest(range(len(tk) - 4)) AS pos, tk
-        | FROM tt WHERE len(tk) >= 5),
-        |g2 AS (SELECT doc_id, pos,
-        |  tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] || ' '
-        |   || tk[pos+4] || ' ' || tk[pos+5] AS g FROM gp),
-        |own AS (SELECT g, CAST(count(*) AS BIGINT) AS docs_with,
-        |  min(doc_id) AS owner
-        | FROM (SELECT DISTINCT doc_id, g FROM g2) GROUP BY 1),
-        |cut AS (SELECT doc_id, pos FROM g2 JOIN own USING (g)
-        | WHERE docs_with >= 2 AND owner <> doc_id),
-        |nocc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_occ
-        | FROM cut GROUP BY 1),
-        |cov AS (SELECT DISTINCT doc_id, pos + off AS p
-        | FROM cut CROSS JOIN (SELECT unnest(range(5)) AS off) o),
-        |isl AS (SELECT doc_id, p,
-        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-        | FROM cov),
-        |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens,
-        |  CAST(count(DISTINCT grp) AS BIGINT) AS n_cut_spans
-        | FROM isl GROUP BY 1)
-        |SELECT tt.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
-        | coalesce(n_cut_occ, 0) AS n_cut_occ,
-        | coalesce(n_cut_spans, 0) AS n_cut_spans,
-        | coalesce(n_cut_tokens, 0) AS n_cut_tokens,
-        | (len(tk) - coalesce(n_cut_tokens, 0)) * 1000000
-        |   // nullif(len(tk), 0) AS surviving_ppm
-        |FROM tt LEFT JOIN nocc USING (doc_id)
-        | LEFT JOIN sp USING (doc_id)""".stripMargin,
+    "q384_exact_substr" -> exactSubstrOracle,
     // q385: the q38 centroid CTEs with training restricted to the
     // EVEN (base) split and assignment to the ODD (streamed) split —
     // the stream must land exactly the batch assignment.
@@ -9112,5 +9119,8 @@ object SparkEntry {
         |   // nullif(sum(freq * n_pieces), 0) AS BIGINT)
         |  AS chars_per_piece_micro
         |FROM hw JOIN npw USING (w) GROUP BY lang""".stripMargin,
+    // q412: maintenance is gated stream ≡ batch — the q384 oracle
+    // verbatim (the q388/q401 discipline).
+    "q412_stream_exact_substr" -> exactSubstrOracle,
   )
 }

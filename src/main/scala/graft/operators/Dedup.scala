@@ -2218,16 +2218,8 @@ object Dedup {
     * out so specs can pin constructed overlap cases (two docs
     * sharing a 2k-token block must cut exactly ONE span). */
   def exactSubstrOf(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    // positional k-gram stream: posexplode's index IS the 0-based
-    // token start position of the gram
-    val grams = toks.filter(size(col("tk")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tk")) - k),
-        i => concat_ws(" ",
-          (0 until k).map(j => element_at(col("tk"), i + j + 1)): _*))))
-      .toDF("doc_id", "pos", "g")
+    val toks = substrToks(docs)
+    val grams = substrGrams(toks, k)
     // ownership frame at the q375 grain: docs containing the gram,
     // owner = min doc_id — so removed-occurrence accounting is
     // IDENTICAL to q375's n_removed when k = 3 (the reconciliation
@@ -2236,6 +2228,28 @@ object Dedup {
       .groupBy(col("g"))
       .agg(count(lit(1)).as("docs_with"), min(col("doc_id")).as("owner"))
       .hint("shuffle_hash")
+    exactSubstrFromOwn(toks, grams, own, k)
+  }
+
+  private def substrToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+
+  /** Positional k-gram stream: posexplode's index IS the 0-based
+    * token start position of the gram. */
+  private def substrGrams(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("tk"), i + j + 1)): _*))))
+      .toDF("doc_id", "pos", "g")
+
+  /** The q384 decision layer against ANY gram-ownership frame
+    * (g, docs_with, owner) — split out so q412 can run it over the
+    * STREAMING-maintained index. */
+  private[graft] def exactSubstrFromOwn(toks: DataFrame, grams: DataFrame,
+      own: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cut = grams.join(own, "g")
       .filter(col("docs_with") >= 2 && col("owner") =!= col("doc_id"))
       .select(col("doc_id"), col("pos"))
@@ -2445,4 +2459,122 @@ object Dedup {
   def exactSubstr(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     exactSubstrOf(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), k)
+
+  // ---------------------------------------------------------------
+  // q412: STREAMING exact-substring index (round-14, VERDICT Next
+  // #7) — the q326/q327/q385 continuous-index treatment applied to
+  // q384's gram-ownership frame: maintain (gram → docs_with, owner)
+  // incrementally per micro-batch, then run the UNCHANGED q384
+  // decision layer over the maintained frame. The store holds one
+  // AGGREGATE row per (gram, batch): n_docs and min_doc of the docs
+  // that batch contributed — checkpoint replay re-appends an
+  // IDENTICAL (gram, batch) row, which the read collapses (max/min
+  // per (g, batch_id) — the q195 counts discipline), so the
+  // maintained ownership is batching-, replay- and compaction-
+  // invariant. docs_with = Σ per-batch n_docs (each doc arrives in
+  // exactly one batch), owner = min over per-batch minima (a min
+  // lattice — merge-order-free). Compaction folds the delta into a
+  // fresh pointer-versioned base at cadence; the fold is O(index) —
+  // the q385 scoped treatment does not apply because gram-hash
+  // deltas touch essentially every partition, so the honest
+  // refinement at 100 TB is LSM-tiering the (g, batch) rows, noted
+  // here as the knob's scale story.
+  // ---------------------------------------------------------------
+
+  /** Per-batch gram aggregate: for each k-gram, how many docs of
+    * this frame contain it and the smallest such doc_id. */
+  private def gramAggOf(docs: DataFrame, k: Int): DataFrame =
+    substrGrams(substrToks(docs), k)
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+
+  private[graft] def initExactSubstrIndex(s: SparkSession,
+      stateRoot: String, base: DataFrame, k: Int): Unit =
+    StreamingOps.publishStore(s, stateRoot, "gramagg",
+      gramAggOf(base, k).withColumn("batch_id", lit(-1L)), Seq.empty)
+
+  /** ONE micro-batch of the streaming exact-substring protocol
+    * (factored out so specs can drive batches directly — replay a
+    * batch, force a compaction): aggregate the batch's grams and
+    * append tagged with the batch id; fold at cadence. Per-batch
+    * cost is Θ(|batch| grams) — the index is never rescanned on the
+    * append path. */
+  private[graft] def exactSubstrIndexBatch(s: SparkSession,
+      stateRoot: String, batch: DataFrame, batchId: Long, k: Int,
+      compactEvery: Int = 3): Unit = {
+    import StreamingOps.{readStoreAll, publishStore, storeDeltaDir}
+    gramAggOf(batch, k).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "gramagg"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      readStoreAll(s, stateRoot, "gramagg").foreach(r => publishStore(
+        s, stateRoot, "gramagg",
+        r.groupBy(col("g"), col("batch_id"))
+          .agg(max(col("n_docs")).as("n_docs"),
+            min(col("min_doc")).as("min_doc"))
+          .localCheckpoint(),
+        Seq.empty))
+  }
+
+  /** The maintained ownership frame: collapse replay duplicates per
+    * (gram, batch), then merge batches — docs_with by sum, owner by
+    * the min lattice. */
+  private[graft] def readGramOwnership(s: SparkSession,
+      stateRoot: String): DataFrame =
+    StreamingOps.readStoreAll(s, stateRoot, "gramagg").get
+      .groupBy(col("g"), col("batch_id"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(col("min_doc")).as("min_doc"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_docs")).as("docs_with"), min(col("min_doc")).as("owner"))
+
+  /** Stage + drain the q412 stream: publish the base (even doc_id)
+    * gram index, stream the odd docs as a 6-file JSONL source, and
+    * drain with a foreachBatch AvailableNow query over a checkpoint
+    * (compaction mid-stream at the default cadence). */
+  private[graft] def runStreamExactSubstr(s: SparkSession, dir: String,
+      stage: String, k: Int, compactEvery: Int = 3): Unit = {
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    initExactSubstrIndex(s, stateRoot, docs.filter(col("doc_id") % 2 === 0), k)
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .repartitionByRange(6, col("doc_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).json(inDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        exactSubstrIndexBatch(s, stateRoot, df, id, k, compactEvery)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** q412: STREAMING ExactSubstr under the oracle gate — the q384
+    * per-doc cut report computed from the CONTINUOUSLY MAINTAINED
+    * ownership frame must EQUAL the one-shot batch q384 on the same
+    * corpus, however the stream was batched, replayed, or compacted
+    * (same oracle SQL as q384 — the q326/q385 gate discipline). The
+    * per-doc positional machinery is doc-local and recomputed at
+    * read; the GLOBAL object — who else has this gram, and who owns
+    * it — is what the stream maintains. */
+  def streamExactSubstr(s: SparkSession, dir: String, k: Int = 5)
+      : DataFrame = {
+    val stage = StreamingOps.stagingRoot("q412", dir)
+    runStreamExactSubstr(s, dir, stage, k)
+    val toks = substrToks(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    exactSubstrFromOwn(toks, substrGrams(toks, k),
+      readGramOwnership(s, s"$stage/state").hint("shuffle_hash"), k)
+  }
 }

@@ -182,6 +182,106 @@ class Round14Spec extends SparkSpec {
     assert(full === 18L, "uncapped: identical docs share the whole text")
   }
 
+  // ---- q412: streaming exact-substring index — the spec drives
+  // batches DIRECTLY through exactSubstrIndexBatch (replay a batch,
+  // force a compaction) and restarts the real streaming query
+  // mid-stream on its checkpoint; both must land exactly the batch
+  // q384 ownership decisions.
+
+  private def canonDf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def batchSubstrWant(k: Int): Set[String] =
+    canonDf(graft.operators.Dedup.exactSubstr(spark, sfDir, k))
+
+  private def substrGotFrom(stateRoot: String, k: Int): Set[String] = {
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = toks.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("tk"), i + j + 1)): _*))))
+      .toDF("doc_id", "pos", "g")
+    canonDf(graft.operators.Dedup.exactSubstrFromOwn(toks, grams,
+      graft.operators.Dedup.readGramOwnership(spark, stateRoot), k))
+  }
+
+  test("q412: batch replay + mid-stream compaction leave the ownership frame exact") {
+    val k = 5
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q412_replay").toString
+    val stateRoot = s"$stage/state"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Dedup.initExactSubstrIndex(spark, stateRoot,
+      docs.filter(col("doc_id") % 2 === 0), k)
+    val delta = docs.filter(col("doc_id") % 2 =!= 0).localCheckpoint()
+    val parts = Seq(
+      delta.filter(col("doc_id") % 6 === 1),
+      delta.filter(col("doc_id") % 6 === 3),
+      delta.filter(col("doc_id") % 6 === 5))
+    graft.operators.Dedup.exactSubstrIndexBatch(spark, stateRoot,
+      parts(0), 0L, k, compactEvery = 2)
+    graft.operators.Dedup.exactSubstrIndexBatch(spark, stateRoot,
+      parts(1), 1L, k, compactEvery = 2)
+    // crash window: checkpoint replay re-delivers batch 1 verbatim —
+    // the (g, batch_id) read collapse must absorb it
+    graft.operators.Dedup.exactSubstrIndexBatch(spark, stateRoot,
+      parts(1), 1L, k, compactEvery = 2)
+    graft.operators.Dedup.exactSubstrIndexBatch(spark, stateRoot,
+      parts(2), 2L, k, compactEvery = 2)
+    assert(substrGotFrom(stateRoot, k) === batchSubstrWant(k),
+      "replayed streamed ownership differs from batch q384")
+  }
+
+  test("q412: restart mid-stream — second AvailableNow run on the same checkpoint") {
+    val k = 5
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q412_restart").toString
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Dedup.initExactSubstrIndex(spark, stateRoot,
+      docs.filter(col("doc_id") % 2 === 0), k)
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.operators.Dedup.exactSubstrIndexBatch(spark,
+              stateRoot, df, id, k, compactEvery = 2)
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    delta.filter(col("doc_id") % 4 === 1)
+      .repartitionByRange(2, col("doc_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    drain()
+    delta.filter(col("doc_id") % 4 === 3)
+      .repartitionByRange(2, col("doc_id")).toJSON
+      .write.mode("append").text(inDir)
+    drain()
+    assert(substrGotFrom(stateRoot, k) === batchSubstrWant(k),
+      "restarted streamed ownership differs from batch q384")
+  }
+
   // ---- q410/q411: the unigram-LM tokenizer — learned-piece and
   // segmentation semantics on the real corpus, and fertility
   // reconciled with q216's regex proxy.
