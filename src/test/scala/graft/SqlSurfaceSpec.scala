@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Events, Relational, Similarity, Sketch, TextAnalysis}
+import graft.operators.{Dedup, Events, Pipeline, Privacy, Relational, Sampling, Similarity, Sketch, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -136,7 +136,69 @@ class SqlSurfaceSpec extends SparkSpec {
         | sum(cents) div count(1) AS raw_mean_cents,
         | sum(greatest(p10, least(p90, cents))) div count(1)
         |   AS wins_mean_cents
-        |FROM r JOIN b ON r.grp = b.grp GROUP BY r.grp""".stripMargin))
+        |FROM r JOIN b ON r.grp = b.grp GROUP BY r.grp""".stripMargin),
+
+    // ---- round-14 broadening (VERDICT Next #8): five more
+    // families, same discipline — the literal SQL is what a
+    // migrating reference user would paste at a SQL prompt.
+
+    ("pipeline/q46", Pipeline.sourceMix(spark, sfDir),
+      """WITH per AS (SELECT source, count(1) AS n_docs,
+        |  CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM g_documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens) AS total_tokens,
+        |  count(1) AS n_sources FROM per)
+        |SELECT source, n_docs, n_tokens,
+        | least(1.0, CAST(CAST(total_tokens * 0.5 AS BIGINT)
+        |   div n_sources AS DOUBLE) / n_tokens) AS rate
+        |FROM per CROSS JOIN tot""".stripMargin),
+
+    ("sampling/q54", Sampling.hashSample(spark, sfDir),
+      """SELECT doc_id, bucket FROM (
+        | SELECT doc_id,
+        |  CAST(conv(substring(md5(CAST(concat('sample|',
+        |    CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10)
+        |   AS BIGINT) AS bucket
+        | FROM g_documents)
+        |WHERE bucket < 429496729""".stripMargin),
+
+    ("window/q13", Events.tumblingCounts(spark, sfDir),
+      """SELECT ts - ts % 3600000000 AS window_start, event_type,
+        | count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM g_events GROUP BY 1, 2""".stripMargin),
+
+    ("privacy/q130", Privacy.kAnonymity(spark, sfDir),
+      """WITH cls AS (SELECT c_mktsegment, c_nationkey, count(1) AS n
+        |  FROM g_customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(1) AS n_classes,
+        | sum(n) AS n_rows,
+        | sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_risk_classes,
+        | sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS n_risk_rows,
+        | min(n) AS min_class_size,
+        | round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |   / sum(n), 4) AS risk_row_frac
+        |FROM cls GROUP BY c_mktsegment""".stripMargin),
+
+    ("langid/q29", TextAnalysis.langId(spark, sfDir),
+      """WITH sc AS (SELECT doc_id, lang,
+        |  CAST(size(filter(split(text, ' '),
+        |    x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS s_en,
+        |  CAST(size(filter(split(text, ' '),
+        |    x -> x IN ('der', 'die', 'das', 'und'))) AS BIGINT) AS s_de,
+        |  CAST(size(filter(split(text, ' '),
+        |    x -> x IN ('le', 'la', 'les', 'et'))) AS BIGINT) AS s_fr,
+        |  CAST(size(filter(split(text, ' '),
+        |    x -> x IN ('el', 'los', 'las', 'y'))) AS BIGINT) AS s_es
+        | FROM g_documents)
+        |SELECT *,
+        | CAST(pred_lang = lang AS INT) AS is_correct
+        |FROM (SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+        |    THEN 'en'
+        |   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |   WHEN s_fr >= s_es THEN 'fr'
+        |   ELSE 'es' END AS pred_lang
+        | FROM sc)""".stripMargin))
 
   test("every family's representative runs as literal SQL with identical rows") {
     registerViews()
