@@ -443,7 +443,47 @@ object SparkEntry {
     "q411_unigram_apply"    -> ((s, d) => TextAnalysis.unigramApply(s, d)),
     "q412_stream_exact_substr" ->
       ((s, d) => Dedup.streamExactSubstr(s, d)),
+    "q413_wav_energy"       -> ((s, d) => Multimodal.wavEnergy(s, d)),
+    "q414_wav_fingerprint"  -> ((s, d) => Multimodal.wavFingerprint(s, d)),
+    "q415_wav_resample"     -> ((s, d) => Multimodal.wavResample(s, d)),
+    "q416_cliffs_delta"     -> ((s, d) => Eval.cliffsDelta(s, d)),
+    "q417_average_precision" ->
+      ((s, d) => Eval.averagePrecision(s, d)),
+    "q418_wav_quantize_dhash" ->
+      ((s, d) => Multimodal.wavQuantizeDhash(s, d)),
+    "q419_stream_wav_stats" -> ((s, d) => Multimodal.streamWavStats(s, d)),
   )
+
+  /** The q409 WAV-decode oracle — also the q419 gate verbatim
+    * (decode stats are a pure per-blob function, so the streamed
+    * result equals batch — the q388/q401 discipline). */
+  private val wavDecodeOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS channels,
+        |  doc_id % 400 + 50 AS frames,
+        |  8000 + (doc_id % 4) * 4000 AS rate
+        | FROM documents),
+        |fr AS (SELECT doc_id, channels, frames, rate,
+        |  unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT doc_id, channels, frames, rate, f, c,
+        |  (doc_id * 31 + f * 17 + c * 7919) % 65536 - 32768 AS v
+        | FROM fr CROSS JOIN (SELECT unnest(range(2)) AS c) cc
+        | WHERE c < channels),
+        |st AS (SELECT doc_id, CAST(max(rate) AS BIGINT) AS sample_rate,
+        |  CAST(max(channels) AS BIGINT) AS n_channels,
+        |  CAST(max(frames) AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        | FROM sm GROUP BY 1),
+        |zc AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS zero_cross_ch0
+        | FROM (SELECT doc_id, f, v, lag(v) OVER (
+        |    PARTITION BY doc_id ORDER BY f) AS pv
+        |   FROM sm WHERE c = 0) t
+        | WHERE pv IS NOT NULL GROUP BY 1)
+        |SELECT st.doc_id, sample_rate, n_channels, n_frames,
+        | sum_samples, sum_sq, zero_cross_ch0
+        |FROM st JOIN zc USING (doc_id)""".stripMargin
 
   /** The q384 ExactSubstr oracle — also the q412 gate verbatim: the
     * streamed ownership frame must land exactly the batch
@@ -9048,33 +9088,7 @@ object SparkEntry {
     // formula (frame f, channel c of doc_id) and the decoded stats
     // must match exactly; zero crossings via a per-doc lag window
     // over channel 0 (bounded by one waveform's frames).
-    "q409_wav_decode" ->
-      """WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS channels,
-        |  doc_id % 400 + 50 AS frames,
-        |  8000 + (doc_id % 4) * 4000 AS rate
-        | FROM documents),
-        |fr AS (SELECT doc_id, channels, frames, rate,
-        |  unnest(range(frames)) AS f FROM d),
-        |sm AS (SELECT doc_id, channels, frames, rate, f, c,
-        |  (doc_id * 31 + f * 17 + c * 7919) % 65536 - 32768 AS v
-        | FROM fr CROSS JOIN (SELECT unnest(range(2)) AS c) cc
-        | WHERE c < channels),
-        |st AS (SELECT doc_id, CAST(max(rate) AS BIGINT) AS sample_rate,
-        |  CAST(max(channels) AS BIGINT) AS n_channels,
-        |  CAST(max(frames) AS BIGINT) AS n_frames,
-        |  CAST(sum(v) AS BIGINT) AS sum_samples,
-        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
-        | FROM sm GROUP BY 1),
-        |zc AS (SELECT doc_id,
-        |  CAST(sum(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS zero_cross_ch0
-        | FROM (SELECT doc_id, f, v, lag(v) OVER (
-        |    PARTITION BY doc_id ORDER BY f) AS pv
-        |   FROM sm WHERE c = 0) t
-        | WHERE pv IS NOT NULL GROUP BY 1)
-        |SELECT st.doc_id, sample_rate, n_channels, n_frames,
-        | sum_samples, sum_sq, zero_cross_ch0
-        |FROM st JOIN zc USING (doc_id)""".stripMargin,
+    "q409_wav_decode" -> wavDecodeOracle,
     // q410/q411: the unigram-LM tokenizer protocol replayed — seed =
     // singles + top-200 substrings, one longest-match E-step prune
     // to 50, final E-step counts; the walk is a recursive CTE (one
@@ -9122,5 +9136,127 @@ object SparkEntry {
     // q412: maintenance is gated stream ≡ batch — the q384 oracle
     // verbatim (the q388/q401 discipline).
     "q412_stream_exact_substr" -> exactSubstrOracle,
+    // q413-q415/q418: WAV is lossless — the oracles replay the ch0
+    // sample formula over (frame, window) grids; per-doc windows
+    // bounded by one waveform's frames.
+    "q413_wav_energy" ->
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 50 AS frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT doc_id, f,
+        |  (doc_id * 31 + f * 17) % 65536 - 32768 AS v FROM fr),
+        |w AS (SELECT doc_id, f, v, f // 50 AS win,
+        |  lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv FROM sm)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        | CAST(count(*) AS BIGINT) AS n_f,
+        | CAST(sum(v * v) AS BIGINT) AS energy,
+        | CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        | CAST(sum(CASE WHEN f % 50 > 0 AND (v < 0) <> (pv < 0)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS zc_w
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q414_wav_fingerprint" ->
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 50 AS frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT doc_id, f,
+        |  (doc_id * 31 + f * 17) % 65536 - 32768 AS v FROM fr),
+        |e AS (SELECT doc_id, f // 50 AS win, sum(v * v) AS e
+        | FROM sm GROUP BY 1, 2),
+        |p AS (SELECT doc_id, win, e,
+        |  lead(e) OVER (PARTITION BY doc_id ORDER BY win) AS en FROM e)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        | CAST(CASE WHEN e > en THEN 1 ELSE 0 END AS BIGINT) AS bit
+        |FROM p WHERE en IS NOT NULL""".stripMargin,
+    "q415_wav_resample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 50 AS frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT doc_id, f,
+        |  (doc_id * 31 + f * 17) % 65536 - 32768 AS v FROM fr),
+        |ds AS (SELECT doc_id, f, v,
+        |  lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        | FROM sm WHERE f % 2 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames_ds,
+        | CAST(sum(v) AS BIGINT) AS sum_ds,
+        | CAST(sum(v * v) AS BIGINT) AS sum_sq_ds,
+        | CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross_ds
+        |FROM ds GROUP BY 1""".stripMargin,
+    // q416: the q391 bin frame; pair masses on HUGEINT→DECIMAL(38,0).
+    "q416_cliffs_delta" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   // 100000 AS b,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |bins AS (SELECT b, CAST(sum(pos) AS BIGINT) AS n1i,
+        |  CAST(sum(1 - pos) AS BIGINT) AS n2i FROM sc GROUP BY 1),
+        |cum AS (SELECT *, coalesce(sum(n2i) OVER (ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS cum2lt FROM bins),
+        |agg AS (SELECT CAST(sum(n1i) AS BIGINT) AS n1,
+        |  CAST(sum(n2i) AS BIGINT) AS n2,
+        |  sum(CAST(n1i AS HUGEINT) * cum2lt) AS n_gt,
+        |  sum(CAST(n1i AS HUGEINT) * n2i) AS n_tie FROM cum),
+        |f AS (SELECT n1, n2, n_gt, n_tie,
+        |  CAST(n1 AS HUGEINT) * n2 - n_gt - n_tie AS n_lt FROM agg)
+        |SELECT n1, n2, CAST(n_gt AS DECIMAL(38,0)) AS n_gt,
+        | CAST(n_lt AS DECIMAL(38,0)) AS n_lt,
+        | CAST(n_tie AS DECIMAL(38,0)) AS n_tie,
+        | CAST(round(CAST(n_gt - n_lt AS DOUBLE)
+        |  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT)
+        |  AS delta_micro
+        |FROM f""".stripMargin,
+    // q417: the q408 suffix-sum grid; per-threshold AP terms as
+    // exact integer divisions, products on HUGEINT.
+    "q417_average_precision" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS score,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |b AS (SELECT score // 100000 AS b, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(n_pos) AS BIGINT) AS p_total FROM b),
+        |th AS (SELECT unnest(range(11)) AS t),
+        |g AS (SELECT th.t,
+        |  CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_pred_pos,
+        |  CAST(coalesce(sum(b.n_pos), 0) AS BIGINT) AS tp
+        | FROM th LEFT JOIN b ON b.b >= th.t GROUP BY 1),
+        |g2 AS (SELECT t, tp, n_pred_pos - tp AS fp,
+        |  coalesce(lead(tp) OVER (ORDER BY t), 0) AS tp_prev FROM g)
+        |SELECT n_total, p_total,
+        | CAST(sum(coalesce(CAST(CAST(tp - tp_prev AS HUGEINT) * tp
+        |    * 1000000 // (CAST(tp + fp AS HUGEINT)
+        |      * nullif(p_total, 0)) AS BIGINT), 0)) AS BIGINT)
+        |  AS ap_micro
+        |FROM g2, tot GROUP BY 1, 2""".stripMargin,
+    "q418_wav_quantize_dhash" ->
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 50 AS frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT doc_id, f,
+        |  (doc_id * 31 + f * 17) % 65536 - 32768 AS v FROM fr),
+        |sm2 AS (SELECT doc_id, f, v, (v // 256) * 256 AS vq FROM sm),
+        |e AS (SELECT doc_id, f // 50 AS win, sum(v * v) AS e,
+        |  sum(vq * vq) AS eq FROM sm2 GROUP BY 1, 2),
+        |p AS (SELECT doc_id, win, e, eq,
+        |  lead(e) OVER (PARTITION BY doc_id ORDER BY win) AS en,
+        |  lead(eq) OVER (PARTITION BY doc_id ORDER BY win) AS eqn
+        | FROM e)
+        |SELECT doc_id, CAST(count(en) AS BIGINT) AS n_bits,
+        | CAST(sum(CASE WHEN en IS NOT NULL AND e > en
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS bits_orig,
+        | CAST(sum(CASE WHEN eqn IS NOT NULL AND eq > eqn
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS bits_quant,
+        | CAST(sum(CASE WHEN en IS NOT NULL
+        |   AND (e > en) <> (eq > eqn) THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS hamming
+        |FROM p GROUP BY 1""".stripMargin,
+    // q419: stream ≡ batch — the q409 oracle verbatim.
+    "q419_stream_wav_stats" -> wavDecodeOracle,
   )
 }

@@ -892,4 +892,89 @@ object Eval {
                 (col("n").cast("double") * (col("n") - 1).cast("double")))))
           * 1e6).cast("long").as("z_micro"))
   }
+
+  /** q416: CLIFF'S DELTA (Cliff 1993) — the ORDINAL effect size the
+    * q391 Mann–Whitney z deliberately isn't: z says "the groups
+    * differ beyond chance" (and grows with n even for trivial
+    * differences); δ = P(x > y) − P(x < y) says HOW MUCH, bounded in
+    * [−1, 1], n-free — the number a curation decision ("is the en/
+    * non-en quality gap material?") actually needs next to q391's
+    * significance. Same bounded TTR-decile bin frame as q391; the
+    * three pair masses (greater / less / tied) come from the
+    * cumulative frame with every product on DECIMAL(38,0) (n1i·cum2
+    * ≈ n² wraps BIGINT at ~4.3e9 rows — the q390/q391 widening
+    * applied at birth); δ is one fixed IEEE division of the exact
+    * masses, micro-rounded. */
+  def cliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .filter(col("s_tok") >= 1)
+      .select(expr("s_uniq * 1000000 div s_tok div 100000").as("b"),
+        col("pos"))
+    val bins = scored.groupBy(col("b")).agg(
+      sum(col("pos")).as("n1i"),
+      sum(lit(1L) - col("pos")).as("n2i"))
+    val cum = bins
+      .withColumn("cum2lt",
+        coalesce(sum(col("n2i")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.agg(
+        sum(col("n1i")).as("n1"), sum(col("n2i")).as("n2"),
+        sum(expr("CAST(n1i AS DECIMAL(38,0)) * cum2lt")).as("n_gt"),
+        sum(expr("CAST(n1i AS DECIMAL(38,0)) * n2i")).as("n_tie"))
+      .withColumn("n_lt",
+        (col("n1").cast("decimal(38,0)") * col("n2") - col("n_gt")
+          - col("n_tie")).cast("decimal(38,0)"))
+      .select(col("n1"), col("n2"), col("n_gt"), col("n_lt"),
+        col("n_tie"),
+        round((col("n_gt") - col("n_lt")).cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")) * 1e6)
+          .cast("long").as("delta_micro"))
+  }
+
+  /** q417: AVERAGE PRECISION (the PR-AUC summary) — q190 plots the
+    * precision–recall curve; this reduces it to the one number
+    * ranking-quality dashboards track, via the standard step sum
+    * AP = Σ_t ΔRecall_t · Precision_t over the descending threshold
+    * grid (the q365/q408 suffix-sum frame — ≤ 11 bounded rows, never
+    * a corpus sort). Each term is an exact integer division
+    * (ΔTP·TP·10⁶ div ((TP+FP)·P) — products on DECIMAL(38,0), the
+    * wrap-proofing at birth), truncated per term then integer-summed
+    * — the q361 determinism convention, replayed bit-for-bit by the
+    * oracle. */
+  def averagePrecision(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .filter(col("s_tok") >= 1)
+      .select(expr("s_uniq * 1000000 div s_tok").as("score"), col("pos"))
+    val bins = scored.groupBy(expr("score div 100000").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val totals = bins.agg(sum(col("n")).as("n_total"),
+      sum(col("n_pos")).as("p_total"))
+    val grid = s.range(0, 11).select(col("id").as("t"))
+      .join(broadcast(bins), col("b") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_pred_pos"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred_pos") - col("tp"))
+      // tp at the next HIGHER threshold (t+1; 0 above the top) — the
+      // step the recall advances by when the cut lowers to t; a
+      // bounded 11-row window
+      .withColumn("tp_prev", coalesce(lag(col("tp"), -1).over(
+        Window.orderBy(col("t"))), lit(0L)))
+    grid.crossJoin(broadcast(totals))
+      .withColumn("term_micro", expr(
+        """CAST(CAST(tp - tp_prev AS DECIMAL(38,0)) * tp * 1000000
+          | div (CAST(tp + fp AS DECIMAL(38,0))
+          |   * nullif(p_total, 0)) AS BIGINT)""".stripMargin))
+      .agg(max(col("n_total")).as("n_total"),
+        max(col("p_total")).as("p_total"),
+        sum(coalesce(col("term_micro"), lit(0L))).as("ap_micro"))
+  }
 }

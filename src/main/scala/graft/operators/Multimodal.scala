@@ -922,4 +922,197 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_channels", "n_frames",
         "sum_samples", "sum_sq", "zero_cross_ch0")
   }
+
+  /** Channel-0 samples of ONE decoded WAV blob — the per-blob decode
+    * core the windowed audio ops (q413/q414/q415/q418) share. */
+  private[graft] def wavCh0Of(blob: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val channels = ais.getFormat.getChannels
+    val frames = ais.getFrameLength.toInt
+    val bytes = ais.readAllBytes()
+    val out = new Array[Int](frames)
+    var f = 0
+    while (f < frames) {
+      val off = f * channels * 2
+      out(f) = (bytes(off) & 0xff) | (bytes(off + 1).toInt << 8)
+      f += 1
+    }
+    out
+  }
+
+  /** Decoded (doc_id, ch0 samples) over freshly staged WAV media —
+    * the shared scan of the windowed audio family. */
+  private def decodedWavCh0(s: SparkSession, dir: String, tag: String)
+      : Dataset[(Long, Array[Int])] = {
+    import s.implicits._
+    s.read.parquet(stageWavMedia(s, dir, tag)).as[BlobRow]
+      .mapPartitions(rows => rows.map(r => (r.doc_id, wavCh0Of(r.blob))))
+  }
+
+  /** q413: WINDOWED AUDIO ENERGY PROFILE on REAL decoded samples —
+    * the per-window accounting every silence trimmer, VAD
+    * pre-filter, and loudness normalizer reads: channel 0 in
+    * 50-frame windows, per window the frame count, exact energy
+    * (Σv² — the integer RMS carrier), peak |sample|, and
+    * within-window zero crossings. Every number comes out of the
+    * PARSED RIFF container; the DuckDB oracle replays the sample
+    * formula over the (frame, window) grid — agreement means the
+    * codec round trip reproduced every sample at WINDOW grain (q409
+    * checks whole-waveform sums; a frame-order scramble would pass
+    * q409 but not this). O(frames) per row, no shuffle. */
+  def wavEnergy(s: SparkSession, dir: String, winFrames: Int = 50)
+      : DataFrame = {
+    import s.implicits._
+    decodedWavCh0(s, dir, "q413")
+      .flatMap { case (id, v) =>
+        val nWin = (v.length + winFrames - 1) / winFrames
+        (0 until nWin).map { w =>
+          val lo = w * winFrames
+          val hi = math.min(lo + winFrames, v.length)
+          var e = 0L; var peak = 0L; var zc = 0L
+          var f = lo
+          while (f < hi) {
+            val x = v(f)
+            e += x.toLong * x
+            if (math.abs(x.toLong) > peak) peak = math.abs(x.toLong)
+            if (f > lo && ((v(f - 1) < 0) != (x < 0))) zc += 1
+            f += 1
+          }
+          (id, w.toLong, (hi - lo).toLong, e, peak, zc)
+        }
+      }
+      .toDF("doc_id", "win", "n_f", "energy", "peak_abs", "zc_w")
+  }
+
+  /** q414: AUDIO DELTA-SIGN FINGERPRINT — the q329 dHash idea on the
+    * time axis: per consecutive window pair, one bit = "energy
+    * rose", the coarse loudness CONTOUR that survives gain changes
+    * and re-encoding (what audio near-dup blocking actually keys
+    * on). Bits emit as rows (doc_id, win, bit) so the gate checks
+    * every bit against the oracle's formula replay. Waveforms with
+    * one window emit no rows. */
+  def wavFingerprint(s: SparkSession, dir: String, winFrames: Int = 50)
+      : DataFrame = {
+    import s.implicits._
+    decodedWavCh0(s, dir, "q414")
+      .flatMap { case (id, v) =>
+        val e = windowEnergies(v, winFrames)
+        (0 until e.length - 1).map(w =>
+          (id, w.toLong, if (e(w) > e(w + 1)) 1L else 0L))
+      }
+      .toDF("doc_id", "win", "bit")
+  }
+
+  private def windowEnergies(v: Array[Int], winFrames: Int): Array[Long] = {
+    val nWin = (v.length + winFrames - 1) / winFrames
+    val e = new Array[Long](nWin)
+    var f = 0
+    while (f < v.length) {
+      e(f / winFrames) += v(f).toLong * v(f)
+      f += 1
+    }
+    e
+  }
+
+  /** q415: AUDIO DECIMATION (resample by integer factor) on REAL
+    * decoded samples — the q321 nearest-neighbor-resize analog for
+    * the time axis: keep every `factor`-th frame of channel 0 (the
+    * 2:1 downsample a 16 kHz → 8 kHz pipeline stage performs, sans
+    * anti-alias filter — deterministic integer selection, so WAV
+    * losslessness makes the gate exact), and report the decimated
+    * signal's exact integer stats. The oracle replays the formula at
+    * the kept frames only — agreement means decode + decimate
+    * touched exactly the right samples. */
+  def wavResample(s: SparkSession, dir: String, factor: Int = 2)
+      : DataFrame = {
+    import s.implicits._
+    decodedWavCh0(s, dir, "q415")
+      .map { case (id, v) =>
+        var sum = 0L; var sumSq = 0L; var zc = 0L; var n = 0L
+        var prev = 0; var f = 0
+        while (f < v.length) {
+          if (f % factor == 0) {
+            val x = v(f)
+            sum += x; sumSq += x.toLong * x
+            if (n > 0 && ((prev < 0) != (x < 0))) zc += 1
+            prev = x; n += 1
+          }
+          f += 1
+        }
+        (id, n, sum, sumSq, zc)
+      }
+      .toDF("doc_id", "n_frames_ds", "sum_ds", "sum_sq_ds",
+        "zero_cross_ds")
+  }
+
+  /** q418: FINGERPRINT STABILITY UNDER REQUANTIZATION — the q392
+    * cross-codec dHash audit's audio analog, with an EXACT gate
+    * where q392 needed a tolerance: requantizing 16-bit samples to
+    * 8 bits and back (v' = (v div 256) · 256 — truncation toward
+    * zero on both engines) is a deterministic integer formula, so
+    * the oracle replays BOTH fingerprints and the per-doc hamming
+    * exactly. The content claim: the delta-sign loudness contour
+    * (q414) must be nearly invariant under the 8-bit quantization a
+    * lossy/telephony re-encode applies — per doc the original bits
+    * set, requantized bits set, and their hamming distance. */
+  def wavQuantizeDhash(s: SparkSession, dir: String,
+      winFrames: Int = 50): DataFrame = {
+    import s.implicits._
+    decodedWavCh0(s, dir, "q418")
+      .map { case (id, v) =>
+        val vq = v.map(x => (x / 256) * 256)
+        val e = windowEnergies(v, winFrames)
+        val eq = windowEnergies(vq, winFrames)
+        var bitsOrig = 0L; var bitsQ = 0L; var ham = 0L
+        var w = 0
+        while (w < e.length - 1) {
+          val b = e(w) > e(w + 1); val bq = eq(w) > eq(w + 1)
+          if (b) bitsOrig += 1
+          if (bq) bitsQ += 1
+          if (b != bq) ham += 1
+          w += 1
+        }
+        (id, (e.length - 1).toLong, bitsOrig, bitsQ, ham)
+      }
+      .toDF("doc_id", "n_bits", "bits_orig", "bits_quant", "hamming")
+  }
+
+  /** q419: STREAMING WAV DECODE under the oracle gate — q409's
+    * per-blob decode run as a structured stream over the staged
+    * media files (maxFilesPerTrigger batches through foreachBatch),
+    * each batch appending its decoded stats; the final table must
+    * EQUAL batch q409 (same oracle SQL — the q401 argument: stats
+    * are a pure per-blob function, so the streamed result is
+    * batching- and replay-invariant, with replay duplicates
+    * identical rows the final distinct collapses). The 100 TB shape:
+    * media lands continuously, decode stats ride the ingest stream —
+    * no second scan of the archive. */
+  def streamWavStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = stageWavMedia(s, dir, "q419m")
+    val stage = StreamingOps.stagingRoot("q419", dir)
+    val out = s"$stage/out"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    val mediaSchema = s.read.parquet(media).schema
+    val query = s.readStream.schema(mediaSchema)
+      .option("maxFilesPerTrigger", 8).parquet(media)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.as[BlobRow].mapPartitions { rows =>
+          rows.map { r =>
+            val (rate, ch, fr, sum, sumSq, zc) = wavStatsOf(r.blob)
+            (r.doc_id, rate, ch, fr, sum, sumSq, zc)
+          }
+        }.toDF("doc_id", "sample_rate", "n_channels", "n_frames",
+          "sum_samples", "sum_sq", "zero_cross_ch0")
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).distinct()
+  }
 }

@@ -116,6 +116,53 @@ class Round14Spec extends SparkSpec {
     assert(zc === (frames - 1).toLong)
   }
 
+  // ---- q413-q418: the windowed-audio family and the two new eval
+  // summaries — internal identities and cross-operator
+  // reconciliation on the real corpus.
+
+  test("q413/q415/q418: window energies reconcile with q409; quantized contour is stable") {
+    // mono waveforms (even doc_id → 1 channel): the q413 window
+    // energies must sum to exactly q409's whole-waveform sum_sq
+    val q409 = graft.operators.Multimodal.wavDecode(spark, sfDir)
+      .filter(col("n_channels") === 1L)
+      .select(col("doc_id"), col("sum_sq"))
+    val q413 = graft.operators.Multimodal.wavEnergy(spark, sfDir)
+      .groupBy(col("doc_id")).agg(sum(col("energy")).as("e"))
+    val mism = q409.join(q413, "doc_id")
+      .filter(col("sum_sq") =!= col("e")).count()
+    assert(mism === 0L, "window energies must tile the waveform exactly")
+    // q415 at factor 2 keeps ceil(frames/2) frames
+    val bad = graft.operators.Multimodal.wavResample(spark, sfDir)
+      .join(graft.operators.Multimodal.wavDecode(spark, sfDir), "doc_id")
+      .filter(col("n_frames_ds") =!= expr("(n_frames + 1) div 2")).count()
+    assert(bad === 0L, "decimation must keep every other frame")
+    // q418 content claim: the delta-sign loudness contour survives
+    // 8-bit requantization (observed hamming 0 at sf0.001/sf0.01;
+    // gate-style bound <= 2% of bits so a formula tweak can't
+    // silently gut the invariant)
+    val q418 = graft.operators.Multimodal.wavQuantizeDhash(spark, sfDir)
+      .agg(sum(col("hamming")).as("h"), sum(col("n_bits")).as("nb"))
+      .head()
+    assert(q418.getAs[Long]("nb") > 0L)
+    assert(q418.getAs[Long]("h") * 50L <= q418.getAs[Long]("nb"),
+      "quantized contour drifted past the 2% stability bound")
+  }
+
+  test("q416/q417: pair-mass identity and bounded summaries") {
+    val cd = graft.operators.Eval.cliffsDelta(spark, sfDir).head()
+    val n1 = cd.getAs[Long]("n1"); val n2 = cd.getAs[Long]("n2")
+    val gt = cd.getAs[java.math.BigDecimal]("n_gt").longValueExact()
+    val lt = cd.getAs[java.math.BigDecimal]("n_lt").longValueExact()
+    val tie = cd.getAs[java.math.BigDecimal]("n_tie").longValueExact()
+    assert(gt + lt + tie === n1 * n2,
+      "every (x, y) pair is greater, less, or tied — exactly once")
+    val d = cd.getAs[Long]("delta_micro")
+    assert(d >= -1000000L && d <= 1000000L)
+    val ap = graft.operators.Eval.averagePrecision(spark, sfDir).head()
+    val apMicro = ap.getAs[Long]("ap_micro")
+    assert(apMicro >= 0L && apMicro <= 1000000L)
+  }
+
   // ---- q390/q391: the DECIMAL(38,0) widenings hold where BIGINT
   // pair/rank products would wrap. 4.3e9 real rows don't fit a spec,
   // so the pin drives the exact agg expressions over a constructed
