@@ -452,7 +452,48 @@ object SparkEntry {
     "q418_wav_quantize_dhash" ->
       ((s, d) => Multimodal.wavQuantizeDhash(s, d)),
     "q419_stream_wav_stats" -> ((s, d) => Multimodal.streamWavStats(s, d)),
+    "q420_wav_neardup"      -> ((s, d) => Multimodal.wavNearDup(s, d)),
+    "q421_adamic_adar"      -> ((s, d) => Relational.adamicAdar(s, d)),
+    "q422_bloom_planner"    -> ((s, d) => Sketch.bloomPlanner(s, d)),
+    "q423_stream_unigram_apply" ->
+      ((s, d) => TextAnalysis.streamUnigramApply(s, d)),
   )
+
+  /** The q411 unigram-apply oracle — also the q423 gate verbatim
+    * (the maintained holdout vocabulary must land exactly the batch
+    * aggregate — the q388/q401 discipline). */
+  private lazy val unigramApplyOracle: String =
+    s"""WITH RECURSIVE $unigramTrainCtes,
+        |hw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |   SELECT lang, unnest(string_split(text, ' ')) AS w
+        |   FROM documents WHERE doc_id % 2 = 1) t
+        |  WHERE len(w) >= 1 GROUP BY 1, 2),
+        |hwd AS (SELECT DISTINCT w FROM hw),
+        |hp AS (SELECT w, unnest(range(len(w))) + 1 AS pos FROM hwd),
+        |hcand AS (SELECT hp.w, hp.pos, l.l,
+        |  substr(hp.w, hp.pos, l.l) AS sub
+        | FROM hp CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l
+        | WHERE hp.pos + l.l - 1 <= len(hp.w)),
+        |ga AS (SELECT c.w, c.pos,
+        |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+        |   AS bl
+        | FROM hcand c LEFT JOIN vf v ON v.piece = c.sub GROUP BY 1, 2),
+        |ka AS (SELECT w, 1 AS pos, 0 AS np FROM hwd
+        | UNION ALL
+        | SELECT k.w, k.pos + g.bl, k.np + 1
+        | FROM ka k JOIN ga g ON g.w = k.w AND g.pos = k.pos),
+        |npw AS (SELECT w, CAST(max(np) AS BIGINT) AS n_pieces
+        | FROM ka GROUP BY 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        | CAST(sum(freq) AS BIGINT) AS n_words,
+        | CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
+        | CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces,
+        | CAST(sum(freq * n_pieces) * 1000000 // sum(freq) AS BIGINT)
+        |  AS pieces_per_word_micro,
+        | CAST(sum(freq * len(w)) * 1000000
+        |   // nullif(sum(freq * n_pieces), 0) AS BIGINT)
+        |  AS chars_per_piece_micro
+        |FROM hw JOIN npw USING (w) GROUP BY lang""".stripMargin
 
   /** The q409 WAV-decode oracle — also the q419 gate verbatim
     * (decode stats are a pure per-blob function, so the streamed
@@ -9101,38 +9142,7 @@ object SparkEntry {
         | CAST(round(log10(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
         |  * 1e6) AS BIGINT) AS lp_micro
         |FROM c2, tot""".stripMargin,
-    "q411_unigram_apply" ->
-      s"""WITH RECURSIVE $unigramTrainCtes,
-        |hw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
-        |   SELECT lang, unnest(string_split(text, ' ')) AS w
-        |   FROM documents WHERE doc_id % 2 = 1) t
-        |  WHERE len(w) >= 1 GROUP BY 1, 2),
-        |hwd AS (SELECT DISTINCT w FROM hw),
-        |hp AS (SELECT w, unnest(range(len(w))) + 1 AS pos FROM hwd),
-        |hcand AS (SELECT hp.w, hp.pos, l.l,
-        |  substr(hp.w, hp.pos, l.l) AS sub
-        | FROM hp CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l
-        | WHERE hp.pos + l.l - 1 <= len(hp.w)),
-        |ga AS (SELECT c.w, c.pos,
-        |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
-        |   AS bl
-        | FROM hcand c LEFT JOIN vf v ON v.piece = c.sub GROUP BY 1, 2),
-        |ka AS (SELECT w, 1 AS pos, 0 AS np FROM hwd
-        | UNION ALL
-        | SELECT k.w, k.pos + g.bl, k.np + 1
-        | FROM ka k JOIN ga g ON g.w = k.w AND g.pos = k.pos),
-        |npw AS (SELECT w, CAST(max(np) AS BIGINT) AS n_pieces
-        | FROM ka GROUP BY 1)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
-        | CAST(sum(freq) AS BIGINT) AS n_words,
-        | CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
-        | CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces,
-        | CAST(sum(freq * n_pieces) * 1000000 // sum(freq) AS BIGINT)
-        |  AS pieces_per_word_micro,
-        | CAST(sum(freq * len(w)) * 1000000
-        |   // nullif(sum(freq * n_pieces), 0) AS BIGINT)
-        |  AS chars_per_piece_micro
-        |FROM hw JOIN npw USING (w) GROUP BY lang""".stripMargin,
+    "q411_unigram_apply" -> unigramApplyOracle,
     // q412: maintenance is gated stream ≡ batch — the q384 oracle
     // verbatim (the q388/q401 discipline).
     "q412_stream_exact_substr" -> exactSubstrOracle,
@@ -9258,5 +9268,91 @@ object SparkEntry {
         |FROM p GROUP BY 1""".stripMargin,
     // q419: stream ≡ batch — the q409 oracle verbatim.
     "q419_stream_wav_stats" -> wavDecodeOracle,
+    // q420: the staged twins, fingerprints, banding, and hamming
+    // verification all replayed from the sample formula.
+    "q420_wav_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS src, FALSE AS q
+        |  FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+        | WHERE doc_id % 10 = 0),
+        |d AS (SELECT id, src, q, src % 400 + 50 AS frames FROM ids),
+        |fr AS (SELECT id, q, src, unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT id, f,
+        |  CASE WHEN q
+        |   THEN (((src * 31 + f * 17) % 65536 - 32768) // 256) * 256
+        |   ELSE (src * 31 + f * 17) % 65536 - 32768 END AS v FROM fr),
+        |e AS (SELECT id, f // 10 AS win, sum(v * v) AS e
+        | FROM sm GROUP BY 1, 2),
+        |p AS (SELECT id, win, e,
+        |  lead(e) OVER (PARTITION BY id ORDER BY win) AS en FROM e),
+        |fp AS (SELECT id, string_agg(CASE WHEN e > en THEN '1'
+        |    ELSE '0' END, '' ORDER BY win) AS bits
+        | FROM p WHERE en IS NOT NULL GROUP BY 1),
+        |fpn AS (SELECT id, bits, CAST(len(bits) AS BIGINT) AS nb
+        | FROM fp WHERE len(bits) >= 4),
+        |bands AS (SELECT id, bits, nb, b AS band,
+        |  substr(bits, CAST(b * nb // 4 AS INT) + 1,
+        |    CAST((b + 1) * nb // 4 - b * nb // 4 AS INT)) AS slice
+        | FROM fpn CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2,
+        |  a.bits AS b1, b.bits AS b2, a.nb
+        | FROM bands a JOIN bands b ON a.nb = b.nb AND a.band = b.band
+        |  AND a.slice = b.slice AND a.id < b.id),
+        |h AS (SELECT d1, d2, nb AS n_bits,
+        |  CAST(len(list_filter(range(nb), i ->
+        |    substr(b1, CAST(i AS INT) + 1, 1)
+        |     <> substr(b2, CAST(i AS INT) + 1, 1))) AS BIGINT)
+        |   AS hamming
+        | FROM cand)
+        |SELECT d1, d2, n_bits, hamming FROM h
+        |WHERE hamming <= 2""".stripMargin,
+    // q421: q356's wedge CTEs with the rarity weight — per-neighbor
+    // micro-rounded 1/ln(deg), integer-summed per pair.
+    "q421_adamic_adar" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |c AS (SELECT a.l_partkey AS d1, b.l_partkey AS d2
+        | FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION ALL SELECT d2, d1 FROM c),
+        |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg,
+        |  CAST(round(1e6 / ln(count(*))) AS BIGINT) AS w_micro
+        | FROM adj GROUP BY 1),
+        |w AS (SELECT a.u AS v, b.u AS u,
+        |  CAST(count(*) AS BIGINT) AS common,
+        |  CAST(sum(dg.w_micro) AS BIGINT) AS aa_micro
+        | FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+        |  JOIN dg ON dg.v = a.v
+        | GROUP BY 1, 2),
+        |ne AS (SELECT w.v, w.u, w.common, w.aa_micro FROM w
+        | LEFT JOIN c ON c.d1 = w.v AND c.d2 = w.u WHERE c.d1 IS NULL)
+        |SELECT v AS part_a, u AS part_b, common, aa_micro
+        |FROM ne ORDER BY aa_micro DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+    // q422: the real distinct-shingle count, one exp per grid row
+    // micro-rounded, the k-th power as an exact integer fold.
+    "q422_bloom_planner" ->
+      s"""WITH $shinglesCte,
+        |n AS (SELECT CAST(count(DISTINCT s1) AS BIGINT) AS n_items
+        | FROM (SELECT unnest(sh) AS s1 FROM t)),
+        |g AS (SELECT CAST(m.m_over_n AS BIGINT) AS m_over_n,
+        |  CAST(k.k AS BIGINT) AS k
+        | FROM (SELECT unnest([4, 8, 12, 16]) AS m_over_n) m,
+        |  (SELECT unnest(range(1, 13)) AS k) k),
+        |g2 AS (SELECT m_over_n, k, n_items,
+        |  CAST(n_items * m_over_n AS BIGINT) AS m_bits,
+        |  CAST(round((1 - exp(-CAST(k AS DOUBLE) / m_over_n)) * 1e6)
+        |   AS BIGINT) AS term_micro
+        | FROM g, n)
+        |SELECT m_over_n, k, n_items, m_bits, term_micro,
+        | CAST(list_reduce(list_transform(range(k), x -> term_micro),
+        |   (a, b) -> a * b // 1000000) AS BIGINT) AS fp_micro,
+        | CAST((m_over_n * 693147 + 500000) // 1000000 AS BIGINT)
+        |  AS k_opt,
+        | k = (m_over_n * 693147 + 500000) // 1000000 AS is_k_opt
+        |FROM g2""".stripMargin,
+    // q423: stream ≡ batch — the q411 oracle verbatim.
+    "q423_stream_unigram_apply" -> unigramApplyOracle,
   )
 }

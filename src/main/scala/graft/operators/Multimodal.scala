@@ -1115,4 +1115,92 @@ object Multimodal {
     query.awaitTermination()
     s.read.parquet(out).distinct()
   }
+
+  /** Encode one channel-0 sample array as a real mono RIFF/WAVE blob
+    * (16-bit signed LE PCM at 8 kHz) — the q420 twin-staging core. */
+  private def encodeWavMono(v: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](v.length * 2)
+    var f = 0
+    while (f < v.length) {
+      pcm(2 * f) = (v(f) & 0xff).toByte
+      pcm(2 * f + 1) = ((v(f) >> 8) & 0xff).toByte
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, v.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** q420: AUDIO NEAR-DUP PAIRS end to end — the q22 MinHash-LSH
+    * blocking discipline on the new modality, run over REAL decoded
+    * bytes: every tenth waveform is also staged as its 8-bit
+    * REQUANTIZED twin (id + 10⁷ — a simulated telephony re-encode,
+    * the q418 transform), every staged blob is decoded and
+    * fingerprinted (delta-sign loudness contour, 10-frame windows —
+    * fine enough that unrelated waveforms don't collide), and pairs
+    * are found the production way: BAND the fingerprint into 4
+    * equal slices, equi-join on (n_bits, band, slice) — never blob ×
+    * blob — and verify candidates with the exact hamming distance
+    * (≤ maxHam). The staged twins are the planted ground truth: the
+    * oracle replays fingerprints, banding, and verification from the
+    * sample formula, so the gate checks the WHOLE retrieval
+    * pipeline, not just the transform. */
+  def wavNearDup(s: SparkSession, dir: String, winFrames: Int = 10,
+      maxHam: Int = 2): DataFrame = {
+    import s.implicits._
+    val media = s"${StreamingOps.stagingRoot("q420", dir)}/media"
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val frames = (id % 400 + 50).toInt
+          val v = Array.tabulate(frames)(f =>
+            (((id * 31L + f.toLong * 17L) % 65536L) - 32768L).toInt)
+          val orig = Seq((id, encodeWavMono(v)))
+          if (id % 10 == 0)
+            orig :+ ((id + 10000000L,
+              encodeWavMono(v.map(x => (x / 256) * 256))))
+          else orig
+        }
+      }.toDF("doc_id", "blob")
+      .write.mode("overwrite").parquet(media)
+    val fp = s.read.parquet(media).as[BlobRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val e = windowEnergies(wavCh0Of(r.blob), winFrames)
+          val bits = (0 until e.length - 1)
+            .map(w => if (e(w) > e(w + 1)) '1' else '0').mkString
+          (r.doc_id, bits)
+        }
+      }.toDF("doc_id", "bits")
+      .withColumn("nb", length(col("bits")).cast("long"))
+      .filter(col("nb") >= 4)
+      .localCheckpoint()
+    // 4 equal bands by integer boundaries (band i covers
+    // [i·nb div 4, (i+1)·nb div 4) — same formula both engines)
+    val bands = fp.select(col("doc_id"), col("bits"), col("nb"),
+      posexplode(expr(
+        """transform(sequence(0, 3), i ->
+          |  substring(bits, CAST(i * nb div 4 AS INT) + 1,
+          |    CAST((i + 1) * nb div 4 - i * nb div 4 AS INT)))"""
+          .stripMargin)))
+      .toDF("doc_id", "bits", "nb", "band", "slice")
+    val cand = bands.toDF("d1", "b1", "nb", "band", "slice").as("a")
+      .join(bands.toDF("d2", "b2", "nb", "band", "slice")
+        .hint("shuffle_hash").as("b"),
+        Seq("nb", "band", "slice"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("b1"), col("b2"), col("nb"))
+      .distinct()
+    cand.withColumn("hamming", expr(
+        """CAST(size(filter(sequence(1, CAST(nb AS INT)), i ->
+          |  substring(b1, i, 1) != substring(b2, i, 1))) AS BIGINT)"""
+          .stripMargin))
+      .filter(col("hamming") <= maxHam)
+      .select(col("d1"), col("d2"), col("nb").as("n_bits"),
+        col("hamming"))
+  }
 }

@@ -430,6 +430,51 @@ object Relational {
       .orderBy(col("jacc_ppm").desc, col("part_a"), col("part_b")).limit(k)
   }
 
+  /** q421: ADAMIC–ADAR link prediction (Adamic & Adar 2003,
+    * "Friends and neighbors on the Web") — q356's common-neighbor
+    * Jaccard treats every shared neighbor equally; Adamic–Adar
+    * weights each by its RARITY, Σ_m 1/ln(deg m): a shared neighbor
+    * that co-occurs with everything (the hub part in every order)
+    * carries almost no evidence, a rare shared neighbor carries a
+    * lot — the standard fix for hub-dominated co-occurrence graphs.
+    * Determinism: the per-NEIGHBOR weight is one fixed IEEE
+    * expression micro-rounded ONCE on the bounded degree frame
+    * (deg ≥ 2 for any wedge center, so ln > 0), and per-pair scores
+    * are exact INTEGER sums of those micro weights — order-free (the
+    * q361 discipline). Same wedge-join shapes as q356: never
+    * vertex × vertex. */
+  def adamicAdar(s: SparkSession, dir: String, minPairs: Long = 2L,
+      k: Int = 20): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("d1"), col("b.l_partkey").as("d2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPairs)
+      .select(col("d1"), col("d2"))
+    val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+      .localCheckpoint()
+    val degW = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .withColumn("w_micro",
+        round(lit(1e6) / log(col("deg").cast("double"))).cast("long"))
+    val wedges = adj.toDF("m", "v")
+      .join(adj.toDF("m", "u").hint("shuffle_hash"), "m")
+      .filter(col("v") < col("u"))
+      .join(degW.select(col("v").as("m"), col("w_micro"))
+        .hint("shuffle_hash"), "m")
+      .groupBy(col("v"), col("u"))
+      .agg(count(lit(1)).as("common"), sum(col("w_micro")).as("aa_micro"))
+    wedges.join(edges.toDF("v", "u"), Seq("v", "u"), "left_anti")
+      .select(col("v").as("part_a"), col("u").as("part_b"),
+        col("common"), col("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
     * of q141/q256: a rule a→b carries support (how often the pair
     * occurs at all), CONFIDENCE (p(b|a) — the number a "customers

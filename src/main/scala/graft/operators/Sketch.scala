@@ -703,4 +703,37 @@ object Sketch {
     rows.toDF("source", "token", "cnt", "rank", "within_bound",
       "present_ok")
   }
+
+  /** q422: BLOOM-FILTER CAPACITY PLANNER — q342 prices the LSH
+    * banding grid; this prices the OTHER index every decontamination
+    * / membership pass provisions (q88's filter): for the REAL
+    * distinct-shingle count n of this corpus and a (bits-per-item,
+    * hash-count) grid, the expected false-positive rate
+    * (1 − e^{−k·n/m})^k and the textbook optimum k* = (m/n)·ln 2 —
+    * the "how many bits do I buy for a 10⁻⁴ FP budget at 100 TB"
+    * table, computed before any filter is built. Determinism: ONE
+    * libm call per grid row (exp, micro-rounded — the q176 ln
+    * convention); the k-th power then rides an exact integer fold
+    * (acc·term div 10⁶ — identical truncation chain on both
+    * engines); k* is pure integer arithmetic on the ln2 literal. */
+  def bloomPlanner(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir)
+      .select(explode(shingles3(col("text"))).as("sh"))
+      .agg(countDistinct(col("sh")).as("n_items"))
+    val grid = s.createDataFrame(
+        for (m <- Seq(4L, 8L, 12L, 16L); k <- 1L to 12L) yield (m, k))
+      .toDF("m_over_n", "k")
+    grid.crossJoin(broadcast(n))
+      .withColumn("m_bits", col("n_items") * col("m_over_n"))
+      .withColumn("term_micro",
+        round((lit(1.0) -
+          exp(negate(col("k").cast("double") / col("m_over_n"))))
+          * 1e6).cast("long"))
+      .withColumn("fp_micro", expr(
+        "aggregate(sequence(1, CAST(k AS INT)), 1000000L, " +
+          "(acc, i) -> acc * term_micro div 1000000)"))
+      .withColumn("k_opt",
+        expr("(m_over_n * 693147 + 500000) div 1000000"))
+      .withColumn("is_k_opt", col("k") === col("k_opt"))
+  }
 }

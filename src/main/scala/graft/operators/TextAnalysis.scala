@@ -1842,11 +1842,22 @@ object TextAnalysis {
       target: Int = 50): DataFrame = {
     val vocab = unigramVocab(
       trainWords(s, dir).localCheckpoint(), seedMultis, target)
-    val holdout = Tables.documents(s, dir)
-      .filter(col("doc_id") % 2 =!= 0)
-      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    unigramApplyReport(
+      holdoutWords(Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)),
+      vocab)
+  }
+
+  /** Per-(lang, word) vocabulary of a holdout frame — shared by the
+    * batch (q411) and streaming (q423) apply paths. */
+  private def holdoutWords(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+
+  /** The q411 fertility report over any (lang, w, freq) holdout
+    * vocabulary and frozen piece set. */
+  private def unigramApplyReport(holdout: DataFrame, vocab: DataFrame)
+      : DataFrame =
     segmentWords(holdout, vocab)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_vocab"),
@@ -1857,5 +1868,76 @@ object TextAnalysis {
         expr("n_pieces * 1000000 div n_words"))
       .withColumn("chars_per_piece_micro",
         expr("n_chars * 1000000 div nullif(n_pieces, 0)"))
+
+  // ---------------------------------------------------------------
+  // q423: STREAMING unigram-tokenizer apply — the q412 store
+  // treatment for q411's holdout vocabulary: the odd split arrives
+  // as a stream, each micro-batch appends its per-(lang, word)
+  // counts TAGGED WITH THE BATCH ID (checkpoint replay re-appends
+  // identical rows the read collapses — max per (lang, w, batch),
+  // then sum across batches, since each doc arrives exactly once),
+  // and the fertility report runs the UNCHANGED q411 tail over the
+  // maintained vocabulary with the same frozen even-split pieces.
+  // Gate: stream ≡ batch q411, oracle verbatim.
+  // ---------------------------------------------------------------
+
+  /** ONE micro-batch of the q423 protocol (factored for specs). */
+  private[graft] def unigramStreamBatch(s: SparkSession,
+      stateRoot: String, batch: DataFrame, batchId: Long,
+      compactEvery: Int = 3): Unit = {
+    import graft.operators.StreamingOps.{readStoreAll, publishStore, storeDeltaDir}
+    holdoutWords(batch).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(storeDeltaDir(stateRoot, "uvocab"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      readStoreAll(s, stateRoot, "uvocab").foreach(r => publishStore(
+        s, stateRoot, "uvocab",
+        r.groupBy(col("lang"), col("w"), col("batch_id"))
+          .agg(max(col("freq")).as("freq")).localCheckpoint(),
+        Seq.empty))
+  }
+
+  /** The maintained holdout vocabulary: collapse replay duplicates
+    * per (lang, w, batch), then merge batches by sum. */
+  private[graft] def readStreamVocab(s: SparkSession,
+      stateRoot: String): DataFrame =
+    StreamingOps.readStoreAll(s, stateRoot, "uvocab").get
+      .groupBy(col("lang"), col("w"), col("batch_id"))
+      .agg(max(col("freq")).as("freq"))
+      .groupBy(col("lang"), col("w")).agg(sum(col("freq")).as("freq"))
+
+  /** q423: the continuously maintained holdout vocabulary priced by
+    * the frozen tokenizer — must EQUAL one-shot q411 however the
+    * stream was batched, replayed, or compacted. */
+  def streamUnigramApply(s: SparkSession, dir: String,
+      seedMultis: Int = 200, target: Int = 50): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q423", dir)
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+    Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartitionByRange(6, col("doc_id")).toJSON
+      .write.mode("overwrite").text(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).json(inDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        unigramStreamBatch(s, stateRoot, df, id)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    unigramApplyReport(readStreamVocab(s, stateRoot),
+      unigramVocab(trainWords(s, dir).localCheckpoint(), seedMultis,
+        target))
   }
 }

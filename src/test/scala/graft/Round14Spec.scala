@@ -163,6 +163,42 @@ class Round14Spec extends SparkSpec {
     assert(apMicro >= 0L && apMicro <= 1000000L)
   }
 
+  // ---- q420/q422: planted ground truth and planner invariants.
+
+  test("q420: every planted requantized twin is retrieved at hamming 0") {
+    val pairs = graft.operators.Multimodal.wavNearDup(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("hamming")))
+    val planted = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    for (id <- planted) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 10000000L)
+      assert(hit.isDefined, s"planted twin of $id not retrieved")
+      assert(hit.get._3 === 0L,
+        s"twin of $id retrieved but contour drifted (hamming ${hit.get._3})")
+    }
+  }
+
+  test("q422: planner fp rates are well-formed and k* beats the grid ends") {
+    val rows = graft.operators.Sketch.bloomPlanner(spark, sfDir)
+      .collect()
+    assert(rows.length === 48)
+    assert(rows.forall { r =>
+      val fp = r.getAs[Long]("fp_micro"); fp >= 0L && fp <= 1000000L })
+    for ((m, grp) <- rows.groupBy(_.getAs[Long]("m_over_n"))) {
+      val byK = grp.map(r => r.getAs[Long]("k") -> r.getAs[Long]("fp_micro"))
+        .toMap
+      val kOpt = grp.head.getAs[Long]("k_opt")
+      assert(kOpt >= 1L && kOpt <= 12L,
+        s"m/n=$m: k* must land inside the grid")
+      assert(grp.count(_.getAs[Boolean]("is_k_opt")) === 1)
+      assert(byK(kOpt) <= byK(1L) && byK(kOpt) <= byK(12L),
+        s"m/n=$m: the textbook k* must beat both grid ends")
+    }
+  }
+
   // ---- q390/q391: the DECIMAL(38,0) widenings hold where BIGINT
   // pair/rank products would wrap. 4.3e9 real rows don't fit a spec,
   // so the pin drives the exact agg expressions over a constructed
