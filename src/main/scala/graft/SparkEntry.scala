@@ -457,6 +457,11 @@ object SparkEntry {
     "q422_bloom_planner"    -> ((s, d) => Sketch.bloomPlanner(s, d)),
     "q423_stream_unigram_apply" ->
       ((s, d) => TextAnalysis.streamUnigramApply(s, d)),
+    "q424_holt_forecast"    -> ((s, d) => Events.holtForecast(s, d)),
+    "q425_chunked_ttr"      -> ((s, d) => TextAnalysis.chunkedTtr(s, d)),
+    "q426_ivf_balance"      -> ((s, d) => Similarity.ivfBalance(s, d)),
+    "q427_cms_planner"      -> ((s, d) => Sketch.cmsPlanner(s, d)),
+    "q428_wav_gain"         -> ((s, d) => Multimodal.wavGain(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -9354,5 +9359,123 @@ object SparkEntry {
         |FROM g2""".stripMargin,
     // q423: stream ≡ batch — the q411 oracle verbatim.
     "q423_stream_unigram_apply" -> unigramApplyOracle,
+    // q424: the exact-binary-fraction Holt recursion replayed as a
+    // recursive CTE (one deterministic path over the bounded hourly
+    // series).
+    "q424_holt_forecast" ->
+      """WITH RECURSIVE hc AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |ord AS (SELECT h, n, row_number() OVER (ORDER BY h) AS i
+        | FROM hc),
+        |mx AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(max(h) AS BIGINT) AS h_last FROM ord),
+        |rec AS (
+        | SELECT CAST(1 AS BIGINT) AS i,
+        |  (SELECT n FROM ord WHERE i = 1) * 1000 AS l,
+        |  ((SELECT n FROM ord WHERE i = 2)
+        |    - (SELECT n FROM ord WHERE i = 1)) * 1000 AS b
+        | UNION ALL
+        | SELECT rec.i + 1,
+        |  (o.n * 1000 + rec.l + rec.b) // 2,
+        |  ((o.n * 1000 + rec.l + rec.b) // 2 - rec.l) // 4
+        |    + (3 * rec.b) // 4
+        | FROM rec JOIN ord o ON o.i = rec.i + 1),
+        |fin AS (SELECT l, b FROM rec, mx WHERE rec.i = mx.m)
+        |SELECT CAST(k.k AS BIGINT) AS k,
+        | CAST(h_last + k.k AS BIGINT) AS h_pred, m AS n_hours,
+        | CAST(l AS BIGINT) AS level_milli,
+        | CAST(b AS BIGINT) AS trend_milli,
+        | CAST(l + k.k * b AS BIGINT) AS forecast_milli
+        |FROM fin, mx, (SELECT unnest(range(1, 4)) AS k) k""".stripMargin,
+    "q425_chunked_ttr" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) // 50 AS BIGINT)
+        |  AS n_chunks FROM tt),
+        |f AS (SELECT doc_id, n_chunks, unnest(range(n_chunks)) AS c,
+        |  tk FROM d WHERE n_chunks >= 1),
+        |t2 AS (SELECT doc_id, n_chunks,
+        |  CAST(len(list_distinct(
+        |    list_slice(tk, c * 50 + 1, c * 50 + 50))) AS BIGINT)
+        |   * 1000000 // 50 AS ttr
+        | FROM f)
+        |SELECT doc_id, n_chunks,
+        | CAST(sum(ttr) // n_chunks AS BIGINT) AS mattr_ppm
+        |FROM t2 GROUP BY 1, 2""".stripMargin,
+    // q426: the q394 assignment chain reduced to per-cell loads.
+    "q426_ivf_balance" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        | FROM q),
+        |cu AS (SELECT label, unnest(v) AS x,
+        |  generate_subscripts(v, 1) - 1 AS pos FROM q),
+        |cs AS (SELECT label, pos, sum(x) AS sx, count(*) AS nv
+        | FROM cu GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |  list(CAST(trunc(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+        |    ORDER BY pos) AS cv
+        | FROM cs GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2
+        | FROM cl),
+        |ac AS (SELECT m.vec_id, cn.label,
+        |  CAST(CAST(list_sum(list_transform(range(64),
+        |      i -> m.v[i+1] * cn.cv[i+1])) AS BIGINT) AS DOUBLE)
+        |   / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+        |   AS ccos
+        | FROM m, cn),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, label AS cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, label) AS rk
+        |  FROM ac) t WHERE rk = 1),
+        |cells AS (SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(count(*) AS BIGINT) AS n_vecs FROM asg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+        |SELECT cell, n_vecs,
+        | CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
+        | CAST(n_vecs * n_cells * 1000000 // n_total AS BIGINT)
+        |  AS load_factor_ppm
+        |FROM cells, tot""".stripMargin,
+    // q427: total token mass; HUGEINT product for the e*n bound; one
+    // exp per depth micro-rounded.
+    "q427_cms_planner" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)),
+        |g AS (SELECT CAST(w.w AS BIGINT) AS w, CAST(d.d AS BIGINT) AS d
+        | FROM (SELECT unnest([256, 1024, 4096, 16384]) AS w) w,
+        |  (SELECT unnest(range(1, 7)) AS d) d)
+        |SELECT w, d, n_tokens, CAST(w * d * 8 AS BIGINT) AS mem_bytes,
+        | CAST(CAST(n_tokens AS HUGEINT) * 2718282 // w // 1000000
+        |  AS BIGINT) AS err_bound_tokens,
+        | CAST(round(exp(-CAST(d AS DOUBLE)) * 1e6) AS BIGINT)
+        |  AS fail_micro
+        |FROM g, n""".stripMargin,
+    // q428: ch0 formula stats; sqrt is IEEE-exact so the milli chain
+    // replays bit-for-bit.
+    "q428_wav_gain" ->
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 50 AS frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(frames)) AS f FROM d),
+        |sm AS (SELECT doc_id, f,
+        |  (doc_id * 31 + f * 17) % 65536 - 32768 AS v FROM fr),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq_ch0,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+        | FROM sm GROUP BY 1)
+        |SELECT doc_id, n_frames, sum_sq_ch0, peak_abs,
+        | CAST(round(sqrt(CAST(sum_sq_ch0 AS DOUBLE) / n_frames)
+        |   * 1000) AS BIGINT) AS rms_milli,
+        | CAST(round(8000 * 1000
+        |   / sqrt(CAST(sum_sq_ch0 AS DOUBLE) / n_frames)) AS BIGINT)
+        |  AS gain_milli,
+        | peak_abs * CAST(round(8000 * 1000
+        |   / sqrt(CAST(sum_sq_ch0 AS DOUBLE) / n_frames)) AS BIGINT)
+        |  > 32767000 AS would_clip
+        |FROM st""".stripMargin,
   )
 }

@@ -2012,4 +2012,46 @@ object Events {
       .withColumn("mase_ppm",
         expr("sae_seasonal * 1000000 div nullif(sae_naive, 0)"))
   }
+
+  /** q424: HOLT LINEAR-TREND FORECAST (Holt 1957) — the level+trend
+    * exponential smoother between q189's EWMA (level only) and
+    * q253's STL (level+trend+season): the short-horizon load
+    * forecast a capacity planner reads. Smoothing weights are the
+    * EXACT BINARY fractions α = 1/2, β = 1/4, so the whole
+    * recursion runs in INTEGER milli units (l_t = (y_t·1000 +
+    * l_{t−1} + b_{t−1}) div 2; b_t = Δl div 4 + 3b div 4) — no
+    * float ever enters, and the DuckDB oracle replays the recursion
+    * as a recursive CTE (one deterministic path). The series is the
+    * BOUNDED hourly frame (the q253/q271 argument: the corpus grows
+    * in rows, the hour domain doesn't), folded in one codegen
+    * aggregate. Output: the fitted level/trend and the next
+    * `horizon` hourly forecasts. */
+  def holtForecast(s: SparkSession, dir: String, horizon: Int = 3)
+      : DataFrame = holtFrom(hourlyCounts(s, dir), horizon)
+
+  /** q424 over any (h, n) series frame — the spec seam (a constant
+    * series must fit trend 0 and forecast the constant). */
+  private[graft] def holtFrom(hourly: DataFrame, horizon: Int)
+      : DataFrame = {
+    val series = hourly.toDF("h", "n").agg(
+      expr("transform(array_sort(collect_list(" +
+        "named_struct('h', h, 'n', n))), e -> e.n)").as("ys"),
+      max(col("h")).as("h_last"), count(lit(1)).as("n_hours"))
+    series.filter(size(col("ys")) >= 2)
+      .withColumn("lb", expr(
+        """aggregate(slice(ys, 2, size(ys) - 1),
+          |named_struct('l', element_at(ys, 1) * 1000L,
+          |  'b', (element_at(ys, 2) - element_at(ys, 1)) * 1000L),
+          |(acc, y) -> named_struct(
+          |  'l', (y * 1000L + acc.l + acc.b) div 2,
+          |  'b', ((y * 1000L + acc.l + acc.b) div 2 - acc.l) div 4
+          |    + (3 * acc.b) div 4))""".stripMargin))
+      .select(col("n_hours"), col("h_last"),
+        col("lb.l").as("level_milli"), col("lb.b").as("trend_milli"),
+        explode(expr(s"sequence(1L, ${horizon}L)")).as("k"))
+      .select(col("k"), (col("h_last") + col("k")).as("h_pred"),
+        col("n_hours"), col("level_milli"), col("trend_milli"),
+        (col("level_milli") + col("k") * col("trend_milli"))
+          .as("forecast_milli"))
+  }
 }

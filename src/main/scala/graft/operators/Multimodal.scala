@@ -1203,4 +1203,40 @@ object Multimodal {
       .select(col("d1"), col("d2"), col("nb").as("n_bits"),
         col("hamming"))
   }
+
+  /** q428: LOUDNESS-NORMALIZATION GAIN on REAL decoded samples — the
+    * per-asset number a batch audio normalizer computes before
+    * touching a sample: channel-0 RMS (sqrt is IEEE
+    * correctly-rounded on every engine — the q202 argument — so the
+    * milli-rounded chain is bit-stable cross-engine), the linear
+    * gain that would bring it to the target RMS, and whether
+    * applying that gain would CLIP (peak·gain past full scale —
+    * exact integer compare, no float). O(frames) per row, zero
+    * shuffle. */
+  def wavGain(s: SparkSession, dir: String,
+      targetRms: Long = 8000L): DataFrame = {
+    import s.implicits._
+    s.read.parquet(stageWavMedia(s, dir, "q428")).as[BlobRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = wavCh0Of(r.blob)
+          var ssq = 0L; var peak = 0L
+          var f = 0
+          while (f < v.length) {
+            ssq += v(f).toLong * v(f)
+            if (math.abs(v(f).toLong) > peak) peak = math.abs(v(f).toLong)
+            f += 1
+          }
+          (r.doc_id, v.length.toLong, ssq, peak)
+        }
+      }.toDF("doc_id", "n_frames", "sum_sq_ch0", "peak_abs")
+      .withColumn("rms_milli", expr(
+        "CAST(round(sqrt(CAST(sum_sq_ch0 AS DOUBLE) / n_frames)" +
+          " * 1000) AS BIGINT)"))
+      .withColumn("gain_milli", expr(
+        s"CAST(round($targetRms * 1000 /" +
+          " sqrt(CAST(sum_sq_ch0 AS DOUBLE) / n_frames)) AS BIGINT)"))
+      .withColumn("would_clip",
+        col("peak_abs") * col("gain_milli") > lit(32767000L))
+  }
 }

@@ -1439,6 +1439,30 @@ object Similarity {
       .distinct()
   }
 
+  /** q426: IVF CELL-BALANCE AUDIT — the index-health number the
+    * whole q38/q99/q298 probe family's latency rides on: a probe
+    * touches nprobe cells, so ONE hot cell sets the tail latency and
+    * a starving cell wastes its centroid. Per cell: vector count,
+    * corpus share (ppm), and load factor vs the uniform ideal
+    * (n_vecs·k·10⁶ div n_total — 1e6 means perfectly balanced; the
+    * "when do I re-train or split the quantizer" signal, priced
+    * before any probe runs). One assignment pass (centroids
+    * broadcast) + one bounded per-cell agg. */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    val embQ = quantizedL(s, dir)
+    val asg = assignTo(embQ.select(col("vec_id"), col("v"), col("n2")),
+      centroidsOf(embQ), 0, 64)
+    val cells = asg.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000 div n_total").as("share_ppm"),
+        expr("n_vecs * n_cells * 1000000 div n_total")
+          .as("load_factor_ppm"))
+  }
+
   /** q394: HARD-NEGATIVE MINING via IVF cells (round-13) — the
     * contrastive-training data op q237's random pairing can't
     * provide: for every anchor, the MOST SIMILAR vector of a

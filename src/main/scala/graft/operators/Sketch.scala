@@ -704,6 +704,33 @@ object Sketch {
       "present_ok")
   }
 
+  /** q427: COUNT-MIN CAPACITY PLANNER — the q422 treatment for the
+    * OTHER sketch this engine provisions (q60's count-min): for the
+    * real total token mass n and a (width, depth) grid, the
+    * Cormode–Muthukrishnan guarantee priced in corpus units — the
+    * overcount bound e·n/w (exact integer: n·e_micro div w div 10⁶,
+    * the product on DECIMAL(38,0) since n·e_micro wraps BIGINT past
+    * ~3e12 tokens) and the failure probability e^{−d} (one libm exp
+    * per depth, micro-rounded), plus the memory each point buys.
+    * "How wide must the sketch be for ±1000-token error at 100 TB"
+    * answered before any counter is allocated. */
+  def cmsPlanner(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val grid = s.createDataFrame(
+        for (w <- Seq(256L, 1024L, 4096L, 16384L); d <- 1L to 6L)
+          yield (w, d))
+      .toDF("w", "d")
+    grid.crossJoin(broadcast(n))
+      .select(col("w"), col("d"), col("n_tokens"),
+        (col("w") * col("d") * 8L).as("mem_bytes"),
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 2718282 div w" +
+          " div 1000000 AS BIGINT)").as("err_bound_tokens"),
+        round(exp(negate(col("d").cast("double"))) * 1e6).cast("long")
+          .as("fail_micro"))
+  }
+
   /** q422: BLOOM-FILTER CAPACITY PLANNER — q342 prices the LSH
     * banding grid; this prices the OTHER index every decontamination
     * / membership pass provisions (q88's filter): for the REAL

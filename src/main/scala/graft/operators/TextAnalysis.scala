@@ -1702,6 +1702,37 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** q425: CHUNKED TYPE-TOKEN RATIO (MATTR-family; Covington &
+    * McFall 2010) — raw TTR (q28's signal) collapses as documents
+    * grow (every long document looks "low diversity"), which is why
+    * length-stratified quality cuts misfire; the moving/chunked fix
+    * scores diversity over FIXED 50-token chunks so documents of any
+    * length are comparable. Per doc: full 50-token chunks only, TTR
+    * ppm per chunk (exact integers), document score = integer mean
+    * over chunks. Pure per-row array expressions — zero shuffle,
+    * whole-stage codegen; docs under 50 tokens emit no row (no
+    * full chunk — exactly the honesty raw TTR lacks). */
+  def chunkedTtr(s: SparkSession, dir: String, chunk: Int = 50)
+      : DataFrame =
+    chunkedTtrOf(Tables.documents(s, dir), chunk)
+
+  /** q425 over any (doc_id, text) frame — the spec seam. */
+  private[graft] def chunkedTtrOf(docs: DataFrame, chunk: Int = 50)
+      : DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_chunks",
+        (size(col("tk")) / chunk).cast("long"))
+      .filter(col("n_chunks") >= 1)
+      .select(col("doc_id"), col("n_chunks"),
+        expr(s"""aggregate(
+          |  transform(sequence(0, CAST(n_chunks AS INT) - 1), c ->
+          |    size(array_distinct(slice(tk, c * $chunk + 1, $chunk)))
+          |      * 1000000L div $chunk),
+          |  0L, (acc, t) -> acc + t)""".stripMargin).as("ttr_sum"))
+      .select(col("doc_id"), col("n_chunks"),
+        expr("ttr_sum div n_chunks").as("mattr_ppm"))
+
   // ---------------------------------------------------------------
   // q410/q411: UNIGRAM-LM (SentencePiece-family) tokenizer — the
   // OTHER production tokenizer family next to BPE (q275/q282), per

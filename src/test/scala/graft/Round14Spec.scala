@@ -199,6 +199,49 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---- q424/q425: constructed-series and constructed-doc pins.
+
+  test("q424: a constant series fits zero trend; a linear ramp is tracked") {
+    import spark.implicits._
+    val const = (1L to 30L).map(h => (h, 7L)).toDF("h", "n")
+    val rc = graft.operators.Events.holtFrom(const, 3).collect()
+    assert(rc.length === 3)
+    for (r <- rc) {
+      assert(r.getAs[Long]("trend_milli") === 0L)
+      assert(r.getAs[Long]("forecast_milli") === 7000L,
+        "a constant series forecasts the constant at every horizon")
+    }
+    // a pure ramp y = 5t: the integer recursion converges onto slope
+    // 5 (trend 5000 milli) and the forecast keeps climbing by it
+    val ramp = (1L to 60L).map(h => (h, 5L * h)).toDF("h", "n")
+    val rr = graft.operators.Events.holtFrom(ramp, 3)
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    val trend = rr(1L).getAs[Long]("trend_milli")
+    assert(math.abs(trend - 5000L) <= 50L,
+      s"ramp trend $trend should converge near 5000 milli")
+    assert(rr(3L).getAs[Long]("forecast_milli")
+      - rr(1L).getAs[Long]("forecast_milli") === 2L * trend)
+  }
+
+  test("q425: chunked TTR scores chunks independently of doc length") {
+    import spark.implicits._
+    // doc 1: 100 distinct tokens -> both chunks TTR 1e6; doc 2: one
+    // token repeated 100 times -> both chunks TTR 1/50; doc 3: 49
+    // tokens -> no full chunk, no row
+    val docs = Seq(
+      (1L, (0 until 100).map(i => s"w$i").mkString(" ")),
+      (2L, (0 until 100).map(_ => "x").mkString(" ")),
+      (3L, (0 until 49).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("spec_q425_docs")
+    val r = graft.operators.TextAnalysis.chunkedTtrOf(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(3L), "no full chunk, no row")
+    assert(r(1L).getAs[Long]("mattr_ppm") === 1000000L)
+    assert(r(2L).getAs[Long]("mattr_ppm") === 20000L) // 1/50
+    assert(r(1L).getAs[Long]("n_chunks") === 2L)
+  }
+
   // ---- q390/q391: the DECIMAL(38,0) widenings hold where BIGINT
   // pair/rank products would wrap. 4.3e9 real rows don't fit a spec,
   // so the pin drives the exact agg expressions over a constructed
