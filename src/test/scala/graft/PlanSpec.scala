@@ -540,4 +540,45 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
+
+  test("round-14 additions: decode scans stay narrow, candidates stay equi-joins") {
+    // the audio family is the 100 TB decode-pass shape: per-row
+    // O(frames) work over a parquet scan, NO shuffle before the
+    // (bounded or absent) final agg, and never a product
+    for ((name, df) <- Seq(
+        "q409" -> Multimodal.wavDecode(spark, sfDir),
+        "q413" -> Multimodal.wavEnergy(spark, sfDir),
+        "q414" -> Multimodal.wavFingerprint(spark, sfDir),
+        "q415" -> Multimodal.wavResample(spark, sfDir),
+        "q418" -> Multimodal.wavQuantizeDhash(spark, sfDir),
+        "q428" -> Multimodal.wavGain(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("Exchange"), s"$name shuffles a pure decode scan")
+    }
+    // q420: near-dup candidates come from fingerprint-band
+    // equi-joins — never blob x blob
+    val p420 = plan(Multimodal.wavNearDup(spark, sfDir))
+    assert(!p420.contains("CartesianProduct"), "q420 has a cartesian product")
+    assert(!p420.contains("BroadcastNestedLoopJoin"),
+      "q420 candidates must ride the band equi-join")
+    // q421: wedge equi-joins + bounded TakeOrdered cut, no product
+    val p421 = plan(Relational.adamicAdar(spark, sfDir))
+    assert(!p421.contains("CartesianProduct"), "q421 has a cartesian product")
+    assert(p421.contains("TakeOrderedAndProject"),
+      "q421 top-k must be a bounded TakeOrdered, not a global sort")
+    // q410/q411: the tokenizer walk rides equi-joined candidate
+    // substrings against the broadcast piece set — no product
+    for ((name, df) <- Seq(
+        "q410" -> TextAnalysis.unigramTrain(spark, sfDir),
+        "q411" -> TextAnalysis.unigramApply(spark, sfDir),
+        "q425" -> TextAnalysis.chunkedTtr(spark, sfDir),
+        "q416" -> Eval.cliffsDelta(spark, sfDir),
+        "q417" -> Eval.averagePrecision(spark, sfDir),
+        "q424" -> Events.holtForecast(spark, sfDir),
+        "q426" -> Similarity.ivfBalance(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
 }

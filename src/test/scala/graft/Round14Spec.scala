@@ -4,8 +4,13 @@ import org.apache.spark.sql.functions._
 
 /** Round-14 pins: q385 scoped compaction (rewrite scope asserted at
   * the filesystem grain), the q390/q391 DECIMAL(38,0) widenings on
-  * constructed near-boundary frames, q407's fan-out cap, and the
-  * waterFill zero-supply guard. */
+  * constructed near-boundary frames, q407's fan-out cap, the
+  * waterFill zero-supply guard, the WAV codec family (constructed
+  * square wave, q409/q413/q415/q418 reconciliation, planted
+  * near-dup twins), the q412 streaming ExactSubstr index
+  * (replay/compaction/restart), the unigram tokenizer (q216
+  * fertility reconciliation), and the q424/q425 constructed-series
+  * pins. */
 class Round14Spec extends SparkSpec {
 
   // ---- q385: SCOPED compaction — folding a delta that touches ONE
