@@ -9323,7 +9323,7 @@ object SparkEntry {
         |adj AS (SELECT d1 AS v, d2 AS u FROM c UNION ALL SELECT d2, d1 FROM c),
         |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg,
         |  CAST(round(1e6 / ln(count(*))) AS BIGINT) AS w_micro
-        | FROM adj GROUP BY 1),
+        | FROM adj GROUP BY 1 HAVING count(*) >= 2),
         |w AS (SELECT a.u AS v, b.u AS u,
         |  CAST(count(*) AS BIGINT) AS common,
         |  CAST(sum(dg.w_micro) AS BIGINT) AS aa_micro

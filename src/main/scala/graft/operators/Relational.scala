@@ -458,7 +458,11 @@ object Relational {
     val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
       .union(edges.select(col("d2").as("v"), col("d1").as("u")))
       .localCheckpoint()
+    // only deg ≥ 2 vertices can be wedge centers (one adjacency row
+    // can't pair with itself), so the filter is semantics-neutral —
+    // and it keeps ln(1) = 0 out of the weight division entirely
     val degW = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
       .withColumn("w_micro",
         round(lit(1e6) / log(col("deg").cast("double"))).cast("long"))
     val wedges = adj.toDF("m", "v")
