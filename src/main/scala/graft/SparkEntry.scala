@@ -462,6 +462,15 @@ object SparkEntry {
     "q426_ivf_balance"      -> ((s, d) => Similarity.ivfBalance(s, d)),
     "q427_cms_planner"      -> ((s, d) => Sketch.cmsPlanner(s, d)),
     "q428_wav_gain"         -> ((s, d) => Multimodal.wavGain(s, d)),
+    "q429_y4m_decode"       -> ((s, d) => Multimodal.y4mDecode(s, d)),
+    "q430_frame_sample"     -> ((s, d) => Multimodal.videoFrameSample(s, d)),
+    "q431_video_motion"     -> ((s, d) => Multimodal.videoMotion(s, d)),
+    "q432_stream_y4m_stats" -> ((s, d) => Multimodal.streamY4mStats(s, d)),
+    "q433_video_neardup"    -> ((s, d) => Multimodal.videoNearDup(s, d)),
+    "q434_theils_u"         -> ((s, d) => Eval.theilsU(s, d)),
+    "q435_stream_video_fp"  -> ((s, d) => Multimodal.streamVideoFp(s, d)),
+    "q436_kruskal_wallis"   -> ((s, d) => Eval.kruskalWallis(s, d)),
+    "q437_negbin_fit"       -> ((s, d) => TextAnalysis.negbinFit(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -530,6 +539,77 @@ object SparkEntry {
         |SELECT st.doc_id, sample_rate, n_channels, n_frames,
         | sum_samples, sum_sq, zero_cross_ch0
         |FROM st JOIN zc USING (doc_id)""".stripMargin
+
+  /** The q429 Y4M-decode oracle — also the q432 gate verbatim
+    * (decode stats are a pure per-blob function, so the streamed
+    * result equals batch — the q419 argument). */
+  private val y4mDecodeOracle: String =
+    """WITH d AS (SELECT doc_id, 4 + (doc_id % 3) * 2 AS w,
+        |  4 + (doc_id % 2) * 2 AS h, doc_id % 12 + 4 AS frames,
+        |  24 + doc_id % 2 AS fps_num FROM documents),
+        |fr AS (SELECT doc_id, w, h, frames, fps_num,
+        |  unnest(range(frames)) AS f FROM d),
+        |pi AS (SELECT doc_id, w, h, f, unnest(range(w * h)) AS i
+        | FROM fr),
+        |px AS (SELECT doc_id, pp.p,
+        |  (doc_id * 31 + f * 17 + pp.p * 101 + i * 5) % 256 AS v
+        | FROM pi CROSS JOIN (SELECT unnest(range(3)) AS p) pp),
+        |st AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN p = 0 THEN v END) AS BIGINT) AS y_sum,
+        |  CAST(sum(CASE WHEN p = 0 THEN v * v END) AS BIGINT)
+        |   AS y_sum_sq,
+        |  CAST(min(CASE WHEN p = 0 THEN v END) AS BIGINT) AS y_min,
+        |  CAST(max(CASE WHEN p = 0 THEN v END) AS BIGINT) AS y_max,
+        |  CAST(sum(CASE WHEN p = 1 THEN v END) AS BIGINT) AS u_sum,
+        |  CAST(sum(CASE WHEN p = 2 THEN v END) AS BIGINT) AS v_sum
+        | FROM px GROUP BY 1)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width,
+        | CAST(h AS BIGINT) AS height,
+        | CAST(frames AS BIGINT) AS n_frames,
+        | CAST(fps_num AS BIGINT) AS fps_num,
+        | y_sum, y_sum_sq, y_min, y_max, u_sum, v_sum
+        |FROM d JOIN st USING (doc_id)""".stripMargin
+
+  /** The q433 video near-dup oracle — also the q435 gate verbatim
+    * (the streamed fingerprint store must land exactly the batch
+    * retrieval — the q412/q423 store-reuse discipline). */
+  private val videoNearDupOracle: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id AS src
+        |  FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000000, doc_id FROM documents
+        | WHERE doc_id % 10 = 0),
+        |d AS (SELECT id, src, 4 + (src % 3) * 2 AS w,
+        |  4 + (src % 2) * 2 AS h, src % 12 + 4 AS frames FROM ids),
+        |fr AS (SELECT id, src, w, h, unnest(range(frames)) AS f
+        | FROM d),
+        |pi AS (SELECT id, src, f, unnest(range(w * h)) AS i FROM fr),
+        |ys AS (SELECT id, f,
+        |  sum((src * 31 + f * 17 + i * 5) % 256) AS ysum
+        | FROM pi GROUP BY 1, 2),
+        |p AS (SELECT id, f, ysum, lag(ysum) OVER (
+        |   PARTITION BY id ORDER BY f) AS yp FROM ys),
+        |fp AS (SELECT id, string_agg(CASE WHEN ysum > yp THEN '1'
+        |    ELSE '0' END, '' ORDER BY f) AS bits
+        | FROM p WHERE yp IS NOT NULL GROUP BY 1),
+        |fpn AS (SELECT id, bits, CAST(len(bits) AS BIGINT) AS nb
+        | FROM fp WHERE len(bits) >= 4),
+        |bands AS (SELECT id, bits, nb, b AS band,
+        |  substr(bits, CAST(b * nb // 4 AS INT) + 1,
+        |    CAST((b + 1) * nb // 4 - b * nb // 4 AS INT)) AS slice
+        | FROM fpn CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2,
+        |  a.bits AS b1, b.bits AS b2, a.nb
+        | FROM bands a JOIN bands b ON a.nb = b.nb AND a.band = b.band
+        |  AND a.slice = b.slice AND a.id < b.id),
+        |h AS (SELECT d1, d2, nb AS n_bits,
+        |  CAST(len(list_filter(range(nb), i ->
+        |    substr(b1, CAST(i AS INT) + 1, 1)
+        |     <> substr(b2, CAST(i AS INT) + 1, 1))) AS BIGINT)
+        |   AS hamming
+        | FROM cand)
+        |SELECT d1, d2, n_bits, hamming FROM h
+        |WHERE hamming <= 1""".stripMargin
 
   /** The q384 ExactSubstr oracle — also the q412 gate verbatim: the
     * streamed ownership frame must land exactly the batch
@@ -9477,5 +9557,152 @@ object SparkEntry {
         |   / sqrt(CAST(sum_sq_ch0 AS DOUBLE) / n_frames)) AS BIGINT)
         |  > 32767000 AS would_clip
         |FROM st""".stripMargin,
+    // q429: the Y4M pixel formula replayed over the full
+    // (frame, plane, raster) grid — agreement means the parsed
+    // container reproduced every byte (Y4M is lossless).
+    "q429_y4m_decode" -> y4mDecodeOracle,
+    // q430: kept-frame luma sums at FRAME grain (stride 3).
+    "q430_frame_sample" ->
+      """WITH d AS (SELECT doc_id, 4 + (doc_id % 3) * 2 AS w,
+        |  4 + (doc_id % 2) * 2 AS h, doc_id % 12 + 4 AS frames
+        | FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(frames)) AS f
+        | FROM d),
+        |pi AS (SELECT doc_id, f, unnest(range(w * h)) AS i FROM fr
+        | WHERE f % 3 = 0),
+        |px AS (SELECT doc_id, f,
+        |  (doc_id * 31 + f * 17 + i * 5) % 256 AS v FROM pi)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        | CAST(sum(v) AS BIGINT) AS y_sum,
+        | CAST(sum(v * v) AS BIGINT) AS y_sum_sq
+        |FROM px GROUP BY 1, 2""".stripMargin,
+    // q431: consecutive-frame luma SAD; both frames' pixels replay
+    // straight from the formula (no lag join needed), cut flag by
+    // exact integer compare at 30/px.
+    "q431_video_motion" ->
+      """WITH d AS (SELECT doc_id, 4 + (doc_id % 3) * 2 AS w,
+        |  4 + (doc_id % 2) * 2 AS h, doc_id % 12 + 4 AS frames
+        | FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(frames)) AS f
+        | FROM d),
+        |pi AS (SELECT doc_id, w, h, f, unnest(range(w * h)) AS i
+        | FROM fr WHERE f >= 1),
+        |df AS (SELECT doc_id, w, h, f,
+        |  abs((doc_id * 31 + f * 17 + i * 5) % 256
+        |    - (doc_id * 31 + (f - 1) * 17 + i * 5) % 256) AS ad
+        | FROM pi)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        | CAST(sum(ad) AS BIGINT) AS sad,
+        | CAST(sum(ad) AS BIGINT) >= 30 * max(w) * max(h) AS is_cut
+        |FROM df GROUP BY 1, 2""".stripMargin,
+    // q432: stream ≡ batch — the q429 oracle verbatim.
+    "q432_stream_y4m_stats" -> y4mDecodeOracle,
+    // q433: twins, temporal fingerprints, banding and hamming
+    // verification all replayed from the pixel formula (luma-
+    // identical twins ⇒ hamming 0 by construction).
+    "q433_video_neardup" -> videoNearDupOracle,
+    // q434: per-cell micro-rounded ln terms on the bounded
+    // contingency frame, N-scaled HUGEINT numerators, one integer
+    // U chain — conditioning clamped non-negative.
+    "q434_theils_u" ->
+      """WITH cells AS (SELECT lang AS g,
+        |  least(length(text) // 50, 11) AS b,
+        |  CAST(count(*) AS BIGINT) AS n_gb
+        | FROM documents GROUP BY 1, 2),
+        |rg AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS r_g
+        | FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(n_gb) AS BIGINT) AS c_b
+        | FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS k_langs,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS n_bands FROM cells),
+        |hx AS (SELECT sum(CAST(r_g AS HUGEINT)
+        |   * CAST(round(ln(CAST(n_docs AS DOUBLE) / r_g) * 1e6)
+        |      AS BIGINT)) AS hx_num
+        | FROM rg, tot),
+        |hxy AS (SELECT sum(CAST(n_gb AS HUGEINT)
+        |   * CAST(round(ln(CAST(c_b AS DOUBLE) / n_gb) * 1e6)
+        |      AS BIGINT)) AS hxy_num
+        | FROM cells JOIN cb USING (b))
+        |SELECT n_docs, k_langs, n_bands,
+        | CAST(hx_num // n_docs AS BIGINT) AS hx_micro,
+        | CAST(hxy_num // n_docs AS BIGINT) AS hxy_micro,
+        | CAST(greatest(hx_num - hxy_num, 0) * 1000000
+        |  // nullif(hx_num, 0) AS BIGINT) AS u_ppm
+        |FROM tot, hx, hxy""".stripMargin,
+    // q435: stream ≡ batch — the q433 oracle verbatim.
+    "q435_stream_video_fp" -> videoNearDupOracle,
+    // q436: half-unit midranks over bounded bins, the long-division
+    // identity for R²/n, ppm tie correction — every division on
+    // non-negative HUGEINT operands, identical truncation chains.
+    "q436_kruskal_wallis" ->
+      """WITH sc AS (SELECT lang AS g,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   // 100000 AS b
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |cells AS (SELECT g, b, CAST(count(*) AS BIGINT) AS n_gb
+        | FROM sc GROUP BY 1, 2),
+        |bt AS (SELECT b, CAST(sum(n_gb) AS BIGINT) AS t
+        | FROM cells GROUP BY 1),
+        |btc AS (SELECT b, t, coalesce(sum(t) OVER (ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS cum FROM bt),
+        |mr AS (SELECT b, 2 * cum + t + 1 AS mr_half FROM btc),
+        |gr AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS n_g,
+        |  sum(CAST(n_gb AS HUGEINT) * mr_half) AS r_half
+        | FROM cells JOIN mr USING (b) GROUP BY 1),
+        |gt AS (SELECT g, n_g, r_half, r_half // n_g AS q,
+        |  r_half - (r_half // n_g) * n_g AS rem FROM gr),
+        |gterm AS (SELECT g, n_g,
+        |  q * r_half + rem * r_half // n_g AS term FROM gt),
+        |tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        | FROM btc),
+        |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS k_groups, sum(term) AS a4
+        | FROM gterm),
+        |f AS (SELECT n_total, k_groups, a4,
+        |  CAST(3000000 AS HUGEINT) * a4
+        |   // (CAST(n_total AS HUGEINT) * (n_total + 1))
+        |   - CAST(3000000 AS HUGEINT) * (n_total + 1) AS h_mi,
+        |  tt * 1000000 // nullif(CAST(n_total AS HUGEINT) * n_total
+        |   * n_total - n_total, 0) AS t_ppm
+        | FROM agg, tie)
+        |SELECT n_total, k_groups, CAST(a4 AS DECIMAL(38,0)) AS a4,
+        | CAST(t_ppm AS BIGINT) AS t_ppm,
+        | CAST(h_mi AS BIGINT) AS h_micro,
+        | CAST(greatest(h_mi, 0) * 1000000
+        |  // nullif(1000000 - t_ppm, 0) AS BIGINT) AS h_adj_micro
+        |FROM f""".stripMargin,
+    // q437: method-of-moments NB fit; overdispersion by exact
+    // cross-multiplied compare, p/r as documented division chains.
+    "q437_negbin_fit" ->
+      """WITH x AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        | FROM documents),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(x) AS BIGINT) AS s1,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2
+        | FROM x GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT lang, n_docs, s1,
+        |  CAST(n_docs AS HUGEINT) * s2
+        |   - CAST(s1 AS HUGEINT) * s1 AS vnum
+        | FROM a),
+        |f AS (SELECT lang, n_docs, s1, vnum,
+        |  CAST(s1 AS HUGEINT) * 1000 // n_docs AS mean_milli,
+        |  vnum * 1000 // (CAST(n_docs AS HUGEINT) * (n_docs - 1))
+        |   AS var_milli,
+        |  vnum > CAST(s1 AS HUGEINT) * (n_docs - 1) AS overdispersed
+        | FROM v)
+        |SELECT lang, n_docs, CAST(mean_milli AS BIGINT) AS mean_milli,
+        | CAST(var_milli AS BIGINT) AS var_milli, overdispersed,
+        | CAST(CAST(s1 AS HUGEINT) * (n_docs - 1) * 1000000
+        |  // nullif(vnum, 0) AS BIGINT) AS p_micro,
+        | CASE WHEN overdispersed THEN
+        |  CAST(mean_milli
+        |   * (CAST(s1 AS HUGEINT) * (n_docs - 1) * 1000
+        |      // (vnum - CAST(s1 AS HUGEINT) * (n_docs - 1)))
+        |   // 1000 AS BIGINT) END AS r_milli
+        |FROM f""".stripMargin,
   )
 }

@@ -977,4 +977,128 @@ object Eval {
         max(col("p_total")).as("p_total"),
         sum(coalesce(col("term_micro"), lit(0L))).as("ap_micro"))
   }
+
+  /** q434: THEIL'S UNCERTAINTY COEFFICIENT U(lang | length band)
+    * (Theil 1970) — the information-theoretic association number the
+    * contingency family still lacked: q162's χ² says WHETHER length
+    * and language are dependent, q214's κ scores two RATERS; U says
+    * how much knowing a document's length band REDUCES language
+    * uncertainty, normalized to [0,1] and asymmetric (U(lang|len) ≠
+    * U(len|lang) — the direction a quota designer actually asks).
+    * U = (H(lang) − H(lang|len)) / H(lang). Corpus → ≤ |langs|·12
+    * contingency cells in one map-side agg; every entropy term is a
+    * per-cell micro-rounded ln on the bounded cell frame (the
+    * q361/q387 log discipline — one float op per BOUNDED row, never
+    * a cross-row float sum), numerators kept N-scaled on
+    * DECIMAL(38,0) (r_g·2.2e7 wraps BIGINT past ~4e11 docs), and
+    * the final U is one integer-division chain both engines replay.
+    * greatest(·,0): conditioning cannot raise entropy, but
+    * micro-rounding can land the difference at −ε; clamping keeps
+    * the division on non-negative operands where floor = truncate. */
+  def theilsU(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang").as("g"),
+        least(expr("length(text) div 50"), lit(11L)).as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n_gb"))
+      .localCheckpoint() // bounded: |langs| · ≤ 12 bands
+    val rg = cells.groupBy(col("g")).agg(sum(col("n_gb")).as("r_g"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("n_gb")).as("c_b"))
+    val tot = cells.agg(sum(col("n_gb")).as("n_docs"),
+      countDistinct(col("g")).as("k_langs"),
+      countDistinct(col("b")).as("n_bands"))
+    val hxNum = rg.crossJoin(broadcast(tot.select(col("n_docs"))))
+      .agg(sum(expr(
+        """CAST(r_g AS DECIMAL(38,0)) * CAST(round(ln(
+          |  CAST(n_docs AS DOUBLE) / r_g) * 1e6) AS BIGINT)"""
+          .stripMargin)).as("hx_num"))
+    val hxyNum = cells.join(broadcast(cb), "b")
+      .agg(sum(expr(
+        """CAST(n_gb AS DECIMAL(38,0)) * CAST(round(ln(
+          |  CAST(c_b AS DOUBLE) / n_gb) * 1e6) AS BIGINT)"""
+          .stripMargin)).as("hxy_num"))
+    tot.crossJoin(broadcast(hxNum)).crossJoin(broadcast(hxyNum))
+      .select(col("n_docs"), col("k_langs"), col("n_bands"),
+        expr("CAST(hx_num div n_docs AS BIGINT)").as("hx_micro"),
+        expr("CAST(hxy_num div n_docs AS BIGINT)").as("hxy_micro"),
+        expr("""CAST(greatest(hx_num - hxy_num, 0) * 1000000
+          | div nullif(hx_num, 0) AS BIGINT)""".stripMargin)
+          .as("u_ppm"))
+  }
+
+  /** q436: KRUSKAL–WALLIS H across language groups (Kruskal &
+    * Wallis 1952) — the k-group extension of q391's two-group
+    * Mann–Whitney: does lexical diversity differ across ALL
+    * languages at once, the one-shot screen a curation dashboard
+    * runs before k·(k−1)/2 pairwise tests. Same bounded TTR-decile
+    * bins (the corpus collapses to ≤ 11·|langs| cells in one
+    * map-side agg; midranks ride a window over the ≤ 11-row bin
+    * frame, never a corpus sort). Midranks are kept in exact HALF
+    * units (2·cum + t + 1); the rank-sum square R²/n — which at
+    * ~4·N⁴ would overflow even DECIMAL(38,0) past ~2e9 rows — is
+    * computed by the exact long-division identity
+    * ⌊R²/n⌋ = q·R + ⌊rem·R/n⌋ with q = ⌊R/n⌋, rem = R − q·n, so no
+    * intermediate exceeds ~N³ and the statistic holds to ~10¹²
+    * rows. Tie correction via the ppm ratio T·10⁶ div (N³−N) — one
+    * deterministic truncation chain both engines replay. */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+        col("lang").as("g"),
+        size(array_distinct(toks)).cast("long").as("s_uniq"),
+        size(toks).cast("long").as("s_tok"))
+      .filter(col("s_tok") >= 1)
+      .select(col("g"),
+        expr("s_uniq * 1000000 div s_tok div 100000").as("b"))
+    kruskalWallisOf(scored)
+  }
+
+  /** H core over a pre-binned (g, b) frame — factored so specs can
+    * pin constructed group layouts. */
+  private[graft] def kruskalWallisOf(scored: DataFrame): DataFrame = {
+    val cells = scored.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("n_gb"))
+      .localCheckpoint() // bounded: |langs| · ≤ 11 bins
+    val binTot = cells.groupBy(col("b")).agg(sum(col("n_gb")).as("t"))
+      .withColumn("cum",
+        coalesce(sum(col("t")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("mr_half", expr("2 * cum + t + 1"))
+    val groups = cells
+      .join(broadcast(binTot.select(col("b"), col("mr_half"))), "b")
+      .groupBy(col("g"))
+      .agg(sum(col("n_gb")).as("n_g"),
+        sum(expr("CAST(n_gb AS DECIMAL(38,0)) * mr_half"))
+          .as("r_half"))
+      // ⌊R²/n⌋ without forming R²: q·R + ⌊rem·R/n⌋
+      .withColumn("q", expr("CAST(r_half div n_g AS DECIMAL(38,0))"))
+      .withColumn("rem", expr("CAST(r_half - q * n_g AS DECIMAL(38,0))"))
+      .withColumn("term", expr(
+        "CAST(q * r_half + rem * r_half div n_g AS DECIMAL(38,0))"))
+    val ties = binTot.agg(
+      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tt"))
+    groups.agg(sum(col("n_g")).as("n_total"),
+        count(lit(1)).as("k_groups"),
+        sum(col("term")).as("a4"))
+      .crossJoin(broadcast(ties))
+      // H = 3·A4/(N(N+1)) − 3(N+1)  [A4 = Σ⌊(2R)²/n⌋ = 4·ΣR²/n]
+      .withColumn("h_micro", expr(
+        """CAST(CAST(3000000 AS DECIMAL(38,0)) * a4
+          |  div (CAST(n_total AS DECIMAL(38,0)) * (n_total + 1))
+          | - CAST(3000000 AS DECIMAL(38,0)) * (n_total + 1)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("t_ppm", expr(
+        """CAST(tt * 1000000 div nullif(
+          |  CAST(n_total AS DECIMAL(38,0)) * n_total * n_total
+          |   - n_total, 0) AS BIGINT)""".stripMargin))
+      // greatest(·,0): floors can land H at −ε where the true H is
+      // 0 (all data one bin); clamping keeps the adjust division on
+      // non-negative operands, where DuckDB's floor and Spark's
+      // truncate agree.
+      .withColumn("h_adj_micro", expr(
+        """CAST(CAST(greatest(h_micro, 0) AS DECIMAL(38,0)) * 1000000
+          | div nullif(1000000 - t_ppm, 0) AS BIGINT)"""
+          .stripMargin))
+      .select(col("n_total"), col("k_groups"), col("a4"),
+        col("t_ppm"), col("h_micro"), col("h_adj_micro"))
+  }
 }

