@@ -471,6 +471,16 @@ object SparkEntry {
     "q435_stream_video_fp"  -> ((s, d) => Multimodal.streamVideoFp(s, d)),
     "q436_kruskal_wallis"   -> ((s, d) => Eval.kruskalWallis(s, d)),
     "q437_negbin_fit"       -> ((s, d) => TextAnalysis.negbinFit(s, d)),
+    "q438_simpson_audit"    -> ((s, d) => Relational.simpsonAudit(s, d)),
+    "q439_gumbel_tail"      -> ((s, d) => Events.gumbelTail(s, d)),
+    "q440_mann_kendall"     -> ((s, d) => Events.mannKendall(s, d)),
+    "q441_power_planner"    -> ((s, d) => Sketch.powerPlanner(s, d)),
+    "q442_page_hinkley"     -> ((s, d) => Events.pageHinkley(s, d)),
+    "q443_stream_page_hinkley" ->
+      ((s, d) => StreamingOps.streamPageHinkley(s, d)),
+    "q444_ljung_box"        -> ((s, d) => Events.ljungBox(s, d)),
+    "q445_seasonal_strength" ->
+      ((s, d) => Events.seasonalStrength(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -610,6 +620,28 @@ object SparkEntry {
         | FROM cand)
         |SELECT d1, d2, n_bits, hamming FROM h
         |WHERE hamming <= 1""".stripMargin
+
+  /** The q442 Page-Hinkley oracle — also the q443 gate verbatim
+    * (the streamed hourly histogram must land exactly the batch
+    * one — the q364/q369 live-state discipline). */
+  private val pageHinkleyOracle: String =
+    """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |w AS (SELECT h, x,
+        |  count(*) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+        |   PRECEDING AND CURRENT ROW) AS i,
+        |  sum(x) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+        |   PRECEDING AND CURRENT ROW) AS cum FROM hourly),
+        |d AS (SELECT h, x, x - cum // i AS dev FROM w),
+        |mt AS (SELECT h, x, sum(dev) OVER (ORDER BY h ROWS BETWEEN
+        |   UNBOUNDED PRECEDING AND CURRENT ROW) AS m_t FROM d),
+        |f AS (SELECT h, x, m_t, min(m_t) OVER (ORDER BY h ROWS
+        |   BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_min
+        | FROM mt)
+        |SELECT CAST(h AS BIGINT) AS h, x, CAST(m_t AS BIGINT) AS m_t,
+        | CAST(m_t - m_min AS BIGINT) AS ph,
+        | m_t - m_min > 50 AS alarm
+        |FROM f""".stripMargin
 
   /** The q384 ExactSubstr oracle — also the q412 gate verbatim: the
     * streamed ownership frame must land exactly the batch
@@ -9703,6 +9735,187 @@ object SparkEntry {
         |   * (CAST(s1 AS HUGEINT) * (n_docs - 1) * 1000
         |      // (vnum - CAST(s1 AS HUGEINT) * (n_docs - 1)))
         |   // 1000 AS BIGINT) END AS r_milli
+        |FROM f""".stripMargin,
+    // q438: association signs from exact covariance numerators —
+    // no division anywhere; pooled moments are the sums of the
+    // per-brand moments.
+    "q438_simpson_audit" ->
+      """WITH li AS (SELECT p.p_brand,
+        |  CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+        |  CAST(l.l_quantity AS BIGINT) AS y
+        | FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy
+        | FROM li GROUP BY 1),
+        |gc AS (SELECT p_brand, n, sx, sy, sxy,
+        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |   AS cov_num FROM g),
+        |p AS (SELECT CAST(sign(CAST(sum(n) AS HUGEINT) * sum(sxy)
+        |   - CAST(sum(sx) AS HUGEINT) * sum(sy)) AS BIGINT)
+        |  AS pooled_sign FROM g)
+        |SELECT p_brand, n, CAST(cov_num AS DECIMAL(38,0)) AS cov_num,
+        | CAST(sign(cov_num) AS BIGINT) AS brand_sign, pooled_sign,
+        | CAST(sign(cov_num) AS BIGINT) * pooled_sign < 0 AS reversed
+        |FROM gc, p""".stripMargin,
+    // q439: exact block-maxima moments, one IEEE sqrt, then integer
+    // chains on micro literals (sqrt6/pi, Euler gamma, ln 100).
+    "q439_gumbel_tail" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS h,
+        |  max(CAST(round(value * 1000) AS BIGINT)) AS m
+        | FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(m) AS BIGINT) AS s1,
+        |  sum(CAST(m AS HUGEINT) * m) AS s2
+        | FROM b GROUP BY 1 HAVING count(*) >= 2),
+        |f AS (SELECT event_type, n_blocks,
+        |  CAST(CAST(s1 AS HUGEINT) // n_blocks AS BIGINT)
+        |   AS mean_milli,
+        |  CAST(round(sqrt(CAST(CAST(n_blocks AS HUGEINT) * s2
+        |     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))))
+        |   AS BIGINT) AS s_milli
+        | FROM a),
+        |g AS (SELECT *, s_milli * 2449490 // 3141593 AS beta_milli
+        | FROM f),
+        |h AS (SELECT *,
+        |  mean_milli - 577216 * beta_milli // 1000000 AS mu_milli
+        | FROM g)
+        |SELECT event_type, n_blocks, mean_milli, s_milli,
+        | CAST(beta_milli AS BIGINT) AS beta_milli,
+        | CAST(mu_milli AS BIGINT) AS mu_milli,
+        | CAST(mu_milli + beta_milli * 4605170 // 1000000 AS BIGINT)
+        |  AS ret100_milli
+        |FROM h""".stripMargin,
+    // q440: pair signs over the bounded hour grid, tie-corrected
+    // HUGEINT variance, one IEEE sqrt, continuity-corrected z.
+    "q440_mann_kendall" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |s AS (SELECT CAST(coalesce(sum(CAST(sign(b.x - a.x)
+        |    AS BIGINT)), 0) AS BIGINT) AS s_stat
+        | FROM hourly a JOIN hourly b ON b.h > a.h),
+        |t AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+        |    * (2 * t + 5)), 0) AS tie18
+        | FROM (SELECT count(*) AS t FROM hourly GROUP BY x)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM hourly),
+        |f AS (SELECT n_hours, s_stat,
+        |  CAST(n_hours AS HUGEINT) * (n_hours - 1)
+        |   * (2 * n_hours + 5) - tie18 AS var18
+        | FROM n, s, t)
+        |SELECT n_hours, s_stat, CAST(var18 AS DECIMAL(38,0)) AS var18,
+        | CAST(round((s_stat - sign(s_stat)) * 1e6
+        |  / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0)) AS BIGINT)
+        |  AS z_micro,
+        | CAST(sign(s_stat) AS BIGINT) AS trend_sign
+        |FROM f""".stripMargin,
+    // q441: exact variance moments, the z-sum-square micro² literal,
+    // ceiling division for the per-arm n.
+    "q441_power_planner" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT)
+        |   AS n_obs,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |   AS s1,
+        |  sum(CAST(CAST(round(value * 1000) AS BIGINT) AS HUGEINT)
+        |   * CAST(round(value * 1000) AS BIGINT)) AS s2
+        | FROM events GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT event_type, n_obs,
+        |  (CAST(n_obs AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |   // (CAST(n_obs AS HUGEINT) * (n_obs - 1)) AS var_milli2,
+        |  CAST(CAST(s1 AS HUGEINT) // n_obs AS BIGINT) AS mean_milli
+        | FROM m),
+        |g AS (SELECT CAST(unnest([10000, 20000, 50000, 100000,
+        |   200000]) AS BIGINT) AS mde_ppm),
+        |x AS (SELECT event_type, n_obs, mean_milli, var_milli2,
+        |  mde_ppm,
+        |  CAST(CAST(mean_milli AS HUGEINT) * mde_ppm // 1000000
+        |   AS BIGINT) AS delta_milli
+        | FROM v, g)
+        |SELECT event_type, n_obs, mean_milli,
+        | CAST(var_milli2 AS DECIMAL(38,0)) AS var_milli2, mde_ppm,
+        | delta_milli,
+        | CAST((CAST(2 AS HUGEINT) * var_milli2 * 7848878512225
+        |   + CAST(nullif(delta_milli, 0) AS HUGEINT) * delta_milli
+        |     * 1000000000000 - 1)
+        |  // (CAST(nullif(delta_milli, 0) AS HUGEINT) * delta_milli
+        |     * 1000000000000) AS BIGINT) AS n_per_arm
+        |FROM x""".stripMargin,
+    // q442: prefix-mean deviations, running min, integer alarm —
+    // one deterministic path over the bounded hour grid.
+    "q442_page_hinkley" -> pageHinkleyOracle,
+    // q443: stream = batch - the q442 oracle verbatim.
+    "q443_stream_page_hinkley" -> pageHinkleyOracle,
+    // q444: N-scaled deviations, exact DECIMAL covariance sums,
+    // |r| micro-rounded once per lag, integer Q chain vs the
+    // chi-square milli literal.
+    "q444_ljung_box" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s1 FROM hourly),
+        |dv AS (SELECT h, n, n * x - s1 AS dev FROM hourly, st),
+        |dn AS (SELECT sum(CAST(dev AS HUGEINT) * dev) AS den FROM dv),
+        |pr AS (SELECT l.lag, max(a.n) AS n,
+        |  sum(CAST(a.dev AS HUGEINT) * b.dev) AS num
+        | FROM dv a CROSS JOIN (SELECT unnest(range(1, 11)) AS lag) l
+        |  JOIN dv b ON b.h = a.h + l.lag
+        | GROUP BY 1),
+        |rm AS (SELECT lag, n,
+        |  CAST(abs(num) * 1000000 // nullif(den, 0) AS BIGINT)
+        |   AS r_abs_micro
+        | FROM pr, dn),
+        |tm AS (SELECT lag, n,
+        |  CAST(CAST(n AS HUGEINT) * (n + 2) * r_abs_micro
+        |    * r_abs_micro // ((n - lag) * 1000000) AS BIGINT)
+        |   AS term_micro
+        | FROM rm)
+        |SELECT max(n) AS n_hours, CAST(count(*) AS BIGINT) AS k_lags,
+        | (SELECT CAST(den AS DECIMAL(38,0)) FROM dn) AS den,
+        | CAST(sum(term_micro) AS BIGINT) AS q_micro,
+        | CAST(sum(term_micro) AS BIGINT) > 18307000 AS reject_white
+        |FROM tm""".stripMargin,
+    // q445: the q253 decomposition verbatim, then one variance-
+    // numerator ratio on non-negative operands.
+    "q445_seasonal_strength" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+        |grid AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds),
+        |filled AS (SELECT g.h, coalesce(hourly.n, 0) AS x
+        | FROM grid g LEFT JOIN hourly ON hourly.h = g.h),
+        |tr AS (SELECT h, x,
+        |  sum(x) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12
+        |   FOLLOWING) AS s25,
+        |  count(x) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12
+        |   FOLLOWING) AS c25
+        | FROM filled),
+        |fw AS (SELECT h, x, (s25 * 1000) // 25 AS trend_milli,
+        |  x * 1000 - (s25 * 1000) // 25 AS detr_milli,
+        |  h % 24 AS hod
+        | FROM tr WHERE c25 = 25),
+        |se AS (SELECT hod,
+        |  sum(detr_milli) // count(*) AS seasonal_milli
+        | FROM fw GROUP BY 1),
+        |sj AS (SELECT fw.h, fw.detr_milli,
+        |  fw.detr_milli - se.seasonal_milli AS resid_milli
+        | FROM fw JOIN se USING (hod)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(resid_milli) AS BIGINT) AS sr,
+        |  sum(CAST(resid_milli AS HUGEINT) * resid_milli) AS srr,
+        |  CAST(sum(detr_milli) AS BIGINT) AS sd,
+        |  sum(CAST(detr_milli AS HUGEINT) * detr_milli) AS sdd
+        | FROM sj),
+        |f AS (SELECT n_hours,
+        |  CAST(n_hours AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr
+        |   AS vr_num,
+        |  CAST(n_hours AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd
+        |   AS vd_num
+        | FROM ag)
+        |SELECT n_hours, CAST(vr_num AS DECIMAL(38,0)) AS vr_num,
+        | CAST(vd_num AS DECIMAL(38,0)) AS vd_num,
+        | CAST(greatest(1000000 - vr_num * 1000000
+        |  // nullif(vd_num, 0), 0) AS BIGINT) AS fs_ppm
         |FROM f""".stripMargin,
   )
 }

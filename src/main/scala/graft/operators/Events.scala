@@ -1595,7 +1595,18 @@ object Events {
     stlFrom(hourlyCounts(s, dir))
 
   /** q253 over a pre-built [[hourlyCounts]] frame. */
-  private[graft] def stlFrom(hourlyIn: DataFrame): DataFrame = {
+  private[graft] def stlFrom(hourlyIn: DataFrame): DataFrame =
+    stlResiduals(hourlyIn)
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("n_hours"),
+        max(col("seasonal_milli")).as("seasonal_milli"),
+        expr("sum(abs(resid_milli)) div count(1)").as("mean_abs_resid_milli"),
+        max(abs(col("resid_milli"))).as("max_abs_resid_milli"))
+
+  /** The shared q253/q445 decomposition core: full-window hours with
+    * integer-milli trend, detrended value, cycle-subseries seasonal
+    * offset and residual. */
+  private[graft] def stlResiduals(hourlyIn: DataFrame): DataFrame = {
     val filled = filledHourly(hourlyIn)
     val w25 = Window.orderBy(col("h")).rowsBetween(-12, 12)
     val tr = filled
@@ -1610,11 +1621,6 @@ object Events {
       .select(col("hod"), expr("sd div cnt").as("seasonal_milli"))
     tr.join(broadcast(seas), "hod")
       .withColumn("resid_milli", col("detr_milli") - col("seasonal_milli"))
-      .groupBy(col("hod"))
-      .agg(count(lit(1)).as("n_hours"),
-        max(col("seasonal_milli")).as("seasonal_milli"),
-        expr("sum(abs(resid_milli)) div count(1)").as("mean_abs_resid_milli"),
-        max(abs(col("resid_milli"))).as("max_abs_resid_milli"))
   }
 
   /** q254: TIME-BOXED FUNNEL — conversion only counts inside an
@@ -2053,5 +2059,222 @@ object Events {
         col("n_hours"), col("level_milli"), col("trend_milli"),
         (col("level_milli") + col("k") * col("trend_milli"))
           .as("forecast_milli"))
+  }
+
+  /** q439: GUMBEL TAIL FIT of hourly block maxima per event type
+    * (Gumbel 1958; method-of-moments estimators per Coles 2001, An
+    * Introduction to Statistical Modeling of Extreme Values) — the
+    * extreme-value layer the forecast family lacked: q189/q424
+    * predict the CENTER of the traffic distribution, capacity
+    * planning provisions for its MAXIMA, and averages say nothing
+    * about those. Block maxima (hourly max event value) are the
+    * classic EVT reduction; the Gumbel is their limiting law for
+    * light-tailed parents. MoM: β̂ = s·√6/π, μ̂ = x̄ − γ·β̂ (Euler γ),
+    * plus the 100-block return level μ̂ + β̂·ln 100 — the "biggest
+    * hour in the next 100" number a buffer is sized by. Exact
+    * integer moments (Σm, Σm² on DECIMAL(38,0)); ONE IEEE sqrt for
+    * s (the q202 argument), then pure integer chains on micro
+    * literals (√6/π = 2449490/3141593, γ = 577216, ln 100 =
+    * 4605170) — every division on non-negative operands. One
+    * map-side agg to |types|·|hours| blocks, one to |types| rows. */
+  def gumbelTail(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("ts div 3600000000").as("h"), // Tables.events: ts = micros
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(max(col("vm")).as("m"))
+    blocks.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("m")).as("s1"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("s2"))
+      .filter(col("n_blocks") >= 2)
+      .withColumn("mean_milli",
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) div n_blocks AS BIGINT)"))
+      .withColumn("s_milli", expr(
+        """CAST(round(sqrt(CAST(CAST(n_blocks AS DECIMAL(38,0)) * s2
+          |  - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+          | / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))))
+          | AS BIGINT)""".stripMargin))
+      .withColumn("beta_milli",
+        expr("s_milli * 2449490 div 3141593"))
+      .withColumn("mu_milli",
+        expr("mean_milli - 577216 * beta_milli div 1000000"))
+      .withColumn("ret100_milli",
+        expr("mu_milli + beta_milli * 4605170 div 1000000"))
+      .select(col("event_type"), col("n_blocks"), col("mean_milli"),
+        col("s_milli"), col("beta_milli"), col("mu_milli"),
+        col("ret100_milli"))
+  }
+
+  /** q440: MANN–KENDALL TREND TEST over the hourly traffic series
+    * (Mann 1945, Kendall 1975) — the nonparametric "is traffic
+    * actually growing?" answer the forecast family assumes: q271's
+    * Theil–Sen gives the robust slope, this gives the
+    * SIGNIFICANCE of the monotone trend, distribution-free (spikes
+    * and heavy tails that wreck a regression t-test leave S alone).
+    * S = Σ_{i<j} sign(x_j − x_i) over the BOUNDED hour grid (the
+    * pair join is hours², never events²; the corpus collapses to
+    * |hours| rows in one map-side agg), tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5) exact on
+    * DECIMAL(38,0), continuity-corrected z with ONE IEEE sqrt
+    * (the q202 argument). Constant series honestly yield NULL z
+    * (nullif, never div-0). */
+  def mannKendall(s: SparkSession, dir: String): DataFrame =
+    mannKendallOf(Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Test core over a pre-aggregated (h, x) series — factored so
+    * specs can pin constructed monotone/constant series. */
+  private[graft] def mannKendallOf(series: DataFrame): DataFrame = {
+    val hourly = series.localCheckpoint() // bounded: the hour grid
+    val sStat = hourly.toDF("h1", "x1")
+      .crossJoin(broadcast(hourly.toDF("h2", "x2")))
+      .filter(col("h2") > col("h1"))
+      .agg(coalesce(sum(expr("CAST(sign(x2 - x1) AS BIGINT)")),
+        lit(0L)).as("s_stat"))
+    val ties = hourly.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr(
+          "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)")),
+        lit(0).cast("decimal(38,0)")).as("tie18"))
+    hourly.agg(count(lit(1)).as("n_hours"))
+      .crossJoin(broadcast(sStat)).crossJoin(broadcast(ties))
+      .withColumn("var18", expr(
+        """CAST(CAST(n_hours AS DECIMAL(38,0)) * (n_hours - 1)
+          | * (2 * n_hours + 5) - tie18 AS DECIMAL(38,0))"""
+          .stripMargin))
+      .withColumn("z_micro", expr(
+        """CAST(round((s_stat - sign(s_stat)) * 1e6
+          | / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0))
+          | AS BIGINT)""".stripMargin))
+      .select(col("n_hours"), col("s_stat"), col("var18"),
+        col("z_micro"),
+        expr("CAST(sign(s_stat) AS BIGINT)").as("trend_sign"))
+  }
+
+  /** q442: PAGE–HINKLEY CHANGE DETECTION over the hourly series
+    * (Page 1954; Hinkley 1971) — the sequential drift alarm next to
+    * q242's CUSUM changepoint: CUSUM locates ONE retrospective break
+    * against a fixed pre-period mean, Page–Hinkley tracks the
+    * RUNNING mean and flags every hour the cumulative positive
+    * deviation exceeds λ — the online monitor a traffic guard
+    * actually runs. Entirely integer: prefix mean ⌊cum/i⌋ per hour,
+    * deviation sum m_t, running minimum M_t, alarm when
+    * m_t − M_t > λ. All windows ride the BOUNDED hour grid (the
+    * corpus collapses map-side to |hours| rows); one deterministic
+    * path both engines replay — no float anywhere. */
+  def pageHinkley(s: SparkSession, dir: String, lambda: Long = 50L)
+      : DataFrame =
+    pageHinkleyOf(Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")), lambda)
+
+  /** Test core over a pre-aggregated (h, x) series. */
+  private[graft] def pageHinkleyOf(series: DataFrame, lambda: Long)
+      : DataFrame = {
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    series
+      .withColumn("i", count(lit(1)).over(w))
+      .withColumn("cum", sum(col("x")).over(w))
+      .withColumn("dev", col("x") - expr("cum div i"))
+      .withColumn("m_t", sum(col("dev")).over(w))
+      .withColumn("m_min", min(col("m_t")).over(w))
+      .withColumn("ph", col("m_t") - col("m_min"))
+      .withColumn("alarm", col("ph") > lit(lambda))
+      .select(col("h"), col("x"), col("m_t"), col("ph"), col("alarm"))
+  }
+
+  /** q444: LJUNG–BOX WHITENESS TEST over the hourly series (Ljung &
+    * Box 1978) — the "is anything left to model?" number the whole
+    * forecast ladder (q189 EWMA → q424 Holt → q253 STL) terminates
+    * on: Q = n(n+2)·Σ_{k≤10} r_k²/(n−k) against the χ²₁₀ 95% cut.
+    * q193 reports the per-lag correlogram; this collapses it to the
+    * one portmanteau decision. Exactness discipline: deviations are
+    * kept N-SCALED (dev = n·x − Σx — integer, no mean division),
+    * per-lag autocovariance numerators and the common denominator
+    * are exact DECIMAL(38,0) sums, |r_k| is micro-rounded ONCE per
+    * BOUNDED lag row (abs before the division — truncation on
+    * non-negative operands only), and Q is an integer chain against
+    * the 18.307 milli literal. Lag pairing skips grid gaps exactly
+    * like q193 (the documented semantics both engines replay). */
+  def ljungBox(s: SparkSession, dir: String, maxLag: Int = 10)
+      : DataFrame =
+    ljungBoxOf(Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")), maxLag)
+
+  /** Test core over a pre-aggregated (h, x) series. */
+  private[graft] def ljungBoxOf(series: DataFrame, maxLag: Int)
+      : DataFrame = {
+    val hourly = series.localCheckpoint() // bounded: the hour grid
+    val stats = hourly.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"))
+    val dev = hourly.crossJoin(broadcast(stats))
+      .select(col("h"), col("n"),
+        (col("n") * col("x") - col("s1")).as("dev"))
+    val den = dev.agg(
+      sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("den"))
+    val pairs = dev
+      .withColumn("lag",
+        explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))
+      .join(dev.select(col("h").as("h2"), col("dev").as("dev2")),
+        col("h2") === col("h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(max(col("n")).as("n"),
+        sum(expr("CAST(dev AS DECIMAL(38,0)) * dev2")).as("num"))
+    pairs.crossJoin(broadcast(den))
+      .withColumn("r_abs_micro", expr(
+        "CAST(abs(num) * 1000000 div nullif(den, 0) AS BIGINT)"))
+      .withColumn("term_micro", expr(
+        """CAST(CAST(n AS DECIMAL(38,0)) * (n + 2) * r_abs_micro
+          | * r_abs_micro div ((n - lag) * 1000000) AS BIGINT)"""
+          .stripMargin))
+      .agg(max(col("n")).as("n_hours"),
+        count(lit(1)).as("k_lags"),
+        max(col("den")).as("den"),
+        sum(col("term_micro")).as("q_micro"))
+      .withColumn("reject_white",
+        col("q_micro") > lit(18307000L)) // χ²₁₀ at 95%
+  }
+
+  /** q445: SEASONAL STRENGTH of the hourly series (the Fs statistic
+    * of Wang, Smith & Hyndman 2006, as used by the feasts/tsfeatures
+    * packages) — q253 decomposes; this grades the decomposition
+    * with the single number a seasonality-aware scheduler keys on:
+    * Fs = max(0, 1 − Var(resid)/Var(detrended)), 0 = no daily
+    * cycle, →1 = the cycle explains everything. Rides q253's exact
+    * integer decomposition verbatim (shared [[stlResiduals]] core);
+    * both variances enter as N-scaled DECIMAL(38,0) NUMERATORS over
+    * the same full-window hours, so the ratio needs no mean
+    * subtraction float and the one division runs on non-negative
+    * operands. A flat series (zero detrended variance) reads as
+    * strength 0: the NULL ratio falls out of greatest(·, 0)
+    * identically on both engines. */
+  def seasonalStrength(s: SparkSession, dir: String): DataFrame =
+    seasonalStrengthOf(hourlyCounts(s, dir))
+
+  /** Test core over a pre-aggregated (h, n) series. */
+  private[graft] def seasonalStrengthOf(hourlyIn: DataFrame)
+      : DataFrame = {
+    stlResiduals(hourlyIn)
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("resid_milli")).as("sr"),
+        sum(expr("CAST(resid_milli AS DECIMAL(38,0)) * resid_milli"))
+          .as("srr"),
+        sum(col("detr_milli")).as("sd"),
+        sum(expr("CAST(detr_milli AS DECIMAL(38,0)) * detr_milli"))
+          .as("sdd"))
+      .withColumn("vr_num", expr(
+        """CAST(CAST(n_hours AS DECIMAL(38,0)) * srr
+          | - CAST(sr AS DECIMAL(38,0)) * sr AS DECIMAL(38,0))"""
+          .stripMargin))
+      .withColumn("vd_num", expr(
+        """CAST(CAST(n_hours AS DECIMAL(38,0)) * sdd
+          | - CAST(sd AS DECIMAL(38,0)) * sd AS DECIMAL(38,0))"""
+          .stripMargin))
+      .select(col("n_hours"), col("vr_num"), col("vd_num"),
+        expr("""CAST(greatest(1000000 - vr_num * 1000000
+          | div nullif(vd_num, 0), 0) AS BIGINT)""".stripMargin)
+          .as("fs_ppm"))
   }
 }

@@ -1523,7 +1523,7 @@ object Multimodal {
     * frame pair one bit = "mean luma rose" (frame-sum compare — the
     * q414 delta-sign contour at frame grain). Chroma-blind by
     * construction: a recolour/regrade leaves it untouched. */
-  private def temporalBits(a: Y4mAsset): String =
+  private[graft] def temporalBits(a: Y4mAsset): String =
     (1 until a.luma.length).map { f =>
       if (a.luma(f).sum > a.luma(f - 1).sum) '1' else '0'
     }.mkString
@@ -1554,7 +1554,7 @@ object Multimodal {
   /** Stage base assets + planted chroma-shifted twins (every tenth
     * asset; id + 10⁷, U/V +16 mod 256, luma untouched) — shared by
     * batch q433 and streaming q435. */
-  private def stageVideoTwinMedia(s: SparkSession, dir: String,
+  private[graft] def stageVideoTwinMedia(s: SparkSession, dir: String,
       tag: String): String = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
@@ -1600,7 +1600,7 @@ object Multimodal {
     * — shared verbatim by batch q433 and the streamed store read of
     * q435 (the gate-reuse discipline: the tail must not know where
     * the fingerprints came from). */
-  private def videoNearDupOf(fpRaw: DataFrame, maxHam: Int)
+  private[graft] def videoNearDupOf(fpRaw: DataFrame, maxHam: Int)
       : DataFrame = {
     val fp = fpRaw
       .withColumn("nb", length(col("bits")).cast("long"))

@@ -479,6 +479,53 @@ object Relational {
       .limit(k)
   }
 
+  /** q438: SIMPSON'S-PARADOX AUDIT on discount vs quantity by brand
+    * (Simpson 1951; the aggregation-reversal every pooled dashboard
+    * metric risks) — q128 fits per-group slopes; this asks the
+    * governance question about the POOLED number: does the
+    * discount→quantity association reverse sign inside any brand
+    * stratum? A pooled metric that contradicts every stratum is the
+    * textbook trap confounded corpus dashboards fall into. Entirely
+    * EXACT: association signs come from the covariance NUMERATOR
+    * n·Σxy − Σx·Σy (sign(cov) = sign of that integer — no division,
+    * no float, no sqrt), per brand and pooled; the pooled moments
+    * are the SUMS of the per-brand moments, so the corpus is
+    * scanned once, collapsed to |brands| moment rows map-side, and
+    * everything downstream rides the bounded frame. Moment products
+    * on DECIMAL(38,0) (Σx·Σy wraps BIGINT at ~10⁵ rows of cents —
+    * immediately, not at corpus scale). Discount enters as exact
+    * integer cents, quantity as exact units. */
+  def simpsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+        expr("CAST(l_quantity AS BIGINT)").as("y"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+    val grp = li.groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("cov_num", expr(
+        """CAST(CAST(n AS DECIMAL(38,0)) * sxy
+          | - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"""
+          .stripMargin))
+      .localCheckpoint() // bounded: |brands| rows
+    val pooled = grp.agg(sum(col("n")).as("pn"),
+        sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
+        sum(col("sxy")).as("psxy"))
+      .select(expr(
+        """CAST(sign(CAST(pn AS DECIMAL(38,0)) * psxy
+          | - CAST(psx AS DECIMAL(38,0)) * psy) AS BIGINT)"""
+          .stripMargin).as("pooled_sign"))
+    grp.crossJoin(broadcast(pooled))
+      .select(col("p_brand"), col("n"), col("cov_num"),
+        expr("CAST(sign(cov_num) AS BIGINT)").as("brand_sign"),
+        col("pooled_sign"),
+        expr("CAST(sign(cov_num) AS BIGINT) * pooled_sign < 0")
+          .as("reversed"))
+  }
+
 
   /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
     * of q141/q256: a rule a→b carries support (how often the pair

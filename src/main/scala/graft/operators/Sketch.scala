@@ -763,4 +763,54 @@ object Sketch {
         expr("(m_over_n * 693147 + 500000) div 1000000"))
       .withColumn("is_k_opt", col("k") === col("k_opt"))
   }
+
+  /** q441: A/B SAMPLE-SIZE (POWER) PLANNER (two-sample z
+    * approximation; Cohen 1988) — the fourth capacity planner
+    * (q342 LSH bands, q422 bloom bits, q427 count-min cells, and
+    * now experiment traffic): before q157 reads a lift, someone
+    * must decide HOW LONG to run the experiment, and that number
+    * comes from the corpus's own variance, not folklore. Per event
+    * type and a relative-MDE grid (1/2/5/10/20%), the per-arm n for
+    * 80% power at two-sided α = 5%:
+    * n = 2σ²(z_{0.975}+z_{0.80})²/δ². Exact integer moments
+    * (σ² in milli² from n·Σx²−(Σx)² on DECIMAL(38,0)), the z-sum
+    * square as the exact micro² literal 2801585² = 7848878512225
+    * (1959964 + 841621 micro), δ = mean·mde exact, and the final n
+    * a ceiling division — one deterministic integer chain both
+    * engines replay. */
+  def powerPlanner(s: SparkSession, dir: String): DataFrame = {
+    val mom = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("vm")).as("s1"),
+        sum(expr("CAST(vm AS DECIMAL(38,0)) * vm")).as("s2"))
+      .filter(col("n_obs") >= 2)
+      .withColumn("var_milli2", expr(
+        """CAST((CAST(n_obs AS DECIMAL(38,0)) * s2
+          | - CAST(s1 AS DECIMAL(38,0)) * s1)
+          | div (CAST(n_obs AS DECIMAL(38,0)) * (n_obs - 1))
+          | AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("mean_milli",
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) div n_obs AS BIGINT)"))
+    val grid = s.createDataFrame(
+        Seq(10000L, 20000L, 50000L, 100000L, 200000L).map(Tuple1(_)))
+      .toDF("mde_ppm")
+    mom.crossJoin(broadcast(grid))
+      .withColumn("delta_milli",
+        expr("CAST(CAST(mean_milli AS DECIMAL(38,0)) * mde_ppm" +
+          " div 1000000 AS BIGINT)"))
+      // n = ceil( 2·σ²·(z_a+z_b)² / δ² ), z-sum² in micro² —
+      // divide by 10¹² to leave a dimensionless count
+      .withColumn("n_per_arm", expr(
+        """CAST((CAST(2 AS DECIMAL(38,0)) * var_milli2 * 7848878512225
+          |  + CAST(nullif(delta_milli, 0) AS DECIMAL(38,0))
+          |    * delta_milli * 1000000000000 - 1)
+          | div (CAST(nullif(delta_milli, 0) AS DECIMAL(38,0))
+          |    * delta_milli * 1000000000000) AS BIGINT)"""
+          .stripMargin))
+      .select(col("event_type"), col("n_obs"), col("mean_milli"),
+        col("var_milli2"), col("mde_ppm"), col("delta_milli"),
+        col("n_per_arm"))
+  }
 }

@@ -2170,4 +2170,41 @@ object StreamingOps {
     }
     rows.toDF("qualifier", "c", "cnt", "within_bound", "present_ok")
   }
+
+  /** q443: STREAMING PAGE–HINKLEY monitor (the q364/q369 live-state
+    * treatment for q442's drift detector) — the events WAL streams
+    * through the DSv2 source into an update-mode hourly-count
+    * aggregation (state = |hours| counters, the q252 histogram
+    * shape); each micro-batch appends the hours it updated with its
+    * batch id, the read keeps each hour's LATEST count (max_by on
+    * batch — replay rewrites identical rows), and the UNCHANGED
+    * q442 sequential scan runs over the maintained series. Gate =
+    * the q442 oracle verbatim: the streamed hourly histogram must
+    * land exactly the batch one, so the PH trajectory is equal row
+    * for row. The 100 TB shape: the drift monitor's state is the
+    * bounded hour grid, never the event stream. */
+  def streamPageHinkley(s: SparkSession, dir: String,
+      lambda: Long = 50L): DataFrame = {
+    val stage = stagingRoot("q443", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir,
+      batches = 6)
+    val hourly = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(expr("ts div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val query = hourly.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    Events.pageHinkleyOf(
+      s.read.parquet(out).groupBy(col("h"))
+        .agg(max_by(col("x"), col("batch")).as("x")),
+      lambda)
+  }
 }

@@ -654,4 +654,194 @@ class Round14Spec extends SparkSpec {
       "stream ≡ batch — the store read must not depend on batching")
     assert(batch.nonEmpty)
   }
+
+  test("q435: restart mid-stream — second AvailableNow run on the same checkpoint") {
+    import scala.jdk.CollectionConverters._
+    val M = graft.operators.Multimodal
+    val stage = java.nio.file.Files
+      .createTempDirectory("spec_q435_restart").toString
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    val store = s"$stage/store"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(inDir))
+    // stage the real twin media once, then feed it to the stream in
+    // TWO waves (split by doc parity) with a restart between them
+    val media = M.stageVideoTwinMedia(spark, sfDir, "spec_q435r")
+    val all = spark.read.parquet(media)
+    val mediaSchema = all.schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          import spark.implicits._
+          // full module paths inside the task lambda: a captured
+          // local alias (val M) would drag the spec class into the
+          // closure and fail serialization
+          df.as[graft.operators.Multimodal.BlobRow].mapPartitions {
+              rows => rows.map(r => (r.doc_id,
+                graft.operators.Multimodal.temporalBits(
+                  graft.operators.Multimodal.y4mParse(r.blob))))
+            }.toDF("doc_id", "bits")
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    all.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.mode("append").parquet(inDir)
+    drain()
+    all.filter(col("doc_id") % 2 =!= 0).repartition(2)
+      .write.mode("append").parquet(inDir)
+    drain()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("n_bits"), r.getAs[Long]("hamming"))
+    val restarted = M.videoNearDupOf(
+        spark.read.parquet(store).distinct(), 1)
+      .collect().map(key).toSet
+    val batch = M.videoNearDup(spark, sfDir).collect().map(key).toSet
+    assert(restarted === batch,
+      "restarted streamed fingerprints differ from batch q433")
+  }
+
+  test("q438: pooled moments equal summed brand moments; sign logic exact on the real corpus") {
+    val rows = graft.operators.Relational.simpsonAudit(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bs = r.getAs[Long]("brand_sign")
+      val ps = r.getAs[Long]("pooled_sign")
+      assert(bs >= -1L && bs <= 1L)
+      assert(r.getAs[Boolean]("reversed") === (bs * ps < 0),
+        "the reversal flag must be exactly the sign product test")
+      val cov = r.getDecimal(r.fieldIndex("cov_num"))
+      assert(cov.signum.toLong === bs,
+        "brand_sign must be the sign of the exact covariance numerator")
+    }
+    assert(rows.map(_.getAs[Long]("pooled_sign")).toSet.size === 1,
+      "pooled sign is one global fact")
+  }
+
+  test("q439: a constant-maxima type has zero scale; Gumbel chains replay the literals") {
+    val rows = graft.operators.Events.gumbelTail(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("s_milli")
+      val beta = r.getAs[Long]("beta_milli")
+      val mu = r.getAs[Long]("mu_milli")
+      val ret = r.getAs[Long]("ret100_milli")
+      assert(beta === s * 2449490L / 3141593L,
+        "beta must be the exact integer chain of the sqrt6/pi literal")
+      assert(mu === r.getAs[Long]("mean_milli") - 577216L * beta / 1000000L)
+      assert(ret === mu + beta * 4605170L / 1000000L)
+      assert(ret >= mu, "the 100-block return level cannot sit below mu")
+      assert(s >= 0L)
+    }
+  }
+
+  test("q440: S is exactly ±n(n−1)/2 on strictly monotone series; constant series yield NULL z") {
+    import spark.implicits._
+    val up = (1L to 10L).map(i => (i, i * 2)).toDF("h", "x")
+    val ru = graft.operators.Events.mannKendallOf(up).collect()(0)
+    assert(ru.getAs[Long]("s_stat") === 45L) // 10·9/2
+    assert(ru.getAs[Long]("trend_sign") === 1L)
+    // untied: var18 = n(n−1)(2n+5) = 10·9·25 = 2250
+    assert(ru.getDecimal(ru.fieldIndex("var18")).longValueExact === 2250L)
+    val down = (1L to 10L).map(i => (i, 100L - i)).toDF("h", "x")
+    val rd = graft.operators.Events.mannKendallOf(down).collect()(0)
+    assert(rd.getAs[Long]("s_stat") === -45L)
+    val flat = (1L to 10L).map(i => (i, 7L)).toDF("h", "x")
+    val rf = graft.operators.Events.mannKendallOf(flat).collect()(0)
+    assert(rf.getAs[Long]("s_stat") === 0L)
+    assert(rf.isNullAt(rf.fieldIndex("z_micro")),
+      "all-tied variance is 0 — z must be NULL, not a div-0 throw")
+  }
+
+  test("q442: a level shift raises the PH alarm; a constant series never does") {
+    import spark.implicits._
+    // 20 quiet hours at 10, then 10 hours at 100: the running mean
+    // lags, deviations accumulate, the alarm must fire after the
+    // shift and never before it
+    val shifted = ((1L to 20L).map(i => (i, 10L)) ++
+      (21L to 30L).map(i => (i, 100L))).toDF("h", "x")
+    val rows = graft.operators.Events.pageHinkleyOf(shifted, 50L)
+      .collect().sortBy(_.getAs[Long]("h"))
+    val alarmsBefore = rows.takeWhile(_.getAs[Long]("h") <= 20L)
+      .count(_.getAs[Boolean]("alarm"))
+    val alarmsAfter = rows.dropWhile(_.getAs[Long]("h") <= 20L)
+      .count(_.getAs[Boolean]("alarm"))
+    assert(alarmsBefore === 0, "no alarm on the quiet prefix")
+    assert(alarmsAfter > 0, "the level shift must trip the detector")
+    val flat = (1L to 30L).map(i => (i, 10L)).toDF("h", "x")
+    val rf = graft.operators.Events.pageHinkleyOf(flat, 50L).collect()
+    assert(rf.forall(!_.getAs[Boolean]("alarm")))
+    assert(rf.forall(_.getAs[Long]("ph") === 0L),
+      "a constant series has zero cumulative deviation everywhere")
+  }
+
+  test("q441: per-arm n shrinks with the MDE and replays the literal chain") {
+    val rows = graft.operators.Sketch.powerPlanner(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach {
+      case (_, rs) =>
+        val byMde = rs.sortBy(_.getAs[Long]("mde_ppm"))
+        val ns = byMde.map(_.getAs[Long]("n_per_arm"))
+        assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+          "a larger detectable effect can never need MORE traffic")
+        byMde.foreach { r =>
+          val v = r.getDecimal(r.fieldIndex("var_milli2"))
+            .longValueExact
+          val d = r.getAs[Long]("delta_milli")
+          if (d > 0) {
+            val den = BigInt(d) * d * BigInt("1000000000000")
+            val want = (BigInt(2) * v * BigInt("7848878512225")
+              + den - 1) / den
+            assert(BigInt(r.getAs[Long]("n_per_arm")) === want,
+              "n must be exactly the ceiling of the literal chain")
+          }
+        }
+    }
+  }
+
+  test("q444: an alternating series rejects whiteness; a constant one yields NULL Q") {
+    import spark.implicits._
+    // strict alternation: lag-1 autocorrelation ≈ −1, so the lag-1
+    // term alone is ≈ n(n+2)/(n−1) >> 18.307
+    val alt = (1L to 60L).map(i => (i, if (i % 2 == 0) 10L else 90L))
+      .toDF("h", "x")
+    val ra = graft.operators.Events.ljungBoxOf(alt, 10).collect()(0)
+    assert(ra.getAs[Boolean]("reject_white"),
+      "a deterministic alternation is the opposite of white noise")
+    assert(ra.getAs[Long]("q_micro") > 18307000L)
+    // constant series: zero variance — the statistic honestly
+    // degenerates to NULL (nullif), never a div-0 throw
+    val flat = (1L to 60L).map(i => (i, 7L)).toDF("h", "x")
+    val rf = graft.operators.Events.ljungBoxOf(flat, 10).collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("q_micro")))
+  }
+
+  test("q445: a pure daily cycle scores near-total seasonal strength; constant yields NULL") {
+    import spark.implicits._
+    // 5 full days of a zero-noise daily cycle: residuals are only
+    // window-edge integer dust — Fs must sit within 2% of 1
+    val cyc = (0L until 120L).map(h => (h, (h % 24) * 10L + 5L))
+      .toDF("h", "n")
+    val rc = graft.operators.Events.seasonalStrengthOf(cyc)
+      .collect()(0)
+    assert(rc.getAs[Long]("fs_ppm") > 980000L,
+      s"noise-free cycle must be ~fully seasonal, got ${rc.getAs[Long]("fs_ppm")}")
+    val flat = (0L until 120L).map(h => (h, 9L)).toDF("h", "n")
+    val rf = graft.operators.Events.seasonalStrengthOf(flat)
+      .collect()(0)
+    // vd_num = 0 -> the ratio is NULL and greatest(NULL, 0) = 0 on
+    // BOTH engines: a flat series has, honestly, no seasonal signal
+    assert(rf.getAs[Long]("fs_ppm") === 0L,
+      "zero detrended variance reads as zero strength on both engines")
+  }
 }
