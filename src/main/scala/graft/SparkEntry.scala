@@ -481,6 +481,10 @@ object SparkEntry {
     "q444_ljung_box"        -> ((s, d) => Events.ljungBox(s, d)),
     "q445_seasonal_strength" ->
       ((s, d) => Events.seasonalStrength(s, d)),
+    "q446_conformal_interval" ->
+      ((s, d) => Eval.conformalInterval(s, d)),
+    "q447_stream_gumbel_tail" ->
+      ((s, d) => StreamingOps.streamGumbelTail(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -642,6 +646,38 @@ object SparkEntry {
         | CAST(m_t - m_min AS BIGINT) AS ph,
         | m_t - m_min > 50 AS alarm
         |FROM f""".stripMargin
+
+  /** The q439 Gumbel-tail oracle — also the q447 gate verbatim
+    * (the streamed block-maxima grid must land exactly the batch
+    * one — a max only grows under replay). */
+  private val gumbelTailOracle: String =
+    """WITH b AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS h,
+        |  max(CAST(round(value * 1000) AS BIGINT)) AS m
+        | FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(m) AS BIGINT) AS s1,
+        |  sum(CAST(m AS HUGEINT) * m) AS s2
+        | FROM b GROUP BY 1 HAVING count(*) >= 2),
+        |f AS (SELECT event_type, n_blocks,
+        |  CAST(CAST(s1 AS HUGEINT) // n_blocks AS BIGINT)
+        |   AS mean_milli,
+        |  CAST(round(sqrt(CAST(CAST(n_blocks AS HUGEINT) * s2
+        |     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))))
+        |   AS BIGINT) AS s_milli
+        | FROM a),
+        |g AS (SELECT *, s_milli * 2449490 // 3141593 AS beta_milli
+        | FROM f),
+        |h AS (SELECT *,
+        |  mean_milli - 577216 * beta_milli // 1000000 AS mu_milli
+        | FROM g)
+        |SELECT event_type, n_blocks, mean_milli, s_milli,
+        | CAST(beta_milli AS BIGINT) AS beta_milli,
+        | CAST(mu_milli AS BIGINT) AS mu_milli,
+        | CAST(mu_milli + beta_milli * 4605170 // 1000000 AS BIGINT)
+        |  AS ret100_milli
+        |FROM h""".stripMargin
 
   /** The q384 ExactSubstr oracle — also the q412 gate verbatim: the
     * streamed ownership frame must land exactly the batch
@@ -9760,34 +9796,8 @@ object SparkEntry {
         |FROM gc, p""".stripMargin,
     // q439: exact block-maxima moments, one IEEE sqrt, then integer
     // chains on micro literals (sqrt6/pi, Euler gamma, ln 100).
-    "q439_gumbel_tail" ->
-      """WITH b AS (SELECT event_type,
-        |  epoch_us(ts) // 3600000000 AS h,
-        |  max(CAST(round(value * 1000) AS BIGINT)) AS m
-        | FROM events GROUP BY 1, 2),
-        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
-        |  CAST(sum(m) AS BIGINT) AS s1,
-        |  sum(CAST(m AS HUGEINT) * m) AS s2
-        | FROM b GROUP BY 1 HAVING count(*) >= 2),
-        |f AS (SELECT event_type, n_blocks,
-        |  CAST(CAST(s1 AS HUGEINT) // n_blocks AS BIGINT)
-        |   AS mean_milli,
-        |  CAST(round(sqrt(CAST(CAST(n_blocks AS HUGEINT) * s2
-        |     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-        |    / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))))
-        |   AS BIGINT) AS s_milli
-        | FROM a),
-        |g AS (SELECT *, s_milli * 2449490 // 3141593 AS beta_milli
-        | FROM f),
-        |h AS (SELECT *,
-        |  mean_milli - 577216 * beta_milli // 1000000 AS mu_milli
-        | FROM g)
-        |SELECT event_type, n_blocks, mean_milli, s_milli,
-        | CAST(beta_milli AS BIGINT) AS beta_milli,
-        | CAST(mu_milli AS BIGINT) AS mu_milli,
-        | CAST(mu_milli + beta_milli * 4605170 // 1000000 AS BIGINT)
-        |  AS ret100_milli
-        |FROM h""".stripMargin,
+    "q439_gumbel_tail" -> gumbelTailOracle,
+
     // q440: pair signs over the bounded hour grid, tie-corrected
     // HUGEINT variance, one IEEE sqrt, continuity-corrected z.
     "q440_mann_kendall" ->
@@ -9917,5 +9927,40 @@ object SparkEntry {
         | CAST(greatest(1000000 - vr_num * 1000000
         |  // nullif(vd_num, 0), 0) AS BIGINT) AS fs_ppm
         |FROM f""".stripMargin,
+    // q446: the exact conformal rank ((9(n+1)+9)//10-th smallest
+    // residual), deterministic (residual, doc_id) ties, integer
+    // milli throughout; n_cal < 9 languages emit no row.
+    "q446_conformal_interval" ->
+      """WITH tr AS (SELECT lang, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) * 1000 AS ym
+        | FROM documents),
+        |mdl AS (SELECT lang,
+        |  CAST(sum(ym) // count(*) AS BIGINT) AS yhat_milli
+        | FROM tr WHERE doc_id % 4 = 0 GROUP BY 1),
+        |cal AS (SELECT t.lang, t.doc_id,
+        |  abs(t.ym - m.yhat_milli) AS r
+        | FROM tr t JOIN mdl m USING (lang) WHERE t.doc_id % 4 = 2),
+        |rk AS (SELECT lang, r,
+        |  row_number() OVER (PARTITION BY lang ORDER BY r, doc_id)
+        |   AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n_cal FROM cal),
+        |qh AS (SELECT lang, CAST(n_cal AS BIGINT) AS n_cal,
+        |  r AS q_hat_milli
+        | FROM rk WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+        |tst AS (SELECT t.lang,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN abs(t.ym - m.yhat_milli)
+        |     <= q.q_hat_milli THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_covered
+        | FROM tr t JOIN mdl m USING (lang) JOIN qh q USING (lang)
+        | WHERE t.doc_id % 2 = 1 GROUP BY 1)
+        |SELECT q.lang, m.yhat_milli, q.n_cal, q.q_hat_milli,
+        | tst.n_test, tst.n_covered,
+        | CAST(n_covered * 1000000 // n_test AS BIGINT)
+        |  AS coverage_ppm
+        |FROM qh q JOIN mdl m USING (lang) JOIN tst USING (lang)"""
+        .stripMargin,
+    // q447: stream = batch - the q439 oracle verbatim.
+    "q447_stream_gumbel_tail" -> gumbelTailOracle,
   )
 }

@@ -1101,4 +1101,53 @@ object Eval {
       .select(col("n_total"), col("k_groups"), col("a4"),
         col("t_ppm"), col("h_micro"), col("h_adj_micro"))
   }
+
+  /** q446: SPLIT-CONFORMAL PREDICTION INTERVAL for document length
+    * (Vovk et al. 2005; the split/inductive recipe as popularized by
+    * Lei et al. 2018) — the distribution-free uncertainty layer the
+    * eval family lacked: any point predictor (here the per-language
+    * train-split mean, deliberately simple — the recipe, not the
+    * model, is the operator) gets a finite-sample ≥ 90% coverage
+    * interval from calibration residuals, no normality assumed. The
+    * three-way deterministic split both engines replay: train =
+    * doc_id%4==0 (fit ŷ per lang), calibration = doc_id%4==2 (q̂ =
+    * the ⌈(n_cal+1)·0.9⌉-th smallest |y−ŷ|, the exact conformal
+    * quantile), test = odd doc_ids (measured coverage). The k-th
+    * order statistic rides [[Relational.twoPhaseRank]] — the
+    * (lang × residual-bin) histogram cumulates on a bounded frame
+    * and only one bin's occupancy ever sorts on a task, never a
+    * whole language's calibration set. Languages with n_cal < 9
+    * honestly emit no row (the conformal rank exceeds the sample).
+    * All integer milli; ties broken (residual, doc_id). */
+  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        (size(toks).cast("long") * 1000L).as("ym"))
+    val model = docs.filter(col("doc_id") % 4 === 0)
+      .groupBy(col("lang"))
+      .agg(expr("CAST(sum(ym) div count(1) AS BIGINT)").as("yhat_milli"))
+      .localCheckpoint() // bounded: |langs| rows
+    val cal = docs.filter(col("doc_id") % 4 === 2)
+      .join(broadcast(model), "lang")
+      .select(col("lang"), col("doc_id"),
+        abs(col("ym") - col("yhat_milli")).as("r"))
+    val ranked = Relational.twoPhaseRank(cal, col("lang"),
+      expr("r div 1000"), Seq(col("r"), col("doc_id")), "rk", "n_cal")
+    val qhat = ranked
+      .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("lang"), col("n_cal"), col("r").as("q_hat_milli"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(model), "lang")
+      .join(broadcast(qhat), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("yhat_milli")).as("yhat_milli"),
+        max(col("n_cal")).as("n_cal"),
+        max(col("q_hat_milli")).as("q_hat_milli"),
+        count(lit(1)).as("n_test"),
+        sum(when(abs(col("ym") - col("yhat_milli"))
+          <= col("q_hat_milli"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_ppm",
+        expr("n_covered * 1000000 div n_test"))
+  }
 }

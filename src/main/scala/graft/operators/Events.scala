@@ -2077,13 +2077,18 @@ object Events {
     * literals (√6/π = 2449490/3141593, γ = 577216, ln 100 =
     * 4605170) — every division on non-negative operands. One
     * map-side agg to |types|·|hours| blocks, one to |types| rows. */
-  def gumbelTail(s: SparkSession, dir: String): DataFrame = {
-    val blocks = Tables.events(s, dir)
+  def gumbelTail(s: SparkSession, dir: String): DataFrame =
+    gumbelTailOf(Tables.events(s, dir)
       .select(col("event_type"),
         expr("ts div 3600000000").as("h"), // Tables.events: ts = micros
         expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
       .groupBy(col("event_type"), col("h"))
-      .agg(max(col("vm")).as("m"))
+      .agg(max(col("vm")).as("m")))
+
+  /** The q439 moment/literal chain over a pre-built block-maxima
+    * frame (event_type, h, m) — shared by batch q439 and the
+    * streamed store read of q447. */
+  private[graft] def gumbelTailOf(blocks: DataFrame): DataFrame = {
     blocks.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_blocks"), sum(col("m")).as("s1"),
         sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("s2"))

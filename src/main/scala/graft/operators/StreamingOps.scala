@@ -2207,4 +2207,42 @@ object StreamingOps {
         .agg(max_by(col("x"), col("batch")).as("x")),
       lambda)
   }
+
+  /** q447: STREAMING GUMBEL TAIL — q439's block-maxima EVT fit
+    * maintained as LIVE STATE (the q443 treatment for the extremes
+    * domain): the events WAL streams into an update-mode per
+    * (event_type, hour) MAX aggregation — the block-maxima grid,
+    * bounded by types·hours, never the event stream — each batch
+    * appends the blocks it raised, the read keeps each block's
+    * latest max (max_by on batch; a max only grows, and replay
+    * rewrites identical rows), and the UNCHANGED q439 moment/
+    * literal chain prices the tail. Gate = the q439 oracle
+    * verbatim: the capacity planner's return level updates as data
+    * lands, no archive rescan. */
+  def streamGumbelTail(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q447", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir,
+      batches = 6)
+    val blocks = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("cells")(0)("qualifier").as("event_type"),
+        expr("ts div 3600000000").as("h"),
+        expr("cast(round(cast(cells[0].value as double) * 1000)" +
+          " as bigint)").as("vm"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(max(col("vm")).as("m"))
+    val query = blocks.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    Events.gumbelTailOf(
+      s.read.parquet(out).groupBy(col("event_type"), col("h"))
+        .agg(max_by(col("m"), col("batch")).as("m")))
+  }
 }

@@ -844,4 +844,38 @@ class Round14Spec extends SparkSpec {
     assert(rf.getAs[Long]("fs_ppm") === 0L,
       "zero detrended variance reads as zero strength on both engines")
   }
+
+  test("q446: conformal coverage holds near its nominal level on every language") {
+    val rows = graft.operators.Eval.conformalInterval(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("coverage_ppm")
+      val nCal = r.getAs[Long]("n_cal")
+      assert(nCal >= 9L, "sub-9 calibration languages must emit no row")
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+      assert(r.getAs[Long]("q_hat_milli") >= 0L)
+      // the finite-sample guarantee is >= 90% in expectation over
+      // exchangeable splits; on this fixed deterministic split allow
+      // binomial wobble but catch a broken quantile (e.g. a median
+      // would sit near 50%)
+      assert(cov >= 800000L,
+        s"${r.getAs[String]("lang")} coverage $cov ppm is far below nominal")
+    }
+  }
+
+  test("q447: the streamed block-maxima grid lands exactly the batch Gumbel fit") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("mean_milli"), r.getAs[Long]("s_milli"),
+        r.getAs[Long]("beta_milli"), r.getAs[Long]("mu_milli"),
+        r.getAs[Long]("ret100_milli"))
+    val batch = graft.operators.Events.gumbelTail(spark, sfDir)
+      .collect().map(key).toSet
+    val streamed = graft.operators.StreamingOps
+      .streamGumbelTail(spark, sfDir).collect().map(key).toSet
+    assert(streamed === batch,
+      "stream ≡ batch — a block max only grows; replay must not change it")
+    assert(batch.nonEmpty)
+  }
 }
