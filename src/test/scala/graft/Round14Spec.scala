@@ -9,8 +9,17 @@ import org.apache.spark.sql.functions._
   * square wave, q409/q413/q415/q418 reconciliation, planted
   * near-dup twins), the q412 streaming ExactSubstr index
   * (replay/compaction/restart), the unigram tokenizer (q216
-  * fertility reconciliation), and the q424/q425 constructed-series
-  * pins. */
+  * fertility reconciliation), the q424/q425 constructed-series
+  * pins, the Y4M video family (hand-assembled container vs the
+  * format spec, strict-parse rejection, frame-grain SAD, planted
+  * chroma twins at hamming 0, q435 stream≡batch + mid-stream
+  * restart), the round's statistics on constructed ground truth
+  * (q434 U bounds, q436 textbook H 2.4/3.0, q437 moment/flag
+  * agreement, q440 monotone-extreme S, q441 planner monotonicity +
+  * literal-chain replay, q442 level-shift alarms, q444
+  * alternating-rejects/constant-NULL, q445 noise-free-cycle
+  * strength), q446 conformal coverage, and q447 stream≡batch block
+  * maxima. */
 class Round14Spec extends SparkSpec {
 
   // ---- q385: SCOPED compaction — folding a delta that touches ONE
