@@ -485,6 +485,9 @@ object SparkEntry {
       ((s, d) => Eval.conformalInterval(s, d)),
     "q447_stream_gumbel_tail" ->
       ((s, d) => StreamingOps.streamGumbelTail(s, d)),
+    "q448_video_shots"      -> ((s, d) => Multimodal.videoShots(s, d)),
+    "q449_theil_decomposition" ->
+      ((s, d) => Relational.theilDecomposition(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -9962,5 +9965,68 @@ object SparkEntry {
         .stripMargin,
     // q447: stream = batch - the q439 oracle verbatim.
     "q447_stream_gumbel_tail" -> gumbelTailOracle,
+    // q448: pixels -> SADs -> cut flags -> cumulative shot id ->
+    // per-shot group, all replayed from the formula.
+    "q448_video_shots" ->
+      """WITH d AS (SELECT doc_id, 4 + (doc_id % 3) * 2 AS w,
+        |  4 + (doc_id % 2) * 2 AS h, doc_id % 12 + 4 AS frames
+        | FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(frames)) AS f
+        | FROM d),
+        |pi AS (SELECT doc_id, w, h, f, unnest(range(w * h)) AS i
+        | FROM fr),
+        |px AS (SELECT doc_id, w, h, f,
+        |  (doc_id * 31 + f * 17 + i * 5) % 256 AS v,
+        |  abs((doc_id * 31 + f * 17 + i * 5) % 256
+        |    - (doc_id * 31 + (f - 1) * 17 + i * 5) % 256) AS ad
+        | FROM pi),
+        |fs AS (SELECT doc_id, f, max(w * h) AS npx,
+        |  CAST(sum(v) AS BIGINT) AS ysum,
+        |  CAST(sum(v * v) AS BIGINT) AS ysq,
+        |  CAST(sum(ad) AS BIGINT) AS sad
+        | FROM px GROUP BY 1, 2),
+        |ct AS (SELECT doc_id, f, ysum, ysq,
+        |  CASE WHEN f >= 1 AND sad >= 30 * npx THEN 1 ELSE 0 END
+        |   AS cut FROM fs),
+        |sh AS (SELECT doc_id, f, ysum, ysq,
+        |  sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot
+        | FROM ct)
+        |SELECT doc_id, CAST(shot AS BIGINT) AS shot,
+        | CAST(min(f) AS BIGINT) AS first_frame,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(ysum) AS BIGINT) AS y_sum,
+        | CAST(sum(ysq) AS BIGINT) AS y_sum_sq
+        |FROM sh GROUP BY 1, 2""".stripMargin,
+    // q449: supplier-grain cents, one micro-rounded ln per supplier
+    // (within) and per nation (between), integer divisions with
+    // matching toward-zero truncation on both engines.
+    "q449_theil_decomposition" ->
+      """WITH s0 AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS x
+        | FROM lineitem GROUP BY 1),
+        |sup AS (SELECT s0.l_suppkey, s0.x, n.n_name
+        | FROM s0 JOIN supplier s ON s.s_suppkey = s0.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        | WHERE s0.x > 0),
+        |grp AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_g,
+        |  CAST(sum(x) AS BIGINT) AS s_g FROM sup GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_all,
+        |  CAST(sum(s_g) AS BIGINT) AS s_all FROM grp),
+        |wi AS (SELECT sup.n_name,
+        |  sum(CAST(x AS HUGEINT) * CAST(round(ln(
+        |    CAST(x * n_g AS DOUBLE) / s_g) * 1e6) AS BIGINT)) AS c,
+        |  max(s_g) AS sg
+        | FROM sup JOIN grp USING (n_name) GROUP BY 1)
+        |SELECT g.n_name, g.n_g, g.s_g,
+        | CAST(CAST(g.s_g AS HUGEINT) * 1000000 // t.s_all AS BIGINT)
+        |  AS share_ppm,
+        | CAST(wi.c // wi.sg AS BIGINT) AS t_within_micro,
+        | CAST(CAST(g.s_g AS HUGEINT) * CAST(round(ln(
+        |   (CAST(g.s_g AS DOUBLE) * t.n_all)
+        |    / (CAST(t.s_all AS DOUBLE) * g.n_g)) * 1e6) AS BIGINT)
+        |  // t.s_all AS BIGINT) AS between_contrib_micro
+        |FROM grp g JOIN wi ON wi.n_name = g.n_name
+        | CROSS JOIN tot t""".stripMargin,
   )
 }

@@ -1666,4 +1666,56 @@ object Multimodal {
     query.awaitTermination()
     videoNearDupOf(s.read.parquet(store).distinct(), maxHam)
   }
+
+  /** q448: PER-SHOT VIDEO STATS — q431's cut detector composed into
+    * the segmentation it exists for: frames between consecutive cuts
+    * form a SHOT (shot id = running count of cut boundaries — frame
+    * 0 opens shot 0, every flagged frame opens the next), and each
+    * shot reports its exact frame span and luma mass. This is the
+    * grain video curation actually operates at — dedup by shot,
+    * thumbnail per shot, clip sampling per shot — and the per-shot
+    * rows are what a per-scene embedder consumes. Same SAD/threshold
+    * arithmetic as q431 (exact integer, 30/px), computed inside the
+    * per-blob decode pass: O(frames·px) per row, zero shuffle, the
+    * oracle replays pixels → SADs → cut flags → the cumulative shot
+    * id → the per-shot group. */
+  def videoShots(s: SparkSession, dir: String,
+      thresholdPerPx: Int = 30): DataFrame = {
+    import s.implicits._
+    decodedY4m(s, dir, "q448")
+      .flatMap { case (id, a) =>
+        val npx = a.width * a.height
+        val sums = a.luma.map { fr =>
+          var sm = 0L; var sq = 0L
+          var i = 0
+          while (i < fr.length) {
+            sm += fr(i); sq += fr(i).toLong * fr(i); i += 1
+          }
+          (sm, sq)
+        }
+        var shot = 0L
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        var f = 0
+        while (f < a.luma.length) {
+          if (f > 0) {
+            val cur = a.luma(f); val prev = a.luma(f - 1)
+            var sad = 0L
+            var i = 0
+            while (i < cur.length) {
+              sad += math.abs(cur(i) - prev(i)); i += 1
+            }
+            if (sad >= thresholdPerPx.toLong * npx) shot += 1
+          }
+          rows += ((id, shot, f.toLong, 1L, sums(f)._1, sums(f)._2))
+          f += 1
+        }
+        rows.groupBy(r => r._2).map { case (sh, rs) =>
+          (id, sh, rs.map(_._3).min, rs.size.toLong,
+            rs.map(_._5).sum, rs.map(_._6).sum)
+        }
+      }
+      .toDF("doc_id", "shot", "first_frame", "n_frames", "y_sum",
+        "y_sum_sq")
+  }
 }

@@ -526,6 +526,59 @@ object Relational {
           .as("reversed"))
   }
 
+  /** q449: THEIL-T INEQUALITY DECOMPOSITION of supplier revenue by
+    * nation (Theil 1967; decomposition per Shorrocks 1980) — the
+    * inequality number q246's Gini cannot give: Theil's T is
+    * additively DECOMPOSABLE, T = T_between + Σ shareᵍ·T_withinᵍ,
+    * so "is revenue concentration a within-nation or between-nation
+    * phenomenon?" gets an exact answer — the question a sourcing
+    * strategy (or a per-source corpus-balance audit) actually asks.
+    * Facts pre-aggregate to supplier grain (one shuffle on
+    * l_suppkey), the nation dim broadcasts, and both index layers
+    * are the q361 log discipline: ONE micro-rounded ln per row of a
+    * frame (per supplier for the within terms, per nation for the
+    * between terms), exact DECIMAL(38,0) cent-weighted sums, one
+    * integer division per reported number. Zero-revenue suppliers
+    * honestly drop (ln 0; x·ln x → 0 mass anyway). |nations| rows:
+    * n, revenue, share_ppm, t_within_micro, between_contrib_micro. */
+  def theilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("x"))
+      .filter(col("x") > 0)
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+          .join(Tables.nation(s, dir)
+              .select(col("n_nationkey").as("s_nationkey"),
+                col("n_name")),
+            "s_nationkey")),
+        "l_suppkey")
+    val grp = sup.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+      .localCheckpoint() // bounded: |nations|
+    val tot = grp.agg(sum(col("n_g")).as("n_all"),
+      sum(col("s_g")).as("s_all"))
+    val within = sup.join(broadcast(grp), "n_name")
+      .select(col("n_name"), col("s_g"),
+        expr("""CAST(x AS DECIMAL(38,0)) * CAST(round(ln(
+          |  CAST(x * n_g AS DOUBLE) / s_g) * 1e6) AS BIGINT)"""
+          .stripMargin).as("c"))
+      .groupBy(col("n_name"))
+      .agg(expr("CAST(sum(c) div max(s_g) AS BIGINT)")
+        .as("t_within_micro"))
+    grp.crossJoin(broadcast(tot))
+      .join(broadcast(within), "n_name")
+      .select(col("n_name"), col("n_g"), col("s_g"),
+        expr("CAST(CAST(s_g AS DECIMAL(38,0)) * 1000000 div s_all" +
+          " AS BIGINT)").as("share_ppm"),
+        col("t_within_micro"),
+        expr("""CAST(CAST(s_g AS DECIMAL(38,0)) * CAST(round(ln(
+          |  (CAST(s_g AS DOUBLE) * n_all) / (CAST(s_all AS DOUBLE)
+          |   * n_g)) * 1e6) AS BIGINT) div s_all AS BIGINT)"""
+          .stripMargin).as("between_contrib_micro"))
+  }
+
 
   /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
     * of q141/q256: a rule a→b carries support (how often the pair

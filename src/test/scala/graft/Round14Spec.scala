@@ -887,4 +887,48 @@ class Round14Spec extends SparkSpec {
       "stream ≡ batch — a block max only grows; replay must not change it")
     assert(batch.nonEmpty)
   }
+
+  test("q448: shots tile the asset exactly — frames/luma reconcile with q429, counts with q431") {
+    val shots = graft.operators.Multimodal.videoShots(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_frames")).as("nf"), sum(col("y_sum")).as("ys"),
+        count(lit(1)).as("n_shots"))
+    val whole = graft.operators.Multimodal.y4mDecode(spark, sfDir)
+      .select(col("doc_id"), col("n_frames"), col("y_sum"))
+    val mism = shots.join(whole, "doc_id")
+      .filter(col("nf") =!= col("n_frames") ||
+        col("ys") =!= col("y_sum")).count()
+    assert(mism === 0L, "per-shot spans must tile every asset exactly")
+    val cuts = graft.operators.Multimodal.videoMotion(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
+    val bad = shots.join(cuts, "doc_id")
+      .filter(col("n_shots") =!= col("n_cuts") + 1L).count()
+    assert(bad === 0L, "shot count must be exactly cuts + 1")
+  }
+
+  test("q449: Theil decomposition — shares sum to ~1, within terms non-negative, identity holds") {
+    val rows = graft.operators.Relational
+      .theilDecomposition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length.toLong,
+      s"shares must sum to 1e6 up to per-row truncation, got $shareSum")
+    rows.foreach { r =>
+      // each within index is a relative entropy: >= 0 up to the
+      // per-supplier micro rounding
+      assert(r.getAs[Long]("t_within_micro") >= -5L,
+        s"${r.getAs[String]("n_name")} within-Theil below rounding floor")
+    }
+    // decomposition sanity: T_total reconstructed from the reported
+    // pieces must be non-negative and bounded by ln(n) in micro
+    val tb = rows.map(_.getAs[Long]("between_contrib_micro")).sum
+    val tw = rows.map(r => r.getAs[Long]("share_ppm").toDouble / 1e6 *
+      r.getAs[Long]("t_within_micro")).sum
+    val total = tb + tw
+    val nAll = rows.map(_.getAs[Long]("n_g")).sum
+    assert(total >= -10.0, "reconstructed T must be ~non-negative")
+    assert(total <= math.log(nAll.toDouble) * 1e6,
+      "T cannot exceed ln(n) — the maximal-inequality bound")
+  }
 }
