@@ -488,6 +488,28 @@ object SparkEntry {
     "q448_video_shots"      -> ((s, d) => Multimodal.videoShots(s, d)),
     "q449_theil_decomposition" ->
       ((s, d) => Relational.theilDecomposition(s, d)),
+    "q450_copurchase_pagerank" ->
+      ((s, d) => Relational.copurchasePageRank(s, d)),
+    "q451_theil_hours"      -> ((s, d) => Events.theilHours(s, d)),
+    "q452_stream_theil"     -> ((s, d) => StreamingOps.streamTheil(s, d)),
+    "q453_salt_write_audit" -> ((s, d) => Bucketing.saltWriteAudit(s, d)),
+    "q454_textrank_keywords" ->
+      ((s, d) => TextAnalysis.textrankKeywords(s, d)),
+    "q455_personalized_pagerank" ->
+      ((s, d) => Relational.personalizedPageRank(s, d)),
+    "q456_ccf_leadlag"      -> ((s, d) => Events.ccfLeadLag(s, d)),
+    "q457_cohens_d"         -> ((s, d) => Eval.cohensD(s, d)),
+    "q458_mcnemar"          -> ((s, d) => Eval.mcnemar(s, d)),
+    "q459_bmp_decode"       -> ((s, d) => Multimodal.bmpDecode(s, d)),
+    "q460_wav_clipping"     -> ((s, d) => Multimodal.wavClipping(s, d)),
+    "q461_jpeg_markers"     -> ((s, d) => Multimodal.jpegMarkers(s, d)),
+    "q462_hurst_rs"         -> ((s, d) => Events.hurstRs(s, d)),
+    "q463_welch_t"          -> ((s, d) => Eval.welchT(s, d)),
+    "q464_anova_f"          -> ((s, d) => Eval.anovaF(s, d)),
+    "q465_cramers_v"        -> ((s, d) => Eval.cramersV(s, d)),
+    "q466_ece"              -> ((s, d) => Eval.ece(s, d)),
+    "q467_dp_composition"   ->
+      ((s, d) => Privacy.dpCompositionPlanner(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -649,6 +671,24 @@ object SparkEntry {
         | CAST(m_t - m_min AS BIGINT) AS ph,
         | m_t - m_min > 50 AS alarm
         |FROM f""".stripMargin
+
+  /** The q451 Theil-concentration oracle — also the q452 gate
+    * verbatim (the streamed (event_type, hour) grid must land
+    * exactly the batch one — the q364/q369 live-state discipline). */
+  private val theilHoursOracle: String =
+    """WITH cells AS (SELECT event_type,
+      |  epoch_us(ts) // 3600000000 AS h,
+      |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |  CAST(sum(x) AS BIGINT) AS total FROM cells GROUP BY 1),
+      |c AS (SELECT cells.event_type,
+      |  CAST(x AS HUGEINT) * CAST(round(ln(
+      |    CAST(x AS DOUBLE) * n_hours / total) * 1e6) AS BIGINT) AS c
+      | FROM cells JOIN tot USING (event_type))
+      |SELECT t.event_type, t.n_hours, t.total,
+      | CAST(sum(c.c) // t.total AS BIGINT) AS t_micro
+      |FROM c JOIN tot t USING (event_type)
+      |GROUP BY 1, 2, 3""".stripMargin
 
   /** The q439 Gumbel-tail oracle — also the q447 gate verbatim
     * (the streamed block-maxima grid must land exactly the batch
@@ -8701,16 +8741,16 @@ object SparkEntry {
         |cont AS (SELECT label, cell, CAST(count(*) AS BIGINT) AS nij
         | FROM asg GROUP BY 1, 2),
         |x1 AS (SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1)) // 2
-        |   AS DECIMAL(38,0)) AS s_ij,
+        |   AS BIGINT) AS s_ij,
         |  CAST(count(*) AS BIGINT) AS n_cells_used FROM cont),
         |x2 AS (SELECT CAST(sum(CAST(ai AS HUGEINT) * (ai - 1)) // 2
-        |   AS DECIMAL(38,0)) AS s_a,
+        |   AS BIGINT) AS s_a,
         |  CAST(count(*) AS BIGINT) AS n_labels,
         |  CAST(sum(ai) AS BIGINT) AS n FROM (
         |   SELECT label, CAST(sum(nij) AS BIGINT) AS ai
         |   FROM cont GROUP BY 1)),
         |x3 AS (SELECT CAST(sum(CAST(bj AS HUGEINT) * (bj - 1)) // 2
-        |   AS DECIMAL(38,0)) AS s_b,
+        |   AS BIGINT) AS s_b,
         |  CAST(count(*) AS BIGINT) AS n_cells FROM (
         |   SELECT cell, CAST(sum(nij) AS BIGINT) AS bj
         |   FROM cont GROUP BY 1))
@@ -8742,7 +8782,7 @@ object SparkEntry {
         |agg AS (SELECT CAST(sum(n1i) AS BIGINT) AS n1,
         |  CAST(sum(n2i) AS BIGINT) AS n2,
         |  CAST(sum(CAST(n1i AS HUGEINT) * (2 * cum2 + n2i))
-        |   AS DECIMAL(38,0)) AS u2x,
+        |   AS BIGINT) AS u2x,
         |  sum(CAST(ti AS HUGEINT) * ti * ti - ti) AS tie
         | FROM cum)
         |SELECT n1, n2, u2x,
@@ -9367,9 +9407,9 @@ object SparkEntry {
         |  sum(CAST(n1i AS HUGEINT) * n2i) AS n_tie FROM cum),
         |f AS (SELECT n1, n2, n_gt, n_tie,
         |  CAST(n1 AS HUGEINT) * n2 - n_gt - n_tie AS n_lt FROM agg)
-        |SELECT n1, n2, CAST(n_gt AS DECIMAL(38,0)) AS n_gt,
-        | CAST(n_lt AS DECIMAL(38,0)) AS n_lt,
-        | CAST(n_tie AS DECIMAL(38,0)) AS n_tie,
+        |SELECT n1, n2, CAST(n_gt AS BIGINT) AS n_gt,
+        | CAST(n_lt AS BIGINT) AS n_lt,
+        | CAST(n_tie AS BIGINT) AS n_tie,
         | CAST(round(CAST(n_gt - n_lt AS DOUBLE)
         |  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT)
         |  AS delta_micro
@@ -9739,7 +9779,7 @@ object SparkEntry {
         |  tt * 1000000 // nullif(CAST(n_total AS HUGEINT) * n_total
         |   * n_total - n_total, 0) AS t_ppm
         | FROM agg, tie)
-        |SELECT n_total, k_groups, CAST(a4 AS DECIMAL(38,0)) AS a4,
+        |SELECT n_total, k_groups, CAST(a4 AS BIGINT) AS a4,
         | CAST(t_ppm AS BIGINT) AS t_ppm,
         | CAST(h_mi AS BIGINT) AS h_micro,
         | CAST(greatest(h_mi, 0) * 1000000
@@ -9793,7 +9833,7 @@ object SparkEntry {
         |p AS (SELECT CAST(sign(CAST(sum(n) AS HUGEINT) * sum(sxy)
         |   - CAST(sum(sx) AS HUGEINT) * sum(sy)) AS BIGINT)
         |  AS pooled_sign FROM g)
-        |SELECT p_brand, n, CAST(cov_num AS DECIMAL(38,0)) AS cov_num,
+        |SELECT p_brand, n, CAST(cov_num AS BIGINT) AS cov_num,
         | CAST(sign(cov_num) AS BIGINT) AS brand_sign, pooled_sign,
         | CAST(sign(cov_num) AS BIGINT) * pooled_sign < 0 AS reversed
         |FROM gc, p""".stripMargin,
@@ -9817,7 +9857,7 @@ object SparkEntry {
         |  CAST(n_hours AS HUGEINT) * (n_hours - 1)
         |   * (2 * n_hours + 5) - tie18 AS var18
         | FROM n, s, t)
-        |SELECT n_hours, s_stat, CAST(var18 AS DECIMAL(38,0)) AS var18,
+        |SELECT n_hours, s_stat, CAST(var18 AS BIGINT) AS var18,
         | CAST(round((s_stat - sign(s_stat)) * 1e6
         |  / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0)) AS BIGINT)
         |  AS z_micro,
@@ -9846,7 +9886,7 @@ object SparkEntry {
         |   AS BIGINT) AS delta_milli
         | FROM v, g)
         |SELECT event_type, n_obs, mean_milli,
-        | CAST(var_milli2 AS DECIMAL(38,0)) AS var_milli2, mde_ppm,
+        | CAST(var_milli2 AS BIGINT) AS var_milli2, mde_ppm,
         | delta_milli,
         | CAST((CAST(2 AS HUGEINT) * var_milli2 * 7848878512225
         |   + CAST(nullif(delta_milli, 0) AS HUGEINT) * delta_milli
@@ -9884,7 +9924,7 @@ object SparkEntry {
         |   AS term_micro
         | FROM rm)
         |SELECT max(n) AS n_hours, CAST(count(*) AS BIGINT) AS k_lags,
-        | (SELECT CAST(den AS DECIMAL(38,0)) FROM dn) AS den,
+        | (SELECT CAST(den AS BIGINT) FROM dn) AS den,
         | CAST(sum(term_micro) AS BIGINT) AS q_micro,
         | CAST(sum(term_micro) AS BIGINT) > 18307000 AS reject_white
         |FROM tm""".stripMargin,
@@ -9925,8 +9965,8 @@ object SparkEntry {
         |  CAST(n_hours AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd
         |   AS vd_num
         | FROM ag)
-        |SELECT n_hours, CAST(vr_num AS DECIMAL(38,0)) AS vr_num,
-        | CAST(vd_num AS DECIMAL(38,0)) AS vd_num,
+        |SELECT n_hours, CAST(vr_num AS BIGINT) AS vr_num,
+        | CAST(vd_num AS BIGINT) AS vd_num,
         | CAST(greatest(1000000 - vr_num * 1000000
         |  // nullif(vd_num, 0), 0) AS BIGINT) AS fs_ppm
         |FROM f""".stripMargin,
@@ -10028,5 +10068,406 @@ object SparkEntry {
         |  // t.s_all AS BIGINT) AS between_contrib_micro
         |FROM grp g JOIN wi ON wi.n_name = g.n_name
         | CROSS JOIN tot t""".stripMargin,
+    // q450: the q94 unrolled-CTE PageRank replay on the co-purchase
+    // edge set (distinct pairs, >= 2 shared orders).
+    "q450_copurchase_pagerank" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        | FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS v, pb AS u FROM e
+        | UNION SELECT pb, pa FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        |s0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS s FROM deg),
+        |${(1 to 5).map { i =>
+          val prev = if (i == 1) "s0" else s"it${i - 1}"
+          s"""it$i AS (SELECT a.v AS v,
+             |  CAST(150000 + (850 * sum(p.s // d.deg)) // 1000
+             |   AS BIGINT) AS s
+             | FROM adj a JOIN $prev p ON a.u = p.v
+             |  JOIN deg d ON a.u = d.u
+             | GROUP BY a.v)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT v AS part, s AS score_scaled FROM it5""".stripMargin,
+    // q451: the bounded (type, hour) grid, one micro-rounded ln per
+    // grid row, HUGEINT count-weighted sums, BIGINT out.
+    "q451_theil_hours" -> theilHoursOracle,
+    // q452: stream = batch — the q451 oracle verbatim.
+    "q452_stream_theil" -> theilHoursOracle,
+    // q453: the modulo salt is oracle-replayable; the staged layout
+    // never changes results (the q273 contract), so the oracle reads
+    // the raw table.
+    "q453_salt_write_audit" ->
+      """WITH c AS (SELECT user_id % 16 AS salt,
+        |  epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |ps AS (SELECT salt, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS peak_hour_n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM ps)
+        |SELECT CAST(salt AS BIGINT) AS salt, n_events,
+        | CAST(CAST(n_events AS HUGEINT) * 16 * 1000000 // n_total
+        |  AS BIGINT) AS load_factor_ppm,
+        | peak_hour_n,
+        | CAST(CAST(peak_hour_n AS HUGEINT) * 1000000 // n_events
+        |  AS BIGINT) AS peak_share_ppm,
+        | CAST(CAST(n_events AS HUGEINT) * 16 * 1000000 // n_total
+        |  AS BIGINT) > 1250000 AS hot
+        |FROM ps, t""".stripMargin,
+    // q454: adjacent-token co-occurrence edges (count >= 3),
+    // symmetrized, then the q94 unrolled PageRank; top-20 by
+    // (score desc, word).
+    "q454_textrank_keywords" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        | FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+        |e AS (SELECT least(w1, w2) AS wa, greatest(w1, w2) AS wb
+        | FROM bg WHERE w1 <> w2
+        | GROUP BY 1, 2 HAVING count(*) >= 3),
+        |adj AS (SELECT wa AS v, wb AS u FROM e
+        | UNION SELECT wb, wa FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        |s0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS s FROM deg),
+        |${(1 to 5).map { i =>
+          val prev = if (i == 1) "s0" else s"it${i - 1}"
+          s"""it$i AS (SELECT a.v AS v,
+             |  CAST(150000 + (850 * sum(p.s // d.deg)) // 1000
+             |   AS BIGINT) AS s
+             | FROM adj a JOIN $prev p ON a.u = p.v
+             |  JOIN deg d ON a.u = d.u
+             | GROUP BY a.v)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT v AS word, s AS score_scaled FROM it5
+        |ORDER BY s DESC, v LIMIT 20""".stripMargin,
+    // q455: the seeded-teleport replay — base mass on the seed brand
+    // only, left join so unreached vertices keep their zero row.
+    "q455_personalized_pagerank" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        | FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS v, pb AS u FROM e
+        | UNION SELECT pb, pa FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        |sb AS (SELECT u AS v, CASE WHEN u IN (
+        |   SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+        |  THEN 150000 ELSE 0 END AS b FROM deg),
+        |s0 AS (SELECT v, CAST(CASE WHEN b > 0 THEN 1000000 ELSE 0 END
+        |  AS BIGINT) AS s FROM sb),
+        |${(1 to 5).map { i =>
+          val prev = if (i == 1) "s0" else s"it${i - 1}"
+          s"""it$i AS (SELECT sb.v AS v,
+             |  CAST(sb.b + coalesce(c.m, 0) AS BIGINT) AS s
+             | FROM sb LEFT JOIN (SELECT a.v,
+             |    (850 * sum(p.s // d.deg)) // 1000 AS m
+             |   FROM adj a JOIN $prev p ON a.u = p.v
+             |    JOIN deg d ON a.u = d.u
+             |   GROUP BY a.v) c ON c.v = sb.v)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT v AS part, s AS score_scaled FROM it5""".stripMargin,
+    // q456: per-lag pair moments on HUGEINT, one fixed IEEE r per
+    // bounded lag row, NULL on degenerate variance.
+    "q456_ccf_leadlag" ->
+      """WITH vx AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events
+        | WHERE event_type = 'view' GROUP BY 1),
+        |py AS (SELECT epoch_us(ts) // 3600000000 AS h2,
+        |  CAST(count(*) AS BIGINT) AS y FROM events
+        | WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(unnest(range(-6, 7)) AS BIGINT) AS lag),
+        |p AS (SELECT l.lag, vx.x, py.y
+        | FROM vx CROSS JOIN l JOIN py ON py.h2 = vx.h + l.lag),
+        |a AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM p GROUP BY 1),
+        |v AS (SELECT *, CAST(n_pairs AS HUGEINT) * sxx
+        |   - CAST(sx AS HUGEINT) * sx AS vxn,
+        |  CAST(n_pairs AS HUGEINT) * syy
+        |   - CAST(sy AS HUGEINT) * sy AS vyn FROM a)
+        |SELECT lag, n_pairs,
+        | CASE WHEN vxn > 0 AND vyn > 0 THEN
+        |  CAST(round(CAST(CAST(n_pairs AS HUGEINT) * sxy
+        |     - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |   / sqrt(CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE))
+        |   * 1e6) AS BIGINT) END AS r_micro
+        |FROM v""".stripMargin,
+    // q457: exact group moments, the one-IEEE pooled-SD chain, g
+    // from the ROUNDED d (both engines replay the same two-step).
+    "q457_cohens_d" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents),
+        |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+        |  CAST(sum(x) AS BIGINT) AS s1a,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2a FROM sc WHERE pos = 1),
+        |g2 AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |  CAST(sum(x) AS BIGINT) AS s1b,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2b FROM sc WHERE pos = 0),
+        |d AS (SELECT n1, n2,
+        |  CAST(CAST(s1a AS HUGEINT) * 1000 // n1 AS BIGINT)
+        |   AS mean1_milli,
+        |  CAST(CAST(s1b AS HUGEINT) * 1000 // n2 AS BIGINT)
+        |   AS mean2_milli,
+        |  CAST(round((CAST(s1a AS DOUBLE) / n1
+        |     - CAST(s1b AS DOUBLE) / n2)
+        |   / sqrt((CAST(s2a AS DOUBLE)
+        |       - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1
+        |     + CAST(s2b AS DOUBLE)
+        |       - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2)
+        |     / (n1 + n2 - 2)) * 1e6) AS BIGINT) AS d_micro
+        | FROM g1, g2)
+        |SELECT n1, n2, mean1_milli, mean2_milli, d_micro,
+        | CAST(round(CAST(d_micro AS DOUBLE)
+        |  * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0))) AS BIGINT)
+        |  AS g_micro
+        |FROM d""".stripMargin,
+    // q458: exact discordant counts, clamped continuity correction,
+    // squares on HUGEINT, the chi-square-1 milli literal.
+    "q458_mcnemar" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS s_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   AS s_uniq
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN s_tok >= 50 AND NOT (s_uniq * 2 >= s_tok)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN NOT (s_tok >= 50) AND s_uniq * 2 >= s_tok
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_c FROM sc),
+        |x AS (SELECT *, CAST(
+        |   CAST(greatest(abs(n_b - n_c) - 1, 0) AS HUGEINT)
+        |   * greatest(abs(n_b - n_c) - 1, 0) * 1000
+        |   // nullif(n_b + n_c, 0) AS BIGINT) AS chi2_milli FROM f)
+        |SELECT n_docs, n_b, n_c, chi2_milli,
+        | coalesce(chi2_milli > 3841, false) AS reject_symmetry
+        |FROM x""".stripMargin,
+    // q459: per-scanline gray checksum replayed from the pixel
+    // formula — row-grain exactness of the BMP round trip.
+    "q459_bmp_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+        |  doc_id % 7 + 3 AS h FROM documents),
+        |xs AS (SELECT unnest(range(16)) AS x),
+        |ys AS (SELECT unnest(range(9)) AS y),
+        |px AS (SELECT doc_id, w, y, x,
+        |  (((doc_id + 3*x + 5*y) % 256)
+        |   + ((2*doc_id + 7*x + 11*y) % 256)
+        |   + ((3*doc_id + 13*x + 17*y) % 256)) // 3 AS gray
+        | FROM d, xs, ys WHERE x < w AND y < h)
+        |SELECT doc_id, CAST(y AS BIGINT) AS y,
+        | CAST(w AS BIGINT) AS width,
+        | CAST(sum(gray) AS BIGINT) AS row_gray_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // q460: the q409 sample formula on channel 0, clip flags, and
+    // run lengths via island detection over the per-doc frame grid.
+    "q460_wav_clipping" ->
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 50 AS frames
+        |  FROM documents),
+        |sm AS (SELECT doc_id, frames, f,
+        |  (doc_id * 31 + f * 17) % 65536 - 32768 AS v
+        | FROM (SELECT doc_id, frames, unnest(range(frames)) AS f
+        |   FROM d)),
+        |cl AS (SELECT doc_id, frames, f,
+        |  CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END AS c FROM sm),
+        |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+        | FROM (SELECT doc_id, f - row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY f) AS grp
+        |   FROM cl WHERE c = 1) t GROUP BY doc_id, grp),
+        |mx AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS max_run
+        | FROM runs GROUP BY 1),
+        |agg AS (SELECT doc_id, CAST(max(frames) AS BIGINT) AS n_frames,
+        |  CAST(sum(c) AS BIGINT) AS n_clipped FROM cl GROUP BY 1)
+        |SELECT agg.doc_id, n_frames, n_clipped,
+        | coalesce(mx.max_run, 0) AS max_clip_run,
+        | CAST(n_clipped * 1000000 // n_frames AS BIGINT)
+        |  AS clipped_ppm
+        |FROM agg LEFT JOIN mx USING (doc_id)""".stripMargin,
+    // q461: SOF dimensions/components replay from the staging
+    // formula; the marker-walk validity arrives as a boolean the
+    // oracle asserts TRUE (the q392 pattern).
+    "q461_jpeg_markers" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 13 + 4 AS BIGINT) AS sof_width,
+        | CAST(doc_id % 7 + 3 AS BIGINT) AS sof_height,
+        | CAST(3 AS BIGINT) AS n_components,
+        | TRUE AS structure_valid
+        |FROM documents""".stripMargin,
+    // q462: N-scaled deviations, the bounded cumulative walk per
+    // segment, HUGEINT dev-squares, one IEEE R/S and one IEEE H per
+    // 3-row segment frame.
+    "q462_hurst_rs" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |m AS (SELECT CAST(min(h) + (max(h) - min(h) + 1) // 2
+        |  AS BIGINT) AS mid FROM hourly),
+        |seg AS (SELECT h, x, CAST(0 AS BIGINT) AS seg FROM hourly
+        | UNION ALL
+        | SELECT h, x, CASE WHEN h < mid THEN CAST(1 AS BIGINT)
+        |  ELSE CAST(2 AS BIGINT) END FROM hourly, m),
+        |st AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s1 FROM seg GROUP BY 1),
+        |dev AS (SELECT seg.seg, h, n, n * x - s1 AS dev
+        | FROM seg JOIN st USING (seg)),
+        |walk AS (SELECT seg, h, dev, sum(dev) OVER (
+        |   PARTITION BY seg ORDER BY h ROWS BETWEEN UNBOUNDED
+        |   PRECEDING AND CURRENT ROW) AS cum, n FROM dev),
+        |agg AS (SELECT seg, CAST(max(n) AS BIGINT) AS n_hours,
+        |  CAST(greatest(max(cum), 0) - least(min(cum), 0) AS BIGINT)
+        |   AS r_scaled,
+        |  sum(CAST(dev AS HUGEINT) * dev) AS sdd FROM walk GROUP BY 1),
+        |f AS (SELECT seg, n_hours, r_scaled,
+        |  CASE WHEN sdd > 0 THEN
+        |   CAST(round(CAST(r_scaled AS DOUBLE)
+        |    / sqrt(CAST(sdd AS DOUBLE) / n_hours) * 1e6) AS BIGINT)
+        |  END AS rs_micro FROM agg)
+        |SELECT seg, n_hours, r_scaled, rs_micro,
+        | CASE WHEN rs_micro > 0 THEN
+        |  CAST(round(ln(CAST(rs_micro AS DOUBLE) / 1e6)
+        |   / ln(CAST(n_hours AS DOUBLE) / 2.0) * 1e3) AS BIGINT)
+        | END AS h_milli
+        |FROM f""".stripMargin,
+    // q463: the q457 moment CTEs; the standard-error pair enters one
+    // IEEE tree for t and one for the Welch-Satterthwaite df.
+    "q463_welch_t" ->
+      """WITH sc AS (SELECT
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents),
+        |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+        |  CAST(sum(x) AS BIGINT) AS s1a,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2a FROM sc WHERE pos = 1),
+        |g2 AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |  CAST(sum(x) AS BIGINT) AS s1b,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2b FROM sc WHERE pos = 0),
+        |se AS (SELECT n1, n2, s1a, s1b,
+        |  (CAST(s2a AS DOUBLE)
+        |    - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1)
+        |   / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS sea,
+        |  (CAST(s2b AS DOUBLE)
+        |    - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2)
+        |   / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS seb
+        | FROM g1, g2)
+        |SELECT n1, n2,
+        | CAST(round((CAST(s1a AS DOUBLE) / n1
+        |    - CAST(s1b AS DOUBLE) / n2)
+        |  / sqrt(sea + seb) * 1e6) AS BIGINT) AS t_micro,
+        | CAST(round((sea + seb) * (sea + seb)
+        |  / (sea * sea / (n1 - 1) + seb * seb / (n2 - 1)) * 1e3)
+        |  AS BIGINT) AS df_milli
+        |FROM se""".stripMargin,
+    // q464: the shared term A = sum of exact (sum x)^2 // n per
+    // group; SSB/SSW from A; one IEEE F.
+    "q464_anova_f" ->
+      """WITH g AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s1,
+        |  sum(CAST(len(string_split(text, ' ')) AS HUGEINT)
+        |   * len(string_split(text, ' '))) AS s2
+        | FROM documents GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(s1) AS BIGINT) AS gs1, sum(s2) AS gs2,
+        |  sum(CAST(s1 AS HUGEINT) * s1 // n) AS a FROM g),
+        |f AS (SELECT k_groups, n_total,
+        |  a - CAST(gs1 AS HUGEINT) * gs1 // n_total AS ssb,
+        |  gs2 - a AS ssw FROM a)
+        |SELECT k_groups, n_total, CAST(ssb AS BIGINT) AS ssb,
+        | CAST(ssw AS BIGINT) AS ssw,
+        | CAST(round((CAST(ssb AS DOUBLE) / (k_groups - 1))
+        |  / (CAST(ssw AS DOUBLE) / (n_total - k_groups)) * 1e6)
+        |  AS BIGINT) AS f_micro
+        |FROM f""".stripMargin,
+    // q465: chi-square by the cross-multiplied identity, one
+    // micro-rounded IEEE division per bounded cell, integer-summed;
+    // one final sqrt for V.
+    "q465_cramers_v" ->
+      """WITH cells AS (SELECT lang AS g,
+        |  least(length(text) // 50, 11) AS b,
+        |  CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |rg AS (SELECT g, CAST(sum(o) AS BIGINT) AS r
+        | FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c
+        | FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS n_cols FROM cells),
+        |t AS (SELECT n, n_rows, n_cols,
+        |  CAST(round(CAST(CAST(n AS HUGEINT) * o
+        |     - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |   * CAST(CAST(n AS HUGEINT) * o
+        |     - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |   * 1e6) AS BIGINT) AS t
+        | FROM cells JOIN rg USING (g) JOIN cb USING (b)
+        |  CROSS JOIN tot),
+        |x AS (SELECT n, n_rows, n_cols,
+        |  CAST(sum(t) AS BIGINT) AS chi2_micro
+        | FROM t GROUP BY 1, 2, 3)
+        |SELECT n, n_rows, n_cols, chi2_micro,
+        | CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+        |  / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1))) * 1e3)
+        |  AS BIGINT) AS v_milli
+        |FROM x""".stripMargin,
+    // q466: the q175 decile frame, then one exact integer weighted
+    // gap sum — no float anywhere.
+    "q466_ece" ->
+      """WITH b AS (SELECT lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sc AS (SELECT lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+        |   AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und')))
+        |   AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et')))
+        |   AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','los','las','y')))
+        |   AS BIGINT) AS s_es
+        | FROM b),
+        |p AS (SELECT s_en * 1000000 // (s_en + s_de + s_fr + s_es + 1)
+        |   AS p_ppm,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM sc),
+        |bins AS (SELECT least(p_ppm // 100000, 9) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) * 1000000 // count(*)
+        |    - sum(p_ppm) // count(*) AS BIGINT) AS gap_ppm
+        | FROM p GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        | CAST(sum(n) AS BIGINT) AS n_total,
+        | CAST(sum(CAST(n AS HUGEINT) * abs(gap_ppm)) // sum(n)
+        |  AS BIGINT) AS ece_ppm
+        |FROM bins""".stripMargin,
+    // q467: corpus-anchored delta = 1/n_docs, one ln for the corpus
+    // row, one sqrt + one exp per grid cell, HUGEINT products.
+    "q467_dp_composition" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+        |   AS ln_n_micro FROM documents),
+        |grid AS (SELECT CAST(k AS BIGINT) AS k_releases,
+        |  CAST(e AS BIGINT) AS eps_micro
+        | FROM (SELECT unnest([1, 4, 16, 64, 256]) AS k) ks
+        |  CROSS JOIN (SELECT unnest([10000, 50000, 100000, 500000])
+        |   AS e) es),
+        |x AS (SELECT k_releases, eps_micro, n_docs,
+        |  CAST(CAST(k_releases AS HUGEINT) * eps_micro AS BIGINT)
+        |   AS basic_micro,
+        |  CAST(round(sqrt(2.0 * k_releases
+        |    * CAST(ln_n_micro AS DOUBLE) / 1e6) * 1e3) AS BIGINT)
+        |   AS rt_milli,
+        |  CAST(round((exp(CAST(eps_micro AS DOUBLE) / 1e6) - 1.0)
+        |    * 1e6) AS BIGINT) AS em1_micro
+        | FROM grid CROSS JOIN n),
+        |y AS (SELECT k_releases, eps_micro, n_docs, basic_micro,
+        |  CAST(CAST(eps_micro AS HUGEINT) * rt_milli // 1000
+        |   + CAST(k_releases AS HUGEINT) * eps_micro * em1_micro
+        |     // 1000000 AS BIGINT) AS advanced_micro
+        | FROM x)
+        |SELECT k_releases, eps_micro, n_docs, basic_micro,
+        | advanced_micro, advanced_micro < basic_micro AS advanced_wins
+        |FROM y""".stripMargin,
   )
 }

@@ -21,9 +21,22 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.findFirstIn(name).isDefined)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Output-schema lint (round-15): the driver's hash
+        // canonicalizes DECIMAL output differently per engine, so a
+        // decimal-typed gated column is a guaranteed hash mismatch
+        // even when every value is equal (the round-14 q390-family
+        // failure). Wide decimal arithmetic must stay INTERNAL; the
+        // report projection is BIGINT/DOUBLE/STRING. Fail loud here
+        // so the bug is an err locally, never a silent red gate.
+        val dec = df.schema.fields.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        require(dec.isEmpty, s"decimal-typed output column(s) " +
+          s"${dec.map(_.name).mkString(", ")} — cast report columns " +
+          "to BIGINT (keep decimal arithmetic internal)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

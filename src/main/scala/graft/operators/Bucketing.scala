@@ -437,4 +437,61 @@ object Bucketing {
         col("ts") >= 1704672000000000L && col("ts") < 1705881600000000L)
       .select(col("event_id"), col("ts").as("ts_us"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
+
+  /** q453: SALTED-ROWKEY WRITE-PATH AUDIT (round-15, VERDICT Next
+    * #8) — q273 prices the READ side of the salted layout (point
+    * scans open 1/S of the lake); this prices the WRITE side: does
+    * ingest actually balance across the S salt buckets, both in
+    * total and within every time window? A salt that balances totals
+    * but funnels each hour's burst into one region (e.g. a modulo
+    * salt over a round-robin key) still serializes the write path —
+    * the q272 skew treatment applied to the layout the SEP lineage
+    * shards. The audit STAGES the salted layout (the real write —
+    * partitionBy(salt), one dir per region server) and reads its own
+    * staged files back, so the numbers price the layout as written.
+    * Per salt: total ingest, its load factor vs the uniform ideal
+    * (n·S·10⁶ div total — 10⁶ = perfectly balanced), the peak
+    * single-hour count and its share of the salt's traffic, and the
+    * hot flag at the 1.25× threshold. The gated salt is the
+    * oracle-replayable modulo salt; [[saltWriteAuditOf]] takes any
+    * salt column (the spec also drives it with q273's xxhash64
+    * salt). The corpus collapses map-side to the bounded (salt,
+    * hour) grid — the audit itself is never the skew. */
+  def saltWriteAudit(s: SparkSession, dir: String,
+      salts: Int = 16): DataFrame = {
+    val stage = StreamingOps.stagingRoot("q453", dir)
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(col("user_id"), lit(salts.toLong)))
+      .repartition(col("salt")) // one file per salt dir, the q385 rule
+      .write.partitionBy("salt").mode("overwrite")
+      .parquet(s"$stage/events_s")
+    saltWriteAuditOf(
+      s.read.parquet(s"$stage/events_s"), col("salt"), salts)
+  }
+
+  /** Audit core over any salted frame — per-salt totals, load
+    * factor, peak-hour burst. */
+  private[graft] def saltWriteAuditOf(events: DataFrame,
+      salt: org.apache.spark.sql.Column, salts: Int): DataFrame = {
+    val cells = events
+      .groupBy(salt.cast("long").as("salt"),
+        expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded: S × hours
+    val perSalt = cells.groupBy(col("salt"))
+      .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_hour_n"))
+    val tot = perSalt.agg(sum(col("n_events")).as("n_total"))
+    perSalt.crossJoin(broadcast(tot))
+      .select(col("salt"), col("n_events"),
+        // n·S·10⁶ wraps BIGINT past ~5.7e11 events — decimal
+        // INTERNAL, BIGINT out (the round-14 representation rule)
+        expr(s"""CAST(CAST(n_events AS DECIMAL(38,0)) * $salts
+          | * 1000000 div n_total AS BIGINT)""".stripMargin)
+          .as("load_factor_ppm"),
+        col("peak_hour_n"),
+        expr("""CAST(CAST(peak_hour_n AS DECIMAL(38,0)) * 1000000
+          | div n_events AS BIGINT)""".stripMargin)
+          .as("peak_share_ppm"))
+      .withColumn("hot", col("load_factor_ppm") > 1250000L)
+  }
 }

@@ -1201,21 +1201,59 @@ object Dedup {
     // this matches the oracle's UNION without a distinct
     val adj0 = edges.select(col("d1").as("v"), col("d2").as("u"))
       .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+    pageRankOf(adj0, iters, checkpoint)
+      .select(col("v").as("doc_id"), col("s").as("score_scaled"))
+  }
+
+  /** Integer PageRank CORE over an arbitrary directed adjacency
+    * frame (v = target, u = source) — factored out of q94
+    * (round-15) so the co-purchase graph (q450), seeded/personalized
+    * teleport (q455), and word graphs (q454 TextRank) reuse the one
+    * deterministic-arithmetic loop: ppm-scaled long scores, share =
+    * s div deg, damping (850·Σ) div 1000, fixed `iters` rounds of
+    * one shuffle-hash equi-join + one map-side-combinable sum,
+    * localCheckpoint per round — bit-identical on any engine and
+    * partitioning (the q94 contract), replayed by unrolled oracle
+    * CTEs. `seeds`: when set, teleport mass lands ONLY on the seed
+    * vertices (personalized PageRank — Jeh & Widom 2003 —
+    * init 10⁶ on seeds / 0 elsewhere, per-round base 150000 on
+    * seeds / 0 elsewhere). Returns (v, s). */
+  private[graft] def pageRankOf(adj0: DataFrame, iters: Int,
+      checkpoint: Boolean = true, seeds: Option[DataFrame] = None)
+      : DataFrame = {
     // checkpoint=false keeps the composed plan visible (PlanSpec
     // pins the iteration's join shape through it)
     val adj = if (checkpoint) adj0.localCheckpoint() else adj0
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    var scores = deg.select(col("u").as("v"), lit(1000000L).as("s"))
+    val verts = deg.select(col("u").as("v"))
+    val seedCol = seeds match {
+      case Some(sd) => verts.join(
+          sd.toDF("v").distinct().withColumn("mark", lit(1L))
+            .hint("shuffle_hash"),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("mark"), lit(0L)).as("is_seed"))
+      case None => verts.select(col("v"), lit(1L).as("is_seed"))
+    }
+    val base = seedCol.select(col("v"),
+        (col("is_seed") * 150000L).as("b"))
+      .localCheckpoint() // bounded: one row per vertex, reused per round
+    var scores = base.select(col("v"),
+      when(col("b") > 0L, lit(1000000L)).otherwise(lit(0L)).as("s"))
     for (_ <- 1 to iters) {
       val contrib = adj
         .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
         .join(deg.hint("shuffle_hash"), "u")
         .select(col("v"), expr("s div deg").as("share"))
-      val next = contrib.groupBy(col("v"))
-        .agg(expr("cast(150000 + (850 * sum(share)) div 1000 as bigint)").as("s"))
+      val next = base
+        .join(contrib.groupBy(col("v"))
+            .agg(expr("cast((850 * sum(share)) div 1000 as bigint)")
+              .as("m")),
+          Seq("v"), "left")
+        .select(col("v"),
+          (col("b") + coalesce(col("m"), lit(0L))).as("s"))
       scores = if (checkpoint) next.localCheckpoint() else next
     }
-    scores.select(col("v").as("doc_id"), col("s").as("score_scaled"))
+    scores
   }
 
   /** q93: duplicated-span fraction — for each doc, the fraction of
@@ -2473,12 +2511,23 @@ object Dedup {
   // maintained ownership is batching-, replay- and compaction-
   // invariant. docs_with = Σ per-batch n_docs (each doc arrives in
   // exactly one batch), owner = min over per-batch minima (a min
-  // lattice — merge-order-free). Compaction folds the delta into a
-  // fresh pointer-versioned base at cadence; the fold is O(index) —
-  // the q385 scoped treatment does not apply because gram-hash
-  // deltas touch essentially every partition, so the honest
-  // refinement at 100 TB is LSM-tiering the (g, batch) rows, noted
-  // here as the knob's scale story.
+  // lattice — merge-order-free).
+  //
+  // Compaction is LSM-TIERED (round-15, VERDICT Next #4): gram-hash
+  // deltas touch essentially every gram partition, so the q385
+  // cell-scoped treatment cannot apply — instead the (g, batch)
+  // runs organize as geometric tiers (the logarithmic method /
+  // binomial counter, fan-in 2): a roll folds the delta run plus
+  // every consecutive occupied tier from 0 upward into the first
+  // unoccupied tier. Each row is rewritten once per tier it climbs,
+  // so compaction IO is amortized O(delta · log(index/delta)) per
+  // roll — and the BULK-LOADED base is the untouched top: never
+  // read, never rewritten by any roll. Read fan-in is
+  // O(log #batches) parquet dirs, and the read-side (g, batch_id)
+  // collapse makes every crash window (roll published but lower
+  // tiers not yet dropped; checkpoint replay re-appending a batch)
+  // degrade to duplicate rows the read collapses — never to a wrong
+  // ownership.
   // ---------------------------------------------------------------
 
   /** Per-batch gram aggregate: for each k-gram, how many docs of
@@ -2494,39 +2543,96 @@ object Dedup {
     StreamingOps.publishStore(s, stateRoot, "gramagg",
       gramAggOf(base, k).withColumn("batch_id", lit(-1L)), Seq.empty)
 
+  /** Tier-run store names: `gramagg` is the bulk-loaded base (the
+    * top the rolls never touch); `gramagg_t0 < t1 < …` are the
+    * geometric LSM tiers between the delta and that base. */
+  private def gramTierName(t: Int): String = s"gramagg_t$t"
+
+  /** The CONSECUTIVE occupied LSM tiers from 0 — the binomial
+    * counter's carry run, i.e. exactly the runs the next roll must
+    * consume (a fan-in-2 roll always merges the full occupied
+    * prefix and lands on the first gap). NOT a read set: tiers
+    * above the first gap stay live. */
+  private def carryGramTiers(stateRoot: String): List[(Int, String)] =
+    Iterator.from(0)
+      .map(t => t -> StreamingOps.storeBaseDir(stateRoot, gramTierName(t))
+        .filter(d => StreamingOps.hasParquet(java.nio.file.Paths.get(d))))
+      .takeWhile(_._2.isDefined)
+      .map { case (t, d) => (t, d.get) }.toList
+
+  /** EVERY occupied LSM tier — the read set (after a roll leaves
+    * e.g. {2} occupied, the consecutive-prefix scan sees nothing;
+    * reads must union all live runs). 63 tiers bound 2⁶³ rolls. */
+  private def allGramTiers(stateRoot: String): List[(Int, String)] =
+    (0 until 63).flatMap { t =>
+      StreamingOps.storeBaseDir(stateRoot, gramTierName(t))
+        .filter(d => StreamingOps.hasParquet(java.nio.file.Paths.get(d)))
+        .map(d => (t, d))
+    }.toList
+
+  /** ONE LSM ROLL (round-15): fold the delta run and every
+    * consecutive occupied tier from 0 upward into the first
+    * unoccupied tier, then retire the consumed runs. The merge
+    * collapses per (g, batch_id) (max/min — replay duplicates die
+    * here), so a crash after the publish but before the retire only
+    * leaves rows the read collapses again. IO per roll = the merged
+    * tier bytes; the bulk `gramagg` base is NEVER read or rewritten
+    * — compaction cost is amortized O(delta · log tiers), not
+    * O(index) at cadence. No delta → no-op. */
+  private[graft] def lsmRollGramIndex(s: SparkSession,
+      stateRoot: String): Unit = {
+    import StreamingOps.{dropStore, hasParquet, publishStore, storeDeltaDir}
+    val deltaDir = storeDeltaDir(stateRoot, "gramagg")
+    if (!hasParquet(java.nio.file.Paths.get(deltaDir))) return
+    val lower = carryGramTiers(stateRoot)
+    val target = lower.size // first unoccupied tier
+    val merged = (s.read.parquet(deltaDir) ::
+        lower.map { case (_, d) => s.read.parquet(d) })
+      .reduce(_ unionByName _)
+      .groupBy(col("g"), col("batch_id"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(col("min_doc")).as("min_doc"))
+      .localCheckpoint()
+    publishStore(s, stateRoot, gramTierName(target), merged, Seq.empty)
+    // retire consumed runs AFTER the publish (crash-safe order): the
+    // lower tiers and the gramagg delta were folded into the target
+    lower.foreach { case (t, _) => dropStore(stateRoot, gramTierName(t)) }
+    StreamingOps.dropStoreDelta(stateRoot, "gramagg")
+  }
+
   /** ONE micro-batch of the streaming exact-substring protocol
     * (factored out so specs can drive batches directly — replay a
-    * batch, force a compaction): aggregate the batch's grams and
-    * append tagged with the batch id; fold at cadence. Per-batch
-    * cost is Θ(|batch| grams) — the index is never rescanned on the
-    * append path. */
+    * batch, force a roll): aggregate the batch's grams and append
+    * tagged with the batch id; LSM-roll at cadence. Per-batch cost
+    * is Θ(|batch| grams) — the index is never rescanned on the
+    * append path, and rolls never touch the bulk base. */
   private[graft] def exactSubstrIndexBatch(s: SparkSession,
       stateRoot: String, batch: DataFrame, batchId: Long, k: Int,
       compactEvery: Int = 3): Unit = {
-    import StreamingOps.{readStoreAll, publishStore, storeDeltaDir}
+    import StreamingOps.storeDeltaDir
     gramAggOf(batch, k).withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(storeDeltaDir(stateRoot, "gramagg"))
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      readStoreAll(s, stateRoot, "gramagg").foreach(r => publishStore(
-        s, stateRoot, "gramagg",
-        r.groupBy(col("g"), col("batch_id"))
-          .agg(max(col("n_docs")).as("n_docs"),
-            min(col("min_doc")).as("min_doc"))
-          .localCheckpoint(),
-        Seq.empty))
+      lsmRollGramIndex(s, stateRoot)
   }
 
-  /** The maintained ownership frame: collapse replay duplicates per
-    * (gram, batch), then merge batches — docs_with by sum, owner by
-    * the min lattice. */
+  /** The maintained ownership frame: union the bulk base, every LSM
+    * tier run, and the un-rolled delta (O(log #batches) dirs);
+    * collapse replay duplicates per (gram, batch), then merge
+    * batches — docs_with by sum, owner by the min lattice. */
   private[graft] def readGramOwnership(s: SparkSession,
-      stateRoot: String): DataFrame =
-    StreamingOps.readStoreAll(s, stateRoot, "gramagg").get
+      stateRoot: String): DataFrame = {
+    val tierFrames = allGramTiers(stateRoot)
+      .map { case (_, d) => s.read.parquet(d) }
+    val baseAndDelta = StreamingOps.readStoreAll(s, stateRoot, "gramagg")
+    (baseAndDelta.toList ++ tierFrames)
+      .reduce(_ unionByName _)
       .groupBy(col("g"), col("batch_id"))
       .agg(max(col("n_docs")).as("n_docs"),
         min(col("min_doc")).as("min_doc"))
       .groupBy(col("g"))
       .agg(sum(col("n_docs")).as("docs_with"), min(col("min_doc")).as("owner"))
+  }
 
   /** Stage + drain the q412 stream: publish the base (even doc_id)
     * gram index, stream the odd docs as a 6-file JSONL source, and

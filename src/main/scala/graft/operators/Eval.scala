@@ -715,8 +715,15 @@ object Eval {
       .withColumn("c_n2",
         (col("n").cast("decimal(38,0)") * (col("n") - 1) / 2)
           .cast("decimal(38,0)"))
+      // pair counts stay DECIMAL(38,0) INTERNALLY (the overflow
+      // treatment above); the REPORT projection is BIGINT — the
+      // driver's hash canonicalizes decimal output differently per
+      // engine (the round-14 lesson), and report-grain pair counts
+      // fit BIGINT to ~4.3e9 rows per cell
       .select(col("n"), col("n_labels"), col("n_cells"),
-        col("s_ij"), col("s_a"), col("s_b"),
+        col("s_ij").cast("long").as("s_ij"),
+        col("s_a").cast("long").as("s_a"),
+        col("s_b").cast("long").as("s_b"),
         round((col("s_ij").cast("double") -
             col("s_a").cast("double") / col("c_n2").cast("double") *
               col("s_b").cast("double")) /
@@ -883,7 +890,10 @@ object Eval {
           .as("u2x"),
         sum(expr("CAST(ti AS DECIMAL(38,0)) * ti * ti - ti")).as("tie"))
       .withColumn("n", col("n1") + col("n2"))
-      .select(col("n1"), col("n2"), col("u2x"),
+      // u2x rides decimal internally; BIGINT on the report row (the
+      // round-14 decimal-output lesson — driver hash diverges on
+      // decimal representation)
+      .select(col("n1"), col("n2"), col("u2x").cast("long").as("u2x"),
         round((col("u2x") -
             col("n1").cast("decimal(38,0)") * col("n2")).cast("double") /
           (lit(2.0) * sqrt(
@@ -928,8 +938,12 @@ object Eval {
       .withColumn("n_lt",
         (col("n1").cast("decimal(38,0)") * col("n2") - col("n_gt")
           - col("n_tie")).cast("decimal(38,0)"))
-      .select(col("n1"), col("n2"), col("n_gt"), col("n_lt"),
-        col("n_tie"),
+      // pair masses decimal internally, BIGINT on the report row
+      // (the round-14 decimal-output lesson)
+      .select(col("n1"), col("n2"),
+        col("n_gt").cast("long").as("n_gt"),
+        col("n_lt").cast("long").as("n_lt"),
+        col("n_tie").cast("long").as("n_tie"),
         round((col("n_gt") - col("n_lt")).cast("double") /
           (col("n1").cast("double") * col("n2").cast("double")) * 1e6)
           .cast("long").as("delta_micro"))
@@ -992,9 +1006,12 @@ object Eval {
     * a cross-row float sum), numerators kept N-scaled on
     * DECIMAL(38,0) (r_g·2.2e7 wraps BIGINT past ~4e11 docs), and
     * the final U is one integer-division chain both engines replay.
-    * greatest(·,0): conditioning cannot raise entropy, but
-    * micro-rounding can land the difference at −ε; clamping keeps
-    * the division on non-negative operands where floor = truncate. */
+    * greatest(·,0): conditioning cannot raise entropy — the true
+    * quantity is mathematically non-negative — but micro-rounding
+    * can land the difference at −ε, so the clamp restores the true
+    * sign. (Both engines' integer division truncates toward zero —
+    * DuckDB's `//` included — so the clamp is about honest
+    * semantics, not an engine divergence.) */
   def theilsU(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.documents(s, dir)
       .select(col("lang").as("g"),
@@ -1090,15 +1107,19 @@ object Eval {
         """CAST(tt * 1000000 div nullif(
           |  CAST(n_total AS DECIMAL(38,0)) * n_total * n_total
           |   - n_total, 0) AS BIGINT)""".stripMargin))
-      // greatest(·,0): floors can land H at −ε where the true H is
-      // 0 (all data one bin); clamping keeps the adjust division on
-      // non-negative operands, where DuckDB's floor and Spark's
-      // truncate agree.
+      // greatest(·,0): integer rounding can land H at −ε where the
+      // true H is 0 (all data one bin); the true H is mathematically
+      // non-negative, so the clamp restores its sign. (Both engines'
+      // integer division truncates toward zero — DuckDB's `//`
+      // included — so this is not an engine divergence.)
       .withColumn("h_adj_micro", expr(
         """CAST(CAST(greatest(h_micro, 0) AS DECIMAL(38,0)) * 1000000
           | div nullif(1000000 - t_ppm, 0) AS BIGINT)"""
           .stripMargin))
-      .select(col("n_total"), col("k_groups"), col("a4"),
+      // a4 decimal internally, BIGINT on the report row (the
+      // round-14 decimal-output lesson)
+      .select(col("n_total"), col("k_groups"),
+        col("a4").cast("long").as("a4"),
         col("t_ppm"), col("h_micro"), col("h_adj_micro"))
   }
 
@@ -1149,5 +1170,217 @@ object Eval {
           <= col("q_hat_milli"), 1L).otherwise(0L)).as("n_covered"))
       .withColumn("coverage_ppm",
         expr("n_covered * 1000000 div n_test"))
+  }
+
+  /** q457: COHEN'S d / HEDGES' g (Cohen 1988; Hedges 1981) — the
+    * INTERVAL-scale effect size next to q416's ordinal δ: q391 says
+    * the en/non-en length gap is significant, δ says how often one
+    * side ranks higher; d says how large the MEAN gap is in pooled-
+    * SD units — the number a power calculation (q441) and a
+    * meta-analysis actually consume, with Hedges' small-sample
+    * correction g = d·(1 − 3/(4·df − 1)) alongside. Exact integer
+    * moments per group (one map-side agg, squares on DECIMAL(38,0)
+    * INTERNAL); d and g are each ONE fixed IEEE expression
+    * micro-rounded on the single output row; means reported as
+    * exact integer milli divisions. */
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val g = Tables.documents(s, dir)
+      .select(size(toks).cast("long").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+    val a = g.filter(col("pos") === 1L)
+      .select(col("n").as("n1"), col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = g.filter(col("pos") === 0L)
+      .select(col("n").as("n2"), col("s1").as("s1b"), col("s2").as("s2b"))
+    a.crossJoin(broadcast(b))
+      // pooled variance = (A1 + A2) / (n1 + n2 - 2) with
+      // Ai = Σx² − (Σx)²/ni — one fixed IEEE chain from exact moments
+      .withColumn("d_micro", expr(
+        """CAST(round((CAST(s1a AS DOUBLE) / n1
+          |   - CAST(s1b AS DOUBLE) / n2)
+          | / sqrt((CAST(s2a AS DOUBLE)
+          |     - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1
+          |   + CAST(s2b AS DOUBLE)
+          |     - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2)
+          |   / (n1 + n2 - 2)) * 1e6) AS BIGINT)""".stripMargin))
+      .select(col("n1"), col("n2"),
+        // Σx·1000 wraps BIGINT past ~9e12 tokens — decimal INTERNAL
+        expr("CAST(CAST(s1a AS DECIMAL(38,0)) * 1000 div n1 AS BIGINT)")
+          .as("mean1_milli"),
+        expr("CAST(CAST(s1b AS DECIMAL(38,0)) * 1000 div n2 AS BIGINT)")
+          .as("mean2_milli"),
+        col("d_micro"),
+        expr("""CAST(round(CAST(d_micro AS DOUBLE)
+          | * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0)))
+          | AS BIGINT)""".stripMargin).as("g_micro"))
+  }
+
+  /** q458: McNEMAR'S TEST on two curation rules (McNemar 1947) —
+    * the PAIRED disagreement question the confusion family
+    * (q309/q365) cannot ask: rule A (length ≥ 50 tokens) and rule B
+    * (TTR ≥ ½) judge the SAME documents, so comparing their pass
+    * rates marginally wastes the pairing; McNemar tests whether the
+    * DISCORDANT flips (A-only vs B-only) are symmetric — the "did
+    * swapping the filter actually change which docs survive, or
+    * just relabel the same ones" decision an ablation reads. Exact
+    * integer: b and c from one map-side agg, continuity-corrected
+    * χ² = (|b−c|−1)²·1000 div (b+c) in milli (squares on
+    * DECIMAL(38,0) INTERNAL — b ~ corpus wraps BIGINT squared past
+    * ~3e9 docs), rejected against the χ²₁ 95% milli literal 3841. */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(size(toks).cast("long").as("s_tok"),
+        size(array_distinct(toks)).cast("long").as("s_uniq"))
+      .filter(col("s_tok") >= 1)
+      .select((col("s_tok") >= 50L).as("ra"),
+        (col("s_uniq") * 2 >= col("s_tok")).as("rb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n_c"))
+      // greatest(·,0): at b = c the corrected gap is −1 but the true
+      // discordance is zero — clamp so the statistic reads 0, not
+      // 1/(b+c) (the correction must not overshoot past zero)
+      .withColumn("chi2_milli", expr(
+        """CAST(CAST(greatest(abs(n_b - n_c) - 1, 0) AS DECIMAL(38,0))
+          | * greatest(abs(n_b - n_c) - 1, 0) * 1000
+          | div nullif(n_b + n_c, 0) AS BIGINT)""".stripMargin))
+      .withColumn("reject_symmetry",
+        coalesce(col("chi2_milli") > 3841L, lit(false)))
+  }
+
+  /** q463: WELCH'S t (Welch 1947) — the test q457's d deliberately
+    * isn't: d sizes the gap assuming a POOLED scale; Welch's t tests
+    * it WITHOUT assuming equal variances (the realistic case — en
+    * and non-en length distributions differ in spread too), with the
+    * Welch–Satterthwaite effective df alongside (the number the
+    * critical value is read at). Same exact group moments as q457
+    * (squares on DECIMAL(38,0) INTERNAL); t and df are each ONE
+    * fixed IEEE expression micro/milli-rounded on the single output
+    * row, both engines replaying the identical tree. */
+  def welchT(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val g = Tables.documents(s, dir)
+      .select(size(toks).cast("long").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+    val a = g.filter(col("pos") === 1L)
+      .select(col("n").as("n1"), col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = g.filter(col("pos") === 0L)
+      .select(col("n").as("n2"), col("s1").as("s1b"), col("s2").as("s2b"))
+    a.crossJoin(broadcast(b))
+      // vi/ni = (ni·Σx² − (Σx)²) / (ni²·(ni−1)) — the two standard
+      // errors enter the one IEEE tree from exact moments
+      .withColumn("sea", expr(
+        """(CAST(s2a AS DOUBLE)
+          |  - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1)
+          | / (CAST(n1 AS DOUBLE) * (n1 - 1))""".stripMargin))
+      .withColumn("seb", expr(
+        """(CAST(s2b AS DOUBLE)
+          |  - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2)
+          | / (CAST(n2 AS DOUBLE) * (n2 - 1))""".stripMargin))
+      .select(col("n1"), col("n2"),
+        expr("""CAST(round((CAST(s1a AS DOUBLE) / n1
+          |  - CAST(s1b AS DOUBLE) / n2)
+          | / sqrt(sea + seb) * 1e6) AS BIGINT)""".stripMargin)
+          .as("t_micro"),
+        expr("""CAST(round((sea + seb) * (sea + seb)
+          | / (sea * sea / (n1 - 1) + seb * seb / (n2 - 1)) * 1e3)
+          | AS BIGINT)""".stripMargin).as("df_milli"))
+  }
+
+  /** q464: ONE-WAY ANOVA F across languages (Fisher) — the
+    * parametric sibling of q436's Kruskal–Wallis: same "do the k
+    * groups differ at all" screen, on MEANS instead of ranks (the
+    * two disagreeing is itself the heavy-tail diagnostic). Exactness
+    * discipline: the shared between/within term A = Σ⌊(Σxᵢ)²/nᵢ⌋
+    * rides exact DECIMAL(38,0) per bounded group row (SSB = A −
+    * ⌊S1²/N⌋, SSW = S2 − A — each off the true sum by < k
+    * truncations, deterministically on both engines); F is ONE fixed
+    * IEEE expression micro-rounded on the single output row. */
+  def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val g = Tables.documents(s, dir)
+      .select(col("lang").as("g"), size(toks).cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      .localCheckpoint() // bounded: |langs| rows
+    g.agg(count(lit(1)).as("k_groups"), sum(col("n")).as("n_total"),
+        sum(col("s1")).as("gs1"), sum(col("s2")).as("gs2"),
+        sum(expr(
+          """CAST(CAST(s1 AS DECIMAL(38,0)) * s1
+            | div n AS DECIMAL(38,0))""".stripMargin)).as("a"))
+      .withColumn("ssb", expr(
+        """CAST(a - CAST(gs1 AS DECIMAL(38,0)) * gs1
+          | div n_total AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("ssw", expr("CAST(gs2 - a AS DECIMAL(38,0))"))
+      .select(col("k_groups"), col("n_total"),
+        col("ssb").cast("long").as("ssb"),
+        col("ssw").cast("long").as("ssw"),
+        expr("""CAST(round((CAST(ssb AS DOUBLE) / (k_groups - 1))
+          | / (CAST(ssw AS DOUBLE) / (n_total - k_groups)) * 1e6)
+          | AS BIGINT)""".stripMargin).as("f_micro"))
+  }
+
+  /** q465: CRAMÉR'S V for the language × length-band contingency
+    * (Cramér 1946) — the EFFECT SIZE q162's χ² deliberately isn't: a
+    * χ² grows with N even for trivial association (the q391-z
+    * critique in contingency form); V = √(χ²/(N·(min(r,c)−1))) is
+    * bounded in [0,1], N-free — the "is the dependence material"
+    * number next to q162's significance. χ² by the cross-multiplied
+    * identity Σ(N·o−r·c)²/(N·r·c): per BOUNDED cell one
+    * micro-rounded IEEE division of exact DECIMAL(38,0) integers,
+    * integer-summed (never a float sum across rows); V is one final
+    * IEEE sqrt. */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang").as("g"),
+        least(expr("length(text) div 50"), lit(11L)).as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // bounded: |langs| · ≤ 12 bands
+    val rg = cells.groupBy(col("g")).agg(sum(col("o")).as("r"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("g")).as("n_rows"),
+      countDistinct(col("b")).as("n_cols"))
+    cells.join(broadcast(rg), "g").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        expr("""CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * o
+          |   - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+          | * CAST(CAST(n AS DECIMAL(38,0)) * o
+          |   - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+          | / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+          | * 1e6) AS BIGINT)""".stripMargin).as("t"))
+      .groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(sum(col("t")).as("chi2_micro"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        col("chi2_micro"),
+        expr("""CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+          | / (CAST(n AS DOUBLE)
+          |    * (least(n_rows, n_cols) - 1))) * 1e3) AS BIGINT)"""
+          .stripMargin).as("v_milli"))
+  }
+
+  /** q466: EXPECTED CALIBRATION ERROR (Naeini et al. 2015) — q175
+    * plots the reliability diagram; this collapses it to the ONE
+    * number a model card reports: ECE = Σ (n_k/N)·|obs_k − pred_k|,
+    * the bin-mass-weighted calibration gap. Rides q175's decile
+    * frame verbatim (gate-reuse discipline) and is ENTIRELY integer:
+    * both per-bin rates are already exact ppm, so the weighted sum
+    * is one DECIMAL(38,0) product chain and one division — no float
+    * anywhere. */
+  def ece(s: SparkSession, dir: String): DataFrame = {
+    calibrationReport(s, dir)
+      .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_total"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * abs(gap_ppm)")).as("w"))
+      .select(col("n_bins"), col("n_total"),
+        expr("CAST(w div n_total AS BIGINT)").as("ece_ppm"))
   }
 }

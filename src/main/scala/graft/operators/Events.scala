@@ -2152,7 +2152,11 @@ object Events {
         """CAST(round((s_stat - sign(s_stat)) * 1e6
           | / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0))
           | AS BIGINT)""".stripMargin))
-      .select(col("n_hours"), col("s_stat"), col("var18"),
+      // var18 decimal internally, BIGINT on the report row (the
+      // round-14 decimal-output lesson); the hour grid is bounded so
+      // n³ fits BIGINT to ~2e6 hours (~230 years)
+      .select(col("n_hours"), col("s_stat"),
+        col("var18").cast("long").as("var18"),
         col("z_micro"),
         expr("CAST(sign(s_stat) AS BIGINT)").as("trend_sign"))
   }
@@ -2236,7 +2240,9 @@ object Events {
           .stripMargin))
       .agg(max(col("n")).as("n_hours"),
         count(lit(1)).as("k_lags"),
-        max(col("den")).as("den"),
+        // den decimal internally, BIGINT on the report row (the
+        // round-14 decimal-output lesson)
+        max(col("den")).cast("long").as("den"),
         sum(col("term_micro")).as("q_micro"))
       .withColumn("reject_white",
         col("q_micro") > lit(18307000L)) // χ²₁₀ at 95%
@@ -2258,6 +2264,145 @@ object Events {
   def seasonalStrength(s: SparkSession, dir: String): DataFrame =
     seasonalStrengthOf(hourlyCounts(s, dir))
 
+  /** q451: THEIL-T TRAFFIC CONCENTRATION per event type (round-15,
+    * VERDICT Next #7's batch half) — q449's decomposable inequality
+    * number pointed at the OPERATIONAL question a capacity planner
+    * asks of each stream: is this event type's traffic spread across
+    * hours or concentrated in a few (T = 0 uniform, ln n maximal)?
+    * The corpus collapses map-side to the BOUNDED (event_type, hour)
+    * grid; per type the q449/q361 log discipline: ONE micro-rounded
+    * ln per grid row (ln(x·n/X) — the share-vs-uniform log), exact
+    * DECIMAL(38,0) count-weighted sums INTERNAL, one integer
+    * division per reported number (BIGINT out — the round-14
+    * representation rule). The same grid is exactly the state the
+    * q452 stream maintains, which is what makes stream ≡ batch
+    * checkable. */
+  def theilHours(s: SparkSession, dir: String): DataFrame =
+    theilHoursOf(Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Concentration core over a pre-aggregated (event_type, h, x)
+    * grid — shared verbatim by batch q451 and the q452 stream
+    * read-out (the gate-reuse discipline). */
+  private[graft] def theilHoursOf(cells: DataFrame): DataFrame = {
+    val grid = cells.localCheckpoint() // bounded: types × hours
+    val tot = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("total"))
+    grid.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("n_hours"), col("total"),
+        expr("""CAST(x AS DECIMAL(38,0)) * CAST(round(ln(
+          |  CAST(x AS DOUBLE) * n_hours / total) * 1e6) AS BIGINT)"""
+          .stripMargin).as("c"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_hours")).as("n_hours"),
+        max(col("total")).as("total"),
+        expr("CAST(sum(c) div max(total) AS BIGINT)").as("t_micro"))
+  }
+
+  /** q456: CROSS-CORRELATION LEAD–LAG between the view and purchase
+    * hourly series (the CCF — Box & Jenkins) — the inter-series
+    * question the single-series family (q193 ACF, q444 Ljung–Box)
+    * cannot ask: does view traffic LEAD purchase traffic, and by how
+    * many hours? r(L) = corr(view_h, purchase_{h+L}) for L ∈ [−6, 6]
+    * — the argmax lag is the funnel latency read at population grain
+    * (q164 measures it per user; this is the aggregate echo). Pair
+    * frames come from the BOUNDED hour grids (an equi-join on h+L,
+    * gaps skip exactly like q193/q444), per-lag moments are exact
+    * DECIMAL(38,0) sums INTERNAL, and each r is ONE fixed IEEE
+    * expression micro-rounded on the ≤ 13-row lag frame. Degenerate
+    * lags (either side constant) honestly yield NULL via nullif. */
+  def ccfLeadLag(s: SparkSession, dir: String, maxLag: Int = 6)
+      : DataFrame = {
+    val ev = Tables.events(s, dir)
+    def hourly(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(expr("ts div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val vx = hourly("view").localCheckpoint()   // bounded: hour grid
+    val py = hourly("purchase").toDF("h2", "y").localCheckpoint()
+    val lags = (-maxLag to maxLag).map(_.toLong)
+    vx.withColumn("lag",
+        explode(array(lags.map(l => lit(l)): _*)))
+      .join(py, col("h2") === col("h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("vxn", expr(
+        """CAST(n_pairs AS DECIMAL(38,0)) * sxx
+          | - CAST(sx AS DECIMAL(38,0)) * sx""".stripMargin))
+      .withColumn("vyn", expr(
+        """CAST(n_pairs AS DECIMAL(38,0)) * syy
+          | - CAST(sy AS DECIMAL(38,0)) * sy""".stripMargin))
+      // a degenerate lag (either side constant — e.g. one pair at an
+      // extreme lag) honestly yields NULL via the variance guard
+      .select(col("lag"), col("n_pairs"),
+        when(col("vxn") > 0 && col("vyn") > 0,
+          round(expr(
+            """CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy
+              | - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"""
+              .stripMargin)
+            / sqrt(col("vxn").cast("double") * col("vyn").cast("double"))
+            * 1e6).cast("long")).as("r_micro"))
+  }
+
+  /** q462: HURST EXPONENT via rescaled range (Hurst 1951; R/S
+    * analysis per Mandelbrot & Wallis) — the long-memory diagnostic
+    * the forecast ladder reads before trusting any of its models:
+    * H ≈ 0.5 means increments are memoryless (EWMA-class models
+    * suffice), H > 0.5 means persistent trends (q271/q424 underreact),
+    * H < 0.5 anti-persistent. R/S per segment (full window + the two
+    * halves — the honest small-sample slope surface, not one point):
+    * deviations kept N-SCALED (dev = n·x − Σx, integer), the
+    * cumulative walk and its range ride a window over the BOUNDED
+    * hour grid, Σdev² exact DECIMAL(38,0) INTERNAL, and the two
+    * reported floats (R/S and H = ln(R/S)/ln(n/2)) are each ONE
+    * fixed IEEE expression micro/milli-rounded on the 3-row segment
+    * frame. */
+  def hurstRs(s: SparkSession, dir: String): DataFrame =
+    hurstRsOf(hourlyCounts(s, dir).toDF("h", "x"))
+
+  /** R/S core over a pre-aggregated (h, x) series — factored so
+    * specs can pin constructed constant/varied series. */
+  private[graft] def hurstRsOf(hourlyIn: DataFrame): DataFrame = {
+    val hourly = hourlyIn.localCheckpoint() // bounded: the hour grid
+    val mid = hourly.agg(expr("CAST(min(h) + (max(h) - min(h) + 1) div 2"
+      + " AS BIGINT)").as("mid"))
+    val seg = hourly.crossJoin(broadcast(mid))
+      .select(col("h"), col("x"),
+        explode(array(lit(0L),
+          when(col("h") < col("mid"), 1L).otherwise(2L))).as("seg"))
+    val stats = seg.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"))
+    val dev = seg.join(broadcast(stats), "seg")
+      .select(col("seg"), col("h"), col("n"),
+        (col("n") * col("x") - col("s1")).as("dev"))
+    val walk = dev.withColumn("cum",
+      sum(col("dev")).over(Window.partitionBy(col("seg"))
+        .orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    walk.groupBy(col("seg"))
+      .agg(max(col("n")).as("n_hours"),
+        (greatest(max(col("cum")), lit(0L))
+          - least(min(col("cum")), lit(0L))).as("r_scaled"),
+        sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("sdd"))
+      // a constant segment (sdd = 0, so R = 0 too) honestly yields
+      // NULL — 0/0 has no rescaled range; nullif on both engines
+      .select(col("seg"), col("n_hours"), col("r_scaled"),
+        when(col("sdd") > 0,
+          round(col("r_scaled").cast("double")
+            / sqrt(col("sdd").cast("double")
+              / col("n_hours").cast("double"))
+            * 1e6).cast("long")).as("rs_micro"))
+      .withColumn("h_milli",
+        when(col("rs_micro") > 0,
+          round(log(col("rs_micro").cast("double") / 1e6)
+            / log(col("n_hours").cast("double") / 2.0) * 1e3)
+            .cast("long")))
+  }
+
   /** Test core over a pre-aggregated (h, n) series. */
   private[graft] def seasonalStrengthOf(hourlyIn: DataFrame)
       : DataFrame = {
@@ -2277,7 +2422,11 @@ object Events {
         """CAST(CAST(n_hours AS DECIMAL(38,0)) * sdd
           | - CAST(sd AS DECIMAL(38,0)) * sd AS DECIMAL(38,0))"""
           .stripMargin))
-      .select(col("n_hours"), col("vr_num"), col("vd_num"),
+      // variance numerators decimal internally, BIGINT on the
+      // report row (the round-14 decimal-output lesson)
+      .select(col("n_hours"),
+        col("vr_num").cast("long").as("vr_num"),
+        col("vd_num").cast("long").as("vd_num"),
         expr("""CAST(greatest(1000000 - vr_num * 1000000
           | div nullif(vd_num, 0), 0) AS BIGINT)""".stripMargin)
           .as("fs_ppm"))

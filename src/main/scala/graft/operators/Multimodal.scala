@@ -799,6 +799,132 @@ object Multimodal {
       .toDF("doc_id", "png_bits_set", "hamming")
   }
 
+  /** q459: REAL BMP DECODE at ROW grain (round-15) — the fourth
+    * still-image container through the ImageIO executor seam, and a
+    * STRICTER exactness cut than its siblings: q328 checks
+    * whole-image channel sums, q376 checks gray histograms; this
+    * checks a per-SCANLINE gray checksum (doc, y, row_gray_sum), so
+    * a vertically flipped or row-shuffled raster — which passes both
+    * image-grain gates — fails here. BMP is uncompressed 24-bit
+    * BGR, lossless by construction (round-trip verified exact for
+    * the full formula grid), staged from the q328 pixel formula by
+    * `ImageIO.write(…, "bmp")` on the executors. The oracle replays
+    * each row sum from the formula. O(pixels) per row, no shuffle —
+    * the 100 TB decode-pass shape. */
+  def bmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s"${StreamingOps.stagingRoot("q459", dir)}/media"
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id % 7 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (pngPixel(id, x, y, 0) << 16) |
+                (pngPixel(id, x, y, 1) << 8) | pngPixel(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "blob")
+      .write.mode("overwrite").parquet(media)
+    s.read.parquet(media).as[BlobRow]
+      .flatMap { r =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.blob))
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        (0 until h).map { y =>
+          var srow = 0L
+          var x = 0
+          while (x < w) {
+            val p = px(y * w + x)
+            srow += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) +
+              (p & 0xff)) / 3
+            x += 1
+          }
+          (r.doc_id, y.toLong, w.toLong, srow)
+        }
+      }
+      .toDF("doc_id", "y", "width", "row_gray_sum")
+  }
+
+  /** q461: JPEG MARKER-SEGMENT INTROSPECTION (round-15) — binary
+    * schema-on-read WITHOUT a codec: the container structure of the
+    * staged q386 JPEGs parsed byte-for-byte (SOI, the marker chain's
+    * length-prefixed segments, SOF0's dimensions/components, EOI) —
+    * what an ingest pipeline runs to validate/route millions of
+    * blobs BEFORE paying any decode (the q31 metadata idea taken
+    * inside the container). The gate pins the oracle-replayable
+    * invariants: SOF dimensions and component count must equal the
+    * staged formula's, and the marker walk must terminate cleanly at
+    * EOI (structure_valid — a truncated or misframed blob flips the
+    * row). O(bytes) per row, zero decode, no shuffle. */
+  def jpegMarkers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = stageJpegMedia(s, dir, "q461")
+    s.read.parquet(media).as[BlobRow]
+      .map { r =>
+        val b = r.blob
+        var sofW = -1L; var sofH = -1L; var sofC = -1L
+        // marker walk: FFD8, then FF-prefixed segments; SOS ends the
+        // structured region (entropy-coded data follows, scan to EOI)
+        var valid = false
+        if (b.length >= 2 && (b(0) & 0xff) == 0xff &&
+            (b(1) & 0xff) == 0xd8) {
+          var i = 2
+          var done = false
+          var ok = true
+          while (!done && ok && i + 1 < b.length) {
+            if ((b(i) & 0xff) != 0xff) { ok = false }
+            else {
+              val m = b(i + 1) & 0xff
+              if (m == 0xd9) { done = true; i += 2 } // EOI
+              else if (m == 0xda) { // SOS: skip entropy data to EOI
+                var j = b.length - 2
+                var found = false
+                while (j >= i && !found) {
+                  if ((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xd9) {
+                    found = true; done = true; i = j + 2
+                  }
+                  j -= 1
+                }
+                if (!found) ok = false
+              } else if (m >= 0xd0 && m <= 0xd7) { i += 2 } // RSTn
+              else {
+                if (i + 3 >= b.length) ok = false
+                else {
+                  val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+                  if (m == 0xc0 || m == 0xc1 || m == 0xc2) { // SOFn
+                    sofH = (((b(i + 5) & 0xff) << 8) |
+                      (b(i + 6) & 0xff)).toLong
+                    sofW = (((b(i + 7) & 0xff) << 8) |
+                      (b(i + 8) & 0xff)).toLong
+                    sofC = (b(i + 9) & 0xff).toLong
+                  }
+                  i += 2 + len
+                }
+              }
+            }
+          }
+          valid = ok && done
+        }
+        (r.doc_id, sofW, sofH, sofC, valid)
+      }
+      .toDF("doc_id", "sof_width", "sof_height", "n_components",
+        "structure_valid")
+  }
+
   // ---------------------------------------------------------------
   // q409: REAL-CODEC AUDIO via javax.sound.sampled (round-14,
   // VERDICT Next #1) — the THIRD modality through the executor
@@ -921,6 +1047,43 @@ object Multimodal {
       }
       .toDF("doc_id", "sample_rate", "n_channels", "n_frames",
         "sum_samples", "sum_sq", "zero_cross_ch0")
+  }
+
+  /** q460: AUDIO CLIPPING AUDIT on REAL decoded samples (round-15)
+    * — the ingest data-quality gate every speech corpus runs before
+    * training: clipped audio (samples pinned at full scale) carries
+    * unrecoverable distortion, and the damning signal is not the
+    * clipped COUNT but the longest clipped RUN (one-sample peaks are
+    * benign, sustained rails are not). Per asset, channel 0 of the
+    * PARSED RIFF container: frames, samples at |v| ≥ the 16-bit rail
+    * threshold (32700), the longest consecutive clipped run, and the
+    * clipped fraction in ppm. The DuckDB oracle replays the sample
+    * formula over the frame grid including the run-length structure
+    * (an island count over the per-doc frame sequence) — agreement
+    * means the codec round trip reproduced sample ORDER, not just
+    * sums. O(frames) per row, no shuffle. */
+  def wavClipping(s: SparkSession, dir: String,
+      rail: Int = 32700): DataFrame = {
+    import s.implicits._
+    s.read.parquet(stageWavMedia(s, dir, "q460")).as[BlobRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = wavCh0Of(r.blob)
+          var nClip = 0L; var maxRun = 0L; var run = 0L
+          var f = 0
+          while (f < v.length) {
+            if (math.abs(v(f)) >= rail) {
+              nClip += 1; run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0
+            f += 1
+          }
+          (r.doc_id, v.length.toLong, nClip, maxRun,
+            nClip * 1000000L / math.max(v.length, 1))
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_clipped", "max_clip_run",
+        "clipped_ppm")
   }
 
   /** Channel-0 samples of ONE decoded WAV blob — the per-blob decode
@@ -1558,6 +1721,14 @@ object Multimodal {
       tag: String): String = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
+    // Twin ids live at doc_id + 10⁷ — a corpus with doc_id ≥ 10⁷
+    // would silently collide twins with real assets, corrupting the
+    // planted ground truth on BOTH engines (parity would still pass,
+    // hiding it). Refuse loudly instead (round-15, ADVICE).
+    val maxId = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    require(maxId < 10000000L, s"twin-id keyspace collision: " +
+      s"max(doc_id)=$maxId >= 1e7 — widen the twin offset")
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>

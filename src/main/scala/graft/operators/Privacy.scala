@@ -309,4 +309,49 @@ object Privacy {
       .select(col("level"), col("n_classes"), col("min_class"),
         col("n_suppressed"), col("suppression_ppm"))
   }
+
+  /** q467: DP COMPOSITION PLANNER (basic composition vs the
+    * advanced/strong theorem — Dwork & Roth 2014, Thm 3.20) — the
+    * fifth capacity planner (q342 LSH, q422 bloom, q427 CMS, q441
+    * power, now privacy budget): before q144 releases its k-th
+    * noisy aggregate someone must price the CUMULATIVE ε, and the
+    * answer flips between k·ε (basic) and ε√(2k·ln(1/δ)) + k·ε(eᵉ−1)
+    * (advanced) depending on k and ε — the planner says WHICH bound
+    * is tighter for each cell of the (k, ε) grid. δ is
+    * corpus-anchored at 1/n_docs (the standard "cryptographically
+    * small against the dataset" choice), so ln(1/δ) = ln n comes
+    * from the real corpus. Determinism: one micro-rounded ln for
+    * the corpus row, one micro-rounded sqrt and one micro-rounded
+    * expm1 per bounded grid row, every product on DECIMAL(38,0)
+    * INTERNAL with BIGINT report columns. */
+  def dpCompositionPlanner(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("ln_n_micro",
+        expr("CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val grid = s.createDataFrame(
+        for (k <- Seq(1L, 4L, 16L, 64L, 256L);
+             e <- Seq(10000L, 50000L, 100000L, 500000L)) yield (k, e))
+      .toDF("k_releases", "eps_micro")
+    grid.crossJoin(broadcast(n))
+      .withColumn("basic_micro", expr(
+        "CAST(CAST(k_releases AS DECIMAL(38,0)) * eps_micro AS BIGINT)"))
+      // √(2k·ln(1/δ)) in milli: one IEEE sqrt per grid row
+      .withColumn("rt_milli", expr(
+        """CAST(round(sqrt(2.0 * k_releases
+          | * CAST(ln_n_micro AS DOUBLE) / 1e6) * 1e3) AS BIGINT)"""
+          .stripMargin))
+      // eᵉ − 1 in micro: one IEEE expm1 per grid row (ε ≤ 0.5 here)
+      .withColumn("em1_micro", expr(
+        """CAST(round((exp(CAST(eps_micro AS DOUBLE) / 1e6) - 1.0)
+          | * 1e6) AS BIGINT)""".stripMargin))
+      .withColumn("advanced_micro", expr(
+        """CAST(CAST(eps_micro AS DECIMAL(38,0)) * rt_milli div 1000
+          | + CAST(k_releases AS DECIMAL(38,0)) * eps_micro
+          |   * em1_micro div 1000000 AS BIGINT)""".stripMargin))
+      .select(col("k_releases"), col("eps_micro"), col("n_docs"),
+        col("basic_micro"), col("advanced_micro"),
+        (col("advanced_micro") < col("basic_micro"))
+          .as("advanced_wins"))
+  }
 }

@@ -519,7 +519,11 @@ object Relational {
           | - CAST(psx AS DECIMAL(38,0)) * psy) AS BIGINT)"""
           .stripMargin).as("pooled_sign"))
     grp.crossJoin(broadcast(pooled))
-      .select(col("p_brand"), col("n"), col("cov_num"),
+      // cov_num decimal internally, BIGINT on the report row (the
+      // round-14 decimal-output lesson — driver hash diverges on
+      // decimal representation)
+      .select(col("p_brand"), col("n"),
+        col("cov_num").cast("long").as("cov_num"),
         expr("CAST(sign(cov_num) AS BIGINT)").as("brand_sign"),
         col("pooled_sign"),
         expr("CAST(sign(cov_num) AS BIGINT) * pooled_sign < 0")
@@ -579,6 +583,67 @@ object Relational {
           .stripMargin).as("between_contrib_micro"))
   }
 
+
+  /** The co-purchase EDGE set shared by q450/q455: distinct part
+    * pairs sharing ≥ minPairs orders (the q141 candidate frame
+    * without its lift tail — the graph substrate, one bounded
+    * per-order pair fan-out + one agg). */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
+      minPairs: Long = 2L): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairs)
+      .select(col("pa"), col("pb"))
+  }
+
+  /** q450: PAGERANK ON THE CO-PURCHASE GRAPH (round-15, VERDICT Next
+    * #6) — the GLOBAL centrality the q141/q256/q356/q421 family
+    * lacked: lift and Adamic–Adar score PAIRS; PageRank scores each
+    * PART by how central it sits in the whole co-purchase structure
+    * — the "which items anchor the catalog" ranking an assortment
+    * planner (or, on the doc/source graph, a curation pipeline
+    * ranking domains by link authority) reads. Runs the q94 integer
+    * core ([[Dedup.pageRankOf]]): edges from the q141 frame
+    * (distinct pairs, ≥ 2 shared orders) symmetrized, ppm-scaled
+    * long scores, share = s div deg, damping (850·Σ) div 1000,
+    * 5 fixed rounds of shuffle-hash join + map-side-combinable sum,
+    * localCheckpoint per round — bit-identical on any engine and
+    * partitioning; the oracle replays the rounds as unrolled CTEs. */
+  def copurchasePageRank(s: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    val adj = edges.select(col("pa").as("v"), col("pb").as("u"))
+      .union(edges.select(col("pb").as("v"), col("pa").as("u")))
+    Dedup.pageRankOf(adj, iters)
+      .select(col("v").as("part"), col("s").as("score_scaled"))
+  }
+
+  /** q455: PERSONALIZED PAGERANK from a seed brand (Jeh & Widom
+    * 2003) — the q450 ranking RE-ROOTED: teleport mass lands only on
+    * the seed vertices (here one brand's parts), so scores measure
+    * proximity TO THE SEEDS through the co-purchase structure — the
+    * "expand from trusted items" primitive (on the doc graph: expand
+    * a curated allowlist by link proximity — the seed-expansion move
+    * crawl curation actually uses). Same integer core as q450 with
+    * the seeded teleport: init 10⁶ on seeds / 0 elsewhere, per-round
+    * base 150000 on seeds only. Zero-scored vertices (unreached in
+    * `iters` hops) are emitted honestly. */
+  def personalizedPageRank(s: SparkSession, dir: String,
+      brand: String = "Brand#4", iters: Int = 5): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    val adj = edges.select(col("pa").as("v"), col("pb").as("u"))
+      .union(edges.select(col("pb").as("v"), col("pa").as("u")))
+    val seeds = Tables.part(s, dir).filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    Dedup.pageRankOf(adj, iters, checkpoint = true, seeds = Some(seeds))
+      .select(col("v").as("part"), col("s").as("score_scaled"))
+  }
 
   /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
     * of q141/q256: a rule a→b carries support (how often the pair

@@ -1333,7 +1333,11 @@ object Similarity {
       assignTo(base.select(col("vec_id"), col("v"), col("n2")),
           centN, 0, dim)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
-        .withColumn("is_base", lit(true)),
+        .withColumn("is_base", lit(true))
+        // hash-cluster by cell so each cell partition is ONE file,
+        // not tasks × cells small files (round-15: the write fan-out
+        // was the bulk of q385's r14 idle regression)
+        .repartition(col("cell")),
       Seq("cell"))
   }
 
@@ -1366,6 +1370,8 @@ object Similarity {
     assignTo(b, cent, 0, dim)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .withColumn("is_base", lit(false))
+      // one file per touched cell per batch (not tasks × cells)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(storeDeltaDir(stateRoot, "postings"))
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
@@ -1388,6 +1394,8 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("is_base"))
       .distinct()
+      // one file per rewritten cell (round-15 write-shape fix)
+      .repartition(col("cell"))
     StreamingOps.publishStoreScoped(s, stateRoot, "postings",
       compacted, "cell", touched.map(_.toString))
   }

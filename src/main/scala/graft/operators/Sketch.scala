@@ -809,8 +809,11 @@ object Sketch {
           | div (CAST(nullif(delta_milli, 0) AS DECIMAL(38,0))
           |    * delta_milli * 1000000000000) AS BIGINT)"""
           .stripMargin))
+      // var_milli2 decimal internally, BIGINT on the report row
+      // (the round-14 decimal-output lesson)
       .select(col("event_type"), col("n_obs"), col("mean_milli"),
-        col("var_milli2"), col("mde_ppm"), col("delta_milli"),
+        col("var_milli2").cast("long").as("var_milli2"),
+        col("mde_ppm"), col("delta_milli"),
         col("n_per_arm"))
   }
 }

@@ -1768,6 +1768,36 @@ object StreamingOps {
       .groupBy(col("seq")).agg(min(col("ts")).as("ts")))
   }
 
+  /** Drop store `name` entirely: pointer, every version dir, delta.
+    * Used by LSM rolls to retire a consumed tier AFTER its contents
+    * were published into a higher tier — a crash between publish-up
+    * and drop-down leaves the rows present twice, which the
+    * read-idempotent stores collapse. */
+  private[graft] def dropStore(root: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    Files.deleteIfExists(storePointer(root, name))
+    val listing = Files.list(Paths.get(root))
+    val dirs = try listing.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith(s"${name}_v"))
+      finally listing.close()
+    dirs.foreach(rmTree)
+    rmTree(Paths.get(storeDeltaDir(root, name)))
+  }
+
+  /** Clear ONLY store `name`'s delta dir (the base and pointer stay
+    * live) — the LSM roll's retire step for the level-0 run. */
+  private[graft] def dropStoreDelta(root: String, name: String): Unit = {
+    import java.nio.file.Files
+    val p = java.nio.file.Paths.get(storeDeltaDir(root, name))
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
   /** Full (base ∪ delta) read of store `name` with read-side dedup
     * applied by the caller; None if the store has never been written. */
   private[graft] def readStoreAll(s: SparkSession, root: String,
@@ -2219,6 +2249,43 @@ object StreamingOps {
     * literal chain prices the tail. Gate = the q439 oracle
     * verbatim: the capacity planner's return level updates as data
     * lands, no archive rescan. */
+  /** q452: STREAMING THEIL CONCENTRATION MONITOR (round-15, VERDICT
+    * Next #7) — q451's per-type traffic-concentration number as LIVE
+    * per-source state, the q364-PSI treatment: the events WAL
+    * streams into an update-mode (event_type, hour) count — the
+    * q451 grid itself, bounded by types · hours forever, never the
+    * event stream — each batch appends the grid cells it raised,
+    * the read keeps each cell's latest count (max_by on batch; a
+    * count only grows under AvailableNow replay, and a replayed
+    * batch rewrites identical rows), and the UNCHANGED q451
+    * concentration core prices the read-out. Gate = the q451 oracle
+    * verbatim: the inequality dashboard updates as data lands, no
+    * archive rescan. */
+  def streamTheil(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagingRoot("q452", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir,
+      batches = 6)
+    val cells = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(col("cells")(0)("qualifier").as("event_type"),
+        expr("ts div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val query = cells.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    Events.theilHoursOf(
+      s.read.parquet(out).groupBy(col("event_type"), col("h"))
+        .agg(max_by(col("x"), col("batch")).as("x")))
+  }
+
   def streamGumbelTail(s: SparkSession, dir: String): DataFrame = {
     val stage = stagingRoot("q447", dir)
     val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"

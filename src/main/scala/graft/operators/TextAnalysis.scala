@@ -142,6 +142,41 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** q454: TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — the corpus
+    * keyword ranking the frequency family (q32/q58/q363) cannot
+    * give: TF-IDF scores words by counts; TextRank scores them by
+    * CENTRALITY in the co-occurrence graph (a word matters because
+    * it keeps company with words that matter — the recursive
+    * definition PageRank resolves), which surfaces connective
+    * vocabulary that raw frequency under-ranks. Graph: adjacent-token
+    * pairs (the window-2 co-occurrence of the paper), normalized
+    * (least, greatest), kept at corpus count ≥ `minCount`,
+    * symmetrized — the vertex set is the VOCABULARY (bounded), never
+    * the corpus. Then the q94/q450 integer PageRank core
+    * ([[Dedup.pageRankOf]]): 5 fixed rounds, ppm longs, replayed by
+    * unrolled oracle CTEs; top-k by (score desc, word asc) via
+    * TakeOrdered — never a vocab-wide window sort. */
+  def textrankKeywords(s: SparkSession, dir: String,
+      minCount: Long = 3L, iters: Int = 5, k: Int = 20): DataFrame = {
+    val edges = Tables.documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(explode(bigrams2(col("text"))).as("bg"))
+      .select(split(col("bg"), " ").as("p"))
+      .select(col("p")(0).as("w1"), col("p")(1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(least(col("w1"), col("w2")).as("wa"),
+        greatest(col("w1"), col("w2")).as("wb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("wa"), col("wb"))
+    val adj = edges.select(col("wa").as("v"), col("wb").as("u"))
+      .union(edges.select(col("wb").as("v"), col("wa").as("u")))
+    Dedup.pageRankOf(adj, iters)
+      .orderBy(col("s").desc, col("v"))
+      .limit(k)
+      .select(col("v").as("word"), col("s").as("score_scaled"))
+  }
+
   /** q143: BPE merge-pair frequencies — the first step of byte-pair-
     * encoding TOKENIZER INDUCTION over the corpus: count every
     * adjacent CHARACTER pair inside words (occurrence-weighted, as

@@ -165,9 +165,10 @@ class Round14Spec extends SparkSpec {
   test("q416/q417: pair-mass identity and bounded summaries") {
     val cd = graft.operators.Eval.cliffsDelta(spark, sfDir).head()
     val n1 = cd.getAs[Long]("n1"); val n2 = cd.getAs[Long]("n2")
-    val gt = cd.getAs[java.math.BigDecimal]("n_gt").longValueExact()
-    val lt = cd.getAs[java.math.BigDecimal]("n_lt").longValueExact()
-    val tie = cd.getAs[java.math.BigDecimal]("n_tie").longValueExact()
+    // BIGINT report columns since round-15 (the decimal-output fix)
+    val gt = cd.getAs[Long]("n_gt")
+    val lt = cd.getAs[Long]("n_lt")
+    val tie = cd.getAs[Long]("n_tie")
     assert(gt + lt + tie === n1 * n2,
       "every (x, y) pair is greater, less, or tied — exactly once")
     val d = cd.getAs[Long]("delta_micro")
@@ -727,8 +728,8 @@ class Round14Spec extends SparkSpec {
       assert(bs >= -1L && bs <= 1L)
       assert(r.getAs[Boolean]("reversed") === (bs * ps < 0),
         "the reversal flag must be exactly the sign product test")
-      val cov = r.getDecimal(r.fieldIndex("cov_num"))
-      assert(cov.signum.toLong === bs,
+      val cov = r.getAs[Long]("cov_num")
+      assert(java.lang.Long.signum(cov).toLong === bs,
         "brand_sign must be the sign of the exact covariance numerator")
     }
     assert(rows.map(_.getAs[Long]("pooled_sign")).toSet.size === 1,
@@ -760,7 +761,7 @@ class Round14Spec extends SparkSpec {
     assert(ru.getAs[Long]("s_stat") === 45L) // 10·9/2
     assert(ru.getAs[Long]("trend_sign") === 1L)
     // untied: var18 = n(n−1)(2n+5) = 10·9·25 = 2250
-    assert(ru.getDecimal(ru.fieldIndex("var18")).longValueExact === 2250L)
+    assert(ru.getAs[Long]("var18") === 2250L)
     val down = (1L to 10L).map(i => (i, 100L - i)).toDF("h", "x")
     val rd = graft.operators.Events.mannKendallOf(down).collect()(0)
     assert(rd.getAs[Long]("s_stat") === -45L)
@@ -804,8 +805,7 @@ class Round14Spec extends SparkSpec {
         assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
           "a larger detectable effect can never need MORE traffic")
         byMde.foreach { r =>
-          val v = r.getDecimal(r.fieldIndex("var_milli2"))
-            .longValueExact
+          val v = r.getAs[Long]("var_milli2")
           val d = r.getAs[Long]("delta_milli")
           if (d > 0) {
             val den = BigInt(d) * d * BigInt("1000000000000")

@@ -44,9 +44,26 @@ def main(sf_dir, out_dir):
               "— not a full-inventory pass")
     for name, sql in sorted(oracles.items()):
         try:
-            odf = con.sql(sql).df()
+            orel = con.sql(sql)
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
-            sdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            srel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            # The driver's hash canonicalizes DECIMAL/HUGEINT output
+            # columns differently per engine (round-14: 9 value-equal
+            # queries hash-failed on DECIMAL(38,0) report columns;
+            # this harness read both sides through DuckDB and missed
+            # it). Reject the representation class outright so the
+            # local harness predicts the gate.
+            wide = [(c, str(t)) for c, t in zip(orel.columns, orel.types)
+                    if str(t).startswith("DECIMAL") or str(t) == "HUGEINT"]
+            wide += [(c, str(t)) for c, t in zip(srel.columns, srel.types)
+                     if str(t).startswith("DECIMAL") or str(t) == "HUGEINT"]
+            if wide:
+                print(f"FAIL {name}: decimal-class output columns {wide} "
+                      "(driver hash cannot canonicalize; cast to BIGINT)")
+                n_fail += 1
+                continue
+            odf = orel.df()
+            sdf = srel.df()
             ocols, odts, orows = canon(odf)
             scols, sdts, srows = canon(sdf)
             if ocols != scols:
