@@ -510,6 +510,12 @@ object SparkEntry {
     "q466_ece"              -> ((s, d) => Eval.ece(s, d)),
     "q467_dp_composition"   ->
       ((s, d) => Privacy.dpCompositionPlanner(s, d)),
+    "q468_lorenz_deciles"   -> ((s, d) => Relational.lorenzDeciles(s, d)),
+    "q469_blocking_quality" -> ((s, d) => Dedup.blockingQuality(s, d)),
+    "q470_neyman_allocation" ->
+      ((s, d) => Sampling.neymanAllocation(s, d)),
+    "q471_stream_salt_audit" ->
+      ((s, d) => StreamingOps.streamSaltAudit(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -671,6 +677,26 @@ object SparkEntry {
         | CAST(m_t - m_min AS BIGINT) AS ph,
         | m_t - m_min > 50 AS alarm
         |FROM f""".stripMargin
+
+  /** The q453 salt-audit oracle — also the q471 gate verbatim (the
+    * streamed (salt, hour) grid must land exactly the batch one —
+    * the q364/q369 live-state discipline). */
+  private val saltAuditOracle: String =
+    """WITH c AS (SELECT user_id % 16 AS salt,
+      |  epoch_us(ts) // 3600000000 AS h,
+      |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |ps AS (SELECT salt, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(max(n) AS BIGINT) AS peak_hour_n FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM ps)
+      |SELECT CAST(salt AS BIGINT) AS salt, n_events,
+      | CAST(CAST(n_events AS HUGEINT) * 16 * 1000000 // n_total
+      |  AS BIGINT) AS load_factor_ppm,
+      | peak_hour_n,
+      | CAST(CAST(peak_hour_n AS HUGEINT) * 1000000 // n_events
+      |  AS BIGINT) AS peak_share_ppm,
+      | CAST(CAST(n_events AS HUGEINT) * 16 * 1000000 // n_total
+      |  AS BIGINT) > 1250000 AS hot
+      |FROM ps, t""".stripMargin
 
   /** The q451 Theil-concentration oracle — also the q452 gate
     * verbatim (the streamed (event_type, hour) grid must land
@@ -10098,23 +10124,9 @@ object SparkEntry {
     "q452_stream_theil" -> theilHoursOracle,
     // q453: the modulo salt is oracle-replayable; the staged layout
     // never changes results (the q273 contract), so the oracle reads
-    // the raw table.
-    "q453_salt_write_audit" ->
-      """WITH c AS (SELECT user_id % 16 AS salt,
-        |  epoch_us(ts) // 3600000000 AS h,
-        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
-        |ps AS (SELECT salt, CAST(sum(n) AS BIGINT) AS n_events,
-        |  CAST(max(n) AS BIGINT) AS peak_hour_n FROM c GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM ps)
-        |SELECT CAST(salt AS BIGINT) AS salt, n_events,
-        | CAST(CAST(n_events AS HUGEINT) * 16 * 1000000 // n_total
-        |  AS BIGINT) AS load_factor_ppm,
-        | peak_hour_n,
-        | CAST(CAST(peak_hour_n AS HUGEINT) * 1000000 // n_events
-        |  AS BIGINT) AS peak_share_ppm,
-        | CAST(CAST(n_events AS HUGEINT) * 16 * 1000000 // n_total
-        |  AS BIGINT) > 1250000 AS hot
-        |FROM ps, t""".stripMargin,
+    // the raw table. Also the q471 gate verbatim (the streamed
+    // (salt, hour) grid must land exactly the batch one).
+    "q453_salt_write_audit" -> saltAuditOracle,
     // q454: adjacent-token co-occurrence edges (count >= 3),
     // symmetrized, then the q94 unrolled PageRank; top-20 by
     // (score desc, word).
@@ -10469,5 +10481,78 @@ object SparkEntry {
         |SELECT k_releases, eps_micro, n_docs, basic_micro,
         | advanced_micro, advanced_micro < basic_micro AS advanced_wins
         |FROM y""".stripMargin,
+    // q468: full customer rank replay (the oracle may sort; Spark's
+    // twoPhaseRank must land the identical (cents, custkey) order),
+    // cumulative share over the 10-row decile frame.
+    "q468_lorenz_deciles" ->
+      """WITH cust AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |   AS BIGINT) AS cents FROM orders GROUP BY 1),
+        |rk AS (SELECT cents, row_number() OVER (
+        |   ORDER BY cents, o_custkey) AS rk,
+        |  count(*) OVER () AS n FROM cust),
+        |dec AS (SELECT (rk - 1) * 10 // n AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS cents FROM rk GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM dec)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers, cents,
+        | CAST(CAST(sum(cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS HUGEINT) * 1000000 // total AS BIGINT) AS cum_share_ppm
+        |FROM dec, t""".stripMargin,
+    // q469: all three pair masses from group sizes only — the truth
+    // groups on raw text (same counts as Spark's md5 groups).
+    "q469_blocking_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  substr(lower(text), 1, 16) AS blk FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
+        |   AS all_pairs FROM d),
+        |c AS (SELECT coalesce(sum(CAST(m AS HUGEINT) * (m - 1)) // 2,
+        |   0) AS cand_pairs
+        | FROM (SELECT count(*) AS m FROM d GROUP BY blk)),
+        |tr AS (SELECT coalesce(sum(CAST(m AS HUGEINT) * (m - 1)) // 2,
+        |   0) AS true_pairs
+        | FROM (SELECT count(*) AS m FROM d GROUP BY text)),
+        |cp AS (SELECT coalesce(sum(CAST(m AS HUGEINT) * (m - 1)) // 2,
+        |   0) AS captured_pairs
+        | FROM (SELECT count(*) AS m FROM d GROUP BY blk, text))
+        |SELECT n_docs,
+        | CAST(true_pairs AS BIGINT) AS n_true_pairs,
+        | CAST(cand_pairs AS BIGINT) AS n_cand_pairs,
+        | CAST(captured_pairs AS BIGINT) AS n_captured_pairs,
+        | CAST((all_pairs - cand_pairs) * 1000000
+        |  // nullif(all_pairs, 0) AS BIGINT) AS reduction_ratio_ppm,
+        | CAST(captured_pairs * 1000000 // nullif(true_pairs, 0)
+        |  AS BIGINT) AS pairs_completeness_ppm
+        |FROM n, c, tr, cp""".stripMargin,
+    // q470: exact moments, one milli sqrt per language, integer
+    // largest-remainder apportionment — allocations sum to budget.
+    "q470_neyman_allocation" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s1,
+        |  sum(CAST(len(string_split(text, ' ')) AS HUGEINT)
+        |   * len(string_split(text, ' '))) AS s2
+        | FROM documents GROUP BY 1 HAVING count(*) >= 2),
+        |s AS (SELECT lang, n_docs,
+        |  CAST(round(sqrt(CAST(CAST(n_docs AS HUGEINT) * s2
+        |     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) * 1e3)
+        |   AS BIGINT) AS s_milli FROM g),
+        |w AS (SELECT lang, n_docs, s_milli,
+        |  CAST(n_docs AS HUGEINT) * s_milli AS w FROM s),
+        |t AS (SELECT sum(w) AS wsum FROM w),
+        |b AS (SELECT lang, n_docs, s_milli,
+        |  CAST(w * 10000 // nullif(wsum, 0) AS BIGINT) AS floor_alloc,
+        |  w * 10000 - (w * 10000 // nullif(wsum, 0)) * wsum AS rem
+        | FROM w, t),
+        |l AS (SELECT 10000 - sum(floor_alloc) AS leftover FROM b)
+        |SELECT lang, n_docs, s_milli,
+        | CAST(floor_alloc + CASE WHEN row_number() OVER (
+        |    ORDER BY rem DESC, lang) <= leftover THEN 1 ELSE 0 END
+        |  AS BIGINT) AS alloc
+        |FROM b, l""".stripMargin,
+    // q471: stream = batch — the q453 oracle verbatim.
+    "q471_stream_salt_audit" -> saltAuditOracle,
   )
 }

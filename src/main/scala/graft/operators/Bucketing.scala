@@ -472,12 +472,19 @@ object Bucketing {
   /** Audit core over any salted frame — per-salt totals, load
     * factor, peak-hour burst. */
   private[graft] def saltWriteAuditOf(events: DataFrame,
-      salt: org.apache.spark.sql.Column, salts: Int): DataFrame = {
-    val cells = events
-      .groupBy(salt.cast("long").as("salt"),
-        expr("ts div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // bounded: S × hours
+      salt: org.apache.spark.sql.Column, salts: Int): DataFrame =
+    saltAuditFromCells(
+      events.groupBy(salt.cast("long").as("salt"),
+          expr("ts div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n")),
+      salts)
+
+  /** Report tail over a pre-aggregated (salt, h, n) grid — shared
+    * verbatim by batch q453 and the q471 stream read-out (the
+    * gate-reuse discipline). */
+  private[graft] def saltAuditFromCells(cellsIn: DataFrame,
+      salts: Int): DataFrame = {
+    val cells = cellsIn.localCheckpoint() // bounded: S × hours
     val perSalt = cells.groupBy(col("salt"))
       .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_hour_n"))
     val tot = perSalt.agg(sum(col("n_events")).as("n_total"))

@@ -501,6 +501,57 @@ object Dedup {
         expr("block_size * (block_size - 1) div 2 * n_blocks").as("total_pairs"),
         (col("block_size") > blockCap).as("is_overflow"))
 
+  /** q469: BLOCKING-QUALITY AUDIT (reduction ratio + pairs
+    * completeness — Christen 2012, the two numbers every
+    * entity-resolution blocking scheme is graded by) — the
+    * q332/q342 planners price block SIZES; this prices the
+    * TRADE-OFF: reduction ratio = how many of the C(n,2) comparisons
+    * the blocking avoids; pairs completeness = how many TRUE
+    * duplicate pairs still share a block (recall of the candidate
+    * generator). Truth = exact content duplicates (q20's md5
+    * groups); blocking = 16-char normalized-prefix keys. ENTIRELY
+    * from group sizes — Σ C(m,2) per block / per hash / per (block,
+    * hash) — no pair set is ever materialized, so the audit itself
+    * never pays the comparisons it prices. Pair counts on
+    * DECIMAL(38,0) INTERNAL (C(n,2) wraps BIGINT at ~4.3e9 docs),
+    * BIGINT/ppm out. */
+  def blockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("hash"),
+        substring(lower(col("text")), 1, 16).as("blk"))
+      .localCheckpoint()
+    def pairs2(c: Column): Column =
+      (sum(c.cast("decimal(38,0)") * (c - 1)) / 2)
+        .cast("decimal(38,0)")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+      .withColumn("all_pairs", expr(
+        """CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2
+          | AS DECIMAL(38,0))""".stripMargin))
+    val cand = docs.groupBy(col("blk")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(pairs2(col("m")), lit(0).cast("decimal(38,0)"))
+        .as("cand_pairs"))
+    val truth = docs.groupBy(col("hash")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(pairs2(col("m")), lit(0).cast("decimal(38,0)"))
+        .as("true_pairs"))
+    val captured = docs.groupBy(col("blk"), col("hash"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(pairs2(col("m")), lit(0).cast("decimal(38,0)"))
+        .as("captured_pairs"))
+    n.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
+      .crossJoin(broadcast(captured))
+      .select(col("n_docs"),
+        col("true_pairs").cast("long").as("n_true_pairs"),
+        col("cand_pairs").cast("long").as("n_cand_pairs"),
+        col("captured_pairs").cast("long").as("n_captured_pairs"),
+        expr("""CAST((all_pairs - cand_pairs) * 1000000
+          | div nullif(all_pairs, 0) AS BIGINT)""".stripMargin)
+          .as("reduction_ratio_ppm"),
+        expr("""CAST(captured_pairs * 1000000
+          | div nullif(true_pairs, 0) AS BIGINT)""".stripMargin)
+          .as("pairs_completeness_ppm"))
+  }
+
   /** q48: cross-source canonical document selection — exact-duplicate
     * groups where the SAME content arrives from multiple sources keep
     * one canonical copy by source priority (lexicographic source,

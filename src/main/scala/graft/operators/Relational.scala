@@ -584,6 +584,39 @@ object Relational {
   }
 
 
+  /** q468: LORENZ CURVE DECILES of customer revenue (Lorenz 1905) —
+    * the CURVE behind q246's Gini number: Gini compresses inequality
+    * to one scalar; the ten (decile, cumulative-share) points say
+    * WHERE the mass sits ("the top decile carries X%") — the shape a
+    * sourcing/quota decision actually reads. Customer revenue rolls
+    * up once (shuffle on custkey), ranks ride
+    * [[twoPhaseRank]] (bounded $10k-bin histogram + within-bin
+    * row_number — no task ever sorts the customer dimension), decile
+    * = ⌊(rank−1)·10/n⌋, and the cumulative share runs over the
+    * BOUNDED 10-row decile frame. Exact DECIMAL(38,0) cent sums
+    * INTERNAL, ppm out; (cents, custkey) total order both engines
+    * replay. */
+  def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val ranked = twoPhaseRank(cust, lit(1), expr("cents div 1000000"),
+      Seq(col("cents"), col("o_custkey")), "rk", "n_cust")
+    val dec = ranked
+      .groupBy(expr("(rk - 1) * 10 div n_cust").as("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    val tot = dec.agg(sum(col("cents")).as("total_cents"))
+    dec.crossJoin(broadcast(tot))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_customers"), col("cents"),
+        expr("""CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000
+          | div total_cents AS BIGINT)""".stripMargin)
+          .as("cum_share_ppm"))
+  }
+
   /** The co-purchase EDGE set shared by q450/q455: distinct part
     * pairs sharing ≥ minPairs orders (the q141 candidate frame
     * without its lift tail — the graph substrate, one bounded

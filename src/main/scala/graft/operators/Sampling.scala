@@ -168,4 +168,54 @@ object Sampling {
       .withColumn("position", (row_number().over(w) - 1).cast("long"))
       .select(col("epoch"), col("shard"), col("position"), col("doc_id"))
   }
+
+  /** q470: NEYMAN OPTIMAL ALLOCATION of an eval-annotation budget
+    * across languages (Neyman 1934) — the sampling design q55's
+    * proportional strata deliberately aren't: when strata differ in
+    * VARIANCE, minimum-variance estimation allocates n_h ∝ N_h·σ_h
+    * (volatile strata earn more samples per document) — the "where
+    * do my 10k human labels buy the most precision" decision a
+    * quality-eval budget actually makes. Exact per-language moments
+    * (squares on DECIMAL(38,0) INTERNAL), ONE milli-rounded sqrt per
+    * bounded language row, integer largest-remainder apportionment
+    * (floor allocations + leftovers by (remainder desc, lang) over
+    * the bounded frame) so the allocations sum EXACTLY to the
+    * budget on both engines. Zero-variance strata honestly draw
+    * weight 0. */
+  def neymanAllocation(s: SparkSession, dir: String,
+      budget: Long = 10000L): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val g = Tables.documents(s, dir)
+      .select(col("lang"), size(toks).cast("long").as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      .filter(col("n_docs") >= 2)
+      // σ in milli: one IEEE sqrt per bounded language row
+      .withColumn("s_milli", expr(
+        """CAST(round(sqrt(CAST(CAST(n_docs AS DECIMAL(38,0)) * s2
+          |   - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+          |  / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) * 1e3)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("w", expr(
+        "CAST(CAST(n_docs AS DECIMAL(38,0)) * s_milli AS DECIMAL(38,0))"))
+      .localCheckpoint() // bounded: |langs| rows
+    val tot = g.agg(sum(col("w")).as("wsum"))
+    val base = g.crossJoin(broadcast(tot))
+      .withColumn("floor_alloc", expr(
+        s"CAST(w * $budget div nullif(wsum, 0) AS BIGINT)"))
+      .withColumn("rem", expr(
+        s"CAST(w * $budget - CAST(w * $budget div nullif(wsum, 0)"
+          + s" AS DECIMAL(38,0)) * wsum AS DECIMAL(38,0))"))
+    val leftover = base.agg(
+      (lit(budget) - sum(col("floor_alloc"))).as("left"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("lang"))).cast("long"))
+      .select(col("lang"), col("n_docs"), col("s_milli"),
+        (col("floor_alloc") +
+          when(col("rk") <= col("left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

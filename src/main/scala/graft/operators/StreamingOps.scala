@@ -2286,6 +2286,44 @@ object StreamingOps {
         .agg(max_by(col("x"), col("batch")).as("x")))
   }
 
+  /** q471: STREAMING SALT-BALANCE MONITOR (round-15) — q453's
+    * write-path audit as LIVE state: the SEP lineage's hot-region
+    * question ("is one region server taking the write burst RIGHT
+    * NOW") answered continuously. The events WAL streams into an
+    * update-mode (salt, hour) count — the q453 grid itself, bounded
+    * by S · hours forever — each batch appends the cells it raised,
+    * the read keeps each cell's latest count (max_by on batch;
+    * counts only grow under AvailableNow replay), and the UNCHANGED
+    * q453 report tail prices the read-out. Gate = the q453 oracle
+    * verbatim. */
+  def streamSaltAudit(s: SparkSession, dir: String,
+      salts: Int = 16): DataFrame = {
+    val stage = stagingRoot("q471", dir)
+    val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"
+    val out = s"$stage/out"
+    WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir,
+      batches = 6)
+    val cells = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
+      .select(pmod(col("rowkey").cast("long"), lit(salts.toLong))
+          .as("salt"),
+        expr("ts div 3600000000").as("h"))
+      .groupBy(col("salt"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val query = cells.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    Bucketing.saltAuditFromCells(
+      s.read.parquet(out).groupBy(col("salt"), col("h"))
+        .agg(max_by(col("n"), col("batch")).as("n")),
+      salts)
+  }
+
   def streamGumbelTail(s: SparkSession, dir: String): DataFrame = {
     val stage = stagingRoot("q447", dir)
     val walDir = s"$stage/wal"; val ckpt = s"$stage/ckpt"

@@ -581,4 +581,41 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
+
+  test("round-15 additions: PageRank iterations are shuffle-hash joins; decode scans stay narrow") {
+    // the PageRank family (q450/q454/q455): every iteration is one
+    // equi-join of scores+degrees onto the adjacency — shuffle-hash,
+    // never a sort-merge re-sort of the big adjacency side, never a
+    // product; TextRank's top-k is a bounded TakeOrdered
+    val p450 = plan(Relational.copurchasePageRank(spark, sfDir))
+    assert(!p450.contains("CartesianProduct"), "q450 has a cartesian product")
+    val p454 = plan(TextAnalysis.textrankKeywords(spark, sfDir))
+    assert(!p454.contains("CartesianProduct"), "q454 has a cartesian product")
+    assert(p454.contains("TakeOrderedAndProject"),
+      "q454 top-k must be a bounded TakeOrdered, not a vocab sort")
+    val p455 = plan(Relational.personalizedPageRank(spark, sfDir))
+    assert(!p455.contains("CartesianProduct"), "q455 has a cartesian product")
+    // the new decode passes keep the q409 shape: per-row work over a
+    // parquet scan, no Exchange before the (bounded or absent) agg
+    for ((name, df) <- Seq(
+        "q460" -> Multimodal.wavClipping(spark, sfDir),
+        "q461" -> Multimodal.jpegMarkers(spark, sfDir),
+        "q459" -> Multimodal.bmpDecode(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("Exchange"), s"$name shuffles a pure decode scan")
+    }
+    // the new bounded-frame statistics never form a product over
+    // corpus-derived frames (their crossJoins are 1-row scalars)
+    for ((name, df) <- Seq(
+        "q451" -> Events.theilHours(spark, sfDir),
+        "q456" -> Events.ccfLeadLag(spark, sfDir),
+        "q462" -> Events.hurstRs(spark, sfDir),
+        "q469" -> Dedup.blockingQuality(spark, sfDir),
+        "q470" -> Sampling.neymanAllocation(spark, sfDir),
+        "q468" -> Relational.lorenzDeciles(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
 }

@@ -440,6 +440,57 @@ class Round15Spec extends SparkSpec {
     assert(ece <= maxGap, "mass-weighted mean gap cannot exceed max gap")
   }
 
+  test("q468: Lorenz shares are monotone, end at unity, and sit under the diagonal") {
+    val rows = graft.operators.Relational.lorenzDeciles(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length === 10)
+    val shares = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "cumulative shares must be nondecreasing")
+    assert(shares.last === 1000000L, "the full population holds all mass")
+    // revenue sorted ascending => the curve sits on or under the
+    // diagonal (the defining Lorenz property)
+    rows.dropRight(1).foreach { r =>
+      val headCount = rows.takeWhile(_.getAs[Long]("decile") <=
+        r.getAs[Long]("decile")).map(_.getAs[Long]("n_customers")).sum
+      val n = rows.map(_.getAs[Long]("n_customers")).sum
+      assert(r.getAs[Long]("cum_share_ppm") <= headCount * 1000000L / n + 1,
+        s"decile ${r.getAs[Long]("decile")} sits above the diagonal")
+    }
+  }
+
+  test("q469: blocking-audit pair masses obey their containments") {
+    val r = graft.operators.Dedup.blockingQuality(spark, sfDir)
+      .collect()(0)
+    val (tp, cp, xp) = (r.getAs[Long]("n_true_pairs"),
+      r.getAs[Long]("n_cand_pairs"), r.getAs[Long]("n_captured_pairs"))
+    assert(xp <= tp, "captured true pairs cannot exceed true pairs")
+    assert(xp <= cp, "captured pairs are a subset of candidates")
+    val rr = r.getAs[Long]("reduction_ratio_ppm")
+    assert(rr >= 0L && rr <= 1000000L)
+    // exact duplicates share their first 16 chars by construction,
+    // so prefix blocking must capture EVERY true pair
+    assert(xp === tp, "prefix blocking must capture all exact dups")
+  }
+
+  test("q470: Neyman allocations sum exactly to the budget") {
+    val rows = graft.operators.Sampling.neymanAllocation(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 10000L,
+      "largest-remainder apportionment must hit the budget exactly")
+    rows.foreach(r => assert(r.getAs[Long]("alloc") >= 0L))
+  }
+
+  test("q471: streamed salt balance equals the batch q453 report") {
+    val got = canonDf(
+      graft.operators.StreamingOps.streamSaltAudit(spark, sfDir))
+    val want = canonDf(graft.operators.Bucketing
+      .saltWriteAudit(spark, sfDir))
+    assert(got === want, "stream ≡ batch must hold for q471")
+    assert(got.nonEmpty)
+  }
+
   test("q467: advanced composition wins exactly at large k / small eps") {
     val rows = graft.operators.Privacy
       .dpCompositionPlanner(spark, sfDir).collect()
