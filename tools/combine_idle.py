@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Combine N full graft.Bench sweeps into a BENCH_IDLE_r{N}.json
+(per-entry minimum + drift analysis vs the previous round's idle
+artifact). Dev-only, driver-side python."""
+import json, sys
+
+
+def load(path):
+    line = open(path).read()
+    return json.loads(line[line.index('{'):])
+
+
+def main(round_no, prev_path, out_path, run_paths):
+    runs = [load(p) for p in run_paths]
+    keys = set()
+    for r in runs:
+        keys |= set(r['queries'])
+    def vals(k):
+        return [r['queries'][k] for r in runs
+                if k in r['queries'] and r['queries'][k] >= 0]
+    mins = {k: (min(vals(k)) if vals(k) else -1.0) for k in sorted(keys)}
+    failed = [k for k, v in mins.items() if v < 0]
+    prev = json.load(open(prev_path))['queries_min_sec']
+    common = [k for k in mins if k in prev and prev[k] > 0 and mins[k] > 0]
+    now_t = sum(mins[k] for k in common)
+    old_t = sum(prev[k] for k in common)
+    regress = sorted(((k, prev[k], mins[k]) for k in common
+                      if mins[k] > 0.5 and mins[k] / prev[k] > 1.3),
+                     key=lambda t: -(t[2] / t[1]))
+    improve = sorted(((k, prev[k], mins[k]) for k in common
+                      if prev[k] > 1 and mins[k] / prev[k] < 0.77),
+                     key=lambda t: t[2] / t[1])
+    new = sorted(k for k in mins if k not in prev)
+    drift = (
+        f"Common-entry min-of-{len(runs)} total vs r{round_no - 1}: "
+        f"{now_t:.1f}s vs {old_t:.1f}s = {now_t / old_t:.2f}x. "
+        f"{len(new)} new entries add "
+        f"{sum(mins[k] for k in new):.1f}s. "
+        "Regressions >1.3x (now >0.5s): "
+        + (", ".join(f"{k} {o:.2f}->{n:.2f}s" for k, o, n in regress)
+           or "none") + ". "
+        "Improvements >1.3x (was >1s): "
+        + (", ".join(f"{k} {o:.2f}->{n:.2f}s" for k, o, n in improve)
+           or "none") + ".")
+    out = {
+        "round": round_no,
+        "sf": runs[0]["sf"],
+        "cpus": 32,
+        "runs": len(runs),
+        "totals_per_run_sec": [round(r["value"], 1) for r in runs],
+        "method": (
+            f"{len(runs)} full graft.Bench sweeps on an idle container, "
+            "per-entry minimum. All entries present in every run. Bench "
+            "keeps the default state-store maintenance interval and "
+            "unloads retained providers deterministically between "
+            "entries (StateStoreHooks, the r14 root-cause fix)."),
+        "failed_entries": failed,
+        "min_total_sec": round(sum(v for v in mins.values() if v > 0), 2),
+        "queries_min_sec": mins,
+        "drift_analysis": drift,
+    }
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(drift)
+    print(f"wrote {out_path}: total {out['min_total_sec']}s, "
+          f"{len(mins)} entries, {len(failed)} failed")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4:])
