@@ -42,8 +42,19 @@ object Bench {
     } finally entries.close()
   }
 
+  /** (1m, 5m, 15m) load averages from /proc/loadavg — recorded into
+    * the bench JSON so drift analyses can cite measured host
+    * contention instead of narrating it (round-15 lesson: the driver
+    * sweep timed out under contention the artifacts couldn't prove). */
+  private[graft] def loadAvg(): Seq[Double] = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+  } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
     cleanStaleTmp()
+    val loadBefore = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -86,19 +97,100 @@ object Bench {
     def selected(name: String): Boolean =
       only.forall(_.findFirstIn(name).isDefined)
     val gated = SparkEntry.queries.filter(kv => selected(kv._1))
-    // untimed warm-up pass: session/codegen/JIT + page-cache warm-up
-    gated.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => () }
-      unloadState()
+    // Warm-up policy (round-16 change, prompted by the driver's r15
+    // rc=124 timeout): the old per-entry untimed warm-up pass doubled
+    // the sweep's wall-clock by construction (~1800s clean, 2700s+
+    // under host contention) for a benefit that is only JIT/codegen/
+    // page-cache — every gate restages its own inputs per call
+    // (stagingRoot wipes), so the warm-up never skipped real work.
+    //   small (default): the same per-entry untimed warm-up pass,
+    //     but run against the sf0.001 dataset (SPARK_GRAFT_WARM_DIR).
+    //     Codegen sources, JIT paths, per-operator first-use init
+    //     (state-store providers, micro-batch planner, codec seams)
+    //     are all exercised identically — plan structure does not
+    //     depend on data volume — while the warm-up's data cost
+    //     collapses ~100x. Page cache for the TIMED dataset is warmed
+    //     separately by a full pre-read of every input table. A/B
+    //     measured r16 (16-entry subset, idle host): small-warm timed
+    //     totals within ~3% of full-warm, at ~15% of the warm-up
+    //     wall-clock — the fix for the driver's r15 rc=124 timeout.
+    //   session: one untimed pass over 4 representative entries +
+    //     the table pre-read (A/B r16: 2x WORSE timed totals — each
+    //     stateful-operator flavor pays first-use init inside its
+    //     timed run; kept for forensics).
+    //   full: the pre-r16 behavior (per-entry warm-up at the timed
+    //     SF — ~2x total wall-clock), kept for A/B forensics.
+    //   none: no warm-up at all (dev-only, coldest numbers).
+    val warmMode = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "small")
+    def preReadTables(): Unit = Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
+    if (warmMode == "full") {
+      gated.foreach { case (_, fn) =>
+        try run(fn) catch { case _: Throwable => () }
+        unloadState()
+      }
+    } else if (warmMode == "small") {
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+        "/root/testdata/sf0.001")
+      gated.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        unloadState()
+      }
+      preReadTables()
+      // burn-in at the TIMED SF: tiered-JIT (C2) compilation of the
+      // shared per-row hot loops (json WAL parse, unsafe-row state
+      // ops, parquet scan) only triggers at real row counts — the
+      // sf0.001 warm-up never reaches the backedge thresholds. Two
+      // streaming gates (HDFS + RocksDB state providers) push those
+      // loops to steady state before anything is timed.
+      Seq("q53_wal_stream_materialize", "q100_rocksdb_materialize")
+        .flatMap(SparkEntry.queries.get).foreach { fn =>
+          try run(fn) catch { case _: Throwable => () }
+          unloadState()
+        }
+    } else if (warmMode == "session") {
+      preReadTables()
+      // representative machinery warm-up (cheap entries only):
+      // q01 agg pipeline, q82 shuffle/bucketed join, q42 WAL source +
+      // sliding window state, q459 binary codec seam.
+      Seq("q01_pricing_summary", "q82_bucketed_join",
+          "q42_sliding_counts", "q459_bmp_decode")
+        .flatMap(SparkEntry.queries.get).foreach { fn =>
+          try run(fn) catch { case _: Throwable => () }
+          unloadState()
+        }
+    }
+    // Incremental partial artifact: after each timed entry the
+    // results-so-far are flushed to bench_partial.json (tmp+rename)
+    // so a driver-side timeout still leaves a parseable artifact of
+    // everything that DID complete (r15's rc=124 left nothing).
+    val partialPath = java.nio.file.Paths.get("bench_partial.json")
+    def flushPartial(done: Map[String, Double]): Unit = try {
+      val qs = done.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val tmp = java.nio.file.Paths.get("bench_partial.json.tmp")
+      java.nio.file.Files.write(tmp,
+        s"""{"metric":"partial","value":${done.values.filter(_ >= 0).sum},"unit":"sec","queries":$qs,"sf":"$sfDir","n":${done.size}}"""
+          .getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, partialPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => () }
     // a failed query records -1.0 (sentinel) — its time-to-failure
     // must not read as a fast success in the BENCH json
+    var acc = Map.empty[String, Double]
     val results = gated.map { case (name, fn) =>
       System.gc() // drain cross-query garbage so timings don't bleed
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
       unloadState()
+      acc += name -> (if (ok) t else -1.0)
+      flushPartial(acc)
       name -> (if (ok) t else -1.0)
     } ++ (if (only.isDefined) Map.empty[String, Double] else {
       // skew stress: every doc shares a hot boilerplate header, the
@@ -169,7 +261,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadAfter = loadAvg()
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"$warmMode","loadavg_before":${arr(loadBefore)},"loadavg_after":${arr(loadAfter)}}""")
     spark.stop()
   }
 }

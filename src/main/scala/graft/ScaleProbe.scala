@@ -438,6 +438,63 @@ object ScaleProbe {
         batch.unpersist(); docs.unpersist()
       }
     }
+    // ---- q412 LSM-tier compaction IO (round-16, VERDICT Next #3):
+    // price the round-15 tiering claim — rewrite bytes per cadence
+    // scale with the DELTA (O(delta·log tiers)), not the index. The
+    // base gram index is bulk-loaded from k×-expanded corpora (so
+    // base bytes grow ~linearly in k) while the streamed delta is
+    // HELD FIXED (replica-0 odd docs only); 6 batches at cadence 3
+    // drive two rolls. The probe prints the bytes each roll actually
+    // published (the tier dirs it wrote) next to the base bytes the
+    // OLD design would have rewritten per cadence — the flat-vs-
+    // linear pair is the q407 precedent, stated as numbers.
+    if (probeSel.contains("lsm")) {
+      import graft.operators.Dedup
+      import graft.operators.StreamingOps.storeBaseDir
+      def dirBytes(d: Option[String]): Long = d.map { dir =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally walk.close()
+      }.getOrElse(0L)
+      def tierBytes(root: String): Long =
+        (0 until 16).map(t => dirBytes(storeBaseDir(root, s"gramagg_t$t"))).sum
+      for (k <- Seq(1, 2, 4, 8)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-lsm$k").toString
+        val docs = expand(k).cache()
+        docs.count()
+        Dedup.initExactSubstrIndex(spark, root,
+          docs.filter(col("doc_id") % 2 === 0), 5)
+        val baseBytes = dirBytes(storeBaseDir(root, "gramagg"))
+        // fixed-size delta: replica-0 odd docs, independent of k
+        val delta = docs.filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 2 === 1).cache()
+        val nd = delta.count()
+        var rewritten = 0L
+        var rollSec = 0.0
+        for (b <- 0 until 6) {
+          val t0 = System.nanoTime()
+          Dedup.exactSubstrIndexBatch(spark, root,
+            delta.filter(col("doc_id") % 6 === b), b.toLong, 5,
+            compactEvery = 3)
+          val t = (System.nanoTime() - t0) / 1e9
+          if ((b + 1) % 3 == 0) { // a roll just ran
+            // the roll dropped every consumed run and published ONE
+            // tier, so the live tier bytes right now ARE that roll's
+            // published IO
+            rewritten += tierBytes(root)
+            rollSec += t
+          }
+        }
+        val baseAfter = dirBytes(storeBaseDir(root, "gramagg"))
+        println(f"""{"k":$k,"base_bytes":$baseBytes,"delta_docs":$nd,"roll_published_bytes":$rewritten,"roll_sec":$rollSec%.2f,"base_untouched":${baseBytes == baseAfter},"old_design_rewrite_per_cadence_bytes":$baseBytes}""")
+        delta.unpersist(); docs.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -516,6 +516,17 @@ object SparkEntry {
       ((s, d) => Sampling.neymanAllocation(s, d)),
     "q471_stream_salt_audit" ->
       ((s, d) => StreamingOps.streamSaltAudit(s, d)),
+    "q472_wordpiece_train"  ->
+      ((s, d) => TextAnalysis.wordpieceTrain(s, d)),
+    "q473_wordpiece_apply"  ->
+      ((s, d) => TextAnalysis.wordpieceApply(s, d)),
+    "q474_tokenizer_compare" ->
+      ((s, d) => TextAnalysis.tokenizerCompare(s, d)),
+    "q475_bh_fdr"           -> ((s, d) => Eval.bhFdr(s, d)),
+    "q476_incremental_pagerank" ->
+      ((s, d) => Relational.incrementalPageRank(s, d)),
+    "q477_weighted_pagerank" ->
+      ((s, d) => Relational.weightedPageRank(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -788,6 +799,272 @@ object SparkEntry {
     * walk 1 (recursive CTE — one deterministic path per word),
     * prune to 50 multis, walk 2, final counts `c2` and the frozen
     * vocabulary `vf`. */
+  private val mannWhitneyOracle: String =
+    """WITH sc AS (SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   // 100000 AS b,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |bins AS (SELECT b, CAST(sum(pos) AS BIGINT) AS n1i,
+        |  CAST(sum(1 - pos) AS BIGINT) AS n2i,
+        |  CAST(count(*) AS BIGINT) AS ti FROM sc GROUP BY 1),
+        |cum AS (SELECT *, coalesce(sum(n2i) OVER (ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS cum2 FROM bins),
+        |agg AS (SELECT CAST(sum(n1i) AS BIGINT) AS n1,
+        |  CAST(sum(n2i) AS BIGINT) AS n2,
+        |  CAST(sum(CAST(n1i AS HUGEINT) * (2 * cum2 + n2i))
+        |   AS BIGINT) AS u2x,
+        |  sum(CAST(ti AS HUGEINT) * ti * ti - ti) AS tie
+        | FROM cum)
+        |SELECT n1, n2, u2x,
+        | CAST(round(CAST(u2x - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+        |  / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |    * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie AS DOUBLE)
+        |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+        |  * 1e6) AS BIGINT) AS z_micro
+        |FROM agg""".stripMargin
+
+  private val kruskalWallisOracle: String =
+    """WITH sc AS (SELECT lang AS g,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   // 100000 AS b
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |cells AS (SELECT g, b, CAST(count(*) AS BIGINT) AS n_gb
+        | FROM sc GROUP BY 1, 2),
+        |bt AS (SELECT b, CAST(sum(n_gb) AS BIGINT) AS t
+        | FROM cells GROUP BY 1),
+        |btc AS (SELECT b, t, coalesce(sum(t) OVER (ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS cum FROM bt),
+        |mr AS (SELECT b, 2 * cum + t + 1 AS mr_half FROM btc),
+        |gr AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS n_g,
+        |  sum(CAST(n_gb AS HUGEINT) * mr_half) AS r_half
+        | FROM cells JOIN mr USING (b) GROUP BY 1),
+        |gt AS (SELECT g, n_g, r_half, r_half // n_g AS q,
+        |  r_half - (r_half // n_g) * n_g AS rem FROM gr),
+        |gterm AS (SELECT g, n_g,
+        |  q * r_half + rem * r_half // n_g AS term FROM gt),
+        |tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        | FROM btc),
+        |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS k_groups, sum(term) AS a4
+        | FROM gterm),
+        |f AS (SELECT n_total, k_groups, a4,
+        |  CAST(3000000 AS HUGEINT) * a4
+        |   // (CAST(n_total AS HUGEINT) * (n_total + 1))
+        |   - CAST(3000000 AS HUGEINT) * (n_total + 1) AS h_mi,
+        |  tt * 1000000 // nullif(CAST(n_total AS HUGEINT) * n_total
+        |   * n_total - n_total, 0) AS t_ppm
+        | FROM agg, tie)
+        |SELECT n_total, k_groups, CAST(a4 AS BIGINT) AS a4,
+        | CAST(t_ppm AS BIGINT) AS t_ppm,
+        | CAST(h_mi AS BIGINT) AS h_micro,
+        | CAST(greatest(h_mi, 0) * 1000000
+        |  // nullif(1000000 - t_ppm, 0) AS BIGINT) AS h_adj_micro
+        |FROM f""".stripMargin
+
+  private val mannKendallOracle: String =
+    """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |s AS (SELECT CAST(coalesce(sum(CAST(sign(b.x - a.x)
+        |    AS BIGINT)), 0) AS BIGINT) AS s_stat
+        | FROM hourly a JOIN hourly b ON b.h > a.h),
+        |t AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+        |    * (2 * t + 5)), 0) AS tie18
+        | FROM (SELECT count(*) AS t FROM hourly GROUP BY x)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM hourly),
+        |f AS (SELECT n_hours, s_stat,
+        |  CAST(n_hours AS HUGEINT) * (n_hours - 1)
+        |   * (2 * n_hours + 5) - tie18 AS var18
+        | FROM n, s, t)
+        |SELECT n_hours, s_stat, CAST(var18 AS BIGINT) AS var18,
+        | CAST(round((s_stat - sign(s_stat)) * 1e6
+        |  / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0)) AS BIGINT)
+        |  AS z_micro,
+        | CAST(sign(s_stat) AS BIGINT) AS trend_sign
+        |FROM f""".stripMargin
+
+  private val ljungBoxOracle: String =
+    """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s1 FROM hourly),
+        |dv AS (SELECT h, n, n * x - s1 AS dev FROM hourly, st),
+        |dn AS (SELECT sum(CAST(dev AS HUGEINT) * dev) AS den FROM dv),
+        |pr AS (SELECT l.lag, max(a.n) AS n,
+        |  sum(CAST(a.dev AS HUGEINT) * b.dev) AS num
+        | FROM dv a CROSS JOIN (SELECT unnest(range(1, 11)) AS lag) l
+        |  JOIN dv b ON b.h = a.h + l.lag
+        | GROUP BY 1),
+        |rm AS (SELECT lag, n,
+        |  CAST(abs(num) * 1000000 // nullif(den, 0) AS BIGINT)
+        |   AS r_abs_micro
+        | FROM pr, dn),
+        |tm AS (SELECT lag, n,
+        |  CAST(CAST(n AS HUGEINT) * (n + 2) * r_abs_micro
+        |    * r_abs_micro // ((n - lag) * 1000000) AS BIGINT)
+        |   AS term_micro
+        | FROM rm)
+        |SELECT max(n) AS n_hours, CAST(count(*) AS BIGINT) AS k_lags,
+        | (SELECT CAST(den AS BIGINT) FROM dn) AS den,
+        | CAST(sum(term_micro) AS BIGINT) AS q_micro,
+        | CAST(sum(term_micro) AS BIGINT) > 18307000 AS reject_white
+        |FROM tm""".stripMargin
+
+  private val mcnemarOracle: String =
+    """WITH sc AS (SELECT
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS s_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   AS s_uniq
+        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN s_tok >= 50 AND NOT (s_uniq * 2 >= s_tok)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN NOT (s_tok >= 50) AND s_uniq * 2 >= s_tok
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_c FROM sc),
+        |x AS (SELECT *, CAST(
+        |   CAST(greatest(abs(n_b - n_c) - 1, 0) AS HUGEINT)
+        |   * greatest(abs(n_b - n_c) - 1, 0) * 1000
+        |   // nullif(n_b + n_c, 0) AS BIGINT) AS chi2_milli FROM f)
+        |SELECT n_docs, n_b, n_c, chi2_milli,
+        | coalesce(chi2_milli > 3841, false) AS reject_symmetry
+        |FROM x""".stripMargin
+
+  private val welchTOracle: String =
+    """WITH sc AS (SELECT
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents),
+        |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+        |  CAST(sum(x) AS BIGINT) AS s1a,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2a FROM sc WHERE pos = 1),
+        |g2 AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |  CAST(sum(x) AS BIGINT) AS s1b,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2b FROM sc WHERE pos = 0),
+        |se AS (SELECT n1, n2, s1a, s1b,
+        |  (CAST(s2a AS DOUBLE)
+        |    - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1)
+        |   / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS sea,
+        |  (CAST(s2b AS DOUBLE)
+        |    - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2)
+        |   / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS seb
+        | FROM g1, g2)
+        |SELECT n1, n2,
+        | CAST(round((CAST(s1a AS DOUBLE) / n1
+        |    - CAST(s1b AS DOUBLE) / n2)
+        |  / sqrt(sea + seb) * 1e6) AS BIGINT) AS t_micro,
+        | CAST(round((sea + seb) * (sea + seb)
+        |  / (sea * sea / (n1 - 1) + seb * seb / (n2 - 1)) * 1e3)
+        |  AS BIGINT) AS df_milli
+        |FROM se""".stripMargin
+
+  private val anovaFOracle: String =
+    """WITH g AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s1,
+        |  sum(CAST(len(string_split(text, ' ')) AS HUGEINT)
+        |   * len(string_split(text, ' '))) AS s2
+        | FROM documents GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(s1) AS BIGINT) AS gs1, sum(s2) AS gs2,
+        |  sum(CAST(s1 AS HUGEINT) * s1 // n) AS a FROM g),
+        |f AS (SELECT k_groups, n_total,
+        |  a - CAST(gs1 AS HUGEINT) * gs1 // n_total AS ssb,
+        |  gs2 - a AS ssw FROM a)
+        |SELECT k_groups, n_total, CAST(ssb AS BIGINT) AS ssb,
+        | CAST(ssw AS BIGINT) AS ssw,
+        | CAST(round((CAST(ssb AS DOUBLE) / (k_groups - 1))
+        |  / (CAST(ssw AS DOUBLE) / (n_total - k_groups)) * 1e6)
+        |  AS BIGINT) AS f_micro
+        |FROM f""".stripMargin
+
+  private val copurchasePageRankOracle: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        | FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS v, pb AS u FROM e
+        | UNION SELECT pb, pa FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        |s0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS s FROM deg),
+        |${(1 to 5).map { i =>
+          val prev = if (i == 1) "s0" else s"it${i - 1}"
+          s"""it$i AS (SELECT a.v AS v,
+             |  CAST(150000 + (850 * sum(p.s // d.deg)) // 1000
+             |   AS BIGINT) AS s
+             | FROM adj a JOIN $prev p ON a.u = p.v
+             |  JOIN deg d ON a.u = d.u
+             | GROUP BY a.v)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT v AS part, s AS score_scaled FROM it5""".stripMargin
+
+  /** One WordPiece training round as DuckDB CTEs (q472–q474): pair
+    * counts, symbol counts, the HUGEINT likelihood score
+    * n·10¹² // (c_l·c_r), argmax (score desc, l, r), greedy collapse
+    * with the merged symbol l || substr(r, 3) — the continuation
+    * prefix is consumed by the merge, l keeps its namespace. */
+  private def wpRoundCtes(i: Int): String =
+    s"""wpp$i AS (SELECT p['l'] AS l, p['r'] AS r, sum(freq) AS n FROM (
+       |    SELECT unnest(list_transform(range(1, len(syms)),
+       |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p, freq FROM wpw${i - 1})
+       |  GROUP BY 1, 2),
+       |wpc$i AS (SELECT sym, sum(freq) AS c FROM (
+       |    SELECT unnest(syms) AS sym, freq FROM wpw${i - 1}) GROUP BY 1),
+       |wpb$i AS (SELECT p.l, p.r, p.n,
+       |  CAST(CAST(p.n AS HUGEINT) * 1000000000000
+       |    // (CAST(cl.c AS HUGEINT) * cr.c) AS BIGINT) AS score
+       |  FROM wpp$i p JOIN wpc$i cl ON cl.sym = p.l
+       |   JOIN wpc$i cr ON cr.sym = p.r
+       |  ORDER BY score DESC, p.l, p.r LIMIT 1),
+       |wpw$i AS MATERIALIZED (
+       |  SELECT list_reduce(list_transform(syms, y -> [y]),
+       |    (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+       |      THEN list_concat(acc[1:len(acc)-1], [l || substr(r, 3)])
+       |      ELSE list_concat(acc, x) END) AS syms, freq
+       |  FROM wpw${i - 1} CROSS JOIN wpb$i)""".stripMargin
+
+  /** The WordPiece train CTEs (even doc_id split, 4 rounds) + the
+    * frozen two-namespace vocabulary `wpvf` — shared by q472 (train
+    * report), q473 (holdout apply) and q474 (family comparison). */
+  private lazy val wordpieceTrainCtes: String =
+    s"""wpw0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, len(cs) + 1),
+       |    i -> CASE WHEN i = 1 THEN cs[i] ELSE '##' || cs[i] END) AS syms,
+       |   freq
+       |  FROM (SELECT string_split(w, '') AS cs,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |   FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |     FROM documents WHERE doc_id % 2 = 0) t
+       |   WHERE len(w) >= 1 GROUP BY w) ws),
+       |${(1 to 4).map(wpRoundCtes).mkString(",\n")},
+       |wpvf AS (SELECT DISTINCT piece FROM (
+       |  SELECT unnest(syms) AS piece FROM wpw0
+       |  UNION ALL SELECT l || substr(r, 3) FROM wpb1
+       |  UNION ALL SELECT l || substr(r, 3) FROM wpb2
+       |  UNION ALL SELECT l || substr(r, 3) FROM wpb3
+       |  UNION ALL SELECT l || substr(r, 3) FROM wpb4) u)""".stripMargin
+
+  /** One BPE training round as DuckDB CTEs with bp-prefixed names —
+    * the q275 template re-prefixed so q474 can run it next to the
+    * unigram and WordPiece CTEs in one statement. */
+  private def bpeRoundCtes(i: Int): String =
+    s"""bpp$i AS (SELECT p['l'] AS l, p['r'] AS r, sum(freq) AS n FROM (
+       |    SELECT unnest(list_transform(range(1, len(syms)),
+       |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p, freq FROM bpw${i - 1})
+       |  GROUP BY 1, 2),
+       |bpb$i AS (SELECT l, r, n FROM bpp$i ORDER BY n DESC, l, r LIMIT 1),
+       |bpw$i AS MATERIALIZED (
+       |  SELECT list_reduce(list_transform(syms, y -> [y]),
+       |    (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+       |      THEN list_concat(acc[1:len(acc)-1], [l || r])
+       |      ELSE list_concat(acc, x) END) AS syms, freq
+       |  FROM bpw${i - 1} CROSS JOIN bpb$i)""".stripMargin
+
   private val unigramTrainCtes: String =
     """w0 AS (
       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -8792,32 +9069,7 @@ object SparkEntry {
         |FROM x1, x2, x3""".stripMargin,
     // q391: 2U integer from the bounded cumulative bin frame; tie
     // term on HUGEINT (decimal-38 Spark-side); one fixed IEEE z.
-    "q391_mann_whitney" ->
-      """WITH sc AS (SELECT
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
-        |   // 100000 AS b,
-        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |bins AS (SELECT b, CAST(sum(pos) AS BIGINT) AS n1i,
-        |  CAST(sum(1 - pos) AS BIGINT) AS n2i,
-        |  CAST(count(*) AS BIGINT) AS ti FROM sc GROUP BY 1),
-        |cum AS (SELECT *, coalesce(sum(n2i) OVER (ORDER BY b
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |  AS cum2 FROM bins),
-        |agg AS (SELECT CAST(sum(n1i) AS BIGINT) AS n1,
-        |  CAST(sum(n2i) AS BIGINT) AS n2,
-        |  CAST(sum(CAST(n1i AS HUGEINT) * (2 * cum2 + n2i))
-        |   AS BIGINT) AS u2x,
-        |  sum(CAST(ti AS HUGEINT) * ti * ti - ti) AS tie
-        | FROM cum)
-        |SELECT n1, n2, u2x,
-        | CAST(round(CAST(u2x - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
-        |  / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
-        |    * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie AS DOUBLE)
-        |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
-        |  * 1e6) AS BIGINT) AS z_micro
-        |FROM agg""".stripMargin,
+    "q391_mann_whitney" -> mannWhitneyOracle,
     // q392: the PNG dhash popcount replayed from the pixel formula
     // (lossless side exact); the cross-codec hamming bound arrives
     // as a boolean the oracle asserts TRUE.
@@ -9772,45 +10024,7 @@ object SparkEntry {
     // q436: half-unit midranks over bounded bins, the long-division
     // identity for R²/n, ppm tie correction — every division on
     // non-negative HUGEINT operands, identical truncation chains.
-    "q436_kruskal_wallis" ->
-      """WITH sc AS (SELECT lang AS g,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-        |   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
-        |   // 100000 AS b
-        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |cells AS (SELECT g, b, CAST(count(*) AS BIGINT) AS n_gb
-        | FROM sc GROUP BY 1, 2),
-        |bt AS (SELECT b, CAST(sum(n_gb) AS BIGINT) AS t
-        | FROM cells GROUP BY 1),
-        |btc AS (SELECT b, t, coalesce(sum(t) OVER (ORDER BY b
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |  AS cum FROM bt),
-        |mr AS (SELECT b, 2 * cum + t + 1 AS mr_half FROM btc),
-        |gr AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS n_g,
-        |  sum(CAST(n_gb AS HUGEINT) * mr_half) AS r_half
-        | FROM cells JOIN mr USING (b) GROUP BY 1),
-        |gt AS (SELECT g, n_g, r_half, r_half // n_g AS q,
-        |  r_half - (r_half // n_g) * n_g AS rem FROM gr),
-        |gterm AS (SELECT g, n_g,
-        |  q * r_half + rem * r_half // n_g AS term FROM gt),
-        |tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
-        | FROM btc),
-        |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
-        |  CAST(count(*) AS BIGINT) AS k_groups, sum(term) AS a4
-        | FROM gterm),
-        |f AS (SELECT n_total, k_groups, a4,
-        |  CAST(3000000 AS HUGEINT) * a4
-        |   // (CAST(n_total AS HUGEINT) * (n_total + 1))
-        |   - CAST(3000000 AS HUGEINT) * (n_total + 1) AS h_mi,
-        |  tt * 1000000 // nullif(CAST(n_total AS HUGEINT) * n_total
-        |   * n_total - n_total, 0) AS t_ppm
-        | FROM agg, tie)
-        |SELECT n_total, k_groups, CAST(a4 AS BIGINT) AS a4,
-        | CAST(t_ppm AS BIGINT) AS t_ppm,
-        | CAST(h_mi AS BIGINT) AS h_micro,
-        | CAST(greatest(h_mi, 0) * 1000000
-        |  // nullif(1000000 - t_ppm, 0) AS BIGINT) AS h_adj_micro
-        |FROM f""".stripMargin,
+    "q436_kruskal_wallis" -> kruskalWallisOracle,
     // q437: method-of-moments NB fit; overdispersion by exact
     // cross-multiplied compare, p/r as documented division chains.
     "q437_negbin_fit" ->
@@ -9869,26 +10083,7 @@ object SparkEntry {
 
     // q440: pair signs over the bounded hour grid, tie-corrected
     // HUGEINT variance, one IEEE sqrt, continuity-corrected z.
-    "q440_mann_kendall" ->
-      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
-        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
-        |s AS (SELECT CAST(coalesce(sum(CAST(sign(b.x - a.x)
-        |    AS BIGINT)), 0) AS BIGINT) AS s_stat
-        | FROM hourly a JOIN hourly b ON b.h > a.h),
-        |t AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
-        |    * (2 * t + 5)), 0) AS tie18
-        | FROM (SELECT count(*) AS t FROM hourly GROUP BY x)),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM hourly),
-        |f AS (SELECT n_hours, s_stat,
-        |  CAST(n_hours AS HUGEINT) * (n_hours - 1)
-        |   * (2 * n_hours + 5) - tie18 AS var18
-        | FROM n, s, t)
-        |SELECT n_hours, s_stat, CAST(var18 AS BIGINT) AS var18,
-        | CAST(round((s_stat - sign(s_stat)) * 1e6
-        |  / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0)) AS BIGINT)
-        |  AS z_micro,
-        | CAST(sign(s_stat) AS BIGINT) AS trend_sign
-        |FROM f""".stripMargin,
+    "q440_mann_kendall" -> mannKendallOracle,
     // q441: exact variance moments, the z-sum-square micro² literal,
     // ceiling division for the per-arm n.
     "q441_power_planner" ->
@@ -9928,32 +10123,7 @@ object SparkEntry {
     // q444: N-scaled deviations, exact DECIMAL covariance sums,
     // |r| micro-rounded once per lag, integer Q chain vs the
     // chi-square milli literal.
-    "q444_ljung_box" ->
-      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
-        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS s1 FROM hourly),
-        |dv AS (SELECT h, n, n * x - s1 AS dev FROM hourly, st),
-        |dn AS (SELECT sum(CAST(dev AS HUGEINT) * dev) AS den FROM dv),
-        |pr AS (SELECT l.lag, max(a.n) AS n,
-        |  sum(CAST(a.dev AS HUGEINT) * b.dev) AS num
-        | FROM dv a CROSS JOIN (SELECT unnest(range(1, 11)) AS lag) l
-        |  JOIN dv b ON b.h = a.h + l.lag
-        | GROUP BY 1),
-        |rm AS (SELECT lag, n,
-        |  CAST(abs(num) * 1000000 // nullif(den, 0) AS BIGINT)
-        |   AS r_abs_micro
-        | FROM pr, dn),
-        |tm AS (SELECT lag, n,
-        |  CAST(CAST(n AS HUGEINT) * (n + 2) * r_abs_micro
-        |    * r_abs_micro // ((n - lag) * 1000000) AS BIGINT)
-        |   AS term_micro
-        | FROM rm)
-        |SELECT max(n) AS n_hours, CAST(count(*) AS BIGINT) AS k_lags,
-        | (SELECT CAST(den AS BIGINT) FROM dn) AS den,
-        | CAST(sum(term_micro) AS BIGINT) AS q_micro,
-        | CAST(sum(term_micro) AS BIGINT) > 18307000 AS reject_white
-        |FROM tm""".stripMargin,
+    "q444_ljung_box" -> ljungBoxOracle,
     // q445: the q253 decomposition verbatim, then one variance-
     // numerator ratio on non-negative operands.
     "q445_seasonal_strength" ->
@@ -10096,27 +10266,7 @@ object SparkEntry {
         | CROSS JOIN tot t""".stripMargin,
     // q450: the q94 unrolled-CTE PageRank replay on the co-purchase
     // edge set (distinct pairs, >= 2 shared orders).
-    "q450_copurchase_pagerank" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
-        |  FROM lineitem),
-        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        | FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-        |  AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |adj AS (SELECT pa AS v, pb AS u FROM e
-        | UNION SELECT pb, pa FROM e),
-        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
-        |s0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS s FROM deg),
-        |${(1 to 5).map { i =>
-          val prev = if (i == 1) "s0" else s"it${i - 1}"
-          s"""it$i AS (SELECT a.v AS v,
-             |  CAST(150000 + (850 * sum(p.s // d.deg)) // 1000
-             |   AS BIGINT) AS s
-             | FROM adj a JOIN $prev p ON a.u = p.v
-             |  JOIN deg d ON a.u = d.u
-             | GROUP BY a.v)""".stripMargin
-        }.mkString(",\n")}
-        |SELECT v AS part, s AS score_scaled FROM it5""".stripMargin,
+    "q450_copurchase_pagerank" -> copurchasePageRankOracle,
     // q451: the bounded (type, hour) grid, one micro-rounded ln per
     // grid row, HUGEINT count-weighted sums, BIGINT out.
     "q451_theil_hours" -> theilHoursOracle,
@@ -10242,24 +10392,7 @@ object SparkEntry {
         |FROM d""".stripMargin,
     // q458: exact discordant counts, clamped continuity correction,
     // squares on HUGEINT, the chi-square-1 milli literal.
-    "q458_mcnemar" ->
-      """WITH sc AS (SELECT
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS s_tok,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-        |   AS s_uniq
-        | FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN s_tok >= 50 AND NOT (s_uniq * 2 >= s_tok)
-        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |  CAST(sum(CASE WHEN NOT (s_tok >= 50) AND s_uniq * 2 >= s_tok
-        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_c FROM sc),
-        |x AS (SELECT *, CAST(
-        |   CAST(greatest(abs(n_b - n_c) - 1, 0) AS HUGEINT)
-        |   * greatest(abs(n_b - n_c) - 1, 0) * 1000
-        |   // nullif(n_b + n_c, 0) AS BIGINT) AS chi2_milli FROM f)
-        |SELECT n_docs, n_b, n_c, chi2_milli,
-        | coalesce(chi2_milli > 3841, false) AS reject_symmetry
-        |FROM x""".stripMargin,
+    "q458_mcnemar" -> mcnemarOracle,
     // q459: per-scanline gray checksum replayed from the pixel
     // formula — row-grain exactness of the BMP round trip.
     "q459_bmp_decode" ->
@@ -10346,54 +10479,10 @@ object SparkEntry {
         |FROM f""".stripMargin,
     // q463: the q457 moment CTEs; the standard-error pair enters one
     // IEEE tree for t and one for the Welch-Satterthwaite df.
-    "q463_welch_t" ->
-      """WITH sc AS (SELECT
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
-        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        | FROM documents),
-        |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
-        |  CAST(sum(x) AS BIGINT) AS s1a,
-        |  sum(CAST(x AS HUGEINT) * x) AS s2a FROM sc WHERE pos = 1),
-        |g2 AS (SELECT CAST(count(*) AS BIGINT) AS n2,
-        |  CAST(sum(x) AS BIGINT) AS s1b,
-        |  sum(CAST(x AS HUGEINT) * x) AS s2b FROM sc WHERE pos = 0),
-        |se AS (SELECT n1, n2, s1a, s1b,
-        |  (CAST(s2a AS DOUBLE)
-        |    - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1)
-        |   / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS sea,
-        |  (CAST(s2b AS DOUBLE)
-        |    - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2)
-        |   / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS seb
-        | FROM g1, g2)
-        |SELECT n1, n2,
-        | CAST(round((CAST(s1a AS DOUBLE) / n1
-        |    - CAST(s1b AS DOUBLE) / n2)
-        |  / sqrt(sea + seb) * 1e6) AS BIGINT) AS t_micro,
-        | CAST(round((sea + seb) * (sea + seb)
-        |  / (sea * sea / (n1 - 1) + seb * seb / (n2 - 1)) * 1e3)
-        |  AS BIGINT) AS df_milli
-        |FROM se""".stripMargin,
+    "q463_welch_t" -> welchTOracle,
     // q464: the shared term A = sum of exact (sum x)^2 // n per
     // group; SSB/SSW from A; one IEEE F.
-    "q464_anova_f" ->
-      """WITH g AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s1,
-        |  sum(CAST(len(string_split(text, ' ')) AS HUGEINT)
-        |   * len(string_split(text, ' '))) AS s2
-        | FROM documents GROUP BY 1),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
-        |  CAST(sum(n) AS BIGINT) AS n_total,
-        |  CAST(sum(s1) AS BIGINT) AS gs1, sum(s2) AS gs2,
-        |  sum(CAST(s1 AS HUGEINT) * s1 // n) AS a FROM g),
-        |f AS (SELECT k_groups, n_total,
-        |  a - CAST(gs1 AS HUGEINT) * gs1 // n_total AS ssb,
-        |  gs2 - a AS ssw FROM a)
-        |SELECT k_groups, n_total, CAST(ssb AS BIGINT) AS ssb,
-        | CAST(ssw AS BIGINT) AS ssw,
-        | CAST(round((CAST(ssb AS DOUBLE) / (k_groups - 1))
-        |  / (CAST(ssw AS DOUBLE) / (n_total - k_groups)) * 1e6)
-        |  AS BIGINT) AS f_micro
-        |FROM f""".stripMargin,
+    "q464_anova_f" -> anovaFOracle,
     // q465: chi-square by the cross-multiplied identity, one
     // micro-rounded IEEE division per bounded cell, integer-summed;
     // one final sqrt for V.
@@ -10554,5 +10643,211 @@ object SparkEntry {
         |FROM b, l""".stripMargin,
     // q471: stream = batch — the q453 oracle verbatim.
     "q471_stream_salt_audit" -> saltAuditOracle,
+    // q472: the unrolled 4-round WordPiece train replay — HUGEINT
+    // likelihood scores internal, BIGINT report.
+    "q472_wordpiece_train" ->
+      s"""WITH $wordpieceTrainCtes
+        |SELECT CAST(1 AS BIGINT) AS merge_round, l AS left_sym,
+        |  r AS right_sym, CAST(n AS BIGINT) AS n_pair,
+        |  score AS score_scaled FROM wpb1
+        |UNION ALL SELECT 2, l, r, CAST(n AS BIGINT), score FROM wpb2
+        |UNION ALL SELECT 3, l, r, CAST(n AS BIGINT), score FROM wpb3
+        |UNION ALL SELECT 4, l, r, CAST(n AS BIGINT), score FROM wpb4"""
+        .stripMargin,
+    // q473: the frozen vocabulary's greedy longest-match walk over
+    // the odd split, positional namespace (bare at pos 1, '##'
+    // elsewhere), recursive per-word walk — the q411 oracle shape.
+    "q473_wordpiece_apply" ->
+      s"""WITH RECURSIVE $wordpieceTrainCtes,
+        |hw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |   SELECT lang, unnest(string_split(text, ' ')) AS w
+        |   FROM documents WHERE doc_id % 2 = 1) t
+        |  WHERE len(w) >= 1 GROUP BY 1, 2),
+        |hwd AS (SELECT DISTINCT w FROM hw),
+        |hp AS (SELECT w, unnest(range(len(w))) + 1 AS pos FROM hwd),
+        |hcand AS (SELECT hp.w, hp.pos, l.l,
+        |  substr(hp.w, hp.pos, l.l) AS sub
+        | FROM hp CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS l) l
+        | WHERE hp.pos + l.l - 1 <= len(hp.w)),
+        |ga AS (SELECT c.w, c.pos,
+        |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+        |   AS bl
+        | FROM hcand c LEFT JOIN wpvf v ON v.piece =
+        |   CASE WHEN c.pos = 1 THEN c.sub ELSE '##' || c.sub END
+        | GROUP BY 1, 2),
+        |ka AS (SELECT w, 1 AS pos, 0 AS np FROM hwd
+        | UNION ALL
+        | SELECT k.w, k.pos + g.bl, k.np + 1
+        | FROM ka k JOIN ga g ON g.w = k.w AND g.pos = k.pos),
+        |npw AS (SELECT w, CAST(max(np) AS BIGINT) AS n_pieces
+        | FROM ka GROUP BY 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        | CAST(sum(freq) AS BIGINT) AS n_words,
+        | CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
+        | CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces,
+        | CAST(sum(freq * n_pieces) * 1000000 // sum(freq) AS BIGINT)
+        |  AS pieces_per_word_micro,
+        | CAST(sum(freq * len(w)) * 1000000
+        |   // nullif(sum(freq * n_pieces), 0) AS BIGINT)
+        |  AS chars_per_piece_micro
+        |FROM hw JOIN npw USING (w) GROUP BY lang""".stripMargin,
+    // q474: all three tokenizer families trained on the SAME even
+    // split at their gated defaults (BPE 3 merges, unigram 200→50,
+    // WordPiece 4 merges) and applied to the SAME odd-split holdout
+    // — three replayed trainings + three walks in one statement.
+    "q474_tokenizer_compare" ->
+      s"""WITH RECURSIVE $unigramTrainCtes,
+        |$wordpieceTrainCtes,
+        |bpw0 AS MATERIALIZED (
+        |  SELECT string_split(w, '') AS syms, freq FROM w0),
+        |${(1 to 3).map(bpeRoundCtes).mkString(",\n")},
+        |hq AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents WHERE doc_id % 2 = 1) t
+        |  WHERE len(w) >= 1 GROUP BY 1),
+        |hp2 AS (SELECT w, unnest(range(len(w))) + 1 AS pos FROM hq),
+        |wcand AS (SELECT hp2.w, hp2.pos, l.l,
+        |  substr(hp2.w, hp2.pos, l.l) AS sub
+        | FROM hp2 CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS l) l
+        | WHERE hp2.pos + l.l - 1 <= len(hp2.w)),
+        |wga AS (SELECT c.w, c.pos,
+        |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+        |   AS bl
+        | FROM wcand c LEFT JOIN wpvf v ON v.piece =
+        |   CASE WHEN c.pos = 1 THEN c.sub ELSE '##' || c.sub END
+        | GROUP BY 1, 2),
+        |wka AS (SELECT w, 1 AS pos, 0 AS np FROM hq
+        | UNION ALL SELECT k.w, k.pos + g.bl, k.np + 1
+        | FROM wka k JOIN wga g ON g.w = k.w AND g.pos = k.pos),
+        |wnp AS (SELECT w, CAST(max(np) AS BIGINT) AS n_pieces
+        | FROM wka GROUP BY 1),
+        |ucand AS (SELECT hp2.w, hp2.pos, l.l,
+        |  substr(hp2.w, hp2.pos, l.l) AS sub
+        | FROM hp2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l
+        | WHERE hp2.pos + l.l - 1 <= len(hp2.w)),
+        |uga AS (SELECT c.w, c.pos,
+        |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+        |   AS bl
+        | FROM ucand c LEFT JOIN vf v ON v.piece = c.sub GROUP BY 1, 2),
+        |uka AS (SELECT w, 1 AS pos, 0 AS np FROM hq
+        | UNION ALL SELECT k.w, k.pos + g.bl, k.np + 1
+        | FROM uka k JOIN uga g ON g.w = k.w AND g.pos = k.pos),
+        |unp AS (SELECT w, CAST(max(np) AS BIGINT) AS n_pieces
+        | FROM uka GROUP BY 1),
+        |bh0 AS (SELECT w, freq, string_split(w, '') AS syms FROM hq),
+        |bh1 AS (SELECT w, freq, list_reduce(list_transform(syms, y -> [y]),
+        |   (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+        |     THEN list_concat(acc[1:len(acc)-1], [l || r])
+        |     ELSE list_concat(acc, x) END) AS syms
+        |  FROM bh0 CROSS JOIN bpb1),
+        |bh2 AS (SELECT w, freq, list_reduce(list_transform(syms, y -> [y]),
+        |   (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+        |     THEN list_concat(acc[1:len(acc)-1], [l || r])
+        |     ELSE list_concat(acc, x) END) AS syms
+        |  FROM bh1 CROSS JOIN bpb2),
+        |bh3 AS (SELECT w, freq, list_reduce(list_transform(syms, y -> [y]),
+        |   (acc, x) -> CASE WHEN acc[len(acc)] = l AND x[1] = r
+        |     THEN list_concat(acc[1:len(acc)-1], [l || r])
+        |     ELSE list_concat(acc, x) END) AS syms
+        |  FROM bh2 CROSS JOIN bpb3)
+        |SELECT 'wordpiece' AS family,
+        | CAST(sum(freq) AS BIGINT) AS n_words,
+        | CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces,
+        | CAST(sum(freq * n_pieces) * 1000000 // sum(freq) AS BIGINT)
+        |  AS pieces_per_word_micro
+        |FROM hq JOIN wnp USING (w)
+        |UNION ALL
+        |SELECT 'unigram', CAST(sum(freq) AS BIGINT),
+        | CAST(sum(freq * n_pieces) AS BIGINT),
+        | CAST(sum(freq * n_pieces) * 1000000 // sum(freq) AS BIGINT)
+        |FROM hq JOIN unp USING (w)
+        |UNION ALL
+        |SELECT 'bpe', CAST(sum(freq) AS BIGINT),
+        | CAST(sum(freq * len(syms)) AS BIGINT),
+        | CAST(sum(freq * len(syms)) * 1000000 // sum(freq) AS BIGINT)
+        |FROM bh3""".stripMargin,
+    // q475: each battery member's oracle replayed verbatim as a
+    // subquery, reduced to a p-value through the SAME shared IEEE
+    // expression text the Spark plan uses (Eval.normTwoSidedSql /
+    // chi2UpperSql), then the all-integer step-up rule.
+    "q475_bh_fdr" -> {
+      def pRow(test: String, oracle: String, pSql: String) =
+        s"""SELECT '$test' AS test,
+           | CAST(round(($pSql) * 1e3) AS BIGINT) AS p_milli
+           |FROM ($oracle) t""".stripMargin
+      val rows = Seq(
+        pRow("q391_mann_whitney", mannWhitneyOracle,
+          operators.Eval.normTwoSidedSql("CAST(z_micro AS DOUBLE) / 1e6")),
+        pRow("q436_kruskal_wallis", kruskalWallisOracle,
+          operators.Eval.chi2UpperSql("CAST(h_adj_micro AS DOUBLE) / 1e6",
+            "CAST(k_groups - 1 AS DOUBLE)")),
+        pRow("q440_mann_kendall", mannKendallOracle,
+          operators.Eval.normTwoSidedSql("CAST(z_micro AS DOUBLE) / 1e6")),
+        pRow("q444_ljung_box", ljungBoxOracle,
+          operators.Eval.chi2UpperSql("CAST(q_micro AS DOUBLE) / 1e6",
+            "CAST(k_lags AS DOUBLE)")),
+        pRow("q458_mcnemar", mcnemarOracle,
+          operators.Eval.chi2UpperSql(
+            "CAST(chi2_milli AS DOUBLE) / 1e3", "1.0")),
+        pRow("q463_welch_t", welchTOracle,
+          operators.Eval.normTwoSidedSql("CAST(t_micro AS DOUBLE) / 1e6")),
+        pRow("q464_anova_f", anovaFOracle,
+          operators.Eval.chi2UpperSql(
+            "CAST(k_groups - 1 AS DOUBLE) * CAST(f_micro AS DOUBLE) / 1e6",
+            "CAST(k_groups - 1 AS DOUBLE)")))
+      s"""WITH battery AS (${rows.mkString("\nUNION ALL\n")}),
+        |rk AS (SELECT test, p_milli,
+        |  CAST(row_number() OVER (ORDER BY p_milli, test) AS BIGINT) AS k,
+        |  CAST(count(*) OVER () AS BIGINT) AS m FROM battery),
+        |ks AS (SELECT coalesce(max(CASE WHEN p_milli * m <= k * 50
+        |    THEN k END), 0) AS kstar FROM rk)
+        |SELECT test, p_milli, k,
+        | CAST(k * 50 * 1000 // m AS BIGINT) AS bh_crit_micro,
+        | p_milli <= 50 AS reject_raw,
+        | k <= kstar AS reject_bh
+        |FROM rk CROSS JOIN ks""".stripMargin
+    },
+    // q476: incremental ≡ full is the gate — the q450 full-recompute
+    // replay verbatim; any splice error in the delta path lands as a
+    // value mismatch on the affected vertices.
+    "q476_incremental_pagerank" -> copurchasePageRankOracle,
+    // q477: the weighted rounds unrolled — per-edge HUGEINT (s·w) //
+    // Σw shares, coalesce(Σ, 0) so an all-zero-weight source row
+    // lands the bare teleport base on both engines.
+    "q477_weighted_pagerank" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+        |  FROM items GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |   AS n_orders FROM items),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        | FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |we AS (SELECT pa, pb,
+        |  CAST(CAST(n_pairs AS HUGEINT) * n_orders * 1000000
+        |    // (CAST(fa.f AS HUGEINT) * fb.f) AS BIGINT) AS w
+        | FROM e JOIN freq fa ON fa.l_partkey = e.pa
+        |  JOIN freq fb ON fb.l_partkey = e.pb
+        |  CROSS JOIN tot),
+        |adj AS (SELECT pa AS v, pb AS u, w FROM we
+        | UNION ALL SELECT pb, pa, w FROM we),
+        |wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS sw
+        |  FROM adj GROUP BY u),
+        |s0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS s FROM wdeg),
+        |${(1 to 5).map { i =>
+          val prev = if (i == 1) "s0" else s"it${i - 1}"
+          s"""it$i AS (SELECT a.v AS v,
+             |  CAST(150000 + (850 * coalesce(sum(
+             |    CAST(CAST(p.s AS HUGEINT) * a.w
+             |      // nullif(d.sw, 0) AS BIGINT)), 0)) // 1000
+             |   AS BIGINT) AS s
+             | FROM adj a JOIN $prev p ON a.u = p.v
+             |  JOIN wdeg d ON a.u = d.u
+             | GROUP BY a.v)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT v AS part, s AS score_scaled FROM it5""".stripMargin,
   )
 }

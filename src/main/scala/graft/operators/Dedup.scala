@@ -516,30 +516,34 @@ object Dedup {
     * DECIMAL(38,0) INTERNAL (C(n,2) wraps BIGINT at ~4.3e9 docs),
     * BIGINT/ppm out. */
   def blockingQuality(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        md5(col("text").cast("binary")).as("hash"),
-        substring(lower(col("text")), 1, 16).as("blk"))
-      .localCheckpoint()
+    // One shuffle to the (block, content-hash) grid — the frame all
+    // four masses derive from: captured = ΣC(m,2) on the grid rows,
+    // candidate = ΣC(Σ_hash m, 2) regrouped by blk, truth =
+    // ΣC(Σ_blk m, 2) regrouped by hash, n_docs = Σm. The three
+    // consumers share an identical scan→partial-agg→exchange
+    // subtree, so Catalyst's ReuseExchange materializes the corpus
+    // shuffle once; nothing corpus-sized is pinned to the block
+    // manager (round-15 ADVICE: the old localCheckpoint cached the
+    // full (doc_id, hash, blk) projection just to dodge recomputing
+    // a cheap md5 — the grid is the bounded thing to share).
+    val grid = Tables.documents(s, dir)
+      .groupBy(substring(lower(col("text")), 1, 16).as("blk"),
+        md5(col("text").cast("binary")).as("hash"))
+      .agg(count(lit(1)).as("m"))
     def pairs2(c: Column): Column =
       (sum(c.cast("decimal(38,0)") * (c - 1)) / 2)
         .cast("decimal(38,0)")
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val zero = lit(0).cast("decimal(38,0)")
+    val n = grid.agg(sum(col("m")).as("n_docs"),
+        coalesce(pairs2(col("m")), zero).as("captured_pairs"))
       .withColumn("all_pairs", expr(
         """CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2
           | AS DECIMAL(38,0))""".stripMargin))
-    val cand = docs.groupBy(col("blk")).agg(count(lit(1)).as("m"))
-      .agg(coalesce(pairs2(col("m")), lit(0).cast("decimal(38,0)"))
-        .as("cand_pairs"))
-    val truth = docs.groupBy(col("hash")).agg(count(lit(1)).as("m"))
-      .agg(coalesce(pairs2(col("m")), lit(0).cast("decimal(38,0)"))
-        .as("true_pairs"))
-    val captured = docs.groupBy(col("blk"), col("hash"))
-      .agg(count(lit(1)).as("m"))
-      .agg(coalesce(pairs2(col("m")), lit(0).cast("decimal(38,0)"))
-        .as("captured_pairs"))
+    val cand = grid.groupBy(col("blk")).agg(sum(col("m")).as("mb"))
+      .agg(coalesce(pairs2(col("mb")), zero).as("cand_pairs"))
+    val truth = grid.groupBy(col("hash")).agg(sum(col("m")).as("mh"))
+      .agg(coalesce(pairs2(col("mh")), zero).as("true_pairs"))
     n.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
-      .crossJoin(broadcast(captured))
       .select(col("n_docs"),
         col("true_pairs").cast("long").as("n_true_pairs"),
         col("cand_pairs").cast("long").as("n_cand_pairs"),
@@ -1268,7 +1272,25 @@ object Dedup {
     * CTEs. `seeds`: when set, teleport mass lands ONLY on the seed
     * vertices (personalized PageRank — Jeh & Widom 2003 —
     * init 10⁶ on seeds / 0 elsewhere, per-round base 150000 on
-    * seeds / 0 elsewhere). Returns (v, s). */
+    * seeds / 0 elsewhere). Returns (v, s).
+    *
+    * PRECONDITION (round-15 ADVICE): the adjacency must be
+    * SYMMETRIC-VERTEXED — every edge target must also appear as a
+    * source (trivially true for the symmetrized/undirected graphs
+    * all current callers build: q94/q450 union both directions, q454
+    * windows are bidirectional, q455 reuses q450's edges). The
+    * vertex universe here is the SOURCE set (deg keys), and each
+    * round LEFT-joins it onto the contribution sum, so a source with
+    * no in-edges keeps exactly its teleport base — which is what the
+    * unrolled oracle CTEs' inner-join `150000 + …` form computes
+    * only when no sink-only/source-only asymmetry exists. A future
+    * DIRECTED-graph caller must symmetrize the VERTEX SET first
+    * (union zero-degree rows) or its dangling/source-only vertices
+    * silently diverge from the oracle template. Checked structurally
+    * in Round16Spec (directed counterexample pinned), not per-call —
+    * a targets⊆sources anti-join per invocation would cost a full
+    * extra shuffle at 100 TB for a property the callers guarantee by
+    * construction. */
   private[graft] def pageRankOf(adj0: DataFrame, iters: Int,
       checkpoint: Boolean = true, seeds: Option[DataFrame] = None)
       : DataFrame = {
@@ -1303,6 +1325,82 @@ object Dedup {
         .select(col("v"),
           (col("b") + coalesce(col("m"), lit(0L))).as("s"))
       scores = if (checkpoint) next.localCheckpoint() else next
+    }
+    scores
+  }
+
+  /** Unseeded integer-PageRank ROUND HISTORY over a symmetric-vertex
+    * adjacency — the same loop as [[pageRankOf]] (seeds = None) but
+    * returning EVERY round's (v, s) frame, index 0 (the uniform 10⁶
+    * init) through `iters`. This is q476's substrate: with exact
+    * integer arithmetic and a fixed round budget, score_r(v) is a
+    * pure function of v's r-hop in-neighborhood, so a delta run can
+    * splice UNTOUCHED vertices' old round-r scores into round r+1
+    * verbatim — which needs the old run's per-round frames, not just
+    * its final one. Each frame is one localCheckpointed (v, s)
+    * projection: the O(V·iters) retention IS the incremental
+    * maintenance storage cost, priced openly (at 100 TB these are
+    * the "yesterday's per-round score tables" a daily job keeps
+    * next to yesterday's final ranks). */
+  private[graft] def pageRankRounds(adj0: DataFrame, iters: Int)
+      : Seq[DataFrame] = {
+    val adj = adj0.localCheckpoint()
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val verts = deg.select(col("u").as("v"))
+    var scores = verts.select(col("v"), lit(1000000L).as("s"))
+      .localCheckpoint()
+    scores +: (1 to iters).map { _ =>
+      val contrib = adj
+        .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
+        .join(deg.hint("shuffle_hash"), "u")
+        .select(col("v"), expr("s div deg").as("share"))
+      scores = verts
+        .join(contrib.groupBy(col("v"))
+            .agg(expr("cast((850 * sum(share)) div 1000 as bigint)")
+              .as("m")),
+          Seq("v"), "left")
+        .select(col("v"),
+          (lit(150000L) + coalesce(col("m"), lit(0L))).as("s"))
+        .localCheckpoint()
+      scores
+    }
+  }
+
+  /** WEIGHTED integer-PageRank core (round-16, VERDICT Next #7) —
+    * [[pageRankOf]] with per-edge weights: share along u→v is
+    * (s_u·w_uv) div W_u where W_u = Σ w over u's out-edges, damping
+    * and base unchanged. The s·w product rides DECIMAL(38,0)
+    * INTERNAL (s ≤ 10⁶·|V|, w unbounded micro — the q256 overflow
+    * treatment), the share is BIGINT after the integer division, so
+    * the result stays bit-identical on any engine and partitioning.
+    * `adj0` carries (v, u, w); same symmetric-vertex precondition
+    * as [[pageRankOf]]. With constant weights the integer shares
+    * collapse to s div deg exactly ((s·w) div (deg·w) = s div deg),
+    * so constant-weight ≡ unweighted — Round16Spec pins it. */
+  private[graft] def weightedPageRankOf(adj0: DataFrame, iters: Int)
+      : DataFrame = {
+    val adj = adj0.localCheckpoint()
+    val wdeg = adj.groupBy(col("u"))
+      .agg(sum(col("w")).as("sw")).localCheckpoint()
+    val verts = wdeg.select(col("u").as("v"))
+    var scores = verts.select(col("v"), lit(1000000L).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
+        .join(wdeg.hint("shuffle_hash"), "u")
+        .select(col("v"), expr(
+          """CAST(CAST(s AS DECIMAL(38,0)) * w div nullif(sw, 0)
+            | AS BIGINT)""".stripMargin).as("share"))
+      scores = verts
+        .join(contrib.groupBy(col("v"))
+            .agg(expr("cast((850 * sum(share)) div 1000 as bigint)")
+              .as("m")),
+          Seq("v"), "left")
+        .select(col("v"),
+          (lit(150000L) + coalesce(col("m"), lit(0L))).as("s"))
+        .localCheckpoint()
     }
     scores
   }

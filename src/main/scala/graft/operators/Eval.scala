@@ -1383,4 +1383,115 @@ object Eval {
       .select(col("n_bins"), col("n_total"),
         expr("CAST(w div n_total AS BIGINT)").as("ece_ppm"))
   }
+
+  // ---------------------------------------------------------------
+  // q475: BENJAMINI–HOCHBERG FDR over the hypothesis-test battery
+  // (Benjamini & Hochberg 1995 — round-16, VERDICT Next #5): the
+  // corpus battery now runs 7 tests (q391 Mann–Whitney, q436
+  // Kruskal–Wallis, q440 Mann–Kendall, q444 Ljung–Box, q458
+  // McNemar, q463 Welch t, q464 ANOVA F) each against its own
+  // per-test threshold; acting on "significant" rows without
+  // multiple-comparison control inflates the family-wise false
+  // discovery rate. This collects the battery's statistics into ONE
+  // bounded frame (7 rows — every corpus-scale pass is the
+  // individual test's own gated plan), converts each to a p-value,
+  // ranks by exact integer sort, and applies the step-up rule with
+  // the all-integer cross-multiply p(k)·m ≤ k·α (no float division
+  // in any DECISION).
+  //
+  // p-values: the battery's statistics are integer-rounded z / χ² /
+  // t / F values; p is ONE fixed IEEE expression per bounded row,
+  // micro-rounded (the q451/q463 convention), built from two
+  // published approximations both engines replay literally: the
+  // Abramowitz–Stegun 26.2.17 normal-tail polynomial (|ε| <
+  // 7.5·10⁻⁸ — far inside micro rounding) and the Wilson–Hilferty
+  // cube-root normalization for χ² tails; Welch t uses the normal
+  // tail (df in the thousands), ANOVA F(k−1, N−k) uses χ²(k−1) on
+  // (k−1)·F (exact as N→∞ — N here is the corpus).
+  // ---------------------------------------------------------------
+
+  /** A&S 26.2.17 upper-tail polynomial at non-negative `y` — SQL
+    * text shared VERBATIM by the Spark plan and the DuckDB oracle
+    * (same literals, same tree → same IEEE result at micro
+    * rounding). */
+  private def phiTailSql(y: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * ($y)))"
+    s"(exp(-($y)*($y)/2) * 0.3989422804014327 * " +
+      s"($t*(0.319381530 + $t*(-0.356563782 + $t*(1.781477937 + " +
+      s"$t*(-1.821255978 + $t*1.330274429))))))"
+  }
+
+  /** P(Z > z) for any-sign `z`. */
+  private[graft] def normUpperSql(z: String): String =
+    s"(CASE WHEN ($z) < 0 THEN 1.0 - ${phiTailSql(s"-($z)")} " +
+      s"ELSE ${phiTailSql(z)} END)"
+
+  /** Two-sided normal p at statistic `z`. */
+  private[graft] def normTwoSidedSql(z: String): String =
+    s"(2.0 * ${phiTailSql(s"abs($z)")})"
+
+  /** Upper χ² tail at `x` with `k` df via Wilson–Hilferty. */
+  private[graft] def chi2UpperSql(x: String, k: String): String =
+    normUpperSql(
+      s"((pow(($x) / ($k), 1.0/3.0) - 1.0 + 2.0 / (9.0 * ($k))) " +
+        s"/ sqrt(2.0 / (9.0 * ($k))))")
+
+  /** The battery's (test, p_milli) rows — one SELECT per member,
+    * each reducing its gated operator's report row to a p-value.
+    * MILLI rounding is deliberate: the p expression ends in exp/pow,
+    * whose last-ulp results differ between JVM Math and DuckDB's
+    * libm (measured in round 16: the q436 chi² p landed 1 ulp apart
+    * and micro-rounding split it 601283 vs 601284). At milli the
+    * battery's values all sit ≥ 0.15 milli from a rounding
+    * boundary — twelve orders of magnitude of cross-libm margin —
+    * and BH decisions only need p to 1/1000 at α = 0.05. */
+  private def fdrBattery(s: SparkSession, dir: String): DataFrame = {
+    def p(name: String, df: DataFrame, pSql: String): DataFrame =
+      df.select(lit(name).as("test"),
+        expr(s"CAST(round(($pSql) * 1e3) AS BIGINT)").as("p_milli"))
+    val rows = Seq(
+      p("q391_mann_whitney", mannWhitney(s, dir),
+        normTwoSidedSql("CAST(z_micro AS DOUBLE) / 1e6")),
+      p("q436_kruskal_wallis", kruskalWallis(s, dir),
+        chi2UpperSql("CAST(h_adj_micro AS DOUBLE) / 1e6",
+          "CAST(k_groups - 1 AS DOUBLE)")),
+      p("q440_mann_kendall", Events.mannKendall(s, dir),
+        normTwoSidedSql("CAST(z_micro AS DOUBLE) / 1e6")),
+      p("q444_ljung_box", Events.ljungBox(s, dir),
+        chi2UpperSql("CAST(q_micro AS DOUBLE) / 1e6",
+          "CAST(k_lags AS DOUBLE)")),
+      p("q458_mcnemar", mcnemar(s, dir),
+        chi2UpperSql("CAST(chi2_milli AS DOUBLE) / 1e3", "1.0")),
+      p("q463_welch_t", welchT(s, dir),
+        normTwoSidedSql("CAST(t_micro AS DOUBLE) / 1e6")),
+      p("q464_anova_f", anovaF(s, dir),
+        chi2UpperSql(
+          "CAST(k_groups - 1 AS DOUBLE) * CAST(f_micro AS DOUBLE) / 1e6",
+          "CAST(k_groups - 1 AS DOUBLE)")))
+    rows.reduce(_ unionByName _).localCheckpoint() // bounded: 7 rows
+  }
+
+  /** q475: the BH report — per test its p, ascending rank k, the BH
+    * critical value k·α/m (integer milli, α = 0.05), whether the
+    * raw per-test decision fires (p ≤ α), and the STEP-UP decision:
+    * reject tests 1..k* where k* = max{k : p(k)·m ≤ k·α} — all
+    * comparisons integer cross-multiplies. Monotone in α by
+    * construction (Round16Spec pins it). */
+  def bhFdr(s: SparkSession, dir: String,
+      alphaMilli: Long = 50L): DataFrame = {
+    val battery = fdrBattery(s, dir)
+    val m = battery.agg(count(lit(1)).as("m"))
+    val ranked = Relational.twoPhaseRank(battery, lit(1),
+        col("p_milli"), Seq(col("p_milli"), col("test")), "k", "n_tests")
+      .crossJoin(broadcast(m))
+    val kstar = ranked
+      .agg(coalesce(max(when(
+        col("p_milli") * col("m") <= col("k") * lit(alphaMilli),
+        col("k"))), lit(0L)).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("test"), col("p_milli"), col("k"),
+        expr(s"k * $alphaMilli * 1000 div m").as("bh_crit_micro"),
+        (col("p_milli") <= lit(alphaMilli)).as("reject_raw"),
+        (col("k") <= col("kstar")).as("reject_bh"))
+  }
 }

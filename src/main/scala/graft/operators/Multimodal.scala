@@ -875,7 +875,21 @@ object Multimodal {
     val media = stageJpegMedia(s, dir, "q461")
     s.read.parquet(media).as[BlobRow]
       .map { r =>
-        val b = r.blob
+        val (sofW, sofH, sofC, valid) = jpegMarkerWalk(r.blob)
+        (r.doc_id, sofW, sofH, sofC, valid)
+      }
+      .toDF("doc_id", "sof_width", "sof_height", "n_components",
+        "structure_valid")
+  }
+
+  /** The q461 marker walk over one blob — factored (round-16) so the
+    * truncation contract is spec-pinned: ANY misframed or truncated
+    * blob (length field past the buffer, SOF header cut short) flips
+    * the row to structure_valid = false; the walk never throws.
+    * Returns (sof_width, sof_height, n_components, structure_valid),
+    * dimensions −1 when no complete SOF was seen. */
+  private[graft] def jpegMarkerWalk(b: Array[Byte])
+      : (Long, Long, Long, Boolean) = {
         var sofW = -1L; var sofH = -1L; var sofC = -1L
         // marker walk: FFD8, then FF-prefixed segments; SOS ends the
         // structured region (entropy-coded data follows, scan to EOI)
@@ -905,12 +919,23 @@ object Multimodal {
                 if (i + 3 >= b.length) ok = false
                 else {
                   val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-                  if (m == 0xc0 || m == 0xc1 || m == 0xc2) { // SOFn
-                    sofH = (((b(i + 5) & 0xff) << 8) |
-                      (b(i + 6) & 0xff)).toLong
-                    sofW = (((b(i + 7) & 0xff) << 8) |
-                      (b(i + 8) & 0xff)).toLong
-                    sofC = (b(i + 9) & 0xff).toLong
+                  // a segment whose declared length runs past the
+                  // blob is misframed: flip the row invalid rather
+                  // than throw (the documented truncation contract)
+                  if (i + 2 + len > b.length) ok = false
+                  else if (m == 0xc0 || m == 0xc1 || m == 0xc2) { // SOFn
+                    // SOF payload needs 9 bytes past the marker
+                    // (precision, H, W, components); a blob truncated
+                    // INSIDE the SOF header is likewise invalid, not
+                    // an ArrayIndexOutOfBounds crash
+                    if (i + 9 >= b.length || len < 8) ok = false
+                    else {
+                      sofH = (((b(i + 5) & 0xff) << 8) |
+                        (b(i + 6) & 0xff)).toLong
+                      sofW = (((b(i + 7) & 0xff) << 8) |
+                        (b(i + 8) & 0xff)).toLong
+                      sofC = (b(i + 9) & 0xff).toLong
+                    }
                   }
                   i += 2 + len
                 }
@@ -919,10 +944,7 @@ object Multimodal {
           }
           valid = ok && done
         }
-        (r.doc_id, sofW, sofH, sofC, valid)
-      }
-      .toDF("doc_id", "sof_width", "sof_height", "n_components",
-        "structure_valid")
+        (sofW, sofH, sofC, valid)
   }
 
   // ---------------------------------------------------------------

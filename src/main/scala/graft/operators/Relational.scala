@@ -678,6 +678,133 @@ object Relational {
       .select(col("v").as("part"), col("s").as("score_scaled"))
   }
 
+  /** q476: INCREMENTAL PAGERANK DELTA MAINTENANCE (round-16, VERDICT
+    * Next #6) — the operational answer to "q450 recomputes 5 full
+    * rounds from scratch" at 100 TB with daily edge deltas: given
+    * yesterday's graph (the co-purchase edges MINUS a deterministic
+    * ~5% delta slice), yesterday's per-round score frames
+    * ([[Dedup.pageRankRounds]] — the O(V·iters) state a daily job
+    * retains), and today's delta, recompute ONLY vertices reachable
+    * from delta-touched vertices within the fixed round budget (the
+    * q324 BFS-delta frontier treatment applied to the q450 core):
+    *
+    *  - T₀ = delta-edge endpoints (the only vertices whose degree
+    *    or incident edges changed);
+    *  - Tᵣ = Tᵣ₋₁ ∪ neighbors(Tᵣ₋₁) in the NEW graph;
+    *  - round r recomputes scores for Tᵣ only, reading each
+    *    in-neighbor u's round-(r−1) score from the NEW run if
+    *    u ∈ Tᵣ₋₁ else from yesterday's round-(r−1) frame — valid
+    *    because u ∉ Tᵣ₋₁ means u's (r−1)-hop in-neighborhood holds
+    *    no delta edge, so its old and new round-(r−1) scores are
+    *    IDENTICAL integers (exact arithmetic, fixed rounds);
+    *  - final = yesterday's round-`iters` frame outside T_iters ∪
+    *    the recomputed scores on it.
+    *
+    * Per-round work is O(edges into Tᵣ), not O(E) — on a 100 TB
+    * graph with a small daily delta the frontier stays a small
+    * neighborhood. The GATE is the whole point: the output must
+    * equal the FULL q450 recompute on today's graph — the oracle is
+    * q450's unrolled-CTE replay verbatim, so DuckDB proves
+    * incremental ≡ full on every row. */
+  def incrementalPageRank(s: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val edges = copurchaseEdges(s, dir).localCheckpoint()
+    incrementalPageRankOf(edges,
+      (col("pa") * 31 + col("pb")) % 20 === 0, iters)
+      .select(col("v").as("part"), col("s").as("score_scaled"))
+  }
+
+  /** The splice core over an arbitrary (pa, pb) edge frame and a
+    * delta predicate — factored so Round16Spec can pin delta-run ≡
+    * full-run on constructed graphs and verify the frontier is a
+    * proper subset of the vertex set (the incremental path really
+    * skips work). Old graph = edges where !isDelta; new graph = all
+    * edges (delta-as-additions — the daily-append shape). */
+  private[graft] def incrementalPageRankOf(edges: DataFrame,
+      isDelta: Column, iters: Int): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("pa").as("v"), col("pb").as("u"))
+        .union(e.select(col("pb").as("v"), col("pa").as("u")))
+    val adjNew = sym(edges).localCheckpoint()
+    val hist = Dedup.pageRankRounds(sym(edges.filter(!isDelta)), iters)
+    val degNew = adjNew.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val delta = edges.filter(isDelta)
+    var touched = delta.select(col("pa").as("v"))
+      .union(delta.select(col("pb").as("v"))).distinct()
+      .localCheckpoint()
+    // round-0 scores are 10⁶ everywhere on BOTH runs, so the spliced
+    // frame at r=0 is just the uniform init on the touched set
+    var newScores = touched.select(col("v"), lit(1000000L).as("s"))
+      .localCheckpoint()
+    for (r <- 1 to iters) {
+      val grown = touched.union(
+          adjNew.join(touched.withColumnRenamed("v", "u")
+              .hint("shuffle_hash"), "u")
+            .select(col("v")))
+        .distinct().localCheckpoint()
+      // blended round-(r−1) scores: new on the old touched set,
+      // yesterday's frame elsewhere (anti-join keeps it disjoint)
+      val blended = hist(r - 1)
+        .join(touched.hint("shuffle_hash"), Seq("v"), "left_anti")
+        .unionByName(newScores)
+      val contrib = adjNew
+        .join(grown.hint("shuffle_hash"), Seq("v"), "left_semi")
+        .join(blended.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
+        .join(degNew.hint("shuffle_hash"), "u")
+        .select(col("v"), expr("s div deg").as("share"))
+      newScores = grown
+        .join(contrib.groupBy(col("v"))
+            .agg(expr("cast((850 * sum(share)) div 1000 as bigint)")
+              .as("m")),
+          Seq("v"), "left")
+        .select(col("v"),
+          (lit(150000L) + coalesce(col("m"), lit(0L))).as("s"))
+        .localCheckpoint()
+      touched = grown
+    }
+    hist(iters)
+      .join(touched.hint("shuffle_hash"), Seq("v"), "left_anti")
+      .unionByName(newScores)
+  }
+
+  /** q477: WEIGHTED PAGERANK on the co-purchase graph (round-16,
+    * VERDICT Next #7) — q450's centrality with edges weighted by
+    * ASSOCIATION STRENGTH instead of mere adjacency: edge weight =
+    * the exact integer lift (n_pairs·n_orders·10⁶ div (fa·fb), the
+    * q256 serving-table number), so rank mass flows preferentially
+    * along high-lift co-purchase links — curation ranking by how
+    * strongly items travel together, not just that they ever did.
+    * Runs [[Dedup.weightedPageRankOf]]: share = (s·w) div Σw on
+    * DECIMAL(38,0) internal, same base/damping/rounds as q450,
+    * bit-identical on any partitioning; the oracle replays the
+    * weighted rounds as unrolled CTEs (HUGEINT internal). */
+  def weightedPageRank(s: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+    val total = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val weighted = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= 2L)
+      .join(freq.toDF("pa", "fa").hint("shuffle_hash"), "pa")
+      .join(freq.toDF("pb", "fb").hint("shuffle_hash"), "pb")
+      .crossJoin(total)
+      .select(col("pa"), col("pb"), expr(
+        """CAST(CAST(n_pairs AS DECIMAL(38,0)) * n_orders * 1000000
+          | div (CAST(fa AS DECIMAL(38,0)) * fb) AS BIGINT)"""
+          .stripMargin).as("w"))
+    val adj = weighted.select(col("pa").as("v"), col("pb").as("u"), col("w"))
+      .union(weighted.select(col("pb").as("v"), col("pa").as("u"), col("w")))
+    Dedup.weightedPageRankOf(adj, iters)
+      .select(col("v").as("part"), col("s").as("score_scaled"))
+  }
+
   /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
     * of q141/q256: a rule a→b carries support (how often the pair
     * occurs at all), CONFIDENCE (p(b|a) — the number a "customers

@@ -1623,7 +1623,7 @@ object StreamingOps {
   /** Pointer file + versioned-dir resolution for a named q195 state
     * store — the [[publishView]] mechanism generalized: `name.current`
     * names the live `name_vN` base dir; swaps are ATOMIC_MOVE. */
-  private def storePointer(root: String, name: String) =
+  private[graft] def storePointer(root: String, name: String) =
     java.nio.file.Paths.get(root, s"$name.current")
   private[graft] def storeBaseDir(root: String, name: String): Option[String] = {
     val ptr = storePointer(root, name)
@@ -1652,9 +1652,34 @@ object StreamingOps {
     finishStorePublish(root, name, version)
   }
 
-  private def nextStoreVersion(root: String, name: String): Long =
-    storeBaseDir(root, name)
-      .map(_.split(s"${name}_v").last.toLong + 1).getOrElse(0L)
+  /** Next version = max over EXISTING `name_v*` dirs + 1 — NOT the
+    * pointer (round-15 ADVICE): dropStore deletes the pointer before
+    * the version dirs, so a crash in between must not restart
+    * numbering at v0 under surviving v{K} dirs — that would strand
+    * the highest old dir behind finishStorePublish's 1-version
+    * grace forever (it keeps the max-versioned stale dir, which
+    * would always be the orphan). Dir-derived numbering resumes at
+    * K+1, so the orphans age into "stale beyond grace" and the next
+    * publishes sweep them. */
+  private def nextStoreVersion(root: String, name: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val rootP = Paths.get(root)
+    val fromDirs =
+      if (!Files.exists(rootP)) None
+      else {
+        val listing = Files.list(rootP)
+        try listing.iterator().asScala.toList
+          .flatMap { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith(s"${name}_v"))
+              n.stripPrefix(s"${name}_v").toLongOption
+            else None
+          } match { case Nil => None; case vs => Some(vs.max) }
+        finally listing.close()
+      }
+    fromDirs.map(_ + 1).getOrElse(0L)
+  }
 
   /** The publish tail shared by the full and scoped publishers: swap
     * the pointer ATOMIC_MOVE onto the freshly written version, GC

@@ -894,11 +894,18 @@ object TextAnalysis {
   /** The train loop's per-round argmax rules (1-row frames, each
     * localCheckpointed) — shared by [[bpeTrain]] and [[bpeApply]]. */
   private def bpeLearn(s: SparkSession, dir: String,
-      rounds: Int): Seq[DataFrame] = {
-    var words = Tables.documents(s, dir)
+      rounds: Int): Seq[DataFrame] =
+    bpeLearnOf(Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq")), rounds)
+
+  /** The same loop over an arbitrary (w, freq) word table — q275/
+    * q282 train on the full corpus (above); q474's apples-to-apples
+    * fertility comparison trains on the even split. */
+  private def bpeLearnOf(wordsIn: DataFrame, rounds: Int)
+      : Seq[DataFrame] = {
+    var words = wordsIn
       .select(expr("split(w, '')").as("syms"), col("freq"))
       .localCheckpoint()
     (1 to rounds).map { r =>
@@ -2055,5 +2062,211 @@ object TextAnalysis {
       .select(col("lang"), col("n_docs"), col("mean_milli"),
         col("var_milli"), col("overdispersed"), col("p_micro"),
         col("r_milli"))
+  }
+
+  // ---------------------------------------------------------------
+  // q472/q473/q474: WORDPIECE tokenizer (Schuster & Nakajima 2012;
+  // the BERT-family standard — round-16, VERDICT Next #4) — the
+  // third and last major public tokenizer family next to BPE
+  // (q275/q282) and unigram-LM (q410/q411). Two published
+  // distinctions from BPE, both implemented: (1) TRAINING picks the
+  // merge maximizing LIKELIHOOD gain, score(l,r) =
+  // count(lr)/(count(l)·count(r)) — pair mass normalized by symbol
+  // mass — not raw pair count; (2) SYMBOLS live in a positional
+  // namespace: word-initial pieces bare, continuations carry the
+  // '##' prefix, and APPLY is greedy longest-match-first per
+  // position (the q410 walk) against that two-namespace vocabulary.
+  // Trained on the even doc_id split (the q410 convention), applied
+  // to the odd split. Scale shape identical to q275/q410: one
+  // corpus pass to the word-frequency table, every training round
+  // touches vocab rows only; scores ride DECIMAL(38,0) INTERNAL
+  // (n·10¹² div (c_l·c_r) — exact integer, BIGINT out), argmax
+  // tie-broken (score desc, l, r) — fully deterministic, replayed
+  // by unrolled DuckDB CTEs.
+  // ---------------------------------------------------------------
+
+  /** Word → WordPiece symbol array: first char bare, later chars in
+    * the '##' continuation namespace. */
+  private def wpSymsExpr: String =
+    "transform(sequence(1, length(w)), i -> " +
+      "IF(i = 1, substr(w, 1, 1), concat('##', substr(w, i, 1))))"
+
+  /** One greedy left-to-right collapse of the broadcast 1-row (l, r)
+    * WordPiece rule: merged symbol = l || substr(r, 3) (r is always
+    * a continuation, so its '##' is consumed by the merge; l keeps
+    * its own namespace). Same fold-safety argument as bpeCollapse:
+    * the merged symbol is strictly longer than l, so a fresh merge
+    * never re-fires on its own output. */
+  private def wpCollapse(df: DataFrame, rule: DataFrame): DataFrame = {
+    val rest = df.columns.filterNot(_ == "syms").map(col).toSeq
+    df.crossJoin(broadcast(rule.select(col("l"), col("r"))))
+      .select(expr(
+        """aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+          |(acc, x) -> if(element_at(acc, -1) = l AND x = r,
+          |  concat(slice(acc, 1, size(acc) - 1),
+          |    array(concat(l, substr(r, 3)))),
+          |  concat(acc, array(x))))""".stripMargin).as("syms") +: rest: _*)
+  }
+
+  /** The WordPiece train loop over a (w, freq) word table: per
+    * round, adjacent-pair counts n(l,r) AND symbol counts c(x) (both
+    * map-side-combinable aggs over the bounded vocab frame), the
+    * likelihood score n·10¹² div (c_l·c_r) on DECIMAL(38,0), argmax
+    * (score desc, l, r), greedy collapse. Returns the per-round
+    * 1-row best frames (l, r, n, score). */
+  private[graft] def wpLearn(wordsIn: DataFrame, rounds: Int): Seq[DataFrame] = {
+    var words = wordsIn
+      .select(expr(wpSymsExpr).as("syms"), col("freq"))
+      .localCheckpoint()
+    (1 to rounds).map { r =>
+      val pairs = words
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(syms) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) END"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+      val symCounts = words
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("c"))
+      val best = pairs
+        .join(symCounts.select(col("sym").as("l"), col("c").as("cl"))
+          .hint("shuffle_hash"), "l")
+        .join(symCounts.select(col("sym").as("r"), col("c").as("cr"))
+          .hint("shuffle_hash"), "r")
+        .select(col("l"), col("r"), col("n"), expr(
+          """CAST(CAST(n AS DECIMAL(38,0)) * 1000000000000
+            | div (CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)"""
+            .stripMargin).as("score"))
+        .orderBy(col("score").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint() // the 1-row merge decision
+      if (r < rounds) words = wpCollapse(words, best).localCheckpoint()
+      best
+    }
+  }
+
+  /** q472: WORDPIECE TOKENIZER TRAIN — the learned merge rules with
+    * their selection statistics: (merge_round, left_sym, right_sym,
+    * n_pair, score_scaled = n·10¹² div (c_l·c_r)). */
+  def wordpieceTrain(s: SparkSession, dir: String, rounds: Int = 4)
+      : DataFrame =
+    wpLearn(trainWords(s, dir).localCheckpoint(), rounds)
+      .zipWithIndex.map { case (best, i) =>
+        best.select(lit((i + 1).toLong).as("merge_round"),
+          col("l").as("left_sym"), col("r").as("right_sym"),
+          col("n").as("n_pair"), col("score").as("score_scaled"))
+      }.reduce(_ unionAll _)
+
+  /** Frozen WordPiece vocabulary: every train-split symbol (bare
+    * initials + ##continuations — full character coverage) ∪ the
+    * merged tokens the train rounds produced. */
+  private[graft] def wpVocab(words: DataFrame, rounds: Int): DataFrame = {
+    val singles = words
+      .select(explode(expr(wpSymsExpr)).as("piece")).distinct()
+    val merged = wpLearn(words, rounds)
+      .map(_.select(expr("concat(l, substr(r, 3))").as("piece")))
+      .reduce(_ unionAll _)
+    singles.unionByName(merged).distinct().localCheckpoint()
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation of a word
+    * table against a frozen two-namespace vocabulary: at pos = 1
+    * candidates match bare, at pos > 1 in the '##' namespace;
+    * longest match wins, unknown characters advance 1 char (the
+    * byte-fallback a production tokenizer pays). Adds `picks`. */
+  private[graft] def wpSegment(words: DataFrame, vocab: DataFrame,
+      maxLen: Int): DataFrame = {
+    val cand = words.select(col("w")).distinct()
+      .select(col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("pos"), explode(expr(
+        s"transform(sequence(1, $maxLen), l -> " +
+          "named_struct('l', l, 'sub', substr(w, pos, l)))")).as("c"))
+      .select(col("w"), col("pos"), col("c.l").as("l"),
+        col("c.sub").as("sub"))
+      .filter(length(col("sub")) === col("l"))
+      .withColumn("key",
+        when(col("pos") === 1, col("sub"))
+          .otherwise(concat(lit("##"), col("sub"))))
+    val grid = cand
+      .join(broadcast(vocab.select(col("piece"))),
+        cand("key") === col("piece"), "left")
+      .groupBy(col("w"), col("pos"))
+      .agg(coalesce(max(when(col("piece").isNotNull, col("l"))),
+        lit(1)).as("bl"))
+    val larr = grid.groupBy(col("w"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "named_struct('pos', pos, 'bl', bl))), e -> e.bl)").as("larr"))
+    words.join(larr, "w")
+      .withColumn("picks", expr(
+        """aggregate(sequence(1, size(larr)),
+          |named_struct('pos', 1,
+          |  'ls', cast(array() as array<struct<pos:int,l:int>>)),
+          |(acc, i) -> IF(i = acc.pos,
+          |  named_struct('pos', acc.pos + element_at(larr, i),
+          |    'ls', concat(acc.ls, array(named_struct('pos', acc.pos,
+          |      'l', element_at(larr, i))))),
+          |  acc),
+          |acc -> acc.ls)""".stripMargin))
+      .drop("larr")
+  }
+
+  /** q473: WORDPIECE TOKENIZER APPLY — the frozen even-split
+    * vocabulary segments the ODD split's per-language word
+    * vocabulary (the q411 holdout convention), same per-language
+    * fertility report: vocab size, word/char/piece totals, pieces
+    * per word and chars per piece in integer micro. */
+  def wordpieceApply(s: SparkSession, dir: String, rounds: Int = 4)
+      : DataFrame = {
+    val vocab = wpVocab(trainWords(s, dir).localCheckpoint(), rounds)
+    wpSegment(
+      holdoutWords(Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)),
+      vocab, rounds + 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w"))).as("n_chars"),
+        sum(col("freq") * size(col("picks"))).as("n_pieces"))
+      .withColumn("pieces_per_word_micro",
+        expr("n_pieces * 1000000 div n_words"))
+      .withColumn("chars_per_piece_micro",
+        expr("n_chars * 1000000 div nullif(n_pieces, 0)"))
+  }
+
+  /** q474: TOKENIZER FERTILITY COMPARISON — the three learned
+    * families (BPE q275, unigram-LM q410, WordPiece q472), each
+    * trained on the SAME even split at its gated default size and
+    * applied to the SAME odd-split holdout word vocabulary: one row
+    * per family with exact word/piece totals and pieces-per-word in
+    * integer micro — the number a multi-tokenizer pipeline actually
+    * compares before committing to a family. */
+  def tokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val train = trainWords(s, dir).localCheckpoint()
+    val hold = Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    def report(name: String, pieced: DataFrame): DataFrame =
+      pieced.agg(sum(col("freq")).as("n_words"),
+          sum(col("freq") * col("n_pieces")).as("n_pieces"))
+        .select(lit(name).as("family"), col("n_words"), col("n_pieces"),
+          expr("n_pieces * 1000000 div n_words")
+            .as("pieces_per_word_micro"))
+    val wp = report("wordpiece",
+      wpSegment(hold, wpVocab(train, 4), 5)
+        .select(col("freq"), size(col("picks")).cast("long").as("n_pieces")))
+    val ug = report("unigram",
+      segmentWords(hold, unigramVocab(train, 200, 50))
+        .select(col("freq"), size(col("picks")).cast("long").as("n_pieces")))
+    var bpeVocab = hold
+      .select(expr("split(w, '')").as("syms"), col("freq"))
+      .localCheckpoint()
+    for (rule <- bpeLearnOf(train, 3))
+      bpeVocab = bpeCollapse(bpeVocab, rule).localCheckpoint()
+    val bp = report("bpe",
+      bpeVocab.select(col("freq"), size(col("syms")).cast("long").as("n_pieces")))
+    wp.unionByName(ug).unionByName(bp)
   }
 }

@@ -48,12 +48,26 @@ def main(round_no, prev_path, out_path, run_paths):
         "cpus": 32,
         "runs": len(runs),
         "totals_per_run_sec": [round(r["value"], 1) for r in runs],
+        "warmup_mode": runs[0].get("warmup", "full"),
+        "loadavg_per_run": [
+            {"before": r.get("loadavg_before"),
+             "after": r.get("loadavg_after")} for r in runs],
         "method": (
             f"{len(runs)} full graft.Bench sweeps on an idle container, "
             "per-entry minimum. All entries present in every run. Bench "
             "keeps the default state-store maintenance interval and "
             "unloads retained providers deterministically between "
-            "entries (StateStoreHooks, the r14 root-cause fix)."),
+            "entries (StateStoreHooks, the r14 root-cause fix). "
+            "Warm-up mode '" + runs[0].get("warmup", "full") + "' "
+            "(round-16): per-entry untimed warm-up runs at sf0.001 "
+            "(same codegen/JIT/operator init, ~100x less data) plus a "
+            "full-table page-cache pre-read and two sf0.1 streaming "
+            "burn-in gates for the shared C2-JIT row loops — halves "
+            "the sweep wall-clock vs the old full-SF warm-up pass "
+            "(A/B: timed totals statistically indistinguishable, run "
+            "noise dominates). /proc/loadavg sampled around each "
+            "sweep (loadavg_per_run) so drift analyses can cite "
+            "measured host contention."),
         "failed_entries": failed,
         "min_total_sec": round(sum(v for v in mins.values() if v > 0), 2),
         "queries_min_sec": mins,
