@@ -168,11 +168,16 @@ object Bench {
     // results-so-far are flushed to bench_partial.json (tmp+rename)
     // so a driver-side timeout still leaves a parseable artifact of
     // everything that DID complete (r15's rc=124 left nothing).
-    val partialPath = java.nio.file.Paths.get("bench_partial.json")
+    // Path is overridable (SPARK_GRAFT_PARTIAL) so two concurrent
+    // sweeps — builder + judge — can't clobber each other's partials
+    // in a shared cwd (round-16 ADVICE hygiene item).
+    val partialName =
+      sys.env.getOrElse("SPARK_GRAFT_PARTIAL", "bench_partial.json")
+    val partialPath = java.nio.file.Paths.get(partialName)
     def flushPartial(done: Map[String, Double]): Unit = try {
       val qs = done.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val tmp = java.nio.file.Paths.get("bench_partial.json.tmp")
+      val tmp = java.nio.file.Paths.get(partialName + ".tmp")
       java.nio.file.Files.write(tmp,
         s"""{"metric":"partial","value":${done.values.filter(_ >= 0).sum},"unit":"sec","queries":$qs,"sf":"$sfDir","n":${done.size}}"""
           .getBytes("UTF-8"))
@@ -264,6 +269,13 @@ object Bench {
     val loadAfter = loadAvg()
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"$warmMode","loadavg_before":${arr(loadBefore)},"loadavg_after":${arr(loadAfter)}}""")
+    // Compact summary LAST: the round driver keeps only a 2000-char
+    // stdout tail, and the full result line above is ~25 KB for 477
+    // entries — structurally unparseable from the tail (16 rounds of
+    // `parsed: null`). This second line is < 200 chars, so the tail
+    // always ends with a parseable record (VERDICT r16 Next #3).
+    val failedN = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedN,"sf":"$sfDir","warmup":"$warmMode"}""")
     spark.stop()
   }
 }

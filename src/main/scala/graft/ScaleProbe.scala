@@ -478,8 +478,11 @@ object ScaleProbe {
         var rollSec = 0.0
         for (b <- 0 until 6) {
           val t0 = System.nanoTime()
+          // slice on (doc_id div 2) % 6: the delta holds ONLY odd
+          // doc_ids, so doc_id % 6 === b leaves batches 0/2/4 empty
+          // (round-16 ADVICE) — halved ids cover every residue
           Dedup.exactSubstrIndexBatch(spark, root,
-            delta.filter(col("doc_id") % 6 === b), b.toLong, 5,
+            delta.filter(expr("(doc_id div 2) % 6") === b), b.toLong, 5,
             compactEvery = 3)
           val t = (System.nanoTime() - t0) / 1e9
           if ((b + 1) % 3 == 0) { // a roll just ran
@@ -494,6 +497,75 @@ object ScaleProbe {
         println(f"""{"k":$k,"base_bytes":$baseBytes,"delta_docs":$nd,"roll_published_bytes":$rewritten,"roll_sec":$rollSec%.2f,"base_untouched":${baseBytes == baseAfter},"old_design_rewrite_per_cadence_bytes":$baseBytes}""")
         delta.unpersist(); docs.unpersist()
       }
+    }
+    // ---- q412 LSM READ side (round-17, VERDICT Next #2): the write
+    // side is byte-proven O(delta) above; this prices the READ —
+    // ownership-collapse time vs OCCUPIED TIER COUNT at ~constant
+    // total tier bytes. k tier runs each hold 1/k of the SAME fixed
+    // delta's per-batch gram aggregate, so only the parquet-dir
+    // fan-in grows with k: a flat read_sec column is the
+    // "read fan-in is O(log #batches) dirs, and dirs are cheap"
+    // claim stated as numbers. append_sec (one fixed batch,
+    // compactEvery=0) checks the append path never scans tiers;
+    // roll_sec grows with the carry prefix it merges BY DESIGN (the
+    // amortized O(delta·log) trade the write probe already priced).
+    if (probeSel.contains("lsmread")) {
+      import graft.operators.{Dedup, StreamingOps}
+      val docs = expand(1).cache(); docs.count()
+      val delta = docs.filter(col("doc_id") < 10000000L &&
+        col("doc_id") % 2 === 1).cache()
+      val nd = delta.count()
+      val batch1 = delta.filter(expr("(doc_id div 2) % 16") === 0)
+        .cache()
+      batch1.count()
+      def dirBytes2(d: Option[String]): Long = d.map { dir =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally walk.close()
+      }.getOrElse(0L)
+      for (k <- Seq(1, 2, 4, 8)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-lsmread$k").toString
+        Dedup.initExactSubstrIndex(spark, root,
+          docs.filter(col("doc_id") % 2 === 0), 5)
+        for (t <- 0 until k)
+          StreamingOps.publishStore(spark, root, s"gramagg_t$t",
+            Dedup.gramAggOf(
+              delta.filter(expr(s"(doc_id div 2) % $k") === t), 5)
+              .withColumn("batch_id", lit(t.toLong)), Seq.empty)
+        val tb = (0 until k).map(t => dirBytes2(
+          StreamingOps.storeBaseDir(root, s"gramagg_t$t"))).sum
+        if (k == 1) { // warm codegen/JIT on a throwaway root
+          val warm = java.nio.file.Files
+            .createTempDirectory("graft-probe-lsmread-warm").toString
+          Dedup.initExactSubstrIndex(spark, warm,
+            docs.filter(col("doc_id") % 2 === 0), 5)
+          Dedup.exactSubstrIndexBatch(spark, warm, batch1, 100L, 5,
+            compactEvery = 0)
+          Dedup.readGramOwnership(spark, warm)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.gc()
+        var t0 = System.nanoTime()
+        Dedup.exactSubstrIndexBatch(spark, root, batch1, 100L, 5,
+          compactEvery = 0)
+        val appendSec = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        t0 = System.nanoTime()
+        Dedup.readGramOwnership(spark, root)
+          .write.format("noop").mode("overwrite").save()
+        val readSec = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        t0 = System.nanoTime()
+        Dedup.lsmRollGramIndex(spark, root)
+        val rollSec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"k_tiers":$k,"delta_docs":$nd,"tier_bytes":$tb,"append_sec":$appendSec%.2f,"read_sec":$readSec%.2f,"roll_sec":$rollSec%.2f}""")
+      }
+      batch1.unpersist(); delta.unpersist(); docs.unpersist()
     }
     spark.stop()
   }

@@ -527,6 +527,12 @@ object SparkEntry {
       ((s, d) => Relational.incrementalPageRank(s, d)),
     "q477_weighted_pagerank" ->
       ((s, d) => Relational.weightedPageRank(s, d)),
+    "q478_graph_ann_beam" ->
+      ((s, d) => Similarity.graphAnnBeam(s, d)),
+    "q479_copurchase_communities" ->
+      ((s, d) => Relational.copurchaseCommunities(s, d)),
+    "q480_stream_incr_pagerank" ->
+      ((s, d) => StreamingOps.streamIncrementalPageRank(s, d)),
   )
 
   /** The q411 unigram-apply oracle — also the q423 gate verbatim
@@ -10667,7 +10673,9 @@ object SparkEntry {
         |hp AS (SELECT w, unnest(range(len(w))) + 1 AS pos FROM hwd),
         |hcand AS (SELECT hp.w, hp.pos, l.l,
         |  substr(hp.w, hp.pos, l.l) AS sub
-        | FROM hp CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS l) l
+        | FROM hp CROSS JOIN (SELECT unnest(range(1, (SELECT
+        |    max(CASE WHEN piece LIKE '##%' THEN len(piece) - 2
+        |      ELSE len(piece) END) FROM wpvf) + 1)) AS l) l
         | WHERE hp.pos + l.l - 1 <= len(hp.w)),
         |ga AS (SELECT c.w, c.pos,
         |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
@@ -10708,7 +10716,9 @@ object SparkEntry {
         |hp2 AS (SELECT w, unnest(range(len(w))) + 1 AS pos FROM hq),
         |wcand AS (SELECT hp2.w, hp2.pos, l.l,
         |  substr(hp2.w, hp2.pos, l.l) AS sub
-        | FROM hp2 CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS l) l
+        | FROM hp2 CROSS JOIN (SELECT unnest(range(1, (SELECT
+        |    max(CASE WHEN piece LIKE '##%' THEN len(piece) - 2
+        |      ELSE len(piece) END) FROM wpvf) + 1)) AS l) l
         | WHERE hp2.pos + l.l - 1 <= len(hp2.w)),
         |wga AS (SELECT c.w, c.pos,
         |  coalesce(max(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
@@ -10793,7 +10803,7 @@ object SparkEntry {
           operators.Eval.normTwoSidedSql("CAST(t_micro AS DOUBLE) / 1e6")),
         pRow("q464_anova_f", anovaFOracle,
           operators.Eval.chi2UpperSql(
-            "CAST(k_groups - 1 AS DOUBLE) * CAST(f_micro AS DOUBLE) / 1e6",
+            "greatest(CAST(k_groups - 1 AS DOUBLE) * CAST(f_micro AS DOUBLE) / 1e6, 0.0)",
             "CAST(k_groups - 1 AS DOUBLE)")))
       s"""WITH battery AS (${rows.mkString("\nUNION ALL\n")}),
         |rk AS (SELECT test, p_milli,
@@ -10849,5 +10859,139 @@ object SparkEntry {
              | GROUP BY a.v)""".stripMargin
         }.mkString(",\n")}
         |SELECT v AS part, s AS score_scaled FROM it5""".stripMargin,
+    // q478: banding → bounded-degree graph → 3 unrolled beam rounds
+    // → top-5 + recall vs the q25 brute force, all from the same
+    // md5-plane constants and the (cos desc, id asc) total order.
+    "q478_graph_ann_beam" -> {
+      val beamRounds = (1 to 3).map { i =>
+        val prev = s"bm${i - 1}"
+        s"""xp$i AS (SELECT DISTINCT b.query_id, a.dst AS node
+           | FROM $prev b JOIN gadj a ON b.node = a.src),
+           |sx$i AS (SELECT x.query_id, x.node,
+           |  ${cosSql("q.qv", "q.qn2", "c.v", "c.n2")} AS cos
+           | FROM xp$i x JOIN m c ON x.node = c.vec_id
+           |  JOIN qs q ON q.query_id = x.query_id),
+           |un$i AS (SELECT query_id, node, max(cos) AS cos FROM (
+           |   SELECT query_id, node, cos FROM $prev
+           |   UNION ALL SELECT query_id, node, cos FROM sx$i) u
+           |  GROUP BY 1, 2),
+           |bm$i AS MATERIALIZED (SELECT query_id, node, cos
+           | FROM (SELECT query_id,
+           |   node, cos, row_number() OVER (PARTITION BY query_id
+           |     ORDER BY cos DESC, node) AS rk FROM un$i) t
+           |  WHERE rk <= 8)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $quantCte,
+        |$embedBandCtes,
+        |ce AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        | FROM bd x JOIN bd y ON x.band = y.band
+        |  AND x.band_key = y.band_key AND x.vec_id < y.vec_id
+        | WHERE x.vec_id >= 5 AND y.vec_id >= 5),
+        |eb2 AS (SELECT id1 AS src, id2 AS dst FROM ce
+        | UNION ALL SELECT id2, id1 FROM ce),
+        |es AS (SELECT eb2.src, eb2.dst, $cosExpr AS cos
+        | FROM eb2 JOIN m a ON eb2.src = a.vec_id
+        |  JOIN m b ON eb2.dst = b.vec_id),
+        |gadj AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+        |   row_number() OVER (PARTITION BY src
+        |     ORDER BY cos DESC, dst) AS rk FROM es) t WHERE rk <= 6),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM m
+        | WHERE vec_id < 5),
+        |ent AS (SELECT vec_id, v, n2 FROM m WHERE vec_id >= 5
+        | ORDER BY vec_id LIMIT 4),
+        |sc0 AS (SELECT q.query_id, e.vec_id AS node,
+        |  ${cosSql("q.qv", "q.qn2", "e.v", "e.n2")} AS cos
+        | FROM qs q CROSS JOIN ent e),
+        |bm0 AS MATERIALIZED (SELECT query_id, node, cos
+        | FROM (SELECT query_id,
+        |   node, cos, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cos DESC, node) AS rk FROM sc0) t WHERE rk <= 8),
+        |$beamRounds,
+        |ak AS (SELECT query_id, CAST(rk AS BIGINT) AS rank,
+        |  node AS neighbor_id, cos AS cosine FROM (SELECT query_id,
+        |   node, cos, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cos DESC, node) AS rk FROM bm3) t WHERE rk <= 5),
+        |exa AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY $cosExpr DESC, b.vec_id) AS rk
+        |  FROM m a JOIN m b ON a.vec_id < 5 AND b.vec_id >= 5) t
+        | WHERE rk <= 5),
+        |rc AS (SELECT ak.query_id,
+        |  CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1
+        |    ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        | FROM ak LEFT JOIN exa e ON e.query_id = ak.query_id
+        |  AND e.neighbor_id = ak.neighbor_id
+        | GROUP BY 1)
+        |SELECT ak.query_id, ak.rank, ak.neighbor_id, ak.cosine,
+        | rc.recall_ppm
+        |FROM ak JOIN rc ON rc.query_id = ak.query_id""".stripMargin
+    },
+    // q479: the 4 synchronous modularity-move rounds unrolled (the
+    // q450 CTE template) — sig/kin/candidates/score/argmax per
+    // round, then the canonical per-community report.
+    "q479_copurchase_communities" -> {
+      val moveRounds = (1 to 4).map { i =>
+        val prev = s"lv${i - 1}"
+        s"""sg$i AS (SELECT lab, CAST(sum(deg) AS BIGINT) AS sig
+           | FROM $prev l JOIN dg d ON d.v = l.v GROUP BY lab),
+           |kn$i AS MATERIALIZED (SELECT a.v, l.lab AS c,
+           |  CAST(count(*) AS BIGINT) AS kin
+           | FROM adj a JOIN $prev l ON a.u = l.v GROUP BY 1, 2),
+           |cd$i AS (SELECT v, c, max(kin) AS kin FROM (
+           |   SELECT v, c, kin FROM kn$i
+           |   UNION ALL SELECT l.v, l.lab AS c, coalesce(k.kin, 0)
+           |   FROM $prev l LEFT JOIN kn$i k
+           |    ON k.v = l.v AND k.c = l.lab) u
+           |  GROUP BY 1, 2),
+           |mv$i AS (SELECT c.v, c.c,
+           |  2 * mm.m * c.kin - d.deg * (s.sig -
+           |    CASE WHEN c.c = l.lab THEN d.deg ELSE 0 END) AS score
+           | FROM cd$i c JOIN $prev l ON l.v = c.v
+           |  JOIN dg d ON d.v = c.v JOIN sg$i s ON s.lab = c.c
+           |  CROSS JOIN mm),
+           |pk$i AS (SELECT v, c AS plab FROM (SELECT v, c,
+           |   row_number() OVER (PARTITION BY v
+           |     ORDER BY score DESC, c) AS rk FROM mv$i) t
+           |  WHERE rk = 1),
+           |lv$i AS MATERIALIZED (SELECT l.v,
+           |  CASE WHEN (l.v + $i) % 2 = 0 THEN p.plab ELSE l.lab END
+           |   AS lab
+           | FROM $prev l JOIN pk$i p ON p.v = l.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        | FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS v, pb AS u FROM e
+        | UNION SELECT pb, pa FROM e),
+        |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY v),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |lv0 AS (SELECT v, v AS lab FROM dg),
+        |$moveRounds,
+        |cm AS (SELECT lab, min(l.v) AS community,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(deg) AS BIGINT) AS total_degree
+        | FROM lv4 l JOIN dg d ON d.v = l.v GROUP BY lab),
+        |ie AS (SELECT la.lab AS lab,
+        |  CAST(count(*) AS BIGINT) AS internal_edges
+        | FROM e JOIN lv4 la ON e.pa = la.v JOIN lv4 lb ON e.pb = lb.v
+        | WHERE la.lab = lb.lab GROUP BY 1)
+        |SELECT community, n_members, total_degree,
+        | coalesce(ie.internal_edges, 0) AS internal_edges,
+        | CAST(4 * CAST(mm.m AS HUGEINT)
+        |    * coalesce(ie.internal_edges, 0)
+        |   - CAST(total_degree AS HUGEINT) * total_degree AS BIGINT)
+        |  AS q_num_contrib
+        |FROM cm LEFT JOIN ie ON ie.lab = cm.lab CROSS JOIN mm"""
+        .stripMargin
+    },
+    // q480: stream ≡ batch — the q450 full-recompute replay
+    // verbatim on the COMPLETE graph; any splice/replay error in
+    // the batched delta path lands as a value mismatch.
+    "q480_stream_incr_pagerank" -> copurchasePageRankOracle,
   )
 }

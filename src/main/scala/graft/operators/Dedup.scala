@@ -1405,6 +1405,109 @@ object Dedup {
     scores
   }
 
+  /** ONE-LEVEL MODULARITY COMMUNITY DETECTION (Louvain first level,
+    * Blondel et al. 2008; round-17, VERDICT Next #5) over an
+    * undirected (pa, pb) edge frame — the modularity-based member
+    * the graph family (centrality q450/q455/q477, components q109,
+    * cores, propagation) was missing. SYNCHRONOUS label moves with
+    * EXACT INTEGER gain arithmetic: every node starts in its own
+    * community; each round every node scores, for each community c
+    * among its neighbors' labels ∪ its own,
+    *
+    *   score(i, c) = 2m·k_in(i,c) − deg_i·(Σtot(c) − deg_i·[i ∈ c])
+    *
+    * (the standard ΔQ numerator over the common 1/(2m²) factor,
+    * with i's own degree removed from its current community's
+    * total — all BIGINT products), and adopts the argmax under the
+    * (score desc, label asc) total order. All eligible nodes move
+    * SIMULTANEOUSLY from the round-(r−1) state, so the result is
+    * move-ORDER-invariant by construction (classic sequential
+    * Louvain is order-dependent — the determinism trade a
+    * distributed implementation makes). Pure synchronous moves
+    * OSCILLATE on symmetric structures (two nodes swapping labels
+    * forever — the known distributed-Louvain pathology), so round r
+    * restricts eligibility to nodes with (v + r) even — the
+    * deterministic alternating-subset mitigation (each parity class
+    * moves on alternate rounds; a swap cycle needs both partners to
+    * move at once and cannot form). Round17Spec pins both the
+    * semantics and the convergence on a constructed bridged-
+    * triangles graph. Fixed round budget; per-round work is one
+    * label join + two bounded aggregates — O(E) shuffle-hash work,
+    * localCheckpointed label frame, no driver-side graph state.
+    *
+    * Report: one row per surviving community — canonical id =
+    * min member, member count, total degree, internal edge count,
+    * and the exact integer modularity NUMERATOR contribution
+    * 4m·in(c) − Σtot(c)² (over the common (2m)² denominator; kept
+    * as the numerator so the report stays all-integer — products
+    * ride DECIMAL(38,0) internally for the 100 TB edge counts). */
+  private[graft] def louvainOneLevelOf(edges0: DataFrame,
+      rounds: Int): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val adj = edges.select(col("pa").as("v"), col("pb").as("u"))
+      .union(edges.select(col("pb").as("v"), col("pa").as("u")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val mRow = edges.agg(count(lit(1)).as("m")).localCheckpoint()
+    var lab = deg.select(col("v"), col("v").as("lab")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val sig = lab.join(deg.hint("shuffle_hash"), "v")
+        .groupBy(col("lab")).agg(sum(col("deg")).as("sig"))
+      // k_in(v, c): v's neighbor count inside community c (round-
+      // (r−1) labels — the synchronous read)
+      val kin = adj
+        .join(lab.toDF("u", "nlab").hint("shuffle_hash"), "u")
+        .groupBy(col("v"), col("nlab")).agg(count(lit(1)).as("kin"))
+        .withColumnRenamed("nlab", "c")
+      // the current community is always a candidate, even when no
+      // neighbor lives there (k_in = 0 — the "stay" option)
+      val curr = lab.select(col("v"), col("lab").as("c"))
+        .join(kin, Seq("v", "c"), "left")
+        .select(col("v"), col("c"),
+          coalesce(col("kin"), lit(0L)).as("kin"))
+      val cands = kin.unionByName(curr)
+        .groupBy(col("v"), col("c")).agg(max(col("kin")).as("kin"))
+      val scored = cands
+        .join(lab.hint("shuffle_hash"), "v")
+        .join(deg.hint("shuffle_hash"), "v")
+        .join(sig.withColumnRenamed("lab", "c").hint("shuffle_hash"), "c")
+        .crossJoin(broadcast(mRow))
+        .withColumn("score",
+          lit(2L) * col("m") * col("kin") -
+            col("deg") * (col("sig") -
+              when(col("c") === col("lab"), col("deg"))
+                .otherwise(lit(0L))))
+      val picked = scored.groupBy(col("v"))
+        .agg(max_by(col("c"),
+          struct(col("score"), negate(col("c")))).as("plab"))
+      lab = lab.join(picked.hint("shuffle_hash"), "v")
+        .select(col("v"),
+          when((col("v") + lit(r.toLong)) % 2 === 0, col("plab"))
+            .otherwise(col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    val comm = lab.join(deg.hint("shuffle_hash"), "v")
+      .groupBy(col("lab"))
+      .agg(min(col("v")).as("community"), count(lit(1)).as("n_members"),
+        sum(col("deg")).as("total_degree"))
+    val internal = edges
+      .join(lab.toDF("pa", "la").hint("shuffle_hash"), "pa")
+      .join(lab.toDF("pb", "lb").hint("shuffle_hash"), "pb")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la")).agg(count(lit(1)).as("internal_edges"))
+      .withColumnRenamed("la", "lab")
+    comm.join(internal.hint("shuffle_hash"), Seq("lab"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_members"), col("total_degree"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        expr(
+          """CAST(4 * CAST(m AS DECIMAL(38,0))
+            | * coalesce(internal_edges, 0)
+            | - CAST(total_degree AS DECIMAL(38,0)) * total_degree
+            | AS BIGINT)""".stripMargin).as("q_num_contrib"))
+  }
+
   /** q93: duplicated-span fraction — for each doc, the fraction of
     * its 3-gram POSITIONS whose shingle also appears in ≥1 other doc
     * (the RefinedWeb/CCNet "duplicated content" quality signal; docs
@@ -2681,7 +2784,7 @@ object Dedup {
 
   /** Per-batch gram aggregate: for each k-gram, how many docs of
     * this frame contain it and the smallest such doc_id. */
-  private def gramAggOf(docs: DataFrame, k: Int): DataFrame =
+  private[graft] def gramAggOf(docs: DataFrame, k: Int): DataFrame =
     substrGrams(substrToks(docs), k)
       .select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g"))

@@ -1464,9 +1464,15 @@ object Eval {
         chi2UpperSql("CAST(chi2_milli AS DOUBLE) / 1e3", "1.0")),
       p("q463_welch_t", welchT(s, dir),
         normTwoSidedSql("CAST(t_micro AS DOUBLE) / 1e6")),
+      // greatest(…, 0): integer truncation lets ssb (hence f_micro)
+      // go slightly NEGATIVE when group means are near-identical, and
+      // pow(negative, 1/3) is NaN — which Spark casts to 0 while
+      // DuckDB errors on CAST(NaN AS BIGINT) (round-16 ADVICE; the
+      // q436 h_adj_micro clamp precedent). Clamp mirrored in the
+      // q475 oracle verbatim.
       p("q464_anova_f", anovaF(s, dir),
         chi2UpperSql(
-          "CAST(k_groups - 1 AS DOUBLE) * CAST(f_micro AS DOUBLE) / 1e6",
+          "greatest(CAST(k_groups - 1 AS DOUBLE) * CAST(f_micro AS DOUBLE) / 1e6, 0.0)",
           "CAST(k_groups - 1 AS DOUBLE)")))
     rows.reduce(_ unionByName _).localCheckpoint() // bounded: 7 rows
   }

@@ -722,22 +722,46 @@ object Relational {
     * edges (delta-as-additions — the daily-append shape). */
   private[graft] def incrementalPageRankOf(edges: DataFrame,
       isDelta: Column, iters: Int): DataFrame = {
-    def sym(e: DataFrame): DataFrame =
-      e.select(col("pa").as("v"), col("pb").as("u"))
-        .union(e.select(col("pb").as("v"), col("pa").as("u")))
-    val adjNew = sym(edges).localCheckpoint()
-    val hist = Dedup.pageRankRounds(sym(edges.filter(!isDelta)), iters)
+    val adjNew = symEdges(edges).localCheckpoint()
+    val hist = Dedup.pageRankRounds(symEdges(edges.filter(!isDelta)), iters)
+    val delta = edges.filter(isDelta)
+    val deltaVerts = delta.select(col("pa").as("v"))
+      .union(delta.select(col("pb").as("v")))
+    spliceRounds(hist, adjNew, deltaVerts, iters).last
+  }
+
+  /** Symmetrize an undirected (pa, pb) edge frame into the (v, u)
+    * adjacency the PageRank cores consume. */
+  private[graft] def symEdges(e: DataFrame): DataFrame =
+    e.select(col("pa").as("v"), col("pb").as("u"))
+      .union(e.select(col("pb").as("v"), col("pa").as("u")))
+
+  /** The q476 SPLICE LOOP factored to return EVERY round's full
+    * spliced frame, index 0..iters (round-17: q480's streaming twin
+    * stores the per-round frames between batches, so it needs all
+    * of them, not just the last). Frame r is hist(r) outside the
+    * round-r frontier ∪ the recomputed scores on it — lazily
+    * composed over the checkpointed frontier/score pieces, so a
+    * caller that only forces `.last` (q476) materializes exactly
+    * the pre-refactor plan. VALIDITY has one extra useful fixed
+    * point: when `hist` is already the per-round history of the
+    * FULL adjacency (a replayed delta whose edges are all present),
+    * the blend recomputes identical scores on the frontier and the
+    * output equals `hist` — which is what makes q480's
+    * checkpoint-replayed batches idempotent. */
+  private[graft] def spliceRounds(hist: Seq[DataFrame], adjNew: DataFrame,
+      deltaVerts: DataFrame, iters: Int): Seq[DataFrame] = {
     val degNew = adjNew.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val delta = edges.filter(isDelta)
-    var touched = delta.select(col("pa").as("v"))
-      .union(delta.select(col("pb").as("v"))).distinct()
-      .localCheckpoint()
+    var touched = deltaVerts.distinct().localCheckpoint()
     // round-0 scores are 10⁶ everywhere on BOTH runs, so the spliced
     // frame at r=0 is just the uniform init on the touched set
     var newScores = touched.select(col("v"), lit(1000000L).as("s"))
       .localCheckpoint()
-    for (r <- 1 to iters) {
+    val full0 = hist(0)
+      .join(touched.hint("shuffle_hash"), Seq("v"), "left_anti")
+      .unionByName(newScores)
+    full0 +: (1 to iters).map { r =>
       val grown = touched.union(
           adjNew.join(touched.withColumnRenamed("v", "u")
               .hint("shuffle_hash"), "u")
@@ -762,10 +786,10 @@ object Relational {
           (lit(150000L) + coalesce(col("m"), lit(0L))).as("s"))
         .localCheckpoint()
       touched = grown
+      hist(r)
+        .join(touched.hint("shuffle_hash"), Seq("v"), "left_anti")
+        .unionByName(newScores)
     }
-    hist(iters)
-      .join(touched.hint("shuffle_hash"), Seq("v"), "left_anti")
-      .unionByName(newScores)
   }
 
   /** q477: WEIGHTED PAGERANK on the co-purchase graph (round-16,
@@ -804,6 +828,19 @@ object Relational {
     Dedup.weightedPageRankOf(adj, iters)
       .select(col("v").as("part"), col("s").as("score_scaled"))
   }
+
+  /** q479: CO-PURCHASE COMMUNITIES (round-17, VERDICT Next #5) —
+    * one-level modularity communities over the q450 co-purchase
+    * graph ([[Dedup.louvainOneLevelOf]]): the "which items form a
+    * shopping neighborhood" partition an assortment planner reads
+    * next to q450's centrality (on the doc/source graph: topic/
+    * domain clusters for curation). 4 synchronous integer-gain move
+    * rounds; the oracle replays every round as unrolled CTEs (the
+    * q450 template), so community membership, sizes, internal edge
+    * counts and the integer modularity numerators match exactly. */
+  def copurchaseCommunities(s: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame =
+    Dedup.louvainOneLevelOf(copurchaseEdges(s, dir), rounds)
 
   /** q357: ASSOCIATION RULES (round-11) — the DIRECTIONAL upgrade
     * of q141/q256: a rule a→b carries support (how often the pair

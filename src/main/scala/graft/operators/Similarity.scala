@@ -1500,4 +1500,111 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("c.neg_id").as("neg_id"),
         col("c.neg_label").as("neg_label"), col("c.cosine").as("cosine"))
   }
+
+  /** q478: GRAPH-ANN BEAM SEARCH (HNSW-family; round-17, VERDICT
+    * Next #4) — the graph-based member of the ANN family §D so far
+    * covered by IVF (q38/q155/q171), PQ, SQ8 (q124) and LSH (q26):
+    * a bounded-degree proximity graph + fixed-round beam search,
+    * the single-node industry standard (HNSW/NSG) re-expressed as
+    * the iterative bounded-frontier shuffle-hash pattern of q450.
+    *
+    * INDEX BUILD (the part a 100 TB deploy runs offline): candidate
+    * edges from the q24 hyperplane-LSH banding (equi-join on
+    * (band, band_key) — never vec×vec), each scored by exact
+    * integer-quantized cosine, then top-`degree` out-edges per node
+    * with the (cosine desc, id asc) total order. Edge count ≤
+    * degree·|corpus| by construction — the bounded-degree property
+    * that makes graph ANN serveable.
+    *
+    * SEARCH: `entries` fixed entry points (smallest corpus ids —
+    * deterministic; HNSW's hierarchy is an entry-point accelerator,
+    * approximated here by the fixed-round budget), then `rounds`
+    * synchronous expansions: frontier = current beam, expand along
+    * adj (shuffle_hash), score ONLY new candidates against the
+    * broadcast query set, keep top-`beam` per query. Every round's
+    * frame is ≤ queries·beam·(degree+1) rows — localCheckpoint
+    * bounded, O(rounds) shuffles total, corpus touched only through
+    * the candidate joins (never scanned per query — the whole point
+    * vs q25's brute force).
+    *
+    * Output: approximate top-`k` per query PLUS recall_ppm vs the
+    * q25 exact brute-force top-`k` on the same query set (the q171
+    * recall-audit convention) — the row a deploy reads to decide
+    * whether the beam/degree budget meets its recall target next to
+    * q171's nprobe sweep. All comparisons ride exact integer dots →
+    * IEEE sqrt/division doubles (bit-identical cross-engine, the
+    * q124 argument); the oracle replays banding, graph build, and
+    * every beam round from the same constants. */
+  def graphAnnBeam(s: SparkSession, dir: String, dim: Int = 64,
+      degree: Int = 6, beam: Int = 8, rounds: Int = 3,
+      entries: Int = 4, k: Int = 5): DataFrame = {
+    import graft.functions.TopK
+    val q = quantized(s, dir)
+    val corpus = q.filter(col("vec_id") >= 5)
+    val cands = embedCandidatesOf(corpus, dim, DefaultNBands, DefaultBandBits)
+    val eb = cands.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(cands.select(col("id2").as("src"), col("id1").as("dst")))
+    // bounded-degree adjacency: ≤ degree out-edges per node, ranked
+    // by exact cosine (desc, dst asc) — reused every round, so the
+    // one localCheckpoint here is the index materialization itself
+    val adj = eb
+      .join(corpus.toDF("src", "sv", "sn2").hint("shuffle_hash"), "src")
+      .join(corpus.toDF("dst", "dv", "dn2").hint("shuffle_hash"), "dst")
+      .withColumn("cos",
+        cosineQ(col("sv"), col("dv"), col("sn2"), col("dn2")))
+      .groupBy(col("src"))
+      .agg(TopK.topk(degree)(col("dst"), col("cos")).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+      .localCheckpoint()
+    val queries = broadcast(q.filter(col("vec_id") < 5)
+      .toDF("query_id", "qv", "qn2"))
+    val entry = corpus.orderBy(col("vec_id")).limit(entries)
+      .select(col("vec_id").as("node"), col("v"), col("n2"))
+    var beamDf = entry.crossJoin(queries)
+      .withColumn("cos", cosineQ(col("qv"), col("v"), col("qn2"), col("n2")))
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(beam)(col("node"), col("cos")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("node"),
+        col("t.score").as("cos"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expand = beamDf.select(col("query_id"), col("node").as("src"))
+        .join(adj.hint("shuffle_hash"), "src")
+        .select(col("query_id"), col("dst").as("node")).distinct()
+        .join(corpus.toDF("node", "cv", "cn2").hint("shuffle_hash"), "node")
+        .join(queries, "query_id")
+        .withColumn("cos",
+          cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))
+        .select(col("query_id"), col("node"), col("cos"))
+      // dedup re-visited nodes per query (cos is a pure function of
+      // (query, node), so max == the one value), keep top-beam
+      beamDf = beamDf.unionByName(expand)
+        .groupBy(col("query_id"), col("node")).agg(max(col("cos")).as("cos"))
+        .groupBy(col("query_id"))
+        .agg(TopK.topk(beam)(col("node"), col("cos")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.id").as("node"),
+          col("t.score").as("cos"))
+        .localCheckpoint()
+    }
+    val approx = beamDf
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(k)(col("node"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
+    val exact = annBruteForce(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val recall = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(expr("sum(coalesce(hit, 0L)) * 1000000 div count(1)")
+        .as("recall_ppm"))
+    approx.join(recall.hint("shuffle_hash"), "query_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("recall_ppm"))
+  }
 }

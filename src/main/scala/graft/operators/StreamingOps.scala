@@ -1661,7 +1661,27 @@ object StreamingOps {
     * would always be the orphan). Dir-derived numbering resumes at
     * K+1, so the orphans age into "stale beyond grace" and the next
     * publishes sweep them. */
+  /** Last version this JVM successfully PUBLISHED per (root, name) —
+    * a single-writer fast path that spares the per-publish
+    * `Files.list` (q195 publishes per batch; round-16 VERDICT
+    * flagged the listing as the one cost coincident with the
+    * dir-derived-numbering change). Correctness is unchanged: the
+    * cache is only written by [[finishStorePublish]] (i.e. after the
+    * version dir exists and the pointer swapped), so cached+1 equals
+    * the dir-derived max+1 under the documented single-writer
+    * assumption; a crash-restarted JVM starts cold and re-derives
+    * from dirs; [[dropStore]] invalidates. A publish that fails
+    * AFTER nextStoreVersion never caches, so its retry reuses the
+    * same version and mode=overwrite clears the half-built dir —
+    * the pre-cache semantics exactly. */
+  private val lastPublished =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def storeKey(root: String, name: String): String =
+    java.nio.file.Paths.get(root).toAbsolutePath.toString + " " + name
+
   private def nextStoreVersion(root: String, name: String): Long = {
+    val cached = lastPublished.get(storeKey(root, name))
+    if (cached != null) return cached + 1L
     import scala.jdk.CollectionConverters._
     import java.nio.file.{Files, Paths}
     val rootP = Paths.get(root)
@@ -1705,6 +1725,7 @@ object StreamingOps {
     } finally listing.close()
     stale.foreach(rmTree)
     rmTree(Paths.get(storeDeltaDir(root, name)))
+    lastPublished.put(storeKey(root, name), version)
   }
 
   /** SCOPED compaction publisher (q385 hardening): fold ONLY the
@@ -1811,6 +1832,7 @@ object StreamingOps {
       finally listing.close()
     dirs.foreach(rmTree)
     rmTree(Paths.get(storeDeltaDir(root, name)))
+    lastPublished.remove(storeKey(root, name))
   }
 
   /** Clear ONLY store `name`'s delta dir (the base and pointer stay
@@ -2374,5 +2396,110 @@ object StreamingOps {
     Events.gumbelTailOf(
       s.read.parquet(out).groupBy(col("event_type"), col("h"))
         .agg(max_by(col("m"), col("batch")).as("m")))
+  }
+
+  // ---------------------------------------------------------------
+  // q480: STREAMING INCREMENTAL PAGERANK (round-17, VERDICT Next
+  // #6) — q476's batch-form delta maintenance in its operational
+  // 100 TB shape: the WAL delivers the daily edge delta and
+  // foreachBatch splices scores through Relational.spliceRounds.
+  // State = ONE versioned store holding both the cumulative edge
+  // set and every per-round score frame (rows tagged kind='e'/'s'),
+  // so each batch's publish is a SINGLE atomic pointer swap — a
+  // crash can never leave edges and score history at different
+  // versions, and a checkpoint-replayed batch hits spliceRounds'
+  // fixed point (edges already present → splice ≡ stored history).
+  // Gate = stream ≡ batch: after the stream drains, the round-
+  // `iters` frame must equal the FULL q450 recompute on the whole
+  // graph — the oracle is copurchasePageRankOracle verbatim (the
+  // q452/q471 discipline).
+  // ---------------------------------------------------------------
+
+  /** The q480 state frame: cumulative edges (kind 'e') ∪ per-round
+    * score frames (kind 's', round 0..iters) in one schema. */
+  private def prStateOf(edges: DataFrame,
+      rounds: Seq[DataFrame]): DataFrame =
+    edges.select(lit("e").as("kind"), lit(-1L).as("round"),
+        col("pa").as("a"), col("pb").as("b"))
+      .unionByName(rounds.zipWithIndex.map { case (f, r) =>
+        f.select(lit("s").as("kind"), lit(r.toLong).as("round"),
+          col("v").as("a"), col("s").as("b"))
+      }.reduce(_ unionByName _))
+
+  /** Publish the initial graph + its full per-round PageRank
+    * history as state version 0. */
+  private[graft] def initIncrementalPageRank(s: SparkSession,
+      stateRoot: String, init: DataFrame, iters: Int): Unit =
+    publishStore(s, stateRoot, "prstate",
+      prStateOf(init.localCheckpoint(),
+        graft.operators.Dedup.pageRankRounds(
+          Relational.symEdges(init), iters)),
+      Seq.empty)
+
+  /** ONE micro-batch of the q480 protocol (factored so Round17Spec
+    * can drive batches directly — replay a batch, check the fixed
+    * point): read state, fold the batch's edges in, splice the
+    * per-round history on the delta frontier, publish the new state
+    * atomically. Per-batch compute is O(edges into the frontier)
+    * (the q476 bound), never a full recompute. */
+  private[graft] def incrementalPageRankBatch(s: SparkSession,
+      stateRoot: String, batch: DataFrame, iters: Int): Unit = {
+    val st = s.read.parquet(storeBaseDir(stateRoot, "prstate").get)
+    val edges = st.filter(col("kind") === "e")
+      .select(col("a").as("pa"), col("b").as("pb")).localCheckpoint()
+    val hist = (0 to iters).map(r =>
+      st.filter(col("kind") === "s" && col("round") === r)
+        .select(col("a").as("v"), col("b").as("s")).localCheckpoint())
+    val bE = batch.select(col("pa"), col("pb")).distinct()
+      .localCheckpoint()
+    val newEdges = edges.unionByName(bE).distinct().localCheckpoint()
+    val adjNew = Relational.symEdges(newEdges).localCheckpoint()
+    val deltaVerts = bE.select(col("pa").as("v"))
+      .union(bE.select(col("pb").as("v")))
+    val spliced = Relational.spliceRounds(hist, adjNew, deltaVerts, iters)
+    publishStore(s, stateRoot, "prstate",
+      prStateOf(newEdges, spliced), Seq.empty)
+  }
+
+  /** q480: the gated query — stage the initial ~85% co-purchase
+    * graph with its round history, stream the 3 held-out edge
+    * slices as a JSONL delta feed (maxFilesPerTrigger = 1 → one
+    * slice per micro-batch), splice per batch, and read the final
+    * round-`iters` frame. Output (part, score_scaled) must equal
+    * q450 on the COMPLETE graph however the delta was batched or
+    * replayed. */
+  def streamIncrementalPageRank(s: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val stage = stagingRoot("q480", dir)
+    val stateRoot = s"$stage/state"
+    val inDir = s"$stage/in"; val ckpt = s"$stage/ckpt"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateRoot))
+    val edges = Relational.copurchaseEdges(s, dir).localCheckpoint()
+    val slice = (col("pa") * 31 + col("pb")) % 20
+    initIncrementalPageRank(s, stateRoot, edges.filter(slice >= 3), iters)
+    edges.filter(slice < 3).withColumn("sl", slice)
+      .repartitionByRange(3, col("sl"))
+      .select(col("pa"), col("pb")).toJSON
+      .write.mode("overwrite").text(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pa",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pb",
+        org.apache.spark.sql.types.LongType)))
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        incrementalPageRankBatch(s, stateRoot, df, iters)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(storeBaseDir(stateRoot, "prstate").get)
+      .filter(col("kind") === "s" && col("round") === iters)
+      .select(col("a").as("part"), col("b").as("score_scaled"))
   }
 }

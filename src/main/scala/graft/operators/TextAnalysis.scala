@@ -2170,6 +2170,20 @@ object TextAnalysis {
     singles.unionByName(merged).distinct().localCheckpoint()
   }
 
+  /** SURFACE length of the longest piece in a frozen WordPiece
+    * vocabulary ('##' continuations contribute len-2) — the
+    * candidate cap [[wpSegment]] needs for longest-match-first to
+    * honor the WHOLE vocabulary. Round-16 ADVICE: the old rounds+1
+    * cap silently excluded compounded merges (a round-2 merge of two
+    * round-1 merges already spans 4 surface chars, round 3 up to 8),
+    * so learned pieces longer than the cap could never match at
+    * apply. Bounded action: a 1-row max over the vocab frame. */
+  private[graft] def wpMaxPieceLen(vocab: DataFrame): Int =
+    vocab.agg(coalesce(max(
+      when(col("piece").startsWith("##"), length(col("piece")) - 2)
+        .otherwise(length(col("piece")))), lit(1)).cast("int"))
+      .head.getInt(0)
+
   /** Greedy longest-match-first WordPiece segmentation of a word
     * table against a frozen two-namespace vocabulary: at pos = 1
     * candidates match bare, at pos > 1 in the '##' namespace;
@@ -2222,7 +2236,7 @@ object TextAnalysis {
     val vocab = wpVocab(trainWords(s, dir).localCheckpoint(), rounds)
     wpSegment(
       holdoutWords(Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)),
-      vocab, rounds + 1)
+      vocab, wpMaxPieceLen(vocab))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_vocab"),
         sum(col("freq")).as("n_words"),
@@ -2254,8 +2268,9 @@ object TextAnalysis {
         .select(lit(name).as("family"), col("n_words"), col("n_pieces"),
           expr("n_pieces * 1000000 div n_words")
             .as("pieces_per_word_micro"))
+    val wpV = wpVocab(train, 4)
     val wp = report("wordpiece",
-      wpSegment(hold, wpVocab(train, 4), 5)
+      wpSegment(hold, wpV, wpMaxPieceLen(wpV))
         .select(col("freq"), size(col("picks")).cast("long").as("n_pieces")))
     val ug = report("unigram",
       segmentWords(hold, unigramVocab(train, 200, 50))

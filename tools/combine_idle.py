@@ -10,6 +10,50 @@ def load(path):
     return json.loads(line[line.index('{'):])
 
 
+WARMUP_DESC = {
+    "small": ("per-entry untimed warm-up at sf0.001 (same codegen/JIT/"
+              "operator init, ~100x less data) plus a full-table "
+              "page-cache pre-read and two sf0.1 streaming burn-in "
+              "gates for the shared C2-JIT row loops"),
+    "full": "per-entry untimed warm-up pass at the timed SF",
+    "session": "one untimed pass over 4 representative entries only",
+    "none": "no warm-up (coldest numbers)",
+}
+
+
+def method(runs, keys):
+    """Generate the methodology note FROM the run data (round-16
+    ADVICE: the old hardcoded text claimed completeness and
+    'small'-mode warm-up regardless of inputs)."""
+    coverage = []
+    for i, r in enumerate(runs, 1):
+        missing = len(keys) - len(r["queries"])
+        if missing:
+            coverage.append(f"run {i} is PARTIAL ({len(r['queries'])}/"
+                            f"{len(keys)} entries)")
+    cov = ("; ".join(coverage) + "; per-entry minimum is over the runs "
+           "that have the entry. " if coverage
+           else "All entries present in every run. ")
+    warms = [r.get("warmup", "full") for r in runs]
+    if len(set(warms)) == 1:
+        warm = (f"Warm-up mode '{warms[0]}' in every run: "
+                f"{WARMUP_DESC.get(warms[0], 'unknown mode')}. ")
+    else:
+        warm = ("MIXED warm-up modes ("
+                + ", ".join(f"run {i}: '{w}'"
+                            for i, w in enumerate(warms, 1))
+                + ") — per-run totals are not directly comparable; "
+                + " ".join(f"'{m}' = {WARMUP_DESC.get(m, 'unknown')}."
+                           for m in dict.fromkeys(warms)) + " ")
+    return (
+        f"{len(runs)} graft.Bench sweeps, per-entry minimum. " + cov
+        + "Bench keeps the default state-store maintenance interval "
+        "and unloads retained providers deterministically between "
+        "entries (StateStoreHooks, the r14 root-cause fix). " + warm
+        + "/proc/loadavg sampled around each sweep (loadavg_per_run) "
+        "so drift analyses can cite measured host contention.")
+
+
 def main(round_no, prev_path, out_path, run_paths):
     runs = [load(p) for p in run_paths]
     keys = set()
@@ -48,26 +92,11 @@ def main(round_no, prev_path, out_path, run_paths):
         "cpus": 32,
         "runs": len(runs),
         "totals_per_run_sec": [round(r["value"], 1) for r in runs],
-        "warmup_mode": runs[0].get("warmup", "full"),
+        "warmup_mode_per_run": [r.get("warmup", "full") for r in runs],
         "loadavg_per_run": [
             {"before": r.get("loadavg_before"),
              "after": r.get("loadavg_after")} for r in runs],
-        "method": (
-            f"{len(runs)} full graft.Bench sweeps on an idle container, "
-            "per-entry minimum. All entries present in every run. Bench "
-            "keeps the default state-store maintenance interval and "
-            "unloads retained providers deterministically between "
-            "entries (StateStoreHooks, the r14 root-cause fix). "
-            "Warm-up mode '" + runs[0].get("warmup", "full") + "' "
-            "(round-16): per-entry untimed warm-up runs at sf0.001 "
-            "(same codegen/JIT/operator init, ~100x less data) plus a "
-            "full-table page-cache pre-read and two sf0.1 streaming "
-            "burn-in gates for the shared C2-JIT row loops — halves "
-            "the sweep wall-clock vs the old full-SF warm-up pass "
-            "(A/B: timed totals statistically indistinguishable, run "
-            "noise dominates). /proc/loadavg sampled around each "
-            "sweep (loadavg_per_run) so drift analyses can cite "
-            "measured host contention."),
+        "method": method(runs, keys),
         "failed_entries": failed,
         "min_total_sec": round(sum(v for v in mins.values() if v > 0), 2),
         "queries_min_sec": mins,
