@@ -96,4 +96,23 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** r17 optimization (guide §2.5, unsplittable-input treatment):
+    * spread `df` across the session's full parallelism when its scan
+    * yields fewer partitions than cores — the local single-file
+    * parquet datasets otherwise serialize every downstream per-row
+    * computation (md5 shingling, vector quantization, codec decode)
+    * onto ONE task. Identity — no shuffle — whenever the scan is
+    * already at least core-parallel, which is every cluster-scale
+    * layout; the round-robin exchange is deterministic
+    * (sortBeforeRepartition, default on) and every operator in this
+    * library is partition- and order-invariant by construction (the
+    * oracle-replayability house rule), so results are unchanged. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
+  /** [[spread]] with the session taken from the frame. */
+  def spread(df: DataFrame): DataFrame = spread(df.sparkSession, df)
 }

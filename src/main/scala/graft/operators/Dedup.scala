@@ -47,8 +47,10 @@ object Dedup {
   /** Same operator over any (doc_id, text) DataFrame. */
   def ngramJaccardOf(docs: DataFrame, threshold: Double = 0.5,
       postingCap: Int = Int.MaxValue): DataFrame =
+    // r17: Tables.spread — the local single-file corpus otherwise
+    // shingles on ONE task (guide §2.5); identity at cluster scale
     ngramJaccardShingles(
-      docs.select(col("doc_id"), shingles3(col("text")).as("sh")),
+      Tables.spread(docs).select(col("doc_id"), shingles3(col("text")).as("sh")),
       threshold, postingCap)
 
   /** Same operator over a PRE-EXTRACTED (doc_id, sh) shingle frame —
@@ -210,7 +212,9 @@ object Dedup {
   /** [[minhashBandsOf]] over a pre-extracted (doc_id, sh) shingle
     * frame — the q133 shared-extraction seam. */
   def minhashBandsOfShingles(sh: DataFrame): DataFrame = {
-    val withSig = sh
+    // r17: Tables.spread — 8 md5 per shingle is the hottest per-row
+    // loop in the dedup family; a single-file scan runs it serially
+    val withSig = Tables.spread(sh)
       .withColumn("hs", org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -380,9 +384,16 @@ object Dedup {
     * q112 gates exactly that composition (one banding pass, every
     * downstream decision from it). */
   def components(edges: DataFrame, pointerDoubling: Boolean = false): DataFrame = {
+    // r17 optimization (guide §2.4): hash-partition the (static)
+    // adjacency by the join key ONCE at materialization —
+    // localCheckpoint preserves outputPartitioning, so every
+    // iteration's shuffle-hash join exchanges only the label frame
+    // (whose groupBy/join chain is itself v-partitioned round to
+    // round), not the edge list. One up-front shuffle of the edges
+    // replaces one per round, at any scale.
     val adj = edges.select(col("d1").as("v"), col("d2").as("u"))
       .union(edges.select(col("d2").as("v"), col("d1").as("u")))
-      .localCheckpoint()
+      .repartition(col("u")).localCheckpoint()
     var labels = adj.select(col("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
     var changed = 1L
@@ -599,8 +610,10 @@ object Dedup {
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     // one row per token; the 128-bit md5 decoded with TWO conv calls
     // (nibbles 0-14 as a 60-bit long, nibble 15 separately) so the 64
-    // bit extracts below are pure integer shifts
-    val tok = docs
+    // bit extracts below are pure integer shifts.
+    // r17: Tables.spread — per-token md5 on a single-file scan is
+    // otherwise serial (guide §2.5); identity at cluster scale
+    val tok = Tables.spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
       .withColumn("hi", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
@@ -906,7 +919,8 @@ object Dedup {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val query = s.readStream.schema(schema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).json(inDir)
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
@@ -914,9 +928,7 @@ object Dedup {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
   }
 
   /** Assemble the q326 verdict report from the match-evidence store:
@@ -1179,7 +1191,9 @@ object Dedup {
     val fps = array_distinct(transform(
       sequence(lit(0), size(col("hs")) - w),
       j => array_min(slice(col("hs"), j + 1, lit(w)))))
-    docs
+    // r17: Tables.spread — per-trigram md5 on a single-file scan is
+    // otherwise serial (guide §2.5); identity at cluster scale
+    Tables.spread(docs)
       // need ≥ w trigram windows ⇒ ≥ w+2 tokens (sequence guard too)
       .filter(size(toks) >= w + 2)
       .select(col("doc_id"), hashes.as("hs"))
@@ -1310,12 +1324,26 @@ object Dedup {
     val base = seedCol.select(col("v"),
         (col("is_seed") * 150000L).as("b"))
       .localCheckpoint() // bounded: one row per vertex, reused per round
+    // r17 optimization (guide §2.4 — loop-invariant work out of the
+    // loop): the out-degree never changes across rounds, so join it
+    // onto the adjacency ONCE instead of once per iteration. The old
+    // loop paid, per round, a full deg recompute (scan + exchange +
+    // agg over the checkpointed adj) plus a shuffle-hash join; now
+    // both happen once. deg is unique per u and the join is inner
+    // 1:1, so the contribution rows — and every integer share — are
+    // bit-identical to the per-round-join form.
+    val adjDeg0 = adj.join(deg.hint("shuffle_hash"), "u")
+      .select(col("v"), col("u"), col("deg"))
+    // hash-partitioned by the loop's join key at materialization, so
+    // each round exchanges only the score frame (see components)
+    val adjDeg =
+      if (checkpoint) adjDeg0.repartition(col("u")).localCheckpoint()
+      else adjDeg0
     var scores = base.select(col("v"),
       when(col("b") > 0L, lit(1000000L)).otherwise(lit(0L)).as("s"))
     for (_ <- 1 to iters) {
-      val contrib = adj
+      val contrib = adjDeg
         .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
-        .join(deg.hint("shuffle_hash"), "u")
         .select(col("v"), expr("s div deg").as("share"))
       val next = base
         .join(contrib.groupBy(col("v"))
@@ -1348,12 +1376,17 @@ object Dedup {
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val verts = deg.select(col("u").as("v"))
+    // r17 optimization: loop-invariant degree joined once (see
+    // pageRankOf) — one fewer shuffle-hash join per round, shares
+    // bit-identical.
+    val adjDeg = adj.join(deg.hint("shuffle_hash"), "u")
+      .select(col("v"), col("u"), col("deg"))
+      .repartition(col("u")).localCheckpoint()
     var scores = verts.select(col("v"), lit(1000000L).as("s"))
       .localCheckpoint()
     scores +: (1 to iters).map { _ =>
-      val contrib = adj
+      val contrib = adjDeg
         .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
-        .join(deg.hint("shuffle_hash"), "u")
         .select(col("v"), expr("s div deg").as("share"))
       scores = verts
         .join(contrib.groupBy(col("v"))
@@ -1384,12 +1417,17 @@ object Dedup {
     val wdeg = adj.groupBy(col("u"))
       .agg(sum(col("w")).as("sw")).localCheckpoint()
     val verts = wdeg.select(col("u").as("v"))
+    // r17 optimization: loop-invariant weight total joined once (see
+    // pageRankOf) — one fewer shuffle-hash join per round, shares
+    // bit-identical.
+    val adjW = adj.join(wdeg.hint("shuffle_hash"), "u")
+      .select(col("v"), col("u"), col("w"), col("sw"))
+      .repartition(col("u")).localCheckpoint()
     var scores = verts.select(col("v"), lit(1000000L).as("s"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = adj
+      val contrib = adjW
         .join(scores.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
-        .join(wdeg.hint("shuffle_hash"), "u")
         .select(col("v"), expr(
           """CAST(CAST(s AS DECIMAL(38,0)) * w div nullif(sw, 0)
             | AS BIGINT)""".stripMargin).as("share"))
@@ -1952,9 +1990,10 @@ object Dedup {
     * edge list — the generic seam (same policy as [[kCoreOf]]). */
   private[graft] def labelPropagationOf(edges: DataFrame,
       rounds: Int): DataFrame = {
+    // r17: partitioned by the loop's join key once (see components)
     val und = edges.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(edges.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
+      .repartition(col("b")).localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -2004,8 +2043,11 @@ object Dedup {
     // checkpoint=false keeps the composed plan visible (PlanSpec pins
     // the per-hop join shape through it — the q94 policy)
     def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
-    val adj = cp(edges.select(col("d1").as("v"), col("d2").as("u"))
-      .union(edges.select(col("d2").as("v"), col("d1").as("u"))))
+    // r17: partitioned by the loop's join key once (see components);
+    // checkpoint=false keeps the pinned plan shape untouched
+    val adj0 = edges.select(col("d1").as("v"), col("d2").as("u"))
+      .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+    val adj = cp(if (checkpoint) adj0.repartition(col("u")) else adj0)
     var settled = cp(adj.select(col("u")).distinct()
       .filter(col("u") % seedMod === 0)
       .select(col("u").as("v"), lit(0L).as("hops")))
@@ -2050,18 +2092,23 @@ object Dedup {
     * path reads it back, never the base edges. */
   def bfsDelta(s: SparkSession, dir: String, maxHops: Int = 4,
       seedMod: Long = 10L): DataFrame = {
+    // r17: band ONCE and reuse the checkpointed pair set for the
+    // base split, the delta split, AND the full adjacency — the old
+    // shape re-ran the whole MinHash banding (the md5-heavy pass)
+    // a second time for the relax step's allEdges (guide §1.2)
     val edges = minhashLsh(s, dir)
       .withColumn("__b", Sampling.hashBucket(
         concat(lit("bfs|"), col("d1").cast("string"), lit("|"),
           col("d2").cast("string"))) % 5)
+      .localCheckpoint()
     val base = edges.filter(col("__b") =!= 0).drop("__b")
-    val delta = edges.filter(col("__b") === 0).drop("__b").localCheckpoint()
+    val delta = edges.filter(col("__b") === 0).drop("__b")
     val stage = graft.operators.StreamingOps.stagingRoot("q324", dir)
     bfsHopsOf(base, maxHops, seedMod)
       .write.mode("overwrite").parquet(s"$stage/bfs_index")
     val baseDist = s.read.parquet(s"$stage/bfs_index")
       .select(col("doc_id").as("v"), col("hops"))
-    bfsRelaxOf(s, baseDist, minhashLsh(s, dir), delta, maxHops, seedMod)
+    bfsRelaxOf(s, baseDist, edges.drop("__b"), delta, maxHops, seedMod)
   }
 
   /** [[bfsDelta]]'s relaxation core over explicit frames: persisted
@@ -2070,9 +2117,10 @@ object Dedup {
   private[graft] def bfsRelaxOf(s: SparkSession, baseDist: DataFrame,
       allEdges: DataFrame, delta: DataFrame, maxHops: Int,
       seedMod: Long): DataFrame = {
+    // r17: partitioned by the loop's join key once (see components)
     val adjAll = allEdges.select(col("d1").as("u"), col("d2").as("v"))
       .union(allEdges.select(col("d2").as("u"), col("d1").as("v")))
-      .localCheckpoint()
+      .repartition(col("u")).localCheckpoint()
     val deltaAdj = delta.select(col("d1").as("u"), col("d2").as("v"))
       .union(delta.select(col("d2").as("u"), col("d1").as("v")))
     // (b) delta-introduced seeds: seed-id vertices absent from the
@@ -2119,7 +2167,10 @@ object Dedup {
     * Cost: the exact generator it audits + two id-keyed
     * shuffle-hash signature joins (ids shuffle, not shingle sets). */
   def minhashEstimatorAudit(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir)
+    // r17: spread — the signature pass (8 md5/shingle) feeds two
+    // differently-keyed joins, so it executes twice; spreading keeps
+    // both passes parallel on a single-file scan (guide §2.5)
+    val sig = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .withColumn("hs",
         org.apache.spark.sql.graft.MinHashMd5.column(col("sh"), 8))
@@ -2522,7 +2573,9 @@ object Dedup {
   }
 
   private def substrToks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // r17: Tables.spread — the gram explode + ownership agg over a
+    // single-file scan is otherwise serial (guide §2.5)
+    Tables.spread(docs).select(col("doc_id"), tokens(col("text")).as("tk"))
 
   /** Positional k-gram stream: posexplode's index IS the 0-based
     * token start position of the gram. */
@@ -2905,7 +2958,8 @@ object Dedup {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val query = s.readStream.schema(schema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).json(inDir)
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
@@ -2913,9 +2967,7 @@ object Dedup {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
   }
 
   /** q412: STREAMING ExactSubstr under the oracle gate — the q384

@@ -486,7 +486,13 @@ object Multimodal {
       tag: String): String = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (id % 13 + 4).toInt; val h = (id % 7 + 3).toInt
@@ -623,7 +629,13 @@ object Multimodal {
       tag: String): String = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
@@ -751,7 +763,13 @@ object Multimodal {
   private[graft] def codecDhashStats(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
         // COARSENED gradient: compare 32-level gray buckets, not raw
@@ -814,7 +832,13 @@ object Multimodal {
   def bmpDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot("q459", dir)}/media"
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
@@ -978,7 +1002,13 @@ object Multimodal {
       tag: String): String = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val channels = (id % 2 + 1).toInt
@@ -1280,7 +1310,8 @@ object Multimodal {
     val out = s"$stage/out"; val ckpt = s"$stage/ckpt"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
     val mediaSchema = s.read.parquet(media).schema
-    val query = s.readStream.schema(mediaSchema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(mediaSchema)
       .option("maxFilesPerTrigger", 8).parquet(media)
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
@@ -1295,9 +1326,7 @@ object Multimodal {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     s.read.parquet(out).distinct()
   }
 
@@ -1338,7 +1367,13 @@ object Multimodal {
       maxHam: Int = 2): DataFrame = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot("q420", dir)}/media"
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val frames = (id % 400 + 50).toInt
@@ -1457,7 +1492,13 @@ object Multimodal {
       tag: String): String = {
     import s.implicits._
     val media = s"${StreamingOps.stagingRoot(tag, dir)}/media"
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (4 + (id % 3) * 2).toInt
@@ -1671,7 +1712,8 @@ object Multimodal {
     val out = s"$stage/out"; val ckpt = s"$stage/ckpt"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
     val mediaSchema = s.read.parquet(media).schema
-    val query = s.readStream.schema(mediaSchema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(mediaSchema)
       .option("maxFilesPerTrigger", 8).parquet(media)
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
@@ -1698,9 +1740,7 @@ object Multimodal {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     s.read.parquet(out).distinct()
   }
 
@@ -1751,7 +1791,13 @@ object Multimodal {
       .agg(max(col("doc_id"))).collect()(0).getLong(0)
     require(maxId < 10000000L, s"twin-id keyspace collision: " +
       s"max(doc_id)=$maxId >= 1e7 — widen the twin offset")
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+      // r17: spread — media ENCODE on a single-file id scan is
+      // otherwise serial, and the 1-file staged parquet then
+      // serializes every downstream decode scan (guide §2.5); the
+      // spread write stages ~core-count files, so decode scans stay
+      // parallel WITHOUT any exchange in the decode plans themselves
+      .as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w = (4 + (id % 3) * 2).toInt
@@ -1843,7 +1889,8 @@ object Multimodal {
     val store = s"$stage/store"; val ckpt = s"$stage/ckpt"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
     val mediaSchema = s.read.parquet(media).schema
-    val query = s.readStream.schema(mediaSchema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(mediaSchema)
       .option("maxFilesPerTrigger", 8).parquet(media)
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
@@ -1854,9 +1901,7 @@ object Multimodal {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     videoNearDupOf(s.read.parquet(store).distinct(), maxHam)
   }
 

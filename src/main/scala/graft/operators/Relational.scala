@@ -753,6 +753,17 @@ object Relational {
       deltaVerts: DataFrame, iters: Int): Seq[DataFrame] = {
     val degNew = adjNew.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // r17 optimization: loop-invariant degree joined onto the
+    // adjacency once (the Dedup.pageRankOf treatment) — one fewer
+    // shuffle-hash join per spliced round; the extra deg column is
+    // inert in the frontier-growth join. Shares bit-identical.
+    // partitioned by v: the frontier left_semi (the round's FIRST
+    // join, which prunes to O(edges-into-frontier)) then elides the
+    // adjacency exchange; the u-keyed score join downstream runs on
+    // the pruned frame only
+    val adjDeg = adjNew.join(degNew.hint("shuffle_hash"), "u")
+      .select(col("v"), col("u"), col("deg"))
+      .repartition(col("v")).localCheckpoint()
     var touched = deltaVerts.distinct().localCheckpoint()
     // round-0 scores are 10⁶ everywhere on BOTH runs, so the spliced
     // frame at r=0 is just the uniform init on the touched set
@@ -763,7 +774,7 @@ object Relational {
       .unionByName(newScores)
     full0 +: (1 to iters).map { r =>
       val grown = touched.union(
-          adjNew.join(touched.withColumnRenamed("v", "u")
+          adjDeg.join(touched.withColumnRenamed("v", "u")
               .hint("shuffle_hash"), "u")
             .select(col("v")))
         .distinct().localCheckpoint()
@@ -772,10 +783,9 @@ object Relational {
       val blended = hist(r - 1)
         .join(touched.hint("shuffle_hash"), Seq("v"), "left_anti")
         .unionByName(newScores)
-      val contrib = adjNew
+      val contrib = adjDeg
         .join(grown.hint("shuffle_hash"), Seq("v"), "left_semi")
         .join(blended.withColumnRenamed("v", "u").hint("shuffle_hash"), "u")
-        .join(degNew.hint("shuffle_hash"), "u")
         .select(col("v"), expr("s div deg").as("share"))
       newScores = grown
         .join(contrib.groupBy(col("v"))

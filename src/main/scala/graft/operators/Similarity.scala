@@ -17,9 +17,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** vec_id, v: quantized int vector, n2: exact squared norm. */
+  /** vec_id, v: quantized int vector, n2: exact squared norm.
+    * r17: the scan rides [[Tables.spread]] — the local single-file
+    * embeddings layout otherwise quantizes (and LSH-bands) the whole
+    * corpus on ONE task; identity at cluster scale. */
   def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
       .withColumn("n2", org.apache.spark.sql.graft.LongArrayDot.column(col("v"), col("v")))
@@ -1418,7 +1421,8 @@ object Similarity {
       .write.mode("overwrite").text(inDir)
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("v", ArrayType(LongType))))
-    val query = s.readStream.schema(schema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).json(inDir)
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
@@ -1426,9 +1430,7 @@ object Similarity {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
   }
 
   /** q385: STREAMING IVF-index maintenance under the oracle gate —
@@ -1542,21 +1544,41 @@ object Similarity {
     val q = quantized(s, dir)
     val corpus = q.filter(col("vec_id") >= 5)
     val cands = embedCandidatesOf(corpus, dim, DefaultNBands, DefaultBandBits)
-    val eb = cands.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(cands.select(col("id2").as("src"), col("id1").as("dst")))
+    // r17 optimization (guide §1.2 — don't compute things twice):
+    // score each candidate PAIR once and mirror the scored edge,
+    // instead of mirroring first and scoring both directions — the
+    // exact-cosine verify (the expensive half of the index build)
+    // halves, and the two corpus lookup joins run on half the rows.
+    // cosineQ is symmetric in its operands (element products and the
+    // norm factors commute), so the mirrored edge carries the
+    // bit-identical double. localCheckpoint pins the scored pairs so
+    // the union's two branches don't re-execute the verify joins.
+    val scored = cands
+      .join(corpus.toDF("id1", "v1", "n21").hint("shuffle_hash"), "id1")
+      .join(corpus.toDF("id2", "v2", "n22").hint("shuffle_hash"), "id2")
+      .withColumn("cos",
+        cosineQ(col("v1"), col("v2"), col("n21"), col("n22")))
+      .select(col("id1"), col("id2"), col("cos"))
+      .localCheckpoint()
     // bounded-degree adjacency: ≤ degree out-edges per node, ranked
     // by exact cosine (desc, dst asc) — reused every round, so the
     // one localCheckpoint here is the index materialization itself
-    val adj = eb
-      .join(corpus.toDF("src", "sv", "sn2").hint("shuffle_hash"), "src")
-      .join(corpus.toDF("dst", "dv", "dn2").hint("shuffle_hash"), "dst")
-      .withColumn("cos",
-        cosineQ(col("sv"), col("dv"), col("sn2"), col("dn2")))
+    // (r17) adj and the corpus lookup are joined once per beam round
+    // on a static key — hash-partition them ONCE at materialization
+    // (localCheckpoint preserves outputPartitioning), so each round's
+    // shuffle-hash join exchanges only the beam frame, not the index
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange; the index IS the reused side).
+    val adj = scored.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
+      .union(scored.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
       .groupBy(col("src"))
       .agg(TopK.topk(degree)(col("dst"), col("cos")).as("top"))
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.id").as("dst"))
+      .repartition(col("src"))
       .localCheckpoint()
+    val corpusByNode = corpus.toDF("node", "cv", "cn2")
+      .repartition(col("node")).localCheckpoint()
     val queries = broadcast(q.filter(col("vec_id") < 5)
       .toDF("query_id", "qv", "qn2"))
     val entry = corpus.orderBy(col("vec_id")).limit(entries)
@@ -1570,10 +1592,15 @@ object Similarity {
         col("t.score").as("cos"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // (r17) no pre-join distinct: duplicate (query, node)
+      // expansions are ≤ beam·degree rows and the dedup groupBy
+      // below collapses them anyway (cos is a pure function of the
+      // pair, so max over duplicates is the one value) — dropping
+      // the distinct removes one exchange per round
       val expand = beamDf.select(col("query_id"), col("node").as("src"))
         .join(adj.hint("shuffle_hash"), "src")
-        .select(col("query_id"), col("dst").as("node")).distinct()
-        .join(corpus.toDF("node", "cv", "cn2").hint("shuffle_hash"), "node")
+        .select(col("query_id"), col("dst").as("node"))
+        .join(corpusByNode.hint("shuffle_hash"), "node")
         .join(queries, "query_id")
         .withColumn("cos",
           cosineQ(col("qv"), col("cv"), col("qn2"), col("cn2")))

@@ -75,6 +75,49 @@ object StreamingOps {
     java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-$tag-${dirKey(dir)}").toString
 
+  /** Total bytes of regular files under `d` (0 when absent). */
+  private[graft] def dirBytes(d: String): Long = {
+    val p = java.nio.file.Paths.get(d)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val w = java.nio.file.Files.walk(p)
+      try w.filter(java.nio.file.Files.isRegularFile(_)).mapToLong { f =>
+        try java.nio.file.Files.size(f)
+        catch { case _: java.io.IOException => 0L }
+      }.sum()
+      finally w.close()
+    }
+  }
+
+  /** r17 optimization (guide §2.2/§2.5): run a streaming gate with
+    * SCALE-ADAPTIVE shuffle/state partitioning — partitions =
+    * ceil(staged input bytes / 32 MB), clamped to [1, the session's
+    * setting]. AQE never applies to streaming plans, so a stateful
+    * query otherwise commits one state-store instance per SESSION
+    * shuffle partition per micro-batch regardless of input size —
+    * measured on this host at ~30 ms per partition per batch, i.e.
+    * a local-scale WAL paid ~1 s/batch of pure store-commit overhead
+    * at 32 partitions for kilobytes of state. A cluster-scale input
+    * hits the clamp's upper bound and keeps the session's
+    * cluster-sized setting, so this is the input-derived sizing the
+    * optimization guide prescribes, not a local-mode constant. The
+    * session value is restored on every exit path; every gate's
+    * result is partition-count-invariant by the house
+    * oracle-replayability rule and re-gated by full DuckDB parity.
+    * `sizedDir` is the gate's staging root, measured AFTER the WAL
+    * is staged and BEFORE the stream starts. */
+  private[graft] def runAdaptive(s: SparkSession, sizedDir: String,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val target = 32L << 20
+    val parts = math.max(1L, math.min(prev.toLong,
+      (dirBytes(sizedDir) + target - 1) / target))
+    s.conf.set(key, parts.toString)
+    try { val q = w.start(); q.awaitTermination() }
+    finally s.conf.set(key, prev)
+  }
+
   private[operators] def stagingRoot(tag: String, dir: String): String = {
     val stagePath = java.nio.file.Paths.get(stagingPath(tag, dir))
     if (java.nio.file.Files.exists(stagePath)) {
@@ -103,15 +146,14 @@ object StreamingOps {
       .withColumn("value", col("cells")(0)("value").cast("double"))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-    val query = counts.writeStream
+    runAdaptive(s, stage,
+      counts.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("overwrite").parquet(out)
       }
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .select(unix_micros(col("window.start")).as("window_start"),
         col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
@@ -138,15 +180,14 @@ object StreamingOps {
       .withColumn("event_time", timestamp_micros(col("ts")))
       .groupBy(col("rowkey"), session_window(col("event_time"), "30 minutes"))
       .agg(count(lit(1)).as("n"))
-    val query = sessions.writeStream
+    runAdaptive(s, stage,
+      sessions.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.select(col("rowkey"), col("n")).write.mode("overwrite").parquet(out)
       }
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .groupBy(col("rowkey").cast("long").as("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
@@ -189,15 +230,14 @@ object StreamingOps {
         col("click_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR") &&
         col("click_time") <= col("purchase_time"))
       .select(col("rowkey"), col("purchase_seq"), col("click_seq"))
-    val query = joined.writeStream
+    runAdaptive(s, stage,
+      joined.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("append").parquet(out)
       }
       .outputMode("append")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       // idempotence under any foreachBatch retry/replay
       .dropDuplicates("purchase_seq", "click_seq")
@@ -226,15 +266,14 @@ object StreamingOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_mutations"),
         sum(size(col("cells")).cast("long")).as("n_cells"))
-    val query = counts.writeStream
+    runAdaptive(s, stage,
+      counts.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("overwrite").parquet(out)
       }
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
   }
 
@@ -258,15 +297,14 @@ object StreamingOps {
         WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2))
       .groupBy(col("table"), col("rowkey"))
       .agg(count(lit(1)).as("n"))
-    val query = perKey.writeStream
+    runAdaptive(s, stage,
+      perKey.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("overwrite").parquet(out)
       }
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .groupBy(col("table"))
       .agg(sum(col("n")).as("n_mutations"), count(lit(1)).as("n_keys"))
@@ -417,17 +455,16 @@ object StreamingOps {
       (process: DataFrame => Unit = _ => ()): Unit = {
     val sub = reg.list().find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown subscription: $name"))
-    val query = sub(wal.open(s)).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        process(batch)
-        val mx = batch.agg(max(col("seq"))).head()
-        if (!mx.isNullAt(0)) reg.ack(name, mx.getLong(0))
-      }
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    runAdaptive(s, new java.io.File(ckpt).getParent,
+      sub(wal.open(s)).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          process(batch)
+          val mx = batch.agg(max(col("seq"))).head()
+          if (!mx.isNullAt(0)) reg.ack(name, mx.getLong(0))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()))
   }
 
   /** q269: STREAMING DEBOUNCE under the oracle gate — q267's
@@ -449,16 +486,15 @@ object StreamingOps {
         col("cells")(0)("qualifier").as("kind"),
         col("ts"), col("seq").as("id"))
       .as[graft.streaming.Debounce.Ev]
-    val query = graft.streaming.Debounce.track(s, evs, gapMicros).writeStream
+    runAdaptive(s, stage,
+      graft.streaming.Debounce.track(s, evs, gapMicros).writeStream
       .foreachBatch {
         (df: Dataset[graft.streaming.Debounce.Out], id: Long) =>
           df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .groupBy(col("user"), col("kind"))
       .agg(max_by(struct(col("n_events"), col("n_dropped")), col("batch"))
@@ -491,16 +527,15 @@ object StreamingOps {
         expr("cast(round(cast(cells[0].value as double) * 100) as bigint)")
           .as("value_cents"))
       .as[graft.streaming.MaxVersions.Cell]
-    val query = graft.streaming.MaxVersions.track(s, cells, k).writeStream
+    runAdaptive(s, stage,
+      graft.streaming.MaxVersions.track(s, cells, k).writeStream
       .foreachBatch {
         (df: Dataset[graft.streaming.MaxVersions.Out], id: Long) =>
           df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .groupBy(col("user"), col("qualifier"), col("version"))
       .agg(max_by(struct(col("ts"), col("value_cents"), col("seq")),
@@ -540,15 +575,14 @@ object StreamingOps {
       .agg(min(col("d")).as("cohort"),
         expr("bit_or(shiftleft(cast(1 as bigint), cast(d as int)))")
           .as("mask"))
-    val query = masks.writeStream
+    runAdaptive(s, stage,
+      masks.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val fin = s.read.parquet(out)
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("cohort"), col("mask")), col("batch")).as("st"))
@@ -579,15 +613,14 @@ object StreamingOps {
         Sampling.hashBucket(concat(lit("kmv|"), col("rowkey"))).as("h"))
       .groupBy(col("qualifier"))
       .agg(graft.functions.KMin.kmin(k)(col("h")).as("kmv"))
-    val query = sketches.writeStream
+    runAdaptive(s, stage,
+      sketches.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val fin = s.read.parquet(out)
       .groupBy(col("qualifier"))
       .agg(max_by(col("kmv"), col("batch")).as("kmv"))
@@ -640,15 +673,14 @@ object StreamingOps {
           .as("c"))
       .groupBy(col("qualifier"))
       .agg(kll(col("c")).as("sk"))
-    val query = sketches.writeStream
+    runAdaptive(s, stage,
+      sketches.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     // metadata-sized collect: one sketch row per event type
     val fin = s.read.parquet(out)
       .groupBy(col("qualifier"))
@@ -760,16 +792,15 @@ object StreamingOps {
       .select(col("rowkey").as("_1"),
         col("cells")(0)("qualifier").as("_2"), col("ts").as("_3"))
       .as[(String, String, Long)]
-    val query = graft.streaming.Funnel.track(s, evs).writeStream
+    runAdaptive(s, stage,
+      graft.streaming.Funnel.track(s, evs).writeStream
       .foreachBatch {
         (df: Dataset[graft.streaming.Funnel.FunnelOut], id: Long) =>
           df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("first_view"), col("conv_ts")), col("batch")).as("st"))
@@ -823,15 +854,14 @@ object StreamingOps {
           col("click_time") <= col("purchase_time"),
         "leftOuter")
       .select(col("rowkey"), col("purchase_seq"), col("click_seq"))
-    val query = joined.writeStream
+    runAdaptive(s, stage,
+      joined.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("append").parquet(out)
       }
       .outputMode("append")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .dropDuplicates("purchase_seq", "click_seq")
       .groupBy(col("rowkey").cast("long").as("user_id"))
@@ -881,15 +911,14 @@ object StreamingOps {
         "fullOuter")
       .select(coalesce(col("rowkey"), col("c_rowkey")).as("user_key"),
         col("purchase_seq"), col("click_seq"))
-    val query = joined.writeStream
+    runAdaptive(s, stage,
+      joined.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("append").parquet(out)
       }
       .outputMode("append")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       // idempotence under any foreachBatch retry/replay; null seqs
       // (outer rows) keep one row per (purchase, click) identity
@@ -926,15 +955,14 @@ object StreamingOps {
       .withColumn("value", col("cells")(0)("value").cast("double"))
       .groupBy(window(col("event_time"), "1 day"))
       .agg(TopK.topk(k)(col("seq"), col("value")).as("top"))
-    val query = tops.writeStream
+    runAdaptive(s, stage,
+      tops.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("overwrite").parquet(out)
       }
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .select(unix_micros(col("window.start")).as("window_start"),
         posexplode(col("top")).as(Seq("pos", "t")))
@@ -980,16 +1008,15 @@ object StreamingOps {
       .withColumn("event_time", timestamp_micros(col("ts")))
       .withWatermark("event_time", "0 seconds")
       .as[graft.streaming.Funnel.FunnelEvent]
-    val query = graft.streaming.Funnel.trackWithTTL(s, evs, ttlMillis).writeStream
+    runAdaptive(s, stage,
+      graft.streaming.Funnel.trackWithTTL(s, evs, ttlMillis).writeStream
       .foreachBatch {
         (df: Dataset[graft.streaming.Funnel.FunnelOut], id: Long) =>
           df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     // all data lands in batch 0, so any later emission is a flush:
     // evicted = touched by a timeout batch
     s.read.parquet(out)
@@ -1024,15 +1051,14 @@ object StreamingOps {
     val counts = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
       .groupBy(col("rowkey"))
       .agg(typeCounts.head, typeCounts.tail: _*)
-    val query = counts.writeStream
+    runAdaptive(s, stage,
+      counts.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("overwrite").parquet(out)
       }
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .select(col("rowkey").cast("long").as("user_id") +:
         types.map(t => col(t)): _*)
@@ -1058,15 +1084,14 @@ object StreamingOps {
       .select(col("cells")(0)("qualifier").as("event_type"),
         col("rowkey").as("k"))
     val regs = Sketch.hllRegistersBy(keyed, "event_type")
-    val query = regs.writeStream
+    runAdaptive(s, stage,
+      regs.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("overwrite").parquet(out)
       }
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val est = Sketch.hllEstimate(s.read.parquet(out), "event_type")
     val exact = graft.Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -1159,7 +1184,8 @@ object StreamingOps {
         round(col("cells")(0)("value").cast("double") * 100).cast("long").as("cents"))
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
-    val query = totals.writeStream
+    runAdaptive(s, stage,
+      totals.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         val touched = df // update mode: only keys changed this batch
         val merged = currentViewDir(stage) match {
@@ -1174,9 +1200,7 @@ object StreamingOps {
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(currentViewDir(stage).getOrElse(
       sys.error("q140: no view version published")))
   }
@@ -1293,7 +1317,8 @@ object StreamingOps {
       .groupBy(col("user_id"), col("event_type"))
       .agg(sum(col("mult")).as("n_events"),
         sum(col("signed_cents")).as("sum_cents"))
-    val query = totals.writeStream
+    runAdaptive(s, stage,
+      totals.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         val touched = df // update mode: only keys changed this batch
         val merged = (currentViewDir(stage) match {
@@ -1308,9 +1333,7 @@ object StreamingOps {
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(currentViewDir(stage).getOrElse(
       sys.error("q299: no view version published")))
   }
@@ -1345,15 +1368,14 @@ object StreamingOps {
       case None =>
         RowMaterializer.materialize(s, wal.open(s).as[Mutation])
     }
-    val query = states.writeStream
-      .foreachBatch { (df: Dataset[RowState], id: Long) =>
-        df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
-      }
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination()
+    try runAdaptive(s, new java.io.File(ckpt).getParent,
+      states.writeStream
+        .foreachBatch { (df: Dataset[RowState], id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()))
     finally if (rocksDB) prior match {
       case Some(v) => s.conf.set(providerKey, v)
       case None => s.conf.unset(providerKey)
@@ -1534,15 +1556,14 @@ object StreamingOps {
       .select(col("rowkey").cast("long").as("user"),
         expr("ts div 3600000000").as("hour"), col("seq"))
       .as[Quota.QuotaEvent]
-    val query = Quota.track(events, limit).toDF().writeStream
+    runAdaptive(s, new java.io.File(ckpt).getParent,
+      Quota.track(events, limit).toDF().writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val finals = s.read.parquet(out)
       .groupBy(col("user"), col("hour"))
       .agg(max_by(struct(col("n"), col("admitted")), col("n")).as("f"))
@@ -1586,15 +1607,14 @@ object StreamingOps {
         col("cells")(0)("qualifier").as("etype"),
         col("cells")(0)("value").cast("double").as("value"))
       .as[Scd2.Scd2Event]
-    val query = Scd2.track(events).toDF().writeStream
+    runAdaptive(s, new java.io.File(ckpt).getParent,
+      Scd2.track(events).toDF().writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .filter(col("kind") =!= "late")
       // event_id is the version identity (same-ts versions share a
@@ -1985,16 +2005,15 @@ object StreamingOps {
     WalSource.writeWalJson(WalSource.eventsAsWal(s, dir), walDir, batches = 8)
     val raw = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
       .select(col("seq"), col("ts"))
-    val query = raw.writeStream
+    runAdaptive(s, stage,
+      raw.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         walLedgerBatch(s, stateRoot, df, id, shards, rangeSize,
           compactEvery, retentionUs)
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     walStateReport(s, stateRoot, shards)
   }
 
@@ -2061,16 +2080,15 @@ object StreamingOps {
       .withColumn("event_time", timestamp_micros(col("ts")))
       .withWatermark("event_time", "0 seconds")
       .as[graft.streaming.AsOfStream.Ev]
-    val query = graft.streaming.AsOfStream.track(s, evs).writeStream
+    runAdaptive(s, stage,
+      graft.streaming.AsOfStream.track(s, evs).writeStream
       .foreachBatch {
         (df: Dataset[graft.streaming.AsOfStream.Out], id: Long) =>
           df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(out)
       .groupBy(col("purchase_id"))
       .agg(max_by(struct(col("user_id"), col("purchase_ts"),
@@ -2105,16 +2123,15 @@ object StreamingOps {
       .withColumn("event_time", timestamp_micros(col("ts")))
       .withWatermark("event_time", "0 seconds")
       .as[graft.streaming.RateMonitor.Ev]
-    val query = graft.streaming.RateMonitor.track(s, evs).writeStream
+    runAdaptive(s, stage,
+      graft.streaming.RateMonitor.track(s, evs).writeStream
       .foreachBatch {
         (df: Dataset[graft.streaming.RateMonitor.RateOut], id: Long) =>
           df.write.mode("append").parquet(out)
       }
       .outputMode("append")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     // finalize-once emissions; distinct absorbs checkpoint-replay
     // duplicates (values are deterministic per hour)
     s.read.parquet(out)
@@ -2148,15 +2165,14 @@ object StreamingOps {
           "cast(round(cast(cells[0].value as double) * 100) as bigint)" +
             " div 2000"), lit(nb - 1L)).as("bin"))
       .groupBy(col("side"), col("bin")).agg(count(lit(1)).as("n"))
-    val query = binned.writeStream
+    runAdaptive(s, stage,
+      binned.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val hist = s.read.parquet(out)
       .groupBy(col("side"), col("bin"))
       .agg(max_by(col("n"), col("batch")).as("n"))
@@ -2205,15 +2221,14 @@ object StreamingOps {
           .as("c"))
       .groupBy(col("qualifier"))
       .agg(mg(col("c")).as("sk"))
-    val query = sketches.writeStream
+    runAdaptive(s, stage,
+      sketches.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     // metadata-sized: one sketch row per event type
     val fin = s.read.parquet(out)
       .groupBy(col("qualifier"))
@@ -2270,15 +2285,14 @@ object StreamingOps {
     val hourly = WalSource.streamV2(s, walDir, maxFilesPerTrigger = 2)
       .select(expr("ts div 3600000000").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("x"))
-    val query = hourly.writeStream
+    runAdaptive(s, stage,
+      hourly.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     Events.pageHinkleyOf(
       s.read.parquet(out).groupBy(col("h"))
         .agg(max_by(col("x"), col("batch")).as("x")),
@@ -2319,15 +2333,14 @@ object StreamingOps {
         expr("ts div 3600000000").as("h"))
       .groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("x"))
-    val query = cells.writeStream
+    runAdaptive(s, stage,
+      cells.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     Events.theilHoursOf(
       s.read.parquet(out).groupBy(col("event_type"), col("h"))
         .agg(max_by(col("x"), col("batch")).as("x")))
@@ -2356,15 +2369,14 @@ object StreamingOps {
         expr("ts div 3600000000").as("h"))
       .groupBy(col("salt"), col("h"))
       .agg(count(lit(1)).as("n"))
-    val query = cells.writeStream
+    runAdaptive(s, stage,
+      cells.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     Bucketing.saltAuditFromCells(
       s.read.parquet(out).groupBy(col("salt"), col("h"))
         .agg(max_by(col("n"), col("batch")).as("n")),
@@ -2384,15 +2396,14 @@ object StreamingOps {
           " as bigint)").as("vm"))
       .groupBy(col("event_type"), col("h"))
       .agg(max(col("vm")).as("m"))
-    val query = blocks.writeStream
+    runAdaptive(s, stage,
+      blocks.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.withColumn("batch", lit(id)).write.mode("append").parquet(out)
       }
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     Events.gumbelTailOf(
       s.read.parquet(out).groupBy(col("event_type"), col("h"))
         .agg(max_by(col("m"), col("batch")).as("m")))
@@ -2487,7 +2498,8 @@ object StreamingOps {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("pb",
         org.apache.spark.sql.types.LongType)))
-    val query = s.readStream.schema(schema)
+    runAdaptive(s, stage,
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(inDir)
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
@@ -2495,9 +2507,7 @@ object StreamingOps {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.read.parquet(storeBaseDir(stateRoot, "prstate").get)
       .filter(col("kind") === "s" && col("round") === iters)
       .select(col("a").as("part"), col("b").as("score_scaled"))

@@ -1248,9 +1248,14 @@ object TextAnalysis {
       .select(col("source"), explode(tokens(col("text"))).as("w"))
     val bySrc = tok.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("y"))
-    val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("yc"))
-    val totals = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val nAll = tok.agg(count(lit(1)).as("n_corpus"))
+    // r17 optimization (guide §2.3/§2.4): corpus counts, per-source
+    // totals and the corpus total are all sums of the (source, word)
+    // counts — derive them from bySrc instead of re-aggregating the
+    // corpus-scale token stream 3 more times. ReuseExchange shares
+    // the one (source, w) exchange; counts identical by associativity.
+    val corpus = bySrc.groupBy(col("w")).agg(sum(col("y")).as("yc"))
+    val totals = bySrc.groupBy(col("source")).agg(sum(col("y")).as("ns"))
+    val nAll = bySrc.agg(sum(col("y")).as("n_corpus"))
     val a0 = 1000L
     val scored = bySrc
       .join(corpus, "w")
@@ -1347,20 +1352,29 @@ object TextAnalysis {
       .select(explode(bigrams2(col("text"))).as("bg"))
       .withColumn("w1", split(col("bg"), " ")(0))
       .withColumn("w2", split(col("bg"), " ")(1))
-    val pair = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val ctx = trainBg.groupBy(col("w1"))
-      .agg(count(lit(1)).as("cw1"), countDistinct(col("w2")).as("n1w1"))
-    val cont = trainBg.select(col("w1"), col("w2")).distinct()
-      .groupBy(col("w2")).agg(count(lit(1)).as("cont2"))
-    val tots = trainBg.agg(
-      countDistinct(col("bg")).as("cont_all"),
+    // r17 optimization (guide §2.3/§2.4, the q387 treatment): all
+    // four training statistics derive from the per-TYPE bigram
+    // counts, so aggregate the instance stream to (w1, w2, cb) ONCE
+    // — the branches share that one exchange via ReuseExchange and
+    // the old ~4 corpus passes collapse to 1. Identical counts:
+    // cw1 = Σ cb per w1, n1w1 = type count per w1 ≡ countDistinct
+    // over instances, cont2 = type count per w2, cont_all = total
+    // type count ≡ countDistinct(bg), n_vocab = distinct w2.
+    val cnt2 = trainBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ctx = cnt2.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw1"), count(lit(1)).as("n1w1"))
+    val cont = cnt2.groupBy(col("w2")).agg(count(lit(1)).as("cont2"))
+    val tots = cnt2.agg(
+      count(lit(1)).as("cont_all"),
       countDistinct(col("w2")).as("n_vocab"))
     docs.filter(col("doc_id") % 2 =!= 0)
       .filter(size(tokens(col("text"))) >= 2)
       .select(col("doc_id"), explode(bigrams2(col("text"))).as("bg"))
       .withColumn("w1", split(col("bg"), " ")(0))
       .withColumn("w2", split(col("bg"), " ")(1))
-      .join(pair, Seq("bg"), "left")
+      // (w1, w2) ↔ bg bijectively (tokens carry no spaces)
+      .join(cnt2, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
       .crossJoin(broadcast(tots))
@@ -1413,12 +1427,23 @@ object TextAnalysis {
       .withColumn("w1", split(col("tg"), " ")(0))
       .withColumn("w2", split(col("tg"), " ")(1))
       .withColumn("w3", split(col("tg"), " ")(2))
-    // highest order: raw trigram counts + per-context mass/types
-    val tri = trainTg.groupBy(col("tg")).agg(count(lit(1)).as("c3"))
-    val ctx2 = trainTg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2ctx"), countDistinct(col("w3")).as("n3"))
+    // r17 optimization (guide §2.3/§2.4): every training statistic
+    // is a function of the per-TYPE trigram counts, so aggregate the
+    // corpus-scale instance stream to (w1, w2, w3, c3) ONCE and
+    // derive the rest from that type-scale frame. The old shape ran
+    // the explode+split over the train half separately under each of
+    // tri / ctx2 / types (~5 corpus passes); now all branches share
+    // the one hash-aggregate exchange (ReuseExchange dedups the
+    // identical subtree — plan-checked), and every downstream agg
+    // reads type-scale rows. Counts are identical: c3 per type is
+    // the instance count, c2ctx = Σ c3 over the context, n3 = type
+    // count per context ≡ countDistinct(w3) over instances.
+    val cnt3 = trainTg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx2 = cnt3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c2ctx"), count(lit(1)).as("n3"))
     // middle order: CONTINUATION counts over distinct (w1, w2, w3)
-    val types = trainTg.select(col("w1"), col("w2"), col("w3")).distinct()
+    val types = cnt3.select(col("w1"), col("w2"), col("w3"))
     val cc2 = types.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("cc2"))
     val ctx1 = cc2.groupBy(col("w2"))
@@ -1435,7 +1460,9 @@ object TextAnalysis {
       .withColumn("w1", split(col("tg"), " ")(0))
       .withColumn("w2", split(col("tg"), " ")(1))
       .withColumn("w3", split(col("tg"), " ")(2))
-      .join(tri, Seq("tg"), "left")
+      // (w1, w2, w3) ↔ tg bijectively (tokens carry no spaces), so
+      // the word-key join is the old tg-key join
+      .join(cnt3, Seq("w1", "w2", "w3"), "left")
       .join(ctx2, Seq("w1", "w2"), "left")
       .join(cc2, Seq("w2", "w3"), "left")
       .join(ctx1, Seq("w2"), "left")
@@ -1639,7 +1666,8 @@ object TextAnalysis {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val query = s.readStream.schema(schema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).json(inDir)
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
@@ -1649,9 +1677,7 @@ object TextAnalysis {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     StreamingOps.readStoreAll(s, s"$stateRoot", "preds").get.distinct()
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1998,7 +2024,8 @@ object TextAnalysis {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val query = s.readStream.schema(schema)
+    StreamingOps.runAdaptive(s, stage,
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).json(inDir)
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
@@ -2006,9 +2033,7 @@ object TextAnalysis {
         ()
       }
       .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     unigramApplyReport(readStreamVocab(s, stateRoot),
       unigramVocab(trainWords(s, dir).localCheckpoint(), seedMultis,
         target))
